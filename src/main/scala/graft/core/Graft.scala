@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers for the graft engine.
+  *
+  * Design notes (scale): we run `local[32]` in tests but every default here
+  * is chosen for a multi-executor cluster — AQE on (runtime shuffle
+  * coalescing + skew-join splitting), modest shuffle partitions locally
+  * (the driver overrides on a real cluster), lenient (non-ANSI) string
+  * semantics to mirror the reference engine's schema-lite CSV model where
+  * unparseable values become null/empty rather than failing the job
+  * (reference: logline.go:87-89 — empty field == nil).
+  */
+object Graft {
+
+  /** Standard conf applied to any session graft builds or adopts. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  /** Local session for tests/benchmarks. */
+  def localSession(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession
+        .builder()
+        .appName(appName)
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft runtime confs to an externally-created session (e.g. the
+    * driver's Verify/Bench sessions) without rebuilding it.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark
+  }
+
+  /** Load one of the driver-provided parquet tables from an sf dir. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines.
+  * All pure Column expressions — no UDFs — so every function stays inside
+  * whole-stage codegen and scales linearly with executors.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/null text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0 || text.isNull, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word-boundary regex pieces (letters
+    * runs, digit runs, punctuation singletons), the standard cheap
+    * approximation of a byte-pair tokenizer's output length.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(coalesce(text, lit("")), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      c => length(c) > 0))
+
+  /** Word k-shingles ("a b c" 2-shingles → ["a b","b c"]); fewer than k
+    * tokens → empty array.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => array_join(slice(t, i + 1, lit(k)), " ")))
+  }
+
+  /** Distinct character n-grams of the lowercased text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = lower(coalesce(text, lit("")))
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n)))))
+  }
+
+  /** Sorted-distinct-token fingerprint (md5 hex) — canonical document
+    * fingerprint for exact near-dup keys (case/punct-normalized variant of
+    * the classic "fingerprint" clustering key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
+
+  /** 64-bit rolling (polynomial) hash of the token stream — order-sensitive
+    * document fingerprint. Horner's rule over xxhash64 of each token,
+    * multiplier 31, wrapping long arithmetic.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+
+  // --- language ID (n-gram/stopword heuristic) ---
+
+  /** Tiny per-language stopword marker sets. Deliberately small and
+    * deterministic: counts of high-frequency function words, the classic
+    * cheap language-ID signal.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "mit"),
+  )
+
+  /** Number of tokens of `text` that are in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Heuristic language ID: the language with the most stopword hits;
+    * "unk" when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val hits = stopwords.toSeq.map { case (lang, ws) => (lang, stopwordHits(text, ws)) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(lit(null).cast("string")) { case (acc, (lang, h)) =>
+      when(acc.isNotNull, acc).when(h > 0 && h === best, lit(lang)).otherwise(acc)
+    } match { case c => coalesce(c, lit("unk")) }
+  }
+
+  /** Ratio of stopword tokens (any language) — a quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordHits(text, stopwords.values.flatten.toSeq).cast("double") / n)
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val s = coalesce(text, lit(""))
+    when(length(s) === 0, lit(0.0))
+      .otherwise((length(s) - length(regexp_replace(s, "[^A-Za-z0-9 ]", ""))).cast("double")
+        / length(s))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Composite heuristic quality score in [0,1]: length saturation,
+    * healthy mean word length, low punctuation noise, stopword presence —
+    * the standard cheap pre-filter for LLM training corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val wordScore = when(meanTokenLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punct     = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val stop      = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + wordScore * 0.2 + punct * 0.2 + stop * 0.2, 4)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set so the corpus is scanned once, map-side, with no shuffle of corpus
+  *    rows except the final top-k reduction (queries × k rows).
+  *  - [[lshTopK]]: hyperplane-LSH bucketed variant — the 100 TB path: only
+  *    same-bucket candidates are scored, trading recall for a scan that
+  *    touches each corpus row once and shuffles only candidates.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param corpus  (idCol, vecCol, ...) — the big side, never shuffled in
+    *                full: the window ranks only (corpus × |queries|) rows,
+    *                and Catalyst keeps the broadcast join map-side.
+    * @param queries (idCol, vecCol) — must be small (broadcast).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** LSH-bucketed ANN: score only corpus rows that share a hyperplane-LSH
+    * bucket with the query under any of `seeds` signatures (multi-signature
+    * = multi-probe recall boost). Same output shape as [[bruteForceTopK]];
+    * a query with no bucket collisions returns fewer than k rows.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int = 10, nBits: Int = 8, seeds: Seq[Long] = Seq(42L, 1042L, 2042L),
+      excludeSelf: Boolean = true): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        explode(array(seeds.zipWithIndex.map { case (s, i) =>
+          struct(lit(i).as("s"),
+            VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s).as("sig"))
+        }: _*)).as("bk"))
+
+    val c = bucketed(corpus, "neighbor_id", "__cv")
+    val q = broadcast(bucketed(queries, "query_id", "__qv"))
+    val cand = c.join(q, c("bk") === q("bk"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .groupBy("query_id", "neighbor_id").agg(first("__qv").as("__qv"), first("__cv").as("__cv"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

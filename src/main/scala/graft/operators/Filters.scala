@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A configured record-level operator: a pure `DataFrame => DataFrame`
+  * transform. Mirrors the reference's filter interface (api.go:86-100 —
+  * a per-record `Process(record, next)` with mutate/drop/emit semantics)
+  * re-expressed as declarative Spark plans so Catalyst can fuse, reorder
+  * and push the whole chain into the scan. Chains compose with
+  * `df.transform(f1).transform(f2)` or [[Transform.chain]].
+  */
+trait Transform extends (DataFrame => DataFrame) {
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+}
+
+object Transform {
+  def chain(ts: Seq[Transform]): DataFrame => DataFrame =
+    df => ts.foldLeft(df)((d, t) => t(d))
+}
+
+/** The reference's 24 shipped filters (registry filter/all.go:9-34), each as
+  * a Column-expression transform. None of these uses a UDF or RDD: every one
+  * stays inside whole-stage codegen, so a chain of N filters compiles to a
+  * single fused stage with predicate pushdown — the scale story at 100 TB.
+  *
+  * Null semantics: the reference's records are schema-lite CSV where an
+  * empty field and a missing field are the same thing (logline.go:87-89).
+  * Helpers below treat null and "" as the same "empty" value.
+  */
+object Filters {
+
+  /** null ≡ "" (logline.go:87-89). */
+  private def nz(c: Column): Column = coalesce(c.cast("string"), lit(""))
+  private def isEmpty(c: Column): Column = c.isNull || c.cast("string") === ""
+
+  /** ClauseFilter — keep rows matching a boolean s-expression.
+    * reference: filter/clausefilter.go:14-282.
+    */
+  final case class Clause(clause: String) extends Transform {
+    override def name = "ClauseFilter"
+    private val pred = ClauseFilter.compile(clause)
+    def apply(df: DataFrame): DataFrame = df.filter(pred)
+  }
+
+  /** ClearFields — set listed fields to empty. reference: filter/clear_fields.go:11-56. */
+  final case class ClearFields(fields: Seq[String]) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumns(fields.map(f => f -> lit(null).cast(df.schema(f).dataType)).toMap)
+  }
+
+  /** Concatenate — join field values with a separator into a target field.
+    * Separator goes between fields only (concatenate.go:69-81). Null fields
+    * concatenate as empty (concat_ws skips nulls, so coalesce first to keep
+    * positional parity with the reference).
+    * reference: filter/concatenate.go:12-82.
+    */
+  final case class Concatenate(fields: Seq[String], target: String, separator: String = ",")
+      extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(target, concat_ws(separator, fields.map(f => nz(col(f))): _*))
+  }
+
+  /** CountAndTag — count records through, tagged by a field's value
+    * (`DefaultValue` when empty). The transform itself is a pass-through
+    * with an `observe` total; [[tagCounts]] is the tagged side-aggregation.
+    * reference: filter/count_and_tag.go:23-81.
+    */
+  final case class CountAndTag(field: String, metric: String, defaultValue: String = "__nil__")
+      extends Transform {
+    def apply(df: DataFrame): DataFrame = df.observe(metric, count(lit(1)).as("count"))
+    def tagCounts(df: DataFrame): DataFrame =
+      df.groupBy(when(isEmpty(col(field)), lit(defaultValue)).otherwise(col(field)).as("tag"))
+        .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Dedup — drop records whose tuple of chosen fields was seen before.
+    * The reference keeps a global in-memory set (filter/dedup.go:13-97, with
+    * an OOM warning at :13-21); distributed `dropDuplicates` is the
+    * scale-correct equivalent (shuffle on the key, O(unique/partition)).
+    */
+  final case class Dedup(fields: Seq[String]) extends Transform {
+    def apply(df: DataFrame): DataFrame = df.dropDuplicates(fields)
+  }
+
+  /** ExpandJSON — extract JSON paths from a source field into fields.
+    * Mappings are `jsonPath -> dstField` with dotted/indexed paths (the
+    * JMESPath subset that covers every shipped use). Numbers pass through
+    * verbatim — `get_json_object` preserves the source text of numbers,
+    * matching the reference's `UseNumber` (expand_json.go:117-128).
+    * reference: filter/expand_json.go:33-145.
+    */
+  final case class ExpandJSON(
+      source: String,
+      mappings: Map[String, String],
+      trueFalseValues: (String, String) = ("true", "false"),
+  ) extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val (t, f) = trueFalseValues
+      df.withColumns(mappings.map { case (path, dst) =>
+        val raw = get_json_object(col(source), if (path.startsWith("$")) path else s"$$.$path")
+        dst -> when(raw === "true", lit(t)).when(raw === "false", lit(f)).otherwise(raw)
+      })
+    }
+  }
+
+  /** ExpandList — split a source field on a separator; mappings are
+    * `listIndex -> dstField`. Out-of-range indexes yield empty, as the
+    * reference leaves the dst untouched/empty. reference: filter/expand_list.go:36-131.
+    */
+  final case class ExpandList(source: String, mappings: Map[Int, String], separator: String = ";")
+      extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val arr = split(nz(col(source)), java.util.regex.Pattern.quote(separator))
+      df.withColumns(mappings.map { case (i, dst) =>
+        dst -> coalesce(try_element_at(arr, lit(i + 1)), lit(""))
+      })
+    }
+  }
+
+  /** ExternalMatch — keep (or drop) rows whose field value is in an external
+    * value set. The reference loads CSVs into an in-memory set with periodic
+    * refresh (filter/external_match.go:25-264); at Spark scale this is a
+    * broadcast left-semi/anti join, which AQE keeps shuffle-free for any
+    * realistically-sized match set.
+    */
+  final case class ExternalMatch(field: String, values: DataFrame, keepOnMatch: Boolean = false)
+      extends Transform {
+    override def name = "ExternalMatch"
+    def apply(df: DataFrame): DataFrame = {
+      val vcol = values.columns.head
+      val joinType = if (keepOnMatch) "left_semi" else "left_anti"
+      df.join(broadcast(values.select(col(vcol).cast("string").as("__match_v")).distinct()),
+        nz(col(field)) === col("__match_v"), joinType)
+    }
+  }
+
+  /** FormatTime — parse a source time field and re-format into dst; parse
+    * failure clears dst but keeps the record (format_time.go:113-122).
+    * Named Go layouts translate to JDK patterns; `unix`/`unixms`/`unixns`
+    * are epoch integers. reference: filter/format_time.go:12-210.
+    */
+  final case class FormatTime(
+      src: String,
+      dst: String,
+      srcFormat: String = "UnixDate",
+      dstFormat: String = "unixms",
+  ) extends Transform {
+    import FormatTime._
+    def apply(df: DataFrame): DataFrame = {
+      val parsed: Column = srcFormat match {
+        case "unix"   => timestamp_seconds(try_cast_long(col(src)))
+        case "unixms" => timestamp_millis(try_cast_long(col(src)))
+        case "unixns" => timestamp_micros(try_cast_long(col(src)) / 1000)
+        case fmt      => try_to_timestamp(col(src).cast("string"), lit(layout(fmt)))
+      }
+      val out: Column = dstFormat match {
+        case "unix"   => unix_timestamp(parsed).cast("string")
+        case "unixms" => unix_millis(parsed).cast("string")
+        case "unixns" => (unix_micros(parsed) * 1000).cast("string")
+        case fmt      => date_format(parsed, layout(fmt))
+      }
+      df.withColumn(dst, out)
+    }
+  }
+  object FormatTime {
+    private def try_cast_long(c: Column): Column = c.cast("string").try_cast("long")
+    /** Go named layouts → JDK DateTimeFormatter patterns (format_time.go:125-150). */
+    def layout(name: String): String = name match {
+      case "ANSIC"       => "EEE MMM ppd HH:mm:ss yyyy"
+      case "UnixDate"    => "EEE MMM ppd HH:mm:ss zzz yyyy"
+      case "RubyDate"    => "EEE MMM dd HH:mm:ss Z yyyy"
+      case "RFC822"      => "dd MMM yy HH:mm zzz"
+      case "RFC822Z"     => "dd MMM yy HH:mm Z"
+      case "RFC850"      => "EEEE, dd-MMM-yy HH:mm:ss zzz"
+      case "RFC1123"     => "EEE, dd MMM yyyy HH:mm:ss zzz"
+      case "RFC1123Z"    => "EEE, dd MMM yyyy HH:mm:ss Z"
+      case "RFC3339"     => "yyyy-MM-dd'T'HH:mm:ssXXX"
+      case "RFC3339Nano" => "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX"
+      case custom        => custom // already a JDK pattern
+    }
+  }
+
+  /** Hash — md5/sha256 of src into dst (hex). On empty src the reference
+    * errors and DROPS the record (crypt-family semantics, hash.go:94-118
+    * via RaiseError): we drop rows whose src is null.
+    * reference: filter/hash.go:14-121.
+    */
+  final case class Hash(src: String, dst: String, function: String = "md5") extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val h = function.toLowerCase match {
+        case "md5"    => md5(col(src).cast("binary"))
+        case "sha256" => sha2(col(src).cast("binary"), 256)
+        case other    => throw new IllegalArgumentException(s"unknown hash function: $other")
+      }
+      df.filter(col(src).isNotNull).withColumn(dst, h)
+    }
+  }
+
+  /** MetadataLastModified — copy file metadata last-modified (unix secs)
+    * into a field. reference: filter/metadata_lastmodified.go:12-58.
+    * Requires a file-based source; `_metadata` is Spark's hidden file column.
+    */
+  final case class MetadataLastModified(dst: String) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(dst, unix_timestamp(col("_metadata.file_modification_time")).cast("string"))
+  }
+
+  /** MetadataUrl — copy the source file URL into a field.
+    * reference: filter/metadata_url.go:12-79.
+    */
+  final case class MetadataUrl(dst: String) extends Transform {
+    def apply(df: DataFrame): DataFrame = df.withColumn(dst, input_file_name())
+  }
+
+  /** NotNull — drop rows where any listed field is empty or null
+    * (empty ≡ null, logline.go:87-89). reference: filter/notnull.go:10-62.
+    */
+  final case class NotNull(fields: Seq[String]) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.filter(fields.map(f => !isEmpty(col(f))).reduce(_ && _))
+  }
+
+  /** PartialClone — emit a new record with only the listed fields; all other
+    * fields empty. reference: filter/partial_clone.go:9-57.
+    */
+  final case class PartialClone(fields: Seq[String]) extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val keep = fields.toSet
+      df.select(df.columns.map { c =>
+        if (keep(c)) col(c) else lit(null).cast(df.schema(c).dataType).as(c)
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** RegexMatch — keep rows where field(i) matches regex(i) for ALL i;
+    * `invert` drops rows where ANY matches (regex_match.go:70-90 polarity).
+    * reference: filter/regex_match.go:11-100.
+    */
+  final case class RegexMatch(patterns: Seq[(String, String)], invert: Boolean = false)
+      extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val all = patterns.map { case (f, re) => nz(col(f)).rlike(re) }.reduce(_ && _)
+      if (invert) df.filter(!patterns.map { case (f, re) => nz(col(f)).rlike(re) }.reduce(_ || _))
+      else df.filter(all)
+    }
+  }
+
+  /** ReplaceFields — copy src fields onto dst fields and/or set dst fields
+    * to fixed literals. reference: filter/replace_fields.go:10-113.
+    */
+  final case class ReplaceFields(
+      copies: Seq[(String, String)] = Nil,    // (srcField, dstField)
+      literals: Seq[(String, String)] = Nil,  // (value, dstField)
+  ) extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val dsts = (copies.map(_._2) ++ literals.map(_._2))
+      require(dsts.distinct.size == dsts.size, "ReplaceFields: duplicate destination field")
+      df.withColumns(
+        copies.map { case (s, d) => d -> col(s) }.toMap ++
+          literals.map { case (v, d) => d -> lit(v) }.toMap)
+    }
+  }
+
+  /** SetStringFromURL — set a field to the first configured literal found in
+    * the source-file URL path; DROP the row when none match
+    * (set_string_from_url.go:68-82). reference: filter/set_string_from_url.go:14-84.
+    * [[fromColumn]] applies the same semantics to an arbitrary column.
+    */
+  final case class SetStringFromURL(dst: String, strings: Seq[String]) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      SetStringFromURL.fromColumn(df, dst, parse_url(input_file_name(), lit("PATH")), strings)
+  }
+  object SetStringFromURL {
+    def fromColumn(df: DataFrame, dst: String, src: Column, strings: Seq[String]): DataFrame = {
+      val tag = strings.foldLeft(lit(null).cast("string")) { (acc, s) =>
+        when(acc.isNotNull, acc).when(src.contains(s), lit(s)).otherwise(lit(null).cast("string"))
+      }
+      df.withColumn(dst, tag).filter(col(dst).isNotNull)
+    }
+  }
+
+  /** Slice — substring src[start,end) into dst, clamped to the value length.
+    * The reference slices BYTES (slice.go:9-87); on ASCII data `substring`
+    * is identical, on multi-byte UTF-8 this operates on characters (see
+    * SURVEY §7.2 — documented divergence).
+    */
+  final case class Slice(src: String, dst: String, start: Int, end: Int) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(dst, substring(nz(col(src)), start + 1, end - start))
+  }
+
+  /** StringMatch — drop rows whose field equals any of the literals;
+    * `invert` keeps only matching rows (string_match.go:76).
+    * reference: filter/string_match.go:11-82.
+    */
+  final case class StringMatch(field: String, strings: Seq[String], invert: Boolean = false)
+      extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val matches = nz(col(field)).isin(strings: _*)
+      df.filter(if (invert) matches else !matches)
+    }
+  }
+
+  /** Timestamp — set a field to the processing-time unix seconds.
+    * reference: filter/timestamp.go:11-52.
+    */
+  final case class Timestamp(field: String) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(field, unix_timestamp(current_timestamp()).cast("string"))
+  }
+
+  /** TimestampRange — keep rows with `start <= epochField < end` (upper bound
+    * EXCLUSIVE, timestamp_range.go:99); non-numeric values drop the row.
+    * reference: filter/timestamp_range.go:12-105.
+    */
+  final case class TimestampRange(field: String, startSec: Long, endSec: Long) extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      val epoch = col(field).cast("string").try_cast("long")
+      df.filter(epoch.isNotNull && epoch >= startSec && epoch < endSec)
+    }
+  }
+
+  /** URLEscape — percent-encode or -decode src into dst; decode failure
+    * clears dst but keeps the row (url_escape.go:58-71).
+    * reference: filter/url_escape.go:12-79.
+    */
+  final case class URLEscape(src: String, dst: String, decode: Boolean = false) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(dst, if (decode) try_url_decode(nz(col(src))) else url_encode(nz(col(src))))
+  }
+
+  /** URLParam — extract a query parameter from a URL field ("" when the URL
+    * is bad or the param missing). reference: filter/url_param.go:10-73.
+    */
+  final case class URLParam(src: String, dst: String, param: String) extends Transform {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(dst, coalesce(try_parse_url(nz(col(src)), lit("QUERY"), lit(param)), lit("")))
+  }
+}
