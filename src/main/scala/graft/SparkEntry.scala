@@ -1,13 +1,570 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Graft
+import graft.functions.{Fernet, TextFunctions => TF}
+import graft.llm.{Dedup, Similarity}
+import graft.operators.Filters
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 (or
+  * one of the LLM-pipeline extensions) against the driver-provided parquet
+  * tables; [[oracleSql]] carries the DuckDB-equivalent SQL for the
+  * hash-compare harness. Column names and order are aligned between both
+  * sides; every query has a deterministic ORDER BY (Catalyst's
+  * EliminateSorts removes it under Bench's count()).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  /** Deterministic fernet key for the Crypt roundtrip query/tests. */
+  val testKey: String = Fernet.keyFromPassphrase("graft-test-key")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- engine-level ops (SURVEY §2.1) ----
+    "q_projection" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_validation" -> ((s, d) =>
+      // per-field regex gate (config.go:474-523): rows failing are dropped
+      t(s, d, "orders")
+        .filter(col("o_orderstatus").rlike("^[OF]$"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    "q_sharding" -> ((s, d) =>
+      // hash-shard routing (topology.go:157-184) → repartition + per-shard counts
+      t(s, d, "lineitem")
+        .repartition(32, pmod(col("l_orderkey"), lit(32)))
+        .groupBy(pmod(col("l_orderkey"), lit(32)).as("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("shard")),
+
+    // ---- the 24 filters (SURVEY §2.3) ----
+    "q_clause_filter" -> ((s, d) =>
+      Filters.Clause("(and (l_returnflag A) (not (l_linestatus O)))")(t(s, d, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_clear_fields" -> ((s, d) =>
+      Filters.ClearFields(Seq("props"))(t(s, d, "events"))
+        .select("event_id", "props")
+        .orderBy("event_id")),
+
+    "q_concatenate" -> ((s, d) =>
+      Filters.Concatenate(Seq("l_returnflag", "l_linestatus"), "rf_ls", "-")(t(s, d, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "rf_ls")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_count_and_tag" -> ((s, d) =>
+      Filters.CountAndTag("event_type", "evt").tagCounts(t(s, d, "events"))
+        .orderBy("tag")),
+
+    "q_crypt" -> ((s, d) => {
+      val enc = Fernet.encryptCol(testKey)
+      val dec = Fernet.decryptCol(testKey)
+      t(s, d, "documents")
+        .withColumn("text", dec(enc(col("text"))))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup" -> ((s, d) =>
+      Filters.Dedup(Seq("l_returnflag", "l_linestatus"))(t(s, d, "lineitem"))
+        .select("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_expand_json" -> ((s, d) =>
+      Filters.ExpandJSON("props", Map("k" -> "k_val"))(t(s, d, "events"))
+        .select("event_id", "k_val")
+        .orderBy("event_id")),
+
+    "q_expand_list" -> ((s, d) =>
+      Filters.ExpandList("text", Map(0 -> "f0", 2 -> "f2"), " ")(t(s, d, "documents"))
+        .select("doc_id", "f0", "f2")
+        .orderBy("doc_id")),
+
+    "q_external_match" -> ((s, d) => {
+      val matchSet = s.createDataFrame(Seq(Tuple1("BUILDING"), Tuple1("AUTOMOBILE")))
+        .toDF("segment")
+      Filters.ExternalMatch("c_mktsegment", matchSet, keepOnMatch = true)(t(s, d, "customer"))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_format_time" -> ((s, d) =>
+      Filters.FormatTime("ship_str", "ship_day", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd")(
+        t(s, d, "lineitem")
+          .withColumn("ship_str", date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))
+        .select("l_orderkey", "l_linenumber", "ship_day")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_hash" -> ((s, d) =>
+      Filters.Hash("text", "text_sha", "sha256")(
+        Filters.Hash("text", "text_md5", "md5")(t(s, d, "documents")))
+        .select("doc_id", "text_md5", "text_sha")
+        .orderBy("doc_id")),
+
+    "q_metadata_url" -> ((s, d) =>
+      Filters.MetadataUrl("src_url")(t(s, d, "documents"))
+        .filter(col("src_url").endsWith(".parquet"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q_metadata_lastmod" -> ((s, d) =>
+      Filters.MetadataLastModified("mtime")(
+        s.read.parquet(s"$d/documents.parquet"))
+        .filter(col("mtime").cast("long") > 0)
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q_notnull" -> ((s, d) =>
+      Filters.NotNull(Seq("text"))(t(s, d, "documents"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    "q_partial_clone" -> ((s, d) =>
+      Filters.PartialClone(Seq("p_partkey", "p_brand"))(t(s, d, "part"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")),
+
+    "q_regex_match" -> ((s, d) =>
+      Filters.RegexMatch(Seq("text" -> "spark", "lang" -> "^(en|es)$"))(t(s, d, "documents"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "q_replace_fields" -> ((s, d) =>
+      Filters.ReplaceFields(
+        copies = Seq("o_orderstatus" -> "status"),
+        literals = Seq("graft" -> "engine"))(t(s, d, "orders"))
+        .select("o_orderkey", "status", "engine")
+        .orderBy("o_orderkey")),
+
+    "q_set_string_from_url" -> ((s, d) =>
+      Filters.SetStringFromURL
+        .fromColumn(t(s, d, "documents"), "tag", col("source"), Seq("src1", "src3"))
+        .select("doc_id", "tag")
+        .orderBy("doc_id")),
+
+    "q_slice" -> ((s, d) =>
+      Filters.Slice("text", "head", 0, 16)(t(s, d, "documents"))
+        .select("doc_id", "head")
+        .orderBy("doc_id")),
+
+    "q_string_match" -> ((s, d) =>
+      Filters.StringMatch("event_type", Seq("error"))(t(s, d, "events"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")),
+
+    "q_timestamp" -> ((s, d) =>
+      Filters.Timestamp("proc_ts")(t(s, d, "events"))
+        .filter(col("proc_ts").isNotNull)
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q_timestamp_range" -> ((s, d) =>
+      Filters.TimestampRange("epoch", 1704412800L, 1705276800L)(
+        t(s, d, "events").withColumn("epoch", unix_timestamp(col("ts")).cast("string")))
+        .select("event_id", "event_type")
+        .orderBy("event_id")),
+
+    "q_url_escape" -> ((s, d) =>
+      Filters.URLEscape("enc", "text", decode = true)(
+        Filters.URLEscape("text", "enc")(t(s, d, "documents")))
+        .select("doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_url_param" -> ((s, d) =>
+      Filters.URLParam("url", "utm_out", "utm")(
+        t(s, d, "events").withColumn("url",
+          concat(lit("https://x.test/p?utm="), col("event_type"), lit("&i="), col("event_id"))))
+        .select("event_id", "utm_out")
+        .orderBy("event_id")),
+
+    // ---- outputs (SURVEY §2.4) ----
+    "q_output_stats" -> ((s, d) =>
+      // Stats sink distributions (output/stats.go): count/min/max/avg/quantiles
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"))),
+
+    "q_output_nop" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // ---- headline relational queries (Spark-free capability, SURVEY §2.7) ----
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    "q_join_nation" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cust_cnt"), round(sum(col("c_acctbal")), 2).as("acctbal"))
+        .orderBy("r_name")),
+
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    "q_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    }),
+
+    "q_events_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("event_type", "day")),
+
+    // ---- LLM-pipeline operators ----
+    "q_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dups"))
+        .orderBy("keeper")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("idA", "idB")),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text") =!= "")
+      val a = docs.select(col("doc_id").as("doc_a"), TF.tokens(col("text")).as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"), TF.tokens(col("text")).as("tb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          round(Dedup.jaccard(col("ta"), col("tb")), 4).as("jaccard"))
+        .orderBy("doc_a")
+    }),
+
+    "q_embed_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embed_neardup" -> ((s, d) => {
+      // The synthetic embeddings have no natural near-dups (max pairwise
+      // cosine ≈0.51), so plant exact duplicates of vec_id<20 at id+100000:
+      // the LSH bucket join must recover precisely those pairs.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Dedup.embeddingPairs(emb.unionByName(planted), "vec_id", "embedding", dim = 64,
+        threshold = 0.9)
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("idA", "idB")
+    }),
+
+    "q_lang_id" -> ((s, d) => {
+      val en = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+      val es = Seq("el", "la", "de", "que", "y", "los", "en", "un")
+      t(s, d, "documents")
+        .withColumn("en_hits", TF.stopwordHits(col("text"), en))
+        .withColumn("es_hits", TF.stopwordHits(col("text"), es))
+        .select(col("doc_id"),
+          when(col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") > 0, "es")
+            .otherwise("unk").as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_rolling_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")),
+
+    "q_multimodal" -> ((s, d) =>
+      // opaque-binary column plumbing: payload bytes + content digest
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).as("payload_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy("doc_id")),
+  )
+
+  /** DuckDB-equivalent SQL per query (driver's t2 oracle). Omitted for
+    * non-SQL-expressible / approximate ops (minhash, simhash, LSH ANN,
+    * rolling hash) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_validation" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE regexp_matches(o_orderstatus, '^[OF]$') ORDER BY o_orderkey""",
+    "q_sharding" ->
+      """SELECT l_orderkey % 32 AS shard, count(*) AS cnt FROM lineitem
+         GROUP BY 1 ORDER BY shard""",
+    "q_clause_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem
+         WHERE l_returnflag = 'A' AND NOT l_linestatus = 'O'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_clear_fields" ->
+      """SELECT event_id, CAST(NULL AS VARCHAR) AS props FROM events ORDER BY event_id""",
+    "q_concatenate" ->
+      """SELECT l_orderkey, l_linenumber,
+                concat_ws('-', l_returnflag, l_linestatus) AS rf_ls
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_count_and_tag" ->
+      """SELECT event_type AS tag, count(*) AS cnt FROM events GROUP BY 1 ORDER BY tag""",
+    "q_crypt" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "q_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_expand_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+         ORDER BY event_id""",
+    "q_expand_list" ->
+      """SELECT doc_id, split_part(text, ' ', 1) AS f0, split_part(text, ' ', 3) AS f2
+         FROM documents ORDER BY doc_id""",
+    "q_external_match" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') ORDER BY c_custkey""",
+    "q_format_time" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_hash" ->
+      """SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha FROM documents
+         ORDER BY doc_id""",
+    "q_metadata_url" ->
+      """SELECT count(*) AS cnt FROM documents""",
+    "q_metadata_lastmod" ->
+      """SELECT count(*) AS cnt FROM documents""",
+    "q_notnull" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE text IS NOT NULL AND text <> '' ORDER BY doc_id""",
+    "q_partial_clone" ->
+      """SELECT p_partkey, CAST(NULL AS VARCHAR) AS p_name, p_brand FROM part
+         ORDER BY p_partkey""",
+    "q_regex_match" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(text, 'spark') AND regexp_matches(lang, '^(en|es)$')
+         ORDER BY doc_id""",
+    "q_replace_fields" ->
+      """SELECT o_orderkey, o_orderstatus AS status, 'graft' AS engine FROM orders
+         ORDER BY o_orderkey""",
+    "q_set_string_from_url" ->
+      """SELECT doc_id, tag FROM (
+           SELECT doc_id,
+                  CASE WHEN contains(source, 'src1') THEN 'src1'
+                       WHEN contains(source, 'src3') THEN 'src3' END AS tag
+           FROM documents) t
+         WHERE tag IS NOT NULL ORDER BY doc_id""",
+    "q_slice" ->
+      """SELECT doc_id, substring(text, 1, 16) AS head FROM documents ORDER BY doc_id""",
+    "q_string_match" ->
+      """SELECT event_id, event_type FROM events WHERE event_type NOT IN ('error')
+         ORDER BY event_id""",
+    "q_timestamp" ->
+      """SELECT count(*) AS cnt FROM events""",
+    "q_timestamp_range" ->
+      """SELECT event_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         ORDER BY event_id""",
+    "q_url_escape" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "q_url_param" ->
+      """SELECT event_id, event_type AS utm_out FROM events ORDER BY event_id""",
+    "q_output_stats" ->
+      """SELECT count(*) AS n,
+                round(min(l_extendedprice), 2) AS min_price,
+                round(max(l_extendedprice), 2) AS max_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+         FROM lineitem""",
+    "q_output_nop" ->
+      """SELECT count(*) AS cnt FROM lineitem""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_nation" ->
+      """SELECT r_name, count(*) AS cust_cnt, round(sum(c_acctbal), 2) AS acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_window" ->
+      """SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events) t
+         WHERE rn <= 3 ORDER BY user_id, rn""",
+    "q_events_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                count(*) AS cnt, round(sum(value), 2) AS total_value
+         FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups
+         FROM documents GROUP BY 1 ORDER BY keeper""",
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE text <> ''
+         ), p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.toks, b.toks)) AS inter,
+                  len(a.toks) AS na, len(b.toks) AS nb
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+         )
+         SELECT doc_a, doc_b,
+                round(CASE WHEN na + nb - inter = 0 THEN 0.0
+                           ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 4) AS jaccard
+         FROM p ORDER BY doc_a""",
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_embed_neardup" ->
+      """SELECT vec_id AS idA, vec_id + 100000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
+         FROM embeddings WHERE vec_id < 20 ORDER BY idA, idB""",
+    "q_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('el','la','de','que','y','los','en','un'))) AS es_hits
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                     WHEN es_hits > 0 THEN 'es'
+                     ELSE 'unk' END AS lang_guess
+         FROM t ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                END AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                  AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+                sha256(text) AS payload_sha
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                  END AS n_tok,
+                  length(text) AS n_ch,
+                  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                    AS n_punct,
+                  len(list_filter(string_split(text, ' '), x -> x IN (
+                    'the','and','of','to','a','in','is','that',
+                    'el','la','de','que','y','los','en','un',
+                    'le','les','des','une','et',
+                    'der','die','das','und','ist','von','ein','mit'))) AS n_stop
+           FROM documents)
+         SELECT doc_id,
+                round(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
+                  + (CASE WHEN n_tok > 0
+                          AND CAST(n_ch - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.5 END) * 0.2
+                  + greatest(0.0, 1.0 - (CASE WHEN n_ch = 0 THEN 0.0
+                       ELSE CAST(n_punct AS DOUBLE) / n_ch END) * 4.0) * 0.2
+                  + least((CASE WHEN n_tok = 0 THEN 0.0
+                       ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 5.0, 1.0) * 0.2, 4)
+                  AS quality
+         FROM m ORDER BY doc_id""",
+  )
 }

@@ -22,6 +22,7 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 
   /** Local session for tests/benchmarks. */
@@ -45,10 +46,21 @@ object Graft {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise illegal
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 
-  /** Load one of the driver-provided parquet tables from an sf dir. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one of the driver-provided parquet tables from an sf dir.
+    * Nanosecond timestamps surface as Long (see nanosAsLong above); convert
+    * them back to microsecond timestamps with exact integral division.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -27,6 +27,10 @@ object VectorFunctions {
     * deterministic, derived per (bit, dimension) from a splitmix64-style
     * integer mix of the seed — identical on every executor with no
     * broadcast state needed.
+    *
+    * The planes are one LITERAL nested array (data, not expression nodes):
+    * the expression tree stays O(1) in `nBits`×`dim`, so whole-stage
+    * codegen always compiles it.
     */
   def hyperplaneSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
     def mix(z0: Long): Double = {
@@ -37,12 +41,14 @@ object VectorFunctions {
       // map to [-1, 1)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map { i =>
-        try_element_at(v, lit(i + 1)).cast("double") * lit(mix(seed + b * 131071L + i))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    // plane b packaged with its bit weight 2^b
+    val planes: Seq[(Seq[Double], Long)] = (0 until nBits).map { b =>
+      ((0 until dim).map(i => mix(seed + b * 131071L + i)), 1L << b)
     }
-    bits.reduce((a, b) => a + b)
+    val bitVals = transform(typedLit(planes), p => {
+      val proj = aggregate(zip_with(p("_1"), d(v), (a, x) => a * x), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, p("_2")).otherwise(lit(0L))
+    })
+    aggregate(bitVals, lit(0L), (acc, x) => acc + x)
   }
 }

@@ -41,19 +41,46 @@ object Dedup {
   }
 
   /** MinHash signature of a text column as `array<long>` of length
-    * `numPerm`: min over shingle hashes of (a_i*h + b_i) mod p. Pure
-    * Column expressions; one pass over the shingles per permutation, all
-    * inside codegen, zero shuffles.
+    * `numPerm`: min over shingle hashes of (a_i*h + b_i) mod p.
+    *
+    * The permutation coefficients are a LITERAL array driven through
+    * nested `transform`s — data, not expression nodes — so the expression
+    * tree is tiny and stays inside whole-stage codegen regardless of
+    * `numPerm`. (A naive `array(perm0, perm1, ..., perm63)` of 64 parallel
+    * transforms blows janino's 64KB method limit, silently falls back to
+    * interpreted eval, and runs ~100× slower.) Map-only: zero shuffles.
     */
   def minhashSignature(text: Column, numPerm: Int = 64, shingleK: Int = 3,
       seed: Long = 42L): Column = {
     val hashes = transform(TextFunctions.shingles(text, shingleK), s => pmod(xxhash64(s), lit(P)))
-    val sig = (0 until numPerm).map { i =>
-      val (a, b) = (coeff(seed, 2L * i), coeff(seed, 2L * i + 1))
-      when(size(hashes) === 0, lit(P))
-        .otherwise(array_min(transform(hashes, h => pmod(h * a + b, lit(P)))))
+    val coeffs = typedLit((0 until numPerm).map(i => (coeff(seed, 2L * i), coeff(seed, 2L * i + 1))))
+    when(size(hashes) === 0, typedLit(Seq.fill(numPerm)(P)))
+      .otherwise(transform(coeffs,
+        c => array_min(transform(hashes, h => pmod(h * c("_1") + c("_2"), lit(P))))))
+  }
+
+  /** MinHash signatures via the codegen path: explode shingles → one
+    * groupBy(id) with `numPerm` map-side-combined `min` aggregates.
+    *
+    * Why not [[minhashSignature]] (the pure-Column version)? Spark's
+    * higher-order functions (`transform`/`aggregate`) evaluate their
+    * lambdas interpreted — 64 perms × shingles per doc measured ~200s for
+    * 66k docs at sf0.1. Hash+min over exploded rows stays inside
+    * whole-stage codegen and partial aggregation collapses each partition
+    * to one row per doc before the (uniform, id-keyed) shuffle: same job
+    * at <10s, and the shape that survives 100 TB.
+    * Output: (__id, __sig array<long> of length numPerm).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 64,
+      shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(TextFunctions.shingles(col(textCol), shingleK)).as("__s"))
+      .select(col("__id"), pmod(xxhash64(col("__s")), lit(P)).as("__h"))
+    val mins = (0 until numPerm).map { i =>
+      min(pmod(col("__h") * coeff(seed, 2L * i) + coeff(seed, 2L * i + 1), lit(P))).as(s"__m$i")
     }
-    array(sig: _*)
+    sh.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+      .select(col("__id"), array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** Candidate near-dup pairs via banded LSH over the MinHash signature.
@@ -61,25 +88,23 @@ object Dedup {
     * agrees. Output: (idA, idB, est_jaccard) with idA < idB, where
     * est_jaccard is the fraction of agreeing signature positions.
     *
-    * Plan shape: explode to (doc × bands) rows → self-equi-join on
-    * (band, bandHash) → distinct pairs. The join key is a 64-bit hash, so
-    * partitioning is uniform except for true duplicate clusters, which AQE
-    * skew-split handles.
+    * Plan shape: explode-shingle signature agg (1 uniform shuffle) →
+    * explode to (doc × bands) rows → self-equi-join on (band, bandHash) →
+    * distinct pairs. The join key is a 64-bit hash, so partitioning is
+    * uniform except for true duplicate clusters, which AQE skew-split
+    * handles; the two join sides share one ReusedExchange.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 64,
       bands: Int = 16, shingleK: Int = 3, seed: Long = 42L): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val sigd = df
-      .select(col(idCol).as("__id"),
-        minhashSignature(col(textCol), numPerm, shingleK, seed).as("__sig"),
-        // docs with no shingles (empty/short text) can't be near-dups
-        (TextFunctions.tokenCount(col(textCol)) >= shingleK).as("__ok"))
-      .filter(col("__ok"))
+    val sigd = minhashSignatures(df, idCol, textCol, numPerm, shingleK, seed)
     val banded = sigd.select(col("__id"), col("__sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("__sig"), b * r + 1, r)).as("bh"))
-      }: _*)).as("bk"))
+      // single reference to __sig (vs an N-way array() that would inline the
+      // signature expression N times under projection collapse)
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
+        .as("bk"))
     val a = banded.select(col("bk"), col("__id").as("idA"), col("__sig").as("sigA"))
     val b = banded.select(col("bk"), col("__id").as("idB"), col("__sig").as("sigB"))
     a.join(b, a("bk") === b("bk") && col("idA") < col("idB"))
