@@ -17,13 +17,16 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword token estimate: word-boundary regex pieces (letters
-    * runs, digit runs, punctuation singletons), the standard cheap
-    * approximation of a byte-pair tokenizer's output length.
+  /** BPE-ish subword token estimate: word-boundary regex pieces (letter
+    * runs, digit runs, punctuation singletons; whitespace not counted),
+    * the standard cheap approximation of a byte-pair tokenizer's output
+    * length.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(coalesce(text, lit("")), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      c => length(c) > 0))
+    size(filter(
+      split(coalesce(text, lit("")),
+        "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
+      c => length(trim(c)) > 0))
 
   /** Word k-shingles ("a b c" 2-shingles → ["a b","b c"]); fewer than k
     * tokens → empty array.

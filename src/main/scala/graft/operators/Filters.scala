@@ -85,22 +85,91 @@ object Filters {
 
   /** ExpandJSON — extract JSON paths from a source field into fields.
     * Mappings are `jsonPath -> dstField` with dotted/indexed paths (the
-    * JMESPath subset that covers every shipped use). Numbers pass through
-    * verbatim — `get_json_object` preserves the source text of numbers,
-    * matching the reference's `UseNumber` (expand_json.go:117-128).
+    * JMESPath subset that covers every shipped use).
+    *
+    * Number semantics: the default (codegen) path uses `get_json_object`,
+    * which preserves big integers verbatim but normalizes decimals through
+    * double ("1.50" → "1.5", 19-significant-digit decimals lose precision).
+    * The reference keeps number text verbatim (`UseNumber`,
+    * expand_json.go:117-128); set `verbatimNumbers = true` to match it via
+    * a BigDecimal-exact Jackson UDF (one parse per record for ALL paths;
+    * exponent notation is canonicalized, e.g. "1e3" → "1E+3").
     * reference: filter/expand_json.go:33-145.
     */
   final case class ExpandJSON(
       source: String,
       mappings: Map[String, String],
       trueFalseValues: (String, String) = ("true", "false"),
+      verbatimNumbers: Boolean = false,
   ) extends Transform {
     def apply(df: DataFrame): DataFrame = {
       val (t, f) = trueFalseValues
-      df.withColumns(mappings.map { case (path, dst) =>
-        val raw = get_json_object(col(source), if (path.startsWith("$")) path else s"$$.$path")
-        dst -> when(raw === "true", lit(t)).when(raw === "false", lit(f)).otherwise(raw)
-      })
+      if (!verbatimNumbers) {
+        df.withColumns(mappings.map { case (path, dst) =>
+          val raw = get_json_object(col(source), if (path.startsWith("$")) path else s"$$.$path")
+          dst -> when(raw === "true", lit(t)).when(raw === "false", lit(f)).otherwise(raw)
+        })
+      } else {
+        val paths = mappings.keys.toSeq
+        val extractAll = ExpandJSON.verbatimUdf(paths)
+        // single parse per record: UDF returns one array aligned with paths
+        val tmp = "__json_vals"
+        val withVals = df.withColumn(tmp, extractAll(col(source)))
+        val out = withVals.withColumns(mappings.map { case (path, dst) =>
+          val raw = col(tmp).getItem(paths.indexOf(path))
+          dst -> when(raw === "true", lit(t)).when(raw === "false", lit(f)).otherwise(raw)
+        })
+        out.drop(tmp)
+      }
+    }
+  }
+  object ExpandJSON {
+    import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+
+    @transient private lazy val mapper: ObjectMapper =
+      new ObjectMapper()
+        .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+        // default node factory strips trailing zeros from BigDecimals
+        .setNodeFactory(com.fasterxml.jackson.databind.node.JsonNodeFactory
+          .withExactBigDecimals(true))
+
+    /** Walk `a.b[2].c`-style paths (leading `$.` optional). */
+    private def walk(root: JsonNode, path: String): JsonNode = {
+      val norm = path.stripPrefix("$").stripPrefix(".")
+      var node = root
+      for (seg <- norm.split("\\.") if node != null && seg.nonEmpty) {
+        val m = "^([^\\[\\]]+)((\\[\\d+\\])*)$".r.findFirstMatchIn(seg)
+        m match {
+          case Some(g) =>
+            node = node.get(g.group(1))
+            for (ix <- "\\[(\\d+)\\]".r.findAllMatchIn(g.group(2)))
+              if (node != null) node = node.get(ix.group(1).toInt)
+          case None => node = null
+        }
+      }
+      node
+    }
+
+    private def render(n: JsonNode): String =
+      if (n == null || n.isNull) null
+      else if (n.isTextual) n.asText()
+      else if (n.isNumber) n.decimalValue match {
+        case _ if n.isIntegralNumber => n.bigIntegerValue.toString
+        case d                       => d.toString
+      }
+      else n.toString // bool / object / array → JSON text
+
+    private[operators] def verbatimUdf(paths: Seq[String])
+        : Column => Column = {
+      val f = udf { (json: String) =>
+        if (json == null) paths.map(_ => null: String)
+        else {
+          val root = try mapper.readTree(json) catch { case _: Exception => null }
+          if (root == null) paths.map(_ => null: String)
+          else paths.map(p => render(walk(root, p)))
+        }
+      }
+      c => f(c)
     }
   }
 

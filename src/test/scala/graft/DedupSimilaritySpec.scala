@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "in the warm sun near the old barn door every single afternoon"
+
+  /** corpus: 0 and 1 near-identical, 2 identical to 0, 3 unrelated. */
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")),
+      (2L, base),
+      (3L, "completely different text about spark clusters and parquet files " +
+        "with nothing shared at all in any shingle of this string whatsoever"),
+      (4L, ""), // empty doc must not break anything
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the smallest id per key") {
+    import spark.implicits._
+    val out = Dedup.exact(docs, "doc_id", Seq(md5(col("text").cast("binary"))))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
+  }
+
+  test("minhash pairs find the identical and near-identical pairs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 1.0)
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.5)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash dedup drops near-dups with larger ids, keeps canonical") {
+    import spark.implicits._
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; near < far; radius honored") {
+    // ground-truth signatures first, then check the banded pair search
+    // against the true hamming distances (deterministic given xxhash64)
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 2L) == 0)
+    assert(ham(0L, 1L) < ham(0L, 3L)) // one word changed ≪ unrelated doc
+    val radius = ham(0L, 1L)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = radius)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 2L)) == 0)
+    assert(pairs((0L, 1L)) == radius) // pigeonhole banding finds it at its radius
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccard column: exact set similarity with empty-set guard") {
+    val df = spark.sql(
+      """SELECT array('a','b','c') ta, array('b','c','d') tb
+         UNION ALL SELECT array(), array()""")
+    val out = df.select(Dedup.jaccard(col("ta"), col("tb"))).collect().map(_.getDouble(0)).sorted
+    assert(out(0) == 0.0 && out(1) == 0.5)
+  }
+
+  test("verifyJaccard re-scores candidate pairs exactly") {
+    import spark.implicits._
+    val pairs = Seq((0L, 2L)).toDF("idA", "idB")
+    val out = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+      .select("jaccard").head().getDouble(0)
+    assert(out == 1.0)
+  }
+
+  test("embedding pairs find planted duplicate vectors only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // dup of 0
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 2L)))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with deterministic ties") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.05f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 3L), (2, 1L))) // 3 closest to [1,0], then 1
+  }
+
+  test("lshTopK recovers an exact duplicate (same bucket by construction)") {
+    import spark.implicits._
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat))).toDF("vec_id", "embedding")
+    val withDup = vecs.unionByName(
+      vecs.filter(col("vec_id") === 5).withColumn("vec_id", lit(1005L)))
+    val out = Similarity.lshTopK(withDup, withDup.filter(col("vec_id") === 5), "vec_id",
+      "embedding", dim = 8, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._2 == 1005L && out.head._3 == 1.0)
+  }
+}

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Filters._
+
+/** Per-operator specs for the 24-filter pack, table-driven like the
+  * reference's *_test.go files; each test pins one of the semantic
+  * gotchas from SURVEY §7.4.
+  */
+class FiltersSpec extends SparkSpec {
+
+  test("ClearFields sets listed fields to null") {
+    val df = strDf(Seq("a", "b"), Seq(Seq("1", "2"), Seq("3", "4")))
+    val out = ClearFields(Seq("b"))(df).collect()
+    assert(out.forall(_.isNullAt(1)))
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
+  }
+
+  test("Concatenate joins with separator between fields only; null ≡ empty") {
+    val df = strDf(Seq("a", "b", "c"), Seq(Seq("x", "y", "z"), Seq("x", null, "z")))
+    val out = Concatenate(Seq("a", "b", "c"), "t", "-")(df)
+    assert(col1[String](out.select("t").orderBy("t")) == Seq("x--z", "x-y-z"))
+  }
+
+  test("Dedup keeps one row per key tuple") {
+    val df = strDf(Seq("a", "b"), Seq(Seq("1", "x"), Seq("1", "x"), Seq("2", "x")))
+    assert(Dedup(Seq("a", "b"))(df).count() == 2)
+  }
+
+  test("NotNull drops rows where any listed field is null OR empty") {
+    val df = strDf(Seq("a", "b"),
+      Seq(Seq("1", "ok"), Seq("2", ""), Seq("3", null), Seq("4", "ok")))
+    assert(col1[String](NotNull(Seq("b"))(df).select("a").orderBy("a")) == Seq("1", "4"))
+  }
+
+  test("StringMatch drops matching rows; invert keeps only matches") {
+    val df = strDf(Seq("a"), Seq(Seq("x"), Seq("y"), Seq("z")))
+    assert(col1[String](StringMatch("a", Seq("x", "y"))(df)) == Seq("z"))
+    assert(col1[String](StringMatch("a", Seq("x", "y"), invert = true)(df).orderBy("a"))
+      == Seq("x", "y"))
+  }
+
+  test("RegexMatch: ALL patterns must match; invert drops if ANY matches") {
+    val df = strDf(Seq("a", "b"),
+      Seq(Seq("abc", "123"), Seq("abc", "xyz"), Seq("zzz", "123")))
+    val keep = RegexMatch(Seq("a" -> "^a", "b" -> "^1"))(df)
+    assert(keep.count() == 1)
+    val inv = RegexMatch(Seq("a" -> "^a", "b" -> "^1"), invert = true)(df)
+    assert(inv.count() == 0) // every row matches at least one pattern
+  }
+
+  test("TimestampRange: upper bound exclusive, non-numeric dropped") {
+    val df = strDf(Seq("ts"), Seq(Seq("100"), Seq("199"), Seq("200"), Seq("abc"), Seq(null)))
+    assert(col1[String](TimestampRange("ts", 100, 200)(df).orderBy("ts"))
+      == Seq("100", "199"))
+  }
+
+  test("Slice substrings [start,end) clamped to value length") {
+    val df = strDf(Seq("a"), Seq(Seq("hello world"), Seq("hi"), Seq(null)))
+    val out = SliceF(df)
+    assert(col1[String](out) == Seq("hell", "hi", ""))
+  }
+  private def SliceF = Slice("a", "s", 0, 4).andThen(_.select("s"))
+
+  test("ExpandList maps list indexes to fields; out-of-range → empty") {
+    val df = strDf(Seq("l"), Seq(Seq("a;b;c"), Seq("a"), Seq(null)))
+    val out = ExpandList("l", Map(0 -> "f0", 2 -> "f2"), ";")(df)
+      .select("f0", "f2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "c"), ("a", ""), ("", "")))
+  }
+
+  test("ExpandJSON extracts paths; bool mapping; default mode normalizes decimals") {
+    val df = strDf(Seq("j"), Seq(
+      Seq("""{"k":"v","n":1.50,"b":true}"""), Seq("""{"k":null}"""), Seq("not json")))
+    val out = ExpandJSON("j", Map("k" -> "k_out", "n" -> "n_out", "b" -> "b_out"),
+      trueFalseValues = ("yes", "no"))(df)
+    val rows = out.select("k_out", "n_out", "b_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // codegen path: decimals go through double ("1.50" → "1.5")
+    assert(rows == Set(("v", "1.5", "yes"), (null, null, null)))
+  }
+
+  test("ExpandJSON verbatimNumbers keeps decimal text exact (UseNumber parity)") {
+    val df = strDf(Seq("j"), Seq(
+      Seq("""{"n":1.50,"big":12345678901234567890,"p":0.1000000000000000055,
+             "nest":{"a":[10,20]},"b":false}"""),
+      Seq("not json")))
+    val out = ExpandJSON("j",
+      Map("n" -> "n_out", "big" -> "big_out", "p" -> "p_out",
+        "nest.a[1]" -> "a1", "b" -> "b_out"),
+      verbatimNumbers = true)(df)
+    val r = out.filter(col("n_out").isNotNull)
+      .select("n_out", "big_out", "p_out", "a1", "b_out").head()
+    assert(r.getString(0) == "1.50")
+    assert(r.getString(1) == "12345678901234567890")
+    assert(r.getString(2) == "0.1000000000000000055")
+    assert(r.getString(3) == "20")
+    assert(r.getString(4) == "false")
+    assert(out.filter(col("n_out").isNull).count() == 1) // bad json → nulls, row kept
+  }
+
+  test("ExternalMatch default drops matches; keepOnMatch keeps only them") {
+    val df = strDf(Seq("a"), Seq(Seq("x"), Seq("y"), Seq("z")))
+    val set = strDf(Seq("v"), Seq(Seq("x"), Seq("y")))
+    assert(col1[String](ExternalMatch("a", set)(df)) == Seq("z"))
+    assert(col1[String](ExternalMatch("a", set, keepOnMatch = true)(df).orderBy("a"))
+      == Seq("x", "y"))
+  }
+
+  test("ReplaceFields copies src→dst and sets literals; dup dst rejected") {
+    val df = strDf(Seq("a", "b"), Seq(Seq("1", "2")))
+    val out = ReplaceFields(copies = Seq("a" -> "b"), literals = Seq("L" -> "c"))(df)
+    val r = out.select("a", "b", "c").head()
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("1", "1", "L"))
+    assertThrows[IllegalArgumentException] {
+      ReplaceFields(copies = Seq("a" -> "x"), literals = Seq("L" -> "x"))(df)
+    }
+  }
+
+  test("PartialClone keeps listed fields, nulls the rest") {
+    val df = strDf(Seq("a", "b"), Seq(Seq("1", "2")))
+    val r = PartialClone(Seq("a"))(df).head()
+    assert(r.getString(0) == "1" && r.isNullAt(1))
+  }
+
+  test("Hash computes md5/sha256 hex; null src dropped") {
+    val df = strDf(Seq("a"), Seq(Seq("hello"), Seq(null)))
+    val out = Hash("a", "h", "md5")(df)
+    assert(col1[String](out.select("h")) == Seq("5d41402abc4b2a76b9719d911017c592"))
+    val sha = Hash("a", "h", "sha256")(df)
+    assert(col1[String](sha.select("h"))
+      == Seq("2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824"))
+    assertThrows[IllegalArgumentException](Hash("a", "h", "crc32")(df))
+  }
+
+  test("FormatTime reformats; parse failure clears dst but KEEPS the row") {
+    val df = strDf(Seq("t"), Seq(Seq("2024-03-05 10:00:00"), Seq("garbage")))
+    val out = FormatTime("t", "d", "yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd")(df)
+    val rows = out.select("d").collect().map(r => Option(r.getString(0))).toSet
+    assert(rows == Set(Some("2024/03/05"), None))
+    assert(out.count() == 2)
+  }
+
+  test("FormatTime unix epoch variants") {
+    val df = strDf(Seq("t"), Seq(Seq("1700000000")))
+    val ms = FormatTime("t", "d", "unix", "unixms")(df).select("d").head().getString(0)
+    assert(ms == "1700000000000")
+    val fmt = FormatTime("t", "d", "unix", "yyyy-MM-dd")(df).select("d").head().getString(0)
+    assert(fmt == "2023-11-14")
+  }
+
+  test("URLEscape encode/decode roundtrip; bad decode clears dst, keeps row") {
+    val df = strDf(Seq("a"), Seq(Seq("a b&c=d"), Seq("x")))
+    val enc = URLEscape("a", "e")(df)
+    assert(col1[String](enc.select("e").orderBy("e")) == Seq("a+b%26c%3Dd", "x"))
+    val round = URLEscape("e", "back", decode = true)(enc)
+    assert(round.filter(col("back") === col("a")).count() == 2)
+    val bad = URLEscape("a", "d", decode = true)(strDf(Seq("a"), Seq(Seq("%zz"))))
+    assert(bad.count() == 1 && bad.select("d").head().isNullAt(0))
+  }
+
+  test("URLParam extracts query param; missing/bad → empty string") {
+    val df = strDf(Seq("u"), Seq(
+      Seq("https://x.test/p?k=v&o=1"), Seq("https://x.test/p?o=1"), Seq("::bad::")))
+    assert(col1[String](URLParam("u", "p", "k")(df).select("p").orderBy("p"))
+      == Seq("", "", "v"))
+  }
+
+  test("SetStringFromURL: first configured literal wins; no match drops row") {
+    val df = strDf(Seq("id", "u"), Seq(
+      Seq("1", "/data/src1/file"), Seq("2", "/data/src3/src1/x"), Seq("3", "/other")))
+    val out = graft.operators.Filters.SetStringFromURL
+      .fromColumn(df, "tag", col("u"), Seq("src1", "src3"))
+    val rows = out.select("id", "tag").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "src1"), ("2", "src1"))) // config order, not position
+  }
+
+  test("Timestamp sets processing-time epoch seconds") {
+    val df = strDf(Seq("a"), Seq(Seq("x")))
+    val v = Timestamp("ts")(df).select("ts").head().getString(0).toLong
+    assert(math.abs(v - System.currentTimeMillis() / 1000) < 300)
+  }
+
+  test("CountAndTag tags empty values with the default") {
+    val df = strDf(Seq("t"), Seq(Seq("a"), Seq("a"), Seq(""), Seq(null)))
+    val rows = CountAndTag("t", "m").tagCounts(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("a" -> 2L, "__nil__" -> 2L))
+  }
+
+  test("MetadataUrl/MetadataLastModified read file metadata from a scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toFile
+    try {
+      val p = new java.io.File(dir, "part.csv")
+      java.nio.file.Files.writeString(p.toPath, "v1\nv2\n")
+      val df = spark.read.schema("a STRING").csv(dir.getAbsolutePath)
+      val urls = col1[String](MetadataUrl("u")(df).select("u"))
+      assert(urls.size == 2 && urls.forall(_.endsWith("part.csv")))
+      val mts = col1[String](MetadataLastModified("m")(df).select("m"))
+      assert(mts.forall(_.toLong > 1600000000L))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class TextVectorSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).head().get(0)
+
+  test("tokens / tokenCount handle empty, null, and extra whitespace") {
+    assert(one(TF.tokenCount(lit("a  b\tc"))) == 3)
+    assert(one(TF.tokenCount(lit(""))) == 0)
+    assert(one(TF.tokenCount(lit("   "))) == 0)
+    assert(one(TF.tokenCount(lit(null).cast("string"))) == 0)
+  }
+
+  test("subwordCount splits letter runs, digit runs, punctuation; no whitespace") {
+    // "don't stop123" → don | ' | t | stop | 123
+    assert(one(TF.subwordCount(lit("don't stop123"))) == 5)
+    assert(one(TF.subwordCount(lit(""))) == 0)
+  }
+
+  test("shingles produce n-k+1 word k-grams; short text → empty") {
+    assert(one(TF.shingles(lit("a b c d"), 2)) == Seq("a b", "b c", "c d"))
+    assert(one(TF.shingles(lit("a b"), 3)) == Seq())
+  }
+
+  test("charNgrams distinct lowercased") {
+    assert(one(TF.charNgrams(lit("AbAb"), 2)) == Seq("ab", "ba"))
+  }
+
+  test("fingerprint is order-insensitive over distinct tokens") {
+    val a = one(TF.fingerprint(lit("b a c a")))
+    val b = one(TF.fingerprint(lit("c b a")))
+    val c = one(TF.fingerprint(lit("a b x")))
+    assert(a == b && a != c)
+  }
+
+  test("rollingHash is order-sensitive") {
+    assert(one(TF.rollingHash(lit("a b"))) != one(TF.rollingHash(lit("b a"))))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one(TF.langId(lit("the cat and the dog of a house"))) == "en")
+    assert(one(TF.langId(lit("el perro y la casa de que un"))) == "es")
+    assert(one(TF.langId(lit("zzz qqq"))) == "unk")
+  }
+
+  test("quality score stays in [0,1] and ranks real text above noise") {
+    val good = one(TF.qualityScore(lit(
+      "the quick brown fox jumps over the lazy dog and that is a fine day in the park")))
+      .asInstanceOf[Double]
+    val noise = one(TF.qualityScore(lit("$$$ ### !!! ???"))).asInstanceOf[Double]
+    assert(good >= 0 && good <= 1 && noise >= 0 && noise <= 1 && good > noise)
+  }
+
+  test("dot / norm / cosine / l2 on double arrays") {
+    val a = typedLit(Seq(1.0, 2.0, 2.0))
+    val b = typedLit(Seq(2.0, 4.0, 4.0))
+    assert(one(VF.dot(a, b)) == 2.0 + 8.0 + 8.0)
+    assert(one(VF.norm(a)) == 3.0)
+    assert(math.abs(one(VF.cosine(a, b)).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(one(VF.l2Distance(a, b)).asInstanceOf[Double] - 3.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val a = typedLit(Seq(1.0, 0.0))
+    val b = typedLit(Seq(0.0, 1.0))
+    assert(math.abs(one(VF.cosine(a, b)).asInstanceOf[Double]) < 1e-12)
+  }
+
+  test("hyperplane signature: deterministic, equal for equal vectors, long-packed") {
+    val v = typedLit(Seq.tabulate(8)(i => math.sin(i + 1)))
+    val s1 = one(VF.hyperplaneSignature(v, 8, 12, 42L))
+    val s2 = one(VF.hyperplaneSignature(v, 8, 12, 42L))
+    val s3 = one(VF.hyperplaneSignature(v, 8, 12, 99L))
+    assert(s1 == s2)
+    assert(s1 != s3) // different seed, different planes
+    assert(s1.asInstanceOf[Long] >= 0 && s1.asInstanceOf[Long] < (1L << 12))
+  }
+}
