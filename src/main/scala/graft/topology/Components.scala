@@ -1,0 +1,613 @@
+package graft.topology
+
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.Fernet
+import graft.operators.Filters
+import graft.sources.ZstdCodec
+
+/** The builtin component registry: every input/filter/output/upload the
+  * reference ships (registries input/all.go:9-15, filter/all.go:9-34,
+  * output/all.go:9-16, upload/all.go), re-expressed Spark-first. Network
+  * services (Kinesis/KCL/SQS/TCP/DynamoDB/WebSocket/S3) follow SURVEY
+  * §7.3: the descriptor contract is identical, the zero-egress build binds
+  * local test doubles; swap the build function for the real connector on a
+  * cluster.
+  */
+object BuiltinComponents {
+
+  def all: Components = Components(
+    inputs = Seq(listInput, logLinesInput, randomInput),
+    filters = Seq(
+      clauseFilter, clearFields, concatenate, countAndTag, crypt, dedup,
+      expandJson, expandList, externalMatch, formatTime, hash,
+      metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
+      replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
+      timestampRange, urlEscape, urlParam),
+    outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput),
+    uploads = Seq(s3Upload),
+  )
+
+  private def allStringSchema(fields: Seq[String]): StructType =
+    StructType(fields.map(StructField(_, StringType, nullable = true)))
+
+  // ===================== inputs =====================
+
+  /** List — files/dirs/@listfiles of CSV logs, gzip/zstd transparent.
+    * reference: input/list.go:30-54 (spec), :89-164 (openFile),
+    * :262-391 (walks). s3://—via Hadoop's s3a on a real cluster; http(s)
+    * and stdin are not supported in this build.
+    */
+  val listInput: InputDesc = InputDesc(
+    "List",
+    "Reads CSV log files from paths, directories and @listfiles; gzip/zstd " +
+      "decompressed transparently; source URL and last-modified exposed as " +
+      "record metadata.",
+    Seq(
+      ConfigKey("Files", "List of log-files, directories and/or list-files to process",
+        default = Some(Seq("-"))),
+      ConfigKey("MatchPath", "regexp to filter files in specified directories",
+        default = Some(".*\\.log\\.gz")),
+      ConfigKey("Region", "AWS region for s3:// paths (cluster builds)", default = Some("us-west-2")),
+    ),
+    (ctx, cfg) => {
+      ZstdCodec.register(ctx.spark)
+      val matchPath = cfg.str("MatchPath", ".*\\.log\\.gz").r
+      val entries = cfg.strList("Files", Seq("-"))
+      val paths: Seq[String] = entries.flatMap {
+        case "-" => throw new IllegalArgumentException("List: stdin ('-') not supported")
+        case e if e.startsWith("@") =>
+          val listFile = e.substring(1)
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(listFile)), "UTF-8")
+            .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        case e =>
+          val f = new java.io.File(e)
+          if (f.isDirectory) {
+            // recursive walk with MatchPath filter (list.go:262-391)
+            def walk(d: java.io.File): Seq[String] =
+              Option(d.listFiles()).toSeq.flatten.flatMap {
+                case c if c.isDirectory => walk(c)
+                case c if matchPath.findFirstIn(c.getPath).isDefined => Seq(c.getPath)
+                case _ => Nil
+              }
+            walk(f)
+          } else Seq(e)
+      }
+      require(paths.nonEmpty, s"List: no input files resolved from $entries")
+      ctx.spark.read
+        .schema(allStringSchema(ctx.fields))
+        .option("sep", ctx.separator)
+        // LogLine has no quoting/escaping: separators cannot appear in
+        // values (logline.go:23-31); \u0000 disables quote handling
+        .option("quote", "\u0000")
+        .option("mode", "PERMISSIVE")
+        .csv(paths: _*)
+    },
+  )
+
+  /** LogLines — literal records for tests (reference: input/inputtest). */
+  val logLinesInput: InputDesc = InputDesc(
+    "LogLines",
+    "Test input: literal CSV lines from the topology config.",
+    Seq(ConfigKey("Lines", "CSV lines to emit", required = true)),
+    (ctx, cfg) => {
+      import scala.jdk.CollectionConverters._
+      val sep = ctx.separator
+      val rows = cfg.strList("Lines").map { line =>
+        val parts = line.split(java.util.regex.Pattern.quote(sep), -1)
+        val padded = parts.padTo(ctx.fields.size, null).take(ctx.fields.size)
+          .map(v => if (v == null || v.isEmpty) null else v)
+        org.apache.spark.sql.Row(padded: _*)
+      }
+      ctx.spark.createDataFrame(rows.asJava, allStringSchema(ctx.fields))
+    },
+  )
+
+  /** Random — deterministic random records (reference: input/inputtest/random.go:12-82). */
+  val randomInput: InputDesc = InputDesc(
+    "Random",
+    "Test input: N deterministic pseudo-random records (seeded).",
+    Seq(
+      ConfigKey("NumRecords", "how many records to emit", default = Some(1000L)),
+      ConfigKey("Seed", "PRNG seed", default = Some(42L)),
+    ),
+    (ctx, cfg) => {
+      val n = cfg.int("NumRecords", 1000L)
+      val seed = cfg.int("Seed", 42L)
+      val base = ctx.spark.range(n)
+      val cols = ctx.fields.zipWithIndex.map { case (f, i) =>
+        abs(xxhash64(col("id") + lit(seed * 1000003L + i))).cast("string").as(f)
+      }
+      base.select(cols: _*)
+    },
+  )
+
+  // ===================== filters =====================
+
+  private def mkFilter(name: String, help: String, keys: Seq[ConfigKey])(
+      build: (TopologyCtx, ComponentConfig) => DataFrame => DataFrame): FilterDesc =
+    FilterDesc(name, help, keys, (ctx, cfg) => { cfg.validate(keys); build(ctx, cfg) })
+
+  val clauseFilter: FilterDesc = mkFilter("ClauseFilter",
+    "Keeps records matching a boolean s-expression over (field value) atoms.",
+    Seq(ConfigKey("Clause", "Boolean formula describing which events to let through. " +
+      "If empty, let everything through.")))(
+    (_, cfg) => Filters.Clause(cfg.str("Clause", "")))
+
+  val clearFields: FilterDesc = mkFilter("ClearFields",
+    "Resets (clears) the value of the specified fields.",
+    Seq(ConfigKey("Fields", "set of fields to clear", required = true)))(
+    (_, cfg) => Filters.ClearFields(cfg.strList("Fields")))
+
+  val concatenate: FilterDesc = mkFilter("Concatenate",
+    "Concatenates up to 10 field values into a target field.",
+    Seq(
+      ConfigKey("Fields", "The field names to concatenate, in order", required = true),
+      ConfigKey("Target", "The field name to save the concatenated value to", required = true),
+      ConfigKey("Separator", "Separator between values (empty or 1 ASCII char)",
+        default = Some(""))))(
+    (_, cfg) => Filters.Concatenate(cfg.strList("Fields"), cfg.str("Target"),
+      cfg.str("Separator", "")))
+
+  val countAndTag: FilterDesc = mkFilter("CountAndTag",
+    "Publishes a counter metric of records passing through, tagged by a field's value.",
+    Seq(
+      ConfigKey("Metric", "Name of the counter metric", required = true),
+      ConfigKey("Field", "Field whose value breaks down the metric by tag", required = true),
+      ConfigKey("DefaultValue", "Tag value used when the field is empty", required = true)))(
+    (_, cfg) => Filters.CountAndTag(cfg.str("Field"), cfg.str("Metric"),
+      cfg.str("DefaultValue")))
+
+  val crypt: FilterDesc = mkFilter("Crypt",
+    "Encrypts or decrypts a field (fernet); records failing decryption are discarded.",
+    Seq(
+      ConfigKey("Algorithm", "Crypto algorithm (fernet)", required = true),
+      ConfigKey("Decrypt", "True to decrypt, false to encrypt", default = Some(false)),
+      ConfigKey("SrcField", "Field to crypt/decrypt", required = true),
+      ConfigKey("DstField", "Field to write the result to", required = true),
+      ConfigKey("AlgorithmConfig", "algorithm options: key (base64url, 32 bytes), ttl (sec)")))(
+    (_, cfg) => {
+      require(cfg.str("Algorithm").equalsIgnoreCase("fernet"),
+        s"Crypt: unsupported algorithm '${cfg.str("Algorithm")}' (only fernet)")
+      val ac = cfg.strMap("AlgorithmConfig")
+      val key = ac.getOrElse("key",
+        throw new IllegalArgumentException("Crypt: AlgorithmConfig.key required"))
+      val src = cfg.str("SrcField"); val dst = cfg.str("DstField")
+      if (cfg.bool("Decrypt")) { df =>
+        // decrypt failure drops the record (crypt.go:96-102)
+        df.withColumn(dst, Fernet.decryptCol(key, ac.getOrElse("ttl", "0").toLong)(col(src)))
+          .filter(col(dst).isNotNull || col(src).isNull)
+      } else { df =>
+        df.withColumn(dst, Fernet.encryptCol(key)(col(src)))
+      }
+    })
+
+  val dedup: FilterDesc = mkFilter("Dedup",
+    "Discards records whose tuple of chosen fields was already seen.",
+    Seq(
+      ConfigKey("Fields", "fields to consider when comparing records", required = true),
+      ConfigKey("KeySeparator", "separator used to build the in-memory key " +
+        "(unused here: exact tuple comparison, no separator-clash risk)",
+        default = Some("\\x1e"))))(
+    (_, cfg) => Filters.Dedup(cfg.strList("Fields")))
+
+  val expandJson: FilterDesc = mkFilter("ExpandJSON",
+    "Extracts JSON values into fields via <JMESPath -> field> mappings.",
+    Seq(
+      ConfigKey("Source", "record field that contains the json", required = true),
+      ConfigKey("Fields", "<JMESPath -> record field> map", required = true),
+      ConfigKey("TrueFalseValues", "strings bound to json true/false",
+        default = Some(Seq("true", "false"))),
+      ConfigKey("VerbatimNumbers", "preserve number text exactly (UseNumber parity)",
+        default = Some(false))))(
+    (_, cfg) => {
+      val tf = cfg.strList("TrueFalseValues", Seq("true", "false"))
+      Filters.ExpandJSON(cfg.str("Source"), cfg.strMap("Fields"),
+        (tf.headOption.getOrElse("true"), tf.lift(1).getOrElse("false")),
+        cfg.bool("VerbatimNumbers"))
+    })
+
+  val expandList: FilterDesc = mkFilter("ExpandList",
+    "Splits a list-valued field and maps list indexes to fields.",
+    Seq(
+      ConfigKey("Source", "record field that contains the list", required = true),
+      ConfigKey("Fields", "<list index -> record field> map", required = true),
+      ConfigKey("Separator", "character separator of the list", default = Some(";"))))(
+    (_, cfg) => Filters.ExpandList(cfg.str("Source"),
+      cfg.strMap("Fields").map { case (i, f) => i.toInt -> f },
+      cfg.str("Separator", ";")))
+
+  val externalMatch: FilterDesc = mkFilter("ExternalMatch",
+    "Keeps or discards records whose field value appears in external CSV value sets.",
+    Seq(
+      ConfigKey("Files", "CSV file URL(s) with the strings to match", required = true),
+      ConfigKey("CSVColumn", "0-based CSV column with the values", default = Some(0L)),
+      ConfigKey("FieldName", "record field to match", required = true),
+      ConfigKey("KeepOnMatch", "true: keep matches; false: discard matches",
+        default = Some(false)),
+      ConfigKey("Region", "AWS region for s3:// files", default = Some("us-west-2")),
+      ConfigKey("DateTimeLayout", "date layout substituted into Files"),
+      ConfigKey("TimeSubtract", "duration subtracted from now for DateTimeLayout"),
+      ConfigKey("RefreshEvery", "refresh period (streaming: re-read per batch)")))(
+    (ctx, cfg) => {
+      ZstdCodec.register(ctx.spark)
+      val colIx = cfg.int("CSVColumn", 0L).toInt
+      val files = cfg.strList("Files").map(_.stripPrefix("file://"))
+      val values = ctx.spark.read.option("quote", "\u0000").csv(files: _*)
+      val vcol = values.columns(colIx)
+      Filters.ExternalMatch(cfg.str("FieldName"), values.select(col(vcol)),
+        cfg.bool("KeepOnMatch"))
+    })
+
+  val formatTime: FilterDesc = mkFilter("FormatTime",
+    "Re-formats a time field between layouts (Go named layouts, unix/unixms/unixns).",
+    Seq(
+      ConfigKey("SrcField", "Field name of the input time", required = true),
+      ConfigKey("DstField", "Field name of the output time", required = true),
+      ConfigKey("SrcFormat", "Format of the input time", default = Some("UnixDate")),
+      ConfigKey("DstFormat", "Format of the output time", default = Some("unixms"))))(
+    (_, cfg) => Filters.FormatTime(cfg.str("SrcField"), cfg.str("DstField"),
+      cfg.str("SrcFormat", "UnixDate"), cfg.str("DstFormat", "unixms")))
+
+  val hash: FilterDesc = mkFilter("Hash",
+    "Hashes a field (md5/sha256, hex-encoded) into another field.",
+    Seq(
+      ConfigKey("SrcField", "Name of the field to hash", required = true),
+      ConfigKey("DstField", "Name of the field to write the result to", required = true),
+      ConfigKey("Function", "Hash function (md5 or sha256)", required = true),
+      ConfigKey("Encoding", "Encoding of the digest (hex)", default = Some("hex"))))(
+    (_, cfg) => {
+      val enc = cfg.str("Encoding", "hex")
+      require(enc == "hex", s"Hash: only hex encoding supported (got '$enc')")
+      Filters.Hash(cfg.str("SrcField"), cfg.str("DstField"), cfg.str("Function"))
+    })
+
+  val metadataLastModified: FilterDesc = mkFilter("MetadataLastModified",
+    "Copies the source file's last-modified time (unix seconds) into a field.",
+    Seq(ConfigKey("DstField", "Field to write the timestamp to", required = true)))(
+    (_, cfg) => Filters.MetadataLastModified(cfg.str("DstField")))
+
+  val metadataUrl: FilterDesc = mkFilter("MetadataUrl",
+    "Copies the source file URL into a field.",
+    Seq(ConfigKey("DstField", "Field to write the url to", required = true)))(
+    (_, cfg) => Filters.MetadataUrl(cfg.str("DstField")))
+
+  val notNull: FilterDesc = mkFilter("NotNull",
+    "Discards records with null/empty values in any of the given fields.",
+    Seq(ConfigKey("Fields", "fields to check for null/empty values", required = true)))(
+    (_, cfg) => Filters.NotNull(cfg.strList("Fields")))
+
+  val partialClone: FilterDesc = mkFilter("PartialClone",
+    "Emits a new record containing only the listed fields.",
+    Seq(ConfigKey("Fields", "Fields that must be copied to the new record", required = true)))(
+    (_, cfg) => Filters.PartialClone(cfg.strList("Fields")))
+
+  val regexMatch: FilterDesc = mkFilter("RegexMatch",
+    "Keeps records where every field matches its corresponding regex.",
+    Seq(
+      ConfigKey("Fields", "fields to match", default = Some(Seq.empty[String])),
+      ConfigKey("Regexs", "regular expressions, positionally paired with Fields",
+        default = Some(Seq.empty[String])),
+      ConfigKey("InvertMatch", "discard records if any field matches",
+        default = Some(false))))(
+    (_, cfg) => {
+      val fields = cfg.strList("Fields", Nil)
+      val regexs = cfg.strList("Regexs", Nil)
+      require(fields.size == regexs.size, "RegexMatch: Fields and Regexs sizes differ")
+      Filters.RegexMatch(fields.zip(regexs), cfg.bool("InvertMatch"))
+    })
+
+  val replaceFields: FilterDesc = mkFilter("ReplaceFields",
+    "Copies fields onto other fields and/or sets fields to fixed values.",
+    Seq(
+      ConfigKey("CopyFields", "flat [src1, dst1, src2, dst2, ...] pairs"),
+      ConfigKey("ReplaceFields", "flat [value1, dst1, value2, dst2, ...] pairs")))(
+    (_, cfg) => {
+      def pairs(key: String): Seq[(String, String)] = {
+        val l = cfg.strList(key, Nil)
+        require(l.size % 2 == 0, s"ReplaceFields: $key must have an even number of entries")
+        l.grouped(2).map(p => (p(0), p(1))).toSeq
+      }
+      Filters.ReplaceFields(copies = pairs("CopyFields"), literals = pairs("ReplaceFields"))
+    })
+
+  val setStringFromUrl: FilterDesc = mkFilter("SetStringFromURL",
+    "Sets a field to the first configured string found in the source URL; " +
+      "discards records containing none.",
+    Seq(
+      ConfigKey("Field", "Name of the field to set", required = true),
+      ConfigKey("Strings", "Strings to look for in the URL", required = true)))(
+    (_, cfg) => Filters.SetStringFromURL(cfg.str("Field"), cfg.strList("Strings")))
+
+  val slice: FilterDesc = mkFilter("Slice",
+    "Copies src[StartIdx:EndIdx] into dst, clamped to the value length.",
+    Seq(
+      ConfigKey("Src", "The source field to slice", required = true),
+      ConfigKey("Dst", "The destination field", required = true),
+      ConfigKey("StartIdx", "slice start", default = Some(0L)),
+      ConfigKey("EndIdx", "slice end (default: end of value)")))(
+    (_, cfg) => Filters.Slice(cfg.str("Src"), cfg.str("Dst"),
+      cfg.int("StartIdx", 0L).toInt, cfg.int("EndIdx", Int.MaxValue.toLong).toInt))
+
+  val stringMatch: FilterDesc = mkFilter("StringMatch",
+    "Discards records whose field equals any of the strings (InvertMatch keeps them).",
+    Seq(
+      ConfigKey("Field", "field compared against the strings", required = true),
+      ConfigKey("Strings", "list of strings to match", required = true),
+      ConfigKey("InvertMatch", "keep only matching records", default = Some(false))))(
+    (_, cfg) => Filters.StringMatch(cfg.str("Field"), cfg.strList("Strings"),
+      cfg.bool("InvertMatch")))
+
+  val timestampF: FilterDesc = mkFilter("Timestamp",
+    "Sets a field to the processing-time unix timestamp.",
+    Seq(ConfigKey("Field", "field to set to the unix Epoch timestamp", required = true)))(
+    (_, cfg) => Filters.Timestamp(cfg.str("Field")))
+
+  val timestampRange: FilterDesc = mkFilter("TimestampRange",
+    "Keeps records whose epoch field is within [StartDatetime, EndDatetime).",
+    Seq(
+      ConfigKey("StartDatetime", "inclusive lower bound 'YYYY-MM-DD HH:MM:SS' or 'now'",
+        required = true),
+      ConfigKey("EndDatetime", "exclusive upper bound 'YYYY-MM-DD HH:MM:SS' or 'now'",
+        required = true),
+      ConfigKey("Field", "field containing the Unix EPOCH timestamp", required = true)))(
+    (_, cfg) => {
+      def bound(s: String): Long = s.trim match {
+        case "now" => System.currentTimeMillis() / 1000
+        case d => java.time.LocalDateTime
+          .parse(d, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          .toEpochSecond(ZoneOffset.UTC)
+      }
+      Filters.TimestampRange(cfg.str("Field"),
+        bound(cfg.str("StartDatetime")), bound(cfg.str("EndDatetime")))
+    })
+
+  val urlEscape: FilterDesc = mkFilter("URLEscape",
+    "Percent-encodes (or decodes) a field into another field.",
+    Seq(
+      ConfigKey("SrcField", "field with the URL to escape/unescape", required = true),
+      ConfigKey("DstField", "field to write the result to", required = true),
+      ConfigKey("Unescape", "unescape instead of escaping", default = Some(false))))(
+    (_, cfg) => Filters.URLEscape(cfg.str("SrcField"), cfg.str("DstField"),
+      cfg.bool("Unescape")))
+
+  val urlParam: FilterDesc = mkFilter("URLParam",
+    "Extracts a query parameter from a URL field.",
+    Seq(
+      ConfigKey("SrcField", "field containing the url", required = true),
+      ConfigKey("DstField", "field to save the extracted param", required = true),
+      ConfigKey("Param", "name of the url parameter to extract", required = true)))(
+    (_, cfg) => Filters.URLParam(cfg.str("SrcField"), cfg.str("DstField"), cfg.str("Param")))
+
+  // ===================== outputs =====================
+
+  /** FileWriter — CSV files with compression, {{.Template}} paths,
+    * {{.Field0}} partitioning, size-based rotation.
+    * reference: output/filewriter.go:26-100 (spec), :230-372 (worker).
+    *
+    * Raw semantics: writes the full serialized record (api.go:123-144);
+    * the projected output fields only drive sharding/templates.
+    *
+    * Spark mapping: one distributed write (optionally partitionBy the
+    * template field), then a driver-side move pass that renames Spark's
+    * task-attempt part files into template-expanded final paths. Content
+    * is produced fully distributed; only the cheap renames are serial.
+    */
+  val fileWriter: OutputDesc = OutputDesc(
+    "FileWriter",
+    "Writes records as (optionally gzip/zstd-compressed) CSV files with " +
+      "templated paths and rotation.",
+    Seq(
+      ConfigKey("PathString", "Template for generated file names: {{.Year}} {{.Month}} " +
+        "{{.Day}} {{.Hour}} {{.Minute}} {{.Second}} {{.Index}} {{.UUID}} {{.Rotation}} " +
+        "{{.Field0}}", required = true),
+      ConfigKey("RotateInterval", "interval between file rotations (streaming only)",
+        default = Some("60s")),
+      ConfigKey("RotateSize", "approximate max file size before rotating (bytes)",
+        default = Some(0L)),
+      ConfigKey("DiscardEmptyFiles", "skip empty files", default = Some(false)),
+      ConfigKey("ZstdCompressionLevel", "zstd level 1..19", default = Some(3L)),
+      ConfigKey("ZstdWindowLog", "zstd long-distance matching window (accepted, unused)",
+        default = Some(0L))),
+    raw = true,
+    (ctx, cfg, df) => {
+      val pathString = cfg.str("PathString")
+      val level = cfg.int("ZstdCompressionLevel", 3L).toInt
+      ZstdCodec.register(ctx.spark)
+      ctx.spark.sparkContext.hadoopConfiguration.setInt("graft.zstd.level", level)
+      val codec: Option[String] =
+        if (pathString.endsWith(".gz")) Some("gzip")
+        else if (pathString.endsWith(".zst")) Some(classOf[ZstdCodec].getName)
+        else None
+
+      val hasField0 = pathString.contains("{{.Field0}}")
+      val tmp = new java.io.File(
+        java.nio.file.Files.createTempDirectory("graft-filewriter").toFile, "out")
+          .getAbsolutePath
+
+      var w = df
+      var writer = {
+        if (hasField0) {
+          require(ctx.outputFields.nonEmpty, "FileWriter: {{.Field0}} needs [output] fields")
+          w = df.withColumn("__part", coalesce(col(ctx.outputFields.head), lit("")))
+        }
+        val rs = cfg.int("RotateSize", 0L)
+        var base = w.select(
+          (if (hasField0) Seq(col("__part")) else Nil) :+ col("_record").as("value"): _*)
+        var dfw = base.write.mode("overwrite")
+        if (rs > 0) {
+          // size rotation ≈ maxRecordsPerFile from a sampled record size
+          val sample = df.select(avg(length(col("_record")))).head().getDouble(0).max(1.0)
+          dfw = dfw.option("maxRecordsPerFile", math.max(1L, (rs / sample).toLong))
+        }
+        codec.foreach(c => dfw = dfw.option("compression", c))
+        if (hasField0) dfw = dfw.partitionBy("__part")
+        dfw
+      }
+      writer.text(tmp)
+
+      // move task part files into template-expanded final paths
+      val now = Instant.ofEpochMilli(System.currentTimeMillis()).atZone(ZoneOffset.UTC)
+      def expand(t: String, index: Int, field0: String): String = t
+        .replace("{{.Year}}", f"${now.getYear}%04d")
+        .replace("{{.Month}}", f"${now.getMonthValue}%02d")
+        .replace("{{.Day}}", f"${now.getDayOfMonth}%02d")
+        .replace("{{.Hour}}", f"${now.getHour}%02d")
+        .replace("{{.Minute}}", f"${now.getMinute}%02d")
+        .replace("{{.Second}}", f"${now.getSecond}%02d")
+        .replace("{{.Index}}", index.toString)
+        .replace("{{.Rotation}}", index.toString)
+        .replace("{{.UUID}}", java.util.UUID.randomUUID().toString)
+        .replace("{{.Field0}}", field0)
+
+      val discardEmpty = cfg.bool("DiscardEmptyFiles")
+      def partFiles(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap {
+          case c if c.isDirectory => partFiles(c)
+          case c if c.getName.startsWith("part-") => Seq(c)
+          case _ => Nil
+        }
+      val written = Seq.newBuilder[String]
+      val byDir = partFiles(new java.io.File(tmp)).groupBy(_.getParentFile.getName)
+      var rows = 0L
+      for ((dirName, files) <- byDir) {
+        val field0 = if (dirName.startsWith("__part=")) dirName.stripPrefix("__part=") else ""
+        files.zipWithIndex.foreach { case (f, ix) =>
+          val skip = discardEmpty && f.length() == 0
+          if (!skip) {
+            val dest = new java.io.File(expand(pathString, ix, field0))
+            Option(dest.getParentFile).foreach(_.mkdirs())
+            // same template+index collides across partitions unless the
+            // template mentions {{.Field0}}/{{.UUID}}; last write wins, as
+            // with the reference's template misuse
+            java.nio.file.Files.move(f.toPath, dest.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            written += dest.getAbsolutePath
+          }
+        }
+      }
+      OutputResult(written.result(), rows)
+    },
+  )
+
+  /** Stats — dataset distribution report to CSV.
+    * reference: output/stats.go:18-39 (spec), :41-230 (metrics).
+    */
+  val statsOutput: OutputDesc = OutputDesc(
+    "Stats",
+    "Computes record-size/field/timestamp distribution statistics over all " +
+      "records and writes a CSV report.",
+    Seq(
+      ConfigKey("CSVPath", "Path of the CSV file to create", default = Some("stats.csv")),
+      ConfigKey("TimestampField", "field containing a POSIX timestamp (seconds)",
+        required = true),
+      ConfigKey("CountEmptyFields", "count empty field values too", default = Some(false))),
+    raw = true,
+    (ctx, cfg, df) => {
+      val tsField = cfg.str("TimestampField")
+      val qs = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
+      val sizeCol = length(col("_record"))
+      val ts = col(tsField).cast("long")
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("records"),
+          min(sizeCol).as("size_min"), max(sizeCol).as("size_max")) ++
+        qs.map(q => percentile_approx(sizeCol, lit(q), lit(10000))
+          .as(s"size_p${(q * 100).toInt}")) ++
+        Seq(min(ts).as("ts_min"), max(ts).as("ts_max")) ++
+        ctx.fields.map(f => approx_count_distinct(
+          when(col(f).isNull || col(f) === "", null).otherwise(col(f))).as(s"distinct_$f"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val schema = row.schema.fields.map(_.name)
+      val csv = "stat,value\n" + schema.zipWithIndex
+        .map { case (n, i) => s"$n,${row.get(i)}" }.mkString("\n") + "\n"
+      val out = new java.io.File(cfg.str("CSVPath", "stats.csv"))
+      Option(out.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(out.toPath, csv)
+      OutputResult(Seq(out.getAbsolutePath), row.getLong(0))
+    },
+  )
+
+  /** Nop — counts and discards (reference: output/nop.go:25-55). */
+  val nopOutput: OutputDesc = OutputDesc(
+    "Nop", "Counts records and discards them.", Nil, raw = false,
+    (_, _, df) => OutputResult(Nil, df.count()),
+  )
+
+  /** OpLog — logs records (reference: output/oplog.go:10-59, dev only). */
+  val opLogOutput: OutputDesc = OutputDesc(
+    "OpLog", "Logs each record (development).",
+    Seq(ConfigKey("Limit", "max records to log", default = Some(100L))), raw = false,
+    (_, cfg, df) => {
+      val limit = cfg.int("Limit", 100L).toInt
+      val rows = df.limit(limit).collect()
+      rows.foreach(r => org.apache.log4j.Logger.getLogger("graft.oplog").info(r.toString))
+      OutputResult(Nil, rows.length.toLong)
+    },
+  )
+
+  /** Recorder — in-memory capture for tests (reference: output/outputtest). */
+  val recorderOutput: OutputDesc = OutputDesc(
+    "Recorder", "Test output: records the projected rows in memory.", Nil, raw = true,
+    (_, _, df) => {
+      Recorder.last = df.collect().toSeq
+      OutputResult(Nil, Recorder.last.size.toLong)
+    },
+  )
+  object Recorder { @volatile var last: Seq[org.apache.spark.sql.Row] = Nil }
+
+  // ===================== uploads =====================
+
+  /** S3 — uploads finished output files, preserving paths relative to
+    * SourceBasePath under Bucket/Prefix. reference: upload/s3.go:22-53.
+    * Bucket values starting with "/" or "file:" are treated as local
+    * destination roots (zero-egress test double); anything else goes
+    * through Hadoop's FileSystem (s3a:// on a real cluster).
+    */
+  val s3Upload: UploadDesc = UploadDesc(
+    "S3",
+    "Uploads output files to Bucket/Prefix keeping their path relative to SourceBasePath.",
+    Seq(
+      ConfigKey("SourceBasePath", "local base directory of produced files",
+        default = Some("_out")),
+      ConfigKey("Bucket", "destination bucket (or local root path)", required = true),
+      ConfigKey("Prefix", "key prefix", default = Some("")),
+      ConfigKey("StagingPath", "staging dir (accepted; unused — upload is post-write)"),
+      ConfigKey("Region", "AWS region", default = Some("us-west-2")),
+      ConfigKey("Interval", "scan interval (accepted; unused in batch)"),
+      ConfigKey("Concurrency", "parallel uploads", default = Some(5L)),
+      ConfigKey("Retries", "upload retries", default = Some(3L)),
+      ConfigKey("ExitOnError", "fail the job on upload error", default = Some(false))),
+    (ctx, cfg, paths) => {
+      val base = java.nio.file.Paths.get(cfg.str("SourceBasePath", "_out"))
+        .toAbsolutePath.normalize
+      val bucket = cfg.str("Bucket")
+      val prefix = cfg.str("Prefix", "")
+      val destRoot =
+        if (bucket.startsWith("/") || bucket.startsWith("file:"))
+          bucket.stripPrefix("file://")
+        else s"s3a://$bucket"
+      val conf = ctx.spark.sparkContext.hadoopConfiguration
+      val exitOnError = cfg.bool("ExitOnError")
+      for (p <- paths) {
+        try {
+          val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+          val rel =
+            if (abs.startsWith(base)) base.relativize(abs).toString else abs.getFileName.toString
+          val dest = new Path(s"$destRoot/$prefix$rel".replaceAll("(?<!:)//+", "/"))
+          val fs = dest.getFileSystem(conf)
+          fs.mkdirs(dest.getParent)
+          fs.copyFromLocalFile(false, true, new Path(p), dest)
+        } catch {
+          case e: Exception if !exitOnError =>
+            org.apache.log4j.Logger.getLogger("graft.upload")
+              .warn(s"upload failed for $p: ${e.getMessage}")
+        }
+      }
+    },
+  )
+}

@@ -1,0 +1,197 @@
+package graft.topology
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Component descriptor layer — the registry/docs/validation machinery the
+  * reference builds from Go struct tags (reference: desc.go:67-111 for the
+  * descriptor structs, config.go:300-351 for case-insensitive lookup,
+  * help_markdown.go:14 for doc generation).
+  */
+
+/** One config key of a component: name, docs, requiredness, default.
+  * (reference: `help:"..." required:"true" default:"..."` struct tags.)
+  */
+final case class ConfigKey(
+    name: String,
+    help: String,
+    required: Boolean = false,
+    default: Option[Any] = None,
+)
+
+/** Typed, case-insensitive view over a component's decoded TOML table.
+  * Key case-insensitivity mirrors the reference's TOML decoding
+  * (BurntSushi/toml matches struct fields case-insensitively).
+  */
+final case class ComponentConfig(raw: Map[String, Any], componentName: String = "") {
+  private val lower: Map[String, Any] = raw.map { case (k, v) => k.toLowerCase -> v }
+
+  def has(key: String): Boolean = lower.contains(key.toLowerCase)
+  def any(key: String): Option[Any] = lower.get(key.toLowerCase)
+
+  def str(key: String, default: => String = null): String =
+    any(key).map(_.toString).getOrElse {
+      require(default != null, s"$componentName: missing required key '$key'")
+      default
+    }
+  def strOpt(key: String): Option[String] = any(key).map(_.toString)
+  def int(key: String, default: => Long = Long.MinValue): Long = any(key) match {
+    case Some(l: Long)   => l
+    case Some(d: Double) => d.toLong
+    case Some(s: String) => s.toLong
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not an integer: $other")
+    case None =>
+      require(default != Long.MinValue, s"$componentName: missing required key '$key'")
+      default
+  }
+  def bool(key: String, default: => Boolean = false): Boolean = any(key) match {
+    case Some(b: Boolean) => b
+    case Some(s: String)  => s.toBoolean
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not a boolean: $other")
+    case None => default
+  }
+  def strList(key: String, default: => Seq[String] = null): Seq[String] = any(key) match {
+    case Some(l: List[Any @unchecked]) => l.map(_.toString)
+    case Some(s: String)               => Seq(s)
+    case None =>
+      require(default != null, s"$componentName: missing required key '$key'")
+      default
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not a list: $other")
+  }
+  def strMap(key: String): Map[String, String] = any(key) match {
+    case Some(m: Map[String @unchecked, Any @unchecked]) =>
+      m.map { case (k, v) => k -> v.toString }
+    case None => Map.empty
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not a table: $other")
+  }
+  /** Duration string ("60s", "5m", "-1") → seconds. */
+  def durationSec(key: String, default: => Long): Long = any(key) match {
+    case None            => default
+    case Some(l: Long)   => l
+    case Some(s: String) => ComponentConfig.parseDuration(s)
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not a duration: $other")
+  }
+
+  /** Reject unknown keys (reference: config.go:403-406) and missing
+    * required ones (config.go:555-567).
+    */
+  def validate(keys: Seq[ConfigKey]): Unit = {
+    val known = keys.map(_.name.toLowerCase).toSet
+    val unknown = raw.keySet.filterNot(k => known.contains(k.toLowerCase))
+    require(unknown.isEmpty,
+      s"$componentName: unknown config key(s): ${unknown.mkString(", ")}; " +
+        s"known: ${keys.map(_.name).mkString(", ")}")
+    for (k <- keys if k.required)
+      require(has(k.name), s"$componentName: missing required key '${k.name}'")
+  }
+}
+
+object ComponentConfig {
+  val empty: ComponentConfig = ComponentConfig(Map.empty)
+
+  def parseDuration(s: String): Long = s.trim match {
+    case "-1" => -1L
+    case d if d.endsWith("ms") => d.dropRight(2).trim.toLong / 1000
+    case d if d.endsWith("s")  => d.dropRight(1).trim.toLong
+    case d if d.endsWith("m")  => d.dropRight(1).trim.toLong * 60
+    case d if d.endsWith("h")  => d.dropRight(1).trim.toLong * 3600
+    case d => d.toLong
+  }
+}
+
+/** Everything a component build function may need. */
+final case class TopologyCtx(
+    spark: SparkSession,
+    fields: Seq[String],
+    separator: String,
+    /** output section's declared fields (projection + sharding basis) */
+    outputFields: Seq[String] = Nil,
+    /** processing-time job id, used in file-name templates */
+    jobId: String = java.util.UUID.randomUUID().toString,
+)
+
+/** What a batch output produced: the concrete files written (fed to the
+  * upload stage, reference: topology.go:186-202 upload channel).
+  */
+final case class OutputResult(paths: Seq[String], rows: Long)
+
+sealed trait ComponentDesc {
+  def name: String
+  def help: String
+  def keys: Seq[ConfigKey]
+}
+
+/** Input: builds the source DataFrame (all-string schema bound to ctx.fields). */
+final case class InputDesc(
+    name: String, help: String, keys: Seq[ConfigKey],
+    build: (TopologyCtx, ComponentConfig) => DataFrame,
+) extends ComponentDesc
+
+/** Filter: per-record transform, `DataFrame => DataFrame`. */
+final case class FilterDesc(
+    name: String, help: String, keys: Seq[ConfigKey],
+    build: (TopologyCtx, ComponentConfig) => (DataFrame => DataFrame),
+) extends ComponentDesc
+
+/** Output: consumes the projected DataFrame; `raw=true` outputs receive the
+  * serialized CSV line as column `_record` in addition to the projected
+  * fields (reference: api.go:123-144 OutputRecord).
+  */
+final case class OutputDesc(
+    name: String, help: String, keys: Seq[ConfigKey],
+    raw: Boolean,
+    build: (TopologyCtx, ComponentConfig, DataFrame) => OutputResult,
+) extends ComponentDesc
+
+/** Upload: post-processes files the output wrote. */
+final case class UploadDesc(
+    name: String, help: String, keys: Seq[ConfigKey],
+    build: (TopologyCtx, ComponentConfig, Seq[String]) => Unit,
+) extends ComponentDesc
+
+/** Component registry with case-insensitive lookup (config.go:300-351). */
+final case class Components(
+    inputs: Seq[InputDesc] = Nil,
+    filters: Seq[FilterDesc] = Nil,
+    outputs: Seq[OutputDesc] = Nil,
+    uploads: Seq[UploadDesc] = Nil,
+) {
+  private def find[T <: ComponentDesc](xs: Seq[T], kind: String, name: String): T =
+    xs.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown $kind component '$name'; available: ${xs.map(_.name).mkString(", ")}"))
+
+  def input(name: String): InputDesc   = find(inputs, "input", name)
+  def filter(name: String): FilterDesc = find(filters, "filter", name)
+  def output(name: String): OutputDesc = find(outputs, "output", name)
+  def upload(name: String): UploadDesc = find(uploads, "upload", name)
+
+  def ++(other: Components): Components = Components(
+    inputs ++ other.inputs, filters ++ other.filters,
+    outputs ++ other.outputs, uploads ++ other.uploads)
+
+  /** Markdown help for every registered component, generated from the
+    * descriptor metadata (reference: help_markdown.go:14 RenderHelpMarkdown).
+    */
+  def renderHelp: String = {
+    def section[T <: ComponentDesc](title: String, xs: Seq[T]): String =
+      if (xs.isEmpty) ""
+      else s"## $title\n\n" + xs.map { d =>
+        val keyRows = d.keys.map { k =>
+          val req = if (k.required) "yes" else "no"
+          val dv = k.default.map(_.toString).getOrElse("")
+          s"| ${k.name} | $req | $dv | ${k.help} |"
+        }.mkString("\n")
+        s"### ${d.name}\n\n${d.help}\n\n" +
+          (if (d.keys.isEmpty) "(no configuration keys)\n"
+           else s"| Key | Required | Default | Help |\n|---|---|---|---|\n$keyRows\n")
+      }.mkString("\n")
+    Seq(section("Inputs", inputs), section("Filters", filters),
+      section("Outputs", outputs), section("Uploads", uploads))
+      .filter(_.nonEmpty).mkString("\n")
+  }
+}

@@ -1,0 +1,209 @@
+package graft.topology
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Topology = the reference's query: TOML config → a DataFrame program.
+  *
+  *   1 input → N filters → 1 output (optionally sharded) → 0..1 upload
+  *   (reference: topology.go:16-23)
+  *
+  * Compilation mirrors NewConfigFromToml + NewTopologyFromConfig
+  * (config.go:281-422, topology.go:55-225): resolve component names in the
+  * registry (case-insensitively), validate config keys, bind the field-name
+  * schema, compose the filter chain as `DataFrame => DataFrame`, project the
+  * declared output fields, and hand the result to the output descriptor.
+  * Execution is Catalyst's problem — the filter chain collapses into a
+  * single fused WholeStageCodegen scan stage, and sharding becomes the only
+  * intentional shuffle (repartition on the shard field), exactly the plan
+  * you want at 100 TB.
+  */
+object Topology {
+
+  final case class Config(
+      fields: Seq[String],
+      separator: String,
+      validation: Map[String, String],
+      dontValidateFields: Boolean,
+      input: (String, ComponentConfig),
+      filters: Seq[(String, ComponentConfig)],
+      outputName: String,
+      outputProcs: Int,
+      outputFields: Seq[String],
+      sharding: Option[String],
+      outputConfig: ComponentConfig,
+      upload: Option[(String, ComponentConfig)],
+  )
+
+  /** Decode the parsed TOML tree (reference: NewConfigFromToml stages 2-6). */
+  def configFromToml(tree: Map[String, Any]): Config = {
+    def table(k: String): Map[String, Any] = tree.get(k) match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case None => Map.empty
+      case Some(other) =>
+        throw new IllegalArgumentException(s"topology: [$k] is not a table: $other")
+    }
+    def cc(m: Map[String, Any], name: String): ComponentConfig = m.get("config") match {
+      case Some(c: Map[String @unchecked, Any @unchecked]) => ComponentConfig(c, name)
+      case _ => ComponentConfig(Map.empty, name)
+    }
+
+    val fields = table("fields").get("names") match {
+      case Some(l: List[Any @unchecked]) => l.map(_.toString)
+      case _ => Nil
+    }
+    val sep = table("csv").get("field_separator") match {
+      case Some(l: Long)   => l.toChar.toString   // ASCII code (config.go:173-191)
+      case Some(s: String) => s
+      case None            => ","
+      case Some(other) =>
+        throw new IllegalArgumentException(s"csv.field_separator: $other")
+    }
+    require(sep.length == 1, s"csv.field_separator must be one char, got '$sep'")
+
+    val inputT = table("input")
+    require(inputT.contains("name"), "topology: [input] name is required")
+    val outputT = table("output")
+    require(outputT.contains("name"), "topology: [output] name is required")
+
+    val filters = tree.get("filter") match {
+      case Some(l: List[Any @unchecked]) => l.map {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          val n = m.getOrElse("name",
+            throw new IllegalArgumentException("topology: [[filter]] name is required")).toString
+          (n, cc(m, s"filter $n"))
+        case other => throw new IllegalArgumentException(s"topology: bad [[filter]]: $other")
+      }
+      case None => Nil
+      case Some(other) => throw new IllegalArgumentException(s"topology: [[filter]]: $other")
+    }
+
+    Config(
+      fields = fields,
+      separator = sep,
+      validation = table("validation").map { case (k, v) => k -> v.toString },
+      dontValidateFields = table("general").get("dont_validate_fields") match {
+        case Some(b: Boolean) => b; case _ => false
+      },
+      input = (inputT("name").toString, cc(inputT, s"input ${inputT("name")}")),
+      filters = filters,
+      outputName = outputT("name").toString,
+      outputProcs = outputT.get("procs").map(_.toString.toInt).getOrElse(32),
+      outputFields = outputT.get("fields") match {
+        case Some(l: List[Any @unchecked]) => l.map(_.toString)
+        case _ => Nil
+      },
+      sharding = outputT.get("sharding").map(_.toString),
+      outputConfig = cc(outputT, s"output ${outputT("name")}"),
+      upload = tree.get("upload") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) if m.contains("name") =>
+          Some((m("name").toString, cc(m, s"upload ${m("name")}")))
+        case _ => None
+      },
+    )
+  }
+
+  final case class Compiled(
+      ctx: TopologyCtx,
+      cfg: Config,
+      components: Components,
+      /** post-validation, post-filter-chain frame (all declared fields) */
+      frame: DataFrame,
+      /** projected frame handed to the output (+ `_record` for raw outputs) */
+      projected: DataFrame,
+      observations: Map[String, Observation],
+  ) {
+    /** Execute output + upload; returns (output result, observed metrics). */
+    def run(): (OutputResult, Map[String, Any]) = {
+      val outDesc = components.output(cfg.outputName)
+      cfg.outputConfig.validate(outDesc.keys)
+      val result = outDesc.build(ctx, cfg.outputConfig, projected)
+      for ((name, upCfg) <- cfg.upload) {
+        val upDesc = components.upload(name)
+        upCfg.validate(upDesc.keys)
+        upDesc.build(ctx, upCfg, result.paths)
+      }
+      val metrics = observations.flatMap { case (_, o) =>
+        // poll with timeout: empty when the action never materialized the
+        // observed frame (e.g. OpLog's limited collect)
+        try {
+          val f = o.getClass.getDeclaredMethod("getOrEmpty")
+          f.setAccessible(true)
+          f.invoke(o).asInstanceOf[Map[String, Any]]
+        } catch { case _: Exception => Map.empty[String, Any] }
+      }
+      (result, metrics)
+    }
+  }
+
+  /** Build the DataFrame program for a config (reference: plan+execute,
+    * topology.go:55-225; per-record hot path :350-399).
+    */
+  def compile(spark: SparkSession, cfg: Config,
+      components: Components = BuiltinComponents.all): Compiled = {
+    require(cfg.fields.nonEmpty, "topology: [fields] names is required")
+    val ctx = TopologyCtx(spark, cfg.fields, cfg.separator, cfg.outputFields)
+
+    // --- input ---
+    val inDesc = components.input(cfg.input._1)
+    cfg.input._2.validate(inDesc.keys)
+    var df = inDesc.build(ctx, cfg.input._2)
+    require(df.columns.toSeq == cfg.fields,
+      s"input produced columns ${df.columns.toSeq}, expected ${cfg.fields}")
+
+    val obs = Map(
+      "input" -> new Observation("graft_input"),
+      "output" -> new Observation("graft_output"))
+    df = df.observe(obs("input"), count(lit(1)).as("input_records"))
+
+    // --- validation (engine-level, config.go:474-523 + topology.go:376-386) ---
+    if (cfg.validation.nonEmpty && !cfg.dontValidateFields) {
+      val preds = cfg.validation.toSeq.map { case (f, re) =>
+        require(cfg.fields.contains(f), s"validation: unknown field '$f'")
+        coalesce(col(f).cast("string"), lit("")).rlike(re)
+      }
+      df = df.filter(preds.reduce(_ && _))
+    }
+
+    // --- filter chain (config order, topology.go:100-119) ---
+    for ((name, fCfg) <- cfg.filters) {
+      val desc = components.filter(name)
+      df = desc.build(ctx, fCfg)(df)
+    }
+
+    // --- sharding (topology.go:157-184): the one intentional shuffle ---
+    val sharded = cfg.sharding match {
+      case Some(f) =>
+        require(cfg.fields.contains(f), s"sharding: unknown field '$f'")
+        df.repartition(cfg.outputProcs, col(f))
+      case None => df
+    }
+
+    // --- projection to output fields (+ raw record, topology.go:330-348) ---
+    val outDesc = components.output(cfg.outputName)
+    val outFields = if (cfg.outputFields.nonEmpty) cfg.outputFields else cfg.fields
+    outFields.foreach(f => require(cfg.fields.contains(f), s"output: unknown field '$f'"))
+    val projCols = outFields.map(f => coalesce(col(f).cast("string"), lit("")).as(f))
+    val projected =
+      if (outDesc.raw) {
+        // full serialized line (ToText, logline.go:152-220): ALL declared
+        // fields joined by the separator — output fields only drive
+        // sharding/templates
+        val record = concat_ws(cfg.separator,
+          cfg.fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+        sharded.select(projCols :+ record.as("_record"): _*)
+      } else sharded.select(projCols: _*)
+
+    Compiled(ctx, cfg, components, df,
+      projected.observe(obs("output"), count(lit(1)).as("output_records")), obs)
+  }
+
+  def compileToml(spark: SparkSession, toml: String,
+      components: Components = BuiltinComponents.all,
+      env: Map[String, String] = sys.env): Compiled =
+    compile(spark, configFromToml(Toml.parse(toml, env)), components)
+
+  def compileFile(spark: SparkSession, path: String,
+      components: Components = BuiltinComponents.all): Compiled =
+    compile(spark, configFromToml(Toml.parseFile(path)), components)
+}

@@ -1,0 +1,261 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.topology.{BuiltinComponents, Topology}
+
+/** End-to-end topology runs mirroring the reference's e2e golden tests
+  * (e2e_test.go:20-48: basic, validation, sharding, advanced ',' and
+  * '\x1e'). CSV in → TOML topology → files out, content-compared.
+  */
+class TopologySpec extends SparkSpec {
+
+  private def tmpDir(): File = Files.createTempDirectory("graft-e2e").toFile
+
+  private def writeGzip(f: File, content: String): Unit = {
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  private def writeZstd(f: File, content: String): Unit = {
+    val out = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(
+      new java.io.FileOutputStream(f), 3)
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  private def readAllLines(files: Seq[String]): Seq[String] =
+    files.flatMap { p =>
+      val in: java.io.InputStream =
+        if (p.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(new java.io.FileInputStream(p))
+        else if (p.endsWith(".zst"))
+          new com.github.luben.zstd.ZstdInputStreamNoFinalizer(new java.io.FileInputStream(p))
+        else new java.io.FileInputStream(p)
+      val s = scala.io.Source.fromInputStream(in, "UTF-8")
+      try s.getLines().toList finally { s.close() }
+    }
+
+  test("basic: List(csv.gz) → NotNull → FileWriter(gzip) [tutorials/basic]") {
+    val dir = tmpDir()
+    writeGzip(new File(dir, "in.csv.gz"),
+      "1,Brand A,spicy,,US,4.5,10\n2,Brand B,mild,cup,JP,3.0,\n3,Brand C,hot,pack,US,5.0,3\n")
+    val toml =
+      s"""[fields]
+         |names = ["review_num", "brand", "variety", "style", "country", "stars", "top_ten"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv.gz"]
+         |[[filter]]
+         |name = "NotNull"
+         |  [filter.config]
+         |  Fields = ["top_ten"]
+         |[output]
+         |name = "FileWriter"
+         |fields = ["country"]
+         |  [output.config]
+         |  PathString = "$dir/out/{{.Field0}}/ramens.csv.gz"
+         |""".stripMargin
+    val (result, metrics) = Topology.compileToml(spark, toml).run()
+    // row 2 dropped (empty top_ten); rows 1,3 are both US
+    assert(result.paths.size == 1 && result.paths.head.endsWith("US/ramens.csv.gz"))
+    val lines = readAllLines(result.paths).sorted
+    assert(lines == Seq(
+      "1,Brand A,spicy,,US,4.5,10",
+      "3,Brand C,hot,pack,US,5.0,3"))
+    assert(metrics.get("input_records").contains(3L))
+    assert(metrics.get("output_records").contains(2L))
+  }
+
+  test("advanced: zstd input + ClauseFilter + \\x1e separator [advanced_csv_example_0x1e]") {
+    val dir = tmpDir()
+    val sep = "\u001e"
+    val rows = Seq(
+      Seq("value5", "s1", "t1"), Seq("x", "s2", "value6"), Seq("y", "s3", "t3"))
+    writeZstd(new File(dir, "in.csv.zst"), rows.map(_.mkString(sep)).mkString("", "\n", "\n"))
+    val toml =
+      s"""[csv]
+         |field_separator="\\u001e"
+         |[fields]
+         |names = ["timestamp", "source", "target"]
+         |[input]
+         |name="List"
+         |  [input.config]
+         |  files=["$dir/in.csv.zst"]
+         |[[filter]]
+         |name="ClauseFilter"
+         |  [filter.config]
+         |  Clause=${"\"\"\""}(or (timestamp value5) (target value6))${"\"\"\""}
+         |[output]
+         |name="FileWriter"
+         |procs=1
+         |  [output.config]
+         |  PathString="$dir/out/result.csv.zst"
+         |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml).run()
+    val lines = readAllLines(result.paths).sorted
+    assert(lines == Seq(
+      Seq("value5", "s1", "t1").mkString(sep),
+      Seq("x", "s2", "value6").mkString(sep)))
+  }
+
+  test("validation: failing rows dropped; dont_validate_fields disables") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "in.csv").toPath, "ab,1\ncd,x\nef,2\n")
+    def toml(general: String) =
+      s"""[fields]
+         |names = ["k", "n"]
+         |$general
+         |[validation]
+         |n = "^[0-9]+$$"
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv"]
+         |[output]
+         |name = "Recorder"
+         |""".stripMargin
+    val (r1, _) = Topology.compileToml(spark, toml(""), env = Map.empty).run()
+    assert(r1.rows == 2)
+    val (r2, _) = Topology.compileToml(spark,
+      toml("[general]\ndont_validate_fields = true"), env = Map.empty).run()
+    assert(r2.rows == 3)
+  }
+
+  test("sharding: repartition on the shard field co-locates each key") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "in.csv").toPath,
+      (1 to 100).map(i => s"k${i % 5},$i").mkString("", "\n", "\n"))
+    val toml =
+      s"""[fields]
+         |names = ["k", "v"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv"]
+         |[output]
+         |name = "FileWriter"
+         |procs = 4
+         |sharding = "k"
+         |fields = ["k"]
+         |  [output.config]
+         |  PathString = "$dir/out/{{.Field0}}/part-{{.Index}}.csv"
+         |""".stripMargin
+    val compiled = Topology.compileToml(spark, toml)
+    // the compiled plan must contain exactly one shuffle: the shard repartition
+    val plan = compiled.projected.queryExecution.optimizedPlan.toString
+    assert(plan.contains("repartitionbyexpression") || plan.toLowerCase.contains("repartition"))
+    val (result, _) = compiled.run()
+    // every record lands in the directory of its own key
+    val byDir = result.paths.groupBy(p => new File(p).getParentFile.getName)
+    assert(byDir.keySet == Set("k0", "k1", "k2", "k3", "k4"))
+    val all = readAllLines(result.paths)
+    assert(all.size == 100)
+    assert(all.forall(l => l.startsWith(l.split(",")(0))))
+  }
+
+  test("LogLines input + filter chain of 5 + Recorder: order and content") {
+    val toml =
+      """[fields]
+        |names = ["a", "b", "c", "d"]
+        |[input]
+        |name = "LogLines"
+        |  [input.config]
+        |  Lines = ["1,x,old,", "2,y,old,", "3,x,old,drop"]
+        |[[filter]]
+        |name = "StringMatch"
+        |  [filter.config]
+        |  Field = "d"
+        |  Strings = ["drop"]
+        |[[filter]]
+        |name = "ReplaceFields"
+        |  [filter.config]
+        |  ReplaceFields = ["new", "c"]
+        |[[filter]]
+        |name = "Concatenate"
+        |  [filter.config]
+        |  Fields = ["a", "b"]
+        |  Target = "d"
+        |  Separator = "-"
+        |[[filter]]
+        |name = "RegexMatch"
+        |  [filter.config]
+        |  Fields = ["b"]
+        |  Regexs = ["^[xy]$"]
+        |[[filter]]
+        |name = "NotNull"
+        |  [filter.config]
+        |  Fields = ["a"]
+        |[output]
+        |name = "Recorder"
+        |fields = ["a", "c", "d"]
+        |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml, env = Map.empty).run()
+    assert(result.rows == 2)
+    val rows = BuiltinComponents.Recorder.last.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).sorted
+    assert(rows == Seq(("1", "new", "1-x"), ("2", "new", "2-y")))
+  }
+
+  test("unknown component and unknown config key fail loudly") {
+    val base =
+      """[fields]
+        |names = ["a"]
+        |[input]
+        |name = "LogLines"
+        |  [input.config]
+        |  Lines = ["x"]
+        |[output]
+        |name = "Recorder"
+        |""".stripMargin
+    val badFilter = base.replace("[output]",
+      "[[filter]]\nname = \"NoSuchFilter\"\n[output]")
+    assertThrows[IllegalArgumentException](
+      Topology.compileToml(spark, badFilter, env = Map.empty))
+    val badKey = base.replace("[output]",
+      "[[filter]]\nname = \"NotNull\"\n  [filter.config]\n  Feilds = [\"a\"]\n[output]")
+    val e = intercept[IllegalArgumentException](
+      Topology.compileToml(spark, badKey, env = Map.empty))
+    assert(e.getMessage.contains("Feilds"))
+  }
+
+  test("help rendering covers every registered component") {
+    val help = BuiltinComponents.all.renderHelp
+    val c = BuiltinComponents.all
+    for (d <- c.inputs ++ c.filters ++ c.outputs ++ c.uploads)
+      assert(help.contains(s"### ${d.name}"), s"missing help for ${d.name}")
+    assert(help.contains("| Key | Required | Default | Help |"))
+  }
+
+  test("upload stage copies outputs under Bucket/Prefix preserving layout") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "in.csv").toPath, "a,1\nb,2\n")
+    val toml =
+      s"""[fields]
+         |names = ["k", "v"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv"]
+         |[output]
+         |name = "FileWriter"
+         |fields = ["k"]
+         |  [output.config]
+         |  PathString = "$dir/out/{{.Field0}}/data.csv"
+         |[upload]
+         |name = "S3"
+         |  [upload.config]
+         |  SourceBasePath = "$dir/out"
+         |  Bucket = "$dir/bucket"
+         |  Prefix = "pfx/"
+         |""".stripMargin
+    Topology.compileToml(spark, toml, env = Map.empty).run()
+    val uploaded = new File(s"$dir/bucket/pfx")
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val names = walk(uploaded).map(_.getName).sorted
+    assert(names == Seq("data.csv", "data.csv"))
+    assert(walk(uploaded).map(_.getParentFile.getName).sorted == Seq("a", "b"))
+  }
+}
