@@ -37,13 +37,27 @@ object Main {
       spark.sparkContext.setLogLevel("WARN")
       try {
         val t0 = System.nanoTime()
-        val compiled = Topology.compileFile(spark, tomlPath)
-        val (result, metrics) = compiled.run()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val read = metrics.getOrElse("input_records", -1L)
-        val written = metrics.getOrElse("output_records", result.rows)
-        println(f"Stats: total[w:$written,r:$read] speed[$secs%.1fs] " +
-          s"files[${result.paths.size}]")
+        val components = graft.streaming.Streaming.componentsWithStreaming
+        val compiled = Topology.compile(spark,
+          Topology.configFromToml(graft.topology.Toml.parseFile(tomlPath)), components)
+        if (compiled.projected.isStreaming) {
+          // daemon topology (reference: api.go:58-66): run until signalled
+          val ckpt = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR",
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+          val trigger = sys.env.getOrElse("GRAFT_TRIGGER_MS", "60000").toLong
+          val daemon = graft.streaming.Streaming.start(compiled, ckpt, trigger)
+          sys.addShutdownHook {
+            println(s"Stats: daemon stopping, total[w:${daemon.recordCount()}]")
+          }
+          daemon.awaitTermination()
+        } else {
+          val (result, metrics) = compiled.run()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val read = metrics.getOrElse("input_records", -1L)
+          val written = metrics.getOrElse("output_records", result.rows)
+          println(f"Stats: total[w:$written,r:$read] speed[$secs%.1fs] " +
+            s"files[${result.paths.size}]")
+        }
       } finally spark.stop()
     case _ =>
       System.err.println("usage: graft.Main <topology.toml> | -help [component]")

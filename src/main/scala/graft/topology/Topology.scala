@@ -151,10 +151,15 @@ object Topology {
     require(df.columns.toSeq == cfg.fields,
       s"input produced columns ${df.columns.toSeq}, expected ${cfg.fields}")
 
-    val obs = Map(
-      "input" -> new Observation("graft_input"),
-      "output" -> new Observation("graft_output"))
-    df = df.observe(obs("input"), count(lit(1)).as("input_records"))
+    // Observations are batch-only; streaming metrics come from
+    // StreamingQueryProgress (query.lastProgress) instead
+    val obs =
+      if (df.isStreaming) Map.empty[String, Observation]
+      else Map(
+        "input" -> new Observation("graft_input"),
+        "output" -> new Observation("graft_output"))
+    for (o <- obs.get("input"))
+      df = df.observe(o, count(lit(1)).as("input_records"))
 
     // --- validation (engine-level, config.go:474-523 + topology.go:376-386) ---
     if (cfg.validation.nonEmpty && !cfg.dontValidateFields) {
@@ -194,8 +199,11 @@ object Topology {
         sharded.select(projCols :+ record.as("_record"): _*)
       } else sharded.select(projCols: _*)
 
-    Compiled(ctx, cfg, components, df,
-      projected.observe(obs("output"), count(lit(1)).as("output_records")), obs)
+    val projectedObs = obs.get("output") match {
+      case Some(o) => projected.observe(o, count(lit(1)).as("output_records"))
+      case None    => projected
+    }
+    Compiled(ctx, cfg, components, df, projectedObs, obs)
   }
 
   def compileToml(spark: SparkSession, toml: String,
