@@ -35,6 +35,7 @@ object Main {
           .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      new graft.metrics.StatsDumper().attach(spark)
       try {
         val t0 = System.nanoTime()
         val components = graft.streaming.Streaming.componentsWithStreaming

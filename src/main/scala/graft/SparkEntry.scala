@@ -347,6 +347,26 @@ object SparkEntry {
           length(col("payload")).as("payload_bytes"),
           sha2(col("payload"), 256).as("payload_sha"))
         .orderBy("doc_id")),
+
+    "q_multimodal_decode" -> ((s, d) =>
+      // batched partition decode (stub codec, deterministic dims from size)
+      graft.llm.Multimodal.decodeImages(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))
+        .orderBy("doc_id")),
+
+    "q_multimodal_frames" -> ((s, d) =>
+      // frame sampling: 4 frames per payload, lengths must tile the payload
+      graft.llm.Multimodal.sampleFrames(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", n = 4)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+          sum(length(col("payload"))).as("total_bytes"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB-equivalent SQL per query (driver's t2 oracle). Omitted for
@@ -540,6 +560,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
                 sha256(text) AS payload_sha
          FROM documents ORDER BY doc_id""",
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+                CAST(16 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
+                CAST(16 + octet_length(encode(text)) % 24 AS INTEGER) AS height,
+                CAST(3 AS INTEGER) AS channels
+         FROM documents WHERE octet_length(encode(text)) >= 4 ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
+                CAST(greatest(octet_length(encode(text)), 4) AS BIGINT) AS total_bytes
+         FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""",
     "q_quality" ->
       """WITH m AS (
            SELECT doc_id,

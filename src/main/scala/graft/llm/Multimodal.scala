@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Model: media travels as an opaque `binary` payload column plus typed
+  * metadata columns; decode/transform stages run per partition in bounded
+  * batches (the JVM analogue of Arrow-batched `mapInPandas`: one codec
+  * context per partition, bounded memory per batch, no driver round-trip).
+  *
+  * STUB NOTICE: this container ships no image/audio codecs, so
+  * [[StubCodecs]] is a clearly-marked deterministic fake — byte-math only,
+  * stable across runs, same interface a real codec (javax.imageio / ffmpeg
+  * bindings) would implement. The Spark-side plumbing — schema, encoders,
+  * partitioning, batch shape, null-safety — is real and tested; swapping
+  * `StubCodecs` for a real implementation changes no plan shape.
+  */
+object Multimodal {
+
+  /** Decoded-image record: fixed schema regardless of codec. */
+  final case class DecodedImage(
+      doc_id: Long, width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** Sampled video frame. */
+  final case class Frame(doc_id: Long, frame_ix: Int, payload: Array[Byte])
+
+  /** The codec seam. A production build binds real decoders here. */
+  trait Codecs extends Serializable {
+    def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedImage]
+    def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame]
+  }
+
+  /** Deterministic FAKE codec (see STUB NOTICE above): dimensions derive
+    * from payload length, pixels from a rolling byte mix. Deliberately
+    * SQL-reproducible so the driver's DuckDB oracle can check the
+    * distributed plumbing end-to-end.
+    */
+  object StubCodecs extends Codecs {
+    def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedImage] = {
+      if (payload == null || payload.length < 4) None
+      else {
+        val w = 16 + (payload.length % 32)
+        val h = 16 + (payload.length % 24)
+        val c = 3
+        // pixels: payload tiled to w*h*c, each byte mixed with its index
+        val px = new Array[Byte]((w * h * c) min 4096)
+        var i = 0
+        while (i < px.length) {
+          px(i) = (payload(i % payload.length) + i).toByte
+          i += 1
+        }
+        Some(DecodedImage(docId, w, h, c, px))
+      }
+    }
+    def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] = {
+      if (payload == null || payload.length == 0) Nil
+      else (0 until n).map { ix =>
+        val start = (payload.length.toLong * ix / n).toInt
+        val end = (payload.length.toLong * (ix + 1) / n).toInt
+        Frame(docId, ix, java.util.Arrays.copyOfRange(payload, start, end max (start + 1)))
+      }
+    }
+  }
+
+  /** Decode a binary payload column to [[DecodedImage]]s, partition-batched.
+    *
+    * @param batchSize rows decoded per in-memory batch (Arrow-batch shape:
+    *                  bounds peak memory to batchSize × max payload)
+    */
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String,
+      codecs: Codecs = StubCodecs, batchSize: Int = 64): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // grouped(batchSize) mirrors mapInPandas batch iteration: the codec
+        // sees bounded slices, not the whole partition
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, payload) => codecs.decodeImage(id, payload) }
+        }
+      }
+  }
+
+  /** Nearest-neighbor resize of decoded images — real arithmetic, runs
+    * unchanged on real pixel data.
+    */
+  def resize(ds: Dataset[DecodedImage], newW: Int, newH: Int): Dataset[DecodedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { img =>
+      val out = new Array[Byte](newW * newH * img.channels)
+      var y = 0
+      while (y < newH) {
+        val sy = y * img.height / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x * img.width / newW
+          var ch = 0
+          while (ch < img.channels) {
+            val src = (sy * img.width + sx) * img.channels + ch
+            out((y * newW + x) * img.channels + ch) =
+              if (src < img.pixels.length) img.pixels(src) else 0
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      img.copy(width = newW, height = newH, pixels = out)
+    }
+  }
+
+  /** Sample n frames per video payload (explodes to one row per frame). */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int,
+      codecs: Codecs = StubCodecs, batchSize: Int = 16): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, p) =>
+        codecs.sampleFrames(id, p, n)
+      }))
+  }
+
+  /** Mean pixel value ("luminance" on the stub) per image. Pixels are a
+    * BINARY column (higher-order functions need ARRAY), so this runs in
+    * the typed partition path like the decode itself.
+    */
+  def meanPixel(ds: Dataset[DecodedImage]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map { img =>
+      var sum = 0L
+      var i = 0
+      while (i < img.pixels.length) { sum += img.pixels(i) + 128; i += 1 }
+      (img.doc_id, img.width, img.height,
+        if (img.pixels.isEmpty) 0.0 else sum.toDouble / img.pixels.length)
+    }.toDF("doc_id", "width", "height", "mean_pixel")
+  }
+
+  /** Payload-level features needing no codec at all (real, not stubbed):
+    * size, content digest, and a coarse magic-byte sniff.
+    */
+  def payloadFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val p = col(payloadCol).cast("binary")
+    val head = hex(substring(p, 1, 4))
+    df.select(
+      col(idCol),
+      length(p).as("payload_bytes"),
+      sha2(p, 256).as("payload_sha256"),
+      when(head.startsWith("FFD8"), "jpeg")
+        .when(head.startsWith("89504E47"), "png")
+        .when(head.startsWith("47494638"), "gif")
+        .when(head.startsWith("52494646"), "riff")
+        .otherwise("unknown").as("sniffed_type"))
+  }
+}

@@ -29,7 +29,8 @@ object BuiltinComponents {
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam),
-    outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput),
+    outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
+      DynamoOutput.desc),
     uploads = Seq(s3Upload),
   )
 

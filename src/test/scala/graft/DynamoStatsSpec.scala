@@ -1,0 +1,76 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.metrics.StatsDumper
+import graft.topology.Topology
+
+class DynamoStatsSpec extends SparkSpec {
+
+  test("DynamoDB double: ≤25-item batches, in-batch pkey dedup, region fan-out") {
+    val dir = Files.createTempDirectory("graft-ddb").toFile
+    val lines = (1 to 60).map(i => s"k${i % 40},$i") // 40 distinct keys → dups
+    val toml =
+      s"""[fields]
+         |names = ["pk", "v"]
+         |[input]
+         |name = "LogLines"
+         |  [input.config]
+         |  Lines = [${lines.map(l => s""""$l"""").mkString(", ")}]
+         |[output]
+         |name = "DynamoDB"
+         |fields = ["pk", "v"]
+         |  [output.config]
+         |  Table = "t1"
+         |  Columns = ["s:pk", "n:v"]
+         |  Regions = ["us-west-2", "eu-west-1"]
+         |  LocalDir = "$dir"
+         |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml, env = Map.empty).run()
+
+    def batches(region: String): Seq[Seq[String]] = {
+      val d = new File(s"$dir/$region/t1")
+      Option(d.listFiles()).toSeq.flatten.sortBy(_.getName)
+        .map(f => scala.io.Source.fromFile(f).getLines().toList)
+    }
+    val w = batches("us-west-2")
+    assert(w.nonEmpty && w.forall(_.size <= 25))
+    // every batch has unique pks (in-batch dedup)
+    for (b <- w) {
+      val pks = b.map(l => "\"pk\":\\{\"S\":\"([^\"]+)\"".r.findFirstMatchIn(l).get.group(1))
+      assert(pks.distinct.size == pks.size, s"dup pk within batch: $pks")
+    }
+    // fan-out: both regions got identical content
+    assert(batches("eu-west-1").flatten.sorted == w.flatten.sorted)
+    // typed encoding
+    assert(w.flatten.head.contains("\"v\":{\"N\":"))
+    assert(result.rows <= 60 && result.rows >= 40)
+  }
+
+  test("StatsDumper emits the reference-format line for batch topologies") {
+    val dumper = new StatsDumper(quiet = true).attach(spark)
+    try {
+      val toml =
+        """[fields]
+          |names = ["a"]
+          |[input]
+          |name = "LogLines"
+          |  [input.config]
+          |  Lines = ["x", "y", "z"]
+          |[output]
+          |name = "Recorder"
+          |""".stripMargin
+      Topology.compileToml(spark, toml, env = Map.empty).run()
+      // listener fires asynchronously after the action
+      val deadline = System.currentTimeMillis() + 10000
+      while (dumper.lines.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(dumper.lines.nonEmpty)
+      val line = dumper.lines.last
+      assert(line.matches("Stats: 1s\\[w:\\d+,r:\\d+\\] total\\[w:\\d+,r:\\d+\\] " +
+        "speed\\[\\d+ rec/s\\] errors\\[0\\]"), line)
+      assert(line.contains("r:3"))
+    } finally dumper.detach(spark)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    import spark.implicits._
+    Seq(
+      (1L, Array.tabulate[Byte](100)(_.toByte)),
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)), // jpeg magic
+      (3L, Array.emptyByteArray),                           // undecodable
+      (4L, null.asInstanceOf[Array[Byte]]),                 // null payload
+    ).toDF("doc_id", "payload")
+  }
+
+  test("decodeImages: stable schema, batched decode, nulls/empties skipped") {
+    val decoded = Multimodal.decodeImages(media, "doc_id", "payload", batchSize = 2)
+    val rows = decoded.collect().map(d => d.doc_id -> d).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    val d1 = rows(1L)
+    assert(d1.width == 16 + 100 % 32 && d1.height == 16 + 100 % 24 && d1.channels == 3)
+    assert(d1.pixels.length == math.min(d1.width * d1.height * 3, 4096))
+    // deterministic: same input, same pixels
+    val again = Multimodal.decodeImages(media, "doc_id", "payload").collect()
+      .find(_.doc_id == 1L).get
+    assert(java.util.Arrays.equals(again.pixels, d1.pixels))
+  }
+
+  test("resize: nearest-neighbor to exact target dims") {
+    val out = Multimodal.resize(
+      Multimodal.decodeImages(media, "doc_id", "payload"), 8, 8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(d => d.width == 8 && d.height == 8 && d.pixels.length == 8 * 8 * 3))
+  }
+
+  test("sampleFrames: n frames covering the payload in order") {
+    val frames = Multimodal.sampleFrames(media.filter(col("doc_id") === 1), "doc_id",
+      "payload", n = 4).collect().sortBy(_.frame_ix)
+    assert(frames.map(_.frame_ix).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.map(_.payload.length).sum == 100)
+    assert(frames.head.payload.head == 0.toByte)
+  }
+
+  test("meanPixel feature over the decoded dataset") {
+    val df = Multimodal.meanPixel(Multimodal.decodeImages(media, "doc_id", "payload"))
+    val rows = df.collect()
+    assert(rows.forall { r =>
+      val m = r.getAs[Double]("mean_pixel"); m >= 0 && m <= 256
+    })
+  }
+
+  test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
+    val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).getAs[String]("sniffed_type") == "jpeg")
+    assert(rows(1L).getAs[String]("sniffed_type") == "unknown")
+    assert(rows(1L).getAs[Int]("payload_bytes") == 100)
+    assert(rows(1L).getAs[String]("payload_sha256").length == 64)
+  }
+}
