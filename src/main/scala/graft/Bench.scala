@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: one JSON line with per-query seconds plus a
+  * pipeline-throughput measurement matched to BASELINE.md's workload
+  * (zstd CSV → filter → zstd CSV, ~4.5 KB records; reference README
+  * "Performance" numbers — 178k rec/s on 8 vCPU).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,15 +19,74 @@ object Bench {
       .getOrCreate()
     graft.core.Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+
+    // JVM/codegen warmup outside the timings
+    try SparkEntry.queries("q_output_nop")(spark, sfDir).count() catch { case _: Throwable => }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val pipeline = try pipelineThroughput(spark) catch { case _: Throwable => Map.empty[String, Double] }
+    val qs = (results ++ pipeline).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** BASELINE.md workload at reduced scale: N ~4.5 KB CSV records in zstd
+    * files → topology (List → ClauseFilter → FileWriter zstd) → records/s.
+    */
+  def pipelineThroughput(spark: SparkSession, records: Long = 200000): Map[String, Double] = {
+    import graft.topology._
+    graft.sources.ZstdCodec.register(spark)
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bench-pipeline-$records")
+    val inDir = new java.io.File(base, "in")
+    val fields = Seq("id", "kind") ++ (0 until 8).map(i => s"f$i")
+    if (!inDir.exists()) {
+      // ~4.5 KB/record: 8 × 560-char deterministic fields (README.md:119-120)
+      val pad = spark.range(records).select(
+        (col("id").cast("string") +:
+          (pmod(col("id"), lit(7)).cast("string").as("kind") +:
+            (0 until 8).map(i => substring(repeat(
+              md5(concat(col("id").cast("string"), lit(s"-$i"))), 18), 1, 560).as(s"f$i")))): _*)
+      pad.select(concat_ws(",", fields.map(col): _*).as("value"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .option("compression", classOf[graft.sources.ZstdCodec].getName)
+        .text(inDir.getAbsolutePath)
+    }
+    val outDir = new java.io.File(base, s"out-${System.nanoTime()}")
+    val toml =
+      s"""[fields]
+         |names = [${fields.map(f => s""""$f"""").mkString(", ")}]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$inDir"]
+         |  MatchPath = ".*\\\\.zst"
+         |[[filter]]
+         |name = "ClauseFilter"
+         |  [filter.config]
+         |  Clause = "(not (kind 3))"
+         |[output]
+         |name = "FileWriter"
+         |  [output.config]
+         |  PathString = "$outDir/out-{{.Index}}-{{.UUID}}.csv.zst"
+         |""".stripMargin
+    val t0 = System.nanoTime()
+    val (result, metrics) = Topology.compileToml(spark, toml, env = Map.empty).run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val read = metrics.getOrElse("input_records", records).asInstanceOf[Long]
+    // clean the per-run output, keep the cached input
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    rm(outDir)
+    Map("pipeline_secs" -> secs,
+      "pipeline_recs_per_sec" -> (if (secs > 0) read / secs else 0.0))
   }
 }

@@ -58,28 +58,6 @@ object BuiltinComponents {
     ),
     (ctx, cfg) => {
       ZstdCodec.register(ctx.spark)
-      val matchPath = cfg.str("MatchPath", ".*\\.log\\.gz").r
-      val entries = cfg.strList("Files", Seq("-"))
-      val paths: Seq[String] = entries.flatMap {
-        case "-" => throw new IllegalArgumentException("List: stdin ('-') not supported")
-        case e if e.startsWith("@") =>
-          val listFile = e.substring(1)
-          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(listFile)), "UTF-8")
-            .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-        case e =>
-          val f = new java.io.File(e)
-          if (f.isDirectory) {
-            // recursive walk with MatchPath filter (list.go:262-391)
-            def walk(d: java.io.File): Seq[String] =
-              Option(d.listFiles()).toSeq.flatten.flatMap {
-                case c if c.isDirectory => walk(c)
-                case c if matchPath.findFirstIn(c.getPath).isDefined => Seq(c.getPath)
-                case _ => Nil
-              }
-            walk(f)
-          } else Seq(e)
-      }
-      require(paths.nonEmpty, s"List: no input files resolved from $entries")
       ctx.spark.read
         .schema(allStringSchema(ctx.fields))
         .option("sep", ctx.separator)
@@ -87,9 +65,42 @@ object BuiltinComponents {
         // values (logline.go:23-31); \u0000 disables quote handling
         .option("quote", "\u0000")
         .option("mode", "PERMISSIVE")
-        .csv(paths: _*)
+        .csv(resolveListPaths(cfg): _*)
     },
+    buildRaw = Some((ctx, cfg) => {
+      ZstdCodec.register(ctx.spark)
+      ctx.spark.read.text(resolveListPaths(cfg): _*)
+    }),
   )
+
+  /** Resolve the List input's Files entries: plain files, @listfiles, and
+    * recursive directory walks filtered by MatchPath (list.go:262-391).
+    */
+  private def resolveListPaths(cfg: ComponentConfig): Seq[String] = {
+    val matchPath = cfg.str("MatchPath", ".*\\.log\\.gz").r
+    val entries = cfg.strList("Files", Seq("-"))
+    val paths: Seq[String] = entries.flatMap {
+      case "-" => throw new IllegalArgumentException("List: stdin ('-') not supported")
+      case e if e.startsWith("@") =>
+        val listFile = e.substring(1)
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(listFile)), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      case e =>
+        val f = new java.io.File(e)
+        if (f.isDirectory) {
+          def walk(d: java.io.File): Seq[String] =
+            Option(d.listFiles()).toSeq.flatten.flatMap {
+              case c if c.getName.startsWith(".") || c.getName.startsWith("_") => Nil
+              case c if c.isDirectory => walk(c)
+              case c if matchPath.findFirstIn(c.getPath).isDefined => Seq(c.getPath)
+              case _ => Nil
+            }
+          walk(f)
+        } else Seq(e)
+    }
+    require(paths.nonEmpty, s"List: no input files resolved from $entries")
+    paths
+  }
 
   /** LogLines — literal records for tests (reference: input/inputtest). */
   val logLinesInput: InputDesc = InputDesc(
@@ -134,7 +145,15 @@ object BuiltinComponents {
       build: (TopologyCtx, ComponentConfig) => DataFrame => DataFrame): FilterDesc =
     FilterDesc(name, help, keys, (ctx, cfg) => { cfg.validate(keys); build(ctx, cfg) })
 
-  val clauseFilter: FilterDesc = mkFilter("ClauseFilter",
+  /** A filter that only reads fields (drop/keep, no writes): stays on the
+    * raw fast path (see FilterDesc.mutating).
+    */
+  private def mkPureFilter(name: String, help: String, keys: Seq[ConfigKey])(
+      build: (TopologyCtx, ComponentConfig) => DataFrame => DataFrame): FilterDesc =
+    FilterDesc(name, help, keys, (ctx, cfg) => { cfg.validate(keys); build(ctx, cfg) },
+      mutating = false)
+
+  val clauseFilter: FilterDesc = mkPureFilter("ClauseFilter",
     "Keeps records matching a boolean s-expression over (field value) atoms.",
     Seq(ConfigKey("Clause", "Boolean formula describing which events to let through. " +
       "If empty, let everything through.")))(
@@ -155,7 +174,7 @@ object BuiltinComponents {
     (_, cfg) => Filters.Concatenate(cfg.strList("Fields"), cfg.str("Target"),
       cfg.str("Separator", "")))
 
-  val countAndTag: FilterDesc = mkFilter("CountAndTag",
+  val countAndTag: FilterDesc = mkPureFilter("CountAndTag",
     "Publishes a counter metric of records passing through, tagged by a field's value.",
     Seq(
       ConfigKey("Metric", "Name of the counter metric", required = true),
@@ -188,7 +207,7 @@ object BuiltinComponents {
       }
     })
 
-  val dedup: FilterDesc = mkFilter("Dedup",
+  val dedup: FilterDesc = mkPureFilter("Dedup",
     "Discards records whose tuple of chosen fields was already seen.",
     Seq(
       ConfigKey("Fields", "fields to consider when comparing records", required = true),
@@ -223,7 +242,7 @@ object BuiltinComponents {
       cfg.strMap("Fields").map { case (i, f) => i.toInt -> f },
       cfg.str("Separator", ";")))
 
-  val externalMatch: FilterDesc = mkFilter("ExternalMatch",
+  val externalMatch: FilterDesc = mkPureFilter("ExternalMatch",
     "Keeps or discards records whose field value appears in external CSV value sets.",
     Seq(
       ConfigKey("Files", "CSV file URL(s) with the strings to match", required = true),
@@ -278,7 +297,7 @@ object BuiltinComponents {
     Seq(ConfigKey("DstField", "Field to write the url to", required = true)))(
     (_, cfg) => Filters.MetadataUrl(cfg.str("DstField")))
 
-  val notNull: FilterDesc = mkFilter("NotNull",
+  val notNull: FilterDesc = mkPureFilter("NotNull",
     "Discards records with null/empty values in any of the given fields.",
     Seq(ConfigKey("Fields", "fields to check for null/empty values", required = true)))(
     (_, cfg) => Filters.NotNull(cfg.strList("Fields")))
@@ -288,7 +307,7 @@ object BuiltinComponents {
     Seq(ConfigKey("Fields", "Fields that must be copied to the new record", required = true)))(
     (_, cfg) => Filters.PartialClone(cfg.strList("Fields")))
 
-  val regexMatch: FilterDesc = mkFilter("RegexMatch",
+  val regexMatch: FilterDesc = mkPureFilter("RegexMatch",
     "Keeps records where every field matches its corresponding regex.",
     Seq(
       ConfigKey("Fields", "fields to match", default = Some(Seq.empty[String])),
@@ -335,7 +354,7 @@ object BuiltinComponents {
     (_, cfg) => Filters.Slice(cfg.str("Src"), cfg.str("Dst"),
       cfg.int("StartIdx", 0L).toInt, cfg.int("EndIdx", Int.MaxValue.toLong).toInt))
 
-  val stringMatch: FilterDesc = mkFilter("StringMatch",
+  val stringMatch: FilterDesc = mkPureFilter("StringMatch",
     "Discards records whose field equals any of the strings (InvertMatch keeps them).",
     Seq(
       ConfigKey("Field", "field compared against the strings", required = true),
@@ -349,7 +368,7 @@ object BuiltinComponents {
     Seq(ConfigKey("Field", "field to set to the unix Epoch timestamp", required = true)))(
     (_, cfg) => Filters.Timestamp(cfg.str("Field")))
 
-  val timestampRange: FilterDesc = mkFilter("TimestampRange",
+  val timestampRange: FilterDesc = mkPureFilter("TimestampRange",
     "Keeps records whose epoch field is within [StartDatetime, EndDatetime).",
     Seq(
       ConfigKey("StartDatetime", "inclusive lower bound 'YYYY-MM-DD HH:MM:SS' or 'now'",

@@ -125,16 +125,31 @@ sealed trait ComponentDesc {
   def keys: Seq[ConfigKey]
 }
 
-/** Input: builds the source DataFrame (all-string schema bound to ctx.fields). */
+/** Input: builds the source DataFrame (all-string schema bound to ctx.fields).
+  *
+  * `buildRaw`, when provided, returns the UNPARSED lines as a single
+  * `value` column — the topology compiler uses it for the raw fast path
+  * (only-filtering topologies writing raw records skip field
+  * materialization entirely, mirroring the reference's zero-copy lazy
+  * parse, logline.go:23-31).
+  */
 final case class InputDesc(
     name: String, help: String, keys: Seq[ConfigKey],
     build: (TopologyCtx, ComponentConfig) => DataFrame,
+    buildRaw: Option[(TopologyCtx, ComponentConfig) => DataFrame] = None,
 ) extends ComponentDesc
 
-/** Filter: per-record transform, `DataFrame => DataFrame`. */
+/** Filter: per-record transform, `DataFrame => DataFrame`.
+  *
+  * `mutating = false` declares the filter only READS fields (drops/keeps
+  * records, never writes a field) — a contract the compiler uses to keep
+  * raw outputs on the fast path (reference ToText fast path for unmodified
+  * records, logline.go:152-220).
+  */
 final case class FilterDesc(
     name: String, help: String, keys: Seq[ConfigKey],
     build: (TopologyCtx, ComponentConfig) => (DataFrame => DataFrame),
+    mutating: Boolean = true,
 ) extends ComponentDesc
 
 /** Output: consumes the projected DataFrame; `raw=true` outputs receive the

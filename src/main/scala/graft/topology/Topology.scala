@@ -146,10 +146,39 @@ object Topology {
 
     // --- input ---
     val inDesc = components.input(cfg.input._1)
+    val outDescEarly = components.output(cfg.outputName)
     cfg.input._2.validate(inDesc.keys)
-    var df = inDesc.build(ctx, cfg.input._2)
-    require(df.columns.toSeq == cfg.fields,
-      s"input produced columns ${df.columns.toSeq}, expected ${cfg.fields}")
+
+    // Raw fast path (the reference's zero-copy lazy parse + ToText fast
+    // path, logline.go:23-31/:152-220): when the output writes raw lines
+    // and no filter mutates a field, read UNPARSED lines and expose each
+    // declared field as a lazy prefix-scan expression. Catalyst's column
+    // pruning then materializes ONLY the fields filters actually
+    // reference — a 2-field filter over 3000-field records never parses
+    // the other 2998 — and the sink writes the original line bytes.
+    val rawFast = outDescEarly.raw && inDesc.buildRaw.isDefined &&
+      cfg.filters.forall { case (n, _) => !components.filter(n).mutating }
+
+    var df =
+      if (rawFast) {
+        val raw = inDesc.buildRaw.get(ctx, cfg.input._2)
+        // separator count guards short lines (missing trailing fields ≡
+        // empty, logline.go:87-89); translate is an alloc-free byte scan
+        val nSeps = length(col("value")) -
+          length(translate(col("value"), cfg.separator, ""))
+        val virtualFields = cfg.fields.zipWithIndex.map { case (f, i) =>
+          val lazyField =
+            substring_index(substring_index(col("value"), cfg.separator, i + 1),
+              cfg.separator, -1)
+          f -> (if (i == 0) lazyField else when(nSeps >= i, lazyField).otherwise(lit("")))
+        }
+        raw.withColumns(virtualFields.toMap)
+      } else {
+        val built = inDesc.build(ctx, cfg.input._2)
+        require(built.columns.toSeq == cfg.fields,
+          s"input produced columns ${built.columns.toSeq}, expected ${cfg.fields}")
+        built
+      }
 
     // Observations are batch-only; streaming metrics come from
     // StreamingQueryProgress (query.lastProgress) instead
@@ -191,11 +220,13 @@ object Topology {
     val projCols = outFields.map(f => coalesce(col(f).cast("string"), lit("")).as(f))
     val projected =
       if (outDesc.raw) {
-        // full serialized line (ToText, logline.go:152-220): ALL declared
-        // fields joined by the separator — output fields only drive
-        // sharding/templates
-        val record = concat_ws(cfg.separator,
-          cfg.fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+        // full serialized line (ToText, logline.go:152-220): on the fast
+        // path the original bytes pass through untouched; otherwise ALL
+        // declared fields re-join on the separator
+        val record =
+          if (rawFast) col("value")
+          else concat_ws(cfg.separator,
+            cfg.fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
         sharded.select(projCols :+ record.as("_record"): _*)
       } else sharded.select(projCols: _*)
 
