@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions.udf
   * UDF (crypto-bound, not expressible as Catalyst expressions — SURVEY §7.2).
   * Throughput is dominated by AES, not by the UDF boundary.
   *
-  * Determinism: encrypt takes IV/timestamp from the plaintext via SHA-256 in
-  * [[deterministic]] mode (used by tests/oracles so encrypt∘decrypt is a
-  * stable identity); production mode uses SecureRandom + wall clock.
+  * [[encryptCol]] is the production path: SecureRandom IV + wall-clock
+  * timestamp per token (spec-compliant — identical plaintexts yield distinct
+  * tokens, leaking nothing about value equality/frequency), marked
+  * non-deterministic so Catalyst never deduplicates or re-executes it
+  * assuming stability. [[encryptColDeterministic]] is a test-only helper
+  * (IV/ts derived from the plaintext) for golden/oracle comparisons.
   */
 object Fernet {
 
@@ -82,8 +85,33 @@ object Fernet {
       Some(cipher.doFinal(ct))
     } catch { case _: Exception => None }
 
-  /** Deterministic encrypt Column (iv/ts derived from plaintext; stable). */
+  /** Production encrypt Column: fresh SecureRandom IV + wall-clock timestamp
+    * per token, matching the reference's fernet EncryptAndSign
+    * (filter/crypt.go:91-94). Non-deterministic by construction.
+    */
   def encryptCol(b64Key: String): Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val iv = new Array[Byte](16)
+        rng.get().nextBytes(iv)
+        encrypt(decodeKey(b64Key), s.getBytes("UTF-8"), iv,
+          System.currentTimeMillis() / 1000)
+      }
+    }.asNondeterministic()
+    c => f(c)
+  }
+
+  private val rng = new ThreadLocal[java.security.SecureRandom] {
+    override def initialValue(): java.security.SecureRandom =
+      new java.security.SecureRandom()
+  }
+
+  /** TEST-ONLY deterministic encrypt (iv/ts derived from the plaintext so
+    * encrypt∘decrypt is a stable identity for golden files). Never use for
+    * real data: equal plaintexts produce equal tokens.
+    */
+  def encryptColDeterministic(b64Key: String): Column => Column = {
     val f = udf { (s: String) =>
       if (s == null) null
       else {

@@ -105,13 +105,18 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
         .as("bk"))
+    // distinct join key name on the right: a("bk")===b("bk") on two frames
+    // cut from the same plan resolves to the ambiguous self-join attribute
     val a = banded.select(col("bk"), col("__id").as("idA"), col("__sig").as("sigA"))
-    val b = banded.select(col("bk"), col("__id").as("idB"), col("__sig").as("sigB"))
-    a.join(b, a("bk") === b("bk") && col("idA") < col("idB"))
+    val b = banded.select(col("bk").as("bk2"), col("__id").as("idB"), col("__sig").as("sigB"))
+    // dedup band collisions FIRST (a near-identical pair collides in up to
+    // `bands` bands), then score each distinct pair once: the zip_with
+    // lambda is interpreted, so it must not run per-collision
+    a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(first("sigA").as("sigA"), first("sigB").as("sigB"))
       .select(col("idA"), col("idB"),
         (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
           .cast("double") / numPerm).as("est_jaccard"))
-      .groupBy("idA", "idB").agg(first("est_jaccard").as("est_jaccard"))
   }
 
   /** MinHash-LSH dedup: drop every doc that near-matches (est jaccard ≥
@@ -157,16 +162,22 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, nBits: Int = 32,
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
-    val w = nBits / chunks
+    require(chunks <= nBits, s"maxHamming+1=$chunks exceeds signature width $nBits")
+    // chunk widths cover ALL nBits: the first (nBits % chunks) chunks take an
+    // extra bit, so no high bits escape the pigeonhole argument for any
+    // (nBits, maxHamming) combination
+    val base = nBits / chunks
+    val widths = (0 until chunks).map(c => base + (if (c < nBits % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sig = simhash(df, idCol, textCol, nBits).select(col(idCol).as("__id"), col("simhash"))
     val banded = sig.select(col("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * w).bitwiseAND((1L << w) - 1).as("ck")).as("k")
+          shiftright(col("simhash"), offsets(c)).bitwiseAND((1L << widths(c)) - 1).as("ck")).as("k")
       }: _*)).as("bk"))
     val a = banded.select(col("bk"), col("__id").as("idA"), col("simhash").as("shA"))
-    val b = banded.select(col("bk"), col("__id").as("idB"), col("simhash").as("shB"))
-    a.join(b, a("bk") === b("bk") && col("idA") < col("idB"))
+    val b = banded.select(col("bk").as("bk2"), col("__id").as("idB"), col("simhash").as("shB"))
+    a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -215,8 +226,8 @@ object Dedup {
     val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       explode(array(sigs: _*)).as("bk"))
     val a = bucketed.select(col("bk"), col("__id").as("idA"), col("__v").as("vA"))
-    val b = bucketed.select(col("bk"), col("__id").as("idB"), col("__v").as("vB"))
-    a.join(b, a("bk") === b("bk") && col("idA") < col("idB"))
+    val b = bucketed.select(col("bk").as("bk2"), col("__id").as("idB"), col("__v").as("vB"))
+    a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
       .groupBy("idA", "idB").agg(first("vA").as("vA"), first("vB").as("vB"))
       .withColumn("cosine", VectorFunctions.cosine(col("vA"), col("vB")))
       .filter(col("cosine") >= threshold)

@@ -46,16 +46,18 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int = 10, nBits: Int = 8, seeds: Seq[Long] = Seq(42L, 1042L, 2042L),
       excludeSelf: Boolean = true): DataFrame = {
-    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+    // distinct bucket-key names per side: corpus and queries often derive
+    // from the same plan, so c("bk")===q("bk") would resolve ambiguously
+    def bucketed(df: DataFrame, id: String, v: String, bk: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
         explode(array(seeds.zipWithIndex.map { case (s, i) =>
           struct(lit(i).as("s"),
             VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s).as("sig"))
-        }: _*)).as("bk"))
+        }: _*)).as(bk))
 
-    val c = bucketed(corpus, "neighbor_id", "__cv")
-    val q = broadcast(bucketed(queries, "query_id", "__qv"))
-    val cand = c.join(q, c("bk") === q("bk"))
+    val c = bucketed(corpus, "neighbor_id", "__cv", "bk")
+    val q = broadcast(bucketed(queries, "query_id", "__qv", "qbk"))
+    val cand = c.join(q, col("bk") === col("qbk"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .groupBy("query_id", "neighbor_id").agg(first("__qv").as("__qv"), first("__cv").as("__cv"))
       .withColumn("cosine", round(VectorFunctions.cosine(col("__qv"), col("__cv")), 4))

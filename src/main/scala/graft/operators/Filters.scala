@@ -220,7 +220,10 @@ object Filters {
       val parsed: Column = srcFormat match {
         case "unix"   => timestamp_seconds(try_cast_long(col(src)))
         case "unixms" => timestamp_millis(try_cast_long(col(src)))
-        case "unixns" => timestamp_micros(try_cast_long(col(src)) / 1000)
+        // integral `div`: `/` goes through double and loses precision at
+        // epoch-nanosecond magnitudes (>2^53)
+        case "unixns" =>
+          timestamp_micros(call_function("div", try_cast_long(col(src)), lit(1000L)))
         case fmt      => try_to_timestamp(col(src).cast("string"), lit(layout(fmt)))
       }
       val out: Column = dstFormat match {

@@ -194,9 +194,11 @@ object BuiltinComponents {
     (_, cfg) => {
       require(cfg.str("Algorithm").equalsIgnoreCase("fernet"),
         s"Crypt: unsupported algorithm '${cfg.str("Algorithm")}' (only fernet)")
-      val ac = cfg.strMap("AlgorithmConfig")
+      // reference reads 'Key'/'TTL' (crypt.go:44-58); accept any case like
+      // the rest of the case-insensitive config convention
+      val ac = cfg.strMap("AlgorithmConfig").map { case (k, v) => k.toLowerCase -> v }
       val key = ac.getOrElse("key",
-        throw new IllegalArgumentException("Crypt: AlgorithmConfig.key required"))
+        throw new IllegalArgumentException("Crypt: AlgorithmConfig.Key required"))
       val src = cfg.str("SrcField"); val dst = cfg.str("DstField")
       if (cfg.bool("Decrypt")) { df =>
         // decrypt failure drops the record (crypt.go:96-102)
@@ -451,25 +453,25 @@ object BuiltinComponents {
           .getAbsolutePath
 
       var w = df
-      var writer = {
-        if (hasField0) {
-          require(ctx.outputFields.nonEmpty, "FileWriter: {{.Field0}} needs [output] fields")
-          w = df.withColumn("__part", coalesce(col(ctx.outputFields.head), lit("")))
-        }
-        val rs = cfg.int("RotateSize", 0L)
-        var base = w.select(
-          (if (hasField0) Seq(col("__part")) else Nil) :+ col("_record").as("value"): _*)
-        var dfw = base.write.mode("overwrite")
-        if (rs > 0) {
-          // size rotation ≈ maxRecordsPerFile from a sampled record size
-          val sample = df.select(avg(length(col("_record")))).head().getDouble(0).max(1.0)
-          dfw = dfw.option("maxRecordsPerFile", math.max(1L, (rs / sample).toLong))
-        }
-        codec.foreach(c => dfw = dfw.option("compression", c))
-        if (hasField0) dfw = dfw.partitionBy("__part")
-        dfw
+      if (hasField0) {
+        require(ctx.outputFields.nonEmpty, "FileWriter: {{.Field0}} needs [output] fields")
+        w = df.withColumn("__part", coalesce(col(ctx.outputFields.head), lit("")))
       }
-      writer.text(tmp)
+      // written-record count piggybacks on the write job (no second pass)
+      val obs = new org.apache.spark.sql.Observation()
+      val base = w.select(
+        (if (hasField0) Seq(col("__part")) else Nil) :+ col("_record").as("value"): _*)
+        .observe(obs, count(lit(1)).as("rows"))
+      var dfw = base.write.mode("overwrite")
+      val rs = cfg.int("RotateSize", 0L)
+      if (rs > 0) {
+        // size rotation ≈ maxRecordsPerFile from a sampled record size
+        val sample = df.select(avg(length(col("_record")))).head().getDouble(0).max(1.0)
+        dfw = dfw.option("maxRecordsPerFile", math.max(1L, (rs / sample).toLong))
+      }
+      codec.foreach(c => dfw = dfw.option("compression", c))
+      if (hasField0) dfw = dfw.partitionBy("__part")
+      dfw.text(tmp)
 
       // move task part files into template-expanded final paths
       val now = Instant.ofEpochMilli(System.currentTimeMillis()).atZone(ZoneOffset.UTC)
@@ -494,7 +496,7 @@ object BuiltinComponents {
         }
       val written = Seq.newBuilder[String]
       val byDir = partFiles(new java.io.File(tmp)).groupBy(_.getParentFile.getName)
-      var rows = 0L
+      val rows = obs.get("rows").asInstanceOf[Long]
       for ((dirName, files) <- byDir) {
         val field0 = if (dirName.startsWith("__part=")) dirName.stripPrefix("__part=") else ""
         files.zipWithIndex.foreach { case (f, ix) =>

@@ -60,6 +60,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash banding covers all bits when nBits % (maxHamming+1) != 0") {
+    // 32 bits / 5 chunks → widths 7,7,6,6,6: an identical pair must still
+    // collide (it agrees on every chunk, including the widened ones)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 2L)) == 0)
+  }
+
   test("jaccard column: exact set similarity with empty-set guard") {
     val df = spark.sql(
       """SELECT array('a','b','c') ta, array('b','c','d') tb

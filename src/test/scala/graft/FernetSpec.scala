@@ -43,6 +43,17 @@ class FernetSpec extends SparkSpec {
     assert(out.filter(col("v").isNull && col("back").isNull).count() == 1)
   }
 
+  test("encryptCol is non-deterministic: equal plaintexts → distinct tokens") {
+    val df = strDf(Seq("v"), Seq(Seq("same"), Seq("same"), Seq("same")))
+    val toks = df.withColumn("t", Fernet.encryptCol(key)(col("v")))
+      .select("t").collect().map(_.getString(0))
+    assert(toks.distinct.length == 3, "random-IV fernet must never repeat tokens")
+    // while the deterministic test helper is stable by design
+    val dtoks = df.withColumn("t", Fernet.encryptColDeterministic(key)(col("v")))
+      .select("t").collect().map(_.getString(0))
+    assert(dtoks.distinct.length == 1)
+  }
+
   test("decrypt column yields null on forged input (callers drop the row)") {
     val df = strDf(Seq("v"), Seq(Seq("forged")))
     val out = df.withColumn("d", Fernet.decryptCol(key)(col("v")))
