@@ -282,7 +282,8 @@ object SparkEntry {
 
     "q_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64)
         .orderBy("query_id", "rank")
     }),
 

@@ -28,23 +28,32 @@ object TextFunctions {
         "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
       c => length(trim(c)) > 0))
 
+  /** Bind `v` as a lambda variable so the generating expression is evaluated
+    * ONCE per row. A higher-order function re-evaluates non-lambda
+    * expressions inside its lambda for EVERY element — e.g. a shingle lambda
+    * that slices `split(text)` directly re-runs the regex tokenizer once per
+    * shingle (measured 4.2s → 0.3s on 260k shingles at sf0.1).
+    */
+  def bindOnce(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Word k-shingles ("a b c" 2-shingles → ["a b","b c"]); fewer than k
     * tokens → empty array.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - k),
-        i => array_join(slice(t, i + 1, lit(k)), " ")))
-  }
+  def shingles(text: Column, k: Int): Column =
+    bindOnce(tokens(text)) { t =>
+      when(size(t) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - k),
+          i => array_join(slice(t, i + 1, lit(k)), " ")))
+    }
 
   /** Distinct character n-grams of the lowercased text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val s = lower(coalesce(text, lit("")))
-    when(length(s) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), length(s) - (n - 1)),
-        i => s.substr(i, lit(n)))))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    bindOnce(lower(coalesce(text, lit("")))) { s =>
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n)))))
+    }
 
   /** Sorted-distinct-token fingerprint (md5 hex) — canonical document
     * fingerprint for exact near-dup keys (case/punct-normalized variant of

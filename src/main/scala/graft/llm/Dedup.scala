@@ -52,11 +52,17 @@ object Dedup {
     */
   def minhashSignature(text: Column, numPerm: Int = 64, shingleK: Int = 3,
       seed: Long = 42L): Column = {
-    val hashes = transform(TextFunctions.shingles(text, shingleK), s => pmod(xxhash64(s), lit(P)))
     val coeffs = typedLit((0 until numPerm).map(i => (coeff(seed, 2L * i), coeff(seed, 2L * i + 1))))
-    when(size(hashes) === 0, typedLit(Seq.fill(numPerm)(P)))
-      .otherwise(transform(coeffs,
-        c => array_min(transform(hashes, h => pmod(h * c("_1") + c("_2"), lit(P))))))
+    // hash the shingles ONCE per row; referencing the hash expression from
+    // inside the per-permutation lambda would re-shingle + re-hash the text
+    // numPerm times (TextFunctions.bindOnce)
+    TextFunctions.bindOnce(
+      transform(TextFunctions.shingles(text, shingleK), s => pmod(xxhash64(s), lit(P)))) {
+      hashes =>
+        when(size(hashes) === 0, typedLit(Seq.fill(numPerm)(P)))
+          .otherwise(transform(coeffs,
+            c => array_min(transform(hashes, h => pmod(h * c("_1") + c("_2"), lit(P))))))
+    }
   }
 
   /** MinHash signatures via the codegen path: explode shingles → one
@@ -229,7 +235,7 @@ object Dedup {
     val b = bucketed.select(col("bk").as("bk2"), col("__id").as("idB"), col("__v").as("vB"))
     a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
       .groupBy("idA", "idB").agg(first("vA").as("vA"), first("vB").as("vB"))
-      .withColumn("cosine", VectorFunctions.cosine(col("vA"), col("vB")))
+      .withColumn("cosine", VectorFunctions.cosineFast(col("vA"), col("vB")))
       .filter(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,12 +25,19 @@ object Similarity {
     * @param queries (idCol, vecCol) — must be small (broadcast).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+      k: Int = 10, excludeSelf: Boolean = true, dim: Int = -1): DataFrame = {
+    // norms once per row BEFORE the pair blow-up (the corpus norm would
+    // otherwise be recomputed |queries| times per corpus row)
+    val dot = VectorFunctions.dotFast _
+    def norm(a: Column): Column = sqrt(dot(a, a))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
       .crossJoin(q)
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -60,7 +67,7 @@ object Similarity {
     val cand = c.join(q, col("bk") === col("qbk"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .groupBy("query_id", "neighbor_id").agg(first("__qv").as("__qv"), first("__cv").as("__cv"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("cosine", round(VectorFunctions.cosineFast(col("__qv"), col("__cv")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
