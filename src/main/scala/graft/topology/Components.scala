@@ -30,8 +30,28 @@ object BuiltinComponents {
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
-      DynamoOutput.desc),
+      DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
+    metrics = Seq(datadogMetrics),
+  )
+
+  /** Datadog — dogstatsd metrics exporter (reference:
+    * metrics/datadog/client.go:17-60; registry metrics/all.go).
+    */
+  val datadogMetrics: MetricsDesc = MetricsDesc(
+    "Datadog",
+    "Exports topology metrics to a dogstatsd endpoint over UDP.",
+    Seq(
+      ConfigKey("Host", "address (host:port) of the statsd host",
+        default = Some("127.0.0.1:8125")),
+      ConfigKey("Prefix", "prefix for all metric names", default = Some("baker.")),
+      ConfigKey("Tags", "tags attached to all metrics"),
+      ConfigKey("SendLogs", "send logs as statsd events (accepted, unused)",
+        default = Some(false))),
+    (_, cfg) => new graft.metrics.DatadogMetrics(
+      cfg.str("Host", "127.0.0.1:8125"),
+      cfg.str("Prefix", "baker."),
+      cfg.strList("Tags", Nil)),
   )
 
   private def allStringSchema(fields: Seq[String]): StructType =

@@ -168,12 +168,21 @@ final case class UploadDesc(
     build: (TopologyCtx, ComponentConfig, Seq[String]) => Unit,
 ) extends ComponentDesc
 
+/** Metrics backend: builds the MetricsClient the topology publishes to
+  * (reference: MetricsDesc, desc.go:104-111; registry metrics/all.go).
+  */
+final case class MetricsDesc(
+    name: String, help: String, keys: Seq[ConfigKey],
+    build: (TopologyCtx, ComponentConfig) => graft.metrics.MetricsClient,
+) extends ComponentDesc
+
 /** Component registry with case-insensitive lookup (config.go:300-351). */
 final case class Components(
     inputs: Seq[InputDesc] = Nil,
     filters: Seq[FilterDesc] = Nil,
     outputs: Seq[OutputDesc] = Nil,
     uploads: Seq[UploadDesc] = Nil,
+    metrics: Seq[MetricsDesc] = Nil,
 ) {
   private def find[T <: ComponentDesc](xs: Seq[T], kind: String, name: String): T =
     xs.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -184,10 +193,12 @@ final case class Components(
   def filter(name: String): FilterDesc = find(filters, "filter", name)
   def output(name: String): OutputDesc = find(outputs, "output", name)
   def upload(name: String): UploadDesc = find(uploads, "upload", name)
+  def metricsBackend(name: String): MetricsDesc = find(metrics, "metrics", name)
 
   def ++(other: Components): Components = Components(
     inputs ++ other.inputs, filters ++ other.filters,
-    outputs ++ other.outputs, uploads ++ other.uploads)
+    outputs ++ other.outputs, uploads ++ other.uploads,
+    metrics ++ other.metrics)
 
   /** Markdown help for every registered component, generated from the
     * descriptor metadata (reference: help_markdown.go:14 RenderHelpMarkdown).
@@ -206,7 +217,8 @@ final case class Components(
            else s"| Key | Required | Default | Help |\n|---|---|---|---|\n$keyRows\n")
       }.mkString("\n")
     Seq(section("Inputs", inputs), section("Filters", filters),
-      section("Outputs", outputs), section("Uploads", uploads))
+      section("Outputs", outputs), section("Uploads", uploads),
+      section("Metrics", metrics))
       .filter(_.nonEmpty).mkString("\n")
   }
 }

@@ -33,6 +33,7 @@ object Topology {
       sharding: Option[String],
       outputConfig: ComponentConfig,
       upload: Option[(String, ComponentConfig)],
+      metrics: Option[(String, ComponentConfig)] = None,
   )
 
   /** Decode the parsed TOML tree (reference: NewConfigFromToml stages 2-6). */
@@ -100,6 +101,11 @@ object Topology {
           Some((m("name").toString, cc(m, s"upload ${m("name")}")))
         case _ => None
       },
+      metrics = tree.get("metrics") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) if m.contains("name") =>
+          Some((m("name").toString, cc(m, s"metrics ${m("name")}")))
+        case _ => None
+      },
     )
   }
 
@@ -113,8 +119,19 @@ object Topology {
       projected: DataFrame,
       observations: Map[String, Observation],
   ) {
+    /** The configured MetricsClient (Nop when no [metrics] section). */
+    def metricsClient(): graft.metrics.MetricsClient = cfg.metrics match {
+      case Some((name, mCfg)) =>
+        val desc = components.metricsBackend(name)
+        mCfg.validate(desc.keys)
+        desc.build(ctx, mCfg)
+      case None => graft.metrics.NopMetrics
+    }
+
     /** Execute output + upload; returns (output result, observed metrics). */
     def run(): (OutputResult, Map[String, Any]) = {
+      val mc = metricsClient()
+      val t0 = System.nanoTime()
       val outDesc = components.output(cfg.outputName)
       cfg.outputConfig.validate(outDesc.keys)
       val result = outDesc.build(ctx, cfg.outputConfig, projected)
@@ -132,6 +149,17 @@ object Topology {
           f.invoke(o).asInstanceOf[Map[String, Any]]
         } catch { case _: Exception => Map.empty[String, Any] }
       }
+      // topology-level counters, published once per run (stats.go:131-139
+      // breakdown; per-record emission would never survive 1000 executors)
+      try {
+        val read = metrics.get("input_records").collect { case l: Long => l }.getOrElse(0L)
+        val written = metrics.get("output_records").collect { case l: Long => l }
+          .getOrElse(result.rows)
+        mc.deltaCount("records_read", read)
+        mc.deltaCount("records_written", written)
+        mc.deltaCount("records_filtered", math.max(0L, read - written))
+        mc.duration("topology_run", (System.nanoTime() - t0) / 1000000L)
+      } finally mc.close()
       (result, metrics)
     }
   }
