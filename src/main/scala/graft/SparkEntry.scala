@@ -557,6 +557,16 @@ object SparkEntry {
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                     ELSE list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                         t -> ('0x' || substr(md5(t), 1, 7))::BIGINT),
+                       (acc, h) -> (acc * 31 + h) % 2147483647)
+                END AS rh
+         FROM documents ORDER BY doc_id""",
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
                 sha256(text) AS payload_sha

@@ -62,12 +62,17 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " ").cast("binary"))
 
-  /** 64-bit rolling (polynomial) hash of the token stream — order-sensitive
-    * document fingerprint. Horner's rule over xxhash64 of each token,
-    * multiplier 31, wrapping long arithmetic.
+  /** Rolling (polynomial) hash of the token stream — order-sensitive
+    * document fingerprint. Horner's rule modulo the Mersenne prime 2^31-1
+    * over a 28-bit md5-prefix token hash: every step is engine-portable
+    * (md5 + hex + modular arithmetic exist identically in any SQL engine),
+    * so the value is verifiable against an independent oracle — unlike
+    * xxhash64, whose seed/spec is Spark-specific.
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + conv(substring(md5(t.cast("binary")), 1, 7), 16, 10)
+        .cast("long"), lit(2147483647L)))
 
   // --- language ID (n-gram/stopword heuristic) ---
 
