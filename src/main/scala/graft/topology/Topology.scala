@@ -190,15 +190,19 @@ object Topology {
     var df =
       if (rawFast) {
         val raw = inDesc.buildRaw.get(ctx, cfg.input._2)
-        // separator count guards short lines (missing trailing fields ≡
-        // empty, logline.go:87-89); translate is an alloc-free byte scan
-        val nSeps = length(col("value")) -
-          length(translate(col("value"), cfg.separator, ""))
+        // Short lines: missing trailing fields ≡ empty (logline.go:87-89).
+        // Field i exists iff the line has ≥ i separators iff the prefix
+        // before the i-th separator is a PROPER prefix — a scan bounded by
+        // the field's position. (Counting all separators with
+        // translate/regexp instead scans + copies the whole ~4.5KB line for
+        // every row, measured 2.7× slower end-to-end on the pipeline bench.)
         val virtualFields = cfg.fields.zipWithIndex.map { case (f, i) =>
           val lazyField =
             substring_index(substring_index(col("value"), cfg.separator, i + 1),
               cfg.separator, -1)
-          f -> (if (i == 0) lazyField else when(nSeps >= i, lazyField).otherwise(lit("")))
+          val exists =
+            length(substring_index(col("value"), cfg.separator, i)) < length(col("value"))
+          f -> (if (i == 0) lazyField else when(exists, lazyField).otherwise(lit("")))
         }
         raw.withColumns(virtualFields.toMap)
       } else {
