@@ -7,18 +7,19 @@ import org.apache.spark.sql.functions._
   *
   * Two tiers:
   *  - pure Column expressions (`dot`/`norm`/`cosine`/`l2Distance`) built on
-  *    zip_with/aggregate — no UDF, but Spark evaluates higher-order-function
-  *    lambdas INTERPRETED (never codegen), measured ~1µs per element op;
-  *  - `cosineFast`/`hyperplaneSignature` — tight-loop JVM UDFs over
-  *    primitive double arrays. The JIT compiles these to straight-line
-  *    multiply-adds: measured ~30× faster per row than the HOF versions at
-  *    dim=64, and the gap grows with dim. (A statically-unrolled
-  *    element_at expression tree was tried and is WORSE than both: 512-node
-  *    trees fall out of whole-stage codegen and stall the optimizer.)
+  *    zip_with/aggregate — portable, but Spark evaluates higher-order-
+  *    function lambdas INTERPRETED (never codegen), measured ~1µs per
+  *    element op;
+  *  - `dotFast`/`cosineFast` — the native [[ArrayDot]] Catalyst expression
+  *    (doGenCode primitive loop, fused into whole-stage codegen) — and
+  *    `hyperplaneSignature`, a tight-loop JVM UDF carrying its plane matrix
+  *    in the closure. Both are orders faster per row than the HOF tier.
+  *    (A statically-unrolled element_at expression tree was tried and is
+  *    WORSE than either: 512-node trees fall out of whole-stage codegen
+  *    and stall the optimizer.)
   *
-  * All math is promoted to double (single `cast("array<double>")`, which IS
-  * codegen'd) with left-to-right summation, so both tiers produce
-  * bit-identical results.
+  * All math is promoted to double with left-to-right summation, so both
+  * tiers produce bit-identical results.
   */
 object VectorFunctions {
 
@@ -36,26 +37,15 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
-  @inline private def dotLoop(a: Seq[Double], b: Seq[Double]): Double = {
-    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
+  /** Codegen'd dot product — the native [[ArrayDot]] Catalyst expression
+    * (doGenCode while-loop over ArrayData: no boxing, no Seq conversion,
+    * fused into whole-stage codegen). Null input → null.
+    */
+  def dotFast(a: Column, b: Column): Column = ArrayDot(a, b)
 
-  private val dotU = udf { (a: Seq[Double], b: Seq[Double]) =>
-    if (a == null || b == null) None else Some(dotLoop(a, b))
-  }
-
-  private val cosU = udf { (a: Seq[Double], b: Seq[Double]) =>
-    if (a == null || b == null) None
-    else Some(dotLoop(a, b) / (math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b))))
-  }
-
-  /** JIT-compiled dot product (see class doc); null on null input. */
-  def dotFast(a: Column, b: Column): Column = dotU(dArr(a), dArr(b))
-
-  /** JIT-compiled cosine similarity; bit-identical to [[cosine]]. */
-  def cosineFast(a: Column, b: Column): Column = cosU(dArr(a), dArr(b))
+  /** Codegen'd cosine similarity; bit-identical to [[cosine]]. */
+  def cosineFast(a: Column, b: Column): Column =
+    ArrayDot(a, b) / (sqrt(ArrayDot(a, a)) * sqrt(ArrayDot(b, b)))
 
   /** Random-hyperplane (SimHash) LSH signature of a vector: `nBits` sign
     * bits packed into a long. Hyperplanes are pseudo-random but fully
