@@ -61,8 +61,8 @@ object BuiltinComponents {
 
   /** List — files/dirs/@listfiles of CSV logs, gzip/zstd transparent.
     * reference: input/list.go:30-54 (spec), :89-164 (openFile),
-    * :262-391 (walks). s3://—via Hadoop's s3a on a real cluster; http(s)
-    * and stdin are not supported in this build.
+    * :262-391 (walks). s3:// — via Hadoop's s3a on a real cluster;
+    * http(s):// and stdin spool through driver-local temp files.
     */
   val listInput: InputDesc = InputDesc(
     "List",
@@ -93,14 +93,38 @@ object BuiltinComponents {
     }),
   )
 
-  /** Resolve the List input's Files entries: plain files, @listfiles, and
-    * recursive directory walks filtered by MatchPath (list.go:262-391).
+  /** stdin source for the List input's "-" entry; injectable for tests. */
+  @volatile var stdinSource: () => java.io.InputStream = () => System.in
+
+  /** Resolve the List input's Files entries: plain files, `-` (stdin),
+    * http(s):// URLs, @listfiles, and recursive directory walks filtered by
+    * MatchPath (list.go:89-164 openFile, :262-391 walks).
+    *
+    * stdin and http downloads are spooled to driver-local temp files (the
+    * reference also drains them through one reader goroutine — neither
+    * source is splittable, so neither engine parallelizes the read); the
+    * file extension is preserved so gzip/zstd decompression still applies.
+    * Note: `_metadata.file_path` (MetadataUrl) then reports the spool path,
+    * not the original URL.
     */
   private def resolveListPaths(cfg: ComponentConfig): Seq[String] = {
     val matchPath = cfg.str("MatchPath", ".*\\.log\\.gz").r
     val entries = cfg.strList("Files", Seq("-"))
+    def spool(in: java.io.InputStream, suffix: String): String = {
+      val tmp = java.nio.file.Files.createTempFile("graft-list", suffix)
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+    def suffixOf(name: String): String =
+      if (name.endsWith(".gz")) ".gz" else if (name.endsWith(".zst")) ".zst" else ".log"
     val paths: Seq[String] = entries.flatMap {
-      case "-" => throw new IllegalArgumentException("List: stdin ('-') not supported")
+      case "-" => Seq(spool(stdinSource(), ".log"))
+      case e if e.startsWith("http://") || e.startsWith("https://") =>
+        val url = java.net.URI.create(e).toURL
+        Seq(spool(url.openStream(), suffixOf(url.getPath)))
       case e if e.startsWith("@") =>
         val listFile = e.substring(1)
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(listFile)), "UTF-8")

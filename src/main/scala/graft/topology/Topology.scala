@@ -141,13 +141,20 @@ object Topology {
         upDesc.build(ctx, upCfg, result.paths)
       }
       val metrics = observations.flatMap { case (_, o) =>
-        // poll with timeout: empty when the action never materialized the
-        // observed frame (e.g. OpLog's limited collect)
-        try {
-          val f = o.getClass.getDeclaredMethod("getOrEmpty")
-          f.setAccessible(true)
-          f.invoke(o).asInstanceOf[Map[String, Any]]
-        } catch { case _: Exception => Map.empty[String, Any] }
+        // getOrEmpty is non-blocking and the QueryExecutionListener that
+        // fills it fires ASYNC after the action — poll briefly, giving up
+        // when the action never materialized the observed frame (e.g.
+        // OpLog's limited collect)
+        def read(): Map[String, Any] =
+          try {
+            val f = o.getClass.getDeclaredMethod("getOrEmpty")
+            f.setAccessible(true)
+            f.invoke(o).asInstanceOf[Map[String, Any]]
+          } catch { case _: Exception => Map.empty[String, Any] }
+        var m = read()
+        val deadline = System.nanoTime() + 2000000000L
+        while (m.isEmpty && System.nanoTime() < deadline) { Thread.sleep(20); m = read() }
+        m
       }
       // topology-level counters, published once per run (stats.go:131-139
       // breakdown; per-record emission would never survive 1000 executors)

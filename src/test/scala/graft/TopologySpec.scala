@@ -223,9 +223,60 @@ class TopologySpec extends SparkSpec {
   test("help rendering covers every registered component") {
     val help = BuiltinComponents.all.renderHelp
     val c = BuiltinComponents.all
-    for (d <- c.inputs ++ c.filters ++ c.outputs ++ c.uploads)
+    for (d <- c.inputs ++ c.filters ++ c.outputs ++ c.uploads ++ c.metrics)
       assert(help.contains(s"### ${d.name}"), s"missing help for ${d.name}")
     assert(help.contains("| Key | Required | Default | Help |"))
+  }
+
+  test("List input reads http:// sources (gzip preserved via extension)") {
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(bos)
+      z.write("7,h1\n8,h2\n".getBytes("UTF-8")); z.close()
+      bos.toByteArray
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/logs/data.csv.gz", ex => {
+      ex.sendResponseHeaders(200, gz.length)
+      ex.getResponseBody.write(gz); ex.close()
+    })
+    server.start()
+    try {
+      val toml =
+        s"""[fields]
+           |names = ["id", "name"]
+           |[input]
+           |name = "List"
+           |  [input.config]
+           |  Files = ["http://127.0.0.1:${server.getAddress.getPort}/logs/data.csv.gz"]
+           |[output]
+           |name = "Recorder"
+           |""".stripMargin
+      val (result, _) = Topology.compileToml(spark, toml).run()
+      assert(result.rows == 2L)
+      assert(BuiltinComponents.Recorder.last.map(_.getString(0)).sorted == Seq("7", "8"))
+    } finally server.stop(0)
+  }
+
+  test("List input reads stdin ('-')") {
+    val old = BuiltinComponents.stdinSource
+    BuiltinComponents.stdinSource =
+      () => new java.io.ByteArrayInputStream("9,s1\n10,s2\n11,s3\n".getBytes("UTF-8"))
+    try {
+      val toml =
+        s"""[fields]
+           |names = ["id", "name"]
+           |[input]
+           |name = "List"
+           |  [input.config]
+           |  Files = ["-"]
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      val (result, _) = Topology.compileToml(spark, toml).run()
+      assert(result.rows == 3L)
+    } finally BuiltinComponents.stdinSource = old
   }
 
   test("upload stage copies outputs under Bucket/Prefix preserving layout") {
