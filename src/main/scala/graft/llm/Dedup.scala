@@ -29,65 +29,37 @@ object Dedup {
 
   // --- MinHash ---
 
-  /** Mersenne prime 2^31-1: (a*h+b) mod p stays in Long for a,h < p. */
-  private val P: Long = 2147483647L
-
-  /** Deterministic per-permutation coefficients (splitmix64 of the seed). */
-  private def coeff(seed: Long, i: Long): Long = {
-    var z = seed + i * 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    math.floorMod(z ^ (z >>> 31), P - 1) + 1
-  }
+  /** Mersenne prime 2^31-1 (see [[graft.functions.HashExpressions.P]]). */
+  private val P: Long = graft.functions.HashExpressions.P
 
   /** MinHash signature of a text column as `array<long>` of length
-    * `numPerm`: min over shingle hashes of (a_i*h + b_i) mod p.
+    * `numPerm`, via the native [[graft.functions.MinHashSig]] Catalyst
+    * expression over the token array: token hashes + k-gram combine + all
+    * permutation minima in one codegen'd loop, no shingle strings ever
+    * materialized. Empty/too-short text → all-P sentinel.
     *
-    * The permutation coefficients are a LITERAL array driven through
-    * nested `transform`s — data, not expression nodes — so the expression
-    * tree is tiny and stays inside whole-stage codegen regardless of
-    * `numPerm`. (A naive `array(perm0, perm1, ..., perm63)` of 64 parallel
-    * transforms blows janino's 64KB method limit, silently falls back to
-    * interpreted eval, and runs ~100× slower.) Map-only: zero shuffles.
+    * Map-only: ZERO shuffles. Earlier formulations either evaluated
+    * interpreted (HOF lambdas: ~200s for 66k docs at sf0.1) or exploded
+    * shingle strings into a groupBy(id) — codegen'd but allocating every
+    * k-gram string and shuffling one row per document; at 100 TB that
+    * exchange is the whole cost.
     */
   def minhashSignature(text: Column, numPerm: Int = 64, shingleK: Int = 3,
-      seed: Long = 42L): Column = {
-    val coeffs = typedLit((0 until numPerm).map(i => (coeff(seed, 2L * i), coeff(seed, 2L * i + 1))))
-    // hash the shingles ONCE per row; referencing the hash expression from
-    // inside the per-permutation lambda would re-shingle + re-hash the text
-    // numPerm times (TextFunctions.bindOnce)
-    TextFunctions.bindOnce(
-      transform(TextFunctions.shingles(text, shingleK), s => pmod(xxhash64(s), lit(P)))) {
-      hashes =>
-        when(size(hashes) === 0, typedLit(Seq.fill(numPerm)(P)))
-          .otherwise(transform(coeffs,
-            c => array_min(transform(hashes, h => pmod(h * c("_1") + c("_2"), lit(P))))))
-    }
-  }
+      seed: Long = 42L): Column =
+    graft.functions.HashExpressions.minhash(
+      TextFunctions.tokens(text), numPerm, shingleK, seed)
 
-  /** MinHash signatures via the codegen path: explode shingles → one
-    * groupBy(id) with `numPerm` map-side-combined `min` aggregates.
-    *
-    * Why not [[minhashSignature]] (the pure-Column version)? Spark's
-    * higher-order functions (`transform`/`aggregate`) evaluate their
-    * lambdas interpreted — 64 perms × shingles per doc measured ~200s for
-    * 66k docs at sf0.1. Hash+min over exploded rows stays inside
-    * whole-stage codegen and partial aggregation collapses each partition
-    * to one row per doc before the (uniform, id-keyed) shuffle: same job
-    * at <10s, and the shape that survives 100 TB.
+  /** Per-document MinHash signatures: (__id, __sig array<long>). Documents
+    * with no shingles (< shingleK tokens) are dropped — an all-P sentinel
+    * signature would otherwise band-match every other empty document.
     * Output: (__id, __sig array<long> of length numPerm).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 64,
-      shingleK: Int = 3, seed: Long = 42L): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(TextFunctions.shingles(col(textCol), shingleK)).as("__s"))
-      .select(col("__id"), pmod(xxhash64(col("__s")), lit(P)).as("__h"))
-    val mins = (0 until numPerm).map { i =>
-      min(pmod(col("__h") * coeff(seed, 2L * i) + coeff(seed, 2L * i + 1), lit(P))).as(s"__m$i")
-    }
-    sh.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
-      .select(col("__id"), array((0 until numPerm).map(i => col(s"__m$i")): _*).as("__sig"))
-  }
+      shingleK: Int = 3, seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), numPerm, shingleK, seed).as("__sig"))
+      // element 0 == P ⟺ no shingles (real values are mod P, always < P)
+      .filter(element_at(col("__sig"), 1) < P)
 
   /** Candidate near-dup pairs via banded LSH over the MinHash signature.
     * `bands` bands of `numPerm/bands` rows; two docs collide when any band
@@ -104,7 +76,13 @@ object Dedup {
       bands: Int = 16, shingleK: Int = 3, seed: Long = 42L): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
+    // One explicit exchange of the compact (id, sig) rows (~8·numPerm B/doc)
+    // right after the map-only signature computation: both self-join sides
+    // sit above it, so ReuseExchange materializes signatures ONCE instead of
+    // re-shingling + re-hashing the corpus per side. (The banding/explode
+    // above the exchange is recomputed per side, but that's cheap slices.)
     val sigd = minhashSignatures(df, idCol, textCol, numPerm, shingleK, seed)
+      .repartition(col("__id"))
     val banded = sigd.select(col("__id"), col("__sig"),
       // single reference to __sig (vs an N-way array() that would inline the
       // signature expression N times under projection collapse)
@@ -141,23 +119,15 @@ object Dedup {
   // --- SimHash ---
 
   /** 32-bit SimHash of the token stream: bit j of the result is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Computed via explode +
-    * one groupBy(id) with 32 map-side-combined sums — one shuffle keyed by
-    * the (unique) id, uniform by construction.
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Native
+    * [[graft.functions.SimHash64]] Catalyst expression — the whole
+    * signature in one codegen'd pass per row, no explode, no shuffle.
+    * Empty text → signature 0.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 32): DataFrame = {
-    val tok = df.select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until nBits).map { j =>
-      sum(when(col("__h").isNull, 0)
-        .when(col("__h").bitwiseAND(1L << j) =!= 0, 1).otherwise(-1)).as(s"__b$j")
-    }
-    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until nBits).map { j =>
-          when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 32): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HashExpressions.simhash(
+        TextFunctions.tokens(col(textCol)), nBits).as("simhash"))
 
   /** SimHash near-dup pairs: docs whose signatures are within `maxHamming`
     * bits. Banding: split the signature into `maxHamming+1` chunks — any
@@ -175,7 +145,10 @@ object Dedup {
     val base = nBits / chunks
     val widths = (0 until chunks).map(c => base + (if (c < nBits % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // same reuse-point trick as minhashPairs: one exchange of (id, long)
+    // rows materializes the signatures once for both self-join sides
     val sig = simhash(df, idCol, textCol, nBits).select(col(idCol).as("__id"), col("simhash"))
+      .repartition(col("__id"))
     val banded = sig.select(col("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
