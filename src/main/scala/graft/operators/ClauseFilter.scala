@@ -91,8 +91,16 @@ object ClauseFilter {
     case SList(SAtom("or") :: args)        => args.map(toColumn).reduce(_ || _)
     case SList(SAtom("not") :: x :: Nil)   => !toColumn(x)
     case SList(SAtom(field) :: SAtom(value) :: Nil) =>
-      // baker atom: bytes.Equal(record.Get(field), value); null field ≡ ""
-      coalesce(col(field).cast("string"), lit("")) === lit(value)
+      // baker atom: bytes.Equal(record.Get(field), value); null field ≡ "".
+      // Compiled WITHOUT coalesce so the conjuncts stay parquet-pushable
+      // (coalesce(f,'')=v reaches the scan as no filter at all; isnotnull+
+      // equality push as PushedFilters). The two forms are equivalent:
+      // a null field can only match the empty value. Both branches are
+      // definite (never NULL) so `not` negates them correctly.
+      if (value.isEmpty)
+        col(field).isNull || col(field).cast("string") === lit("")
+      else
+        col(field).isNotNull && col(field).cast("string") === lit(value)
     case other =>
       throw new IllegalArgumentException(s"cannot interpret clause s-expression: $other")
   }

@@ -369,7 +369,16 @@ object Filters {
   final case class StringMatch(field: String, strings: Seq[String], invert: Boolean = false)
       extends Transform {
     def apply(df: DataFrame): DataFrame = {
-      val matches = nz(col(field)).isin(strings: _*)
+      // null field ≡ "" (logline.go:87-89), compiled WITHOUT coalesce so the
+      // In/Not(In) predicate reaches the parquet scan as a pushed filter;
+      // both branches are definite (never NULL) so negation is exact
+      val f = col(field).cast("string")
+      val nonEmpty = strings.filterNot(_.isEmpty)
+      val matchesNonEmpty =
+        if (nonEmpty.nonEmpty) f.isNotNull && f.isin(nonEmpty: _*) else lit(false)
+      val matchesEmpty =
+        if (strings.exists(_.isEmpty)) f.isNull || f === lit("") else lit(false)
+      val matches = matchesNonEmpty || matchesEmpty
       df.filter(if (invert) matches else !matches)
     }
   }
