@@ -38,6 +38,15 @@ object HashExpressions {
   def simhash(tokens: Column, nBits: Int = 32): Column =
     GraftShims.toColumn(SimHash64(GraftShims.toExpression(tokens), nBits))
 
+  /** Fraction of positions where two long arrays agree (MinHash jaccard
+    * estimate). Codegen'd, so candidate pairs can be scored BEFORE
+    * dedup — the pair-dedup aggregation then carries one double instead of
+    * two signatures, staying a streaming HashAggregate rather than a
+    * SortAggregate over arrays.
+    */
+  def agreeFrac(a: Column, b: Column): Column =
+    GraftShims.toColumn(ArrayAgreeFrac(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
   private[functions] def checkStringArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -144,6 +153,60 @@ case class MinHashSig(child: Expression, numPerm: Int, shingleK: Int, seed: Long
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** Fraction of positions where two `array<long>` columns hold equal values,
+  * over the shorter length; empty → 0.0. See
+  * [[HashExpressions.agreeFrac]].
+  */
+case class ArrayAgreeFrac(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "array_agree_frac"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint> operands, " +
+        s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeFrac =
+    copy(left = newLeft, right = newRight)
 }
 
 /** SimHash of a string array packed into the low `nBits` of a long: bit j is

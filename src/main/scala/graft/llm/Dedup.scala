@@ -93,14 +93,15 @@ object Dedup {
     // cut from the same plan resolves to the ambiguous self-join attribute
     val a = banded.select(col("bk"), col("__id").as("idA"), col("__sig").as("sigA"))
     val b = banded.select(col("bk").as("bk2"), col("__id").as("idB"), col("__sig").as("sigB"))
-    // dedup band collisions FIRST (a near-identical pair collides in up to
-    // `bands` bands), then score each distinct pair once: the zip_with
-    // lambda is interpreted, so it must not run per-collision
+    // score per band collision (codegen'd agreeFrac; ≤ `bands` repeats per
+    // pair), THEN dedup — the aggregation carries one double instead of two
+    // signatures, keeping it a streaming HashAggregate instead of a
+    // SortAggregate over arrays
     a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
-      .groupBy("idA", "idB").agg(first("sigA").as("sigA"), first("sigB").as("sigB"))
       .select(col("idA"), col("idB"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
-          .cast("double") / numPerm).as("est_jaccard"))
+        graft.functions.HashExpressions.agreeFrac(col("sigA"), col("sigB"))
+          .as("est_jaccard"))
+      .groupBy("idA", "idB").agg(first("est_jaccard").as("est_jaccard"))
   }
 
   /** MinHash-LSH dedup: drop every doc that near-matches (est jaccard ≥
@@ -206,9 +207,13 @@ object Dedup {
       explode(array(sigs: _*)).as("bk"))
     val a = bucketed.select(col("bk"), col("__id").as("idA"), col("__v").as("vA"))
     val b = bucketed.select(col("bk").as("bk2"), col("__id").as("idB"), col("__v").as("vB"))
+    // cosine per bucket collision (codegen'd ArrayDot; ≤ |seeds| repeats),
+    // then a scalar-only HashAggregate dedup — vectors never cross the
+    // pair-dedup shuffle
     a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
-      .groupBy("idA", "idB").agg(first("vA").as("vA"), first("vB").as("vB"))
-      .withColumn("cosine", VectorFunctions.cosineFast(col("vA"), col("vB")))
+      .select(col("idA"), col("idB"),
+        VectorFunctions.cosineFast(col("vA"), col("vB")).as("cosine"))
+      .groupBy("idA", "idB").agg(first("cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }

@@ -64,10 +64,13 @@ object Similarity {
 
     val c = bucketed(corpus, "neighbor_id", "__cv", "bk")
     val q = broadcast(bucketed(queries, "query_id", "__qv", "qbk"))
+    // cosine per bucket collision (codegen'd; ≤ |seeds| repeats per pair),
+    // then scalar-only HashAggregate dedup — no vectors through the shuffle
     val cand = c.join(q, col("bk") === col("qbk"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .groupBy("query_id", "neighbor_id").agg(first("__qv").as("__qv"), first("__cv").as("__cv"))
-      .withColumn("cosine", round(VectorFunctions.cosineFast(col("__qv"), col("__cv")), 4))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineFast(col("__qv"), col("__cv")), 4).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
