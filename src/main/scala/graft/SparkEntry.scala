@@ -368,6 +368,21 @@ object SparkEntry {
         .agg(count(lit(1)).cast("int").as("n_frames"),
           sum(length(col("payload"))).as("total_bytes"))
         .orderBy("doc_id")),
+
+    // ---- event-time primitives (streaming/EventTime, batch-checkable) ----
+    "q_event_window" -> ((s, d) =>
+      // tumbling event-time window counts; same code path as the
+      // watermarked streaming aggregation (watermark is a no-op in batch)
+      graft.streaming.EventTime.windowedCounts(
+        t(s, d, "events"), "ts", "event_type", windowDur = "1 day")
+        .orderBy("window_start", "event_type")),
+
+    "q_dedup_ttl" -> ((s, d) =>
+      // keep-first-per-key stateful dedup run as a batch frame; only the
+      // key column is checked (which row survives per key is order-dependent)
+      graft.streaming.EventTime.dedupWithTTL(t(s, d, "events"), Seq("event_type"))
+        .select("event_type")
+        .orderBy("event_type")),
   )
 
   /** DuckDB-equivalent SQL per query (driver's t2 oracle). Omitted for
@@ -607,5 +622,14 @@ object SparkEntry {
                        ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 5.0, 1.0) * 0.2, 4)
                   AS quality
          FROM m ORDER BY doc_id""",
+    "q_event_window" ->
+      // Spark's tumbling windows and DuckDB's time_bucket both align day
+      // buckets to midnight UTC
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+                event_type, count(*) AS cnt
+         FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    "q_dedup_ttl" ->
+      """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
   )
 }
