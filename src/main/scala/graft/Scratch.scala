@@ -1,42 +1,17 @@
 package graft
+
 import graft.core.Graft
+
+/** Ad-hoc timing scratchpad (not part of the library surface). */
 object Scratch {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(s"$label: ${(System.nanoTime() - t0) / 1e9}s"); r
-  }
   def main(args: Array[String]): Unit = {
     val spark = Graft.localSession("scratch")
-    // warm
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    val plan = {
-      import graft.topology._
-      val inDir = new java.io.File(sys.props("java.io.tmpdir"), "graft-bench-pipeline-200000/in")
-      val fields = Seq("id", "kind") ++ (0 until 8).map(i => s"f$i")
-      val toml =
-        s"""[fields]
-           |names = [${fields.map(f => s""""$f"""").mkString(", ")}]
-           |[input]
-           |name = "List"
-           |  [input.config]
-           |  Files = ["$inDir"]
-           |  MatchPath = ".*\\\\.zst"
-           |[[filter]]
-           |name = "ClauseFilter"
-           |  [filter.config]
-           |  Clause = "(not (kind 3))"
-           |[output]
-           |name = "FileWriter"
-           |fields = ["kind"]
-           |  [output.config]
-           |  PathString = "/tmp/scratch-out/out-{{.Index}}-{{.UUID}}.csv.zst"
-           |""".stripMargin
-      val c = Topology.compileToml(spark, toml, env = Map.empty)
-      println("=== PLAN ===")
-      println(c.projected.queryExecution.executedPlan.toString.take(3000))
-      time("pipeline run 1")(c.run())
-      val c2 = Topology.compileToml(spark, toml, env = Map.empty)
-      time("pipeline run 2")(c2.run())
+    val sf = "/root/testdata/sf0.1"
+    for (q <- Seq("q_ann_lsh", "q_embed_neardup", "q_embed_topk", "q_dedup_minhash");
+         i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      println(s"SCRATCH $q run$i: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
     }
     spark.stop()
   }

@@ -47,40 +47,17 @@ object VectorFunctions {
   def cosineFast(a: Column, b: Column): Column =
     ArrayDot(a, b) / (sqrt(ArrayDot(a, a)) * sqrt(ArrayDot(b, b)))
 
-  /** Random-hyperplane (SimHash) LSH signature of a vector: `nBits` sign
-    * bits packed into a long. Hyperplanes are pseudo-random but fully
-    * deterministic, derived per (bit, dimension) from a splitmix64-style
-    * integer mix of the seed — identical on every executor with no
-    * broadcast state needed (the plane matrix lives in the UDF closure,
-    * shipped once per task).
+  /** Random-hyperplane (SimHash) LSH signatures of a vector, one per seed:
+    * `nBits` sign bits packed into a long each, returned as `array<long>`.
+    * Native [[HyperplaneSigs]] Catalyst expression — one codegen'd pass
+    * over the vector computes every seed's signature; hyperplanes are
+    * pseudo-random but fully deterministic (splitmix64 of the seed),
+    * identical on every executor with no broadcast state needed.
     */
-  def hyperplaneSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
-    def mix(z0: Long): Double = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      // map to [-1, 1)
-      (z.toDouble / Long.MaxValue.toDouble)
-    }
-    val planes: Array[Array[Double]] = Array.tabulate(nBits) { b =>
-      Array.tabulate(dim)(i => mix(seed + b * 131071L + i))
-    }
-    val f = udf { (x: Seq[Double]) =>
-      if (x == null) None
-      else {
-        var sig = 0L
-        var b = 0
-        while (b < planes.length) {
-          val p = planes(b)
-          var proj = 0.0; var i = 0; val n = math.min(p.length, x.length)
-          while (i < n) { proj += p(i) * x(i); i += 1 }
-          if (proj >= 0) sig |= (1L << b)
-          b += 1
-        }
-        Some(sig)
-      }
-    }
-    f(dArr(v))
-  }
+  def hyperplaneSignatures(v: Column, dim: Int, nBits: Int, seeds: Seq[Long]): Column =
+    HyperplaneSigs(v, dim, nBits, seeds)
+
+  /** Single-seed convenience over [[hyperplaneSignatures]]. */
+  def hyperplaneSignature(v: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column =
+    element_at(hyperplaneSignatures(v, dim, nBits, Seq(seed)), 1)
 }

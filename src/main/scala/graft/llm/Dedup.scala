@@ -199,12 +199,11 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L))
       : DataFrame = {
-    val sigs = seeds.zipWithIndex.map { case (s, i) =>
-      struct(lit(i).as("s"),
-        VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s).as("sig"))
-    }
+    // one codegen'd pass computes every seed's signature (native
+    // HyperplaneSigs), then posexplode to (seed, sig) bucket keys
     val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      explode(array(sigs: _*)).as("bk"))
+      posexplode(VectorFunctions.hyperplaneSignatures(col(vecCol), dim, nBits, seeds)))
+      .select(col("__id"), col("__v"), struct(col("pos").as("s"), col("col").as("sig")).as("bk"))
     val a = bucketed.select(col("bk"), col("__id").as("idA"), col("__v").as("vA"))
     val b = bucketed.select(col("bk").as("bk2"), col("__id").as("idB"), col("__v").as("vB"))
     // cosine per bucket collision (codegen'd ArrayDot; ≤ |seeds| repeats),

@@ -54,13 +54,13 @@ object Similarity {
       k: Int = 10, nBits: Int = 8, seeds: Seq[Long] = Seq(42L, 1042L, 2042L),
       excludeSelf: Boolean = true): DataFrame = {
     // distinct bucket-key names per side: corpus and queries often derive
-    // from the same plan, so c("bk")===q("bk") would resolve ambiguously
+    // from the same plan, so c("bk")===q("bk") would resolve ambiguously.
+    // All seeds' signatures come from ONE codegen'd pass over the vector
+    // (native HyperplaneSigs), then posexplode to (seed, sig) bucket keys.
     def bucketed(df: DataFrame, id: String, v: String, bk: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
-        explode(array(seeds.zipWithIndex.map { case (s, i) =>
-          struct(lit(i).as("s"),
-            VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits, s).as("sig"))
-        }: _*)).as(bk))
+        posexplode(VectorFunctions.hyperplaneSignatures(col(vecCol), dim, nBits, seeds)))
+        .select(col(id), col(v), struct(col("pos").as("s"), col("col").as("sig")).as(bk))
 
     val c = bucketed(corpus, "neighbor_id", "__cv", "bk")
     val q = broadcast(bucketed(queries, "query_id", "__qv", "qbk"))
