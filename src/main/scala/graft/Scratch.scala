@@ -1,18 +1,23 @@
 package graft
 
 import graft.core.Graft
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc timing scratchpad (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Graft.localSession("scratch")
-    val sf = "/root/testdata/sf0.1"
-    for (q <- Seq("q_ann_lsh", "q_embed_neardup", "q_embed_topk", "q_dedup_minhash");
-         i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sf).count()
-      println(s"SCRATCH $q run$i: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
-    }
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val df = spark.range(100).select(
+      (col("id") % 3).as("k"),
+      col("id").as("v"),
+      (col("id") * 7 % 100).cast("double").as("score"))
+    val child = GraftShims.toExpression(struct(-col("score"), col("v")))
+    val agg = GraftShims.toColumn(new CollectTopK(child, 4, true).toAggregateExpression())
+    val out = df.groupBy("k").agg(agg.as("topk"))
+    out.show(false)
+    out.select(col("k"), posexplode(col("topk"))).show(20, false)
     spark.stop()
   }
 }

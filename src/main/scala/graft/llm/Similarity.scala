@@ -1,7 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -10,12 +10,36 @@ import graft.functions.VectorFunctions
   *
   *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
   *    set so the corpus is scanned once, map-side, with no shuffle of corpus
-  *    rows except the final top-k reduction (queries × k rows).
+  *    rows except the final top-k reduction (k rows per partition).
   *  - [[lshTopK]]: hyperplane-LSH bucketed variant — the 100 TB path: only
   *    same-bucket candidates are scored, trading recall for a scan that
   *    touches each corpus row once and shuffles only candidates.
   */
 object Similarity {
+
+  /** Rank scored candidates to top-k per query via Spark's CollectTopK — a
+    * bounded-priority-queue aggregate with map-side partial combine, so only
+    * k rows per (query, partition) cross the shuffle. A window
+    * (`row_number().over(partitionBy(query_id))`) would instead shuffle
+    * EVERY scored candidate into |queries| partitions — at a 100 TB corpus
+    * that exchange is the whole cost, and it's skewed by construction.
+    * Sort key: cosine desc, neighbor asc (deterministic ties); `reverse =
+    * true` keeps the k smallest `(-cosine, neighbor_id)` structs and emits
+    * them ascending, i.e. already in rank order, without constraining the
+    * id type to something negatable.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val key = GraftShims.toExpression(
+      struct((-col("cosine")).as("nc"), col("neighbor_id").as("n")))
+    val topk = GraftShims.toColumn(
+      new CollectTopK(key, k, true).toAggregateExpression())
+    scored.groupBy("query_id").agg(topk.as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.n").as("neighbor_id"),
+        (-col("col.nc")).as("cosine"))
+  }
 
   /** Exact top-k cosine neighbors for each query row.
     *
@@ -38,11 +62,7 @@ object Similarity {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cosine",
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: score only corpus rows that share a hyperplane-LSH
@@ -71,9 +91,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosineFast(col("__qv"), col("__cv")), 4).as("cosine"))
       .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    topKPerQuery(cand, k)
   }
 }
