@@ -1,23 +1,21 @@
 package graft
 
 import graft.core.Graft
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc timing scratchpad (not part of the library surface). */
 object Scratch {
+  def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(s"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
+  }
   def main(args: Array[String]): Unit = {
     val spark = Graft.localSession("scratch")
-    import org.apache.spark.sql.GraftShims
-    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
-    val df = spark.range(100).select(
-      (col("id") % 3).as("k"),
-      col("id").as("v"),
-      (col("id") * 7 % 100).cast("double").as("score"))
-    val child = GraftShims.toExpression(struct(-col("score"), col("v")))
-    val agg = GraftShims.toColumn(new CollectTopK(child, 4, true).toAggregateExpression())
-    val out = df.groupBy("k").agg(agg.as("topk"))
-    out.show(false)
-    out.select(col("k"), posexplode(col("topk"))).show(20, false)
+    val sf = "/root/testdata/sf0.1"
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (i <- 1 to 2; q <- args) {
+      time(s"$q-$i") { SparkEntry.queries(q)(spark, sf).count() }
+    }
     spark.stop()
   }
 }
