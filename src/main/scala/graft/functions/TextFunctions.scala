@@ -11,8 +11,16 @@ object TextFunctions {
 
   /** Whitespace tokens; empty/null text → empty array. */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0 || text.isNull, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    // the trailing coalesce-to-[] never fires (the CASE already maps
+    // null/blank to []) but makes the column PROVABLY non-nullable: a
+    // nullable token array infects every signature expression built on it,
+    // and join-key IsNotNull inference then pushes an
+    // `isnotnull(minhash_sig(...))` filter below the signature projection —
+    // recomputing the whole signature once more per row in FilterExec
+    coalesce(
+      when(length(trim(text)) === 0 || text.isNull, array().cast("array<string>"))
+        .otherwise(split(trim(text), "\\s+")),
+      array().cast("array<string>"))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

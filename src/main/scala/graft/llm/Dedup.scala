@@ -29,9 +29,6 @@ object Dedup {
 
   // --- MinHash ---
 
-  /** Mersenne prime 2^31-1 (see [[graft.functions.HashExpressions.P]]). */
-  private val P: Long = graft.functions.HashExpressions.P
-
   /** MinHash signature of a text column as `array<long>` of length
     * `numPerm`, via the native [[graft.functions.MinHashSig]] Catalyst
     * expression over the token array: token hashes + k-gram combine + all
@@ -53,13 +50,20 @@ object Dedup {
     * with no shingles (< shingleK tokens) are dropped — an all-P sentinel
     * signature would otherwise band-match every other empty document.
     * Output: (__id, __sig array<long> of length numPerm).
+    *
+    * The no-shingle gate is `size(tokens) >= shingleK` BEFORE signing, not
+    * a sentinel check on the signature after: a post-hoc
+    * `element_at(__sig, 1) < P` filter gets predicate-pushed below the
+    * projection and inlines the minhash expression into FilterExec —
+    * computing the whole signature TWICE per row. Filtering on the cheap
+    * token count pushes a cheap predicate toward the scan instead and
+    * leaves exactly one minhash evaluation in the projection.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 64,
       shingleK: Int = 3, seed: Long = 42L): DataFrame =
-    df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), numPerm, shingleK, seed).as("__sig"))
-      // element 0 == P ⟺ no shingles (real values are mod P, always < P)
-      .filter(element_at(col("__sig"), 1) < P)
+    df.filter(size(TextFunctions.tokens(col(textCol))) >= shingleK)
+      .select(col(idCol).as("__id"),
+        minhashSignature(col(textCol), numPerm, shingleK, seed).as("__sig"))
 
   /** Candidate near-dup pairs via banded LSH over the MinHash signature.
     * `bands` bands of `numPerm/bands` rows; two docs collide when any band

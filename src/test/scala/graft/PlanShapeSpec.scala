@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Physical-plan shape assertions — the 100 TB design contract, checked on
+  * tiny data. Correctness tests prove WHAT each operator returns; these
+  * prove HOW it executes: dimension joins broadcast, self-join signatures
+  * materialize once (ReusedExchange), predicates reach the parquet scan,
+  * projections prune the read schema, and top-k ranking is a bounded
+  * aggregate rather than a window over every scored row. A regression here
+  * is invisible at sf0.001 and catastrophic at 1000 executors.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE inserts ReusedExchange / finalizes codegen stages at runtime —
+    * execute first, then read the final adaptive plan (the toString also
+    * appends the pre-AQE "Initial Plan" section; cut it off).
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("dimension joins broadcast (no shuffle of the big side)") {
+    for (q <- Seq("q_join_agg", "q_join_nation")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast: $p")
+    }
+  }
+
+  test("external match compiles to a broadcast semi/anti join") {
+    val p = plan(SparkEntry.queries("q_external_match")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("minhash self-join materializes signatures once (ReusedExchange)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(Dedup.minhashPairs(docs, "doc_id", "text"))
+    assert(p.contains("ReusedExchange"), p)
+    // the expensive minhash_sig expression must appear in exactly ONE plan
+    // branch (the projection feeding the reused exchange) — not inlined
+    // into a pushed-down filter, not recomputed per join side
+    assert(p.split("minhash_sig").length - 1 == 1,
+      s"minhash signatures computed more than once:\n$p")
+  }
+
+  test("simhash self-join materializes signatures once (ReusedExchange)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.split("simhash64").length - 1 == 1,
+      s"simhash signatures computed more than once:\n$p")
+  }
+
+  test("clause predicates push into the parquet scan") {
+    val p = plan(SparkEntry.queries("q_clause_filter")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("EqualTo(l_returnflag,A)"), p)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = SparkEntry.queries("q_projection")(spark, sf)
+    val scan = plan(df)
+    // lineitem has 10 columns; the scan must read exactly the 3 projected
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber")
+      && readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_shipdate"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("ANN ranking is a bounded top-k aggregate, not a window") {
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    for (df <- Seq(
+        Similarity.bruteForceTopK(emb, emb.limit(2), "vec_id", "embedding", k = 3, dim = 64),
+        Similarity.lshTopK(emb, emb.limit(2), "vec_id", "embedding", dim = 64, k = 3))) {
+      val p = plan(df)
+      assert(p.contains("collect_top_k"), p)
+      assert(!p.contains("Window"), s"top-k fell back to a full window sort:\n$p")
+      // partial aggregation before the exchange = map-side combine: only k
+      // rows per partition cross the shuffle
+      assert(p.contains("ObjectHashAggregate"), p)
+    }
+  }
+
+  test("LSH ANN broadcasts the query side (corpus never shuffles in full)") {
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val p = plan(Similarity.lshTopK(emb, emb.limit(2), "vec_id", "embedding", dim = 64, k = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the signature scans (native expressions)") {
+    // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
+    // the projection computing the native signature expression must carry one
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val p = plan(sig)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("minhash_sig")), p)
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val hp = emb.select(graft.functions.VectorFunctions
+      .hyperplaneSignatures(col("embedding"), 64, 8, Seq(1L, 2L)).as("sigs"))
+    val hpPlan = plan(hp)
+    assert(hpPlan.linesIterator.exists(l => l.contains("*(") && l.contains("hyperplane_sigs")),
+      hpPlan)
+  }
+}
