@@ -294,6 +294,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      // nprobe = nlist probes every cell → exact (= brute force, same
+      // scoring expressions), which makes the IVF machinery oracle-checkable;
+      // the approximate path (nprobe < nlist) is covered by IvfSpec recall
+      val emb = t(s, d, "embeddings")
+      graft.llm.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_neardup" -> ((s, d) => {
       // The synthetic embeddings have no natural near-dups (max pairwise
       // cosine ≈0.51), so plant exact duplicates of vec_id<20 at id+100000:
@@ -532,6 +542,20 @@ object SparkEntry {
                            ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 4) AS jaccard
          FROM p ORDER BY doc_a""",
     "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (
            SELECT q.query_id, e.vec_id AS neighbor_id,

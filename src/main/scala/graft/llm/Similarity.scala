@@ -28,7 +28,7 @@ object Similarity {
     * them ascending, i.e. already in rank order, without constraining the
     * id type to something negatable.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[llm] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val key = GraftShims.toExpression(
       struct((-col("cosine")).as("nc"), col("neighbor_id").as("n")))
     val topk = GraftShims.toColumn(
