@@ -27,6 +27,24 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Skew fuse for LSH bucket self-joins: drop buckets holding more than
+    * `cap` members before pairing. A single hot bucket (boilerplate text, a
+    * mega-cluster of identical docs) otherwise emits O(n²) candidate pairs —
+    * AQE skew-split rebalances partitions but cannot shrink a quadratic
+    * join output. Cost: one extra count aggregate on the bucket key (map-side
+    * combined, uniform) and a broadcast anti-join (the hot set is tiny by
+    * construction); the pair join output is then bounded by cap²/2 per
+    * bucket. Dropped buckets lose near-dup recall only for members of
+    * mega-clusters, which exact dedup handles first. `cap <= 0` disables.
+    */
+  private def pruneHotBuckets(banded: DataFrame, keyCol: String, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val hot = banded.groupBy(keyCol).count()
+        .filter(col("count") > cap).select(col(keyCol).as("__hot"))
+      banded.join(hot, col(keyCol) === col("__hot"), "left_anti")
+    }
+
   // --- MinHash ---
 
   /** MinHash signature of a text column as `array<long>` of length
@@ -77,7 +95,8 @@ object Dedup {
     * handles; the two join sides share one ReusedExchange.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 64,
-      bands: Int = 16, shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     // One explicit exchange of the compact (id, sig) rows (~8·numPerm B/doc)
@@ -93,10 +112,11 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
         .as("bk"))
+    val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
     // distinct join key name on the right: a("bk")===b("bk") on two frames
     // cut from the same plan resolves to the ambiguous self-join attribute
-    val a = banded.select(col("bk"), col("__id").as("idA"), col("__sig").as("sigA"))
-    val b = banded.select(col("bk").as("bk2"), col("__id").as("idB"), col("__sig").as("sigB"))
+    val a = pruned.select(col("bk"), col("__id").as("idA"), col("__sig").as("sigA"))
+    val b = pruned.select(col("bk").as("bk2"), col("__id").as("idB"), col("__sig").as("sigB"))
     // score per band collision (codegen'd agreeFrac; ≤ `bands` repeats per
     // pair), THEN dedup — the aggregation carries one double instead of two
     // signatures, keeping it a streaming HashAggregate instead of a
@@ -114,8 +134,10 @@ object Dedup {
     * neighbor to die; full connected components would need iteration).
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
-      numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
-    val doomed = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK)
+      numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    val doomed = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize = maxBucketSize)
       .filter(col("est_jaccard") >= threshold)
       .select(col("idB").as("__doomed")).distinct()
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
@@ -141,7 +163,7 @@ object Dedup {
     * with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, nBits: Int = 32,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
     require(chunks <= nBits, s"maxHamming+1=$chunks exceeds signature width $nBits")
     // chunk widths cover ALL nBits: the first (nBits % chunks) chunks take an
@@ -159,8 +181,9 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), offsets(c)).bitwiseAND((1L << widths(c)) - 1).as("ck")).as("k")
       }: _*)).as("bk"))
-    val a = banded.select(col("bk"), col("__id").as("idA"), col("simhash").as("shA"))
-    val b = banded.select(col("bk").as("bk2"), col("__id").as("idB"), col("simhash").as("shB"))
+    val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
+    val a = pruned.select(col("bk"), col("__id").as("idA"), col("simhash").as("shA"))
+    val b = pruned.select(col("bk").as("bk2"), col("__id").as("idB"), col("simhash").as("shB"))
     a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
@@ -201,15 +224,16 @@ object Dedup {
     * recomputed). Returns (idA, idB, cosine ≥ threshold).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double = 0.95, nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L))
-      : DataFrame = {
+      threshold: Double = 0.95, nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L),
+      maxBucketSize: Int = 0): DataFrame = {
     // one codegen'd pass computes every seed's signature (native
     // HyperplaneSigs), then posexplode to (seed, sig) bucket keys
     val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       posexplode(VectorFunctions.hyperplaneSignatures(col(vecCol), dim, nBits, seeds)))
       .select(col("__id"), col("__v"), struct(col("pos").as("s"), col("col").as("sig")).as("bk"))
-    val a = bucketed.select(col("bk"), col("__id").as("idA"), col("__v").as("vA"))
-    val b = bucketed.select(col("bk").as("bk2"), col("__id").as("idB"), col("__v").as("vB"))
+    val pruned = pruneHotBuckets(bucketed, "bk", maxBucketSize)
+    val a = pruned.select(col("bk"), col("__id").as("idA"), col("__v").as("vA"))
+    val b = pruned.select(col("bk").as("bk2"), col("__id").as("idB"), col("__v").as("vB"))
     // cosine per bucket collision (codegen'd ArrayDot; ≤ |seeds| repeats),
     // then a scalar-only HashAggregate dedup — vectors never cross the
     // pair-dedup shuffle

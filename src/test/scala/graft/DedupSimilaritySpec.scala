@@ -44,6 +44,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("maxBucketSize fuse drops mega-cluster buckets, keeps small ones") {
+    import spark.implicits._
+    // a 60-doc identical "bucket bomb" (ids 100..159) plus the small corpus:
+    // uncapped, the bomb alone emits 60·59/2 = 1770 pairs per surviving
+    // band; capped at 50, every bomb bucket exceeds the cap and is dropped,
+    // while the 2-member buckets of the real near-dup pairs survive
+    val bomb = (100L until 160L).map(i => (i, "boilerplate header " * 10)).toDF("doc_id", "text")
+    val corpus = docs.unionByName(bomb)
+    val uncapped = Dedup.minhashPairs(corpus, "doc_id", "text")
+    assert(uncapped.filter(col("idA") >= 100L).count() == 60L * 59 / 2)
+    val capped = Dedup.minhashPairs(corpus, "doc_id", "text", maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 100L || b >= 100L },
+      "bomb pairs survived the cap")
+    assert(capped.contains((0L, 1L)) && capped.contains((0L, 2L)),
+      s"small near-dup buckets were wrongly pruned: $capped")
+    // same fuse on the simhash path
+    val simCapped = Dedup.simhashPairs(corpus, "doc_id", "text", maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simCapped.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(simCapped.contains((0L, 2L)))
+  }
+
   test("simhash: identical docs at hamming 0; near < far; radius honored") {
     // ground-truth signatures first, then check the banded pair search
     // against the true hamming distances (deterministic given xxhash64)
