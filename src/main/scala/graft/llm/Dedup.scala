@@ -21,10 +21,19 @@ object Dedup {
 
   /** Exact dedup on a content key, keeping the smallest id per group.
     * Returns the surviving rows of `df`.
+    *
+    * min_by aggregate, not `row_number() over (partition by key)`: both
+    * shuffle once on the key, but the window adds a per-partition sort and
+    * has no partial aggregation — every duplicate row crosses the wire. The
+    * aggregate combines map-side, so a dup-heavy corpus (the whole point of
+    * dedup) shrinks to one row per (key, input partition) before the
+    * exchange, and nothing is sorted.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(keyCols: _*)
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Skew fuse for LSH bucket self-joins: drop buckets holding more than

@@ -106,7 +106,10 @@ object Filters {
       val (t, f) = trueFalseValues
       if (!verbatimNumbers) {
         df.withColumns(mappings.map { case (path, dst) =>
-          val raw = get_json_object(col(source), if (path.startsWith("$")) path else s"$$.$path")
+          // root-array paths ([0].name) attach to $ without a dot
+          val jp = if (path.startsWith("$")) path
+            else if (path.startsWith("[")) s"$$$path" else s"$$.$path"
+          val raw = get_json_object(col(source), jp)
           dst -> when(raw === "true", lit(t)).when(raw === "false", lit(f)).otherwise(raw)
         })
       } else {
@@ -133,15 +136,18 @@ object Filters {
         .setNodeFactory(com.fasterxml.jackson.databind.node.JsonNodeFactory
           .withExactBigDecimals(true))
 
-    /** Walk `a.b[2].c`-style paths (leading `$.` optional). */
+    /** Walk `a.b[2].c`-style paths (leading `$.` optional; a root-array
+      * path like `[0].name` — expand_json_test.go "more complex JMESPath
+      * expression" — starts with a bare index).
+      */
     private def walk(root: JsonNode, path: String): JsonNode = {
       val norm = path.stripPrefix("$").stripPrefix(".")
       var node = root
       for (seg <- norm.split("\\.") if node != null && seg.nonEmpty) {
-        val m = "^([^\\[\\]]+)((\\[\\d+\\])*)$".r.findFirstMatchIn(seg)
+        val m = "^([^\\[\\]]*)((\\[\\d+\\])*)$".r.findFirstMatchIn(seg)
         m match {
           case Some(g) =>
-            node = node.get(g.group(1))
+            if (g.group(1).nonEmpty) node = node.get(g.group(1))
             for (ix <- "\\[(\\d+)\\]".r.findAllMatchIn(g.group(2)))
               if (node != null) node = node.get(ix.group(1).toInt)
           case None => node = null

@@ -81,6 +81,17 @@ class FiltersSpec extends SparkSpec {
     assert(rows == Set(("v", "1.5", "yes"), (null, null, null)))
   }
 
+  test("ExpandJSON root-array paths ([0].name) work in both modes") {
+    // expand_json_test.go "more complex JMESPath expression"
+    val df = strDf(Seq("j"), Seq(Seq("""[{"name": "name1"}, {"name": "name2"}]""")))
+    for (verbatim <- Seq(false, true)) {
+      val out = ExpandJSON("j", Map("[0].name" -> "f1", "[1].name" -> "f2"),
+        verbatimNumbers = verbatim)(df)
+      val r = out.select("f1", "f2").head()
+      assert((r.getString(0), r.getString(1)) == ("name1", "name2"), s"verbatim=$verbatim")
+    }
+  }
+
   test("ExpandJSON verbatimNumbers keeps decimal text exact (UseNumber parity)") {
     val df = strDf(Seq("j"), Seq(
       Seq("""{"n":1.50,"big":12345678901234567890,"p":0.1000000000000000055,
