@@ -1,6 +1,6 @@
 package graft.topology
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Topology = the reference's query: TOML config → a DataFrame program.
@@ -174,6 +174,26 @@ object Topology {
   /** Build the DataFrame program for a config (reference: plan+execute,
     * topology.go:55-225; per-record hot path :350-399).
     */
+  /** Lazy per-field extraction over an unparsed CSV line — the Spark
+    * re-expression of the reference's zero-copy `LogLine` parse
+    * (logline.go:23-31): each declared field is a bounded-prefix scan
+    * expression, so Catalyst's column pruning materializes ONLY the fields
+    * downstream operators reference. Semantics matched to `Get`
+    * (logline.go:87-146): missing trailing fields ≡ empty; field i exists
+    * iff the line has ≥ i separators iff the prefix before the i-th
+    * separator is a PROPER prefix. (Counting all separators with
+    * translate/regexp instead scans + copies the whole ~4.5 KB line per
+    * row — measured 2.7× slower end-to-end on the pipeline bench.)
+    */
+  def lazyFieldColumns(value: Column, fields: Seq[String], separator: String)
+      : Map[String, Column] =
+    fields.zipWithIndex.map { case (f, i) =>
+      val lazyField =
+        substring_index(substring_index(value, separator, i + 1), separator, -1)
+      val exists = length(substring_index(value, separator, i)) < length(value)
+      f -> (if (i == 0) lazyField else when(exists, lazyField).otherwise(lit("")))
+    }.toMap
+
   def compile(spark: SparkSession, cfg: Config,
       components: Components = BuiltinComponents.all): Compiled = {
     require(cfg.fields.nonEmpty, "topology: [fields] names is required")
@@ -197,21 +217,7 @@ object Topology {
     var df =
       if (rawFast) {
         val raw = inDesc.buildRaw.get(ctx, cfg.input._2)
-        // Short lines: missing trailing fields ≡ empty (logline.go:87-89).
-        // Field i exists iff the line has ≥ i separators iff the prefix
-        // before the i-th separator is a PROPER prefix — a scan bounded by
-        // the field's position. (Counting all separators with
-        // translate/regexp instead scans + copies the whole ~4.5KB line for
-        // every row, measured 2.7× slower end-to-end on the pipeline bench.)
-        val virtualFields = cfg.fields.zipWithIndex.map { case (f, i) =>
-          val lazyField =
-            substring_index(substring_index(col("value"), cfg.separator, i + 1),
-              cfg.separator, -1)
-          val exists =
-            length(substring_index(col("value"), cfg.separator, i)) < length(col("value"))
-          f -> (if (i == 0) lazyField else when(exists, lazyField).otherwise(lit("")))
-        }
-        raw.withColumns(virtualFields.toMap)
+        raw.withColumns(Topology.lazyFieldColumns(col("value"), cfg.fields, cfg.separator))
       } else {
         val built = inDesc.build(ctx, cfg.input._2)
         require(built.columns.toSeq == cfg.fields,
