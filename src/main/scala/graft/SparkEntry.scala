@@ -270,6 +270,20 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("idA", "idB")),
 
+    "q_dedup_cc" -> ((s, d) => {
+      // transitive clustering over a deterministic pair graph: consecutive
+      // docs whose token-set jaccard ≥ 0.2 are edges; components are then
+      // runs of consecutive similar docs, which SQL can reproduce with a
+      // gaps-and-islands window (see oracleSql)
+      val docs = t(s, d, "documents").filter(col("text") =!= "")
+      val a = docs.select(col("doc_id").as("idA"), TF.tokens(col("text")).as("ta"))
+      val b = docs.select(col("doc_id").as("idB"), TF.tokens(col("text")).as("tb"))
+      val pairs = a.join(b, col("idB") === col("idA") + 1)
+        .filter(Dedup.jaccard(col("ta"), col("tb")) >= 0.2)
+        .select("idA", "idB")
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("text") =!= "")
       val a = docs.select(col("doc_id").as("doc_a"), TF.tokens(col("text")).as("ta"))
@@ -527,6 +541,28 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "q_dedup_cc" ->
+      // edges connect consecutive doc_ids, so components are maximal runs
+      // of consecutive kept pairs: classic gaps-and-islands
+      """WITH d AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE text <> ''
+         ), e AS (
+           SELECT a.doc_id AS i
+           FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+           WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                 >= 0.2
+         ), grp AS (
+           SELECT i, i - row_number() OVER (ORDER BY i) AS g FROM e
+         ), comp AS (
+           SELECT i, min(i) OVER (PARTITION BY g) AS c FROM grp
+         ), verts AS (
+           SELECT i AS id, c FROM comp
+           UNION ALL
+           SELECT i + 1 AS id, c FROM comp
+         )
+         SELECT id, min(c) AS component FROM verts GROUP BY id ORDER BY id""",
     "q_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

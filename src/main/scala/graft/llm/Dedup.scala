@@ -200,6 +200,77 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
+  // --- connected components (transitive near-dup clusters) ---
+
+  /** Connected components over an undirected candidate-pair graph:
+    * returns (id, component) for every vertex that appears in `pairs`,
+    * where `component` is the smallest id in the vertex's component.
+    *
+    * Why: keep-min-per-PAIR dedup ([[minhashDedup]]) is single-pass — a
+    * doc connected to the cluster minimum only THROUGH a middleman
+    * survives (pairs (1,3),(2,3) kill only 3). Training-data pipelines
+    * typically cluster candidates transitively and keep one doc per
+    * cluster; this is that step.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * first lowers `label(v) ← min(label(v), min(label(neighbors)))` (one
+    * shuffle over edge-count rows), then path-halves `label(v) ←
+    * label(label(v))` (one self-join on the label table) — the jump makes
+    * convergence O(log diameter) rounds instead of O(diameter), which
+    * matters precisely on the adversarial shape: a chain of near-dups
+    * (e.g. shingled crawl snapshots) has diameter ≈ cluster size, and a
+    * propagation-only loop silently mislabels whatever lies beyond
+    * `maxIter` hops. Scale mechanics: convergence is checked with a
+    * per-round count (the driver sees one long, never rows) and lineage is
+    * cut with localCheckpoint each round so plan depth stays O(1) instead
+    * of O(iterations).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
+      maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // undirected: materialize both directions once
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id"), col("src").as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbor = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("component"))
+      val lowered = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component"))
+      // pointer jump: follow the label one step (label(component) always
+      // exists — components are vertex ids) and keep the smaller
+      val next = lowered
+        .join(lowered.select(col("id").as("__cid"), col("component").as("__cc")),
+          col("component") === col("__cid"))
+        .select(col("id"), least(col("component"), col("__cc")).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** Transitive MinHash-LSH dedup: cluster candidate pairs with
+    * [[connectedComponents]] and keep only each cluster's smallest id.
+    */
+  def minhashDedupCC(df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.7,
+      numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize = maxBucketSize)
+      .filter(col("est_jaccard") >= threshold)
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as("__doomed"))
+    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
   // --- exact n-gram Jaccard ---
 
   /** Exact Jaccard similarity between two token-set columns. */

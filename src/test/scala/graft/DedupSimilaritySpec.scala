@@ -44,6 +44,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("connectedComponents: transitive clusters, min-id labels, chains") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain, {10,11}, and 3-3 self-pair noise
+    val pairs = Seq((1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L), (3L, 3L))
+      .toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // empty graph → empty result, no iteration blowup
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("idA", "idB")).count() == 0)
+    // 200-vertex chain: diameter >> default rounds — pointer jumping must
+    // still converge everything to component 0 (O(log d), not O(d))
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val chainCC = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(chainCC.length == 200 && chainCC.forall(_._2 == 0L))
+  }
+
+  test("minhashDedupCC kills middleman-linked docs that single-pass keeps") {
+    import spark.implicits._
+    val kept = Dedup.minhashDedupCC(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // same corpus as minhashDedup: {0,1,2} cluster transitively → keep 0
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("maxBucketSize fuse drops mega-cluster buckets, keeps small ones") {
     import spark.implicits._
     // a 60-doc identical "bucket bomb" (ids 100..159) plus the small corpus:
