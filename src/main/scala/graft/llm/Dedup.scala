@@ -252,10 +252,14 @@ object Dedup {
         .join(l.select(col("id").as("__cid"), col("component").as("__cc")),
           col("component") === col("__cid"))
         .select(col("id"), least(col("component"), col("__cc")).as("component"))
-      val next = jump(jump(lowered)).localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old")).count()
-      labels = next
+      // carry the previous label through the checkpoint so the convergence
+      // check is a shuffle-free scan of the materialized table, not a
+      // separate join job per round
+      val next = jump(jump(lowered))
+        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
+        .localCheckpoint()
+      val changed = next.filter(col("component") =!= col("__old")).count()
+      labels = next.select("id", "component")
       converged = changed == 0
       it += 1
     }
