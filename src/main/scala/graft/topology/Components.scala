@@ -576,21 +576,51 @@ object BuiltinComponents {
     raw = true,
     (ctx, cfg, df) => {
       val tsField = cfg.str("TimestampField")
+      val countEmpties = cfg.bool("CountEmptyFields", default = false)
       val qs = Seq(0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
       val sizeCol = length(col("_record"))
-      val ts = col(tsField).cast("long")
+      val tsRaw = col(tsField).cast("string")
+      val ts = tsRaw.try_cast("long")
+      // pass 1: one aggregation row — record sizes, timestamp range/
+      // quantiles/error classes (stats.go:41-101, :165-230)
       val aggs: Seq[Column] =
         Seq(count(lit(1)).as("records"),
           min(sizeCol).as("size_min"), max(sizeCol).as("size_max")) ++
         qs.map(q => percentile_approx(sizeCol, lit(q), lit(10000))
           .as(s"size_p${(q * 100).toInt}")) ++
-        Seq(min(ts).as("ts_min"), max(ts).as("ts_max")) ++
+        Seq(min(ts).as("ts_min"), max(ts).as("ts_max"),
+          count(when(tsRaw.isNull || tsRaw === "", 1)).as("ts_empties"),
+          count(when(tsRaw.isNotNull && tsRaw =!= "" && ts.isNull, 1)).as("ts_errors")) ++
+        qs.map(q => percentile_approx(ts, lit(q), lit(10000))
+          .as(s"ts_p${(q * 100).toInt}")) ++
         ctx.fields.map(f => approx_count_distinct(
           when(col(f).isNull || col(f) === "", null).otherwise(col(f))).as(s"distinct_$f"))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
+      // pass 2: per-field VALUE-FREQUENCY quantiles (stats.go:103-163) —
+      // how often each distinct value repeats. Scale shape: stack every
+      // field into (field, value) rows and aggregate twice; TWO shuffles
+      // total regardless of field count, instead of one job per field.
+      val stacked = df.select(explode(array(ctx.fields.map(f =>
+          struct(lit(f).as("field"),
+            coalesce(col(f).cast("string"), lit("")).as("value"))): _*)).as("kv"))
+        .select(col("kv.field").as("field"), col("kv.value").as("value"))
+      val nonEmpty = if (countEmpties) stacked else stacked.filter(col("value") =!= "")
+      val freqAggs = Seq(min(col("count")).as("freq_min"),
+        max(col("count")).as("freq_max")) ++
+        qs.map(q => percentile_approx(col("count"), lit(q), lit(10000))
+          .as(s"freq_p${(q * 100).toInt}"))
+      val fieldRows = nonEmpty.groupBy("field", "value").count()
+        .groupBy("field")
+        .agg(freqAggs.head, freqAggs.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> r).toMap
       val schema = row.schema.fields.map(_.name)
-      val csv = "stat,value\n" + schema.zipWithIndex
-        .map { case (n, i) => s"$n,${row.get(i)}" }.mkString("\n") + "\n"
+      val head = schema.zipWithIndex.map { case (n, i) => s"$n,${row.get(i)}" }
+      val fieldCsv = for {
+        f <- ctx.fields; r <- fieldRows.get(f).toSeq
+        (n, i) <- r.schema.fields.map(_.name).zipWithIndex.toSeq if n != "field"
+      } yield s"${n}_$f,${r.get(i)}"
+      val csv = ("stat,value" +: (head ++ fieldCsv)).mkString("", "\n", "\n")
       val out = new java.io.File(cfg.str("CSVPath", "stats.csv"))
       Option(out.getParentFile).foreach(_.mkdirs())
       java.nio.file.Files.writeString(out.toPath, csv)

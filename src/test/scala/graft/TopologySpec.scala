@@ -198,6 +198,39 @@ class TopologySpec extends SparkSpec {
     assert(rows == Seq(("1", "new", "1-x"), ("2", "new", "2-y")))
   }
 
+  test("Stats output: size/ts/field-frequency distributions to CSV") {
+    val dir = tmpDir()
+    writeGzip(new File(dir, "in.csv.gz"),
+      // kind frequencies: a×3, b×2, c×1; ts: 3 valid, 1 empty, 2 bad
+      Seq("1,a,100", "2,a,200", "3,a,300", "4,b,", "5,b,nope", "6,c,bad")
+        .mkString("", "\n", "\n"))
+    val toml =
+      s"""[fields]
+         |names = ["id", "kind", "ts"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv.gz"]
+         |[output]
+         |name = "Stats"
+         |  [output.config]
+         |  CSVPath = "$dir/stats.csv"
+         |  TimestampField = "ts"
+         |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml).run()
+    val stats = scala.io.Source.fromFile(result.paths.head).getLines()
+      .drop(1).map(_.split(",", 2)).map(a => a(0) -> a(1)).toMap
+    assert(stats("records") == "6")
+    assert(stats("ts_min") == "100" && stats("ts_max") == "300")
+    assert(stats("ts_empties") == "1" && stats("ts_errors") == "2")
+    // value-frequency quantiles per field (stats.go:103-163): kind has
+    // counts {3,2,1} → min 1, max 3, p50 2; id all-unique → max 1
+    assert(stats("freq_min_kind") == "1" && stats("freq_max_kind") == "3")
+    assert(stats("freq_p50_kind") == "2")
+    assert(stats("freq_max_id") == "1")
+    assert(stats("ts_p50") == "200")
+  }
+
   test("unknown component and unknown config key fail loudly") {
     val base =
       """[fields]
