@@ -63,4 +63,19 @@ object Graft {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Persist a DataFrame as a bucketed (+ bucket-sorted) managed parquet
+    * table. The 100 TB co-location lever: two tables bucketed on their join
+    * key with the same bucket count join with ZERO exchanges — the scan
+    * itself satisfies the join's distribution requirement, so a fact-fact
+    * join that would otherwise shuffle both sides runs entirely map-side
+    * (see SCALE.md; asserted by PlanShapeSpec's bucketed-join test). Same
+    * role as pre-partitioning derived signature/cell columns: pay the
+    * shuffle once at write time, never per query.
+    */
+  def writeBucketed(df: DataFrame, name: String, keys: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
 }

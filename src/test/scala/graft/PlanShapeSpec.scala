@@ -97,6 +97,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bucketed tables join with zero exchanges (co-located fact-fact join)") {
+    val li = graft.core.Graft.table(spark, sf, "lineitem")
+    val ord = graft.core.Graft.table(spark, sf, "orders")
+    graft.core.Graft.writeBucketed(li, "li_bkt", Seq("l_orderkey"), 4)
+    graft.core.Graft.writeBucketed(ord, "ord_bkt", Seq("o_orderkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join to prove co-location, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val p = finalPlan(j)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles the fact side:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles the build side:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
