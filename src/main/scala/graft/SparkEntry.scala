@@ -401,6 +401,13 @@ object SparkEntry {
         t(s, d, "events"), "ts", "event_type", windowDur = "1 day")
         .orderBy("window_start", "event_type")),
 
+    "q_session" -> ((s, d) =>
+      // event-time session windows per user (gap-merged); batch-checkable,
+      // same code path as the watermarked streaming aggregation
+      graft.streaming.EventTime.sessionize(
+        t(s, d, "events"), "ts", "user_id", gap = "6 hours")
+        .orderBy("user_id", "session_start")),
+
     "q_dedup_ttl" -> ((s, d) =>
       // keep-first-per-key stateful dedup run as a batch frame; only the
       // key column is checked (which row survives per key is order-dependent)
@@ -689,6 +696,29 @@ object SparkEntry {
                 time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
                 event_type, count(*) AS cnt
          FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    "q_session" ->
+      // gaps-and-islands: a session breaks only when the gap is > 6h (Spark
+      // session windows coalesce when adjacent — an event at exactly
+      // start+gap MERGES). CAST(ts AS TIMESTAMP) truncates DuckDB's
+      // nanosecond parquet timestamps to Spark's microsecond precision.
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         m AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), g AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         )
+         SELECT min(ts) AS session_start,
+                max(ts) + INTERVAL '6 hours' AS session_end,
+                user_id, count(*) AS cnt
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q_dedup_ttl" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
   )

@@ -34,6 +34,22 @@ object EventTime {
       .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
         col(keyCol), col("cnt"))
 
+  /** Watermarked session windows per key: events closer than `gap` merge
+    * into one session; a session closes (and is emitted, append-mode) when
+    * the watermark passes its end, so state per key is bounded by the gap
+    * plus the watermark delay. Session end = last event + gap; an event at
+    * EXACTLY start+gap still MERGES (adjacent windows coalesce) — a new
+    * session requires a gap strictly greater than `gap`.
+    * Batch frames compute the same result with the watermark a no-op.
+    */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("session_start"), col("win.end").as("session_end"),
+        col(keyCol), col("cnt"))
+
   /** Streaming dedup on a key tuple with per-key state TTL, via
     * `flatMapGroupsWithState` — each key's "seen" bit lives in the state
     * store and is dropped `ttlMs` after last update, so memory is bounded

@@ -42,6 +42,46 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges within-gap and exact-gap events; breaks past the gap") {
+    import spark.implicits._
+    val df = Seq(
+      (ts(0), "u1"), (ts(3), "u1"), (ts(7), "u1"),  // chained: gaps < 5m
+      (ts(12), "u1"),                               // exactly 7+5 → adjacent, MERGES
+      (ts(18), "u1"),                               // 12+5=17 < 18 → new session
+      (ts(0), "u2"),                                // other key isolated
+    ).toDF("ts", "user")
+    val out = EventTime.sessionize(df, "ts", "user", gap = "5 minutes")
+      .select(date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("user"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      ("10:00", "10:17", "u1", 4L), // end = last event 10:12 + 5m
+      ("10:18", "10:23", "u1", 1L),
+      ("10:00", "10:05", "u2", 1L)))
+  }
+
+  test("sessionize streams append-mode: session emitted when watermark passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val out = EventTime.sessionize(input.toDF().toDF("ts", "user"), "ts", "user",
+      gap = "5 minutes", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "u1"), (ts(2), "u1"))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+      input.addData((ts(20), "u1")) // watermark 10:19 > session end 10:07
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(date_format(col("session_start"), "HH:mm"), col("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("10:00", 2L)))
+    } finally q.stop()
+  }
+
   test("dedupWithTTL keeps first per key across and within micro-batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <verifyOutDir>"` already ran.
+Registers each parquet table in DuckDB, runs every oracle SQL, and compares
+row count, column names (sorted), and a row-order-insensitive value hash
+against the Spark parquet dump — the same comparison shape the driver uses.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    # sort columns by name, then rows by stringified tuple
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def fmt(v):
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+    out = sorted(tuple(fmt(r[i]) for i in order) for r in rows)
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_noop = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        if only and name not in only:
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            print(f"{name:28s} NO-SPARK-OUTPUT")
+            n_fail += 1
+            continue
+        sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        scols = [c[0] for c in con.description]
+        if name not in oracle:
+            print(f"{name:28s} no_oracle rows={len(sdf)}")
+            n_noop += 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).fetchall()
+            ocols = [c[0] for c in con.description]
+        except Exception as e:
+            print(f"{name:28s} ORACLE-SQL-ERROR {e}")
+            n_fail += 1
+            continue
+        rows_ok = len(sdf) == len(odf)
+        schema_ok = sorted(scols) == sorted(ocols)
+        hash_ok = schema_ok and canon(sdf, scols) == canon(odf, ocols)
+        if rows_ok and schema_ok and hash_ok:
+            print(f"{name:28s} OK rows={len(sdf)}")
+            n_pass += 1
+        else:
+            print(f"{name:28s} MISMATCH rows {len(sdf)}/{len(odf)} "
+                  f"schema {scols if not schema_ok else 'ok'}"
+                  f"{'' if not schema_ok else ' / ' + str(ocols) if not schema_ok else ''} hash={hash_ok}")
+            if schema_ok and rows_ok and not hash_ok:
+                a, b = canon(sdf, scols), canon(odf, ocols)
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diffs:
+                    print(f"    spark:  {x}\n    oracle: {y}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noop} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+main()
