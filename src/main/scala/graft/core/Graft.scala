@@ -73,9 +73,21 @@ object Graft {
     * role as pre-partitioning derived signature/cell columns: pay the
     * shuffle once at write time, never per query.
     */
-  def writeBucketed(df: DataFrame, name: String, keys: Seq[String], buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, name: String, keys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the metastore is per-JVM but the warehouse dir persists: a location
+    // left by an interrupted run blocks CREATE even after DROP, so clear it
+    val warehouse = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    if (warehouse.exists()) rm(warehouse)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
+  }
 }

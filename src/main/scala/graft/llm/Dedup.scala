@@ -226,8 +226,50 @@ object Dedup {
     * of O(iterations).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localEdgeThreshold: Long = 4L << 20): DataFrame = {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // Small-graph fast path, the broadcast-join analogue for CC: the
+    // candidate-pair graph after LSH banding + threshold filtering is
+    // orders of magnitude smaller than the corpus, and when it fits in
+    // driver memory a local union-find replaces O(log diameter) distributed
+    // rounds (each a join + checkpoint + count job) with ONE job. The
+    // explicit edge-count gate keeps the 100 TB path correct: past the
+    // threshold we fall through to the pointer-jumping loop below, which
+    // never materializes the graph on one machine.
+    if (localEdgeThreshold > 0) {
+      // one job: collect at most threshold+1 edges; overflow ⇒ distributed
+      // path (which recomputes `pairs`, but only in the genuinely-big case)
+      val edges = e.limit((localEdgeThreshold + 1).toInt).collect()
+      if (edges.length <= localEdgeThreshold) {
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x < y
+          case (x: Int, y: Int) => x < y
+          case (x, y) => x.toString < y.toString
+        }
+        for (r <- edges) {
+          val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+          if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        }
+        val verts = edges.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+        val spark = pairs.sparkSession
+        val idType = pairs.schema(idA).dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("component", idType)))
+        val rows = verts.iterator
+          .map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(rows.asJava, schema)
+      }
+    }
     // undirected: materialize both directions once, pre-partitioned on the
     // per-round join key so the (edge-count-sized) table never re-shuffles
     // inside the loop — only the smaller label table moves each round

@@ -54,10 +54,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // empty graph → empty result, no iteration blowup
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("idA", "idB")).count() == 0)
     // 200-vertex chain: diameter >> default rounds — pointer jumping must
-    // still converge everything to component 0 (O(log d), not O(d))
+    // still converge everything to component 0 (O(log d), not O(d)).
+    // localEdgeThreshold = 0 forces the DISTRIBUTED loop; the default takes
+    // the driver union-find fast path — both must agree
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("idA", "idB")
-    val chainCC = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    val chainCC = Dedup.connectedComponents(chain, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect()
     assert(chainCC.length == 200 && chainCC.forall(_._2 == 0L))
+    val chainLocal = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(chainLocal.length == 200 && chainLocal.forall(_._2 == 0L))
   }
 
   test("minhashDedupCC kills middleman-linked docs that single-pass keeps") {
