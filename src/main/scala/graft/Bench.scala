@@ -47,7 +47,7 @@ object Bench {
   /** BASELINE.md workload at reduced scale: N ~4.5 KB CSV records in zstd
     * files → topology (List → ClauseFilter → FileWriter zstd) → records/s.
     */
-  def pipelineThroughput(spark: SparkSession, records: Long = 200000): Map[String, Double] = {
+  def pipelineThroughput(spark: SparkSession, records: Long = 500000): Map[String, Double] = {
     import graft.topology._
     graft.sources.ZstdCodec.register(spark)
     val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bench-pipeline-$records")

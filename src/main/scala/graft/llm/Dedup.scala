@@ -200,6 +200,16 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
+  /** SimHash dedup: drop every doc within `maxHamming` bits of a doc with
+    * a smaller id (single-pass, same keep-min semantics as [[minhashDedup]]).
+    */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String, nBits: Int = 32,
+      maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val doomed = simhashPairs(df, idCol, textCol, nBits, maxHamming, maxBucketSize)
+      .select(col("idB").as("__doomed")).distinct()
+    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
   // --- connected components (transitive near-dup clusters) ---
 
   /** Connected components over an undirected candidate-pair graph:
@@ -317,6 +327,18 @@ object Dedup {
     val pairs = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
       maxBucketSize = maxBucketSize)
       .filter(col("est_jaccard") >= threshold)
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component")).select(col("id").as("__doomed"))
+    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
+  /** Transitive embedding near-dup dedup: cluster cosine-similar pairs
+    * with [[connectedComponents]], keep each cluster's smallest id.
+    */
+  def embeddingDedupCC(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L),
+      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = embeddingPairs(df, idCol, vecCol, dim, threshold, nBits, seeds, maxBucketSize)
     val doomed = connectedComponents(pairs)
       .filter(col("id") =!= col("component")).select(col("id").as("__doomed"))
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")

@@ -25,6 +25,7 @@ object Topology {
       separator: String,
       validation: Map[String, String],
       dontValidateFields: Boolean,
+      trackFilterDrops: Boolean = false,
       input: (String, ComponentConfig),
       filters: Seq[(String, ComponentConfig)],
       outputName: String,
@@ -84,6 +85,9 @@ object Topology {
       separator = sep,
       validation = table("validation").map { case (k, v) => k -> v.toString },
       dontValidateFields = table("general").get("dont_validate_fields") match {
+        case Some(b: Boolean) => b; case _ => false
+      },
+      trackFilterDrops = table("general").get("track_filter_drops") match {
         case Some(b: Boolean) => b; case _ => false
       },
       input = (inputT("name").toString, cc(inputT, s"input ${inputT("name")}")),
@@ -235,19 +239,43 @@ object Topology {
     for (o <- obs.get("input"))
       df = df.observe(o, count(lit(1)).as("input_records"))
 
+    // Per-stage record accounting for StatsDumper's validation/per-filter
+    // drop breakdown (stats.go:131-139, topology.go:376-386). Opt-in
+    // ([general] track_filter_drops): each observe point splits the
+    // whole-stage-codegen span, so the default plan stays one fused stage.
+    val trackDrops = cfg.trackFilterDrops && !df.isStreaming
+    var stageObs = Vector.empty[(String, Observation)]
+    def observeStage(frame: DataFrame, key: String): DataFrame =
+      if (!trackDrops) frame
+      else {
+        val o = new Observation(s"graft_stage_$key")
+        stageObs :+= (s"stage_$key" -> o)
+        frame.observe(o, count(lit(1)).as(s"records_after_$key"))
+      }
+
     // --- validation (engine-level, config.go:474-523 + topology.go:376-386) ---
     if (cfg.validation.nonEmpty && !cfg.dontValidateFields) {
-      val preds = cfg.validation.toSeq.map { case (f, re) =>
+      val rules = cfg.validation.toSeq.map { case (f, re) =>
         require(cfg.fields.contains(f), s"validation: unknown field '$f'")
-        coalesce(col(f).cast("string"), lit("")).rlike(re)
+        f -> coalesce(col(f).cast("string"), lit("")).rlike(re)
       }
-      df = df.filter(preds.reduce(_ && _))
+      if (trackDrops) {
+        // per-field invalid counts (the reference counts drops per field
+        // index, topology.go:376-386) — one observation on the pre-filter
+        // frame, all fields in a single pass
+        val o = new Observation("graft_validation_fields")
+        stageObs :+= ("validation_fields" -> o)
+        val aggs = rules.map { case (f, p) =>
+          sum(when(!p, 1L).otherwise(0L)).as(s"invalid_$f") }
+        df = df.observe(o, aggs.head, aggs.tail: _*)
+      }
+      df = observeStage(df.filter(rules.map(_._2).reduce(_ && _)), "validation")
     }
 
     // --- filter chain (config order, topology.go:100-119) ---
-    for ((name, fCfg) <- cfg.filters) {
+    for (((name, fCfg), i) <- cfg.filters.zipWithIndex) {
       val desc = components.filter(name)
-      df = desc.build(ctx, fCfg)(df)
+      df = observeStage(desc.build(ctx, fCfg)(df), s"${i}_$name")
     }
 
     // --- sharding (topology.go:157-184): the one intentional shuffle ---
@@ -279,7 +307,7 @@ object Topology {
       case Some(o) => projected.observe(o, count(lit(1)).as("output_records"))
       case None    => projected
     }
-    Compiled(ctx, cfg, components, df, projectedObs, obs)
+    Compiled(ctx, cfg, components, df, projectedObs, obs ++ stageObs)
   }
 
   def compileToml(spark: SparkSession, toml: String,

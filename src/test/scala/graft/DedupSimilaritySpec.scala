@@ -147,6 +147,21 @@ class DedupSimilaritySpec extends SparkSpec {
     val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 4, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((0L, 2L)))
+    // transitive keep-min over the same pair graph
+    val kept = Dedup.embeddingDedupCC(vecs, "vec_id", "embedding", dim = 4, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 3L))
+  }
+
+  test("simhashDedup keeps smallest id per near-dup pair") {
+    import spark.implicits._
+    val kept = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 is identical to 0 (hamming 0) → dropped; 1 is 1 word off — within
+    // radius iff its signature is ≤3 bits away, so just assert the
+    // guarantees: 0 survives, 2 dies, unrelated 3 and empty 4 survive
+    assert(kept.contains(0L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L))
   }
 
   test("bruteForceTopK ranks by cosine desc with deterministic ties") {

@@ -69,8 +69,49 @@ class DynamoStatsSpec extends SparkSpec {
       assert(dumper.lines.nonEmpty)
       val line = dumper.lines.last
       assert(line.matches("Stats: 1s\\[w:\\d+,r:\\d+\\] total\\[w:\\d+,r:\\d+\\] " +
-        "speed\\[\\d+ rec/s\\] errors\\[0\\]"), line)
+        "speed\\[\\d+ rec/s\\] errors\\[p:0 i:0 f:0 o:0 u:0\\]"), line)
       assert(line.contains("r:3"))
+    } finally dumper.detach(spark)
+  }
+
+  test("track_filter_drops: validation + per-filter drop breakdown in stats") {
+    val dumper = new StatsDumper(quiet = true).attach(spark)
+    try {
+      val toml =
+        """[general]
+          |track_filter_drops = true
+          |[fields]
+          |names = ["a", "b"]
+          |[validation]
+          |a = "^[xyz]$"
+          |[input]
+          |name = "LogLines"
+          |  [input.config]
+          |  Lines = ["x,1", "y,", "z,3", "BAD,4"]
+          |[[filter]]
+          |name = "NotNull"
+          |  [filter.config]
+          |  Fields = ["b"]
+          |[[filter]]
+          |name = "StringMatch"
+          |  [filter.config]
+          |  Field = "a"
+          |  Strings = ["z"]
+          |[output]
+          |name = "Recorder"
+          |""".stripMargin
+      val (_, metrics) = Topology.compileToml(spark, toml, env = Map.empty).run()
+      // 4 read; validation drops BAD; NotNull drops "y,"; StringMatch drops z
+      assert(metrics.get("records_after_validation").contains(3L))
+      assert(metrics.get("invalid_a").contains(1L))
+      assert(metrics.get("records_after_0_NotNull").contains(2L))
+      assert(metrics.get("records_after_1_StringMatch").contains(1L))
+      val deadline = System.currentTimeMillis() + 10000
+      while (!dumper.lines.lastOption.exists(_.contains("filtered[")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val line = dumper.lines.last
+      assert(line.contains("errors[p:0 i:1 f:2 o:0 u:0]"), line)
+      assert(line.contains("filtered[NotNull:1 StringMatch:1]"), line)
     } finally dumper.detach(spark)
   }
 }
