@@ -354,9 +354,32 @@ object SparkEntry {
         .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
 
+    "q_quality_gopher" -> ((s, d) =>
+      // Gopher/MassiveText repetition signals + pass gate, map-only
+      t(s, d, "documents").filter(col("text") =!= "")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_words"),
+          round(TF.meanTokenLen(col("text")), 4).as("mean_word_len"),
+          round(TF.duplicateNgramFraction(col("text"), 1), 4).as("dup_word_frac"),
+          round(TF.duplicateNgramFraction(col("text"), 2), 4).as("dup_2gram_frac"),
+          round(TF.duplicateNgramFraction(col("text"), 3), 4).as("dup_3gram_frac"),
+          TF.gopherPasses(col("text")).as("passes"))
+        .orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_redact_pii" -> ((s, d) =>
+      // plant deterministic PII per doc, then scrub it: the oracle applies
+      // the same regexes in DuckDB, so the check validates actual redaction
+      t(s, d, "documents")
+        .withColumn("pii_text", concat(
+          lit("reach user"), col("doc_id"), lit("@mail.example.com or 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ph +1 555 000 12"),
+          (col("doc_id") % 100).cast("string"), lit(" re: "), col("text")))
+        .select(col("doc_id"), TF.redactPii(col("pii_text")).as("redacted"))
         .orderBy("doc_id")),
 
     "q_rolling_hash" -> ((s, d) =>
@@ -407,6 +430,21 @@ object SparkEntry {
       graft.streaming.EventTime.sessionize(
         t(s, d, "events"), "ts", "user_id", gap = "6 hours")
         .orderBy("user_id", "session_start")),
+
+    "q_asof_join" -> ((s, d) => {
+      // as-of join: each purchase picks up the user's most recent prior (or
+      // same-instant) view — one shuffle on user_id, no range expansion
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"),
+          col("value").as("view_value"))
+      graft.operators.AsofJoin.asof(purchases, views, Seq("user_id"), "ts",
+          Seq("view_event_id", "view_value"))
+        .withColumn("view_value", round(col("view_value"), 4))
+        .orderBy("event_id")
+    }),
 
     "q_dedup_ttl" -> ((s, d) =>
       // keep-first-per-key stateful dedup run as a batch frame; only the
@@ -634,6 +672,45 @@ object SparkEntry {
                      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
                 END AS n_tokens
          FROM documents ORDER BY doc_id""",
+    "q_redact_pii" ->
+      // same planted PII + same regex chain ('g' = replace all, matching
+      // Spark's regexp_replace semantics)
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      'reach user' || doc_id || '@mail.example.com or 10.0.' ||
+                        (doc_id % 256) || '.7 ph +1 555 000 12' || (doc_id % 100) ||
+                        ' re: ' || text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+    "q_quality_gopher" ->
+      // same repetition algebra over DuckDB list functions; `passes` uses
+      // the UNROUNDED values, as the Spark side does
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                    FROM documents WHERE text <> ''),
+         s AS (SELECT doc_id, w, len(w) AS nw,
+                 list_aggregate(list_transform(w, x -> CAST(length(x) AS DOUBLE)), 'avg') AS mwl,
+                 list_transform(range(greatest(len(w)-1, 0)), i -> w[i+1] || ' ' || w[i+2]) AS g2,
+                 list_transform(range(greatest(len(w)-2, 0)),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g3
+               FROM d),
+         f AS (SELECT doc_id, nw, mwl,
+                 1 - CAST(len(list_distinct(w)) AS DOUBLE) / nw AS dw,
+                 CASE WHEN len(g2) > 0
+                      THEN 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                      ELSE 0 END AS d2,
+                 CASE WHEN len(g3) > 0
+                      THEN 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                      ELSE 0 END AS d3
+               FROM s)
+         SELECT doc_id, nw AS n_words, round(mwl, 4) AS mean_word_len,
+                round(dw, 4) AS dup_word_frac, round(d2, 4) AS dup_2gram_frac,
+                round(d3, 4) AS dup_3gram_frac,
+                (nw BETWEEN 10 AND 100000 AND mwl BETWEEN 2 AND 12 AND d2 <= 0.9) AS passes
+         FROM f ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
@@ -721,5 +798,17 @@ object SparkEntry {
          ORDER BY user_id, session_start""",
     "q_dedup_ttl" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
+    "q_asof_join" ->
+      // DuckDB has native ASOF; inclusive match (p.ts >= v.ts) mirrors the
+      // union-and-carry window's right-before-left tie order
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                           event_type, value FROM events),
+         p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+               FROM e WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+                v.view_event_id, round(v.view_value, 4) AS view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
   )
 }

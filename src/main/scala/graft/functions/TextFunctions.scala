@@ -132,6 +132,47 @@ object TextFunctions {
       .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
   }
 
+  /** Fraction of word n-grams that repeat an earlier occurrence
+    * (1 − distinct/total; empty/too-short text → 0). n = 1 measures
+    * duplicate words. The repetition family of quality signals from the
+    * published Gopher/MassiveText filtering heuristics (Rae et al. 2021):
+    * high duplicate-n-gram fractions flag boilerplate and spam. Map-only
+    * Column algebra — at 100 TB this is a per-row expression in the scan.
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val g = if (n == 1) tokens(text) else shingles(text, n)
+    bindOnce(g)(arr => when(size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+      .otherwise(lit(0.0)))
+  }
+
+  /** Gopher-style document gate over the repetition/shape signals:
+    * word count within [minWords, maxWords], mean word length within
+    * [2, 12] characters, duplicate-bigram fraction ≤ maxDupBigram.
+    * Thresholds are parameters — corpora differ; defaults follow the
+    * published heuristic shapes.
+    */
+  def gopherPasses(text: Column, minWords: Long = 10, maxWords: Long = 100000,
+      maxDupBigram: Double = 0.9): Column =
+    tokenCount(text).between(minWords, maxWords) &&
+      meanTokenLen(text).between(2.0, 12.0) &&
+      (duplicateNgramFraction(text, 2) <= maxDupBigram)
+
+  /** Redact common PII shapes (emails, IPv4s, phone-like digit runs) with
+    * typed placeholder tokens — the standard scrubbing pass before a text
+    * corpus leaves a pipeline. Regexes are written to the Java∩RE2 common
+    * subset so an external engine (e.g. an audit query in DuckDB) computes
+    * the identical result. Order matters: emails first (an address may
+    * embed digits), then IPs, then the greedy phone pattern.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(coalesce(text, lit("")),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
+  }
+
   /** Composite heuristic quality score in [0,1]: length saturation,
     * healthy mean word length, low punctuation noise, stopword presence —
     * the standard cheap pre-filter for LLM training corpora.

@@ -56,6 +56,21 @@ class TextVectorSpec extends SparkSpec {
     assert(good >= 0 && good <= 1 && noise >= 0 && noise <= 1 && good > noise)
   }
 
+  test("duplicateNgramFraction and gopherPasses (repetition signals)") {
+    // "a b a b a" → words: 5 total, 2 distinct → dup 0.6;
+    // bigrams: [a b, b a, a b, b a] → 4 total, 2 distinct → dup 0.5
+    assert(one(TF.duplicateNgramFraction(lit("a b a b a"), 1)) == 0.6)
+    assert(one(TF.duplicateNgramFraction(lit("a b a b a"), 2)) == 0.5)
+    assert(one(TF.duplicateNgramFraction(lit("x y z"), 2)) == 0.0)
+    assert(one(TF.duplicateNgramFraction(lit(""), 2)) == 0.0)
+    // gate: long-enough, sane word length, low bigram repetition
+    val good = "the quick brown fox jumps over the lazy dog in the warm sun today"
+    assert(one(TF.gopherPasses(lit(good))) == true)
+    assert(one(TF.gopherPasses(lit("too short"))) == false)       // < 10 words
+    val spam = Seq.fill(40)("buy now").mkString(" ")              // dup bigrams
+    assert(one(TF.gopherPasses(lit(spam), maxDupBigram = 0.5)) == false)
+  }
+
   test("dot / norm / cosine / l2 on double arrays") {
     val a = typedLit(Seq(1.0, 2.0, 2.0))
     val b = typedLit(Seq(2.0, 4.0, 4.0))
