@@ -431,6 +431,41 @@ object SparkEntry {
         t(s, d, "events"), "ts", "user_id", gap = "6 hours")
         .orderBy("user_id", "session_start")),
 
+    "q_distinct_users" -> ((s, d) =>
+      // exact distinct per group — the baseline the sketch path approximates
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    "q_sketch_distinct" -> ((s, d) => {
+      // mergeable HLL path: per-(type, day) sketches persisted conceptually,
+      // rolled up to per-type without rescanning raw rows. rows-only check
+      // (estimates aren't reproducible in the SQL oracle); SketchesSpec
+      // asserts the ≤3% error and rollup==direct invariants
+      val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      val daily = graft.llm.Sketches.distinctSketch(
+        ev, Seq("event_type", "day"), "user_id")
+      graft.llm.Sketches.rollup(daily, Seq("event_type"))
+        .select(col("event_type"),
+          graft.llm.Sketches.estimate(col("sketch")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      // bucketized point-in-interval join: every event lands in exactly one
+      // of its user's sessions (session windows tile the event stream)
+      val ev = t(s, d, "events")
+      val sessions = graft.streaming.EventTime.sessionize(ev, "ts", "user_id", gap = "6 hours")
+        .select(col("user_id"), col("session_start"), col("session_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select("event_id", "user_id", "ts"), sessions,
+          Seq("user_id"), "ts", "session_start", "session_end",
+          bucketWidthMicros = 6L * 3600 * 1000000)
+        .select("event_id", "user_id", "session_start")
+        .orderBy("event_id")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // as-of join: each purchase picks up the user's most recent prior (or
       // same-instant) view — one shuffle on user_id, no range expansion
@@ -798,6 +833,34 @@ object SparkEntry {
          ORDER BY user_id, session_start""",
     "q_dedup_ttl" ->
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_range_join" ->
+      // sessions from the gaps-and-islands CTE (same as q_session), then a
+      // plain inequality join — DuckDB's IEJoin handles it at oracle scale
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         m AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), g AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         ), sess AS (
+           SELECT user_id, min(ts) AS session_start,
+                  max(ts) + INTERVAL '6 hours' AS session_end
+           FROM g GROUP BY user_id, sid
+         )
+         SELECT e.event_id, e.user_id, s.session_start
+         FROM e JOIN sess s
+           ON e.user_id = s.user_id
+          AND e.ts >= s.session_start AND e.ts < s.session_end
+         ORDER BY e.event_id""",
     "q_asof_join" ->
       // DuckDB has native ASOF; inclusive match (p.ts >= v.ts) mirrors the
       // union-and-carry window's right-before-left tie order

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+
+  test("numeric point-in-interval: bounds [start, end), multi-bucket intervals") {
+    import spark.implicits._
+    val points = Seq( // (id, k, ts)
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 25L), (4L, "b", 5L), (5L, "a", 30L),
+    ).toDF("id", "k", "ts")
+    val intervals = Seq( // (k, start, end, tag) — widths 5..25, bucket width 10
+      ("a", 0L, 10L, "i1"),   // spans buckets 0..0
+      ("a", 10L, 30L, "i2"),  // spans buckets 1..2 (multi-bucket)
+      ("b", 0L, 4L, "i3"),    // b's point at 5 is outside
+    ).toDF("k", "start", "end", "tag")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "ts", "start", "end", bucketWidthMicros = 10L)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (1L, "i1"),  // 5 ∈ [0,10)
+      (2L, "i2"),  // 10 ∉ [0,10) (exclusive end) but ∈ [10,30) (inclusive start)
+      (3L, "i2"))) // 25 ∈ [10,30) across the bucket boundary
+    // 30 ∉ [10,30); b@5 ∉ [0,4) — no rows for ids 4,5
+  }
+
+  test("overlapping intervals yield one row per (point, interval) match") {
+    import spark.implicits._
+    val points = Seq((1L, "a", 7L)).toDF("id", "k", "ts")
+    val intervals = Seq(("a", 0L, 10L, "x"), ("a", 5L, 9L, "y")).toDF("k", "start", "end", "tag")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "ts", "start", "end", bucketWidthMicros = 10L)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(out == Set("x", "y"))
+  }
+
+  test("plan: equi-join on (key, bucket), no cartesian / nested-loop") {
+    import spark.implicits._
+    val points = Seq((1L, "a", 7L)).toDF("id", "k", "ts")
+    val intervals = Seq(("a", 0L, 10L, "x")).toDF("k", "start", "end", "tag")
+    val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "ts", "start", "end", 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+}
