@@ -36,27 +36,33 @@ object Ivf {
       : Array[Array[Double]] = {
     val v = corpus.select(col(vecCol).cast("array<double>").as("__v"))
       .filter(size(col("__v")) === dim)
-    val init = v.orderBy(xxhash64(col("__v")))
-      .limit(nlist)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(init.length > 0, "IVF train: empty corpus")
-    var cents = init.map(normalize)
-    for (_ <- 0 until iters) {
-      val assigned = v.select(
-        element_at(NearestCells(col("__v"), cents, 1), 1).as("__cell"), col("__v"))
-      val means = assigned.groupBy("__cell")
-        .agg(avg(element_at(col("__v"), 1)).as("d0"),
-          (1 until dim).map(i => avg(element_at(col("__v"), i + 1)).as(s"d$i")): _*)
+      // init + every Lloyd iteration rescans the vectors: cache them for
+      // the duration of training (the standard iterative-training shape —
+      // MLlib k-means does the same), release before returning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = v.orderBy(xxhash64(col("__v")))
+        .limit(nlist)
         .collect()
-      val next = cents.map(identity)
-      for (r <- means) {
-        val cell = r.getInt(0)
-        next(cell) = normalize(Array.tabulate(dim)(i => r.getDouble(i + 1)))
+        .map(_.getSeq[Double](0).toArray)
+      require(init.length > 0, "IVF train: empty corpus")
+      var cents = init.map(normalize)
+      for (_ <- 0 until iters) {
+        val assigned = v.select(
+          element_at(NearestCells(col("__v"), cents, 1), 1).as("__cell"), col("__v"))
+        val means = assigned.groupBy("__cell")
+          .agg(avg(element_at(col("__v"), 1)).as("d0"),
+            (1 until dim).map(i => avg(element_at(col("__v"), i + 1)).as(s"d$i")): _*)
+          .collect()
+        val next = cents.map(identity)
+        for (r <- means) {
+          val cell = r.getInt(0)
+          next(cell) = normalize(Array.tabulate(dim)(i => r.getDouble(i + 1)))
+        }
+        cents = next
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally v.unpersist(blocking = false)
   }
 
   private def normalize(x: Array[Double]): Array[Double] = {
