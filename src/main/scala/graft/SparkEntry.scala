@@ -431,6 +431,19 @@ object SparkEntry {
         t(s, d, "events"), "ts", "user_id", gap = "6 hours")
         .orderBy("user_id", "session_start")),
 
+    "q_mix_corpora" -> ((s, d) => {
+      // deterministic weighted blend of two (disjoint) corpus slices; the
+      // multiplicative hash is plain integer algebra so the oracle can
+      // reproduce the exact selection
+      val docs = t(s, d, "documents")
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+      graft.llm.Mix.weighted(Seq(
+          (docs.filter(col("doc_id") % 2 === 0), 0.5, h),
+          (docs.filter(col("doc_id") % 2 === 1), 0.25, h)))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_distinct_users" -> ((s, d) =>
       // exact distinct per group — the baseline the sketch path approximates
       t(s, d, "events")
@@ -836,6 +849,11 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_mix_corpora" ->
+      """SELECT doc_id FROM documents
+         WHERE (doc_id % 2 = 0 AND (doc_id * 2654435761) % 1000000 < 500000)
+            OR (doc_id % 2 = 1 AND (doc_id * 2654435761) % 1000000 < 250000)
+         ORDER BY doc_id""",
     "q_range_join" ->
       // sessions from the gaps-and-islands CTE (same as q_session), then a
       // plain inequality join — DuckDB's IEJoin handles it at oracle scale
