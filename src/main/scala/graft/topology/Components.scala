@@ -28,7 +28,7 @@ object BuiltinComponents {
       expandJson, expandList, externalMatch, formatTime, hash,
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
-      timestampRange, urlEscape, urlParam),
+      timestampRange, urlEscape, urlParam, gopherQuality, redactPii),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -449,6 +449,31 @@ object BuiltinComponents {
       ConfigKey("DstField", "field to save the extracted param", required = true),
       ConfigKey("Param", "name of the url parameter to extract", required = true)))(
     (_, cfg) => Filters.URLParam(cfg.str("SrcField"), cfg.str("DstField"), cfg.str("Param")))
+
+  // --- extension filters (beyond the reference registry): the LLM-pipeline
+  // text ops exposed as ordinary TOML components ---
+
+  val gopherQuality: FilterDesc = mkPureFilter("GopherQuality",
+    "Drops records whose text field fails the Gopher-style repetition/shape " +
+      "quality gate (word count, mean word length, duplicate-bigram fraction).",
+    Seq(
+      ConfigKey("Field", "field holding the document text", required = true),
+      ConfigKey("MinWords", "minimum word count", default = Some(10L)),
+      ConfigKey("MaxWords", "maximum word count", default = Some(100000L)),
+      ConfigKey("MaxDupBigram", "maximum duplicate-bigram fraction", default = Some("0.9"))))(
+    (_, cfg) => df => df.filter(graft.functions.TextFunctions.gopherPasses(
+      col(cfg.str("Field")), cfg.int("MinWords", 10L), cfg.int("MaxWords", 100000L),
+      cfg.str("MaxDupBigram", "0.9").toDouble)))
+
+  val redactPii: FilterDesc = mkFilter("RedactPii",
+    "Replaces emails, IPv4 addresses and phone-like digit runs in a field " +
+      "with typed placeholder tokens.",
+    Seq(
+      ConfigKey("SrcField", "field to scrub", required = true),
+      ConfigKey("DstField", "field to store the scrubbed text (may equal SrcField)",
+        required = true)))(
+    (_, cfg) => df => df.withColumn(cfg.str("DstField"),
+      graft.functions.TextFunctions.redactPii(col(cfg.str("SrcField")))))
 
   // ===================== outputs =====================
 

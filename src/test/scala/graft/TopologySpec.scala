@@ -231,6 +231,33 @@ class TopologySpec extends SparkSpec {
     assert(stats("ts_p50") == "200")
   }
 
+  test("extension filters: RedactPii then GopherQuality in a TOML chain") {
+    val good = "the quick brown fox jumps over the lazy dog in the warm sun"
+    val toml =
+      s"""[fields]
+         |names = ["id", "text"]
+         |[input]
+         |name = "LogLines"
+         |  [input.config]
+         |  Lines = ["1,$good mail bob@example.com", "2,too short", "3,$good"]
+         |[[filter]]
+         |name = "RedactPii"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "text"
+         |[[filter]]
+         |name = "GopherQuality"
+         |  [filter.config]
+         |  Field = "text"
+         |[output]
+         |name = "Recorder"
+         |""".stripMargin
+    Topology.compileToml(spark, toml, env = Map.empty).run()
+    val rows = BuiltinComponents.Recorder.last.map(_.mkString(","))
+    assert(rows.size == 2) // "too short" fails the word-count gate
+    assert(rows.exists(_.contains("<EMAIL>")) && !rows.exists(_.contains("bob@")))
+  }
+
   test("unknown component and unknown config key fail loudly") {
     val base =
       """[fields]
