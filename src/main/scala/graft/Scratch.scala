@@ -1,20 +1,28 @@
 package graft
-
 import graft.core.Graft
+import org.apache.spark.sql.functions._
 
-/** Ad-hoc timing scratchpad (not part of the library surface). */
+/** Scale-curve probe: time minhashDedup on 1×/2×/4× copies of the sf0.1
+  * documents corpus (ids shifted per copy so copies are exact near-dups of
+  * each other — the adversarial case for LSH banding). Near-linear growth
+  * means no hidden quadratic term; superlinear flags a bucket blowup.
+  */
 object Scratch {
-  def time(label: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val n = f
-    println(s"SCRATCH $label: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
-  }
   def main(args: Array[String]): Unit = {
-    val spark = Graft.localSession("scratch")
-    val sf = "/root/testdata/sf0.1"
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    for (i <- 1 to 2; q <- args) {
-      time(s"$q-$i") { SparkEntry.queries(q)(spark, sf).count() }
+    val spark = Graft.localSession("scale-curve")
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    val docs = Graft.table(spark, d, "documents").select("doc_id", "text")
+    for (mult <- Seq(1, 2, 4)) {
+      val corpus = (0 until mult).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+      corpus.count() // materialize read path outside the timing
+      val t0 = System.nanoTime()
+      val survivors = graft.llm.Dedup.minhashDedup(
+        corpus, "doc_id", "text", threshold = 0.7).count()
+      println(f"SCALE mult=$mult docs=${66000L * mult} survivors=$survivors " +
+        f"secs=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }
