@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accepts `array<float>` and `array<double>` operands (mixed allowed);
   * always sums in double, left-to-right, so results are bit-identical to
-  * the HOF and UDF formulations. Null (or null element) → null.
+  * the HOF and UDF formulations. Null, null element, or length-mismatched
+  * operands → null (zip_with pads the shorter side with null, so the HOF
+  * sum is null too — a truncated embedding must drop out of ranking, not
+  * score a silently partial dot).
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,7 +51,8 @@ case class ArrayDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -70,11 +74,15 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s += ${get(a, i, elemIsFloat(left))} * ${get(b, i, elemIsFloat(right))};
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${get(a, i, elemIsFloat(left))} * ${get(b, i, elemIsFloat(right))};
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -187,8 +187,12 @@ object Dedup {
       .repartition(col("__id"))
     val banded = sig.select(col("__id"), col("simhash"),
       explode(array((0 until chunks).map { c =>
+        // width 64 (nBits=64, maxHamming=0): (1L<<64)-1 wraps to 0 under
+        // Scala's mod-64 shift and would hash every doc to ONE bucket —
+        // use the all-ones mask explicitly
+        val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), offsets(c)).bitwiseAND((1L << widths(c)) - 1).as("ck")).as("k")
+          shiftright(col("simhash"), offsets(c)).bitwiseAND(mask).as("ck")).as("k")
       }: _*)).as("bk"))
     val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
     val a = pruned.select(col("bk"), col("__id").as("idA"), col("simhash").as("shA"))

@@ -47,16 +47,21 @@ object Similarity {
     *                full: the window ranks only (corpus × |queries|) rows,
     *                and Catalyst keeps the broadcast join map-side.
     * @param queries (idCol, vecCol) — must be small (broadcast).
+    * @param dim     when ≥ 0, rows whose vector length ≠ dim are dropped
+    *                up front (same gate as lshTopK/ivfTopK — a truncated
+    *                embedding must not enter scoring).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, excludeSelf: Boolean = true, dim: Int = -1): DataFrame = {
+    def gate(df: DataFrame): DataFrame =
+      if (dim < 0) df else df.filter(size(col(vecCol)) === dim)
     // norms once per row BEFORE the pair blow-up (the corpus norm would
     // otherwise be recomputed |queries| times per corpus row)
     val dot = VectorFunctions.dotFast _
     def norm(a: Column): Column = sqrt(dot(a, a))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = broadcast(gate(queries).select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv"))))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = gate(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
       .crossJoin(q)
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))

@@ -83,7 +83,10 @@ final class DatadogMetrics(
   def gauge(name: String, value: Double, tags: Seq[String]): Unit =
     send(name, value.toString, "g", tags)
   def rawCount(name: String, value: Long, tags: Seq[String]): Unit = {
-    val prev = Option(lastRaw.put(name, value)).getOrElse(0L)
+    // last-value keyed by name AND tags: interleaved tagged series (e.g.
+    // per-shard counters) must not compute deltas against each other
+    val key = name + "|" + tags.sorted.mkString(",")
+    val prev = Option(lastRaw.put(key, value)).getOrElse(0L)
     if (value > prev) send(name, (value - prev).toString, "c", tags)
   }
   def deltaCount(name: String, delta: Long, tags: Seq[String]): Unit =

@@ -38,13 +38,19 @@ object RangeJoin {
         case _ => c.cast("long")
       }
     val w = bucketWidthMicros
-    val lb = left.withColumn("__bkt",
-      floor(toUnits(col(tsCol), left, tsCol) / w))
-    // right interval [s, e): overlapped buckets floor(s/w)..floor((e-1)/w)
+    // exact integral floor division — `floor(col / w)` (and `/` itself)
+    // evaluates through DOUBLE and misassigns buckets beyond 2^53 (e.g.
+    // epoch nanoseconds), silently losing matches at bucket boundaries.
+    // Subtract pmod first (x − pmod(x, w) is an exact multiple of w, and
+    // pmod keeps the floor semantics for negative x), then integral `div`
+    def fdiv(x: Column): Column =
+      call_function("div", x - pmod(x, lit(w)), lit(w))
+    val lb = left.withColumn("__bkt", fdiv(toUnits(col(tsCol), left, tsCol)))
+    // right interval [s, e): overlapped buckets fdiv(s)..fdiv(e-1)
     val rs = toUnits(col(startCol), right, startCol)
     val re = toUnits(col(endCol), right, endCol)
     val rb = right.withColumn("__bkt",
-      explode(sequence(floor(rs / w), floor((re - 1) / w))))
+      explode(sequence(fdiv(rs), fdiv(re - 1))))
     lb.join(rb, keyCols.map(k => lb(k) === rb(k))
         .reduce(_ && _) && lb("__bkt") === rb("__bkt") &&
         lb(tsCol) >= rb(startCol) && lb(tsCol) < rb(endCol))

@@ -534,8 +534,11 @@ object BuiltinComponents {
       var dfw = base.write.mode("overwrite")
       val rs = cfg.int("RotateSize", 0L)
       if (rs > 0) {
-        // size rotation ≈ maxRecordsPerFile from a sampled record size
-        val sample = df.select(avg(length(col("_record")))).head().getDouble(0).max(1.0)
+        // size rotation ≈ maxRecordsPerFile from a sampled record size;
+        // avg() is null on an empty/fully-filtered input — fall back to 1
+        // byte rather than crash a run that would otherwise write nothing
+        val row = df.select(avg(length(col("_record")))).head()
+        val sample = (if (row.isNullAt(0)) 1.0 else row.getDouble(0)).max(1.0)
         dfw = dfw.option("maxRecordsPerFile", math.max(1L, (rs / sample).toLong))
       }
       codec.foreach(c => dfw = dfw.option("compression", c))

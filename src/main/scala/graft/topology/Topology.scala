@@ -144,22 +144,24 @@ object Topology {
         upCfg.validate(upDesc.keys)
         upDesc.build(ctx, upCfg, result.paths)
       }
-      val metrics = observations.flatMap { case (_, o) =>
-        // getOrEmpty is non-blocking and the QueryExecutionListener that
-        // fills it fires ASYNC after the action — poll briefly, giving up
-        // when the action never materialized the observed frame (e.g.
-        // OpLog's limited collect)
-        def read(): Map[String, Any] =
-          try {
-            val f = o.getClass.getDeclaredMethod("getOrEmpty")
-            f.setAccessible(true)
-            f.invoke(o).asInstanceOf[Map[String, Any]]
-          } catch { case _: Exception => Map.empty[String, Any] }
-        var m = read()
-        val deadline = System.nanoTime() + 2000000000L
-        while (m.isEmpty && System.nanoTime() < deadline) { Thread.sleep(20); m = read() }
-        m
+      // getOrEmpty is non-blocking and the QueryExecutionListener that
+      // fills it fires ASYNC after the action — poll briefly under ONE
+      // shared deadline for all observations (a per-observation deadline
+      // would stall 2s × N when the action never materializes the observed
+      // frames, e.g. OpLog's limited collect)
+      def readObs(o: Observation): Map[String, Any] =
+        try {
+          val f = o.getClass.getDeclaredMethod("getOrEmpty")
+          f.setAccessible(true)
+          f.invoke(o).asInstanceOf[Map[String, Any]]
+        } catch { case _: Exception => Map.empty[String, Any] }
+      val deadline = System.nanoTime() + 2000000000L
+      var snaps = observations.values.map(readObs)
+      while (snaps.exists(_.isEmpty) && System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        snaps = observations.values.map(readObs)
       }
+      val metrics = snaps.fold(Map.empty[String, Any])(_ ++ _)
       // topology-level counters, published once per run (stats.go:131-139
       // breakdown; per-record emission would never survive 1000 executors)
       try {

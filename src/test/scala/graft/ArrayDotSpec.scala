@@ -37,6 +37,16 @@ class ArrayDotSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("length-mismatched arrays yield null (not a partial dot)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(ArrayDot(col("a"), col("b"))).head().isNullAt(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.select(ArrayDot(col("a"), col("b"))).head().isNullAt(0))
+    }
+  }
+
   test("interpreted eval (no codegen) agrees with codegen") {
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {

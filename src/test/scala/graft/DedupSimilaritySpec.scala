@@ -120,6 +120,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((0L, 2L)) == 0)
   }
 
+  test("simhash nBits=64 maxHamming=0: full-signature bucket, not one global bucket") {
+    // width-64 chunk mask must be all-ones ((1L<<64)-1 wraps to 0): only
+    // the identical pair collides, unrelated docs don't share the bucket
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", nBits = 64, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L)))
+  }
+
   test("jaccard column: exact set similarity with empty-set guard") {
     val df = spark.sql(
       """SELECT array('a','b','c') ta, array('b','c','d') tb

@@ -36,6 +36,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set("x", "y"))
   }
 
+  test("bucket math is exact beyond 2^53 (epoch-nanosecond magnitudes)") {
+    import spark.implicits._
+    // 1.7e18 ≈ 2026 in epoch nanos; double-precision floor(x/w) misplaces
+    // these near bucket boundaries — integral div must not
+    val base = 1700000000000000000L
+    val w = 3600000000000L // 1h in nanos
+    val points = Seq((1L, "a", base + w - 1), (2L, "a", base + w)).toDF("id", "k", "ts")
+    val intervals = Seq(("a", base, base + w, "first-hour")).toDF("k", "start", "end", "tag")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "ts", "start", "end", bucketWidthMicros = w)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L)) // last nano of the hour in; first nano of next hour out
+  }
+
   test("plan: equi-join on (key, bucket), no cartesian / nested-loop") {
     import spark.implicits._
     val points = Seq((1L, "a", 7L)).toDF("id", "k", "ts")
