@@ -15,6 +15,9 @@ class MetricsSpec extends SparkSpec {
   private def withUdpListener[T](f: (Int, () => Seq[String]) => T): T = {
     val sock = new DatagramSocket(0)
     sock.setSoTimeout(200)
+    // full-suite runs saturate all cores; a default-sized buffer can drop
+    // datagrams before the listener thread gets scheduled
+    sock.setReceiveBufferSize(1 << 20)
     val received = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     @volatile var running = true
     val t = new Thread(() => {
@@ -45,7 +48,7 @@ class MetricsSpec extends SparkSpec {
       m.histogram("size", 123.0)
       m.duration("elapsed", 250)
       m.close()
-      val deadline = System.nanoTime() + 5000000000L
+      val deadline = System.nanoTime() + 30000000000L  // generous: suite runs CPU-starved
       while (drain().size < 6 && System.nanoTime() < deadline) Thread.sleep(20)
       val got = drain().toSet
       assert(got.contains("graft.queue_depth:7.5|g|#env:test"))
@@ -82,7 +85,7 @@ class MetricsSpec extends SparkSpec {
            |""".stripMargin
       val (result, _) = Topology.compileToml(spark, toml).run()
       assert(result.rows == 2L)
-      val deadline = System.nanoTime() + 5000000000L
+      val deadline = System.nanoTime() + 30000000000L  // generous: suite runs CPU-starved
       while (drain().size < 4 && System.nanoTime() < deadline) Thread.sleep(20)
       val got = drain()
       assert(got.contains("graft.records_read:3|c"))
