@@ -444,6 +444,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_decontaminate" -> ((s, d) =>
+      // eval-set n-gram decontamination: doc token n-grams (per phrase
+      // length) hash-matched via broadcast left-semi join; text never
+      // crosses a shuffle
+      graft.llm.Decontaminate.flagged(
+          t(s, d, "documents"), "doc_id", "text",
+          Seq("fast merge", "value table", "window table table"))
+        .orderBy("doc_id")),
+
+    "q_normalize" -> ((s, d) =>
+      // canonical corpus normalization (lowercase, punct runs → one space)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(TF.normalizeText(col("text")), 1, 60).as("norm_prefix"))
+        .orderBy("doc_id")),
+
+    "q_sample_stratified" -> ((s, d) =>
+      // per-language deterministic sampling ("50% en, 10% zh, all fr"):
+      // map-only CASE threshold on the stratum, integer-algebra hash so the
+      // oracle reproduces the exact selection
+      graft.llm.Mix.stratified(
+          t(s, d, "documents"), col("lang"),
+          Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1, "fr" -> 1.0),
+          col("doc_id") * lit(2654435761L))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "q_distinct_users" -> ((s, d) =>
       // exact distinct per group — the baseline the sketch path approximates
       t(s, d, "events")
@@ -891,5 +918,27 @@ object SparkEntry {
                 v.view_event_id, round(v.view_value, 4) AS view_value
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p.event_id""",
+    "q_decontaminate" ->
+      // token-boundary containment via space-padded LIKE over the same
+      // normalization the Spark side applies
+      """SELECT doc_id FROM documents
+         WHERE ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+               LIKE '% fast merge %'
+            OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+               LIKE '% value table %'
+            OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+               LIKE '% window table table %'
+         ORDER BY doc_id""",
+    "q_normalize" ->
+      """SELECT doc_id,
+                substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 60)
+                  AS norm_prefix
+         FROM documents ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (doc_id * 2654435761) % 1000000 <
+               CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
+                         WHEN 'zh' THEN 100000 WHEN 'fr' THEN 1000000 ELSE 0 END
+         ORDER BY doc_id""",
   )
 }

@@ -25,6 +25,14 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical training-corpus text normalization: lowercase, every
+    * non-alphanumeric run → one space, trimmed. Chosen to equal the SQL
+    * form `trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'))` exactly,
+    * so normalized output stays oracle-checkable across engines.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9]+", " "))
+
   /** BPE-ish subword token estimate: word-boundary regex pieces (letter
     * runs, digit runs, punctuation singletons; whitespace not counted),
     * the standard cheap approximation of a byte-pair tokenizer's output

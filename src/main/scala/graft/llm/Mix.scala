@@ -32,4 +32,25 @@ object Mix {
     sources.map { case (df, r, h) => sampleDeterministic(df, r, h) }
       .reduce(_ unionByName _)
   }
+
+  /** Stratified deterministic sample: keep a per-stratum fraction of rows
+    * ("50% of en, 10% of zh, …"), selected by `hash` as in
+    * [[sampleDeterministic]]. Strata not in `rates` keep `defaultRate`.
+    *
+    * Still a map-only filter — the per-stratum threshold is a CASE
+    * expression over the stratum column, so there is no groupBy, no
+    * per-stratum pass, and no skew sensitivity: a 90%-English corpus costs
+    * the same scan as a uniform one. (The alternative,
+    * `df.stat.sampleBy`, draws per-row randoms — unstable across retries
+    * and not pushdown-friendly.)
+    */
+  def stratified(df: DataFrame, strata: Column, rates: Map[String, Double],
+      hash: Column, defaultRate: Double = 0.0): DataFrame = {
+    (defaultRate +: rates.values.toSeq).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate must be in [0,1]: $r"))
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (k, r)) => when(strata === k, lit((r * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(hash, lit(Buckets)) < threshold)
+  }
 }

@@ -28,7 +28,8 @@ object BuiltinComponents {
       expandJson, expandList, externalMatch, formatTime, hash,
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
-      timestampRange, urlEscape, urlParam, gopherQuality, redactPii),
+      timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
+      normalizeText, decontaminate),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -474,6 +475,33 @@ object BuiltinComponents {
         required = true)))(
     (_, cfg) => df => df.withColumn(cfg.str("DstField"),
       graft.functions.TextFunctions.redactPii(col(cfg.str("SrcField")))))
+
+  val normalizeText: FilterDesc = mkFilter("NormalizeText",
+    "Lowercases a text field and collapses every non-alphanumeric run to a " +
+      "single space (canonical training-corpus normalization).",
+    Seq(
+      ConfigKey("SrcField", "field to normalize", required = true),
+      ConfigKey("DstField", "field to store the normalized text (may equal SrcField)",
+        required = true)))(
+    (_, cfg) => df => df.withColumn(cfg.str("DstField"),
+      graft.functions.TextFunctions.normalizeText(col(cfg.str("SrcField")))))
+
+  val decontaminate: FilterDesc = mkPureFilter("Decontaminate",
+    "Drops records whose text field contains any configured benchmark phrase " +
+      "as a contiguous normalized-token run (n-gram eval-set decontamination). " +
+      "Per-row containment scan — right for a TOML phrase list; for large " +
+      "benchmark sets use graft.llm.Decontaminate's broadcast n-gram join.",
+    Seq(
+      ConfigKey("Field", "field holding the document text", required = true),
+      ConfigKey("Phrases", "benchmark phrases to ban", required = true)))(
+    (_, cfg) => df => {
+      val phrases = cfg.strList("Phrases", Nil)
+        .map(graft.llm.Decontaminate.normalizePhrase).filter(_.nonEmpty).distinct
+      require(phrases.nonEmpty, "Decontaminate: Phrases must be non-empty")
+      val padded = concat(lit(" "),
+        graft.functions.TextFunctions.normalizeText(col(cfg.str("Field"))), lit(" "))
+      df.filter(!phrases.map(p => padded.contains(lit(s" $p "))).reduce(_ || _))
+    })
 
   // ===================== outputs =====================
 

@@ -29,4 +29,23 @@ class MixSpec extends SparkSpec {
     // rate bounds enforced
     intercept[IllegalArgumentException](Mix.sampleDeterministic(df, 1.5, h))
   }
+
+  test("stratified sampling: per-stratum rates, default 0, deterministic") {
+    import spark.implicits._
+    val df = (0L until 30000L).map(i => (i, Seq("en", "zh", "de")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val h = col("id") * lit(2654435761L)
+    val out = Mix.stratified(df, col("lang"), Map("en" -> 0.5, "zh" -> 0.1), h)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byLang.contains("de")) // default rate 0 drops unlisted strata
+    assert(math.abs(byLang("en") / 10000.0 - 0.5) < 0.03, s"en: ${byLang.get("en")}")
+    assert(math.abs(byLang("zh") / 10000.0 - 0.1) < 0.03, s"zh: ${byLang.get("zh")}")
+    // stable across partitionings
+    val again = Mix.stratified(df.repartition(13), col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.1), h).select("id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    intercept[IllegalArgumentException](
+      Mix.stratified(df, col("lang"), Map("en" -> 2.0), h))
+  }
 }
