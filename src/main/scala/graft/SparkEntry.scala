@@ -471,6 +471,21 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q_pack_sequences" -> ((s, d) =>
+      // concat-then-chunk sequence packing per uniform shard: one shuffle
+      // (window partition), sequences never span shards
+      graft.llm.Pack.concatChunk(
+          t(s, d, "documents"), col("doc_id"), col("n_chars"), budget = 2048,
+          shard = pmod(col("doc_id") * lit(2654435761L), lit(8)))
+        .select("doc_id", "shard", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
+    "q_unigram_score" -> ((s, d) =>
+      // unigram-LM scoring: corpus vocab (1 shuffle) broadcast against
+      // exploded tokens — integer sufficient statistics, exact cross-engine
+      graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_distinct_users" -> ((s, d) =>
       // exact distinct per group — the baseline the sketch path approximates
       t(s, d, "events")
@@ -940,5 +955,32 @@ object SparkEntry {
                CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
                          WHEN 'zh' THEN 100000 WHEN 'fr' THEN 1000000 ELSE 0 END
          ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars, (doc_id * 2654435761) % 8 AS shard
+           FROM documents
+         ), c AS (
+           SELECT doc_id, shard,
+                  SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) - n_chars
+                    AS st
+           FROM s
+         )
+         SELECT doc_id, shard,
+                CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
+                st % 2048 AS seq_offset
+         FROM c ORDER BY doc_id""",
+    "q_unigram_score" ->
+      // same whitespace tokenization as TextFunctions.tokens
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''
+         ), cnt AS (
+           SELECT w, count(*) AS freq FROM tok GROUP BY w
+         )
+         SELECT t.doc_id, count(*) AS n_tokens,
+                CAST(sum(c.freq) AS BIGINT) AS sum_freq,
+                CAST(0 AS BIGINT) AS oov
+         FROM tok t JOIN cnt c ON t.w = c.w
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
   )
 }
