@@ -119,6 +119,38 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontamination matches n-grams via broadcast semi-join") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Decontaminate.flagged(docs, "doc_id", "text",
+      Seq("fast merge", "window table table")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("stratified sampling is map-only (no exchange)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Mix.stratified(docs, col("lang"),
+      Map("en" -> 0.5, "zh" -> 0.1), col("doc_id") * lit(2654435761L)))
+    assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
+  }
+
+  test("sequence packing shuffles exactly once (the shard window)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Pack.concatChunk(docs, col("doc_id"), col("n_chars"),
+      2048, pmod(col("doc_id") * lit(2654435761L), lit(8))))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"packing should shuffle exactly once:\n$p")
+  }
+
+  test("unigram scoring broadcasts the vocab (no shuffle join on the token)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Unigram.score(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges are the vocab count and the doc-id agg — the
+    // exploded token stream itself must not hash-partition by token
+    assert(!p.contains("Exchange hashpartitioning(__tok"),
+      s"token stream shuffles on the (Zipf-skewed) token key:\n$p")
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
