@@ -27,11 +27,12 @@ object Bench {
         "lineitem", "events", "documents", "embeddings"))
       try graft.core.Graft.table(spark, sfDir, t).limit(1).count() catch { case _: Throwable => }
 
-    // cold run then steady-state run per query: the cold pass pays one-time
-    // codegen/compile (~0.5-1s, a fixed cost irrelevant at the 100 TB
-    // target); per-query numbers report the steady-state pass, with the
-    // cold aggregate kept alongside for transparency — mirroring how the
-    // pipeline metric below is measured after its own warmup pass
+    // cold run then steady-state run per query. The PRIMARY metric stays
+    // the cold first-run total — that's the protocol BASELINE.md's 2x gate
+    // and BENCH_r01 were recorded under, so cross-round comparisons remain
+    // apples-to-apples. The steady-state pass (one-time codegen/compile
+    // amortized, as it would be at the 100 TB target) is reported as a
+    // secondary field, not as "value".
     val timed = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -42,7 +43,8 @@ object Bench {
       name -> (cold, once())
     }
     val coldTotal = timed.values.map(_._1).sum
-    val results = timed.map { case (name, (_, warm)) => name -> warm }
+    val results = timed.map { case (name, (cold, _)) => name -> cold }
+    val steady = timed.map { case (name, (_, warm)) => name -> warm }
     // warm the topology compile/codegen/zstd path at full shape (also
     // generates the cached input) so the measured pipeline run reflects
     // steady-state throughput, as the queries above do
@@ -50,8 +52,9 @@ object Bench {
     val pipeline = try pipelineThroughput(spark) catch { case _: Throwable => Map.empty[String, Double] }
     val qs = (results ++ pipeline).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady_state_2nd_run","cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val qsSteady = steady.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","steady_state_total_sec":${steady.values.sum},"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -436,7 +436,11 @@ object SparkEntry {
       // multiplicative hash is plain integer algebra so the oracle can
       // reproduce the exact selection
       val docs = t(s, d, "documents")
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+      // reduce the id below 2^31 before the Knuth multiply so the product
+      // stays under 2^63 for ANY id: Spark would wrap silently on overflow
+      // while DuckDB raises, so the pairing would diverge at large ids
+      val h = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(1000000L))
       graft.llm.Mix.weighted(Seq(
           (docs.filter(col("doc_id") % 2 === 0), 0.5, h),
           (docs.filter(col("doc_id") % 2 === 1), 0.25, h)))
@@ -467,7 +471,8 @@ object SparkEntry {
       graft.llm.Mix.stratified(
           t(s, d, "documents"), col("lang"),
           Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1, "fr" -> 1.0),
-          col("doc_id") * lit(2654435761L))
+          // overflow-safe for any id: id mod 2^31-1 keeps the product < 2^63
+          pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L))
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
@@ -476,7 +481,8 @@ object SparkEntry {
       // (window partition), sequences never span shards
       graft.llm.Pack.concatChunk(
           t(s, d, "documents"), col("doc_id"), col("n_chars"), budget = 2048,
-          shard = pmod(col("doc_id") * lit(2654435761L), lit(8)))
+          shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+            lit(8)))
         .select("doc_id", "shard", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
@@ -893,8 +899,8 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_mix_corpora" ->
       """SELECT doc_id FROM documents
-         WHERE (doc_id % 2 = 0 AND (doc_id * 2654435761) % 1000000 < 500000)
-            OR (doc_id % 2 = 1 AND (doc_id * 2654435761) % 1000000 < 250000)
+         WHERE (doc_id % 2 = 0 AND ((doc_id % 2147483647) * 2654435761) % 1000000 < 500000)
+            OR (doc_id % 2 = 1 AND ((doc_id % 2147483647) * 2654435761) % 1000000 < 250000)
          ORDER BY doc_id""",
     "q_range_join" ->
       // sessions from the gaps-and-islands CTE (same as q_session), then a
@@ -951,36 +957,43 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-         WHERE (doc_id * 2654435761) % 1000000 <
+         WHERE ((doc_id % 2147483647) * 2654435761) % 1000000 <
                CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
                          WHEN 'zh' THEN 100000 WHEN 'fr' THEN 1000000 ELSE 0 END
          ORDER BY doc_id""",
     "q_pack_sequences" ->
       """WITH s AS (
-           SELECT doc_id, n_chars, (doc_id * 2654435761) % 8 AS shard
+           SELECT doc_id, n_chars,
+                  ((doc_id % 2147483647) * 2654435761) % 8 AS shard
            FROM documents
          ), c AS (
            SELECT doc_id, shard,
-                  SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) - n_chars
+                  SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_chars
                     AS st
            FROM s
          )
          SELECT doc_id, shard,
                 CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
-                st % 2048 AS seq_offset
+                CAST(st % 2048 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
     "q_unigram_score" ->
       // same whitespace tokenization as TextFunctions.tokens
+      // mirrors Unigram.frequencies' top-k vocab cap (freq DESC, token ASC,
+      // LIMIT 100000) and its OOV branch, so the oracle stays valid even if
+      // the corpus ever exceeds maxVocab distinct tokens
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
            FROM documents WHERE trim(text) <> ''
          ), cnt AS (
            SELECT w, count(*) AS freq FROM tok GROUP BY w
+         ), vocab AS (
+           SELECT w, freq FROM cnt ORDER BY freq DESC, w ASC LIMIT 100000
          )
          SELECT t.doc_id, count(*) AS n_tokens,
-                CAST(sum(c.freq) AS BIGINT) AS sum_freq,
-                CAST(0 AS BIGINT) AS oov
-         FROM tok t JOIN cnt c ON t.w = c.w
+                CAST(sum(COALESCE(v.freq, 0)) AS BIGINT) AS sum_freq,
+                CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         FROM tok t LEFT JOIN vocab v ON t.w = v.w
          GROUP BY t.doc_id ORDER BY t.doc_id""",
   )
 }

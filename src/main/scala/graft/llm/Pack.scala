@@ -24,11 +24,19 @@ object Pack {
     * concatenated within `shard` in `orderCol` order; `seq_offset` its
     * start position inside that chunk. `sizeCol` is the row's size in
     * whatever unit the budget is in (tokens, chars, bytes).
+    *
+    * `orderCol` MUST be unique within a shard (a doc id, a content digest):
+    * packing concatenates in a total order, so ties would make the layout
+    * undefined. The window uses an explicit ROWS frame, so even with ties
+    * each row gets a distinct running position rather than the peer-group
+    * sum — but which tied row comes first is partition-order-dependent, so
+    * uniqueness is still the caller's contract.
     */
   def concatChunk(df: DataFrame, orderCol: Column, sizeCol: Column, budget: Long,
       shard: Column): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy("__shard").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__shard", shard)
       .withColumn("__start", sum(sizeCol).over(w) - sizeCol)
       .withColumn("shard", col("__shard"))
