@@ -109,9 +109,14 @@ object Streaming {
 
   def streamingInputs: Seq[InputDesc] = Seq(sqsInput, kclInput, kinesisInput, tcpInput)
 
-  /** Builtin registry + daemon inputs. */
+  /** Builtin registry + daemon inputs. The streaming variants come FIRST:
+    * registry lookup is find-first, so in daemon mode SQS/KCL/Kinesis/TCP
+    * resolve to the readStream doubles, while batch topologies (compiled
+    * against BuiltinComponents.all directly) get the batch doubles of the
+    * same names.
+    */
   def componentsWithStreaming: Components =
-    BuiltinComponents.all ++ Components(inputs = streamingInputs)
+    Components(inputs = streamingInputs) ++ BuiltinComponents.all
 
   /** A started daemon topology. */
   final case class Daemon(query: StreamingQuery, recordCount: () => Long) {

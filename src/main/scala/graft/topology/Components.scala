@@ -22,7 +22,9 @@ import graft.sources.ZstdCodec
 object BuiltinComponents {
 
   def all: Components = Components(
-    inputs = Seq(listInput, logLinesInput, randomInput),
+    inputs = Seq(listInput, logLinesInput, randomInput,
+      NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
+      NetworkInputs.kclInput, NetworkInputs.sqsInput),
     filters = Seq(
       clauseFilter, clearFields, concatenate, countAndTag, crypt, dedup,
       expandJson, expandList, externalMatch, formatTime, hash,
@@ -554,6 +556,14 @@ object BuiltinComponents {
         require(ctx.outputFields.nonEmpty, "FileWriter: {{.Field0}} needs [output] fields")
         w = df.withColumn("__part", coalesce(col(ctx.outputFields.head), lit("")))
       }
+      // a template with no per-file placeholder names ONE file (per Field0
+      // value) — write it from one task rather than letting N partitions
+      // expand to the same path and clobber each other. Scale contract:
+      // parallel writes REQUIRE {{.Index}}/{{.UUID}} in the template,
+      // exactly like the reference's one-writer-per-proc path naming.
+      val hasPerFile = Seq("{{.Index}}", "{{.UUID}}", "{{.Rotation}}")
+        .exists(pathString.contains)
+      if (!hasPerFile) w = w.coalesce(1)
       // written-record count piggybacks on the write job (no second pass)
       val obs = new org.apache.spark.sql.Observation()
       val base = w.select(
@@ -604,16 +614,16 @@ object BuiltinComponents {
           if (!skip) {
             val dest = new java.io.File(expand(pathString, ix, field0))
             Option(dest.getParentFile).foreach(_.mkdirs())
-            // same template+index collides across partitions unless the
-            // template mentions {{.Field0}}/{{.UUID}}; last write wins, as
-            // with the reference's template misuse
+            // rotation (maxRecordsPerFile) without {{.Rotation}}/{{.Index}}
+            // in the template still collides; last write wins, as with the
+            // reference's template misuse
             java.nio.file.Files.move(f.toPath, dest.toPath,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             written += dest.getAbsolutePath
           }
         }
       }
-      OutputResult(written.result(), rows)
+      OutputResult(written.result().distinct, rows)
     },
   )
 

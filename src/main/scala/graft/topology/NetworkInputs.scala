@@ -1,0 +1,343 @@
+package graft.topology
+
+
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.ZstdCodec
+
+/** The reference's four network inputs (registry input/all.go:9-15: KCL,
+  * Kinesis, SQS, TCP), re-expressed per SURVEY §7.3's zero-egress stance:
+  * the descriptor contract (names, config keys, semantics) is the
+  * reference's, the build function binds a local transport double — a
+  * real TCP listener for TCP, `file://` stream/queue directories for
+  * Kinesis/KCL/SQS. On a cluster the same descriptors bind the real
+  * connectors (Kinesis DSv2 source, SQS-notification file source); the
+  * topology, filters, and outputs are unchanged either way, which is the
+  * point of the registry indirection.
+  *
+  * All four produce CSV record lines, exactly like List: the DataFrame is
+  * `spark.read.csv` over driver-spooled line files, so the parse path,
+  * validation, and raw fast path are shared with every other input.
+  */
+object NetworkInputs {
+
+  private val mapper = new ObjectMapper()
+
+  /** Walk an `a.b[0].c` JMESPath-subset expression over parsed JSON — the
+    * same subset ExpandJSON supports (reference sqs.go:58-77 routes every
+    * MessageFormat through one jmespath expression; ours covers the
+    * shipped formats' needs).
+    */
+  private def walk(root: JsonNode, path: String): JsonNode = {
+    var node = root
+    for (seg <- path.stripPrefix("$").stripPrefix(".").split("\\.")
+         if node != null && seg.nonEmpty) {
+      "^([^\\[\\]]*)((\\[\\d+\\])*)$".r.findFirstMatchIn(seg) match {
+        case Some(g) =>
+          if (g.group(1).nonEmpty) node = node.get(g.group(1))
+          for (ix <- "\\[(\\d+)\\]".r.findAllMatchIn(g.group(2)))
+            if (node != null) node = node.get(ix.group(1).toInt)
+        case None => node = null
+      }
+    }
+    node
+  }
+
+  private def strOf(n: JsonNode): Option[String] =
+    Option(n).filterNot(_.isNull).map(x => if (x.isTextual) x.asText() else x.toString)
+
+  /** Resolve a `file:///dir` (or plain local dir) config value. */
+  private def localDir(value: String, what: String): Path = {
+    val p = Paths.get(value.stripPrefix("file://"))
+    require(Files.isDirectory(p),
+      s"$what: '$value' is not a local directory — the zero-egress build " +
+        "binds file:// doubles; real AWS endpoints need the cluster connector")
+    p
+  }
+
+  private def readCsv(ctx: TopologyCtx, paths: Seq[String]): DataFrame = {
+    ZstdCodec.register(ctx.spark)
+    ctx.spark.read
+      .schema(org.apache.spark.sql.types.StructType(ctx.fields.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      .option("sep", ctx.separator)
+      .option("quote", "\u0000")
+      .option("mode", "PERMISSIVE")
+      .csv(paths: _*)
+  }
+
+  private def readRaw(ctx: TopologyCtx, paths: Seq[String]): DataFrame = {
+    ZstdCodec.register(ctx.spark)
+    ctx.spark.read.text(paths: _*)
+  }
+
+  // ===================== TCP =====================
+
+  /** TCP — listens on Listener; every connection streams gzip'd CSV
+    * records (reference: input/tcp.go:20-47, gzip at :147). The reference
+    * runs as a daemon; the batch build accepts connections until
+    * `AcceptTimeout` passes with none pending (an explicit local-mode
+    * bound — `-1` would need the streaming runner), spooling each
+    * connection's decompressed stream to a driver-local file.
+    */
+  val tcpInput: InputDesc = {
+    def collect(cfg: ComponentConfig): Seq[String] = {
+      val listener = cfg.str("Listener", ":6000")
+      val port = listener.substring(listener.lastIndexOf(':') + 1).toInt
+      val acceptTimeoutMs = ComponentConfig.parseDuration(
+        cfg.str("AcceptTimeout", "5s")) * 1000
+      val server = new ServerSocket(port)
+      try {
+        server.setSoTimeout(acceptTimeoutMs.toInt.max(1))
+        val spools = Seq.newBuilder[String]
+        var open = true
+        while (open) {
+          val conn: Socket =
+            try server.accept()
+            catch { case _: SocketTimeoutException => open = false; null }
+          if (conn != null) {
+            val tmp = Files.createTempFile("graft-tcp", ".log")
+            tmp.toFile.deleteOnExit()
+            val in = new GZIPInputStream(conn.getInputStream)
+            try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            finally { in.close(); conn.close() }
+            spools += tmp.toString
+          }
+        }
+        spools.result()
+      } finally server.close()
+    }
+    InputDesc(
+      "TCP",
+      "Listens on a TCP port; every connection streams gzip'd CSV records. " +
+        "Batch builds accept until AcceptTimeout passes with no connection.",
+      Seq(
+        ConfigKey("Listener", "Host:Port to bind to", default = Some(":6000")),
+        ConfigKey("AcceptTimeout",
+          "stop accepting when this long passes without a new connection " +
+            "(local batch bound; the reference daemon never exits)",
+          default = Some("5s"))),
+      (ctx, cfg) => readCsv(ctx, collect(cfg)),
+      buildRaw = Some((ctx, cfg) => readRaw(ctx, collect(cfg))),
+    )
+  }
+
+  // ===================== Kinesis =====================
+
+  /** Kinesis — polls every shard of a stream (reference:
+    * input/kinesis.go:20-44, per-shard loop :106-185). Local double: the
+    * stream is a `file:///dir` whose files are shards (any name;
+    * gzip/zstd transparent); a batch build reads all of them
+    * (TRIM_HORIZON — the reference's LATEST is only meaningful for a
+    * daemon attached to a live stream).
+    */
+  val kinesisInput: InputDesc = {
+    def shardFiles(cfg: ComponentConfig): Seq[String] = {
+      val dir = localDir(cfg.str("Stream"), "Kinesis.Stream")
+      val files = Files.list(dir).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(_.toString).toSeq.sorted
+      require(files.nonEmpty, s"Kinesis: stream dir $dir has no shard files")
+      files
+    }
+    InputDesc(
+      "Kinesis",
+      "Reads all shards of a Kinesis stream. Local double: Stream is a " +
+        "file:// directory of shard files.",
+      Seq(
+        ConfigKey("AwsRegion", "AWS region to connect to", default = Some("us-west-2")),
+        ConfigKey("Stream", "Stream name on Kinesis", required = true),
+        ConfigKey("IdleTime", "Time between polls of each shard", default = Some("100ms"))),
+      (ctx, cfg) => readCsv(ctx, shardFiles(cfg)),
+      buildRaw = Some((ctx, cfg) => readRaw(ctx, shardFiles(cfg))),
+    )
+  }
+
+  // ===================== KCL =====================
+
+  /** KCL — Kinesis consumer with durable per-shard checkpoints so a
+    * restarted app resumes where it left off (reference: input/kcl.go:26-49,
+    * checkpointing :278-302). Local double: shard files under a `file://`
+    * stream dir; the checkpoint table (DynamoDB keyed by AppName in the
+    * reference) is a JSON file of per-shard byte offsets under
+    * CheckpointDir. `InitialPosition` applies only to shards with no
+    * checkpoint: TRIM_HORIZON starts at 0, LATEST at the current end —
+    * so a first LATEST run reads nothing and subsequent runs read the
+    * delta, exactly the reference's daemon semantics projected onto
+    * batch runs.
+    *
+    * The delta is spooled driver-side so offsets can be committed at
+    * build time (at-least-once, like the reference's
+    * checkpoint-after-process).
+    */
+  val kclInput: InputDesc = {
+    def collect(cfg: ComponentConfig): Seq[String] = {
+      val dir = localDir(cfg.str("Stream"), "KCL.Stream")
+      val app = cfg.str("AppName")
+      val ckDir = Paths.get(cfg.str("CheckpointDir",
+        sys.props("java.io.tmpdir") + "/graft-kcl"))
+      Files.createDirectories(ckDir)
+      val ckFile = ckDir.resolve(s"$app.json")
+      val latest = cfg.str("InitialPosition", "LATEST").equalsIgnoreCase("LATEST")
+      val offsets: Map[String, Long] =
+        if (Files.exists(ckFile)) {
+          val node = mapper.readTree(Files.readString(ckFile))
+          node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        } else Map.empty
+      val shards = Files.list(dir).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      val spools = Seq.newBuilder[String]
+      val committed = Map.newBuilder[String, Long]
+      for (shard <- shards) {
+        val size = Files.size(shard)
+        val from = offsets.getOrElse(shard.getFileName.toString,
+          if (latest) size else 0L)
+        committed += shard.getFileName.toString -> size.max(from)
+        if (from < size) {
+          val tmp = Files.createTempFile("graft-kcl", ".log")
+          tmp.toFile.deleteOnExit()
+          val in = Files.newInputStream(shard)
+          try {
+            in.skipNBytes(from)
+            Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally in.close()
+          spools += tmp.toString
+        }
+      }
+      val json = committed.result()
+        .map { case (k, v) => "\"" + k.replace("\"", "\\\"") + "\":" + v }
+        .mkString("{", ",", "}")
+      Files.writeString(ckFile, json)
+      spools.result()
+    }
+    InputDesc(
+      "KCL",
+      "Kinesis consumer with durable per-shard checkpoints (resume on " +
+        "restart). Local double: file:// shard dir + JSON offset file.",
+      Seq(
+        ConfigKey("AwsRegion", "AWS region to connect to", default = Some("us-west-2")),
+        ConfigKey("Stream", "Name of Kinesis stream", required = true),
+        ConfigKey("AppName",
+          "Used by KCL to allow multiple app to consume the same stream.",
+          required = true),
+        ConfigKey("MaxShards", "Max shards this Worker can handle at a time",
+          default = Some(32767L)),
+        ConfigKey("ShardSync", "Time between tasks to sync leases and Kinesis shards",
+          default = Some("60s")),
+        ConfigKey("LeaseDuration",
+          "Time after which a worker should have renewed all shard leases " +
+            "before not being considered owner anymore", default = Some("60s")),
+        ConfigKey("InitialPosition",
+          "Position in the stream where a new application should start from. " +
+            "Values: LATEST or TRIM_HORIZON", default = Some("LATEST")),
+        ConfigKey("CheckpointDir",
+          "local double's checkpoint-table location (DynamoDB in the reference)")),
+      (ctx, cfg) => {
+        val spools = collect(cfg)
+        if (spools.isEmpty) ctx.spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(ctx.fields.map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.StringType, nullable = true))))
+        else readCsv(ctx, spools)
+      },
+    )
+  }
+
+  // ===================== SQS =====================
+
+  /** SQS — listens on queues for messages naming S3 files to ingest
+    * (reference: input/sqs.go:25-52; formats :54-89). Message formats:
+    *
+    *  - `plain`: the body is the path
+    *  - `sns`: JSON, path at `Message`
+    *  - `s3::ObjectCreated`: S3 event JSON, path assembled from
+    *    `Records[0].s3.bucket.name` + `.object.key` (the reference's
+    *    jmespath join, sqs.go:66-68)
+    *  - `json`: arbitrary JSON, path at MessageExpression (JMESPath subset)
+    *
+    * Local double: each QueueNames entry is a `file://` directory whose
+    * files are message bodies; QueuePrefixes match sibling directories by
+    * prefix. Paths without a scheme get `Bucket` prefixed (reference
+    * behavior) — under the double that means `<Bucket>/<path>` as a local
+    * path. A batch build drains the queues once.
+    */
+  val sqsInput: InputDesc = {
+    def dataFiles(cfg: ComponentConfig): Seq[String] = {
+      val format = cfg.str("MessageFormat", "sns").toLowerCase
+      val expr = format match {
+        case "plain"             => null
+        case "sns" | ""          => "Message"
+        case "s3::objectcreated" => null // assembled below
+        case "json" =>
+          val e = cfg.str("MessageExpression", "")
+          require(e.nonEmpty, "SQS: MessageExpression is required with json MessageFormat")
+          e
+        case other => throw new IllegalArgumentException(s"SQS: unknown MessageFormat '$other'")
+      }
+      val queues: Seq[Path] = {
+        val named = cfg.strList("QueueNames", Nil).map(localDir(_, "SQS.QueueNames"))
+        val byPrefix = cfg.strList("QueuePrefixes", Nil).flatMap { pfx =>
+          val root = Paths.get(pfx.stripPrefix("file://"))
+          val (parent, stem) = (root.getParent, root.getFileName.toString)
+          require(parent != null && Files.isDirectory(parent),
+            s"SQS.QueuePrefixes: parent of '$pfx' is not a local directory")
+          Files.list(parent).iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(stem))
+            .toSeq
+        }
+        named ++ byPrefix
+      }
+      require(queues.nonEmpty, "SQS: no queues resolved from QueueNames/QueuePrefixes")
+      val bucket = cfg.str("Bucket", "")
+      val pathFilter = cfg.strOpt("FilePathFilter").map(_.r)
+      def pathsOf(body: String): Seq[String] = format match {
+        case "plain" => Seq(body.trim)
+        case "s3::objectcreated" =>
+          val root = mapper.readTree(body)
+          strOf(walk(root, "Records[0].s3.bucket.name")).flatMap { b =>
+            strOf(walk(root, "Records[0].s3.object.key")).map(k => s"$b/$k")
+          }.toSeq
+        case _ => strOf(walk(mapper.readTree(body), expr)).map(_.trim).toSeq
+      }
+      val files = for {
+        q <- queues
+        msg <- Files.list(q).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sorted
+        body = Files.readString(msg, StandardCharsets.UTF_8)
+        p0 <- try pathsOf(body) catch { case _: Exception => Nil }
+        if p0.nonEmpty
+        p = if (p0.contains("://") || p0.startsWith("/") || bucket.isEmpty) p0
+            else s"$bucket/$p0"
+        if pathFilter.forall(_.findFirstIn(p).isDefined)
+      } yield p.stripPrefix("file://")
+      require(files.nonEmpty, "SQS: no data files extracted from queue messages")
+      files.distinct
+    }
+    InputDesc(
+      "SQS",
+      "Listens on SQS queues for S3 paths to ingest (plain/sns/" +
+        "s3::ObjectCreated/json message formats). Local double: queues are " +
+        "file:// directories of message-body files.",
+      Seq(
+        ConfigKey("AwsRegion", "AWS region to connect to", default = Some("us-west-2")),
+        ConfigKey("Bucket", "S3 Bucket to use if paths do not have one", default = Some("")),
+        ConfigKey("QueuePrefixes", "Prefixes of the names of the SQS queues to monitor"),
+        ConfigKey("QueueNames", "Names of the SQS queues to monitor"),
+        ConfigKey("MessageFormat", "SQS message format. See help string for supported formats",
+          default = Some("sns")),
+        ConfigKey("MessageExpression",
+          "The expression to extract an S3 path from arbitrary message formats"),
+        ConfigKey("FilePathFilter", "If provided, will only use S3 files with the given path.")),
+      (ctx, cfg) => readCsv(ctx, dataFiles(cfg)),
+      buildRaw = Some((ctx, cfg) => readRaw(ctx, dataFiles(cfg))),
+    )
+  }
+}
