@@ -266,6 +266,15 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    "q_dedup_spans" -> ((s, d) =>
+      // CCNet/Dolma-style paragraph dedup: cut each doc into 8-token spans,
+      // keep only the corpus-wide first occurrence of each distinct span
+      // (one content-hash-keyed shuffle with map-side combine)
+      Dedup.firstSpanOccurrence(
+          Dedup.tokenChunks(t(s, d, "documents"), "doc_id", "text", width = 8),
+          "doc_id")
+        .orderBy("doc_id", "pos")),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("idA", "idB")),
@@ -682,6 +691,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS dups
          FROM documents GROUP BY 1 ORDER BY keeper""",
+    "q_dedup_spans" ->
+      // same 8-token non-overlapping chunking + first-occurrence-by-content
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents WHERE trim(text) <> ''
+         ), idx AS (
+           SELECT doc_id, ts,
+                  unnest(generate_series(0,
+                    CAST(ceil(len(ts)/8.0) AS BIGINT) - 1)) AS pos
+           FROM tok
+         ), chunk AS (
+           SELECT doc_id, pos,
+                  array_to_string(ts[(pos*8+1):(pos*8+8)], ' ') AS span
+           FROM idx
+         )
+         SELECT doc_id, pos, span FROM chunk
+         QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
+         ORDER BY doc_id, pos""",
     "q_dedup_cc" ->
       // edges connect consecutive doc_ids, so components are maximal runs
       // of consecutive kept pairs: classic gaps-and-islands

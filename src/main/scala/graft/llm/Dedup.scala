@@ -348,6 +348,63 @@ object Dedup {
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
+  // --- span (paragraph/line) dedup ---
+
+  /** Non-overlapping `width`-token spans of each document: one row per
+    * (id, pos, span), pos 0-based. The span unit for [[firstSpanOccurrence]]
+    * when the corpus has no natural paragraph breaks; with real text, build
+    * the span frame from `posexplode(split(text, "\n\n"))` instead —
+    * span dedup is agnostic to how spans were cut. Map-only, no shuffle.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    val ts = TextFunctions.tokens(col(textCol))
+    df.filter(size(ts) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), floor((size(ts) + (width - 1)) / width).cast("int") - 1),
+          i => array_join(slice(ts, i * width + 1, lit(width)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("span"))
+  }
+
+  /** Corpus-level span dedup — the CCNet/Dolma "paragraph dedup" stage:
+    * given one row per (doc, pos, span), keep only the FIRST occurrence
+    * (smallest (doc, pos)) of each distinct span content, across and
+    * within documents.
+    *
+    * Scale shape: ONE shuffle, keyed on the span's 128-bit content hash
+    * (uniform by construction — boilerplate spans that repeat millions of
+    * times shrink to one row per map partition via min_by's partial
+    * aggregation before the exchange, exactly where a window
+    * row_number() formulation would sort and ship every copy). The
+    * aggregate carries the span string in its buffer, so Spark plans a
+    * SortAggregate (string buffers aren't hash-aggregable) — but the sort
+    * is per-partition on the fixed-width hash key, and partial aggregation
+    * still collapses duplicates before the exchange; the global
+    * partition-then-sort of the window formulation never happens.
+    */
+  def firstSpanOccurrence(spans: DataFrame, idCol: String, posCol: String = "pos",
+      spanCol: String = "span"): DataFrame =
+    spans
+      .groupBy(md5(col(spanCol)).as("__h"))
+      .agg(min_by(struct(col(idCol), col(posCol), col(spanCol)),
+        struct(col(idCol), col(posCol))).as("__k"))
+      .select(col(s"__k.$idCol").as(idCol), col(s"__k.$posCol").as(posCol),
+        col(s"__k.$spanCol").as(spanCol))
+
+  /** Span-dedup'd documents: drop every repeated span, re-join each doc's
+    * surviving spans in position order (empty docs disappear). Two keyed
+    * shuffles: the [[firstSpanOccurrence]] hash-groupBy plus the reassembly
+    * groupBy on the doc id.
+    */
+  def dedupSpans(spans: DataFrame, idCol: String, posCol: String = "pos",
+      spanCol: String = "span", joiner: String = " "): DataFrame =
+    firstSpanOccurrence(spans, idCol, posCol, spanCol)
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(posCol), col(spanCol)))),
+          x => x.getField(spanCol)), joiner).as("text"))
+
   // --- exact n-gram Jaccard ---
 
   /** Exact Jaccard similarity between two token-set columns. */

@@ -23,6 +23,34 @@ class DedupSimilaritySpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("span dedup: first occurrence wins across and within documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f"),        // spans (width 3): "a b c", "d e f"
+      (1L, "a b c x y z"),        // "a b c" repeats doc 0's span 0
+      (2L, "x y z x y z"),        // "x y z" repeats doc 1 AND itself
+      (3L, ""),                   // empty doc: no spans
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.tokenChunks(corpus, "doc_id", "text", width = 3)
+    assert(chunks.count() == 6)
+    val kept = Dedup.firstSpanOccurrence(chunks, "doc_id")
+      .as[(Long, Long, String)].collect().toSet
+    assert(kept == Set((0L, 0L, "a b c"), (0L, 1L, "d e f"), (1L, 1L, "x y z")))
+    // reassembly drops the repeated spans and whole-dup docs vanish
+    val texts = Dedup.dedupSpans(chunks, "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(texts == Map(0L -> "a b c d e f", 1L -> "x y z"))
+  }
+
+  test("span dedup: ragged tail span is kept as its own unit") {
+    import spark.implicits._
+    val corpus = Seq((7L, "p q r s t")).toDF("doc_id", "text")
+    val kept = Dedup.firstSpanOccurrence(
+      Dedup.tokenChunks(corpus, "doc_id", "text", width = 3), "doc_id")
+      .as[(Long, Long, String)].collect().toSet
+    assert(kept == Set((7L, 0L, "p q r"), (7L, 1L, "s t")))
+  }
+
   test("exact dedup keeps the smallest id per key") {
     import spark.implicits._
     val out = Dedup.exact(docs, "doc_id", Seq(md5(col("text").cast("binary"))))

@@ -41,6 +41,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("span dedup: one exchange, map-side partial combine, no window") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(Dedup.firstSpanOccurrence(
+      Dedup.tokenChunks(docs, "doc_id", "text", 8), "doc_id"))
+    // exactly one exchange (the content-hash groupBy), duplicates collapsed
+    // BEFORE it (partial_min_by), and no global window partition-sort
+    assert(p.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$p")
+    assert(p.contains("partial_min_by"), s"expected map-side combine:\n$p")
+    assert(!p.contains("Window"), s"span dedup must not use a window:\n$p")
+  }
+
   test("minhash self-join materializes signatures once (ReusedExchange)") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = finalPlan(Dedup.minhashPairs(docs, "doc_id", "text"))
