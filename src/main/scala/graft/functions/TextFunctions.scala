@@ -53,14 +53,26 @@ object TextFunctions {
   def bindOnce(v: Column)(f: Column => Column): Column =
     element_at(transform(array(v), f), 1)
 
+  /** k-shingles of an already-bound token array (no re-tokenization). */
+  def shinglesOfTokens(t: Column, k: Int): Column =
+    when(size(t) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => array_join(slice(t, i + 1, lit(k)), " ")))
+
   /** Word k-shingles ("a b c" 2-shingles → ["a b","b c"]); fewer than k
     * tokens → empty array.
     */
   def shingles(text: Column, k: Int): Column =
+    bindOnce(tokens(text)) { t => shinglesOfTokens(t, k) }
+
+  /** Shingles of SEVERAL lengths in one pass: the text is tokenized once
+    * and the per-length k-gram arrays concatenated — one scan where a
+    * per-length loop would re-normalize and re-tokenize the corpus per
+    * phrase length.
+    */
+  def shinglesMulti(text: Column, ks: Seq[Int]): Column =
     bindOnce(tokens(text)) { t =>
-      when(size(t) < k, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(t) - k),
-          i => array_join(slice(t, i + 1, lit(k)), " ")))
+      concat(ks.map(k => shinglesOfTokens(t, k)): _*)
     }
 
   /** Distinct character n-grams of the lowercased text. */

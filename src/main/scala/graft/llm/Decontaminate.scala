@@ -31,6 +31,15 @@ object Decontaminate {
 
   /** Distinct ids of documents containing at least one of `phrases`
     * (token-boundary exact match after [[normalize]]). Output: (idCol).
+    *
+    * ONE corpus scan regardless of how many distinct phrase lengths the
+    * benchmark set has: the document is normalized and tokenized once and
+    * every needed k-gram length is cut from that one token array
+    * (shinglesMulti), hashed, and semi-joined against the union of all
+    * phrase hashes — grams of different lengths are different strings, so
+    * cross-length matches are exactly the (already accepted) 64-bit
+    * collision rate. A per-length loop would rescan and re-tokenize the
+    * 100 TB side once per length.
     */
   def flagged(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
@@ -38,16 +47,15 @@ object Decontaminate {
     import spark.implicits._
     val norm = phrases.map(normalizePhrase).filter(_.nonEmpty).distinct
     require(norm.nonEmpty, "decontaminate: no non-empty phrases")
-    val byLen = norm.groupBy(_.split(' ').length).toSeq.sortBy(_._1)
-    byLen.map { case (len, ps) =>
-      val bench = broadcast(
-        ps.toDF("__phrase").select(xxhash64(col("__phrase")).as("__ph")))
-      df.select(col(idCol),
-          explode(TextFunctions.shingles(normalize(col(textCol)), len)).as("__g"))
-        .select(col(idCol), xxhash64(col("__g")).as("__gh"))
-        .join(bench, col("__gh") === col("__ph"), "left_semi")
-        .select(idCol)
-    }.reduce(_ unionByName _).distinct()
+    val lens = norm.map(_.split(' ').length).distinct.sorted
+    val bench = broadcast(
+      norm.toDF("__phrase").select(xxhash64(col("__phrase")).as("__ph")))
+    df.select(col(idCol),
+        explode(TextFunctions.shinglesMulti(normalize(col(textCol)), lens)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .join(bench, col("__gh") === col("__ph"), "left_semi")
+      .select(idCol)
+      .distinct()
   }
 
   /** Corpus with every contaminated document removed (anti-join on id). */
