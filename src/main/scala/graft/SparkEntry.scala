@@ -25,6 +25,52 @@ object SparkEntry {
   /** Deterministic fernet key for the Crypt roundtrip query/tests. */
   val testKey: String = Fernet.keyFromPassphrase("graft-test-key")
 
+  /** Shared histogram boundaries for q_hist_quantiles: lineitem prices span
+    * ~[900, 105k]; 20 log bins/decade ≈ 12% relative quantile error.
+    */
+  private val histBounds: Seq[Double] = graft.llm.Sketches.logBounds(2, 6, 20)
+
+  /** DuckDB SQL mirroring histSketch + histQuantile arithmetic exactly:
+    * same unrolled boundary-comparison bin index, same cumulative-count
+    * bin location (first c>0 bin whose cum crosses q·total), same linear
+    * interpolation — so doubles match bit-for-bit before the round(4).
+    */
+  private def histQuantilesOracle: String = {
+    val bs = histBounds
+    val nb = bs.size
+    val binExpr = bs.map(b => s"(CASE WHEN x >= $b THEN 1 ELSE 0 END)").mkString(" + ")
+    val blist = bs.mkString("[", ", ", "]")
+    s"""WITH v AS (
+          SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem
+        ), binned AS (
+          SELECT flag, $binExpr AS bin FROM v
+        ), hist AS (
+          SELECT flag, bin, count(*) AS c FROM binned GROUP BY flag, bin
+        ), cum AS (
+          SELECT flag, bin, c,
+                 sum(c) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY flag) AS total
+          FROM hist
+        ), hit AS (
+          SELECT flag, qq.q, bin, c, cum - c AS prev, total
+          FROM cum, (SELECT unnest([0.5, 0.99]) AS q) qq
+          WHERE c > 0 AND cum >= qq.q * total AND (cum - c) < qq.q * total
+        ), est AS (
+          SELECT flag, q, total,
+                 (CASE WHEN bin = 0 THEN ${bs.head} ELSE ($blist)[bin] END)
+                 + ((CASE WHEN bin = $nb THEN ${bs.last} ELSE ($blist)[bin + 1] END)
+                    - (CASE WHEN bin = 0 THEN ${bs.head} ELSE ($blist)[bin] END))
+                   * least((q * total - prev) / c, 1.0) AS v
+          FROM hit
+        )
+        SELECT flag AS l_returnflag,
+               CAST(max(total) AS BIGINT) AS total,
+               round(max(CASE WHEN q = 0.5 THEN v END), 4) AS p50,
+               round(max(CASE WHEN q = 0.99 THEN v END), 4) AS p99
+        FROM est GROUP BY flag ORDER BY l_returnflag"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -522,6 +568,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_hist_quantiles" -> ((s, d) => {
+      // mergeable quantile path: per-group HDR-style log-binned histograms
+      // (algebraic sums, map-side combined, fixed state per group) with
+      // quantiles interpolated from the bins. Unlike percentile_approx's
+      // digest, every step is deterministic arithmetic, so the oracle
+      // replicates it exactly (builder below mirrors bin/interp math)
+      import graft.llm.Sketches
+      val sk = Sketches.histSketch(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice", histBounds)
+      sk.select(col("l_returnflag"),
+          aggregate(col("hist"), lit(0L), (a, x) => a + x).as("total"),
+          round(Sketches.histQuantile(col("hist"), histBounds, 0.5), 4).as("p50"),
+          round(Sketches.histQuantile(col("hist"), histBounds, 0.99), 4).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_range_join" -> ((s, d) => {
       // bucketized point-in-interval join: every event lands in exactly one
       // of its user's sessions (session windows tile the event stream)
@@ -1004,6 +1066,7 @@ object SparkEntry {
                 CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
                 CAST(st % 2048 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q_hist_quantiles" -> histQuantilesOracle,
     "q_unigram_score" ->
       // same whitespace tokenization as TextFunctions.tokens
       // mirrors Unigram.frequencies' top-k vocab cap (freq DESC, token ASC,

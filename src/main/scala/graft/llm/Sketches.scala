@@ -41,4 +41,91 @@ object Sketches {
       lgK: Int = 12): DataFrame =
     distinctSketch(df, groupCols, valueCol, lgK)
       .select(groupCols.map(col) :+ estimate(col("sketch")).as("approx_distinct"): _*)
+
+  // --- mergeable quantile (histogram) sketches ---
+  //
+  // The quantile analogue of the HLL path above: `percentile_approx` is
+  // accurate but its digest state is not persistable/re-aggregatable from
+  // SQL, so per-day quantiles cannot roll up to per-month without
+  // rescanning raw data. A fixed-boundary histogram (HdrHistogram-style:
+  // log-spaced bounds give bounded RELATIVE error for positive values) is:
+  //  - algebraic: per-bin counts are plain sums — HashAggregate with
+  //    map-side combine, one fixed-width array row per group crosses the
+  //    exchange;
+  //  - exactly mergeable: rollup = integer vector addition, so
+  //    union-of-fine EQUALS direct-coarse bit-for-bit (stronger than HLL,
+  //    whose sparse mode can differ by a hair);
+  //  - bounded state: (bins+2) longs per group, forever, regardless of
+  //    data volume.
+
+  /** Log-spaced histogram boundaries: `perDecade` bins per decade across
+    * [10^minExp, 10^maxExp]. Relative quantile error ≈ 10^(1/perDecade)-1
+    * (e.g. perDecade=20 → ~12%; 40 → ~6%).
+    */
+  def logBounds(minExp: Int, maxExp: Int, perDecade: Int): Seq[Double] = {
+    require(maxExp > minExp && perDecade > 0)
+    (for (e <- minExp until maxExp; i <- 0 until perDecade)
+      yield math.pow(10, e + i.toDouble / perDecade)) :+ math.pow(10, maxExp)
+  }
+
+  /** One histogram (`hist` array<long> of length bounds.size+1) per group.
+    * Bin k counts values in [bounds(k-1), bounds(k)); bin 0 is underflow
+    * (< bounds.head), the last bin overflow (>= bounds.last). Nulls are
+    * not counted. The bin index is an unrolled codegen'd comparison sum;
+    * the aggregation is `bounds.size+1` algebraic sums, map-side combined.
+    */
+  def histSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be non-empty, sorted, distinct")
+    val v = col(valueCol).cast("double")
+    val bin = bounds.map(b => when(v >= b, 1).otherwise(0)).reduce(_ + _)
+    val counts = (0 to bounds.size).map(k =>
+      sum(when(v.isNotNull && bin === k, 1L).otherwise(0L)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(array(counts: _*).as("hist"))
+  }
+
+  /** Re-aggregate persisted histograms to a coarser grouping: elementwise
+    * integer sums — exact, order-independent, no raw data touched.
+    */
+  def histRollup(sketches: DataFrame, groupCols: Seq[String], nBins: Int,
+      histCol: String = "hist"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(array((0 until nBins).map(k =>
+        sum(element_at(col(histCol), k + 1))): _*).as("hist"))
+
+  /** Quantile estimate from a histogram sketch: locate the bin containing
+    * the q-th value by cumulative count, interpolate linearly inside it.
+    * Underflow/overflow bins clamp to the nearest boundary. Null when the
+    * histogram is empty. Pure expression (HOF fold over the fixed-width
+    * array) — no UDF, usable on millions of group rows.
+    */
+  def histQuantile(hist: Column, bounds: Seq[Double], q: Double): Column = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
+    val nb = bounds.size
+    val boundsArr = array(bounds.map(lit): _*)
+    val total = aggregate(hist, lit(0L), (a, x) => a + x)
+    val target = total.cast("double") * q
+    val indexed = zip_with(hist, sequence(lit(0), lit(nb)),
+      (c, i) => struct(c.as("c"), i.as("i")))
+    val folded = aggregate(
+      indexed,
+      struct(lit(0.0).as("cum"), lit(null).cast("double").as("ans")),
+      (acc, x) => {
+        val cum0 = acc.getField("cum")
+        val cnt = x.getField("c").cast("double")
+        val cum1 = cum0 + cnt
+        val i = x.getField("i").cast("int")
+        val lo = when(i === 0, lit(bounds.head)).otherwise(element_at(boundsArr, i))
+        val hi = when(i === nb, lit(bounds.last)).otherwise(element_at(boundsArr, i + 1))
+        val frac = when(cnt > 0, least((target - cum0) / cnt, lit(1.0))).otherwise(lit(0.0))
+        val v = lo + (hi - lo) * frac
+        val hit = acc.getField("ans").isNull && cnt > 0 && cum1 >= target
+        struct(cum1.as("cum"),
+          when(hit, v).otherwise(acc.getField("ans")).as("ans"))
+      },
+      acc => acc.getField("ans"))
+    when(total === 0, lit(null).cast("double")).otherwise(folded)
+  }
 }

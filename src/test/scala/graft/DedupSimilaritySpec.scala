@@ -42,6 +42,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(texts == Map(0L -> "a b c d e f", 1L -> "x y z"))
   }
 
+  test("span dedup matches a naive first-occurrence reference on random corpora") {
+    import spark.implicits._
+    // tiny vocab makes span collisions likely, exercising every branch
+    val vocab = Array("a", "b", "c")
+    for (seed <- 1L to 6L) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 40L).map { id =>
+        val n = rnd.nextInt(12) // 0..11 tokens; 0 → doc with no spans
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val width = 1 + rnd.nextInt(3)
+      val naive = {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        for {
+          (id, text) <- corpus
+          toks = text.split(" ").filter(_.nonEmpty)
+          (chunk, pos) <- toks.grouped(width).zipWithIndex.toSeq
+          span = chunk.mkString(" ")
+          if seen.add(span)
+        } yield (id, pos.toLong, span)
+      }.toSet
+      val got = Dedup.firstSpanOccurrence(
+        Dedup.tokenChunks(corpus.toDF("doc_id", "text"), "doc_id", "text", width),
+        "doc_id").as[(Long, Long, String)].collect().toSet
+      assert(got == naive, s"seed=$seed width=$width")
+    }
+  }
+
   test("span dedup: ragged tail span is kept as its own unit") {
     import spark.implicits._
     val corpus = Seq((7L, "p q r s t")).toDF("doc_id", "text")

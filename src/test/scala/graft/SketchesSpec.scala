@@ -45,4 +45,68 @@ class SketchesSpec extends SparkSpec {
     assert(bytes <= (1 << 12) * 2, s"sketch unexpectedly large: $bytes B")
     assert(sk.count() == 1)
   }
+
+  // --- histogram quantile sketches ---
+
+  private def histData = {
+    import spark.implicits._
+    // log-normal-ish positive latencies per (svc, day), deterministic
+    val rows = for {
+      svc <- Seq("a", "b"); day <- 0 until 5; i <- 0 until 2000
+    } yield {
+      val u = ((i * 2654435761L + day * 97 + svc.hashCode) % 10000) / 10000.0
+      (svc, day, math.pow(10, 1 + 2.5 * u)) // 10 .. ~3162
+    }
+    rows.toDF("svc", "day", "ms")
+  }
+
+  test("hist quantiles within the log-bin relative error of exact percentiles") {
+    val bounds = Sketches.logBounds(0, 5, 40) // ~6% relative error bins
+    val sk = Sketches.histSketch(histData, Seq("svc"), "ms", bounds)
+    val got = sk.select(col("svc"),
+        Sketches.histQuantile(col("hist"), bounds, 0.5).as("p50"),
+        Sketches.histQuantile(col("hist"), bounds, 0.99).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = histData.groupBy("svc")
+      .agg(expr("percentile(ms, 0.5)").as("p50"), expr("percentile(ms, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((svc, (e50, e99)) <- exact; (g50, g99) = got(svc)) {
+      assert(math.abs(g50 - e50) / e50 < 0.07, s"$svc p50: got $g50 exact $e50")
+      assert(math.abs(g99 - e99) / e99 < 0.07, s"$svc p99: got $g99 exact $e99")
+    }
+  }
+
+  test("hist fine→coarse rollup equals direct aggregation bit-for-bit") {
+    val bounds = Sketches.logBounds(0, 5, 20)
+    val daily = Sketches.histSketch(histData, Seq("svc", "day"), "ms", bounds)
+    val rolled = Sketches.histRollup(daily, Seq("svc"), bounds.size + 1)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = Sketches.histSketch(histData, Seq("svc"), "ms", bounds)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rolled == direct)
+  }
+
+  test("hist sketch edge cases: empty → null quantile, under/overflow clamp") {
+    import spark.implicits._
+    val bounds = Seq(10.0, 100.0, 1000.0)
+    val df = Seq(("lo", 1.0), ("hi", 5000.0)).toDF("g", "v")
+    val sk = Sketches.histSketch(df, Seq("g"), "v", bounds)
+    val q = sk.select(col("g"),
+        Sketches.histQuantile(col("hist"), bounds, 0.5).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("lo") == 10.0 && q("hi") == 1000.0) // clamped to nearest bound
+    val empty = Seq(("g", Option.empty[Double])).toDF("g", "v")
+    val eq = Sketches.histSketch(empty, Seq("g"), "v", bounds)
+      .select(Sketches.histQuantile(col("hist"), bounds, 0.5)).head()
+    assert(eq.isNullAt(0))
+  }
+
+  test("hist sketch plan: hash aggregate with map-side partial combine") {
+    val bounds = Sketches.logBounds(0, 5, 20)
+    val sk = Sketches.histSketch(histData, Seq("svc"), "ms", bounds)
+    sk.collect()
+    val p = sk.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), s"expected map-side combine:\n$p")
+  }
 }
