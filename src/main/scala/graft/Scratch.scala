@@ -23,6 +23,15 @@ object Scratch {
         corpus, "doc_id", "text", threshold = 0.7).count()
       println(f"SCALE mult=$mult docs=${66000L * mult} survivors=$survivors " +
         f"secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // span dedup on the same copies: every span of every copy collides
+      // with the base corpus — the maximally hot shape for the content-hash
+      // key; map-side partial min_by must absorb it (kept count invariant
+      // across multiples: only first occurrences survive)
+      val t1 = System.nanoTime()
+      val kept = graft.llm.Dedup.firstSpanOccurrence(
+        graft.llm.Dedup.tokenChunks(corpus, "doc_id", "text", 8), "doc_id").count()
+      println(f"SCALE-SPANS mult=$mult kept=$kept " +
+        f"secs=${(System.nanoTime() - t1) / 1e9}%.2f")
     }
     spark.stop()
   }
