@@ -321,6 +321,15 @@ object SparkEntry {
           "doc_id")
         .orderBy("doc_id", "pos")),
 
+    "q_dedup_cdc" -> ((s, d) =>
+      // insertion-robust variant: gear-CDC boundaries (token hash ≡ 0 mod
+      // 16 ends a span) instead of fixed width — the cut itself is a
+      // zero-shuffle HOF fold, then the same first-occurrence dedup
+      Dedup.firstSpanOccurrence(
+          Dedup.cdcChunks(t(s, d, "documents"), "doc_id", "text", meanLen = 16),
+          "doc_id")
+        .orderBy("doc_id", "pos")),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("idA", "idB")),
@@ -769,6 +778,33 @@ object SparkEntry {
            FROM idx
          )
          SELECT doc_id, pos, span FROM chunk
+         QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
+         ORDER BY doc_id, pos""",
+    "q_dedup_cdc" ->
+      // same gear boundary (first 15 md5 hex chars mod 16 == 0 ends a
+      // span), segment = exclusive prefix sum of boundary flags, spans
+      // re-joined in token order, then first-occurrence dedup
+      """WITH tok AS (
+           SELECT doc_id, unnest(ts) AS tok,
+                  unnest(generate_series(1, len(ts))) AS ord
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                 FROM documents WHERE trim(text) <> '') d
+         ), b AS (
+           SELECT doc_id, tok, ord,
+                  CASE WHEN ('0x'||substr(md5(tok),1,15))::UBIGINT % 16 = 0
+                       THEN 1 ELSE 0 END AS brk
+           FROM tok
+         ), seg AS (
+           SELECT doc_id, tok, ord,
+                  COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+           FROM b
+         ), spans AS (
+           SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  string_agg(tok, ' ' ORDER BY ord) AS span
+           FROM seg GROUP BY doc_id, pos
+         )
+         SELECT doc_id, pos, span FROM spans
          QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
          ORDER BY doc_id, pos""",
     "q_dedup_cc" ->

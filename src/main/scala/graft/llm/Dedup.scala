@@ -367,6 +367,47 @@ object Dedup {
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("span"))
   }
 
+  /** Content-defined spans (gear-CDC on tokens): a token whose content
+    * hash ≡ 0 (mod `meanLen`) ENDS a span, so span boundaries depend only
+    * on local content — insert or delete one token and every span outside
+    * the edited one re-aligns, where fixed-width [[tokenChunks]] shifts
+    * every subsequent chunk. The robust front-end for
+    * [[firstSpanOccurrence]] when documents are edited copies of each
+    * other (crawl snapshots, boilerplate-injected mirrors). Span length is
+    * geometric with mean `meanLen` tokens.
+    *
+    * Map-only, ZERO shuffles: the whole cut is one `aggregate` fold over
+    * the token array per row. The boundary hash is the first 15 hex chars
+    * of md5 — chosen because DuckDB computes the identical value
+    * (`('0x'||substr(md5(t),1,15))::UBIGINT`), keeping the operator
+    * hash-match oracle-checkable.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      meanLen: Int = 16): DataFrame = {
+    require(meanLen > 0, s"meanLen must be positive: $meanLen")
+    val ts = TextFunctions.tokens(col(textCol))
+    val spans = TextFunctions.bindOnce(ts) { t =>
+      aggregate(
+        t,
+        struct(array().cast("array<string>").as("spans"), lit("").as("cur")),
+        (acc, tok) => {
+          val cur2 = when(acc.getField("cur") === "", tok)
+            .otherwise(concat(acc.getField("cur"), lit(" "), tok))
+          val isB = pmod(conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10)
+            .cast("long"), lit(meanLen.toLong)) === 0
+          struct(
+            when(isB, array_append(acc.getField("spans"), cur2))
+              .otherwise(acc.getField("spans")).as("spans"),
+            when(isB, lit("")).otherwise(cur2).as("cur"))
+        },
+        acc => when(acc.getField("cur") === "", acc.getField("spans"))
+          .otherwise(array_append(acc.getField("spans"), acc.getField("cur"))))
+    }
+    df.filter(size(ts) > 0)
+      .select(col(idCol), posexplode(spans))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("span"))
+  }
+
   /** Corpus-level span dedup — the CCNet/Dolma "paragraph dedup" stage:
     * given one row per (doc, pos, span), keep only the FIRST occurrence
     * (smallest (doc, pos)) of each distinct span content, across and

@@ -70,6 +70,63 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks match a naive fold and reassemble to the original text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, base),
+      (1L, "one two three"),
+      (2L, ""),
+    ).toDF("doc_id", "text")
+    def hash(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    }
+    val naive = for {
+      (id, text) <- Seq((0L, base), (1L, "one two three"))
+      toks = text.split("\\s+").filter(_.nonEmpty)
+      spans = toks.foldLeft((Vector.empty[Vector[String]], Vector.empty[String])) {
+        case ((done, cur), tok) =>
+          if (hash(tok) % 16 == 0) (done :+ (cur :+ tok), Vector.empty)
+          else (done, cur :+ tok)
+      } match { case (done, cur) => if (cur.isEmpty) done else done :+ cur }
+      (span, pos) <- spans.zipWithIndex
+    } yield (id, pos.toLong, span.mkString(" "))
+    val got = graft.llm.Dedup.cdcChunks(corpus, "doc_id", "text", 16)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == naive.toSet)
+    // spans concatenate back to the tokenized text, nothing lost at cuts
+    for ((id, text) <- Seq((0L, base), (1L, "one two three"))) {
+      val joined = got.toSeq.filter(_._1 == id).sortBy(_._2).map(_._3).mkString(" ")
+      assert(joined == text.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+  }
+
+  test("cdc spans survive a token insertion where fixed-width chunks shift") {
+    import spark.implicits._
+    // 200 deterministic pseudo-random tokens; doc 1 = doc 0 with one token
+    // inserted at the front — every fixed-width chunk shifts, CDC re-syncs
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(200)("t" + rnd.nextInt(5000))
+    val corpus = Seq(
+      (0L, toks.mkString(" ")),
+      (1L, ("INSERTED" +: toks).mkString(" "))).toDF("doc_id", "text")
+    def dupFraction(spans: org.apache.spark.sql.DataFrame): Double = {
+      val per = spans.groupBy("span").count()
+      val shared = per.filter(col("count") >= 2).count().toDouble
+      val doc0 = spans.filter(col("doc_id") === 0).count().toDouble
+      shared / doc0
+    }
+    val fixedDup = dupFraction(
+      graft.llm.Dedup.tokenChunks(corpus, "doc_id", "text", 8))
+    val cdcDup = dupFraction(
+      graft.llm.Dedup.cdcChunks(corpus, "doc_id", "text", 8))
+    // fixed-width: nearly nothing matches after the shift; CDC: most spans
+    // outside the edited first one still match
+    assert(fixedDup < 0.2, s"fixed-width unexpectedly robust: $fixedDup")
+    assert(cdcDup > 0.7, s"CDC failed to re-sync: $cdcDup")
+  }
+
   test("span dedup: ragged tail span is kept as its own unit") {
     import spark.implicits._
     val corpus = Seq((7L, "p q r s t")).toDF("doc_id", "text")
