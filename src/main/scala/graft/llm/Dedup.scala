@@ -30,7 +30,7 @@ object Dedup {
     * exchange, and nothing is sorted.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(keyCols: _*)
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)

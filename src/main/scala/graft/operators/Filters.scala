@@ -133,8 +133,7 @@ object Filters {
       new ObjectMapper()
         .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
         // default node factory strips trailing zeros from BigDecimals
-        .setNodeFactory(com.fasterxml.jackson.databind.node.JsonNodeFactory
-          .withExactBigDecimals(true))
+        .setNodeFactory(new com.fasterxml.jackson.databind.node.JsonNodeFactory(true))
 
     /** Walk `a.b[2].c`-style paths (leading `$.` optional; a root-array
       * path like `[0].name` — expand_json_test.go "more complex JMESPath

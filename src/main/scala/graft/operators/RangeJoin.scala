@@ -54,7 +54,7 @@ object RangeJoin {
     lb.join(rb, keyCols.map(k => lb(k) === rb(k))
         .reduce(_ && _) && lb("__bkt") === rb("__bkt") &&
         lb(tsCol) >= rb(startCol) && lb(tsCol) < rb(endCol))
-      .select(lb("*") +: right.columns.filterNot(keyCols.contains).map(rb(_)): _*)
+      .select(lb("*") +: right.columns.toIndexedSeq.filterNot(keyCols.contains).map(rb(_)): _*)
       .drop("__bkt")
   }
 }

@@ -159,7 +159,7 @@ object BuiltinComponents {
       val sep = ctx.separator
       val rows = cfg.strList("Lines").map { line =>
         val parts = line.split(java.util.regex.Pattern.quote(sep), -1)
-        val padded = parts.padTo(ctx.fields.size, null).take(ctx.fields.size)
+        val padded = parts.toIndexedSeq.padTo(ctx.fields.size, null).take(ctx.fields.size)
           .map(v => if (v == null || v.isEmpty) null else v)
         org.apache.spark.sql.Row(padded: _*)
       }
