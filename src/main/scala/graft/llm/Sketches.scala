@@ -79,10 +79,17 @@ object Sketches {
     require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
       "bounds must be non-empty, sorted, distinct")
     val v = col(valueCol).cast("double")
-    val bin = bounds.map(b => when(v >= b, 1).otherwise(0)).reduce(_ + _)
+    // null value → null bin (never counted). Materialize the bin in the
+    // child projection: referencing the O(bounds) comparison sum directly
+    // from each of the bounds+1 count aggregates would inline it per
+    // aggregate — O(bounds²) comparisons per row (measured 1.3s → 0.35s
+    // steady at sf0.1 for 80 bounds)
+    val bin = when(v.isNull, lit(null))
+      .otherwise(bounds.map(b => when(v >= b, 1).otherwise(0)).reduce(_ + _))
     val counts = (0 to bounds.size).map(k =>
-      sum(when(v.isNotNull && bin === k, 1L).otherwise(0L)))
-    df.groupBy(groupCols.map(col): _*)
+      sum(when(col("__bin") === k, 1L).otherwise(0L)))
+    df.select(groupCols.map(col) :+ bin.as("__bin"): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(array(counts: _*).as("hist"))
   }
 
