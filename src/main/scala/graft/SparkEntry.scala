@@ -556,6 +556,17 @@ object SparkEntry {
       graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_salted_collect" -> ((s, d) =>
+      // skew-proof holistic aggregation: per-type user lists collected via
+      // two bounded salted exchanges; sorted join makes the output
+      // deterministic regardless of bucket interleaving
+      graft.operators.Salt.saltedCollect(
+          t(s, d, "events"), Seq("event_type"), col("user_id"), parts = 8)
+        .select(col("event_type"),
+          array_join(transform(array_sort(col("values")), _.cast("string")), " ")
+            .as("users"))
+        .orderBy("event_type")),
+
     "q_distinct_users" -> ((s, d) =>
       // exact distinct per group — the baseline the sketch path approximates
       t(s, d, "events")
@@ -1021,6 +1032,10 @@ object SparkEntry {
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_salted_collect" ->
+      """SELECT event_type,
+                string_agg(CAST(user_id AS VARCHAR), ' ' ORDER BY user_id) AS users
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_mix_corpora" ->
       """SELECT doc_id FROM documents

@@ -52,6 +52,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"span dedup must not use a window:\n$p")
   }
 
+  test("CDC span dedup: the cut is map-only, one exchange total") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(Dedup.firstSpanOccurrence(
+      Dedup.cdcChunks(docs, "doc_id", "text", 16), "doc_id"))
+    // content-defined chunking adds NO shuffle on top of the span-dedup
+    // aggregate: still exactly one exchange, still no window
+    assert(p.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$p")
+    assert(!p.contains("Window"), s"CDC must not use a window:\n$p")
+  }
+
   test("minhash self-join materializes signatures once (ReusedExchange)") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = finalPlan(Dedup.minhashPairs(docs, "doc_id", "text"))
