@@ -74,13 +74,27 @@ object Filters {
         .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Dedup — drop records whose tuple of chosen fields was seen before.
-    * The reference keeps a global in-memory set (filter/dedup.go:13-97, with
-    * an OOM warning at :13-21); distributed `dropDuplicates` is the
-    * scale-correct equivalent (shuffle on the key, O(unique/partition)).
+  /** Dedup — drop records whose joined key of chosen fields was seen
+    * before. The reference keeps a global in-memory set
+    * (filter/dedup.go:13-97, with an OOM warning at :13-21); distributed
+    * `dropDuplicates` on the joined key is the scale-correct equivalent
+    * (shuffle on the key, O(unique/partition)).
     */
-  final case class Dedup(fields: Seq[String]) extends Transform {
-    def apply(df: DataFrame): DataFrame = df.dropDuplicates(fields)
+  final case class Dedup(fields: Seq[String], keySeparator: String = "\u001e")
+      extends Transform {
+    def apply(df: DataFrame): DataFrame = {
+      // reference parity (dedup.go:91-97 constructKey + dedup_test.go
+      // "separator clash"): the dedup key is the FIELD VALUES JOINED on
+      // KeySeparator, so values that straddle the separator intentionally
+      // collide — ("abc","def-") and ("abc-def","") with sep "-" are ONE
+      // key. Same single shuffle as tuple-keyed dropDuplicates; null ≡
+      // empty per logline.go:87-89
+      val key = concat_ws(keySeparator,
+        fields.map(f => coalesce(col(f).cast("string"), lit(""))): _*)
+      df.withColumn("__dedup_key", key)
+        .dropDuplicates("__dedup_key")
+        .drop("__dedup_key")
+    }
   }
 
   /** ExpandJSON — extract JSON paths from a source field into fields.

@@ -66,7 +66,7 @@ object EventTime {
     implicit val stateEnc: Encoder[Boolean] = Encoders.scalaBoolean
     df.groupByKey { r: Row =>
       // \x1e-joined key, the reference Dedup's key encoding (dedup.go:91-97)
-      keyIdx.map(i => String.valueOf(r.get(i))).mkString("")
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u001e")
     }.flatMapGroupsWithState[Boolean, Row](
       OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
       (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>

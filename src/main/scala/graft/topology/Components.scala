@@ -257,13 +257,24 @@ object BuiltinComponents {
     })
 
   val dedup: FilterDesc = mkPureFilter("Dedup",
-    "Discards records whose tuple of chosen fields was already seen.",
+    "Discards records whose joined key of chosen fields was already seen.",
     Seq(
       ConfigKey("Fields", "fields to consider when comparing records", required = true),
-      ConfigKey("KeySeparator", "separator used to build the in-memory key " +
-        "(unused here: exact tuple comparison, no separator-clash risk)",
+      ConfigKey("KeySeparator",
+        "character separator used to build a key from the fields",
         default = Some("\\x1e"))))(
-    (_, cfg) => Filters.Dedup(cfg.strList("Fields")))
+    (_, cfg) => {
+      val raw = cfg.str("KeySeparator", "\u001e")
+      // accept both a literal 1-byte separator and the \xNN escape the
+      // reference uses as its default help text (dedup.go:32, :66-69)
+      val sep =
+        if (raw.matches("\\\\x[0-9a-fA-F]{2}"))
+          Integer.parseInt(raw.substring(2), 16).toChar.toString
+        else raw
+      require(sep.length == 1 && sep.head <= 0x7f,
+        "Dedup: separator must be a 1-byte string or hex char")
+      Filters.Dedup(cfg.strList("Fields"), sep)
+    })
 
   val expandJson: FilterDesc = mkFilter("ExpandJSON",
     "Extracts JSON values into fields via <JMESPath -> field> mappings.",

@@ -28,6 +28,15 @@ class FiltersSpec extends SparkSpec {
     assert(Dedup(Seq("a", "b"))(df).count() == 2)
   }
 
+  test("Dedup separator clash: keys joined on the separator DO collide") {
+    // reference parity (dedup_test.go "separator clash", want: 1): with
+    // sep "-", ("abc","def-") and ("abc-def","") both key to "abc-def-"
+    val df = strDf(Seq("f1", "f2"), Seq(Seq("abc", "def-"), Seq("abc-def", "")))
+    assert(Dedup(Seq("f1", "f2"), keySeparator = "-")(df).count() == 1)
+    // with the default \x1e separator they stay distinct
+    assert(Dedup(Seq("f1", "f2"))(df).count() == 2)
+  }
+
   test("NotNull drops rows where any listed field is null OR empty") {
     val df = strDf(Seq("a", "b"),
       Seq(Seq("1", "ok"), Seq("2", ""), Seq("3", null), Seq("4", "ok")))
