@@ -50,7 +50,7 @@ class CsvRoundtripSpec extends SparkSpec {
       .take(n).toSeq
   }
 
-  for (sep <- Seq(',', '')) {
+  for (sep <- Seq(',', '\u001e')) {
     val sepName = if (sep == ',') "comma" else "0x1e"
 
     test(s"lazy field extraction matches reference Get semantics [$sepName]") {
