@@ -1,38 +1,47 @@
 package graft
 import graft.core.Graft
+import graft.llm.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
-/** Scale-curve probe: time minhashDedup on 1×/2×/4× copies of the sf0.1
-  * documents corpus (ids shifted per copy so copies are exact near-dups of
-  * each other — the adversarial case for LSH banding). Near-linear growth
-  * means no hidden quadratic term; superlinear flags a bucket blowup.
+/** Probe: are the LSH-candidate paths exact on the driver's test corpus?
+  * (a) lshTopK vs bruteForceTopK at sf0.01 — equal iff every true top-5
+  *     neighbor shares a hyperplane bucket with its query.
+  * (b) minhash candidate recall over the exact shingle-Jaccard≥0.7 pairs.
+  * (c) simhash (hamming≤3) candidate recall over the same exact pairs.
+  * Deterministic for fixed data + seeds, so "exact here" is stable.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = Graft.localSession("scale-curve")
+    val spark = Graft.localSession("lsh-exactness-probe")
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val docs = Graft.table(spark, d, "documents").select("doc_id", "text")
-    for (mult <- Seq(1, 2, 4)) {
-      val corpus = (0 until mult).map(i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
-        .reduce(_ unionByName _)
-      corpus.count() // materialize read path outside the timing
-      val t0 = System.nanoTime()
-      val survivors = graft.llm.Dedup.minhashDedup(
-        corpus, "doc_id", "text", threshold = 0.7).count()
-      println(f"SCALE mult=$mult docs=${66000L * mult} survivors=$survivors " +
-        f"secs=${(System.nanoTime() - t0) / 1e9}%.2f")
-      // span dedup on the same copies: every span of every copy collides
-      // with the base corpus — the maximally hot shape for the content-hash
-      // key; map-side partial min_by must absorb it (kept count invariant
-      // across multiples: only first occurrences survive)
-      val t1 = System.nanoTime()
-      val kept = graft.llm.Dedup.firstSpanOccurrence(
-        graft.llm.Dedup.tokenChunks(corpus, "doc_id", "text", 8), "doc_id").count()
-      println(f"SCALE-SPANS mult=$mult kept=$kept " +
-        f"secs=${(System.nanoTime() - t1) / 1e9}%.2f")
-    }
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val docs = Graft.table(spark, d, "documents")
+    val emb = Graft.table(spark, d, "embeddings")
+
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, dim = 64)
+    val lsh = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", dim = 64, k = 5)
+    val diff = bf.exceptAll(lsh).count() + lsh.exceptAll(bf).count()
+    println(s"ANN: brute=${bf.count()} lsh=${lsh.count()} symdiff=$diff")
+
+    // exact shingle-Jaccard pairs >= 0.7
+    val exact = Dedup.verifyJaccard(
+      docs.select(col("doc_id").as("idA")).crossJoin(
+        docs.select(col("doc_id").as("idB"))).filter(col("idA") < col("idB")),
+      docs, "doc_id", "text", ngram = 3)
+      .filter(col("jaccard") >= 0.7).select("idA", "idB").cache()
+    val nExact = exact.count()
+
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.35).select("idA", "idB")
+    val mhMiss = exact.exceptAll(mh).count()
+    println(s"minhash: exactPairs=$nExact candMissed=$mhMiss")
+
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("idA", "idB")
+    val shMiss = exact.exceptAll(sh).count()
+    println(s"simhash: exactPairs=$nExact candMissed=$shMiss")
     spark.stop()
   }
 }
