@@ -71,6 +71,80 @@ object SparkEntry {
         FROM est GROUP BY flag ORDER BY l_returnflag"""
   }
 
+  /** DuckDB SQL reproducing [[graft.llm.Similarity.lshTopK]] end-to-end:
+    * the hyperplane matrix is a pure function of (seed, bit, dim) —
+    * [[graft.functions.HyperplaneSigs.mix]] — so the ~1.5k plane weights
+    * are inlined as a VALUES table (Double.toString round-trips through
+    * DuckDB's literal parser bit-for-bit) and the oracle recomputes the
+    * SAME signatures, bucket collisions, rounded cosines, and
+    * (cosine DESC, neighbor ASC) top-k ranking. This checks the whole LSH
+    * path, not just row counts: bucketing is sign-of-projection, and sign
+    * flips would need |projection| at float-sum reassociation scale
+    * (~1e-13) — never observed on the test corpus.
+    */
+  private def annLshOracle: String = {
+    val seeds = Seq(42L, 1042L, 2042L)
+    val nBits = 8
+    val dim = 64
+    val rows = for {
+      (seed, s) <- seeds.zipWithIndex
+      b <- 0 until nBits
+      i <- 0 until dim
+    } yield s"($s,$b,$i,${graft.functions.HyperplaneSigs.mix(seed + b * 131071L + i)})"
+    s"""WITH planes(s, b, i, w) AS (VALUES ${rows.mkString(",")}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x FROM e, range($dim) t(i)),
+        proj AS (
+          SELECT ev.vec_id, p.s, p.b, sum(p.w * ev.x) AS pr
+          FROM ev JOIN planes p ON p.i = ev.i GROUP BY ev.vec_id, p.s, p.b
+        ), sig AS (
+          SELECT vec_id, s,
+                 sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sg
+          FROM proj GROUP BY vec_id, s
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM sig q JOIN sig c ON c.s = q.s AND c.sg = q.sg
+          WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+        ), scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+          FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                    JOIN e ec ON ec.vec_id = cand.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** Shared CTE prefix for the exact-verified near-dup oracles: distinct
+    * word-3-shingle sets per doc, exact Jaccard over every idA < idB pair —
+    * the ground truth the LSH-candidates-then-verify queries must equal
+    * when candidate recall at the threshold is total.
+    */
+  private val exactJaccardPairsCte: String =
+    """WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+         FROM tok
+       ), p AS (
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+                len(list_intersect(a.g, b.g)) AS inter,
+                len(a.g) AS na, len(b.g) AS nb
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       ), j AS (
+         SELECT idA, idB,
+                CASE WHEN na + nb - inter = 0 THEN 0.0
+                     ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jac
+         FROM p
+       )"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -308,7 +382,12 @@ object SparkEntry {
         .orderBy("keeper")),
 
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
+      // two-stage near-dup dedup: banded MinHash-LSH candidates verified by
+      // EXACT shingle-Jaccard — the decision is exact, so the DuckDB oracle
+      // (all-pairs exact Jaccard) reproduces it as long as the bands catch
+      // every true pair (they do at the 0.7 threshold: est-jaccard recall
+      // is asserted in DedupSimilaritySpec and probed in Scratch)
+      Dedup.minhashDedupVerified(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
         .select("doc_id")
         .orderBy("doc_id")),
 
@@ -331,7 +410,11 @@ object SparkEntry {
         .orderBy("doc_id", "pos")),
 
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      // pigeonhole-banded SimHash candidates, verified by exact
+      // shingle-Jaccard: the hamming radius only proposes pairs (recall
+      // probed in Scratch; raw-candidate behavior covered by
+      // DedupSimilaritySpec), the exact score decides — oracle-checkable
+      Dedup.simhashPairsVerified(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
         .orderBy("idA", "idB")),
 
     "q_dedup_cc" -> ((s, d) => {
@@ -428,6 +511,16 @@ object SparkEntry {
           round(TF.duplicateNgramFraction(col("text"), 2), 4).as("dup_2gram_frac"),
           round(TF.duplicateNgramFraction(col("text"), 3), 4).as("dup_3gram_frac"),
           TF.gopherPasses(col("text")).as("passes"))
+        .orderBy("doc_id")),
+
+    "q_repetition" -> ((s, d) =>
+      // top-n-gram char coverage (the other half of the Gopher repetition
+      // family): entirely per-row HOF algebra — no explode, no shuffle
+      t(s, d, "documents").filter(col("text") =!= "")
+        .select(col("doc_id"),
+          round(TF.topNgramCharFraction(col("text"), 1), 4).as("top_word_frac"),
+          round(TF.topNgramCharFraction(col("text"), 2), 4).as("top_2gram_frac"),
+          round(TF.topNgramCharFraction(col("text"), 3), 4).as("top_3gram_frac"))
         .orderBy("doc_id")),
 
     "q_fingerprint" -> ((s, d) =>
@@ -854,6 +947,46 @@ object SparkEntry {
                 round(CASE WHEN na + nb - inter = 0 THEN 0.0
                            ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 4) AS jaccard
          FROM p ORDER BY doc_a""",
+    "q_dedup_minhash" ->
+      // exact ground truth for the verified LSH dedup: a doc dies iff some
+      // smaller-id doc has exact 3-shingle jaccard ≥ 0.7 against it
+      s"""$exactJaccardPairsCte
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
+         ORDER BY doc_id""",
+    "q_dedup_simhash" ->
+      s"""$exactJaccardPairsCte
+         SELECT idA, idB, round(jac, 4) AS jaccard FROM j
+         WHERE jac >= 0.7 ORDER BY idA, idB""",
+    "q_ann_lsh" -> annLshOracle,
+    "q_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, text, string_split(text, ' ') AS t
+           FROM documents WHERE text <> ''
+         ), grams AS (
+           SELECT doc_id, text, n,
+                  CASE WHEN len(t) < n THEN CAST([] AS VARCHAR[])
+                       WHEN n = 1 THEN t
+                       ELSE list_transform(range(1, len(t) - n + 2),
+                              i -> array_to_string(t[i : i + n - 1], ' ')) END AS g
+           FROM tok, (SELECT unnest([1, 2, 3]) AS n)
+         ), ex AS (
+           SELECT doc_id, text, n, unnest(g) AS gram FROM grams
+         ), cnt AS (
+           SELECT doc_id, text, n, gram, count(*) AS c
+           FROM ex GROUP BY doc_id, text, n, gram
+         ), top AS (
+           SELECT doc_id, n,
+                  round(max(c * length(gram)) / length(text), 4) AS frac
+           FROM cnt GROUP BY doc_id, n, length(text)
+         )
+         SELECT d.doc_id,
+                COALESCE(max(CASE WHEN n = 1 THEN frac END), 0.0) AS top_word_frac,
+                COALESCE(max(CASE WHEN n = 2 THEN frac END), 0.0) AS top_2gram_frac,
+                COALESCE(max(CASE WHEN n = 3 THEN frac END), 0.0) AS top_3gram_frac
+         FROM documents d LEFT JOIN top ON top.doc_id = d.doc_id
+         WHERE d.text <> ''
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (

@@ -166,6 +166,27 @@ object TextFunctions {
       .otherwise(lit(0.0)))
   }
 
+  /** Fraction of the text's characters covered by the single most repeated
+    * word n-gram — the "top n-gram" member of the Gopher/MassiveText
+    * repetition family (Rae et al. 2021), complementing
+    * [[duplicateNgramFraction]]: maximize `count(g) · chars(g)` over the
+    * document's n-grams, divide by the text length. Occurrences overlap, so
+    * heavily-repeated boilerplate can push the value past 1 — callers
+    * threshold it, they don't sum it. Map-only higher-order-function
+    * algebra (O(distinct·total) comparisons inside codegen, no explode, no
+    * shuffle): at 100 TB this stays a per-row expression in the scan, like
+    * the rest of the quality family.
+    */
+  def topNgramCharFraction(text: Column, n: Int): Column = {
+    val len = length(coalesce(text, lit("")))
+    bindOnce(if (n == 1) tokens(text) else shingles(text, n)) { arr =>
+      val best = aggregate(array_distinct(arr), lit(0L),
+        (acc, g) => greatest(acc, size(filter(arr, _ === g)).cast("long") * length(g)))
+      when(len > 0 && size(arr) > 0, best.cast("double") / len.cast("double"))
+        .otherwise(lit(0.0))
+    }
+  }
+
   /** Gopher-style document gate over the repetition/shape signals:
     * word count within [minWords, maxWords], mean word length within
     * [2, 12] characters, duplicate-bigram fraction ≤ maxDupBigram.

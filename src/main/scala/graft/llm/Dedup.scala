@@ -152,6 +152,28 @@ object Dedup {
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
+  /** MinHash-LSH dedup with exact verification — the two-stage shape
+    * production pipelines run: banded LSH proposes candidate pairs, then
+    * the EXACT shingle-Jaccard of each candidate decides keep/drop (docs
+    * with a verified jaccard ≥ threshold against a smaller id die). The
+    * verification join touches only candidate pairs, so the exact-similarity
+    * cost is proportional to collisions, not corpus². Versus
+    * [[minhashDedup]] (which thresholds the signature ESTIMATE), the output
+    * is independent of signature noise: with enough bands for full recall
+    * at the threshold, it equals exact all-pairs Jaccard dedup — which is
+    * what makes it checkable by an exact SQL oracle.
+    */
+  def minhashDedupVerified(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize = maxBucketSize).select("idA", "idB")
+    val doomed = verifyJaccard(cand, df, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+      .select(col("idB").as("__doomed")).distinct()
+    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
   // --- SimHash ---
 
   /** 32-bit SimHash of the token stream: bit j of the result is the sign of
@@ -203,6 +225,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
+
+  /** SimHash near-dup pairs with exact verification: the pigeonhole-banded
+    * hamming candidates of [[simhashPairs]], re-scored by EXACT word-ngram
+    * Jaccard and thresholded — signature noise decides only which pairs get
+    * *scored*, not which survive. With a radius generous enough for full
+    * recall at the threshold the output equals the exact all-pairs result,
+    * so an exact SQL oracle can check it; the exact scoring itself stays
+    * proportional to candidates, not corpus².
+    */
+  def simhashPairsVerified(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, nBits: Int = 32, maxHamming: Int = 3, ngram: Int = 3,
+      maxBucketSize: Int = 0): DataFrame =
+    verifyJaccard(
+        simhashPairs(df, idCol, textCol, nBits, maxHamming, maxBucketSize)
+          .select("idA", "idB"),
+        df, idCol, textCol, ngram)
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
 
   /** SimHash dedup: drop every doc within `maxHamming` bits of a doc with
     * a smaller id (single-pass, same keep-min semantics as [[minhashDedup]]).

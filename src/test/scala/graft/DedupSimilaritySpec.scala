@@ -157,6 +157,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("verified minhash dedup decides by EXACT jaccard, not the estimate") {
+    import spark.implicits._
+    val kept = Dedup.minhashDedupVerified(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L))
+    // at an impossible threshold nothing dies — even the identical pair's
+    // estimate can't overrule the exact score's cap of 1.0
+    val all = Dedup.minhashDedupVerified(docs, "doc_id", "text", threshold = 1.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("verified simhash pairs carry the exact jaccard and threshold on it") {
+    val rows = Dedup.simhashPairsVerified(docs, "doc_id", "text",
+        threshold = 0.5, maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.contains((0L, 2L)) && rows((0L, 2L)) == 1.0)
+    assert(rows.get((0L, 1L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("connectedComponents: transitive clusters, min-id labels, chains") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and 3-3 self-pair noise

@@ -71,6 +71,19 @@ class TextVectorSpec extends SparkSpec {
     assert(one(TF.gopherPasses(lit(spam), maxDupBigram = 0.5)) == false)
   }
 
+  test("topNgramCharFraction covers count·chars of the densest n-gram") {
+    // "a b a b a" (9 chars): top word 'a' → 3·1/9; top bigram "a b" → 2·3/9;
+    // top trigram "a b a" appears twice (overlapping) → 2·5/9 > 1
+    def frac(text: String, n: Int): Double =
+      one(TF.topNgramCharFraction(lit(text), n)).asInstanceOf[Double]
+    assert(math.abs(frac("a b a b a", 1) - 3.0 / 9) < 1e-12)
+    assert(math.abs(frac("a b a b a", 2) - 6.0 / 9) < 1e-12)
+    assert(math.abs(frac("a b a b a", 3) - 10.0 / 9) < 1e-12)
+    assert(frac("x y z", 2) == 3.0 / 5)
+    assert(frac("", 2) == 0.0)
+    assert(frac("ab", 3) == 0.0) // shorter than n
+  }
+
   test("dot / norm / cosine / l2 on double arrays") {
     val a = typedLit(Seq(1.0, 2.0, 2.0))
     val b = typedLit(Seq(2.0, 4.0, 4.0))
