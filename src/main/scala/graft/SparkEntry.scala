@@ -669,15 +669,24 @@ object SparkEntry {
 
     "q_sketch_distinct" -> ((s, d) => {
       // mergeable HLL path: per-(type, day) sketches persisted conceptually,
-      // rolled up to per-type without rescanning raw rows. rows-only check
-      // (estimates aren't reproducible in the SQL oracle); SketchesSpec
-      // asserts the ≤3% error and rollup==direct invariants
+      // rolled up to per-type without rescanning raw rows. The DataSketches
+      // estimate itself can't be recomputed by a SQL oracle, so the query
+      // emits the oracle-checkable CONTRACT instead: the exact count plus a
+      // boolean asserting the rolled-up estimate landed within the sketch's
+      // error budget — if the sketch path drifts, within_3pct flips and the
+      // hash check fails. SketchesSpec additionally asserts rollup==direct.
       val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
       val daily = graft.llm.Sketches.distinctSketch(
         ev, Seq("event_type", "day"), "user_id")
-      graft.llm.Sketches.rollup(daily, Seq("event_type"))
+      val approx = graft.llm.Sketches.rollup(daily, Seq("event_type"))
         .select(col("event_type"),
           graft.llm.Sketches.estimate(col("sketch")).as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      approx.join(exact, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")) <=
+            col("n_users") * lit(0.03)).as("within_3pct"))
         .orderBy("event_type")
     }),
 
@@ -1165,6 +1174,13 @@ object SparkEntry {
       """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_distinct" ->
+      // the sketch estimate is not SQL-recomputable; the contract is: exact
+      // counts, and the estimate within its error budget (always TRUE when
+      // the HLL path is healthy — a drift flips the boolean and the hash)
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                TRUE AS within_3pct
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_salted_collect" ->
       """SELECT event_type,
