@@ -649,6 +649,12 @@ object SparkEntry {
       graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_bigram_score" -> ((s, d) =>
+      // same two-pass LM plan one order up: corpus bigram vocab broadcast
+      // against exploded word-2-grams — the cheap KenLM-style fluency gate
+      graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text", ngram = 2)
+        .orderBy("doc_id")),
+
     "q_salted_collect" -> ((s, d) =>
       // skew-proof holistic aggregation: per-type user lists collected via
       // two bounded salted exchanges; sorted join makes the output
@@ -1285,5 +1291,27 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
          FROM tok t LEFT JOIN vocab v ON t.w = v.w
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_bigram_score" ->
+      // bigram analogue of q_unigram_score: space-joined word 2-grams as
+      // the scoring unit, same vocab cap and OOV branch; docs shorter than
+      // 2 tokens have no units and are absent, mirroring the empty explode
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS w
+           FROM tok WHERE len(t) >= 2
+         ), cnt AS (
+           SELECT w, count(*) AS freq FROM bg GROUP BY w
+         ), vocab AS (
+           SELECT w, freq FROM cnt ORDER BY freq DESC, w ASC LIMIT 100000
+         )
+         SELECT b.doc_id, count(*) AS n_tokens,
+                CAST(sum(COALESCE(v.freq, 0)) AS BIGINT) AS sum_freq,
+                CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         FROM bg b LEFT JOIN vocab v ON b.w = v.w
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
   )
 }

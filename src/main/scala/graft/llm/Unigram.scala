@@ -25,24 +25,35 @@ import graft.functions.TextFunctions
   */
 object Unigram {
 
-  /** (token, freq) for the `maxVocab` most frequent tokens; ties broken by
-    * token for determinism.
+  /** The scoring unit: whitespace tokens for `ngram` = 1, word n-grams
+    * (space-joined shingles) above — a bigram/trigram LM uses the same
+    * two-pass plan, only the unit changes.
     */
-  def frequencies(df: DataFrame, textCol: String, maxVocab: Int = 100000): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+  private def grams(textCol: Column, ngram: Int): Column =
+    if (ngram == 1) TextFunctions.tokens(textCol)
+    else TextFunctions.shingles(textCol, ngram)
+
+  /** (token, freq) for the `maxVocab` most frequent scoring units; ties
+    * broken by token text for determinism.
+    */
+  def frequencies(df: DataFrame, textCol: String, maxVocab: Int = 100000,
+      ngram: Int = 1): DataFrame =
+    df.select(explode(grams(col(textCol), ngram)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(maxVocab)
 
-  /** Per-document (idCol, n_tokens, sum_freq, oov): token count, summed
-    * corpus frequency of in-vocab tokens, and out-of-vocab token count.
-    * Documents with no tokens are absent (nothing to score). Derive e.g.
+  /** Per-document (idCol, n_tokens, sum_freq, oov): scoring-unit count,
+    * summed corpus frequency of in-vocab units, and out-of-vocab count.
+    * Documents with no units are absent (nothing to score — for `ngram`
+    * = n that includes every doc shorter than n tokens). Derive e.g.
     * `avg -log p = ln(N) - ln(sum_freq / n_tokens)`-style signals
-    * downstream, or filter on `oov`.
+    * downstream, or filter on `oov`; a bigram score (`ngram` = 2) over a
+    * unigram one approximates the classic KenLM-style fluency gate.
     */
   def score(df: DataFrame, idCol: String, textCol: String,
-      maxVocab: Int = 100000): DataFrame = {
-    val vocab = broadcast(frequencies(df, textCol, maxVocab))
-    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      maxVocab: Int = 100000, ngram: Int = 1): DataFrame = {
+    val vocab = broadcast(frequencies(df, textCol, maxVocab, ngram))
+    df.select(col(idCol), explode(grams(col(textCol), ngram)).as("__tok"))
       .join(vocab, col("__tok") === col("token"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),

@@ -58,4 +58,19 @@ class PackUnigramSpec extends SparkSpec {
     assert(capped.toSeq == Seq(
       (1L, 3L, 6L, 1L), (2L, 2L, 0L, 2L), (3L, 1L, 3L, 0L)))
   }
+
+  test("bigram score: word-2-grams as the unit; short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
+      (2L, "a b"),     // "a b"×1 → corpus freq("a b")=3
+      (3L, "a"),       // < 2 tokens → no bigrams → absent
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = Unigram.score(docs, "doc_id", "text", ngram = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L + 1L + 3L, 0L), // "a b","b a","a b" → 3+1+3
+      (2L, 1L, 3L, 0L)))
+  }
 }
