@@ -145,6 +145,38 @@ object SparkEntry {
          FROM p
        )"""
 
+  /** Quality-score metrics as a reusable CTE (`q`: doc_id, n_chars,
+    * quality) mirroring [[graft.functions.TextFunctions.qualityScore]] —
+    * shared by the q_quality oracle and the budget-selection oracle.
+    */
+  private val qualityScoreCte: String =
+    """WITH m AS (
+         SELECT doc_id, n_chars,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                END AS n_tok,
+                length(text) AS n_ch,
+                length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                  AS n_punct,
+                len(list_filter(string_split(text, ' '), x -> x IN (
+                  'the','and','of','to','a','in','is','that',
+                  'el','la','de','que','y','los','en','un',
+                  'le','les','des','une','et',
+                  'der','die','das','und','ist','von','ein','mit'))) AS n_stop
+         FROM documents),
+       q AS (
+         SELECT doc_id, n_chars,
+                round(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
+                  + (CASE WHEN n_tok > 0
+                          AND CAST(n_ch - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.5 END) * 0.2
+                  + greatest(0.0, 1.0 - (CASE WHEN n_ch = 0 THEN 0.0
+                       ELSE CAST(n_punct AS DOUBLE) / n_ch END) * 4.0) * 0.2
+                  + least((CASE WHEN n_tok = 0 THEN 0.0
+                       ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 5.0, 1.0) * 0.2, 4)
+                  AS quality
+         FROM m)"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -494,6 +526,16 @@ object SparkEntry {
     "q_quality" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_budget_select" -> ((s, d) =>
+      // corpus curation under a size budget: keep the highest-quality docs
+      // until 30k chars fill — two-phase threshold+fill (see Mix
+      // .budgetSelect), identical to the oracle's global cumsum prefix
+      graft.llm.Mix.budgetSelect(
+          t(s, d, "documents"), TF.qualityScore(col("text")), col("n_chars"),
+          budget = 30000, tie = col("doc_id"))
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
     "q_token_count" -> ((s, d) =>
@@ -1121,31 +1163,18 @@ object SparkEntry {
                 CAST(greatest(octet_length(encode(text)), 4) AS BIGINT) AS total_bytes
          FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""",
     "q_quality" ->
-      """WITH m AS (
-           SELECT doc_id,
-                  CASE WHEN trim(text) = '' THEN 0
-                       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
-                  END AS n_tok,
-                  length(text) AS n_ch,
-                  length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
-                    AS n_punct,
-                  len(list_filter(string_split(text, ' '), x -> x IN (
-                    'the','and','of','to','a','in','is','that',
-                    'el','la','de','que','y','los','en','un',
-                    'le','les','des','une','et',
-                    'der','die','das','und','ist','von','ein','mit'))) AS n_stop
-           FROM documents)
-         SELECT doc_id,
-                round(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4
-                  + (CASE WHEN n_tok > 0
-                          AND CAST(n_ch - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 3.0 AND 10.0
-                          THEN 1.0 ELSE 0.5 END) * 0.2
-                  + greatest(0.0, 1.0 - (CASE WHEN n_ch = 0 THEN 0.0
-                       ELSE CAST(n_punct AS DOUBLE) / n_ch END) * 4.0) * 0.2
-                  + least((CASE WHEN n_tok = 0 THEN 0.0
-                       ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 5.0, 1.0) * 0.2, 4)
-                  AS quality
-         FROM m ORDER BY doc_id""",
+      s"""$qualityScoreCte
+         SELECT doc_id, quality FROM q ORDER BY doc_id""",
+    "q_budget_select" ->
+      // ground truth stated the naive way: global (quality DESC, doc_id)
+      // cumulative sum, keep the prefix within budget — Mix.budgetSelect
+      // computes the identical set via threshold + boundary fill
+      s"""$qualityScoreCte, c AS (
+           SELECT doc_id, n_chars,
+                  sum(n_chars) OVER (ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM q)
+         SELECT doc_id, n_chars FROM c WHERE cum <= 30000 ORDER BY doc_id""",
     "q_event_window" ->
       // Spark's tumbling windows and DuckDB's time_bucket both align day
       // buckets to midnight UTC

@@ -53,4 +53,57 @@ object Mix {
     }
     df.filter(pmod(hash, lit(Buckets)) < threshold)
   }
+
+  /** Keep the best-scoring rows until a size budget fills — the corpus
+    * curation step "take the highest-quality documents up to N tokens".
+    *
+    * Semantically identical to ranking the corpus by (`score` DESC, `tie`
+    * ASC), running a cumulative sum of `size`, and keeping the prefix with
+    * `cum ≤ budget` — which is how the SQL oracle states it. A literal
+    * global-window implementation would funnel the corpus through ONE
+    * partition, so the plan is two-phase instead:
+    *
+    *   1. total size per DISTINCT score — one map-side-combined aggregation
+    *      whose output is bounded by the score key space, not corpus rows
+    *      (callers quantize the score, e.g. `round(q, 4)`, exactly to keep
+    *      this bounded; the collect is codebook-sized driver state);
+    *   2. the driver walks the per-score totals in descending order to the
+    *      first overflow: every higher score is kept ENTIRELY by a map-only
+    *      filter, and only the single boundary-score tie group — not the
+    *      corpus — passes through a window to fill the remainder in `tie`
+    *      order.
+    *
+    * Rows with null score are never selected. `tie` must be unique within
+    * the boundary score for a deterministic result (an id, a digest).
+    */
+  def budgetSelect(df: DataFrame, score: Column, size: Column, budget: Long,
+      tie: Column): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val out = df.columns
+    val scored = df.withColumn("__score", score.cast("double"))
+      .withColumn("__size", size.cast("long"))
+      .filter(col("__score").isNotNull)
+    val totals = scored.groupBy("__score").agg(sum("__size").as("__tot"))
+      .orderBy(desc("__score")).collect()
+    var cum = 0L
+    var boundary = Option.empty[(Double, Long)] // (boundary score, remaining)
+    for (r <- totals if boundary.isEmpty) {
+      val tot = r.getLong(1)
+      if (cum + tot > budget) boundary = Some((r.getDouble(0), budget - cum))
+      else cum += tot
+    }
+    boundary match {
+      case None => scored.select(out.map(col): _*) // everything fits
+      case Some((t, remaining)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__score").orderBy(tie)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val high = scored.filter(col("__score") > t)
+        val fill = scored.filter(col("__score") === t)
+          .withColumn("__cum", sum(col("__size")).over(w))
+          .filter(col("__cum") <= remaining)
+        high.select(out.map(col): _*).unionByName(fill.select(out.map(col): _*))
+    }
+  }
 }

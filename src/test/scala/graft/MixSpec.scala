@@ -48,4 +48,28 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mix.stratified(df, col("lang"), Map("en" -> 2.0), h))
   }
+
+  test("budgetSelect equals the naive global cumsum prefix") {
+    import spark.implicits._
+    // scores with ties; sizes chosen so the boundary falls mid-tie-group
+    val df = Seq(
+      (1L, 0.9, 40L), (2L, 0.9, 40L),            // 80 at score 0.9
+      (3L, 0.5, 30L), (4L, 0.5, 30L), (5L, 0.5, 30L), // tie group at 0.5
+      (6L, 0.1, 10L),
+    ).toDF("id", "score", "sz")
+    def select(budget: Long): Set[Long] =
+      Mix.budgetSelect(df, col("score"), col("sz"), budget, col("id"))
+        .select("id").as[Long].collect().toSet
+    // naive reference: order by (score desc, id), keep prefix cum <= budget
+    val ordered = Seq((1L, 40L), (2L, 40L), (3L, 30L), (4L, 30L), (5L, 30L), (6L, 10L))
+    def naive(budget: Long): Set[Long] =
+      ordered.scanLeft((0L, 0L)) { case ((_, c), (id, sz)) => (id, c + sz) }
+        .tail.takeWhile(_._2 <= budget).map(_._1).toSet
+    for (b <- Seq(0L, 39L, 80L, 110L, 140L, 170L, 179L, 180L, 1000L))
+      assert(select(b) == naive(b), s"budget=$b")
+    // stable under repartitioning
+    val shuffled = Mix.budgetSelect(df.repartition(7), col("score"), col("sz"),
+      140L, col("id")).select("id").as[Long].collect().toSet
+    assert(shuffled == naive(140L))
+  }
 }
