@@ -54,7 +54,9 @@ object Bench {
       .mkString("{", ",", "}")
     val qsSteady = steady.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","steady_state_total_sec":${steady.values.sum},"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
+    // n_queries + means keep totals comparable across rounds as the query
+    // inventory grows (the total alone inflates with every added operator)
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${timed.size},"cold_mean_sec":${coldTotal / timed.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / timed.size},"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
     spark.stop()
   }
 

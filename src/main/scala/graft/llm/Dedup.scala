@@ -168,7 +168,7 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     val cand = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
       maxBucketSize = maxBucketSize).select("idA", "idB")
-    val doomed = verifyJaccard(cand, df, idCol, textCol, shingleK)
+    val doomed = verifyJaccard(cand, df, idCol, textCol, shingleK, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__doomed")).distinct()
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
@@ -240,7 +240,7 @@ object Dedup {
     verifyJaccard(
         simhashPairs(df, idCol, textCol, nBits, maxHamming, maxBucketSize)
           .select("idA", "idB"),
-        df, idCol, textCol, ngram)
+        df, idCol, textCol, ngram, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
 
@@ -498,17 +498,37 @@ object Dedup {
 
   /** Exact word-ngram Jaccard for a set of candidate id pairs: joins the
     * texts back and computes set similarity — the verification stage after
-    * LSH candidate generation.
+    * LSH candidate generation. Engineered for candidate volume (a weak
+    * candidate filter can propose 100× more pairs than survive):
+    *
+    *  - shingles are hashed to 64-bit longs per DOC (before the pair
+    *    blow-up), so pair rows carry and intersect fixed-width primitives,
+    *    not strings — set-exact up to a 64-bit collision inside one pair's
+    *    union (~10⁻¹⁵ per pair; the SQL oracles stay exact on real corpora);
+    *  - the arrays are distinct by construction, so the per-pair work is
+    *    ONE hash-set intersect, not two re-distincts plus an intersect;
+    *  - `minJaccard` (pass the caller's threshold) gates on set sizes
+    *    first: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes
+    *    are off by more than the threshold ratio emits 0.0 without running
+    *    the O(n) intersect at all.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("__vid"),
-      array_distinct(TextFunctions.shingles(col(textCol), ngram)).as("__sh"))
-    pairs
+      array_distinct(transform(TextFunctions.shingles(col(textCol), ngram),
+        g => xxhash64(g))).as("__sh"))
+    val joined = pairs
       .join(sh.withColumnRenamed("__vid", "idA").withColumnRenamed("__sh", "__shA"), Seq("idA"))
       .join(sh.withColumnRenamed("__vid", "idB").withColumnRenamed("__sh", "__shB"), Seq("idB"))
-      .withColumn("jaccard", jaccard(col("__shA"), col("__shB")))
-      .drop("__shA", "__shB")
+    val (na, nb) = (size(col("__shA")).cast("double"), size(col("__shB")).cast("double"))
+    val exact = {
+      val inter = size(array_intersect(col("__shA"), col("__shB"))).cast("double")
+      val union = na + nb - inter
+      when(union === 0, lit(0.0)).otherwise(inter / union)
+    }
+    val gated = if (minJaccard <= 0) exact
+      else when(na >= nb * minJaccard && nb >= na * minJaccard, exact).otherwise(lit(0.0))
+    joined.withColumn("jaccard", gated).drop("__shA", "__shB")
   }
 
   // --- embedding near-dup ---

@@ -172,6 +172,29 @@ class PlanShapeSpec extends SparkSpec {
       s"token stream shuffles on the (Zipf-skewed) token key:\n$p")
   }
 
+  test("repetition signals are map-only HOF algebra (no explode, no shuffle)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(docs.select(col("doc_id"),
+      graft.functions.TextFunctions.topNgramCharFraction(col("text"), 2).as("f")))
+    assert(!p.contains("Exchange"), s"repetition signal should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"repetition signal should not explode:\n$p")
+  }
+
+  test("budget select: corpus-side selection is a filter, not a global window") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val out = graft.llm.Mix.budgetSelect(docs,
+      graft.functions.TextFunctions.qualityScore(col("text")), col("n_chars"),
+      budget = 3000, tie = col("doc_id"))
+    val p = plan(out)
+    // the corpus must never range-partition into ONE partition for a global
+    // cumsum: any window in the plan partitions by the boundary score
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"budget select must not globally sort the corpus:\n$p")
+    for (l <- p.linesIterator.filter(_.contains("Window")))
+      assert(l.contains("windowspecdefinition(__score"),
+        s"window must be per-score (boundary group only):\n$p")
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
