@@ -33,18 +33,17 @@ object Bench {
     // apples-to-apples. The steady-state pass (one-time codegen/compile
     // amortized, as it would be at the 100 TB target) is reported as a
     // secondary field, not as "value".
-    val timed = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val cold = once()
-      name -> (cold, once())
+    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    val coldTotal = timed.values.map(_._1).sum
-    val results = timed.map { case (name, (cold, _)) => name -> cold }
-    val steady = timed.map { case (name, (_, warm)) => name -> warm }
+    // two FULL sweeps, not cold/warm interleaved per query: the first
+    // queries of a run otherwise absorb session-wide JIT/GC warmup into
+    // their "steady" slot and read as false regressions
+    val results = sweep()
+    val steady = sweep()
+    val coldTotal = results.values.sum
     // warm the topology compile/codegen/zstd path at full shape (also
     // generates the cached input) so the measured pipeline run reflects
     // steady-state throughput, as the queries above do
@@ -56,7 +55,7 @@ object Bench {
       .mkString("{", ",", "}")
     // n_queries + means keep totals comparable across rounds as the query
     // inventory grows (the total alone inflates with every added operator)
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${timed.size},"cold_mean_sec":${coldTotal / timed.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / timed.size},"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
     spark.stop()
   }
 

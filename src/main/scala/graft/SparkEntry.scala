@@ -441,6 +441,15 @@ object SparkEntry {
           "doc_id")
         .orderBy("doc_id", "pos")),
 
+    "q_dedup_cc_verified" -> ((s, d) =>
+      // transitive dedup over exact-verified minhash candidates: the edge
+      // graph is exact, so the oracle restates it as a recursive-SQL
+      // min-label closure over the true ≥0.7 pair graph
+      Dedup.minhashDedupCCVerified(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.7)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     "q_dedup_simhash" -> ((s, d) =>
       // pigeonhole-banded SimHash candidates, verified by exact
       // shingle-Jaccard: the hamming radius only proposes pairs (recall
@@ -1015,6 +1024,23 @@ object SparkEntry {
       s"""$exactJaccardPairsCte
          SELECT idA, idB, round(jac, 4) AS jaccard FROM j
          WHERE jac >= 0.7 ORDER BY idA, idB""",
+    "q_dedup_cc_verified" ->
+      // recursive min-label closure over the exact pair graph: a doc dies
+      // iff some transitively-connected doc has a smaller id
+      s"""${exactJaccardPairsCte.replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+         e AS (
+           SELECT idA AS a, idB AS b FROM j WHERE jac >= 0.7
+           UNION
+           SELECT idB AS a, idA AS b FROM j WHERE jac >= 0.7
+         ), reach AS (
+           SELECT a AS id, b AS x FROM e
+           UNION
+           SELECT r.id, e.b FROM reach r JOIN e ON e.a = r.x
+         )
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (
+           SELECT id FROM reach GROUP BY id HAVING min(x) < id)
+         ORDER BY doc_id""",
     "q_ann_lsh" -> annLshOracle,
     "q_repetition" ->
       """WITH tok AS (

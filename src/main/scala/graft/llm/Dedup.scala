@@ -376,6 +376,26 @@ object Dedup {
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
+  /** Transitive MinHash dedup over EXACT-verified pairs: LSH candidates
+    * are re-scored with exact shingle-Jaccard, the ≥-threshold survivors
+    * form the edge graph, components cluster transitively, each keeps its
+    * smallest id. The edge set is exact (signature noise only proposes),
+    * so with full candidate recall at the threshold the result equals
+    * connected components over the true similarity graph — which a
+    * recursive-SQL oracle can restate.
+    */
+  def minhashDedupCCVerified(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize = maxBucketSize).select("idA", "idB")
+    val edges = verifyJaccard(cand, df, idCol, textCol, shingleK, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+    val doomed = connectedComponents(edges)
+      .filter(col("id") =!= col("component")).select(col("id").as("__doomed"))
+    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
   /** Transitive embedding near-dup dedup: cluster cosine-similar pairs
     * with [[connectedComponents]], keep each cluster's smallest id.
     */

@@ -169,6 +169,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(all == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("verified CC dedup clusters transitively on exact-score edges") {
+    import spark.implicits._
+    val kept = Dedup.minhashDedupCCVerified(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L)) // {0,1,2} one cluster → keep 0
+  }
+
   test("verified simhash pairs carry the exact jaccard and threshold on it") {
     val rows = Dedup.simhashPairsVerified(docs, "doc_id", "text",
         threshold = 0.5, maxHamming = 16)
