@@ -700,6 +700,17 @@ object SparkEntry {
       graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_keywords" -> ((s, d) =>
+      // tf-idf-shaped keyword extraction in integer stats: (doc, term)
+      // keyed tf agg (Zipf-proof composite key), ubiquitous-term blocklist
+      // broadcast, bounded top-k per doc
+      // 0.9 cutoff: the synthetic corpus vocabulary is uniformly common
+      // (df ≈ 0.75-0.8), so 0.5 would block nearly everything and leave the
+      // ranking path unexercised
+      graft.llm.Keywords.topTerms(t(s, d, "documents"), "doc_id", "text",
+          maxDocFrac = 0.9)
+        .orderBy("doc_id", "rank")),
+
     "q_bigram_score" -> ((s, d) =>
       // same two-pass LM plan one order up: corpus bigram vocab broadcast
       // against exploded word-2-grams — the cheap KenLM-style fluency gate
@@ -1346,6 +1357,24 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
          FROM tok t LEFT JOIN vocab v ON t.w = v.w
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_keywords" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''
+         ), tf AS (
+           SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+         ), dfreq AS (
+           SELECT w, count(*) AS df FROM tf GROUP BY w
+         ), nd AS (
+           SELECT count(DISTINCT doc_id) AS n FROM tf
+         ), ranked AS (
+           SELECT t.doc_id, t.w, t.tf,
+                  row_number() OVER (PARTITION BY t.doc_id
+                                     ORDER BY t.tf DESC, t.w ASC) AS rank
+           FROM tf t JOIN dfreq d ON d.w = t.w, nd
+           WHERE d.df <= 0.9 * nd.n)
+         SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS term, tf
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_bigram_score" ->
       // bigram analogue of q_unigram_score: space-joined word 2-grams as
       // the scoring unit, same vocab cap and OOV branch; docs shorter than

@@ -73,4 +73,22 @@ class PackUnigramSpec extends SparkSpec {
       (1L, 3L, 3L + 1L + 3L, 0L), // "a b","b a","a b" → 3+1+3
       (2L, 1L, 3L, 0L)))
   }
+
+  test("keywords: tf desc / term asc ranks, ubiquitous terms blocked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y common"),
+      (2L, "y y z common"),
+      (3L, "z common"),
+      (4L, "b a a b c common"),
+    ).toDF("doc_id", "text")
+    // n=4, cutoff 0.5 → only 'common' (df=4) is blocked
+    val out = graft.llm.Keywords.topTerms(docs, "doc_id", "text")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 1, "x", 2L), (1L, 2, "y", 1L),
+      (2L, 1, "y", 2L), (2L, 2, "z", 1L),
+      (3L, 1, "z", 1L),
+      (4L, 1, "a", 2L), (4L, 2, "b", 2L), (4L, 3, "c", 1L)))
+  }
 }
