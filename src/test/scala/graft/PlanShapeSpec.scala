@@ -195,6 +195,15 @@ class PlanShapeSpec extends SparkSpec {
         s"window must be per-score (boundary group only):\n$p")
   }
 
+  test("keyword extraction: blocklist broadcasts, ranking is top-k not window") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Keywords.topTerms(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"ubiquitous terms should broadcast anti-join:\n$p")
+    assert(p.contains("collect_top_k"), s"ranking should be CollectTopK:\n$p")
+    assert(!p.contains("Window"), s"ranking must not be a window:\n$p")
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
