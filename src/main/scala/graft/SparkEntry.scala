@@ -413,6 +413,27 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dups"))
         .orderBy("keeper")),
 
+    "q_curation" -> ((s, d) => {
+      // the full pre-training curation funnel as ONE declarative plan:
+      // language gate → Gopher quality gate (both map-only, fused into the
+      // scan) → eval-set decontamination (broadcast anti-join) → exact
+      // dedup on the canonical fingerprint (one map-combined shuffle) —
+      // operators composing is the point; Catalyst fuses the gates and
+      // keeps the whole funnel at two exchanges + a broadcast
+      val docs = t(s, d, "documents").filter(col("text") =!= "")
+      val gated = docs
+        .filter(col("lang") === "en")
+        .filter(TF.gopherPasses(col("text")))
+      val clean = gated.join(
+        graft.llm.Decontaminate.flagged(docs, "doc_id", "text",
+            Seq("fast merge", "value table", "window table table"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      Dedup.exact(clean, "doc_id", Seq(TF.fingerprint(col("text"))))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       // two-stage near-dup dedup: banded MinHash-LSH candidates verified by
       // EXACT shingle-Jaccard — the decision is exact, so the DuckDB oracle
@@ -1024,6 +1045,32 @@ object SparkEntry {
                 round(CASE WHEN na + nb - inter = 0 THEN 0.0
                            ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 4) AS jaccard
          FROM p ORDER BY doc_a""",
+    "q_curation" ->
+      // the composed funnel restated stage by stage: en + Gopher gates,
+      // NOT contaminated, then min-id per canonical fingerprint
+      """WITH d AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE text <> '' AND lang = 'en'
+         ), g AS (
+           SELECT doc_id, text FROM d
+           WHERE len(w) BETWEEN 10 AND 100000
+             AND list_aggregate(list_transform(w, x -> CAST(length(x) AS DOUBLE)), 'avg')
+                 BETWEEN 2 AND 12
+             AND 1 - CAST(len(list_distinct(list_transform(range(len(w) - 1),
+                       i -> w[i+1] || ' ' || w[i+2]))) AS DOUBLE) / (len(w) - 1) <= 0.9
+         ), c AS (
+           SELECT doc_id, text FROM g
+           WHERE NOT (
+             ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+               LIKE '% fast merge %'
+             OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+               LIKE '% value table %'
+             OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+               LIKE '% window table table %')
+         )
+         SELECT min(doc_id) AS doc_id FROM c
+         GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         ORDER BY doc_id""",
     "q_dedup_minhash" ->
       // exact ground truth for the verified LSH dedup: a doc dies iff some
       // smaller-id doc has exact 3-shingle jaccard ≥ 0.7 against it

@@ -195,6 +195,16 @@ class PlanShapeSpec extends SparkSpec {
         s"window must be per-score (boundary group only):\n$p")
   }
 
+  test("curation funnel: gates fuse map-side, dedup combines before its exchange") {
+    val p = finalPlan(SparkEntry.queries("q_curation")(spark, sf))
+    // decontamination joins as a broadcast; the fingerprint dedup is a
+    // map-combined aggregate (partial_min_by), never a window; the language
+    // + quality gates add no exchange of their own
+    assert(p.contains("BroadcastHashJoin"), s"decontamination should broadcast:\n$p")
+    assert(p.contains("partial_min_by"), s"dedup should combine map-side:\n$p")
+    assert(!p.contains("Window"), s"the funnel must not use a window:\n$p")
+  }
+
   test("keyword extraction: blocklist broadcasts, ranking is top-k not window") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = plan(graft.llm.Keywords.topTerms(docs, "doc_id", "text"))
