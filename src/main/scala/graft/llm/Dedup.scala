@@ -418,12 +418,18 @@ object Dedup {
     */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame = {
     require(width > 0, s"width must be positive: $width")
-    val ts = TextFunctions.tokens(col(textCol))
-    df.filter(size(ts) > 0)
-      .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), floor((size(ts) + (width - 1)) / width).cast("int") - 1),
-          i => array_join(slice(ts, i * width + 1, lit(width)), " "))))
+    // bindOnce: the chunk lambda would otherwise re-tokenize the text PER
+    // CHUNK (slice's child is re-evaluated each transform element — the
+    // HOF pitfall SCALE.md documents; measured ~2× on the span bench).
+    // Tokenless docs explode to zero rows, so no size filter is needed.
+    val spans = TextFunctions.bindOnce(TextFunctions.tokens(col(textCol))) { t =>
+      // empty guard: sequence(0, -1) would DESCEND ([0, -1]), not be empty
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(t) + (width - 1)) / width).cast("int") - 1),
+          i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+    }
+    df.select(col(idCol), posexplode(spans))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("span"))
   }
 
