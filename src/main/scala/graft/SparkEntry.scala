@@ -779,6 +779,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_heavy_hitters" -> ((s, d) => {
+      // mergeable count-min frequency sketch per event type — the
+      // heavy-hitters analogue of the HLL path, same oracle strategy:
+      // check the CMS CONTRACT (estimate ≥ exact, ≤ exact + eps·N), which
+      // is deterministic for a fixed seed, rather than the estimate itself
+      val ev = t(s, d, "events")
+      val sk = graft.llm.Sketches.freqSketch(ev, Seq("event_type"), "user_id")
+      val exact = ev.filter(col("user_id") < 3)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      val est = graft.llm.Sketches.cmsEstimate(col("cms"), col("user_id"))
+      exact.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("cnt"),
+          (est >= col("cnt") &&
+            est <= col("cnt") + ceil(lit(0.001) * col("cms_n")).cast("long"))
+            .as("within_eps"))
+        .orderBy("event_type", "user_id")
+    }),
+
     "q_hist_quantiles" -> ((s, d) => {
       // mergeable quantile path: per-group HDR-style log-binned histograms
       // (algebraic sums, map-side combined, fixed state per group) with
@@ -1385,6 +1403,13 @@ object SparkEntry {
                 CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
                 CAST(st % 2048 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      // the CMS estimate is not SQL-recomputable; the contract is: exact
+      // counts, and the estimate within [exact, exact + eps·N] (TRUE when
+      // the sketch path is healthy — a drift flips the boolean and the hash)
+      """SELECT event_type, user_id, count(*) AS cnt, TRUE AS within_eps
+         FROM events WHERE user_id < 3
+         GROUP BY event_type, user_id ORDER BY event_type, user_id""",
     "q_hist_quantiles" -> histQuantilesOracle,
     "q_unigram_score" ->
       // same whitespace tokenization as TextFunctions.tokens

@@ -42,6 +42,36 @@ object Sketches {
     distinctSketch(df, groupCols, valueCol, lgK)
       .select(groupCols.map(col) :+ estimate(col("sketch")).as("approx_distinct"): _*)
 
+  // --- frequency (count-min) sketches ---
+
+  /** One count-min sketch (binary) per group: the mergeable
+    * frequency-estimation path — fixed `O(1/eps · ln(1/confidence))` state
+    * per group, map-side combined, never shuffling the raw value stream.
+    * The heavy-hitters analogue of [[distinctSketch]]: query any item's
+    * frequency later without rescanning. Backed by Spark's
+    * `count_min_sketch` aggregate (spark-sketch).
+    */
+  def freqSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"),
+        count(lit(1)).as("cms_n"))
+
+  /** Point-frequency estimate of a long-typed item against a [[freqSketch]]
+    * column. CMS guarantees estimate ≥ true count always, and ≤ true +
+    * eps·N with probability `confidence` — deterministic for a fixed seed
+    * and dataset, which is what makes the contract oracle-checkable.
+    */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    Sketches.cmsEstimateUdf(sketch, item)
+
+  private lazy val cmsEstimateUdf =
+    udf((bytes: Array[Byte], item: Long) =>
+      if (bytes == null) 0L
+      else org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(item))
+
   // --- mergeable quantile (histogram) sketches ---
   //
   // The quantile analogue of the HLL path above: `percentile_approx` is

@@ -109,4 +109,27 @@ class SketchesSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial_sum"), s"expected map-side combine:\n$p")
   }
+
+  test("CMS frequency estimates: >= exact always, tight on a sparse domain") {
+    import spark.implicits._
+    import graft.llm.Sketches
+    val df = (0L until 10000L).map(i => (s"g${i % 2}", i % 50)).toDF("g", "v")
+    val sk = Sketches.freqSketch(df, Seq("g"), "v")
+    val exact = df.groupBy("g", "v").count()
+    val rows = exact.join(sk, Seq("g"))
+      .select(col("g"), col("v"), col("count"),
+        Sketches.cmsEstimate(col("cms"), col("v")).as("est"), col("cms_n"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    // parity of i%2 and i%50 correlate: 25 distinct values per group
+    assert(rows.length == 50)
+    for ((g, v, cnt, est, n) <- rows) {
+      assert(est >= cnt, s"CMS must never undercount: $g/$v $est < $cnt")
+      assert(est <= cnt + math.ceil(0.001 * n).toLong, s"overcount too large: $g/$v")
+    }
+    // partition-layout independence (same seed, same data → same sketch)
+    val again = Sketches.freqSketch(df.repartition(13), Seq("g"), "v")
+    val est2 = exact.join(again, Seq("g"))
+      .select(Sketches.cmsEstimate(col("cms"), col("v"))).as[Long].collect().sorted
+    assert(est2.toSeq == rows.map(_._4).sorted.toSeq)
+  }
 }
