@@ -797,6 +797,21 @@ object SparkEntry {
         .orderBy("event_type", "user_id")
     }),
 
+    "q_bloom_membership" -> ((s, d) => {
+      // per-type Bloom filter of the user set; the oracle checks the
+      // no-false-negatives contract: every truly-present probe must hit
+      val ev = t(s, d, "events")
+      val sk = graft.llm.Sketches.bloomSketch(ev, Seq("event_type"), "user_id",
+        expectedItems = 100000L)
+      val present = ev.filter(col("user_id") < 3)
+        .select("event_type", "user_id").distinct()
+      present.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("user_id"),
+          graft.llm.Sketches.bloomMightContain(col("bloom"), col("user_id"))
+            .as("found"))
+        .orderBy("event_type", "user_id")
+    }),
+
     "q_hist_quantiles" -> ((s, d) => {
       // mergeable quantile path: per-group HDR-style log-binned histograms
       // (algebraic sums, map-side combined, fixed state per group) with
@@ -1410,6 +1425,11 @@ object SparkEntry {
       """SELECT event_type, user_id, count(*) AS cnt, TRUE AS within_eps
          FROM events WHERE user_id < 3
          GROUP BY event_type, user_id ORDER BY event_type, user_id""",
+    "q_bloom_membership" ->
+      // Bloom filters have NO false negatives: every present probe is TRUE
+      """SELECT DISTINCT event_type, user_id, TRUE AS found
+         FROM events WHERE user_id < 3
+         ORDER BY event_type, user_id""",
     "q_hist_quantiles" -> histQuantilesOracle,
     "q_unigram_score" ->
       // same whitespace tokenization as TextFunctions.tokens

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches over grouped data — the re-aggregatable
@@ -71,6 +71,41 @@ object Sketches {
       if (bytes == null) 0L
       else org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(item))
+
+  // --- membership (Bloom filter) sketches ---
+
+  /** One Bloom filter (binary) per group — the membership member of the
+    * sketch trio (distinct = HLL, frequency = CMS, membership = Bloom):
+    * fixed `optimalNumOfBits(expectedItems, fpp)` state per group, built by
+    * Spark's native `BloomFilterAggregate` (TypedImperativeAggregate, so
+    * partials merge map-side and only the bitsets cross the exchange).
+    * Query with [[bloomMightContain]]; no false negatives, ever — the
+    * contract the oracle checks.
+    */
+  def bloomSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(GraftShims.toExpression(col(valueCol)),
+        Literal(expectedItems), Literal(numBits))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(GraftShims.toColumn(agg.toAggregateExpression()).as("bloom"))
+  }
+
+  /** Membership probe of a long-typed item against a [[bloomSketch]]
+    * column. (Spark's `might_contain` expression demands a constant/scalar
+    * subquery filter, so a joined sketch COLUMN is probed via this
+    * deserializing UDF instead — mirrors [[cmsEstimate]].)
+    */
+  def bloomMightContain(sketch: Column, item: Column): Column =
+    Sketches.bloomMightContainUdf(sketch, item)
+
+  private lazy val bloomMightContainUdf =
+    udf((bytes: Array[Byte], item: Long) =>
+      bytes != null && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(item))
 
   // --- mergeable quantile (histogram) sketches ---
   //

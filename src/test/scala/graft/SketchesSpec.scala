@@ -132,4 +132,19 @@ class SketchesSpec extends SparkSpec {
       .select(Sketches.cmsEstimate(col("cms"), col("v"))).as[Long].collect().sorted
     assert(est2.toSeq == rows.map(_._4).sorted.toSeq)
   }
+
+  test("Bloom membership: no false negatives; FPP bounded on absent probes") {
+    import spark.implicits._
+    import graft.llm.Sketches
+    val df = (0L until 20000L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val sk = Sketches.bloomSketch(df, Seq("g"), "v", expectedItems = 20000L)
+    val probes = (0L until 20000L).map(v => (s"g${v % 2}", v, true)) ++
+      (1000000L until 1002000L).map(v => (s"g${v % 2}", v, false))
+    val got = probes.toDF("g", "v", "present").join(sk, Seq("g"))
+      .select(col("present"), Sketches.bloomMightContain(col("bloom"), col("v")).as("hit"))
+      .as[(Boolean, Boolean)].collect()
+    assert(got.filter(_._1).forall(_._2), "present item reported absent")
+    val fp = got.filterNot(_._1).count(_._2)
+    assert(fp <= 2000 * 0.06, s"false-positive rate too high: $fp/2000")
+  }
 }
