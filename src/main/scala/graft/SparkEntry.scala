@@ -125,8 +125,14 @@ object SparkEntry {
     * when candidate recall at the threshold is total.
     */
   private val exactJaccardPairsCte: String =
+    // tokenizer mirrors TextFunctions.tokens exactly (trim + split on
+    // whitespace RUNS, blank → []): string_split(text, ' ') would emit ''
+    // tokens on double spaces and [''] on blank text and silently diverge
     """WITH tok AS (
-         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+         FROM documents
        ), sh AS (
          SELECT doc_id,
                 CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
@@ -425,7 +431,9 @@ object SparkEntry {
         .filter(col("lang") === "en")
         .filter(TF.gopherPasses(col("text")))
       val clean = gated.join(
-        graft.llm.Decontaminate.flagged(docs, "doc_id", "text",
+        // flagging is per-doc content-only, so it runs over the already
+        // gated subset — no point shingle-exploding docs the gates killed
+        graft.llm.Decontaminate.flagged(gated, "doc_id", "text",
             Seq("fast merge", "value table", "window table table"))
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
@@ -785,14 +793,16 @@ object SparkEntry {
       // check the CMS CONTRACT (estimate ≥ exact, ≤ exact + eps·N), which
       // is deterministic for a fixed seed, rather than the estimate itself
       val ev = t(s, d, "events")
-      val sk = graft.llm.Sketches.freqSketch(ev, Seq("event_type"), "user_id")
+      val cmsEps = 0.001 // one binding for the sketch width AND the bound
+      val sk = graft.llm.Sketches.freqSketch(ev, Seq("event_type"), "user_id",
+        eps = cmsEps)
       val exact = ev.filter(col("user_id") < 3)
         .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
       val est = graft.llm.Sketches.cmsEstimate(col("cms"), col("user_id"))
       exact.join(sk, Seq("event_type"))
         .select(col("event_type"), col("user_id"), col("cnt"),
           (est >= col("cnt") &&
-            est <= col("cnt") + ceil(lit(0.001) * col("cms_n")).cast("long"))
+            est <= col("cnt") + ceil(lit(cmsEps) * col("cms_n")).cast("long"))
             .as("within_eps"))
         .orderBy("event_type", "user_id")
     }),
@@ -1046,7 +1056,9 @@ object SparkEntry {
       // edges connect consecutive doc_ids, so components are maximal runs
       // of consecutive kept pairs: classic gaps-and-islands
       """WITH d AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           SELECT doc_id,
+                  list_distinct(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks
            FROM documents WHERE text <> ''
          ), e AS (
            SELECT a.doc_id AS i
@@ -1066,7 +1078,9 @@ object SparkEntry {
          SELECT id, min(c) AS component FROM verts GROUP BY id ORDER BY id""",
     "q_ngram_jaccard" ->
       """WITH d AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           SELECT doc_id,
+                  list_distinct(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks
            FROM documents WHERE text <> ''
          ), p AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1102,7 +1116,8 @@ object SparkEntry {
                LIKE '% window table table %')
          )
          SELECT min(doc_id) AS doc_id FROM c
-         GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         GROUP BY md5(array_to_string(list_sort(list_distinct(
+                    regexp_split_to_array(trim(text), '\s+'))), ' '))
          ORDER BY doc_id""",
     "q_dedup_minhash" ->
       // exact ground truth for the verified LSH dedup: a doc dies iff some
@@ -1135,7 +1150,9 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
     "q_repetition" ->
       """WITH tok AS (
-           SELECT doc_id, text, string_split(text, ' ') AS t
+           SELECT doc_id, text,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
            FROM documents WHERE text <> ''
          ), grams AS (
            SELECT doc_id, text, n,
@@ -1252,7 +1269,9 @@ object SparkEntry {
          FROM f ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
-                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                md5(array_to_string(list_sort(list_distinct(
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
     "q_rolling_hash" ->

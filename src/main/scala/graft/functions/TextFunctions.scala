@@ -173,16 +173,25 @@ object TextFunctions {
     * document's n-grams, divide by the text length. Occurrences overlap, so
     * heavily-repeated boilerplate can push the value past 1 — callers
     * threshold it, they don't sum it. Map-only higher-order-function
-    * algebra (O(distinct·total) comparisons inside codegen, no explode, no
-    * shuffle): at 100 TB this stays a per-row expression in the scan, like
-    * the rest of the quality family.
+    * algebra (sort the grams, fold adjacent-equal runs: O(G log G) per row
+    * — NOT the naive O(distinct·total) count-per-distinct-gram, which goes
+    * quadratic on exactly the long repetitive documents this signal
+    * exists to catch), no explode, no shuffle: at 100 TB this stays a
+    * per-row expression in the scan, like the rest of the quality family.
     */
   def topNgramCharFraction(text: Column, n: Int): Column = {
     val len = length(coalesce(text, lit("")))
     bindOnce(if (n == 1) tokens(text) else shingles(text, n)) { arr =>
-      val best = aggregate(array_distinct(arr), lit(0L),
-        (acc, g) => greatest(acc, size(filter(arr, _ === g)).cast("long") * length(g)))
-      when(len > 0 && size(arr) > 0, best.cast("double") / len.cast("double"))
+      val folded = aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, g) => {
+          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run * length(g).cast("long")).as("best"))
+        })
+      when(len > 0 && size(arr) > 0,
+        folded.getField("best").cast("double") / len.cast("double"))
         .otherwise(lit(0.0))
     }
   }

@@ -80,6 +80,9 @@ object Mix {
       tie: Column): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val out = df.columns
+    for (c <- Seq("__score", "__size", "__cum"))
+      require(!out.contains(c),
+        s"budgetSelect: input column '$c' collides with an internal name")
     // no eager `isNotNull` filter on the score: Catalyst would substitute
     // the score expression into a pushed-down FilterExec and compute it
     // TWICE per row (measured 2.2×). Null scores instead fall into their
@@ -93,7 +96,8 @@ object Mix {
     var cum = 0L
     var boundary = Option.empty[(Double, Long)] // (boundary score, remaining)
     for (r <- totals if boundary.isEmpty) {
-      val tot = r.getLong(1)
+      // a group whose sizes are ALL null sums to null — contributes nothing
+      val tot = if (r.isNullAt(1)) 0L else r.getLong(1)
       if (cum + tot > budget) boundary = Some((r.getDouble(0), budget - cum))
       else cum += tot
     }

@@ -66,11 +66,38 @@ object Sketches {
   def cmsEstimate(sketch: Column, item: Column): Column =
     Sketches.cmsEstimateUdf(sketch, item)
 
+  /** Per-thread last-(bytes → parsed) memo for the probe UDFs: probe rows
+    * arrive grouped by join key, so consecutive rows almost always carry
+    * the SAME group's serialized sketch — without this, every row would
+    * re-deserialize the full sketch (O(rows × sketchBytes) allocation).
+    * The miss check (`Arrays.equals`) early-exits on the first differing
+    * byte, so a group switch costs one comparison plus one parse.
+    */
+  private def memoLookup[S](last: ThreadLocal[(Array[Byte], S)],
+      bytes: Array[Byte])(parse: Array[Byte] => S): S = {
+    val cached = last.get()
+    if (cached != null &&
+        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes))) {
+      cached._2
+    } else {
+      val sk = parse(bytes)
+      last.set((bytes, sk))
+      sk
+    }
+  }
+
+  // the UDF lambdas call these MODULE methods (resolved statically, not
+  // captured), so the non-serializable ThreadLocal never enters a closure
+  @transient private lazy val cmsCache =
+    new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]
+  private def cmsFor(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    memoLookup(cmsCache, bytes)(b =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+
   private lazy val cmsEstimateUdf =
     udf((bytes: Array[Byte], item: Long) =>
-      if (bytes == null) 0L
-      else org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(item))
+      if (bytes == null) 0L else Sketches.cmsFor(bytes).estimateCount(item))
 
   // --- membership (Bloom filter) sketches ---
 
@@ -102,10 +129,16 @@ object Sketches {
   def bloomMightContain(sketch: Column, item: Column): Column =
     Sketches.bloomMightContainUdf(sketch, item)
 
+  @transient private lazy val bloomCache =
+    new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.BloomFilter)]
+  private def bloomFor(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    memoLookup(bloomCache, bytes)(b =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+
   private lazy val bloomMightContainUdf =
     udf((bytes: Array[Byte], item: Long) =>
-      bytes != null && org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(item))
+      bytes != null && Sketches.bloomFor(bytes).mightContainLong(item))
 
   // --- mergeable quantile (histogram) sketches ---
   //
