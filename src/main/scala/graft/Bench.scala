@@ -33,6 +33,22 @@ object Bench {
     // apples-to-apples. The steady-state pass (one-time codegen/compile
     // amortized, as it would be at the 100 TB target) is reported as a
     // secondary field, not as "value".
+    // machine-health calibration: a fixed single-thread busy loop plus the
+    // OS load average, reported alongside the timings. The host is shared —
+    // observed runs where EVERYTHING (including a pure-compute loop) ran
+    // ~3× slower under neighbor load — so cross-round comparisons should
+    // normalize by this, not assume equal hardware windows.
+    def calibrate(): Double = {
+      var x = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) { x += i * i; i += 1 }
+      if (x == 42) println(x) // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = calibrate()
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -55,7 +71,7 @@ object Bench {
       .mkString("{", ",", "}")
     // n_queries + means keep totals comparable across rounds as the query
     // inventory grows (the total alone inflates with every added operator)
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"load_avg":$loadAvg,"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
     spark.stop()
   }
 
