@@ -540,7 +540,7 @@ object BuiltinComponents {
         "{{.Field0}}", required = true),
       ConfigKey("RotateInterval", "interval between file rotations (streaming only)",
         default = Some("60s")),
-      ConfigKey("RotateSize", "approximate max file size before rotating (bytes)",
+      ConfigKey("RotateSize", "approximate max file size before rotating (bytes or humanized, e.g. 32MB)",
         default = Some(0L)),
       ConfigKey("DiscardEmptyFiles", "skip empty files", default = Some(false)),
       ConfigKey("ZstdCompressionLevel", "zstd level 1..19", default = Some(3L)),
@@ -581,7 +581,7 @@ object BuiltinComponents {
         (if (hasField0) Seq(col("__part")) else Nil) :+ col("_record").as("value"): _*)
         .observe(obs, count(lit(1)).as("rows"))
       var dfw = base.write.mode("overwrite")
-      val rs = cfg.int("RotateSize", 0L)
+      val rs = cfg.sizeBytes("RotateSize", 0L)
       if (rs > 0) {
         // size rotation ≈ maxRecordsPerFile from a sampled record size;
         // avg() is null on an empty/fully-filtered input — fall back to 1

@@ -44,6 +44,22 @@ final case class ComponentConfig(raw: Map[String, Any], componentName: String = 
       require(default != Long.MinValue, s"$componentName: missing required key '$key'")
       default
   }
+  /** Byte size: a plain integer, or a humanized string like "32MB",
+    * "1.5 GiB", "64kib" — decimal suffixes are 1000-based and binary
+    * (…iB) suffixes 1024-based, matching the reference's TOML size type
+    * (size_bytes.go UnmarshalTOML via go-humanize).
+    */
+  def sizeBytes(key: String, default: => Long = Long.MinValue): Long = any(key) match {
+    case Some(l: Long)   => require(l >= 0, s"$componentName: '$key' must be >= 0"); l
+    case Some(d: Double) => require(d >= 0, s"$componentName: '$key' must be >= 0"); d.toLong
+    case Some(s: String) if s.nonEmpty => ComponentConfig.parseSize(componentName, key, s)
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not a byte size: $other")
+    case None =>
+      require(default != Long.MinValue, s"$componentName: missing required key '$key'")
+      default
+  }
+
   def bool(key: String, default: => Boolean = false): Boolean = any(key) match {
     case Some(b: Boolean) => b
     case Some(s: String)  => s.toBoolean
@@ -92,6 +108,30 @@ final case class ComponentConfig(raw: Map[String, Any], componentName: String = 
 
 object ComponentConfig {
   val empty: ComponentConfig = ComponentConfig(Map.empty)
+
+  /** "32MB" / "1.5 GiB" / "700" → bytes; decimal suffixes 1000-based,
+    * binary (…iB) 1024-based, case-insensitive, optional space — the
+    * accepted grammar of the reference's size type (size_bytes.go).
+    */
+  def parseSize(component: String, key: String, s: String): Long = {
+    val m = "(?i)^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([kmgtp]?i?b?)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$component: '$key' is not a byte size: '$s'"))
+    val num = m.group(1).toDouble
+    val unit = m.group(2).toLowerCase
+    val mult = unit.stripSuffix("b") match {
+      case "" => 1d
+      case "k" => 1e3; case "m" => 1e6; case "g" => 1e9
+      case "t" => 1e12; case "p" => 1e15
+      case "ki" => 1024d; case "mi" => 1024d * 1024; case "gi" => math.pow(1024, 3)
+      case "ti" => math.pow(1024, 4); case "pi" => math.pow(1024, 5)
+      case u => throw new IllegalArgumentException(
+        s"$component: '$key' has an unknown size unit '$u' in '$s'")
+    }
+    require(num >= 0, s"$component: '$key' must be >= 0")
+    (num * mult).toLong
+  }
 
   def parseDuration(s: String): Long = s.trim match {
     case "-1" => -1L

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.topology.Toml
+import graft.topology.{ComponentConfig, Toml}
 
 class TomlSpec extends AnyFunSuite {
 
@@ -92,5 +92,19 @@ class TomlSpec extends AnyFunSuite {
   test("parse errors are loud") {
     assertThrows[IllegalArgumentException](Toml.parse("key value-without-equals"))
     assertThrows[IllegalArgumentException](Toml.parse("a = @nope"))
+  }
+
+  test("humanized byte sizes: decimal 1000-based, binary 1024-based") {
+    def sz(v: Any): Long =
+      ComponentConfig(Map("RotateSize" -> v), "t").sizeBytes("RotateSize")
+    assert(sz(700L) == 700L)
+    assert(sz("700") == 700L)
+    assert(sz("32MB") == 32000000L)
+    assert(sz("32 MiB") == 32L * 1024 * 1024)
+    assert(sz("1.5 GiB") == (1.5 * 1024 * 1024 * 1024).toLong)
+    assert(sz("64kib") == 64L * 1024)
+    assert(sz("2k") == 2000L)
+    assertThrows[IllegalArgumentException](sz("12 parsecs"))
+    assertThrows[IllegalArgumentException](sz(-1L))
   }
 }
