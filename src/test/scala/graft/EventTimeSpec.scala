@@ -115,6 +115,34 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL distinct sketches aggregate across streaming micro-batches") {
+    // the 100 TB streaming-ingest story: per-(window, key) sketches build
+    // incrementally in the state store — values seen in EARLIER batches
+    // must not recount when the window's sketch updates in later ones
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val out = input.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("est"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("est"))
+    val q = out.writeStream.format("memory").queryName("sk_stream")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(0), "a", 1L), (ts(1), "a", 2L), (ts(2), "b", 1L))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 2L), (ts(3), "a", 3L), (ts(4), "b", 9L))
+      q.processAllAvailable()
+      // latest update per (window, key): a → {1,2,3}, b → {1,9}; HLL is
+      // exact at these cardinalities
+      val last = spark.table("sk_stream")
+        .groupBy("w", "k").agg(max("est").as("est"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(last == Set(("10:00", "a", 3L), ("10:00", "b", 2L)))
+    } finally q.stop()
+  }
+
   test("dedupWithTTL works on batch frames (state empty per run)") {
     val df = strDf(Seq("k", "v"), Seq(Seq("x", "1"), Seq("x", "2"), Seq("y", "3")))
     val out = EventTime.dedupWithTTL(df, Seq("k")).collect()
