@@ -481,10 +481,16 @@ object SparkEntry {
 
     "q_dedup_simhash" -> ((s, d) =>
       // pigeonhole-banded SimHash candidates, verified by exact
-      // shingle-Jaccard: the hamming radius only proposes pairs (recall
-      // probed in Scratch; raw-candidate behavior covered by
-      // DedupSimilaritySpec), the exact score decides — oracle-checkable
-      Dedup.simhashPairsVerified(t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
+      // shingle-Jaccard: the hamming radius only proposes pairs, the exact
+      // score decides — oracle-checkable while candidate recall at the
+      // threshold is total. Measured radius curve on this corpus (missed
+      // true pairs / verification cost at sf0.1): h=3 0@sf0.01 but
+      // 4@sf0.001, h=4 0@sf0.01+margin (3.3s), h=6 0 everywhere (12s).
+      // h=4 buys a bit of recall margin at modest cost; simhash remains
+      // the near-identical detector — jaccard-threshold dedup is minhash's
+      // job (q_dedup_minhash).
+      Dedup.simhashPairsVerified(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.7, maxHamming = 4)
         .orderBy("idA", "idB")),
 
     "q_dedup_cc" -> ((s, d) => {
