@@ -585,8 +585,14 @@ object BuiltinComponents {
       if (rs > 0) {
         // size rotation ≈ maxRecordsPerFile from a sampled record size;
         // avg() is null on an empty/fully-filtered input — fall back to 1
-        // byte rather than crash a run that would otherwise write nothing
-        val row = df.select(avg(length(col("_record")))).head()
+        // byte rather than crash a run that would otherwise write nothing.
+        // Sample a bounded prefix with the topology's observe nodes
+        // STRIPPED: a full-plan side action would rescan the entire input
+        // and re-fire graft_input/graft_output, double-counting the run's
+        // stats totals.
+        val row = org.apache.spark.sql.GraftShims
+          .stripObservations(df.limit(1024))
+          .select(avg(length(col("_record")))).head()
         val sample = (if (row.isNullAt(0)) 1.0 else row.getDouble(0)).max(1.0)
         dfw = dfw.option("maxRecordsPerFile", math.max(1L, (rs / sample).toLong))
       }

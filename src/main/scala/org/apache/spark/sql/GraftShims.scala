@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Remove `observe` (CollectMetrics) nodes from a frame's plan. For
+    * side-car actions (e.g. FileWriter's record-size sampling) that would
+    * otherwise re-fire the topology's observations and double-count the
+    * run's stats totals.
+    */
+  def stripObservations(df: DataFrame): DataFrame = {
+    val cleaned = df.queryExecution.logical.transform {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.child
+    }
+    classic.Dataset.ofRows(df.sparkSession.asInstanceOf[classic.SparkSession], cleaned)
+  }
 }
