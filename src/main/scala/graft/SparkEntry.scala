@@ -554,6 +554,22 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q_embed_cc" -> ((s, d) => {
+      // transitive embedding clusters: plant duplicate CHAINS (i ~
+      // i+100000 for i<20, plus i+200000 for i<10) — the two far copies
+      // only connect through the original, so the component labels prove
+      // the clustering merges transitively, not just pairwise
+      val emb = t(s, d, "embeddings")
+      val p1 = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val p2 = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 200000)
+      graft.llm.Dedup.connectedComponents(
+          graft.llm.Dedup.embeddingPairs(emb.unionByName(p1).unionByName(p2),
+            "vec_id", "embedding", dim = 64, threshold = 0.9))
+        .orderBy("id")
+    }),
+
     "q_lang_id" -> ((s, d) => {
       val en = Seq("the", "and", "of", "to", "a", "in", "is", "that")
       val es = Seq("el", "la", "de", "que", "y", "los", "en", "un")
@@ -1215,6 +1231,17 @@ object SparkEntry {
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY idA, idB""",
+    "q_embed_cc" ->
+      // the planted chains make the expected labels closed-form: every
+      // member of {i, i+100000, i+200000} labels to i
+      """WITH m AS (SELECT vec_id FROM embeddings WHERE vec_id < 20)
+         SELECT vec_id AS id, vec_id AS component FROM m
+         UNION ALL
+         SELECT vec_id + 100000 AS id, vec_id AS component FROM m
+         UNION ALL
+         SELECT vec_id + 200000 AS id, vec_id AS component
+         FROM embeddings WHERE vec_id < 10
+         ORDER BY id""",
     "q_lang_id" ->
       """WITH t AS (
            SELECT doc_id,
