@@ -72,4 +72,26 @@ class MixSpec extends SparkSpec {
       140L, col("id")).select("id").as[Long].collect().toSet
     assert(shuffled == naive(140L))
   }
+
+  test("budgetSelect matches the naive prefix on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      // quantized scores force tie groups; sizes vary; some null scores
+      val rows = (0L until 400L).map { id =>
+        val score = if (rnd.nextInt(10) == 0) null
+          else java.lang.Double.valueOf(rnd.nextInt(8) / 10.0)
+        (id, score, 1L + rnd.nextInt(50))
+      }
+      val df = rows.toDF("id", "score", "sz")
+      val ordered = rows.collect { case (id, s, sz) if s != null => (id, s.doubleValue, sz) }
+        .sortBy { case (id, s, _) => (-s, id) }
+      val budget = rnd.nextInt(ordered.map(_._3.toInt).sum + 100).toLong
+      val naive = ordered.scanLeft((0L, 0L)) { case ((_, c), (id, _, sz)) => (id, c + sz) }
+        .tail.takeWhile(_._2 <= budget).map(_._1).toSet
+      val got = Mix.budgetSelect(df, col("score"), col("sz"), budget, col("id"))
+        .select("id").as[Long].collect().toSet
+      assert(got == naive, s"trial $trial budget=$budget")
+    }
+  }
 }
