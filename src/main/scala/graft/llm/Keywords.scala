@@ -31,16 +31,22 @@ object Keywords {
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       maxDocFrac: Double = 0.5): DataFrame = {
     require(k > 0 && maxDocFrac > 0, s"bad config: k=$k maxDocFrac=$maxDocFrac")
+    // ONE explode + (doc, term) aggregation; everything else derives from
+    // it. Deriving df/nDocs from separate explode chains re-scanned and
+    // re-exploded the corpus twice more (measured: the tf exchange reuses
+    // across the dfreq rollup and the anti-join, and the doc count needs
+    // no explode at all — a size() scan suffices)
     val tf = df
       .select(col(idCol).as("__id"),
         explode(TextFunctions.tokens(col(textCol))).as("__term"))
       .groupBy("__id", "__term").agg(count(lit(1)).as("tf"))
-    // document frequency over the distinct-by-construction (doc, term)
-    // pairs; the blocklist is the df > cutoff tail — small and broadcast
-    val nDocs = tf.select(count_distinct(col("__id")).as("__n"))
+    // docs with ≥1 token == distinct __id in tf, without touching tf
+    val nDocs = broadcast(
+      df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+        .agg(count(lit(1)).as("__n")))
     val blocked = broadcast(
       tf.groupBy("__term").agg(count(lit(1)).as("__df"))
-        .crossJoin(broadcast(nDocs))
+        .crossJoin(nDocs)
         .filter(col("__df") > lit(maxDocFrac) * col("__n"))
         .select("__term"))
     val kept = tf.join(blocked, Seq("__term"), "left_anti")
