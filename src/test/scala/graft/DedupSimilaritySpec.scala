@@ -185,6 +185,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("multi-piece simhash banding keeps the hamming-radius guarantee") {
+    // identical docs (hamming 0) must collide under EVERY piece config;
+    // verified output must not shrink when pieces increase at fixed radius
+    for (p <- Seq(1, 2, 3)) {
+      val pairs = Dedup.simhashPairsVerified(docs, "doc_id", "text",
+          threshold = 0.5, maxHamming = 8, pieces = p)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 2L)), s"pieces=$p lost the identical pair")
+      assert(pairs.contains((0L, 1L)), s"pieces=$p lost the near-identical pair")
+    }
+  }
+
   test("connectedComponents: transitive clusters, min-id labels, chains") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and 3-3 self-pair noise
