@@ -599,8 +599,12 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_token_count" -> ((s, d) =>
+      // whitespace tokens + the BPE-ish subword estimate (letter runs,
+      // digit runs, punctuation singletons), both map-only
       t(s, d, "documents")
-        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
     "q_quality_gopher" -> ((s, d) =>
@@ -1256,10 +1260,16 @@ object SparkEntry {
                      ELSE 'unk' END AS lang_guess
          FROM t ORDER BY doc_id""",
     "q_token_count" ->
+      // subwords: Spark's lookaround split has no RE2 mirror, but its count
+      // equals letter runs + digit runs + non-alphanumeric-non-space chars
       """SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN 0
                      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
-                END AS n_tokens
+                END AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+'))
+                  + len(regexp_extract_all(text, '[0-9]+'))
+                  + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                  AS n_subwords
          FROM documents ORDER BY doc_id""",
     "q_redact_pii" ->
       // same planted PII + same regex chain ('g' = replace all, matching
