@@ -42,7 +42,9 @@ object TextFunctions {
     size(filter(
       split(coalesce(text, lit("")),
         "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
-      c => length(trim(c)) > 0))
+      // \S, not trim: trim strips only ASCII spaces, so a tab/newline piece
+      // would count as a subword against this function's own contract
+      c => c.rlike("\\S")))
 
   /** Bind `v` as a lambda variable so the generating expression is evaluated
     * ONCE per row. A higher-order function re-evaluates non-lambda

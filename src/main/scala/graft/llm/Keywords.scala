@@ -40,10 +40,12 @@ object Keywords {
       .select(col(idCol).as("__id"),
         explode(TextFunctions.tokens(col(textCol))).as("__term"))
       .groupBy("__id", "__term").agg(count(lit(1)).as("tf"))
-    // docs with ≥1 token == distinct __id in tf, without touching tf
+    // distinct doc ids with ≥1 token == distinct __id in tf, without
+    // touching tf (count_distinct, not a row count: duplicate or null ids
+    // must not inflate the denominator the blocklist fraction divides by)
     val nDocs = broadcast(
       df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
-        .agg(count(lit(1)).as("__n")))
+        .agg(count_distinct(col(idCol)).as("__n")))
     val blocked = broadcast(
       tf.groupBy("__term").agg(count(lit(1)).as("__df"))
         .crossJoin(nDocs)

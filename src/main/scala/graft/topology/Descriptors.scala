@@ -118,8 +118,11 @@ object ComponentConfig {
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(
         s"$component: '$key' is not a byte size: '$s'"))
-    val num = m.group(1).toDouble
     val unit = m.group(2).toLowerCase
+    // unitless integers parse exactly (a Double round-trip would corrupt
+    // values above 2^53)
+    if (unit.isEmpty && !m.group(1).contains('.')) return m.group(1).toLong
+    val num = m.group(1).toDouble
     val mult = unit.stripSuffix("b") match {
       case "" => 1d
       case "k" => 1e3; case "m" => 1e6; case "g" => 1e9

@@ -96,7 +96,11 @@ object Topology {
       outputProcs = outputT.get("procs").map(_.toString.toInt).getOrElse(32),
       outputFields = outputT.get("fields") match {
         case Some(l: List[Any @unchecked]) => l.map(_.toString)
-        case _ => Nil
+        case None => Nil
+        // a nested `[output.fields]` table (or any non-list) is a config
+        // mistake that would otherwise silently write ALL fields
+        case Some(other) => throw new IllegalArgumentException(
+          s"[output] fields must be an array of field names, got: $other")
       },
       sharding = outputT.get("sharding").map(_.toString),
       outputConfig = cc(outputT, s"output ${outputT("name")}"),

@@ -16,6 +16,11 @@ class TextVectorSpec extends SparkSpec {
     assert(one(TF.tokenCount(lit(null).cast("string"))) == 0)
   }
 
+  test("subwordCount ignores tabs/newlines, not just spaces") {
+    assert(one(TF.subwordCount(lit("ab\tcd\nef"))) == 3)
+    assert(one(TF.subwordCount(lit("\t\n"))) == 0)
+  }
+
   test("subwordCount splits letter runs, digit runs, punctuation; no whitespace") {
     // "don't stop123" → don | ' | t | stop | 123
     assert(one(TF.subwordCount(lit("don't stop123"))) == 5)

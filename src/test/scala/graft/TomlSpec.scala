@@ -106,5 +106,25 @@ class TomlSpec extends AnyFunSuite {
     assert(sz("2k") == 2000L)
     assertThrows[IllegalArgumentException](sz("12 parsecs"))
     assertThrows[IllegalArgumentException](sz(-1L))
+    // unitless integer strings must not round-trip through Double
+    assert(sz("9007199254740993") == 9007199254740993L)
+  }
+
+  test("a nested [output.fields] table fails loudly instead of writing all fields") {
+    val toml =
+      """[fields]
+        |names = ["a", "b"]
+        |[input]
+        |name = "LogLines"
+        |  [input.config]
+        |  Lines = ["1,2"]
+        |[output]
+        |name = "Recorder"
+        |[output.fields]
+        |fields = ["a"]
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      graft.topology.Topology.configFromToml(Toml.parse(toml)))
+    assert(e.getMessage.contains("fields must be an array"))
   }
 }
