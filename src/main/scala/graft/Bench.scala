@@ -72,6 +72,12 @@ object Bench {
     // n_queries + means keep totals comparable across rounds as the query
     // inventory grows (the total alone inflates with every added operator)
     println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"load_avg":$loadAvg,"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
+    // compact summary printed LAST: the driver's artifact capture keeps the
+    // TAIL of stdout, and the full line above is long enough that its head
+    // (which holds the totals/calibration fields) can fall outside the
+    // window — r3's BENCH capture lost calib/pipeline that way
+    val pipeStr = pipeline.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+    println(s"""{"metric":"summary","cold_total_sec":$coldTotal,"n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"load_avg":$loadAvg${if (pipeStr.nonEmpty) "," + pipeStr else ""},"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -296,7 +296,8 @@ object Dedup {
     * of O(iterations).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
-      maxIter: Int = 20, localEdgeThreshold: Long = 4L << 20): DataFrame = {
+      maxIter: Int = 20, localEdgeThreshold: Long = 512L << 10,
+      maxLocalEdgeBytes: Long = 64L << 20): DataFrame = {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     // Small-graph fast path, the broadcast-join analogue for CC: the
     // candidate-pair graph after LSH banding + threshold filtering is
@@ -308,9 +309,20 @@ object Dedup {
     // never materializes the graph on one machine.
     if (localEdgeThreshold > 0) {
       // one job: collect at most threshold+1 edges; overflow ⇒ distributed
-      // path (which recomputes `pairs`, but only in the genuinely-big case)
+      // path (which recomputes `pairs`, but only in the genuinely-big case).
+      // The gate is count AND bytes: string ids make rows arbitrarily wide,
+      // so a sampled size estimate bounds driver heap, not just row count.
       val edges = e.limit((localEdgeThreshold + 1).toInt).collect()
-      if (edges.length <= localEdgeThreshold) {
+      def approxBytes(v: Any): Long = v match {
+        case s: String => 40L + 2L * s.length
+        case a: Array[Byte] => 24L + a.length
+        case _ => 16L
+      }
+      val sampleN = math.min(edges.length, 1024)
+      val avgRow = if (sampleN == 0) 0.0
+        else edges.iterator.take(sampleN)
+          .map(r => 32L + approxBytes(r.get(0)) + approxBytes(r.get(1))).sum.toDouble / sampleN
+      if (edges.length <= localEdgeThreshold && edges.length * avgRow <= maxLocalEdgeBytes) {
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x: Any): Any = {
           var r = x
@@ -551,8 +563,11 @@ object Dedup {
     *    ONE hash-set intersect, not two re-distincts plus an intersect;
     *  - `minJaccard` (pass the caller's threshold) gates on set sizes
     *    first: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes
-    *    are off by more than the threshold ratio emits 0.0 without running
-    *    the O(n) intersect at all.
+    *    are off by more than the threshold ratio emits NULL (meaning "not
+    *    computed, provably < minJaccard") without running the O(n)
+    *    intersect at all. Callers thresholding with `jaccard >= t` drop
+    *    those rows either way; NULL (not 0.0) keeps the score column
+    *    honest for callers that read it directly.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, minJaccard: Double = 0.0): DataFrame = {
@@ -569,7 +584,8 @@ object Dedup {
       when(union === 0, lit(0.0)).otherwise(inter / union)
     }
     val gated = if (minJaccard <= 0) exact
-      else when(na >= nb * minJaccard && nb >= na * minJaccard, exact).otherwise(lit(0.0))
+      else when(na >= nb * minJaccard && nb >= na * minJaccard, exact)
+        .otherwise(lit(null).cast("double"))
     joined.withColumn("jaccard", gated).drop("__shA", "__shB")
   }
 

@@ -77,7 +77,7 @@ object Mix {
     * the boundary score for a deterministic result (an id, a digest).
     */
   def budgetSelect(df: DataFrame, score: Column, size: Column, budget: Long,
-      tie: Column): DataFrame = {
+      tie: Column, maxDistinctScores: Long = 1L << 20): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val out = df.columns
     for (c <- Seq("__score", "__size", "__cum"))
@@ -90,12 +90,22 @@ object Mix {
     // selection predicates exclude them for free.
     val scored = df.withColumn("__score", score.cast("double"))
       .withColumn("__size", size.cast("long"))
+    // the quantization contract enforced, not just documented: an
+    // unquantized double score would turn the codebook collect into a
+    // corpus-sized driver OOM. orderBy+limit compiles to
+    // TakeOrderedAndProject, so the driver never holds more than
+    // maxDistinctScores+1 rows even on a pathological input — overflow
+    // fails fast instead of collecting the corpus.
     val totals = scored.groupBy("__score").agg(sum("__size").as("__tot"))
-      .orderBy(desc("__score")).collect()
-      .filterNot(_.isNullAt(0))
+      .orderBy(desc("__score")).limit((maxDistinctScores + 1).toInt).collect()
+    require(totals.length <= maxDistinctScores,
+      s"budgetSelect: more than $maxDistinctScores distinct scores — quantize " +
+        "the score expression (e.g. round(q, 4)) so the per-score codebook " +
+        "stays bounded driver state")
+    val totalsClean = totals.filterNot(_.isNullAt(0))
     var cum = 0L
     var boundary = Option.empty[(Double, Long)] // (boundary score, remaining)
-    for (r <- totals if boundary.isEmpty) {
+    for (r <- totalsClean if boundary.isEmpty) {
       // a group whose sizes are ALL null sums to null — contributes nothing
       val tot = if (r.isNullAt(1)) 0L else r.getLong(1)
       if (cum + tot > budget) boundary = Some((r.getDouble(0), budget - cum))

@@ -529,6 +529,12 @@ object BuiltinComponents {
     * template field), then a driver-side move pass that renames Spark's
     * task-attempt part files into template-expanded final paths. Content
     * is produced fully distributed; only the cheap renames are serial.
+    *
+    * All staging and renaming goes through Hadoop's FileSystem resolved
+    * from the PathString itself, so `s3a://`/`hdfs://`/`file:` templates
+    * work end-to-end on a multi-node cluster: executors write part files
+    * directly to a staging dir on the DESTINATION filesystem (never the
+    * driver's local disk) and the driver's move pass is same-FS renames.
     */
   val fileWriter: OutputDesc = OutputDesc(
     "FileWriter",
@@ -558,9 +564,22 @@ object BuiltinComponents {
         else None
 
       val hasField0 = pathString.contains("{{.Field0}}")
-      val tmp = new java.io.File(
-        java.nio.file.Files.createTempDirectory("graft-filewriter").toFile, "out")
-          .getAbsolutePath
+      // stage on the SAME FileSystem as the destination (s3a/hdfs/file),
+      // next to the template's static directory prefix: executors write
+      // straight to the target FS and the final moves are fs.rename()s.
+      val firstTpl = pathString.indexOf("{{")
+      val staticPrefix = if (firstTpl < 0) pathString else pathString.substring(0, firstTpl)
+      val cut = staticPrefix.lastIndexOf('/')
+      val baseDir = new Path(if (cut >= 0) staticPrefix.substring(0, cut + 1) else ".")
+      val hconf = ctx.spark.sparkContext.hadoopConfiguration
+      // the local FS is checksummed; move pass uses the raw FS so .crc
+      // sidecars never follow renamed files out of staging
+      val fs = baseDir.getFileSystem(hconf) match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
+      val staging = new Path(fs.makeQualified(baseDir),
+        s"_graft_staging_${java.util.UUID.randomUUID().toString}")
 
       var w = df
       if (hasField0) {
@@ -598,7 +617,7 @@ object BuiltinComponents {
       }
       codec.foreach(c => dfw = dfw.option("compression", c))
       if (hasField0) dfw = dfw.partitionBy("__part")
-      dfw.text(tmp)
+      dfw.text(staging.toString)
 
       // move task part files into template-expanded final paths
       val now = Instant.ofEpochMilli(System.currentTimeMillis()).atZone(ZoneOffset.UTC)
@@ -615,31 +634,36 @@ object BuiltinComponents {
         .replace("{{.Field0}}", field0)
 
       val discardEmpty = cfg.bool("DiscardEmptyFiles")
-      def partFiles(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).toSeq.flatten.flatMap {
-          case c if c.isDirectory => partFiles(c)
-          case c if c.getName.startsWith("part-") => Seq(c)
+      def partFiles(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(d).toSeq.flatMap {
+          case s if s.isDirectory => partFiles(s.getPath)
+          case s if s.getPath.getName.startsWith("part-") => Seq(s)
           case _ => Nil
         }
       val written = Seq.newBuilder[String]
-      val byDir = partFiles(new java.io.File(tmp)).groupBy(_.getParentFile.getName)
+      val byDir = partFiles(staging).groupBy(_.getPath.getParent.getName)
       val rows = obs.get("rows").asInstanceOf[Long]
       for ((dirName, files) <- byDir) {
         val field0 = if (dirName.startsWith("__part=")) dirName.stripPrefix("__part=") else ""
-        files.zipWithIndex.foreach { case (f, ix) =>
-          val skip = discardEmpty && f.length() == 0
+        files.sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, ix) =>
+          val skip = discardEmpty && st.getLen == 0
           if (!skip) {
-            val dest = new java.io.File(expand(pathString, ix, field0))
-            Option(dest.getParentFile).foreach(_.mkdirs())
+            val dest = fs.makeQualified(new Path(expand(pathString, ix, field0)))
+            Option(dest.getParent).foreach(fs.mkdirs)
             // rotation (maxRecordsPerFile) without {{.Rotation}}/{{.Index}}
             // in the template still collides; last write wins, as with the
             // reference's template misuse
-            java.nio.file.Files.move(f.toPath, dest.toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            written += dest.getAbsolutePath
+            if (fs.exists(dest)) fs.delete(dest, false)
+            require(fs.rename(st.getPath, dest),
+              s"FileWriter: rename ${st.getPath} -> $dest failed")
+            // keep plain absolute paths on the local FS (upload + callers
+            // expect them); full URIs only for remote schemes
+            written += (if (dest.toUri.getScheme == "file") dest.toUri.getPath
+                        else dest.toString)
           }
         }
       }
+      fs.delete(staging, true)
       OutputResult(written.result().distinct, rows)
     },
   )

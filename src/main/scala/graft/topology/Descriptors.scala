@@ -133,7 +133,13 @@ object ComponentConfig {
         s"$component: '$key' has an unknown size unit '$u' in '$s'")
     }
     require(num >= 0, s"$component: '$key' must be >= 0")
-    (num * mult).toLong
+    val bytes = num * mult
+    // reject rather than saturate: (num*mult).toLong clamps to
+    // Long.MaxValue, silently turning e.g. "20EB" into a "valid" size —
+    // the reference's go-humanize ParseBytes errors out ("too large")
+    if (bytes > Long.MaxValue.toDouble) throw new IllegalArgumentException(
+      s"$component: '$key' is too large for a byte size: '$s'")
+    bytes.toLong
   }
 
   def parseDuration(s: String): Long = s.trim match {

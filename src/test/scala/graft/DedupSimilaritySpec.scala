@@ -218,6 +218,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chainLocal.length == 200 && chainLocal.forall(_._2 == 0L))
   }
 
+  test("connectedComponents: distributed fallback at the edge-count/byte caps matches") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("idA", "idB")
+    // 199 edges > localEdgeThreshold=8 → count cap trips the fallback
+    val viaCountCap = Dedup.connectedComponents(chain, localEdgeThreshold = 8)
+      .as[(Long, Long)].collect()
+    assert(viaCountCap.length == 200 && viaCountCap.forall(_._2 == 0L))
+    // wide string ids under a tiny byte budget → byte cap trips the
+    // fallback even though the edge COUNT is under the threshold
+    val wide = (0 until 50).map(i => (f"${"x" * 2000}$i%03d", f"${"x" * 2000}${i + 1}%03d"))
+      .toDF("idA", "idB")
+    val viaByteCap = Dedup.connectedComponents(wide, maxLocalEdgeBytes = 10L << 10)
+      .as[(String, String)].collect()
+    val viaLocal = Dedup.connectedComponents(wide).as[(String, String)].collect()
+    assert(viaByteCap.length == 51 && viaByteCap.sorted.sameElements(viaLocal.sorted))
+    assert(viaByteCap.forall(_._2 == "x" * 2000 + "000"))
+  }
+
   test("minhashDedupCC kills middleman-linked docs that single-pass keeps") {
     import spark.implicits._
     val kept = Dedup.minhashDedupCC(docs, "doc_id", "text", threshold = 0.5)

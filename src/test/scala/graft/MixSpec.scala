@@ -94,4 +94,19 @@ class MixSpec extends SparkSpec {
       assert(got == naive, s"trial $trial budget=$budget")
     }
   }
+
+  test("budgetSelect fails fast past the distinct-score cap") {
+    import spark.implicits._
+    // 100 distinct unquantized scores; a cap of 10 must reject rather than
+    // collect an unbounded codebook (driver holds at most cap+1 rows)
+    val df = spark.range(100).select(col("id"),
+      (col("id") / 7.000001).as("score"), lit(1L).as("sz"))
+    val e = intercept[IllegalArgumentException](
+      Mix.budgetSelect(df, col("score"), col("sz"), 50L, col("id"),
+        maxDistinctScores = 10))
+    assert(e.getMessage.contains("quantize"))
+    // at-or-under the cap still works
+    assert(Mix.budgetSelect(df, col("score"), col("sz"), 50L, col("id"),
+      maxDistinctScores = 100).count() == 50L)
+  }
 }

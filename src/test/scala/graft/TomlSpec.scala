@@ -108,6 +108,10 @@ class TomlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](sz(-1L))
     // unitless integer strings must not round-trip through Double
     assert(sz("9007199254740993") == 9007199254740993L)
+    // overflow errors out ("too large", as go-humanize) instead of
+    // silently saturating to Long.MaxValue
+    assertThrows[IllegalArgumentException](sz("9999 PiB"))
+    assertThrows[IllegalArgumentException](sz("99999999999999999999"))
   }
 
   test("a nested [output.fields] table fails loudly instead of writing all fields") {

@@ -68,6 +68,37 @@ class TopologySpec extends SparkSpec {
     assert(metrics.get("output_records").contains(2L))
   }
 
+  test("FileWriter writes through a scheme-qualified Hadoop FileSystem path") {
+    val dir = tmpDir()
+    writeGzip(new File(dir, "in.csv.gz"),
+      "1,Brand A,spicy,,US,4.5,10\n2,Brand B,mild,cup,JP,3.0,2\n3,Brand C,hot,pack,US,5.0,3\n")
+    val toml =
+      s"""[fields]
+         |names = ["review_num", "brand", "variety", "style", "country", "stars", "top_ten"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv.gz"]
+         |[output]
+         |name = "FileWriter"
+         |fields = ["country"]
+         |  [output.config]
+         |  PathString = "file:$dir/hfs/{{.Field0}}/part-{{.Index}}.csv"
+         |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml).run()
+    // the move pass runs on Hadoop's FileSystem (file: scheme here), not
+    // java.io — returned paths are plain absolute local paths either way
+    assert(result.paths.forall(p => p.startsWith("/") && p.contains("/hfs/")))
+    val byCountry = result.paths.groupBy(p => new File(p).getParentFile.getName)
+    assert(byCountry.keySet == Set("US", "JP"))
+    assert(readAllLines(result.paths).sorted == Seq(
+      "1,Brand A,spicy,,US,4.5,10",
+      "2,Brand B,mild,cup,JP,3.0,2",
+      "3,Brand C,hot,pack,US,5.0,3"))
+    // staging dir cleaned up
+    assert(!new File(dir, "hfs").listFiles().exists(_.getName.startsWith("_graft_staging")))
+  }
+
   test("advanced: zstd input + ClauseFilter + \\x1e separator [advanced_csv_example_0x1e]") {
     val dir = tmpDir()
     val sep = "\u001e"
