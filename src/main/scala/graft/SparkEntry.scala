@@ -243,10 +243,20 @@ object SparkEntry {
         .select("l_returnflag", "l_linestatus")
         .orderBy("l_returnflag", "l_linestatus")),
 
-    "q_expand_json" -> ((s, d) =>
-      Filters.ExpandJSON("props", Map("k" -> "k_val"))(t(s, d, "events"))
-        .select("event_id", "k_val")
-        .orderBy("event_id")),
+    "q_expand_json" -> ((s, d) => {
+      // two extractions: the plain dotted path stays on the codegen'd
+      // get_json_object fast path; the second column is built JSON probed
+      // with the wider JMESPath grammar (slice → pipe → join(), negative
+      // index) through the Jackson walker — both stated exactly in SQL
+      val ev = t(s, d, "events").withColumn("j2",
+        to_json(struct(array(col("event_type"), col("user_id").cast("string")).as("tags"))))
+      Filters.ExpandJSON("j2", Map(
+        "tags[0:2] | join('-', [*])" -> "joined",
+        "tags[-1]" -> "last_tag"))(
+        Filters.ExpandJSON("props", Map("k" -> "k_val"))(ev))
+        .select("event_id", "k_val", "joined", "last_tag")
+        .orderBy("event_id")
+    }),
 
     "q_expand_list" -> ((s, d) =>
       Filters.ExpandList("text", Map(0 -> "f0", 2 -> "f2"), " ")(t(s, d, "documents"))
@@ -933,8 +943,12 @@ object SparkEntry {
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
     "q_expand_json" ->
-      """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
-         ORDER BY event_id""",
+      // the JMESPath "tags[0:2] | join('-', [*])" over {"tags":[type,uid]}
+      // is exactly type-dash-uid; "tags[-1]" is the uid
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val,
+                event_type || '-' || CAST(user_id AS VARCHAR) AS joined,
+                CAST(user_id AS VARCHAR) AS last_tag
+         FROM events ORDER BY event_id""",
     "q_expand_list" ->
       """SELECT doc_id, split_part(text, ' ', 1) AS f0, split_part(text, ' ', 3) AS f2
          FROM documents ORDER BY doc_id""",

@@ -196,16 +196,41 @@ object Dedup {
     * `pieces` is the selectivity dial (the multi-piece table construction
     * of Manku et al. 2007): pieces=1 joins on single wide chunks; pieces=2
     * emits C(chunks, 2) combination keys per doc — more explode rows, but
-    * each key carries ~2× the bits, so on corpora with near-independent
-    * signature bits the bucket collisions (the real cost: the candidate
-    * join is where simhash melts at scale) drop by orders of magnitude.
-    * Same hamming-radius recall guarantee either way. Measured caveat: the
-    * synthetic fixture's shared vocabulary correlates chunk agreements so
-    * strongly that pieces=2 produced the IDENTICAL candidate set there —
-    * the dial matters on real text, not on that fixture.
+    * each key carries ~2× the bits. The candidate SET is identical for any
+    * pieces (it is defined by the hamming radius, which the bit_count
+    * filter applies exactly); what the dial changes is the COLLISION
+    * volume the join must reject — on corpora with near-independent
+    * signature bits (DedupSimilaritySpec's hash-mixed-vocabulary fixture)
+    * pieces=2 shrinks collisions by an order of magnitude, while on the
+    * driver's shared-template corpus the chunk agreements are so
+    * correlated the volume barely moves.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, nBits: Int = 32,
-      maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1,
+      minSizeRatio: Double = 0.0, sizeNgram: Int = 3): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, nBits, maxHamming, pieces,
+      minSizeRatio, sizeNgram)
+    val sizeCols = if (minSizeRatio <= 0) Nil else Seq(col("__n"))
+    val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
+    val a = pruned.select(col("bk") +: col("__id").as("idA") +: col("simhash").as("shA") +:
+      sizeCols.map(_.as("nA")): _*)
+    val b = pruned.select(col("bk").as("bk2") +: col("__id").as("idB") +:
+      col("simhash").as("shB") +: sizeCols.map(_.as("nB")): _*)
+    val sizeGate = if (minSizeRatio <= 0) lit(true)
+      else col("nA") >= col("nB") * minSizeRatio && col("nB") >= col("nA") * minSizeRatio
+    a.join(b, col("bk") === col("bk2") && col("idA") < col("idB") && sizeGate)
+      .select(col("idA"), col("idB"),
+        bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
+  }
+
+  /** The banded (bucket-keyed) signature table behind [[simhashPairs]] —
+    * package-visible so specs can measure collision volume per `pieces`.
+    */
+  private[graft] def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int, maxHamming: Int, pieces: Int,
+      minSizeRatio: Double = 0.0, sizeNgram: Int = 3): DataFrame = {
     require(pieces >= 1, s"pieces must be >= 1: $pieces")
     val chunks = maxHamming + pieces
     require(chunks <= nBits, s"maxHamming+pieces=$chunks exceeds signature width $nBits")
@@ -216,8 +241,21 @@ object Dedup {
     val widths = (0 until chunks).map(c => base + (if (c < nBits % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     // same reuse-point trick as minhashPairs: one exchange of (id, long)
-    // rows materializes the signatures once for both self-join sides
-    val sig = simhash(df, idCol, textCol, nBits).select(col(idCol).as("__id"), col("simhash"))
+    // rows materializes the signatures once for both self-join sides.
+    // minSizeRatio > 0 (exact pre-gate for jaccard-thresholded callers:
+    // jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so ratio < threshold can never
+    // reach it) adds ONE scalar per row — the distinct-shingle-set size —
+    // and prunes collision rows inside the join, before the hamming
+    // filter, dedup exchange, and any downstream array-carrying verify.
+    val withSize =
+      if (minSizeRatio <= 0) simhash(df, idCol, textCol, nBits)
+      else df.select(col(idCol),
+        graft.functions.HashExpressions.simhash(
+          TextFunctions.tokens(col(textCol)), nBits).as("simhash"),
+        size(array_distinct(transform(TextFunctions.shingles(col(textCol), sizeNgram),
+          g => xxhash64(g)))).cast("double").as("__n"))
+    val sizeCols = if (minSizeRatio <= 0) Nil else Seq(col("__n"))
+    val sig = withSize.select(col(idCol).as("__id") +: col("simhash") +: sizeCols: _*)
       .repartition(col("__id"))
     def chunkVal(c: Int): Column = {
       // width 64 (nBits=64, maxHamming=0): (1L<<64)-1 wraps to 0 under
@@ -227,19 +265,16 @@ object Dedup {
       shiftright(col("simhash"), offsets(c)).bitwiseAND(mask)
     }
     val combos = (0 until chunks).combinations(pieces).toSeq
-    val banded = sig.select(col("__id"), col("simhash"),
+    // bucket key: the combo id + its chunk values folded into ONE long via
+    // xxhash64 — a primitive equi-join key that stays inside whole-stage
+    // codegen, instead of a struct<int, array<long>> whose array equality
+    // falls off the codegen'd hash-join path. Equal real keys hash equal
+    // (recall preserved); a 64-bit hash collision only ADDS a candidate
+    // row, which the exact bit_count filter rejects — precision intact.
+    sig.select(col("__id") +: col("simhash") +:
       explode(array(combos.zipWithIndex.map { case (ix, cid) =>
-        struct(lit(cid).as("chunk"),
-          array(ix.map(chunkVal): _*).as("ck")).as("k")
-      }: _*)).as("bk"))
-    val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
-    val a = pruned.select(col("bk"), col("__id").as("idA"), col("simhash").as("shA"))
-    val b = pruned.select(col("bk").as("bk2"), col("__id").as("idB"), col("simhash").as("shB"))
-    a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
+        xxhash64(lit(cid) +: ix.map(chunkVal): _*)
+      }: _*)).as("bk") +: sizeCols: _*)
   }
 
   /** SimHash near-dup pairs with exact verification: the pigeonhole-banded
@@ -254,7 +289,10 @@ object Dedup {
       threshold: Double = 0.7, nBits: Int = 32, maxHamming: Int = 3, ngram: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1): DataFrame =
     verifyJaccard(
-        simhashPairs(df, idCol, textCol, nBits, maxHamming, maxBucketSize, pieces)
+        // the size-ratio pre-gate (exact at `threshold`) prunes candidates
+        // with scalars before the array-carrying verify join sees them
+        simhashPairs(df, idCol, textCol, nBits, maxHamming, maxBucketSize, pieces,
+            minSizeRatio = threshold, sizeNgram = ngram)
           .select("idA", "idB"),
         df, idCol, textCol, ngram, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
@@ -571,15 +609,24 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    // repartition makes the shingle scan a reuse point (ReusedExchange):
+    // the tokenize+hash+distinct pass over the corpus runs ONCE for both
+    // join sides instead of once per side. Arrays are sorted ONCE per
+    // document here so the per-pair intersection below is an
+    // allocation-free codegen'd merge walk, not a per-row hash set
+    // (`array_intersect`) — the per-pair work is what multiplies by the
+    // candidate count.
     val sh = docs.select(col(idCol).as("__vid"),
-      array_distinct(transform(TextFunctions.shingles(col(textCol), ngram),
-        g => xxhash64(g))).as("__sh"))
+      array_sort(array_distinct(transform(TextFunctions.shingles(col(textCol), ngram),
+        g => xxhash64(g)))).as("__sh"))
+      .repartition(col("__vid"))
     val joined = pairs
       .join(sh.withColumnRenamed("__vid", "idA").withColumnRenamed("__sh", "__shA"), Seq("idA"))
       .join(sh.withColumnRenamed("__vid", "idB").withColumnRenamed("__sh", "__shB"), Seq("idB"))
     val (na, nb) = (size(col("__shA")).cast("double"), size(col("__shB")).cast("double"))
     val exact = {
-      val inter = size(array_intersect(col("__shA"), col("__shB"))).cast("double")
+      val inter = graft.functions.SortedIntersectCount(col("__shA"), col("__shB"))
+        .cast("double")
       val union = na + nb - inter
       when(union === 0, lit(0.0)).otherwise(inter / union)
     }

@@ -98,8 +98,13 @@ object Filters {
   }
 
   /** ExpandJSON — extract JSON paths from a source field into fields.
-    * Mappings are `jsonPath -> dstField` with dotted/indexed paths (the
-    * JMESPath subset that covers every shipped use).
+    * Mappings are `jsonPath -> dstField` with JMESPath paths: dotted /
+    * indexed segments (every shipped reference use), plus pipes
+    * (`a.b | [0]`), slices (`[1:3]`, `[::2]`), list projections (`[*]`),
+    * and the `join('sep', expr)` function from go-jmespath's wider
+    * grammar. Advanced constructs route through the Jackson walker even
+    * in the default codegen mode (get_json_object can't express them);
+    * plain dotted/indexed paths stay on the codegen'd fast path.
     *
     * Number semantics: the default (codegen) path uses `get_json_object`,
     * which preserves big integers verbatim but normalizes decimals through
@@ -118,7 +123,7 @@ object Filters {
   ) extends Transform {
     def apply(df: DataFrame): DataFrame = {
       val (t, f) = trueFalseValues
-      if (!verbatimNumbers) {
+      if (!verbatimNumbers && !mappings.keys.exists(ExpandJSON.isAdvancedPath)) {
         df.withColumns(mappings.map { case (path, dst) =>
           // root-array paths ([0].name) attach to $ without a dot
           val jp = if (path.startsWith("$")) path
@@ -149,24 +154,138 @@ object Filters {
         // default node factory strips trailing zeros from BigDecimals
         .setNodeFactory(new com.fasterxml.jackson.databind.node.JsonNodeFactory(true))
 
-    /** Walk `a.b[2].c`-style paths (leading `$.` optional; a root-array
-      * path like `[0].name` — expand_json_test.go "more complex JMESPath
-      * expression" — starts with a bare index).
+    /** Paths needing the Jackson evaluator: pipes, slices/projections,
+      * function calls. Plain `a.b[2].c` stays on get_json_object.
       */
-    private def walk(root: JsonNode, path: String): JsonNode = {
-      val norm = path.stripPrefix("$").stripPrefix(".")
-      var node = root
-      for (seg <- norm.split("\\.") if node != null && seg.nonEmpty) {
-        val m = "^([^\\[\\]]*)((\\[\\d+\\])*)$".r.findFirstMatchIn(seg)
-        m match {
-          case Some(g) =>
-            if (g.group(1).nonEmpty) node = node.get(g.group(1))
-            for (ix <- "\\[(\\d+)\\]".r.findAllMatchIn(g.group(2)))
-              if (node != null) node = node.get(ix.group(1).toInt)
-          case None => node = null
-        }
+    private[operators] def isAdvancedPath(p: String): Boolean =
+      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*')
+
+    /** Evaluate a JMESPath expression: `a.b[2].c` walks (leading `$.`
+      * optional; root-array paths like `[0].name` — expand_json_test.go
+      * "more complex JMESPath expression" — start with a bare index),
+      * `|` pipes stages, `[start:stop:step]` slices, `[*]` projects, and
+      * `join('sep', expr)` joins a string array. Slices/`[*]` open a
+      * projection (later segments map over elements, nulls dropped) that
+      * a pipe stops, per the JMESPath spec. Unsupported syntax → null,
+      * like the reference's compile-error path (expand_json.go:80-84).
+      */
+    private def eval(root: JsonNode, path: String): JsonNode =
+      try splitPipes(path).foldLeft(root)((n, stage) => evalStage(n, stage.trim))
+      catch { case _: Exception => null }
+
+    // split on top-level '|' (not inside quotes/brackets/parens)
+    private def splitPipes(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var quote = false; var start = 0
+      for (i <- s.indices) s(i) match {
+        case '\'' => quote = !quote
+        case '[' | '(' if !quote => depth += 1
+        case ']' | ')' if !quote => depth -= 1
+        case '|' if !quote && depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
       }
-      node
+      out += s.substring(start)
+      out.result()
+    }
+
+    private val joinRe = """^join\(\s*'((?:[^'])*)'\s*,\s*(.+)\)$""".r
+
+    private def evalStage(node: JsonNode, stage: String): JsonNode = stage match {
+      case null => null
+      case _ if node == null => null
+      case joinRe(sep, inner) =>
+        // the argument expression may itself contain pipes
+        splitPipes(inner).foldLeft(node)((n, s) => evalStage(n, s.trim)) match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            val parts = (0 until a.size).map(a.get)
+            if (parts.forall(_.isTextual))
+              mapper.getNodeFactory.textNode(parts.map(_.asText()).mkString(sep))
+            else null // join() is defined on string arrays only
+          case _ => null
+        }
+      case _ => walkSegments(node, stage.stripPrefix("$").stripPrefix("."))
+    }
+
+    private val sliceRe = """^(-?\d*)\:(-?\d*)(?:\:(-?\d*))?$""".r
+
+    private def walkSegments(root: JsonNode, expr: String): JsonNode = {
+      // tokenize into identifiers and bracket ops, then fold with
+      // projection state: project=true means `nodes` are the elements of
+      // an open projection and each token maps over them
+      var nodes: Vector[JsonNode] = Vector(root)
+      var project = false
+      def mapStep(f: JsonNode => Iterator[JsonNode]): Unit =
+        nodes = nodes.iterator.flatMap(n => if (n == null) Iterator.empty else f(n))
+          .filter(_ != null).toVector
+      for (tok <- tokenize(expr)) tok match {
+        case Ident(name) =>
+          if (project) mapStep(n => Iterator(n.get(name)))
+          else nodes = nodes.map(n => if (n == null) null else n.get(name))
+        case Index(i) =>
+          def at(n: JsonNode): JsonNode =
+            if (!n.isArray) null else n.get(if (i < 0) n.size + i else i)
+          if (project) mapStep(n => Iterator(at(n)))
+          else nodes = nodes.map(n => if (n == null) null else at(n))
+        case Star =>
+          mapStep(n => if (n.isArray) (0 until n.size).iterator.map(n.get)
+            else Iterator.empty)
+          project = true
+        case Slice(a, b, st) =>
+          mapStep { n =>
+            if (!n.isArray) Iterator.empty
+            else {
+              val len = n.size
+              val step = st.getOrElse(1)
+              if (step == 0) throw new IllegalArgumentException("step 0")
+              def clamp(v: Int): Int = math.max(if (v < 0) len + v else v, if (step > 0) 0 else -1)
+              val from = a.map(clamp).getOrElse(if (step > 0) 0 else len - 1)
+              val until = b.map(clamp).getOrElse(if (step > 0) len else -1)
+              Range(math.min(from, if (step > 0) len else len - 1), until, step)
+                .iterator.filter(i => i >= 0 && i < len).map(n.get)
+            }
+          }
+          project = true
+      }
+      if (project) {
+        val arr = mapper.createArrayNode()
+        nodes.foreach(arr.add)
+        arr
+      } else nodes.headOption.orNull
+    }
+
+    private sealed trait Tok
+    private final case class Ident(name: String) extends Tok
+    private final case class Index(i: Int) extends Tok
+    private final case class Slice(from: Option[Int], until: Option[Int], step: Option[Int])
+      extends Tok
+    private case object Star extends Tok
+
+    private def tokenize(expr: String): Seq[Tok] = {
+      val out = Seq.newBuilder[Tok]
+      var i = 0
+      while (i < expr.length) expr(i) match {
+        case '.' => i += 1
+        case '[' =>
+          val close = expr.indexOf(']', i)
+          require(close > i, s"unclosed bracket in '$expr'")
+          val body = expr.substring(i + 1, close).trim
+          body match {
+            case "*" => out += Star
+            case sliceRe(a, b, c) =>
+              def opt(s: String) = Option(s).filter(_.nonEmpty).map(_.toInt)
+              out += Slice(opt(a), opt(b), opt(c))
+            case n => out += Index(n.toInt)
+          }
+          i = close + 1
+        case _ =>
+          val end = expr.indexWhere(c => c == '.' || c == '[', i)
+          val stop = if (end < 0) expr.length else end
+          val name = expr.substring(i, stop).trim
+          require(name.nonEmpty, s"empty segment in '$expr'")
+          out += Ident(name)
+          i = stop
+      }
+      out.result()
     }
 
     private def render(n: JsonNode): String =
@@ -185,7 +304,7 @@ object Filters {
         else {
           val root = try mapper.readTree(json) catch { case _: Exception => null }
           if (root == null) paths.map(_ => null: String)
-          else paths.map(p => render(walk(root, p)))
+          else paths.map(p => render(eval(root, p)))
         }
       }
       c => f(c)

@@ -197,6 +197,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhash pieces=2 strictly shrinks collision volume on independent-bit text") {
+    import spark.implicits._
+    // a de-correlated fixture: every doc draws its own tokens from a huge
+    // hash-mixed vocabulary, so signature bits are near-iid across docs —
+    // the regime where the Manku multi-piece dial pays. (The driver's
+    // shared-template corpus correlates chunk agreements, hiding the
+    // effect; this fixture exists precisely to validate the dial.)
+    val rnd = new scala.util.Random(90210)
+    val corpus = (0L until 400L).map { id =>
+      val toks = Seq.fill(30)(f"w${rnd.nextLong()}%016x")
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    def collisions(pieces: Int): Long = {
+      val banded = Dedup.simhashBanded(corpus, "doc_id", "text",
+        nBits = 32, maxHamming = 4, pieces = pieces)
+      val a = banded.select(col("bk"), col("__id").as("idA"))
+      val b = banded.select(col("bk").as("bk2"), col("__id").as("idB"))
+      a.join(b, col("bk") === col("bk2") && col("idA") < col("idB")).count()
+    }
+    val (c1, c2) = (collisions(1), collisions(2))
+    assert(c2 < c1, s"pieces=2 must shrink the candidate join: p1=$c1 p2=$c2")
+    assert(c2.toDouble / c1 < 0.5, s"expected a substantial shrink: p1=$c1 p2=$c2")
+    // and the radius-defined pair set is unchanged (pigeonhole recall)
+    def pairSet(p: Int) = Dedup.simhashPairs(corpus, "doc_id", "text",
+        nBits = 32, maxHamming = 4, pieces = p)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(1) == pairSet(2))
+  }
+
   test("connectedComponents: transitive clusters, min-id labels, chains") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and 3-3 self-pair noise

@@ -48,6 +48,40 @@ class DynamoStatsSpec extends SparkSpec {
     assert(result.rows <= 60 && result.rows >= 40)
   }
 
+  test("DynamoDB Client seam: aws without the SDK fails fast; bogus rejected") {
+    def toml(clientLine: String) =
+      s"""[fields]
+         |names = ["pk", "v"]
+         |[input]
+         |name = "LogLines"
+         |  [input.config]
+         |  Lines = ["k1,1"]
+         |[output]
+         |name = "DynamoDB"
+         |fields = ["pk", "v"]
+         |  [output.config]
+         |  Table = "t1"
+         |  Columns = ["s:pk", "n:v"]
+         |$clientLine
+         |""".stripMargin
+    // same descriptor, Client="aws": the reflective SDK load fails with an
+    // instructive error in this SDK-less build (executor errors surface
+    // wrapped in SparkException)
+    val e = intercept[Exception](
+      Topology.compileToml(spark, toml("""  Client = "aws""""), env = Map.empty).run())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("AWS SDK v2")), messages(e).mkString(" | "))
+    // unknown client kind is rejected before any work runs
+    val e2 = intercept[Exception](
+      Topology.compileToml(spark, toml("""  Client = "bogus""""), env = Map.empty).run())
+    assert(messages(e2).exists(_.contains("local")), messages(e2).mkString(" | "))
+    // local without LocalDir is rejected
+    val e3 = intercept[Exception](
+      Topology.compileToml(spark, toml(""), env = Map.empty).run())
+    assert(messages(e3).exists(_.contains("LocalDir")), messages(e3).mkString(" | "))
+  }
+
   test("StatsDumper emits the reference-format line for batch topologies") {
     val dumper = new StatsDumper(quiet = true).attach(spark)
     try {

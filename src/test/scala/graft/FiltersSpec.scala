@@ -120,6 +120,35 @@ class FiltersSpec extends SparkSpec {
     assert(out.filter(col("n_out").isNull).count() == 1) // bad json → nulls, row kept
   }
 
+  test("ExpandJSON JMESPath pipes, slices, projections, join()") {
+    val json =
+      """{"people":[{"first":"James","last":"d"},{"first":"Jacob","last":"e"},
+        |{"first":"Jayden","last":"f"},{"missing":"different"}],
+        |"tags":["a","b","c","d","e"]}""".stripMargin.replace("\n", "")
+    val df = strDf(Seq("j"), Seq(Seq(json)))
+    val out = ExpandJSON("j", Map(
+      "people[*].first" -> "firsts",          // list projection
+      "people[:2].first" -> "first2",         // slice projection
+      "people[*].first | [0]" -> "piped",     // pipe stops the projection
+      "tags[1:4]" -> "midtags",               // plain slice
+      "tags[::2]" -> "evens",                 // stepped slice
+      "tags[-1]" -> "lasttag",                // negative index
+      "join(', ', people[*].first)" -> "joined", // function
+      "join(', ', people[*].last | [0])" -> "badjoin", // join on non-array → null
+      "people[*].first | [0] | [0]" -> "overpipe"))(df) // index into a string → null
+      .head()
+    def g(n: String) = out.getString(out.fieldIndex(n))
+    assert(g("firsts") == """["James","Jacob","Jayden"]""")
+    assert(g("first2") == """["James","Jacob"]""")
+    assert(g("piped") == "James")
+    assert(g("midtags") == """["b","c","d"]""")
+    assert(g("evens") == """["a","c","e"]""")
+    assert(g("lasttag") == "e")
+    assert(g("joined") == "James, Jacob, Jayden")
+    assert(g("badjoin") == null)
+    assert(g("overpipe") == null)
+  }
+
   test("ExternalMatch default drops matches; keepOnMatch keeps only them") {
     val df = strDf(Seq("a"), Seq(Seq("x"), Seq("y"), Seq("z")))
     val set = strDf(Seq("v"), Seq(Seq("x"), Seq("y")))
