@@ -77,7 +77,7 @@ object Mix {
     * the boundary score for a deterministic result (an id, a digest).
     */
   def budgetSelect(df: DataFrame, score: Column, size: Column, budget: Long,
-      tie: Column, maxDistinctScores: Long = 1L << 20): DataFrame = {
+      tie: Column, maxDistinctScores: Long = 1L << 17): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val out = df.columns
     for (c <- Seq("__score", "__size", "__cum"))
@@ -95,7 +95,10 @@ object Mix {
     // corpus-sized driver OOM. orderBy+limit compiles to
     // TakeOrderedAndProject, so the driver never holds more than
     // maxDistinctScores+1 rows even on a pathological input — overflow
-    // fails fast instead of collecting the corpus.
+    // fails fast instead of collecting the corpus. The default cap stays
+    // ≤ ~2^17: TakeOrdered's per-partition bounded priority queues are
+    // sized by k, and a measured k=2^20 adds ~0.5s to every call while
+    // k≤2^17 is free (round(q,4)-style quantization needs ~10^4).
     val totals = scored.groupBy("__score").agg(sum("__size").as("__tot"))
       .orderBy(desc("__score")).limit((maxDistinctScores + 1).toInt).collect()
     require(totals.length <= maxDistinctScores,

@@ -26,12 +26,20 @@ class ZstdCodec extends CompressionCodec with Configurable {
   override def getConf: Configuration = conf
 
   private def level: Int = if (conf == null) 3 else conf.getInt("graft.zstd.level", 3)
+  // long-distance matching window (2^N bytes); 0 = off. Matches the
+  // reference FileWriter's ZstdWindowLog (output/filewriter.go:26-100).
+  private def windowLog: Int =
+    if (conf == null) 0 else conf.getInt("graft.zstd.windowLog", 0)
 
   override def getDefaultExtension: String = ".zst"
 
   override def createOutputStream(rawOut: OutputStream): CompressionOutputStream =
     new CompressionOutputStream(rawOut) {
-      private val z = new ZstdOutputStreamNoFinalizer(rawOut, level)
+      private val z = {
+        val s = new ZstdOutputStreamNoFinalizer(rawOut, level)
+        if (windowLog > 0) s.setLong(windowLog)
+        s
+      }
       private var finished = false
       override def write(b: Int): Unit = z.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit = z.write(b, off, len)
@@ -46,7 +54,10 @@ class ZstdCodec extends CompressionCodec with Configurable {
 
   override def createInputStream(rawIn: InputStream): CompressionInputStream =
     new CompressionInputStream(rawIn) {
-      private val z = new ZstdInputStreamNoFinalizer(rawIn).setContinuous(true)
+      // accept any window size on read: files written with long-distance
+      // matching (large window logs) would otherwise fail to decode
+      private val z = new ZstdInputStreamNoFinalizer(rawIn)
+        .setContinuous(true).setLongMax(31)
       override def read(): Int = z.read()
       override def read(b: Array[Byte], off: Int, len: Int): Int = z.read(b, off, len)
       override def resetState(): Unit = ()

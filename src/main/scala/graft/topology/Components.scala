@@ -550,7 +550,7 @@ object BuiltinComponents {
         default = Some(0L)),
       ConfigKey("DiscardEmptyFiles", "skip empty files", default = Some(false)),
       ConfigKey("ZstdCompressionLevel", "zstd level 1..19", default = Some(3L)),
-      ConfigKey("ZstdWindowLog", "zstd long-distance matching window (accepted, unused)",
+      ConfigKey("ZstdWindowLog", "zstd long-distance matching window log (2^N bytes, 0 = off)",
         default = Some(0L))),
     raw = true,
     (ctx, cfg, df) => {
@@ -558,6 +558,8 @@ object BuiltinComponents {
       val level = cfg.int("ZstdCompressionLevel", 3L).toInt
       ZstdCodec.register(ctx.spark)
       ctx.spark.sparkContext.hadoopConfiguration.setInt("graft.zstd.level", level)
+      ctx.spark.sparkContext.hadoopConfiguration.setInt("graft.zstd.windowLog",
+        cfg.int("ZstdWindowLog", 0L).toInt)
       val codec: Option[String] =
         if (pathString.endsWith(".gz")) Some("gzip")
         else if (pathString.endsWith(".zst")) Some(classOf[ZstdCodec].getName)

@@ -131,6 +131,28 @@ class TopologySpec extends SparkSpec {
       Seq("x", "s2", "value6").mkString(sep)))
   }
 
+  test("FileWriter ZstdWindowLog: long-distance-matching output reads back") {
+    val dir = tmpDir()
+    val rows = (1 to 500).map(i => s"$i,payload-$i")
+    Files.writeString(new File(dir, "in.csv").toPath, rows.mkString("", "\n", "\n"))
+    val toml =
+      s"""[fields]
+         |names = ["id", "p"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv"]
+         |[output]
+         |name = "FileWriter"
+         |procs = 1
+         |  [output.config]
+         |  PathString = "$dir/out/long.csv.zst"
+         |  ZstdWindowLog = 20
+         |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml).run()
+    assert(readAllLines(result.paths).sorted == rows.sorted)
+  }
+
   test("validation: failing rows dropped; dont_validate_fields disables") {
     val dir = tmpDir()
     Files.writeString(new File(dir, "in.csv").toPath, "ab,1\ncd,x\nef,2\n")
