@@ -798,20 +798,44 @@ object BuiltinComponents {
         else s"s3a://$bucket"
       val conf = ctx.spark.sparkContext.hadoopConfiguration
       val exitOnError = cfg.bool("ExitOnError")
-      for (p <- paths) {
-        try {
-          val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
-          val rel =
-            if (abs.startsWith(base)) base.relativize(abs).toString else abs.getFileName.toString
-          val dest = new Path(s"$destRoot/$prefix$rel".replaceAll("(?<!:)//+", "/"))
-          val fs = dest.getFileSystem(conf)
-          fs.mkdirs(dest.getParent)
-          fs.copyFromLocalFile(false, true, new Path(p), dest)
-        } catch {
-          case e: Exception if !exitOnError =>
-            org.apache.log4j.Logger.getLogger("graft.upload")
-              .warn(s"upload failed for $p: ${e.getMessage}")
+      val retries = cfg.int("Retries", 3L).toInt.max(0)
+      val concurrency = cfg.int("Concurrency", 5L).toInt.max(1)
+      // the reference uploads through a worker pool with per-file retries
+      // (upload/s3.go:22-53); same shape here — a fixed pool fed by the
+      // finished-file list, exponential backoff per attempt
+      def uploadOne(p: String): Unit = {
+        val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+        val rel =
+          if (abs.startsWith(base)) base.relativize(abs).toString else abs.getFileName.toString
+        val dest = new Path(s"$destRoot/$prefix$rel".replaceAll("(?<!:)//+", "/"))
+        val fs = dest.getFileSystem(conf)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            fs.mkdirs(dest.getParent)
+            fs.copyFromLocalFile(false, true, new Path(p), dest)
+            done = true
+          } catch {
+            case e: Exception if attempt < retries =>
+              attempt += 1
+              Thread.sleep(50L << attempt)
+            case e: Exception if !exitOnError =>
+              org.apache.log4j.Logger.getLogger("graft.upload")
+                .warn(s"upload failed for $p after $attempt retries: ${e.getMessage}")
+              done = true
+          }
         }
+      }
+      if (paths.sizeIs <= 1 || concurrency == 1) paths.foreach(uploadOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+        try {
+          val futures = paths.map(p =>
+            pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = uploadOne(p) }))
+          // surface the first failure (ExitOnError=true propagates here)
+          futures.foreach(_.get())
+        } finally pool.shutdown()
       }
     },
   )

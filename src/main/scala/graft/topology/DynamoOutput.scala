@@ -61,75 +61,44 @@ object DynamoOutput {
   }
 
   /** Real DynamoDB BatchWriteItem via the AWS SDK v2, loaded reflectively
-    * (reference: output/dyndb.go:366-390). One client per region, created
-    * lazily on the executor. Unprocessed items are retried by resending
-    * the returned remainder, like the reference's backoff loop.
+    * through [[AwsReflect]] (reference: output/dyndb.go:366-390). One
+    * client per region, created lazily on the executor. Unprocessed items
+    * are retried by resending the returned remainder, like the reference's
+    * backoff loop.
     */
   final class AwsBatchWriter(maxRetries: Int = 3) extends BatchWriter {
     private val clients = scala.collection.mutable.HashMap.empty[String, AnyRef]
-
-    private def cls(n: String) =
-      try Class.forName(n)
-      catch {
-        case e: ClassNotFoundException => throw new IllegalStateException(
-          "DynamoDB Client=\"aws\" needs the AWS SDK v2 dynamodb jars on the " +
-            "classpath (software.amazon.awssdk:dynamodb); this build ships " +
-            "without them — use Client=\"local\" or add the SDK to the cluster", e)
-      }
-
-    private def client(region: String): AnyRef = clients.getOrElseUpdate(region, {
-      val regionCls = cls("software.amazon.awssdk.regions.Region")
-      val regionObj = regionCls.getMethod("of", classOf[String]).invoke(null, region)
-      val builder = cls("software.amazon.awssdk.services.dynamodb.DynamoDbClient")
-        .getMethod("builder").invoke(null)
-      builder.getClass.getMethod("region", regionCls).invoke(builder, regionObj)
-      builder.getClass.getMethod("build").invoke(builder).asInstanceOf[AnyRef]
-    })
-
-    private def attr(t: String, v: String): AnyRef = {
-      val b = cls("software.amazon.awssdk.services.dynamodb.model.AttributeValue")
-        .getMethod("builder").invoke(null)
-      val m = if (t == "n") "n" else "s"
-      b.getClass.getMethod(m, classOf[String]).invoke(b, v)
-      b.getClass.getMethod("build").invoke(b).asInstanceOf[AnyRef]
-    }
+    private def client(region: String): AnyRef = clients.getOrElseUpdate(region,
+      AwsReflect.client("software.amazon.awssdk.services.dynamodb.DynamoDbClient", region))
 
     def write(region: String, table: String, pid: Int, n: Int, items: Seq[Item]): Unit = {
       import scala.jdk.CollectionConverters._
-      val putReqCls = cls("software.amazon.awssdk.services.dynamodb.model.PutRequest")
-      val writeReqCls = cls("software.amazon.awssdk.services.dynamodb.model.WriteRequest")
-      val batchCls = cls("software.amazon.awssdk.services.dynamodb.model.BatchWriteItemRequest")
       def writeRequests(its: Seq[Item]): java.util.List[AnyRef] = its.map { item =>
-        val attrs: java.util.Map[String, AnyRef] =
-          item.map { case (name, t, v) => name -> attr(t, v) }.toMap.asJava
-        val pb = putReqCls.getMethod("builder").invoke(null)
-        pb.getClass.getMethod("item", classOf[java.util.Map[_, _]]).invoke(pb, attrs)
-        val put = pb.getClass.getMethod("build").invoke(pb)
-        val wb = writeReqCls.getMethod("builder").invoke(null)
-        wb.getClass.getMethod("putRequest", putReqCls).invoke(wb, put)
-        wb.getClass.getMethod("build").invoke(wb).asInstanceOf[AnyRef]
+        val attrs: java.util.Map[String, AnyRef] = item.map { case (name, t, v) =>
+          name -> AwsReflect.build(
+            "software.amazon.awssdk.services.dynamodb.model.AttributeValue",
+            (if (t == "n") "n" else "s") -> v)
+        }.toMap.asJava
+        AwsReflect.build("software.amazon.awssdk.services.dynamodb.model.WriteRequest",
+          "putRequest" -> AwsReflect.build(
+            "software.amazon.awssdk.services.dynamodb.model.PutRequest", "item" -> attrs))
       }.asJava
       var pending: java.util.Map[String, AnyRef] =
         Map(table -> (writeRequests(items): AnyRef)).asJava
       var attempt = 0
       while (!pending.isEmpty && attempt <= maxRetries) {
         if (attempt > 0) Thread.sleep(100L << attempt) // backoff (dyndb.go:383)
-        val rb = batchCls.getMethod("builder").invoke(null)
-        rb.getClass.getMethod("requestItems", classOf[java.util.Map[_, _]])
-          .invoke(rb, pending)
-        val req = rb.getClass.getMethod("build").invoke(rb)
-        val resp = client(region).getClass.getMethod("batchWriteItem", batchCls)
-          .invoke(client(region), req)
-        pending = resp.getClass.getMethod("unprocessedItems").invoke(resp)
+        val resp = AwsReflect.call(client(region), "batchWriteItem", AwsReflect.build(
+          "software.amazon.awssdk.services.dynamodb.model.BatchWriteItemRequest",
+          "requestItems" -> pending))
+        pending = AwsReflect.call(resp, "unprocessedItems")
           .asInstanceOf[java.util.Map[String, AnyRef]]
         attempt += 1
       }
       if (!pending.isEmpty) throw new IllegalStateException(
         s"DynamoDB: batch not fully written after $maxRetries retries")
     }
-    override def close(): Unit = clients.values.foreach { c =>
-      c.getClass.getMethod("close").invoke(c)
-    }
+    override def close(): Unit = clients.values.foreach(AwsReflect.close)
   }
 
   val desc: OutputDesc = OutputDesc(

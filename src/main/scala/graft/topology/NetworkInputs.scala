@@ -134,27 +134,90 @@ object NetworkInputs {
   // ===================== Kinesis =====================
 
   /** Kinesis — polls every shard of a stream (reference:
-    * input/kinesis.go:20-44, per-shard loop :106-185). Local double: the
-    * stream is a `file:///dir` whose files are shards (any name;
-    * gzip/zstd transparent); a batch build reads all of them
-    * (TRIM_HORIZON — the reference's LATEST is only meaningful for a
-    * daemon attached to a live stream).
+    * input/kinesis.go:20-44, per-shard loop :106-185).
+    *
+    * `Client = "local"` (default): the stream is a `file:///dir` whose
+    * files are shards (any name; gzip/zstd transparent); a batch build
+    * reads all of them (TRIM_HORIZON — the reference's LATEST is only
+    * meaningful for a daemon attached to a live stream). `Client = "aws"`:
+    * real ListShards + GetShardIterator(TRIM_HORIZON) + GetRecords drain
+    * through the reflectively-loaded SDK v2 ([[AwsReflect]]), each shard
+    * spooled to a local file and read identically.
     */
   val kinesisInput: InputDesc = {
+    // drain one real shard to a spool file: records are raw line bytes,
+    // appended in sequence order, exactly like the reference's per-shard
+    // loop (input/kinesis.go:106-185); stop when caught up
+    def awsShardFiles(cfg: ComponentConfig): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val stream = cfg.str("Stream")
+      val kin = AwsReflect.client(
+        "software.amazon.awssdk.services.kinesis.KinesisClient", cfg.str("AwsRegion", "us-west-2"))
+      try {
+        val shards = AwsReflect.call(
+          AwsReflect.call(kin, "listShards", AwsReflect.build(
+            "software.amazon.awssdk.services.kinesis.model.ListShardsRequest",
+            "streamName" -> stream)),
+          "shards").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+        require(shards.nonEmpty, s"Kinesis: stream $stream has no shards")
+        shards.map { shard =>
+          val shardId = AwsReflect.call(shard, "shardId").asInstanceOf[String]
+          val spool = Files.createTempFile(s"graft-kinesis-$shardId", ".log")
+          spool.toFile.deleteOnExit()
+          val out = Files.newOutputStream(spool)
+          try {
+            var it = AwsReflect.call(
+              AwsReflect.call(kin, "getShardIterator", AwsReflect.build(
+                "software.amazon.awssdk.services.kinesis.model.GetShardIteratorRequest",
+                "streamName" -> stream, "shardId" -> shardId,
+                "shardIteratorType" -> "TRIM_HORIZON")),
+              "shardIterator").asInstanceOf[String]
+            var caughtUp = false
+            while (!caughtUp && it != null) {
+              val resp = AwsReflect.call(kin, "getRecords", AwsReflect.build(
+                "software.amazon.awssdk.services.kinesis.model.GetRecordsRequest",
+                "shardIterator" -> it, "limit" -> Integer.valueOf(10000)))
+              val recs = AwsReflect.call(resp, "records")
+                .asInstanceOf[java.util.List[AnyRef]].asScala
+              recs.foreach { r =>
+                val bytes = AwsReflect.call(AwsReflect.call(r, "data"), "asByteArray")
+                  .asInstanceOf[Array[Byte]]
+                out.write(bytes)
+                if (bytes.isEmpty || bytes.last != '\n') out.write('\n')
+              }
+              val behind = AwsReflect.call(resp, "millisBehindLatest")
+                .asInstanceOf[java.lang.Long]
+              it = AwsReflect.call(resp, "nextShardIterator").asInstanceOf[String]
+              caughtUp = recs.isEmpty && (behind == null || behind <= 0L)
+            }
+          } finally out.close()
+          spool.toString
+        }
+      } finally AwsReflect.close(kin)
+    }
     def shardFiles(cfg: ComponentConfig): Seq[String] = {
-      val dir = localDir(cfg.str("Stream"), "Kinesis.Stream")
-      val files = Files.list(dir).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(_.toString).toSeq.sorted
-      require(files.nonEmpty, s"Kinesis: stream dir $dir has no shard files")
-      files
+      val clientKind = cfg.str("Client", "local").toLowerCase
+      require(clientKind == "local" || clientKind == "aws",
+        s"Kinesis: Client must be \"local\" or \"aws\", got '$clientKind'")
+      if (clientKind == "aws") awsShardFiles(cfg)
+      else {
+        val dir = localDir(cfg.str("Stream"), "Kinesis.Stream")
+        val files = Files.list(dir).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(_.toString).toSeq.sorted
+        require(files.nonEmpty, s"Kinesis: stream dir $dir has no shard files")
+        files
+      }
     }
     InputDesc(
       "Kinesis",
-      "Reads all shards of a Kinesis stream. Local double: Stream is a " +
-        "file:// directory of shard files.",
+      "Reads all shards of a Kinesis stream. Client=\"local\": Stream is a " +
+        "file:// directory of shard files; Client=\"aws\": real GetRecords " +
+        "drain via the AWS SDK v2 (loaded reflectively).",
       Seq(
         ConfigKey("AwsRegion", "AWS region to connect to", default = Some("us-west-2")),
         ConfigKey("Stream", "Stream name on Kinesis", required = true),
+        ConfigKey("Client", "\"local\" (file:// shard-dir double) or \"aws\" (real SDK)",
+          default = Some("local")),
         ConfigKey("IdleTime", "Time between polls of each shard", default = Some("100ms"))),
       (ctx, cfg) => readCsv(ctx, shardFiles(cfg)),
       buildRaw = Some((ctx, cfg) => readRaw(ctx, shardFiles(cfg))),
@@ -264,13 +327,65 @@ object NetworkInputs {
     *    jmespath join, sqs.go:66-68)
     *  - `json`: arbitrary JSON, path at MessageExpression (JMESPath subset)
     *
-    * Local double: each QueueNames entry is a `file://` directory whose
-    * files are message bodies; QueuePrefixes match sibling directories by
-    * prefix. Paths without a scheme get `Bucket` prefixed (reference
-    * behavior) — under the double that means `<Bucket>/<path>` as a local
-    * path. A batch build drains the queues once.
+    * `Client = "local"` (default): each QueueNames entry is a `file://`
+    * directory whose files are message bodies; QueuePrefixes match sibling
+    * directories by prefix. `Client = "aws"`: real SQS receive+delete
+    * through the reflectively-loaded AWS SDK v2 (see [[AwsReflect]]), with
+    * GetQueueUrl/ListQueues resolving the same QueueNames/QueuePrefixes
+    * keys, and `s3://` paths rewritten to `s3a://` for the Hadoop reader.
+    * Paths without a scheme get `Bucket` prefixed (reference behavior) —
+    * under the double that means `<Bucket>/<path>` as a local path. A
+    * batch build drains the queues once.
     */
   val sqsInput: InputDesc = {
+    // real SQS drain: resolve queue URLs, receive batches of 10 until a
+    // queue reports empty, delete consumed messages (input/sqs.go:25-52)
+    def awsBodies(cfg: ComponentConfig): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val region = cfg.str("AwsRegion", "us-west-2")
+      val sqs = AwsReflect.client(
+        "software.amazon.awssdk.services.sqs.SqsClient", region)
+      try {
+        val named = cfg.strList("QueueNames", Nil).map { n =>
+          AwsReflect.call(
+            AwsReflect.call(sqs, "getQueueUrl", AwsReflect.build(
+              "software.amazon.awssdk.services.sqs.model.GetQueueUrlRequest",
+              "queueName" -> n)),
+            "queueUrl").asInstanceOf[String]
+        }
+        val byPrefix = cfg.strList("QueuePrefixes", Nil).flatMap { pfx =>
+          AwsReflect.call(
+            AwsReflect.call(sqs, "listQueues", AwsReflect.build(
+              "software.amazon.awssdk.services.sqs.model.ListQueuesRequest",
+              "queueNamePrefix" -> pfx)),
+            "queueUrls").asInstanceOf[java.util.List[String]].asScala.toSeq
+        }
+        val urls = (named ++ byPrefix).distinct
+        require(urls.nonEmpty, "SQS: no queues resolved from QueueNames/QueuePrefixes")
+        val out = Seq.newBuilder[String]
+        for (url <- urls) {
+          var drained = false
+          while (!drained) {
+            val msgs = AwsReflect.call(
+              AwsReflect.call(sqs, "receiveMessage", AwsReflect.build(
+                "software.amazon.awssdk.services.sqs.model.ReceiveMessageRequest",
+                "queueUrl" -> url,
+                "maxNumberOfMessages" -> Integer.valueOf(10),
+                "waitTimeSeconds" -> Integer.valueOf(0))),
+              "messages").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+            if (msgs.isEmpty) drained = true
+            else msgs.foreach { m =>
+              out += AwsReflect.call(m, "body").asInstanceOf[String]
+              AwsReflect.call(sqs, "deleteMessage", AwsReflect.build(
+                "software.amazon.awssdk.services.sqs.model.DeleteMessageRequest",
+                "queueUrl" -> url,
+                "receiptHandle" -> AwsReflect.call(m, "receiptHandle")))
+            }
+          }
+        }
+        out.result()
+      } finally AwsReflect.close(sqs)
+    }
     def dataFiles(cfg: ComponentConfig): Seq[String] = {
       val format = cfg.str("MessageFormat", "sns").toLowerCase
       val expr = format match {
@@ -283,20 +398,31 @@ object NetworkInputs {
           e
         case other => throw new IllegalArgumentException(s"SQS: unknown MessageFormat '$other'")
       }
-      val queues: Seq[Path] = {
-        val named = cfg.strList("QueueNames", Nil).map(localDir(_, "SQS.QueueNames"))
-        val byPrefix = cfg.strList("QueuePrefixes", Nil).flatMap { pfx =>
-          val root = Paths.get(pfx.stripPrefix("file://"))
-          val (parent, stem) = (root.getParent, root.getFileName.toString)
-          require(parent != null && Files.isDirectory(parent),
-            s"SQS.QueuePrefixes: parent of '$pfx' is not a local directory")
-          Files.list(parent).iterator().asScala
-            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(stem))
-            .toSeq
+      val clientKind = cfg.str("Client", "local").toLowerCase
+      require(clientKind == "local" || clientKind == "aws",
+        s"SQS: Client must be \"local\" or \"aws\", got '$clientKind'")
+      val bodies: Seq[String] =
+        if (clientKind == "aws") awsBodies(cfg)
+        else {
+          val queues: Seq[Path] = {
+            val named = cfg.strList("QueueNames", Nil).map(localDir(_, "SQS.QueueNames"))
+            val byPrefix = cfg.strList("QueuePrefixes", Nil).flatMap { pfx =>
+              val root = Paths.get(pfx.stripPrefix("file://"))
+              val (parent, stem) = (root.getParent, root.getFileName.toString)
+              require(parent != null && Files.isDirectory(parent),
+                s"SQS.QueuePrefixes: parent of '$pfx' is not a local directory")
+              Files.list(parent).iterator().asScala
+                .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(stem))
+                .toSeq
+            }
+            named ++ byPrefix
+          }
+          require(queues.nonEmpty, "SQS: no queues resolved from QueueNames/QueuePrefixes")
+          for {
+            q <- queues
+            msg <- Files.list(q).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sorted
+          } yield Files.readString(msg, StandardCharsets.UTF_8)
         }
-        named ++ byPrefix
-      }
-      require(queues.nonEmpty, "SQS: no queues resolved from QueueNames/QueuePrefixes")
       val bucket = cfg.str("Bucket", "")
       val pathFilter = cfg.strOpt("FilePathFilter").map(_.r)
       def pathsOf(body: String): Seq[String] = format match {
@@ -309,15 +435,17 @@ object NetworkInputs {
         case _ => strOf(walk(mapper.readTree(body), expr)).map(_.trim).toSeq
       }
       val files = for {
-        q <- queues
-        msg <- Files.list(q).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sorted
-        body = Files.readString(msg, StandardCharsets.UTF_8)
+        body <- bodies
         p0 <- try pathsOf(body) catch { case _: Exception => Nil }
         if p0.nonEmpty
         p = if (p0.contains("://") || p0.startsWith("/") || bucket.isEmpty) p0
             else s"$bucket/$p0"
         if pathFilter.forall(_.findFirstIn(p).isDefined)
-      } yield p.stripPrefix("file://")
+      } yield
+        // Hadoop reads S3 through the s3a connector; the reference's
+        // messages (and Bucket config) name plain s3 URLs
+        if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://")
+        else p.stripPrefix("file://")
       require(files.nonEmpty, "SQS: no data files extracted from queue messages")
       files.distinct
     }
@@ -328,6 +456,8 @@ object NetworkInputs {
         "file:// directories of message-body files.",
       Seq(
         ConfigKey("AwsRegion", "AWS region to connect to", default = Some("us-west-2")),
+        ConfigKey("Client", "\"local\" (file:// queue-dir double) or \"aws\" (real SQS " +
+          "via the AWS SDK v2, loaded reflectively)", default = Some("local")),
         ConfigKey("Bucket", "S3 Bucket to use if paths do not have one", default = Some("")),
         ConfigKey("QueuePrefixes", "Prefixes of the names of the SQS queues to monitor"),
         ConfigKey("QueueNames", "Names of the SQS queues to monitor"),

@@ -82,6 +82,33 @@ class NetworkInputsSpec extends SparkSpec {
     assert(lines == Seq("a,1", "b,2", "c,3"))
   }
 
+  test("Client=\"aws\" seams fail fast without the SDK; bogus client rejected") {
+    val dir = tmpDir()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    def kinesisToml(client: String) =
+      s"""[input]
+         |name = "Kinesis"
+         |  [input.config]
+         |  Stream = "some-stream"
+         |  Client = "$client"
+         |""".stripMargin + fieldsAndOut(dir)
+    val e1 = intercept[Exception](runToml(kinesisToml("aws")))
+    assert(messages(e1).exists(_.contains("AWS SDK v2")), messages(e1).mkString(" | "))
+    val e2 = intercept[Exception](runToml(kinesisToml("bogus")))
+    assert(messages(e2).exists(_.contains("local")), messages(e2).mkString(" | "))
+    def sqsToml(client: String) =
+      s"""[input]
+         |name = "SQS"
+         |  [input.config]
+         |  QueueNames = ["some-queue"]
+         |  MessageFormat = "plain"
+         |  Client = "$client"
+         |""".stripMargin + fieldsAndOut(dir)
+    val e3 = intercept[Exception](runToml(sqsToml("aws")))
+    assert(messages(e3).exists(_.contains("AWS SDK v2")), messages(e3).mkString(" | "))
+  }
+
   test("KCL: TRIM_HORIZON reads all, restart reads only the delta") {
     val dir = tmpDir()
     val stream = new File(dir, "stream"); stream.mkdirs()

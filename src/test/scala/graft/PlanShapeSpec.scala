@@ -81,6 +81,21 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash signatures computed more than once:\n$p")
   }
 
+  test("simhash verify: primitive bucket key, merge-walk intersect, no per-pair hash sets") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(Dedup.simhashPairsVerified(docs, "doc_id", "text",
+      threshold = 0.7, maxHamming = 4))
+    // the candidate join keys on a single xxhash64 long, not a
+    // struct<int,array<long>> whose array equality exits codegen
+    assert(!p.contains("named_struct"), s"struct bucket key resurfaced:\n$p")
+    // exact scoring is the sorted merge walk, never array_intersect's
+    // per-pair hash set
+    assert(p.contains("sorted_intersect_count"), p)
+    assert(!p.contains("array_intersect"), s"per-pair hash-set intersect resurfaced:\n$p")
+    // the shingle scan feeds both verify sides through one exchange
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("clause predicates push into the parquet scan") {
     val p = plan(SparkEntry.queries("q_clause_filter")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull"), p)
