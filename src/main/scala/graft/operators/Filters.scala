@@ -158,16 +158,17 @@ object Filters {
       * function calls. Plain `a.b[2].c` stays on get_json_object.
       */
     private[operators] def isAdvancedPath(p: String): Boolean =
-      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*')
+      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*') || p.contains("[]")
 
     /** Evaluate a JMESPath expression: `a.b[2].c` walks (leading `$.`
       * optional; root-array paths like `[0].name` — expand_json_test.go
       * "more complex JMESPath expression" — start with a bare index),
-      * `|` pipes stages, `[start:stop:step]` slices, `[*]` projects, and
-      * `join('sep', expr)` joins a string array. Slices/`[*]` open a
-      * projection (later segments map over elements, nulls dropped) that
-      * a pipe stops, per the JMESPath spec. Unsupported syntax → null,
-      * like the reference's compile-error path (expand_json.go:80-84).
+      * `|` pipes stages, `[start:stop:step]` slices, `[*]` / `.*` / `[]`
+      * project (list / object-values / flatten), and `join('sep', expr)`
+      * joins a string array. Projections map later segments over elements
+      * with nulls dropped, and a pipe stops them, per the JMESPath spec.
+      * Unsupported syntax → null, like the reference's compile-error path
+      * (expand_json.go:80-84).
       */
     private def eval(root: JsonNode, path: String): JsonNode =
       try splitPipes(path).foldLeft(root)((n, stage) => evalStage(n, stage.trim))
@@ -230,6 +231,18 @@ object Filters {
           mapStep(n => if (n.isArray) (0 until n.size).iterator.map(n.get)
             else Iterator.empty)
           project = true
+        case ObjStar =>
+          import scala.jdk.CollectionConverters._
+          mapStep(n => if (n.isObject) n.elements().asScala else Iterator.empty)
+          project = true
+        case Flatten =>
+          mapStep { n =>
+            if (!n.isArray) Iterator.empty
+            else (0 until n.size).iterator.map(n.get).flatMap(e =>
+              if (e != null && e.isArray) (0 until e.size).iterator.map(e.get)
+              else Iterator(e))
+          }
+          project = true
         case Slice(a, b, st) =>
           mapStep { n =>
             if (!n.isArray) Iterator.empty
@@ -258,7 +271,9 @@ object Filters {
     private final case class Index(i: Int) extends Tok
     private final case class Slice(from: Option[Int], until: Option[Int], step: Option[Int])
       extends Tok
-    private case object Star extends Tok
+    private case object Star extends Tok    // [*]
+    private case object ObjStar extends Tok // .*
+    private case object Flatten extends Tok // []
 
     private def tokenize(expr: String): Seq[Tok] = {
       val out = Seq.newBuilder[Tok]
@@ -270,6 +285,7 @@ object Filters {
           require(close > i, s"unclosed bracket in '$expr'")
           val body = expr.substring(i + 1, close).trim
           body match {
+            case ""  => out += Flatten
             case "*" => out += Star
             case sliceRe(a, b, c) =>
               def opt(s: String) = Option(s).filter(_.nonEmpty).map(_.toInt)
@@ -282,7 +298,7 @@ object Filters {
           val stop = if (end < 0) expr.length else end
           val name = expr.substring(i, stop).trim
           require(name.nonEmpty, s"empty segment in '$expr'")
-          out += Ident(name)
+          out += (if (name == "*") ObjStar else Ident(name))
           i = stop
       }
       out.result()

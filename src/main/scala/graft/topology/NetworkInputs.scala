@@ -240,9 +240,111 @@ object NetworkInputs {
     * The delta is spooled driver-side so offsets can be committed at
     * build time (at-least-once, like the reference's
     * checkpoint-after-process).
+    *
+    * `Client = "aws"`: real Kinesis drain ([[AwsReflect]]) resuming from
+    * per-shard sequence-number checkpoints in a DynamoDB lease table named
+    * AppName (leaseKey → checkpoint, the KCL lease-table schema); new
+    * checkpoints are PutItem'd after the drain. Documented divergence:
+    * one worker drains every shard — the reference KCL's lease BALANCING
+    * across workers (input/kcl.go:26-49) needs the coordination service
+    * and is out of scope; the lease table must already exist.
     */
   val kclInput: InputDesc = {
+    def awsCollect(cfg: ComponentConfig): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val stream = cfg.str("Stream")
+      val app = cfg.str("AppName")
+      val region = cfg.str("AwsRegion", "us-west-2")
+      val latest = cfg.str("InitialPosition", "LATEST").equalsIgnoreCase("LATEST")
+      val kin = AwsReflect.client(
+        "software.amazon.awssdk.services.kinesis.KinesisClient", region)
+      val ddb = AwsReflect.client(
+        "software.amazon.awssdk.services.dynamodb.DynamoDbClient", region)
+      def attrS(v: String) = AwsReflect.build(
+        "software.amazon.awssdk.services.dynamodb.model.AttributeValue", "s" -> v)
+      try {
+        val shards = AwsReflect.call(
+          AwsReflect.call(kin, "listShards", AwsReflect.build(
+            "software.amazon.awssdk.services.kinesis.model.ListShardsRequest",
+            "streamName" -> stream)),
+          "shards").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+        val spools = Seq.newBuilder[String]
+        for (shard <- shards) {
+          val shardId = AwsReflect.call(shard, "shardId").asInstanceOf[String]
+          // checkpoint lookup in the lease table (missing table/item → none)
+          val ckpt: Option[String] =
+            try {
+              val keyMap: java.util.Map[String, AnyRef] =
+                Map("leaseKey" -> attrS(shardId)).asJava
+              val got = AwsReflect.call(ddb, "getItem", AwsReflect.build(
+                "software.amazon.awssdk.services.dynamodb.model.GetItemRequest",
+                "tableName" -> app, "key" -> keyMap))
+              Option(AwsReflect.call(got, "item")
+                  .asInstanceOf[java.util.Map[String, AnyRef]].get("checkpoint"))
+                .map(a => AwsReflect.call(a, "s").asInstanceOf[String])
+            } catch { case _: Exception => None }
+          var it = AwsReflect.call(
+            AwsReflect.call(kin, "getShardIterator", ckpt match {
+              case Some(seq) => AwsReflect.build(
+                "software.amazon.awssdk.services.kinesis.model.GetShardIteratorRequest",
+                "streamName" -> stream, "shardId" -> shardId,
+                "shardIteratorType" -> "AFTER_SEQUENCE_NUMBER",
+                "startingSequenceNumber" -> seq)
+              case None => AwsReflect.build(
+                "software.amazon.awssdk.services.kinesis.model.GetShardIteratorRequest",
+                "streamName" -> stream, "shardId" -> shardId,
+                "shardIteratorType" -> (if (latest) "LATEST" else "TRIM_HORIZON"))
+            }),
+            "shardIterator").asInstanceOf[String]
+          val spool = Files.createTempFile(s"graft-kclaws-$shardId", ".log")
+          spool.toFile.deleteOnExit()
+          var lastSeq: Option[String] = None
+          val out = Files.newOutputStream(spool)
+          try {
+            var caughtUp = false
+            while (!caughtUp && it != null) {
+              val resp = AwsReflect.call(kin, "getRecords", AwsReflect.build(
+                "software.amazon.awssdk.services.kinesis.model.GetRecordsRequest",
+                "shardIterator" -> it, "limit" -> Integer.valueOf(10000)))
+              val recs = AwsReflect.call(resp, "records")
+                .asInstanceOf[java.util.List[AnyRef]].asScala
+              recs.foreach { r =>
+                val bytes = AwsReflect.call(AwsReflect.call(r, "data"), "asByteArray")
+                  .asInstanceOf[Array[Byte]]
+                out.write(bytes)
+                if (bytes.isEmpty || bytes.last != '\n') out.write('\n')
+                lastSeq = Some(AwsReflect.call(r, "sequenceNumber").asInstanceOf[String])
+              }
+              val behind = AwsReflect.call(resp, "millisBehindLatest")
+                .asInstanceOf[java.lang.Long]
+              it = AwsReflect.call(resp, "nextShardIterator").asInstanceOf[String]
+              caughtUp = recs.isEmpty && (behind == null || behind <= 0L)
+            }
+          } finally out.close()
+          // commit after spool (at-least-once, like the reference)
+          lastSeq.foreach { seq =>
+            val item: java.util.Map[String, AnyRef] =
+              Map("leaseKey" -> attrS(shardId), "checkpoint" -> attrS(seq)).asJava
+            try AwsReflect.call(ddb, "putItem", AwsReflect.build(
+              "software.amazon.awssdk.services.dynamodb.model.PutItemRequest",
+              "tableName" -> app, "item" -> item))
+            catch {
+              case e: Exception => throw new IllegalStateException(
+                s"KCL: checkpoint write to lease table '$app' failed — create the " +
+                  "table (hash key: leaseKey, type S) or run the real KCL once to " +
+                  s"create it: ${e.getMessage}", e)
+            }
+          }
+          if (lastSeq.isDefined) spools += spool.toString
+        }
+        spools.result()
+      } finally { AwsReflect.close(kin); AwsReflect.close(ddb) }
+    }
     def collect(cfg: ComponentConfig): Seq[String] = {
+      val clientKind = cfg.str("Client", "local").toLowerCase
+      require(clientKind == "local" || clientKind == "aws",
+        s"KCL: Client must be \"local\" or \"aws\", got '$clientKind'")
+      if (clientKind == "aws") return awsCollect(cfg)
       val dir = localDir(cfg.str("Stream"), "KCL.Stream")
       val app = cfg.str("AppName")
       val ckDir = Paths.get(cfg.str("CheckpointDir",
@@ -301,6 +403,9 @@ object NetworkInputs {
         ConfigKey("InitialPosition",
           "Position in the stream where a new application should start from. " +
             "Values: LATEST or TRIM_HORIZON", default = Some("LATEST")),
+        ConfigKey("Client", "\"local\" (file:// shard dir + JSON offsets) or \"aws\" " +
+          "(real Kinesis + DynamoDB lease-table checkpoints; single worker, " +
+          "no lease balancing)", default = Some("local")),
         ConfigKey("CheckpointDir",
           "local double's checkpoint-table location (DynamoDB in the reference)")),
       (ctx, cfg) => {

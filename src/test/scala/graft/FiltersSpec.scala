@@ -120,6 +120,30 @@ class FiltersSpec extends SparkSpec {
     assert(out.filter(col("n_out").isNull).count() == 1) // bad json → nulls, row kept
   }
 
+  test("ExpandJSON: walker agrees with get_json_object on the shared subset (fuzz)") {
+    // both modes must extract identically for dotted/indexed paths — the
+    // codegen fast path uses get_json_object, the walker handles the wider
+    // grammar; this guards the walker's base-grammar behavior
+    val rnd = new scala.util.Random(1234)
+    def v(depth: Int): String =
+      if (depth >= 2 || rnd.nextInt(3) == 0) s""""s${rnd.nextInt(100)}""""
+      else if (rnd.nextBoolean())
+        (0 until 1 + rnd.nextInt(3)).map(_ => v(depth + 1)).mkString("[", ",", "]")
+      else (0 until 1 + rnd.nextInt(3)).map(i => s""""k$i":${v(depth + 1)}""").mkString("{", ",", "}")
+    val docs = (0 until 30).map(_ => s"""{"a":${v(0)},"b":${v(0)},"c":${v(0)}}""")
+    val paths = Seq("a", "b.k0", "a[0]", "b[1].k0", "c.k1.k0", "a.k0[0]", "c[2]")
+    val df = strDf(Seq("j"), docs.map(Seq(_)))
+    val fast = ExpandJSON("j", paths.map(p => p -> s"o${paths.indexOf(p)}").toMap)(df)
+    // force the walker by adding one advanced path, then drop it
+    val walker = ExpandJSON("j",
+      paths.map(p => p -> s"o${paths.indexOf(p)}").toMap + ("a | a" -> "z"))(df)
+    val cols = paths.indices.map(i => s"o$i")
+    val f = fast.select(cols.map(col): _*).collect().map(_.toSeq)
+    val w = walker.select(cols.map(col): _*).collect().map(_.toSeq)
+    for (((fr, wr), i) <- f.zip(w).zipWithIndex; (fv, wv) <- fr.zip(wr))
+      assert(fv == wv, s"doc ${docs(i)}: fast=$fr walker=$wr")
+  }
+
   test("ExpandJSON JMESPath pipes, slices, projections, join()") {
     val json =
       """{"people":[{"first":"James","last":"d"},{"first":"Jacob","last":"e"},
@@ -147,6 +171,21 @@ class FiltersSpec extends SparkSpec {
     assert(g("joined") == "James, Jacob, Jayden")
     assert(g("badjoin") == null)
     assert(g("overpipe") == null)
+  }
+
+  test("ExpandJSON JMESPath object wildcard and flatten") {
+    val json = """{"m":{"x":{"c":"1"},"y":{"c":"2"}},"n":[["a","b"],["c"],"d"]}"""
+    val df = strDf(Seq("j"), Seq(Seq(json)))
+    val out = ExpandJSON("j", Map(
+      "m.*.c" -> "objstar",           // object-values projection
+      "n[]" -> "flat",                // flatten one level
+      "n[] | [0]" -> "flathead",      // pipe stops the projection
+      "join('', m.*.c)" -> "joinedc"))(df).head()
+    def g(n: String) = out.getString(out.fieldIndex(n))
+    assert(g("objstar") == """["1","2"]""")
+    assert(g("flat") == """["a","b","c","d"]""")
+    assert(g("flathead") == "a")
+    assert(g("joinedc") == "12")
   }
 
   test("ExternalMatch default drops matches; keepOnMatch keeps only them") {

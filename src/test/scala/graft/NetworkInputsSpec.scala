@@ -107,6 +107,16 @@ class NetworkInputsSpec extends SparkSpec {
          |""".stripMargin + fieldsAndOut(dir)
     val e3 = intercept[Exception](runToml(sqsToml("aws")))
     assert(messages(e3).exists(_.contains("AWS SDK v2")), messages(e3).mkString(" | "))
+    def kclToml(client: String) =
+      s"""[input]
+         |name = "KCL"
+         |  [input.config]
+         |  Stream = "some-stream"
+         |  AppName = "app1"
+         |  Client = "$client"
+         |""".stripMargin + fieldsAndOut(dir)
+    val e4 = intercept[Exception](runToml(kclToml("aws")))
+    assert(messages(e4).exists(_.contains("AWS SDK v2")), messages(e4).mkString(" | "))
   }
 
   test("KCL: TRIM_HORIZON reads all, restart reads only the delta") {
