@@ -782,6 +782,20 @@ object SparkEntry {
       graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text", ngram = 2)
         .orderBy("doc_id")),
 
+    "q_classifier" -> ((s, d) =>
+      // fastText-style linear quality classifier (the CCNet/LLaMA
+      // quality-filter shape): broadcast weight table vs exploded
+      // unigram+bigram features, one doc-keyed agg. Weights are exact
+      // binary fractions so the double sum is order-independent and the
+      // oracle cross-engine exact (see llm/Classifier.scala)
+      graft.llm.Classifier.scoreLinear(t(s, d, "documents"), "doc_id", "text",
+          weights = Map("join" -> 0.5, "slow" -> -0.5, "hash" -> 0.25,
+            "batch" -> -0.125, "scan" -> 0.0625, "hash join" -> 0.25),
+          bias = -0.125, wordNgrams = 2)
+        .select(col("doc_id"), col("n_features"), col("sum_weight"),
+          round(col("logit"), 4).as("logit"), col("keep"))
+        .orderBy("doc_id")),
+
     "q_salted_collect" -> ((s, d) =>
       // skew-proof holistic aggregation: per-type user lists collected via
       // two bounded salted exchanges; sorted join makes the output
@@ -1565,5 +1579,33 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
          FROM bg b LEFT JOIN vocab v ON b.w = v.w
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_classifier" ->
+      // linear bag-of-features score restated directly: unigrams UNION ALL
+      // space-joined bigrams, left-joined to the literal weight table.
+      // Weights cast to DOUBLE so both engines sum identical binary
+      // fractions (no DECIMAL arithmetic on the DuckDB side)
+      """WITH w AS (
+           SELECT 'join' AS token, CAST(0.5 AS DOUBLE) AS weight
+           UNION ALL SELECT 'slow', -0.5
+           UNION ALL SELECT 'hash', 0.25
+           UNION ALL SELECT 'batch', -0.125
+           UNION ALL SELECT 'scan', 0.0625
+           UNION ALL SELECT 'hash join', 0.25
+         ), tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), feat AS (
+           SELECT doc_id, unnest(t) AS f FROM tok
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS f
+           FROM tok WHERE len(t) >= 2
+         )
+         SELECT f.doc_id, count(*) AS n_features,
+                sum(COALESCE(w.weight, 0)) AS sum_weight,
+                round(-0.125 + sum(COALESCE(w.weight, 0)) / count(*), 4) AS logit,
+                (-0.125 + sum(COALESCE(w.weight, 0)) / count(*)) > 0 AS keep
+         FROM feat f LEFT JOIN w ON f.f = w.token
+         GROUP BY f.doc_id ORDER BY f.doc_id""",
   )
 }
