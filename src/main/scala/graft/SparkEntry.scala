@@ -432,14 +432,21 @@ object SparkEntry {
     "q_curation" -> ((s, d) => {
       // the full pre-training curation funnel as ONE declarative plan:
       // language gate → Gopher quality gate (both map-only, fused into the
-      // scan) → eval-set decontamination (broadcast anti-join) → exact
-      // dedup on the canonical fingerprint (one map-combined shuffle) —
-      // operators composing is the point; Catalyst fuses the gates and
-      // keeps the whole funnel at two exchanges + a broadcast
+      // scan) → linear-classifier quality gate (broadcast weights +
+      // doc-keyed agg + semi-join) → eval-set decontamination (broadcast
+      // anti-join) → exact dedup on the canonical fingerprint (one
+      // map-combined shuffle) — operators composing is the point
       val docs = t(s, d, "documents").filter(col("text") =!= "")
-      val gated = docs
+      val gated0 = docs
         .filter(col("lang") === "en")
         .filter(TF.gopherPasses(col("text")))
+      // linear-classifier quality gate (bias 0: keep docs whose weighted
+      // token mix is net-positive) — the fastText-filter stage every
+      // production curation funnel runs between heuristics and dedup
+      val gated = graft.llm.Classifier.qualityFilter(gated0, "doc_id", "text",
+        weights = Map("join" -> 0.5, "slow" -> -0.5, "hash" -> 0.25,
+          "batch" -> -0.125, "scan" -> 0.0625, "hash join" -> 0.25),
+        wordNgrams = 2)
       val clean = gated.join(
         // flagging is per-doc content-only, so it runs over the already
         // gated subset — no point shingle-exploding docs the gates killed
@@ -1148,8 +1155,31 @@ object SparkEntry {
          FROM p ORDER BY doc_a""",
     "q_curation" ->
       // the composed funnel restated stage by stage: en + Gopher gates,
-      // NOT contaminated, then min-id per canonical fingerprint
-      """WITH d AS (
+      // linear-classifier quality gate, NOT contaminated, then min-id per
+      // canonical fingerprint. The gates are intersections, so the SQL may
+      // state them in any order; cls computes the classifier keep-set over
+      // the whole corpus (per-doc content-only, same members either way)
+      """WITH wt AS (
+           SELECT 'join' AS token, CAST(0.5 AS DOUBLE) AS weight
+           UNION ALL SELECT 'slow', -0.5
+           UNION ALL SELECT 'hash', 0.25
+           UNION ALL SELECT 'batch', -0.125
+           UNION ALL SELECT 'scan', 0.0625
+           UNION ALL SELECT 'hash join', 0.25
+         ), dt AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), feat AS (
+           SELECT doc_id, unnest(t) AS f FROM dt
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS f
+           FROM dt WHERE len(t) >= 2
+         ), cls AS (
+           SELECT f.doc_id FROM feat f LEFT JOIN wt ON f.f = wt.token
+           GROUP BY f.doc_id
+           HAVING sum(COALESCE(wt.weight, 0)) / count(*) > 0
+         ), d AS (
            SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
            FROM documents WHERE text <> '' AND lang = 'en'
          ), g AS (
@@ -1161,7 +1191,8 @@ object SparkEntry {
                        i -> w[i+1] || ' ' || w[i+2]))) AS DOUBLE) / (len(w) - 1) <= 0.9
          ), c AS (
            SELECT doc_id, text FROM g
-           WHERE NOT (
+           WHERE doc_id IN (SELECT doc_id FROM cls)
+             AND NOT (
              ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
                LIKE '% fast merge %'
              OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
