@@ -789,6 +789,16 @@ object SparkEntry {
       graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text", ngram = 2)
         .orderBy("doc_id")),
 
+    "q_shuffle" -> ((s, d) =>
+      // deterministic global corpus shuffle: reproducible md5(seed|id)
+      // order materialized as a dense 1-based position — computed with
+      // parallel per-bucket windows (bucket = key's leading 32 bits), no
+      // global single-partition window anywhere
+      graft.llm.Mix.deterministicShuffle(
+          t(s, d, "documents").select("doc_id"), col("doc_id"), seed = "r4")
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")),
+
     "q_classifier" -> ((s, d) =>
       // fastText-style linear quality classifier (the CCNet/LLaMA
       // quality-filter shape): broadcast weight table vs exploded
@@ -1610,6 +1620,14 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
          FROM bg b LEFT JOIN vocab v ON b.w = v.w
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_shuffle" ->
+      // the shuffle order restated as one global row_number — exactly what
+      // the distributed two-phase rank must equal
+      """SELECT doc_id,
+                row_number() OVER (
+                  ORDER BY md5('r4|' || CAST(doc_id AS VARCHAR)), doc_id)
+                  AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
     "q_classifier" ->
       // linear bag-of-features score restated directly: unigrams UNION ALL
       // space-joined bigrams, left-joined to the literal weight table.

@@ -54,6 +54,54 @@ object Mix {
     df.filter(pmod(hash, lit(Buckets)) < threshold)
   }
 
+  /** Deterministic global corpus shuffle — the pre-training step that
+    * orders documents pseudo-randomly but REPRODUCIBLY before packing into
+    * sequences: every run, on any cluster layout, assigns each row the same
+    * `shuffle_pos` (1-based dense position in md5(seed‖tie) order; md5 so
+    * a SQL oracle can restate the order, `tie` breaking the ~impossible
+    * digest collision).
+    *
+    * Scale shape — global order WITHOUT a global window: the range bucket
+    * is derived DETERMINISTICALLY from the key's leading 32 bits (md5 is
+    * uniform, so buckets balance without sampling — unlike
+    * `repartitionByRange`, whose RDD-id-seeded sampling can assign
+    * boundary rows differently between the two jobs below); per-bucket
+    * ranks come from a window PARTITIONED by the bucket (parallel groups,
+    * never one partition holding the corpus); the only driver state is one
+    * (bucket, count) row per bucket, whose running offsets broadcast-join
+    * back. The same two-phase trick as budgetSelect's boundary fill.
+    */
+  def deterministicShuffle(df: DataFrame, tie: Column, seed: String,
+      numPartitions: Int = 0): DataFrame = {
+    val out = df.columns
+    for (c <- Seq("__key", "__pid", "__pid2", "__rank", "__off"))
+      require(!out.contains(c),
+        s"deterministicShuffle: input column '$c' collides with an internal name")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val key = md5(concat(lit(seed), lit("|"), tie.cast("string")))
+    // bucket = floor(first32bits(key) · n / 2³²): monotone in the key, so
+    // bucket order + in-bucket key order IS the global key order
+    val bucket = (conv(substring(col("__key"), 1, 8), 16, 10).cast("long")
+      * n / (1L << 32)).cast("int")
+    val keyed = df.withColumn("__key", key).withColumn("__pid", bucket)
+    // job 1, bounded driver state: one count per bucket → running offsets
+    val counts = keyed.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__pid2", "__off")
+    // job 2: per-bucket dense ranks (parallel window groups) + offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__key"), tie)
+    keyed.withColumn("__rank", row_number().over(w))
+      .join(broadcast(offsetDf), col("__pid") === col("__pid2"))
+      .withColumn("shuffle_pos", col("__off") + col("__rank"))
+      .select(out.map(col) :+ col("shuffle_pos"): _*)
+  }
+
   /** Keep the best-scoring rows until a size budget fills — the corpus
     * curation step "take the highest-quality documents up to N tokens".
     *

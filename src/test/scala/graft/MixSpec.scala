@@ -95,6 +95,34 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle: dense permutation equal to the naive global order") {
+    import spark.implicits._
+    val df = spark.range(500).select(col("id"), (col("id") % 7).as("payload"))
+    val out = Mix.deterministicShuffle(df, col("id"), seed = "s1")
+    val got = out.select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // dense 1..N permutation
+    assert(got.values.toSeq.sorted == (1L to 500L))
+    // equals the naive driver-side computation of the same order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1|$id".getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val naive = (0L until 500L).sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == naive)
+    // stable across partitioning and numPartitions choices
+    val again = Mix.deterministicShuffle(df.repartition(13), col("id"),
+      seed = "s1", numPartitions = 5)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(again == naive)
+    // a different seed is a different permutation
+    val other = Mix.deterministicShuffle(df, col("id"), seed = "s2")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(other != naive)
+  }
+
   test("budgetSelect fails fast past the distinct-score cap") {
     import spark.implicits._
     // 100 distinct unquantized scores; a cap of 10 must reject rather than
