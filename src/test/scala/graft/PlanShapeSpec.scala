@@ -96,6 +96,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("deterministic shuffle: no single-partition exchange anywhere") {
+    val docs = graft.core.Graft.table(spark, sf, "documents").select("doc_id")
+    val p = finalPlan(graft.llm.Mix.deterministicShuffle(docs,
+      org.apache.spark.sql.functions.col("doc_id"), seed = "shape"))
+    // the global order must come from parallel per-bucket windows — a
+    // naive global row_number would show Exchange SinglePartition
+    assert(!p.contains("SinglePartition"), s"corpus funneled through one partition:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("clause predicates push into the parquet scan") {
     val p = plan(SparkEntry.queries("q_clause_filter")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull"), p)
