@@ -403,7 +403,49 @@ object Filters {
       case "RFC1123Z"    => "EEE, dd MMM yyyy HH:mm:ss Z"
       case "RFC3339"     => "yyyy-MM-dd'T'HH:mm:ssXXX"
       case "RFC3339Nano" => "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX"
-      case custom        => custom // already a JDK pattern
+      // a custom GO layout (the reference-time convention — format_time
+      // tests use e.g. "Jan-02-2006_15:04:05") is detected by its
+      // reference-date tokens and translated; anything else is assumed to
+      // already be a JDK pattern
+      case custom if custom.contains("2006") || custom.contains("15:04") =>
+        translateGoLayout(custom)
+      case custom        => custom
+    }
+
+    /** Go reference-time tokens → JDK pattern tokens, longest-first. */
+    private val goTokens: Seq[(String, String)] = Seq(
+      "2006" -> "yyyy", "January" -> "MMMM", "Monday" -> "EEEE",
+      "Jan" -> "MMM", "Mon" -> "EEE",
+      ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+      ".999999999" -> ".SSSSSSSSS", ".999999" -> ".SSSSSS", ".999" -> ".SSS",
+      "-07:00" -> "XXX", "Z07:00" -> "XXX", "-0700" -> "Z", "Z0700" -> "XX",
+      "-07" -> "X", "MST" -> "zzz", "_2" -> "ppd",
+      "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+      "02" -> "dd", "01" -> "MM", "06" -> "yy", "PM" -> "a", "pm" -> "a",
+      "3" -> "h", "4" -> "m", "5" -> "s", "2" -> "d", "1" -> "M")
+
+    /** Translate a Go layout: map reference-time tokens, single-quote any
+      * other letter run (JDK treats bare letters as pattern characters).
+      */
+    private[graft] def translateGoLayout(go: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      def tokenAt(j: Int): Option[(String, String)] =
+        goTokens.find { case (tok, _) => go.startsWith(tok, j) }
+      while (i < go.length) {
+        tokenAt(i) match {
+          case Some((tok, jdk)) => sb.append(jdk); i += tok.length
+          case None =>
+            val c = go.charAt(i)
+            if (c.isLetter) {
+              var j = i + 1
+              while (j < go.length && go.charAt(j).isLetter && tokenAt(j).isEmpty) j += 1
+              sb.append('\'').append(go.substring(i, j)).append('\'')
+              i = j
+            } else { sb.append(c); i += 1 }
+        }
+      }
+      sb.toString
     }
   }
 
@@ -567,9 +609,19 @@ object Filters {
 
   /** URLParam — extract a query parameter from a URL field ("" when the URL
     * is bad or the param missing). reference: filter/url_param.go:10-73.
+    *
+    * Go's `url.Parse` accepts RELATIVE urls — the reference's own test
+    * extracts from "/home?parameter_a=value_a" — while Spark's parse_url
+    * rejects scheme-less input; scheme-less values get a placeholder
+    * scheme+host prefixed so the query part parses identically.
     */
   final case class URLParam(src: String, dst: String, param: String) extends Transform {
-    def apply(df: DataFrame): DataFrame =
-      df.withColumn(dst, coalesce(try_parse_url(nz(col(src)), lit("QUERY"), lit(param)), lit("")))
+    def apply(df: DataFrame): DataFrame = {
+      val u = nz(col(src))
+      val full = when(u.contains("://"), u)
+        .otherwise(concat(lit("http://graft.invalid"),
+          when(u.startsWith("/"), u).otherwise(concat(lit("/"), u))))
+      df.withColumn(dst, coalesce(try_parse_url(full, lit("QUERY"), lit(param)), lit("")))
+    }
   }
 }

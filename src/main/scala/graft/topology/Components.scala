@@ -340,10 +340,20 @@ object BuiltinComponents {
       ConfigKey("SrcField", "Name of the field to hash", required = true),
       ConfigKey("DstField", "Name of the field to write the result to", required = true),
       ConfigKey("Function", "Hash function (md5 or sha256)", required = true),
-      ConfigKey("Encoding", "Encoding of the digest (hex)", default = Some("hex"))))(
+      ConfigKey("Encoding", "Encoding of the digest; must be \"hex\" — the " +
+        "reference's default (no Encoding) writes RAW digest bytes " +
+        "(hash.go:82-91), which a string-typed record cannot carry, so " +
+        "leaving it unset fails loudly instead of silently hex-encoding")))(
     (_, cfg) => {
-      val enc = cfg.str("Encoding", "hex")
-      require(enc == "hex", s"Hash: only hex encoding supported (got '$enc')")
+      cfg.strOpt("Encoding") match {
+        case Some("hex") => ()
+        case Some(other) => throw new IllegalArgumentException(
+          s"Hash: unsupported encoding '$other' (only hex)")
+        case None => throw new IllegalArgumentException(
+          "Hash: set Encoding = \"hex\" — the reference's default (raw digest " +
+            "bytes) is unrepresentable on string records; this build refuses " +
+            "to silently substitute hex")
+      }
       Filters.Hash(cfg.str("SrcField"), cfg.str("DstField"), cfg.str("Function"))
     })
 

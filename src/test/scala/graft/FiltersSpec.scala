@@ -230,6 +230,26 @@ class FiltersSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("FormatTime custom GO layouts translate (format_time_test.go fixtures)") {
+    // reference "custom format dst": unix 932183424 → "Jul-17-1999_03:50:24"
+    val df = strDf(Seq("t"), Seq(Seq("932183424")))
+    val dst = FormatTime("t", "d", "unix", "Jan-02-2006_15:04:05")(df)
+      .select("d").head().getString(0)
+    assert(dst == "Jul-17-1999_03:50:24")
+    // reference "custom format src": parse a Go-layout source back to unixms
+    val df2 = strDf(Seq("t"), Seq(Seq("Jul-17-1999_03:50:24")))
+    val ms = FormatTime("t", "d", "Jan-02-2006_15:04:05", "unixms")(df2)
+      .select("d").head().getString(0)
+    assert(ms == "932183424000") // reference "default format" want
+    // token translation unit checks
+    assert(graft.operators.Filters.FormatTime
+      .translateGoLayout("Mon Jan 2 15:04:05 MST 2006")
+      == "EEE MMM d HH:mm:ss zzz yyyy")
+    assert(graft.operators.Filters.FormatTime
+      .translateGoLayout("2006-01-02T15:04:05Z07:00")
+      == "yyyy-MM-dd'T'HH:mm:ssXXX")
+  }
+
   test("FormatTime unix epoch variants") {
     val df = strDf(Seq("t"), Seq(Seq("1700000000")))
     val ms = FormatTime("t", "d", "unix", "unixms")(df).select("d").head().getString(0)
@@ -253,6 +273,22 @@ class FiltersSpec extends SparkSpec {
       Seq("https://x.test/p?k=v&o=1"), Seq("https://x.test/p?o=1"), Seq("::bad::")))
     assert(col1[String](URLParam("u", "p", "k")(df).select("p").orderBy("p"))
       == Seq("", "", "v"))
+  }
+
+  test("URLParam accepts relative URLs, like Go's url.Parse (url_param_test.go)") {
+    // the reference's own fixtures: "partial url" extracts; a non-URL
+    // token and a missing param yield ""
+    val df = strDf(Seq("u"), Seq(
+      Seq("/home?parameter_a=value_a"), Seq("s0"),
+      Seq("https://app.example.com/?parameter_a=value_a")))
+    val out = URLParam("u", "p", "parameter_a")(df)
+      .select("u", "p").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("/home?parameter_a=value_a") == "value_a")
+    assert(out("s0") == "")
+    assert(out("https://app.example.com/?parameter_a=value_a") == "value_a")
+    val missing = URLParam("u", "p", "not_parameter_a")(df)
+      .select("p").collect().map(_.getString(0))
+    assert(missing.forall(_ == ""))
   }
 
   test("SetStringFromURL: first configured literal wins; no match drops row") {

@@ -153,6 +153,36 @@ class TopologySpec extends SparkSpec {
     assert(readAllLines(result.paths).sorted == rows.sorted)
   }
 
+  test("Hash descriptor: hex works, raw-bytes default and unknown encodings fail loudly") {
+    def toml(encLine: String) =
+      s"""[fields]
+         |names = ["a", "h"]
+         |[input]
+         |name = "LogLines"
+         |  [input.config]
+         |  Lines = ["abc,"]
+         |[[filter]]
+         |name = "Hash"
+         |  [filter.config]
+         |  SrcField = "a"
+         |  DstField = "h"
+         |  Function = "md5"
+         |$encLine
+         |[output]
+         |name = "Recorder"
+         |""".stripMargin
+    val (_, _) = Topology.compileToml(spark, toml("""  Encoding = "hex"""")).run()
+    // reference fixture bytes hex-encoded (hash_test.go "md5 + hex" on "abc")
+    assert(BuiltinComponents.Recorder.last.head.getAs[String]("h")
+      == "900150983cd24fb0d6963f7d28e17f72")
+    val e1 = intercept[IllegalArgumentException](
+      Topology.compileToml(spark, toml("")).run())
+    assert(e1.getMessage.contains("raw digest"))
+    val e2 = intercept[IllegalArgumentException](
+      Topology.compileToml(spark, toml("""  Encoding = "base64"""")).run())
+    assert(e2.getMessage.contains("unsupported encoding"))
+  }
+
   test("validation: failing rows dropped; dont_validate_fields disables") {
     val dir = tmpDir()
     Files.writeString(new File(dir, "in.csv").toPath, "ab,1\ncd,x\nef,2\n")
