@@ -30,6 +30,70 @@ object SparkEntry {
     */
   private val histBounds: Seq[Double] = graft.llm.Sketches.logBounds(2, 6, 20)
 
+  /** Fixed demo BPE merge table for q_bpe_encode — parameters of the query
+    * (like q_ann_lsh's hyperplanes), inlined identically on both engines.
+    * Well-ordered: every rule's inputs are single characters or outputs of
+    * EARLIER rules, so sequential application equals canonical
+    * lowest-rank-first BPE (see llm/Bpe.scala).
+    */
+  private val bpeDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "t" -> "a", "l" -> "e", "ta" -> "b",
+    "tab" -> "le", "s" -> "c", "o" -> "r", "e" -> "r", "a" -> "n",
+    "s" -> "t", "r" -> "o")
+
+  /** The paren-form char split of one word, as DuckDB SQL over `w`. */
+  private val bpeParenSql: String =
+    "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+
+  /** Chain [[bpeDemoMerges]] as literal replaces over a SQL expression —
+    * the oracle-side mirror of Bpe.applyMerges.
+    */
+  private def bpeReplaceChainSql(inner: String): String =
+    bpeDemoMerges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, '($a)($b)', '($a$b)')"
+    }
+
+  /** Oracle for q_bpe_train: replay `steps` training iterations as chained
+    * CTEs — per step, a pair-count CTE over the previous encoding, a
+    * deterministic argmax CTE, and a re-encode CTE whose replace arguments
+    * are SCALAR SUBQUERIES of the argmax (the oracle derives each rule
+    * itself; nothing learned is inlined). Hash-checks the trained rules AND
+    * their counts end-to-end.
+    */
+  private def bpeTrainOracleSql(steps: Int): String = {
+    val head =
+      """WITH w0 AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''
+         ), e0 AS (
+           SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS e
+           FROM w0
+         )"""
+    val stepCtes = (1 to steps).map { i =>
+      val prev = s"e${i - 1}"
+      s""", p$i AS (
+           SELECT list_extract(sym, j) || ' ' || list_extract(sym, j + 1) AS pair,
+                  count(*) AS cnt
+           FROM (
+             SELECT sym, unnest(generate_series(1, len(sym) - 1)) AS j
+             FROM (SELECT string_split(substr(e, 2, length(e) - 2), ')(') AS sym
+                   FROM $prev WHERE length(e) > 2))
+           GROUP BY pair
+         ), t$i AS (
+           SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1
+         ), e$i AS (
+           SELECT replace(e,
+             '(' || split_part((SELECT pair FROM t$i), ' ', 1) || ')(' ||
+                    split_part((SELECT pair FROM t$i), ' ', 2) || ')',
+             '(' || replace((SELECT pair FROM t$i), ' ', '') || ')') AS e
+           FROM $prev
+         )"""
+    }.mkString
+    val union = (1 to steps).map(i => s"SELECT $i AS step, pair, cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"$head$stepCtes SELECT step, pair, cnt FROM ($union) ORDER BY step"
+  }
+
   /** DuckDB SQL mirroring histSketch + histQuantile arithmetic exactly:
     * same unrolled boundary-comparison bin index, same cumulative-count
     * bin location (first c>0 bin whose cum crosses q·total), same linear
@@ -812,6 +876,63 @@ object SparkEntry {
         .select(col("doc_id"), col("n_features"), col("sum_weight"),
           round(col("logit"), 4).as("logit"), col("keep"))
         .orderBy("doc_id")),
+
+    "q_bpe_pairs" -> ((s, d) =>
+      // BPE training step 1's sufficient statistics: corpus-wide adjacent
+      // character-pair counts (one explode + one map-side-combined agg),
+      // deterministic top-20 (count desc, pair asc)
+      graft.llm.Bpe.pairCounts(t(s, d, "documents"), col("text"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)),
+
+    "q_bpe_train" -> ((s, d) => {
+      // REAL iterative BPE merge training: 4 argmax steps, each re-encoding
+      // the corpus under the merges learned so far. Driver state = the
+      // merge table (4 short strings). The oracle replays the identical
+      // 4 steps as chained CTEs with scalar-subquery argmaxes — the trained
+      // rules themselves are hash-checked, not just one step
+      val (_, hist) = graft.llm.Bpe.train(t(s, d, "documents"), col("text"), steps = 4)
+      import s.implicits._
+      hist.toDF("step", "pair", "cnt").orderBy("step")
+    }),
+
+    "q_bpe_encode" -> ((s, d) =>
+      // map-only BPE encode under the fixed demo merge table: symbol count
+      // + md5 of the full paren-form tokenization (pins the exact symbol
+      // sequence, not just counts). The merge loop is literal `replace` on
+      // exact symbol boundaries — the oracle replays it verbatim in SQL
+      t(s, d, "documents")
+        .withColumn("__enc", graft.llm.Bpe.encodeText(col("text"), bpeDemoMerges))
+        .select(col("doc_id"),
+          graft.llm.Bpe.symbolCount(col("__enc")).as("n_bpe"),
+          md5(col("__enc").cast("binary")).as("enc_md5"))
+        .orderBy("doc_id")),
+
+    "q_c4_filters" -> ((s, d) => {
+      // C4-style page cleaning over a deterministically planted multi-line
+      // page (the fixture is single-line word soup, so — like q_redact_pii —
+      // the query plants the structure it scrubs: terminal-punct line,
+      // too-short line, javascript line, conditional lorem-ipsum marker,
+      // length-dependent closing line). Oracle rebuilds the identical page
+      val page = concat(
+        substring(col("text"), 1, 80), lit(" end of line one."), lit("\n"),
+        lit("tiny line."), lit("\n"),
+        lit("get this javascript widget now with one easy click."), lit("\n"),
+        lit("lorem "),
+        when(col("doc_id") % 7 === 0, lit("ipsum")).otherwise(lit("harmless")),
+        lit(" marker line with plenty of words"),
+        when(col("doc_id") % 2 === 0, lit(" today.")).otherwise(lit(" today")),
+        lit("\n"),
+        substring(col("text"), 81, 60), lit(" and the closing words!"))
+      t(s, d, "documents").filter(col("text") =!= "")
+        .withColumn("__page", page)
+        .withColumn("__kept", TF.c4KeptLines(col("__page")))
+        .select(col("doc_id"),
+          size(col("__kept")).as("n_kept"),
+          TF.c4Passes(col("__page")).as("passes"),
+          md5(array_join(col("__kept"), "\n").cast("binary")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
 
     "q_salted_collect" -> ((s, d) =>
       // skew-proof holistic aggregation: per-type user lists collected via
@@ -1656,5 +1777,62 @@ object SparkEntry {
                 (-0.125 + sum(COALESCE(w.weight, 0)) / count(*)) > 0 AS keep
          FROM feat f LEFT JOIN w ON f.f = w.token
          GROUP BY f.doc_id ORDER BY f.doc_id""",
+    "q_bpe_pairs" ->
+      // first-step pair statistics restated naively: every adjacent char
+      // pair of every word occurrence, space-separated like the Spark
+      // symbol pairs, counted and top-20'd with the same tie-break
+      """WITH wrds AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''
+         ), pos AS (
+           SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+           FROM wrds WHERE length(w) >= 2
+         )
+         SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair,
+                count(*) AS cnt
+         FROM pos GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    "q_bpe_train" -> bpeTrainOracleSql(4),
+    "q_bpe_encode" ->
+      // the merge chain replayed verbatim as literal replaces over the
+      // paren-wrapped char split; symbol count = '(' count of the encoding
+      s"""WITH e AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(
+                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                    w -> ${bpeReplaceChainSql(bpeParenSql)}), '|') AS enc
+           FROM documents)
+         SELECT doc_id, length(enc) - length(replace(enc, '(', '')) AS n_bpe,
+                md5(enc) AS enc_md5
+         FROM e ORDER BY doc_id""",
+    "q_c4_filters" ->
+      // identical planted page, identical lambda filter: terminal punct,
+      // >=5 words, no javascript/brace at line level; lorem-ipsum + >=3
+      // kept lines at page level
+      """WITH pages AS (
+           SELECT doc_id,
+                  substr(text, 1, 80) || ' end of line one.' || chr(10) ||
+                  'tiny line.' || chr(10) ||
+                  'get this javascript widget now with one easy click.' || chr(10) ||
+                  'lorem ' ||
+                  CASE WHEN doc_id % 7 = 0 THEN 'ipsum' ELSE 'harmless' END ||
+                  ' marker line with plenty of words' ||
+                  CASE WHEN doc_id % 2 = 0 THEN ' today.' ELSE ' today' END ||
+                  chr(10) ||
+                  substr(text, 81, 60) || ' and the closing words!' AS page
+           FROM documents WHERE text <> ''
+         ), f AS (
+           SELECT doc_id, page,
+                  list_filter(string_split(page, chr(10)), x ->
+                    regexp_matches(x, '[.!?"]$')
+                    AND len(string_split_regex(trim(x), '\s+')) >= 5
+                    AND NOT contains(lower(x), 'javascript')
+                    AND NOT contains(x, '{')) AS kept
+           FROM pages)
+         SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_kept,
+                ((NOT contains(lower(page), 'lorem ipsum')) AND len(kept) >= 3)
+                  AS passes,
+                md5(array_to_string(kept, chr(10))) AS kept_md5
+         FROM f ORDER BY doc_id""",
   )
 }

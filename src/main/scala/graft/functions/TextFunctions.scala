@@ -225,6 +225,30 @@ object TextFunctions {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  // --- C4-style heuristic page cleaning (Raffel et al. 2020, §2.2) ---
+
+  /** C4 line keep rule: ends in terminal punctuation, has at least
+    * `minWords` whitespace words, mentions neither "javascript" nor a curly
+    * brace (the code/boilerplate markers of the published heuristic). Pure
+    * Column algebra in the Java∩RE2 regex subset, so an external SQL engine
+    * computes the identical keep set.
+    */
+  def c4KeepLine(line: Column, minWords: Int = 5): Column =
+    line.rlike("[.!?\"]$") &&
+      (size(split(trim(line), "\\s+")) >= minWords) &&
+      !lower(line).contains("javascript") && !line.contains("{")
+
+  /** Lines of `page` (newline-separated) surviving [[c4KeepLine]]. */
+  def c4KeptLines(page: Column, minWords: Int = 5): Column =
+    filter(split(page, "\n"), l => c4KeepLine(l, minWords))
+
+  /** C4 page gate: no "lorem ipsum" anywhere, and at least `minKept`
+    * surviving lines. Map-only like the rest of the quality family.
+    */
+  def c4Passes(page: Column, minKept: Int = 3, minWords: Int = 5): Column =
+    !lower(page).contains("lorem ipsum") &&
+      (size(c4KeptLines(page, minWords)) >= minKept)
+
   /** Composite heuristic quality score in [0,1]: length saturation,
     * healthy mean word length, low punctuation noise, stopword presence —
     * the standard cheap pre-filter for LLM training corpora.

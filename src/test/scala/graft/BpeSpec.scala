@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.llm.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).head().get(0)
+
+  test("parenChars wraps every char; empty word has zero symbols") {
+    assert(one(Bpe.parenChars(lit("that"))) == "(t)(h)(a)(t)")
+    assert(one(Bpe.parenChars(lit("a"))) == "(a)")
+    assert(one(Bpe.parenChars(lit(""))) == "()")
+  }
+
+  test("merge replacement is exact-boundary: symbols never match inside neighbors") {
+    // "(at)(ha)" contains the chars t,h adjacently but NOT the pair (t)(h)
+    val enc = lit("(at)(ha)")
+    assert(one(Bpe.applyMerges(enc, Seq("t" -> "h"))) == "(at)(ha)")
+  }
+
+  test("merge handles adjacent repeats left-to-right non-overlapping") {
+    // canonical single-pass: (t)(h)(t)(h) → (th)(th); (a)(a)(a) → (aa)(a)
+    assert(one(Bpe.applyMerges(lit("(t)(h)(t)(h)"), Seq("t" -> "h"))) == "(th)(th)")
+    assert(one(Bpe.applyMerges(lit("(a)(a)(a)"), Seq("a" -> "a"))) == "(aa)(a)")
+  }
+
+  test("sequential rank-order application builds multi-char symbols") {
+    val merges = Seq("t" -> "h", "th" -> "e", "t" -> "a", "l" -> "e",
+      "ta" -> "b", "tab" -> "le")
+    assert(one(Bpe.encodeWord(lit("table"), merges)) == "(table)")
+    assert(one(Bpe.encodeWord(lit("the"), merges)) == "(the)")
+    assert(one(Bpe.encodeWord(lit("tables"), merges)) == "(table)(s)")
+  }
+
+  test("symbols / symbolPairs / symbolCount round-trip the paren form") {
+    assert(one(Bpe.symbols(lit("(th)(e)"))) == Seq("th", "e"))
+    assert(one(Bpe.symbols(lit("()"))) == Seq())
+    assert(one(Bpe.symbolPairs(lit("(t)(h)(e)"))) == Seq("t h", "h e"))
+    assert(one(Bpe.symbolPairs(lit("(the)"))) == Seq())
+    assert(one(Bpe.symbolCount(lit("(th)(e)|(a)"))) == 3L)
+    assert(one(Bpe.symbolCount(lit(""))) == 0L)
+  }
+
+  test("pairCounts counts occurrences across words and documents") {
+    import spark.implicits._
+    val df = Seq("the then", "the").toDF("text")
+    val counts = Bpe.pairCounts(df, col("text")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "the" x2 + "then": t-h 3, h-e 3, e-n 1
+    assert(counts("t h") == 3L && counts("h e") == 3L && counts("e n") == 1L)
+  }
+
+  test("train learns the expected merges on a constructed corpus") {
+    import spark.implicits._
+    // "low" x4, "lower" x2: (l,o) and (o,w) tie at 6; tie-break on the pair
+    // string picks "l o" first, then (lo,w) dominates; at step 3 "e r" and
+    // "low e" tie at 2 and "e r" wins the tie-break
+    val df = Seq("low low low low", "lower lower").toDF("text")
+    val (merges, hist) = Bpe.train(df, col("text"), steps = 3)
+    assert(merges == Seq("l" -> "o", "lo" -> "w", "e" -> "r"))
+    assert(hist.map(_._3) == Seq(6L, 6L, 2L))
+    // encoding under the learned table reflects the merges
+    assert(one(Bpe.encodeWord(lit("lower"), merges)) == "(low)(er)")
+  }
+
+  test("train stops early when no pairs remain") {
+    import spark.implicits._
+    val df = Seq("a b c").toDF("text")
+    val (merges, hist) = Bpe.train(df, col("text"), steps = 5)
+    assert(merges.isEmpty && hist.isEmpty)
+  }
+
+  test("c4KeepLine enforces punct, min words, javascript, and brace rules") {
+    def keep(s: String): Boolean =
+      one(TF.c4KeepLine(lit(s))).asInstanceOf[Boolean]
+    assert(keep("this line has plenty of words and ends well."))
+    assert(keep("does this line end with a question mark?"))
+    assert(!keep("this line has plenty of words but no terminal punct"))
+    assert(!keep("tiny line."))
+    assert(!keep("enable javascript to view this fine content please."))
+    assert(!keep("function f() { return a plus b to the caller; }."))
+  }
+
+  test("c4KeptLines + c4Passes gate pages on kept lines and lorem ipsum") {
+    val good = (1 to 3).map(i => s"good line number $i with enough words here.")
+    val page = (good :+ "bad line").mkString("\n")
+    assert(one(TF.c4KeptLines(lit(page))) == good)
+    assert(one(TF.c4Passes(lit(page))).asInstanceOf[Boolean])
+    // one fewer kept line → fails the >=3 gate
+    assert(!one(TF.c4Passes(lit(good.take(2).mkString("\n"))))
+      .asInstanceOf[Boolean])
+    // lorem ipsum anywhere kills the page even with enough kept lines
+    assert(!one(TF.c4Passes(lit((good :+ "lorem ipsum dolor sit amet.")
+      .mkString("\n")))).asInstanceOf[Boolean])
+  }
+}
