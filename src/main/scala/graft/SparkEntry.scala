@@ -801,6 +801,22 @@ object SparkEntry {
           Seq("fast merge", "value table", "window table table"))
         .orderBy("doc_id")),
 
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      // near-dup eval-set decontamination: benchmark = every 50th doc
+      // under a disjoint id space. Corpus signatures stay map-only; the
+      // banded benchmark is broadcast; only collisions reach the exact
+      // verify — so the all-pairs exact-jaccard oracle checks the full
+      // candidates-then-verify path end-to-end
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("bench_id"), col("text"))
+      graft.llm.Decontaminate.flaggedFuzzy(
+          docs, "doc_id", "text", bench, "bench_id", "text", threshold = 0.7)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "q_normalize" -> ((s, d) =>
       // canonical corpus normalization (lowercase, punct runs → one space)
       t(s, d, "documents")
@@ -1777,6 +1793,33 @@ object SparkEntry {
                 (-0.125 + sum(COALESCE(w.weight, 0)) / count(*)) > 0 AS keep
          FROM feat f LEFT JOIN w ON f.f = w.token
          GROUP BY f.doc_id ORDER BY f.doc_id""",
+    "q_decontaminate_fuzzy" ->
+      // bipartite all-pairs exact jaccard vs the benchmark subset — the
+      // ground truth the LSH-candidates-then-exact-verify path must equal
+      // at full recall (same tokenizer/shingle CTE as the dedup oracles)
+      """WITH tok AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+           FROM tok
+         ), p AS (
+           SELECT a.doc_id, b.doc_id + 1000000 AS bench_id,
+                  len(list_intersect(a.g, b.g)) AS inter,
+                  len(a.g) AS na, len(b.g) AS nb
+           FROM sh a, (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+         ), j AS (
+           SELECT doc_id, bench_id,
+                  CASE WHEN na + nb - inter = 0 THEN 0.0
+                       ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jac
+           FROM p)
+         SELECT doc_id, bench_id, round(jac, 4) AS jaccard
+         FROM j WHERE jac >= 0.7 ORDER BY doc_id, bench_id""",
     "q_bpe_pairs" ->
       // first-step pair statistics restated naively: every adjacent char
       // pair of every word occurrence, space-separated like the Spark

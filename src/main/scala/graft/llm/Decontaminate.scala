@@ -65,4 +65,60 @@ object Decontaminate {
       .withColumnRenamed(idCol, "__contaminated")
     df.join(bad, col(idCol) === col("__contaminated"), "left_anti")
   }
+
+  /** Fuzzy (near-duplicate) decontamination: every (corpus, benchmark)
+    * pair whose EXACT word-`shingleK`-gram Jaccard reaches `threshold` —
+    * catching the paraphrased / lightly-edited eval contamination that
+    * exact phrase matching ([[flagged]]) misses.
+    *
+    * Scale contract: the corpus side computes its MinHash signature
+    * map-only and never shuffles; the benchmark side (small by definition:
+    * eval sets are thousands of rows vs a 100 TB corpus) is banded and
+    * BROADCAST, so candidate generation is a broadcast hash join in the
+    * corpus scan stage. Only band collisions reach the exact-Jaccard
+    * verification join (Dedup.verifyJaccard: pre-hashed sorted shingles,
+    * merge-walk intersect), so the exact-similarity cost is proportional
+    * to collisions, not |corpus|·|bench|. Banding recall at the threshold
+    * is the same 16×4 contract as minhashDedupVerified.
+    *
+    * Corpus and benchmark id spaces MUST be disjoint (the verification
+    * stage unions both sides into one frame).
+    * Output: (idCol, benchIdCol, jaccard), one row per flagged pair.
+    */
+  def flaggedFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    def banded(df: DataFrame, id: String, text: String, outId: String,
+        outBk: String): DataFrame =
+      Dedup.minhashSignatures(df, id, text, numPerm, shingleK, seed)
+        .select(col("__id").as(outId),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band"),
+              xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
+            .as(outBk))
+    val c = banded(corpus, idCol, textCol, "idA", "bk")
+    val b = banded(bench, benchIdCol, benchTextCol, "idB", "bk2")
+    val cand = c.join(broadcast(b), col("bk") === col("bk2"))
+      .select("idA", "idB").distinct()
+    val docs = corpus.select(col(idCol).as("__uid"), col(textCol).as("__utext"))
+      .unionByName(
+        bench.select(col(benchIdCol).as("__uid"), col(benchTextCol).as("__utext")))
+    Dedup.verifyJaccard(cand, docs, "__uid", "__utext", shingleK,
+        minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA").as(idCol), col("idB").as(benchIdCol), col("jaccard"))
+  }
+
+  /** Corpus minus every document [[flaggedFuzzy]] ties to the benchmark. */
+  def cleanFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val bad = flaggedFuzzy(corpus, idCol, textCol, bench, benchIdCol,
+        benchTextCol, threshold)
+      .select(col(idCol).as("__contaminated")).distinct()
+    corpus.join(bad, col(idCol) === col("__contaminated"), "left_anti")
+  }
 }

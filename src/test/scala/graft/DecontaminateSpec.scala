@@ -45,6 +45,32 @@ class DecontaminateSpec extends SparkSpec {
       Decontaminate.flagged(corpus, "doc_id", "text", Seq("", "  ")))
   }
 
+  test("flaggedFuzzy catches paraphrased near-matches exact phrases miss") {
+    import spark.implicits._
+    // bench doc 101 is a lightly-edited copy of corpus doc 1 (one word
+    // swapped): high 3-gram jaccard, but no long exact phrase survives at
+    // every position — the fuzzy path's reason to exist
+    val corp = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words that match nothing in the benchmark"),
+      (4L, "short"),
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (102L, "unrelated benchmark row with its own vocabulary entirely"),
+    ).toDF("bench_id", "text")
+    val got = Decontaminate.flaggedFuzzy(corp, "doc_id", "text",
+        bench, "bench_id", "text", threshold = 0.7)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    // 8 shingles each, 7 shared → j = 7/9 ≈ 0.78 for docs 1 and 2
+    assert(got == Set((1L, 101L), (2L, 101L)))
+    val kept = Decontaminate.cleanFuzzy(corp, "doc_id", "text",
+        bench, "bench_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("Decontaminate + NormalizeText TOML components") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "in.csv").toPath,
