@@ -239,6 +239,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"ranking must not be a window:\n$p")
   }
 
+  test("BPE encode is map-only (no shuffle, no explode)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val p = plan(docs.select(col("doc_id"),
+      graft.llm.Bpe.symbolCount(graft.llm.Bpe.encodeText(col("text"), merges))))
+    assert(!p.contains("Exchange"), s"BPE encode should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"BPE encode should not explode:\n$p")
+  }
+
+  test("BPE pair counting shuffles exactly once (the pair aggregate)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Bpe.pairCounts(docs, col("text")))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"pair counting should shuffle exactly once:\n$p")
+    assert(p.contains("partial_count"), s"count should combine map-side:\n$p")
+  }
+
+  test("C4 page filtering is map-only (no shuffle, no explode)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.c4KeptLines(col("text"))).as("n"),
+      graft.functions.TextFunctions.c4Passes(col("text")).as("ok")))
+    assert(!p.contains("Exchange"), s"C4 filtering should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"C4 filtering should not explode:\n$p")
+  }
+
+  test("fuzzy decontamination broadcasts the benchmark side, never a window") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("bench_id"), col("text"))
+    val p = finalPlan(graft.llm.Decontaminate.flaggedFuzzy(
+      docs, "doc_id", "text", bench, "bench_id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark band keys should broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
+    // the full corpus must not hash-partition on its band key: candidates
+    // come from the broadcast join in the scan stage
+    assert(!p.contains("Exchange hashpartitioning(bk"),
+      s"corpus band keys must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
