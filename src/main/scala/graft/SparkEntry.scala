@@ -836,6 +836,19 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q_mix_temperature" -> ((s, d) =>
+      // UniMax-style temperature-balanced multilingual sampling (α=0.5):
+      // per-language sizes from ONE bounded agg (driver holds one row per
+      // LANGUAGE), rates ∝ sqrt(n)/n upweight tail languages, selection is
+      // the same map-only deterministic hash filter as q_sample_stratified.
+      // α=0.5 because sqrt is correctly rounded in every IEEE engine (pow
+      // is not), so the oracle re-derives the exact integer thresholds
+      graft.llm.Mix.temperatureSample(
+          t(s, d, "documents"), col("lang"), budget = 300,
+          pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "q_pack_sequences" -> ((s, d) =>
       // concat-then-chunk sequence packing per uniform shard: one shuffle
       // (window partition), sequences never span shards
@@ -1669,6 +1682,36 @@ object SparkEntry {
          WHERE ((doc_id % 2147483647) * 2654435761) % 1000000 <
                CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
                          WHEN 'zh' THEN 100000 WHEN 'fr' THEN 1000000 ELSE 0 END
+         ORDER BY doc_id""",
+    "q_mix_temperature" ->
+      // the rate derivation replayed exactly: sqrt weights summed
+      // left-to-right over name-sorted languages (matching the Scala fold),
+      // min(1, budget·(w/W)/n) truncated to the same integer threshold
+      """WITH c AS (
+           SELECT
+             (SELECT count(*) FROM documents WHERE lang = 'de') AS nde,
+             (SELECT count(*) FROM documents WHERE lang = 'en') AS nen,
+             (SELECT count(*) FROM documents WHERE lang = 'es') AS nes,
+             (SELECT count(*) FROM documents WHERE lang = 'fr') AS nfr,
+             (SELECT count(*) FROM documents WHERE lang = 'zh') AS nzh
+         ), w AS (
+           SELECT nde, nen, nes, nfr, nzh,
+                  sqrt(nde) + sqrt(nen) + sqrt(nes) + sqrt(nfr) + sqrt(nzh)
+                    AS wsum
+           FROM c
+         ), th AS (
+           SELECT
+             CAST(FLOOR(LEAST(1.0, 300 * (sqrt(nde) / wsum) / nde) * 1000000) AS BIGINT) AS tde,
+             CAST(FLOOR(LEAST(1.0, 300 * (sqrt(nen) / wsum) / nen) * 1000000) AS BIGINT) AS ten,
+             CAST(FLOOR(LEAST(1.0, 300 * (sqrt(nes) / wsum) / nes) * 1000000) AS BIGINT) AS tes,
+             CAST(FLOOR(LEAST(1.0, 300 * (sqrt(nfr) / wsum) / nfr) * 1000000) AS BIGINT) AS tfr,
+             CAST(FLOOR(LEAST(1.0, 300 * (sqrt(nzh) / wsum) / nzh) * 1000000) AS BIGINT) AS tzh
+           FROM w)
+         SELECT doc_id, lang FROM documents, th
+         WHERE ((doc_id % 2147483647) * 2654435761) % 1000000 <
+               CASE lang WHEN 'de' THEN tde WHEN 'en' THEN ten
+                         WHEN 'es' THEN tes WHEN 'fr' THEN tfr
+                         WHEN 'zh' THEN tzh ELSE 0 END
          ORDER BY doc_id""",
     "q_pack_sequences" ->
       """WITH s AS (

@@ -54,6 +54,48 @@ object Mix {
     df.filter(pmod(hash, lit(Buckets)) < threshold)
   }
 
+  /** UniMax/α-style temperature rates: stratum `i` with `n_i` rows gets
+    * weight `n_i^alpha`; a total `budget` of rows is allotted
+    * proportionally and converted to a per-stratum keep rate
+    * `min(1, budget·(w_i/W)/n_i)` — `alpha < 1` upweights tail strata
+    * (the multilingual-balancing step of every large pretraining mix).
+    *
+    * Determinism contract: the weight sum runs left-to-right over strata
+    * SORTED BY NAME, and `alpha = 0.5` uses `sqrt` — correctly rounded in
+    * every IEEE engine, so an external oracle re-derives the exact
+    * thresholds. Other alphas go through `pow`, which engines only
+    * guarantee to ~1 ulp; rates remain deterministic WITHIN Spark either
+    * way.
+    */
+  def temperatureRates(sizes: Seq[(String, Long)], budget: Long,
+      alpha: Double = 0.5): Map[String, Double] = {
+    require(sizes.nonEmpty, "temperatureRates: no strata")
+    require(sizes.forall(_._2 > 0), "temperatureRates: empty stratum")
+    val sorted = sizes.sortBy(_._1)
+    val ws = sorted.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val wSum = ws.foldLeft(0.0)(_ + _)
+    sorted.zip(ws).map { case ((k, n), w) =>
+      k -> math.min(1.0, budget.toDouble * (w / wSum) / n.toDouble)
+    }.toMap
+  }
+
+  /** Temperature-balanced deterministic sample: ONE bounded aggregation
+    * derives the per-stratum sizes (driver state = one row per stratum —
+    * languages, not documents), [[temperatureRates]] turns them into keep
+    * rates, and the selection itself is the same map-only hash-threshold
+    * filter as [[stratified]]. Two corpus scans total (count + filter), no
+    * shuffle beyond the bounded count agg, retry-stable like every sampler
+    * here.
+    */
+  def temperatureSample(df: DataFrame, strata: Column, budget: Long,
+      hash: Column, alpha: Double = 0.5): DataFrame = {
+    val sizes = df.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getAs[String]("__s") -> r.getAs[Long]("__n")).toSeq
+    stratified(df, strata, temperatureRates(sizes, budget, alpha), hash)
+  }
+
   /** Deterministic global corpus shuffle — the pre-training step that
     * orders documents pseudo-randomly but REPRODUCIBLY before packing into
     * sequences: every run, on any cluster layout, assigns each row the same

@@ -33,7 +33,9 @@ class MetricsSpec extends SparkSpec {
     t.setDaemon(true); t.start()
     try f(sock.getLocalPort, () => {
       import scala.jdk.CollectionConverters._
-      received.asScala.toSeq
+      // synchronizedList still requires manual locking around ITERATION —
+      // copying while the listener thread appends throws CME otherwise
+      received.synchronized(received.asScala.toList)
     })
     finally { running = false; sock.close() }
   }

@@ -137,4 +137,39 @@ class MixSpec extends SparkSpec {
     assert(Mix.budgetSelect(df, col("score"), col("sz"), 50L, col("id"),
       maxDistinctScores = 100).count() == 50L)
   }
+
+  test("temperatureRates: α=0.5 upweights tail strata, caps at 1, α=1 is proportional") {
+    val sizes = Seq("big" -> 9000L, "small" -> 900L)
+    val r = Mix.temperatureRates(sizes, budget = 1000)
+    // rate ∝ sqrt(n)/n = 1/sqrt(n): a 10× smaller stratum keeps a
+    // sqrt(10) ≈ 3.16× higher rate
+    assert(r("small") / r("big") > 3.0 && r("small") / r("big") < 3.4)
+    // expected row yield ≈ budget when nothing caps
+    val yielded = sizes.map { case (k, n) => r(k) * n }.sum
+    assert(math.abs(yielded - 1000.0) < 1e-6)
+    // a tiny stratum's allotment can exceed its size → rate caps at 1.0
+    val capped = Mix.temperatureRates(Seq("a" -> 4L, "b" -> 10000L), budget = 5000)
+    assert(capped("a") == 1.0)
+    // α=1 degenerates to uniform sampling: same rate everywhere
+    val prop = Mix.temperatureRates(sizes, budget = 1000, alpha = 1.0)
+    assert(math.abs(prop("big") - prop("small")) < 1e-12)
+    intercept[IllegalArgumentException](
+      Mix.temperatureRates(Seq("a" -> 0L), budget = 10))
+  }
+
+  test("temperatureSample selects deterministically under the derived rates") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 10 == 0) "tail" else "head"))
+      .toDF("id", "lang")
+    val hash = pmod(col("id"), lit(2147483647L)) * lit(2654435761L)
+    val a = Mix.temperatureSample(df, col("lang"), budget = 300, hash = hash)
+      .select("id").as[Long].collect().toSet
+    val b = Mix.temperatureSample(df.repartition(7), col("lang"), budget = 300,
+        hash = hash).select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty, "selection must be partitioning-independent")
+    // tail stratum (100 rows) keeps a larger FRACTION than head (900 rows)
+    val byLang = df.filter(col("id").isin(a.toSeq: _*))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("tail") / 100.0 > byLang("head") / 900.0)
+  }
 }
