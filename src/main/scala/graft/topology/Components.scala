@@ -31,7 +31,7 @@ object BuiltinComponents {
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
-      normalizeText, decontaminate),
+      normalizeText, decontaminate, c4Clean, bpeEncode),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -524,6 +524,59 @@ object BuiltinComponents {
       val padded = concat(lit(" "),
         graft.functions.TextFunctions.normalizeText(col(cfg.str("Field"))), lit(" "))
       df.filter(!phrases.map(p => padded.contains(lit(s" $p "))).reduce(_ || _))
+    })
+
+  val c4Clean: FilterDesc = mkFilter("C4Clean",
+    "C4-style page cleaning: keeps only lines ending in terminal punctuation " +
+      "with at least MinWords words and no javascript/brace markers, writing " +
+      "the surviving lines to DstField. With Gate=true also drops records " +
+      "failing the page gate (lorem ipsum anywhere, or fewer than MinKept " +
+      "surviving lines).",
+    Seq(
+      ConfigKey("SrcField", "field holding the newline-separated page text",
+        required = true),
+      ConfigKey("DstField", "field to store the cleaned text (may equal SrcField)",
+        required = true),
+      ConfigKey("MinWords", "minimum words per kept line", default = Some("5")),
+      ConfigKey("MinKept", "page gate: minimum surviving lines", default = Some("3")),
+      ConfigKey("Gate", "drop records failing the page gate", default = Some("false"))))(
+    (_, cfg) => df => {
+      val minWords = cfg.int("MinWords", 5L).toInt
+      val src = col(cfg.str("SrcField"))
+      val cleaned = df.withColumn(cfg.str("DstField"),
+        array_join(graft.functions.TextFunctions.c4KeptLines(src, minWords), "\n"))
+      if (cfg.bool("Gate", false))
+        cleaned.filter(graft.functions.TextFunctions.c4Passes(src,
+          cfg.int("MinKept", 3L).toInt, minWords))
+      else cleaned
+    })
+
+  val bpeEncode: FilterDesc = mkFilter("BpeEncode",
+    "Byte-pair encodes a text field under a fixed merge table (rules as " +
+      "\"a b\" strings in learned order, e.g. from graft.llm.Bpe.train). " +
+      "DstField receives the paren-form tokenization; CountField (optional) " +
+      "the symbol count — the token budget column packing/mixing consume.",
+    Seq(
+      ConfigKey("SrcField", "field holding the text", required = true),
+      ConfigKey("DstField", "field for the encoded form (may equal SrcField)",
+        required = true),
+      ConfigKey("Merges", "merge rules, each \"left right\"", required = true),
+      ConfigKey("CountField", "optional field for the symbol count")))(
+    (_, cfg) => df => {
+      val merges = cfg.strList("Merges", Nil).map { m =>
+        val parts = m.split(" ", 2)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"BpeEncode: bad merge rule '$m' (want \"left right\")")
+        (parts(0), parts(1))
+      }
+      require(merges.nonEmpty, "BpeEncode: Merges must be non-empty")
+      val enc = graft.llm.Bpe.encodeText(col(cfg.str("SrcField")), merges)
+      val out = df.withColumn(cfg.str("DstField"), enc)
+      cfg.strOpt("CountField") match {
+        case Some(cf) => out.withColumn(cf,
+          graft.llm.Bpe.symbolCount(col(cfg.str("DstField"))))
+        case None => out
+      }
     })
 
   // ===================== outputs =====================

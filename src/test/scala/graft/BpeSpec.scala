@@ -85,6 +85,52 @@ class BpeSpec extends SparkSpec {
     assert(!keep("function f() { return a plus b to the caller; }."))
   }
 
+  test("C4Clean + BpeEncode TOML components") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-c4bpe").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "in.csv").toPath,
+      "1|this good line has plenty of words here.\n" +
+        "2|tiny line.\n" +
+        "3|that the\n")
+    val toml =
+      s"""[fields]
+         |names = ["id", "text", "bpe", "n_bpe"]
+         |[csv]
+         |field_separator = "|"
+         |[[filter]]
+         |name = "BpeEncode"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "bpe"
+         |  CountField = "n_bpe"
+         |  Merges = ["t h", "th e", "th a", "tha t"]
+         |[[filter]]
+         |name = "C4Clean"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "text"
+         |  MinKept = 1
+         |  Gate = true
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$dir/in.csv"]
+         |[output]
+         |name = "Recorder"
+         |fields = ["id", "text", "bpe", "n_bpe"]
+         |""".stripMargin
+    graft.topology.Topology.compileToml(spark, toml, env = Map.empty).run()
+    // record 2 fails the line rules (2 words) and record 3 has no terminal
+    // punctuation: with Gate=true only record 1 survives; its BPE encoding
+    // (computed BEFORE the gate) reflects the merge chain
+    val rows = graft.topology.BuiltinComponents.Recorder.last
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.getString(0) == "1")
+    assert(r.getString(1) == "this good line has plenty of words here.")
+    assert(r.getString(2).startsWith("(th)(i)(s)|(g)(o)(o)(d)|"))
+    assert(r.getString(3).toLong == r.getString(2).count(_ == '(').toLong)
+  }
+
   test("c4KeptLines + c4Passes gate pages on kept lines and lorem ipsum") {
     val good = (1 to 3).map(i => s"good line number $i with enough words here.")
     val page = (good :+ "bad line").mkString("\n")
