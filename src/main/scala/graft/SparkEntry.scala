@@ -64,7 +64,7 @@ object SparkEntry {
     val head =
       """WITH w0 AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-           FROM documents WHERE trim(text) <> ''
+           FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
          ), e0 AS (
            SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS e
            FROM w0
@@ -916,11 +916,15 @@ object SparkEntry {
 
     "q_bpe_train" -> ((s, d) => {
       // REAL iterative BPE merge training: 4 argmax steps, each re-encoding
-      // the corpus under the merges learned so far. Driver state = the
-      // merge table (4 short strings). The oracle replays the identical
-      // 4 steps as chained CTEs with scalar-subquery argmaxes — the trained
-      // rules themselves are hash-checked, not just one step
-      val (_, hist) = graft.llm.Bpe.train(t(s, d, "documents"), col("text"), steps = 4)
+      // under the merges learned so far. Driver state = the merge table
+      // (4 short strings). Trains on the deterministic half-sample — the
+      // production shape: vocabularies are learned from a sample, then the
+      // FIXED table encodes the full corpus map-only (q_bpe_encode). The
+      // oracle replays the identical 4 steps over the identical sample as
+      // chained CTEs with scalar-subquery argmaxes — the trained rules
+      // themselves are hash-checked, not just one step
+      val sample = t(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === 0)
+      val (_, hist) = graft.llm.Bpe.train(sample, col("text"), steps = 4)
       import s.implicits._
       hist.toDF("step", "pair", "cnt").orderBy("step")
     }),
