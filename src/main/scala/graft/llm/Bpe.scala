@@ -115,17 +115,23 @@ object Bpe {
     import org.apache.spark.storage.StorageLevel
     var enc = df.select(encodeWords(textCol, Nil).as("__ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var parent: Option[DataFrame] = None
     var merges = Vector.empty[(String, String)]
     var hist = Vector.empty[(Int, String, Long)]
     var step = 1
     var done = false
     try {
       while (step <= steps && !done) {
+        // ONE job per step: the pair argmax also materializes this step's
+        // cached encoding (computed lazily from the parent's cache + one
+        // replace), after which the parent cache can go
         val top = enc
           .select(explode(flatten(transform(col("__ws"), e => symbolPairs(e))))
             .as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        parent.foreach(_.unpersist(false))
+        parent = None
         if (top.isEmpty) done = true
         else {
           val pair = top(0).getAs[String]("pair")
@@ -137,14 +143,16 @@ object Bpe {
             val next = enc.select(transform(col("__ws"),
                 e => replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))).as("__ws"))
               .persist(StorageLevel.MEMORY_AND_DISK)
-            next.count() // materialize before dropping the parent cache
-            enc.unpersist(false)
+            parent = Some(enc)
             enc = next
           }
         }
         step += 1
       }
-    } finally enc.unpersist(false)
+    } finally {
+      enc.unpersist(false)
+      parent.foreach(_.unpersist(false))
+    }
     (merges, hist)
   }
 }
