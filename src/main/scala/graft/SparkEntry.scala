@@ -41,16 +41,27 @@ object SparkEntry {
     "tab" -> "le", "s" -> "c", "o" -> "r", "e" -> "r", "a" -> "n",
     "s" -> "t", "r" -> "o")
 
-  /** The paren-form char split of one word, as DuckDB SQL over `w`. */
-  private val bpeParenSql: String =
-    "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+  /** Bpe's reserved symbol delimiters, embedded RAW in the oracle SQL
+    * (Verify's JSON dump escapes control chars; DuckDB literals accept
+    * them).
+    */
+  private val bpeO = graft.llm.Bpe.Open
+  private val bpeC = graft.llm.Bpe.Close
+
+  /** The delimiter-wrapped char split of one word, as DuckDB SQL over `w` —
+    * mirrors Bpe.wrapChars, including stripping the reserved delimiters
+    * from input.
+    */
+  private val bpeWrapSql: String =
+    s"'$bpeO' || array_to_string(list_filter(string_split(w, ''), " +
+      s"ch -> ch <> '$bpeO' AND ch <> '$bpeC'), '$bpeC$bpeO') || '$bpeC'"
 
   /** Chain [[bpeDemoMerges]] as literal replaces over a SQL expression —
     * the oracle-side mirror of Bpe.applyMerges.
     */
   private def bpeReplaceChainSql(inner: String): String =
     bpeDemoMerges.foldLeft(inner) { case (acc, (a, b)) =>
-      s"replace($acc, '($a)($b)', '($a$b)')"
+      s"replace($acc, '$bpeO$a$bpeC$bpeO$b$bpeC', '$bpeO$a$b$bpeC')"
     }
 
   /** Oracle for q_bpe_train: replay `steps` training iterations as chained
@@ -62,11 +73,11 @@ object SparkEntry {
     */
   private def bpeTrainOracleSql(steps: Int): String = {
     val head =
-      """WITH w0 AS (
-           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      s"""WITH w0 AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
            FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
          ), e0 AS (
-           SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS e
+           SELECT $bpeWrapSql AS e
            FROM w0
          )"""
     val stepCtes = (1 to steps).map { i =>
@@ -76,16 +87,16 @@ object SparkEntry {
                   count(*) AS cnt
            FROM (
              SELECT sym, unnest(generate_series(1, len(sym) - 1)) AS j
-             FROM (SELECT string_split(substr(e, 2, length(e) - 2), ')(') AS sym
+             FROM (SELECT string_split(substr(e, 2, length(e) - 2), '$bpeC$bpeO') AS sym
                    FROM $prev WHERE length(e) > 2))
            GROUP BY pair
          ), t$i AS (
            SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1
          ), e$i AS (
            SELECT replace(e,
-             '(' || split_part((SELECT pair FROM t$i), ' ', 1) || ')(' ||
-                    split_part((SELECT pair FROM t$i), ' ', 2) || ')',
-             '(' || replace((SELECT pair FROM t$i), ' ', '') || ')') AS e
+             '$bpeO' || split_part((SELECT pair FROM t$i), ' ', 1) || '$bpeC$bpeO' ||
+                    split_part((SELECT pair FROM t$i), ' ', 2) || '$bpeC',
+             '$bpeO' || replace((SELECT pair FROM t$i), ' ', '') || '$bpeC') AS e
            FROM $prev
          )"""
     }.mkString
@@ -931,7 +942,7 @@ object SparkEntry {
 
     "q_bpe_encode" -> ((s, d) =>
       // map-only BPE encode under the fixed demo merge table: symbol count
-      // + md5 of the full paren-form tokenization (pins the exact symbol
+      // + md5 of the full delimited tokenization (pins the exact symbol
       // sequence, not just counts). The merge loop is literal `replace` on
       // exact symbol boundaries — the oracle replays it verbatim in SQL
       t(s, d, "documents")
@@ -1884,15 +1895,15 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracleSql(4),
     "q_bpe_encode" ->
       // the merge chain replayed verbatim as literal replaces over the
-      // paren-wrapped char split; symbol count = '(' count of the encoding
+      // delimiter-wrapped char split; symbol count = open-delimiter count
       s"""WITH e AS (
            SELECT doc_id,
                   array_to_string(list_transform(
                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                          ELSE regexp_split_to_array(trim(text), '\\s+') END,
-                    w -> ${bpeReplaceChainSql(bpeParenSql)}), '|') AS enc
+                    w -> ${bpeReplaceChainSql(bpeWrapSql)}), '|') AS enc
            FROM documents)
-         SELECT doc_id, length(enc) - length(replace(enc, '(', '')) AS n_bpe,
+         SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
     "q_c4_filters" ->

@@ -10,14 +10,19 @@ import graft.functions.TextFunctions
   * Words with Subword Units"), re-expressed as Column algebra.
   *
   * Representation: an encoded word is its symbol sequence wrapped
-  * symbol-by-symbol in parentheses — "that" → "(t)(h)(a)(t)" — and the
-  * merge (t,h) is the literal replacement "(t)(h)" → "(th)". Matches are
-  * exact-boundary (a symbol can never match inside another symbol: its
-  * closing/opening parens would have to match a paren inside the neighbor),
-  * left-to-right, and non-overlapping — precisely the canonical single-pass
-  * merge — and the whole encoder is plain `replace`, expressible identically
-  * in ANY engine: no regex, no lookbehind, so even an RE2-only oracle
-  * (DuckDB) reproduces it byte-for-byte.
+  * symbol-by-symbol in the reserved delimiters [[Open]]/[[Close]] (shown
+  * here as ⟨⟩) — "that" → "⟨t⟩⟨h⟩⟨a⟩⟨t⟩" — and the merge (t,h) is the
+  * literal replacement "⟨t⟩⟨h⟩" → "⟨th⟩". Matches are exact-boundary (a
+  * symbol can never match inside another symbol: its delimiters would have
+  * to match delimiters inside the neighbor), left-to-right, and
+  * non-overlapping — precisely the canonical single-pass merge — and the
+  * whole encoder is plain `replace`, expressible identically in ANY
+  * engine: no regex, no lookbehind, so even an RE2-only oracle (DuckDB)
+  * reproduces it byte-for-byte. The delimiters are two control characters
+  * carrying no text meaning, STRIPPED from input during the char split
+  * (the standard tokenizer-reserved-byte move); every other character —
+  * parentheses and pipes included — passes through as ordinary symbol
+  * content.
   *
   * Applying the merge table sequentially in rank order equals the
   * lowest-rank-present loop of the original implementation because a
@@ -36,41 +41,57 @@ import graft.functions.TextFunctions
   */
 object Bpe {
 
-  /** "that" → "(t)(h)(a)(t)"; empty word → "()" (zero symbols). */
-  def parenChars(w: Column): Column =
-    concat(lit("("), array_join(filter(split(w, ""), c => c =!= ""), ")("), lit(")"))
+  /** Symbol-open delimiter (U+0001), reserved by the encoding. */
+  val Open = "\u0001"
 
-  /** Apply `merges` in rank order to an already-paren-wrapped word. */
+  /** Symbol-close delimiter (U+0002), reserved by the encoding. */
+  val Close = "\u0002"
+
+  /** "that" → Open+"t"+Close+Open+"h"+Close+… ; empty word → Open+Close
+    * (zero symbols). Reserved delimiter chars in the input are stripped
+    * here — they carry no text meaning and would forge symbol boundaries;
+    * every OTHER character (parens, pipes, …) passes through as ordinary
+    * symbol content.
+    */
+  def wrapChars(w: Column): Column =
+    concat(lit(Open),
+      array_join(filter(split(w, ""),
+        c => c =!= "" && c =!= Open && c =!= Close), Close + Open),
+      lit(Close))
+
+  /** Apply `merges` in rank order to an already-wrapped word. */
   def applyMerges(enc: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(enc) { case (acc, (a, b)) =>
-      replace(acc, lit(s"($a)($b)"), lit(s"($a$b)"))
+      replace(acc, lit(s"$Open$a$Close$Open$b$Close"), lit(s"$Open$a$b$Close"))
     }
 
-  /** Encode one word to its paren form under `merges`. */
+  /** Encode one word to its delimited form under `merges`. */
   def encodeWord(w: Column, merges: Seq[(String, String)]): Column =
-    applyMerges(parenChars(w), merges)
+    applyMerges(wrapChars(w), merges)
 
-  /** Per-document array of paren-encoded words (whitespace tokenization,
-    * same contract as [[TextFunctions.tokens]]).
+  /** Per-document array of delimiter-encoded words (whitespace
+    * tokenization, same contract as [[TextFunctions.tokens]]).
     */
   def encodeWords(text: Column, merges: Seq[(String, String)]): Column =
     transform(TextFunctions.tokens(text), w => encodeWord(w, merges))
 
-  /** Whole document as one encoded string, words joined with "|" — the
-    * word separator can never collide with a symbol boundary, so symbol
-    * counts and hashes of this string identify the tokenization exactly.
+  /** Whole document as one encoded string, words joined with "|". A "|"
+    * INSIDE a word is ordinary symbol content (it sits between delimiters);
+    * the joiner sits between Close and Open, a position no symbol char can
+    * occupy, so counts and hashes of this string identify the tokenization
+    * exactly.
     */
   def encodeText(text: Column, merges: Seq[(String, String)]): Column =
     array_join(encodeWords(text, merges), "|")
 
-  /** Number of symbols in an encoded string = its count of '(' chars. */
+  /** Number of symbols in an encoded string = its count of Open chars. */
   def symbolCount(enc: Column): Column =
-    (length(enc) - length(replace(enc, lit("("), lit("")))).cast("long")
+    (length(enc) - length(replace(enc, lit(Open), lit("")))).cast("long")
 
-  /** Symbols of one paren-encoded word: "(th)(e)" → ["th","e"]. */
+  /** Symbols of one delimiter-encoded word: ⟨th⟩⟨e⟩ → ["th","e"]. */
   def symbols(enc: Column): Column =
     when(length(enc) <= lit(2), array().cast("array<string>"))
-      .otherwise(split(enc.substr(lit(2), length(enc) - 2), "\\)\\("))
+      .otherwise(split(enc.substr(lit(2), length(enc) - 2), Close + Open))
 
   /** Adjacent symbol pairs of one encoded word, as "a b" strings (symbols
     * come from whitespace tokenization, so the space separator is safe).
@@ -88,13 +109,17 @@ object Bpe {
     * Output: (pair, cnt). One explode + one map-side-combined aggregation.
     */
   def pairCounts(df: DataFrame, textCol: Column,
-      merges: Seq[(String, String)] = Nil): DataFrame = {
-    val perDoc = TextFunctions.bindOnce(encodeWords(textCol, merges)) { ws =>
-      flatten(transform(ws, e => symbolPairs(e)))
-    }
-    df.select(explode(perDoc).as("pair"))
+      merges: Seq[(String, String)] = Nil): DataFrame =
+    pairCountsOfWords(df.select(encodeWords(textCol, merges).as("__ws")))
+
+  /** [[pairCounts]] over an already-encoded words column `__ws` — the
+    * shape [[train]] aggregates per step (one explode + one
+    * map-side-combined count; PlanShapeSpec pins it).
+    */
+  private def pairCountsOfWords(enc: DataFrame): DataFrame =
+    enc.select(explode(flatten(transform(col("__ws"), e => symbolPairs(e))))
+        .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Train `steps` merge rules by repeated argmax of the pair counts, ties
     * broken on the pair string so training is deterministic. Returns the
@@ -125,10 +150,7 @@ object Bpe {
         // ONE job per step: the pair argmax also materializes this step's
         // cached encoding (computed lazily from the parent's cache + one
         // replace), after which the parent cache can go
-        val top = enc
-          .select(explode(flatten(transform(col("__ws"), e => symbolPairs(e))))
-            .as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        val top = pairCountsOfWords(enc)
           .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
         parent.foreach(_.unpersist(false))
         parent = None
@@ -141,7 +163,7 @@ object Bpe {
           hist = hist :+ ((step, pair, cnt))
           if (step < steps) {
             val next = enc.select(transform(col("__ws"),
-                e => replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))).as("__ws"))
+                e => applyMerges(e, Seq((a, b)))).as("__ws"))
               .persist(StorageLevel.MEMORY_AND_DISK)
             parent = Some(enc)
             enc = next

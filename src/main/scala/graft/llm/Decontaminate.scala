@@ -93,19 +93,24 @@ object Decontaminate {
     val r = numPerm / bands
     def banded(df: DataFrame, id: String, text: String, outId: String,
         outBk: String): DataFrame =
-      Dedup.minhashSignatures(df, id, text, numPerm, shingleK, seed)
-        .select(col("__id").as(outId),
-          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            struct(b.as("band"),
-              xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
-            .as(outBk))
+      Dedup.bandKeys(
+          Dedup.minhashSignatures(df, id, text, numPerm, shingleK, seed),
+          bands, r)
+        .select(col("__id").as(outId), col("bk").as(outBk))
     val c = banded(corpus, idCol, textCol, "idA", "bk")
     val b = banded(bench, benchIdCol, benchTextCol, "idB", "bk2")
     val cand = c.join(broadcast(b), col("bk") === col("bk2"))
       .select("idA", "idB").distinct()
+    // verification only ever needs the documents that COLLIDED: semi-join
+    // both sides down to candidate ids first, so the exact-shingle pass
+    // (and its reuse-point exchange inside verifyJaccard) shuffles
+    // O(collisions) rows, never the corpus
+    val candIds = cand.select(col("idA").as("__cid"))
+      .unionByName(cand.select(col("idB").as("__cid"))).distinct()
     val docs = corpus.select(col(idCol).as("__uid"), col(textCol).as("__utext"))
       .unionByName(
         bench.select(col(benchIdCol).as("__uid"), col(benchTextCol).as("__utext")))
+      .join(candIds, col("__uid") === col("__cid"), "left_semi")
     Dedup.verifyJaccard(cand, docs, "__uid", "__utext", shingleK,
         minJaccard = threshold)
       .filter(col("jaccard") >= threshold)

@@ -103,6 +103,19 @@ object Dedup {
     * uniform except for true duplicate clusters, which AQE skew-split
     * handles; the two join sides share one ReusedExchange.
     */
+  /** (id, sig) frame → (id, sig, bk) with one exploded band-key struct per
+    * band — the banding expression shared by the self-join dedup here and
+    * the bipartite fuzzy decontamination (Decontaminate.flaggedFuzzy), so
+    * the 16×4 recall contract lives in exactly one place. Note the single
+    * reference to __sig (vs an N-way array() that would inline the
+    * signature expression N times under projection collapse).
+    */
+  private[llm] def bandKeys(sigd: DataFrame, bands: Int, r: Int): DataFrame =
+    sigd.select(col("__id"), col("__sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
+        .as("bk"))
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, numPerm: Int = 64,
       bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 0): DataFrame = {
@@ -115,12 +128,7 @@ object Dedup {
     // above the exchange is recomputed per side, but that's cheap slices.)
     val sigd = minhashSignatures(df, idCol, textCol, numPerm, shingleK, seed)
       .repartition(col("__id"))
-    val banded = sigd.select(col("__id"), col("__sig"),
-      // single reference to __sig (vs an N-way array() that would inline the
-      // signature expression N times under projection collapse)
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bh"))))
-        .as("bk"))
+    val banded = bandKeys(sigd, bands, r)
     val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
     // distinct join key name on the right: a("bk")===b("bk") on two frames
     // cut from the same plan resolves to the ambiguous self-join attribute

@@ -91,9 +91,15 @@ object Mix {
     */
   def temperatureSample(df: DataFrame, strata: Column, budget: Long,
       hash: Column, alpha: Double = 0.5): DataFrame = {
-    val sizes = df.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n"))
+    // null strata are excluded from the size derivation AND from selection
+    // (stratified's defaultRate 0 never keeps them) — and the stratum is
+    // cast to string so non-string columns get rates keyed consistently
+    // with stratified's string CASE match
+    val sizes = df.filter(strata.isNotNull)
+      .groupBy(strata.cast("string").as("__s")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getAs[String]("__s") -> r.getAs[Long]("__n")).toSeq
-    stratified(df, strata, temperatureRates(sizes, budget, alpha), hash)
+    stratified(df, strata.cast("string"), temperatureRates(sizes, budget, alpha),
+      hash)
   }
 
   /** Deterministic global corpus shuffle — the pre-training step that

@@ -543,12 +543,15 @@ object BuiltinComponents {
     (_, cfg) => df => {
       val minWords = cfg.int("MinWords", 5L).toInt
       val src = col(cfg.str("SrcField"))
-      val cleaned = df.withColumn(cfg.str("DstField"),
-        array_join(graft.functions.TextFunctions.c4KeptLines(src, minWords), "\n"))
-      if (cfg.bool("Gate", false))
-        cleaned.filter(graft.functions.TextFunctions.c4Passes(src,
+      // gate FIRST, on the original page: when DstField == SrcField the
+      // withColumn overwrite would otherwise hide dropped lines (e.g. a
+      // "lorem ipsum" line without terminal punctuation) from the gate
+      val gated = if (cfg.bool("Gate", false))
+        df.filter(graft.functions.TextFunctions.c4Passes(src,
           cfg.int("MinKept", 3L).toInt, minWords))
-      else cleaned
+      else df
+      gated.withColumn(cfg.str("DstField"),
+        array_join(graft.functions.TextFunctions.c4KeptLines(src, minWords), "\n"))
     })
 
   val bpeEncode: FilterDesc = mkFilter("BpeEncode",

@@ -60,7 +60,9 @@ class BpePropertySpec extends SparkSpec {
 
   test("paren-replace encoding equals canonical lowest-rank BPE on random inputs") {
     import spark.implicits._
-    val alphabet = Seq("a", "b", "c")
+    // parens and pipe in the alphabet: they were the old paren-delimiter
+    // representation's failure shape, and must behave as ordinary symbols
+    val alphabet = Seq("a", "b", "(", ")", "|")
     for (seed <- 1 to 8) {
       val rnd = new scala.util.Random(seed)
       val merges = randomMerges(rnd, alphabet, rnd.nextInt(6) + 1)

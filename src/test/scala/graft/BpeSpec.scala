@@ -10,39 +10,57 @@ class BpeSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): Any =
     spark.range(1).select(c).head().get(0)
 
-  test("parenChars wraps every char; empty word has zero symbols") {
-    assert(one(Bpe.parenChars(lit("that"))) == "(t)(h)(a)(t)")
-    assert(one(Bpe.parenChars(lit("a"))) == "(a)")
-    assert(one(Bpe.parenChars(lit(""))) == "()")
+  /** Delimited form of a symbol sequence: d("t","h") = ⟨t⟩⟨h⟩. */
+  private def d(syms: String*): String =
+    syms.map(s => Bpe.Open + s + Bpe.Close).mkString
+
+  test("wrapChars wraps every char; empty word has zero symbols") {
+    assert(one(Bpe.wrapChars(lit("that"))) == d("t", "h", "a", "t"))
+    assert(one(Bpe.wrapChars(lit("a"))) == d("a"))
+    assert(one(Bpe.wrapChars(lit(""))) == Bpe.Open + Bpe.Close)
   }
 
   test("merge replacement is exact-boundary: symbols never match inside neighbors") {
-    // "(at)(ha)" contains the chars t,h adjacently but NOT the pair (t)(h)
-    val enc = lit("(at)(ha)")
-    assert(one(Bpe.applyMerges(enc, Seq("t" -> "h"))) == "(at)(ha)")
+    // ⟨at⟩⟨ha⟩ contains the chars t,h adjacently but NOT the pair ⟨t⟩⟨h⟩
+    val enc = lit(d("at", "ha"))
+    assert(one(Bpe.applyMerges(enc, Seq("t" -> "h"))) == d("at", "ha"))
   }
 
   test("merge handles adjacent repeats left-to-right non-overlapping") {
-    // canonical single-pass: (t)(h)(t)(h) → (th)(th); (a)(a)(a) → (aa)(a)
-    assert(one(Bpe.applyMerges(lit("(t)(h)(t)(h)"), Seq("t" -> "h"))) == "(th)(th)")
-    assert(one(Bpe.applyMerges(lit("(a)(a)(a)"), Seq("a" -> "a"))) == "(aa)(a)")
+    // canonical single-pass: ⟨t⟩⟨h⟩⟨t⟩⟨h⟩ → ⟨th⟩⟨th⟩; ⟨a⟩⟨a⟩⟨a⟩ → ⟨aa⟩⟨a⟩
+    assert(one(Bpe.applyMerges(lit(d("t", "h", "t", "h")), Seq("t" -> "h")))
+      == d("th", "th"))
+    assert(one(Bpe.applyMerges(lit(d("a", "a", "a")), Seq("a" -> "a")))
+      == d("aa", "a"))
   }
 
   test("sequential rank-order application builds multi-char symbols") {
     val merges = Seq("t" -> "h", "th" -> "e", "t" -> "a", "l" -> "e",
       "ta" -> "b", "tab" -> "le")
-    assert(one(Bpe.encodeWord(lit("table"), merges)) == "(table)")
-    assert(one(Bpe.encodeWord(lit("the"), merges)) == "(the)")
-    assert(one(Bpe.encodeWord(lit("tables"), merges)) == "(table)(s)")
+    assert(one(Bpe.encodeWord(lit("table"), merges)) == d("table"))
+    assert(one(Bpe.encodeWord(lit("the"), merges)) == d("the"))
+    assert(one(Bpe.encodeWord(lit("tables"), merges)) == d("table", "s"))
   }
 
-  test("symbols / symbolPairs / symbolCount round-trip the paren form") {
-    assert(one(Bpe.symbols(lit("(th)(e)"))) == Seq("th", "e"))
-    assert(one(Bpe.symbols(lit("()"))) == Seq())
-    assert(one(Bpe.symbolPairs(lit("(t)(h)(e)"))) == Seq("t h", "h e"))
-    assert(one(Bpe.symbolPairs(lit("(the)"))) == Seq())
-    assert(one(Bpe.symbolCount(lit("(th)(e)|(a)"))) == 3L)
+  test("symbols / symbolPairs / symbolCount round-trip the delimited form") {
+    assert(one(Bpe.symbols(lit(d("th", "e")))) == Seq("th", "e"))
+    assert(one(Bpe.symbols(lit(Bpe.Open + Bpe.Close))) == Seq())
+    assert(one(Bpe.symbolPairs(lit(d("t", "h", "e")))) == Seq("t h", "h e"))
+    assert(one(Bpe.symbolPairs(lit(d("the")))) == Seq())
+    assert(one(Bpe.symbolCount(lit(d("th", "e") + "|" + d("a")))) == 3L)
     assert(one(Bpe.symbolCount(lit(""))) == 0L)
+  }
+
+  test("delimiters are reserved: parens and pipes in text are ordinary symbols") {
+    // the old paren representation's failure shape: a rule whose right side
+    // is ')' must not let a later rule merge ACROSS a symbol ending in ')'
+    val merges = Seq("b" -> ")", "a" -> "b")
+    assert(one(Bpe.encodeWord(lit("ab)"), merges)) == d("a", "b)"))
+    assert(one(Bpe.symbols(Bpe.encodeWord(lit("ab)"), merges))) == Seq("a", "b)"))
+    // '(' and '|' are ordinary one-char symbols; counts stay exact
+    assert(one(Bpe.symbolCount(Bpe.encodeText(lit("(( |"), Nil))) == 3L)
+    // the reserved control chars themselves are stripped from input
+    assert(one(Bpe.wrapChars(lit("a\u0001b\u0002c"))) == d("a", "b", "c"))
   }
 
   test("pairCounts counts occurrences across words and documents") {
@@ -64,7 +82,7 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq("l" -> "o", "lo" -> "w", "e" -> "r"))
     assert(hist.map(_._3) == Seq(6L, 6L, 2L))
     // encoding under the learned table reflects the merges
-    assert(one(Bpe.encodeWord(lit("lower"), merges)) == "(low)(er)")
+    assert(one(Bpe.encodeWord(lit("lower"), merges)) == d("low", "er"))
   }
 
   test("train stops early when no pairs remain") {
@@ -127,8 +145,10 @@ class BpeSpec extends SparkSpec {
     val r = rows.head
     assert(r.getString(0) == "1")
     assert(r.getString(1) == "this good line has plenty of words here.")
-    assert(r.getString(2).startsWith("(th)(i)(s)|(g)(o)(o)(d)|"))
-    assert(r.getString(3).toLong == r.getString(2).count(_ == '(').toLong)
+    assert(r.getString(2).startsWith(
+      d("th", "i", "s") + "|" + d("g", "o", "o", "d") + "|"))
+    assert(r.getString(3).toLong ==
+      r.getString(2).count(_.toString == Bpe.Open).toLong)
   }
 
   test("c4KeptLines + c4Passes gate pages on kept lines and lorem ipsum") {
