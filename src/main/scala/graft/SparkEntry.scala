@@ -978,6 +978,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pack_bpe" -> ((s, d) =>
+      // the tokenizer feeding the packer: per-doc BPE symbol counts
+      // (map-only) become the packing budget unit — "tokenize, then pack
+      // into fixed token windows", the end-to-end shape of pretraining
+      // data prep. Still exactly one shuffle (the shard window)
+      graft.llm.Pack.concatChunk(
+          t(s, d, "documents").withColumn("n_bpe",
+            graft.llm.Bpe.symbolCount(
+              graft.llm.Bpe.encodeText(col("text"), bpeDemoMerges))),
+          col("doc_id"), col("n_bpe"), budget = 1024,
+          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(8)))
+        .select("doc_id", "n_bpe", "shard", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
     "q_salted_collect" -> ((s, d) =>
       // skew-proof holistic aggregation: per-type user lists collected via
       // two bounded salted exchanges; sorted join makes the output
@@ -1906,6 +1920,30 @@ object SparkEntry {
          SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
+    "q_pack_bpe" ->
+      // n_bpe derived exactly as in q_bpe_encode, then the same per-shard
+      // cumsum-and-cut as the q_pack_sequences oracle, in token units
+      s"""WITH e AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(
+                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                    w -> ${bpeReplaceChainSql(bpeWrapSql)}), '|') AS enc
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+                  length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
+                  ((doc_id % 2147483647) * 2654435761) % 8 AS shard
+           FROM e
+         ), c AS (
+           SELECT doc_id, n_bpe, shard,
+                  SUM(n_bpe) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_bpe AS st
+           FROM s)
+         SELECT doc_id, n_bpe, shard,
+                CAST(FLOOR(st / 1024.0) AS BIGINT) AS seq_id,
+                CAST(st % 1024 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
     "q_c4_filters" ->
       // identical planted page, identical lambda filter: terminal punct,
       // >=5 words, no javascript/brace at line level; lorem-ipsum + >=3
