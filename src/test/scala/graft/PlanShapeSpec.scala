@@ -265,6 +265,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"C4 filtering should not explode:\n$p")
   }
 
+  test("temperature sampling: selection stage is map-only like stratified") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    // the bounded size-agg job runs inside the call; the RETURNED plan is
+    // the selection, which must stay a pushdown-friendly scan filter
+    val p = plan(graft.llm.Mix.temperatureSample(docs, col("lang"),
+      budget = 100, hash = pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L)))
+    assert(!p.contains("Exchange"), s"selection should not shuffle:\n$p")
+  }
+
   test("fuzzy decontamination broadcasts the benchmark side, never a window") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val bench = docs.filter(col("doc_id") % 50 === 0)
