@@ -161,7 +161,25 @@ final case class TopologyCtx(
     outputFields: Seq[String] = Nil,
     /** processing-time job id, used in file-name templates */
     jobId: String = java.util.UUID.randomUUID().toString,
-)
+) {
+  private val commitHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Register work to run AFTER the topology's output (and upload) complete
+    * successfully — the checkpoint-after-process seam (reference:
+    * input/kcl.go:278-302 checkpoints after records are processed;
+    * input/sqs.go:216-222 deletes messages only after their bodies parse).
+    * Inputs that consume destructively (SQS delete) or advance durable
+    * offsets (KCL lease table, local offset file) register here so a build
+    * that fails mid-run re-reads the same data on retry (at-least-once).
+    */
+  def onCommit(hook: () => Unit): Unit = synchronized { commitHooks += hook }
+
+  /** Run and clear the registered commit hooks (called by Compiled.run). */
+  def runCommitHooks(): Unit = {
+    val hooks = synchronized { val h = commitHooks.toList; commitHooks.clear(); h }
+    hooks.foreach(_.apply())
+  }
+}
 
 /** What a batch output produced: the concrete files written (fed to the
   * upload stage, reference: topology.go:186-202 upload channel).

@@ -237,20 +237,21 @@ object NetworkInputs {
     * delta, exactly the reference's daemon semantics projected onto
     * batch runs.
     *
-    * The delta is spooled driver-side so offsets can be committed at
-    * build time (at-least-once, like the reference's
-    * checkpoint-after-process).
+    * The delta is spooled driver-side; offsets commit AFTER the run's
+    * output completes, via [[TopologyCtx.onCommit]] (at-least-once, the
+    * reference's checkpoint-after-process).
     *
     * `Client = "aws"`: real Kinesis drain ([[AwsReflect]]) resuming from
     * per-shard sequence-number checkpoints in a DynamoDB lease table named
     * AppName (leaseKey → checkpoint, the KCL lease-table schema); new
-    * checkpoints are PutItem'd after the drain. Documented divergence:
+    * checkpoints are PutItem'd only after the run's output completes
+    * (post-run commit hook). Documented divergence:
     * one worker drains every shard — the reference KCL's lease BALANCING
     * across workers (input/kcl.go:26-49) needs the coordination service
     * and is out of scope; the lease table must already exist.
     */
   val kclInput: InputDesc = {
-    def awsCollect(cfg: ComponentConfig): Seq[String] = {
+    def awsCollect(ctx: TopologyCtx, cfg: ComponentConfig): Seq[String] = {
       import scala.jdk.CollectionConverters._
       val stream = cfg.str("Stream")
       val app = cfg.str("AppName")
@@ -269,6 +270,7 @@ object NetworkInputs {
             "streamName" -> stream)),
           "shards").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
         val spools = Seq.newBuilder[String]
+        val toCommit = Seq.newBuilder[(String, String)] // shardId -> lastSeq
         for (shard <- shards) {
           val shardId = AwsReflect.call(shard, "shardId").asInstanceOf[String]
           // checkpoint lookup in the lease table (missing table/item → none)
@@ -321,11 +323,22 @@ object NetworkInputs {
               caughtUp = recs.isEmpty && (behind == null || behind <= 0L)
             }
           } finally out.close()
-          // commit after spool (at-least-once, like the reference)
-          lastSeq.foreach { seq =>
+          lastSeq.foreach(seq => toCommit += shardId -> seq)
+          if (lastSeq.isDefined) spools += spool.toString
+        }
+        // checkpoint AFTER the build consumes the spools (at-least-once,
+        // reference checkpoint-after-process, input/kcl.go:278-302): the
+        // PutItems run as a post-run commit hook, so a build failure after
+        // the drain leaves the lease table untouched and a retry re-reads
+        // the same records
+        val commits = toCommit.result()
+        if (commits.nonEmpty) ctx.onCommit { () =>
+          val ddb2 = AwsReflect.client(
+            "software.amazon.awssdk.services.dynamodb.DynamoDbClient", region)
+          try commits.foreach { case (shardId, seq) =>
             val item: java.util.Map[String, AnyRef] =
               Map("leaseKey" -> attrS(shardId), "checkpoint" -> attrS(seq)).asJava
-            try AwsReflect.call(ddb, "putItem", AwsReflect.build(
+            try AwsReflect.call(ddb2, "putItem", AwsReflect.build(
               "software.amazon.awssdk.services.dynamodb.model.PutItemRequest",
               "tableName" -> app, "item" -> item))
             catch {
@@ -334,17 +347,16 @@ object NetworkInputs {
                   "table (hash key: leaseKey, type S) or run the real KCL once to " +
                   s"create it: ${e.getMessage}", e)
             }
-          }
-          if (lastSeq.isDefined) spools += spool.toString
+          } finally AwsReflect.close(ddb2)
         }
         spools.result()
       } finally { AwsReflect.close(kin); AwsReflect.close(ddb) }
     }
-    def collect(cfg: ComponentConfig): Seq[String] = {
+    def collect(ctx: TopologyCtx, cfg: ComponentConfig): Seq[String] = {
       val clientKind = cfg.str("Client", "local").toLowerCase
       require(clientKind == "local" || clientKind == "aws",
         s"KCL: Client must be \"local\" or \"aws\", got '$clientKind'")
-      if (clientKind == "aws") return awsCollect(cfg)
+      if (clientKind == "aws") return awsCollect(ctx, cfg)
       val dir = localDir(cfg.str("Stream"), "KCL.Stream")
       val app = cfg.str("AppName")
       val ckDir = Paths.get(cfg.str("CheckpointDir",
@@ -380,7 +392,9 @@ object NetworkInputs {
       val json = committed.result()
         .map { case (k, v) => "\"" + k.replace("\"", "\\\"") + "\":" + v }
         .mkString("{", ",", "}")
-      Files.writeString(ckFile, json)
+      // offsets commit post-run (checkpoint-after-process), same contract
+      // as the aws lease-table path above
+      ctx.onCommit(() => Files.writeString(ckFile, json))
       spools.result()
     }
     InputDesc(
@@ -409,7 +423,7 @@ object NetworkInputs {
         ConfigKey("CheckpointDir",
           "local double's checkpoint-table location (DynamoDB in the reference)")),
       (ctx, cfg) => {
-        val spools = collect(cfg)
+        val spools = collect(ctx, cfg)
         if (spools.isEmpty) ctx.spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(ctx.fields.map(
@@ -434,8 +448,11 @@ object NetworkInputs {
     *
     * `Client = "local"` (default): each QueueNames entry is a `file://`
     * directory whose files are message bodies; QueuePrefixes match sibling
-    * directories by prefix. `Client = "aws"`: real SQS receive+delete
-    * through the reflectively-loaded AWS SDK v2 (see [[AwsReflect]]), with
+    * directories by prefix. `Client = "aws"`: real SQS receive through the
+    * reflectively-loaded AWS SDK v2 (see [[AwsReflect]]) — messages whose
+    * bodies parse are deleted only after the run's output commits
+    * ([[TopologyCtx.onCommit]]); unparseable messages stay queued
+    * (reference parse-then-delete, input/sqs.go:216-222) — with
     * GetQueueUrl/ListQueues resolving the same QueueNames/QueuePrefixes
     * keys, and `s3://` paths rewritten to `s3a://` for the Hadoop reader.
     * Paths without a scheme get `Bucket` prefixed (reference behavior) —
@@ -444,8 +461,10 @@ object NetworkInputs {
     */
   val sqsInput: InputDesc = {
     // real SQS drain: resolve queue URLs, receive batches of 10 until a
-    // queue reports empty, delete consumed messages (input/sqs.go:25-52)
-    def awsBodies(cfg: ComponentConfig): Seq[String] = {
+    // queue reports empty (input/sqs.go:25-52). Messages are NOT deleted
+    // here — the caller deletes only those whose bodies parse, and only
+    // after the run commits (parse-then-delete, input/sqs.go:216-222).
+    def awsMessages(cfg: ComponentConfig): Seq[(String, String, String)] = {
       import scala.jdk.CollectionConverters._
       val region = cfg.str("AwsRegion", "us-west-2")
       val sqs = AwsReflect.client(
@@ -467,7 +486,7 @@ object NetworkInputs {
         }
         val urls = (named ++ byPrefix).distinct
         require(urls.nonEmpty, "SQS: no queues resolved from QueueNames/QueuePrefixes")
-        val out = Seq.newBuilder[String]
+        val out = Seq.newBuilder[(String, String, String)]
         for (url <- urls) {
           var drained = false
           while (!drained) {
@@ -480,18 +499,15 @@ object NetworkInputs {
               "messages").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
             if (msgs.isEmpty) drained = true
             else msgs.foreach { m =>
-              out += AwsReflect.call(m, "body").asInstanceOf[String]
-              AwsReflect.call(sqs, "deleteMessage", AwsReflect.build(
-                "software.amazon.awssdk.services.sqs.model.DeleteMessageRequest",
-                "queueUrl" -> url,
-                "receiptHandle" -> AwsReflect.call(m, "receiptHandle")))
+              out += ((AwsReflect.call(m, "body").asInstanceOf[String], url,
+                AwsReflect.call(m, "receiptHandle").asInstanceOf[String]))
             }
           }
         }
         out.result()
       } finally AwsReflect.close(sqs)
     }
-    def dataFiles(cfg: ComponentConfig): Seq[String] = {
+    def dataFiles(ctx: TopologyCtx, cfg: ComponentConfig): Seq[String] = {
       val format = cfg.str("MessageFormat", "sns").toLowerCase
       val expr = format match {
         case "plain"             => null
@@ -506,8 +522,11 @@ object NetworkInputs {
       val clientKind = cfg.str("Client", "local").toLowerCase
       require(clientKind == "local" || clientKind == "aws",
         s"SQS: Client must be \"local\" or \"aws\", got '$clientKind'")
-      val bodies: Seq[String] =
-        if (clientKind == "aws") awsBodies(cfg)
+      // (body, Some(queueUrl -> receiptHandle)) for real SQS; the local
+      // queue-dir double has nothing to delete
+      val bodies: Seq[(String, Option[(String, String)])] =
+        if (clientKind == "aws")
+          awsMessages(cfg).map { case (b, url, rh) => (b, Some(url -> rh)) }
         else {
           val queues: Seq[Path] = {
             val named = cfg.strList("QueueNames", Nil).map(localDir(_, "SQS.QueueNames"))
@@ -526,7 +545,8 @@ object NetworkInputs {
           for {
             q <- queues
             msg <- Files.list(q).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sorted
-          } yield Files.readString(msg, StandardCharsets.UTF_8)
+          } yield (Files.readString(msg, StandardCharsets.UTF_8),
+            Option.empty[(String, String)])
         }
       val bucket = cfg.str("Bucket", "")
       val pathFilter = cfg.strOpt("FilePathFilter").map(_.r)
@@ -539,9 +559,14 @@ object NetworkInputs {
           }.toSeq
         case _ => strOf(walk(mapper.readTree(body), expr)).map(_.trim).toSeq
       }
+      val deletable = Seq.newBuilder[(String, String)]
       val files = for {
-        body <- bodies
-        p0 <- try pathsOf(body) catch { case _: Exception => Nil }
+        (body, handle) <- bodies
+        parsed = try Some(pathsOf(body)) catch { case _: Exception => None }
+        // parse failure ⇒ the message is NOT deleted and stays on the
+        // queue for a later run (reference input/sqs.go:216-222)
+        _ = if (parsed.isDefined) handle.foreach(deletable += _)
+        p0 <- parsed.getOrElse(Nil)
         if p0.nonEmpty
         p = if (p0.contains("://") || p0.startsWith("/") || bucket.isEmpty) p0
             else s"$bucket/$p0"
@@ -552,6 +577,21 @@ object NetworkInputs {
         if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://")
         else p.stripPrefix("file://")
       require(files.nonEmpty, "SQS: no data files extracted from queue messages")
+      // delete consumed messages only after the run's output commits, so a
+      // failed build leaves the queue intact (at-least-once)
+      val dels = deletable.result()
+      if (dels.nonEmpty) {
+        val region = cfg.str("AwsRegion", "us-west-2")
+        ctx.onCommit { () =>
+          val sqs = AwsReflect.client(
+            "software.amazon.awssdk.services.sqs.SqsClient", region)
+          try dels.foreach { case (url, rh) =>
+            AwsReflect.call(sqs, "deleteMessage", AwsReflect.build(
+              "software.amazon.awssdk.services.sqs.model.DeleteMessageRequest",
+              "queueUrl" -> url, "receiptHandle" -> rh))
+          } finally AwsReflect.close(sqs)
+        }
+      }
       files.distinct
     }
     InputDesc(
@@ -571,8 +611,8 @@ object NetworkInputs {
         ConfigKey("MessageExpression",
           "The expression to extract an S3 path from arbitrary message formats"),
         ConfigKey("FilePathFilter", "If provided, will only use S3 files with the given path.")),
-      (ctx, cfg) => readCsv(ctx, dataFiles(cfg)),
-      buildRaw = Some((ctx, cfg) => readRaw(ctx, dataFiles(cfg))),
+      (ctx, cfg) => readCsv(ctx, dataFiles(ctx, cfg)),
+      buildRaw = Some((ctx, cfg) => readRaw(ctx, dataFiles(ctx, cfg))),
     )
   }
 }

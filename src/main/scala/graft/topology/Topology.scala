@@ -148,6 +148,9 @@ object Topology {
         upCfg.validate(upDesc.keys)
         upDesc.build(ctx, upCfg, result.paths)
       }
+      // checkpoint-after-process: only now that output+upload succeeded may
+      // inputs advance durable offsets / delete consumed queue messages
+      ctx.runCommitHooks()
       // getOrEmpty is non-blocking and the QueryExecutionListener that
       // fills it fires ASYNC after the action — poll briefly under ONE
       // shared deadline for all observations (a per-observation deadline

@@ -160,6 +160,42 @@ class NetworkInputsSpec extends SparkSpec {
     assert(lines5 == Seq("d,4"))
   }
 
+  test("KCL: offsets commit only after the run's output completes " +
+      "(checkpoint-after-process)") {
+    val dir = tmpDir()
+    val stream = new File(dir, "stream"); stream.mkdirs()
+    val ck = new File(dir, "ck")
+    Files.writeString(new File(stream, "shard-0000").toPath, "a,1\nb,2\n")
+    def toml(out: String) =
+      s"""[input]
+         |name = "KCL"
+         |  [input.config]
+         |  Stream = "file://$stream"
+         |  AppName = "app1"
+         |  InitialPosition = "TRIM_HORIZON"
+         |  CheckpointDir = "$ck"
+         |""".stripMargin +
+        s"""[fields]
+           |names = ["k", "v"]
+           |[output]
+           |name = "FileWriter"
+           |  [output.config]
+           |  PathString = "$dir/$out/result.csv"
+           |""".stripMargin
+    // compile drains + spools, but the run never happens (e.g. the build
+    // fails downstream): the offset file must NOT advance…
+    Topology.compileToml(spark, toml("never-run"))
+    assert(!new File(ck, "app1.json").exists(),
+      "checkpoint advanced before the run's output completed")
+    // …so a retry still reads everything (at-least-once)
+    val (lines, _) = runToml(toml("out1"))
+    assert(lines == Seq("a,1", "b,2"))
+    // and after a successful run the checkpoint HAS advanced
+    assert(new File(ck, "app1.json").exists())
+    val (_, rows2) = runToml(toml("out2"))
+    assert(rows2 == 0)
+  }
+
   test("SQS: plain / sns / s3::ObjectCreated / json message formats") {
     val dir = tmpDir()
     val data = new File(dir, "data"); data.mkdirs()
