@@ -127,7 +127,13 @@ object Mix {
         s"deterministicShuffle: input column '$c' collides with an internal name")
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val key = md5(concat(lit(seed), lit("|"), tie.cast("string")))
+    // a null tie would null the key and bucket and surface as an opaque
+    // driver NPE — fail row-side with a clear message instead
+    val tieStr = tie.cast("string")
+    val key = md5(concat(lit(seed), lit("|"),
+      when(tieStr.isNotNull, tieStr).otherwise(raise_error(lit(
+        "deterministicShuffle: tie expression is null for some row — " +
+          "supply a non-null tie column (e.g. a document id)")))))
     // bucket = floor(first32bits(key) · n / 2³²): monotone in the key, so
     // bucket order + in-bucket key order IS the global key order
     val bucket = (conv(substring(col("__key"), 1, 8), 16, 10).cast("long")

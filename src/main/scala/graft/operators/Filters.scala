@@ -155,10 +155,13 @@ object Filters {
         .setNodeFactory(new com.fasterxml.jackson.databind.node.JsonNodeFactory(true))
 
     /** Paths needing the Jackson evaluator: pipes, slices/projections,
-      * function calls. Plain `a.b[2].c` stays on get_json_object.
+      * function calls, negative indices (get_json_object returns null for
+      * `[-1]` where the walker resolves it from the end). Plain `a.b[2].c`
+      * stays on get_json_object.
       */
     private[operators] def isAdvancedPath(p: String): Boolean =
-      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*') || p.contains("[]")
+      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*') ||
+        p.contains("[]") || p.contains("[-")
 
     /** Evaluate a JMESPath expression: `a.b[2].c` walks (leading `$.`
       * optional; root-array paths like `[0].name` — expand_json_test.go
@@ -618,7 +621,10 @@ object Filters {
   final case class URLParam(src: String, dst: String, param: String) extends Transform {
     def apply(df: DataFrame): DataFrame = {
       val u = nz(col(src))
-      val full = when(u.contains("://"), u)
+      // absolute = LEADING scheme only: a relative URL embedding an
+      // absolute one in a query value ("/redirect?to=http://x") must still
+      // take the placeholder-scheme path, like Go's url.Parse
+      val full = when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), u)
         .otherwise(concat(lit("http://graft.invalid"),
           when(u.startsWith("/"), u).otherwise(concat(lit("/"), u))))
       df.withColumn(dst, coalesce(try_parse_url(full, lit("QUERY"), lit(param)), lit("")))

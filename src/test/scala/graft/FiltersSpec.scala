@@ -173,6 +173,15 @@ class FiltersSpec extends SparkSpec {
     assert(g("overpipe") == null)
   }
 
+  test("ExpandJSON: a LONE negative index routes to the walker, not the " +
+      "get_json_object fast path") {
+    // "tags[-1]" as the only mapping: nothing else marks the call advanced,
+    // and get_json_object would return null for the negative index
+    val df = strDf(Seq("j"), Seq(Seq("""{"tags":["a","b","c"]}""")))
+    val out = ExpandJSON("j", Map("tags[-1]" -> "last"))(df).head()
+    assert(out.getString(out.fieldIndex("last")) == "c")
+  }
+
   test("ExpandJSON JMESPath object wildcard and flatten") {
     val json = """{"m":{"x":{"c":"1"},"y":{"c":"2"}},"n":[["a","b"],["c"],"d"]}"""
     val df = strDf(Seq("j"), Seq(Seq(json)))
@@ -289,6 +298,16 @@ class FiltersSpec extends SparkSpec {
     val missing = URLParam("u", "p", "not_parameter_a")(df)
       .select("p").collect().map(_.getString(0))
     assert(missing.forall(_ == ""))
+  }
+
+  test("URLParam: relative URL embedding an absolute URL in a query value " +
+      "still parses") {
+    // "://" mid-value must not classify the whole thing as absolute —
+    // Go's url.Parse extracts to=http://x from this relative URL
+    val df = strDf(Seq("u"), Seq(Seq("/redirect?to=http://x&k=v")))
+    assert(col1[String](URLParam("u", "p", "to")(df).select("p"))
+      == Seq("http://x"))
+    assert(col1[String](URLParam("u", "p", "k")(df).select("p")) == Seq("v"))
   }
 
   test("SetStringFromURL: first configured literal wins; no match drops row") {

@@ -123,6 +123,18 @@ class MixSpec extends SparkSpec {
     assert(other != naive)
   }
 
+  test("deterministicShuffle: a null tie fails loudly, not with an NPE") {
+    val df = spark.range(10)
+      .select(when(col("id") =!= 3, col("id")).as("maybe"))
+    val e = intercept[Exception] {
+      Mix.deterministicShuffle(df, col("maybe"), seed = "s1").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("non-null tie")),
+      msgs(e).mkString(" | "))
+  }
+
   test("budgetSelect fails fast past the distinct-score cap") {
     import spark.implicits._
     // 100 distinct unquantized scores; a cap of 10 must reject rather than
