@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `BpeEncodeWords(words, merges)` — byte-pair-encode each word of an
+  * `array<string>` column under a fixed merge table, as ONE native
+  * expression whose state is the broadcast-referenced table.
+  *
+  * Why a custom Expression (SURVEY §7.2 preference order): the
+  * chained-`replace` encoder (`graft.llm.Bpe.applyMerges`) folds one
+  * `replace` node per merge rule into the plan, so a production-sized
+  * vocabulary (32 k rules) would build a 32 k-deep expression tree that
+  * Catalyst cannot analyze, let alone codegen. Here the rule count moves
+  * out of the PLAN and into per-row data: one expression node, a hash map
+  * of pair→rank shipped once per executor via the codegen reference
+  * object, and the canonical lowest-rank merge loop of the original BPE
+  * implementation (Sennrich et al. 2016) evaluated per word. Work per
+  * word is O(len · merges-applied) with O(1) hash lookups — independent
+  * of table size — and the call stays inside the surrounding
+  * whole-stage-codegen stage.
+  *
+  * Output per word is the same delimiter form as the chained path:
+  * Open + symbol + Close per symbol ("that" → ⟨t⟩⟨h⟩⟨a⟩⟨t⟩ pre-merge),
+  * delimiter characters stripped from input. On well-ordered tables (every
+  * rule's inputs are chars or outputs of earlier rules — the invariant
+  * training produces) the result is byte-identical to sequential
+  * rank-order replacement; BpePropertySpec checks the equality
+  * mechanically on random tables.
+  *
+  * reference: the semantics mirror the merge loop of baker-era BPE
+  * tooling and the published algorithm; no reference code is involved.
+  */
+case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)],
+    open: String, close: String) extends UnaryExpression {
+
+  override def prettyName: String = "bpe_encode_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  /** pair → rank; the key joiner is `open`, which cannot occur inside a
+    * symbol (delimiter chars are stripped from input).
+    */
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    for (((a, b), i) <- merges.zipWithIndex)
+      if (!m.containsKey(a + open + b)) m.put(a + open + b, i)
+    m
+  }
+
+  /** Encode every word of the array (public: the generated code calls it
+    * through the codegen reference object).
+    */
+  def encodeArray(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (input.isNullAt(i)) null else encodeOne(input.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  private def encodeOne(word: String): UTF8String = {
+    // code-point split, delimiter chars stripped (same contract as
+    // Bpe.wrapChars)
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      val s = word.substring(i, i + cc)
+      if (s != open && s != close) syms.add(s)
+      i += cc
+    }
+    // canonical loop: merge ALL occurrences of the lowest-ranked adjacent
+    // pair present, left-to-right non-overlapping, until none remains
+    var go = syms.size() >= 2
+    while (go) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size() - 1) {
+        val r = rank.get(syms.get(j) + open + syms.get(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        val (a, b) = merges(best)
+        val next = new java.util.ArrayList[String](syms.size())
+        var k = 0
+        while (k < syms.size()) {
+          if (k + 1 < syms.size() && syms.get(k) == a && syms.get(k + 1) == b) {
+            next.add(a + b); k += 2
+          } else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+        go = syms.size() >= 2
+      }
+    }
+    val sb = new java.lang.StringBuilder(word.length * 3 + 2)
+    sb.append(open)
+    var k = 0
+    while (k < syms.size()) {
+      if (k > 0) sb.append(close).append(open)
+      sb.append(syms.get(k))
+      k += 1
+    }
+    sb.append(close)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encodeArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the merge table rides along as ONE reference object; per row the
+    // generated code makes a single call into the loop above, keeping the
+    // surrounding stage fused regardless of table size
+    val ref = ctx.addReferenceObj("bpeEncode", this,
+      classOf[BpeEncodeWords].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.encodeArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

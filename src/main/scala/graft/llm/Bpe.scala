@@ -1,9 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{BpeEncodeWords, TextFunctions}
 
 /** Byte-pair-encoding tokenizer over a text corpus — the real merge-table
   * algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
@@ -69,11 +69,34 @@ object Bpe {
   def encodeWord(w: Column, merges: Seq[(String, String)]): Column =
     applyMerges(wrapChars(w), merges)
 
+  /** Above this many rules [[encodeWords]] switches from the chained
+    * `replace` form (one plan node per rule — oracle-expressible, but
+    * expression depth = rule count) to the native [[BpeEncodeWords]]
+    * expression, whose table is per-row data instead of plan shape. A
+    * production 32 k-rule vocabulary would otherwise build a 32 k-deep
+    * tree Catalyst cannot analyze.
+    */
+  val NativeEncodeThreshold = 64
+
+  /** Encode an already-tokenized `array<string>` of words through the
+    * native table-driven expression (canonical lowest-rank merge loop;
+    * byte-identical to the chained form on well-ordered tables —
+    * BpePropertySpec checks the equality on random tables).
+    */
+  def encodeWordsNative(words: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.toColumn(BpeEncodeWords(
+      GraftShims.toExpression(words), merges, Open, Close))
+
   /** Per-document array of delimiter-encoded words (whitespace
-    * tokenization, same contract as [[TextFunctions.tokens]]).
+    * tokenization, same contract as [[TextFunctions.tokens]]). Small
+    * tables stay on the chained-`replace` form (any engine can reproduce
+    * it — the DuckDB oracle does); tables at or past
+    * [[NativeEncodeThreshold]] rules route through [[encodeWordsNative]].
     */
   def encodeWords(text: Column, merges: Seq[(String, String)]): Column =
-    transform(TextFunctions.tokens(text), w => encodeWord(w, merges))
+    if (merges.size >= NativeEncodeThreshold)
+      encodeWordsNative(TextFunctions.tokens(text), merges)
+    else transform(TextFunctions.tokens(text), w => encodeWord(w, merges))
 
   /** Whole document as one encoded string, words joined with "|". A "|"
     * INSIDE a word is ordinary symbol content (it sits between delimiters);
@@ -127,49 +150,75 @@ object Bpe {
     * when no pair remains.
     *
     * Incremental: the char-level encoding is computed ONCE and cached, and
-    * each step applies only its single new merge to the previous step's
+    * each round applies only its new merges to the previous round's
     * cached encoding (persist-new, then unpersist-old) — lineage stays
-    * O(1) deep and no step rescans the source or replays the whole merge
+    * O(1) deep and no round rescans the source or replays the whole merge
     * chain. Driver state is the merge table: O(steps) short strings. This
     * mirrors production BPE training, which runs on a corpus sample that
     * fits the cluster's cache; encoding the full 100 TB corpus afterwards
     * uses the FIXED table via [[encodeText]] (map-only).
+    *
+    * `batchSize` (SentencePiece-style batching): each counting job learns
+    * up to `batchSize` rules instead of one — the top pairs in
+    * (cnt desc, pair) order, greedily keeping only pairs SYMBOL-DISJOINT
+    * from ones already selected this round. Merging (a,b) cannot change
+    * the count of any pair sharing no symbol with it (existing disjoint
+    * adjacencies survive the splice; new adjacencies always involve the
+    * merged symbol), so a conflict-free round reproduces the sequential
+    * argmax sequence exactly; rounds where the argmax sequence WOULD have
+    * surfaced a just-created symbol's pair can diverge — the standard
+    * fidelity/speed trade, off by default (`batchSize = 1` is the
+    * oracle-checked sequential path). Real vocabularies need thousands of
+    * rules; batching divides the Spark-job count by up to `batchSize`.
     */
-  def train(df: DataFrame, textCol: Column, steps: Int)
+  def train(df: DataFrame, textCol: Column, steps: Int, batchSize: Int = 1)
       : (Seq[(String, String)], Seq[(Int, String, Long)]) = {
     import org.apache.spark.storage.StorageLevel
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var enc = df.select(encodeWords(textCol, Nil).as("__ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var parent: Option[DataFrame] = None
     var merges = Vector.empty[(String, String)]
     var hist = Vector.empty[(Int, String, Long)]
-    var step = 1
     var done = false
     try {
-      while (step <= steps && !done) {
-        // ONE job per step: the pair argmax also materializes this step's
-        // cached encoding (computed lazily from the parent's cache + one
-        // replace), after which the parent cache can go
+      while (merges.size < steps && !done) {
+        val want = math.min(batchSize, steps - merges.size)
+        // ONE job per round: the pair top-k also materializes this round's
+        // cached encoding (computed lazily from the parent's cache + the
+        // previous round's replaces), after which the parent cache can go.
+        // Fetch headroom beyond `want` so conflict skips still fill the
+        // round from one job.
         val top = pairCountsOfWords(enc)
-          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+          .orderBy(col("cnt").desc, col("pair")).limit(want * 4 + 4).collect()
         parent.foreach(_.unpersist(false))
         parent = None
         if (top.isEmpty) done = true
         else {
-          val pair = top(0).getAs[String]("pair")
-          val cnt = top(0).getAs[Long]("cnt")
-          val Array(a, b) = pair.split(" ", 2)
-          merges = merges :+ ((a, b))
-          hist = hist :+ ((step, pair, cnt))
-          if (step < steps) {
+          // greedy symbol-disjoint selection in (cnt desc, pair) order
+          val used = scala.collection.mutable.Set.empty[String]
+          var selected = Vector.empty[(String, String, Long)]
+          for (r <- top if selected.size < want) {
+            val pair = r.getAs[String]("pair")
+            val Array(a, b) = pair.split(" ", 2)
+            if (!used(a) && !used(b)) {
+              selected :+= ((a, b, r.getAs[Long]("cnt")))
+              used += a += b
+            }
+          }
+          val newRules = selected.map { case (a, b, _) => (a, b) }
+          hist ++= selected.zipWithIndex.map { case ((a, b, c), i) =>
+            (merges.size + i + 1, s"$a $b", c)
+          }
+          merges ++= newRules
+          if (merges.size < steps) {
             val next = enc.select(transform(col("__ws"),
-                e => applyMerges(e, Seq((a, b)))).as("__ws"))
+                e => applyMerges(e, newRules)).as("__ws"))
               .persist(StorageLevel.MEMORY_AND_DISK)
             parent = Some(enc)
             enc = next
           }
         }
-        step += 1
       }
     } finally {
       enc.unpersist(false)
