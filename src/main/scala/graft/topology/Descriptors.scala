@@ -243,6 +243,25 @@ final case class MetricsDesc(
     build: (TopologyCtx, ComponentConfig) => graft.metrics.MetricsClient,
 ) extends ComponentDesc
 
+/** User-specific configuration section (reference: UserDesc, desc.go:107-111;
+  * decode loop config.go:386-400): a library user embedding graft declares
+  * named `[[user]]` TOML blocks that decode into their own structures. The
+  * Go reference decodes into a struct pointer; here `decode` receives the
+  * block's `[user.config]` table as a [[ComponentConfig]] (same typed,
+  * case-insensitive accessors every component uses). Matching is
+  * case-insensitive; a `[[user]]` block whose name has no registered desc
+  * fails the config load loudly (user_config_test.go:104-131); a registered
+  * desc absent from the TOML is simply not called (zero value,
+  * user_config_test.go:133-168). `keys`, when non-empty, gets the same
+  * unknown/required enforcement as any component's config table.
+  */
+final case class UserDesc(
+    name: String,
+    decode: ComponentConfig => Unit,
+    help: String = "",
+    keys: Seq[ConfigKey] = Nil,
+) extends ComponentDesc
+
 /** Component registry with case-insensitive lookup (config.go:300-351). */
 final case class Components(
     inputs: Seq[InputDesc] = Nil,
@@ -250,6 +269,7 @@ final case class Components(
     outputs: Seq[OutputDesc] = Nil,
     uploads: Seq[UploadDesc] = Nil,
     metrics: Seq[MetricsDesc] = Nil,
+    user: Seq[UserDesc] = Nil,
 ) {
   private def find[T <: ComponentDesc](xs: Seq[T], kind: String, name: String): T =
     xs.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -261,11 +281,19 @@ final case class Components(
   def output(name: String): OutputDesc = find(outputs, "output", name)
   def upload(name: String): UploadDesc = find(uploads, "upload", name)
   def metricsBackend(name: String): MetricsDesc = find(metrics, "metrics", name)
+  /** Loud lookup wording mirrors config.go:399 ("user configuration does
+    * not exist").
+    */
+  def userSection(name: String): UserDesc =
+    user.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"user configuration does not exist: '$name'; " +
+          s"registered: ${user.map(_.name).mkString(", ")}"))
 
   def ++(other: Components): Components = Components(
     inputs ++ other.inputs, filters ++ other.filters,
     outputs ++ other.outputs, uploads ++ other.uploads,
-    metrics ++ other.metrics)
+    metrics ++ other.metrics, user ++ other.user)
 
   /** Markdown help for every registered component, generated from the
     * descriptor metadata (reference: help_markdown.go:14 RenderHelpMarkdown).

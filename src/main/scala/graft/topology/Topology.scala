@@ -35,6 +35,11 @@ object Topology {
       outputConfig: ComponentConfig,
       upload: Option[(String, ComponentConfig)],
       metrics: Option[(String, ComponentConfig)] = None,
+      /** `[[user]]` blocks in TOML order (reference: ConfigUser,
+        * config.go:88-91) — decoded against the Components.user registry
+        * at compile time.
+        */
+      user: Seq[(String, ComponentConfig)] = Nil,
   )
 
   /** Decode the parsed TOML tree (reference: NewConfigFromToml stages 2-6). */
@@ -113,6 +118,17 @@ object Topology {
         case Some(m: Map[String @unchecked, Any @unchecked]) if m.contains("name") =>
           Some((m("name").toString, cc(m, s"metrics ${m("name")}")))
         case _ => None
+      },
+      user = tree.get("user") match {
+        case Some(l: List[Any @unchecked]) => l.map {
+          case m: Map[String @unchecked, Any @unchecked] =>
+            val n = m.getOrElse("name",
+              throw new IllegalArgumentException("topology: [[user]] name is required")).toString
+            (n, cc(m, s"user $n"))
+          case other => throw new IllegalArgumentException(s"topology: bad [[user]]: $other")
+        }
+        case None => Nil
+        case Some(other) => throw new IllegalArgumentException(s"topology: [[user]]: $other")
       },
     )
   }
@@ -211,6 +227,15 @@ object Topology {
       components: Components = BuiltinComponents.all): Compiled = {
     require(cfg.fields.nonEmpty, "topology: [fields] names is required")
     val ctx = TopologyCtx(spark, cfg.fields, cfg.separator, cfg.outputFields)
+
+    // --- [[user]] sections (config.go:386-400): every block in the TOML
+    // must have a registered UserDesc (unknown name is loud); registered
+    // descs absent from the TOML stay untouched (Go zero value)
+    for ((name, uCfg) <- cfg.user) {
+      val desc = components.userSection(name)
+      if (desc.keys.nonEmpty) uCfg.validate(desc.keys)
+      desc.decode(uCfg)
+    }
 
     // --- input ---
     val inDesc = components.input(cfg.input._1)

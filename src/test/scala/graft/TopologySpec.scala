@@ -452,4 +452,102 @@ class TopologySpec extends SparkSpec {
     assert(names == Seq("data.csv", "data.csv"))
     assert(walk(uploaded).map(_.getParentFile.getName).sorted == Seq("a", "b"))
   }
+
+  // [[user]] custom config sections (reference: UserDesc desc.go:107-111,
+  // decode loop config.go:386-400, user_config_test.go:36-168)
+  private val userBase =
+    """[fields]
+      |names = ["f0", "f1", "f2", "f3"]
+      |[input]
+      |name = "Random"
+      |  [input.config]
+      |  NumRecords = 3
+      |[output]
+      |name = "Nop"
+      |""".stripMargin
+
+  test("[[user]] decodes into a registered section, case-insensitively") {
+    val toml = userBase +
+      """[[user]]
+        |name = "MyConfiG"
+        |  [user.config]
+        |  field1 = 1
+        |  field2 = "hello!"
+        |""".stripMargin
+    var field1 = 0L; var field2 = ""
+    val comps = BuiltinComponents.all ++ graft.topology.Components(user = Seq(
+      graft.topology.UserDesc("myconfig", cfg => {
+        field1 = cfg.int("Field1"); field2 = cfg.str("Field2")
+      })))
+    Topology.compileToml(spark, toml, comps, env = Map.empty)
+    assert(field1 == 1L && field2 == "hello!")
+  }
+
+  test("multiple [[user]] sections each decode into their own desc") {
+    val toml = userBase +
+      """# This is user config configA
+        |[[user]]
+        |name = "configA"
+        |  [user.config]
+        |  field1 = 23
+        |
+        |[[user]]
+        |name = "configB"
+        |  [user.config]
+        |  field1 = ["a", "b", "c", "d"]
+        |""".stripMargin
+    var a = 0L; var b = Seq.empty[String]
+    val comps = BuiltinComponents.all ++ graft.topology.Components(user = Seq(
+      graft.topology.UserDesc("configb", cfg => b = cfg.strList("field1")),
+      graft.topology.UserDesc("configa", cfg => a = cfg.int("field1"))))
+    Topology.compileToml(spark, toml, comps, env = Map.empty)
+    assert(a == 23L)
+    assert(b == Seq("a", "b", "c", "d"))
+  }
+
+  test("a [[user]] block with no registered desc fails loudly; a registered " +
+      "desc absent from the TOML is untouched") {
+    val toml = userBase +
+      """[[user]]
+        |name = "configA"
+        |  [user.config]
+        |  field1 = 23
+        |
+        |[[user]]
+        |name = "configB"
+        |  [user.config]
+        |  field1 = ["a"]
+        |""".stripMargin
+    val onlyA = BuiltinComponents.all ++ graft.topology.Components(user = Seq(
+      graft.topology.UserDesc("configa", _ => ())))
+    val e = intercept[IllegalArgumentException](
+      Topology.compileToml(spark, toml, onlyA, env = Map.empty))
+    assert(e.getMessage.contains("user configuration does not exist"))
+    assert(e.getMessage.contains("configB"))
+
+    // registered-but-absent: decode never runs (user_config_test.go:133-168)
+    var touched = false
+    val comps = BuiltinComponents.all ++ graft.topology.Components(user = Seq(
+      graft.topology.UserDesc("configa", _ => ()),
+      graft.topology.UserDesc("configb", _ => ()),
+      graft.topology.UserDesc("configc", _ => touched = true)))
+    Topology.compileToml(spark, toml, comps, env = Map.empty)
+    assert(!touched)
+  }
+
+  test("[[user]] keys, when declared, get unknown/required enforcement") {
+    val toml = userBase +
+      """[[user]]
+        |name = "strict"
+        |  [user.config]
+        |  Rate = 3
+        |  Bogus = "x"
+        |""".stripMargin
+    val comps = BuiltinComponents.all ++ graft.topology.Components(user = Seq(
+      graft.topology.UserDesc("strict", _ => (), keys = Seq(
+        graft.topology.ConfigKey("Rate", "a rate", required = true)))))
+    val e = intercept[IllegalArgumentException](
+      Topology.compileToml(spark, toml, comps, env = Map.empty))
+    assert(e.getMessage.contains("Bogus"))
+  }
 }
