@@ -88,7 +88,7 @@ object Decontaminate {
   def flaggedFuzzy(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+      shingleK: Int = 3, seed: Long = 42L, maxBucketSize: Int = 0): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     def banded(df: DataFrame, id: String, text: String, outId: String,
@@ -97,7 +97,13 @@ object Decontaminate {
           Dedup.minhashSignatures(df, id, text, numPerm, shingleK, seed),
           bands, r)
         .select(col("__id").as(outId), col("bk").as(outBk))
-    val c = banded(corpus, idCol, textCol, "idA", "bk")
+    // Cap only the CORPUS side's band population (same knob/semantics as
+    // Dedup.minhashPairs): a degenerate band shared by millions of
+    // near-empty docs that one bench doc also hits would otherwise make
+    // the candidate set O(corpus). The bench side is small by definition
+    // and capping it would only cost recall.
+    val c = Dedup.pruneHotBuckets(
+      banded(corpus, idCol, textCol, "idA", "bk"), "bk", maxBucketSize)
     val b = banded(bench, benchIdCol, benchTextCol, "idB", "bk2")
     val cand = c.join(broadcast(b), col("bk") === col("bk2"))
       .select("idA", "idB").distinct()

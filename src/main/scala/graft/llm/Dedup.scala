@@ -46,7 +46,7 @@ object Dedup {
     * bucket. Dropped buckets lose near-dup recall only for members of
     * mega-clusters, which exact dedup handles first. `cap <= 0` disables.
     */
-  private def pruneHotBuckets(banded: DataFrame, keyCol: String, cap: Int): DataFrame =
+  private[llm] def pruneHotBuckets(banded: DataFrame, keyCol: String, cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
       val hot = banded.groupBy(keyCol).count()

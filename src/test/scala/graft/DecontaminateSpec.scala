@@ -71,6 +71,33 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("flaggedFuzzy maxBucketSize bounds a degenerate shared-band corpus") {
+    import spark.implicits._
+    // 40 identical corpus docs + 1 genuinely near-dup doc. The identical
+    // docs share EVERY band with bench doc 201, so uncapped candidate
+    // generation is O(corpus); capped at 8, the mega-cluster's bands are
+    // dropped while doc 500's survive in full.
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    val corp = ((1L to 40L).map(i => (i, boiler)) :+
+        (500L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (201L, boiler),
+      (202L, "one two three four five six seven eight nine eleven"),
+    ).toDF("bench_id", "text")
+    val uncapped = Decontaminate.flaggedFuzzy(corp, "doc_id", "text",
+        bench, "bench_id", "text", threshold = 0.7)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 41)  // 40×201 + 500×202
+    assert(uncapped.contains((500L, 202L)))
+    val capped = Decontaminate.flaggedFuzzy(corp, "doc_id", "text",
+        bench, "bench_id", "text", threshold = 0.7, maxBucketSize = 8)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    // non-degenerate pairs are unchanged; the mega-cluster's are the only
+    // casualties (exact dedup handles those docs first in a real pipeline)
+    assert(capped == Set((500L, 202L)))
+  }
+
   test("Decontaminate + NormalizeText TOML components") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "in.csv").toPath,
