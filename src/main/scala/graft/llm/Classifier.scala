@@ -1,21 +1,25 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{LinearScoreSum, TextFunctions}
 
 /** fastText-style shallow linear text classifier — the standard
   * quality-filter stage of LLM pretraining pipelines (a CCNet/LLaMA-style
   * "quality classifier" is exactly this: a linear model over bag-of-words
   * features, thresholded): `logit = bias + Σ_features w(f) / n_features`.
   *
-  * Spark shape (same as [[Unigram]]'s, the Zipf-safe one): the weight
-  * table is BROADCAST against exploded features — never shuffled on the
-  * token key, where "the" alone would be one partition — then ONE
-  * aggregation keyed by doc id. Trained quality-filter vocabularies are
-  * bounded (~10⁵ terms), far under broadcast limits; at 100 TB the only
-  * corpus-sized exchange is the per-doc aggregation.
+  * Spark shape: scoring is MAP-ONLY — the weight table rides as a
+  * per-executor hash map inside the native [[LinearScoreSum]] expression
+  * (same reference-object pattern as the BPE encoder), so there is no
+  * explode, no join, and no aggregation; the score fuses into the
+  * enclosing scan stage and [[qualityFilter]] is a plain filter — ONE
+  * scan of the corpus, zero shuffles at 100 TB. The earlier broadcast-join
+  * formulation (explode features ⋈ broadcast weights → doc-keyed agg) had
+  * the same per-executor memory envelope for the table but paid a
+  * corpus-sized exchange to score and a second scan to filter; the spec
+  * keeps it as the cross-checked reference shape.
   *
   * Oracle-ability: the summed statistic is Σ weight·count with weights the
   * caller controls. With weights chosen as exact binary fractions (the
@@ -24,6 +28,17 @@ import graft.functions.TextFunctions
   * cross-engine exact; the logit derives from it in one expression.
   */
 object Classifier {
+
+  /** Unigram + word-n-gram feature array (fastText-style), shared by both
+    * entry points so score and filter can never disagree.
+    */
+  private def featuresOf(textCol: Column, wordNgrams: Int): Column =
+    (2 to wordNgrams).foldLeft(TextFunctions.tokens(textCol))(
+      (acc, n) => concat(acc, TextFunctions.shingles(textCol, n)))
+
+  /** Σ weight(f) over a feature array column (unmatched → 0.0). */
+  def linearScore(features: Column, weights: Map[String, Double]): Column =
+    GraftShims.toColumn(LinearScoreSum(GraftShims.toExpression(features), weights))
 
   /** Per-document linear score over whitespace-token features (plus word
     * n-grams up to `wordNgrams`, fastText-style). Returns
@@ -35,26 +50,26 @@ object Classifier {
       wordNgrams: Int = 1): DataFrame = {
     require(wordNgrams >= 1, s"wordNgrams must be >= 1: $wordNgrams")
     require(weights.nonEmpty, "Classifier: weights must be non-empty")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val w = broadcast(weights.toSeq.toDF("token", "weight"))
-    val features = (2 to wordNgrams).foldLeft(TextFunctions.tokens(col(textCol)))(
-      (acc, n) => concat(acc, TextFunctions.shingles(col(textCol), n)))
-    df.select(col(idCol), explode(features).as("__feat"))
-      .join(w, col("__feat") === col("token"), "left")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_features"),
-        sum(coalesce(col("weight"), lit(0.0))).as("sum_weight"))
+    val feats = featuresOf(col(textCol), wordNgrams)
+    df.select(col(idCol), size(feats).cast("long").as("n_features"),
+        linearScore(feats, weights).as("sum_weight"))
+      .filter(col("n_features") > 0)
       .withColumn("logit", lit(bias) + col("sum_weight") / col("n_features"))
       .withColumn("keep", col("logit") > 0)
   }
 
-  /** Filter form: keep only documents the classifier accepts. */
+  /** Filter form: keep only documents the classifier accepts — one scan,
+    * zero shuffles, original columns untouched (the gate is a row filter
+    * fused into whatever stage produces `df`). Featureless documents are
+    * dropped, matching [[scoreLinear]]'s absence semantics.
+    */
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
       weights: Map[String, Double], bias: Double = 0.0,
       wordNgrams: Int = 1): DataFrame = {
-    val kept = scoreLinear(df, idCol, textCol, weights, bias, wordNgrams)
-      .filter(col("keep")).select(col(idCol).as("__keep_id"))
-    df.join(kept, col(idCol) === col("__keep_id"), "left_semi")
+    require(wordNgrams >= 1, s"wordNgrams must be >= 1: $wordNgrams")
+    require(weights.nonEmpty, "Classifier: weights must be non-empty")
+    val feats = featuresOf(col(textCol), wordNgrams)
+    df.filter(size(feats) > 0 &&
+      lit(bias) + linearScore(feats, weights) / size(feats) > 0)
   }
 }

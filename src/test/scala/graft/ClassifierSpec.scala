@@ -53,10 +53,45 @@ class ClassifierSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
-  test("weight table broadcasts; corpus never shuffles on the token key") {
+  test("scoring is map-only: no exchange, no join, no aggregate") {
     val p = Classifier.scoreLinear(docs, "doc_id", "text", w)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    val pf = Classifier.qualityFilter(docs, "doc_id", "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!pf.contains("Exchange") && !pf.contains("Join") &&
+      !pf.contains("Aggregate"), pf)
+  }
+
+  test("native score equals the explode + broadcast-join restatement") {
+    import spark.implicits._
+    // the declarative reference shape the native expression replaced:
+    // explode unigram+bigram features, left-join the weight table, one
+    // doc-keyed agg — recomputed here as the cross-check
+    val weights = Map("join" -> 0.5, "slow" -> -0.125, "hash join" -> 0.25,
+      "scan" -> 0.0625)
+    val corpus = graft.core.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val feats = concat(graft.functions.TextFunctions.tokens(col("text")),
+      graft.functions.TextFunctions.shingles(col("text"), 2))
+    val ref = corpus.select(col("doc_id"), explode(feats).as("__f"))
+      .join(broadcast(weights.toSeq.toDF("token", "weight")),
+        col("__f") === col("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("weight"), lit(0.0))).as("sw"))
+    val got = Classifier.scoreLinear(corpus, "doc_id", "text", weights,
+        wordNgrams = 2)
+      .select(col("doc_id"), col("n_features").as("n"), col("sum_weight").as("sw"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // filter form agrees with the score form's keep set
+    val keptScore = Classifier.scoreLinear(corpus, "doc_id", "text", weights,
+        bias = 0.0, wordNgrams = 2)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val keptFilter = Classifier.qualityFilter(corpus, "doc_id", "text",
+        weights, bias = 0.0, wordNgrams = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFilter == keptScore && keptScore.nonEmpty)
   }
 }

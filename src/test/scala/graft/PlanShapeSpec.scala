@@ -228,6 +228,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"decontamination should broadcast:\n$p")
     assert(p.contains("partial_min_by"), s"dedup should combine map-side:\n$p")
     assert(!p.contains("Window"), s"the funnel must not use a window:\n$p")
+    // the classifier gate is a native map-only expression: it adds NO scan
+    // of its own (the funnel reads documents once for the corpus, once for
+    // the decontamination flag side — the semi-join formulation read it a
+    // third time) and rides the scan's data filters
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"the classifier gate must not rescan the corpus:\n$p")
   }
 
   test("keyword extraction: blocklist broadcasts, ranking is top-k not window") {
