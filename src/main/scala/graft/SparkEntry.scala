@@ -323,13 +323,24 @@ object SparkEntry {
       // get_json_object fast path; the second column is built JSON probed
       // with the wider JMESPath grammar (slice → pipe → join(), negative
       // index) through the Jackson walker — both stated exactly in SQL
-      val ev = t(s, d, "events").withColumn("j2",
-        to_json(struct(array(col("event_type"), col("user_id").cast("string")).as("tags"))))
+      val ev = t(s, d, "events")
+        .withColumn("j2",
+          to_json(struct(array(col("event_type"), col("user_id").cast("string")).as("tags"))))
+        // array-of-objects document for the filter-expression grammar:
+        // [{"t": event_type, "n": user_id}, {"t": "click", "n": -1}]
+        .withColumn("j3", to_json(struct(array(
+          struct(col("event_type").as("t"), col("user_id").as("n")),
+          struct(lit("click").as("t"), lit(-1L).as("n"))).as("items"))))
       Filters.ExpandJSON("j2", Map(
         "tags[0:2] | join('-', [*])" -> "joined",
         "tags[-1]" -> "last_tag"))(
-        Filters.ExpandJSON("props", Map("k" -> "k_val"))(ev))
-        .select("event_id", "k_val", "joined", "last_tag")
+        Filters.ExpandJSON("j3", Map(
+          // filter + pipe: the event's own n iff it is a click, else the
+          // sentinel element's -1
+          "items[?t == 'click'].n | [0]" -> "click_uid",
+          "length(items[?n >= `0`])" -> "n_nonneg"))(
+          Filters.ExpandJSON("props", Map("k" -> "k_val"))(ev)))
+        .select("event_id", "k_val", "joined", "last_tag", "click_uid", "n_nonneg")
         .orderBy("event_id")
     }),
 
@@ -1154,10 +1165,17 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
     "q_expand_json" ->
       // the JMESPath "tags[0:2] | join('-', [*])" over {"tags":[type,uid]}
-      // is exactly type-dash-uid; "tags[-1]" is the uid
+      // is exactly type-dash-uid; "tags[-1]" is the uid. Over
+      // items=[{t:type,n:uid},{t:'click',n:-1}]: the filter
+      // "items[?t == 'click'].n | [0]" picks uid for clicks else -1, and
+      // "length(items[?n >= `0`])" counts the non-negative n's (uid >= 0
+      // always holds, the sentinel never does → 1)
       """SELECT event_id, json_extract_string(props, '$.k') AS k_val,
                 event_type || '-' || CAST(user_id AS VARCHAR) AS joined,
-                CAST(user_id AS VARCHAR) AS last_tag
+                CAST(user_id AS VARCHAR) AS last_tag,
+                CASE WHEN event_type = 'click' THEN CAST(user_id AS VARCHAR)
+                     ELSE '-1' END AS click_uid,
+                CASE WHEN user_id >= 0 THEN '1' ELSE '0' END AS n_nonneg
          FROM events ORDER BY event_id""",
     "q_expand_list" ->
       """SELECT doc_id, split_part(text, ' ', 1) AS f0, split_part(text, ' ', 3) AS f2

@@ -101,10 +101,12 @@ object Filters {
     * Mappings are `jsonPath -> dstField` with JMESPath paths: dotted /
     * indexed segments (every shipped reference use), plus pipes
     * (`a.b | [0]`), slices (`[1:3]`, `[::2]`), list projections (`[*]`),
-    * and the `join('sep', expr)` function from go-jmespath's wider
-    * grammar. Advanced constructs route through the Jackson walker even
-    * in the default codegen mode (get_json_object can't express them);
-    * plain dotted/indexed paths stay on the codegen'd fast path.
+    * filter expressions (`[?price > `10`]`, `[?name == 'x']`), and the
+    * `join` / `length` / `sort_by` / `to_string` functions from
+    * go-jmespath's wider grammar. Advanced constructs route through the
+    * Jackson walker even in the default codegen mode (get_json_object
+    * can't express them); plain dotted/indexed paths stay on the
+    * codegen'd fast path.
     *
     * Number semantics: the default (codegen) path uses `get_json_object`,
     * which preserves big integers verbatim but normalizes decimals through
@@ -155,23 +157,26 @@ object Filters {
         .setNodeFactory(new com.fasterxml.jackson.databind.node.JsonNodeFactory(true))
 
     /** Paths needing the Jackson evaluator: pipes, slices/projections,
-      * function calls, negative indices (get_json_object returns null for
-      * `[-1]` where the walker resolves it from the end). Plain `a.b[2].c`
-      * stays on get_json_object.
+      * filter expressions, function calls, negative indices
+      * (get_json_object returns null for `[-1]` where the walker resolves
+      * it from the end). Plain `a.b[2].c` stays on get_json_object.
       */
     private[operators] def isAdvancedPath(p: String): Boolean =
-      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*') ||
+      p.exists(c => c == '|' || c == ':' || c == '(' || c == '*' || c == '?') ||
         p.contains("[]") || p.contains("[-")
 
     /** Evaluate a JMESPath expression: `a.b[2].c` walks (leading `$.`
       * optional; root-array paths like `[0].name` — expand_json_test.go
       * "more complex JMESPath expression" — start with a bare index),
       * `|` pipes stages, `[start:stop:step]` slices, `[*]` / `.*` / `[]`
-      * project (list / object-values / flatten), and `join('sep', expr)`
-      * joins a string array. Projections map later segments over elements
-      * with nulls dropped, and a pipe stops them, per the JMESPath spec.
-      * Unsupported syntax → null, like the reference's compile-error path
-      * (expand_json.go:80-84).
+      * project (list / object-values / flatten), `[?lhs op rhs]` /
+      * `[?expr]` filters elements (comparators on `'raw'` / `` `json` `` /
+      * subexpression operands; bare form = truthiness), and the function
+      * subset `join` / `length` / `sort_by` / `to_string` applies (with
+      * trailing segments, `sort_by(a, &k)[0].id`). Projections map later
+      * segments over elements with nulls dropped, and a pipe stops them,
+      * per the JMESPath spec. Unsupported syntax → null, like the
+      * reference's compile-error path (expand_json.go:80-84).
       */
     private def eval(root: JsonNode, path: String): JsonNode =
       try splitPipes(path).foldLeft(root)((n, stage) => evalStage(n, stage.trim))
@@ -192,22 +197,184 @@ object Filters {
       out.result()
     }
 
-    private val joinRe = """^join\(\s*'((?:[^'])*)'\s*,\s*(.+)\)$""".r
-
     private def evalStage(node: JsonNode, stage: String): JsonNode = stage match {
       case null => null
       case _ if node == null => null
-      case joinRe(sep, inner) =>
-        // the argument expression may itself contain pipes
-        splitPipes(inner).foldLeft(node)((n, s) => evalStage(n, s.trim)) match {
-          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
-            val parts = (0 until a.size).map(a.get)
-            if (parts.forall(_.isTextual))
-              mapper.getNodeFactory.textNode(parts.map(_.asText()).mkString(sep))
-            else null // join() is defined on string arrays only
-          case _ => null
+      case _ => parseCall(stage) match {
+        case Some((fn, args, rest)) =>
+          val out = applyFn(node, fn, args)
+          if (out == null || rest.isEmpty) out
+          else walkSegments(out, rest.stripPrefix("."))
+        case None => walkSegments(node, stage.stripPrefix("$").stripPrefix("."))
+      }
+    }
+
+    /** `fn(args)rest` with a MATCHING close paren (quote-aware) — go-jmespath
+      * function calls may take trailing segments (`sort_by(a, &k)[0].id`).
+      */
+    private def parseCall(stage: String): Option[(String, Seq[String], String)] = {
+      val open = stage.indexOf('(')
+      if (open <= 0 || !stage.take(open).forall(c => c.isLetterOrDigit || c == '_'))
+        return None
+      var depth = 0; var quote = false; var close = -1; var i = open
+      while (i < stage.length && close < 0) {
+        stage(i) match {
+          case '\'' => quote = !quote
+          case '(' if !quote => depth += 1
+          case ')' if !quote => depth -= 1; if (depth == 0) close = i
+          case _ =>
         }
-      case _ => walkSegments(node, stage.stripPrefix("$").stripPrefix("."))
+        i += 1
+      }
+      if (close < 0) return None
+      Some((stage.take(open), splitArgs(stage.substring(open + 1, close)),
+        stage.substring(close + 1).trim))
+    }
+
+    // split at top-level commas (quote/bracket/paren/backtick-aware)
+    private def splitArgs(s: String): Seq[String] = {
+      if (s.trim.isEmpty) return Nil
+      val out = Seq.newBuilder[String]
+      var depth = 0; var quote = false; var tick = false; var start = 0
+      for (i <- s.indices) s(i) match {
+        case '\'' if !tick => quote = !quote
+        case '`' if !quote => tick = !tick
+        case '[' | '(' if !quote && !tick => depth += 1
+        case ']' | ')' if !quote && !tick => depth -= 1
+        case ',' if !quote && !tick && depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      out += s.substring(start).trim
+      out.result()
+    }
+
+    /** An argument / filter operand against the current node: `'raw'`
+      * string literal, `` `json` `` literal, `@`(-rooted) or plain
+      * subexpression (evaluated, pipes allowed), `&expr` is the caller's
+      * business (sort_by strips it before calling back in).
+      */
+    private def operand(node: JsonNode, s: String): JsonNode = s.trim match {
+      case t if t.startsWith("'") && t.endsWith("'") && t.length >= 2 =>
+        mapper.getNodeFactory.textNode(t.substring(1, t.length - 1))
+      case t if t.startsWith("`") && t.endsWith("`") && t.length >= 2 =>
+        mapper.readTree(t.substring(1, t.length - 1))
+      case "@" => node
+      case t =>
+        val expr = if (t.startsWith("@.")) t.drop(2) else if (t.startsWith("@")) t.drop(1) else t
+        splitPipes(expr).foldLeft(node)((n, st) => evalStage(n, st.trim))
+    }
+
+    /** go-jmespath function library subset: every function a shipped
+      * MessageFormat/ExpandJSON path can reach (`join`, `length`,
+      * `sort_by`, `to_string`); unknown names → null like the reference's
+      * compile-error path.
+      */
+    private def applyFn(node: JsonNode, fn: String, args: Seq[String]): JsonNode =
+      (fn, args) match {
+        case ("join", Seq(sepArg, innerArg)) =>
+          (operand(node, sepArg), operand(node, innerArg)) match {
+            case (sep, a: com.fasterxml.jackson.databind.node.ArrayNode)
+                if sep != null && sep.isTextual =>
+              val parts = (0 until a.size).map(a.get)
+              if (parts.forall(_.isTextual))
+                mapper.getNodeFactory.textNode(
+                  parts.map(_.asText()).mkString(sep.asText()))
+              else null // join() is defined on string arrays only
+            case _ => null
+          }
+        case ("length", Seq(arg)) =>
+          operand(node, arg) match {
+            case null => null
+            case n if n.isArray || n.isObject => mapper.getNodeFactory.numberNode(n.size)
+            case n if n.isTextual => mapper.getNodeFactory.numberNode(n.asText().length)
+            case _ => null
+          }
+        case ("to_string", Seq(arg)) =>
+          operand(node, arg) match {
+            case null => null
+            case n if n.isTextual => n
+            case n => mapper.getNodeFactory.textNode(n.toString)
+          }
+        case ("sort_by", Seq(arrArg, keyArg)) =>
+          val keyExpr = keyArg.trim.stripPrefix("&")
+          operand(node, arrArg) match {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+              val elems = (0 until a.size).map(a.get)
+              val keys = elems.map(e => operand(e, keyExpr))
+              val sorted =
+                if (keys.forall(k => k != null && k.isNumber))
+                  elems.zip(keys).sortBy(_._2.decimalValue).map(_._1)
+                else if (keys.forall(k => k != null && k.isTextual))
+                  elems.zip(keys).sortBy(_._2.asText()).map(_._1)
+                else return null // mixed/unorderable keys: invalid-type
+              val arr = mapper.createArrayNode()
+              sorted.foreach(arr.add)
+              arr
+            case _ => null
+          }
+        case _ => null
+      }
+
+    /** JMESPath truthiness: null, false, empty string/array/object are
+      * false; everything else true.
+      */
+    private def truthy(n: JsonNode): Boolean = n match {
+      case null => false
+      case _ if n.isNull => false
+      case _ if n.isBoolean => n.asBoolean()
+      case _ if n.isTextual => n.asText().nonEmpty
+      case _ if n.isArray || n.isObject => n.size > 0
+      case _ => true
+    }
+
+    private val cmpOps = Seq("==", "!=", "<=", ">=", "<", ">")
+
+    /** `[?cond]` element predicate: `lhs op rhs` (operands per [[operand]],
+      * evaluated against the ELEMENT) or bare-expression truthiness.
+      * Ordering comparators are defined on numbers only (JMESPath spec);
+      * elsewhere the comparison is invalid and the element is dropped.
+      */
+    private def evalFilterCond(elem: JsonNode, cond: String): Boolean = {
+      // find a top-level comparator (quote/backtick/bracket-aware)
+      var depth = 0; var quote = false; var tick = false
+      var opAt = -1; var op: String = null
+      var i = 0
+      while (i < cond.length && opAt < 0) {
+        cond(i) match {
+          case '\'' if !tick => quote = !quote
+          case '`' if !quote => tick = !tick
+          case '[' | '(' if !quote && !tick => depth += 1
+          case ']' | ')' if !quote && !tick => depth -= 1
+          case _ if !quote && !tick && depth == 0 =>
+            cmpOps.find(o => cond.startsWith(o, i)) match {
+              case Some(o) => opAt = i; op = o
+              case None =>
+            }
+          case _ =>
+        }
+        if (opAt < 0) i += 1
+      }
+      if (opAt < 0) return truthy(operand(elem, cond))
+      val l = operand(elem, cond.take(opAt))
+      val r = operand(elem, cond.drop(opAt + op.length))
+      def eq: Boolean =
+        if (l == null || r == null) l == r
+        else if (l.isNumber && r.isNumber) l.decimalValue.compareTo(r.decimalValue) == 0
+        else l == r
+      op match {
+        case "==" => eq
+        case "!=" => !eq
+        case _ =>
+          if (l == null || r == null || !l.isNumber || !r.isNumber) false
+          else {
+            val c = l.decimalValue.compareTo(r.decimalValue)
+            op match {
+              case "<" => c < 0; case "<=" => c <= 0
+              case ">" => c > 0; case ">=" => c >= 0
+            }
+          }
+      }
     }
 
     private val sliceRe = """^(-?\d*)\:(-?\d*)(?:\:(-?\d*))?$""".r
@@ -246,6 +413,11 @@ object Filters {
               else Iterator(e))
           }
           project = true
+        case Filt(cond) =>
+          mapStep(n => if (!n.isArray) Iterator.empty
+            else (0 until n.size).iterator.map(n.get)
+              .filter(e => e != null && evalFilterCond(e, cond)))
+          project = true
         case Slice(a, b, st) =>
           mapStep { n =>
             if (!n.isArray) Iterator.empty
@@ -274,9 +446,28 @@ object Filters {
     private final case class Index(i: Int) extends Tok
     private final case class Slice(from: Option[Int], until: Option[Int], step: Option[Int])
       extends Tok
+    private final case class Filt(cond: String) extends Tok // [?cond]
     private case object Star extends Tok    // [*]
     private case object ObjStar extends Tok // .*
     private case object Flatten extends Tok // []
+
+    // matching close bracket (nesting + quote aware: a filter body may
+    // itself contain brackets, e.g. [?tags[0] == 'x'])
+    private def matchBracket(expr: String, open: Int): Int = {
+      var depth = 0; var quote = false; var tick = false; var i = open
+      while (i < expr.length) {
+        expr(i) match {
+          case '\'' if !tick => quote = !quote
+          case '`' if !quote => tick = !tick
+          case '[' if !quote && !tick => depth += 1
+          case ']' if !quote && !tick =>
+            depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
 
     private def tokenize(expr: String): Seq[Tok] = {
       val out = Seq.newBuilder[Tok]
@@ -284,12 +475,13 @@ object Filters {
       while (i < expr.length) expr(i) match {
         case '.' => i += 1
         case '[' =>
-          val close = expr.indexOf(']', i)
+          val close = matchBracket(expr, i)
           require(close > i, s"unclosed bracket in '$expr'")
           val body = expr.substring(i + 1, close).trim
           body match {
             case ""  => out += Flatten
             case "*" => out += Star
+            case b if b.startsWith("?") => out += Filt(b.drop(1).trim)
             case sliceRe(a, b, c) =>
               def opt(s: String) = Option(s).filter(_.nonEmpty).map(_.toInt)
               out += Slice(opt(a), opt(b), opt(c))

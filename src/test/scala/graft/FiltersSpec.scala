@@ -197,6 +197,48 @@ class FiltersSpec extends SparkSpec {
     assert(g("joinedc") == "12")
   }
 
+  test("ExpandJSON JMESPath filter expressions and function library") {
+    val json =
+      """{"machines":[{"name":"a","state":"running","cpu":2},
+        |{"name":"b","state":"stopped","cpu":8},
+        |{"name":"c","state":"running","cpu":4}],
+        |"tags":["x","y","z"]}""".stripMargin.replace("\n", "")
+    val df = strDf(Seq("j"), Seq(Seq(json)))
+    val out = ExpandJSON("j", Map(
+      "machines[?state == 'running'].name" -> "running",   // raw-string rhs
+      "machines[?state == 'running'] | [0].name" -> "firstrun",
+      "machines[?cpu > `2`].name" -> "bigcpu",              // json literal + ordering
+      "machines[?cpu >= `2`] | [?state != 'stopped'].name" -> "chained",
+      "machines[?state].name" -> "truthyall",               // bare truthiness
+      "machines[?missing].name" -> "truthynone",            // absent key → none
+      "machines[?'a' == name].name" -> "litlhs",            // literal on the left
+      "length(machines)" -> "nmach",                        // function: array length
+      "length(tags[0])" -> "taglen",                        // function: string length
+      "length(machines[?state == 'running'])" -> "nrun",    // filter inside fn arg
+      "sort_by(machines, &cpu)[0].name" -> "leastcpu",      // numeric sort + trailing path
+      "sort_by(machines, &name) | [-1].name" -> "lastname", // string sort + pipe
+      "to_string(machines[0].cpu)" -> "cpustr",
+      "to_string(machines[0].name)" -> "namestr",           // already a string: unchanged
+      "machines[?cpu == `99`].name" -> "empty"))(df)        // no matches → empty projection
+      .head()
+    def g(n: String) = out.getString(out.fieldIndex(n))
+    assert(g("running") == """["a","c"]""")
+    assert(g("firstrun") == "a")
+    assert(g("bigcpu") == """["b","c"]""")
+    assert(g("chained") == """["a","c"]""")
+    assert(g("truthyall") == """["a","b","c"]""")
+    assert(g("truthynone") == "[]")
+    assert(g("litlhs") == """["a"]""")
+    assert(g("nmach") == "3")
+    assert(g("taglen") == "1")
+    assert(g("nrun") == "2")
+    assert(g("leastcpu") == "a")
+    assert(g("lastname") == "c")
+    assert(g("cpustr") == "2")
+    assert(g("namestr") == "a")
+    assert(g("empty") == "[]")
+  }
+
   test("ExternalMatch default drops matches; keepOnMatch keeps only them") {
     val df = strDf(Seq("a"), Seq(Seq("x"), Seq("y"), Seq("z")))
     val set = strDf(Seq("v"), Seq(Seq("x"), Seq("y")))
