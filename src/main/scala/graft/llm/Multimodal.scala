@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * batches (the JVM analogue of Arrow-batched `mapInPandas`: one codec
   * context per partition, bounded memory per batch, no driver round-trip).
   *
-  * STUB NOTICE: this container ships no image/audio codecs, so
-  * [[StubCodecs]] is a clearly-marked deterministic fake — byte-math only,
-  * stable across runs, same interface a real codec (javax.imageio / ffmpeg
-  * bindings) would implement. The Spark-side plumbing — schema, encoders,
-  * partitioning, batch shape, null-safety — is real and tested; swapping
-  * `StubCodecs` for a real implementation changes no plan shape.
+  * Codec bindings: [[JvmImageCodecs]] is a REAL image decoder
+  * (javax.imageio — BMP/PNG/GIF/JPEG, pure JVM, byte-exact-tested against
+  * a hand-built BMP fixture). [[StubCodecs]] remains for media the
+  * container cannot decode (video/audio): a clearly-marked deterministic
+  * fake — byte-math only, stable across runs, same interface. The
+  * Spark-side plumbing — schema, encoders, partitioning, batch shape,
+  * null-safety — is identical either way; binding a codec changes no
+  * plan shape (MultimodalSpec runs the same pipeline on both).
   */
 object Multimodal {
 
@@ -62,6 +64,50 @@ object Multimodal {
         Frame(docId, ix, java.util.Arrays.copyOfRange(payload, start, end max (start + 1)))
       }
     }
+  }
+
+  /** REAL image codec over `javax.imageio` — pure JVM, no native libs:
+    * the JDK's standard plugins decode BMP, PNG, GIF and JPEG payloads.
+    * Output is always 3-channel row-major RGB (alpha/palette/grayscale
+    * normalized through `getRGB`), so downstream stages ([[resize]],
+    * [[meanPixel]]) are codec-agnostic. Unreadable payloads → None, like
+    * a production decode stage dropping corrupt media. Video frame
+    * sampling stays on the stub (no pure-JVM container demuxer here) —
+    * the [[Codecs]] seam exists precisely so each method can be bound
+    * independently.
+    */
+  object JvmImageCodecs extends Codecs {
+    // decode in-memory: ImageIO's default stream cache writes temp FILES
+    // per decode, which an executor decoding millions of images must not
+    private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedImage] = {
+      init
+      if (payload == null || payload.length == 0) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight; val c = 3
+      val px = new Array[Byte](w * h * c)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * c
+          px(o) = ((rgb >> 16) & 0xFF).toByte
+          px(o + 1) = ((rgb >> 8) & 0xFF).toByte
+          px(o + 2) = (rgb & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(docId, w, h, c, px))
+    }
+
+    def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] =
+      StubCodecs.sampleFrames(docId, payload, n)
   }
 
   /** Decode a binary payload column to [[DecodedImage]]s, partition-batched.

@@ -52,6 +52,48 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  /** A real 2×2 24-bit BMP, built BYTE BY BYTE from the spec (14-byte file
+    * header + 40-byte info header + bottom-up BGR rows padded to 4):
+    * top-down pixels are red, green / blue, white.
+    */
+  private def bmpFixture: Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header = Array[Byte]('B', 'M') ++ le32(70) ++ le16(0) ++ le16(0) ++ le32(54)
+    val info = le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    // bottom row first (y=1): blue, white; then y=0: red, green — BGR order
+    val rows = Array[Byte](
+      -1, 0, 0, /*blue BGR*/ -1, -1, -1, /*white*/ 0, 0, /*pad*/
+      0, 0, -1, /*red BGR*/ 0, -1, 0, /*green*/ 0, 0)
+    header ++ info ++ rows
+  }
+
+  test("JvmImageCodecs decodes a real BMP fixture byte-exactly, through " +
+      "the same distributed pipeline as the stub") {
+    import spark.implicits._
+    // driver-side: byte-exact decode of the hand-built file
+    val img = Multimodal.JvmImageCodecs.decodeImage(7L, bmpFixture).get
+    assert((img.width, img.height, img.channels) == ((2, 2, 3)))
+    assert(img.pixels.toSeq == Seq[Byte](
+      -1, 0, 0, /*red RGB*/ 0, -1, 0, /*green*/
+      0, 0, -1, /*blue*/ -1, -1, -1 /*white*/))
+    // corrupt payloads drop, like the stub's short-payload path
+    assert(Multimodal.JvmImageCodecs.decodeImage(8L, Array[Byte](1, 2, 3)).isEmpty)
+    // distributed: same decodeImages/resize plumbing, real codec bound in
+    val df = Seq((7L, bmpFixture), (8L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeImages(df, "doc_id", "payload",
+      codecs = Multimodal.JvmImageCodecs).collect()
+    assert(decoded.map(_.doc_id).toSeq == Seq(7L)) // corrupt row dropped
+    assert(decoded.head.pixels.toSeq == img.pixels.toSeq)
+    val up = Multimodal.resize(Multimodal.decodeImages(df, "doc_id", "payload",
+      codecs = Multimodal.JvmImageCodecs), 4, 4).collect().head
+    // nearest-neighbor 2× upscale: each source pixel becomes a 2×2 block
+    assert((up.width, up.height) == ((4, 4)))
+    assert(up.pixels.slice(0, 6).toSeq == Seq[Byte](-1, 0, 0, -1, 0, 0))
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
