@@ -82,22 +82,106 @@ object Streaming {
     name = "Kinesis",
     help = "Daemon input: raw Kinesis semantics; file-watch double in this build.")
 
-  /** TCP — socket listener input (reference: input/tcp.go:20-47; the
-    * reference gunzips each connection — the socket source is plain text,
-    * divergence documented).
+  /** Gunzipping relay for the daemon TCP input: BINDS `bindHost:port`
+    * like the reference listener (input/tcp.go:20-47), gunzips every
+    * accepted producer connection line by line (tcp.go:147
+    * `gzip.NewReader(conn)`), and serves the decompressed lines to
+    * whichever connection Spark's socket source opens on the returned
+    * ephemeral loopback port. Lines arriving while no Spark connection is
+    * up buffer in the queue; a line whose write fails (source reconnect)
+    * is re-queued, preserving at-least-once within the process. All
+    * threads are daemons — the relay lives for the JVM, matching the
+    * "daemon input" contract (api.go:58-66: the input never returns).
+    */
+  private[graft] def startGunzipRelay(bindHost: String, port: Int): Int = {
+    import java.io.PrintWriter
+    import java.net.{InetAddress, InetSocketAddress, ServerSocket}
+    import java.util.zip.GZIPInputStream
+    val ingress = new ServerSocket()
+    ingress.bind(new InetSocketAddress(bindHost, port))
+    val egress = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
+    val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+    def spawn(name: String)(body: => Unit): Unit = {
+      val t = new Thread(() => try body catch { case _: Exception => }, name)
+      t.setDaemon(true); t.start()
+    }
+    spawn(s"graft-tcp-ingress:$port") {
+      while (true) {
+        val conn = ingress.accept()
+        spawn(s"graft-tcp-conn:${conn.getPort}") {
+          // byte-level line split, NOT BufferedReader/InputStreamReader:
+          // GZIPInputStream.available() is always 1 until EOF, so
+          // StreamDecoder's "more input ready" probe re-reads after a
+          // successful decode and BLOCKS mid-stream on a live connection —
+          // sync-flushed lines would never surface until the producer
+          // closes. Plain read() returns per inflated chunk.
+          val in = new GZIPInputStream(conn.getInputStream)
+          try {
+            val buf = new Array[Byte](8192)
+            val line = new java.io.ByteArrayOutputStream()
+            def put(): Unit = {
+              val s = line.toString("UTF-8")
+              line.reset()
+              queue.put(if (s.endsWith("\r")) s.dropRight(1) else s)
+            }
+            var n = in.read(buf)
+            while (n >= 0) {
+              var i = 0
+              while (i < n) {
+                if (buf(i) == '\n') put() else line.write(buf(i).toInt)
+                i += 1
+              }
+              n = in.read(buf)
+            }
+            if (line.size > 0) put() // unterminated trailing line
+          } finally { in.close(); conn.close() }
+        }
+      }
+    }
+    spawn(s"graft-tcp-egress:${egress.getLocalPort}") {
+      while (true) {
+        val sock = egress.accept()
+        val w = new PrintWriter(sock.getOutputStream, true)
+        var ok = true
+        while (ok) {
+          val l = queue.take()
+          w.println(l)
+          if (w.checkError()) { queue.put(l); ok = false; sock.close() }
+        }
+      }
+    }
+    egress.getLocalPort
+  }
+
+  /** TCP — socket listener input (reference: input/tcp.go:20-47). With
+    * `Gzip = true` (the default — the reference ALWAYS gunzips, tcp.go:147)
+    * the input binds Host:Port and producers connect and push gzip'd CSV
+    * streams, wire-compatible with a real baker TCP client; a
+    * [[startGunzipRelay]] feeds the decompressed lines to the socket
+    * source. `Gzip = false` keeps the plain-text client mode (the source
+    * CONNECTS to Host:Port) for loopback tests and non-gzip feeds.
     */
   val tcpInput: InputDesc = InputDesc(
     "TCP",
-    "Daemon input: TCP listener; each line is one CSV record (plain text, " +
-      "no gzip framing).",
+    "Daemon input: TCP listener; each connection streams gzip'd CSV " +
+      "records (Gzip=false: plain-text connect-out mode).",
     Seq(
-      ConfigKey("Host", "bind host", default = Some("localhost")),
-      ConfigKey("Port", "listen port", default = Some(6000L))),
+      ConfigKey("Host", "bind host (gzip mode) / server host (plain mode)",
+        default = Some("localhost")),
+      ConfigKey("Port", "listen port (gzip mode) / server port (plain mode)",
+        default = Some(6000L)),
+      ConfigKey("Gzip", "per-connection gzip framing, reference parity",
+        default = Some(true))),
     (ctx, cfg) => {
+      val (host, port) =
+        if (cfg.bool("Gzip", default = true))
+          ("127.0.0.1",
+            startGunzipRelay(cfg.str("Host", "localhost"), cfg.int("Port", 6000L).toInt))
+        else (cfg.str("Host", "localhost"), cfg.int("Port", 6000L).toInt)
       val lines = ctx.spark.readStream
         .format("socket")
-        .option("host", cfg.str("Host", "localhost"))
-        .option("port", cfg.int("Port", 6000L))
+        .option("host", host)
+        .option("port", port)
         .load()
       val parts = split(col("value"), java.util.regex.Pattern.quote(ctx.separator), -1)
       lines.select(ctx.fields.zipWithIndex.map { case (f, i) =>

@@ -127,6 +127,7 @@ class StreamingSpec extends SparkSpec {
          |  [input.config]
          |  Host = "127.0.0.1"
          |  Port = ${server.getLocalPort}
+         |  Gzip = false
          |[[filter]]
          |name = "NotNull"
          |  [filter.config]
@@ -148,6 +149,59 @@ class StreamingSpec extends SparkSpec {
       }
       assert(lines == Set("a,1", "c,3"))
     } finally { daemon.stop(); server.close() }
+  }
+
+  test("TCP daemon gzip framing: producers push gzip'd connections " +
+      "(reference wire parity, input/tcp.go:147)") {
+    val dir = tmpDir()
+    // reserve a listener port for the daemon's ingress
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort; probe.close()
+    val toml =
+      s"""[fields]
+         |names = ["k", "v"]
+         |[input]
+         |name = "TCP"
+         |  [input.config]
+         |  Host = "127.0.0.1"
+         |  Port = $port
+         |[[filter]]
+         |name = "NotNull"
+         |  [filter.config]
+         |  Fields = ["v"]
+         |[output]
+         |name = "FileWriter"
+         |  [output.config]
+         |  PathString = "$dir/out/rot-{{.Rotation}}-{{.Index}}.csv"
+         |""".stripMargin
+    val daemon = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    def outLines() = Option(new File(dir, "out").listFiles()).toSeq.flatten
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList).toSet
+    // connect exactly like a baker TCP client: one gzip stream per
+    // connection (syncFlush so lines surface without closing)
+    def producer() = {
+      val s = new java.net.Socket("127.0.0.1", port)
+      val gz = new java.util.zip.GZIPOutputStream(s.getOutputStream, true)
+      (s, gz, new java.io.PrintWriter(new java.io.OutputStreamWriter(gz, "UTF-8"), false))
+    }
+    try {
+      val (s1, gz1, w1) = producer()
+      w1.println("a,1"); w1.println("b,"); w1.println("c,3")
+      w1.flush(); gz1.flush()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (outLines() != Set("a,1", "c,3") && System.nanoTime() < deadline)
+        daemon.processAllAvailable()
+      assert(outLines() == Set("a,1", "c,3"))
+      // a SECOND connection has its own gzip framing; closing it writes
+      // the gzip trailer and the relay keeps serving
+      val (s2, _, w2) = producer()
+      w2.println("d,4"); w2.close(); s2.close()
+      while (!outLines().contains("d,4") && System.nanoTime() < deadline)
+        daemon.processAllAvailable()
+      assert(outLines() == Set("a,1", "c,3", "d,4"))
+      s1.close()
+    } finally daemon.stop()
   }
 
   test("daemon restart resumes from checkpoint (no reprocessing)") {
