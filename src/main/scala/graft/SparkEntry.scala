@@ -48,6 +48,14 @@ object SparkEntry {
   private val bpeO = graft.llm.Bpe.Open
   private val bpeC = graft.llm.Bpe.Close
 
+  /** Threshold-sized merge table for q_bpe_encode_native: 64 digit pairs,
+    * enough rules to route [[graft.llm.Bpe.encodeWords]] onto the native
+    * expression, none of which can fire on the all-alphabetic fixture
+    * corpus (so the oracle states the result as the plain char wrap).
+    */
+  private val bpeNativeDemoMerges: Seq[(String, String)] =
+    (0 until 64).map(i => ((i / 8).toString, (i % 8).toString))
+
   /** The delimiter-wrapped char split of one word, as DuckDB SQL over `w` —
     * mirrors Bpe.wrapChars, including stripping the reserved delimiters
     * from input.
@@ -958,6 +966,23 @@ object SparkEntry {
       // exact symbol boundaries — the oracle replays it verbatim in SQL
       t(s, d, "documents")
         .withColumn("__enc", graft.llm.Bpe.encodeText(col("text"), bpeDemoMerges))
+        .select(col("doc_id"),
+          graft.llm.Bpe.symbolCount(col("__enc")).as("n_bpe"),
+          md5(col("__enc").cast("binary")).as("enc_md5"))
+        .orderBy("doc_id")),
+
+    "q_bpe_encode_native" -> ((s, d) =>
+      // the PRODUCTION encode shape: this table sits at NativeEncodeThreshold,
+      // so encodeText routes through the native BpeEncodeWords expression
+      // (merge table = ONE codegen reference object, not 64 plan nodes).
+      // The rules pair digits, which the fixture corpus provably lacks
+      // (the driver's generator emits alphabetic word soup), so the merge
+      // loop — which still rank-scans every adjacent symbol pair of every
+      // word — provably leaves the bare delimiter-wrapped char split,
+      // statable exactly in SQL. Native ≡ chained on FIRING tables is
+      // BpePropertySpec's property test.
+      t(s, d, "documents")
+        .withColumn("__enc", graft.llm.Bpe.encodeText(col("text"), bpeNativeDemoMerges))
         .select(col("doc_id"),
           graft.llm.Bpe.symbolCount(col("__enc")).as("n_bpe"),
           md5(col("__enc").cast("binary")).as("enc_md5"))
@@ -1934,6 +1959,20 @@ object SparkEntry {
                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                          ELSE regexp_split_to_array(trim(text), '\\s+') END,
                     w -> ${bpeReplaceChainSql(bpeWrapSql)}), '|') AS enc
+           FROM documents)
+         SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
+                md5(enc) AS enc_md5
+         FROM e ORDER BY doc_id""",
+    "q_bpe_encode_native" ->
+      // no digit pair exists in the corpus, so the 64-rule table leaves
+      // the delimiter-wrapped char split untouched (rule non-firing is
+      // itself part of the check: one spurious merge changes every hash)
+      s"""WITH e AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(
+                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END,
+                    w -> $bpeWrapSql), '|') AS enc
            FROM documents)
          SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
                 md5(enc) AS enc_md5
