@@ -267,11 +267,116 @@ object Filters {
 
     /** go-jmespath function library subset: every function a shipped
       * MessageFormat/ExpandJSON path can reach (`join`, `length`,
-      * `sort_by`, `to_string`); unknown names → null like the reference's
-      * compile-error path.
+      * `sort_by`, `to_string`) plus the common string/array/object rest
+      * (`contains`, `starts_with`, `ends_with`, `keys`, `values`,
+      * `reverse`, `min`, `max`, `abs`, `ceil`, `floor`, `to_number`,
+      * `not_null`, `type`, `merge`); unknown names → null like the
+      * reference's compile-error path.
       */
     private def applyFn(node: JsonNode, fn: String, args: Seq[String]): JsonNode =
       (fn, args) match {
+        case ("contains", Seq(subjArg, searchArg)) =>
+          val f = mapper.getNodeFactory
+          (operand(node, subjArg), operand(node, searchArg)) match {
+            case (null, _) => null
+            case (s, x) if s.isArray =>
+              f.booleanNode((0 until s.size).exists(i => s.get(i) == x))
+            case (s, x) if s.isTextual && x != null && x.isTextual =>
+              f.booleanNode(s.asText().contains(x.asText()))
+            case _ => null
+          }
+        case ("starts_with" | "ends_with", Seq(subjArg, prefArg)) =>
+          (operand(node, subjArg), operand(node, prefArg)) match {
+            case (s, p) if s != null && s.isTextual && p != null && p.isTextual =>
+              mapper.getNodeFactory.booleanNode(
+                if (fn == "starts_with") s.asText().startsWith(p.asText())
+                else s.asText().endsWith(p.asText()))
+            case _ => null
+          }
+        case ("keys" | "values", Seq(arg)) =>
+          operand(node, arg) match {
+            case o if o != null && o.isObject =>
+              import scala.jdk.CollectionConverters._
+              val arr = mapper.createArrayNode()
+              if (fn == "keys")
+                o.fieldNames().asScala.foreach(k => arr.add(mapper.getNodeFactory.textNode(k)))
+              else o.elements().asScala.foreach(arr.add)
+              arr
+            case _ => null
+          }
+        case ("reverse", Seq(arg)) =>
+          operand(node, arg) match {
+            case a if a != null && a.isArray =>
+              val arr = mapper.createArrayNode()
+              (a.size - 1 to 0 by -1).foreach(i => arr.add(a.get(i)))
+              arr
+            case s if s != null && s.isTextual =>
+              mapper.getNodeFactory.textNode(s.asText().reverse)
+            case _ => null
+          }
+        case ("min" | "max", Seq(arg)) =>
+          operand(node, arg) match {
+            case a if a != null && a.isArray && a.size == 0 =>
+              mapper.getNodeFactory.nullNode()
+            case a if a != null && a.isArray =>
+              val elems = (0 until a.size).map(a.get)
+              val numOrd =
+                if (fn == "max") Ordering[java.math.BigDecimal].reverse
+                else Ordering[java.math.BigDecimal]
+              val strOrd =
+                if (fn == "max") Ordering[String].reverse else Ordering[String]
+              if (elems.forall(e => e != null && e.isNumber))
+                elems.min(Ordering.by((e: JsonNode) => e.decimalValue)(numOrd))
+              else if (elems.forall(e => e != null && e.isTextual))
+                elems.min(Ordering.by((e: JsonNode) => e.asText())(strOrd))
+              else null
+            case _ => null
+          }
+        case ("abs" | "ceil" | "floor", Seq(arg)) =>
+          operand(node, arg) match {
+            case n if n != null && n.isNumber =>
+              val d = n.decimalValue
+              val out = fn match {
+                case "abs"  => d.abs
+                case "ceil" => d.setScale(0, java.math.RoundingMode.CEILING)
+                case _      => d.setScale(0, java.math.RoundingMode.FLOOR)
+              }
+              if (out.scale <= 0) mapper.getNodeFactory.numberNode(out.toBigIntegerExact)
+              else mapper.getNodeFactory.numberNode(out)
+            case _ => null
+          }
+        case ("to_number", Seq(arg)) =>
+          operand(node, arg) match {
+            case n if n != null && n.isNumber => n
+            case s if s != null && s.isTextual =>
+              try mapper.getNodeFactory.numberNode(new java.math.BigDecimal(s.asText().trim))
+              catch { case _: NumberFormatException => null }
+            case _ => null
+          }
+        case ("not_null", as) if as.nonEmpty =>
+          as.iterator.map(operand(node, _))
+            .find(v => v != null && !v.isNull).orNull
+        case ("type", Seq(arg)) =>
+          operand(node, arg) match {
+            case null => null
+            case n =>
+              val t = if (n.isTextual) "string" else if (n.isNumber) "number"
+                else if (n.isBoolean) "boolean" else if (n.isArray) "array"
+                else if (n.isObject) "object" else "null"
+              mapper.getNodeFactory.textNode(t)
+          }
+        case ("merge", as) if as.nonEmpty =>
+          val objs = as.map(operand(node, _))
+          if (objs.exists(o => o == null || !o.isObject)) null
+          else {
+            import scala.jdk.CollectionConverters._
+            val out = mapper.createObjectNode()
+            // replace, not set: set's generic return infers Nothing in
+            // Scala statement position and the inserted cast throws
+            for (o <- objs; k <- o.fieldNames().asScala.toSeq)
+              out.replace(k, o.get(k))
+            out
+          }
         case ("join", Seq(sepArg, innerArg)) =>
           (operand(node, sepArg), operand(node, innerArg)) match {
             case (sep, a: com.fasterxml.jackson.databind.node.ArrayNode)

@@ -239,6 +239,52 @@ class FiltersSpec extends SparkSpec {
     assert(g("empty") == "[]")
   }
 
+  test("ExpandJSON JMESPath wider function library") {
+    val json =
+      """{"nums":[3,1,2],"names":["bob","amy"],"obj":{"b":"2","a":"1"},
+        |"s":"hello","mixed":[1,"x"],"extra":{"a":"9","c":"3"}}"""
+        .stripMargin.replace("\n", "")
+    val df = strDf(Seq("j"), Seq(Seq(json)))
+    val out = ExpandJSON("j", Map(
+      "contains(names, 'amy')" -> "has_amy",
+      "contains(names, 'zed')" -> "has_zed",
+      "contains(s, 'ell')" -> "has_sub",
+      "starts_with(s, 'he')" -> "sw",
+      "ends_with(s, 'lo')" -> "ew",
+      "keys(obj)" -> "ks",
+      "values(obj)" -> "vs",
+      "reverse(nums)" -> "rev",
+      "reverse(s)" -> "revs",
+      "min(nums)" -> "mn",
+      "max(nums)" -> "mx",
+      "max(names)" -> "mxs",
+      "min(mixed)" -> "mixedmin",
+      "abs(`-3.5`)" -> "ab",
+      "ceil(`1.2`)" -> "ce",
+      "floor(`1.8`)" -> "fl",
+      "to_number(obj.a)" -> "tn",
+      "to_number(s)" -> "tnbad",
+      "not_null(obj.zzz, obj.a, obj.b)" -> "nn",
+      "type(nums)" -> "ty1",
+      "type(s)" -> "ty2",
+      "merge(obj, extra).a" -> "merged",     // later object wins
+      "sort_by(keys(obj), &@) | [0]" -> "firstkey"))(df) // fn-of-fn + &@ identity
+      .head()
+    def g(n: String) = out.getString(out.fieldIndex(n))
+    assert(g("has_amy") == "true" && g("has_zed") == "false" && g("has_sub") == "true")
+    assert(g("sw") == "true" && g("ew") == "true")
+    assert(g("ks") == """["b","a"]""" && g("vs") == """["2","1"]""")
+    assert(g("rev") == "[2,1,3]" && g("revs") == "olleh")
+    assert(g("mn") == "1" && g("mx") == "3" && g("mxs") == "bob")
+    assert(g("mixedmin") == null)   // mixed types: invalid
+    assert(g("ab") == "3.5" && g("ce") == "2" && g("fl") == "1")
+    assert(g("tn") == "1" && g("tnbad") == null)
+    assert(g("nn") == "1")
+    assert(g("ty1") == "array" && g("ty2") == "string")
+    assert(g("merged") == "9")
+    assert(g("firstkey") == "a")
+  }
+
   test("ExternalMatch default drops matches; keepOnMatch keeps only them") {
     val df = strDf(Seq("a"), Seq(Seq("x"), Seq("y"), Seq("z")))
     val set = strDf(Seq("v"), Seq(Seq("x"), Seq("y")))
