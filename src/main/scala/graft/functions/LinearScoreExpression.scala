@@ -74,3 +74,52 @@ case class LinearScoreSum(child: Expression, weights: Map[String, Double])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `LinearLogit(features, weights, bias)` = bias + Σ weight(f) / n — the
+  * classifier's whole decision statistic as ONE expression, null when the
+  * feature array is empty (no statistic to take).
+  *
+  * Why it exists on top of [[LinearScoreSum]]: a filter built from parts
+  * (`size(feats) > 0 && bias + sum(feats)/size(feats) > 0`) evaluates the
+  * feature-array subtree up to three times per row — FilterExec generates
+  * each conjunct without cross-conjunct subexpression elimination, and
+  * predicate pushdown re-substitutes any aliasing projection. With the
+  * whole statistic as one node the array is computed once per row
+  * (measured ~2× on the sf0.1 quality gate). Same per-executor hash-map
+  * table.
+  */
+case class LinearLogit(child: Expression, weights: Map[String, Double],
+    bias: Double) extends UnaryExpression {
+
+  override def prettyName: String = "linear_logit"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  @transient private lazy val sumExpr = LinearScoreSum(child, weights)
+
+  /** Boxed so the generated code can see the empty-array null. */
+  def logitOrNull(input: ArrayData): java.lang.Double = {
+    val n = input.numElements()
+    if (n == 0) null
+    else java.lang.Double.valueOf(bias + sumExpr.score(input) / n)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    logitOrNull(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linearLogit", this,
+      classOf[LinearLogit].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double r = $ref.logitOrNull($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{LinearScoreSum, TextFunctions}
+import graft.functions.{LinearLogit, LinearScoreSum, TextFunctions}
 
 /** fastText-style shallow linear text classifier — the standard
   * quality-filter stage of LLM pretraining pipelines (a CCNet/LLaMA-style
@@ -60,8 +60,12 @@ object Classifier {
 
   /** Filter form: keep only documents the classifier accepts — one scan,
     * zero shuffles, original columns untouched (the gate is a row filter
-    * fused into whatever stage produces `df`). Featureless documents are
-    * dropped, matching [[scoreLinear]]'s absence semantics.
+    * fused into whatever stage produces `df`). The whole decision
+    * statistic is the single [[LinearLogit]] node, so the feature array
+    * is computed ONCE per row (a size/sum/size conjunction would
+    * re-evaluate it per conjunct — FilterExec does no cross-conjunct
+    * subexpression elimination). Featureless documents produce a null
+    * logit and are dropped, matching [[scoreLinear]]'s absence semantics.
     */
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
       weights: Map[String, Double], bias: Double = 0.0,
@@ -69,7 +73,8 @@ object Classifier {
     require(wordNgrams >= 1, s"wordNgrams must be >= 1: $wordNgrams")
     require(weights.nonEmpty, "Classifier: weights must be non-empty")
     val feats = featuresOf(col(textCol), wordNgrams)
-    df.filter(size(feats) > 0 &&
-      lit(bias) + linearScore(feats, weights) / size(feats) > 0)
+    val logit = GraftShims.toColumn(
+      LinearLogit(GraftShims.toExpression(feats), weights, bias))
+    df.filter(logit > 0)
   }
 }
