@@ -133,3 +133,69 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `BpeSymbolPairs(encodedWords)` — the flat array of adjacent-symbol
+  * pair strings ("a b") across an array of delimiter-encoded words: one
+  * BPE training step's pre-aggregation rows, as ONE native expression.
+  *
+  * Replaces the interpreted HOF chain
+  * `flatten(transform(ws, e => symbolPairs(e)))` (per-word lambda →
+  * sequence → element_at concat), whose lambda bodies never enter
+  * whole-stage codegen — the profile showed the training-step scan
+  * dominated by lambda evaluation, not the count aggregate. Pairs never
+  * cross word boundaries; words with fewer than two symbols contribute
+  * nothing; null words are skipped (the HOF form's transform maps a null
+  * element to null and flatten drops nothing — but encoded words are
+  * never null in practice; the property spec pins equality on real
+  * encodings).
+  */
+case class BpeSymbolPairs(child: Expression, open: String, close: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_symbol_pairs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  def pairsOf(input: ArrayData): ArrayData = {
+    val sep = close + open
+    val out = new java.util.ArrayList[UTF8String]()
+    val n = input.numElements()
+    var w = 0
+    while (w < n) {
+      if (!input.isNullAt(w)) {
+        val enc = input.getUTF8String(w).toString
+        if (enc.length > 2) {
+          // interior = enc minus the outer delimiters; split on Close+Open
+          var prevStart = 1
+          var prev: String = null
+          val stop = enc.length - 1
+          while (prevStart <= stop) {
+            val cut = enc.indexOf(sep, prevStart)
+            val end = if (cut < 0 || cut >= stop) stop else cut
+            val sym = enc.substring(prevStart, end)
+            if (prev != null) out.add(UTF8String.fromString(prev + " " + sym))
+            prev = sym
+            prevStart = end + 2
+          }
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    pairsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpePairs", this,
+      classOf[BpeSymbolPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pairsOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeEncodeWords, TextFunctions}
+import graft.functions.{BpeEncodeWords, BpeSymbolPairs, TextFunctions}
 
 /** Byte-pair-encoding tokenizer over a text corpus — the real merge-table
   * algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
@@ -89,12 +89,15 @@ object Bpe {
 
   /** Per-document array of delimiter-encoded words (whitespace
     * tokenization, same contract as [[TextFunctions.tokens]]). Small
-    * tables stay on the chained-`replace` form (any engine can reproduce
-    * it — the DuckDB oracle does); tables at or past
-    * [[NativeEncodeThreshold]] rules route through [[encodeWordsNative]].
+    * non-empty tables stay on the chained-`replace` form (any engine can
+    * reproduce it — the DuckDB oracle does); tables at or past
+    * [[NativeEncodeThreshold]] rules route through [[encodeWordsNative]],
+    * and so does the EMPTY table (the bare char wrap — the merge loop
+    * exits immediately, and the native split beats the interpreted
+    * `wrapChars` lambda on the training hot path).
     */
   def encodeWords(text: Column, merges: Seq[(String, String)]): Column =
-    if (merges.size >= NativeEncodeThreshold)
+    if (merges.isEmpty || merges.size >= NativeEncodeThreshold)
       encodeWordsNative(TextFunctions.tokens(text), merges)
     else transform(TextFunctions.tokens(text), w => encodeWord(w, merges))
 
@@ -137,11 +140,15 @@ object Bpe {
 
   /** [[pairCounts]] over an already-encoded words column `__ws` — the
     * shape [[train]] aggregates per step (one explode + one
-    * map-side-combined count; PlanShapeSpec pins it).
+    * map-side-combined count; PlanShapeSpec pins it). Pair emission is
+    * the native [[BpeSymbolPairs]] expression; the equivalent HOF chain
+    * (`flatten(transform(_, symbolPairs))`) evaluates its lambdas
+    * interpreted and dominated the counting scan (BpePropertySpec pins
+    * the equality).
     */
   private def pairCountsOfWords(enc: DataFrame): DataFrame =
-    enc.select(explode(flatten(transform(col("__ws"), e => symbolPairs(e))))
-        .as("pair"))
+    enc.select(explode(GraftShims.toColumn(BpeSymbolPairs(
+        GraftShims.toExpression(col("__ws")), Open, Close))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
 
   /** Train `steps` merge rules by repeated argmax of the pair counts, ties

@@ -142,6 +142,44 @@ class BpePropertySpec extends SparkSpec {
     assert(counts.forall(_ > 0))
   }
 
+  test("native symbol-pair emission equals the HOF form; empty-table " +
+      "native encode equals the chained char wrap") {
+    import spark.implicits._
+    val alphabet = Seq("a", "b", "c", "(", ")", "|", "x")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(300 + seed)
+      val merges = randomMerges(rnd, alphabet, rnd.nextInt(6))
+      val docs = (1 to 25).map { _ =>
+        (1 to rnd.nextInt(6) + 1).map(_ =>
+          (1 to rnd.nextInt(8) + 1).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+            .mkString).mkString(" ")
+      }
+      val df = docs.toDF("text")
+      // encodeWords routes empty tables natively; the chained form is the
+      // semantic reference for both checks
+      val chainedWs = transform(graft.functions.TextFunctions.tokens(col("text")),
+        w => Bpe.encodeWord(w, merges))
+      val rows = df.select(
+          Bpe.encodeWords(col("text"), merges).as("routed"),
+          chainedWs.as("chained"))
+        .as[(Seq[String], Seq[String])].collect()
+      for ((routed, chained) <- rows)
+        assert(routed == chained, s"seed=$seed merges=$merges")
+      // pair emission: native expression vs the HOF chain over the SAME
+      // encoded words
+      val enc = df.select(chainedWs.as("__ws"))
+      val native = enc.select(org.apache.spark.sql.GraftShims.toColumn(
+          graft.functions.BpeSymbolPairs(
+            org.apache.spark.sql.GraftShims.toExpression(col("__ws")),
+            Bpe.Open, Bpe.Close)).as("p"))
+        .as[Seq[String]].collect()
+      val hof = enc.select(flatten(transform(col("__ws"),
+          e => Bpe.symbolPairs(e))).as("p"))
+        .as[Seq[String]].collect()
+      assert(native.toSeq == hof.toSeq, s"seed=$seed merges=$merges")
+    }
+  }
+
   test("batched training equals sequential training when no selected " +
       "pairs conflict") {
     import spark.implicits._
