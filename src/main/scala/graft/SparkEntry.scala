@@ -548,8 +548,10 @@ object SparkEntry {
             Seq("fast merge", "value table", "window table table"))
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
-      Dedup.exact(clean, "doc_id", Seq(TF.fingerprint(col("text"))))
-        .select("doc_id")
+      // keeper IDS only → exactIds keeps the dedup a primitive-buffer
+      // HashAggregate (exact's struct min_by would sort-aggregate full
+      // rows the projection then throws away)
+      Dedup.exactIds(clean, "doc_id", Seq(TF.fingerprint(col("text"))))
         .orderBy("doc_id")
     }),
 

@@ -36,6 +36,18 @@ object Dedup {
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
+  /** The keeper IDS of [[exact]] — same min-id-per-key-group rule, but
+    * only the id survives, so the aggregation buffer is a primitive long
+    * and the plan stays a map-side-combined HashAggregate. [[exact]]'s
+    * struct-valued `min_by` has no mutable buffer and falls to a
+    * SortAggregate that sorts every row's FULL struct — wasted work when
+    * the caller (a funnel counting keepers, an anti-join seed) never reads
+    * the other columns, which Catalyst cannot prune out of an aggregate
+    * function.
+    */
+  def exactIds(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*).agg(min(col(idCol)).as(idCol)).select(idCol)
+
   /** Skew fuse for LSH bucket self-joins: drop buckets holding more than
     * `cap` members before pairing. A single hot bucket (boilerplate text, a
     * mega-cluster of identical docs) otherwise emits O(n²) candidate pairs —

@@ -140,6 +140,11 @@ class DedupSimilaritySpec extends SparkSpec {
     import spark.implicits._
     val out = Dedup.exact(docs, "doc_id", Seq(md5(col("text").cast("binary"))))
     assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
+    // keeper-id form: same selection rule, primitive-buffer hash aggregate
+    val ids = Dedup.exactIds(docs, "doc_id", Seq(md5(col("text").cast("binary"))))
+    assert(ids.as[Long].collect().toSet == Set(0L, 1L, 3L, 4L))
+    val p = ids.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
   }
 
   test("minhash pairs find the identical and near-identical pairs") {

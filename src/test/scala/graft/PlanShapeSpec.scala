@@ -226,7 +226,11 @@ class PlanShapeSpec extends SparkSpec {
     // map-combined aggregate (partial_min_by), never a window; the language
     // + quality gates add no exchange of their own
     assert(p.contains("BroadcastHashJoin"), s"decontamination should broadcast:\n$p")
-    assert(p.contains("partial_min_by"), s"dedup should combine map-side:\n$p")
+    // keeper-id dedup: primitive-buffer HashAggregate (partial_min), never
+    // the struct min_by SortAggregate and never a window
+    assert(p.contains("partial_min"), s"dedup should combine map-side:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"keeper-id dedup must hash-aggregate:\n$p")
     assert(!p.contains("Window"), s"the funnel must not use a window:\n$p")
     // the classifier gate is a native map-only expression: it adds NO scan
     // of its own (the funnel reads documents once for the corpus, once for
