@@ -792,6 +792,36 @@ object SparkEntry {
           sum(length(col("payload"))).as("total_bytes"))
         .orderBy("doc_id")),
 
+    "q_multimodal_audio" -> ((s, d) => {
+      // REAL audio decode under the oracle: build a valid 8 kHz mono
+      // 16-bit WAV per document IN COLUMN ALGEBRA (RIFF/fmt/data headers
+      // with little-endian sizes via hex byte-swap, sample data = the
+      // first 2n text bytes), then decode it with the real PCM chunk
+      // walker (JvmCodecs). The oracle recomputes every sample from the
+      // same text bytes — ASCII corpus, so sample_i = b(2i-1) + 256·b(2i),
+      // always positive (high byte < 128)
+      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
+        val h = lpad(hex(c), nBytes * 2, "0")
+        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+      }
+      val n = least(floor(length(col("text")) / 2), lit(16)).cast("int")
+      val dataLen = n * 2
+      val payload = concat(
+        lit("RIFF".getBytes), le(dataLen + 36, 4), lit("WAVEfmt ".getBytes),
+        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+        lit("data".getBytes), le(dataLen, 4),
+        col("text").cast("binary").substr(lit(1), dataLen))
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 2)
+        .withColumn("payload", payload)
+      graft.llm.Multimodal.decodeAudio(docs, "doc_id", "payload")
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          size(col("samples")).as("n_samples"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x).as("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time primitives (streaming/EventTime, batch-checkable) ----
     "q_event_window" -> ((s, d) =>
       // tumbling event-time window counts; same code path as the
@@ -1634,6 +1664,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
                 CAST(greatest(octet_length(encode(text)), 4) AS BIGINT) AS total_bytes
          FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""",
+    "q_multimodal_audio" ->
+      // every 16-bit LE sample recomputed from the same text bytes the
+      // Spark side packed into the WAV data chunk
+      """SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(1 AS INTEGER) AS channels,
+                CAST(least(length(text) // 2, 16) AS INTEGER) AS n_samples,
+                CAST(list_sum(list_transform(
+                    range(1, CAST(least(length(text) // 2, 16) AS INTEGER) + 1),
+                    i -> ord(substr(text, CAST(2*i-1 AS INTEGER), 1))
+                         + 256 * ord(substr(text, CAST(2*i AS INTEGER), 1))))
+                  AS BIGINT) AS sample_sum
+         FROM documents WHERE length(text) >= 2 ORDER BY doc_id""",
     "q_quality" ->
       s"""$qualityScoreCte
          SELECT doc_id, quality FROM q ORDER BY doc_id""",

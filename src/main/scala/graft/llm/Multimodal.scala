@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * batches (the JVM analogue of Arrow-batched `mapInPandas`: one codec
   * context per partition, bounded memory per batch, no driver round-trip).
   *
-  * Codec bindings: [[JvmImageCodecs]] is a REAL image decoder
-  * (javax.imageio — BMP/PNG/GIF/JPEG, pure JVM, byte-exact-tested against
-  * a hand-built BMP fixture). [[StubCodecs]] remains for media the
-  * container cannot decode (video/audio): a clearly-marked deterministic
+  * Codec bindings: [[JvmCodecs]] is REAL — images via javax.imageio
+  * (BMP/PNG/GIF/JPEG, pure JVM, byte-exact-tested against a hand-built
+  * BMP fixture) and audio via a RIFF/WAVE PCM parser (byte-exact-tested
+  * against a hand-built WAV fixture). [[StubCodecs]] remains for media the
+  * container cannot decode (video): a clearly-marked deterministic
   * fake — byte-math only, stable across runs, same interface. The
   * Spark-side plumbing — schema, encoders, partitioning, batch shape,
   * null-safety — is identical either way; binding a codec changes no
@@ -28,10 +29,19 @@ object Multimodal {
   /** Sampled video frame. */
   final case class Frame(doc_id: Long, frame_ix: Int, payload: Array[Byte])
 
+  /** Decoded audio clip: 16-bit sample values kept as exact ints (8-bit
+    * input is centered to signed), so downstream statistics are
+    * integer-exact and cross-engine checkable.
+    */
+  final case class DecodedAudio(
+      doc_id: Long, sample_rate: Int, channels: Int, samples: Array[Int])
+
   /** The codec seam. A production build binds real decoders here. */
   trait Codecs extends Serializable {
     def decodeImage(docId: Long, payload: Array[Byte]): Option[DecodedImage]
     def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame]
+    /** Audio decode; only real codec bindings implement it. */
+    def decodeAudio(docId: Long, payload: Array[Byte]): Option[DecodedAudio] = None
   }
 
   /** Deterministic FAKE codec (see STUB NOTICE above): dimensions derive
@@ -66,17 +76,17 @@ object Multimodal {
     }
   }
 
-  /** REAL image codec over `javax.imageio` — pure JVM, no native libs:
-    * the JDK's standard plugins decode BMP, PNG, GIF and JPEG payloads.
-    * Output is always 3-channel row-major RGB (alpha/palette/grayscale
-    * normalized through `getRGB`), so downstream stages ([[resize]],
-    * [[meanPixel]]) are codec-agnostic. Unreadable payloads → None, like
-    * a production decode stage dropping corrupt media. Video frame
-    * sampling stays on the stub (no pure-JVM container demuxer here) —
-    * the [[Codecs]] seam exists precisely so each method can be bound
-    * independently.
+  /** REAL pure-JVM codec binding, no native libs. Images decode through
+    * `javax.imageio` (the JDK's standard plugins: BMP, PNG, GIF, JPEG)
+    * to 3-channel row-major RGB (alpha/palette/grayscale normalized
+    * through `getRGB`), so downstream stages ([[resize]], [[meanPixel]])
+    * are codec-agnostic; audio decodes through a hand-rolled RIFF/WAVE
+    * PCM chunk walker. Unreadable payloads → None, like a production
+    * decode stage dropping corrupt media. Video frame sampling stays on
+    * the stub (no pure-JVM container demuxer here) — the [[Codecs]] seam
+    * exists precisely so each method can be bound independently.
     */
-  object JvmImageCodecs extends Codecs {
+  object JvmCodecs extends Codecs {
     // decode in-memory: ImageIO's default stream cache writes temp FILES
     // per decode, which an executor decoding millions of images must not
     private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
@@ -108,6 +118,46 @@ object Multimodal {
 
     def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] =
       StubCodecs.sampleFrames(docId, payload, n)
+
+    /** REAL RIFF/WAVE PCM parser — plain byte walking, no libs: accepts
+      * format-1 (linear PCM) mono/stereo at 8 or 16 bits, walks the chunk
+      * list for `fmt ` and `data` (tolerating extra chunks like LIST),
+      * and rejects anything truncated or non-PCM with None.
+      */
+    override def decodeAudio(docId: Long, payload: Array[Byte]): Option[DecodedAudio] = {
+      def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+      def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+      def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+      if (payload == null || payload.length < 44) return None
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[(Int, Int)] = None     // (offset, size)
+      var o = 12
+      while (o + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(o); val size = le32(o + 4)
+        if (size < 0 || o + 8 + size > payload.length) return None
+        if (id == "fmt " && size >= 16) {
+          if (le16(o + 8) != 1) return None // PCM only
+          fmt = Some((le16(o + 10), le32(o + 12), le16(o + 22)))
+        } else if (id == "data") data = Some((o + 8, size))
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((ch, rate, bits)), Some((off, size)))
+            if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
+          val n = size / (bits / 8)
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            samples(i) =
+              if (bits == 8) (payload(off + i) & 0xFF) - 128
+              else le16(off + 2 * i).toShort.toInt
+            i += 1
+          }
+          Some(DecodedAudio(docId, rate, ch, samples))
+        case _ => None
+      }
+    }
   }
 
   /** Decode a binary payload column to [[DecodedImage]]s, partition-batched.
@@ -168,6 +218,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, p) =>
         codecs.sampleFrames(id, p, n)
+      }))
+  }
+
+  /** Decode audio payloads (see [[JvmCodecs]].decodeAudio: real WAV
+    * PCM parsing), partition-batched like [[decodeImages]]; undecodable
+    * payloads drop.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String,
+      codecs: Codecs = JvmCodecs, batchSize: Int = 64): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, p) =>
+        codecs.decodeAudio(id, p)
       }))
   }
 

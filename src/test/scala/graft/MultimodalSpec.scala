@@ -69,29 +69,62 @@ class MultimodalSpec extends SparkSpec {
     header ++ info ++ rows
   }
 
-  test("JvmImageCodecs decodes a real BMP fixture byte-exactly, through " +
+  test("JvmCodecs decodes a real BMP fixture byte-exactly, through " +
       "the same distributed pipeline as the stub") {
     import spark.implicits._
     // driver-side: byte-exact decode of the hand-built file
-    val img = Multimodal.JvmImageCodecs.decodeImage(7L, bmpFixture).get
+    val img = Multimodal.JvmCodecs.decodeImage(7L, bmpFixture).get
     assert((img.width, img.height, img.channels) == ((2, 2, 3)))
     assert(img.pixels.toSeq == Seq[Byte](
       -1, 0, 0, /*red RGB*/ 0, -1, 0, /*green*/
       0, 0, -1, /*blue*/ -1, -1, -1 /*white*/))
     // corrupt payloads drop, like the stub's short-payload path
-    assert(Multimodal.JvmImageCodecs.decodeImage(8L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.JvmCodecs.decodeImage(8L, Array[Byte](1, 2, 3)).isEmpty)
     // distributed: same decodeImages/resize plumbing, real codec bound in
     val df = Seq((7L, bmpFixture), (8L, Array[Byte](1, 2, 3)))
       .toDF("doc_id", "payload")
     val decoded = Multimodal.decodeImages(df, "doc_id", "payload",
-      codecs = Multimodal.JvmImageCodecs).collect()
+      codecs = Multimodal.JvmCodecs).collect()
     assert(decoded.map(_.doc_id).toSeq == Seq(7L)) // corrupt row dropped
     assert(decoded.head.pixels.toSeq == img.pixels.toSeq)
     val up = Multimodal.resize(Multimodal.decodeImages(df, "doc_id", "payload",
-      codecs = Multimodal.JvmImageCodecs), 4, 4).collect().head
+      codecs = Multimodal.JvmCodecs), 4, 4).collect().head
     // nearest-neighbor 2× upscale: each source pixel becomes a 2×2 block
     assert((up.width, up.height) == ((4, 4)))
     assert(up.pixels.slice(0, 6).toSeq == Seq[Byte](-1, 0, 0, -1, 0, 0))
+  }
+
+  /** A real 8 kHz mono 16-bit WAV, built byte by byte: RIFF header, a
+    * LIST chunk the walker must skip, `fmt `, then 4 samples.
+    */
+  private def wavFixture: Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val samples = Seq(1000, -2000, 32767, -32768)
+    val data = samples.flatMap(le16(_)).toArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val list = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes
+    val body = "WAVE".getBytes ++ list ++ fmt ++ "data".getBytes ++ le32(data.length) ++ data
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  test("JvmCodecs decodes a real WAV fixture byte-exactly (PCM chunk walk)") {
+    import spark.implicits._
+    val clip = Multimodal.JvmCodecs.decodeAudio(9L, wavFixture).get
+    assert((clip.sample_rate, clip.channels) == ((8000, 1)))
+    assert(clip.samples.toSeq == Seq(1000, -2000, 32767, -32768))
+    // truncation and non-PCM reject with None
+    assert(Multimodal.JvmCodecs.decodeAudio(9L, wavFixture.dropRight(3)).isEmpty)
+    val nonPcm = wavFixture.clone
+    nonPcm(32) = 3 // audioFormat field inside fmt (after RIFF+LIST headers)
+    assert(Multimodal.JvmCodecs.decodeAudio(9L, nonPcm).isEmpty)
+    // distributed path drops the corrupt row
+    val df = Seq((9L, wavFixture), (10L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeAudio(df, "doc_id", "payload").collect()
+    assert(decoded.map(_.doc_id).toSeq == Seq(9L))
+    assert(decoded.head.samples.toSeq == clip.samples.toSeq)
   }
 
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
