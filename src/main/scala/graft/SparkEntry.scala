@@ -683,6 +683,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q_semdedup" -> ((s, d) => {
+      // SemDeDup (cluster-then-pairwise semantic dedup): plant exact copies
+      // of vec_id<20 at id+100000 — identical embeddings land in the same
+      // k-means cell under ANY codebook, so the dropped set is closed-form
+      // (the higher-id copy, evicted by its original) while natural pairs
+      // stay below the 0.9 threshold (max pairwise cosine ≈ 0.51). Cluster
+      // recall for non-identical neighbors is SemanticSpec's job.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      graft.llm.Semantic.semDedupDropped(emb.unionByName(planted),
+          "vec_id", "embedding", dim = 64, threshold = 0.9, nlist = 16)
+        .orderBy("id")
+    }),
+
     "q_lang_id" -> ((s, d) => {
       val en = Seq("the", "and", "of", "to", "a", "in", "is", "that")
       val es = Seq("el", "la", "de", "que", "y", "los", "en", "un")
@@ -1569,6 +1584,11 @@ object SparkEntry {
          SELECT vec_id + 200000 AS id, vec_id AS component
          FROM embeddings WHERE vec_id < 10
          ORDER BY id""",
+    "q_semdedup" ->
+      // planted exact copies are each other's only ≥0.9-cosine partners, so
+      // SemDeDup (keep-lowest-id) evicts exactly the +100000 copies
+      """SELECT vec_id + 100000 AS id, vec_id AS dup_of
+         FROM embeddings WHERE vec_id < 20 ORDER BY id""",
     "q_lang_id" ->
       """WITH t AS (
            SELECT doc_id,
