@@ -942,6 +942,26 @@ object SparkEntry {
       graft.llm.Unigram.score(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q_ccnet_buckets" -> ((s, d) =>
+      // CCNet head/middle/tail: per-language ntile thirds of the unigram-LM
+      // score, ranked WITHOUT a per-language global window (two-phase
+      // offset trick — see llm/Perplexity.scala); oracle states the same
+      // split as a literal ntile(3) window
+      graft.llm.Perplexity.perplexityBuckets(
+          t(s, d, "documents"), "doc_id", "text", col("lang"))
+        .orderBy("doc_id")),
+
+    "q_dsir_stats" -> ((s, d) => {
+      // DSIR importance stats: hashed-bigram distribution of an English
+      // "target" slice vs the whole corpus, reduced to integer sufficient
+      // statistics per doc (the float log-ratio weight derives map-only;
+      // DsirSpec covers it and the paper-exact per-gram path)
+      val docs = t(s, d, "documents")
+      graft.llm.Dsir.importanceStats(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_keywords" -> ((s, d) =>
       // tf-idf-shaped keyword extraction in integer stats: (doc, term)
       // keyed tf agg (Zipf-proof composite key), ubiquitous-term blocklist
@@ -1896,6 +1916,51 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
          FROM tok t LEFT JOIN vocab v ON t.w = v.w
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_ccnet_buckets" ->
+      // q_unigram_score's stats CTE feeding a literal per-language ntile(3)
+      // — exactly the ranking the distributed two-phase bucketing must equal
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''
+         ), cnt AS (
+           SELECT w, count(*) AS freq FROM tok GROUP BY w
+         ), vocab AS (
+           SELECT w, freq FROM cnt ORDER BY freq DESC, w ASC LIMIT 100000
+         ), stats AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+                  CAST(sum(COALESCE(v.freq, 0)) AS BIGINT) AS sum_freq
+           FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id
+         ), scored AS (
+           SELECT d.doc_id, d.lang AS stratum, s.n_tokens, s.sum_freq,
+                  round(s.sum_freq / s.n_tokens, 4) AS sc
+           FROM documents d JOIN stats s ON s.doc_id = d.doc_id)
+         SELECT doc_id, stratum, n_tokens, sum_freq,
+                CASE ntile(3) OVER (PARTITION BY stratum
+                                    ORDER BY sc DESC, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+                END AS ppl_bucket
+         FROM scored ORDER BY doc_id""",
+    "q_dsir_stats" ->
+      // same md5-prefix feature hashing restated over DuckDB word bigrams
+      """WITH tok AS (
+           SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), bg AS (
+           SELECT doc_id, lang,
+                  substr(md5(unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1]))), 1, 3) AS feat
+           FROM tok WHERE len(t) >= 2
+         ), tgt AS (
+           SELECT feat, count(*) AS tc FROM bg WHERE lang = 'en' GROUP BY feat
+         ), raw AS (
+           SELECT feat, count(*) AS rc FROM bg GROUP BY feat
+         )
+         SELECT b.doc_id, count(*) AS n_grams,
+                CAST(sum(COALESCE(t.tc, 0)) AS BIGINT) AS tgt_freq,
+                CAST(sum(COALESCE(r.rc, 0)) AS BIGINT) AS raw_freq
+         FROM bg b LEFT JOIN tgt t ON b.feat = t.feat
+                   LEFT JOIN raw r ON b.feat = r.feat
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_keywords" ->
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -31,6 +31,18 @@ case class ArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // null on length mismatch (and null elements) even when both inputs are
+  // non-nullable — without this override, a not-null-inferred context hands
+  // codegen a false-literal isNull slot and the `ev.isNull = true`
+  // assignments below reference an undeclared variable (Janino "not an
+  // rvalue"), silently dropping the whole stage to interpreted mode
+  override def nullable: Boolean = true
+
+  @inline private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -73,6 +85,12 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // skip the per-element null probe when the schema proves elements
+      // can't be null — it's inside the hottest loop we generate
+      val elemCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
@@ -80,7 +98,7 @@ case class ArrayDot(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $elemCheck
          |    $s += ${get(a, i, elemIsFloat(left))} * ${get(b, i, elemIsFloat(right))};
          |  }
          |}

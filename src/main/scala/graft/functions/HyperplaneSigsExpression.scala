@@ -39,6 +39,15 @@ case class HyperplaneSigs(child: Expression, dim: Int, nBits: Int, seeds: Seq[Lo
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  @inline private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  // a null ELEMENT nulls the result even when the array itself is
+  // non-nullable (see NearestCells for the codegen trap this avoids)
+  override def nullable: Boolean = child.nullable || elemNullable
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
@@ -105,12 +114,18 @@ case class HyperplaneSigs(child: Expression, dim: Int, nBits: Int, seeds: Seq[Lo
       val proj = ctx.freshName("proj")
       val sig = ctx.freshName("sig")
       val sigs = ctx.freshName("sigs")
+      // the element scan both assigns and reads ev.isNull — only legal (and
+      // only needed) when elements can actually be null
+      val elemScan =
+        if (elemNullable)
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |}
+             |if (!${ev.isNull}) {""".stripMargin
+        else "{"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |}
-         |if (!${ev.isNull}) {
+         |$elemScan
          |  long[] $sigs = new long[${seeds.length}];
          |  for (int $s = 0; $s < ${seeds.length}; $s++) {
          |    long $sig = 0L;

@@ -37,6 +37,17 @@ case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  @inline private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  // a null ELEMENT nulls the result even when the array itself is
+  // non-nullable; reporting non-nullable there would hand codegen a
+  // false-literal isNull slot while the template assigns to it (Janino
+  // "not an rvalue" → silent interpreted fallback)
+  override def nullable: Boolean = child.nullable || elemNullable
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
@@ -105,12 +116,18 @@ case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int,
       val out = ctx.freshName("out")
       val best = ctx.freshName("best")
       val bestScore = ctx.freshName("bestScore")
+      // the element scan both assigns and reads ev.isNull — only legal (and
+      // only needed) when elements can actually be null
+      val elemScan =
+        if (elemNullable)
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |}
+             |if (!${ev.isNull}) {""".stripMargin
+        else "{"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |}
-         |if (!${ev.isNull}) {
+         |$elemScan
          |  double[] $scores = new double[$ncell];
          |  for (int $c = 0; $c < $ncell; $c++) {
          |    int $off = $c * $dim;

@@ -78,6 +78,22 @@ class SemanticSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("array expressions stay codegen'd under join-key not-null inference") {
+    // the self-join infers IsNotNull over the cell/bucket expressions, which
+    // rewrites their array child non-nullable; before the nullable-override
+    // fix that made NearestCells/HyperplaneSigs/ArrayDot emit assignments to
+    // an undeclared isNull slot — Janino failed and the whole stage silently
+    // fell back to interpreted mode. Disabling fallback turns any
+    // regression into a hard failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Semantic.semDedupPairs(vecs, "id", "vec", dim, threshold = 0.99,
+        codebook = Some(codebook)).collect()
+      graft.llm.Dedup.embeddingPairs(vecs, "id", "vec", dim, threshold = 0.99)
+        .collect()
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("untrained path is deterministic end-to-end on the same input") {
     val a = Semantic.semDedupDropped(vecs, "id", "vec", dim, threshold = 0.99,
       nlist = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
