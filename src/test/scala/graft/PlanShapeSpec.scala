@@ -299,6 +299,54 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus band keys must not shuffle:\n$p")
   }
 
+  test("SemDeDup: one cell exchange reused by both join sides, vectors scanned once") {
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val codebook = graft.llm.Ivf.train(emb, "embedding", 64, nlist = 4, iters = 1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB neither self-join side broadcasts — force the shuffle
+      // join this test is actually about (tiny sf0.001 would broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan(graft.llm.Semantic.semDedupPairs(
+        emb, "vec_id", "embedding", 64, threshold = 0.9, codebook = Some(codebook)))
+      // the self-join's two sides must share ONE materialized cell-assignment
+      // scan — otherwise the corpus (and the nearest_cells pass) runs twice
+      assert(p.contains("ReusedExchange"), s"cell scan not reused:\n$p")
+      assert(p.split("nearest_cells").length - 1 == 1,
+        s"cell assignment computed more than once:\n$p")
+      assert(!p.contains("Window"), s"no window belongs in SemDeDup:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("DSIR stats: codebooks broadcast, gram stream never shuffles on the feature") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(graft.llm.Dsir.importanceStats(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text"))
+    // both distribution tables are bounded codebooks joined as broadcasts;
+    // the exploded gram stream must only hash-partition on the doc id
+    assert(p.contains("BroadcastHashJoin"), s"codebooks should broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(__feat"),
+      s"gram stream shuffles on the (skewed) feature key:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ntile buckets: no stratum-wide window, tie groups rank in parallel") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val out = graft.llm.Perplexity.ntileBuckets(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      round(col("n_chars") / 100, 0), col("lang"), col("doc_id"))
+    val p = plan(out)
+    // one language holding half the corpus must not funnel through one
+    // partition: every window partitions by (stratum, score) tie groups,
+    // never by stratum alone, and nothing is SinglePartition
+    assert(!p.contains("SinglePartition"),
+      s"stratum funneled through one partition:\n$p")
+    for (l <- p.linesIterator.filter(_.contains("windowspecdefinition")))
+      assert(l.contains("__strat") && l.contains("__score"),
+        s"window must partition by (stratum, score), not stratum alone:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rank offsets should broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
