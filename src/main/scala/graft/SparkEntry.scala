@@ -583,6 +583,17 @@ object SparkEntry {
           "doc_id")
         .orderBy("doc_id", "pos")),
 
+    "q_dedup_substr" -> ((s, d) =>
+      // exact-substring dedup at ARBITRARY alignment (Lee et al.): every
+      // duplicated 8-token window flagged against its globally-first
+      // occurrence, reduced to per-doc integer stats (window count, dup
+      // count, interval-union tokens removed). md5 window keys so the
+      // oracle regroups the identical sets; the xxhash64 production key is
+      // ExactSubstrSpec's equality case
+      graft.llm.ExactSubstr.dedupStats(t(s, d, "documents"), "doc_id", "text",
+          k = 8, hash = md5(_))
+        .orderBy("doc_id")),
+
     "q_dedup_cc_verified" -> ((s, d) =>
       // transitive dedup over exact-verified minhash candidates: the edge
       // graph is exact, so the oracle restates it as a recursive-SQL
@@ -1412,6 +1423,40 @@ object SparkEntry {
          SELECT doc_id, pos, span FROM spans
          QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
          ORDER BY doc_id, pos""",
+    "q_dedup_substr" ->
+      // every 8-token window regrouped on the same md5 key; keeper = min
+      // (doc_id, pos) via the doc_id*2^20+pos rank (positions < 1M);
+      // removed tokens = union of [pos, pos+8) with consecutive-gap clip
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+         ), winpos AS (
+           SELECT doc_id, t,
+                  unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+           FROM tok
+         ), win AS (
+           SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS h,
+                  doc_id * 1048576 + pos AS rnk
+           FROM winpos
+         ), firsts AS (
+           SELECT h, min(rnk) AS mr, count(*) AS c FROM win GROUP BY h
+         ), flag AS (
+           SELECT w.doc_id, w.pos FROM win w JOIN firsts f ON w.h = f.h
+           WHERE f.c >= 2 AND w.rnk > f.mr
+         ), pd AS (
+           SELECT doc_id, list_sort(list(pos)) AS ps FROM flag GROUP BY doc_id
+         )
+         SELECT b.doc_id,
+                CAST(greatest(len(b.t) - 7, 0) AS BIGINT) AS n_windows,
+                CAST(COALESCE(len(p.ps), 0) AS BIGINT) AS n_dup_windows,
+                CAST(CASE WHEN p.ps IS NULL THEN 0
+                          WHEN len(p.ps) = 1 THEN 8
+                          ELSE list_sum(list_transform(range(1, len(p.ps)),
+                                 i -> least(p.ps[i+1] - p.ps[i], 8))) + 8
+                     END AS BIGINT) AS n_tokens_removed
+         FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
     "q_dedup_cc" ->
       // edges connect consecutive doc_ids, so components are maximal runs
       // of consecutive kept pairs: classic gaps-and-islands

@@ -299,6 +299,17 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus band keys must not shuffle:\n$p")
   }
 
+  test("exact-substring dedup: one window shuffle reused, map-combined firsts, no window op") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.ExactSubstr.dedupStats(docs, "doc_id", "text", 8))
+    // the window stream shuffles on its hash ONCE: the first-occurrence
+    // aggregate and the flag join share the exchange
+    assert(p.contains("ReusedExchange"), s"window exchange not reused:\n$p")
+    // occurrences collapse before the exchange (partial min/count)
+    assert(p.contains("partial_min"), s"firsts should combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window op belongs in this plan:\n$p")
+  }
+
   test("SemDeDup: one cell exchange reused by both join sides, vectors scanned once") {
     val emb = graft.core.Graft.table(spark, sf, "embeddings")
     val codebook = graft.llm.Ivf.train(emb, "embedding", 64, nlist = 4, iters = 1)
