@@ -64,8 +64,14 @@ object ExactSubstr {
     // explicit hash repartition BEFORE the aggregate: the first-occurrence
     // agg and the flag join both consume this one exchange (ReusedExchange)
     // — without it each side builds its own shuffle of the full window
-    // stream and the tokenize+shingle scan runs twice
-    val w = windows(df, idCol, textCol, k, hash).repartition(col("__h"))
+    // stream and the tokenize+shingle scan runs twice. The null-id filter
+    // sits BELOW the shared exchange on purpose: downstream joins infer
+    // IsNotNull(id) on the probe side only, and an inferred filter in one
+    // consumer's subtree but not the other's breaks the subtree equality
+    // ReuseExchange needs — stating it once here keeps both sides identical
+    val w = windows(df, idCol, textCol, k, hash)
+      .filter(col(idCol).isNotNull)
+      .repartition(col("__h"))
     val firsts = w.groupBy("__h")
       .agg(min(struct(col(idCol), col("pos"))).as("__first"),
         count(lit(1)).as("__cnt"))

@@ -301,13 +301,21 @@ class PlanShapeSpec extends SparkSpec {
 
   test("exact-substring dedup: one window shuffle reused, map-combined firsts, no window op") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
-    val p = finalPlan(graft.llm.ExactSubstr.dedupStats(docs, "doc_id", "text", 8))
-    // the window stream shuffles on its hash ONCE: the first-occurrence
-    // aggregate and the flag join share the exchange
-    assert(p.contains("ReusedExchange"), s"window exchange not reused:\n$p")
-    // occurrences collapse before the exchange (partial min/count)
-    assert(p.contains("partial_min"), s"firsts should combine map-side:\n$p")
-    assert(!p.contains("Window"), s"no window op belongs in this plan:\n$p")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB the duplicate-window side is corpus-sized, so the flag
+      // join cannot broadcast — force the shuffle join whose exchange reuse
+      // this test pins (at sf0.001 AQE would broadcast the tiny firsts side
+      // and the reuse point disappears from the final plan)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan(graft.llm.ExactSubstr.dedupStats(docs, "doc_id", "text", 8))
+      // the window stream shuffles on its hash ONCE: the first-occurrence
+      // aggregate and the flag join share the exchange
+      assert(p.contains("ReusedExchange"), s"window exchange not reused:\n$p")
+      // occurrences collapse before the exchange (partial min/count)
+      assert(p.contains("partial_min"), s"firsts should combine map-side:\n$p")
+      assert(!p.contains("Window"), s"no window op belongs in this plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("SemDeDup: one cell exchange reused by both join sides, vectors scanned once") {
