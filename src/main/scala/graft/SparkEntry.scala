@@ -202,6 +202,69 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Fixed PQ model shared by q_pq_encode / q_ann_pq and their oracles —
+    * a query parameter like q_ann_lsh's hyperplanes (oracle strategy 2):
+    * every centroid weight is a pure function of (seed, flat index), so
+    * the oracle inlines the identical codebook as a VALUES table and
+    * recomputes encode and ADC verbatim. Trained-codebook behavior is
+    * PqSpec's job.
+    */
+  private lazy val pqDemoModel =
+    graft.llm.Pq.deterministicModel(m = 4, ksub = 8, dsub = 16, seed = 7L, scale = 0.125)
+
+  /** The codebook as SQL VALUES rows (j, c, i, w) — `Double.toString`
+    * round-trips bit-for-bit through DuckDB's literal parser.
+    */
+  private def pqCbValues: String = {
+    val mo = pqDemoModel
+    (for {
+      j <- 0 until mo.m
+      c <- 0 until mo.ksub
+      i <- 0 until mo.dsub
+    } yield s"($j,$c,$i,${mo.codebooks((j * mo.ksub + c) * mo.dsub + i)})").mkString(",")
+  }
+
+  /** Shared oracle CTEs: per-(vector, subspace) argmin codes under the
+    * inlined codebook — ties break to the lower centroid id on both
+    * engines; the 16-term distance sums reassociate at ~1e-15, far below
+    * any natural argmin gap (the q_ann_lsh sign-stability stance).
+    */
+  private def pqCodeCte: String =
+    s"""WITH cb(j, c, i, w) AS (VALUES $pqCbValues),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dist AS (
+          SELECT e.vec_id, cb.j, cb.c,
+                 sum((v[cb.j*16 + cb.i + 1] - cb.w) * (v[cb.j*16 + cb.i + 1] - cb.w)) AS dd
+          FROM e, cb GROUP BY e.vec_id, cb.j, cb.c
+        ), code AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+            FROM dist) WHERE rn = 1
+        )"""
+
+  private def pqEncodeOracle: String =
+    s"""$pqCodeCte
+        SELECT vec_id, string_agg(CAST(c AS VARCHAR), ' ' ORDER BY j) AS code_str
+        FROM code GROUP BY vec_id ORDER BY vec_id"""
+
+  private def annPqOracle: String =
+    s"""$pqCodeCte, lut AS (
+          SELECT e.vec_id AS query_id, cb.j, cb.c,
+                 sum((v[cb.j*16 + cb.i + 1] - cb.w) * (v[cb.j*16 + cb.i + 1] - cb.w)) AS dd
+          FROM e, cb WHERE e.vec_id < 8 GROUP BY e.vec_id, cb.j, cb.c
+        ), adc AS (
+          SELECT l.query_id, k.vec_id AS neighbor_id, round(sum(l.dd), 4) AS adc
+          FROM code k JOIN lut l ON l.j = k.j AND l.c = k.c
+          WHERE k.vec_id <> l.query_id
+          GROUP BY l.query_id, k.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+          FROM adc)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Shared CTE prefix for the exact-verified near-dup oracles: distinct
     * word-3-shingle sets per doc, exact Jaccard over every idA < idB pair —
     * the ground truth the LSH-candidates-then-verify queries must equal
@@ -662,6 +725,27 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       graft.llm.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         dim = 64, k = 5, nlist = 16, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_pq_encode" -> ((s, d) => {
+      // product-quantization compression under the FIXED deterministic
+      // codebook (a query parameter like q_ann_lsh's hyperplanes — oracle
+      // strategy 2; trained-codebook quality is PqSpec's job). scale=0.125
+      // matches the synthetic embeddings' stddev so codes discriminate.
+      graft.llm.Pq.encode(t(s, d, "embeddings"), "vec_id", "embedding", pqDemoModel)
+        .select(col("vec_id"),
+          array_join(transform(col("pq_codes"), c => c.cast("string")), " ")
+            .as("code_str"))
+        .orderBy("vec_id")
+    }),
+
+    "q_ann_pq" -> ((s, d) => {
+      // asymmetric-distance ANN over the compressed codes: encode corpus,
+      // LUT per query, ADC = m table lookups per candidate, bounded top-k
+      val emb = t(s, d, "embeddings")
+      graft.llm.Pq.adcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        pqDemoModel, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1635,6 +1719,8 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_pq_encode" -> pqEncodeOracle,
+    "q_ann_pq" -> annPqOracle,
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY idA, idB""",
