@@ -45,9 +45,14 @@ object Bench {
       if (x == 42) println(x) // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    // probe BEFORE the sweeps; a second probe runs AFTER them (below) —
+    // BENCH_r07 showed a single pre-sweep probe can miss neighbor load
+    // that arrives mid-run, making a noisy host window read as a 2-3×
+    // regression. pre≈post → window was stable; pre≪post → discount it.
     val calib = calibrate()
-    val loadAvg = java.lang.management.ManagementFactory
+    def loadAvgNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = loadAvgNow
 
     def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -65,19 +70,21 @@ object Bench {
     // steady-state throughput, as the queries above do
     try pipelineThroughput(spark) catch { case _: Throwable => }
     val pipeline = try pipelineThroughput(spark) catch { case _: Throwable => Map.empty[String, Double] }
+    val calibPost = calibrate()
+    val loadAvgPost = loadAvgNow
     val qs = (results ++ pipeline).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsSteady = steady.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // n_queries + means keep totals comparable across rounds as the query
     // inventory grows (the total alone inflates with every added operator)
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"load_avg":$loadAvg,"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"calib_cpu_sec_post":$calibPost,"load_avg":$loadAvg,"load_avg_post":$loadAvgPost,"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
     // compact summary printed LAST: the driver's artifact capture keeps the
     // TAIL of stdout, and the full line above is long enough that its head
     // (which holds the totals/calibration fields) can fall outside the
     // window — r3's BENCH capture lost calib/pipeline that way
     val pipeStr = pipeline.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-    println(s"""{"metric":"summary","cold_total_sec":$coldTotal,"n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"load_avg":$loadAvg${if (pipeStr.nonEmpty) "," + pipeStr else ""},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","cold_total_sec":$coldTotal,"n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},"calib_cpu_sec":$calib,"calib_cpu_sec_post":$calibPost,"load_avg":$loadAvg,"load_avg_post":$loadAvgPost${if (pipeStr.nonEmpty) "," + pipeStr else ""},"sf":"$sfDir"}""")
     spark.stop()
   }
 

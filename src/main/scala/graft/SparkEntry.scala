@@ -234,7 +234,8 @@ object SparkEntry {
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         dist AS (
           SELECT e.vec_id, cb.j, cb.c,
-                 sum((v[cb.j*16 + cb.i + 1] - cb.w) * (v[cb.j*16 + cb.i + 1] - cb.w)) AS dd
+                 sum((v[cb.j*${pqDemoModel.dsub} + cb.i + 1] - cb.w)
+                   * (v[cb.j*${pqDemoModel.dsub} + cb.i + 1] - cb.w)) AS dd
           FROM e, cb GROUP BY e.vec_id, cb.j, cb.c
         ), code AS (
           SELECT vec_id, j, c FROM (
@@ -251,7 +252,8 @@ object SparkEntry {
   private def annPqOracle: String =
     s"""$pqCodeCte, lut AS (
           SELECT e.vec_id AS query_id, cb.j, cb.c,
-                 sum((v[cb.j*16 + cb.i + 1] - cb.w) * (v[cb.j*16 + cb.i + 1] - cb.w)) AS dd
+                 sum((v[cb.j*${pqDemoModel.dsub} + cb.i + 1] - cb.w)
+                   * (v[cb.j*${pqDemoModel.dsub} + cb.i + 1] - cb.w)) AS dd
           FROM e, cb WHERE e.vec_id < 8 GROUP BY e.vec_id, cb.j, cb.c
         ), adc AS (
           SELECT l.query_id, k.vec_id AS neighbor_id, round(sum(l.dd), 4) AS adc
@@ -670,12 +672,14 @@ object SparkEntry {
       // pigeonhole-banded SimHash candidates, verified by exact
       // shingle-Jaccard: the hamming radius only proposes pairs, the exact
       // score decides — oracle-checkable while candidate recall at the
-      // threshold is total. Measured radius curve on this corpus (missed
-      // true pairs / verification cost at sf0.1): h=3 0@sf0.01 but
-      // 4@sf0.001, h=4 0@sf0.01+margin (3.3s), h=6 0 everywhere (12s).
-      // h=4 buys a bit of recall margin at modest cost; simhash remains
-      // the near-identical detector — jaccard-threshold dedup is minhash's
-      // job (q_dedup_minhash).
+      // threshold is total. Measured radius curve on the r7-regenerated
+      // corpus (missed true pairs / steady verification cost at sf0.1):
+      // h=4 0@sf0.01, 1@sf0.001, 7@sf0.1 (1.6s); h=5 same misses as h=4;
+      // h=6 0@sf0.001+sf0.01, 0 extra known@sf0.1 (4.8s, 3×). h=4 keeps
+      // the gate SF exact at a third of the cost; the radius is the
+      // caller's recall/cost knob, and simhash remains the near-identical
+      // detector — jaccard-threshold dedup is minhash's job
+      // (q_dedup_minhash).
       Dedup.simhashPairsVerified(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.7, maxHamming = 4)
         .orderBy("idA", "idB")),
@@ -747,6 +751,23 @@ object SparkEntry {
       graft.llm.Pq.adcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         pqDemoModel, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    "q_int8_encode" -> ((s, d) => {
+      // scalar int8 affine quantization under corpus per-dimension
+      // [min, max] ranges — two jobs by construction: stats are ONE
+      // 2·dim-expression aggregate (a single driver row), encode is the
+      // map-only codegen'd AffineQuantize scan. The oracle recomputes
+      // both stages verbatim: min/max involve no summation so the ranges
+      // match bit-for-bit, and floor((x−mn)·254/(mx−mn)+0.5)−127 is the
+      // identical IEEE op sequence on both engines.
+      val emb = t(s, d, "embeddings")
+      val (mins, maxs) = graft.llm.Quantize.int8Stats(emb, "embedding", 64)
+      graft.llm.Quantize.int8Encode(emb, "vec_id", "embedding", mins, maxs)
+        .select(col("vec_id"),
+          array_join(transform(col("int8_codes"), c => c.cast("string")), " ")
+            .as("code_str"))
+        .orderBy("vec_id")
     }),
 
     "q_embed_neardup" -> ((s, d) => {
@@ -1721,6 +1742,24 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_pq_encode" -> pqEncodeOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_int8_encode" ->
+      // mirrors Quantize.int8Stats (ranges over dim-64 vectors only) +
+      // AffineQuantize (each vector encodes the dims it has, clamped to
+      // [−127,127] — a no-op here since corpus values define the ranges)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x, len(v) AS n
+                FROM e, range(64) t(i) WHERE t.i < len(v)),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ev WHERE n = 64 GROUP BY i),
+         codes AS (
+           SELECT ev.vec_id, ev.i,
+                  CASE WHEN st.mx = st.mn THEN 0
+                       ELSE GREATEST(-127, LEAST(127,
+                         CAST(floor((ev.x - st.mn) * 254.0 / (st.mx - st.mn) + 0.5)
+                              AS BIGINT) - 127))
+                  END AS code
+           FROM ev JOIN st ON st.i = ev.i)
+         SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i) AS code_str
+         FROM codes GROUP BY vec_id ORDER BY vec_id""",
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY idA, idB""",

@@ -16,13 +16,27 @@ object Verify {
     graft.core.Graft.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var written = List.empty[String]
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        written ::= name
+      } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // loud coverage accounting: r7's correctness file silently lacked a row
+    // for one query — every queries entry must be visible as written,
+    // failed, or (downstream) compared. The manifest gives the driver (and
+    // the judge) the full expected key set to reconcile against.
+    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    System.err.println(s"[verify] wrote ${written.size}/${SparkEntry.queries.size} query results" +
+      (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(", ")}" else "") +
+      (if (missingOracle.nonEmpty) s"; NO ORACLE: ${missingOracle.toSeq.sorted.mkString(", ")}"
+       else "; every query has an oracle"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +52,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val manifest = s"""{"queries": [${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(",")}],
+      |"written": [${written.sorted.map(q).mkString(",")}],
+      |"failed": [${failed.sorted.map(q).mkString(",")}]}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

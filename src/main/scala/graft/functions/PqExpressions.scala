@@ -264,7 +264,10 @@ case class PqLut(child: Expression, codebooks: Array[Double], m: Int, ksub: Int,
   * distance. `m` array reads per candidate — the whole point of the
   * encode/LUT split. Null array or element → null; a code outside
   * `[0, ksub)` is an error by construction ([[PqEncode]] only emits valid
-  * codes) and reads as 0 contribution rather than crashing codegen.
+  * codes) and contributes 0 rather than crashing codegen — guarded PER
+  * SUBSPACE SEGMENT, not just against the overall LUT bounds, so a
+  * corrupt code in `[ksub, …)` can't silently read the NEXT subspace's
+  * LUT entries and return a plausible-but-wrong distance.
   */
 case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryExpression {
 
@@ -299,8 +302,11 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryE
     var s = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * ksub + codes.getInt(j)
-      if (idx >= 0 && idx < nl) s += lut.getDouble(idx)
+      val code = codes.getInt(j)
+      if (code >= 0 && code < ksub) {
+        val idx = j * ksub + code
+        if (idx < nl) s += lut.getDouble(idx)
+      }
       j += 1
     }
     s
@@ -312,6 +318,7 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryE
       val nl = ctx.freshName("nl")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val code = ctx.freshName("code")
       val idx = ctx.freshName("idx")
       val s = ctx.freshName("s")
       val elemScan =
@@ -330,8 +337,11 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int) extends BinaryE
          |$elemScan
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    int $idx = $j * $ksub + $codes.getInt($j);
-         |    if ($idx >= 0 && $idx < $nl) $s += $lut.getDouble($idx);
+         |    int $code = $codes.getInt($j);
+         |    if ($code >= 0 && $code < $ksub) {
+         |      int $idx = $j * $ksub + $code;
+         |      if ($idx < $nl) $s += $lut.getDouble($idx);
+         |    }
          |  }
          |  ${ev.value} = $s;
          |}

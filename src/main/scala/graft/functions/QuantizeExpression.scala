@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
 
 /** `AffineQuantize(vec)` — per-dimension affine int8 quantization of an
   * embedding against corpus [min, max] ranges:
-  * `code_i = floor((x_i − min_i) · 254 / (max_i − min_i) + 0.5) − 127`
-  * (∈ [−127, 127]; a degenerate dimension with max = min encodes 0).
-  * `floor(y + 0.5)` is written out instead of `round` so an external SQL
-  * engine states the identical IEEE op sequence — no half-even/half-up
-  * ambiguity between engines.
+  * `code_i = floor((x_i − min_i) · 254 / (max_i − min_i) + 0.5) − 127`,
+  * clamped to [−127, 127] (a degenerate dimension with max = min encodes
+  * 0). The clamp matters for values OUTSIDE the corpus range the stats
+  * were taken on — e.g. query vectors unseen at stats time — which must
+  * still land on a valid int8 code (the saturating behavior of every
+  * int8 quantization scheme), not escape the type's contract. The clamp
+  * compares in double space before the int cast, so an extreme outlier
+  * can't overflow the cast and wrap sign. `floor(y + 0.5)` is written
+  * out instead of `round` so an external SQL engine states the identical
+  * IEEE op sequence — no half-even/half-up ambiguity between engines.
   *
   * The range arrays ride as codegen reference objects (the
   * [[NearestCells]] pattern), so the 100 TB compression scan is map-only
@@ -59,7 +64,10 @@ case class AffineQuantize(child: Expression, mins: Array[Double], maxs: Array[Do
       val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       out(i) =
         if (maxs(i) == mins(i)) 0
-        else math.floor((v - mins(i)) * 254.0 / (maxs(i) - mins(i)) + 0.5).toInt - 127
+        else {
+          val y = math.floor((v - mins(i)) * 254.0 / (maxs(i) - mins(i)) + 0.5) - 127.0
+          if (y < -127.0) -127 else if (y > 127.0) 127 else y.toInt
+        }
       i += 1
     }
     new GenericArrayData(out)
@@ -73,6 +81,7 @@ case class AffineQuantize(child: Expression, mins: Array[Double], maxs: Array[Do
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
+      val y = ctx.freshName("y")
       val out = ctx.freshName("out")
       val elemScan =
         if (elemNullable)
@@ -87,9 +96,10 @@ case class AffineQuantize(child: Expression, mins: Array[Double], maxs: Array[Do
          |  int[] $out = new int[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $v = (double) $a.$get($i);
+         |    double $y = java.lang.Math.floor(
+         |        ($v - $minsRef[$i]) * 254.0 / ($maxsRef[$i] - $minsRef[$i]) + 0.5) - 127.0;
          |    $out[$i] = ($maxsRef[$i] == $minsRef[$i]) ? 0
-         |      : (int) java.lang.Math.floor(
-         |          ($v - $minsRef[$i]) * 254.0 / ($maxsRef[$i] - $minsRef[$i]) + 0.5) - 127;
+         |      : ($y < -127.0 ? -127 : ($y > 127.0 ? 127 : (int) $y));
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}

@@ -31,6 +31,10 @@ object Quantize {
       min(element_at(col("__v"), i + 1)).as(s"mn$i"),
       max(element_at(col("__v"), i + 1)).as(s"mx$i")))
     val r = v.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // min/max over zero rows aggregate to null — fail loud instead of an
+    // opaque NPE three frames deeper
+    require(!r.isNullAt(0),
+      s"int8Stats: empty corpus — no non-null vectors of dim $dim in '$vecCol'")
     val mins = Array.tabulate(dim)(i => r.getDouble(2 * i))
     val maxs = Array.tabulate(dim)(i => r.getDouble(2 * i + 1))
     (mins, maxs)

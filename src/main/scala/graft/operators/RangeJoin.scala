@@ -35,6 +35,13 @@ object RangeJoin {
     def toUnits(c: Column, df: DataFrame, name: String): Column =
       df.schema(name).dataType match {
         case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        // TIMESTAMP_NTZ (what parquet timestamp[us] without a timezone
+        // reads as) can't cast to long directly; route through TIMESTAMP.
+        // The session-tz reinterpretation is applied identically to the
+        // point and both interval bounds, and the residual filter compares
+        // the ORIGINAL columns, so bucket assignment stays consistent.
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
         case _ => c.cast("long")
       }
     val w = bucketWidthMicros

@@ -118,6 +118,34 @@ class PqSpec extends SparkSpec {
     assert(hits >= 8, s"expected ≥8/10 planted duplicates in top-2, got $hits")
   }
 
+  test("adc guards corrupt codes per subspace segment: 0 contribution, not a cross-segment read") {
+    // code ksub (one past the last valid centroid) in subspace 0 would —
+    // without the per-segment guard — read lut[ksub], which is subspace 1's
+    // FIRST entry: in overall LUT bounds, silently wrong. The guard must
+    // drop it, so the ADC equals the sum over only the valid subspaces.
+    val df = emb.limit(5).select(col("vec_id"),
+      PqExpressions.encode(col("embedding"), model.codebooks, m, ksub, dsub).as("codes"),
+      PqExpressions.lut(col("embedding"), model.codebooks, m, ksub, dsub).as("lut"))
+    val corrupt = concat(array(lit(ksub)), slice(col("codes"), 2, m - 1))
+    val negCorrupt = concat(array(lit(-1)), slice(col("codes"), 2, m - 1))
+    val rows = df.select(col("vec_id"), col("codes"), col("lut"),
+        PqExpressions.adc(corrupt, col("lut"), ksub).as("adcCorrupt"),
+        PqExpressions.adc(negCorrupt, col("lut"), ksub).as("adcNeg"),
+        PqExpressions.adc(col("codes"), col("lut"), ksub).as("adcGood"))
+      .collect()
+    for (r <- rows) {
+      val codes = r.getSeq[Int](r.fieldIndex("codes")).toArray
+      val lut = r.getSeq[Double](r.fieldIndex("lut")).toArray
+      val wantTail = (1 until m).map(j => lut(j * ksub + codes(j))).sum
+      assert(math.abs(r.getDouble(r.fieldIndex("adcCorrupt")) - wantTail) < 1e-9,
+        s"vec ${r.getLong(0)}: corrupt code ksub read a neighboring segment")
+      assert(math.abs(r.getDouble(r.fieldIndex("adcNeg")) - wantTail) < 1e-9,
+        s"vec ${r.getLong(0)}: negative code should contribute 0")
+      val wantAll = (0 until m).map(j => lut(j * ksub + codes(j))).sum
+      assert(math.abs(r.getDouble(r.fieldIndex("adcGood")) - wantAll) < 1e-9)
+    }
+  }
+
   test("null and short vectors: encode nulls on null, handles short input") {
     val df = strDf(Seq("s"), Seq(Seq("x")))
       .select(lit(null).cast("array<double>").as("nv"),

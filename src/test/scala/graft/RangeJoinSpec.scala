@@ -50,6 +50,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set(1L)) // last nano of the hour in; first nano of next hour out
   }
 
+  test("TIMESTAMP_NTZ point/bound columns bucketize (parquet timestamp[us] reads as NTZ)") {
+    // the r7 testdata regeneration turned events.ts into TIMESTAMP_NTZ and
+    // q_range_join silently fell out of the correctness run — pin the type
+    import spark.implicits._
+    val points = Seq((1L, "a", "2024-01-01 01:30:00"), (2L, "a", "2024-01-01 07:00:00"))
+      .toDF("id", "k", "tss")
+      .select(col("id"), col("k"), col("tss").cast("timestamp_ntz").as("ts"))
+    assert(points.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val intervals = Seq(("a", "2024-01-01 00:00:00", "2024-01-01 06:00:00", "s1"))
+      .toDF("k", "s", "e", "tag")
+      .select(col("k"), col("s").cast("timestamp_ntz").as("start"),
+        col("e").cast("timestamp_ntz").as("end"), col("tag"))
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "ts", "start", "end", bucketWidthMicros = 6L * 3600 * 1000000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L)) // 01:30 in [00:00, 06:00); 07:00 out
+  }
+
   test("plan: equi-join on (key, bucket), no cartesian / nested-loop") {
     import spark.implicits._
     val points = Seq((1L, "a", 7L)).toDF("id", "k", "ts")
