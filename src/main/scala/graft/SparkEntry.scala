@@ -224,6 +224,84 @@ object SparkEntry {
     } yield s"($j,$c,$i,${mo.codebooks((j * mo.ksub + c) * mo.dsub + i)})").mkString(",")
   }
 
+  /** Deterministic coarse centroids for q_ann_ivfpq (same VALUES-table
+    * oracle strategy as the PQ codebook; nlist=8 cells over dim 64).
+    */
+  private lazy val ivfPqCoarse =
+    graft.llm.IvfPq.deterministicCoarse(nlist = 8, dim = 64, seed = 11L, scale = 0.125)
+
+  private def ivfPqCoarseValues: String =
+    (for { c <- ivfPqCoarse.indices; i <- ivfPqCoarse(c).indices }
+      yield s"($c,$i,${ivfPqCoarse(c)(i)})").mkString(",")
+
+  /** DuckDB restatement of the COMPLETE IVF-PQ algorithm under the inlined
+    * coarse + product codebooks: squared-L2 cell assignment in the same
+    * `dot + (−‖c‖²/2)` score form [[graft.functions.NearestCells.l2]]
+    * computes (ties → lower cell), top-nprobe probes per query, residual
+    * codes vs the per-cell residual LUTs, ADC, (adc, neighbor) top-k.
+    * Because the oracle recomputes the algorithm — not brute force — the
+    * APPROXIMATE nprobe < nlist path is what's being checked, pruning
+    * included. Residual arithmetic `(v − cc.w) − cb.w` states Spark's op
+    * order ([[graft.functions.CellResidual]] then PqEncode/PqLut)
+    * verbatim.
+    */
+  private def annIvfPqOracle: String = {
+    val dsub = pqDemoModel.dsub
+    s"""WITH cc(c, i, w) AS (VALUES $ivfPqCoarseValues),
+        cb(j, c, i, w) AS (VALUES $pqCbValues),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bias AS (SELECT c, -sum(w * w) / 2.0 AS b FROM cc GROUP BY c),
+        score AS (
+          SELECT s.vec_id, s.c, s.dot + b.b AS sc
+          FROM (SELECT e.vec_id, cc.c, sum(cc.w * v[cc.i + 1]) AS dot
+                FROM e, cc GROUP BY e.vec_id, cc.c) s
+          JOIN bias b ON b.c = s.c
+        ), cell AS (
+          SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, c) AS rn
+            FROM score) WHERE rn = 1
+        ), probe AS (
+          SELECT vec_id AS query_id, c AS cell FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, c) AS rn
+            FROM score WHERE vec_id < 8) WHERE rn <= 2
+        ), rdist AS (
+          SELECT e.vec_id, cb.j, cb.c,
+                 sum(((v[cb.j*$dsub + cb.i + 1] - cc.w) - cb.w)
+                   * ((v[cb.j*$dsub + cb.i + 1] - cc.w) - cb.w)) AS dd
+          FROM e
+          JOIN cell ON cell.vec_id = e.vec_id
+          CROSS JOIN cb
+          JOIN cc ON cc.c = cell.cell AND cc.i = cb.j*$dsub + cb.i
+          GROUP BY e.vec_id, cb.j, cb.c
+        ), code AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+            FROM rdist) WHERE rn = 1
+        ), lut AS (
+          SELECT p.query_id, p.cell, cb.j, cb.c,
+                 sum(((v[cb.j*$dsub + cb.i + 1] - cc.w) - cb.w)
+                   * ((v[cb.j*$dsub + cb.i + 1] - cc.w) - cb.w)) AS dd
+          FROM e
+          JOIN probe p ON p.query_id = e.vec_id
+          CROSS JOIN cb
+          JOIN cc ON cc.c = p.cell AND cc.i = cb.j*$dsub + cb.i
+          GROUP BY p.query_id, p.cell, cb.j, cb.c
+        ), adc AS (
+          SELECT l.query_id, k.vec_id AS neighbor_id, round(sum(l.dd), 4) AS adc
+          FROM code k
+          JOIN cell ce ON ce.vec_id = k.vec_id
+          JOIN lut l ON l.cell = ce.cell AND l.j = k.j AND l.c = k.c
+          WHERE k.vec_id <> l.query_id
+          GROUP BY l.query_id, k.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+          FROM adc)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** Shared oracle CTEs: per-(vector, subspace) argmin codes under the
     * inlined codebook — ties break to the lower centroid id on both
     * engines; the 16-term distance sums reassociate at ~1e-15, far below
@@ -750,6 +828,18 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       graft.llm.Pq.adcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         pqDemoModel, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_ivfpq" -> ((s, d) => {
+      // the composed index: coarse cells prune (nprobe 2 of nlist 8 — a
+      // real 4× pruning, not the exact-equivalence configuration), PQ over
+      // coarse residuals scores. Both codebooks fixed + deterministic so
+      // the oracle replays the whole algorithm; trained-index quality is
+      // IvfPqSpec's job.
+      val emb = t(s, d, "embeddings")
+      graft.llm.IvfPq.adcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        ivfPqCoarse, pqDemoModel, nprobe = 2, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1742,6 +1832,7 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_pq_encode" -> pqEncodeOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     "q_int8_encode" ->
       // mirrors Quantize.int8Stats (ranges over dim-64 vectors only) +
       // AffineQuantize (each vector encodes the dims it has, clamped to

@@ -7,11 +7,15 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** `NearestCells(vec, centroids, nprobe)` — the `nprobe` IVF cells whose
-  * (unit-norm) centroids have the highest dot product with the vector,
-  * as `array<int>` of cell ids in descending-score order (ties → lower
-  * cell id). With unit centroids the dot ranking equals the cosine
-  * ranking, and the row's own norm is a positive constant factor that
-  * never changes the argmax.
+  * centroids score highest against the vector, as `array<int>` of cell
+  * ids in descending-score order (ties → lower cell id). The score is
+  * `dot(vec, centroid_c) + bias_c`: with zero bias and unit-norm
+  * centroids the dot ranking equals the cosine ranking (the row's own
+  * norm is a positive constant factor that never changes the argmax);
+  * with `bias_c = −‖centroid_c‖²/2` the ranking equals ascending
+  * squared-L2 distance (‖v−c‖² = ‖v‖² − 2(v·c − ‖c‖²/2)) — the plain
+  * k-means assignment a residual quantizer needs, without giving up the
+  * one-dot-product-per-cell scan.
   *
   * Why a custom Expression (SURVEY §7.2 preference order): cell
   * assignment is evaluated once per corpus row on the 100 TB scan of
@@ -26,12 +30,14 @@ import org.apache.spark.sql.types._
   * element → null.
   */
 case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int, dim: Int,
-    nprobe: Int) extends UnaryExpression {
+    nprobe: Int, bias: Array[Double]) extends UnaryExpression {
 
   require(ncell > 0 && dim > 0 && nprobe > 0 && nprobe <= ncell,
     s"bad NearestCells config: ncell=$ncell dim=$dim nprobe=$nprobe")
   require(centroids.length == ncell * dim,
     s"centroid matrix has ${centroids.length} values, expected ncell*dim=${ncell * dim}")
+  require(bias.length == ncell,
+    s"bias vector has ${bias.length} values, expected ncell=$ncell")
 
   override def prettyName: String = "nearest_cells"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -76,7 +82,7 @@ case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int,
         s += centroids(off + j) * (if (isFloat) x.getFloat(j).toDouble else x.getDouble(j))
         j += 1
       }
-      scores(c) = s
+      scores(c) = s + bias(c)
       c += 1
     }
     val taken = new Array[Boolean](ncell)
@@ -101,6 +107,7 @@ case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val biasRef = ctx.addReferenceObj("bias", bias, "double[]")
     val get = if (elemIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
@@ -135,7 +142,7 @@ case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int,
          |    for (int $j = 0; $j < $n; $j++) {
          |      $s += $centsRef[$off + $j] * (double) $a.$get($j);
          |    }
-         |    $scores[$c] = $s;
+         |    $scores[$c] = $s + $biasRef[$c];
          |  }
          |  boolean[] $taken = new boolean[$ncell];
          |  int[] $out = new int[$nprobe];
@@ -161,11 +168,24 @@ case class NearestCells(child: Expression, centroids: Array[Double], ncell: Int,
 }
 
 object NearestCells {
-  /** Column API over a `[cell][dim]` centroid matrix (flattened row-major). */
+  /** Column API over a `[cell][dim]` centroid matrix (flattened row-major):
+    * max-dot ranking (the cosine/unit-centroid configuration, zero bias).
+    */
   def apply(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val ncell = centroids.length
     val dim = centroids.head.length
-    GraftShims.toColumn(
-      NearestCells(GraftShims.toExpression(v), centroids.flatten, ncell, dim, nprobe))
+    GraftShims.toColumn(NearestCells(GraftShims.toExpression(v), centroids.flatten,
+      ncell, dim, nprobe, new Array[Double](ncell)))
+  }
+
+  /** Ascending squared-L2 ranking over arbitrary (non-unit) centroids —
+    * the plain k-means assignment, via `bias_c = −‖centroid_c‖²/2`.
+    */
+  def l2(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val ncell = centroids.length
+    val dim = centroids.head.length
+    val bias = centroids.map(c => -c.map(x => x * x).sum / 2.0)
+    GraftShims.toColumn(NearestCells(GraftShims.toExpression(v), centroids.flatten,
+      ncell, dim, nprobe, bias))
   }
 }

@@ -138,9 +138,14 @@ object Pq {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         round(PqExpressions.adc(col("__codes"), col("__lut"), model.ksub), 4).as("adc"))
-    // k smallest (adc, neighbor) structs per query via CollectTopK —
-    // bounded partial aggregate, never a Window (Similarity.topKPerQuery's
-    // argument, ascending metric)
+    ascTopK(scored, k)
+  }
+
+  /** k smallest (adc, neighbor) structs per query via CollectTopK —
+    * bounded partial aggregate, never a Window (Similarity.topKPerQuery's
+    * argument, ascending metric). Input: (query_id, neighbor_id, adc).
+    */
+  private[llm] def ascTopK(scored: DataFrame, k: Int): DataFrame = {
     val key = GraftShims.toExpression(
       struct(col("adc").as("a"), col("neighbor_id").as("n")))
     val topk = GraftShims.toColumn(

@@ -366,6 +366,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rank offsets should broadcast:\n$p")
   }
 
+  test("IVF-PQ: no full-corpus LUT scan — LUTs live on the broadcast probe side only") {
+    // the composition's whole point at 100 TB: corpus rows carry (cell,
+    // codes) from ONE map-only scan; pq_lut is evaluated per (query,
+    // probed cell) on the small broadcast side; the probe join is a
+    // broadcast EQUI-join on the cell id so unprobed cells never score
+    val p = finalPlan(SparkEntry.queries("q_ann_ivfpq")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"probe join must hash on the cell id:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF-PQ must not degrade to flat PQ's cross join:\n$p")
+    // pq_lut must appear under BroadcastExchange (query side), never in a
+    // projection that also computes the corpus-side pq_encode scan
+    val lutLines = p.linesIterator.filter(_.contains("pq_lut")).toSeq
+    assert(lutLines.nonEmpty, s"expected a pq_lut projection:\n$p")
+    assert(!lutLines.exists(_.contains("pq_encode")),
+      s"LUT computed on the corpus-scan side — full-corpus LUT scan:\n$p")
+    assert(p.contains("collect_top_k") && !p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
