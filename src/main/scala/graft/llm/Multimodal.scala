@@ -81,10 +81,15 @@ object Multimodal {
     * to 3-channel row-major RGB (alpha/palette/grayscale normalized
     * through `getRGB`), so downstream stages ([[resize]], [[meanPixel]])
     * are codec-agnostic; audio decodes through a hand-rolled RIFF/WAVE
-    * PCM chunk walker. Unreadable payloads → None, like a production
-    * decode stage dropping corrupt media. Video frame sampling stays on
-    * the stub (no pure-JVM container demuxer here) — the [[Codecs]] seam
-    * exists precisely so each method can be bound independently.
+    * PCM chunk walker. Frame sampling demuxes ANIMATED GIF for real
+    * (multi-image `javax.imageio` read + disposal-method compositing;
+    * each sampled frame is re-emitted as a standalone PNG so
+    * `sampleFrames` → [[decodeImages]] composes); payloads in container
+    * formats with no pure-JVM demuxer (mp4/webm/…) still fall back to
+    * [[StubCodecs]]' deterministic slices — the [[Codecs]] seam exists
+    * precisely so each method can be bound independently. Unreadable
+    * payloads → None/Nil, like a production decode stage dropping
+    * corrupt media.
     */
   object JvmCodecs extends Codecs {
     // decode in-memory: ImageIO's default stream cache writes temp FILES
@@ -116,8 +121,100 @@ object Multimodal {
       Some(DecodedImage(docId, w, h, c, px))
     }
 
-    def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] =
-      StubCodecs.sampleFrames(docId, payload, n)
+    /** Animated-GIF payloads: REAL demux — decode every image in the GIF,
+      * composite per the frame's disposal method onto the logical-screen
+      * canvas, then emit `n` evenly-spaced frames (`frame k_j = ⌊total·j/n⌋`,
+      * repeating when the GIF has fewer than n frames, mirroring the
+      * stub's always-n contract), each as a standalone PNG. Non-GIF
+      * payloads keep the stub's deterministic slices (no pure-JVM mp4/webm
+      * demuxer exists); corrupt GIFs → Nil.
+      */
+    override def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] = {
+      init
+      if (payload == null || payload.length == 0 || n <= 0) return Nil
+      val isGif = payload.length >= 6 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
+      if (!isGif) return StubCodecs.sampleFrames(docId, payload, n)
+      val frames = try gifComposited(payload) catch { case _: Exception => IndexedSeq.empty }
+      if (frames.isEmpty) Nil
+      else (0 until n).map { j =>
+        Frame(docId, j, frames((frames.length.toLong * j / n).toInt))
+      }
+    }
+
+    /** Demux + composite an animated GIF to standalone per-frame PNGs.
+      * GIF frames are often partial rectangles over the logical screen
+      * (inter-frame optimization): each is drawn at its descriptor offset
+      * onto a persistent canvas, then the canvas state is advanced per the
+      * frame's disposal method — `none`/`doNotDispose` keep it,
+      * `restoreToBackgroundColor` clears the frame's rectangle (normalized
+      * to black), `restoreToPrevious` reverts the draw.
+      */
+    private def gifComposited(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      import javax.imageio.ImageIO
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return IndexedSeq.empty
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val total = reader.getNumImages(true)
+          if (total <= 0) return IndexedSeq.empty
+          def streamAttr(name: String): Option[Int] = {
+            val md = reader.getStreamMetadata
+            if (md == null) None
+            else {
+              val nodes = md.getAsTree("javax_imageio_gif_stream_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+                .getElementsByTagName("LogicalScreenDescriptor")
+              if (nodes.getLength == 0) None
+              else Option(nodes.item(0).getAttributes.getNamedItem(name))
+                .map(_.getNodeValue.toInt).filter(_ > 0)
+            }
+          }
+          def frameAttr(k: Int, tag: String, name: String, dflt: String): String = {
+            val nodes = reader.getImageMetadata(k).getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[org.w3c.dom.Element].getElementsByTagName(tag)
+            if (nodes.getLength == 0) dflt
+            else Option(nodes.item(0).getAttributes.getNamedItem(name))
+              .map(_.getNodeValue).getOrElse(dflt)
+          }
+          val first = reader.read(0)
+          val w = streamAttr("logicalScreenWidth").getOrElse(first.getWidth)
+          val h = streamAttr("logicalScreenHeight").getOrElse(first.getHeight)
+          val canvas = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          try {
+            (0 until total).map { k =>
+              val frame = if (k == 0) first else reader.read(k)
+              val x = frameAttr(k, "ImageDescriptor", "imageLeftPosition", "0").toInt
+              val y = frameAttr(k, "ImageDescriptor", "imageTopPosition", "0").toInt
+              val disposal = frameAttr(k, "GraphicControlExtension", "disposalMethod", "none")
+              val prev =
+                if (disposal == "restoreToPrevious") {
+                  val cp = new java.awt.image.BufferedImage(
+                    w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  cp.createGraphics().drawImage(canvas, 0, 0, null)
+                  cp
+                } else null
+              g.drawImage(frame, x, y, null)
+              val baos = new java.io.ByteArrayOutputStream()
+              ImageIO.write(canvas, "png", baos)
+              disposal match {
+                case "restoreToBackgroundColor" =>
+                  g.setColor(java.awt.Color.BLACK)
+                  g.fillRect(x, y, frame.getWidth, frame.getHeight)
+                case "restoreToPrevious" => g.drawImage(prev, 0, 0, null)
+                case _ => ()
+              }
+              baos.toByteArray
+            }
+          } finally g.dispose()
+        } finally reader.dispose()
+      } finally iis.close()
+    }
 
     /** REAL RIFF/WAVE PCM parser — plain byte walking, no libs: accepts
       * format-1 (linear PCM) mono/stereo at 8 or 16 bits, walks the chunk

@@ -127,6 +127,85 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.head.samples.toSeq == clip.samples.toSeq)
   }
 
+  /** A real 3-frame animated GIF89a, built byte by byte: 4×3 logical
+    * screen, 4-color global palette (red/green/blue/black), image data in
+    * "uncompressed" LZW (a clear code before every literal keeps the code
+    * width at 3 bits — valid LZW, trivially hand-packable). The frames
+    * exercise the compositing rules a real demuxer must honor:
+    *   0: full 4×3 red, disposal none
+    *   1: partial 2×2 blue at offset (1,1), disposal doNotDispose
+    *   2: 1×1 green at (0,0), disposal restoreToBackgroundColor
+    */
+  private def gifFixture: Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    def le16(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    out ++= "GIF89a".getBytes("US-ASCII")
+    le16(4); le16(3)
+    out += 0xF1.toByte // GCT present, 2^(1+1)=4 entries
+    out += 0; out += 0 // bg index, aspect
+    out ++= Array[Byte](-1, 0, 0, /*red*/ 0, -1, 0, /*green*/ 0, 0, -1, /*blue*/ 0, 0, 0)
+    def gce(disposal: Int): Unit = {
+      out += 0x21; out += 0xF9.toByte; out += 4
+      out += (disposal << 2).toByte; le16(0); out += 0; out += 0
+    }
+    def frame(left: Int, top: Int, w: Int, h: Int, pixels: Seq[Int]): Unit = {
+      out += 0x2C
+      le16(left); le16(top); le16(w); le16(h); out += 0 // no local palette
+      out += 2 // LZW minimum code size → clear=4, eoi=5, 3-bit codes
+      var bits = 0L; var nbits = 0
+      val data = scala.collection.mutable.ArrayBuffer[Byte]()
+      def emit(code: Int): Unit = {
+        bits |= code.toLong << nbits; nbits += 3
+        while (nbits >= 8) { data += (bits & 0xFF).toByte; bits >>= 8; nbits -= 8 }
+      }
+      pixels.foreach { p => emit(4); emit(p) }
+      emit(5)
+      if (nbits > 0) data += (bits & 0xFF).toByte
+      out += data.length.toByte; out ++= data; out += 0
+    }
+    gce(0); frame(0, 0, 4, 3, Seq.fill(12)(0))
+    gce(1); frame(1, 1, 2, 2, Seq.fill(4)(2))
+    gce(2); frame(0, 0, 1, 1, Seq(1))
+    out += 0x3B.toByte
+    out.toArray
+  }
+
+  test("JvmCodecs demuxes a real animated GIF: offsets, disposal, standalone frames") {
+    import spark.implicits._
+    val red = Seq[Byte](-1, 0, 0); val green = Seq[Byte](0, -1, 0)
+    val blue = Seq[Byte](0, 0, -1)
+    def px(img: Multimodal.DecodedImage, x: Int, y: Int): Seq[Byte] =
+      img.pixels.slice((y * img.width + x) * 3, (y * img.width + x) * 3 + 3).toSeq
+    val frames = Multimodal.JvmCodecs.sampleFrames(3L, gifFixture, n = 3)
+    assert(frames.map(_.frame_ix) == Seq(0, 1, 2))
+    // every sampled frame is a standalone decodable image at screen size
+    val decoded = frames.map(f => Multimodal.JvmCodecs.decodeImage(3L, f.payload).get)
+    assert(decoded.forall(d => d.width == 4 && d.height == 3))
+    assert(decoded(0).pixels.grouped(3).forall(_.sameElements(red)))
+    // frame 1 drew a 2×2 blue block at (1,1) over the persisted red canvas
+    assert(px(decoded(1), 0, 0) == red && px(decoded(1), 3, 2) == red)
+    assert(px(decoded(1), 1, 1) == blue && px(decoded(1), 2, 2) == blue)
+    // frame 2: green at (0,0), blue block still composited underneath
+    assert(px(decoded(2), 0, 0) == green && px(decoded(2), 1, 1) == blue)
+    // sampling more frames than the GIF has repeats evenly (⌊total·j/n⌋)
+    val six = Multimodal.JvmCodecs.sampleFrames(3L, gifFixture, n = 6)
+    assert(six.map(_.frame_ix) == Seq(0, 1, 2, 3, 4, 5))
+    assert(six.map(_.payload.toSeq).distinct.length == 3)
+    // non-GIF payloads keep the stub's deterministic slices; corrupt GIFs drop
+    val plain = Array.tabulate[Byte](40)(_.toByte)
+    val (viaJvm, viaStub) = (Multimodal.JvmCodecs.sampleFrames(4L, plain, 4),
+      Multimodal.StubCodecs.sampleFrames(4L, plain, 4))
+    assert(viaJvm.map(f => (f.doc_id, f.frame_ix, f.payload.toSeq)) ==
+      viaStub.map(f => (f.doc_id, f.frame_ix, f.payload.toSeq)))
+    assert(Multimodal.JvmCodecs.sampleFrames(5L, "GIF89a-corrupt".getBytes, 4).isEmpty)
+    // distributed: same sampleFrames plumbing, real codec bound in
+    val df = Seq((3L, gifFixture), (5L, "GIF89a!!".getBytes)).toDF("doc_id", "payload")
+    val dist = Multimodal.sampleFrames(df, "doc_id", "payload", n = 2,
+      codecs = Multimodal.JvmCodecs).collect()
+    assert(dist.map(_.doc_id).distinct.toSeq == Seq(3L))
+    assert(dist.length == 2)
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
