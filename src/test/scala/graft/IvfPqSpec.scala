@@ -121,6 +121,44 @@ class IvfPqSpec extends SparkSpec {
     assert(hits >= 8, s"expected ≥8/10 planted duplicates in top-2, got $hits")
   }
 
+  test("at rest: cell-partitioned codes prune the scan to the probed cells") {
+    // the write-once 100 TB layout the scaladoc promises: encode → write
+    // partitioned by cell → a probe's filter must reach the FILE LISTING
+    // (partition pruning), so nprobe/nlist of the data is ever opened
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-at-rest").toFile
+    try {
+      IvfPq.encode(emb, "vec_id", "embedding", coarse, model)
+        .write.partitionBy("cell").mode("overwrite").parquet(dir.getAbsolutePath)
+      val at = spark.read.parquet(dir.getAbsolutePath)
+      val probed = at.filter(col("cell").isin(0, 3))
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+        s"cell filter must prune partitions, not scan-and-filter:\n$plan")
+      val cells = probed.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(cells.subsetOf(Set(0, 3)) && cells.nonEmpty)
+      // and the pruned fraction is real: the scan's SELECTED partitions are
+      // exactly the probed cell directories (df.inputFiles would mislead
+      // here — it lists the whole relation, pre-pruning)
+      val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      val listing = scan.selectedPartitions
+      val dirs = listing.toPartitionArray.map(_.urlEncodedPath).toSeq
+      assert(listing.partitionCount == 2,
+        s"expected exactly the 2 probed cell partitions, got ${listing.partitionCount}")
+      assert(dirs.nonEmpty && dirs.forall(f => f.contains("cell=0") || f.contains("cell=3")),
+        s"scan opened files outside the probed cells:\n${dirs.mkString("\n")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("plan shape: broadcast EQUI-join on the cell id — pruning, not a cross join") {
     val df = IvfPq.adcTopK(emb, emb.limit(3), "vec_id", "embedding", coarse, model,
       nprobe = 2, k = 3)
