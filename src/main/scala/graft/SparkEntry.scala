@@ -860,6 +860,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q_ann_int8" -> ((s, d) => {
+      // two-stage int8 ANN: integer-exact code cosine picks 50 candidates
+      // per query, exact cosine re-ranks them to top-5. The oracle replays
+      // BOTH stages (the int8 dot is exact integer arithmetic, so the
+      // approximate ranking is deterministic, not an estimate).
+      val emb = t(s, d, "embeddings")
+      val (mins, maxs) = graft.llm.Quantize.int8Stats(emb, "embedding", 64)
+      graft.llm.Quantize.int8TopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        mins, maxs, k = 5, rerank = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_neardup" -> ((s, d) => {
       // The synthetic embeddings have no natural near-dups (max pairwise
       // cosine ≈0.51), so plant exact duplicates of vec_id<20 at id+100000:
@@ -1851,6 +1863,52 @@ object SparkEntry {
            FROM ev JOIN st ON st.i = ev.i)
          SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i) AS code_str
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q_ann_int8" ->
+      // both stages replayed: stage-1 code cosine is integer-exact (dot and
+      // squared norms are small-int sums — lossless in double), the rerank
+      // cut ties by neighbor id, stage-2 is q_embed_topk's exact formula
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x, len(v) AS n
+                FROM e, range(64) t(i) WHERE t.i < len(v)),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ev WHERE n = 64 GROUP BY i),
+         codes AS (
+           SELECT ev.vec_id, ev.i,
+                  CASE WHEN st.mx = st.mn THEN 0
+                       ELSE GREATEST(-127, LEAST(127,
+                         CAST(floor((ev.x - st.mn) * 254.0 / (st.mx - st.mn) + 0.5)
+                              AS BIGINT) - 127))
+                  END AS code
+           FROM ev JOIN st ON st.i = ev.i),
+         n8 AS (SELECT vec_id, sqrt(CAST(sum(code * code) AS DOUBLE)) AS nrm
+                FROM codes GROUP BY vec_id),
+         d8 AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CAST(sum(q.code * c.code) AS DOUBLE) AS dot8
+           FROM codes q JOIN codes c ON c.i = q.i
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+           GROUP BY q.vec_id, c.vec_id),
+         approx AS (
+           SELECT d8.query_id, d8.neighbor_id, d8.dot8 / (nq.nrm * nc.nrm) AS ac
+           FROM d8 JOIN n8 nq ON nq.vec_id = d8.query_id
+                   JOIN n8 nc ON nc.vec_id = d8.neighbor_id),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ac DESC, neighbor_id) AS rn
+             FROM approx) WHERE rn <= 50),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+                  round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+           FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                     JOIN e ec ON ec.vec_id = cand.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY idA, idB""",

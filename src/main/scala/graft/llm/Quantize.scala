@@ -45,6 +45,59 @@ object Quantize {
       mins: Array[Double], maxs: Array[Double]): DataFrame =
     df.select(col(idCol), AffineQuantize(col(vecCol), mins, maxs).as("int8_codes"))
 
+  /** Two-stage int8 ANN — the candidate-generation use the compression
+    * exists for: stage 1 ranks the WHOLE corpus by cosine over the int8
+    * codes (a scan of m bytes/dim instead of 4 — the 100 TB win is
+    * memory bandwidth), keeps the top `rerank` per query, and stage 2
+    * re-scores ONLY those candidates exactly. With `rerank = |corpus|`
+    * the result equals [[Similarity.bruteForceTopK]] bit-for-bit (same
+    * scoring expressions and rounding), which is the spec's exactness
+    * anchor; the production setting `rerank ≪ |corpus|` trades recall
+    * for a 4× cheaper first pass.
+    *
+    * Everything is externally restatable: the dot of two int8 code
+    * vectors is exact INTEGER arithmetic (|dot| ≤ 127²·dim ≪ 2⁵³, so the
+    * double-typed sum is lossless), norms are square roots of exact
+    * integers, and both engines state the identical op sequence — the
+    * approximate stage-1 ranking is deterministic, not an estimate.
+    *
+    * Plan shape (the 100 TB contract): two corpus scans, ZERO corpus
+    * shuffles — stage 1 broadcasts (queries × codes), ranks via bounded
+    * CollectTopK; stage 2 broadcasts the (queries × rerank) candidate
+    * ids back over the corpus (a broadcast hash join filters the scan
+    * map-side), re-scores, and ranks through the same bounded aggregate.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], maxs: Array[Double], k: Int = 10, rerank: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotFast _
+    def norm(a: Column): Column = sqrt(dot(a, a))
+    def codes(v: Column): Column = AffineQuantize(v, mins, maxs).cast("array<double>")
+    val c8 = corpus.select(col(idCol).as("neighbor_id"), codes(col(vecCol)).as("__c8"))
+      .withColumn("__cn8", norm(col("__c8")))
+    val q8 = broadcast(queries.select(col(idCol).as("query_id"), codes(col(vecCol)).as("__q8"))
+      .withColumn("__qn8", norm(col("__q8"))))
+    // stage 1: approximate cosine over codes — UNROUNDED (the rerank cut
+    // must not create rounding-induced ties), ties by neighbor id
+    val approx = c8.crossJoin(q8)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__q8"), col("__c8")) / (col("__qn8") * col("__cn8"))).as("cosine"))
+    val cand = Similarity.topKPerQuery(approx, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact rescore of only the candidates (bruteForceTopK's
+    // staged-norm formula verbatim, so rounded cosines are bit-identical)
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .join(broadcast(cand), "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
+    val exact = cv.join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4).as("cosine"))
+    Similarity.topKPerQuery(exact, k)
+  }
+
   /** Dequantized approximation of a code array (Column-level, for error
     * analysis and approximate scoring): `x̂_i = min_i + (code_i + 127) ·
     * (max_i − min_i) / 254`.

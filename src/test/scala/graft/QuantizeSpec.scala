@@ -145,6 +145,47 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("int8TopK with rerank = corpus equals bruteForceTopK bit-for-bit") {
+    // stage 2 uses bruteForceTopK's exact staged-norm formula, so when the
+    // candidate cut keeps everything the two operators must coincide —
+    // including rounded cosines and tie order
+    val queries = emb.filter(col("vec_id") < 4)
+    val n = emb.count().toInt
+    val got = graft.llm.Quantize.int8TopK(emb, queries, "vec_id", "embedding",
+        mins, maxs, k = 5, rerank = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val want = graft.llm.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("int8TopK recall: a modest rerank recovers the exact top-5 on this corpus") {
+    // int8 cosine error per pair is ~1e-3; the exact top-5 sit well inside
+    // the top-50 approximate candidates, so the two-stage result equals
+    // brute force here (the production recall/cost dial, exercised)
+    val queries = emb.filter(col("vec_id") < 4)
+    val got = graft.llm.Quantize.int8TopK(emb, queries, "vec_id", "embedding",
+        mins, maxs, k = 5, rerank = 50)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val want = graft.llm.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("int8TopK plan: zero corpus shuffles — broadcast joins and bounded top-k only") {
+    val df = graft.llm.Quantize.int8TopK(emb, emb.limit(3), "vec_id", "embedding",
+      mins, maxs, k = 3, rerank = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("collect_top_k") && !p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate ids must broadcast back over the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus row may shuffle for a join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("affine_quantize")),
+      s"code scan fell out of whole-stage codegen:\n$p")
+  }
+
   test("plan shape: encode is one map-only codegen'd scan, no join, no shuffle") {
     val df = Quantize.int8Encode(emb, "vec_id", "embedding", mins, maxs)
     df.collect()
