@@ -186,6 +186,31 @@ class QuantizeSpec extends SparkSpec {
       s"code scan fell out of whole-stage codegen:\n$p")
   }
 
+  test("property: codegen == interpreted on adversarial doubles (NaN, ±Inf, subnormals)") {
+    // the clamp's contract must hold pathwise-identically: the generated
+    // Java and nullSafeEval state the same op sequence, including the
+    // specials — NaN falls through both clamp comparisons to (int) NaN == 0,
+    // ±Inf saturate, subnormals/extremes can't wrap the int cast
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val specials = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MaxValue, Double.MinValue, Double.MinPositiveValue, -0.0, 0.0, 1e308, -1e308)
+    val vecs = Seq.tabulate(200) { _ =>
+      Array.tabulate(dim) { i =>
+        if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.length))
+        else mins(i) + (rnd.nextDouble() * 3.0 - 1.0) * (maxs(i) - mins(i))
+      }
+    }
+    val df = vecs.toDF("v")
+    def run(): Seq[Seq[Int]] = df.select(AffineQuantize(col("v"), mins, maxs))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    val gen = run()
+    val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run())
+    assert(gen == interp, "codegen and interpreted paths diverged")
+    for (codes <- gen; c <- codes) assert(c >= -127 && c <= 127, s"code $c escaped int8")
+  }
+
   test("plan shape: encode is one map-only codegen'd scan, no join, no shuffle") {
     val df = Quantize.int8Encode(emb, "vec_id", "embedding", mins, maxs)
     df.collect()
