@@ -111,9 +111,27 @@ object IvfPq {
     val cCell = coalesce(element_at(NearestCells.l2(col("__cv"), coarse, 1), 1), lit(-1))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cell", cCell)
-      .select(col("neighbor_id"), col("__cell"),
+      .select(col("neighbor_id"), col("__cell").as("cell"),
         PqExpressions.encode(CellResidual(col("__cv"), col("__cell"), coarse),
-          model.codebooks, model.m, model.ksub, model.dsub).as("__codes"))
+          model.codebooks, model.m, model.ksub, model.dsub).as("pq_codes"))
+    adcTopKEncoded(c, queries, "neighbor_id", idCol, vecCol, coarse, model, nprobe, k,
+      excludeSelf)
+  }
+
+  /** Search a PRE-ENCODED code table — the production entry point: the
+    * corpus is [[encode]]d once, written partitioned/bucketed by `cell`
+    * (see IvfPqSpec's at-rest case: a probe's cell filter prunes the file
+    * listing), and every query batch searches the stored (id, cell,
+    * pq_codes) rows without touching a raw vector. Only the broadcast
+    * query side computes residual LUTs; with the code table cell-
+    * partitioned at rest, partition pruning composes with the equi-join
+    * so unprobed cells are never even read.
+    */
+  def adcTopKEncoded(encoded: DataFrame, queries: DataFrame, encIdCol: String,
+      idCol: String, vecCol: String, coarse: Array[Array[Double]], model: Pq.PqModel,
+      nprobe: Int = 4, k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val c = encoded.select(col(encIdCol).as("neighbor_id"), col("cell").as("__cell"),
+      col("pq_codes").as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qcell", explode(NearestCells.l2(col("__qv"), coarse, nprobe)))
       .select(col("query_id"), col("__qcell"),

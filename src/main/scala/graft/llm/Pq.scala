@@ -127,10 +127,19 @@ object Pq {
     * deterministic and externally restatable.
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      model: PqModel, k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      PqExpressions.encode(col(vecCol), model.codebooks, model.m, model.ksub, model.dsub)
-        .as("__codes"))
+      model: PqModel, k: Int = 10, excludeSelf: Boolean = true): DataFrame =
+    adcTopKEncoded(encode(corpus, idCol, vecCol, model), queries, idCol, idCol, vecCol,
+      model, k, excludeSelf)
+
+  /** Search a PRE-ENCODED (id, pq_codes) table — the production entry
+    * point once the corpus has been [[encode]]d and stored: the 32×-
+    * compressed code table is scanned instead of raw vectors, and only
+    * the broadcast query side ever computes a LUT.
+    */
+  def adcTopKEncoded(encoded: DataFrame, queries: DataFrame, encIdCol: String,
+      idCol: String, vecCol: String, model: PqModel, k: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = encoded.select(col(encIdCol).as("neighbor_id"), col("pq_codes").as("__codes"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       PqExpressions.lut(col(vecCol), model.codebooks, model.m, model.ksub, model.dsub)
         .as("__lut")))

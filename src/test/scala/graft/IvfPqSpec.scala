@@ -150,6 +150,18 @@ class IvfPqSpec extends SparkSpec {
         s"expected exactly the 2 probed cell partitions, got ${listing.partitionCount}")
       assert(dirs.nonEmpty && dirs.forall(f => f.contains("cell=0") || f.contains("cell=3")),
         s"scan opened files outside the probed cells:\n${dirs.mkString("\n")}")
+      // and the STORED codes are searchable: encode → write → read → search
+      // equals searching the raw vectors directly (the production flow
+      // never re-encodes the corpus per query batch)
+      val queries = emb.filter(col("vec_id") < 4)
+      val viaStored = IvfPq.adcTopKEncoded(at, queries, "vec_id", "vec_id", "embedding",
+          coarse, model, nprobe = 2, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val direct = IvfPq.adcTopK(emb, queries, "vec_id", "embedding",
+          coarse, model, nprobe = 2, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      assert(viaStored.toSeq == direct.toSeq,
+        "searching the parquet-stored code table diverged from direct search")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)

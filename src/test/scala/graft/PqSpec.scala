@@ -146,6 +146,17 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("adcTopKEncoded over a stored code table equals direct adcTopK") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val stored = Pq.encode(emb, "vec_id", "embedding", model)
+    val viaStored = Pq.adcTopKEncoded(stored, queries, "vec_id", "vec_id", "embedding",
+        model, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val direct = Pq.adcTopK(emb, queries, "vec_id", "embedding", model, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(viaStored.toSeq == direct.toSeq)
+  }
+
   test("null and short vectors: encode nulls on null, handles short input") {
     val df = strDf(Seq("s"), Seq(Seq("x")))
       .select(lit(null).cast("array<double>").as("nv"),
