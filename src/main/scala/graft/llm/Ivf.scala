@@ -93,19 +93,39 @@ object Ivf {
       excludeSelf: Boolean = true, codebook: Option[Array[Array[Double]]] = None)
       : DataFrame = {
     val cents = codebook.getOrElse(train(corpus, vecCol, dim, nlist, iters))
+    ivfTopKAssigned(assign(corpus, idCol, vecCol, cents), queries, idCol, idCol, vecCol,
+      cents, k, nprobe, excludeSelf)
+  }
+
+  /** The corpus at rest: (idCol, cell, vecCol) in one map-only scan —
+    * write this partitioned/bucketed by `cell` once, and every query
+    * batch searches it via [[ivfTopKAssigned]] with the cell filter
+    * pruning the file listing (the IvfPq at-rest pattern; unlike PQ the
+    * exact-cosine re-score keeps the raw vector next to its cell).
+    * coalesce → -1 makes the assignment PROVABLY non-nullable (a null
+    * embedding can never match: probed cells are 0..nlist-1), so join-key
+    * IsNotNull inference cannot push an isnotnull(nearest_cells(...))
+    * filter below the projection and evaluate the assignment twice per
+    * row (same trap as Dedup.minhashSignatures' sentinel filter).
+    */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      coalesce(element_at(NearestCells(col(vecCol), cents, 1), 1), lit(-1)).as("cell"))
+
+  /** Search a PRE-ASSIGNED (id, cell, vec) table without re-running cell
+    * assignment over the corpus.
+    */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame, assignedIdCol: String,
+      idCol: String, vecCol: String, cents: Array[Array[Double]], k: Int = 10,
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     // same staged norm columns as bruteForceTopK so cosines (and their
     // 4-decimal rounding) are bit-identical to the exact operator
     val dot = VectorFunctions.dotFast _
     def norm(a: Column): Column = sqrt(dot(a, a))
-    // coalesce → -1 makes the join key PROVABLY non-nullable (a null
-    // embedding can never match: probed cells are 0..nlist-1), so join-key
-    // IsNotNull inference cannot push an isnotnull(nearest_cells(...))
-    // filter below the projection and evaluate the assignment twice per row
-    // (same trap as Dedup.minhashSignatures' sentinel filter)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = assigned.select(col(assignedIdCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("cell").as("__cell"))
       .withColumn("__cn", norm(col("__cv")))
-      .withColumn("__cell",
-        coalesce(element_at(NearestCells(col("__cv"), cents, 1), 1), lit(-1)))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
       .withColumn("__qcell", explode(NearestCells(col("__qv"), cents, nprobe))))

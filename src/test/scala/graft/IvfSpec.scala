@@ -36,6 +36,19 @@ class IvfSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfTopKAssigned over a stored (id, cell, vec) table equals direct ivfTopK") {
+    val q = emb.filter(col("vec_id") < 5)
+    val cents = Ivf.train(emb, "embedding", dim = 64, nlist = 8)
+    val direct = Ivf.ivfTopK(emb, q, "vec_id", "embedding", dim = 64, k = 4,
+        nlist = 8, nprobe = 3, codebook = Some(cents))
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val viaStored = Ivf.ivfTopKAssigned(
+        Ivf.assign(emb, "vec_id", "embedding", cents), q, "vec_id", "vec_id", "embedding",
+        cents, k = 4, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(viaStored.toSeq == direct.toSeq)
+  }
+
   test("partial probe keeps high top-1 recall on planted duplicates") {
     // plant exact duplicates: the duplicate lands in the same cell as the
     // original, so even nprobe=1 must rank it first (cosine 1.0)
