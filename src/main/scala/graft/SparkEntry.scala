@@ -302,6 +302,45 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Deterministic OPQ rotation for q_opq_encode: seeded Gram-Schmidt
+    * ([[graft.llm.Opq.randomRotation]]) runs in plain Scala at both query-
+    * and oracle-build time, so the inlined VALUES matrix is identical to
+    * the codegen reference object bit-for-bit.
+    */
+  private lazy val opqDemoRotation = graft.llm.Opq.randomRotation(64, seed = 17L)
+
+  private def opqRotValues: String =
+    (for { i <- 0 until 64; j <- 0 until 64 }
+      yield s"($i,$j,${opqDemoRotation(i)(j)})").mkString(",")
+
+  /** DuckDB restatement of rotate-then-PQ-encode: matrix–vector product
+    * as a relational sum, then the standard argmin-code CTE over the
+    * ROTATED values. Rotated coordinates reassociate at ~1e-15 against
+    * Spark's sequential loop — far below any argmin gap (the q_ann_lsh
+    * stance).
+    */
+  private def opqEncodeOracle: String = {
+    val dsub = pqDemoModel.dsub
+    s"""WITH rot(i, j, w) AS (VALUES $opqRotValues),
+        cb(j, c, i, w) AS (VALUES $pqCbValues),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        rv AS (
+          SELECT e.vec_id, rot.i, sum(rot.w * v[rot.j + 1]) AS x
+          FROM e, rot GROUP BY e.vec_id, rot.i
+        ), dist AS (
+          SELECT rv.vec_id, cb.j, cb.c,
+                 sum((rv.x - cb.w) * (rv.x - cb.w)) AS dd
+          FROM rv JOIN cb ON rv.i = cb.j*$dsub + cb.i
+          GROUP BY rv.vec_id, cb.j, cb.c
+        ), code AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+            FROM dist) WHERE rn = 1)
+        SELECT vec_id, string_agg(CAST(c AS VARCHAR), ' ' ORDER BY j) AS code_str
+        FROM code GROUP BY vec_id ORDER BY vec_id"""
+  }
+
   /** Shared oracle CTEs: per-(vector, subspace) argmin codes under the
     * inlined codebook — ties break to the lower centroid id on both
     * engines; the 16-term distance sums reassociate at ~1e-15, far below
@@ -859,6 +898,18 @@ object SparkEntry {
             .as("code_str"))
         .orderBy("vec_id")
     }),
+
+    "q_opq_encode" -> ((s, d) =>
+      // OPQ compression under FIXED deterministic rotation + codebook
+      // (oracle strategy 2 twice over): the seeded Gram-Schmidt rotation
+      // is pure Scala shared with the oracle builder. Trained-rotation
+      // quality (eigensolve, allocation, distortion) is OpqSpec's job.
+      graft.llm.Opq.encode(t(s, d, "embeddings"), "vec_id", "embedding",
+          opqDemoRotation, pqDemoModel)
+        .select(col("vec_id"),
+          array_join(transform(col("pq_codes"), c => c.cast("string")), " ")
+            .as("code_str"))
+        .orderBy("vec_id")),
 
     "q_ann_int8" -> ((s, d) => {
       // two-stage int8 ANN: integer-exact code cosine picks 50 candidates
@@ -1845,6 +1896,7 @@ object SparkEntry {
     "q_pq_encode" -> pqEncodeOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_opq_encode" -> opqEncodeOracle,
     "q_int8_encode" ->
       // mirrors Quantize.int8Stats (ranges over dim-64 vectors only) +
       // AffineQuantize (each vector encodes the dims it has, clamped to
