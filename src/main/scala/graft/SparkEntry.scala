@@ -923,6 +923,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_binary_encode" -> ((s, d) =>
+      // 1-bit sign quantization (the 32× tier): packed words rendered as
+      // dim63..dim0 bit strings, which the oracle restates without any
+      // bit arithmetic — each bit is just `x > 0` per dimension. Only
+      // full-dim vectors encode (64-per-word packing truncates length).
+      graft.llm.Quantize.binaryEncode(t(s, d, "embeddings"), "vec_id", "embedding", 64)
+        .select(col("vec_id"),
+          array_join(transform(col("bin_code"), w => lpad(bin(w), 64, "0")), " ")
+            .as("bits"))
+        .orderBy("vec_id")),
+
+    "q_ann_hamming" -> ((s, d) => {
+      // two-stage binary ANN: Hamming distance over sign codes picks 50
+      // candidates per query (one POPCNT per 64 dims), exact cosine
+      // re-ranks them to top-5. Both stages are deterministic, so the
+      // oracle replays them — Hamming is simply the count of
+      // sign-disagreeing dimensions, no bit packing needed in SQL.
+      val emb = t(s, d, "embeddings")
+      graft.llm.Quantize.hammingTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim = 64, k = 5, rerank = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_neardup" -> ((s, d) => {
       // The synthetic embeddings have no natural near-dups (max pairwise
       // cosine ≈0.51), so plant exact duplicates of vec_id<20 at id+100000:
@@ -1949,6 +1972,47 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY ac DESC, neighbor_id) AS rn
              FROM approx) WHERE rn <= 50),
+         scored AS (
+           SELECT cand.query_id, cand.neighbor_id,
+                  round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+           FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                     JOIN e ec ON ec.vec_id = cand.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_binary_encode" ->
+      // bit i of the packed word is `x_i > 0`; bin() prints MSB-first, so
+      // the oracle emits dims in DESCENDING order within each 64-dim word
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x, len(v) AS n
+                FROM e, range(64) t(i) WHERE t.i < len(v))
+         SELECT vec_id,
+                string_agg(CASE WHEN x > 0 THEN '1' ELSE '0' END, '' ORDER BY i DESC)
+                  AS bits
+         FROM ev WHERE n = 64 GROUP BY vec_id ORDER BY vec_id""",
+    "q_ann_hamming" ->
+      // both stages replayed: stage-1 Hamming is the count of
+      // sign-disagreeing dims (no bit packing needed in SQL), ties cut by
+      // neighbor id; stage-2 is q_embed_topk's exact formula
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE len(embedding) = 64),
+         ev AS (SELECT vec_id, t.i, v[t.i + 1] > 0 AS s FROM e, range(64) t(i)),
+         ham AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  sum(CASE WHEN q.s <> c.s THEN 1 ELSE 0 END) AS h
+           FROM ev q JOIN ev c ON c.i = q.i
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+           GROUP BY q.vec_id, c.vec_id),
+         cand AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY h ASC, neighbor_id) AS rn
+             FROM ham) WHERE rn <= 50),
          scored AS (
            SELECT cand.query_id, cand.neighbor_id,
                   round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine

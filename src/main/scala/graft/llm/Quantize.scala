@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.AffineQuantize
+import graft.functions.{AffineQuantize, HammingDistance, SignPack}
 
 /** Scalar (per-dimension affine) int8 embedding quantization — the simple
   * 4× compression next to [[Pq]]'s 32×: each dimension maps linearly from
@@ -85,8 +85,21 @@ object Quantize {
         (dot(col("__q8"), col("__c8")) / (col("__qn8") * col("__cn8"))).as("cosine"))
     val cand = Similarity.topKPerQuery(approx, rerank)
       .select(col("query_id"), col("neighbor_id"))
-    // stage 2: exact rescore of only the candidates (bruteForceTopK's
-    // staged-norm formula verbatim, so rounded cosines are bit-identical)
+    exactRerank(corpus, queries, idCol, vecCol, cand, k)
+  }
+
+  /** Stage-2 exact rescore shared by the compressed-candidate ANN paths
+    * ([[int8TopK]], [[hammingTopK]]): re-score ONLY the `(query_id,
+    * neighbor_id)` candidates with bruteForceTopK's staged-norm formula
+    * verbatim, so rounded cosines are bit-identical to the exact search.
+    * The candidate set (≤ |queries|·rerank rows) broadcasts back over the
+    * corpus — a broadcast hash join filters the scan map-side; no corpus
+    * shuffle.
+    */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cand: DataFrame, k: Int): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotFast _
+    def norm(a: Column): Column = sqrt(dot(a, a))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
       .join(broadcast(cand), "neighbor_id")
@@ -96,6 +109,49 @@ object Quantize {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4).as("cosine"))
     Similarity.topKPerQuery(exact, k)
+  }
+
+  /** The compressed corpus at the 1-bit tier: (idCol, bin_code
+    * array<long>), one sign bit per dimension ([[SignPack]]). Map-only.
+    * Rows whose vector length ≠ `dim` are dropped up front — 64-per-word
+    * packing truncates length information, so a short vector must never
+    * reach [[HammingDistance]] where it could alias a full-length code.
+    */
+  def binaryEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), SignPack(col(vecCol)).as("bin_code"))
+
+  /** Two-stage binary ANN: stage 1 ranks the whole corpus by Hamming
+    * distance over the 1-bit codes (one POPCNT per 64 dims — the extreme
+    * end of the [[int8TopK]] bandwidth trade, 32× smaller than float32),
+    * keeps the `rerank` closest per query (ties by neighbor id), and
+    * stage 2 re-scores only those exactly. Sign-of-coordinate agreement
+    * is a monotone proxy for angular similarity (the SimHash bound:
+    * P[signs agree] = 1 − θ/π per random direction — here the coordinate
+    * directions), so Hamming-closest ≈ cosine-closest and the exact
+    * rerank repairs the gap.
+    *
+    * Plan shape (the 100 TB contract): identical to [[int8TopK]] — two
+    * corpus scans, zero corpus shuffles, bounded CollectTopK ranking,
+    * candidates broadcast back. Deterministic end to end, so a SQL
+    * engine can replay both stages (Hamming = count of sign
+    * disagreements, no bit-packing needed externally).
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 10, rerank: Int = 50, excludeSelf: Boolean = true): DataFrame = {
+    val cb = binaryEncode(corpus, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("bin_code", "__cb")
+    val qb = broadcast(binaryEncode(queries, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed("bin_code", "__qb"))
+    // stage 1 reuses topKPerQuery's (score desc, neighbor asc) ranking by
+    // scoring with the NEGATED distance — smallest Hamming first
+    val approx = cb.crossJoin(qb)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        (-HammingDistance(col("__qb"), col("__cb")).cast("double")).as("cosine"))
+    val cand = Similarity.topKPerQuery(approx, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, idCol, vecCol, cand, k)
   }
 
   /** Dequantized approximation of a code array (Column-level, for error

@@ -63,13 +63,4 @@ class ArrayDotSpec extends SparkSpec {
     }
   }
 
-  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 }

@@ -25,4 +25,17 @@ abstract class SparkSpec extends AnyFunSuite {
 
   def col1[T](df: DataFrame): Seq[T] =
     df.collect().toSeq.map(_.getAs[T](0))
+
+  /** Run `f` with session confs set, restoring the previous values after —
+    * the codegen-vs-interpreted parity tests' toggle.
+    */
+  protected def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
