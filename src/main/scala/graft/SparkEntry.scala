@@ -1373,6 +1373,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_html_extract" -> ((s, d) => {
+      // WET-style HTML extraction over a deterministically planted page
+      // (the fixture is plain word soup, so — like q_c4_filters — the
+      // query plants the markup it strips: script with a fake closing
+      // tag inside a string, style, comment, entities, two links). The
+      // oracle rebuilds the identical page and replays the same shared
+      // java-regex/RE2 pattern sequence.
+      val page = concat(
+        lit("<html><head><title> Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends </title>"),
+        lit("<style type=\"text/css\">body { color: #000; }</style></head>"),
+        lit("<body><!-- nav\nboilerplate --><h1>Heading</h1><p>"),
+        substring(col("text"), 1, 120),
+        lit("</p><script>var x = 1 < 2 && \"</p>\";</script>"),
+        lit("<a href=\"https://x.test/a\">one</a> <a href=\"https://x.test/b\">two</a>"),
+        lit("<div>&lt;tag&gt;&nbsp;&quot;quoted&quot; &#39;q&#39; &amp; done</div>"),
+        lit("</body></html>"))
+      t(s, d, "documents").filter(col("text") =!= "")
+        .withColumn("__page", page)
+        .select(col("doc_id"),
+          TF.htmlToText(col("__page")).as("text_out"),
+          TF.htmlTitle(col("__page")).as("title"),
+          TF.htmlLinkCount(col("__page")).as("n_links"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_bpe" -> ((s, d) =>
       // the tokenizer feeding the packer: per-doc BPE symbol counts
       // (map-only) become the packing budget unit — "tokenize, then pack
@@ -2565,6 +2591,47 @@ object SparkEntry {
                 CAST(FLOOR(st / 1024.0) AS BIGINT) AS seq_id,
                 CAST(st % 1024 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q_html_extract" ->
+      // identical planted page; the regex sequence is shared java-regex/
+      // RE2 syntax, so both engines run the SAME pattern strings —
+      // script/style/comment strip, tag strip, named-entity decode
+      // (&amp; last), whitespace collapse. Title is NOT entity-decoded
+      // (htmlToText's contract); link count is the href group count.
+      """WITH pages AS (
+           SELECT doc_id,
+                  '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+                  ' &amp; friends </title>' ||
+                  '<style type="text/css">body { color: #000; }</style></head>' ||
+                  '<body><!-- nav' || chr(10) || 'boilerplate --><h1>Heading</h1><p>' ||
+                  substr(text, 1, 120) ||
+                  '</p><script>var x = 1 < 2 && "</p>";</script>' ||
+                  '<a href="https://x.test/a">one</a> <a href="https://x.test/b">two</a>' ||
+                  '<div>&lt;tag&gt;&nbsp;&quot;quoted&quot; &#39;q&#39; &amp; done</div>' ||
+                  '</body></html>' AS page
+           FROM documents WHERE text <> ''
+         ), stripped AS (
+           SELECT doc_id, page,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+                    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g') AS notags
+           FROM pages
+         ), decoded AS (
+           SELECT doc_id, page,
+                  replace(replace(replace(replace(replace(replace(replace(notags,
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                    '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                    '&amp;', '&') AS dec
+           FROM stripped)
+         SELECT doc_id,
+                trim(regexp_replace(dec, '[ \t\n\r\f]+', ' ', 'g')) AS text_out,
+                trim(regexp_replace(
+                  regexp_extract(page, '(?is)<title[^>]*>(.*?)</title>', 1),
+                  '[ \t\n\r\f]+', ' ', 'g')) AS title,
+                CAST(len(regexp_extract_all(page, '(?is)href="([^"]*)"', 1))
+                     AS INTEGER) AS n_links
+         FROM decoded ORDER BY doc_id""",
     "q_c4_filters" ->
       // identical planted page, identical lambda filter: terminal punct,
       // >=5 words, no javascript/brace at line level; lorem-ipsum + >=3

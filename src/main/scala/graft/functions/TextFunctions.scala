@@ -260,4 +260,49 @@ object TextFunctions {
     val stop      = least(stopwordRatio(text) * 5.0, lit(1.0))
     round(lenScore * 0.4 + wordScore * 0.2 + punct * 0.2 + stop * 0.2, 4)
   }
+
+  // --- HTML → text extraction (the WET step of a web-crawl pipeline) ---
+  //
+  // Deliberately regex-based, not a DOM parse: at 100 TB the extraction
+  // scan must stay a codegen'd map-only pass (RegExpReplace is codegen'd;
+  // a tree parser would be a per-row UDF allocating a DOM), and the
+  // regex semantics are restatable verbatim in an external SQL engine.
+  // The patterns use only syntax shared by java.util.regex and RE2
+  // (inline (?is) flags, lazy quantifiers; NO lookaround), so the same
+  // strings run identically in Spark and DuckDB/Go-style engines.
+
+  /** Visible text of an HTML page: drops `<script>`/`<style>` elements
+    * and comments, strips all remaining tags, decodes the named HTML
+    * entities (`&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;` — `&amp;`
+    * last, per the standard double-decode rule), and collapses
+    * whitespace runs to single spaces. Numeric character references
+    * beyond `&#39;` are out of scope (a per-match chr() is not
+    * expressible as a codegen'd Column op); they survive literally.
+    */
+  def htmlToText(page: Column): Column = {
+    val noScript = regexp_replace(page, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noCmt    = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags   = regexp_replace(noCmt, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&",
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** The page's `<title>` text (first match), whitespace-collapsed;
+    * empty string when absent.
+    */
+  def htmlTitle(page: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(page, "(?is)<title[^>]*>(.*?)</title>", 1),
+      "[ \\t\\n\\r\\f]+", " "))
+
+  /** Number of `href="…"` links — the numerator of the link-density
+    * quality gate (boilerplate/nav pages are link-dense, prose is not).
+    */
+  def htmlLinkCount(page: Column): Column =
+    size(regexp_extract_all(page, lit("(?is)href=\"([^\"]*)\""), lit(1)))
 }

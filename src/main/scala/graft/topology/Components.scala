@@ -31,7 +31,7 @@ object BuiltinComponents {
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
-      normalizeText, decontaminate, c4Clean, bpeEncode),
+      normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -552,6 +552,29 @@ object BuiltinComponents {
       else df
       gated.withColumn(cfg.str("DstField"),
         array_join(graft.functions.TextFunctions.c4KeptLines(src, minWords), "\n"))
+    })
+
+  val htmlExtract: FilterDesc = mkFilter("HtmlExtract",
+    "WET-style HTML extraction: strips script/style/comments and tags, " +
+      "decodes named entities, collapses whitespace into DstField; " +
+      "optionally also extracts the <title> (TitleField) and the " +
+      "href-link count (LinksField) for link-density gating.",
+    Seq(
+      ConfigKey("SrcField", "field holding the raw HTML", required = true),
+      ConfigKey("DstField", "field to store the visible text (may equal SrcField)",
+        required = true),
+      ConfigKey("TitleField", "optional field for the <title> text"),
+      ConfigKey("LinksField", "optional field for the href count (as a string)")))(
+    (_, cfg) => df => {
+      val src = col(cfg.str("SrcField"))
+      // derive title/links BEFORE DstField overwrites a shared column
+      val withTitle = cfg.strOpt("TitleField").fold(df)(f =>
+        df.withColumn(f, graft.functions.TextFunctions.htmlTitle(src)))
+      val withLinks = cfg.strOpt("LinksField").fold(withTitle)(f =>
+        withTitle.withColumn(f,
+          graft.functions.TextFunctions.htmlLinkCount(src).cast("string")))
+      withLinks.withColumn(cfg.str("DstField"),
+        graft.functions.TextFunctions.htmlToText(src))
     })
 
   val bpeEncode: FilterDesc = mkFilter("BpeEncode",
