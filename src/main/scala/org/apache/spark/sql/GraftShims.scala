@@ -17,6 +17,18 @@ object GraftShims {
     * otherwise re-fire the topology's observations and double-count the
     * run's stats totals.
     */
+  /** A serializable handle on a Hadoop Configuration (which itself is not
+    * java-serializable) for shipping to executors inside DSv2 reader
+    * factories. Spark's own wrapper is `private[spark]`; the returned
+    * closure captures it, so callers outside the spark namespace can hold
+    * a plain serializable `() => Configuration`.
+    */
+  def serializableHadoopConf(
+      conf: org.apache.hadoop.conf.Configuration): () => org.apache.hadoop.conf.Configuration = {
+    val sc = new org.apache.spark.util.SerializableConfiguration(conf)
+    () => sc.value
+  }
+
   def stripObservations(df: DataFrame): DataFrame = {
     val cleaned = df.queryExecution.logical.transform {
       case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.child
