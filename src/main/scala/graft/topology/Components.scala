@@ -708,7 +708,7 @@ object BuiltinComponents {
       }
       codec.foreach(c => dfw = dfw.option("compression", c))
       if (hasField0) dfw = dfw.partitionBy("__part")
-      dfw.text(staging.toString)
+      Profiling("filewriter.writeJob")(dfw.text(staging.toString))
 
       // move task part files into template-expanded final paths
       val now = Instant.ofEpochMilli(System.currentTimeMillis()).atZone(ZoneOffset.UTC)
@@ -732,8 +732,10 @@ object BuiltinComponents {
           case _ => Nil
         }
       val written = Seq.newBuilder[String]
-      val byDir = partFiles(staging).groupBy(_.getPath.getParent.getName)
-      val rows = obs.get("rows").asInstanceOf[Long]
+      val byDir = Profiling("filewriter.list")(
+        partFiles(staging).groupBy(_.getPath.getParent.getName))
+      val rows = Profiling("filewriter.rowsObs")(obs.get("rows").asInstanceOf[Long])
+      Profiling("filewriter.movePass") {
       for ((dirName, files) <- byDir) {
         val field0 = if (dirName.startsWith("__part=")) dirName.stripPrefix("__part=") else ""
         files.sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, ix) =>
@@ -755,6 +757,7 @@ object BuiltinComponents {
         }
       }
       fs.delete(staging, true)
+      }
       OutputResult(written.result().distinct, rows)
     },
   )

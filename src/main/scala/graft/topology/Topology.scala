@@ -158,7 +158,7 @@ object Topology {
       val t0 = System.nanoTime()
       val outDesc = components.output(cfg.outputName)
       cfg.outputConfig.validate(outDesc.keys)
-      val result = outDesc.build(ctx, cfg.outputConfig, projected)
+      val result = Profiling("output.build")(outDesc.build(ctx, cfg.outputConfig, projected))
       for ((name, upCfg) <- cfg.upload) {
         val upDesc = components.upload(name)
         upCfg.validate(upDesc.keys)
@@ -180,9 +180,14 @@ object Topology {
         } catch { case _: Exception => Map.empty[String, Any] }
       val deadline = System.nanoTime() + 2000000000L
       var snaps = observations.values.map(readObs)
-      while (snaps.exists(_.isEmpty) && System.nanoTime() < deadline) {
-        Thread.sleep(20)
-        snaps = observations.values.map(readObs)
+      // 2 ms granularity: the listener usually lands within single-digit
+      // ms of the action, and a coarser sleep adds its whole quantum to
+      // every batch run's wall-clock
+      Profiling("obs.wait") {
+        while (snaps.exists(_.isEmpty) && System.nanoTime() < deadline) {
+          Thread.sleep(2)
+          snaps = observations.values.map(readObs)
+        }
       }
       val metrics = snaps.fold(Map.empty[String, Any])(_ ++ _)
       // topology-level counters, published once per run (stats.go:131-139
@@ -213,13 +218,20 @@ object Topology {
     * separator is a PROPER prefix. (Counting all separators with
     * translate/regexp instead scans + copies the whole ~4.5 KB line per
     * row — measured 2.7× slower end-to-end on the pipeline bench.)
+    *
+    * The proper-prefix test is `prefix =!= value`, NOT `length(prefix) <
+    * length(value)`: `length` is a char count that UTF-8-decodes its whole
+    * operand, so the length form scans the full ~4.5 KB line per record
+    * per referenced field, while inequality short-circuits on the byte
+    * lengths (O(1) whenever the field exists) — measured 2× on the
+    * record-filter stage of the pipeline bench.
     */
   def lazyFieldColumns(value: Column, fields: Seq[String], separator: String)
       : Map[String, Column] =
     fields.zipWithIndex.map { case (f, i) =>
       val lazyField =
         substring_index(substring_index(value, separator, i + 1), separator, -1)
-      val exists = length(substring_index(value, separator, i)) < length(value)
+      val exists = substring_index(value, separator, i) =!= value
       f -> (if (i == 0) lazyField else when(exists, lazyField).otherwise(lit("")))
     }.toMap
 
@@ -347,7 +359,8 @@ object Topology {
   def compileToml(spark: SparkSession, toml: String,
       components: Components = BuiltinComponents.all,
       env: Map[String, String] = sys.env): Compiled =
-    compile(spark, configFromToml(Toml.parse(toml, env)), components)
+    Profiling("topology.compile")(
+      compile(spark, configFromToml(Toml.parse(toml, env)), components))
 
   def compileFile(spark: SparkSession, path: String,
       components: Components = BuiltinComponents.all): Compiled =

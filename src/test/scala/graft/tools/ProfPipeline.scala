@@ -1,54 +1,49 @@
 package graft
-import graft.core.Graft
-import graft.topology._
+
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Observation
+
+/** Decompose the BENCH pipeline measurement (zstd CSV -> ClauseFilter ->
+  * zstd CSV at 500k x 4.5 KB records): repeated full-topology runs vs a
+  * bare read-count, a read-filter-count, and a hand-written
+  * read-filter-write floor with no topology machinery — isolating compile
+  * overhead, observation waits and the rename pass from actual IO/compute.
+  */
 object ProfPipeline {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(s"PROF $label: ${(System.nanoTime() - t0) / 1e9}s"); r
-  }
   def main(args: Array[String]): Unit = {
-    val spark = Graft.localSession("profp")
+    val spark = graft.core.Graft.localSession("pipeline-probe")
+    spark.sparkContext.setLogLevel("WARN")
     graft.sources.ZstdCodec.register(spark)
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    graft.Bench.pipelineThroughput(spark, 200000)
-    val inDir = new java.io.File(sys.props("java.io.tmpdir"), "graft-bench-pipeline-200000/in")
-    def base = {
-      val df = spark.read.text(inDir.getAbsolutePath)
-      val kind = substring_index(substring_index(col("value"), ",", 2), ",", -1)
-      df.filter(!(kind <=> lit("3")))
+
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
     }
-    time("manual-zstd") {
-      base.write.mode("overwrite")
-        .option("compression", classOf[graft.sources.ZstdCodec].getName).text("/tmp/pp1")
+
+    // warm everything once
+    Bench.pipelineThroughput(spark)
+    for (i <- 1 to 3)
+      println(s"[probe] full run $i: " + Bench.pipelineThroughput(spark))
+
+    val records = 500000
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bench-pipeline-$records")
+    val inDir = new java.io.File(base, "in").getAbsolutePath
+
+    val raw = spark.read.text(inDir)
+    time("read+count")(raw.count())
+    val kind = substring_index(substring_index(col("value"), ",", 2), ",", -1)
+    time("read+filter+count")(raw.filter(kind =!= "3").count())
+    for (i <- 1 to 2) {
+      val out = new java.io.File(base, s"floor-$i").getAbsolutePath
+      time(s"floor read+filter+write $i")(
+        raw.filter(kind =!= "3").write.mode("overwrite")
+          .option("compression", classOf[graft.sources.ZstdCodec].getName).text(out))
     }
-    time("manual-zstd-2obs") {
-      val o1 = new Observation(); val o2 = new Observation()
-      val df = spark.read.text(inDir.getAbsolutePath).observe(o1, count(lit(1)).as("in"))
-      val kind = substring_index(substring_index(col("value"), ",", 2), ",", -1)
-      df.filter(!(kind <=> lit("3"))).observe(o2, count(lit(1)).as("out"))
-        .write.mode("overwrite")
-        .option("compression", classOf[graft.sources.ZstdCodec].getName).text("/tmp/pp2")
-    }
-    time("manual-virtualfields") {
-      // full topology-style: 10 virtual fields via withColumns, then select _record
-      val raw = spark.read.text(inDir.getAbsolutePath)
-      val fields = Seq("id", "kind") ++ (0 until 8).map(i => s"f$i")
-      val nSeps = length(col("value")) - length(translate(col("value"), ",", ""))
-      val vf = fields.zipWithIndex.map { case (f, i) =>
-        val lf = substring_index(substring_index(col("value"), ",", i + 1), ",", -1)
-        f -> (if (i == 0) lf else when(nSeps >= i, lf).otherwise(lit("")))
-      }
-      val df = raw.withColumns(vf.toMap)
-      val filtered = df.filter(!(col("kind") <=> lit("3")))
-      val projCols = fields.map(f => coalesce(col(f).cast("string"), lit("")).as(f))
-      filtered.select(projCols :+ col("value").as("_record"): _*)
-        .select(col("_record").as("value"))
-        .write.mode("overwrite")
-        .option("compression", classOf[graft.sources.ZstdCodec].getName).text("/tmp/pp3")
-    }
-    time("topology-again") { println(graft.Bench.pipelineThroughput(spark, 200000)) }
+    // write with gzip-off (no codec) to see compression share
+    val outPlain = new java.io.File(base, "floor-plain").getAbsolutePath
+    time("floor write uncompressed")(
+      raw.filter(kind =!= "3").write.mode("overwrite").text(outPlain))
     spark.stop()
   }
 }
