@@ -747,6 +747,22 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    "q_dedup_incremental" -> ((s, d) => {
+      // month-over-month shape: docs with doc_id % 3 == 0 play the at-rest
+      // corpus (represented by its persisted MinHash signatures; text only
+      // point-read for collision verification), the rest arrive as the new
+      // batch. A batch doc dies on a verified match against ANY store doc,
+      // or a smaller-id batch doc.
+      val docs = t(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.incrementalDedupVerified(batch, "doc_id", "text",
+          atRestSigs = Dedup.minhashSignatures(old, "doc_id", "text"),
+          atRestDocs = old, threshold = 0.7)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_spans" -> ((s, d) =>
       // CCNet/Dolma-style paragraph dedup: cut each doc into 8-token spans,
       // keep only the corpus-wide first occurrence of each distinct span
@@ -1861,6 +1877,19 @@ object SparkEntry {
       s"""$exactJaccardPairsCte
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
+         ORDER BY doc_id""",
+    "q_dedup_incremental" ->
+      // ground truth for the incremental store dedup: batch = doc_id % 3
+      // <> 0. j holds idA < idB, so "idB killed by idA" covers both a
+      // smaller batch doc and a smaller store doc; the second branch is a
+      // LARGER store doc killing a batch doc (the store kills in either
+      // order, id order does not protect the batch side).
+      s"""$exactJaccardPairsCte
+         SELECT doc_id FROM documents
+         WHERE doc_id % 3 <> 0 AND doc_id NOT IN (
+           SELECT idB FROM j WHERE jac >= 0.7 AND idB % 3 <> 0
+           UNION
+           SELECT idA FROM j WHERE jac >= 0.7 AND idA % 3 <> 0 AND idB % 3 = 0)
          ORDER BY doc_id""",
     "q_dedup_simhash" ->
       s"""$exactJaccardPairsCte

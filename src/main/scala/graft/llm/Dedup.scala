@@ -194,6 +194,73 @@ object Dedup {
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
+  /** Incremental near-dup dedup of a NEW batch against an at-rest
+    * signature store — the shape a 100 TB pipeline actually runs month
+    * over month: the accumulated corpus is represented ONLY by its
+    * persisted MinHash signatures (`atRestSigs`, the `(__id, __sig)`
+    * output of [[minhashSignatures]] written once to parquet; ~8·numPerm
+    * bytes per document, ~0.01% of the corpus bytes at 4 KB/doc), so
+    * deduplicating a new crawl never re-reads or re-shingles the old
+    * data. A batch document dies when exact verification ties it to ANY
+    * at-rest document (the store is canonical — arrival order, not id
+    * order, decides) or to a smaller-id batch document (the
+    * [[minhashDedupVerified]] rule within the batch).
+    *
+    * Exact verification needs the text of the handful of at-rest
+    * documents that actually collided, so `atRestDocs` (the old corpus
+    * table) is also taken — but it is semi-joined down to collision ids
+    * before its text is touched: the plan reads O(collisions) old rows,
+    * never the old corpus. Decisions are exact-jaccard (not the signature
+    * estimate), so with full banding recall at the threshold the result
+    * equals ground-truth all-pairs dedup and a SQL oracle can restate it.
+    *
+    * Id spaces MUST be disjoint between the store and the batch (global
+    * document ids — the invariant any multi-crawl pipeline already
+    * keeps): verification unions both texts under one id column.
+    *
+    * Plan shape (the 100 TB contract): batch signatures are computed
+    * map-only and exchanged once (both the store join and the
+    * within-batch self-join reuse the same exchange); the store join is a
+    * shuffle join on the 64-bit band hash (uniform up to true-duplicate
+    * clusters — `maxBucketSize` caps degenerate bands on BOTH sides);
+    * nothing corpus-sized is broadcast, collected, or windowed.
+    */
+  def incrementalDedupVerified(batch: DataFrame, idCol: String, textCol: String,
+      atRestSigs: DataFrame, atRestDocs: DataFrame, threshold: Double = 0.7,
+      numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val bs = minhashSignatures(batch, idCol, textCol, numPerm, shingleK, seed)
+      .repartition(col("__id"))
+    val bb = pruneHotBuckets(bandKeys(bs, bands, r), "bk", maxBucketSize)
+    val ob = pruneHotBuckets(
+      bandKeys(atRestSigs.select(col("__id"), col("__sig")), bands, r),
+      "bk", maxBucketSize)
+    // batch vs store: the batch doc (idB) dies on a match in either id
+    // order; batch vs batch: smaller id wins, as in minhashDedupVerified
+    val candOld = bb.select(col("bk"), col("__id").as("idB"))
+      .join(ob.select(col("bk").as("bk2"), col("__id").as("idA")),
+        col("bk") === col("bk2"))
+      .select("idA", "idB")
+    val candNew = bb.select(col("bk"), col("__id").as("idA"))
+      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB")),
+        col("bk") === col("bk2") && col("idA") < col("idB"))
+      .select("idA", "idB")
+    val cand = candOld.unionByName(candNew).distinct()
+    // one exact-shingle pass over ONLY the documents that collided
+    val candIds = cand.select(col("idA").as("__cid"))
+      .unionByName(cand.select(col("idB").as("__cid"))).distinct()
+    val docs = atRestDocs.select(col(idCol).as("__uid"), col(textCol).as("__utext"))
+      .unionByName(batch.select(col(idCol).as("__uid"), col(textCol).as("__utext")))
+      .join(candIds, col("__uid") === col("__cid"), "left_semi")
+    val doomed = verifyJaccard(cand, docs, "__uid", "__utext", shingleK,
+        minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("idB").as("__doomed")).distinct()
+    batch.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
   // --- SimHash ---
 
   /** 32-bit SimHash of the token stream: bit j of the result is the sign of

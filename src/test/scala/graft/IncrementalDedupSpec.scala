@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** [[Dedup.incrementalDedupVerified]] — new-batch-vs-at-rest-store dedup.
+  * Semantics checked against a brute-force exact-jaccard reference, and
+  * the at-rest contract checked by round-tripping the signature store
+  * through parquet (the store read back from disk must behave exactly
+  * like the inline signatures).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "in the warm sun near the old barn door every single afternoon"
+  private val other =
+    "completely different text about spark clusters and parquet files " +
+      "with nothing shared at all in any shingle of this string whatsoever"
+
+  // store ids: 100, 102; batch ids: 1, 5, 7, 9, 11 (disjoint id spaces)
+  private def store = {
+    import spark.implicits._
+    Seq(
+      (100L, base),                               // kills batch near-dups of base
+      (102L, "unrelated archive entry about geology rocks minerals and " +
+        "sediment layers deposited over millions of years in rivers"),
+    ).toDF("doc_id", "text")
+  }
+
+  private def batch = {
+    import spark.implicits._
+    Seq(
+      (1L, base),                                 // exact dup of store 100 -> dies
+      (5L, base.replace("lazy", "sleepy")),       // near-dup of store 100 -> dies
+      (7L, other),                                // unique -> survives
+      (9L, other.replace("shingle", "fragment")), // near-dup of smaller batch 7 -> dies
+      (11L, ""),                                  // no shingles -> survives untouched
+    ).toDF("doc_id", "text")
+  }
+
+  private def exactJaccard(a: String, b: String, k: Int = 3): Double = {
+    def sh(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).sliding(k)
+      .filter(_.length == k).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    val union = sa.size + sb.size - (sa & sb).size
+    if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+  }
+
+  test("batch docs die to store matches (either id order) and smaller batch ids") {
+    import spark.implicits._
+    val kept = Dedup.incrementalDedupVerified(batch, "doc_id", "text",
+        atRestSigs = Dedup.minhashSignatures(store, "doc_id", "text"),
+        atRestDocs = store, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 11L))
+    // store id 100 > batch ids 1/5: the store must kill in either order
+    assert(exactJaccard(base, base.replace("lazy", "sleepy")) >= 0.7)
+  }
+
+  test("matches brute-force exact-jaccard ground truth on a random corpus") {
+    import spark.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta")
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val all = (0L until 30L).map { id =>
+        val n = rnd.nextInt(14)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val (oldRows, batchRows) = all.partition(_._1 % 3 == 0)
+      val expected = batchRows.collect {
+        case (id, text) if !(
+          oldRows.exists { case (_, ot) => exactJaccard(text, ot) >= 0.7 } ||
+          batchRows.exists { case (oid, ot) =>
+            oid < id && exactJaccard(ot, text) >= 0.7 }) => id
+      }.toSet
+      val oldDf = oldRows.toDF("doc_id", "text")
+      val got = Dedup.incrementalDedupVerified(batchRows.toDF("doc_id", "text"),
+          "doc_id", "text",
+          atRestSigs = Dedup.minhashSignatures(oldDf, "doc_id", "text"),
+          atRestDocs = oldDf, threshold = 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("signature store round-trips through parquet (the at-rest contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toFile
+    try {
+      Dedup.minhashSignatures(store, "doc_id", "text")
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val atRest = spark.read.parquet(dir.getAbsolutePath)
+      val kept = Dedup.incrementalDedupVerified(batch, "doc_id", "text",
+          atRestSigs = atRest, atRestDocs = store, threshold = 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(7L, 11L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("plan: no cartesian product; store text only read behind the semi-join") {
+    val plan = Dedup.incrementalDedupVerified(batch, "doc_id", "text",
+        atRestSigs = Dedup.minhashSignatures(store, "doc_id", "text"),
+        atRestDocs = store, threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
