@@ -48,6 +48,16 @@ object Graft {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     // parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise illegal
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the runtime-settable half of configure(): an adopted session must
+    // plan with the same AQE + broadcast-threshold knobs the tests pin,
+    // or Verify/Bench run different physical plans than the suite audits
+    // (the default 10 MB threshold shuffle-joins dimension tables the
+    // 64 MB setting broadcasts)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
     spark
   }
 
