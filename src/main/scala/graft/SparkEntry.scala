@@ -1070,6 +1070,19 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "q_sql_text_stats" -> ((s, d) => {
+      // the pure-SQL surface (GraftExtensions/GraftFunctions): the same
+      // native kernels reached through spark.sql registered functions —
+      // proves a SQL-only user gets identical results to the Column API
+      t(s, d, "documents").createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT doc_id,
+                      graft_token_count(text) AS n_tokens,
+                      graft_lang_id(text) AS lang_guess,
+                      graft_fingerprint(text) AS fp,
+                      graft_rolling_hash(text) AS rhash
+               FROM graft_sql_documents ORDER BY doc_id""")
+    }),
+
     "q_redact_pii" -> ((s, d) =>
       // plant deterministic PII per doc, then scrub it: the oracle applies
       // the same regexes in DuckDB, so the check validates actual redaction
@@ -2170,6 +2183,35 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_sql_text_stats" ->
+      // the SQL-surface query restated: token count, lang guess,
+      // fingerprint and rolling hash mirror their standalone oracles
+      """WITH t AS (
+           SELECT doc_id, text,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('el','la','de','que','y','los','en','un'))) AS es_hits
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                END AS n_tokens,
+                CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                     WHEN es_hits > 0 THEN 'es'
+                     ELSE 'unk' END AS lang_guess,
+                md5(array_to_string(list_sort(list_distinct(
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
+                  AS fp,
+                CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                     ELSE list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                         t2 -> ('0x' || substr(md5(t2), 1, 7))::BIGINT),
+                       (acc, h) -> (acc * 31 + h) % 2147483647)
+                END AS rhash
+         FROM t ORDER BY doc_id""",
     "q_rolling_hash" ->
       """SELECT doc_id,
                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0

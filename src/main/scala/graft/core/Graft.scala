@@ -37,6 +37,9 @@ object Graft {
         .config("spark.driver.host", "127.0.0.1")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // getOrCreate may adopt a pre-existing session, where builder-time
+    // extensions would never run — the runtime path works for both
+    graft.GraftFunctions.register(s)
     s
   }
 
@@ -58,6 +61,8 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       (64L * 1024 * 1024).toString)
+    // SQL surface (graft_* functions) on adopted sessions too
+    graft.GraftFunctions.register(spark)
     spark
   }
 

@@ -12,6 +12,16 @@ object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. `toExpression` wraps the
+    * Column's node lazily (`ColumnNodeExpression`) and relies on the
+    * Dataset API boundary to convert it; a SQL FunctionRegistry builder
+    * has no such boundary — it must hand the analyzer a real expression
+    * tree (possibly containing `UnresolvedFunction`s, which the analyzer
+    * then resolves), or codegen later meets an untranslated node.
+    */
+  def toEagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Remove `observe` (CollectMetrics) nodes from a frame's plan. For
     * side-car actions (e.g. FileWriter's record-size sampling) that would
     * otherwise re-fire the topology's observations and double-count the
@@ -27,6 +37,29 @@ object GraftShims {
       conf: org.apache.hadoop.conf.Configuration): () => org.apache.hadoop.conf.Configuration = {
     val sc = new org.apache.spark.util.SerializableConfiguration(conf)
     () => sc.value
+  }
+
+  /** Register a Catalyst function builder on an ALREADY-BUILT session's
+    * function registry (the extensions mechanism only runs at session
+    * construction, but Verify/Bench adopt the driver's session).
+    * `sessionState` is `private[sql]` in Spark 4, hence the shim.
+    */
+  def registerFunction(spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
+
+  /** Apply a SparkSessionExtensions' injected functions to a fresh copy of
+    * the builtin registry and list every registered name — lets tests
+    * verify the `spark.sql.extensions` path without building a session.
+    */
+  def injectedFunctionNames(ext: SparkSessionExtensions): Seq[String] = {
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    val before = reg.listFunction().map(_.funcName).toSet
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName).filterNot(before)
   }
 
   def stripObservations(df: DataFrame): DataFrame = {

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{GraftShims, Row, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExpressions, SignPack, TextFunctions, VectorFunctions}
+
+/** The pure-SQL surface ([[GraftFunctions]] / [[GraftExtensions]]): every
+  * graft_* function must be callable from `spark.sql` and produce exactly
+  * what the Column API produces — the builders construct the same
+  * expression trees, so any divergence means the table drifted.
+  */
+class GraftSqlSurfaceSpec extends SparkSpec {
+
+  private def docsView(): Unit = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old barn"),
+      (1L, "el perro duerme en la casa de la granja todos los dias"),
+      (2L, ""),
+      (3L, "  spaced   out\ttokens \n here  "),
+    ).toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+  }
+
+  private def sqlVsColumn(sqlExpr: String, col: org.apache.spark.sql.Column): Unit = {
+    docsView()
+    val viaSql = spark.sql(s"SELECT doc_id, $sqlExpr AS v FROM sql_docs ORDER BY doc_id")
+      .collect().toSeq
+    val viaCol = spark.table("sql_docs").select(org.apache.spark.sql.functions.col("doc_id"), col.as("v"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaSql == viaCol, s"SQL '$sqlExpr' diverged from the Column API")
+  }
+
+  test("text functions match the Column API from SQL") {
+    val t = col("text")
+    sqlVsColumn("graft_tokens(text)", TextFunctions.tokens(t))
+    sqlVsColumn("graft_token_count(text)", TextFunctions.tokenCount(t))
+    sqlVsColumn("graft_normalize(text)", TextFunctions.normalizeText(t))
+    sqlVsColumn("graft_fingerprint(text)", TextFunctions.fingerprint(t))
+    sqlVsColumn("graft_rolling_hash(text)", TextFunctions.rollingHash(t))
+    sqlVsColumn("graft_lang_id(text)", TextFunctions.langId(t))
+    sqlVsColumn("graft_quality(text)", TextFunctions.qualityScore(t))
+    sqlVsColumn("graft_html_to_text(text)", TextFunctions.htmlToText(t))
+    sqlVsColumn("graft_html_title(text)", TextFunctions.htmlTitle(t))
+  }
+
+  test("signature functions match the Column API from SQL (incl. literal args)") {
+    val toks = TextFunctions.tokens(col("text"))
+    sqlVsColumn("graft_minhash(text)", HashExpressions.minhash(toks, 64, 3, 42L))
+    sqlVsColumn("graft_minhash(text, 16, 2, 7)", HashExpressions.minhash(toks, 16, 2, 7L))
+    sqlVsColumn("graft_simhash(text)", HashExpressions.simhash(toks, 32))
+    sqlVsColumn("graft_simhash(text, 64)", HashExpressions.simhash(toks, 64))
+    sqlVsColumn("graft_agree_frac(graft_minhash(text), graft_minhash(text))",
+      HashExpressions.agreeFrac(HashExpressions.minhash(toks, 64, 3, 42L),
+        HashExpressions.minhash(toks, 64, 3, 42L)))
+  }
+
+  test("vector functions match the Column API from SQL") {
+    docsView()
+    sqlVsColumn("graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))",
+      VectorFunctions.dotFast(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
+    sqlVsColumn("graft_sign_pack(array(1.0d, -2.0d, 3.0d))",
+      SignPack(array(lit(1.0), lit(-2.0), lit(3.0))))
+    sqlVsColumn(
+      "graft_hamming(graft_sign_pack(array(1.0d, -2.0d)), graft_sign_pack(array(-1.0d, -2.0d)))",
+      graft.functions.HammingDistance(
+        SignPack(array(lit(1.0), lit(-2.0))), SignPack(array(lit(-1.0), lit(-2.0)))))
+    sqlVsColumn("graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L))",
+      graft.functions.SortedIntersectCount(
+        array(lit(1L), lit(2L), lit(5L)), array(lit(2L), lit(5L), lit(9L))))
+    // int8 quantization against literal range tables
+    val r = spark.sql(
+      "SELECT graft_affine_quantize(array(0.0d, 10.0d), array(0.0d, 0.0d), array(10.0d, 10.0d)) AS v")
+      .collect()(0).getSeq[Int](0)
+    assert(r == Seq(-127, 127))
+  }
+
+  test("arity and literal-arg misuse fail loudly") {
+    docsView()
+    val e1 = intercept[Exception](spark.sql("SELECT graft_fingerprint(text, 3) FROM sql_docs"))
+    assert(e1.getMessage.contains("arguments"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_minhash(text, doc_id, 3, 42) FROM sql_docs").collect())
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("the spark.sql.extensions path injects the same function names") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val names = GraftShims.injectedFunctionNames(ext).toSet
+    assert(names == GraftFunctions.all.map(_._1.funcName).toSet)
+    assert(names.contains("graft_minhash") && names.contains("graft_affine_quantize"))
+  }
+}
