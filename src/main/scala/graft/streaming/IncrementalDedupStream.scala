@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+import graft.llm.Dedup
+
+/** Streaming near-dup dedup — [[Dedup.incrementalDedupVerified]] lifted to
+  * Structured Streaming with `foreachBatch`: every micro-batch is deduped
+  * against the accumulated at-rest MinHash signature store AND within
+  * itself, then the survivors' signatures and text are appended to the
+  * store, so later batches (and later RUNS — the store outlives the query,
+  * unlike state-store state) dedupe against everything ever kept.
+  *
+  * Why foreachBatch and not `flatMapGroupsWithState`: near-dup candidates
+  * come from a 16-band LSH — one document lives in 16 band groups, and a
+  * keyed-state operator cannot coordinate a keep/kill decision across
+  * groups, while a per-batch JOIN against the store can. The store being
+  * plain parquet is the point, not a compromise: batch jobs share it
+  * (a nightly backfill and the streaming ingest dedupe against the same
+  * corpus), and it is the exact artifact [[Dedup.incrementalDedupVerified]]
+  * consumes.
+  *
+  * Exactly-once: each batch writes ONLY under its own
+  * `batch=<runTag>-<batchId>/` partition with overwrite — a replayed batch
+  * after failure recovery overwrites its own output instead of appending
+  * duplicates (the standard idempotent-foreachBatch contract), and the
+  * batch's own partition is excluded from the store it dedupes against.
+  * Ids must be globally unique across batches and runs (any multi-crawl
+  * pipeline's invariant already).
+  *
+  * 100 TB posture: per-batch appends keep the store's file count
+  * proportional to batch count — compact it periodically with a plain
+  * batch job (read store, coalesce, rewrite); the read side only ever
+  * touches signatures (~8·numPerm B/doc) plus collision-id point reads of
+  * the kept text, exactly the incremental batch contract.
+  */
+object IncrementalDedupStream {
+
+  /** The idempotent `foreachBatch` function (directly callable in batch
+    * jobs and tests — it is a plain `(DataFrame, Long) => Unit`).
+    *
+    * `runTag` names THIS query's partitions: `batch=<runTag>-<batchId>`.
+    * It must be stable across restarts of the same query (so a replayed
+    * batch overwrites its own partition) and unique across distinct
+    * queries sharing the store (so a fresh checkpoint, whose batchIds
+    * restart at 0, cannot clobber an earlier run's partitions) —
+    * [[start]] derives it from the checkpoint dir, which has exactly that
+    * lifecycle. The batch's OWN partition is excluded from the store read
+    * (partition-pruned, never scanned): a replayed batch must not dedupe
+    * against its own previous attempt's output, which would kill every
+    * document as a "duplicate" of itself.
+    */
+  def batchFunction(idCol: String, textCol: String, storeDir: String,
+      corpusDir: String, threshold: Double = 0.7, numPerm: Int = 64,
+      bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 0, runTag: String = "run"): (DataFrame, Long) => Unit =
+    (batchDf, batchId) => {
+    val self = s"$runTag-$batchId"
+    val spark = batchDf.sparkSession
+    val store = new Path(storeDir)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveStore = fs.exists(store) && fs.listStatus(store)
+      .exists(_.getPath.getName.startsWith("batch="))
+    val batch = batchDf.select(col(idCol), col(textCol))
+    val sigs =
+      if (haveStore) spark.read.parquet(storeDir)
+        .filter(col("batch") =!= self).select("__id", "__sig")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        batchDf.schema(idCol).copy(name = "__id"),
+        StructField("__sig", ArrayType(LongType, containsNull = false)))))
+    val old =
+      if (haveStore) spark.read.parquet(corpusDir)
+        .filter(col("batch") =!= self).select(idCol, textCol)
+      else batch.limit(0)
+    val kept = Dedup.incrementalDedupVerified(batch, idCol, textCol,
+      atRestSigs = sigs, atRestDocs = old, threshold = threshold,
+      numPerm = numPerm, bands = bands, shingleK = shingleK, seed = seed,
+      maxBucketSize = maxBucketSize).persist()
+    try {
+      Dedup.minhashSignatures(kept, idCol, textCol, numPerm, shingleK, seed)
+        .write.mode("overwrite").parquet(s"$storeDir/batch=$self")
+      kept.write.mode("overwrite").parquet(s"$corpusDir/batch=$self")
+    } finally kept.unpersist()
+  }
+
+  /** Start the streaming query: `docs` (a streaming frame with `idCol`,
+    * `textCol`) → per-batch incremental dedup → kept docs under
+    * `corpusDir/batch=*`, their signatures under `storeDir/batch=*`.
+    */
+  def start(docs: DataFrame, idCol: String, textCol: String, storeDir: String,
+      corpusDir: String, checkpointDir: String, threshold: Double = 0.7,
+      numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 0): StreamingQuery = {
+    // stable across restarts of this query (same checkpoint ⇒ same tag ⇒
+    // replays overwrite their own partitions), distinct across queries
+    val runTag = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(checkpointDir.getBytes("UTF-8")).take(6)
+        .map(b => f"$b%02x").mkString
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(batchFunction(idCol, textCol, storeDir, corpusDir,
+        threshold, numPerm, bands, shingleK, seed, maxBucketSize, runTag))
+      .start()
+  }
+}
