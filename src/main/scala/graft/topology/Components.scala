@@ -31,7 +31,8 @@ object BuiltinComponents {
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
-      normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode),
+      normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
+      nearDupDedup),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -602,6 +603,58 @@ object BuiltinComponents {
         case Some(cf) => out.withColumn(cf,
           graft.llm.Bpe.symbolCount(col(cfg.str("DstField"))))
         case None => out
+      }
+    })
+
+  /** NearDupDedup — corpus-wide near-duplicate removal as a TOML filter,
+    * so a topology user gets the verified MinHash-LSH dedup without
+    * leaving the config surface. Row-dropping only (mutating = false —
+    * stays on the raw fast path). With StoreSigs/StoreCorpus set it also
+    * dedupes against an at-rest signature store (READ-ONLY here — the
+    * store's maintaining writer is
+    * [[graft.streaming.IncrementalDedupStream]] or a batch job around
+    * [[graft.llm.Dedup.minhashSignatures]]); store ids are compared as
+    * strings to match the topology's schema-lite string fields.
+    */
+  val nearDupDedup: FilterDesc = mkPureFilter("NearDupDedup",
+    "Drops near-duplicate records: banded MinHash-LSH candidates verified " +
+      "by exact shingle-Jaccard; a record dies when a record with a " +
+      "smaller IdField (string order) — or any record in the optional " +
+      "at-rest store — verifies >= Threshold against it.",
+    Seq(
+      ConfigKey("IdField", "unique id field; the smaller value survives",
+        required = true),
+      ConfigKey("Field", "field holding the document text", required = true),
+      ConfigKey("Threshold", "exact-jaccard kill threshold", default = Some("0.7")),
+      ConfigKey("NumPerm", "MinHash permutations", default = Some(64L)),
+      ConfigKey("Bands", "LSH bands (NumPerm % Bands == 0)", default = Some(16L)),
+      ConfigKey("ShingleK", "word-shingle width", default = Some(3L)),
+      ConfigKey("MaxBucketSize", "skew fuse: drop hotter band buckets (0 = off)",
+        default = Some(0L)),
+      ConfigKey("StoreSigs", "optional parquet dir of at-rest (__id, __sig) signatures"),
+      ConfigKey("StoreCorpus", "optional parquet dir of the at-rest kept (id, text) docs")))(
+    (ctx, cfg) => df => {
+      val id = cfg.str("IdField")
+      val tf = cfg.str("Field")
+      val thr = cfg.str("Threshold", "0.7").toDouble
+      val p = cfg.int("NumPerm", 64L).toInt
+      val b = cfg.int("Bands", 16L).toInt
+      val k = cfg.int("ShingleK", 3L).toInt
+      val cap = cfg.int("MaxBucketSize", 0L).toInt
+      (cfg.strOpt("StoreSigs"), cfg.strOpt("StoreCorpus")) match {
+        case (Some(sigs), Some(corpus)) =>
+          val sp = ctx.spark
+          graft.llm.Dedup.incrementalDedupVerified(df, id, tf,
+            atRestSigs = sp.read.parquet(sigs)
+              .select(col("__id").cast("string").as("__id"), col("__sig")),
+            atRestDocs = sp.read.parquet(corpus)
+              .select(col(id).cast("string").as(id), col(tf).cast("string").as(tf)),
+            threshold = thr, numPerm = p, bands = b, shingleK = k,
+            maxBucketSize = cap)
+        case (None, None) =>
+          graft.llm.Dedup.minhashDedupVerified(df, id, tf, thr, p, b, k, cap)
+        case _ => throw new IllegalArgumentException(
+          "NearDupDedup: StoreSigs and StoreCorpus must be set together")
       }
     })
 
