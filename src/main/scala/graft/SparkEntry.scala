@@ -1070,6 +1070,20 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "q_corpus_report" -> ((s, d) =>
+      // dataset-card report: per (source, lang) doc/token counts, exact
+      // decimal quality mass (decimal, not double — a float sum's value
+      // depends on partition order and would flap the oracle hash), and
+      // the distinct-fingerprint count (docs − distinct_fp = exact dups)
+      t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(TF.tokenCount(col("text"))).as("tokens"),
+          sum(TF.qualityScore(col("text")).cast("decimal(10,4)"))
+            .cast("decimal(20,4)").as("sum_quality"),
+          count_distinct(TF.fingerprint(col("text"))).as("distinct_fp"))
+        .orderBy("source", "lang")),
+
     "q_sql_text_stats" -> ((s, d) => {
       // the pure-SQL surface (GraftExtensions/GraftFunctions): the same
       // native kernels reached through spark.sql registered functions —
@@ -2183,6 +2197,25 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_corpus_report" ->
+      // per-doc quality from the shared CTE, re-joined for source/lang;
+      // quality mass summed as DECIMAL(10,4) so the total is exact and
+      // partition-order-independent in both engines
+      s"""$qualityScoreCte
+         SELECT d.source, d.lang, count(*) AS docs,
+                CAST(sum(CASE WHEN trim(d.text) = '' THEN 0
+                         ELSE length(trim(d.text))
+                              - length(replace(trim(d.text), ' ', '')) + 1
+                    END) AS BIGINT) AS tokens,
+                CAST(sum(CAST(q.quality AS DECIMAL(10,4))) AS DECIMAL(20,4))
+                  AS sum_quality,
+                count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+                  CASE WHEN trim(d.text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(d.text), '\\s+') END)), ' ')))
+                  AS distinct_fp
+         FROM documents d JOIN q ON d.doc_id = q.doc_id
+         GROUP BY d.source, d.lang ORDER BY d.source, d.lang""",
+
     "q_sql_text_stats" ->
       // the SQL-surface query restated: token count, lang guess,
       // fingerprint and rolling hash mirror their standalone oracles

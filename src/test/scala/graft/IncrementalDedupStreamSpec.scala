@@ -59,6 +59,28 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store").select("__id").distinct().count() == 2)
   }
 
+  test("compaction folds batch partitions; dedup behavior is unchanged") {
+    import spark.implicits._
+    val dir = tmp()
+    val (store, corpus) = (s"$dir/store", s"$dir/corpus")
+    val fn = IncrementalDedupStream.batchFunction("doc_id", "text", store, corpus)
+    fn(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+    fn(Seq((2L, other)).toDF("doc_id", "text"), 1L)
+    fn(Seq((3L, third)).toDF("doc_id", "text"), 2L)
+    IncrementalDedupStream.compactStore(spark, store)
+    IncrementalDedupStream.compactStore(spark, corpus)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .count(_.getPath.getName.startsWith("batch=")) == 1)
+    assert(keptIds(corpus) == Set(1L, 2L, 3L))
+    // the compacted store still kills duplicates from later batches
+    fn(Seq((40L, base.replace("sun", "shade")), (41L, "fresh words on deep " +
+      "sea trenches and the creatures living in permanent darkness below"))
+      .toDF("doc_id", "text"), 3L)
+    assert(keptIds(corpus) == Set(1L, 2L, 3L, 41L))
+  }
+
   test("streaming end-to-end; the store survives into a NEW query") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
