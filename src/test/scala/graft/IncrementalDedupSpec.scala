@@ -85,6 +85,36 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("sequential batches leave a pairwise near-dup-free corpus (the store invariant)") {
+    // single-pass dedup may drop a doc whose only witness also died (the
+    // documented non-transitive approximation), but the KEPT set is
+    // guaranteed clean: every batch is checked against all earlier
+    // survivors (the store) and within itself in both id orders
+    import spark.implicits._
+    val vocab = Array("red", "green", "blue", "gold")
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val all = (0L until 36L).map { id =>
+        (id, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val batches = all.grouped(12).toSeq
+      var keptSoFar = Seq.empty[(Long, String)]
+      for (b <- batches) {
+        val oldDf = keptSoFar.toDF("doc_id", "text")
+        val kept = Dedup.incrementalDedupVerified(b.toDF("doc_id", "text"),
+            "doc_id", "text",
+            atRestSigs = Dedup.minhashSignatures(oldDf, "doc_id", "text"),
+            atRestDocs = oldDf, threshold = 0.7)
+          .as[(Long, String)].collect().toSeq
+        keptSoFar ++= kept
+      }
+      for {
+        (ia, ta) <- keptSoFar; (ib, tb) <- keptSoFar if ia < ib
+      } assert(exactJaccard(ta, tb) < 0.7,
+        s"seed=$seed: kept pair ($ia,$ib) has jaccard >= 0.7")
+    }
+  }
+
   test("signature store round-trips through parquet (the at-rest contract)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toFile
