@@ -94,6 +94,9 @@ object GraftFunctions {
       Set(1))(es => x(TextFunctions.htmlToText(c(es.head)))),
     fd("graft_html_title", "graft_html_title(html) - <title> text, '' when absent",
       Set(1))(es => x(TextFunctions.htmlTitle(c(es.head)))),
+    fd("graft_canonical_url",
+      "graft_canonical_url(url) - canonical form for URL-level dedup",
+      Set(1))(es => x(TextFunctions.canonicalUrl(c(es.head)))),
     fd("graft_minhash",
       "graft_minhash(text[, numPerm, shingleK, seed]) - MinHash signature array<long>",
       Set(1, 4)) { es =>

@@ -1070,6 +1070,22 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "q_url_canonical" -> ((s, d) => {
+      // URL-level dedup key: deterministic messy URLs synthesized from
+      // doc_id (mixed-case scheme/host, default port, tracking params,
+      // unsorted query, sometimes a trailing slash, a fragment), then
+      // canonicalized; the oracle builds the same strings and restates
+      // every canonicalization rule in DuckDB
+      val url = concat(lit("HTTP://Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:80/Path/"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=x&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1#frag"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.canonicalUrl(url).as("url"))
+        .orderBy("doc_id")
+    }),
+
     "q_corpus_report" -> ((s, d) =>
       // dataset-card report: per (source, lang) doc/token counts, exact
       // decimal quality mass (decimal, not double — a float sum's value
@@ -2197,6 +2213,41 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'HTTP://Example' || (doc_id % 7) || '.COM:80/Path/' || (doc_id % 5)
+                  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                  || '?utm_source=x&b=' || (doc_id % 4) || '&a=1#frag' AS url
+           FROM documents
+         ), p AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+           FROM u
+         ), q AS (
+           SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                       ELSE auth END AS auth,
+                  regexp_extract(rest, '^([^?#]*)', 1) AS pth,
+                  regexp_extract(rest, '\?([^#]*)', 1) AS qry
+           FROM p
+         ), r AS (
+           SELECT doc_id, scheme, auth,
+                  CASE WHEN pth = '' THEN '/'
+                       WHEN pth <> '/' AND pth LIKE '%/'
+                         THEN substr(pth, 1, length(pth) - 1)
+                       ELSE pth END AS pth,
+                  array_to_string(list_sort(list_filter(string_split(qry, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                      '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') AS kept
+           FROM q)
+         SELECT doc_id,
+                scheme || '://' || auth || pth ||
+                (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url
+         FROM r ORDER BY doc_id""",
     "q_corpus_report" ->
       // per-doc quality from the shared CTE, re-joined for source/lang;
       // quality mass summed as DECIMAL(10,4) so the total is exact and

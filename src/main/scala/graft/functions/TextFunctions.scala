@@ -33,6 +33,42 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9]+", " "))
 
+  /** Canonical URL for URL-level dedup — the first dedup pass of every
+    * web-crawl pipeline (cheaper than any content compare and catches the
+    * bulk of recrawl duplicates). Rules, each a deliberate pure-Column op
+    * restatable verbatim in an external SQL engine:
+    *   1. lowercase the scheme and the authority (never the path/query);
+    *   2. drop the fragment (`#…` — client-side only);
+    *   3. drop the default port (`:80` for http, `:443` for https);
+    *   4. drop tracking parameters (`utm_*`, `fbclid`, `gclid`);
+    *   5. sort the surviving query parameters (order never changes the
+    *      resource) and drop an emptied query entirely;
+    *   6. empty path → `/`, and a trailing slash on a non-root path is
+    *      dropped, so `http://a.com`, `HTTP://A.com/` and
+    *      `http://a.com/#top` all canonicalize identically.
+    * A string without a `scheme://` prefix is not a URL — returned
+    * trimmed, otherwise untouched.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(coalesce(url, lit("")))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val stripped = when(path === "", lit("/"))
+      .when(path =!= "/" && path.endsWith("/"), path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))), "&")
+    when(scheme === "", u).otherwise(concat(
+      scheme, lit("://"), authNoPort, stripped,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
   /** BPE-ish subword token estimate: word-boundary regex pieces (letter
     * runs, digit runs, punctuation singletons; whitespace not counted),
     * the standard cheap approximation of a byte-pair tokenizer's output

@@ -32,7 +32,7 @@ object BuiltinComponents {
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
-      nearDupDedup),
+      nearDupDedup, canonicalUrl),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -605,6 +605,18 @@ object BuiltinComponents {
         case None => out
       }
     })
+
+  val canonicalUrl: FilterDesc = mkFilter("CanonicalUrl",
+    "Rewrites a URL field to its canonical form (lowercase scheme/host, no " +
+      "fragment, no default port, tracking params dropped, query params " +
+      "sorted, trailing path slash normalized) — the URL-level dedup key " +
+      "of a web-crawl pipeline.",
+    Seq(
+      ConfigKey("SrcField", "field holding the URL", required = true),
+      ConfigKey("DstField", "field for the canonical URL (may equal SrcField)",
+        required = true)))(
+    (_, cfg) => df => df.withColumn(cfg.str("DstField"),
+      graft.functions.TextFunctions.canonicalUrl(col(cfg.str("SrcField")))))
 
   /** NearDupDedup — corpus-wide near-duplicate removal as a TOML filter,
     * so a topology user gets the verified MinHash-LSH dedup without

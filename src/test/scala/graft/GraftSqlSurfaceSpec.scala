@@ -42,6 +42,7 @@ class GraftSqlSurfaceSpec extends SparkSpec {
     sqlVsColumn("graft_quality(text)", TextFunctions.qualityScore(t))
     sqlVsColumn("graft_html_to_text(text)", TextFunctions.htmlToText(t))
     sqlVsColumn("graft_html_title(text)", TextFunctions.htmlTitle(t))
+    sqlVsColumn("graft_canonical_url(text)", TextFunctions.canonicalUrl(t))
   }
 
   test("signature functions match the Column API from SQL (incl. literal args)") {

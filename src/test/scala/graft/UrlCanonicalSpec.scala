@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.topology.Topology
+
+/** [[TextFunctions.canonicalUrl]] — the URL-level dedup key. */
+class UrlCanonicalSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(TextFunctions.canonicalUrl(col("u"))).as[String].collect().toSeq
+  }
+
+  test("case, fragment, default port, tracking, sort, trailing slash") {
+    assert(canon(
+      "HTTP://ExAmple.COM/PaTh",            // scheme+host lowered, path kept
+      "http://a.com/x#frag",                // fragment dropped
+      "http://a.com:80/x",                  // default http port dropped
+      "https://a.com:443/x",                // default https port dropped
+      "http://a.com:8080/x",                // non-default port kept
+      "http://a.com/x?utm_source=1&gclid=2&x=3", // tracking dropped
+      "http://a.com/x?b=2&a=1",             // params sorted
+      "http://a.com/x?utm_campaign=z",      // emptied query dropped entirely
+      "http://a.com/x/",                    // trailing slash dropped
+      "http://a.com",                       // empty path -> /
+      "http://a.com/",                      // root slash kept
+    ) == Seq(
+      "http://example.com/PaTh",
+      "http://a.com/x",
+      "http://a.com/x",
+      "https://a.com/x",
+      "http://a.com:8080/x",
+      "http://a.com/x?x=3",
+      "http://a.com/x?a=1&b=2",
+      "http://a.com/x",
+      "http://a.com/x",
+      "http://a.com/",
+      "http://a.com/",
+    ))
+  }
+
+  test("non-URLs pass through trimmed; null becomes empty") {
+    assert(canon("  not a url  ", "") == Seq("not a url", ""))
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("u")
+      .select(TextFunctions.canonicalUrl(col("u"))).as[String].collect()
+    assert(r.toSeq == Seq(""))
+  }
+
+  test("equivalent recrawl URLs collapse to one dedup key") {
+    val forms = canon(
+      "http://News.Example.com:80/story/42?utm_medium=feed&id=7#top",
+      "HTTP://news.example.COM/story/42?id=7",
+      "http://news.example.com/story/42/?id=7&fbclid=xyz")
+    assert(forms.distinct == Seq("http://news.example.com/story/42?id=7"))
+  }
+
+  test("CanonicalUrl TOML filter rewrites the field") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-urlcanon").toFile
+    val data = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.write(data.toPath, java.util.List.of(
+      "1;HTTP://A.com:80/x/?b=2&a=1&utm_source=s#f"))
+    val toml =
+      s"""[csv]
+         |field_separator = 59
+         |[fields]
+         |names = ["id", "url"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$data"]
+         |  MatchPath = ".*\\\\.csv"
+         |[[filter]]
+         |name = "CanonicalUrl"
+         |  [filter.config]
+         |  SrcField = "url"
+         |  DstField = "url"
+         |[output]
+         |name = "Recorder"
+         |fields = ["url"]
+         |""".stripMargin
+    Topology.compileToml(spark, toml).run()
+    assert(graft.topology.BuiltinComponents.Recorder.last.map(_.getString(0)) ==
+      Seq("http://a.com/x?a=1&b=2"))
+  }
+}
