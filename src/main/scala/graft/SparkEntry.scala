@@ -341,6 +341,45 @@ object SparkEntry {
         FROM code GROUP BY vec_id ORDER BY vec_id"""
   }
 
+  /** DuckDB restatement of the COMPLETE OPQ search: rotate (matrix–vector
+    * product as a relational sum), argmin codes over rotated coords, the
+    * query-side LUT from the same rotated distances, ADC, (adc, neighbor)
+    * top-k — annPqOracle's shape with `v[…]` replaced by the rotated
+    * long-form coordinates.
+    */
+  private def annOpqOracle: String = {
+    val dsub = pqDemoModel.dsub
+    s"""WITH rot(i, j, w) AS (VALUES $opqRotValues),
+        cb(j, c, i, w) AS (VALUES $pqCbValues),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        rv AS (
+          SELECT e.vec_id, rot.i, sum(rot.w * v[rot.j + 1]) AS x
+          FROM e, rot GROUP BY e.vec_id, rot.i
+        ), dist AS (
+          SELECT rv.vec_id, cb.j, cb.c,
+                 sum((rv.x - cb.w) * (rv.x - cb.w)) AS dd
+          FROM rv JOIN cb ON rv.i = cb.j*$dsub + cb.i
+          GROUP BY rv.vec_id, cb.j, cb.c
+        ), code AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+            FROM dist) WHERE rn = 1
+        ), lut AS (
+          SELECT vec_id AS query_id, j, c, dd FROM dist WHERE vec_id < 8
+        ), adc AS (
+          SELECT l.query_id, k.vec_id AS neighbor_id, round(sum(l.dd), 4) AS adc
+          FROM code k JOIN lut l ON l.j = k.j AND l.c = k.c
+          WHERE k.vec_id <> l.query_id
+          GROUP BY l.query_id, k.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+          FROM adc)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** Shared oracle CTEs: per-(vector, subspace) argmin codes under the
     * inlined codebook — ties break to the lower centroid id on both
     * engines; the 16-term distance sums reassociate at ~1e-15, far below
@@ -883,6 +922,17 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       graft.llm.Pq.adcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         pqDemoModel, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_opq" -> ((s, d) => {
+      // the rotated ADC search: rotation fused into both the encode and
+      // the LUT scan (one map-only pass per side), ranking unchanged —
+      // the oracle recomputes rotate→code→LUT→ADC under the same inlined
+      // rotation + codebook VALUES tables
+      val emb = t(s, d, "embeddings")
+      graft.llm.Opq.adcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        opqDemoRotation, pqDemoModel, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -2017,6 +2067,7 @@ object SparkEntry {
     "q_pq_encode" -> pqEncodeOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_ann_opq" -> annOpqOracle,
     "q_opq_encode" -> opqEncodeOracle,
     "q_int8_encode" ->
       // mirrors Quantize.int8Stats (ranges over dim-64 vectors only) +
