@@ -69,13 +69,29 @@ object Quantize {
     */
   def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       mins: Array[Double], maxs: Array[Double], k: Int = 10, rerank: Int = 50,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    int8TopKEncoded(int8Encode(corpus, idCol, vecCol, mins, maxs), corpus, queries,
+      idCol, vecCol, mins, maxs, k, rerank, excludeSelf)
+
+  /** [[int8TopK]] over a PRE-ENCODED code table — the production entry
+    * point: the corpus is [[int8Encode]]d once, the (id, int8_codes)
+    * table (4× smaller than float32) is what stage 1 scans on every query
+    * batch, and raw vectors are only point-read (broadcast-semi-joined to
+    * the ≤ queries·rerank candidates) for the stage-2 exact rescore.
+    * Codes stored as array<int> cast losslessly to the double arithmetic
+    * [[int8TopK]] uses, so stored-vs-direct results are bit-identical
+    * (pinned in QuantizeSpec).
+    */
+  def int8TopKEncoded(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, mins: Array[Double], maxs: Array[Double],
+      k: Int = 10, rerank: Int = 50, excludeSelf: Boolean = true): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotFast _
     def norm(a: Column): Column = sqrt(dot(a, a))
-    def codes(v: Column): Column = AffineQuantize(v, mins, maxs).cast("array<double>")
-    val c8 = corpus.select(col(idCol).as("neighbor_id"), codes(col(vecCol)).as("__c8"))
+    val c8 = encoded.select(col(idCol).as("neighbor_id"),
+        col("int8_codes").cast("array<double>").as("__c8"))
       .withColumn("__cn8", norm(col("__c8")))
-    val q8 = broadcast(queries.select(col(idCol).as("query_id"), codes(col(vecCol)).as("__q8"))
+    val q8 = broadcast(queries.select(col(idCol).as("query_id"),
+        AffineQuantize(col(vecCol), mins, maxs).cast("array<double>").as("__q8"))
       .withColumn("__qn8", norm(col("__q8"))))
     // stage 1: approximate cosine over codes — UNROUNDED (the rerank cut
     // must not create rounding-induced ties), ties by neighbor id
@@ -138,8 +154,19 @@ object Quantize {
     * disagreements, no bit-packing needed externally).
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int = 10, rerank: Int = 50, excludeSelf: Boolean = true): DataFrame = {
-    val cb = binaryEncode(corpus, idCol, vecCol, dim)
+      dim: Int, k: Int = 10, rerank: Int = 50, excludeSelf: Boolean = true): DataFrame =
+    hammingTopKEncoded(binaryEncode(corpus, idCol, vecCol, dim), corpus, queries,
+      idCol, vecCol, dim, k, rerank, excludeSelf)
+
+  /** [[hammingTopK]] over a PRE-ENCODED sign-code table (the at-rest tier:
+    * 32× smaller than float32) — stage 1 scans the stored (id, bin_code)
+    * rows, raw vectors are point-read only for the stage-2 candidates.
+    * Stored-vs-direct equality pinned in BinaryQuantSpec.
+    */
+  def hammingTopKEncoded(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int = 10, rerank: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cb = encoded
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("bin_code", "__cb")
     val qb = broadcast(binaryEncode(queries, idCol, vecCol, dim)
       .withColumnRenamed(idCol, "query_id").withColumnRenamed("bin_code", "__qb"))

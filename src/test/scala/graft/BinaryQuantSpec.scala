@@ -104,6 +104,29 @@ class BinaryQuantSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("searching a parquet-stored sign-code table equals direct search (at-rest contract)") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin-store").toFile
+    try {
+      Quantize.binaryEncode(emb, "vec_id", "embedding", dim)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stored = spark.read.parquet(dir.getAbsolutePath)
+      val got = Quantize.hammingTopKEncoded(stored, emb, queries, "vec_id", "embedding",
+          dim, k = 5, rerank = 100)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val want = Quantize.hammingTopK(emb, queries, "vec_id", "embedding", dim,
+          k = 5, rerank = 100)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("hammingTopK recall: rerank=100 recovers the exact top-5 on this corpus") {
     // the production recall/cost dial at the coarsest tier: 64 sign bits
     // rank the true top-5 inside the top-100 of this 500-vector corpus

@@ -159,6 +159,29 @@ class QuantizeSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("searching a parquet-stored code table equals direct search (at-rest contract)") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8-store").toFile
+    try {
+      Quantize.int8Encode(emb, "vec_id", "embedding", mins, maxs)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stored = spark.read.parquet(dir.getAbsolutePath)
+      val got = Quantize.int8TopKEncoded(stored, emb, queries, "vec_id", "embedding",
+          mins, maxs, k = 5, rerank = 50)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val want = Quantize.int8TopK(emb, queries, "vec_id", "embedding",
+          mins, maxs, k = 5, rerank = 50)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("int8TopK recall: a modest rerank recovers the exact top-5 on this corpus") {
     // int8 cosine error per pair is ~1e-3; the exact top-5 sit well inside
     // the top-50 approximate candidates, so the two-stage result equals
