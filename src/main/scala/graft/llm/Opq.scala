@@ -195,4 +195,17 @@ object Opq {
       df.select(col(idCol), RotateVector(col(vecCol), rotation).as("__rv"))
     Pq.adcTopK(rot(corpus), rot(queries), idCol, "__rv", model, k, excludeSelf)
   }
+
+  /** Search a PRE-ENCODED OPQ code table (the [[encode]] output stored at
+    * rest): only the broadcast query side rotates and builds LUTs — the
+    * stored codes already live in the rotated space, so the scan is
+    * [[Pq.adcTopKEncoded]] verbatim. Completes the at-rest symmetry with
+    * the PQ/IVF-PQ/int8/binary tiers.
+    */
+  def adcTopKEncoded(encoded: DataFrame, queries: DataFrame, encIdCol: String,
+      idCol: String, vecCol: String, rotation: Array[Array[Double]],
+      model: Pq.PqModel, k: Int = 10, excludeSelf: Boolean = true): DataFrame =
+    Pq.adcTopKEncoded(encoded,
+      queries.select(col(idCol), RotateVector(col(vecCol), rotation).as("__rv")),
+      encIdCol, idCol, "__rv", model, k, excludeSelf)
 }

@@ -133,6 +133,30 @@ class OpqSpec extends SparkSpec {
     assert(hits >= 8, s"expected ≥8/10 planted duplicates in top-2, got $hits")
   }
 
+  test("searching a parquet-stored OPQ code table equals direct search (at-rest contract)") {
+    val r = Opq.randomRotation(dim)
+    val model = Pq.deterministicModel(m = 4, ksub = 8, dsub = 16, seed = 7L, scale = 0.125)
+    val queries = emb.filter(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq-store").toFile
+    try {
+      Opq.encode(emb, "vec_id", "embedding", r, model)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stored = spark.read.parquet(dir.getAbsolutePath)
+      val got = Opq.adcTopKEncoded(stored, queries, "vec_id", "vec_id", "embedding",
+          r, model, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val want = Opq.adcTopK(emb, queries, "vec_id", "embedding", r, model, k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("plan shape: rotation and encode fuse into one map-only codegen stage") {
     val r = Opq.randomRotation(dim)
     val model = Pq.deterministicModel(m = 4, ksub = 8, dsub = 16, seed = 7L, scale = 0.125)
