@@ -59,22 +59,34 @@ object IncrementalDedupStream {
       bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 0, runTag: String = "run"): (DataFrame, Long) => Unit =
     (batchDf, batchId) => {
-    val self = s"$runTag-$batchId"
+    val self = s"batch=$runTag-$batchId"
     val spark = batchDf.sparkSession
-    val store = new Path(storeDir)
-    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val haveStore = fs.exists(store) && fs.listStatus(store)
-      .exists(_.getPath.getName.startsWith("batch="))
+    // COMMITTED partitions only, by explicit path: a crashed attempt (this
+    // run's own `self`, or a dead OTHER run's tail batch) leaves a partial
+    // dir whose footerless part files would fail every later read — the
+    // _SUCCESS marker (written at parquet job commit) is the commit point,
+    // and `self` is excluded even when committed (a replay must not dedupe
+    // against its own previous attempt's output)
+    def committed(dir: String): Seq[String] = {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=")
+          && s.getPath.getName != self
+          && fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    }
     val batch = batchDf.select(col(idCol), col(textCol))
+    val sigParts = committed(storeDir)
     val sigs =
-      if (haveStore) spark.read.parquet(storeDir)
-        .filter(col("batch") =!= self).select("__id", "__sig")
+      if (sigParts.nonEmpty) spark.read.parquet(sigParts: _*).select("__id", "__sig")
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         batchDf.schema(idCol).copy(name = "__id"),
         StructField("__sig", ArrayType(LongType, containsNull = false)))))
+    val oldParts = committed(corpusDir)
     val old =
-      if (haveStore) spark.read.parquet(corpusDir)
-        .filter(col("batch") =!= self).select(idCol, textCol)
+      if (oldParts.nonEmpty) spark.read.parquet(oldParts: _*).select(idCol, textCol)
       else batch.limit(0)
     val kept = Dedup.incrementalDedupVerified(batch, idCol, textCol,
       atRestSigs = sigs, atRestDocs = old, threshold = threshold,
@@ -82,8 +94,8 @@ object IncrementalDedupStream {
       maxBucketSize = maxBucketSize).persist()
     try {
       Dedup.minhashSignatures(kept, idCol, textCol, numPerm, shingleK, seed)
-        .write.mode("overwrite").parquet(s"$storeDir/batch=$self")
-      kept.write.mode("overwrite").parquet(s"$corpusDir/batch=$self")
+        .write.mode("overwrite").parquet(s"$storeDir/$self")
+      kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
     } finally kept.unpersist()
   }
 
@@ -104,9 +116,14 @@ object IncrementalDedupStream {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val parts = fs.listStatus(root).filter(_.getPath.getName.startsWith("batch="))
+    // committed partitions only, and delete exactly what was read — a
+    // crashed run's partial dir (no _SUCCESS) is neither absorbed nor
+    // destroyed here
+    val parts = fs.listStatus(root).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch=")
+        && fs.exists(new Path(s.getPath, "_SUCCESS")))
     if (parts.length <= 1) return
-    val df = spark.read.parquet(dir).drop("batch")
+    val df = spark.read.parquet(parts.map(_.getPath.toString): _*)
     df.coalesce(targetFiles).write.mode("overwrite")
       .parquet(s"$dir/batch=compact-${System.currentTimeMillis()}")
     parts.foreach(p => fs.delete(p.getPath, true))

@@ -81,6 +81,32 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(keptIds(corpus) == Set(1L, 2L, 3L, 41L))
   }
 
+  test("a crashed attempt's partial partition (no _SUCCESS) is ignored, not fatal") {
+    import spark.implicits._
+    val dir = tmp()
+    val (store, corpus) = (s"$dir/store", s"$dir/corpus")
+    val fn = IncrementalDedupStream.batchFunction("doc_id", "text", store, corpus)
+    fn(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+    // a dead run's torn write: footerless garbage, no _SUCCESS marker
+    for (d <- Seq(store, corpus)) {
+      val dead = new java.io.File(d, "batch=dead-0")
+      dead.mkdirs()
+      java.nio.file.Files.write(new java.io.File(dead, "part-00000.parquet").toPath,
+        "not a parquet file".getBytes)
+    }
+    // later batches read committed partitions only and still dedupe
+    fn(Seq((10L, base.replace("dog", "hound")), (11L, other)).toDF("doc_id", "text"), 1L)
+    val committed = spark.read.parquet(s"$corpus/batch=run-0", s"$corpus/batch=run-1")
+    assert(committed.select("doc_id").as[Long].collect().toSet == Set(1L, 11L))
+    // compaction neither absorbs nor deletes the torn partition
+    IncrementalDedupStream.compactStore(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).toSet
+    assert(names.exists(_.startsWith("batch=compact-")) && names.contains("batch=dead-0"))
+  }
+
   test("streaming end-to-end; the store survives into a NEW query") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
