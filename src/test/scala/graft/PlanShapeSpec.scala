@@ -384,6 +384,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("collect_top_k") && !p.contains("Window"), p)
   }
 
+  test("incremental store dedup: batch signatures exchanged once, no cartesian") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val old = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB neither the store join nor the within-batch self-join
+      // broadcasts — force the shuffle joins this contract is about
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan(Dedup.incrementalDedupVerified(batch, "doc_id", "text",
+        atRestSigs = Dedup.minhashSignatures(old, "doc_id", "text"),
+        atRestDocs = old, threshold = 0.7))
+      // the store join and the within-batch self-join must share ONE
+      // materialized batch-signature exchange — otherwise the new crawl
+      // is re-shingled + re-hashed per join
+      assert(p.contains("ReusedExchange"), s"batch signatures not reused:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"banded joins degraded to a cross join:\n$p")
+      assert(!p.contains("Window"), s"no window belongs in incremental dedup:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("int8/binary at-rest search: code-table scan, broadcast query side, bounded top-k") {
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val (mins, maxs) = graft.llm.Quantize.int8Stats(emb, "embedding", 64)
+    val stored = graft.llm.Quantize.int8Encode(emb, "vec_id", "embedding", mins, maxs)
+    val p = finalPlan(graft.llm.Quantize.int8TopKEncoded(stored, emb,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", mins, maxs, k = 3, rerank = 10))
+    // stage 1 must not shuffle the corpus: the only join inputs are
+    // broadcasts (queries, then candidate ids), ranking is CollectTopK
+    assert(p.contains("collect_top_k") && !p.contains("Window"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning")
+      && l.contains("neighbor_id")), s"corpus shuffled in two-stage search:\n$p")
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one
