@@ -1302,6 +1302,18 @@ object SparkEntry {
           substring(TF.normalizeText(col("text")), 1, 60).as("norm_prefix"))
         .orderBy("doc_id")),
 
+    "q_mix_epochs" -> ((s, d) =>
+      // the repeat half of a mixture schedule ("1.7 epochs of en, 2 of es,
+      // half of de, drop fr"): floor(f) copies plus one more for the
+      // hash-selected frac(f) subset — expected copies = f exactly, all
+      // map-only explode, same portable integer hash as the samplers
+      graft.llm.Mix.epochExpand(
+          t(s, d, "documents"), col("lang"),
+          Map("en" -> 1.7, "es" -> 2.0, "de" -> 0.5, "fr" -> 0.0),
+          pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
     "q_sample_stratified" -> ((s, d) =>
       // per-language deterministic sampling ("50% en, 10% zh, all fr"):
       // map-only CASE threshold on the stratum, integer-algebra hash so the
@@ -2500,6 +2512,20 @@ object SparkEntry {
                 substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 60)
                   AS norm_prefix
          FROM documents ORDER BY doc_id""",
+    "q_mix_epochs" ->
+      // copies = floor(f) + (1 iff the portable hash lands under frac(f));
+      // unnest(range(0, copies)) drops copies=0 rows like Spark's explode
+      """WITH c AS (
+           SELECT doc_id, lang,
+                  (CASE lang WHEN 'en' THEN 1 WHEN 'es' THEN 2
+                             WHEN 'de' THEN 0 WHEN 'fr' THEN 0 ELSE 1 END)
+                  + (CASE WHEN ((doc_id % 2147483647) * 2654435761) % 1000000 <
+                          CASE lang WHEN 'en' THEN 700000 WHEN 'de' THEN 500000
+                                    ELSE 0 END
+                     THEN 1 ELSE 0 END) AS copies
+           FROM documents)
+         SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+         FROM c ORDER BY doc_id, epoch""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE ((doc_id % 2147483647) * 2654435761) % 1000000 <

@@ -33,6 +33,42 @@ object Mix {
       .reduce(_ unionByName _)
   }
 
+  /** Epoch (repeat-factor) expansion — the other half of a data mixture
+    * schedule: rates < 1 down-sample ([[stratified]]), factors > 1 REPEAT
+    * a source ("1.7 epochs of books"). Each row expands to
+    * `floor(f)` copies plus one more for the deterministic `frac(f)`
+    * fraction of rows selected by `hash` — so expected copies = f exactly,
+    * every copy count is reproducible row-by-row (no per-row randoms, no
+    * retry instability), and the fractional epoch is an unbiased
+    * hash-selected subset rather than a truncation. Strata not in
+    * `factors` keep `defaultFactor` (1.0 = pass through).
+    *
+    * Output adds an `epoch` column (0-based copy index) — downstream
+    * shuffles ([[deterministicShuffle]] keyed on (id, epoch)) spread the
+    * copies so repeats never cluster inside one training window.
+    *
+    * Scale shape: one map-only scan with a per-row `explode(sequence)` —
+    * output rows ≤ ⌈max factor⌉ × input, no shuffle, no groupBy; the CASE
+    * threshold trick keeps it skew-insensitive like [[stratified]].
+    */
+  def epochExpand(df: DataFrame, strata: Column, factors: Map[String, Double],
+      hash: Column, defaultFactor: Double = 1.0): DataFrame = {
+    (defaultFactor +: factors.values.toSeq).foreach(f =>
+      require(f >= 0, s"epoch factor must be >= 0: $f"))
+    def whole(f: Double): Long = math.floor(f).toLong
+    def fracThreshold(f: Double): Long = ((f - math.floor(f)) * Buckets).toLong
+    val wholeCol = factors.foldLeft(lit(whole(defaultFactor))) {
+      case (acc, (s, f)) => when(strata === s, lit(whole(f))).otherwise(acc)
+    }
+    val fracCol = factors.foldLeft(lit(fracThreshold(defaultFactor))) {
+      case (acc, (s, f)) => when(strata === s, lit(fracThreshold(f))).otherwise(acc)
+    }
+    val copies = wholeCol + when(pmod(hash, lit(Buckets)) < fracCol, 1L).otherwise(0L)
+    // plain explode drops the copies == 0 rows (null sequence) outright
+    df.withColumn("epoch",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))))
+  }
+
   /** Stratified deterministic sample: keep a per-stratum fraction of rows
     * ("50% of en, 10% of zh, …"), selected by `hash` as in
     * [[sampleDeterministic]]. Strata not in `rates` keep `defaultRate`.

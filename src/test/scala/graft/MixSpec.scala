@@ -184,4 +184,37 @@ class MixSpec extends SparkSpec {
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byLang("tail") / 100.0 > byLang("head") / 900.0)
   }
+
+  test("epochExpand: floor copies + hash-selected fractional epoch, 0 drops, default passes") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(id =>
+      (id, if (id < 400) "en" else if (id < 600) "de" else if (id < 800) "fr" else "xx"))
+      .toDF("id", "lang")
+    val hash = pmod(col("id"), lit(2147483647L)) * lit(2654435761L)
+    val out = graft.llm.Mix.epochExpand(df, col("lang"),
+      Map("en" -> 1.7, "de" -> 2.0, "fr" -> 0.0), hash)
+    val counts = out.groupBy("id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // fr (factor 0) vanishes entirely; de exactly 2 copies; default 1 copy
+    assert(!counts.exists(_._2 == "fr"))
+    assert(counts.filter(_._2 == "de").forall(_._3 == 2L))
+    assert(counts.filter(_._2 == "xx").forall(_._3 == 1L))
+    // en: each doc has 1 or 2 copies, and the 2-copy subset is the
+    // hash-threshold selection — expected fraction 0.7 of 400 docs
+    val en = counts.filter(_._2 == "en")
+    assert(en.forall(c => c._3 == 1L || c._3 == 2L))
+    val twos = en.count(_._3 == 2L)
+    assert(math.abs(twos / 400.0 - 0.7) < 0.08, s"frac-epoch share ${twos / 400.0}")
+    // epoch indices are dense 0..copies-1 (the shuffle key downstream)
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    val epochs = out.filter(col("lang") === "de").groupBy("id")
+      .agg(sort_array(collect_list(col("epoch"))).as("e"))
+      .select("e").as[Seq[Long]].collect()
+    assert(epochs.forall(_ == Seq(0L, 1L)))
+    // deterministic: same expansion on a different partitioning
+    val again = graft.llm.Mix.epochExpand(df.repartition(7), col("lang"),
+      Map("en" -> 1.7, "de" -> 2.0, "fr" -> 0.0), hash)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap == again)
+  }
 }
