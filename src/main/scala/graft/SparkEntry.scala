@@ -380,6 +380,27 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Shared CTE for the int8 oracles — mirrors Quantize.int8Stats (ranges
+    * over dim-64 vectors only) + AffineQuantize (each vector encodes the
+    * dims it has, clamped to [−127,127] — a no-op here since corpus
+    * values define the ranges). ONE restatement of the quantization
+    * kernel: q_int8_encode and q_ann_int8 must agree about it by
+    * construction, not by lockstep editing.
+    */
+  private val int8CodesCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x, len(v) AS n
+                FROM e, range(64) t(i) WHERE t.i < len(v)),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ev WHERE n = 64 GROUP BY i),
+         codes AS (
+           SELECT ev.vec_id, ev.i,
+                  CASE WHEN st.mx = st.mn THEN 0
+                       ELSE GREATEST(-127, LEAST(127,
+                         CAST(floor((ev.x - st.mn) * 254.0 / (st.mx - st.mn) + 0.5)
+                              AS BIGINT) - 127))
+                  END AS code
+           FROM ev JOIN st ON st.i = ev.i)"""
+
   /** Shared oracle CTEs: per-(vector, subspace) argmin codes under the
     * inlined codebook — ties break to the lower centroid id on both
     * engines; the 16-term distance sums reassociate at ~1e-15, far below
@@ -2082,39 +2103,14 @@ object SparkEntry {
     "q_ann_opq" -> annOpqOracle,
     "q_opq_encode" -> opqEncodeOracle,
     "q_int8_encode" ->
-      // mirrors Quantize.int8Stats (ranges over dim-64 vectors only) +
-      // AffineQuantize (each vector encodes the dims it has, clamped to
-      // [−127,127] — a no-op here since corpus values define the ranges)
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x, len(v) AS n
-                FROM e, range(64) t(i) WHERE t.i < len(v)),
-         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ev WHERE n = 64 GROUP BY i),
-         codes AS (
-           SELECT ev.vec_id, ev.i,
-                  CASE WHEN st.mx = st.mn THEN 0
-                       ELSE GREATEST(-127, LEAST(127,
-                         CAST(floor((ev.x - st.mn) * 254.0 / (st.mx - st.mn) + 0.5)
-                              AS BIGINT) - 127))
-                  END AS code
-           FROM ev JOIN st ON st.i = ev.i)
+      s"""$int8CodesCte
          SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i) AS code_str
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
     "q_ann_int8" ->
       // both stages replayed: stage-1 code cosine is integer-exact (dot and
       // squared norms are small-int sums — lossless in double), the rerank
       // cut ties by neighbor id, stage-2 is q_embed_topk's exact formula
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         ev AS (SELECT vec_id, t.i, v[t.i + 1] AS x, len(v) AS n
-                FROM e, range(64) t(i) WHERE t.i < len(v)),
-         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ev WHERE n = 64 GROUP BY i),
-         codes AS (
-           SELECT ev.vec_id, ev.i,
-                  CASE WHEN st.mx = st.mn THEN 0
-                       ELSE GREATEST(-127, LEAST(127,
-                         CAST(floor((ev.x - st.mn) * 254.0 / (st.mx - st.mn) + 0.5)
-                              AS BIGINT) - 127))
-                  END AS code
-           FROM ev JOIN st ON st.i = ev.i),
+      s"""$int8CodesCte,
          n8 AS (SELECT vec_id, sqrt(CAST(sum(code * code) AS DOUBLE)) AS nrm
                 FROM codes GROUP BY vec_id),
          d8 AS (
@@ -2286,14 +2282,18 @@ object SparkEntry {
          ), p AS (
            SELECT doc_id,
                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                  regexp_extract(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(.*@)', 1) AS userinfo,
+                  lower(regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '')) AS hostport,
                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
            FROM u
          ), q AS (
            SELECT doc_id, scheme,
-                  CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
-                       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-                       ELSE auth END AS auth,
+                  userinfo ||
+                  CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END AS auth,
                   regexp_extract(rest, '^([^?#]*)', 1) AS pth,
                   regexp_extract(rest, '\?([^#]*)', 1) AS qry
            FROM p

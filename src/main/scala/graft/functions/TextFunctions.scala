@@ -37,7 +37,10 @@ object TextFunctions {
     * web-crawl pipeline (cheaper than any content compare and catches the
     * bulk of recrawl duplicates). Rules, each a deliberate pure-Column op
     * restatable verbatim in an external SQL engine:
-    *   1. lowercase the scheme and the authority (never the path/query);
+    *   1. lowercase the scheme and the HOST (never the path/query, and
+    *      never the userinfo — RFC 3986 makes only scheme and host
+    *      case-insensitive, and case-folding credentials would merge
+    *      distinct resources);
     *   2. drop the fragment (`#…` — client-side only);
     *   3. drop the default port (`:80` for http, `:443` for https);
     *   4. drop tracking parameters (`utm_*`, `fbclid`, `gclid`);
@@ -52,10 +55,15 @@ object TextFunctions {
   def canonicalUrl(url: Column): Column = {
     val u = trim(coalesce(url, lit("")))
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
-      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
-      .otherwise(auth)
+    val rawAuth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo ("user:pass@", case-SENSITIVE) passes through untouched;
+    // only the host[:port] part case-folds
+    val userinfo = regexp_extract(rawAuth, "^(.*@)", 1)
+    val hostPort = lower(regexp_replace(rawAuth, "^.*@", ""))
+    val hostNoPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val authNoPort = concat(userinfo, hostNoPort)
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val path = regexp_extract(rest, "^([^?#]*)", 1)
     val stripped = when(path === "", lit("/"))

@@ -135,11 +135,8 @@ object Multimodal {
       val isGif = payload.length >= 6 &&
         payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
       if (!isGif) return StubCodecs.sampleFrames(docId, payload, n)
-      val frames = try gifComposited(payload) catch { case _: Exception => IndexedSeq.empty }
-      if (frames.isEmpty) Nil
-      else (0 until n).map { j =>
-        Frame(docId, j, frames((frames.length.toLong * j / n).toInt))
-      }
+      val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
+      frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
     }
 
     /** Demux + composite an animated GIF to standalone per-frame PNGs.
@@ -149,8 +146,14 @@ object Multimodal {
       * frame's disposal method — `none`/`doNotDispose` keep it,
       * `restoreToBackgroundColor` clears the frame's rectangle (normalized
       * to black), `restoreToPrevious` reverts the draw.
+      *
+      * Compositing must WALK every frame (disposal state is sequential),
+      * but only the `n` uniformly-sampled frames are PNG-encoded — the
+      * encode is the dominant cost, and a 300-frame GIF sampled at n=4
+      * must not pay 300 encodes. Returns the n sampled frames in order
+      * (repeats when n > frame count, like the pre-demux sampler).
       */
-    private def gifComposited(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    private def gifComposited(payload: Array[Byte], n: Int): IndexedSeq[Array[Byte]] = {
       import javax.imageio.ImageIO
       val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       try {
@@ -183,11 +186,14 @@ object Multimodal {
           val first = reader.read(0)
           val w = streamAttr("logicalScreenWidth").getOrElse(first.getWidth)
           val h = streamAttr("logicalScreenHeight").getOrElse(first.getHeight)
+          val sampledIdx = IndexedSeq.tabulate(n)(j => (total.toLong * j / n).toInt)
+          val wanted = sampledIdx.toSet
           val canvas = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = canvas.createGraphics()
+          val encoded = scala.collection.mutable.Map.empty[Int, Array[Byte]]
           try {
-            (0 until total).map { k =>
+            for (k <- 0 until total) {
               val frame = if (k == 0) first else reader.read(k)
               val x = frameAttr(k, "ImageDescriptor", "imageLeftPosition", "0").toInt
               val y = frameAttr(k, "ImageDescriptor", "imageTopPosition", "0").toInt
@@ -200,8 +206,11 @@ object Multimodal {
                   cp
                 } else null
               g.drawImage(frame, x, y, null)
-              val baos = new java.io.ByteArrayOutputStream()
-              ImageIO.write(canvas, "png", baos)
+              if (wanted(k)) {
+                val baos = new java.io.ByteArrayOutputStream()
+                ImageIO.write(canvas, "png", baos)
+                encoded(k) = baos.toByteArray
+              }
               disposal match {
                 case "restoreToBackgroundColor" =>
                   g.setColor(java.awt.Color.BLACK)
@@ -209,8 +218,8 @@ object Multimodal {
                 case "restoreToPrevious" => g.drawImage(prev, 0, 0, null)
                 case _ => ()
               }
-              baos.toByteArray
             }
+            sampledIdx.map(encoded)
           } finally g.dispose()
         } finally reader.dispose()
       } finally iis.close()

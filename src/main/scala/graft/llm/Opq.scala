@@ -65,6 +65,10 @@ object Opq {
   def covariance(df: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Array[Double]]) = {
     val v = df.select(col(vecCol).cast("array<double>").as("__v"))
       .filter(size(col("__v")) === dim)
+      // a null ELEMENT would be skipped by sum() while count(1) still
+      // counts the row — silently biasing mean/cov low; drop such rows
+      // like the expression kernels (RotateVector etc.) null them out
+      .filter(!exists(col("__v"), e => e.isNull))
       .select(col("__v") +: (0 until dim).map(i =>
         element_at(col("__v"), i + 1).as(s"x$i")): _*)
     val sums = (0 until dim).map(i => sum(col(s"x$i")).as(s"s$i"))
@@ -102,7 +106,13 @@ object Opq {
         for (p <- 0 until n; q <- p + 1 until n) {
           if (math.abs(a(p)(q)) > 1e-15) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // NOT math.signum: signum(0) = 0 would zero the rotation whenever
+            // two diagonal entries are exactly equal (standardized or
+            // duplicated dimensions) and the off-diagonal element would
+            // never be eliminated — the Numerical Recipes convention treats
+            // theta = 0 as +1
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             for (k <- 0 until n) {

@@ -228,6 +228,13 @@ class WarcPartitionReader(file: String, fields: Array[String], types: Option[Set
 
       if (!wanted || !needsBody) skipFully(len)
       if (wanted) {
+        // the skip path above streams past any length, but materializing a
+        // body is bounded by the JVM array limit — reject loudly instead
+        // of letting len.toInt wrap negative and kill the partition with a
+        // NegativeArraySizeException
+        require(!needsBody || len <= Int.MaxValue - 8,
+          s"warc: record block of $len bytes at $file:$recordStart exceeds the " +
+            "2 GiB JVM array limit — prune the payload/http_* columns to scan past it")
         val block = if (needsBody) readFully(len.toInt) else Array.emptyByteArray
         row = buildRow(headers.toMap, wtype, len, recordStart, block)
         // trailing CRLF CRLF is consumed lazily by the blank-line seek above

@@ -138,10 +138,16 @@ object IncrementalDedupStream {
       numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 0): StreamingQuery = {
     // stable across restarts of this query (same checkpoint ⇒ same tag ⇒
-    // replays overwrite their own partitions), distinct across queries
+    // replays overwrite their own partitions), distinct across queries.
+    // Hash the NORMALIZED path, not the raw string: a restart that spells
+    // the same checkpoint dir differently ("/chk/" vs "/chk", "./chk")
+    // must not mint a new tag — the replayed batch would then see its own
+    // previous attempt's partition in the store and kill every document
+    // as a duplicate of itself
     val runTag = {
+      val canonical = new Path(checkpointDir).toUri.normalize().toString
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(checkpointDir.getBytes("UTF-8")).take(6)
+      md.digest(canonical.getBytes("UTF-8")).take(6)
         .map(b => f"$b%02x").mkString
     }
     docs.writeStream

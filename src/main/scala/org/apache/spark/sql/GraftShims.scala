@@ -22,11 +22,6 @@ object GraftShims {
   def toEagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
-  /** Remove `observe` (CollectMetrics) nodes from a frame's plan. For
-    * side-car actions (e.g. FileWriter's record-size sampling) that would
-    * otherwise re-fire the topology's observations and double-count the
-    * run's stats totals.
-    */
   /** A serializable handle on a Hadoop Configuration (which itself is not
     * java-serializable) for shipping to executors inside DSv2 reader
     * factories. Spark's own wrapper is `private[spark]`; the returned
@@ -62,6 +57,11 @@ object GraftShims {
     reg.listFunction().map(_.funcName).filterNot(before)
   }
 
+  /** Remove `observe` (CollectMetrics) nodes from a frame's plan. For
+    * side-car actions (e.g. FileWriter's record-size sampling) that would
+    * otherwise re-fire the topology's observations and double-count the
+    * run's stats totals.
+    */
   def stripObservations(df: DataFrame): DataFrame = {
     val cleaned = df.queryExecution.logical.transform {
       case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.child

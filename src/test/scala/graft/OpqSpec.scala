@@ -60,6 +60,21 @@ class OpqSpec extends SparkSpec {
     assert(math.abs(values.sum - (0 until dim).map(i => cov(i)(i)).sum) < 1e-9)
   }
 
+  test("jacobiEigen handles exactly-equal diagonal entries (theta = 0 pivot)") {
+    // signum(0) = 0 would degenerate the rotation to the identity and the
+    // off-diagonal element would never be eliminated — [[1,.5],[.5,1]]
+    // has eigenvalues (0.5, 1.5), not (1, 1)
+    val (values, vectors) = Opq.jacobiEigen(
+      Array(Array(1.0, 0.5), Array(0.5, 1.0)))
+    assert(values.sorted.zip(Seq(0.5, 1.5)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      s"eigenvalues ${values.toSeq}")
+    // and the eigenvectors actually diagonalize: A·v = λ·v
+    for (i <- 0 until 2) {
+      val av = Array.tabulate(2)(r => 1.0 * vectors(i)(r) + 0.5 * vectors(i)(1 - r))
+      assert((0 until 2).forall(r => math.abs(av(r) - values(i) * vectors(i)(r)) < 1e-12))
+    }
+  }
+
   test("eigenvalue allocation balances subspace products (crafted spectrum)") {
     // eigenvalues 2^10..2^-9: consecutive slicing puts all the energy in
     // subspace 0; balanced dealing must shrink the product spread
