@@ -32,7 +32,7 @@ object BuiltinComponents {
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
-      nearDupDedup, canonicalUrl),
+      nearDupDedup, canonicalUrl, sqlExpr, sqlWhere),
     outputs = Seq(fileWriter, statsOutput, nopOutput, opLogOutput, recorderOutput,
       DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
@@ -604,6 +604,38 @@ object BuiltinComponents {
           graft.llm.Bpe.symbolCount(col(cfg.str("DstField"))))
         case None => out
       }
+    })
+
+  /** SqlExpr / SqlWhere — the escape hatch every config-driven engine
+    * grows eventually, done the Spark-native way: the TOML carries ONE SQL
+    * expression string, compiled by Spark's own parser into the same
+    * Catalyst tree a Column program would build (codegen'd, optimizer-
+    * visible — NOT an interpreted per-row eval), with the whole builtin
+    * function library plus the registered graft_* functions available.
+    * Parse/resolution errors surface at topology compile time, not
+    * per-record.
+    */
+  val sqlExpr: FilterDesc = mkFilter("SqlExpr",
+    "Sets DstField to the value of a SQL expression over the record's " +
+      "fields (full Spark SQL function library + graft_* functions).",
+    Seq(
+      ConfigKey("Expr", "SQL expression, e.g. \"concat(upper(a), '-', b)\"",
+        required = true),
+      ConfigKey("DstField", "field receiving the expression value", required = true)))(
+    (ctx, cfg) => df => {
+      graft.GraftFunctions.register(ctx.spark)
+      df.withColumn(cfg.str("DstField"),
+        expr(cfg.str("Expr")).cast("string"))
+    })
+
+  val sqlWhere: FilterDesc = mkPureFilter("SqlWhere",
+    "Keeps records where a SQL boolean expression over the record's " +
+      "fields is true (full Spark SQL function library + graft_* functions).",
+    Seq(ConfigKey("Where", "SQL predicate, e.g. \"cast(stars as double) >= 4\"",
+      required = true)))(
+    (ctx, cfg) => df => {
+      graft.GraftFunctions.register(ctx.spark)
+      df.filter(expr(cfg.str("Where")))
     })
 
   val canonicalUrl: FilterDesc = mkFilter("CanonicalUrl",
