@@ -1157,6 +1157,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_topology_parquet" -> ((s, d) => {
+      // a COMPLETE topology compiled from TOML — Parquet input (columnar,
+      // declared fields pruned at the footer) → SqlWhere predicate →
+      // projection — returned as the compiled DataFrame program, so the
+      // oracle checks the whole config-to-plan path end to end
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "lang", "n_chars"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "SqlWhere"
+           |  [filter.config]
+           |  Where = "lang = 'en' and cast(n_chars as bigint) >= 200"
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
+    }),
+
     "q_corpus_report" -> ((s, d) =>
       // dataset-card report: per (source, lang) doc/token counts, exact
       // decimal quality mass (decimal, not double — a float sum's value
@@ -2311,6 +2333,14 @@ object SparkEntry {
                 scheme || '://' || auth || pth ||
                 (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url
          FROM r ORDER BY doc_id""",
+    "q_topology_parquet" ->
+      // the topology's string record model: every projected field is a
+      // string, empty-for-null
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                CAST(n_chars AS VARCHAR) AS n_chars
+         FROM documents
+         WHERE lang = 'en' AND n_chars >= 200
+         ORDER BY doc_id""",
     "q_corpus_report" ->
       // per-doc quality from the shared CTE, re-joined for source/lang;
       // quality mass summed as DECIMAL(10,4) so the total is exact and

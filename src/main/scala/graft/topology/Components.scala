@@ -22,7 +22,7 @@ import graft.sources.ZstdCodec
 object BuiltinComponents {
 
   def all: Components = Components(
-    inputs = Seq(listInput, logLinesInput, randomInput,
+    inputs = Seq(listInput, parquetInput, logLinesInput, randomInput,
       NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
       NetworkInputs.kclInput, NetworkInputs.sqsInput),
     filters = Seq(
@@ -97,6 +97,29 @@ object BuiltinComponents {
       ctx.spark.read.text(resolveListPaths(cfg): _*)
     }),
   )
+
+  /** Parquet — columnar input, the [[parquetOutput]] symmetric (beyond the
+    * reference): the declared `[fields]` select from the parquet schema by
+    * name and cast into the topology's string record model, so column
+    * pruning reaches the footer (undeclared columns are never read) and a
+    * missing field is a loud compile-time error, not an empty column.
+    */
+  val parquetInput: InputDesc = InputDesc(
+    "Parquet",
+    "Reads parquet files; the declared [fields] are selected by name and " +
+      "cast to the topology's string record model.",
+    Seq(
+      ConfigKey("Path", "parquet file, directory, or glob", required = true),
+      ConfigKey("MergeSchema", "merge schemas across files", default = Some(false))),
+    (ctx, cfg) => {
+      var r = ctx.spark.read
+      if (cfg.bool("MergeSchema")) r = r.option("mergeSchema", "true")
+      val df = r.parquet(cfg.str("Path"))
+      val missing = ctx.fields.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"Parquet input: fields [${missing.mkString(", ")}] " +
+        s"absent from parquet schema [${df.columns.mkString(", ")}]")
+      df.select(ctx.fields.map(f => col(f).cast("string").as(f)): _*)
+    })
 
   /** stdin source for the List input's "-" entry; injectable for tests. */
   @volatile var stdinSource: () => java.io.InputStream = () => System.in

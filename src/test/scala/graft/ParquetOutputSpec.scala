@@ -55,6 +55,30 @@ class ParquetOutputSpec extends SparkSpec {
     assert(back.filter(col("country") === "US").count() == 2)
   }
 
+  test("Parquet input: declared fields selected by name, cast to strings; missing field is loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-parquet-in").toFile
+    Seq((1L, "en", 250L), (2L, "de", 100L)).toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$dir/docs")
+    def toml(fields: String) =
+      s"""[fields]
+         |names = [$fields]
+         |[input]
+         |name = "Parquet"
+         |  [input.config]
+         |  Path = "$dir/docs"
+         |[output]
+         |name = "Recorder"
+         |""".stripMargin
+    Topology.compileToml(spark, toml("\"doc_id\", \"lang\"")).run()
+    val rows = graft.topology.BuiltinComponents.Recorder.last
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "en"), ("2", "de")))
+    val e = intercept[Exception](
+      Topology.compileToml(spark, toml("\"doc_id\", \"missing_col\"")))
+    assert(e.getMessage.contains("missing_col"))
+  }
+
   test("unknown PartitionBy field and bad Mode fail loudly") {
     val e1 = intercept[Exception](runToml("  PartitionBy = \"nope\""))
     assert(e1.getMessage.contains("nope"))
