@@ -1179,6 +1179,35 @@ object SparkEntry {
       graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
     }),
 
+    "q_topology_curation" -> ((s, d) => {
+      // LLM curation driven ENTIRELY from config: language gate (SqlWhere)
+      // then corpus-wide verified near-dup dedup (NearDupDedup) — the
+      // reference-user story of running a training-data pipeline as a TOML
+      // topology. Ids compare as strings in the record model; the oracle
+      // restates the kill rule with VARCHAR ordering.
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "lang", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "SqlWhere"
+           |  [filter.config]
+           |  Where = "lang = 'en'"
+           |[[filter]]
+           |name = "NearDupDedup"
+           |  [filter.config]
+           |  IdField = "doc_id"
+           |  Field = "text"
+           |[output]
+           |name = "Nop"
+           |fields = ["doc_id"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
+    }),
+
     "q_corpus_report" -> ((s, d) =>
       // dataset-card report: per (source, lang) doc/token counts, exact
       // decimal quality mass (decimal, not double — a float sum's value
@@ -2333,6 +2362,34 @@ object SparkEntry {
                 scheme || '://' || auth || pth ||
                 (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url
          FROM r ORDER BY doc_id""",
+    "q_topology_curation" ->
+      // en-only corpus, verified near-dup kill rule with the record
+      // model's VARCHAR id ordering (the topology compares strings)
+      """WITH tok AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id,
+                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+           FROM documents WHERE lang = 'en'
+         ), sh AS (
+           SELECT id,
+                  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+           FROM tok
+         ), p AS (
+           SELECT a.id AS idA, b.id AS idB,
+                  len(list_intersect(a.g, b.g)) AS inter,
+                  len(a.g) AS na, len(b.g) AS nb
+           FROM sh a JOIN sh b ON a.id < b.id
+         ), j AS (
+           SELECT idA, idB,
+                  CASE WHEN na + nb - inter = 0 THEN 0.0
+                       ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jac
+           FROM p
+         )
+         SELECT id AS doc_id FROM tok
+         WHERE id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
+         ORDER BY doc_id""",
     "q_topology_parquet" ->
       // the topology's string record model: every projected field is a
       // string, empty-for-null
