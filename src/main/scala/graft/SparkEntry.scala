@@ -380,6 +380,21 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom — the Bloom
+    * variant's output must EQUAL exact decontamination (no false
+    * negatives; false positives verified away), so one ground truth
+    * serves both.
+    */
+  private val decontaminateOracle: String =
+    """SELECT doc_id FROM documents
+       WHERE ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+             LIKE '% fast merge %'
+          OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+             LIKE '% value table %'
+          OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
+             LIKE '% window table table %'
+       ORDER BY doc_id"""
+
   /** Shared CTE for the int8 oracles — mirrors Quantize.int8Stats (ranges
     * over dim-64 vectors only) + AffineQuantize (each vector encodes the
     * dims it has, clamped to [−127,127] — a no-op here since corpus
@@ -1350,6 +1365,21 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text",
           Seq("fast merge", "value table", "window table table"))
         .orderBy("doc_id")),
+
+    "q_decontaminate_bloom" -> ((s, d) => {
+      // the huge-benchmark shape: the phrase set arrives as a TABLE, one
+      // fixed-size Bloom bitset broadcasts instead of the phrases, and
+      // exact hash verification runs only on Bloom hits — no false
+      // negatives, so the result equals exact decontamination and shares
+      // its oracle
+      import s.implicits._
+      val bench = Seq("fast merge", "value table", "window table table")
+        .toDF("phrase")
+      graft.llm.Decontaminate.flaggedLarge(
+          t(s, d, "documents"), "doc_id", "text", bench, "phrase",
+          expectedPhrases = 1000L, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
 
     "q_decontaminate_fuzzy" -> ((s, d) => {
       // near-dup eval-set decontamination: benchmark = every 50th doc
@@ -2586,14 +2616,11 @@ object SparkEntry {
     "q_decontaminate" ->
       // token-boundary containment via space-padded LIKE over the same
       // normalization the Spark side applies
-      """SELECT doc_id FROM documents
-         WHERE ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
-               LIKE '% fast merge %'
-            OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
-               LIKE '% value table %'
-            OR ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' '
-               LIKE '% window table table %'
-         ORDER BY doc_id""",
+      decontaminateOracle,
+    "q_decontaminate_bloom" ->
+      // identical ground truth: the Bloom stage adds no false negatives
+      // and exact verification removes its false positives
+      decontaminateOracle,
     "q_normalize" ->
       """SELECT doc_id,
                 substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 60)

@@ -66,6 +66,47 @@ object Decontaminate {
     df.join(bad, col(idCol) === col("__contaminated"), "left_anti")
   }
 
+  /** [[flagged]] for benchmark sets TOO BIG to broadcast exactly (a
+    * phrase TABLE — every n-gram of every eval set ever shipped — can
+    * reach hundreds of millions of rows): ONE Bloom filter over the
+    * benchmark n-gram hashes (fixed `optimalNumOfBits(expectedPhrases,
+    * fpp)` bitset however many phrases there are, built by the map-side-
+    * merging native BloomFilterAggregate) is broadcast instead, the
+    * corpus gram stream pre-filters through it map-side, and only the
+    * Bloom HITS reach the exact hash join against the full benchmark
+    * table. Bloom filters have NO false negatives, so the result EQUALS
+    * [[flagged]] exactly — false positives only add rows to the
+    * verification join (∝ fpp · corpus grams), never to the output.
+    *
+    * Scale shape: corpus side map-only through the Bloom gate; the exact
+    * verify is a SHUFFLE join (the benchmark is big by assumption) but
+    * over the post-Bloom survivors only; driver/broadcast state is the
+    * single fixed-size bitset, not the phrase set.
+    */
+  def flaggedLarge(df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, phraseCol: String,
+      expectedPhrases: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val normPh = bench.select(normalize(col(phraseCol)).as("__p"))
+      .filter(col("__p") =!= "")
+    // distinct phrase LENGTHS (a handful — eval n-grams are short), not
+    // the phrases themselves, are the only driver-side state
+    val lens = normPh
+      .select(size(TextFunctions.tokens(col("__p"))).as("__l"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    require(lens.nonEmpty, "decontaminate: no non-empty phrases")
+    val benchHash = normPh.select(xxhash64(col("__p")).as("__ph"))
+    val bloom = Sketches.bloomSketch(benchHash, Nil, "__ph", expectedPhrases, fpp)
+    val grams = df.select(col(idCol),
+        explode(TextFunctions.shinglesMulti(normalize(col(textCol)), lens)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    grams.crossJoin(broadcast(bloom))
+      .filter(Sketches.bloomMightContain(col("bloom"), col("__gh")))
+      .select(col(idCol), col("__gh"))
+      .join(benchHash, col("__gh") === col("__ph"), "left_semi")
+      .select(idCol)
+      .distinct()
+  }
+
   /** Fuzzy (near-duplicate) decontamination: every (corpus, benchmark)
     * pair whose EXACT word-`shingleK`-gram Jaccard reaches `threshold` —
     * catching the paraphrased / lightly-edited eval contamination that

@@ -36,6 +36,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 5L))
   }
 
+  test("flaggedLarge equals flagged — even under a deliberately FP-heavy Bloom") {
+    import spark.implicits._
+    // an undersized, high-fpp sketch floods the verification join with
+    // false positives; exact verification must scrub every one, so the
+    // result still equals the broadcast-exact path bit-for-bit
+    val phrases = Seq("quick brown fox", "lazy dog", "nonexistent phrase here")
+    val bench = phrases.toDF("phrase")
+    val exact = Decontaminate.flagged(corpus, "doc_id", "text", phrases)
+      .as[Long].collect().toSet
+    for ((expected, fpp) <- Seq((1000L, 0.01), (2L, 0.5))) {
+      val viaBloom = Decontaminate.flaggedLarge(corpus, "doc_id", "text",
+          bench, "phrase", expectedPhrases = expected, fpp = fpp)
+        .as[Long].collect().toSet
+      assert(viaBloom == exact, s"expected=$expected fpp=$fpp")
+    }
+    assert(exact == Set(1L, 2L, 5L))
+    // empty-after-normalization phrase table is loud
+    intercept[IllegalArgumentException](
+      Decontaminate.flaggedLarge(corpus, "doc_id", "text",
+        Seq("", " . ").toDF("phrase"), "phrase"))
+  }
+
   test("clean drops exactly the flagged docs; empty phrase list rejected") {
     import spark.implicits._
     val kept = Decontaminate.clean(corpus, "doc_id", "text", Seq("lazy dog"))
