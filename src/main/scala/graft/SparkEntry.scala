@@ -464,15 +464,24 @@ object SparkEntry {
     * the ground truth the LSH-candidates-then-verify queries must equal
     * when candidate recall at the threshold is total.
     */
-  private val exactJaccardPairsCte: String =
+  private val exactJaccardPairsCte: String = exactJaccardPairsCteFor()
+
+  /** Parameterized form: `source` feeds the doc stream, `idExpr` its id
+    * (e.g. a VARCHAR cast when the consumer compares ids as strings, the
+    * topology record model). ONE restatement of the exact-Jaccard kernel
+    * for every verified-dedup oracle — the variants must agree about the
+    * tokenizer/shingle/tie rules by construction, not lockstep editing.
+    */
+  private def exactJaccardPairsCteFor(source: String = "documents",
+      idExpr: String = "doc_id"): String =
     // tokenizer mirrors TextFunctions.tokens exactly (trim + split on
     // whitespace RUNS, blank → []): string_split(text, ' ') would emit ''
     // tokens on double spaces and [''] on blank text and silently diverge
-    """WITH tok AS (
-         SELECT doc_id,
+    s"""WITH tok AS (
+         SELECT $idExpr AS doc_id,
                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                     ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-         FROM documents
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+         FROM $source
        ), sh AS (
          SELECT doc_id,
                 CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
@@ -2394,31 +2403,12 @@ object SparkEntry {
          FROM r ORDER BY doc_id""",
     "q_topology_curation" ->
       // en-only corpus, verified near-dup kill rule with the record
-      // model's VARCHAR id ordering (the topology compares strings)
-      """WITH tok AS (
-           SELECT CAST(doc_id AS VARCHAR) AS id,
-                  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-           FROM documents WHERE lang = 'en'
-         ), sh AS (
-           SELECT id,
-                  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
-           FROM tok
-         ), p AS (
-           SELECT a.id AS idA, b.id AS idB,
-                  len(list_intersect(a.g, b.g)) AS inter,
-                  len(a.g) AS na, len(b.g) AS nb
-           FROM sh a JOIN sh b ON a.id < b.id
-         ), j AS (
-           SELECT idA, idB,
-                  CASE WHEN na + nb - inter = 0 THEN 0.0
-                       ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END AS jac
-           FROM p
-         )
-         SELECT id AS doc_id FROM tok
-         WHERE id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
+      // model's VARCHAR id ordering (the topology compares strings) —
+      // the SAME shared exact-Jaccard kernel, parameterized
+      s"""${exactJaccardPairsCteFor("documents WHERE lang = 'en'",
+             "CAST(doc_id AS VARCHAR)")}
+         SELECT doc_id FROM tok
+         WHERE doc_id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
          ORDER BY doc_id""",
     "q_topology_parquet" ->
       // the topology's string record model: every projected field is a

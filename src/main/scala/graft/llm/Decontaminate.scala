@@ -50,13 +50,22 @@ object Decontaminate {
     val lens = norm.map(_.split(' ').length).distinct.sorted
     val bench = broadcast(
       norm.toDF("__phrase").select(xxhash64(col("__phrase")).as("__ph")))
-    df.select(col(idCol),
-        explode(TextFunctions.shinglesMulti(normalize(col(textCol)), lens)).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    gramHashes(df, idCol, textCol, lens)
       .join(bench, col("__gh") === col("__ph"), "left_semi")
       .select(idCol)
       .distinct()
   }
+
+  /** The corpus-side gram kernel shared by [[flagged]] and
+    * [[flaggedLarge]] — ONE definition, so the Bloom variant's
+    * "equals flagged exactly" contract holds by construction: (idCol,
+    * __gh) rows, one per token n-gram per requested length.
+    */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      lens: Seq[Int]): DataFrame =
+    df.select(col(idCol),
+        explode(TextFunctions.shinglesMulti(normalize(col(textCol)), lens)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
 
   /** Corpus with every contaminated document removed (anti-join on id). */
   def clean(df: DataFrame, idCol: String, textCol: String,
@@ -88,18 +97,33 @@ object Decontaminate {
       expectedPhrases: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val normPh = bench.select(normalize(col(phraseCol)).as("__p"))
       .filter(col("__p") =!= "")
-    // distinct phrase LENGTHS (a handful — eval n-grams are short), not
-    // the phrases themselves, are the only driver-side state
-    val lens = normPh
-      .select(size(TextFunctions.tokens(col("__p"))).as("__l"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val benchHash = normPh.select(col("__p"), xxhash64(col("__p")).as("__ph"))
+    // ONE aggregation pass over the big benchmark builds BOTH the Bloom
+    // bitset and the distinct phrase-LENGTH set (a handful of ints — the
+    // only driver-side state): a separate lens job would scan and
+    // re-normalize the hundreds-of-millions-row table a second time
+    val bloomAndLens = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expectedPhrases, fpp)
+      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.GraftShims.toExpression(col("__ph")),
+          Literal(expectedPhrases), Literal(numBits))
+      benchHash.agg(
+        org.apache.spark.sql.GraftShims.toColumn(agg.toAggregateExpression())
+          .as("bloom"),
+        collect_set(size(TextFunctions.tokens(col("__p")))).as("__lens"))
+    }
+    val row = bloomAndLens.collect()(0)
+    val lens = row.getSeq[Int](1).sorted
     require(lens.nonEmpty, "decontaminate: no non-empty phrases")
-    val benchHash = normPh.select(xxhash64(col("__p")).as("__ph"))
-    val bloom = Sketches.bloomSketch(benchHash, Nil, "__ph", expectedPhrases, fpp)
-    val grams = df.select(col(idCol),
-        explode(TextFunctions.shinglesMulti(normalize(col(textCol)), lens)).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
-    grams.crossJoin(broadcast(bloom))
+    val bloomDf = df.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(row.get(0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bloom",
+          org.apache.spark.sql.types.BinaryType))))
+    gramHashes(df, idCol, textCol, lens).crossJoin(broadcast(bloomDf))
       .filter(Sketches.bloomMightContain(col("bloom"), col("__gh")))
       .select(col(idCol), col("__gh"))
       .join(benchHash, col("__gh") === col("__ph"), "left_semi")

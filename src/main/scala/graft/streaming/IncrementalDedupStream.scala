@@ -145,7 +145,14 @@ object IncrementalDedupStream {
     // previous attempt's partition in the store and kill every document
     // as a duplicate of itself
     val runTag = {
-      val canonical = new Path(checkpointDir).toUri.normalize().toString
+      // fully qualified through the FileSystem, not just URI-normalized:
+      // a relative spelling ("./chk") must resolve to the same tag as the
+      // absolute one, or a restart that spells the dir differently would
+      // mint a new tag and the replayed batch would meet its own previous
+      // attempt in the store
+      val p = new Path(checkpointDir)
+      val canonical = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.normalize().toString.stripSuffix("/")
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(canonical.getBytes("UTF-8")).take(6)
         .map(b => f"$b%02x").mkString

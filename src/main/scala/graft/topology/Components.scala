@@ -890,6 +890,14 @@ object BuiltinComponents {
     * partitioning column (the at-rest layout lever: a `PartitionBy`d
     * field turns later reads' filters into directory pruning), row count
     * piggybacked on the write job via observe — no second pass.
+    *
+    * Note on empty values: a `PartitionBy`d field whose value is "" lands
+    * in the hive default partition and reads back as NULL — which IS the
+    * record model's semantics (empty ≡ null ≡ the reference's `Get` nil;
+    * the CSV inputs produce NULL for empty fields too, and every
+    * projection coalesces back to ""). Only raw SQL over the files with
+    * `field = ''` sees the difference; use `IS NULL` there, exactly as
+    * for the CSV-ingested frames.
     */
   val parquetOutput: OutputDesc = OutputDesc(
     "Parquet",
