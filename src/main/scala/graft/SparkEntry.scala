@@ -1070,6 +1070,25 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q_dedup_incremental_embed" -> ((s, d) => {
+      // the semantic month-over-month shape: the store is the whole
+      // embeddings corpus (as its persisted hyperplane signatures);
+      // the batch carries exact copies of vec_id<20 (must die against
+      // the store) and NEGATED copies (cosine −1 to their source, ≤0.51
+      // to everything else on this corpus — must survive)
+      val emb = t(s, d, "embeddings")
+      val copies = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val negs = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 300000)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      Dedup.incrementalEmbeddingDedup(copies.unionByName(negs), "vec_id", "embedding",
+          atRestSigs = Dedup.embeddingSignatures(emb, "vec_id", "embedding", 64),
+          atRestVecs = emb, dim = 64, threshold = 0.9)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     "q_embed_cc" -> ((s, d) => {
       // transitive embedding clusters: plant duplicate CHAINS (i ~
       // i+100000 for i<20, plus i+200000 for i<10) — the two far copies
@@ -2275,6 +2294,11 @@ object SparkEntry {
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY idA, idB""",
+    "q_dedup_incremental_embed" ->
+      // closed-form: the exact copies die against the store, the negated
+      // copies survive (cosine −1 to their source, below 0.9 to all else)
+      """SELECT vec_id + 300000 AS vec_id FROM embeddings
+         WHERE vec_id < 20 ORDER BY vec_id""",
     "q_embed_cc" ->
       // the planted chains make the expected labels closed-form: every
       // member of {i, i+100000, i+200000} labels to i

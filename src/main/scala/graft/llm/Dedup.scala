@@ -261,6 +261,70 @@ object Dedup {
     batch.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
+  /** Per-row hyperplane-LSH signatures — the embedding analogue of
+    * [[minhashSignatures]], and the at-rest store format for
+    * [[incrementalEmbeddingDedup]]: (__id, __sigs array<long>, one
+    * nBits-bit signature per seed). Map-only, ~8·|seeds| B per vector
+    * at rest.
+    */
+  def embeddingSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L)): DataFrame =
+    df.select(col(idCol).as("__id"),
+      graft.functions.VectorFunctions
+        .hyperplaneSignatures(col(vecCol), dim, nBits, seeds).as("__sigs"))
+
+  /** [[incrementalDedupVerified]]'s embedding sibling — the semantic
+    * month-over-month shape: the accumulated corpus participates as its
+    * persisted hyperplane signatures ([[embeddingSignatures]] written
+    * once); a batch vector dies on an exact-cosine-verified match
+    * (≥ threshold) against ANY store vector (either id order — the store
+    * is canonical) or a smaller-id batch vector. Store VECTORS are
+    * point-read behind a semi-join on collision ids only; batch
+    * signatures are exchanged once and reused by the store join and the
+    * within-batch self-join; id spaces must be disjoint, and the store
+    * must have been written with the SAME (dim, nBits, seeds) — different
+    * hyperplanes produce incomparable signatures, silently costing all
+    * recall against the store.
+    */
+  def incrementalEmbeddingDedup(batch: DataFrame, idCol: String, vecCol: String,
+      atRestSigs: DataFrame, atRestVecs: DataFrame, dim: Int,
+      threshold: Double = 0.95, nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L),
+      maxBucketSize: Int = 0): DataFrame = {
+    val bs = embeddingSignatures(batch, idCol, vecCol, dim, nBits, seeds)
+      .repartition(col("__id"))
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("__id"), posexplode(col("__sigs")))
+        .select(col("__id"),
+          struct(col("pos").as("s"), col("col").as("sig")).as("bk"))
+    val bb = pruneHotBuckets(banded(bs), "bk", maxBucketSize)
+    val ob = pruneHotBuckets(
+      banded(atRestSigs.select(col("__id"), col("__sigs"))), "bk", maxBucketSize)
+    val candOld = bb.select(col("bk"), col("__id").as("idB"))
+      .join(ob.select(col("bk").as("bk2"), col("__id").as("idA")),
+        col("bk") === col("bk2"))
+      .select("idA", "idB")
+    val candNew = bb.select(col("bk"), col("__id").as("idA"))
+      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB")),
+        col("bk") === col("bk2") && col("idA") < col("idB"))
+      .select("idA", "idB")
+    val cand = candOld.unionByName(candNew).distinct()
+    val candIds = cand.select(col("idA").as("__cid"))
+      .unionByName(cand.select(col("idB").as("__cid"))).distinct()
+    // exact-cosine verification over ONLY the vectors that collided; the
+    // repartition is the reuse point for the two join sides
+    val vecs = atRestVecs.select(col(idCol).as("__uid"), col(vecCol).as("__uv"))
+      .unionByName(batch.select(col(idCol).as("__uid"), col(vecCol).as("__uv")))
+      .join(candIds, col("__uid") === col("__cid"), "left_semi")
+      .repartition(col("__uid"))
+    val doomed = cand
+      .join(vecs.select(col("__uid").as("idA"), col("__uv").as("vA")), "idA")
+      .join(vecs.select(col("__uid").as("idB"), col("__uv").as("vB")), "idB")
+      .filter(graft.functions.VectorFunctions
+        .cosineFast(col("vA"), col("vB")) >= threshold)
+      .select(col("idB").as("__doomed")).distinct()
+    batch.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
   // --- SimHash ---
 
   /** 32-bit SimHash of the token stream: bit j of the result is the sign of

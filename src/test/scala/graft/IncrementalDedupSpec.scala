@@ -135,6 +135,39 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding sibling: store kills exact copies, negations and strangers survive") {
+    import spark.implicits._
+    val store = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // copy of store 100 -> dies
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),   // negation -> survives
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal stranger -> survives
+      (5L, Array(0.0f, 0.0f, 0.99f, 0.1f)),   // near-dup of smaller batch 3 -> dies
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-embstore").toFile
+    try {
+      // round-trip the signature store through parquet (the at-rest contract)
+      Dedup.embeddingSignatures(store, "vec_id", "embedding", 4,
+          nBits = 4, seeds = Seq(42L, 1042L, 7L, 99L))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val kept = Dedup.incrementalEmbeddingDedup(batch, "vec_id", "embedding",
+          atRestSigs = spark.read.parquet(dir.getAbsolutePath),
+          atRestVecs = store, dim = 4, threshold = 0.9,
+          nBits = 4, seeds = Seq(42L, 1042L, 7L, 99L))
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("plan: no cartesian product; store text only read behind the semi-join") {
     val plan = Dedup.incrementalDedupVerified(batch, "doc_id", "text",
         atRestSigs = Dedup.minhashSignatures(store, "doc_id", "text"),
