@@ -406,6 +406,17 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental embedding dedup: no cartesian, no window, vectors behind the semi-join") {
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val batch = emb.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val p = finalPlan(Dedup.incrementalEmbeddingDedup(batch, "vec_id", "embedding",
+      atRestSigs = Dedup.embeddingSignatures(emb, "vec_id", "embedding", 64),
+      atRestVecs = emb, dim = 64, threshold = 0.9))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("int8/binary at-rest search: code-table scan, broadcast query side, bounded top-k") {
     val emb = graft.core.Graft.table(spark, sf, "embeddings")
     val (mins, maxs) = graft.llm.Quantize.int8Stats(emb, "embedding", 64)
