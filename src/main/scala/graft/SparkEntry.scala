@@ -234,6 +234,144 @@ object SparkEntry {
     (for { c <- ivfPqCoarse.indices; i <- ivfPqCoarse(c).indices }
       yield s"($c,$i,${ivfPqCoarse(c)(i)})").mkString(",")
 
+  /** Fixed query batch for q_bm25 — literal strings over the synthetic
+    * corpus vocabulary, inlined as a VALUES table on the oracle side so
+    * both engines rank the identical retrieval problem.
+    */
+  private val bm25DemoQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark window agg",
+    2L -> "fast scan filter table",
+    3L -> "customer query join stream")
+
+  private def bm25QueryValues: String =
+    bm25DemoQueries.map { case (id, s) => s"($id,'$s')" }.mkString(",")
+
+  /** DuckDB restatement of BM25 end to end: whitespace tokenize, postings
+    * (tf, dl), n_docs/avgdl (avg of an exact integer sum — bit-identical
+    * across engines), Lucene idf, contribution sum rounded to 6 decimals
+    * BEFORE the (score DESC, doc ASC) ranking so float reassociation can't
+    * flip an order. Same op sequence as [[graft.llm.Lexical.bm25Search]].
+    */
+  /** The BM25 pipeline as a reusable WITH-body fragment ending in
+    * `bm25_ranked` — ONE restatement of the scoring kernel shared by
+    * q_bm25 and q_hybrid_rrf (same discipline as int8CodesCte).
+    */
+  private def bm25RankedCtes: String =
+    s"""q(query_id, qtext) AS (VALUES $bm25QueryValues),
+        qt AS (
+          SELECT query_id, unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term
+          FROM q WHERE trim(qtext) <> ''
+        ), tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents WHERE trim(text) <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), dfq AS (
+          SELECT t.term, count(*) AS df
+          FROM tf t JOIN (SELECT DISTINCT term FROM qt) s ON s.term = t.term
+          GROUP BY t.term
+        ), bm25_scored AS (
+          SELECT qt.query_id, tf.doc_id,
+                 round(sum(
+                   ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - dfq.df + 0.5) /
+                            (CAST(dfq.df AS DOUBLE) + 0.5)) *
+                   (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                   (CAST(tf.tf AS DOUBLE) +
+                    1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+                 ), 6) AS score
+          FROM qt JOIN dfq ON dfq.term = qt.term
+                  JOIN tf ON tf.term = qt.term
+                  JOIN dl ON dl.doc_id = tf.doc_id, stats
+          GROUP BY qt.query_id, tf.doc_id
+        ), bm25_ranked AS (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM bm25_scored)"""
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25RankedCtes
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+        FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Exact 2-gram Jaccard ranking over the same query batch, then RRF
+    * fusion with the BM25 ranking: both base rankings restated in full,
+    * fused as `Σ 1/(60 + rank)` over each ranking's top-10 — Spark's op
+    * sequence verbatim (two-term double addition is order-exact; the round
+    * to 6 guards the general case).
+    */
+  /** The 2-gram Jaccard ranking as a WITH-body fragment ending in
+    * `jranked`; assumes a `q(query_id, qtext)` CTE is already in scope
+    * (shared with the BM25 fragment in q_hybrid_rrf).
+    */
+  private def jaccardRankedCtes: String =
+    """jqt AS (
+          SELECT query_id, regexp_split_to_array(trim(qtext), '\s+') AS t
+          FROM q WHERE trim(qtext) <> ''
+        ), jqs AS (
+          SELECT DISTINCT query_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS g
+          FROM (SELECT query_id, t, unnest(range(len(t) - 1)) AS i FROM jqt)
+        ), jqn AS (
+          SELECT query_id, count(*) AS nq FROM jqs GROUP BY query_id
+        ), jdt AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), jds AS (
+          SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS g
+          FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM jdt)
+        ), jdn AS (
+          SELECT doc_id, count(*) AS nd FROM jds GROUP BY doc_id
+        ), jinter AS (
+          SELECT q.query_id, d.doc_id, count(*) AS inter
+          FROM jqs q JOIN jds d ON d.g = q.g GROUP BY q.query_id, d.doc_id
+        ), jscored AS (
+          SELECT i.query_id, i.doc_id,
+                 round(CAST(i.inter AS DOUBLE) / (jdn.nd + jqn.nq - i.inter), 6) AS score
+          FROM jinter i JOIN jdn ON jdn.doc_id = i.doc_id
+                        JOIN jqn ON jqn.query_id = i.query_id
+        ), jranked AS (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM jscored)"""
+
+  private def jaccardOracle: String =
+    s"""WITH q(query_id, qtext) AS (VALUES $bm25QueryValues),
+        $jaccardRankedCtes
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+        FROM jranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private def splitAssignOracle: String = {
+    val th = graft.llm.Mix.splitThresholds(
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val whens = th.init.map { case (n, h) => s"WHEN b < '$h' THEN '$n'" }.mkString(" ")
+    s"""WITH b AS (
+          SELECT doc_id, substr(md5('r9|' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+          FROM documents)
+        SELECT doc_id, CASE $whens ELSE '${th.last._1}' END AS split
+        FROM b ORDER BY doc_id"""
+  }
+
+  private def hybridRrfOracle: String =
+    s"""WITH $bm25RankedCtes,
+        $jaccardRankedCtes, fused AS (
+          SELECT query_id, doc_id, round(sum(1.0 / (60.0 + rank)), 6) AS score
+          FROM (SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= 10
+                UNION ALL
+                SELECT query_id, doc_id, rank FROM jranked WHERE rank <= 10) u
+          GROUP BY query_id, doc_id
+        ), franked AS (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM fused)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+        FROM franked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** DuckDB restatement of the COMPLETE IVF-PQ algorithm under the inlined
     * coarse + product codebooks: squared-L2 cell assignment in the same
     * `dot + (−‖c‖²/2)` score form [[graft.functions.NearestCells.l2]]
@@ -1057,6 +1195,79 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_bm25" -> ((s, d) => {
+      // sparse retrieval next to the dense family: postings built with one
+      // map-side-combined shuffle, query-term broadcast prunes the scan,
+      // df computed over the pruned slice only, bounded CollectTopK ranks.
+      // Scores rounded to 6dp before ranking (total order both engines see).
+      val qdf = s.createDataFrame(bm25DemoQueries).toDF("query_id", "qtext")
+      graft.llm.Lexical.bm25TopK(t(s, d, "documents"), qdf, "doc_id", "text",
+        "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_chunk" -> ((s, d) =>
+      // RAG chunking: 16-token windows, 4-token overlap, map-only (the
+      // sequence/slice/join pipeline runs inside whole-stage codegen in
+      // the scan stage — zero shuffles). Redundant tails dropped.
+      graft.llm.Chunk.fixedTokenChunks(t(s, d, "documents"), "doc_id", "text",
+        width = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q_domain_cap" -> ((s, d) =>
+      // per-source cap, best-quality-first (n_chars as the quality proxy):
+      // bounded CollectTopK per key — a hot source contributes n rows per
+      // partition to the shuffle, never its row count — then a semi-join
+      // recovers full rows
+      graft.llm.Mix.capPerKey(t(s, d, "documents"), col("source"),
+        struct((-col("n_chars")).as("q"), col("doc_id").as("i")), "doc_id", n = 15)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q_contamination_report" -> ((s, d) => {
+      // per-eval-doc overlap audit: distinct normalized 5-gram hit counts
+      // against the rest of the corpus — integer sufficient statistics
+      // (ORACLES.md strategy 4); corpus side is one map-only gram stream
+      // pruned by the broadcast bench gram set
+      val docs = t(s, d, "documents")
+      graft.llm.Decontaminate.overlapReport(
+          docs.filter(col("doc_id") % 50 =!= 0), "text",
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    "q_jaccard_topk" -> ((s, d) => {
+      // exact word-2-gram Jaccard retrieval: query shingle set broadcast,
+      // per-doc distinct sets map-only, bounded intersection agg + top-k
+      val qdf = s.createDataFrame(bm25DemoQueries).toDF("query_id", "qtext")
+      graft.llm.Lexical.jaccardTopK(t(s, d, "documents"), qdf, "doc_id", "text",
+        "query_id", "qtext", k = 5, shingleK = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 top-10 and Jaccard top-10 fused by
+      // reciprocal rank (1/(60+rank)) — rank-based, so the two score
+      // scales mix without normalization; fusion runs over already-bounded
+      // inputs
+      val docs = t(s, d, "documents")
+      val qdf = s.createDataFrame(bm25DemoQueries).toDF("query_id", "qtext")
+      val bm = graft.llm.Lexical.bm25TopK(docs, qdf, "doc_id", "text",
+        "query_id", "qtext", k = 10)
+      val jc = graft.llm.Lexical.jaccardTopK(docs, qdf, "doc_id", "text",
+        "query_id", "qtext", k = 10, shingleK = 2)
+      graft.llm.Lexical.rrfFuse(Seq(bm, jc), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_split_assign" -> ((s, d) =>
+      // deterministic train/valid/test assignment: md5-bucketed CASE,
+      // map-only, partitioning- and retry-stable, stated verbatim in SQL
+      graft.llm.Mix.assignSplits(t(s, d, "documents"), col("doc_id"), "r9",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     "q_embed_neardup" -> ((s, d) => {
       // The synthetic embeddings have no natural near-dups (max pairwise
       // cosine ≈0.51), so plant exact duplicates of vec_id<20 at id+100000:
@@ -1770,6 +1981,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_interval_join" -> ((s, d) => {
+      // interval-overlap join: click intervals vs view intervals per user,
+      // both sides bucketized (10-min buckets ≈ the interval scale); each
+      // overlapping pair is accepted only in the bucket containing
+      // max(starts), so no post-join distinct exists
+      val ev = t(s, d, "events")
+      def side(tpe: String, p: String) = ev.filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${p}_id"), col("user_id"),
+          col("ts").as(s"${p}_start"),
+          expr("timestampadd(SECOND, CAST(floor(value) AS BIGINT), ts)")
+            .as(s"${p}_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+          side("click", "l"), side("view", "r"), Seq("user_id"),
+          "l_start", "l_end", "r_start", "r_end",
+          bucketWidthMicros = 600L * 1000000)
+        .select("l_id", "r_id", "user_id")
+        .orderBy("l_id", "r_id")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // as-of join: each purchase picks up the user's most recent prior (or
       // same-instant) view — one shuffle on user_id, no range expansion
@@ -2206,6 +2436,58 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_bm25" -> bm25Oracle,
+    "q_jaccard_topk" -> jaccardOracle,
+    "q_hybrid_rrf" -> hybridRrfOracle,
+    "q_split_assign" -> splitAssignOracle,
+    "q_chunk" ->
+      // stride 12 = width 16 − overlap 4; a start whose window adds no new
+      // tokens (s > 0 and n ≤ s + overlap) is dropped; integer division
+      // for chunk_id
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), st AS (
+           SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 12)) AS s
+           FROM tok
+         ), ch AS (
+           SELECT doc_id, t, n, s FROM st WHERE s = 0 OR n > s + 4)
+         SELECT doc_id, CAST(s // 12 AS INTEGER) AS chunk_id,
+                CAST(s AS INTEGER) AS start_tok,
+                CAST(LEAST(16, n - s) AS INTEGER) AS n_tokens,
+                array_to_string(list_slice(t, s + 1, LEAST(s + 16, n)), ' ') AS chunk_text
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "q_domain_cap" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, source, n_chars FROM ranked
+         WHERE rn <= 15 ORDER BY doc_id""",
+    "q_contamination_report" ->
+      // distinct normalized 5-grams per eval doc (doc_id % 50 = 0), hit =
+      // gram occurs in any non-eval doc; docs shorter than 5 tokens have
+      // no grams and are absent
+      """WITH nd AS (
+           SELECT doc_id,
+                  regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                    ' ') AS t
+           FROM documents
+         ), bg AS (
+           SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS g
+           FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+                 FROM nd WHERE doc_id % 50 = 0)
+         ), cg AS (
+           SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 5), ' ') AS g
+           FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+                 FROM nd WHERE doc_id % 50 <> 0)
+         )
+         SELECT b.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM bg b LEFT JOIN cg ON cg.g = b.g
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_pq_encode" -> pqEncodeOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
@@ -2590,6 +2872,21 @@ object SparkEntry {
          WHERE (doc_id % 2 = 0 AND ((doc_id % 2147483647) * 2654435761) % 1000000 < 500000)
             OR (doc_id % 2 = 1 AND ((doc_id % 2147483647) * 2654435761) % 1000000 < 250000)
          ORDER BY doc_id""",
+    "q_interval_join" ->
+      // the overlap join restated as a plain inequality self-join (IEJoin
+      // at oracle scale); empty intervals (floor(value)=0) match nothing
+      """WITH iv AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS s,
+                  CAST(ts AS TIMESTAMP) + to_seconds(CAST(floor(value) AS BIGINT)) AS e
+           FROM events WHERE event_type IN ('click', 'view')
+         )
+         SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id
+         FROM iv l JOIN iv r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'click' AND r.event_type = 'view'
+          AND l.s < r.e AND r.s < l.e
+          AND l.e > l.s AND r.e > r.s
+         ORDER BY l_id, r_id""",
     "q_range_join" ->
       // sessions from the gaps-and-islands CTE (same as q_session), then a
       // plain inequality join — DuckDB's IEJoin handles it at oracle scale

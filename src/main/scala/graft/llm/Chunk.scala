@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking for retrieval / context-window pipelines: cut each
+  * document into fixed-width overlapping token windows — the "document →
+  * chunks" step that feeds an embedding model or a BM25 index
+  * ([[Lexical]]), as distinct from [[Dedup.tokenChunks]] (non-overlapping
+  * spans whose purpose is dedup keys) and [[Pack.concatChunk]] (packing
+  * many docs into one sequence).
+  *
+  * Entirely map-only: the token array, the start offsets (an arithmetic
+  * `sequence`), the slice, and the re-join all run inside whole-stage
+  * codegen in the scan stage — zero shuffles at any corpus size, and
+  * chunking composes with partition pruning and pushed filters.
+  *
+  * Chunks start at 0, stride = width − overlap apart. A trailing start
+  * whose tokens are ALL already covered by the previous chunk (i.e.
+  * `start + overlap ≥ n` for `start > 0`) is dropped — the last emitted
+  * chunk may be shorter than `width` but never redundant. Blank docs
+  * produce no chunks.
+  */
+object Chunk {
+
+  private def termsOf(c: Column): Column = split(trim(c), "\\s+")
+
+  /** (idCol, chunk_id, start_tok, n_tokens, chunk_text) — `chunk_id` is
+    * the 0-based window index (`start_tok / stride`, dense by
+    * construction).
+    */
+  def fixedTokenChunks(df: DataFrame, idCol: String, textCol: String,
+      width: Int, overlap: Int = 0): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(overlap >= 0 && overlap < width,
+      s"overlap must be in [0, width): $overlap vs width $width")
+    val stride = width - overlap
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), termsOf(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("start_tok"))
+      .filter(col("start_tok") === 0 || col("__n") > col("start_tok") + lit(overlap))
+      .select(
+        col(idCol),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok"),
+        least(lit(width), col("__n") - col("start_tok")).as("n_tokens"),
+        array_join(slice(col("__t"), col("start_tok") + 1, lit(width)), " ")
+          .as("chunk_text"))
+  }
+}

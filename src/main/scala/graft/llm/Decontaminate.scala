@@ -188,6 +188,49 @@ object Decontaminate {
       .select(col("idA").as(idCol), col("idB").as(benchIdCol), col("jaccard"))
   }
 
+  /** Per-benchmark-document overlap REPORT — the audit sibling of
+    * [[flagged]]/[[clean]]: instead of dropping contaminated corpus docs,
+    * measure, for every eval document, how many of its distinct word
+    * `k`-grams occur anywhere in the corpus. This is the number an eval
+    * release note cites ("GSM8K: 0.4% 8-gram overlap with the training
+    * set") and the triage signal deciding whether to decontaminate at all.
+    *
+    * Output: (benchIdCol, n_grams, n_hit) — exact integer sufficient
+    * statistics (the percentage is a trivial downstream division; emitting
+    * integers keeps the result engine-exact, ORACLES.md strategy 4). Bench
+    * docs shorter than k tokens have no grams and are absent.
+    *
+    * Scale contract: the CORPUS side is one map-only gram stream (same
+    * [[gramHashes]] kernel as flagged) pre-filtered through the broadcast
+    * bench gram set, so only grams the benchmark actually mentions survive
+    * the scan stage; the distinct that follows shuffles AT MOST |bench
+    * grams| rows regardless of corpus size. The bench side (small by
+    * definition) is the only side that aggregates per document.
+    */
+  def overlapReport(corpus: DataFrame, corpusTextCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(col(benchIdCol),
+        explode(TextFunctions.shinglesMulti(normalize(col(benchTextCol)), Seq(k)))
+          .as("__g"))
+      .select(col(benchIdCol), xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val benchGramSet = broadcast(benchGrams.select("__gh").distinct())
+    // corpus grams that hit ANY bench gram — bounded by |bench grams|
+    val hits = corpus
+      .select(explode(TextFunctions.shinglesMulti(normalize(col(corpusTextCol)), Seq(k)))
+        .as("__g"))
+      .select(xxhash64(col("__g")).as("__gh"))
+      .join(benchGramSet, Seq("__gh"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1))
+    benchGrams
+      .join(broadcast(hits), Seq("__gh"), "left")
+      .groupBy(benchIdCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+  }
+
   /** Corpus minus every document [[flaggedFuzzy]] ties to the benchmark. */
   def cleanFuzzy(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,

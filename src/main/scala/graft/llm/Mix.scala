@@ -267,4 +267,77 @@ object Mix {
         high.select(out.map(col): _*).unionByName(fill.select(out.map(col): _*))
     }
   }
+
+  /** Deterministic train/valid/test assignment: label every row with a
+    * split name, chosen by hashing `key` — the standard corpus split step,
+    * with the same stability contract as [[sampleDeterministic]]: map-only,
+    * independent of partitioning, reproducible across retries and engines.
+    *
+    * The bucket is the first 8 hex chars of `md5(seed + "|" + key)`
+    * compared lexicographically against cumulative weight thresholds
+    * (fixed-width lowercase hex compares as the number it spells) — the
+    * whole assignment is a CASE expression an external SQL engine states
+    * verbatim. Weights must sum to 1 (±1e-9); the last split absorbs the
+    * rounding remainder by construction.
+    */
+  def assignSplits(df: DataFrame, key: Column, seed: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: no splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"assignSplits: duplicate split names in ${splits.map(_._1)}")
+    require(splits.forall(_._2 >= 0), s"assignSplits: negative weight in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"assignSplits: weights must sum to 1: ${splits.map(_._2).sum}")
+    val bucket = substring(md5(concat(lit(seed), lit("|"), key.cast("string"))), 1, 8)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // threshold for cumulative weight w: floor(w · 2^32) as 8-digit hex
+    def hex(w: Double): String = f"${math.floor(w * 4294967296.0).toLong.min(4294967295L)}%08x"
+    val labeled = splits.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = bucket < lit(hex(cum))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }
+    val expr = labeled.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn(outCol, expr)
+  }
+
+  /** The split thresholds as (name, exclusive-upper 8-hex-digit bound) —
+    * exposed so an oracle/SQL restatement interpolates the IDENTICAL
+    * constants [[assignSplits]] compares against.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.zip(cums).map { case ((n, _), c) =>
+      n -> f"${math.floor(c * 4294967296.0).toLong.min(4294967295L)}%08x"
+    }
+  }
+
+  /** Keep at most `n` rows per key, ranked by `order` ASCENDING (wrap a
+    * struct for composite ranks, negate for descending) — the per-domain /
+    * per-source cap of a crawl-curation pipeline ("≤ N pages per host, best
+    * quality first"), where one mega-host must not dominate the corpus.
+    *
+    * Scale contract: ranking is the bounded CollectTopK aggregate — its
+    * map-side partial keeps only `n` (order, id) pairs per (key, partition),
+    * so a host with 10^9 pages contributes n rows per partition to the
+    * shuffle, never its page count (a `row_number` window would shuffle and
+    * sort EVERY row of the hot host into one partition). The kept-id set
+    * (≤ n·|keys|) then semi-joins back to recover full rows; `idCol` must
+    * be unique.
+    */
+  def capPerKey(df: DataFrame, key: Column, order: Column, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"capPerKey: n must be positive: $n")
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    val ranked = df.select(key.as("__k"), order.as("__o"), col(idCol).as("__id"))
+    val topk = GraftShims.toColumn(
+      new CollectTopK(
+        GraftShims.toExpression(struct(col("__o"), col("__id"))), n, true)
+        .toAggregateExpression())
+    val keep = ranked.groupBy("__k").agg(topk.as("__t"))
+      .select(explode(col("__t")).as("__e"))
+      .select(col("__e.__id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

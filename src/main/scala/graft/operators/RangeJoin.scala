@@ -29,29 +29,32 @@ object RangeJoin {
     * @param bucketWidthMicros bucket width in microseconds for timestamp
     *                    columns (or raw units for numerics)
     */
+  private def toUnits(c: Column, df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      // TIMESTAMP_NTZ (what parquet timestamp[us] without a timezone
+      // reads as) can't cast to long directly; route through TIMESTAMP.
+      // The session-tz reinterpretation is applied identically to the
+      // point and both interval bounds, and the residual filter compares
+      // the ORIGINAL columns, so bucket assignment stays consistent.
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c.cast("long")
+    }
+
+  // exact integral floor division — `floor(col / w)` (and `/` itself)
+  // evaluates through DOUBLE and misassigns buckets beyond 2^53 (e.g.
+  // epoch nanoseconds), silently losing matches at bucket boundaries.
+  // Subtract pmod first (x − pmod(x, w) is an exact multiple of w, and
+  // pmod keeps the floor semantics for negative x), then integral `div`
+  private def fdivW(w: Long)(x: Column): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
+
   def pointInInterval(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, startCol: String, endCol: String,
       bucketWidthMicros: Long = 86400000000L): DataFrame = {
-    def toUnits(c: Column, df: DataFrame, name: String): Column =
-      df.schema(name).dataType match {
-        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        // TIMESTAMP_NTZ (what parquet timestamp[us] without a timezone
-        // reads as) can't cast to long directly; route through TIMESTAMP.
-        // The session-tz reinterpretation is applied identically to the
-        // point and both interval bounds, and the residual filter compares
-        // the ORIGINAL columns, so bucket assignment stays consistent.
-        case _: org.apache.spark.sql.types.TimestampNTZType =>
-          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-        case _ => c.cast("long")
-      }
     val w = bucketWidthMicros
-    // exact integral floor division — `floor(col / w)` (and `/` itself)
-    // evaluates through DOUBLE and misassigns buckets beyond 2^53 (e.g.
-    // epoch nanoseconds), silently losing matches at bucket boundaries.
-    // Subtract pmod first (x − pmod(x, w) is an exact multiple of w, and
-    // pmod keeps the floor semantics for negative x), then integral `div`
-    def fdiv(x: Column): Column =
-      call_function("div", x - pmod(x, lit(w)), lit(w))
+    def fdiv(x: Column): Column = fdivW(w)(x)
     val lb = left.withColumn("__bkt", fdiv(toUnits(col(tsCol), left, tsCol)))
     // right interval [s, e): overlapped buckets fdiv(s)..fdiv(e-1)
     val rs = toUnits(col(startCol), right, startCol)
@@ -63,5 +66,47 @@ object RangeJoin {
         lb(tsCol) >= rb(startCol) && lb(tsCol) < rb(endCol))
       .select(lb("*") +: right.columns.toIndexedSeq.filterNot(keyCols.contains).map(rb(_)): _*)
       .drop("__bkt")
+  }
+
+  /** Interval-OVERLAP join: every (left, right) pair sharing the equi keys
+    * whose half-open intervals intersect (`lStart < rEnd && rStart < lEnd`)
+    * — session-vs-session, campaign-vs-outage, any two interval sets.
+    *
+    * Same bucketization as [[pointInInterval]], applied to BOTH sides: each
+    * interval explodes into its overlapped fixed-width buckets and the join
+    * equi-matches on (key, bucket). A pair of long intervals shares MANY
+    * buckets; it is emitted exactly once because only the FIRST shared
+    * bucket — the one containing `max(lStart, rStart)`, which any
+    * overlapping pair is guaranteed to co-occupy — accepts the pair. No
+    * post-join `distinct` is ever needed, so the output stays a streamed
+    * join, not an extra exchange.
+    *
+    * Empty intervals (end ≤ start) match nothing and are dropped up front
+    * (they would otherwise explode a DESCENDING bucket sequence). Non-key
+    * column names must be disjoint across the two inputs.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lStartCol: String, lEndCol: String, rStartCol: String, rEndCol: String,
+      bucketWidthMicros: Long = 86400000000L): DataFrame = {
+    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    require(dup.isEmpty, s"intervalOverlap: non-key columns collide: $dup")
+    val w = bucketWidthMicros
+    def fdiv(x: Column): Column = fdivW(w)(x)
+    val lb = left
+      .filter(col(lEndCol) > col(lStartCol))
+      .withColumn("__ls", toUnits(col(lStartCol), left, lStartCol))
+      .withColumn("__le", toUnits(col(lEndCol), left, lEndCol))
+      .withColumn("__bkt", explode(sequence(fdiv(col("__ls")), fdiv(col("__le") - 1))))
+    val rb = right
+      .filter(col(rEndCol) > col(rStartCol))
+      .withColumn("__rs", toUnits(col(rStartCol), right, rStartCol))
+      .withColumn("__re", toUnits(col(rEndCol), right, rEndCol))
+      .withColumn("__bkt", explode(sequence(fdiv(col("__rs")), fdiv(col("__re") - 1))))
+    lb.join(rb, keyCols.map(k => lb(k) === rb(k)).reduce(_ && _) &&
+        lb("__bkt") === rb("__bkt") &&
+        lb("__ls") < rb("__re") && rb("__rs") < lb("__le") &&
+        fdiv(greatest(lb("__ls"), rb("__rs"))) === lb("__bkt"))
+      .select(left.columns.toIndexedSeq.map(lb(_)) ++
+        right.columns.toIndexedSeq.filterNot(keyCols.contains).map(rb(_)): _*)
   }
 }

@@ -32,7 +32,7 @@ object BuiltinComponents {
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
-      nearDupDedup, canonicalUrl, sqlExpr, sqlWhere),
+      nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap),
     outputs = Seq(fileWriter, parquetOutput, statsOutput, nopOutput, opLogOutput,
       recorderOutput, DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc,
       WebSocketOutput.desc),
@@ -673,6 +673,49 @@ object BuiltinComponents {
         required = true)))(
     (_, cfg) => df => df.withColumn(cfg.str("DstField"),
       graft.functions.TextFunctions.canonicalUrl(col(cfg.str("SrcField")))))
+
+  val assignSplit: FilterDesc = mkFilter("AssignSplit",
+    "Labels each record with a deterministic train/valid/test (or any) " +
+      "split, chosen by hashing a key field — stable across runs, " +
+      "partitionings, and retries.",
+    Seq(
+      ConfigKey("KeyField", "field hashed to pick the split", required = true),
+      ConfigKey("Seed", "salt mixed into the hash", default = Some("split")),
+      ConfigKey("Splits", "comma list of name:weight (weights sum to 1)",
+        default = Some("train:0.8,valid:0.1,test:0.1")),
+      ConfigKey("DstField", "field receiving the split name",
+        default = Some("split"))))(
+    (_, cfg) => {
+      val splits = cfg.str("Splits", "train:0.8,valid:0.1,test:0.1")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+          part.split(":") match {
+            case Array(n, w) => n.trim -> w.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"AssignSplit: malformed Splits entry '$part' (want name:weight)")
+          }
+        }
+      df => graft.llm.Mix.assignSplits(df, col(cfg.str("KeyField")),
+        cfg.str("Seed", "split"), splits, cfg.str("DstField", "split"))
+    })
+
+  val domainCap: FilterDesc = mkPureFilter("DomainCap",
+    "Keeps at most N records per group (e.g. per domain/source), best " +
+      "first by a rank field (string order ascending, ties by IdField) — " +
+      "a bounded top-k per key, never a global window.",
+    Seq(
+      ConfigKey("GroupField", "field defining the group (domain, source)",
+        required = true),
+      ConfigKey("IdField", "unique id field (tie-break + row recovery)",
+        required = true),
+      ConfigKey("N", "max records kept per group", default = Some(1000L)),
+      ConfigKey("RankField", "field ranked ascending (defaults to IdField)")))(
+    (_, cfg) => {
+      val id = cfg.str("IdField")
+      val rank = cfg.str("RankField", id)
+      val n = cfg.int("N", 1000L).toInt
+      df => graft.llm.Mix.capPerKey(df, col(cfg.str("GroupField")),
+        struct(col(rank).as("r"), col(id).as("i")), id, n)
+    })
 
   /** NearDupDedup — corpus-wide near-duplicate removal as a TOML filter,
     * so a topology user gets the verified MinHash-LSH dedup without

@@ -152,4 +152,26 @@ class DecontaminateSpec extends SparkSpec {
       .map(r => Seq(r.getString(0), r.getString(1)).mkString("|"))
     assert(got == Seq("2|unrelated text"))
   }
+
+  test("overlapReport counts per-eval-doc distinct k-gram hits; short docs absent") {
+    import spark.implicits._
+    val corp = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, "one two three four")).toDF("doc_id", "text")
+    val bench = Seq(
+      // 4 distinct 3-grams, 2 present in corpus doc 101
+      (1L, "alpha beta gamma delta one two"),
+      // repeated gram counted once; not in corpus
+      (2L, "x y z x y z"),
+      (3L, "too short"), // < k tokens: absent
+      // normalization applies before gramming: matches corpus doc 102
+      (4L, "One, TWO; three!")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(corp, "text", bench, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1 grams: "alpha beta gamma","beta gamma delta","gamma delta one","delta one two"
+    //   hits: first two. doc2 grams: "x y z","y z x","z x y" (distinct) → 0 hits.
+    // doc4 grams: "one two three" → 1 hit.
+    assert(got == Seq((1L, 4L, 2L), (2L, 3L, 0L), (4L, 1L, 1L)))
+  }
 }

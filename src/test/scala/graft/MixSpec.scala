@@ -217,4 +217,68 @@ class MixSpec extends SparkSpec {
       .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap == again)
   }
+
+  test("capPerKey keeps the n best per key (order asc, full rows), ties by rank struct") {
+    import spark.implicits._
+    // 3 hosts with different sizes; quality = score desc via negation
+    val rows = for {
+      h <- Seq("a", "b", "c")
+      i <- 0 until (if (h == "a") 20 else 5)
+    } yield (s"$h-$i", h, (i * 7) % 13)
+    val df = rows.toDF("id", "host", "score")
+    val out = Mix.capPerKey(df, col("host"),
+        struct((-col("score")).as("s"), col("id").as("i")), "id", n = 4)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[String]("id"),
+        r.getAs[Int]("score")))
+    // naive reference
+    val expect = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(r => (-r._3, r._1)).take(4)
+    }.map(r => (r._2, r._1, r._3)).toSet
+    assert(out.toSet == expect)
+    assert(out.count(_._1 == "a") == 4 && out.count(_._1 == "b") == 5 - 1)
+    // full schema preserved
+    assert(Mix.capPerKey(df, col("host"), col("score"), "id", 2)
+      .columns.toSeq == Seq("id", "host", "score"))
+  }
+
+  test("assignSplits: deterministic, partitioning-stable, ~weights, validated") {
+    import spark.implicits._
+    val df = (0L until 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val a = Mix.assignSplits(df, col("id"), "s1", splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(a("train") / 10000.0 - 0.8) < 0.02, a.toString)
+    assert(math.abs(a("valid") / 10000.0 - 0.1) < 0.01, a.toString)
+    assert(math.abs(a("test") / 10000.0 - 0.1) < 0.01, a.toString)
+    // identical assignment regardless of partitioning
+    val one = Mix.assignSplits(df, col("id"), "s1", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val two = Mix.assignSplits(df.repartition(13), col("id"), "s1", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(one == two)
+    // a different seed reshuffles the assignment
+    val three = Mix.assignSplits(df, col("id"), "s2", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(one != three)
+    intercept[IllegalArgumentException] {
+      Mix.assignSplits(df, col("id"), "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Mix.assignSplits(df, col("id"), "s", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("assignSplits thresholds match splitThresholds (the oracle contract)") {
+    val th = Mix.splitThresholds(Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(th == Seq("train" -> "cccccccc", "valid" -> "e6666666", "test" -> "ffffffff"))
+  }
+
+  test("capPerKey: n larger than the group keeps the whole group; n must be positive") {
+    import spark.implicits._
+    val df = Seq(("x", "k"), ("y", "k")).toDF("id", "key")
+    assert(Mix.capPerKey(df, col("key"), col("id"), "id", 10).count() == 2)
+    intercept[IllegalArgumentException] {
+      Mix.capPerKey(df, col("key"), col("id"), "id", 0)
+    }
+  }
 }

@@ -430,6 +430,48 @@ class PlanShapeSpec extends SparkSpec {
       && l.contains("neighbor_id")), s"corpus shuffled in two-stage search:\n$p")
   }
 
+  test("BM25: query side broadcasts, ranking is CollectTopK, postings shuffle once") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val qdf = spark.createDataFrame(Seq((1L, "spark window agg"), (2L, "fast scan")))
+      .toDF("query_id", "qtext")
+    val p = finalPlan(graft.llm.Lexical.bm25TopK(docs, qdf, "doc_id", "text",
+      "query_id", "qtext", k = 5))
+    // pruning + df + (query,term) joins all broadcast: document text never
+    // crosses an exchange, only postings of query terms do
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"BM25 fell to a shuffle join:\n$p")
+    assert(p.contains("collect_top_k") && !p.contains("Window"),
+      s"BM25 ranking must be a bounded top-k aggregate:\n$p")
+  }
+
+  test("chunking is map-only: no exchange, generator inside the scan stage") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.Chunk.fixedTokenChunks(docs, "doc_id", "text", 16, 4))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("capPerKey: bounded top-k per key, no window, semi-join recovery") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.Mix.capPerKey(docs, col("source"),
+      struct((-col("n_chars")).as("q"), col("doc_id").as("i")), "doc_id", 30))
+    assert(p.contains("collect_top_k"), s"cap ranking should be CollectTopK:\n$p")
+    assert(!p.contains("Window"), s"cap must not be a row_number window:\n$p")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("overlap report: corpus gram stream is map-only behind a broadcast semi-join") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.Decontaminate.overlapReport(
+      docs.filter(col("doc_id") % 50 =!= 0), "text",
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 5))
+    // the corpus side may only reach its distinct AFTER the broadcast gram
+    // gate — no shuffle join between corpus grams and bench grams
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"overlap report fell to a shuffle join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the signature scans (native expressions)") {
     // `*(n)` prefixes in the plan string mark whole-stage-codegen stages;
     // the projection computing the native signature expression must carry one

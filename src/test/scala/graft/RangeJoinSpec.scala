@@ -76,4 +76,42 @@ class RangeJoinSpec extends SparkSpec {
       "ts", "start", "end", 10L).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("intervalOverlap equals the naive inequality join, each pair once") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals, several per key, lengths from
+    // sub-bucket to many-bucket so pairs share 0..N buckets
+    def mk(seed: Int, n: Int) = (0 until n).map { i =>
+      val h = i * 2654435761L + seed
+      val k = (math.abs(h) % 3).toString
+      val s = math.abs(h / 7) % 1000
+      val len = math.abs(h / 13) % 120 // up to 12 buckets at width 10
+      (s"$seed-$i", k, s, s + len)     // len 0 → empty interval sometimes
+    }
+    val l = mk(1, 80).toDF("l_id", "k", "ls", "le")
+    val r = mk(2, 80).toDF("r_id", "k", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, r, Seq("k"), "ls", "le", "rs", "re", 10L)
+      .select("l_id", "r_id").collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    // each overlapping pair appears EXACTLY once (no distinct in the plan)
+    assert(got.distinct.size == got.size, "duplicate pairs emitted")
+    val naive = for {
+      (li, lk, ls, le) <- mk(1, 80) if le > ls
+      (ri, rk, rs, re) <- mk(2, 80) if re > rs
+      if lk == rk && ls < re && rs < le
+    } yield (li, ri)
+    assert(got.toSet == naive.toSet)
+    assert(naive.nonEmpty, "fixture produced no overlaps — pick new constants")
+  }
+
+  test("intervalOverlap rejects colliding non-key columns; plan stays an equi hash join") {
+    import spark.implicits._
+    val l = Seq(("a", "k", 0L, 5L)).toDF("id", "k", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, l, Seq("k"), "s", "e", "s", "e", 10L)
+    }
+    val r = Seq(("b", "k", 1L, 6L)).toDF("rid", "k", "rs", "re")
+    val plan = RangeJoin.intervalOverlap(l, r, Seq("k"), "s", "e", "rs", "re", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.topology.{BuiltinComponents, Topology}
+
+/** The AssignSplit / DomainCap TOML filters — the curation split and
+  * per-domain cap exposed on the config surface.
+  */
+class SplitCapFilterSpec extends SparkSpec {
+
+  private def runToml(rows: Seq[String], fields: Seq[String], filters: String,
+      out: Seq[String]): Seq[org.apache.spark.sql.Row] = {
+    val dir = Files.createTempDirectory("graft-splitcap").toFile
+    val data = new File(dir, "in.csv")
+    Files.write(data.toPath, scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava)
+    val toml =
+      s"""[csv]
+         |field_separator = 59
+         |[fields]
+         |names = [${fields.map("\"" + _ + "\"").mkString(", ")}]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$data"]
+         |  MatchPath = ".*\\\\.csv"
+         |$filters
+         |[output]
+         |name = "Recorder"
+         |fields = [${out.map("\"" + _ + "\"").mkString(", ")}]
+         |""".stripMargin
+    Topology.compileToml(spark, toml).run()
+    BuiltinComponents.Recorder.last
+  }
+
+  test("AssignSplit labels records deterministically and matches Mix.assignSplits") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 40).map(i => s"$i;doc$i;")
+    val got = runToml(rows, Seq("id", "text", "split"),
+      """[[filter]]
+        |name = "AssignSplit"
+        |  [filter.config]
+        |  KeyField = "id"
+        |  Seed = "r9"
+        |  Splits = "train:0.8,valid:0.1,test:0.1"
+        |  DstField = "split"""".stripMargin,
+      Seq("id", "split"))
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // same assignment as the library call on the same key strings
+    import spark.implicits._
+    val expect = graft.llm.Mix.assignSplits(
+        (0 until 40).map(_.toString).toDF("id"), col("id"), "r9",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expect)
+    assert(got.values.toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("DomainCap keeps N per group, rank-field order, ties by id") {
+    val rows = Seq(
+      "1;a;50", "2;a;10", "3;a;30", // group a: ranks 10,30,50 → keep ids 2,3
+      "4;b;99",                     // group b under cap
+      "5;c;20", "6;c;20")           // equal ranks: id order keeps 5,6 (cap 2)
+    val got = runToml(rows, Seq("id", "host", "rank"),
+      """[[filter]]
+        |name = "DomainCap"
+        |  [filter.config]
+        |  GroupField = "host"
+        |  IdField = "id"
+        |  RankField = "rank"
+        |  N = 2""".stripMargin,
+      Seq("id"))
+      .map(_.getString(0)).sorted
+    assert(got == Seq("2", "3", "4", "5", "6"))
+  }
+}
