@@ -125,18 +125,88 @@ object Multimodal {
       * composite per the frame's disposal method onto the logical-screen
       * canvas, then emit `n` evenly-spaced frames (`frame k_j = ⌊total·j/n⌋`,
       * repeating when the GIF has fewer than n frames, mirroring the
-      * stub's always-n contract), each as a standalone PNG. Non-GIF
-      * payloads keep the stub's deterministic slices (no pure-JVM mp4/webm
-      * demuxer exists); corrupt GIFs → Nil.
+      * stub's always-n contract), each as a standalone PNG. MJPEG streams
+      * (the payload starts with a JPEG SOI — motion-JPEG is concatenated
+      * standalone JPEGs) demux for REAL too, by walking the JPEG segment
+      * structure (entropy-coded data is scanned for true markers, so a
+      * 0xFFD9 byte pair inside compressed data never splits a frame) —
+      * sampled frames are the raw per-frame JPEG bytes, zero re-encode.
+      * Non-GIF/JPEG payloads keep the stub's deterministic slices (no
+      * pure-JVM mp4/webm demuxer exists); corrupt GIFs/JPEGs → Nil.
       */
     override def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] = {
       init
       if (payload == null || payload.length == 0 || n <= 0) return Nil
       val isGif = payload.length >= 6 &&
         payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
-      if (!isGif) return StubCodecs.sampleFrames(docId, payload, n)
-      val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
-      frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
+      val isJpeg = payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
+      if (isGif) {
+        val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
+        frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
+      } else if (isJpeg) {
+        val frames = mjpegFrames(payload)
+        if (frames.isEmpty) Nil
+        else (0 until n).map { j =>
+          val (s, e) = frames((frames.length.toLong * j / n).toInt)
+          Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
+        }
+      } else StubCodecs.sampleFrames(docId, payload, n)
+    }
+
+    /** Split an MJPEG stream into its standalone JPEG frames as
+      * [start, end) byte ranges. Each frame is walked segment by segment:
+      * marker segments advance by their 16-bit big-endian length;
+      * entropy-coded data after SOS is scanned for the next REAL marker
+      * (0xFF followed by anything but 0x00 byte-stuffing or an RST
+      * 0xD0–0xD7), which progressive multi-scan images re-enter the
+      * segment loop on; EOI closes the frame. Trailing bytes that are not
+      * another SOI (padding, truncated tail) are ignored; a corrupt first
+      * frame yields Nil (the caller drops the payload like any other
+      * undecodable media).
+      */
+    private def mjpegFrames(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      def u(i: Int): Int = b(i) & 0xFF
+      // returns the index AFTER this frame's EOI, or -1 if corrupt
+      def frameEnd(start: Int): Int = {
+        if (start + 2 > b.length || u(start) != 0xFF || u(start + 1) != 0xD8) return -1
+        var i = start + 2
+        while (i + 2 <= b.length) {
+          if (u(i) != 0xFF) return -1
+          val m = u(i + 1)
+          if (m == 0xD9) return i + 2                    // EOI
+          else if (m == 0xFF) i += 1                      // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+          else {
+            if (i + 4 > b.length) return -1
+            val len = (u(i + 2) << 8) | u(i + 3)
+            if (len < 2) return -1
+            i += 2 + len
+            if (m == 0xDA) {                              // SOS → entropy data
+              var done = false
+              while (!done && i + 1 < b.length) {
+                if (u(i) == 0xFF && u(i + 1) != 0x00 &&
+                    !(u(i + 1) >= 0xD0 && u(i + 1) <= 0xD7)) done = true
+                else i += 1
+              }
+              if (!done) return -1
+            }
+          }
+        }
+        -1
+      }
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      var pos = 0
+      var ok = true
+      while (ok && pos + 2 <= b.length && u(pos) == 0xFF && u(pos + 1) == 0xD8) {
+        val e = frameEnd(pos)
+        if (e < 0) ok = false
+        else { out += ((pos, e)); pos = e }
+      }
+      val res = out.result()
+      // a corrupt FIRST frame means an undecodable payload; a corrupt later
+      // frame truncates the stream to its valid prefix
+      res
     }
 
     /** Demux + composite an animated GIF to standalone per-frame PNGs.

@@ -206,6 +206,44 @@ class MultimodalSpec extends SparkSpec {
     assert(dist.length == 2)
   }
 
+  private def jpegBytes(rgb: Int, w: Int = 5, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("JvmCodecs demuxes an MJPEG stream: marker walk, raw-JPEG frames, no re-encode") {
+    val parts = Seq(jpegBytes(0xFF0000), jpegBytes(0x00FF00), jpegBytes(0x0000FF))
+    val mjpeg = parts.reduce(_ ++ _)
+    val frames = Multimodal.JvmCodecs.sampleFrames(7L, mjpeg, n = 3)
+    assert(frames.map(_.frame_ix) == Seq(0, 1, 2))
+    // demux is byte-exact: each sampled frame IS the original JPEG
+    assert(frames.map(_.payload.toSeq) == parts.map(_.toSeq))
+    // and each decodes standalone to the right dominant color
+    val decoded = frames.map(f => Multimodal.JvmCodecs.decodeImage(7L, f.payload).get)
+    assert(decoded.forall(d => d.width == 5 && d.height == 4))
+    def dominant(px: Array[Byte]): Int =
+      px.grouped(3).map(g => Seq(g(0) & 0xFF, g(1) & 0xFF, g(2) & 0xFF).zipWithIndex.maxBy(_._1)._2)
+        .toSeq.groupBy(identity).maxBy(_._2.size)._1
+    assert(decoded.map(d => dominant(d.pixels)) == Seq(0, 1, 2))
+    // over-sampling repeats evenly like the GIF path
+    val six = Multimodal.JvmCodecs.sampleFrames(7L, mjpeg, n = 6)
+    assert(six.map(_.payload.toSeq).distinct.length == 3)
+    // a single JPEG is a 1-frame stream, not a stub slice
+    val one = Multimodal.JvmCodecs.sampleFrames(8L, parts.head, n = 2)
+    assert(one.length == 2 && one.forall(_.payload.toSeq == parts.head.toSeq))
+    // trailing garbage after the last complete frame is ignored
+    val padded = mjpeg ++ Array[Byte](0, 1, 2)
+    assert(Multimodal.JvmCodecs.sampleFrames(9L, padded, n = 3)
+      .map(_.payload.toSeq) == parts.map(_.toSeq))
+    // corrupt stream (SOI then junk) → Nil
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0x00, 0x00)
+    assert(Multimodal.JvmCodecs.sampleFrames(10L, corrupt, n = 2).isEmpty)
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
