@@ -252,18 +252,89 @@ object SparkEntry {
     * BEFORE the (score DESC, doc ASC) ranking so float reassociation can't
     * flip an order. Same op sequence as [[graft.llm.Lexical.bm25Search]].
     */
+  /** Fixed WordPiece demo vocabulary (strategy 2 — a query parameter the
+    * oracle inlines): whole-word pieces for most of the synthetic
+    * vocabulary, split pieces for the rest (customer → cust + ##omer,
+    * window → wind + ##ow, …), and full a–z single-letter start and
+    * continuation pieces so greedy always has a fallback (UNK behavior is
+    * WordpieceSpec's job).
+    */
+  private val wpDemoVocab: Seq[String] = {
+    val whole = Seq("spark", "data", "the", "a", "key", "agg", "row", "scan",
+      "slow", "fast", "value", "part", "hash", "merge", "batch", "line",
+      "sort", "order", "column", "join", "small", "big", "group", "dup")
+    val split = Seq("cust", "##omer", "wind", "##ow", "str", "##eam",
+      "quer", "##y", "tab", "##le", "fil", "##ter", "vec", "##tor")
+    val letters = ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c))
+    (whole ++ split ++ letters).distinct
+  }
+
+  /** DuckDB restatement of greedy longest-match-first WordPiece: the
+    * sequential per-word cursor loop is UNROLLED into `steps` chained CTE
+    * pairs (match: a scalar `max_by(surface, length)` subquery over the
+    * inlined vocab, continuations gated on `acc <> ''`; apply: consume the
+    * piece or collapse the word to [UNK]) — the bpeTrainOracleSql
+    * technique (ORACLES.md strategy 6) applied to a cursor instead of a
+    * merge table. Each step consumes ≥ 1 char, so `steps` ≥ the longest
+    * corpus word (8 at every SF here) replays the loop exactly.
+    */
+  private def wordpieceOracle: String = {
+    val vocabVals = wpDemoVocab.map { p =>
+      if (p.startsWith("##")) s"('${p.drop(2)}',true)" else s"('$p',false)"
+    }.mkString(",")
+    val steps = 10
+    val chain = (1 to steps).map { i =>
+      s"""m$i AS (
+           SELECT doc_id, w_ix, rest, acc,
+                  CASE WHEN rest = '' THEN NULL ELSE (
+                    SELECT max_by(v.surf, length(v.surf)) FROM vocab v
+                    WHERE v.cont = (acc <> '')
+                      AND substr(rest, 1, length(v.surf)) = v.surf
+                  ) END AS best
+           FROM s${i - 1}
+         ), s$i AS (
+           SELECT doc_id, w_ix,
+                  CASE WHEN rest = '' THEN ''
+                       WHEN best IS NULL THEN ''
+                       ELSE substr(rest, length(best) + 1) END AS rest,
+                  CASE WHEN rest = '' THEN acc
+                       WHEN best IS NULL THEN '[UNK]'
+                       WHEN acc = '' THEN best
+                       ELSE acc || ' ##' || best END AS acc
+           FROM m$i
+         )"""
+    }.mkString(", ")
+    s"""WITH vocab(surf, cont) AS (VALUES $vocabVals),
+        tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), w AS (
+          SELECT doc_id, i + 1 AS w_ix, t[i + 1] AS word
+          FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), s0 AS (
+          SELECT doc_id, w_ix, word AS rest, '' AS acc FROM w
+        ), $chain
+        SELECT doc_id, string_agg(acc, ' ' ORDER BY w_ix) AS wp_pieces
+        FROM s$steps GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** The BM25 pipeline as a reusable WITH-body fragment ending in
     * `bm25_ranked` — ONE restatement of the scoring kernel shared by
     * q_bm25 and q_hybrid_rrf (same discipline as int8CodesCte).
     */
-  private def bm25RankedCtes: String =
+  private def bm25RankedCtes: String = bm25RankedCtesFor("documents")
+
+  /** `src` must expose (doc_id, text); the fragment defines `q`, the
+    * postings CTEs, and `bm25_ranked`.
+    */
+  private def bm25RankedCtesFor(src: String): String =
     s"""q(query_id, qtext) AS (VALUES $bm25QueryValues),
         qt AS (
           SELECT query_id, unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term
           FROM q WHERE trim(qtext) <> ''
         ), tok AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-          FROM documents WHERE trim(text) <> ''
+          FROM $src WHERE trim(text) <> ''
         ), tf AS (
           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
         ), dl AS (
@@ -355,6 +426,32 @@ object SparkEntry {
         SELECT doc_id, CASE $whens ELSE '${th.last._1}' END AS split
         FROM b ORDER BY doc_id"""
   }
+
+  /** The RAG ingestion funnel end to end: chunk (q_chunk's exact
+    * width-16/overlap-4 kernel), exact-dedup chunks (min composite id per
+    * distinct chunk text), then BM25 over the SURVIVING chunks — the same
+    * ranked fragment as q_bm25 pointed at the derived corpus, so the
+    * pipeline's df/avgdl/n_docs reflect post-dedup statistics.
+    */
+  private def ragPipelineOracle: String =
+    s"""WITH dtok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), st AS (
+          SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 12)) AS s
+          FROM dtok
+        ), ch AS (
+          SELECT doc_id, t, n, s FROM st WHERE s = 0 OR n > s + 4
+        ), allch AS (
+          SELECT doc_id * 100000 + (s // 12) AS cid,
+                 array_to_string(list_slice(t, s + 1, LEAST(s + 16, n)), ' ') AS chunk_text
+          FROM ch
+        ), corpus AS (
+          SELECT min(cid) AS doc_id, chunk_text AS text
+          FROM allch GROUP BY chunk_text
+        ), ${bm25RankedCtesFor("corpus")}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+        FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   private def hybridRrfOracle: String =
     s"""WITH $bm25RankedCtes,
@@ -1236,6 +1333,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_rag_pipeline" -> ((s, d) => {
+      // retrieval-ingestion funnel: chunk → exact-dedup chunks (primitive
+      // min-id hash agg per distinct text) → BM25 over surviving chunks.
+      // Composite chunk id doc_id·100000 + chunk_id stays collision-free
+      // (chunk_id < 100000 at every SF by construction).
+      val chunks = graft.llm.Chunk.fixedTokenChunks(
+          t(s, d, "documents"), "doc_id", "text", width = 16, overlap = 4)
+        .select((col("doc_id") * 100000 + col("chunk_id")).as("cid"),
+          col("chunk_text"))
+      val deduped = chunks.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
+      val qdf = s.createDataFrame(bm25DemoQueries).toDF("query_id", "qtext")
+      graft.llm.Lexical.bm25TopK(deduped, qdf, "cid", "chunk_text",
+        "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_jaccard_topk" -> ((s, d) => {
       // exact word-2-gram Jaccard retrieval: query shingle set broadcast,
       // per-doc distinct sets map-only, bounded intersection agg + top-k
@@ -1790,6 +1903,15 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.llm.Bpe.symbolCount(col("__enc")).as("n_bpe"),
           md5(col("__enc").cast("binary")).as("enc_md5"))
+        .orderBy("doc_id")),
+
+    "q_wordpiece" -> ((s, d) =>
+      // greedy longest-match-first WordPiece under the fixed demo vocab:
+      // map-only (the vocab is a codegen reference object inside the
+      // native expression, never a join); the oracle unrolls the cursor
+      // loop into chained scalar-subquery CTE steps
+      graft.llm.Wordpiece.encode(t(s, d, "documents"), "doc_id", "text",
+        wpDemoVocab)
         .orderBy("doc_id")),
 
     "q_bpe_encode_native" -> ((s, d) =>
@@ -2438,6 +2560,7 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_bm25" -> bm25Oracle,
     "q_jaccard_topk" -> jaccardOracle,
+    "q_rag_pipeline" -> ragPipelineOracle,
     "q_hybrid_rrf" -> hybridRrfOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_chunk" ->
@@ -3210,6 +3333,7 @@ object SparkEntry {
          SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
+    "q_wordpiece" -> wordpieceOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `WordpieceEncodeWords(words, vocab)` — greedy longest-match-first
+  * WordPiece segmentation (the BERT tokenizer's word splitter, Wu et al.
+  * 2016) of each word in an `array<string>` column, as ONE native
+  * expression whose vocabulary is a codegen reference object.
+  *
+  * Same design argument as [[BpeEncodeWords]] (SURVEY §7.2 order): a
+  * 30k-piece production vocabulary must be per-row DATA, not plan
+  * structure — one expression node, one hash set shipped per executor,
+  * and the per-word loop stays inside whole-stage codegen.
+  *
+  * Vocabulary convention is BERT's: a piece starting a word is its
+  * surface form; a continuation piece is prefixed `##`. Per word the
+  * matcher takes the LONGEST vocab piece matching at the cursor (trying
+  * `min(remaining, maxPieceChars)` down to 1) and advances; if no piece
+  * matches at any cursor — or the word exceeds `maxWordLen` code points —
+  * the WHOLE word becomes `unk` (BERT semantics: unsplittable words are
+  * not partially emitted). Output: one string per input word, its pieces
+  * joined by single spaces (`"customer"` → `"cust ##omer"`).
+  */
+case class WordpieceEncodeWords(child: Expression, vocab: Seq[String],
+    unk: String = "[UNK]", maxWordLen: Int = 32) extends UnaryExpression {
+
+  override def prettyName: String = "wordpiece_encode_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  @transient private lazy val pieces: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  /** Longest piece surface length (continuations measured without the
+    * `##`), bounding the per-cursor backoff scan.
+    */
+  @transient private lazy val maxPieceChars: Int =
+    if (vocab.isEmpty) 1
+    else vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max.max(1)
+
+  def encodeArray(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (input.isNullAt(i)) null else encodeOne(input.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  private def encodeOne(word: String): UTF8String = {
+    if (word.isEmpty) return UTF8String.fromString("")
+    if (word.codePointCount(0, word.length) > maxWordLen)
+      return UTF8String.fromString(unk)
+    val sb = new java.lang.StringBuilder(word.length * 2)
+    var start = 0
+    var first = true
+    while (start < word.length) {
+      // longest-match backoff: end from start+maxPieceChars chars down to 1
+      var end = word.offsetByCodePoints(start,
+        math.min(maxPieceChars, word.codePointCount(start, word.length)))
+      var hit: String = null
+      while (hit == null && end > start) {
+        val sub = word.substring(start, end)
+        val cand = if (first) sub else "##" + sub
+        if (pieces.contains(cand)) hit = cand
+        else end = word.offsetByCodePoints(end, -1)
+      }
+      if (hit == null) return UTF8String.fromString(unk)
+      if (!first) sb.append(' ')
+      sb.append(hit)
+      start = end
+      first = false
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encodeArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpEncode", this,
+      classOf[WordpieceEncodeWords].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

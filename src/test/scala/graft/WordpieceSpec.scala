@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Wordpiece
+
+class WordpieceSpec extends SparkSpec {
+
+  private val vocab = Seq("un", "##aff", "##able", "##ffa", "aff", "able",
+    "a", "##a", "b", "##b", "##le")
+
+  private def enc(words: String*): Seq[String] = {
+    import spark.implicits._
+    Seq(Tuple1(words)).toDF("ws")
+      .select(Wordpiece.encodeWordsCol(col("ws"), vocab).as("e"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("greedy longest-match-first with ## continuations") {
+    // "unaffable" → un + ##aff + ##able (BERT's canonical example shape).
+    // Greedy: at cursor 0 the longest start piece is "un" (not "u": absent);
+    // then "##aff" (4 surface chars) beats "##a"; then "##able".
+    assert(enc("unaffable") == Seq("un ##aff ##able"))
+    // whole-word piece wins over a split when longest
+    assert(enc("able") == Seq("able"))
+    // greedy is NOT optimal: "affable" → aff + ##able
+    assert(enc("affable") == Seq("aff ##able"))
+  }
+
+  test("unmatchable words collapse to [UNK] whole, not partially") {
+    // "z" has no piece; "az" starts fine (a) then dies on ##z
+    assert(enc("z", "az", "ab") == Seq("[UNK]", "[UNK]", "a ##b"))
+  }
+
+  test("maxWordLen guard and empty word") {
+    import spark.implicits._
+    val long = "a" * 40
+    val got = Seq(Tuple1(Seq(long, ""))).toDF("ws")
+      .select(Wordpiece.encodeWordsCol(col("ws"), vocab, maxWordLen = 32).as("e"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("[UNK]", ""))
+    // within the limit the same word encodes
+    val ok = Seq(Tuple1(Seq("a" * 32))).toDF("ws")
+      .select(Wordpiece.encodeWordsCol(col("ws"), vocab, maxWordLen = 32).as("e"))
+      .collect()(0).getSeq[String](0)
+    assert(ok == Seq(("a" +: Seq.fill(31)("##a")).mkString(" ")))
+  }
+
+  test("interpreted and codegen paths agree; encode() emits the flat stream") {
+    import spark.implicits._
+    val df = Seq((1L, "unaffable able affable"), (2L, "  "), (3L, "b a"))
+      .toDF("doc_id", "text")
+    def run() = Wordpiece.encode(df, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = Seq(
+      1L -> "un ##aff ##able able aff ##able",
+      3L -> "b a") // blank doc 2 drops
+    assert(run() == expect)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == expect)
+    }
+  }
+
+  test("null word element stays null; plan is map-only inside codegen") {
+    import spark.implicits._
+    val got = Seq(Tuple1(Seq("able", null))).toDF("ws")
+      .select(Wordpiece.encodeWordsCol(col("ws"), vocab).as("e"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("able", null))
+    val df = Seq((1L, "able")).toDF("doc_id", "text")
+    val plan = Wordpiece.encode(df, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"wordpiece must be map-only:\n$plan")
+  }
+}
