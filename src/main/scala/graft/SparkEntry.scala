@@ -1333,6 +1333,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_diff" -> ((s, d) => {
+      // crawl-over-crawl diff: old = ids % 3 != 0, new = ids % 5 != 0 with
+      // % 7 == 0 texts edited — every status reachable; one full-outer
+      // key join carrying content (pass hashes at real scale)
+      val docs = t(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.llm.Diff.corpusDiff(old, cur, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_rag_pipeline" -> ((s, d) => {
       // retrieval-ingestion funnel: chunk → exact-dedup chunks (primitive
       // min-id hash agg per distinct text) → BM25 over surviving chunks.
@@ -2112,12 +2126,12 @@ object SparkEntry {
       def side(tpe: String, p: String) = ev.filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${p}_id"), col("user_id"),
           col("ts").as(s"${p}_start"),
-          expr("timestampadd(SECOND, CAST(floor(value) AS BIGINT), ts)")
+          expr("timestampadd(SECOND, CAST(floor(value) AS BIGINT) * 60, ts)")
             .as(s"${p}_end"))
       graft.operators.RangeJoin.intervalOverlap(
           side("click", "l"), side("view", "r"), Seq("user_id"),
           "l_start", "l_end", "r_start", "r_end",
-          bucketWidthMicros = 600L * 1000000)
+          bucketWidthMicros = 3600L * 1000000)
         .select("l_id", "r_id", "user_id")
         .orderBy("l_id", "r_id")
     }),
@@ -2561,6 +2575,18 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     "q_jaccard_topk" -> jaccardOracle,
     "q_rag_pipeline" -> ragPipelineOracle,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           c AS (SELECT doc_id,
+                        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+                 FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN c.doc_id IS NULL THEN 'removed'
+                     WHEN o.text = c.text THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id
+         ORDER BY doc_id""",
     "q_hybrid_rrf" -> hybridRrfOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_chunk" ->
@@ -3000,7 +3026,7 @@ object SparkEntry {
       // at oracle scale); empty intervals (floor(value)=0) match nothing
       """WITH iv AS (
            SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS s,
-                  CAST(ts AS TIMESTAMP) + to_seconds(CAST(floor(value) AS BIGINT)) AS e
+                  CAST(ts AS TIMESTAMP) + to_seconds(CAST(floor(value) AS BIGINT) * 60) AS e
            FROM events WHERE event_type IN ('click', 'view')
          )
          SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id

@@ -25,22 +25,28 @@ object Chunk {
 
   private def termsOf(c: Column): Column = split(trim(c), "\\s+")
 
+  private def explodeStarts(df: DataFrame, textCol: String, width: Int,
+      overlap: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(overlap >= 0 && overlap < width,
+      s"overlap must be in [0, width): $overlap vs width $width")
+    val stride = width - overlap
+    df.filter(trim(col(textCol)) =!= "")
+      .withColumn("__t", termsOf(col(textCol)))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .filter(col("start_tok") === 0 || col("__n") > col("start_tok") + lit(overlap))
+  }
+
   /** (idCol, chunk_id, start_tok, n_tokens, chunk_text) — `chunk_id` is
     * the 0-based window index (`start_tok / stride`, dense by
     * construction).
     */
   def fixedTokenChunks(df: DataFrame, idCol: String, textCol: String,
       width: Int, overlap: Int = 0): DataFrame = {
-    require(width > 0, s"width must be positive: $width")
-    require(overlap >= 0 && overlap < width,
-      s"overlap must be in [0, width): $overlap vs width $width")
     val stride = width - overlap
-    df.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), termsOf(col(textCol)).as("__t"))
-      .withColumn("__n", size(col("__t")))
-      .select(col(idCol), col("__t"), col("__n"),
-        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("start_tok"))
-      .filter(col("start_tok") === 0 || col("__n") > col("start_tok") + lit(overlap))
+    explodeStarts(df.select(col(idCol), col(textCol)), textCol, width, overlap)
       .select(
         col(idCol),
         (col("start_tok") / stride).cast("int").as("chunk_id"),
@@ -48,5 +54,21 @@ object Chunk {
         least(lit(width), col("__n") - col("start_tok")).as("n_tokens"),
         array_join(slice(col("__t"), col("start_tok") + 1, lit(width)), " ")
           .as("chunk_text"))
+  }
+
+  /** Row-preserving variant: every other column rides along unchanged,
+    * the text column is REPLACED by the chunk, and `ixCol` carries the
+    * 0-based window index — the shape a record-pipeline (TOML `ChunkText`
+    * filter) wants. Still map-only.
+    */
+  def chunkField(df: DataFrame, textCol: String, width: Int, overlap: Int = 0,
+      ixCol: String = "chunk_ix"): DataFrame = {
+    val stride = width - overlap
+    val out = df.columns
+    explodeStarts(df, textCol, width, overlap)
+      .withColumn(textCol,
+        array_join(slice(col("__t"), col("start_tok") + 1, lit(width)), " "))
+      .withColumn(ixCol, (col("start_tok") / stride).cast("int"))
+      .select((out.filterNot(_ == ixCol) :+ ixCol).map(col): _*)
   }
 }

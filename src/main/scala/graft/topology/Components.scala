@@ -32,7 +32,8 @@ object BuiltinComponents {
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
-      nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap),
+      nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
+      chunkText),
     outputs = Seq(fileWriter, parquetOutput, statsOutput, nopOutput, opLogOutput,
       recorderOutput, DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc,
       WebSocketOutput.desc),
@@ -696,6 +697,25 @@ object BuiltinComponents {
         }
       df => graft.llm.Mix.assignSplits(df, col(cfg.str("KeyField")),
         cfg.str("Seed", "split"), splits, cfg.str("DstField", "split"))
+    })
+
+  val chunkText: FilterDesc = mkFilter("ChunkText",
+    "Explodes each record into overlapping token-window chunks of a text " +
+      "field (RAG ingestion): the chunk replaces the field, the 0-based " +
+      "window index lands in IndexField. Map-only.",
+    Seq(
+      ConfigKey("Field", "text field to chunk (replaced by the chunk)",
+        required = true),
+      ConfigKey("Width", "tokens per chunk", default = Some(256L)),
+      ConfigKey("Overlap", "tokens shared with the previous chunk",
+        default = Some(0L)),
+      ConfigKey("IndexField", "field receiving the chunk index",
+        default = Some("chunk_ix"))))(
+    (_, cfg) => { df =>
+      val ix = cfg.str("IndexField", "chunk_ix")
+      graft.llm.Chunk.chunkField(df, cfg.str("Field"),
+          cfg.int("Width", 256L).toInt, cfg.int("Overlap", 0L).toInt, ix)
+        .withColumn(ix, col(ix).cast("string")) // schema-lite string fields
     })
 
   val domainCap: FilterDesc = mkPureFilter("DomainCap",

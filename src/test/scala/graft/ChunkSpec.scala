@@ -49,6 +49,19 @@ class ChunkSpec extends SparkSpec {
     assert(got.last._4 == 4)
   }
 
+  test("chunkField preserves sibling columns and replaces the text in place") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "a b c d e"), (2L, "fr", " ")).toDF("id", "lang", "text")
+    val got = Chunk.chunkField(df, "text", width = 2, overlap = 0)
+      .orderBy("id", "chunk_ix").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("lang"),
+        r.getAs[String]("text"), r.getAs[Int]("chunk_ix"))).toSeq
+    assert(got == Seq(
+      (1L, "en", "a b", 0), (1L, "en", "c d", 1), (1L, "en", "e", 2)))
+    assert(Chunk.chunkField(df, "text", 2).columns.toSeq ==
+      Seq("id", "lang", "text", "chunk_ix"))
+  }
+
   test("invalid width/overlap rejected") {
     intercept[IllegalArgumentException] {
       Chunk.fixedTokenChunks(docs(1L -> "a"), "doc_id", "text", 4, 4)

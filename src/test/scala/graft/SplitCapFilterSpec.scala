@@ -57,6 +57,25 @@ class SplitCapFilterSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(Set("train", "valid", "test")))
   }
 
+  test("ChunkText explodes records into overlapping chunks with sibling fields intact") {
+    val rows = Seq("1;en;a b c d e f g", "2;fr;")
+    val got = runToml(rows, Seq("id", "lang", "text", "chunk_ix"),
+      """[[filter]]
+        |name = "ChunkText"
+        |  [filter.config]
+        |  Field = "text"
+        |  Width = 4
+        |  Overlap = 1
+        |  IndexField = "chunk_ix"""".stripMargin,
+      Seq("id", "lang", "text", "chunk_ix"))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // stride 3: starts 0,3,6 → "a b c d","d e f g","g"? start 6: 7 > 6+1 ⇒
+    // dropped (g already covered by the previous chunk)
+    assert(got == Seq(
+      ("1", "en", "a b c d", "0"),
+      ("1", "en", "d e f g", "1")))
+  }
+
   test("DomainCap keeps N per group, rank-field order, ties by id") {
     val rows = Seq(
       "1;a;50", "2;a;10", "3;a;30", // group a: ranks 10,30,50 → keep ids 2,3
