@@ -1333,6 +1333,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_sample_per_key" -> ((s, d) =>
+      // balanced per-language sample: 10 docs per lang picked by
+      // md5(seed|id) order — pseudo-random yet retry/partitioning-stable;
+      // bounded CollectTopK per key, never a window
+      graft.llm.Mix.sampleKPerKey(t(s, d, "documents"), col("lang"), "doc_id",
+        k = 10, seed = "r9")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "q_embed_centroid" -> ((s, d) =>
+      // per-label mean embedding: dims explode to primitive (label, dim)
+      // rows for ONE map-side-combined agg; components reported in exact
+      // integer micro-units so the float mean stays engine-checkable
+      graft.llm.Similarity.centroids(t(s, d, "embeddings"), "label",
+          "embedding", 64)
+        .select(col("label"), col("n_vectors"),
+          array_join(transform(col("centroid"),
+            c => round(c * 1000000, 0).cast("long").cast("string")), " ")
+            .as("centroid_str"))
+        .orderBy("label")),
+
     "q_corpus_diff" -> ((s, d) => {
       // crawl-over-crawl diff: old = ids % 3 != 0, new = ids % 5 != 0 with
       // % 7 == 0 texts edited — every status reachable; one full-outer
@@ -2575,6 +2596,31 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     "q_jaccard_topk" -> jaccardOracle,
     "q_rag_pipeline" -> ragPipelineOracle,
+    "q_sample_per_key" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5('r9|' || CAST(doc_id AS VARCHAR)),
+                                              doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "q_embed_centroid" ->
+      // same op sequence as the query: round(avg, 6), then micro-units via
+      // round(·1e6) — the double rounding is replicated, not approximated
+      """WITH e AS (
+           SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE len(embedding) = 64
+         ), ev AS (
+           SELECT label, i, v[i + 1] AS x
+           FROM (SELECT label, v, unnest(range(64)) AS i FROM e)
+         ), m AS (
+           SELECT label, i, round(avg(x), 6) AS m, count(*) AS n
+           FROM ev GROUP BY label, i
+         )
+         SELECT label, MIN(n) AS n_vectors,
+                string_agg(CAST(CAST(round(m * 1000000, 0) AS BIGINT) AS VARCHAR),
+                           ' ' ORDER BY i) AS centroid_str
+         FROM m GROUP BY label ORDER BY label""",
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
            c AS (SELECT doc_id,

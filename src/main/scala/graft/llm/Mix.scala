@@ -312,6 +312,19 @@ object Mix {
     }
   }
 
+  /** Deterministic k-per-key sample: the balanced per-class/per-source
+    * pick ("200 eval docs per language") — [[capPerKey]] ranked by the
+    * md5 of (seed | id), so selection is pseudo-random yet stable across
+    * runs, partitionings, and retries, and restatable in any engine with
+    * md5. Same bounded CollectTopK shuffle contract as capPerKey.
+    */
+  def sampleKPerKey(df: DataFrame, key: Column, idCol: String, k: Int,
+      seed: String): DataFrame =
+    capPerKey(df, key,
+      struct(md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))).as("h"),
+        col(idCol).as("i")),
+      idCol, k)
+
   /** Keep at most `n` rows per key, ranked by `order` ASCENDING (wrap a
     * struct for composite ranks, negate for descending) — the per-domain /
     * per-source cap of a crawl-curation pipeline ("≤ N pages per host, best

@@ -98,4 +98,29 @@ object Similarity {
       .groupBy("query_id", "neighbor_id").agg(first("cosine").as("cosine"))
     topKPerQuery(cand, k)
   }
+
+  /** Per-group embedding centroids (class prototypes, source fingerprints,
+    * k-means seeding): mean vector per `labelCol` over rows whose vector
+    * has exactly `dim` entries. Dimensions explode to scalar rows so the
+    * aggregate is ONE map-side-combined hash agg of (label, dim) — 64·N
+    * primitive rows, never whole vectors, cross the exchange — and the
+    * result reassembles via `array_agg` sorted by dimension (grouped
+    * collect over exactly `dim` pre-aggregated rows per label, bounded by
+    * construction). Components round to 6 decimals so the float sum is
+    * externally checkable. Output: (labelCol, n_vectors, centroid).
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String, dim: Int): DataFrame = {
+    val gated = df.filter(size(col(vecCol)) === dim)
+    val perDim = gated
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(labelCol, "__d")
+      .agg(round(avg(col("__x").cast("double")), 6).as("__m"),
+        count(lit(1)).as("__n"))
+    perDim
+      .groupBy(labelCol)
+      .agg(first(col("__n")).as("n_vectors"),
+        array_sort(collect_list(struct(col("__d"), col("__m")))).as("__s"))
+      .select(col(labelCol), col("n_vectors"),
+        transform(col("__s"), e => e.getField("__m")).as("centroid"))
+  }
 }

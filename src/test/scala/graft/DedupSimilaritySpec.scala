@@ -403,4 +403,20 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(out.head._2 == 1005L && out.head._3 == 1.0)
   }
+
+  test("centroids: per-label means, dim gate, components in order") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f, 3.0f)),
+      (0, Seq(3.0f, 4.0f, 5.0f)),
+      (1, Seq(10.0f, 0.0f, -2.0f)),
+      (1, Seq(2.0f, 1.0f, 1.0f)),   // truncated vector below must be dropped
+      (1, Seq(0.5f, 0.5f))).toDF("label", "embedding")
+    val got = Similarity.centroids(df, "label", "embedding", 3)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    assert(got == Seq(
+      (0, 2L, Seq(2.0, 3.0, 4.0)),
+      (1, 2L, Seq(6.0, 0.5, -0.5))))
+  }
 }

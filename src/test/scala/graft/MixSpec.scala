@@ -268,6 +268,27 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("sampleKPerKey: k per key, deterministic, seed-sensitive, partitioning-stable") {
+    import spark.implicits._
+    val rows = for (k <- Seq("x", "y"); i <- 0 until 50) yield (s"$k$i", k)
+    val df = rows.toDF("id", "key")
+    def run(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Mix.sampleKPerKey(d, col("key"), "id", 5, seed)
+        .collect().map(_.getString(0)).toSet
+    val a = run(df, "s1")
+    assert(a.size == 10 && a.count(_.startsWith("x")) == 5)
+    assert(run(df.repartition(7), "s1") == a)
+    assert(run(df, "s2") != a)
+    // matches the naive md5 rank
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s"s1|$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.map(_._1).sortBy(id => (h(id), id)).take(5)
+    }.toSet
+    assert(a == expect)
+  }
+
   test("assignSplits thresholds match splitThresholds (the oracle contract)") {
     val th = Mix.splitThresholds(Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
     assert(th == Seq("train" -> "cccccccc", "valid" -> "e6666666", "test" -> "ffffffff"))
