@@ -318,6 +318,68 @@ object SparkEntry {
         FROM s$steps GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Fixed unigram-LM demo model (strategy 2): whole corpus words cost
+    * 50, split pieces 30, single letters 90 — so Viterbi prefers one
+    * whole-word piece, then two sub-pieces (60), and letters only as a
+    * fallback. No piece costs 1000 (the unk sentinel contract).
+    */
+  private val usDemoVocab: Seq[(String, Int)] = {
+    val whole = Seq("spark", "data", "the", "key", "agg", "row", "scan",
+      "slow", "fast", "value", "part", "hash", "merge", "batch", "line",
+      "sort", "order", "column", "join", "small", "big", "group", "dup")
+      .map(_ -> 50)
+    val sub = Seq("cust", "omer", "wind", "ow", "str", "eam", "quer", "tab",
+      "le", "fil", "ter", "vec", "tor").map(_ -> 30)
+    val letters = ('a' to 'z').map(c => c.toString -> 90)
+    whole ++ sub ++ letters
+  }
+
+  /** DuckDB restatement of the Viterbi DP: the per-word forward pass over
+    * end positions is UNROLLED into chained CTEs (b1..bN columns, one per
+    * position), each a scalar `min()` subquery over the inlined vocab
+    * whose prior-cost operand is a CASE over piece length — strategy 6
+    * applied to dynamic programming. The lexicographic
+    * (cost, piece-count) objective is the packed integer `cost·64 +
+    * pieces`, so SQL `min` IS the Viterbi objective. Steps ≥ the longest
+    * corpus word (8 at every SF) replay the DP exactly.
+    */
+  private def unigramSegmentOracle: String = {
+    val vocabVals = usDemoVocab
+      .map { case (p, c) => s"('$p',${p.length},$c)" }.mkString(",")
+    val steps = 10
+    val unkComb = 1000L * 64 + 1
+    val chain = (1 to steps).map { j =>
+      val prior = (1 to j).map(l => s"WHEN $l THEN b${j - l}").mkString(" ")
+      s"""u$j AS (
+           SELECT *, (
+             SELECT min((CASE v.l $prior END) + v.c * 64 + 1)
+             FROM vocab v
+             WHERE v.l <= $j AND substr(word, $j - v.l + 1, v.l) = v.surf
+           ) AS b$j
+           FROM u${j - 1}
+         )"""
+    }.mkString(", ")
+    val finCase = (1 to steps).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    s"""WITH vocab(surf, l, c) AS (VALUES $vocabVals),
+        tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), w AS (
+          SELECT doc_id, i + 1 AS w_ix, t[i + 1] AS word
+          FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), u0 AS (
+          SELECT doc_id, w_ix, word, CAST(0 AS BIGINT) AS b0 FROM w
+        ), $chain, fin AS (
+          SELECT doc_id,
+                 COALESCE(CASE length(word) $finCase ELSE NULL END, $unkComb) AS comb
+          FROM u$steps)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(comb // 64) AS BIGINT) AS total_cost,
+               CAST(sum(comb % 64) AS BIGINT) AS total_pieces,
+               CAST(sum(CASE WHEN comb = $unkComb THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        FROM fin GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** The BM25 pipeline as a reusable WITH-body fragment ending in
     * `bm25_ranked` — ONE restatement of the scoring kernel shared by
     * q_bm25 and q_hybrid_rrf (same discipline as int8CodesCte).
@@ -1940,6 +2002,14 @@ object SparkEntry {
           md5(col("__enc").cast("binary")).as("enc_md5"))
         .orderBy("doc_id")),
 
+    "q_unigram_segment" -> ((s, d) =>
+      // SentencePiece-style OPTIMAL segmentation: per-word Viterbi DP in
+      // the native expression (lexicographic (cost, pieces) packed into
+      // one long), doc stats via map-only array folds — zero shuffles
+      graft.llm.UnigramSegment.segmentStats(t(s, d, "documents"), "doc_id",
+        "text", usDemoVocab)
+        .orderBy("doc_id")),
+
     "q_wordpiece" -> ((s, d) =>
       // greedy longest-match-first WordPiece under the fixed demo vocab:
       // map-only (the vocab is a codegen reference object inside the
@@ -3406,6 +3476,7 @@ object SparkEntry {
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
     "q_wordpiece" -> wordpieceOracle,
+    "q_unigram_segment" -> unigramSegmentOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is

@@ -100,3 +100,92 @@ case class WordpieceEncodeWords(child: Expression, vocab: Seq[String],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `UnigramSegmentCost(words, vocab)` — Viterbi (min-cost) segmentation
+  * of each word under a unigram piece model with integer costs (scaled
+  * −log probabilities, the SentencePiece decode objective), as ONE native
+  * expression. Completes the tokenizer family: BPE segments by merge
+  * rank, WordPiece greedily, unigram-LM OPTIMALLY.
+  *
+  * Per word the DP runs over end positions with a lexicographic
+  * `(total cost, piece count)` objective packed into one long —
+  * `combined = cost · 64 + pieces` (piece count < 64 enforced via
+  * `maxWordLen`) — so "cheapest, then fewest pieces" is a plain integer
+  * `min`, deterministic and restatable as SQL `min()`. An unreachable (or
+  * over-long) word costs `unkCost` as ONE piece. Output: one combined
+  * long per input word; unpack with `div 64` / `% 64`.
+  */
+case class UnigramSegmentCost(child: Expression, vocab: Seq[(String, Int)],
+    unkCost: Int = 1000, maxWordLen: Int = 32) extends UnaryExpression {
+  require(maxWordLen < 64, s"maxWordLen must stay below 64 (piece-count packing): $maxWordLen")
+
+  override def prettyName: String = "unigram_segment_cost"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  @transient private lazy val cost: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    for ((p, c) <- vocab) if (!m.containsKey(p)) m.put(p, c)
+    m
+  }
+
+  @transient private lazy val maxPieceChars: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max.max(1)
+
+  def costArray(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (input.isNullAt(i)) null
+               else java.lang.Long.valueOf(costOne(input.getUTF8String(i).toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Unreachable = java.lang.Long.MAX_VALUE
+
+  private def costOne(word: String): Long = {
+    val unk = unkCost.toLong * 64 + 1
+    if (word.isEmpty) return 0L
+    if (word.length > maxWordLen) return unk
+    val len = word.length
+    val best = new Array[Long](len + 1)
+    java.util.Arrays.fill(best, Unreachable)
+    best(0) = 0L
+    var j = 1
+    while (j <= len) {
+      var l = 1
+      val lmax = math.min(j, maxPieceChars)
+      while (l <= lmax) {
+        if (best(j - l) != Unreachable) {
+          val c = cost.get(word.substring(j - l, j))
+          if (c != null) {
+            val cand = best(j - l) + c.longValue() * 64 + 1
+            if (cand < best(j)) best(j) = cand
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (best(len) == Unreachable) unk else best(len)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    costArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramSeg", this,
+      classOf[UnigramSegmentCost].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.costArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -62,6 +62,46 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  private val segVocab = Seq(
+    "ab" -> 10, "abc" -> 25, "c" -> 8, "bc" -> 12, "a" -> 20, "b" -> 20)
+
+  private def segStats(texts: (Long, String)*) = {
+    import spark.implicits._
+    graft.llm.UnigramSegment.segmentStats(
+        texts.toDF("doc_id", "text"), "doc_id", "text", segVocab, unkCost = 1000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+  }
+
+  test("unigram Viterbi picks the global optimum, not the greedy path") {
+    // "abc": greedy-longest would take "abc" (25); optimal is ab+c = 18.
+    // Lexicographic tie-break: "abc" also = a+bc (32), b? no: min is 18/2.
+    assert(segStats(1L -> "abc") == Seq((1L, 1L, 18L, 2L, 0L)))
+    // tie on cost prefers fewer pieces: "abcc": ab+c+c = 26/3 vs abc+c = 33/2
+    // → cost wins first (26). Craft a real tie: "cc" = c+c only. Use
+    // "ab" (10/1) vs a+b (40/2): whole piece wins.
+    assert(segStats(2L -> "ab") == Seq((2L, 1L, 10L, 1L, 0L)))
+  }
+
+  test("unigram unreachable words charge unkCost once; stats sum per doc") {
+    // "zz" unreachable → unk (1000, 1 piece, flagged); "abc c" = 18+8
+    assert(segStats(3L -> "abc c zz") == Seq((3L, 3L, 1026L, 4L, 1L)))
+    // blank docs drop
+    assert(segStats(4L -> "  ").isEmpty)
+  }
+
+  test("unigram interpreted and codegen paths agree") {
+    def run() = segStats(1L -> "abc ab c zz abcc")
+    val expect = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == expect)
+    }
+    // abcc: ab+c+c = 26/3; abc+c = 33/2 → 26 wins
+    assert(expect == Seq((1L, 5L, 18L + 10L + 8L + 1000L + 26L, 2 + 1 + 1 + 1 + 3L, 1L)))
+  }
+
   test("null word element stays null; plan is map-only inside codegen") {
     import spark.implicits._
     val got = Seq(Tuple1(Seq("able", null))).toDF("ws")
