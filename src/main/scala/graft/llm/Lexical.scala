@@ -211,8 +211,46 @@ object Lexical {
   /** Load a persisted index (the write side is just
     * `index.postings.write.parquet(...)` / `index.stats.write.parquet(...)`
     * — at 100 TB, partition postings by a term-hash bucket so one query
-    * batch touches only its terms' files).
+    * batch touches only its terms' files; see [[writeIndexBucketed]]).
     */
   def loadIndex(spark: SparkSession, postingsPath: String, statsPath: String): LexicalIndex =
     LexicalIndex(spark.read.parquet(postingsPath), spark.read.parquet(statsPath))
+
+  private def termBucket(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong))
+
+  /** Persist the index with postings PARTITIONED by a term-hash bucket —
+    * the 100 TB layout: a query batch's terms map to a handful of buckets,
+    * and [[bm25SearchStored]] pushes that bucket set as a STATIC partition
+    * filter, so unmentioned buckets are never even listed, let alone read
+    * (the IvfPq cell-partitioning pattern applied to the sparse index;
+    * LexicalSpec asserts the pruned file listing).
+    */
+  def writeIndexBucketed(index: LexicalIndex, dir: String, buckets: Int = 256): Unit = {
+    index.postings
+      .withColumn("tb", termBucket(col("term"), buckets))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    index.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Search a [[writeIndexBucketed]] layout: the query batch's distinct
+    * terms (small by contract — they broadcast anyway) resolve to their
+    * bucket set on the driver, which becomes a partition-pruning `isin`
+    * filter on the scan. Everything downstream is [[bm25Search]].
+    */
+  def bm25SearchStored(spark: SparkSession, dir: String, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int = 10, buckets: Int = 256,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qBuckets = queries
+      .filter(trim(col(qTextCol)) =!= "")
+      .select(explode(array_distinct(termsOf(col(qTextCol)))).as("term"))
+      .select(termBucket(col("term"), buckets).as("tb"))
+      .distinct()
+      .collect().map(_.getLong(0)) // bounded by the (broadcastable) query batch
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(qBuckets.toIndexedSeq: _*))
+      .drop("tb")
+    val stats = spark.read.parquet(s"$dir/stats")
+    bm25Search(LexicalIndex(postings, stats), queries, qIdCol, qTextCol, k, k1, b)
+  }
 }

@@ -169,6 +169,50 @@ class LexicalSpec extends SparkSpec {
     assert(got.find(_._2 == 7L).get._3 == s(1))
   }
 
+  test("bucketed at-rest index: query terms prune the postings file listing") {
+    val dir = Files.createTempDirectory("graft-lexical-bucketed").toFile
+    try {
+      val idx = graft.llm.Lexical.buildIndex(corpusDf, "doc_id", "text")
+      graft.llm.Lexical.writeIndexBucketed(idx, dir.getAbsolutePath, buckets = 8)
+      val q = queryDf(10L -> "spark window data")
+      val stored = graft.llm.Lexical.bm25SearchStored(spark, dir.getAbsolutePath,
+        q, "query_id", "qtext", k = 10, buckets = 8)
+      // identical results to the unbucketed search
+      val direct = graft.llm.Lexical.bm25Search(idx, q, "query_id", "qtext", k = 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+      assert(rows(stored) == rows(direct))
+      // and the scan listed ONLY the buckets the query terms hash into
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("tb")),
+        s"term-bucket filter must prune partitions:\n$plan")
+      // the pruned fraction is real: rebuild the exact filtered scan
+      // bm25SearchStored issues (the full search plan is AQE-wrapped, so
+      // probe the leaf directly, like IvfPqSpec's at-rest case)
+      val qBuckets = Seq("spark", "window", "data").map(t =>
+        spark.range(1).select(pmod(xxhash64(lit(t)), lit(8L)))
+          .collect()(0).getLong(0)).distinct
+      val probe = spark.read.parquet(s"$dir/postings")
+        .filter(col("tb").isin(qBuckets: _*))
+      val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no file scan in the probe plan"))
+      val nSelected = scan.selectedPartitions.partitionCount
+      val nTotal = new java.io.File(dir, "postings").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("tb="))
+      assert(nSelected == qBuckets.size && nSelected < nTotal,
+        s"expected exactly the ${qBuckets.size} query buckets of $nTotal: got $nSelected")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("postings carry dl denormalized; stats are one row (n_docs excludes blank docs)") {
     val idx = Lexical.buildIndex(corpusDf, "doc_id", "text")
     assert(idx.postings.columns.sorted.toSeq == Seq("dl", "doc_id", "term", "tf"))
