@@ -60,18 +60,21 @@ object Lexical {
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
 
-  /** Build the full at-rest index. The stats row is a global aggregate of
-    * the map-only (doc, dl) projection — partial per partition, one final
-    * row, no corpus shuffle.
+  /** Build the full at-rest index. Stats derive FROM the postings table —
+    * `Σ_docs dl = Σ tf` (a doc's length IS the sum of its term counts) and
+    * `avgdl = sum(tf) / countDistinct(doc)` divides the same exact integer
+    * sum `avg(dl)` would — so the corpus is tokenized exactly ONCE even
+    * when it is a derived frame (a chunk→dedup funnel would otherwise
+    * recompute end to end for each of the two scans). The price is one
+    * distinct-doc-id exchange (~n_docs ids), far below a second 100 TB
+    * pass.
     */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String): LexicalIndex = {
-    val dls = corpus
-      .filter(trim(col(textCol)) =!= "")
-      .select(size(termsOf(col(textCol))).cast("long").as("dl"))
-    val stats = dls.agg(
-      count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    LexicalIndex(postings(corpus, idCol, textCol), stats)
+    val p = postings(corpus, idCol, textCol)
+    val stats = p.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+    LexicalIndex(p, stats)
   }
 
   /** BM25 top-k over a pre-built index. Queries must be small (they

@@ -61,22 +61,14 @@ object IncrementalDedupStream {
     (batchDf, batchId) => {
     val self = s"batch=$runTag-$batchId"
     val spark = batchDf.sparkSession
-    // COMMITTED partitions only, by explicit path: a crashed attempt (this
-    // run's own `self`, or a dead OTHER run's tail batch) leaves a partial
-    // dir whose footerless part files would fail every later read — the
-    // _SUCCESS marker (written at parquet job commit) is the commit point,
-    // and `self` is excluded even when committed (a replay must not dedupe
-    // against its own previous attempt's output)
-    def committed(dir: String): Seq[String] = {
-      val root = new Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=")
-          && s.getPath.getName != self
-          && fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
-    }
+    // COMMITTED partitions only, by explicit path (StoreLayout): a crashed
+    // attempt (this run's own `self`, or a dead OTHER run's tail batch)
+    // leaves a partial dir whose footerless part files would fail every
+    // later read — the _SUCCESS marker (written at parquet job commit) is
+    // the commit point, and `self` is excluded even when committed (a
+    // replay must not dedupe against its own previous attempt's output)
+    def committed(dir: String): Seq[String] =
+      StoreLayout.committed(spark, dir, Some(self))
     val batch = batchDf.select(col(idCol), col(textCol))
     val sigParts = committed(storeDir)
     val sigs =
@@ -138,25 +130,9 @@ object IncrementalDedupStream {
       numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 0): StreamingQuery = {
     // stable across restarts of this query (same checkpoint ⇒ same tag ⇒
-    // replays overwrite their own partitions), distinct across queries.
-    // Hash the NORMALIZED path, not the raw string: a restart that spells
-    // the same checkpoint dir differently ("/chk/" vs "/chk", "./chk")
-    // must not mint a new tag — the replayed batch would then see its own
-    // previous attempt's partition in the store and kill every document
-    // as a duplicate of itself
-    val runTag = {
-      // fully qualified through the FileSystem, not just URI-normalized:
-      // a relative spelling ("./chk") must resolve to the same tag as the
-      // absolute one, or a restart that spells the dir differently would
-      // mint a new tag and the replayed batch would meet its own previous
-      // attempt in the store
-      val p = new Path(checkpointDir)
-      val canonical = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-        .makeQualified(p).toUri.normalize().toString.stripSuffix("/")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(canonical.getBytes("UTF-8")).take(6)
-        .map(b => f"$b%02x").mkString
-    }
+    // replays overwrite their own partitions), distinct across queries —
+    // the qualification subtleties live in StoreLayout.runTagFor
+    val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(batchFunction(idCol, textCol, storeDir, corpusDir,

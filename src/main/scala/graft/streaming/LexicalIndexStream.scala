@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.llm.Lexical
+
+/** Streaming maintenance of the at-rest BM25 inverted index
+  * ([[Lexical.LexicalIndex]]): every micro-batch of new documents is
+  * tokenized ONCE into its own postings + stats partition, and a reader
+  * ([[loadIndex]]) recombines all committed partitions into one
+  * searchable index — the [[IncrementalDedupStream]] contract (idempotent
+  * `batch=<runTag>-<batchId>` overwrite partitions, `_SUCCESS`-committed
+  * reads, store outlives the query and is shared with batch jobs) applied
+  * to the sparse-retrieval index instead of the signature store.
+  *
+  * Stats recombine by the [[Lexical.mergeIndexes]] algebra: each
+  * partition holds its batch's (n_docs, avgdl) row, and the reader takes
+  * the dl-weighted average — so old batches are NEVER re-tokenized, and
+  * the recombined index equals a from-scratch build up to one float
+  * rounding (inside bm25's round-to-6). Document ids must be unique
+  * across batches (the same invariant every multi-crawl pipeline holds).
+  *
+  * 100 TB posture: postings partitions accumulate per batch — compact
+  * periodically with [[IncrementalDedupStream.compactStore]] (the layout
+  * is identical), and re-bucket by term hash
+  * ([[Lexical.writeIndexBucketed]]) when promoting a snapshot to the
+  * serving layout.
+  */
+object LexicalIndexStream {
+
+  /** The idempotent `foreachBatch` function (plain `(DataFrame, Long) =>
+    * Unit` — directly callable from batch jobs and tests).
+    */
+  def batchFunction(idCol: String, textCol: String, indexDir: String,
+      runTag: String = "run"): (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    val self = s"batch=$runTag-$batchId"
+    val idx = Lexical.buildIndex(batchDf, idCol, textCol)
+    idx.postings.write.mode("overwrite").parquet(s"$indexDir/postings/$self")
+    idx.stats.write.mode("overwrite").parquet(s"$indexDir/stats/$self")
+  }
+
+  /** Recombine every committed partition into one searchable index. An
+    * empty (or not-yet-written) store yields an empty index that searches
+    * to zero rows.
+    */
+  def loadIndex(spark: SparkSession, indexDir: String): Lexical.LexicalIndex = {
+    val postParts = StoreLayout.committed(spark, s"$indexDir/postings")
+    val statParts = StoreLayout.committed(spark, s"$indexDir/stats")
+    val postings =
+      if (postParts.nonEmpty) spark.read.parquet(postParts: _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("term", StringType), StructField("doc_id", LongType),
+        StructField("dl", LongType), StructField("tf", LongType))))
+    val stats =
+      if (statParts.nonEmpty)
+        spark.read.parquet(statParts: _*)
+          .agg(sum("n_docs").as("n_docs"),
+            (sum(col("avgdl") * col("n_docs")) / sum(col("n_docs"))).as("avgdl"))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("n_docs", LongType), StructField("avgdl", DoubleType))))
+    Lexical.LexicalIndex(postings, stats)
+  }
+
+  /** Start the maintenance query over a streaming document frame. */
+  def start(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(batchFunction(idCol, textCol, indexDir, runTag))
+      .start()
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.llm.Lexical
+import graft.streaming.LexicalIndexStream
+
+/** [[LexicalIndexStream]]: per-micro-batch postings/stats partitions,
+  * committed-only recombined reads, idempotent replay, and search parity
+  * with a from-scratch batch index.
+  */
+class LexicalIndexStreamSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-lexstream").toFile
+
+  private def queryDf(qs: (Long, String)*) = {
+    import spark.implicits._
+    qs.toDF("query_id", "qtext")
+  }
+
+  private def search(dir: String, q: org.apache.spark.sql.DataFrame) =
+    Lexical.bm25Search(LexicalIndexStream.loadIndex(spark, dir), q,
+        "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+
+  test("batches accumulate; recombined search equals a from-scratch build") {
+    import spark.implicits._
+    val dir = tmp().toString
+    val fn = LexicalIndexStream.batchFunction("doc_id", "text", dir)
+    val b0 = Seq(1L -> "spark shuffles data", 2L -> "the window slid")
+    val b1 = Seq(3L -> "spark spark window", 4L -> "data data lake")
+    fn(b0.toDF("doc_id", "text"), 0L)
+    fn(b1.toDF("doc_id", "text"), 1L)
+    val q = queryDf(10L -> "spark window data")
+    val direct = Lexical.buildIndex((b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text")
+    val expect = Lexical.bm25Search(direct, q, "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(search(dir, q) == expect)
+    // stats recombined, not re-tokenized: one row, n_docs = 4
+    val st = LexicalIndexStream.loadIndex(spark, dir).stats.collect()
+    assert(st.length == 1 && st(0).getAs[Long]("n_docs") == 4L)
+  }
+
+  test("replay overwrites its own partition; empty store searches to nothing") {
+    import spark.implicits._
+    val dir = tmp().toString
+    assert(search(dir, queryDf(1L -> "spark")).isEmpty)
+    val fn = LexicalIndexStream.batchFunction("doc_id", "text", dir)
+    val b = Seq(1L -> "spark data", 2L -> "other words").toDF("doc_id", "text")
+    fn(b, 0L)
+    fn(b, 0L) // failure-recovery replay
+    val idx = LexicalIndexStream.loadIndex(spark, dir)
+    assert(idx.stats.collect()(0).getAs[Long]("n_docs") == 2L)
+    assert(idx.postings.filter(org.apache.spark.sql.functions.col("term") === "spark")
+      .count() == 1L)
+  }
+
+  test("end to end through Structured Streaming with a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp().toString
+    val mem = MemoryStream[(Long, String)]
+    val q = LexicalIndexStream.start(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/chk")
+    try {
+      mem.addData(1L -> "spark shuffles data", 2L -> "window functions")
+      q.processAllAvailable()
+      mem.addData(3L -> "spark again")
+      q.processAllAvailable()
+      val got = search(s"$dir/index", queryDf(5L -> "spark"))
+      assert(got.map(_._3).toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
+}

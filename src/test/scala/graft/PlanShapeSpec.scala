@@ -442,6 +442,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"BM25 fell to a shuffle join:\n$p")
     assert(p.contains("collect_top_k") && !p.contains("Window"),
       s"BM25 ranking must be a bounded top-k aggregate:\n$p")
+    // stats derive from the SAME postings exchange the scoring side scans —
+    // the corpus is tokenized once per job, not once per subtree
+    assert(p.contains("ReusedExchange"),
+      s"postings must materialize once (stats + scoring share it):\n$p")
   }
 
   test("chunking is map-only: no exchange, generator inside the scan stage") {
