@@ -50,6 +50,18 @@ object GraftFunctions {
     }
   }
 
+  /** Foldable array<string> argument (tokenizer vocabularies). */
+  private def stringArrayArg(name: String, e: Expression): Seq[String] = {
+    require(e.foldable, s"$name: argument must be a literal array")
+    Cast(e, ArrayType(org.apache.spark.sql.types.StringType)).eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i =>
+          if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an array<string> literal, got $other")
+    }
+  }
+
   /** Foldable array<double> argument (quantization range tables). */
   private def doubleArrayArg(name: String, e: Expression): Array[Double] = {
     require(e.foldable, s"$name: argument must be a literal array")
@@ -126,6 +138,19 @@ object GraftFunctions {
       "graft_affine_quantize(vec, mins, maxs) - int8 codes against literal range tables",
       Set(3))(es => x(AffineQuantize(c(es.head),
         doubleArrayArg("mins", es(1)), doubleArrayArg("maxs", es(2))))),
+    fd("graft_wordpiece",
+      "graft_wordpiece(words, vocab) - greedy WordPiece pieces per word ('##' continuations)",
+      Set(2))(es => graft.functions.WordpieceEncodeWords(es.head,
+        stringArrayArg("vocab", es(1)))),
+    fd("graft_unigram_cost",
+      "graft_unigram_cost(words, pieces, costs) - Viterbi (cost*64+pieces) per word",
+      Set(3))(es => {
+      val pieces = stringArrayArg("pieces", es(1))
+      val costs = doubleArrayArg("costs", es(2)).map(_.toInt)
+      require(pieces.length == costs.length,
+        s"graft_unigram_cost: pieces (${pieces.length}) and costs (${costs.length}) differ")
+      graft.functions.UnigramSegmentCost(es.head, pieces.zip(costs.toSeq))
+    }),
   )
 
   /** Runtime registration for an already-built session (Verify/Bench). */

@@ -76,6 +76,18 @@ class GraftSqlSurfaceSpec extends SparkSpec {
     assert(r == Seq(-127, 127))
   }
 
+  test("tokenizer functions match the Column API from SQL (literal vocabs)") {
+    val toks = TextFunctions.tokens(col("text"))
+    sqlVsColumn("graft_wordpiece(graft_tokens(text), array('the', 'qu', '##ick', 'q', '##u'))",
+      graft.llm.Wordpiece.encodeWordsCol(toks, Seq("the", "qu", "##ick", "q", "##u")))
+    sqlVsColumn(
+      "graft_unigram_cost(graft_tokens(text), array('the', 'qu', 'ick'), array(50, 30, 30))",
+      org.apache.spark.sql.GraftShims.toColumn(
+        graft.functions.UnigramSegmentCost(
+          org.apache.spark.sql.GraftShims.toEagerExpression(toks),
+          Seq("the" -> 50, "qu" -> 30, "ick" -> 30))))
+  }
+
   test("arity and literal-arg misuse fail loudly") {
     docsView()
     val e1 = intercept[Exception](spark.sql("SELECT graft_fingerprint(text, 3) FROM sql_docs"))

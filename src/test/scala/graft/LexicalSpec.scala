@@ -66,6 +66,31 @@ class LexicalSpec extends SparkSpec {
     assert(got.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("bm25 matches the scalar reference on random corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (_ <- 1 to 3) {
+      val docs = (1L to 40L).map(id =>
+        id -> Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+      val qs = (1L to 4L).map(q =>
+        q -> Seq.fill(1 + rnd.nextInt(4))(words(rnd.nextInt(words.size))).mkString(" "))
+      val got = Lexical.bm25TopK(docs.toDF("doc_id", "text"), qs.toDF("query_id", "qtext"),
+          "doc_id", "text", "query_id", "qtext", k = 40)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq)
+        .toMap
+      val corpus = docs.toMap
+      for ((qid, qtext) <- qs) {
+        val expect = refBm25(corpus, qtext).toSeq.sortBy { case (id, s) => (-s, id) }
+        assert(got.getOrElse(qid, Seq.empty) == expect,
+          s"query $qid '$qtext' mismatch")
+      }
+    }
+  }
+
   test("query terms absent from the corpus contribute nothing; all-miss query returns no rows") {
     val got = Lexical.bm25TopK(corpusDf,
         queryDf(1L -> "spark zzz_missing", 2L -> "qqq www"),
