@@ -1430,6 +1430,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_phrase_search" -> ((s, d) => {
+      // exact phrase queries over the positional index: shifted position
+      // lists intersect per (phrase, doc) — "table table" exercises the
+      // repeated-word slots. Phrase terms broadcast; only their postings
+      // leave the scan.
+      val ph = s.createDataFrame(Seq(
+        1L -> "fast merge", 2L -> "table table", 3L -> "value table part"))
+        .toDF("phrase_id", "ptext")
+      val pos = graft.llm.Lexical.positionalPostings(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.llm.Lexical.phraseOccurrences(pos, ph, "phrase_id", "ptext")
+        .orderBy("phrase_id", "doc_id")
+    }),
+
     "q_rag_pipeline" -> ((s, d) => {
       // retrieval-ingestion funnel: chunk → exact-dedup chunks (primitive
       // min-id hash agg per distinct text) → BM25 over surviving chunks.
@@ -2666,6 +2680,25 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     "q_jaccard_topk" -> jaccardOracle,
     "q_rag_pipeline" -> ragPipelineOracle,
+    "q_phrase_search" ->
+      // ground truth by direct token-slice comparison at every offset
+      """WITH ph(phrase_id, ptext) AS (VALUES
+             (1, 'fast merge'), (2, 'table table'), (3, 'value table part')),
+         pht AS (
+           SELECT phrase_id, regexp_split_to_array(trim(ptext), '\s+') AS pt
+           FROM ph
+         ), tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), d AS (
+           SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok
+         )
+         SELECT p.phrase_id, d.doc_id, count(*) AS n_occurrences
+         FROM pht p, d
+         WHERE d.i + len(p.pt) <= len(d.t)
+           AND list_slice(d.t, d.i + 1, d.i + len(p.pt)) = p.pt
+         GROUP BY p.phrase_id, d.doc_id
+         ORDER BY phrase_id, doc_id""",
     "q_sample_per_key" ->
       """WITH r AS (
            SELECT doc_id, lang,

@@ -219,6 +219,60 @@ object Lexical {
   def loadIndex(spark: SparkSession, postingsPath: String, statsPath: String): LexicalIndex =
     LexicalIndex(spark.read.parquet(postingsPath), spark.read.parquet(statsPath))
 
+  /** Positional postings `(term, doc_id, positions)` — the phrase-query
+    * tier of the index: one (doc, term)-keyed shuffle (same contract as
+    * [[postings]]), positions sorted ascending per posting. 0-based token
+    * offsets.
+    */
+  def positionalPostings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"), termsOf(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase occurrences over a positional index: for each (phrase,
+    * doc), the number of token offsets where the phrase's words appear
+    * CONSECUTIVELY. The standard intersect-of-shifted-position-lists
+    * algorithm: term i's positions shift left by i, and the intersection
+    * across all phrase terms is exactly the set of phrase start offsets —
+    * a repeated word in the phrase contributes one shifted list per slot,
+    * so "the the" works unchanged.
+    *
+    * Scale contract: the phrase set broadcasts (term pruning happens
+    * map-side in the scan, like BM25's query terms); only postings of
+    * phrase words reach the bounded (phrase, doc) aggregate, whose group
+    * size is ≤ the phrase length; the intersection is per-row array
+    * algebra. Docs missing ANY phrase word drop via the completeness
+    * check. Output: (phrase_id, doc_id, n_occurrences > 0).
+    */
+  def phraseOccurrences(positional: DataFrame, phrases: DataFrame,
+      phIdCol: String, phTextCol: String): DataFrame = {
+    val pt = broadcast(phrases
+      .filter(trim(col(phTextCol)) =!= "")
+      .select(col(phIdCol).as("phrase_id"),
+        size(termsOf(col(phTextCol))).as("__k"),
+        posexplode(termsOf(col(phTextCol))).as(Seq("__i", "term"))))
+    val cand = positional.join(pt, "term")
+      .select(col("phrase_id"), col("__k"), col("doc_id"),
+        col("__i"), transform(col("positions"), p => p - col("__i")).as("__sh"))
+    cand
+      .groupBy("phrase_id", "doc_id", "__k")
+      .agg(count(lit(1)).as("__hits"),
+        sort_array(collect_list(struct(col("__i"), col("__sh")))).as("__ls"))
+      // every phrase slot must be present (a doc missing one word of the
+      // phrase has fewer than k rows), then intersect the shifted lists
+      .filter(col("__hits") === col("__k"))
+      .withColumn("__inter",
+        aggregate(slice(col("__ls"), 2, 10000),
+          element_at(col("__ls"), 1).getField("__sh"),
+          (acc, e) => array_intersect(acc, e.getField("__sh"))))
+      .withColumn("n_occurrences", size(col("__inter")).cast("long"))
+      .filter(col("n_occurrences") > 0)
+      .select("phrase_id", "doc_id", "n_occurrences")
+  }
+
   private def termBucket(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong))
 

@@ -135,6 +135,21 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("phrase search: shifted-position intersect, repeated words, multi-occurrence") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b a b a", 2L -> "b a", 3L -> "a a a").toDF("doc_id", "text")
+    val pos = graft.llm.Lexical.positionalPostings(docs, "doc_id", "text")
+    val phrases = Seq(1L -> "a b", 2L -> "a a", 3L -> "b a", 4L -> "a z")
+      .toDF("phrase_id", "ptext")
+    val got = graft.llm.Lexical.phraseOccurrences(pos, phrases, "phrase_id", "ptext")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 2L,               // "a b" at 0 and 2 in doc 1
+      (2L, 3L) -> 2L,               // repeated word: "a a" starts 0 and 1
+      (3L, 1L) -> 2L, (3L, 2L) -> 1L)) // "b a"; "a z" matches nothing
+  }
+
   test("mergeIndexes over disjoint batches equals indexing the union") {
     import spark.implicits._
     val (batchA, batchB) = corpus.toSeq.partition(_._1 <= 3L)
