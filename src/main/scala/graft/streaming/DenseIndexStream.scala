@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Ivf
+
+/** Streaming maintenance of the dense at-rest ANN index: every
+  * micro-batch of new embeddings is cell-assigned under a FIXED coarse
+  * quantizer (train once on a bootstrap sample; the assignment must stay
+  * stable across batches or old cells would go stale) and appended as an
+  * idempotent `batch=<runTag>-<batchId>` partition of (id, cell, vector)
+  * rows — the dense sibling of [[LexicalIndexStream]], under the same
+  * [[StoreLayout]] commit contract. [[loadAssigned]] recombines committed
+  * partitions for [[Ivf.ivfTopKAssigned]] search; promote a snapshot to
+  * the serving layout by rewriting partitioned by `cell` (the IvfPq
+  * partition-pruning pattern) when read amplification matters.
+  */
+object DenseIndexStream {
+
+  def batchFunction(idCol: String, vecCol: String, indexDir: String,
+      cents: Array[Array[Double]], runTag: String = "run"): (DataFrame, Long) => Unit =
+    (batchDf, batchId) => {
+      Ivf.assign(batchDf, idCol, vecCol, cents)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$runTag-$batchId")
+    }
+
+  /** All committed (id, cell, vec) rows — feed to [[Ivf.ivfTopKAssigned]].
+    * Empty store → empty frame with the right schema is impossible
+    * without a sample row, so this returns None until a batch commits.
+    */
+  def loadAssigned(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val parts = StoreLayout.committed(spark, indexDir)
+    if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+  }
+
+  def start(docs: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      checkpointDir: String, cents: Array[Array[Double]]): StreamingQuery = {
+    val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(batchFunction(idCol, vecCol, indexDir, cents, runTag))
+      .start()
+  }
+}
