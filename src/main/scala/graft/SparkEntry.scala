@@ -380,6 +380,66 @@ object SparkEntry {
         FROM fin GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** DuckDB restatement of MMR diversity re-ranking: candidates and their
+    * pairwise rounded cosines as CTEs, then the GREEDY loop unrolled into
+    * per-step (value, pick, selected-set) CTE triples — strategy 6 once
+    * more, the selection state threading through `sel1..selK`. Every
+    * compared number is either a round(·,4) cosine or `0.5·a − 0.5·b` of
+    * two such — bit-identical across engines, so the argmax (ties by id)
+    * replays exactly.
+    */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { j =>
+      s"""val$j AS (
+           SELECT c.query_id, c.id,
+                  0.5 * c.rel - 0.5 * (
+                    SELECT max(s.s) FROM sim s JOIN sel${j - 1} p
+                      ON p.query_id = s.query_id AND s.idb = p.id
+                    WHERE s.query_id = c.query_id AND s.ida = c.id) AS v
+           FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} p
+                             WHERE p.query_id = c.query_id AND p.id = c.id)
+         ), pick$j AS (
+           SELECT query_id, id, v,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY v DESC, id) AS pr
+           FROM val$j
+         ), sel$j AS (
+           SELECT * FROM sel${j - 1}
+           UNION ALL
+           SELECT query_id, id, $j AS rank, v AS mmr FROM pick$j WHERE pr = 1
+         )"""
+    }.mkString(", ")
+    s"""WITH q AS (
+          SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 4 AND len(embedding) = 64
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 4) AS rel
+          FROM q, embeddings e
+          WHERE e.vec_id <> q.query_id AND len(e.embedding) = 64
+        ), ranked AS (
+          SELECT query_id, id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, id) AS rk
+          FROM scored
+        ), cand AS (SELECT query_id, id, rel FROM ranked WHERE rk <= 15),
+        sim AS (
+          SELECT a.query_id, a.id AS ida, b.id AS idb,
+                 round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                              CAST(eb.embedding AS DOUBLE[])), 4) AS s
+          FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+               JOIN embeddings ea ON ea.vec_id = a.id
+               JOIN embeddings eb ON eb.vec_id = b.id
+        ), sel1 AS (
+          SELECT query_id, id, 1 AS rank, rel AS mmr FROM ranked WHERE rk = 1
+        ), $steps
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id,
+               round(mmr, 6) AS mmr
+        FROM sel5 ORDER BY query_id, rank"""
+  }
+
   /** The BM25 pipeline as a reusable WITH-body fragment ending in
     * `bm25_ranked` — ONE restatement of the scoring kernel shared by
     * q_bm25 and q_hybrid_rrf (same discipline as int8CodesCte).
@@ -1233,6 +1293,17 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_mmr_rerank" -> ((s, d) => {
+      // diversity re-ranking: 15 exact-cosine candidates per query, greedy
+      // MMR (λ=0.5) to top-5 inside the bounded native expression — no
+      // pairwise candidate join materializes; the oracle unrolls the
+      // greedy selection
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        k = 5, fetch = 15, lambda = 0.5, dim = 64)
         .orderBy("query_id", "rank")
     }),
 
@@ -2663,6 +2734,7 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_mmr_rerank" -> mmrOracle,
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (

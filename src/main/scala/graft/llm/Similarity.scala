@@ -99,6 +99,40 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  /** MMR (Maximal Marginal Relevance) diversity re-ranking: fetch
+    * `fetch` exact-cosine candidates per query, then greedily re-rank to
+    * `k` balancing relevance against similarity to what's already chosen
+    * (`λ·rel − (1−λ)·max sim-to-selected`) — the standard redundancy
+    * killer between retrieval and a context window.
+    *
+    * Scale contract: the greedy loop is the bounded per-query native
+    * [[graft.functions.MmrRerank]] expression over the collected
+    * candidate structs (≤ `fetch` rows each, vectors included via one
+    * broadcast join of the tiny candidate table back to the corpus) — no
+    * pairwise candidate join ever materializes, and the corpus
+    * contributes exactly its top-k scan. Deterministic: ties break on
+    * ascending id at every step. Output: (query_id, rank, neighbor_id,
+    * mmr) with mmr rounded to 6.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, fetch: Int = 20, lambda: Double = 0.5, dim: Int = -1,
+      excludeSelf: Boolean = true): DataFrame = {
+    val base = bruteForceTopK(corpus, queries, idCol, vecCol, k = fetch,
+      excludeSelf = excludeSelf, dim = dim)
+    val vecsD = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val packed = broadcast(base).join(vecsD, "neighbor_id")
+      .select(col("query_id"), struct(col("neighbor_id").as("id"),
+        col("cosine").as("rel"), col("__v").as("vec")).as("__c"))
+      .groupBy("query_id").agg(collect_list(col("__c")).as("__cs"))
+    packed
+      .select(col("query_id"), explode(GraftShims.toColumn(
+        graft.functions.MmrRerank(GraftShims.toExpression(col("__cs")), k, lambda)))
+        .as("__m"))
+      .select(col("query_id"), col("__m.rank").as("rank"),
+        col("__m.id").as("neighbor_id"), round(col("__m.mmr"), 6).as("mmr"))
+  }
+
   /** Per-group embedding centroids (class prototypes, source fingerprints,
     * k-means seeding): mean vector per `labelCol` over rows whose vector
     * has exactly `dim` entries. Dimensions explode to scalar rows so the

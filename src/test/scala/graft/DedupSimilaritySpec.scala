@@ -404,6 +404,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.head._2 == 1005L && out.head._3 == 1.0)
   }
 
+  test("mmrRerank: diversity beats redundancy; λ=1 reduces to relevance order") {
+    import spark.implicits._
+    // query [1,0]; A and B nearly identical (both high rel), C on the
+    // other side of the query (lower rel ≈ .93, but sim-to-A only ≈ .78)
+    val corpus = Seq(
+      (100L, Seq(1.0f, 0.0f)),   // query row (excluded from its own results)
+      (1L, Seq(1.0f, 0.3f)),     // A: rel ≈ .958
+      (2L, Seq(1.0f, 0.31f)),    // B: rel ≈ .957, sim(B,A) ≈ 1 — redundant
+      (3L, Seq(1.0f, -0.4f)))    // C: rel ≈ .928, diverse
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 100L)
+    val diverse = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        k = 3, fetch = 10, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    // step 1 takes A; step 2: val(C) = .5(.928−.783) ≈ +.07 beats
+    // val(B) = .5(.957−1.0) < 0
+    assert(diverse == Seq(1L, 3L, 2L))
+    val relevanceOnly = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        k = 3, fetch = 10, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(relevanceOnly == Seq(1L, 2L, 3L))
+    // deterministic ties: identical vectors rank by ascending id
+    val dup = Seq((100L, Seq(1.0f, 0.0f)), (7L, Seq(0.5f, 0.5f)), (5L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val tied = Similarity.mmrRerank(dup, dup.filter(col("vec_id") === 100L),
+        "vec_id", "embedding", k = 2, fetch = 10, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(tied == Seq(5L, 7L))
+  }
+
   test("centroids: per-label means, dim gate, components in order") {
     import spark.implicits._
     val df = Seq(
