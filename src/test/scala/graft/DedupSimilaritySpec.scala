@@ -434,6 +434,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tied == Seq(5L, 7L))
   }
 
+  test("mmrRerank matches a scalar greedy reference on random vectors (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (round <- 1 to 2) {
+      val vecs = (0L to 12L).map(id =>
+        id -> Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+      val corpus = vecs.toDF("vec_id", "embedding")
+      val got = Similarity.mmrRerank(corpus, corpus.filter(col("vec_id") < 2),
+          "vec_id", "embedding", k = 4, fetch = 8, lambda = 0.5)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
+        .toMap
+      // scalar reference: identical rounding + tie rules
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        if (na * nb == 0) 0.0 else dot / (na * nb)
+      }
+      val vm = vecs.toMap
+      for (q <- 0L to 1L) {
+        val cands = vecs.collect { case (id, v) if id != q =>
+          (id, r4(cos(vm(q), v))) }
+          .sortBy { case (id, rel) => (-rel, id) }.take(8)
+        var selected = List.empty[Long]
+        var remaining = cands.toList
+        while (selected.size < 4 && remaining.nonEmpty) {
+          val pick =
+            if (selected.isEmpty) remaining.minBy { case (id, rel) => (-rel, id) }
+            else remaining.minBy { case (id, rel) =>
+              val maxSim = selected.map(s => r4(cos(vm(id), vm(s)))).max
+              (-(0.5 * rel - 0.5 * maxSim), id)
+            }
+          selected = selected :+ pick._1
+          remaining = remaining.filterNot(_._1 == pick._1)
+        }
+        assert(got(q) == selected, s"round $round query $q")
+      }
+    }
+  }
+
   test("centroids: per-label means, dim gate, components in order") {
     import spark.implicits._
     val df = Seq(

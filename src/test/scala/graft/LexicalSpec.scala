@@ -135,6 +135,30 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("phrase search matches a scalar slice-compare reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = Seq("a", "b", "c")
+    val docs = (1L to 30L).map(id =>
+      id -> Seq.fill(3 + rnd.nextInt(15))(alphabet(rnd.nextInt(3))).mkString(" "))
+    val phrases = (1L to 6L).map(p =>
+      p -> Seq.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(3))).mkString(" "))
+    val got = graft.llm.Lexical.phraseOccurrences(
+        graft.llm.Lexical.positionalPostings(docs.toDF("doc_id", "text"), "doc_id", "text"),
+        phrases.toDF("phrase_id", "ptext"), "phrase_id", "ptext")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (for {
+      (pid, p) <- phrases
+      pt = p.split(" ").toSeq
+      (did, d) <- docs
+      dt = d.split(" ").toSeq
+      n = (0 to dt.length - pt.length).count(i => dt.slice(i, i + pt.length) == pt)
+      if n > 0
+    } yield (pid, did) -> n.toLong).toMap
+    assert(got == expect)
+    assert(expect.nonEmpty, "fixture produced no matches — pick new constants")
+  }
+
   test("phrase search: shifted-position intersect, repeated words, multi-occurrence") {
     import spark.implicits._
     val docs = Seq(1L -> "a b a b a", 2L -> "b a", 3L -> "a a a").toDF("doc_id", "text")
