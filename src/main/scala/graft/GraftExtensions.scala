@@ -55,8 +55,10 @@ object GraftFunctions {
     require(e.foldable, s"$name: argument must be a literal array")
     Cast(e, ArrayType(org.apache.spark.sql.types.StringType)).eval() match {
       case a: ArrayData =>
-        (0 until a.numElements()).map(i =>
-          if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+        (0 until a.numElements()).map { i =>
+          require(!a.isNullAt(i), s"$name: vocabulary entries must not be NULL")
+          a.getUTF8String(i).toString
+        }
       case other => throw new IllegalArgumentException(
         s"$name: expected an array<string> literal, got $other")
     }

@@ -2295,9 +2295,9 @@ object SparkEntry {
 
     "q_interval_join" -> ((s, d) => {
       // interval-overlap join: click intervals vs view intervals per user,
-      // both sides bucketized (10-min buckets ≈ the interval scale); each
-      // overlapping pair is accepted only in the bucket containing
-      // max(starts), so no post-join distinct exists
+      // both sides bucketized (1-hour buckets over intervals of up to
+      // ~10 h); each overlapping pair is accepted only in the bucket
+      // containing max(starts), so no post-join distinct exists
       val ev = t(s, d, "events")
       def side(tpe: String, p: String) = ev.filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${p}_id"), col("user_id"),

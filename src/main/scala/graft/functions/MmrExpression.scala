@@ -90,9 +90,10 @@ case class MmrRerank(child: Expression, k: Int, lambda: Double)
     val maxSim = new Array[Double](n) // max sim to the selected set so far
     java.util.Arrays.fill(maxSim, Double.NegativeInfinity)
     val outN = math.min(k, n)
-    val out = new Array[Any](outN)
+    val out = new java.util.ArrayList[Any](outN)
     var step = 0
-    while (step < outN) {
+    var exhausted = false
+    while (step < outN && !exhausted) {
       var best = -1
       var bestVal = Double.NegativeInfinity
       var c = 0
@@ -100,25 +101,32 @@ case class MmrRerank(child: Expression, k: Int, lambda: Double)
         if (!taken(c)) {
           val v = if (step == 0) rel(c)
                   else lambda * rel(c) - (1 - lambda) * maxSim(c)
-          if (v > bestVal || (v == bestVal && (best < 0 || ids(c) < ids(best)))) {
+          // NaN values (a zero-norm vector upstream makes cosine NaN) are
+          // never selectable: NaN comparisons are all false, so without
+          // the explicit guard an all-NaN tail would leave best = -1
+          if (!v.isNaN &&
+              (v > bestVal || (v == bestVal && (best < 0 || ids(c) < ids(best))))) {
             bestVal = v; best = c
           }
         }
         c += 1
       }
-      taken(best) = true
-      out(step) = InternalRow(step + 1, ids(best), bestVal)
-      var u = 0
-      while (u < n) {
-        if (!taken(u)) {
-          val s = sim(u, best)
-          if (s > maxSim(u)) maxSim(u) = s
+      if (best < 0) exhausted = true // only NaN-valued candidates remain
+      else {
+        taken(best) = true
+        out.add(InternalRow(step + 1, ids(best), bestVal))
+        var u = 0
+        while (u < n) {
+          if (!taken(u)) {
+            val s = sim(u, best)
+            if (s > maxSim(u)) maxSim(u) = s
+          }
+          u += 1
         }
-        u += 1
+        step += 1
       }
-      step += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -153,7 +153,9 @@ case class UnigramSegmentCost(child: Expression, vocab: Seq[(String, Int)],
   private def costOne(word: String): Long = {
     val unk = unkCost.toLong * 64 + 1
     if (word.isEmpty) return 0L
-    if (word.length > maxWordLen) return unk
+    // code-point gate, matching WordpieceEncodeWords — the two family
+    // members must agree on which words are over-long
+    if (word.codePointCount(0, word.length) > maxWordLen) return unk
     val len = word.length
     val best = new Array[Long](len + 1)
     java.util.Arrays.fill(best, Unreachable)

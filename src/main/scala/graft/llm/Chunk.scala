@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Chunk {
 
-  private def termsOf(c: Column): Column = split(trim(c), "\\s+")
+  private def termsOf(c: Column): Column = graft.functions.TextFunctions.tokens(c)
 
   private def explodeStarts(df: DataFrame, textCol: String, width: Int,
       overlap: Int): DataFrame = {

@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   * DISTINCT terms shared between query and document (query-side tf is
   * ignored, the common retrieval simplification). Scores are rounded to 6
   * decimals BEFORE ranking so the (score desc, doc asc) order is a total
-  * order an external engine reproduces despite float reassociation.
+  * order. The per-(query, doc) sum has only as many addends as shared
+  * query terms, so cross-engine reassociation noise (~1e-16 relative)
+  * sits ~9 orders below the rounding grain — a 6th-decimal boundary flip
+  * is possible in principle but vanishingly unlikely, and would surface
+  * as a rank swap in the oracle compare, not silent corruption.
   */
 object Lexical {
 
@@ -44,7 +48,10 @@ object Lexical {
     */
   final case class LexicalIndex(postings: DataFrame, stats: DataFrame)
 
-  private def termsOf(c: Column): Column = split(trim(c), "\\s+")
+  // TextFunctions.tokens, not a local split: one shared tokenizer
+  // definition, and its provably-non-nullable output keeps join-key
+  // IsNotNull inference from re-evaluating expressions built on it
+  private def termsOf(c: Column): Column = graft.functions.TextFunctions.tokens(c)
 
   /** Tokenize + count: one map-side-combined shuffle to
     * `(term, doc_id, tf, dl)`. `dl` (doc token count) is computed map-only

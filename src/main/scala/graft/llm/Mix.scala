@@ -288,7 +288,13 @@ object Mix {
     require(splits.forall(_._2 >= 0), s"assignSplits: negative weight in $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"assignSplits: weights must sum to 1: ${splits.map(_._2).sum}")
-    val bucket = substring(md5(concat(lit(seed), lit("|"), key.cast("string"))), 1, 8)
+    // a null key would null the md5, fail every `<` comparison, and fall
+    // silently into the LAST split — fail loud instead (a split
+    // assignment over rows with missing keys is a data bug upstream)
+    val rawBucket = substring(md5(concat(lit(seed), lit("|"), key.cast("string"))), 1, 8)
+    val bucket = when(key.isNull,
+      raise_error(lit("assignSplits: null split key")).cast("string"))
+      .otherwise(rawBucket)
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     // threshold for cumulative weight w: floor(w · 2^32) as 8-digit hex
     def hex(w: Double): String = f"${math.floor(w * 4294967296.0).toLong.min(4294967295L)}%08x"

@@ -33,7 +33,11 @@ object Similarity {
       struct((-col("cosine")).as("nc"), col("neighbor_id").as("n")))
     val topk = GraftShims.toColumn(
       new CollectTopK(key, k, true).toAggregateExpression())
-    scored.groupBy("query_id").agg(topk.as("__topk"))
+    // a null score (a zero-norm vector's 0/0 cosine) must never rank — the
+    // ascending struct sort would otherwise place NULL FIRST, crowning an
+    // unscorable candidate the top neighbor of every query
+    scored.filter(col("cosine").isNotNull)
+      .groupBy("query_id").agg(topk.as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")))
       .select(col("query_id"),
         (col("pos") + 1).cast("int").as("rank"),

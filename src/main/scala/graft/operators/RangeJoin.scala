@@ -56,11 +56,18 @@ object RangeJoin {
     val w = bucketWidthMicros
     def fdiv(x: Column): Column = fdivW(w)(x)
     val lb = left.withColumn("__bkt", fdiv(toUnits(col(tsCol), left, tsCol)))
-    // right interval [s, e): overlapped buckets fdiv(s)..fdiv(e-1)
+    // right interval [s, e): buckets fdiv(s)..fdiv(e) — through fdiv(e),
+    // not fdiv(e−1): one spurious residual-rejected bucket for integral
+    // units, but fractional numeric bounds truncate through cast('long')
+    // and the tail fraction may cross a bucket boundary the truncated
+    // end−1 coverage would miss (the residual compares ORIGINAL columns,
+    // so coverage is the only place truncation could lose a match). Also
+    // keeps an empty interval (e == s) from exploding a descending
+    // sequence.
     val rs = toUnits(col(startCol), right, startCol)
     val re = toUnits(col(endCol), right, endCol)
     val rb = right.withColumn("__bkt",
-      explode(sequence(fdiv(rs), fdiv(re - 1))))
+      explode(sequence(fdiv(rs), fdiv(re))))
     lb.join(rb, keyCols.map(k => lb(k) === rb(k))
         .reduce(_ && _) && lb("__bkt") === rb("__bkt") &&
         lb(tsCol) >= rb(startCol) && lb(tsCol) < rb(endCol))
@@ -92,19 +99,27 @@ object RangeJoin {
     require(dup.isEmpty, s"intervalOverlap: non-key columns collide: $dup")
     val w = bucketWidthMicros
     def fdiv(x: Column): Column = fdivW(w)(x)
+    // bucket coverage runs through fdiv(end), not fdiv(end − 1): for
+    // integral units that adds one spurious bucket per interval (the
+    // residual rejects it), but for FRACTIONAL numeric bounds — which
+    // cast('long') truncates — the tail fraction may cross into the next
+    // bucket, and the truncated end-1 coverage would silently miss pairs
+    // overlapping only there. The residual itself compares the ORIGINAL
+    // columns (same contract as pointInInterval), so truncation can only
+    // cost an extra candidate row, never a match.
     val lb = left
       .filter(col(lEndCol) > col(lStartCol))
       .withColumn("__ls", toUnits(col(lStartCol), left, lStartCol))
       .withColumn("__le", toUnits(col(lEndCol), left, lEndCol))
-      .withColumn("__bkt", explode(sequence(fdiv(col("__ls")), fdiv(col("__le") - 1))))
+      .withColumn("__bkt", explode(sequence(fdiv(col("__ls")), fdiv(col("__le")))))
     val rb = right
       .filter(col(rEndCol) > col(rStartCol))
       .withColumn("__rs", toUnits(col(rStartCol), right, rStartCol))
       .withColumn("__re", toUnits(col(rEndCol), right, rEndCol))
-      .withColumn("__bkt", explode(sequence(fdiv(col("__rs")), fdiv(col("__re") - 1))))
+      .withColumn("__bkt", explode(sequence(fdiv(col("__rs")), fdiv(col("__re")))))
     lb.join(rb, keyCols.map(k => lb(k) === rb(k)).reduce(_ && _) &&
         lb("__bkt") === rb("__bkt") &&
-        lb("__ls") < rb("__re") && rb("__rs") < lb("__le") &&
+        lb(lStartCol) < rb(rEndCol) && rb(rStartCol) < lb(lEndCol) &&
         fdiv(greatest(lb("__ls"), rb("__rs"))) === lb("__bkt"))
       .select(left.columns.toIndexedSeq.map(lb(_)) ++
         right.columns.toIndexedSeq.filterNot(keyCols.contains).map(rb(_)): _*)

@@ -477,6 +477,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: zero-norm vectors (NaN cosine) are never selectable, no crash") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.2f)),
+      (2L, Seq(0.5f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f))) // zero norm → NaN cosine everywhere
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus, corpus.filter(col("vec_id") === 100L),
+        "vec_id", "embedding", k = 3, fetch = 10, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == Seq(1L, 2L), s"NaN candidate must be skipped, got $got")
+  }
+
   test("centroids: per-label means, dim gate, components in order") {
     import spark.implicits._
     val df = Seq(

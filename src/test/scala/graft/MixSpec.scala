@@ -263,6 +263,14 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mix.assignSplits(df, col("id"), "s", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // a null key must fail loud, not fall silently into the last split
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS id")
+    val err = intercept[Exception] {
+      Mix.assignSplits(withNull, col("id"), "s1", splits).collect()
+    }
+    assert(err.getMessage != null && err.toString.contains("null split key")
+      || Option(err.getCause).exists(_.toString.contains("null split key")),
+      s"unexpected error: $err")
     intercept[IllegalArgumentException] {
       Mix.assignSplits(df, col("id"), "s", Seq("a" -> 0.5, "a" -> 0.5))
     }
