@@ -148,7 +148,14 @@ object GraftFunctions {
       "graft_unigram_cost(words, pieces, costs) - Viterbi (cost*64+pieces) per word",
       Set(3))(es => {
       val pieces = stringArrayArg("pieces", es(1))
-      val costs = doubleArrayArg("costs", es(2)).map(_.toInt)
+      val rawCosts = doubleArrayArg("costs", es(2))
+      // the packing contract is cost*64 + nPieces unpacked with
+      // shiftright/&63, which assumes non-negative integral costs — a
+      // fractional cost would silently truncate, a negative one corrupts
+      // the packed value, so both are rejected loudly here
+      rawCosts.foreach(cst => require(cst >= 0 && cst == cst.floor,
+        s"graft_unigram_cost: costs must be non-negative integers, got $cst"))
+      val costs = rawCosts.map(_.toInt)
       require(pieces.length == costs.length,
         s"graft_unigram_cost: pieces (${pieces.length}) and costs (${costs.length}) differ")
       graft.functions.UnigramSegmentCost(es.head, pieces.zip(costs.toSeq))

@@ -311,11 +311,20 @@ object SparkEntry {
         ), w AS (
           SELECT doc_id, i + 1 AS w_ix, t[i + 1] AS word
           FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), chk AS (
+          -- loud-failure guard: each unrolled step consumes >= 1 char, so
+          -- the replay is exact only while every corpus word fits in $steps
+          -- steps. The native expression additionally [UNK]s words longer
+          -- than maxWordLen=32; this assertion fires long before that gate
+          -- is reachable, so a fixture change diverges HERE, not silently.
+          SELECT CASE WHEN max(length(word)) > $steps THEN error(
+                   'wordpiece oracle: corpus word longer than $steps unrolled steps - re-unroll before the native maxWordLen=32 [UNK] gate matters')
+                 ELSE 0 END AS ok FROM w
         ), s0 AS (
           SELECT doc_id, w_ix, word AS rest, '' AS acc FROM w
         ), $chain
         SELECT doc_id, string_agg(acc, ' ' ORDER BY w_ix) AS wp_pieces
-        FROM s$steps GROUP BY doc_id ORDER BY doc_id"""
+        FROM s$steps, chk WHERE chk.ok = 0 GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Fixed unigram-LM demo model (strategy 2): whole corpus words cost
@@ -367,6 +376,15 @@ object SparkEntry {
         ), w AS (
           SELECT doc_id, i + 1 AS w_ix, t[i + 1] AS word
           FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), chk AS (
+          -- loud-failure guard (same contract as the wordpiece oracle): the
+          -- DP is unrolled to $steps end positions, and the native
+          -- expression [UNK]s words longer than maxWordLen=32 — error out
+          -- the moment a fixture word outgrows the unroll instead of
+          -- silently collapsing it to the unk sentinel.
+          SELECT CASE WHEN max(length(word)) > $steps THEN error(
+                   'unigram oracle: corpus word longer than $steps unrolled DP positions - re-unroll before the native maxWordLen=32 [UNK] gate matters')
+                 ELSE 0 END AS ok FROM w
         ), u0 AS (
           SELECT doc_id, w_ix, word, CAST(0 AS BIGINT) AS b0 FROM w
         ), $chain, fin AS (
@@ -377,7 +395,7 @@ object SparkEntry {
                CAST(sum(comb // 64) AS BIGINT) AS total_cost,
                CAST(sum(comb % 64) AS BIGINT) AS total_pieces,
                CAST(sum(CASE WHEN comb = $unkComb THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
-        FROM fin GROUP BY doc_id ORDER BY doc_id"""
+        FROM fin, chk WHERE chk.ok = 0 GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** DuckDB restatement of MMR diversity re-ranking: candidates and their
@@ -1766,8 +1784,13 @@ object SparkEntry {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("docs"),
           sum(TF.tokenCount(col("text"))).as("tokens"),
+          // projected as a canonical STRING ("285.3000", scale-4 trailing
+          // zeros) in BOTH engines: the values are exact either way, but a
+          // harness that renders Decimal('285.3000') on one side and a
+          // float-formatted 285.3 on the other would hash-mismatch rows
+          // that are byte-identical in the parquet
           sum(TF.qualityScore(col("text")).cast("decimal(10,4)"))
-            .cast("decimal(20,4)").as("sum_quality"),
+            .cast("decimal(20,4)").cast("string").as("sum_quality"),
           count_distinct(TF.fingerprint(col("text"))).as("distinct_fp"))
         .orderBy("source", "lang")),
 
@@ -3104,8 +3127,8 @@ object SparkEntry {
                          ELSE length(trim(d.text))
                               - length(replace(trim(d.text), ' ', '')) + 1
                     END) AS BIGINT) AS tokens,
-                CAST(sum(CAST(q.quality AS DECIMAL(10,4))) AS DECIMAL(20,4))
-                  AS sum_quality,
+                CAST(CAST(sum(CAST(q.quality AS DECIMAL(10,4))) AS DECIMAL(20,4))
+                  AS VARCHAR) AS sum_quality,
                 count(DISTINCT md5(array_to_string(list_sort(list_distinct(
                   CASE WHEN trim(d.text) = '' THEN CAST([] AS VARCHAR[])
                        ELSE regexp_split_to_array(trim(d.text), '\\s+') END)), ' ')))

@@ -118,6 +118,12 @@ case class WordpieceEncodeWords(child: Expression, vocab: Seq[String],
 case class UnigramSegmentCost(child: Expression, vocab: Seq[(String, Int)],
     unkCost: Int = 1000, maxWordLen: Int = 32) extends UnaryExpression {
   require(maxWordLen < 64, s"maxWordLen must stay below 64 (piece-count packing): $maxWordLen")
+  // the output packs cost*64 + nPieces (unpacked with shiftright / &63),
+  // which only round-trips for non-negative costs
+  require(unkCost >= 0, s"unkCost must be non-negative (cost*64 packing): $unkCost")
+  vocab.foreach { case (p, cst) =>
+    require(cst >= 0, s"vocab cost must be non-negative (cost*64 packing): '$p' -> $cst")
+  }
 
   override def prettyName: String = "unigram_segment_cost"
   override def dataType: DataType =

@@ -30,6 +30,14 @@ object Chunk {
     require(width > 0, s"width must be positive: $width")
     require(overlap >= 0 && overlap < width,
       s"overlap must be in [0, width): $overlap vs width $width")
+    // chunkField rides over ARBITRARY record schemas: a user field named
+    // like a helper would be silently clobbered by withColumn (and emitted
+    // under the user's name by the final select) — refuse loudly instead,
+    // the same stance intervalOverlap takes on colliding columns
+    Seq("__t", "__n", "start_tok").foreach { h =>
+      require(!df.columns.contains(h),
+        s"chunking reserves helper column '$h'; rename the input column")
+    }
     val stride = width - overlap
     df.filter(trim(col(textCol)) =!= "")
       .withColumn("__t", termsOf(col(textCol)))

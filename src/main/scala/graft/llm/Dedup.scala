@@ -285,11 +285,24 @@ object Dedup {
     * must have been written with the SAME (dim, nBits, seeds) — different
     * hyperplanes produce incomparable signatures, silently costing all
     * recall against the store.
+    *
+    * Sizing contract (the candidate join is O(bucket²) per bucket, so the
+    * average bucket must stay small): pick `nBits` so that
+    * `2^nBits ≳ corpusSize / 64` — e.g. 12 bits for ≤ ~256 K vectors, 20
+    * bits at 10⁸, 24 at 10⁹. Unlike the text path (whose 16-band ×
+    * 64-perm MinHash keyspace is astronomically larger than any corpus),
+    * the hyperplane keyspace here is EXACTLY `2^nBits` per seed, so an
+    * under-sized `nBits` degrades quadratically, not gracefully.
+    * `maxBucketSize` is the skew fuse on top of correct sizing, ON by
+    * default (4096 ≈ 64× the target average): a degenerate mega-cluster
+    * bucket is dropped rather than allowed to emit O(bucket²) pairs; its
+    * members lose near-dup recall only against each other, which exact /
+    * SemDeDup passes handle first. Pass `maxBucketSize = 0` to disable.
     */
   def incrementalEmbeddingDedup(batch: DataFrame, idCol: String, vecCol: String,
       atRestSigs: DataFrame, atRestVecs: DataFrame, dim: Int,
       threshold: Double = 0.95, nBits: Int = 12, seeds: Seq[Long] = Seq(42L, 1042L),
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 4096): DataFrame = {
     val bs = embeddingSignatures(batch, idCol, vecCol, dim, nBits, seeds)
       .repartition(col("__id"))
     def banded(sigs: DataFrame): DataFrame =

@@ -22,24 +22,46 @@ object Diff {
   /** (keyCol, status) for every key present in either snapshot. Content
     * equality is null-safe (`<=>`); a key present with null content on
     * both sides is `unchanged`.
+    *
+    * Duplicate keys (a re-crawled URL appearing twice in one snapshot)
+    * would fan out the full-outer join and silently inflate `changed`
+    * counts, so each side is pre-aggregated to one row per key. With
+    * `strict = true` (default) a duplicated key raises at execution time;
+    * with `strict = false` the lexicographically greatest content wins —
+    * deterministic, order-independent. The pre-aggregation is free at
+    * scale: it shuffles on the same key the join needs, so Catalyst
+    * reuses the exchange (one shuffle total, same as before), and the
+    * map-side partial collapses dup-heavy partitions early. `contentCol`
+    * must be an orderable type (string/binary/numeric/array — i.e.
+    * anything you'd diff on; pass a hash column for 100 TB snapshots).
     */
   def corpusDiff(old: DataFrame, cur: DataFrame, keyCol: String,
-      contentCol: String): DataFrame = {
-    val o = old.select(col(keyCol).as("__k"), col(contentCol).as("__oc"))
-      .withColumn("__op", lit(1))
-    val c = cur.select(col(keyCol).as("__k"), col(contentCol).as("__cc"))
-      .withColumn("__cp", lit(1))
+      contentCol: String, strict: Boolean = true): DataFrame = {
+    def side(df: DataFrame, contentAs: String, countAs: String): DataFrame =
+      df.select(col(keyCol).as("__k"), col(contentCol).as("__c"))
+        .groupBy("__k")
+        .agg(max(col("__c")).as(contentAs), count(lit(1)).as(countAs))
+    val o = side(old, "__oc", "__on")
+    val c = side(cur, "__cc", "__cn")
+    val status = when(col("__on").isNull, "added")
+      .when(col("__cn").isNull, "removed")
+      .when(col("__oc") <=> col("__cc"), "unchanged")
+      .otherwise("changed")
+    val guarded =
+      if (!strict) status
+      else when(
+        coalesce(col("__on"), lit(1L)) > 1 || coalesce(col("__cn"), lit(1L)) > 1,
+        raise_error(concat(
+          lit("corpusDiff: duplicate key in a snapshot (strict=false for max-content-wins): "),
+          col("__k").cast("string"))))
+        .otherwise(status)
     o.join(c, Seq("__k"), "full_outer")
-      .select(col("__k").as(keyCol),
-        when(col("__op").isNull, "added")
-          .when(col("__cp").isNull, "removed")
-          .when(col("__oc") <=> col("__cc"), "unchanged")
-          .otherwise("changed").as("status"))
+      .select(col("__k").as(keyCol), guarded.as("status"))
   }
 
   /** The diff rolled up to one row per status — the dashboard number. */
   def diffSummary(old: DataFrame, cur: DataFrame, keyCol: String,
-      contentCol: String): DataFrame =
-    corpusDiff(old, cur, keyCol, contentCol)
+      contentCol: String, strict: Boolean = true): DataFrame =
+    corpusDiff(old, cur, keyCol, contentCol, strict)
       .groupBy("status").agg(count(lit(1)).as("cnt"))
 }

@@ -349,7 +349,12 @@ object Mix {
     require(n > 0, s"capPerKey: n must be positive: $n")
     import org.apache.spark.sql.GraftShims
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    // a null order value (or null id) must never occupy a cap slot: the
+    // ascending struct sort places NULL FIRST, so null-ranked rows would
+    // crowd out real best rows — and a null id can never match the
+    // left_semi recovery join, silently shrinking the output below n
     val ranked = df.select(key.as("__k"), order.as("__o"), col(idCol).as("__id"))
+      .filter(col("__o").isNotNull && col("__id").isNotNull)
     val topk = GraftShims.toColumn(
       new CollectTopK(
         GraftShims.toExpression(struct(col("__o"), col("__id"))), n, true)

@@ -70,4 +70,15 @@ class ChunkSpec extends SparkSpec {
       Chunk.fixedTokenChunks(docs(1L -> "a"), "doc_id", "text", 0, 0)
     }
   }
+
+  test("chunkField refuses user columns named like its helpers") {
+    import spark.implicits._
+    // without the guard, withColumn would clobber the user's start_tok and
+    // the final select would emit the helper value under the user's name
+    for (bad <- Seq("start_tok", "__t", "__n")) {
+      val df = Seq((1L, "a b c", "keep me")).toDF("id", "text", bad)
+      val ex = intercept[IllegalArgumentException](Chunk.chunkField(df, "text", 2))
+      assert(ex.getMessage.contains(bad))
+    }
+  }
 }

@@ -27,4 +27,21 @@ class DiffSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sum == Map("unchanged" -> 2L, "changed" -> 2L, "removed" -> 1L, "added" -> 1L))
   }
+
+  test("duplicate keys fail loudly by default; strict=false is max-content-wins") {
+    import spark.implicits._
+    // doc 1 re-crawled twice in the old snapshot: the full-outer join would
+    // silently fan out and inflate `changed` without the pre-aggregation
+    val old = Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("doc_id", "text")
+    val cur = Seq((1L, "b"), (2L, "x")).toDF("doc_id", "text")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val ex = intercept[Exception](
+      Diff.corpusDiff(old, cur, "doc_id", "text").collect())
+    assert(msgs(ex).exists(_.contains("duplicate key")), msgs(ex).mkString(" | "))
+    val got = Diff.corpusDiff(old, cur, "doc_id", "text", strict = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // max("a", "b") = "b" matches cur's "b" -> unchanged, exactly one row per key
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged"))
+  }
 }

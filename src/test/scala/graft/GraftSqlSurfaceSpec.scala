@@ -97,6 +97,19 @@ class GraftSqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("graft_unigram_cost rejects fractional and negative costs") {
+    docsView()
+    // the cost*64+pieces packing is unpacked with shiftright/&63, which
+    // assumes non-negative integral costs — 1.5 would silently truncate to
+    // 1 and -2 would corrupt the packed value, so both must fail loudly
+    val frac = intercept[Exception](spark.sql(
+      "SELECT graft_unigram_cost(graft_tokens(text), array('a', 'b'), array(1.5, 2.0)) FROM sql_docs"))
+    assert(frac.getMessage.contains("non-negative integers"), frac.getMessage)
+    val neg = intercept[Exception](spark.sql(
+      "SELECT graft_unigram_cost(graft_tokens(text), array('a', 'b'), array(1, -2)) FROM sql_docs"))
+    assert(neg.getMessage.contains("non-negative integers"), neg.getMessage)
+  }
+
   test("the spark.sql.extensions path injects the same function names") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)

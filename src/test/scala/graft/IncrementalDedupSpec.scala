@@ -168,6 +168,30 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding sibling: a planted mega-cluster bucket is capped by default") {
+    import spark.implicits._
+    // 4097 identical vectors land in one hyperplane bucket per seed,
+    // tripping the default maxBucketSize=4096 skew fuse: the bucket is
+    // dropped instead of emitting ~8.4M candidate pairs, so the
+    // mega-cluster survives LSH dedup intact (exact dedup's job comes
+    // first). A 3-member cluster stays under the cap and still dedups.
+    val hot = spark.range(0, 4097).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val small = Seq(
+      (10000L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (10001L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (10002L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val emptyStore = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val kept = Dedup.incrementalEmbeddingDedup(hot.unionByName(small),
+        "vec_id", "embedding",
+        atRestSigs = Dedup.embeddingSignatures(emptyStore, "vec_id", "embedding", 4),
+        atRestVecs = emptyStore, dim = 4, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert((0L until 4097L).forall(kept.contains), "capped mega-cluster must survive")
+    assert(kept.intersect(Set(10000L, 10001L, 10002L)) == Set(10000L),
+      s"small cluster must still dedup: ${kept.filter(_ >= 10000L)}")
+  }
+
   test("plan: no cartesian product; store text only read behind the semi-join") {
     val plan = Dedup.incrementalDedupVerified(batch, "doc_id", "text",
         atRestSigs = Dedup.minhashSignatures(store, "doc_id", "text"),

@@ -310,4 +310,20 @@ class MixSpec extends SparkSpec {
       Mix.capPerKey(df, col("key"), col("id"), "id", 0)
     }
   }
+
+  test("capPerKey: null order or null id rows never occupy cap slots") {
+    import spark.implicits._
+    // the ascending struct sort places NULL FIRST: an unguarded CollectTopK
+    // would crown the null-order row the "best" of key a, and the null-id
+    // row would occupy a slot yet vanish through the semi-join
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "a", null),                  // null order
+      (null, "a", 0.5),                 // null id (best-ranked order!)
+      (4L, "b", 9.0)
+    ).toDF("id", "k", "o")
+    val kept = Mix.capPerKey(df, col("k"), col("o"), "id", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"got $kept")
+  }
 }

@@ -113,4 +113,16 @@ class WordpieceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"wordpiece must be map-only:\n$plan")
   }
+
+  test("unigram cost model rejects negative costs at construction") {
+    import org.apache.spark.sql.GraftShims
+    // the (cost*64 + pieces) packing only round-trips through
+    // shiftright/&63 for non-negative costs
+    val child = GraftShims.toEagerExpression(
+      graft.functions.TextFunctions.tokens(col("text")))
+    intercept[IllegalArgumentException](
+      graft.functions.UnigramSegmentCost(child, Seq("a" -> -1)))
+    intercept[IllegalArgumentException](
+      graft.functions.UnigramSegmentCost(child, Seq("a" -> 1), unkCost = -5))
+  }
 }
