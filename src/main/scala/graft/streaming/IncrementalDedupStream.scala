@@ -91,35 +91,14 @@ object IncrementalDedupStream {
     } finally kept.unpersist()
   }
 
-  /** Offline compaction of a store/corpus directory: coalesces every
-    * `batch=*` partition into one `batch=compact-<epochMs>` partition so
-    * read amplification returns to O(targetFiles) files after thousands
-    * of micro-batches. Run while NO stream is writing the directory.
-    *
-    * Crash-safe by dedup algebra, not by atomicity: the new partition is
-    * written BEFORE the absorbed ones are deleted, and a crash between
-    * the two leaves duplicate rows — which the dedup reads tolerate
-    * (duplicate signatures/texts only duplicate candidate pairs, and the
-    * doomed set is `distinct()`), so re-running compaction simply
-    * finishes the deletion.
+  /** Offline compaction of a store/corpus directory — delegates to the
+    * shared two-phase [[StoreLayout.compact]] (absorbed-manifest commit,
+    * crash-safe at every step without relying on readers tolerating
+    * duplicate rows). Run while NO stream is writing the directory.
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetFiles: Int = 1): Unit = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    // committed partitions only, and delete exactly what was read — a
-    // crashed run's partial dir (no _SUCCESS) is neither absorbed nor
-    // destroyed here
-    val parts = fs.listStatus(root).toSeq.filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("batch=")
-        && fs.exists(new Path(s.getPath, "_SUCCESS")))
-    if (parts.length <= 1) return
-    val df = spark.read.parquet(parts.map(_.getPath.toString): _*)
-    df.coalesce(targetFiles).write.mode("overwrite")
-      .parquet(s"$dir/batch=compact-${System.currentTimeMillis()}")
-    parts.foreach(p => fs.delete(p.getPath, true))
-  }
+      targetFiles: Int = 1): Unit =
+    StoreLayout.compact(spark, dir, targetFiles)
 
   /** Start the streaming query: `docs` (a streaming frame with `idCol`,
     * `textCol`) → per-batch incremental dedup → kept docs under

@@ -24,8 +24,8 @@ import graft.llm.Lexical
   * across batches (the same invariant every multi-crawl pipeline holds).
   *
   * 100 TB posture: postings partitions accumulate per batch — compact
-  * periodically with [[IncrementalDedupStream.compactStore]] (the layout
-  * is identical), and re-bucket by term hash
+  * periodically with [[compactIndex]] (crash-safe two-phase rewrite of
+  * both halves), and re-bucket by term hash
   * ([[Lexical.writeIndexBucketed]]) when promoting a snapshot to the
   * serving layout.
   */
@@ -62,6 +62,21 @@ object LexicalIndexStream {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("n_docs", LongType), StructField("avgdl", DoubleType))))
     Lexical.LexicalIndex(postings, stats)
+  }
+
+  /** Offline compaction of both index halves: thousands of micro-batches
+    * mean thousands of postings partitions, each a file-open per search —
+    * this folds them into one `batch=compact-*` partition per half via the
+    * crash-safe two-phase [[StoreLayout.compact]]. Pure layout surgery:
+    * postings rows and per-batch stats rows are carried verbatim (the
+    * reader's dl-weighted stats merge is row-order-independent), so search
+    * results are identical before and after. Run while NO stream is
+    * writing the index.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 1): Unit = {
+    StoreLayout.compact(spark, s"$indexDir/postings", targetFiles)
+    StoreLayout.compact(spark, s"$indexDir/stats", targetFiles)
   }
 
   /** Start the maintenance query over a streaming document frame. */

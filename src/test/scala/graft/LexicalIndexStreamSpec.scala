@@ -61,6 +61,29 @@ class LexicalIndexStreamSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("compactIndex: search results byte-identical before and after") {
+    import spark.implicits._
+    val dir = tmp().toString
+    val fn = LexicalIndexStream.batchFunction("doc_id", "text", dir)
+    fn(Seq(1L -> "spark shuffles data", 2L -> "the window slid").toDF("doc_id", "text"), 0L)
+    fn(Seq(3L -> "spark spark window").toDF("doc_id", "text"), 1L)
+    fn(Seq(4L -> "data data lake", 5L -> "spark lake house").toDF("doc_id", "text"), 2L)
+    val q = queryDf(10L -> "spark window data", 11L -> "lake")
+    val before = search(dir, q)
+    LexicalIndexStream.compactIndex(spark, dir)
+    assert(search(dir, q) == before && before.nonEmpty)
+    // both halves really folded to one partition each
+    for (half <- Seq("postings", "stats")) {
+      val parts = new java.io.File(s"$dir/$half").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(parts.length == 1 && parts(0).startsWith("batch=compact-"),
+        s"$half: ${parts.mkString(",")}")
+    }
+    // stats algebra survives: n_docs still the total across batches
+    val st = LexicalIndexStream.loadIndex(spark, dir).stats.collect()
+    assert(st.length == 1 && st(0).getAs[Long]("n_docs") == 5L)
+  }
+
   test("end to end through Structured Streaming with a MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StoreLayout
+
+/** [[StoreLayout.compact]]'s two-phase commit: every crash window leaves
+  * readers seeing each row exactly once, and a re-run finishes the job.
+  */
+class StoreLayoutSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-storelayout").toFile
+
+  private def writeBatch(dir: String, name: String, ids: Long*): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("overwrite").parquet(s"$dir/batch=$name")
+  }
+
+  private def readIds(dir: String): Seq[Long] = {
+    val parts = StoreLayout.committed(spark, dir)
+    if (parts.isEmpty) Nil
+    else spark.read.parquet(parts: _*).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  private def partNames(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).sorted
+
+  test("compact folds committed partitions into one; rows unchanged") {
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L, 2L)
+    writeBatch(dir, "run-1", 3L)
+    writeBatch(dir, "run-2", 4L, 5L)
+    assert(readIds(dir) == Seq(1L, 2L, 3L, 4L, 5L))
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L, 3L, 4L, 5L))
+    val parts = partNames(dir)
+    assert(parts.length == 1 && parts(0).startsWith("batch=compact-"), parts.mkString(","))
+    // idempotent: a second run is a no-op
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L, 3L, 4L, 5L) && partNames(dir) == parts)
+  }
+
+  test("crash before _ABSORBED: the compact partition is invisible, originals serve") {
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L)
+    // simulate step 1 completing and the process dying before step 2: a
+    // compact partition with _SUCCESS but no _ABSORBED manifest
+    writeBatch(dir, "compact-deadbeef", 1L, 2L)
+    assert(readIds(dir) == Seq(1L, 2L), "originals must remain the only visible copy")
+    // a re-run recomputes (overwriting the orphan is fine) and commits
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L))
+  }
+
+  test("crash after _ABSORBED, before deletes: absorbed partitions are invisible") {
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L)
+    StoreLayout.compact(spark, dir)
+    // simulate the deletes never happening: re-create an absorbed original
+    // next to the committed compact partition
+    writeBatch(dir, "run-0", 1L)
+    assert(partNames(dir).contains("batch=run-0"))
+    assert(readIds(dir) == Seq(1L, 2L), "absorbed leftover must not double-count")
+    // the next compact run sweeps the leftover even with nothing to fold
+    StoreLayout.compact(spark, dir)
+    assert(!partNames(dir).contains("batch=run-0"))
+    assert(readIds(dir) == Seq(1L, 2L))
+  }
+
+  test("compaction composes with later appends and a second compaction") {
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L)
+    StoreLayout.compact(spark, dir)
+    writeBatch(dir, "run-2", 3L)
+    assert(readIds(dir) == Seq(1L, 2L, 3L))
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L, 3L) && partNames(dir).length == 1)
+  }
+
+  test("uncommitted partitions (no _SUCCESS) are neither read nor absorbed") {
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L)
+    // a crashed attempt: partial dir without the _SUCCESS marker
+    val partial = new java.io.File(s"$dir/batch=run-partial")
+    assert(partial.mkdirs())
+    Files.write(new java.io.File(partial, "part-00000.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(readIds(dir) == Seq(1L, 2L))
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L))
+    // the partial dir is left alone for its own writer's replay to overwrite
+    assert(partNames(dir).contains("batch=run-partial"))
+  }
+}
