@@ -202,6 +202,32 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Fixed ISO-BMFF skeleton for q_multimodal_mp4: the bytes before and
+    * after the 32 media bytes each document supplies. One `mdat` holding
+    * four 8-byte video samples in one chunk at offset 24 (uniform `stsz`,
+    * no size table), one `vide` track whose `stss` marks samples 1 and 3
+    * as keyframes. Every byte here is FIXED, so the whole container is
+    * two literals around a substr — column algebra, no UDF.
+    */
+  private lazy val mp4QueryFixture: (Array[Byte], Array[Byte]) = {
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, content: Array[Byte]*): Array[Byte] = {
+      val c = content.flatten.toArray
+      be32(c.length + 8) ++ typ.getBytes("ISO-8859-1") ++ c
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0))
+    val mdatHeader = be32(8 + 32) ++ "mdat".getBytes
+    val stbl = box("stbl",
+      box("stsz", be32(0), be32(8), be32(4)),                   // uniform 8-byte samples
+      box("stsc", be32(0), be32(1), be32(1), be32(4), be32(1)), // one chunk of 4
+      box("stco", be32(0), be32(1), be32(ftyp.length + 8)),     // mdat content offset
+      box("stss", be32(0), be32(2), be32(1), be32(3)))          // keyframes 1 and 3
+    val moov = box("moov", box("trak", box("mdia",
+      box("hdlr", be32(0), be32(0), "vide".getBytes), box("minf", stbl))))
+    (ftyp ++ mdatHeader, moov)
+  }
+
   /** Fixed PQ model shared by q_pq_encode / q_ann_pq and their oracles —
     * a query parameter like q_ann_lsh's hyperplanes (oracle strategy 2):
     * every centroid weight is a pure function of (seed, flat index), so
@@ -1879,6 +1905,27 @@ object SparkEntry {
           sum(length(col("payload"))).as("total_bytes"))
         .orderBy("doc_id")),
 
+    "q_multimodal_mp4" -> ((s, d) => {
+      // REAL MP4 keyframe demux under the oracle (the WAV trick applied to
+      // ISO-BMFF): wrap the first 32 text bytes as an MP4 — ftyp, an mdat
+      // holding 4×8-byte video samples, and a moov whose sample tables
+      // (stsz/stsc/stco) locate them and whose stss marks samples 1 and 3
+      // as keyframes. Everything but the 32 data bytes is ONE fixed byte
+      // literal per side of the mdat, so the container is column algebra;
+      // the box-walking demuxer then extracts exactly the two keyframes,
+      // whose bytes the oracle restates as text substrings.
+      val (pre, post) = mp4QueryFixture
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 32)
+        .withColumn("payload",
+          concat(lit(pre), col("text").cast("binary").substr(1, 32), lit(post)))
+      graft.llm.Multimodal.sampleFrames(docs, "doc_id", "payload", n = 2,
+          codecs = graft.llm.Multimodal.JvmCodecs)
+        .toDF()
+        .select(col("doc_id"), col("frame_ix"),
+          col("payload").cast("string").as("frame_text"))
+        .orderBy("doc_id", "frame_ix")
+    }),
+
     "q_multimodal_audio" -> ((s, d) => {
       // REAL audio decode under the oracle: build a valid 8 kHz mono
       // 16-bit WAV per document IN COLUMN ALGEBRA (RIFF/fmt/data headers
@@ -3219,6 +3266,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(4 AS INTEGER) AS n_frames,
                 CAST(greatest(octet_length(encode(text)), 4) AS BIGINT) AS total_bytes
          FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""",
+    "q_multimodal_mp4" ->
+      // the two stss keyframes are samples 1 and 3 of the four 8-byte
+      // windows the Spark side packed into the mdat, i.e. text bytes
+      // [1,8] and [17,24] — restated directly as substrings
+      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+                substr(text, 1, 8) AS frame_text
+         FROM documents WHERE length(text) >= 32
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
+                substr(text, 17, 8) AS frame_text
+         FROM documents WHERE length(text) >= 32
+         ORDER BY doc_id, frame_ix""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the
       // Spark side packed into the WAV data chunk

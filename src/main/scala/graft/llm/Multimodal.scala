@@ -84,12 +84,14 @@ object Multimodal {
     * PCM chunk walker. Frame sampling demuxes ANIMATED GIF for real
     * (multi-image `javax.imageio` read + disposal-method compositing;
     * each sampled frame is re-emitted as a standalone PNG so
-    * `sampleFrames` → [[decodeImages]] composes); payloads in container
-    * formats with no pure-JVM demuxer (mp4/webm/…) still fall back to
-    * [[StubCodecs]]' deterministic slices — the [[Codecs]] seam exists
-    * precisely so each method can be bound independently. Unreadable
-    * payloads → None/Nil, like a production decode stage dropping
-    * corrupt media.
+    * `sampleFrames` → [[decodeImages]] composes), MJPEG for real (JPEG
+    * segment walking), and MP4 for real (ISO-BMFF box walking — sample
+    * tables + `stss` keyframe extraction need no codec at all); payloads
+    * in container formats with no pure-JVM demuxer (webm/mkv) still fall
+    * back to [[StubCodecs]]' deterministic slices — the [[Codecs]] seam
+    * exists precisely so each method can be bound independently.
+    * Unreadable payloads → None/Nil, like a production decode stage
+    * dropping corrupt media.
     */
   object JvmCodecs extends Codecs {
     // decode in-memory: ImageIO's default stream cache writes temp FILES
@@ -131,8 +133,14 @@ object Multimodal {
       * structure (entropy-coded data is scanned for true markers, so a
       * 0xFFD9 byte pair inside compressed data never splits a frame) —
       * sampled frames are the raw per-frame JPEG bytes, zero re-encode.
-      * Non-GIF/JPEG payloads keep the stub's deterministic slices (no
-      * pure-JVM mp4/webm demuxer exists); corrupt GIFs/JPEGs → Nil.
+      * MP4 (ISO-BMFF) demuxes for REAL as well — box-structure walking
+      * needs no codec: the sample tables locate every video sample's byte
+      * range and `stss` names the keyframes, so the sampled frames are
+      * the raw keyframe sample payloads (standalone JPEGs for
+      * MJPEG-in-MP4; NAL units for AVC — sliced correctly either way).
+      * Non-GIF/JPEG/MP4 payloads keep the stub's deterministic slices
+      * (webm/mkv have no pure-JVM demuxer here); corrupt
+      * GIFs/JPEGs/MP4s → Nil.
       */
     override def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] = {
       init
@@ -141,6 +149,8 @@ object Multimodal {
         payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
       val isJpeg = payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
         (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
+      val isMp4 = payload.length >= 8 &&
+        payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p'
       if (isGif) {
         val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
         frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
@@ -151,7 +161,135 @@ object Multimodal {
           val (s, e) = frames((frames.length.toLong * j / n).toInt)
           Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
         }
+      } else if (isMp4) {
+        val kf = try mp4KeyframeRanges(payload) catch { case _: Exception => IndexedSeq.empty }
+        if (kf.isEmpty) Nil
+        else (0 until n).map { j =>
+          val (s, e) = kf((kf.length.toLong * j / n).toInt)
+          Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
+        }
       } else StubCodecs.sampleFrames(docId, payload, n)
+    }
+
+    /** REAL ISO-BMFF (MP4) keyframe demux — pure box walking, no codec:
+      * find the first `moov`→`trak` whose `mdia/hdlr` handler is `vide`,
+      * expand its sample tables (`stsz` sizes, `stsc` sample-to-chunk
+      * runs, `stco`/`co64` chunk offsets) into per-sample [start, end)
+      * byte ranges, and keep the sync samples `stss` names (absent
+      * `stss` = every sample is a keyframe, per the spec). Ranges are
+      * validated against the payload bounds — a truncated `mdat`
+      * truncates the keyframe list to its valid prefix rather than
+      * emitting frames that point past the buffer. 64-bit `co64` offsets
+      * are honored up to 2 GiB (an in-memory payload's hard bound — the
+      * same guard the WARC reader applies).
+      */
+    private def mp4KeyframeRanges(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      def u32(o: Int): Long =
+        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      // children of a container span as (type, contentStart, contentEnd);
+      // malformed headers end the walk at the valid prefix
+      def children(start: Int, end: Int): List[(String, Int, Int)] = {
+        val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+        var o = start
+        var ok = true
+        while (ok && o + 8 <= end) {
+          val sz = u32(o)
+          val typ = new String(b, o + 4, 4, "ISO-8859-1")
+          val (cs, boxEnd: Long) =
+            if (sz == 1 && o + 16 <= end) (o + 16, o + u64(o + 8))
+            else if (sz == 0) (o + 8, end.toLong)
+            else (o + 8, o + sz)
+          if (sz == 1 && o + 16 > end) ok = false
+          else if (boxEnd > end || boxEnd <= o || cs > boxEnd) ok = false
+          else { out += ((typ, cs, boxEnd.toInt)); o = boxEnd.toInt }
+        }
+        out.toList
+      }
+      def box(cs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
+        cs.find(_._1 == t).map(c => (c._2, c._3))
+      val moov = box(children(0, b.length), "moov").getOrElse(return IndexedSeq.empty)
+      val videoStbl = children(moov._1, moov._2).filter(_._1 == "trak").iterator
+        .flatMap { trak =>
+          val mdia = box(children(trak._2, trak._3), "mdia")
+          val isVideo = mdia.flatMap(m => box(children(m._1, m._2), "hdlr")).exists {
+            case (hs, he) => hs + 12 <= he &&
+              new String(b, hs + 8, 4, "ISO-8859-1") == "vide"
+          }
+          if (!isVideo) None
+          else mdia.flatMap(m => box(children(m._1, m._2), "minf"))
+            .flatMap(mi => box(children(mi._1, mi._2), "stbl"))
+        }.nextOption().getOrElse(return IndexedSeq.empty)
+      val stbl = children(videoStbl._1, videoStbl._2)
+      val stsz = box(stbl, "stsz").getOrElse(return IndexedSeq.empty)
+      val stsc = box(stbl, "stsc").getOrElse(return IndexedSeq.empty)
+      val stcoOpt = box(stbl, "stco").map((_, false))
+        .orElse(box(stbl, "co64").map((_, true)))
+      val ((stco, co64)) = stcoOpt.getOrElse(return IndexedSeq.empty)
+      // stsz: verflags(4) uniform_size(4) count(4) [+ per-sample sizes]
+      if (stsz._1 + 12 > stsz._2) return IndexedSeq.empty
+      val uniform = u32(stsz._1 + 4)
+      val nSamples0 = u32(stsz._1 + 8)
+      if (nSamples0 <= 0 || nSamples0 > Int.MaxValue) return IndexedSeq.empty
+      val nSamples = nSamples0.toInt
+      def sizeOf(s: Int): Long =
+        if (uniform != 0) uniform
+        else { val o = stsz._1 + 12 + 4 * s; if (o + 4 > stsz._2) -1 else u32(o) }
+      // stsc: verflags(4) entry_count(4) then (first_chunk, per_chunk, desc)×
+      if (stsc._1 + 8 > stsc._2) return IndexedSeq.empty
+      val nRuns = u32(stsc._1 + 4).toInt
+      if (nRuns <= 0 || stsc._1 + 8 + 12L * nRuns > stsc._2) return IndexedSeq.empty
+      val runs = IndexedSeq.tabulate(nRuns) { i =>
+        val o = stsc._1 + 8 + 12 * i
+        (u32(o), u32(o + 4)) // (first_chunk 1-based, samples_per_chunk)
+      }
+      // stco/co64: verflags(4) count(4) then offsets
+      if (stco._1 + 8 > stco._2) return IndexedSeq.empty
+      val nChunks = u32(stco._1 + 4).toInt
+      val offW = if (co64) 8 else 4
+      if (nChunks <= 0 || stco._1 + 8 + offW.toLong * nChunks > stco._2)
+        return IndexedSeq.empty
+      def chunkOff(c: Int): Long = {
+        val o = stco._1 + 8 + offW * c
+        if (co64) u64(o) else u32(o)
+      }
+      // expand to per-sample ranges, stopping at the first range that
+      // falls outside the buffer (truncated mdat → valid prefix)
+      val ranges = IndexedSeq.newBuilder[(Int, Int)]
+      var sample = 0
+      var chunk = 0
+      var run = 0
+      var valid = true
+      while (valid && chunk < nChunks && sample < nSamples) {
+        while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1) run += 1
+        val perChunk = runs(run)._2
+        var off = chunkOff(chunk)
+        var j = 0L
+        while (valid && j < perChunk && sample < nSamples) {
+          val sz = sizeOf(sample)
+          if (sz < 0 || off < 0 || off + sz > b.length) valid = false
+          else {
+            ranges += ((off.toInt, (off + sz).toInt))
+            off += sz; j += 1; sample += 1
+          }
+        }
+        chunk += 1
+      }
+      val all = ranges.result()
+      if (all.isEmpty) return IndexedSeq.empty
+      // stss names the sync samples (1-based); absent stss = all sync
+      box(stbl, "stss") match {
+        case None => all
+        case Some((ss, se)) =>
+          if (ss + 8 > se) return IndexedSeq.empty
+          val nSync = u32(ss + 4).toInt
+          if (nSync < 0 || ss + 8 + 4L * nSync > se) return IndexedSeq.empty
+          (0 until nSync).flatMap { i =>
+            val s = u32(ss + 8 + 4 * i)
+            if (s >= 1 && s <= all.length) Some(all(s.toInt - 1)) else None
+          }
+      }
     }
 
     /** Split an MJPEG stream into its standalone JPEG frames as

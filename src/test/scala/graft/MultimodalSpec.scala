@@ -244,6 +244,85 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JvmCodecs.sampleFrames(10L, corrupt, n = 2).isEmpty)
   }
 
+  // --- ISO-BMFF (MP4) fixtures: hand-built box trees ---
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def bmffBox(typ: String, content: Array[Byte]*): Array[Byte] = {
+    val c = content.flatten.toArray
+    be32(c.length + 8) ++ typ.getBytes("ISO-8859-1") ++ c
+  }
+
+  /** One video track, samples in one chunk; stss marks `sync` (1-based)
+    * as keyframes (empty = omit stss = all sync). `mdatLast` moves the
+    * media data after the moov ("fast-start" layout), so tail truncation
+    * genuinely truncates mdat.
+    */
+  private def mp4Fixture(samples: Seq[Array[Byte]], sync: Seq[Int],
+      handler: String = "vide", co64: Boolean = false,
+      mdatLast: Boolean = false): Array[Byte] = {
+    val ftyp = bmffBox("ftyp", "isom".getBytes, be32(0))
+    val data = samples.flatten.toArray
+    val mdat = bmffBox("mdat", data)
+    def moovFor(mdatContentOff: Int): Array[Byte] = {
+      val hdlr = bmffBox("hdlr", be32(0), be32(0), handler.getBytes)
+      val stsz = bmffBox("stsz", be32(0), be32(0), be32(samples.length),
+        samples.toArray.flatMap(s => be32(s.length)))
+      val stsc = bmffBox("stsc", be32(0), be32(1), be32(1), be32(samples.length), be32(1))
+      val stco =
+        if (co64) bmffBox("co64", be32(0), be32(1), be32(0), be32(mdatContentOff))
+        else bmffBox("stco", be32(0), be32(1), be32(mdatContentOff))
+      val stss =
+        if (sync.isEmpty) Array.empty[Byte]
+        else bmffBox("stss", be32(0), be32(sync.length), sync.toArray.flatMap(be32))
+      val stbl = bmffBox("stbl", stsz, stsc, stco, stss)
+      bmffBox("moov", bmffBox("trak", bmffBox("mdia", hdlr, bmffBox("minf", stbl))))
+    }
+    if (mdatLast) {
+      // moov length does not depend on the offset value (fixed 4/8-byte
+      // fields), so compute it once with a placeholder
+      val moovLen = moovFor(0).length
+      ftyp ++ moovFor(ftyp.length + moovLen + 8) ++ mdat
+    } else ftyp ++ mdat ++ moovFor(ftyp.length + 8)
+  }
+
+  test("JvmCodecs demuxes MP4 keyframes: box walk, stss selection, byte-exact slices") {
+    val samples = Seq("AAAAAAAA", "BBBBB", "CCCCCCCCCC", "DD").map(_.getBytes)
+    // keyframes are samples 1 and 3 (1-based) — variable sizes via stsz table
+    val mp4 = mp4Fixture(samples, sync = Seq(1, 3))
+    val frames = Multimodal.JvmCodecs.sampleFrames(1L, mp4, n = 2)
+    assert(frames.map(_.frame_ix) == Seq(0, 1))
+    assert(frames.map(f => new String(f.payload)) == Seq("AAAAAAAA", "CCCCCCCCCC"))
+    // no stss → every sample is sync, all 4 sampled in order
+    val all = Multimodal.JvmCodecs.sampleFrames(1L, mp4Fixture(samples, Nil), n = 4)
+    assert(all.map(f => new String(f.payload)) ==
+      Seq("AAAAAAAA", "BBBBB", "CCCCCCCCCC", "DD"))
+    // co64 offsets resolve the same ranges
+    val c64 = Multimodal.JvmCodecs.sampleFrames(1L, mp4Fixture(samples, Seq(2), co64 = true), n = 1)
+    assert(c64.map(f => new String(f.payload)) == Seq("BBBBB"))
+    // a sound-only track is not a video source → Nil (not stub slices)
+    assert(Multimodal.JvmCodecs.sampleFrames(1L,
+      mp4Fixture(samples, Seq(1), handler = "soun"), n = 2).isEmpty)
+    // ftyp magic without a moov (or truncated moov) → Nil, not garbage
+    val noMoov = mp4.take(mp4.length - samples.flatten.length - 120)
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, noMoov, n = 2).isEmpty)
+  }
+
+  test("MP4 demux: moov-first layout; a truncated mdat → valid-prefix keyframes") {
+    val samples = Seq("AAAAAAAA", "BBBBBBBB", "CCCCCCCC").map(_.getBytes)
+    val full = mp4Fixture(samples, Nil, mdatLast = true)
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, full, n = 3)
+      .map(f => new String(f.payload)) == Seq("AAAAAAAA", "BBBBBBBB", "CCCCCCCC"))
+    // cut the last 8 bytes: sample 3's range now points past the buffer —
+    // the keyframe list truncates to its valid prefix instead of emitting
+    // a frame that reads out of bounds
+    val truncated = full.take(full.length - 8)
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, truncated, n = 2)
+      .map(f => new String(f.payload)) == Seq("AAAAAAAA", "BBBBBBBB"))
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
