@@ -228,6 +228,31 @@ object SparkEntry {
     (ftyp ++ mdatHeader, moov)
   }
 
+  /** Fixed EBML skeleton for q_multimodal_webm: (bytes before the first
+    * 8-byte keyframe payload, bytes between the two). One video track,
+    * one cluster holding two keyframe-flagged SimpleBlocks of 8 data
+    * bytes each; Segment and Cluster use the UNKNOWN-size encoding
+    * (0xFF — the streamed-mux form), so no enclosing length depends on
+    * anything and the whole container is literals around substrings.
+    */
+  private lazy val webmQueryFixture: (Array[Byte], Array[Byte]) = {
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def el(eid: Array[Byte], content: Array[Byte]*): Array[Byte] = {
+      val c = content.flatten.toArray
+      eid ++ bs(0x40 | (c.length >> 8), c.length & 0xFF) ++ c
+    }
+    val header = el(bs(0x1A, 0x45, 0xDF, 0xA3))
+    val tracks = el(bs(0x16, 0x54, 0xAE, 0x6B),
+      el(bs(0xAE), el(bs(0xD7), bs(1)), el(bs(0x83), bs(1))))
+    val ts = el(bs(0xE7), bs(0))
+    // SimpleBlock of 12 content bytes: track varint, 2-byte timestamp,
+    // keyframe flags, then the 8 payload bytes the document supplies
+    val sbHdr = bs(0xA3, 0x40, 12, 0x80 | 1, 0, 0, 0x80)
+    val pre = header ++ bs(0x18, 0x53, 0x80, 0x67, 0xFF) ++ tracks ++
+      bs(0x1F, 0x43, 0xB6, 0x75, 0xFF) ++ ts ++ sbHdr
+    (pre, sbHdr)
+  }
+
   /** Fixed PQ model shared by q_pq_encode / q_ann_pq and their oracles —
     * a query parameter like q_ann_lsh's hyperplanes (oracle strategy 2):
     * every centroid weight is a pure function of (seed, flat index), so
@@ -1926,6 +1951,24 @@ object SparkEntry {
         .orderBy("doc_id", "frame_ix")
     }),
 
+    "q_multimodal_webm" -> ((s, d) => {
+      // the EBML sibling of q_multimodal_mp4: wrap text bytes [1,8] and
+      // [9,16] as the two keyframe SimpleBlocks of a real WebM (streamed
+      // unknown-size Segment/Cluster), demux with the EBML walker, and
+      // restate the keyframes as substrings
+      val (pre, mid) = webmQueryFixture
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 16)
+        .withColumn("payload", concat(lit(pre),
+          col("text").cast("binary").substr(1, 8), lit(mid),
+          col("text").cast("binary").substr(9, 8)))
+      graft.llm.Multimodal.sampleFrames(docs, "doc_id", "payload", n = 2,
+          codecs = graft.llm.Multimodal.JvmCodecs)
+        .toDF()
+        .select(col("doc_id"), col("frame_ix"),
+          col("payload").cast("string").as("frame_text"))
+        .orderBy("doc_id", "frame_ix")
+    }),
+
     "q_multimodal_audio" -> ((s, d) => {
       // REAL audio decode under the oracle: build a valid 8 kHz mono
       // 16-bit WAV per document IN COLUMN ALGEBRA (RIFF/fmt/data headers
@@ -3277,6 +3320,17 @@ object SparkEntry {
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 17, 8) AS frame_text
          FROM documents WHERE length(text) >= 32
+         ORDER BY doc_id, frame_ix""",
+    "q_multimodal_webm" ->
+      // both SimpleBlocks are keyframes on the video track, so the demux
+      // yields exactly text bytes [1,8] and [9,16]
+      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+                substr(text, 1, 8) AS frame_text
+         FROM documents WHERE length(text) >= 16
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
+                substr(text, 9, 8) AS frame_text
+         FROM documents WHERE length(text) >= 16
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the

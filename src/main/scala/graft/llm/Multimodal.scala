@@ -86,10 +86,11 @@ object Multimodal {
     * each sampled frame is re-emitted as a standalone PNG so
     * `sampleFrames` → [[decodeImages]] composes), MJPEG for real (JPEG
     * segment walking), and MP4 for real (ISO-BMFF box walking — sample
-    * tables + `stss` keyframe extraction need no codec at all); payloads
-    * in container formats with no pure-JVM demuxer (webm/mkv) still fall
-    * back to [[StubCodecs]]' deterministic slices — the [[Codecs]] seam
-    * exists precisely so each method can be bound independently.
+    * tables + `stss` keyframe extraction need no codec at all) and
+    * WebM/Matroska for real (EBML walking to keyframe-flagged blocks);
+    * other payloads fall back to [[StubCodecs]]' deterministic slices —
+    * the [[Codecs]] seam exists precisely so each method can be bound
+    * independently.
     * Unreadable payloads → None/Nil, like a production decode stage
     * dropping corrupt media.
     */
@@ -138,9 +139,10 @@ object Multimodal {
       * range and `stss` names the keyframes, so the sampled frames are
       * the raw keyframe sample payloads (standalone JPEGs for
       * MJPEG-in-MP4; NAL units for AVC — sliced correctly either way).
-      * Non-GIF/JPEG/MP4 payloads keep the stub's deterministic slices
-      * (webm/mkv have no pure-JVM demuxer here); corrupt
-      * GIFs/JPEGs/MP4s → Nil.
+      * WebM/Matroska demuxes for REAL too (EBML element walking: Tracks →
+      * video track number, Clusters → keyframe-flagged SimpleBlocks).
+      * Payloads in none of these containers keep the stub's deterministic
+      * slices; corrupt GIFs/JPEGs/MP4s/WebMs → Nil.
       */
     override def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] = {
       init
@@ -151,6 +153,9 @@ object Multimodal {
         (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
       val isMp4 = payload.length >= 8 &&
         payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p'
+      val isEbml = payload.length >= 4 && (payload(0) & 0xFF) == 0x1A &&
+        (payload(1) & 0xFF) == 0x45 && (payload(2) & 0xFF) == 0xDF &&
+        (payload(3) & 0xFF) == 0xA3
       if (isGif) {
         val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
         frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
@@ -161,8 +166,10 @@ object Multimodal {
           val (s, e) = frames((frames.length.toLong * j / n).toInt)
           Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
         }
-      } else if (isMp4) {
-        val kf = try mp4KeyframeRanges(payload) catch { case _: Exception => IndexedSeq.empty }
+      } else if (isMp4 || isEbml) {
+        val kf =
+          try if (isMp4) mp4KeyframeRanges(payload) else webmKeyframeRanges(payload)
+          catch { case _: Exception => IndexedSeq.empty }
         if (kf.isEmpty) Nil
         else (0 until n).map { j =>
           val (s, e) = kf((kf.length.toLong * j / n).toInt)
@@ -290,6 +297,125 @@ object Multimodal {
             if (s >= 1 && s <= all.length) Some(all(s.toInt - 1)) else None
           }
       }
+    }
+
+    /** REAL WebM/Matroska keyframe demux — EBML element walking, no
+      * codec: find the Segment, read the Tracks element for the first
+      * video track's number, then walk the Clusters collecting the video
+      * SimpleBlocks whose keyframe flag is set (and BlockGroup Blocks
+      * with no ReferenceBlock — the spec's other way to spell "I-frame").
+      * Each range is the block's raw frame bytes (VP8/VP9/AV1 bitstream
+      * payload — sliced correctly whatever the codec). Unknown-size
+      * Segments (streamed/live muxes) extend to end-of-buffer; laced
+      * blocks are skipped (video keyframes are not laced in practice);
+      * malformed structure truncates to the valid prefix, like the MP4
+      * walker.
+      */
+    private def webmKeyframeRanges(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      // EBML varints: the count of leading zero bits (plus one) in the
+      // first byte is the width; IDs keep the marker bit, sizes clear it,
+      // and an all-ones size payload means "unknown extent"
+      def vintWidth(first: Int): Int = {
+        var mask = 0x80; var w = 1
+        while (w <= 8 && (first & mask) == 0) { mask >>= 1; w += 1 }
+        w
+      }
+      // (value, width); width 0 = malformed/truncated
+      def readId(o: Int): (Long, Int) = {
+        if (o >= b.length) return (0L, 0)
+        val w = vintWidth(b(o) & 0xFF)
+        if (w > 4 || o + w > b.length) return (0L, 0)
+        var v = 0L
+        var i = 0
+        while (i < w) { v = (v << 8) | (b(o + i) & 0xFF); i += 1 }
+        (v, w)
+      }
+      // (value, width); value -1 = unknown size
+      def readSize(o: Int): (Long, Int) = {
+        if (o >= b.length) return (0L, 0)
+        val first = b(o) & 0xFF
+        val w = vintWidth(first)
+        if (w > 8 || o + w > b.length) return (0L, 0)
+        val maskTop = 0xFF >>> w
+        var v = (first & maskTop).toLong
+        var allOnes = (first & maskTop) == maskTop
+        var i = 1
+        while (i < w) {
+          val x = b(o + i) & 0xFF
+          v = (v << 8) | x
+          allOnes &&= x == 0xFF
+          i += 1
+        }
+        (if (allOnes) -1L else v, w)
+      }
+      // children of [start, end): (id, contentStart, contentEnd); an
+      // unknown-size child extends to the parent's end; malformed headers
+      // end the walk at the valid prefix
+      def children(start: Int, end: Int): List[(Long, Int, Int)] = {
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Int, Int)]
+        var o = start
+        var ok = true
+        while (ok && o < end) {
+          val (id, iw) = readId(o)
+          if (iw == 0) ok = false
+          else {
+            val (sz, sw) = readSize(o + iw)
+            if (sw == 0) ok = false
+            else {
+              val cs = o + iw + sw
+              val ce = if (sz < 0) end.toLong else cs + sz
+              if (cs > end || ce > end) ok = false
+              else { out += ((id, cs, ce.toInt)); o = ce.toInt }
+            }
+          }
+        }
+        out.toList
+      }
+      def uint(cs: Int, ce: Int): Long = {
+        var v = 0L; var o = cs
+        while (o < ce) { v = (v << 8) | (b(o) & 0xFF); o += 1 }
+        v
+      }
+      val top = children(0, b.length)
+      val seg = top.find(_._1 == 0x18538067L).getOrElse(return IndexedSeq.empty)
+      val segKids = children(seg._2, seg._3)
+      // Tracks → first TrackEntry with TrackType 1 (video) → TrackNumber
+      val videoTrack = segKids.filter(_._1 == 0x1654AE6BL).iterator
+        .flatMap(t => children(t._2, t._3))
+        .filter(_._1 == 0xAEL)
+        .map(te => children(te._2, te._3))
+        .collectFirst {
+          case kids if kids.exists(k => k._1 == 0x83L && uint(k._2, k._3) == 1L) =>
+            kids.find(_._1 == 0xD7L).map(k => uint(k._2, k._3))
+        }.flatten.getOrElse(return IndexedSeq.empty)
+      // a block's frame bytes start after its track varint (size-style
+      // read), 2-byte relative timestamp, and 1 flags byte
+      def blockRange(cs: Int, ce: Int): Option[(Long, Int, Int, Int)] = {
+        val (track, tw) = readSize(cs)
+        if (tw == 0 || track < 0) return None
+        val fo = cs + tw + 2
+        if (fo >= ce) return None
+        Some((track, b(fo) & 0xFF, fo + 1, ce))
+      }
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      for (cluster <- segKids.filter(_._1 == 0x1F43B675L);
+           kid <- children(cluster._2, cluster._3)) {
+        if (kid._1 == 0xA3L) { // SimpleBlock: flags bit 0x80 = keyframe
+          blockRange(kid._2, kid._3).foreach { case (track, flags, fs, fe) =>
+            if (track == videoTrack && (flags & 0x80) != 0 && (flags & 0x06) == 0)
+              out += ((fs, fe))
+          }
+        } else if (kid._1 == 0xA0L) { // BlockGroup: keyframe iff no ReferenceBlock
+          val kids = children(kid._2, kid._3)
+          if (!kids.exists(_._1 == 0xFBL)) {
+            kids.find(_._1 == 0xA1L).flatMap(blk => blockRange(blk._2, blk._3))
+              .foreach { case (track, flags, fs, fe) =>
+                if (track == videoTrack && (flags & 0x06) == 0) out += ((fs, fe))
+              }
+          }
+        }
+      }
+      out.result()
     }
 
     /** Split an MJPEG stream into its standalone JPEG frames as

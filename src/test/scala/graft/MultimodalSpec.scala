@@ -323,6 +323,60 @@ class MultimodalSpec extends SparkSpec {
       .map(f => new String(f.payload)) == Seq("AAAAAAAA", "BBBBBBBB"))
   }
 
+  // --- WebM/Matroska fixtures: hand-built EBML trees ---
+
+  private def id(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  /** EBML element with a fixed 2-byte size encoding (0x40 marker). */
+  private def ebml(eid: Array[Byte], content: Array[Byte]*): Array[Byte] = {
+    val c = content.flatten.toArray
+    require(c.length < (1 << 14))
+    eid ++ Array((0x40 | (c.length >> 8)).toByte, (c.length & 0xFF).toByte) ++ c
+  }
+
+  private def blockBytes(track: Int, flags: Int, data: Array[Byte]): Array[Byte] =
+    Array((0x80 | track).toByte, 0.toByte, 0.toByte, flags.toByte) ++ data
+
+  private def webmFixture(unknownSegmentSize: Boolean = false): Array[Byte] = {
+    val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3))
+    // audio entry FIRST: the demuxer must pick the video track by type
+    val audioEntry = ebml(id(0xAE),
+      ebml(id(0xD7), Array(2.toByte)), ebml(id(0x83), Array(2.toByte)))
+    val videoEntry = ebml(id(0xAE),
+      ebml(id(0xD7), Array(1.toByte)), ebml(id(0x83), Array(1.toByte)))
+    val tracks = ebml(id(0x16, 0x54, 0xAE, 0x6B), audioEntry, videoEntry)
+    val cluster = ebml(id(0x1F, 0x43, 0xB6, 0x75),
+      ebml(id(0xE7), Array(0.toByte)),                          // cluster timestamp
+      ebml(id(0xA3), blockBytes(1, 0x80, "KEY1".getBytes)),     // video keyframe
+      ebml(id(0xA3), blockBytes(1, 0x00, "DELTA".getBytes)),    // video delta frame
+      ebml(id(0xA3), blockBytes(2, 0x80, "AUDIOKEY".getBytes)), // audio track
+      ebml(id(0xA0),                                            // BlockGroup keyframe
+        ebml(id(0xA1), blockBytes(1, 0x00, "KEY2".getBytes))),  //   (no ReferenceBlock)
+      ebml(id(0xA0),                                            // BlockGroup P-frame
+        ebml(id(0xA1), blockBytes(1, 0x00, "PFRAME".getBytes)),
+        ebml(id(0xFB), Array(0x7F.toByte))))                    //   (ReferenceBlock)
+    val segContent = tracks ++ cluster
+    val segment =
+      if (unknownSegmentSize)
+        id(0x18, 0x53, 0x80, 0x67) ++ Array(0xFF.toByte) ++ segContent
+      else ebml(id(0x18, 0x53, 0x80, 0x67), segContent)
+    header ++ segment
+  }
+
+  test("JvmCodecs demuxes WebM keyframes: EBML walk, track + flag selection") {
+    val webm = webmFixture()
+    val frames = Multimodal.JvmCodecs.sampleFrames(1L, webm, n = 2)
+    // only the video keyframes: the delta frame, the audio-track block and
+    // the ReferenceBlock'd P-frame are all excluded
+    assert(frames.map(f => new String(f.payload)) == Seq("KEY1", "KEY2"))
+    // unknown-size Segment (streamed/live mux) parses identically
+    val streamed = Multimodal.JvmCodecs.sampleFrames(1L,
+      webmFixture(unknownSegmentSize = true), n = 2)
+    assert(streamed.map(f => new String(f.payload)) == Seq("KEY1", "KEY2"))
+    // EBML magic with a truncated segment → Nil, not stub slices
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, webm.take(12), n = 2).isEmpty)
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
