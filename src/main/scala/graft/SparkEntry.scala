@@ -1671,14 +1671,13 @@ object SparkEntry {
       // the batch carries exact copies of vec_id<20 (must die against
       // the store) and NEGATED copies (cosine −1 to their source, ≤0.51
       // to everything else on this corpus — must survive)
-      // QUERY-side persist of the 2-column projection: this plan reads the
-      // embeddings table four ways (copies, negations, store signatures,
-      // store vectors), and at bench SF the file is a single row group, so
-      // each read is a 1-task scan — caching ~16 MB here removes the 4×
-      // scan artifact without touching the library plan (which at real
-      // scale reads signatures and point-reads vectors, never 4 full scans)
+      // note: a query-side .persist() of this 4×-scanned projection was
+      // measured and REJECTED (ProfEmbedDedup): the cached variant is
+      // 2-3× slower here — the InMemoryTableScan loses whole-stage fusion
+      // with the per-branch filters, and the cache boundary multiplies
+      // AQE broadcast sub-jobs, which dominate at this corpus size. The
+      // plain parquet re-scans are the cheap part.
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val copies = emb.filter(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 100000)
       val negs = emb.filter(col("vec_id") < 20)
