@@ -1282,6 +1282,16 @@ object SparkEntry {
           "doc_id")
         .orderBy("doc_id", "pos")),
 
+    "q_dedup_spans_text" -> ((s, d) =>
+      // the user-facing end of paragraph dedup: drop repeated spans, then
+      // REASSEMBLE each document from its surviving spans in position
+      // order — the cleaned corpus, not just the keep-list (empty docs
+      // disappear; one extra doc-keyed shuffle for the reassembly)
+      Dedup.dedupSpans(
+          Dedup.tokenChunks(t(s, d, "documents"), "doc_id", "text", width = 8),
+          "doc_id")
+        .orderBy("doc_id")),
+
     "q_dedup_cdc" -> ((s, d) =>
       // insertion-robust variant: gear-CDC boundaries (token hash ≡ 0 mod
       // 16 ends a span) instead of fixed width — the cut itself is a
@@ -1300,6 +1310,16 @@ object SparkEntry {
       // ExactSubstrSpec's equality case
       graft.llm.ExactSubstr.dedupStats(t(s, d, "documents"), "doc_id", "text",
           k = 8, hash = md5(_))
+        .orderBy("doc_id")),
+
+    "q_dedup_substr_text" -> ((s, d) =>
+      // the user-facing end of exact-substring dedup (Lee et al.): every
+      // flagged window's tokens cut from the text, first occurrences kept
+      // verbatim — the cleaned corpus the stats row only describes. The
+      // kept/dropped decision is a map-side HOF over each doc's flagged
+      // positions; md5 keys again so the oracle regroups identically
+      graft.llm.ExactSubstr.removeDuplicateWindows(t(s, d, "documents"),
+          "doc_id", "text", k = 8, hash = md5(_))
         .orderBy("doc_id")),
 
     "q_dedup_cc_verified" -> ((s, d) =>
@@ -2635,6 +2655,27 @@ object SparkEntry {
          SELECT doc_id, pos, span FROM chunk
          QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
          ORDER BY doc_id, pos""",
+    "q_dedup_spans_text" ->
+      // the kept-span set restated as in q_dedup_spans, then re-joined per
+      // doc in position order
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents WHERE trim(text) <> ''
+         ), idx AS (
+           SELECT doc_id, ts,
+                  unnest(generate_series(0,
+                    CAST(ceil(len(ts)/8.0) AS BIGINT) - 1)) AS pos
+           FROM tok
+         ), chunk AS (
+           SELECT doc_id, pos,
+                  array_to_string(ts[(pos*8+1):(pos*8+8)], ' ') AS span
+           FROM idx
+         ), kept AS (
+           SELECT doc_id, pos, span FROM chunk
+           QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
+         )
+         SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_cdc" ->
       // same gear boundary (first 15 md5 hex chars mod 16 == 0 ends a
       // span), segment = exclusive prefix sum of boundary flags, spans
@@ -2694,6 +2735,38 @@ object SparkEntry {
                           ELSE list_sum(list_transform(range(1, len(p.ps)),
                                  i -> least(p.ps[i+1] - p.ps[i], 8))) + 8
                      END AS BIGINT) AS n_tokens_removed
+         FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
+    "q_dedup_substr_text" ->
+      // q_dedup_substr's flagged-position machinery, then the cleaned text:
+      // token i survives iff no flagged window [p, p+8) covers it — the
+      // coverage test is a nested list lambda, kept tokens re-join in order
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+         ), winpos AS (
+           SELECT doc_id, t,
+                  unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+           FROM tok
+         ), win AS (
+           SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS h,
+                  doc_id * 1048576 + pos AS rnk
+           FROM winpos
+         ), firsts AS (
+           SELECT h, min(rnk) AS mr, count(*) AS c FROM win GROUP BY h
+         ), flag AS (
+           SELECT w.doc_id, w.pos FROM win w JOIN firsts f ON w.h = f.h
+           WHERE f.c >= 2 AND w.rnk > f.mr
+         ), pd AS (
+           SELECT doc_id, list_sort(list(pos)) AS ps FROM flag GROUP BY doc_id
+         )
+         SELECT b.doc_id,
+                array_to_string(list_transform(
+                  list_filter(range(0, len(b.t)),
+                    i -> len(list_filter(COALESCE(p.ps, []),
+                           pp -> pp <= i AND i < pp + 8)) = 0),
+                  i -> b.t[CAST(i + 1 AS INTEGER)]), ' ') AS text
          FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
          ORDER BY b.doc_id""",
     "q_dedup_cc" ->
