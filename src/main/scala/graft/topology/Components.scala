@@ -33,7 +33,7 @@ object BuiltinComponents {
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
-      chunkText),
+      chunkText, spanDedup, exactSubstrDedup),
     outputs = Seq(fileWriter, parquetOutput, statsOutput, nopOutput, opLogOutput,
       recorderOutput, DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc,
       WebSocketOutput.desc),
@@ -787,6 +787,70 @@ object BuiltinComponents {
         case _ => throw new IllegalArgumentException(
           "NearDupDedup: StoreSigs and StoreCorpus must be set together")
       }
+    })
+
+  /** SpanDedup / ExactSubstrDedup — the cleaned-corpus dedup stages as
+    * TOML filters: where NearDupDedup drops whole records, these REWRITE
+    * the text field with the duplicated material removed (Dolma paragraph
+    * dedup; Lee et al. exact-substring dedup), keeping the record.
+    */
+  val spanDedup: FilterDesc = mkFilter("SpanDedup",
+    "Cuts the text field into spans (fixed token windows or " +
+      "content-defined chunks), drops every span whose content already " +
+      "occurred earlier in the corpus ((id, position) order), and " +
+      "reassembles the field from the survivors. Records with no " +
+      "surviving spans drop.",
+    Seq(
+      ConfigKey("IdField", "unique id field; (id, position) decides 'earlier'",
+        required = true),
+      ConfigKey("Field", "text field to dedup (replaced by the cleaned text)",
+        required = true),
+      ConfigKey("Mode", "span cut: fixed | cdc (insertion-robust)",
+        default = Some("fixed")),
+      ConfigKey("Width", "tokens per span (fixed mode)", default = Some(8L)),
+      ConfigKey("MeanLen", "mean span tokens (cdc mode)", default = Some(16L))))(
+    (_, cfg) => { df =>
+      val id = cfg.str("IdField")
+      val tf = cfg.str("Field")
+      require(!df.columns.contains("__cleaned"),
+        "SpanDedup reserves helper column '__cleaned'")
+      val spans = cfg.str("Mode", "fixed") match {
+        case "fixed" =>
+          graft.llm.Dedup.tokenChunks(df, id, tf, cfg.int("Width", 8L).toInt)
+        case "cdc" =>
+          graft.llm.Dedup.cdcChunks(df, id, tf, cfg.int("MeanLen", 16L).toInt)
+        case m => throw new IllegalArgumentException(s"SpanDedup: unknown Mode '$m'")
+      }
+      val cleaned = graft.llm.Dedup.dedupSpans(spans, id)
+        .withColumnRenamed("text", "__cleaned")
+      val out = df.columns
+      df.join(cleaned, Seq(id))
+        .withColumn(tf, col("__cleaned"))
+        .select(out.map(col): _*)
+    })
+
+  val exactSubstrDedup: FilterDesc = mkFilter("ExactSubstrDedup",
+    "Cuts every exactly-duplicated K-token substring (at ANY alignment) " +
+      "out of the text field, keeping the corpus-wide first occurrence " +
+      "verbatim; untouched text passes through token-normalized.",
+    Seq(
+      ConfigKey("IdField", "unique id field; (id, position) decides 'earlier'",
+        required = true),
+      ConfigKey("Field", "text field to dedup (replaced by the cleaned text)",
+        required = true),
+      ConfigKey("K", "window width in tokens", default = Some(8L))))(
+    (_, cfg) => { df =>
+      val id = cfg.str("IdField")
+      val tf = cfg.str("Field")
+      require(!df.columns.contains("__cleaned"),
+        "ExactSubstrDedup reserves helper column '__cleaned'")
+      val cleaned = graft.llm.ExactSubstr.removeDuplicateWindows(
+          df.select(col(id), col(tf)), id, tf, cfg.int("K", 8L).toInt)
+        .withColumnRenamed("text", "__cleaned")
+      val out = df.columns
+      df.join(cleaned, Seq(id))
+        .withColumn(tf, col("__cleaned"))
+        .select(out.map(col): _*)
     })
 
   // ===================== outputs =====================
