@@ -153,8 +153,9 @@ object GraftFunctions {
       // shiftright/&63, which assumes non-negative integral costs — a
       // fractional cost would silently truncate, a negative one corrupts
       // the packed value, so both are rejected loudly here
-      rawCosts.foreach(cst => require(cst >= 0 && cst == cst.floor,
-        s"graft_unigram_cost: costs must be non-negative integers, got $cst"))
+      rawCosts.foreach(cst => require(
+        cst >= 0 && cst == cst.floor && cst <= Int.MaxValue,
+        s"graft_unigram_cost: costs must be non-negative 32-bit integers, got $cst"))
       val costs = rawCosts.map(_.toInt)
       require(pieces.length == costs.length,
         s"graft_unigram_cost: pieces (${pieces.length}) and costs (${costs.length}) differ")

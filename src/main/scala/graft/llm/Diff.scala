@@ -37,6 +37,13 @@ object Diff {
     */
   def corpusDiff(old: DataFrame, cur: DataFrame, keyCol: String,
       contentCol: String, strict: Boolean = true): DataFrame = {
+    // friendly failure for the one type class the dup-key pre-aggregation
+    // cannot carry (maps are not orderable, so max() rejects them) —
+    // surface the fix instead of a raw analyzer error
+    val ct = old.schema(contentCol).dataType
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(ct),
+      s"corpusDiff: content column '$contentCol' has unorderable type ${ct.simpleString}; " +
+        "diff on a hash of it instead (e.g. xxhash64(to_json(col)))")
     def side(df: DataFrame, contentAs: String, countAs: String): DataFrame =
       df.select(col(keyCol).as("__k"), col(contentCol).as("__c"))
         .groupBy("__k")

@@ -352,9 +352,19 @@ object Mix {
     // a null order value (or null id) must never occupy a cap slot: the
     // ascending struct sort places NULL FIRST, so null-ranked rows would
     // crowd out real best rows — and a null id can never match the
-    // left_semi recovery join, silently shrinking the output below n
-    val ranked = df.select(key.as("__k"), order.as("__o"), col(idCol).as("__id"))
-      .filter(col("__o").isNotNull && col("__id").isNotNull)
+    // left_semi recovery join, silently shrinking the output below n. For
+    // the documented composite pattern (`order` = a struct of rank
+    // fields), the struct itself is non-null even when a FIELD is, and
+    // null fields sort first all the same — so every top-level field must
+    // be non-null too.
+    val base = df.select(key.as("__k"), order.as("__o"), col(idCol).as("__id"))
+    val orderNotNull = base.schema("__o").dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fieldNames.foldLeft(col("__o").isNotNull)(
+          (acc, f) => acc && col("__o").getField(f).isNotNull)
+      case _ => col("__o").isNotNull
+    }
+    val ranked = base.filter(orderNotNull && col("__id").isNotNull)
     val topk = GraftShims.toColumn(
       new CollectTopK(
         GraftShims.toExpression(struct(col("__o"), col("__id"))), n, true)

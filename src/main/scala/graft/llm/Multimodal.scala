@@ -275,7 +275,9 @@ object Multimodal {
         var j = 0L
         while (valid && j < perChunk && sample < nSamples) {
           val sz = sizeOf(sample)
-          if (sz < 0 || off < 0 || off + sz > b.length) valid = false
+          // overflow-safe bounds: `off + sz` can wrap for crafted co64
+          // offsets near Long.Max, so compare against b.length - sz instead
+          if (sz < 0 || sz > b.length || off < 0 || off > b.length - sz) valid = false
           else {
             ranges += ((off.toInt, (off + sz).toInt))
             off += sz; j += 1; sample += 1
@@ -348,7 +350,33 @@ object Multimodal {
         }
         (if (allOnes) -1L else v, w)
       }
+      // end of an UNKNOWN-size Cluster (streamed muxes size every Cluster
+      // as 0xFF, not just the Segment): per EBML, such an element ends at
+      // the first ID that is not one of its children — walk the sized
+      // cluster-level elements (Timestamp/SimpleBlock/BlockGroup/Position/
+      // PrevSize/SilentTracks/CRC/Void) until a foreign ID (the next
+      // Cluster, typically) or the parent end
+      val clusterChildIds: Set[Long] =
+        Set(0xE7L, 0xA3L, 0xA0L, 0xA7L, 0xABL, 0x5854L, 0xBFL, 0xECL)
+      def clusterEnd(start: Int, end: Int): Int = {
+        var o = start
+        var done = false
+        while (!done && o < end) {
+          val (id, iw) = readId(o)
+          if (iw == 0 || !clusterChildIds.contains(id)) done = true
+          else {
+            val (sz, sw) = readSize(o + iw)
+            if (sw == 0 || sz < 0) done = true
+            else {
+              val ce = o.toLong + iw + sw + sz
+              if (ce > end || ce <= o) done = true else o = ce.toInt
+            }
+          }
+        }
+        o
+      }
       // children of [start, end): (id, contentStart, contentEnd); an
+      // unknown-size Cluster ends at its first foreign child ID, any other
       // unknown-size child extends to the parent's end; malformed headers
       // end the walk at the valid prefix
       def children(start: Int, end: Int): List[(Long, Int, Int)] = {
@@ -363,7 +391,11 @@ object Multimodal {
             if (sw == 0) ok = false
             else {
               val cs = o + iw + sw
-              val ce = if (sz < 0) end.toLong else cs + sz
+              val ce =
+                if (sz < 0) {
+                  if (id == 0x1F43B675L) clusterEnd(cs min end, end).toLong
+                  else end.toLong
+                } else cs + sz
               if (cs > end || ce > end) ok = false
               else { out += ((id, cs, ce.toInt)); o = ce.toInt }
             }

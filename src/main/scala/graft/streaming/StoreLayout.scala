@@ -13,25 +13,30 @@ import org.apache.spark.sql.SparkSession
   * never poison a later read.
   *
   * Compaction ([[compact]]) rewrites many partitions as one
-  * `batch=compact-<tag>/` partition under a two-phase commit that is
+  * `batch=compact-<tag>/` partition under a staged rename that is
   * crash-safe WITHOUT requiring readers to tolerate duplicate rows
   * (postings and code tables don't — a duplicated posting doubles a tf,
   * a duplicated code row duplicates an ANN candidate):
   *
-  *  1. the combined parquet is written (gets `_SUCCESS`), but a compact
-  *     partition is NOT yet committed — readers additionally require its
-  *     `_ABSORBED` manifest, so a crash here leaves the originals as the
-  *     only visible copy;
-  *  2. `_ABSORBED` (the newline-joined names of the absorbed partitions)
-  *     is created — THE commit point: from this instant readers see the
-  *     compact partition and exclude every absorbed name, so the data is
-  *     never visible twice even though both copies are on disk;
+  *  1. the combined parquet and its `_ABSORBED` manifest (the
+  *     newline-joined names of the absorbed partitions) are written to a
+  *     staging dir `_compacting-<tag>/` — readers never look at names
+  *     outside `batch=*`, so a crash here leaves an invisible orphan the
+  *     next run sweeps unconditionally;
+  *  2. the staging dir is RENAMED to `batch=compact-<tag>/` — THE commit
+  *     point (one metadata op): from this instant readers see the compact
+  *     partition and exclude every name its manifest absorbs, so no row
+  *     is ever visible twice even though both copies are on disk;
   *  3. the absorbed directories are deleted; a crash mid-delete leaves
   *     invisible garbage that the next [[compact]] run sweeps first.
   *
-  * The compact tag is the md5 of the absorbed-name set, so a re-run after
-  * any crash recomputes the same target and overwrites its own partial
-  * output — the same idempotency argument as the per-batch partitions.
+  * Because the manifest is staged WITH the data, a committed
+  * `batch=compact-*` dir always carries one — a compact dir without a
+  * manifest can only be a pre-manifest-era partition, which readers
+  * accept as ordinary committed data (absorbing nothing), keeping old
+  * stores readable. The compact tag is the md5 of the absorbed-name set,
+  * so a re-run after any crash recomputes the same staging target and
+  * overwrites its own partial output.
   */
 private[graft] object StoreLayout {
 
@@ -54,17 +59,17 @@ private[graft] object StoreLayout {
     }
   }
 
-  /** `batch=*` partitions a reader may trust: `_SUCCESS` present, compact
-    * partitions also carrying their `_ABSORBED` manifest, minus every
-    * partition some valid compact partition absorbed (it may still be on
-    * disk between compaction's commit and its deletes).
+  /** `batch=*` partitions a reader may trust: `_SUCCESS` present, minus
+    * every partition some compact partition's manifest absorbed (it may
+    * still be on disk between compaction's rename-commit and its
+    * deletes). Compact dirs without a manifest are pre-manifest-era
+    * partitions — committed, absorbing nothing.
     */
   private def listCommitted(fs: FileSystem, root: Path): Seq[FileStatus] = {
     if (!fs.exists(root)) return Nil
     val valid = fs.listStatus(root).toSeq.filter { s =>
       s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-        fs.exists(new Path(s.getPath, "_SUCCESS")) &&
-        (!isCompact(s.getPath.getName) || fs.exists(new Path(s.getPath, AbsorbedFile)))
+        fs.exists(new Path(s.getPath, "_SUCCESS"))
     }
     val absorbed = valid.filter(s => isCompact(s.getPath.getName))
       .flatMap(s => readAbsorbed(fs, s.getPath)).toSet
@@ -96,42 +101,78 @@ private[graft] object StoreLayout {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    // sweep: finish any earlier run's interrupted step 3 — absorbed dirs
+    // sweep 1: staging orphans from runs that died before their
+    // rename-commit — never reader-visible, always safe to delete
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compacting-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    // sweep 2: finish any earlier run's interrupted step 3 — absorbed dirs
     // are invisible to readers but must be gone before this run can list
     // (and possibly re-absorb) the partitions that absorbed them
-    val valid = listCommitted(fs, root)
-    valid.filter(s => isCompact(s.getPath.getName)).foreach { s =>
+    val committed0 = listCommitted(fs, root)
+    committed0.filter(s => isCompact(s.getPath.getName)).foreach { s =>
       readAbsorbed(fs, s.getPath).foreach { name =>
         val leftover = new Path(root, name)
         if (fs.exists(leftover)) fs.delete(leftover, true)
       }
     }
+    val valid = committed0
     if (valid.length <= 1) return
     val names = valid.map(_.getPath.getName).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     val tag = md.digest(names.mkString("\n").getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
+    val staging = new Path(root, s"_compacting-$tag")
     val target = new Path(root, s"batch=compact-$tag")
     spark.read.parquet(valid.map(_.getPath.toString): _*)
       .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(target.toString)
-    // the commit point: readers now see `target` and stop seeing `names`
-    val out = fs.create(new Path(target, AbsorbedFile), true)
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(staging, AbsorbedFile), true)
     try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // the commit point (one rename): readers now see `target`, whose
+    // manifest hides `names`
+    require(fs.rename(staging, target),
+      s"compact: rename $staging -> $target failed (concurrent compactor?)")
     valid.foreach(s => fs.delete(s.getPath, true))
   }
 
-  /** Stable-per-checkpoint, distinct-across-queries run tag: the md5
-    * prefix of the FULLY QUALIFIED checkpoint path (FileSystem-resolved,
-    * so "./chk" and "/abs/chk" spell the same tag — a restart that
-    * respells the dir must not mint a new tag, or the replayed batch
-    * would meet its own previous attempt's partition in the store).
+  /** Stable-per-checkpoint-INSTANCE, distinct-across-queries run tag: a
+    * random tag minted once and stored in a `graft-run-tag` file inside
+    * the checkpoint dir, so it shares the checkpoint's exact lifecycle.
+    *
+    * Why the tag cannot be a pure function of the checkpoint PATH (the
+    * pre-r10 scheme): batchIds restart at 0 whenever the checkpoint is
+    * wiped, and after a compaction the old `batch=<tag>-0` name lives on
+    * in a committed `_ABSORBED` manifest — a path-derived tag would remint
+    * the SAME name for the fresh query's first batch, making its new rows
+    * reader-invisible and letting the next compaction sweep delete them.
+    * A per-instance tag makes a wiped-and-restarted query a new writer
+    * with fresh names, while a restart with the checkpoint INTACT re-reads
+    * the stored tag and keeps the replay-overwrites-itself idempotency.
     */
   def runTagFor(spark: SparkSession, checkpointDir: String): String = {
     val p = new Path(checkpointDir)
-    val canonical = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(p).toUri.normalize().toString.stripSuffix("/")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(canonical.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagFile = new Path(p, "graft-run-tag")
+    def readTag(): Option[String] =
+      if (!fs.exists(tagFile)) None
+      else {
+        val in = fs.open(tagFile)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          val s = if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+          // a torn write (crash mid-create) re-mints rather than adopting
+          // a truncated tag that could collide
+          Some(s).filter(t => t.length == 12 && t.forall(c => "0123456789abcdef".contains(c)))
+        } finally in.close()
+      }
+    readTag().getOrElse {
+      val fresh = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      if (!fs.exists(p)) fs.mkdirs(p)
+      val out = fs.create(tagFile, true)
+      try out.write(fresh.getBytes("UTF-8")) finally out.close()
+      fresh
+    }
   }
 }

@@ -44,4 +44,12 @@ class DiffSpec extends SparkSpec {
     // max("a", "b") = "b" matches cur's "b" -> unchanged, exactly one row per key
     assert(got == Map(1L -> "unchanged", 2L -> "unchanged"))
   }
+
+  test("unorderable content types fail with a pointer to the hash-column fix") {
+    import spark.implicits._
+    val snap = Seq((1L, Map("a" -> "b"))).toDF("doc_id", "meta")
+    val ex = intercept[IllegalArgumentException](
+      Diff.corpusDiff(snap, snap, "doc_id", "meta"))
+    assert(ex.getMessage.contains("unorderable") && ex.getMessage.contains("xxhash64"))
+  }
 }

@@ -104,10 +104,14 @@ class GraftSqlSurfaceSpec extends SparkSpec {
     // 1 and -2 would corrupt the packed value, so both must fail loudly
     val frac = intercept[Exception](spark.sql(
       "SELECT graft_unigram_cost(graft_tokens(text), array('a', 'b'), array(1.5, 2.0)) FROM sql_docs"))
-    assert(frac.getMessage.contains("non-negative integers"), frac.getMessage)
+    assert(frac.getMessage.contains("non-negative"), frac.getMessage)
     val neg = intercept[Exception](spark.sql(
       "SELECT graft_unigram_cost(graft_tokens(text), array('a', 'b'), array(1, -2)) FROM sql_docs"))
-    assert(neg.getMessage.contains("non-negative integers"), neg.getMessage)
+    assert(neg.getMessage.contains("non-negative"), neg.getMessage)
+    // above Int.MaxValue, Double.toInt would silently saturate — reject
+    val huge = intercept[Exception](spark.sql(
+      "SELECT graft_unigram_cost(graft_tokens(text), array('a'), array(3000000000)) FROM sql_docs"))
+    assert(huge.getMessage.contains("32-bit"), huge.getMessage)
   }
 
   test("the spark.sql.extensions path injects the same function names") {

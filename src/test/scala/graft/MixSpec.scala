@@ -325,5 +325,17 @@ class MixSpec extends SparkSpec {
     val kept = Mix.capPerKey(df, col("k"), col("o"), "id", 2)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 4L), s"got $kept")
+
+    // the documented composite pattern: a struct order whose FIELD is null
+    // is itself non-null, but null fields sort first all the same — the
+    // guard must look inside the struct
+    val comp = Seq[(java.lang.Long, String, java.lang.Double, java.lang.Long)](
+      (1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L),
+      (3L, "a", null, 5L) // null quality, best-sorting without the guard
+    ).toDF("id", "k", "q", "ts")
+    val keptC = Mix.capPerKey(comp, col("k"),
+        struct(col("q").as("q"), col("ts").as("t")), "id", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptC == Set(1L, 2L), s"got $keptC")
   }
 }

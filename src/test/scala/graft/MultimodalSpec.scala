@@ -377,6 +377,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JvmCodecs.sampleFrames(1L, webm.take(12), n = 2).isEmpty)
   }
 
+  test("WebM demux: multiple UNKNOWN-size Clusters all contribute keyframes") {
+    // streamed muxes (MediaRecorder-style) size every Cluster as 0xFF, not
+    // just the Segment: each cluster must end at the next cluster's ID,
+    // not swallow the rest of the buffer
+    val videoEntry = ebml(id(0xAE),
+      ebml(id(0xD7), Array(1.toByte)), ebml(id(0x83), Array(1.toByte)))
+    val tracks = ebml(id(0x16, 0x54, 0xAE, 0x6B), videoEntry)
+    def cluster(data: String): Array[Byte] =
+      id(0x1F, 0x43, 0xB6, 0x75) ++ Array(0xFF.toByte) ++
+        ebml(id(0xE7), Array(0.toByte)) ++
+        ebml(id(0xA3), blockBytes(1, 0x80, data.getBytes))
+    val payload = ebml(id(0x1A, 0x45, 0xDF, 0xA3)) ++
+      id(0x18, 0x53, 0x80, 0x67) ++ Array(0xFF.toByte) ++
+      tracks ++ cluster("KF_A") ++ cluster("KF_B") ++ cluster("KF_C")
+    val frames = Multimodal.JvmCodecs.sampleFrames(1L, payload, n = 3)
+    assert(frames.map(f => new String(f.payload)) == Seq("KF_A", "KF_B", "KF_C"))
+  }
+
+  test("MP4 demux: overflow-crafted co64 offset drops the payload, no crash") {
+    val samples = Seq("AAAAAAAA", "BBBBBBBB").map(_.getBytes)
+    val mp4 = mp4Fixture(samples, Nil, co64 = true)
+    // the real chunk offset is 24 (= 0x18); find its 8-byte co64 encoding
+    // and replace it with a near-Long.Max value whose `off + size` wraps
+    val i = mp4.indexOfSlice(Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0x18))
+    assert(i >= 0, "co64 offset bytes not found")
+    val evil = mp4.clone()
+    val big = 0x7FFFFFFFFFFFFFF8L
+    for (j <- 0 until 8) evil(i + j) = ((big >> (8 * (7 - j))) & 0xFF).toByte
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, evil, n = 2).isEmpty)
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap

@@ -44,17 +44,45 @@ class StoreLayoutSpec extends SparkSpec {
     assert(readIds(dir) == Seq(1L, 2L, 3L, 4L, 5L) && partNames(dir) == parts)
   }
 
-  test("crash before _ABSORBED: the compact partition is invisible, originals serve") {
+  test("crash before the rename-commit: staging dir is invisible and swept") {
+    import spark.implicits._
     val dir = tmp().toString
     writeBatch(dir, "run-0", 1L)
     writeBatch(dir, "run-1", 2L)
     // simulate step 1 completing and the process dying before step 2: a
-    // compact partition with _SUCCESS but no _ABSORBED manifest
-    writeBatch(dir, "compact-deadbeef", 1L, 2L)
+    // fully-written staging dir that was never renamed into batch=*
+    Seq(1L, 2L).toDF("id").write.mode("overwrite").parquet(s"$dir/_compacting-dead")
     assert(readIds(dir) == Seq(1L, 2L), "originals must remain the only visible copy")
-    // a re-run recomputes (overwriting the orphan is fine) and commits
     StoreLayout.compact(spark, dir)
     assert(readIds(dir) == Seq(1L, 2L))
+    assert(!partNames(dir).exists(_.startsWith("_compacting-")), "orphan must be swept")
+  }
+
+  test("legacy compact partitions (pre-manifest era, no _ABSORBED) stay readable") {
+    val dir = tmp().toString
+    // an old-protocol store: its compaction deleted the originals but left
+    // no manifest — the reader must accept it as ordinary committed data
+    writeBatch(dir, "compact-1712345678901", 1L, 2L)
+    assert(readIds(dir) == Seq(1L, 2L), "legacy compact data must not vanish")
+    writeBatch(dir, "run-7", 3L)
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L, 3L) && partNames(dir).length == 1)
+  }
+
+  test("runTagFor: stable while the checkpoint lives, fresh after a wipe") {
+    val chk = tmp().toString + "/chk"
+    val t1 = StoreLayout.runTagFor(spark, chk)
+    assert(StoreLayout.runTagFor(spark, chk) == t1, "restart with intact checkpoint")
+    // wiping the checkpoint restarts batchIds at 0 — the tag must change,
+    // or the fresh query's batch=<tag>-0 collides with a name a committed
+    // _ABSORBED manifest already hides (and the next sweep would delete)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(chk))
+    val t2 = StoreLayout.runTagFor(spark, chk)
+    assert(t2 != t1 && t2.length == 12, s"wiped checkpoint must mint a fresh tag: $t2")
   }
 
   test("crash after _ABSORBED, before deletes: absorbed partitions are invisible") {
