@@ -490,4 +490,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(hpPlan.linesIterator.exists(l => l.contains("*(") && l.contains("hyperplane_sigs")),
       hpPlan)
   }
+
+  test("span reassembly adds exactly one doc-keyed exchange, no window") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(Dedup.dedupSpans(
+      Dedup.tokenChunks(docs, "doc_id", "text", 8), "doc_id"))
+    // firstSpanOccurrence's hash exchange + the reassembly groupBy — two
+    // total, still no window, still map-side min_by combine
+    assert(p.split("Exchange").length - 1 == 2, s"expected 2 exchanges:\n$p")
+    assert(p.contains("partial_min_by"), s"expected map-side combine:\n$p")
+    assert(!p.contains("Window"), s"reassembly must not use a window:\n$p")
+  }
+
+  test("exact-substring clean text reuses the window exchange, no cartesian") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.ExactSubstr.removeDuplicateWindows(
+      docs, "doc_id", "text", k = 8))
+    // the first-occurrence agg and the flag join must consume ONE shared
+    // shuffle of the window stream (the tokenize+shingle scan runs once)
+    assert(p.contains("ReusedExchange"), s"expected shared window exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window:\n$p")
+  }
 }
