@@ -1385,6 +1385,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_recall" -> ((s, d) => {
+      // the index-tuning harness: per-query recall@5 of the IVF-PQ tier
+      // (nprobe 2 of nlist 8 — real 4× cell pruning plus PQ quantization
+      // error) against exact brute force. Recall is genuinely partial and
+      // MEASURED — the oracle recomputes both pipelines (the full
+      // cell-prune/residual-ADC algorithm and the exact ranking) and must
+      // agree on every hit count
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+          graft.llm.IvfPq.adcTopK(emb, q, "vec_id", "embedding",
+            ivfPqCoarse, pqDemoModel, nprobe = 2, k = 5),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5, dim = 64),
+          k = 5)
+        .orderBy("query_id")
+    }),
+
     "q_mmr_rerank" -> ((s, d) => {
       // diversity re-ranking: 15 exact-cosine candidates per query, greedy
       // MMR (λ=0.5) to top-5 inside the bounded native expression — no
@@ -2902,6 +2919,38 @@ object SparkEntry {
            SELECT id FROM reach GROUP BY id HAVING min(x) < id)
          ORDER BY doc_id""",
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_recall" ->
+      // both pipelines restated (the IVF-PQ algorithm oracle verbatim as
+      // a subquery, brute force as in q_embed_topk), then hits = the
+      // per-query intersection; recall = hits/5, a small-integer division
+      // both engines compute identically
+      s"""WITH approx AS (SELECT query_id, neighbor_id FROM ($annIvfPqOracle)),
+         ex AS (
+           SELECT query_id, neighbor_id FROM (
+             WITH q AS (SELECT vec_id AS query_id, embedding
+                        FROM embeddings WHERE vec_id < 8),
+             scored AS (
+               SELECT q.query_id, e.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+               FROM q, embeddings e WHERE e.vec_id <> q.query_id
+             ), ranked AS (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+             SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+         ), hits AS (
+           SELECT a.query_id, count(*) AS c
+           FROM approx a JOIN ex e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           GROUP BY a.query_id
+         )
+         SELECT q.query_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS hits,
+                CAST(COALESCE(h.c, 0) AS DOUBLE) / 5 AS recall
+         FROM (SELECT DISTINCT query_id FROM ex) q
+         LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     "q_repetition" ->
       """WITH tok AS (
            SELECT doc_id, text,

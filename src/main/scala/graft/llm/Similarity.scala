@@ -161,4 +161,30 @@ object Similarity {
       .select(col(labelCol), col("n_vectors"),
         transform(col("__s"), e => e.getField("__m")).as("centroid"))
   }
+
+  /** Evaluation harness for the approximate tiers: per-query recall@k of
+    * an ANN result set against the exact one — the number you tune
+    * nprobe/nBits/bands against before committing a 100 TB index layout.
+    * Inputs are any two (query_id, neighbor_id, ...) result frames (the
+    * `*TopK` outputs); rows beyond those two columns are ignored. Output:
+    * (query_id, hits, recall) for every query present in `exact` —
+    * a query the approximate method returned nothing for scores 0, it
+    * does not silently vanish.
+    *
+    * Scale shape: both inputs are ALREADY top-k reductions (|queries|·k
+    * rows), so the intersection join and the per-query count are
+    * result-set-sized — nothing here touches the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK: k must be positive: $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
 }

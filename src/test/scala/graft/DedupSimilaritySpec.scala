@@ -506,4 +506,19 @@ class DedupSimilaritySpec extends SparkSpec {
       (0, 2L, Seq(2.0, 3.0, 4.0)),
       (1, 2L, Seq(6.0, 0.5, -0.5))))
   }
+
+  test("recallAtK: per-query intersection over k; absent queries score zero") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    // query 1: one of two right (the 99 miss doesn't count); query 2: the
+    // approximate method returned NOTHING — it must still appear, at 0
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val got = graft.llm.Similarity.recallAtK(approx, exact, k = 2)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+    intercept[IllegalArgumentException](
+      graft.llm.Similarity.recallAtK(approx, exact, k = 0))
+  }
 }
