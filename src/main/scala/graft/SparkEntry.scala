@@ -253,6 +253,39 @@ object SparkEntry {
     (pre, sbHdr)
   }
 
+  /** Fixed FRAGMENTED-MP4 prefix for q_multimodal_fmp4: ftyp + moov (video
+    * track 1, mvex/trex defaulting samples to non-sync) + one moof whose
+    * trun declares two 8-byte SYNC samples at default-base-is-moof
+    * addressing + the mdat header. The 16 media bytes the document
+    * supplies are the last bytes of the payload, so the whole container
+    * is one literal prefix.
+    */
+  private lazy val fmp4QueryFixture: Array[Byte] = {
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, content: Array[Byte]*): Array[Byte] = {
+      val c = content.flatten.toArray
+      be32(c.length + 8) ++ typ.getBytes("ISO-8859-1") ++ c
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0))
+    val moov = box("moov",
+      box("trak",
+        box("tkhd", be32(0), be32(0), be32(0), be32(1)),
+        box("mdia", box("hdlr", be32(0), be32(0), "vide".getBytes))),
+      box("mvex", box("trex",
+        be32(0), be32(1), be32(1), be32(0), be32(0), be32(0x10000))))
+    def moofFor(off: Int): Array[Byte] = box("moof",
+      box("mfhd", be32(0), be32(1)),
+      box("traf",
+        box("tfhd", be32(0x020000), be32(1)),
+        // trun: data-offset + per-sample size + per-sample flags (0x601),
+        // two 8-byte samples, both sync (flags 0)
+        box("trun", be32(0x601), be32(2), be32(off),
+          be32(8), be32(0), be32(8), be32(0))))
+    val moofLen = moofFor(0).length // length independent of the offset value
+    ftyp ++ moov ++ moofFor(moofLen + 8) ++ (be32(8 + 16) ++ "mdat".getBytes)
+  }
+
   /** Fixed PQ model shared by q_pq_encode / q_ann_pq and their oracles —
     * a query parameter like q_ann_lsh's hyperplanes (oracle strategy 2):
     * every centroid weight is a pure function of (seed, flat index), so
@@ -2005,6 +2038,21 @@ object SparkEntry {
         .orderBy("doc_id", "frame_ix")
     }),
 
+    "q_multimodal_fmp4" -> ((s, d) => {
+      // the DASH/CMAF flavor: the same 16 text bytes as the two sync
+      // samples of a moof/trun fragment — exercises the fragment walker
+      // (tfhd defaults, trun sample run) instead of the moov sample tables
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 16)
+        .withColumn("payload", concat(lit(fmp4QueryFixture),
+          col("text").cast("binary").substr(1, 16)))
+      graft.llm.Multimodal.sampleFrames(docs, "doc_id", "payload", n = 2,
+          codecs = graft.llm.Multimodal.JvmCodecs)
+        .toDF()
+        .select(col("doc_id"), col("frame_ix"),
+          col("payload").cast("string").as("frame_text"))
+        .orderBy("doc_id", "frame_ix")
+    }),
+
     "q_multimodal_audio" -> ((s, d) => {
       // REAL audio decode under the oracle: build a valid 8 kHz mono
       // 16-bit WAV per document IN COLUMN ALGEBRA (RIFF/fmt/data headers
@@ -3441,6 +3489,17 @@ object SparkEntry {
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 17, 8) AS frame_text
          FROM documents WHERE length(text) >= 32
+         ORDER BY doc_id, frame_ix""",
+    "q_multimodal_fmp4" ->
+      // both trun samples are sync, 8 bytes each, contiguous at the end of
+      // the payload — exactly text bytes [1,8] and [9,16]
+      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+                substr(text, 1, 8) AS frame_text
+         FROM documents WHERE length(text) >= 16
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
+                substr(text, 9, 8) AS frame_text
+         FROM documents WHERE length(text) >= 16
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_webm" ->
       // both SimpleBlocks are keyframes on the video track, so the demux

@@ -178,88 +178,111 @@ object Multimodal {
       } else StubCodecs.sampleFrames(docId, payload, n)
     }
 
-    /** REAL ISO-BMFF (MP4) keyframe demux — pure box walking, no codec:
-      * find the first `moov`→`trak` whose `mdia/hdlr` handler is `vide`,
-      * expand its sample tables (`stsz` sizes, `stsc` sample-to-chunk
-      * runs, `stco`/`co64` chunk offsets) into per-sample [start, end)
-      * byte ranges, and keep the sync samples `stss` names (absent
-      * `stss` = every sample is a keyframe, per the spec). Ranges are
-      * validated against the payload bounds — a truncated `mdat`
-      * truncates the keyframe list to its valid prefix rather than
-      * emitting frames that point past the buffer. 64-bit `co64` offsets
-      * are honored up to 2 GiB (an in-memory payload's hard bound — the
-      * same guard the WARC reader applies).
+    /** REAL ISO-BMFF (MP4) keyframe demux — pure box walking, no codec,
+      * BOTH container flavors:
+      *
+      *  - progressive (`moov` sample tables): expand `stsz`/`stsc`/
+      *    `stco`|`co64` into per-sample [start, end) ranges and keep the
+      *    sync samples `stss` names (absent `stss` = every sample is a
+      *    keyframe, per the spec);
+      *  - fragmented (DASH/CMAF: `moof` + `mdat` pairs): match each
+      *    fragment's `traf` to the video track, walk its `trun` sample
+      *    runs (explicit or `tfhd`/`trex`-inherited sizes and flags,
+      *    base-data-offset / default-base-is-moof addressing, running
+      *    cursor across runs), and keep samples whose flags clear the
+      *    `sample_is_non_sync_sample` bit.
+      *
+      * Ranges are validated overflow-safely against the payload bounds —
+      * a truncated `mdat` truncates the keyframe list to its valid prefix
+      * rather than emitting frames that point past the buffer. 64-bit
+      * offsets are honored up to 2 GiB (an in-memory payload's hard
+      * bound — the same guard the WARC reader applies).
       */
     private def mp4KeyframeRanges(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
-      def u32(o: Int): Long =
-        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
-          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
-      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-      // children of a container span as (type, contentStart, contentEnd);
-      // malformed headers end the walk at the valid prefix
-      def children(start: Int, end: Int): List[(String, Int, Int)] = {
-        val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
-        var o = start
-        var ok = true
-        while (ok && o + 8 <= end) {
-          val sz = u32(o)
-          val typ = new String(b, o + 4, 4, "ISO-8859-1")
-          val (cs, boxEnd: Long) =
-            if (sz == 1 && o + 16 <= end) (o + 16, o + u64(o + 8))
-            else if (sz == 0) (o + 8, end.toLong)
-            else (o + 8, o + sz)
-          if (sz == 1 && o + 16 > end) ok = false
-          else if (boxEnd > end || boxEnd <= o || cs > boxEnd) ok = false
-          else { out += ((typ, cs, boxEnd.toInt)); o = boxEnd.toInt }
-        }
-        out.toList
-      }
-      def box(cs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
-        cs.find(_._1 == t).map(c => (c._2, c._3))
-      val moov = box(children(0, b.length), "moov").getOrElse(return IndexedSeq.empty)
-      val videoStbl = children(moov._1, moov._2).filter(_._1 == "trak").iterator
-        .flatMap { trak =>
-          val mdia = box(children(trak._2, trak._3), "mdia")
-          val isVideo = mdia.flatMap(m => box(children(m._1, m._2), "hdlr")).exists {
-            case (hs, he) => hs + 12 <= he &&
-              new String(b, hs + 8, 4, "ISO-8859-1") == "vide"
+      val top = bmffChildren(b, 0, b.length)
+      def box(cs: List[(String, Int, Int, Int)], t: String): Option[(Int, Int)] =
+        cs.find(_._1 == t).map(c => (c._3, c._4))
+      val moov = box(top, "moov").getOrElse(return IndexedSeq.empty)
+      val moovKids = bmffChildren(b, moov._1, moov._2)
+      // the first trak whose mdia/hdlr handler is 'vide'
+      val videoTrak = moovKids.filter(_._1 == "trak").iterator
+        .map(trak => bmffChildren(b, trak._3, trak._4))
+        .find { kids =>
+          box(kids, "mdia").map(m => bmffChildren(b, m._1, m._2))
+            .flatMap(mk => box(mk, "hdlr")).exists { case (hs, he) =>
+              hs + 12 <= he && new String(b, hs + 8, 4, "ISO-8859-1") == "vide"
+            }
+        }.getOrElse(return IndexedSeq.empty)
+      val progressive = box(videoTrak, "mdia")
+        .map(m => bmffChildren(b, m._1, m._2))
+        .flatMap(mk => box(mk, "minf"))
+        .map(mi => bmffChildren(b, mi._1, mi._2))
+        .flatMap(mik => box(mik, "stbl"))
+        .map(st => mp4StblKeyframes(b, bmffChildren(b, st._1, st._2)))
+        .getOrElse(IndexedSeq.empty)
+      val fragmented =
+        if (!top.exists(_._1 == "moof")) IndexedSeq.empty[(Int, Int)]
+        else {
+          // the video track's id (tkhd) + its trex defaults, both needed
+          // to match and default the fragments
+          val vid = box(videoTrak, "tkhd").flatMap { case (s, e) =>
+            if (s + 4 > e) None
+            else {
+              val off = if ((b(s) & 0xFF) == 1) s + 20 else s + 12
+              if (off + 4 > e) None else Some(bmffU32(b, off))
+            }
           }
-          if (!isVideo) None
-          else mdia.flatMap(m => box(children(m._1, m._2), "minf"))
-            .flatMap(mi => box(children(mi._1, mi._2), "stbl"))
-        }.nextOption().getOrElse(return IndexedSeq.empty)
-      val stbl = children(videoStbl._1, videoStbl._2)
-      val stsz = box(stbl, "stsz").getOrElse(return IndexedSeq.empty)
-      val stsc = box(stbl, "stsc").getOrElse(return IndexedSeq.empty)
-      val stcoOpt = box(stbl, "stco").map((_, false))
-        .orElse(box(stbl, "co64").map((_, true)))
-      val ((stco, co64)) = stcoOpt.getOrElse(return IndexedSeq.empty)
+          vid.map { id =>
+            val trex = box(moovKids, "mvex")
+              .map(mv => bmffChildren(b, mv._1, mv._2)).toList
+              .flatMap(_.filter(_._1 == "trex"))
+              .find(t => t._4 - t._3 >= 24 && bmffU32(b, t._3 + 4) == id)
+            val defSize = trex.map(t => bmffU32(b, t._3 + 16)).getOrElse(-1L)
+            val defFlags = trex.map(t => bmffU32(b, t._3 + 20)).getOrElse(0L)
+            mp4FragmentKeyframes(b, top, id, defSize, defFlags)
+          }.getOrElse(IndexedSeq.empty)
+        }
+      progressive ++ fragmented
+    }
+
+    /** Progressive sample tables → keyframe ranges (see
+      * [[mp4KeyframeRanges]]); empty when the tables are absent or declare
+      * zero samples (the normal fMP4 shape).
+      */
+    private def mp4StblKeyframes(b: Array[Byte],
+        stbl: List[(String, Int, Int, Int)]): IndexedSeq[(Int, Int)] = {
+      def box(t: String): Option[(Int, Int)] =
+        stbl.find(_._1 == t).map(c => (c._3, c._4))
+      val stsz = box("stsz").getOrElse(return IndexedSeq.empty)
+      val stsc = box("stsc").getOrElse(return IndexedSeq.empty)
+      val ((stco, co64)) = box("stco").map((_, false))
+        .orElse(box("co64").map((_, true))).getOrElse(return IndexedSeq.empty)
       // stsz: verflags(4) uniform_size(4) count(4) [+ per-sample sizes]
       if (stsz._1 + 12 > stsz._2) return IndexedSeq.empty
-      val uniform = u32(stsz._1 + 4)
-      val nSamples0 = u32(stsz._1 + 8)
+      val uniform = bmffU32(b, stsz._1 + 4)
+      val nSamples0 = bmffU32(b, stsz._1 + 8)
       if (nSamples0 <= 0 || nSamples0 > Int.MaxValue) return IndexedSeq.empty
       val nSamples = nSamples0.toInt
       def sizeOf(s: Int): Long =
         if (uniform != 0) uniform
-        else { val o = stsz._1 + 12 + 4 * s; if (o + 4 > stsz._2) -1 else u32(o) }
+        else { val o = stsz._1 + 12 + 4 * s; if (o + 4 > stsz._2) -1 else bmffU32(b, o) }
       // stsc: verflags(4) entry_count(4) then (first_chunk, per_chunk, desc)×
       if (stsc._1 + 8 > stsc._2) return IndexedSeq.empty
-      val nRuns = u32(stsc._1 + 4).toInt
+      val nRuns = bmffU32(b, stsc._1 + 4).toInt
       if (nRuns <= 0 || stsc._1 + 8 + 12L * nRuns > stsc._2) return IndexedSeq.empty
       val runs = IndexedSeq.tabulate(nRuns) { i =>
         val o = stsc._1 + 8 + 12 * i
-        (u32(o), u32(o + 4)) // (first_chunk 1-based, samples_per_chunk)
+        (bmffU32(b, o), bmffU32(b, o + 4)) // (first_chunk 1-based, samples_per_chunk)
       }
       // stco/co64: verflags(4) count(4) then offsets
       if (stco._1 + 8 > stco._2) return IndexedSeq.empty
-      val nChunks = u32(stco._1 + 4).toInt
+      val nChunks = bmffU32(b, stco._1 + 4).toInt
       val offW = if (co64) 8 else 4
       if (nChunks <= 0 || stco._1 + 8 + offW.toLong * nChunks > stco._2)
         return IndexedSeq.empty
       def chunkOff(c: Int): Long = {
         val o = stco._1 + 8 + offW * c
-        if (co64) u64(o) else u32(o)
+        if (co64) bmffU64(b, o) else bmffU32(b, o)
       }
       // expand to per-sample ranges, stopping at the first range that
       // falls outside the buffer (truncated mdat → valid prefix)
@@ -288,17 +311,135 @@ object Multimodal {
       val all = ranges.result()
       if (all.isEmpty) return IndexedSeq.empty
       // stss names the sync samples (1-based); absent stss = all sync
-      box(stbl, "stss") match {
+      box("stss") match {
         case None => all
         case Some((ss, se)) =>
           if (ss + 8 > se) return IndexedSeq.empty
-          val nSync = u32(ss + 4).toInt
+          val nSync = bmffU32(b, ss + 4).toInt
           if (nSync < 0 || ss + 8 + 4L * nSync > se) return IndexedSeq.empty
           (0 until nSync).flatMap { i =>
-            val s = u32(ss + 8 + 4 * i)
+            val s = bmffU32(b, ss + 8 + 4 * i)
             if (s >= 1 && s <= all.length) Some(all(s.toInt - 1)) else None
           }
       }
+    }
+
+    /** Fragment (`moof`/`traf`/`trun`) sample runs → keyframe ranges for
+      * the video track. Addressing: explicit `tfhd` base-data-offset wins;
+      * otherwise the moof's own first byte (the `default-base-is-moof`
+      * behavior, which is also the only self-consistent default for an
+      * in-memory payload); a `trun` without its own data offset continues
+      * where the previous run's samples ended. Sample size/flags resolve
+      * per-sample → `trun` first-sample-flags → `tfhd` default → `trex`
+      * default; a sample is a keyframe when `sample_is_non_sync_sample`
+      * (bit 16) is clear. Missing sizes or out-of-bounds ranges stop the
+      * walk at the valid prefix, like the progressive path.
+      */
+    private def mp4FragmentKeyframes(b: Array[Byte],
+        top: List[(String, Int, Int, Int)], videoId: Long,
+        trexSize: Long, trexFlags: Long): IndexedSeq[(Int, Int)] = {
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      for (moof <- top.filter(_._1 == "moof")) {
+        val moofStart = moof._2
+        val trafs = bmffChildren(b, moof._3, moof._4).filter(_._1 == "traf")
+        for (traf <- trafs) {
+          val kids = bmffChildren(b, traf._3, traf._4)
+          kids.find(_._1 == "tfhd").foreach { tfhd =>
+            val (s, e) = (tfhd._3, tfhd._4)
+            if (s + 8 <= e && bmffU32(b, s + 4) == videoId) {
+              val tfFlags = bmffU32(b, s) & 0xFFFFFF
+              var o = s + 8
+              var base: Long = moofStart.toLong
+              if ((tfFlags & 0x01) != 0 && o + 8 <= e) { base = bmffU64(b, o); o += 8 }
+              if ((tfFlags & 0x02) != 0) o += 4 // sample-description-index
+              if ((tfFlags & 0x08) != 0) o += 4 // default-sample-duration
+              val defSize =
+                if ((tfFlags & 0x10) != 0 && o + 4 <= e) { val v = bmffU32(b, o); o += 4; v }
+                else trexSize
+              val defFlags =
+                if ((tfFlags & 0x20) != 0 && o + 4 <= e) { val v = bmffU32(b, o); o += 4; v }
+                else trexFlags
+              var cursor: Long = -1L
+              var valid = true
+              for (trun <- kids.filter(_._1 == "trun") if valid) {
+                val (ts, te) = (trun._3, trun._4)
+                if (ts + 8 > te) valid = false
+                else {
+                  val trFlags = bmffU32(b, ts) & 0xFFFFFF
+                  val n = bmffU32(b, ts + 4)
+                  var p = ts + 8
+                  if ((trFlags & 0x01) != 0 && p + 4 <= te) {
+                    // data_offset is SIGNED, relative to the base
+                    cursor = base + bmffU32(b, p).toInt; p += 4
+                  } else if (cursor < 0) cursor = base
+                  var firstFlags = -1L
+                  if ((trFlags & 0x04) != 0 && p + 4 <= te) {
+                    firstFlags = bmffU32(b, p); p += 4
+                  }
+                  var i = 0L
+                  while (valid && i < n) {
+                    if ((trFlags & 0x100) != 0) p += 4 // duration
+                    val sz =
+                      if ((trFlags & 0x200) != 0) {
+                        if (p + 4 > te) { valid = false; -1L }
+                        else { val v = bmffU32(b, p); p += 4; v }
+                      } else defSize
+                    val fl =
+                      if ((trFlags & 0x400) != 0) {
+                        if (p + 4 > te) { valid = false; 0L }
+                        else { val v = bmffU32(b, p); p += 4; v }
+                      } else if (i == 0 && firstFlags >= 0) firstFlags
+                      else defFlags
+                    if ((trFlags & 0x800) != 0) p += 4 // composition offset
+                    if (valid) {
+                      if (sz < 0 || sz > b.length || cursor < 0 ||
+                        cursor > b.length - sz) valid = false
+                      else {
+                        if ((fl & 0x10000L) == 0)
+                          out += ((cursor.toInt, (cursor + sz).toInt))
+                        cursor += sz
+                      }
+                    }
+                    i += 1
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
+    private def bmffU32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+    private def bmffU64(b: Array[Byte], o: Int): Long =
+      (bmffU32(b, o) << 32) | bmffU32(b, o + 4)
+
+    /** Children of a box span as (type, boxStart, contentStart,
+      * contentEnd) — boxStart is needed by the fragment path (base data
+      * offsets are moof-relative). Malformed headers end the walk at the
+      * valid prefix.
+      */
+    private def bmffChildren(b: Array[Byte], start: Int,
+        end: Int): List[(String, Int, Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int, Int)]
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val sz = bmffU32(b, o)
+        val typ = new String(b, o + 4, 4, "ISO-8859-1")
+        val (cs, boxEnd: Long) =
+          if (sz == 1 && o + 16 <= end) (o + 16, o + bmffU64(b, o + 8))
+          else if (sz == 0) (o + 8, end.toLong)
+          else (o + 8, o + sz)
+        if (sz == 1 && o + 16 > end) ok = false
+        else if (boxEnd > end || boxEnd <= o || cs > boxEnd) ok = false
+        else { out += ((typ, o, cs, boxEnd.toInt)); o = boxEnd.toInt }
+      }
+      out.toList
     }
 
     /** REAL WebM/Matroska keyframe demux — EBML element walking, no

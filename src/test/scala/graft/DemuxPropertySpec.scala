@@ -17,14 +17,10 @@ class DemuxPropertySpec extends SparkSpec {
   private def sample[T](g: Gen[T], seed: Long): T =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
-  private def be32(v: Int): Array[Byte] =
-    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Int): Array[Byte] = MediaFixtures.be32(v)
 
-  private def box(typ: String, content: Array[Byte]*): Array[Byte] = {
-    val c = content.flatten.toArray
-    be32(c.length + 8) ++ typ.getBytes("ISO-8859-1") ++ c
-  }
+  private def box(typ: String, content: Array[Byte]*): Array[Byte] =
+    MediaFixtures.bmffBox(typ, content: _*)
 
   /** Full-generality ISO-BMFF builder: per-sample sizes (stsz table),
     * arbitrary chunk grouping (stsc runs compressed from the per-chunk
@@ -104,14 +100,44 @@ class DemuxPropertySpec extends SparkSpec {
     }
   }
 
+  // --- fragmented MP4 ---
+
+  private val fmp4Gen: Gen[List[List[List[(Array[Byte], Option[Int])]]]] = for {
+    nFrags <- Gen.choose(1, 3)
+    frags <- Gen.listOfN(nFrags, for {
+      nTruns <- Gen.choose(1, 3)
+      truns <- Gen.listOfN(nTruns, for {
+        nSamples <- Gen.choose(1, 5)
+        samples <- Gen.listOfN(nSamples, for {
+          len <- Gen.choose(1, 12)
+          bytes <- Gen.listOfN(len, Gen.choose(0, 255))
+          key <- Gen.oneOf(true, false)
+        } yield (bytes.map(_.toByte).toArray,
+          Some(if (key) 0 else 0x10000): Option[Int]))
+      } yield samples)
+    } yield truns)
+  } yield frags
+
+  test("fragmented MP4 demux returns exactly the sync samples, any fragmentation") {
+    for (seed <- 1L to 60L) {
+      val frags = sample(fmp4Gen, seed)
+      val payload = MediaFixtures.fmp4Fixture(frags)
+      val expected = frags.flatten.flatten
+        .collect { case (d, Some(0)) => d }
+      val got = Multimodal.JvmCodecs.sampleFrames(seed, payload,
+        n = expected.length max 1)
+      if (expected.isEmpty) assert(got.isEmpty, s"seed=$seed: expected no keyframes")
+      else assert(got.map(_.payload.toSeq) == expected.map(_.toSeq),
+        s"seed=$seed frags=${frags.map(_.map(_.length))}")
+    }
+  }
+
   // --- WebM ---
 
-  private def id(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+  private def id(bytes: Int*): Array[Byte] = MediaFixtures.ebmlId(bytes: _*)
 
-  private def ebml(eid: Array[Byte], content: Array[Byte]*): Array[Byte] = {
-    val c = content.flatten.toArray
-    eid ++ Array((0x40 | (c.length >> 8)).toByte, (c.length & 0xFF).toByte) ++ c
-  }
+  private def ebml(eid: Array[Byte], content: Array[Byte]*): Array[Byte] =
+    MediaFixtures.ebmlEl(eid, content: _*)
 
   private case class Blk(track: Int, key: Boolean, group: Boolean, data: Array[Byte])
 

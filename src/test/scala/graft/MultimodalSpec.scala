@@ -244,16 +244,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JvmCodecs.sampleFrames(10L, corrupt, n = 2).isEmpty)
   }
 
-  // --- ISO-BMFF (MP4) fixtures: hand-built box trees ---
+  // --- ISO-BMFF (MP4) fixtures: hand-built box trees (shared byte
+  // primitives live in MediaFixtures) ---
 
-  private def be32(v: Int): Array[Byte] =
-    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Int): Array[Byte] = MediaFixtures.be32(v)
 
-  private def bmffBox(typ: String, content: Array[Byte]*): Array[Byte] = {
-    val c = content.flatten.toArray
-    be32(c.length + 8) ++ typ.getBytes("ISO-8859-1") ++ c
-  }
+  private def bmffBox(typ: String, content: Array[Byte]*): Array[Byte] =
+    MediaFixtures.bmffBox(typ, content: _*)
 
   /** One video track, samples in one chunk; stss marks `sync` (1-based)
     * as keyframes (empty = omit stss = all sync). `mdatLast` moves the
@@ -323,19 +320,43 @@ class MultimodalSpec extends SparkSpec {
       .map(f => new String(f.payload)) == Seq("AAAAAAAA", "BBBBBBBB"))
   }
 
-  // --- WebM/Matroska fixtures: hand-built EBML trees ---
+  private def fmp4Fixture(
+      frags: Seq[Seq[Seq[(Array[Byte], Option[Int])]]],
+      firstSampleFlags: Option[Int] = None): Array[Byte] =
+    MediaFixtures.fmp4Fixture(frags, firstSampleFlags)
 
-  private def id(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
-
-  /** EBML element with a fixed 2-byte size encoding (0x40 marker). */
-  private def ebml(eid: Array[Byte], content: Array[Byte]*): Array[Byte] = {
-    val c = content.flatten.toArray
-    require(c.length < (1 << 14))
-    eid ++ Array((0x40 | (c.length >> 8)).toByte, (c.length & 0xFF).toByte) ++ c
+  test("fragmented MP4 (moof/trun): keyframes across fragments and runs") {
+    val key = Some(0)            // sync-sample flags
+    val nonKey = Some(0x10000)   // sample_is_non_sync_sample
+    val fmp4 = fmp4Fixture(Seq(
+      // fragment 1: one trun, per-sample flags
+      Seq(Seq(("F1AAAAAA".getBytes, key), ("F1B".getBytes, nonKey),
+        ("F1CCCC".getBytes, key))),
+      // fragment 2: trun 1 has no per-sample flags (trex default = non-sync,
+      // overridden for its first sample by first-sample-flags = sync);
+      // trun 2 omits its data offset and must continue at the cursor
+      Seq(Seq(("F2A".getBytes, None), ("F2BBB".getBytes, None)),
+        Seq(("F2CC".getBytes, key)))),
+      firstSampleFlags = Some(0))
+    val frames = Multimodal.JvmCodecs.sampleFrames(1L, fmp4, n = 4)
+    assert(frames.map(f => new String(f.payload)) ==
+      Seq("F1AAAAAA", "F1CCCC", "F2A", "F2CC"))
+    // truncating the last mdat drops only the keyframes past the cut
+    val truncated = fmp4.take(fmp4.length - 6)
+    val got = Multimodal.JvmCodecs.sampleFrames(1L, truncated, n = 3)
+    assert(got.map(f => new String(f.payload)) == Seq("F1AAAAAA", "F1CCCC", "F2A"))
   }
 
+  // --- WebM/Matroska fixtures: hand-built EBML trees (shared byte
+  // primitives live in MediaFixtures) ---
+
+  private def id(bytes: Int*): Array[Byte] = MediaFixtures.ebmlId(bytes: _*)
+
+  private def ebml(eid: Array[Byte], content: Array[Byte]*): Array[Byte] =
+    MediaFixtures.ebmlEl(eid, content: _*)
+
   private def blockBytes(track: Int, flags: Int, data: Array[Byte]): Array[Byte] =
-    Array((0x80 | track).toByte, 0.toByte, 0.toByte, flags.toByte) ++ data
+    MediaFixtures.mkvBlockBytes(track, flags, data)
 
   private def webmFixture(unknownSegmentSize: Boolean = false): Array[Byte] = {
     val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3))
