@@ -2053,6 +2053,34 @@ object SparkEntry {
         .orderBy("doc_id", "frame_ix")
     }),
 
+    "q_multimodal_dims" -> ((s, d) => {
+      // the decode-free resolution filter, oracle-checked: build a real
+      // PNG, GIF and BMP header per document whose dimensions derive from
+      // doc fields (BMP planted TOP-DOWN, i.e. negative height, to pin the
+      // sign handling), sniff them back via pure byte plucks, and let the
+      // oracle recompute the dims from the same fields
+      def be(c: org.apache.spark.sql.Column, nBytes: Int) =
+        unhex(lpad(hex(c), nBytes * 2, "0"))
+      def le(c: org.apache.spark.sql.Column, nBytes: Int) = {
+        val hx = lpad(hex(c), nBytes * 2, "0")
+        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(hx, i * 2 + 1, 2)): _*))
+      }
+      val docs = t(s, d, "documents")
+      val w = col("n_chars") % 800 + 1
+      val h = col("doc_id") % 600 + 1
+      val pngHdr = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+        0, 0, 0, 13) ++ "IHDR".getBytes
+      val png = concat(lit(pngHdr), be(w, 4), be(h, 4))
+      val gif = concat(lit("GIF89a".getBytes), le(w, 2), le(h, 2))
+      val bmp = concat(lit(Array[Byte]('B', 'M') ++ new Array[Byte](16)),
+        le(w, 4), le(lit(4294967296L) - h, 4)) // top-down: height stored negative
+      def sniff(payload: org.apache.spark.sql.Column) =
+        graft.llm.Multimodal.payloadDims(
+          docs.withColumn("__p", payload), "doc_id", "__p")
+      sniff(png).unionByName(sniff(gif)).unionByName(sniff(bmp))
+        .orderBy("doc_id", "format")
+    }),
+
     "q_multimodal_audio" -> ((s, d) => {
       // REAL audio decode under the oracle: build a valid 8 kHz mono
       // 16-bit WAV per document IN COLUMN ALGEBRA (RIFF/fmt/data headers
@@ -3490,6 +3518,16 @@ object SparkEntry {
                 substr(text, 17, 8) AS frame_text
          FROM documents WHERE length(text) >= 32
          ORDER BY doc_id, frame_ix""",
+    "q_multimodal_dims" ->
+      // the sniffed dims are exactly the planted per-doc values, one row
+      // per (doc, format); the BMP's negative stored height reports |h|
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 800 + 1 AS BIGINT) AS w,
+                           CAST(doc_id % 600 + 1 AS BIGINT) AS h
+                    FROM documents)
+         SELECT doc_id, 'png' AS format, w AS width, h AS height FROM d
+         UNION ALL SELECT doc_id, 'gif', w, h FROM d
+         UNION ALL SELECT doc_id, 'bmp', w, h FROM d
+         ORDER BY doc_id, format""",
     "q_multimodal_fmp4" ->
       // both trun samples are sync, 8 bytes each, contiguous at the end of
       // the payload — exactly text bytes [1,8] and [9,16]

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns for training-data pipelines.
@@ -880,5 +880,44 @@ object Multimodal {
         .when(head.startsWith("47494638"), "gif")
         .when(head.startsWith("52494646"), "riff")
         .otherwise("unknown").as("sniffed_type"))
+  }
+
+  /** Image dimensions from the HEADER BYTES alone — the decode-free
+    * resolution filter every image-crawl pipeline runs before paying for
+    * pixel decode ("drop < 256×256" over billions of payloads). Pure
+    * column algebra (byte plucks via substring/hex/conv), so it stays
+    * inside whole-stage codegen in the scan stage, pushes down with
+    * projections, and an external SQL engine can restate it verbatim.
+    *
+    * Formats with fixed-offset dimensions: PNG (IHDR big-endian at 17/21),
+    * GIF (logical screen little-endian at 7/9), BMP (BITMAPINFOHEADER
+    * little-endian at 19/23, signed height for top-down bitmaps → abs).
+    * JPEG dimensions live in an SOF segment at a variable offset behind
+    * entropy-coded data — not expressible as a fixed pluck; route JPEGs
+    * through [[decodeImages]] (real decode) instead. Unknown formats and
+    * too-short payloads report null dims, never garbage.
+    */
+  def payloadDims(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val p = col(payloadCol).cast("binary")
+    def u8(off: Int): Column = conv(hex(substring(p, off, 1)), 16, 10).cast("long")
+    def be32(off: Int): Column = conv(hex(substring(p, off, 4)), 16, 10).cast("long")
+    def le16(off: Int): Column = u8(off) + u8(off + 1) * 256
+    def le32(off: Int): Column =
+      u8(off) + u8(off + 1) * 256 + u8(off + 2) * 65536 + u8(off + 3) * 16777216
+    val head = hex(substring(p, 1, 8))
+    val nullDim = lit(null).cast("long")
+    // BMP height is SIGNED (negative = top-down row order) — report |h|
+    val bmpH = le32(23)
+    val bmpAbsH = when(bmpH >= 2147483648L, lit(4294967296L) - bmpH).otherwise(bmpH)
+    val sniff =
+      when(head.startsWith("89504E470D0A1A0A") && length(p) >= 24,
+        struct(lit("png").as("f"), be32(17).as("w"), be32(21).as("h")))
+      .when(head.startsWith("474946") && length(p) >= 10,
+        struct(lit("gif").as("f"), le16(7).as("w"), le16(9).as("h")))
+      .when(head.startsWith("424D") && length(p) >= 26,
+        struct(lit("bmp").as("f"), le32(19).as("w"), bmpAbsH.as("h")))
+      .otherwise(struct(lit("unknown").as("f"), nullDim.as("w"), nullDim.as("h")))
+    df.select(col(idCol), sniff.getField("f").as("format"),
+      sniff.getField("w").as("width"), sniff.getField("h").as("height"))
   }
 }

@@ -429,6 +429,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JvmCodecs.sampleFrames(1L, evil, n = 2).isEmpty)
   }
 
+  test("payloadDims: header-only dims agree with the real decoder") {
+    import spark.implicits._
+    // the decode-free sniff must report exactly what a full decode would,
+    // on the same REAL fixtures the codec tests use
+    val bmp = bmpFixture
+    val gif = gifFixture
+    val jpeg = jpegBytes(0xFF0000) // SOF at a variable offset -> null dims
+    val rows = Seq((1L, bmp), (2L, gif), (3L, jpeg), (4L, Array[Byte](1, 2)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.payloadDims(rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val bmpDec = Multimodal.JvmCodecs.decodeImage(1L, bmp).get
+    assert(got(1L) == (("bmp", Some(bmpDec.width.toLong), Some(bmpDec.height.toLong))))
+    val gifDec = Multimodal.JvmCodecs.decodeImage(2L, gif).get
+    assert(got(2L) == (("gif", Some(gifDec.width.toLong), Some(gifDec.height.toLong))))
+    assert(got(3L) == (("unknown", None, None))) // jpeg: decode, don't sniff
+    assert(got(4L) == (("unknown", None, None))) // too short for any header
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
