@@ -2081,6 +2081,27 @@ object SparkEntry {
         .orderBy("doc_id", "format")
     }),
 
+    "q_multimodal_adts" -> ((s, d) => {
+      // audio elementary-stream framing: two 15-byte ADTS frames per doc
+      // (7-byte header + 8 text bytes each, header CONSTANT because the
+      // frame length is fixed), demuxed by the real header walk; the
+      // oracle restates the de-headered frames as substrings
+      val len = 15
+      val hdr = Array[Byte](0xFF.toByte, 0xF1.toByte, 0x50,
+        (0x80 | ((len >> 11) & 3)).toByte, ((len >> 3) & 0xFF).toByte,
+        (((len & 7) << 5) | 0x1F).toByte, 0xFC.toByte)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 16)
+        .withColumn("payload", concat(lit(hdr),
+          col("text").cast("binary").substr(1, 8), lit(hdr),
+          col("text").cast("binary").substr(9, 8)))
+      graft.llm.Multimodal.sampleFrames(docs, "doc_id", "payload", n = 2,
+          codecs = graft.llm.Multimodal.JvmCodecs)
+        .toDF()
+        .select(col("doc_id"), col("frame_ix"),
+          col("payload").substr(lit(8), lit(8)).cast("string").as("frame_text"))
+        .orderBy("doc_id", "frame_ix")
+    }),
+
     "q_multimodal_audio" -> ((s, d) => {
       // REAL audio decode under the oracle: build a valid 8 kHz mono
       // 16-bit WAV per document IN COLUMN ALGEBRA (RIFF/fmt/data headers
@@ -3517,6 +3538,17 @@ object SparkEntry {
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 17, 8) AS frame_text
          FROM documents WHERE length(text) >= 32
+         ORDER BY doc_id, frame_ix""",
+    "q_multimodal_adts" ->
+      // two fixed-length ADTS frames per doc whose bodies are text bytes
+      // [1,8] and [9,16] — the same restatement as the container queries
+      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+                substr(text, 1, 8) AS frame_text
+         FROM documents WHERE length(text) >= 16
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
+                substr(text, 9, 8) AS frame_text
+         FROM documents WHERE length(text) >= 16
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_dims" ->
       // the sniffed dims are exactly the planted per-doc values, one row

@@ -156,6 +156,9 @@ object Multimodal {
       val isEbml = payload.length >= 4 && (payload(0) & 0xFF) == 0x1A &&
         (payload(1) & 0xFF) == 0x45 && (payload(2) & 0xFF) == 0xDF &&
         (payload(3) & 0xFF) == 0xA3
+      // audio elementary streams: 0xFFF sync that is NOT a JPEG SOI
+      val isAudioSync = payload.length >= 4 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xE0) == 0xE0 && (payload(1) & 0xFF) != 0xD8
       if (isGif) {
         val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
         frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
@@ -166,16 +169,79 @@ object Multimodal {
           val (s, e) = frames((frames.length.toLong * j / n).toInt)
           Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
         }
-      } else if (isMp4 || isEbml) {
+      } else if (isMp4 || isEbml || isAudioSync) {
         val kf =
-          try if (isMp4) mp4KeyframeRanges(payload) else webmKeyframeRanges(payload)
-          catch { case _: Exception => IndexedSeq.empty }
+          try {
+            if (isMp4) mp4KeyframeRanges(payload)
+            else if (isEbml) webmKeyframeRanges(payload)
+            else audioFrameRanges(payload)
+          } catch { case _: Exception => IndexedSeq.empty }
         if (kf.isEmpty) Nil
         else (0 until n).map { j =>
           val (s, e) = kf((kf.length.toLong * j / n).toInt)
           Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
         }
       } else StubCodecs.sampleFrames(docId, payload, n)
+    }
+
+    /** REAL audio elementary-stream framing — ADTS-AAC and MP3 are
+      * self-delimiting concatenated frames, so slicing needs header math
+      * only (the MJPEG treatment applied to audio):
+      *
+      *  - ADTS (0xFFF sync, layer 00): 13-bit frame_length straddling
+      *    header bytes 3–5 already includes the 7/9-byte header;
+      *  - MP3 (0xFFF sync, layer III): frame length from the
+      *    version/bitrate/samplerate tables (MPEG-1: 144·br/sr + pad;
+      *    MPEG-2/2.5: 72·br/sr + pad).
+      *
+      * Each returned range is one complete frame (header included —
+      * frames stay standalone-decodable, like the MJPEG slices). A
+      * malformed header or truncated tail ends the walk at the valid
+      * prefix; free/bad bitrate or reserved fields reject the frame.
+      */
+    private def audioFrameRanges(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      def u(i: Int): Int = b(i) & 0xFF
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      var o = 0
+      var ok = true
+      var any = false
+      while (ok && o + 4 <= b.length) {
+        if (u(o) != 0xFF || (u(o + 1) & 0xE0) != 0xE0) ok = false
+        else {
+          val layerBits = (u(o + 1) >> 1) & 0x03
+          val len: Int =
+            if (layerBits == 0) {
+              // ADTS: layer must be 00; frame_length bits 30..42
+              if (o + 6 >= b.length) -1
+              else ((u(o + 3) & 0x03) << 11) | (u(o + 4) << 3) | (u(o + 5) >> 5)
+            } else if (layerBits == 1) {
+              // MPEG Layer III: version from bits, then the public tables
+              val version = (u(o + 1) >> 3) & 0x03 // 0=2.5, 2=MPEG2, 3=MPEG1
+              val brIx = (u(o + 2) >> 4) & 0x0F
+              val srIx = (u(o + 2) >> 2) & 0x03
+              val pad = (u(o + 2) >> 1) & 0x01
+              if (version == 1 || brIx == 0 || brIx == 15 || srIx == 3) -1
+              else {
+                val br = (if (version == 3)
+                  Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+                else
+                  Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+                )(brIx) * 1000
+                val sr = (version match {
+                  case 3 => Array(44100, 48000, 32000)
+                  case 2 => Array(22050, 24000, 16000)
+                  case _ => Array(11025, 12000, 8000)
+                })(srIx)
+                (if (version == 3) 144 else 72) * br / sr + pad
+              }
+            } else -1 // layers I/II not supported: reject, don't guess
+          if (len < 4 || o > b.length - len) ok = false
+          else { out += ((o, o + len)); o += len; any = true }
+        }
+      }
+      // trailing garbage after at least one valid frame is tolerated (a
+      // truncated tail); a stream with no valid first frame is corrupt
+      if (any) out.result() else IndexedSeq.empty
     }
 
     /** REAL ISO-BMFF (MP4) keyframe demux — pure box walking, no codec,

@@ -429,6 +429,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JvmCodecs.sampleFrames(1L, evil, n = 2).isEmpty)
   }
 
+  test("audio elementary streams: ADTS and MP3 frame walks") {
+    def adtsFrame(data: Array[Byte]): Array[Byte] = {
+      val len = 7 + data.length
+      Array(0xFF, 0xF1, 0x50, 0x80 | ((len >> 11) & 3), (len >> 3) & 0xFF,
+        ((len & 7) << 5) | 0x1F, 0xFC).map(_.toByte) ++ data
+    }
+    val stream = adtsFrame("AAAAAAAA".getBytes) ++ adtsFrame("BBBB".getBytes)
+    val frames = Multimodal.JvmCodecs.sampleFrames(1L, stream, n = 2)
+    // each frame keeps its header (standalone-decodable, like MJPEG)
+    assert(frames.map(f => new String(f.payload.drop(7))) == Seq("AAAAAAAA", "BBBB"))
+    // truncated tail → valid prefix
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, stream.take(stream.length - 2), n = 1)
+      .map(f => new String(f.payload.drop(7))) == Seq("AAAAAAAA"))
+    // MP3 (MPEG-1 Layer III, 128 kbps @ 44.1 kHz): 144*128000/44100 = 417
+    val mp3Frame = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      Array.fill(413)(7.toByte)
+    val got = Multimodal.JvmCodecs.sampleFrames(2L, mp3Frame ++ mp3Frame, n = 2)
+    assert(got.map(_.payload.length) == Seq(417, 417))
+    assert(got(1).payload.take(4).toSeq == mp3Frame.take(4).toSeq)
+    // free-bitrate / reserved fields are rejected, never guessed
+    val free = Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte) ++ Array.fill(100)(0.toByte)
+    assert(Multimodal.JvmCodecs.sampleFrames(3L, free, n = 1).isEmpty)
+  }
+
   test("payloadDims: header-only dims agree with the real decoder") {
     import spark.implicits._
     // the decode-free sniff must report exactly what a full decode would,
