@@ -156,9 +156,11 @@ object Multimodal {
       val isEbml = payload.length >= 4 && (payload(0) & 0xFF) == 0x1A &&
         (payload(1) & 0xFF) == 0x45 && (payload(2) & 0xFF) == 0xDF &&
         (payload(3) & 0xFF) == 0xA3
-      // audio elementary streams: 0xFFF sync that is NOT a JPEG SOI
-      val isAudioSync = payload.length >= 4 && (payload(0) & 0xFF) == 0xFF &&
-        (payload(1) & 0xE0) == 0xE0 && (payload(1) & 0xFF) != 0xD8
+      // audio elementary streams: 0xFFF sync that is NOT a JPEG SOI, or an
+      // ID3v2 tag (how real MP3 files actually start) in front of one
+      val isAudioSync = payload.length >= 4 && ((payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xE0) == 0xE0 && (payload(1) & 0xFF) != 0xD8 ||
+        (payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3'))
       if (isGif) {
         val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
         frames.zipWithIndex.map { case (bytes, j) => Frame(docId, j, bytes) }
@@ -202,7 +204,15 @@ object Multimodal {
     private def audioFrameRanges(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
       def u(i: Int): Int = b(i) & 0xFF
       val out = IndexedSeq.newBuilder[(Int, Int)]
-      var o = 0
+      // skip a leading ID3v2 tag (10-byte header; 28-bit syncsafe size,
+      // footer flag 0x10 adds another 10 bytes) — the frames follow it
+      var o =
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+          val size = ((u(6) & 0x7F) << 21) | ((u(7) & 0x7F) << 14) |
+            ((u(8) & 0x7F) << 7) | (u(9) & 0x7F)
+          10 + size + (if ((u(5) & 0x10) != 0) 10 else 0)
+        } else 0
+      if (o < 0 || o >= b.length) return IndexedSeq.empty
       var ok = true
       var any = false
       while (ok && o + 4 <= b.length) {

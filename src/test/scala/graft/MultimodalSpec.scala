@@ -451,6 +451,16 @@ class MultimodalSpec extends SparkSpec {
     // free-bitrate / reserved fields are rejected, never guessed
     val free = Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte) ++ Array.fill(100)(0.toByte)
     assert(Multimodal.JvmCodecs.sampleFrames(3L, free, n = 1).isEmpty)
+    // a leading ID3v2 tag (how real MP3 files start) is skipped: 10-byte
+    // header + syncsafe size 20 of tag body, then the ADTS frames
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+      Array.fill(20)(9.toByte)
+    val tagged = id3 ++ stream
+    assert(Multimodal.JvmCodecs.sampleFrames(4L, tagged, n = 2)
+      .map(f => new String(f.payload.drop(7))) == Seq("AAAAAAAA", "BBBB"))
+    // ID3 with a size pointing past the buffer → corrupt, Nil
+    val lying = Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F)
+    assert(Multimodal.JvmCodecs.sampleFrames(5L, lying ++ stream, n = 1).isEmpty)
   }
 
   test("payloadDims: header-only dims agree with the real decoder") {
