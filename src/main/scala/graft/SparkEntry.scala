@@ -1893,6 +1893,34 @@ object SparkEntry {
       graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
     }),
 
+    "q_topology_jsonl" -> ((s, d) => {
+      // the JSONL interchange path end to end: documents dumped as real
+      // JSONL (numbers as JSON numbers), then a TOML topology reads it
+      // back through the JsonLines input (one parse per line, fields by
+      // key), filters in SQL and projects — proving a user can ingest a
+      // Dolma/FineWeb-style corpus from config alone
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-q").toString
+      t(s, d, "documents").select(
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(dir)
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "lang", "n_chars"]
+           |[input]
+           |name = "JsonLines"
+           |  [input.config]
+           |  Files = ["$dir"]
+           |  MatchPath = ".*\\\\.txt"
+           |[[filter]]
+           |name = "SqlWhere"
+           |  [filter.config]
+           |  Where = "lang = 'en' and cast(n_chars as bigint) >= 200"
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
+    }),
+
     "q_topology_curation" -> ((s, d) => {
       // LLM curation driven ENTIRELY from config: language gate (SqlWhere)
       // then corpus-wide verified near-dup dedup (NearDupDedup) — the
@@ -3450,6 +3478,15 @@ object SparkEntry {
     "q_topology_parquet" ->
       // the topology's string record model: every projected field is a
       // string, empty-for-null
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                CAST(n_chars AS VARCHAR) AS n_chars
+         FROM documents
+         WHERE lang = 'en' AND n_chars >= 200
+         ORDER BY doc_id""",
+    "q_topology_jsonl" ->
+      // the JSONL round-trip restated directly: field extraction by key
+      // is lossless for these scalars, so the result equals the parquet
+      // topology's (numbers arrive as their JSON literal text)
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
                 CAST(n_chars AS VARCHAR) AS n_chars
          FROM documents

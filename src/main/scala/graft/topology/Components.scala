@@ -22,8 +22,8 @@ import graft.sources.ZstdCodec
 object BuiltinComponents {
 
   def all: Components = Components(
-    inputs = Seq(listInput, parquetInput, logLinesInput, randomInput,
-      NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
+    inputs = Seq(listInput, parquetInput, jsonLinesInput, logLinesInput,
+      randomInput, NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
       NetworkInputs.kclInput, NetworkInputs.sqsInput),
     filters = Seq(
       clauseFilter, clearFields, concatenate, countAndTag, crypt, dedup,
@@ -34,9 +34,9 @@ object BuiltinComponents {
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, spanDedup, exactSubstrDedup),
-    outputs = Seq(fileWriter, parquetOutput, statsOutput, nopOutput, opLogOutput,
-      recorderOutput, DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc,
-      WebSocketOutput.desc),
+    outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
+      nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
+      SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
     metrics = Seq(datadogMetrics),
   )
@@ -97,6 +97,37 @@ object BuiltinComponents {
       ZstdCodec.register(ctx.spark)
       ctx.spark.read.text(resolveListPaths(cfg): _*)
     }),
+  )
+
+  /** JsonLines — JSONL (one JSON object per line) input, the LLM-dataset
+    * interchange format (beyond the reference): each line parses once and
+    * the declared `[fields]` are extracted by top-level key into the
+    * topology's string record model — JSON strings verbatim, numbers/
+    * booleans as their literal text, nested values as their JSON text,
+    * missing keys as null/empty. The per-field `from_json` copies
+    * collapse to ONE parse per row under whole-stage codegen's
+    * subexpression elimination. Same path resolution (files, dirs,
+    * @list-files, gz/zstd) as [[listInput]].
+    */
+  val jsonLinesInput: InputDesc = InputDesc(
+    "JsonLines",
+    "Reads JSONL (one JSON object per line) files; the declared [fields] " +
+      "are extracted by top-level key; gzip/zstd decompressed transparently.",
+    Seq(
+      ConfigKey("Files", "List of files, directories and/or list-files to process",
+        default = Some(Seq("-"))),
+      ConfigKey("MatchPath", "regexp to filter files in specified directories",
+        default = Some(".*\\.jsonl")),
+      ConfigKey("Region", "AWS region for s3:// paths (cluster builds)",
+        default = Some("us-west-2")),
+    ),
+    (ctx, cfg) => {
+      ZstdCodec.register(ctx.spark)
+      val m = from_json(col("value"),
+        org.apache.spark.sql.types.MapType(StringType, StringType))
+      ctx.spark.read.text(resolveListPaths(cfg): _*)
+        .select(ctx.fields.map(f => element_at(m, f).as(f)): _*)
+    },
   )
 
   /** Parquet — columnar input, the [[parquetOutput]] symmetric (beyond the
@@ -1054,6 +1085,42 @@ object BuiltinComponents {
         w = w.partitionBy(f)
       }
       w.parquet(path)
+      OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
+    })
+
+  /** JsonLines — JSONL output, [[jsonLinesInput]]'s symmetric: one JSON
+    * object per record with the projected output fields as keys (null
+    * fields omitted, the JSONL convention), text-codec compressible.
+    */
+  val jsonLinesOutput: OutputDesc = OutputDesc(
+    "JsonLines",
+    "Writes the projected output fields as JSONL (one JSON object per " +
+      "line, null fields omitted), optionally partitioned by a field.",
+    Seq(
+      ConfigKey("Path", "output directory", required = true),
+      ConfigKey("PartitionBy", "optional output field to partition the layout by"),
+      ConfigKey("Compression", "text codec (none/gzip/bzip2/lz4/deflate)",
+        default = Some("gzip")),
+      ConfigKey("Mode", "overwrite | append", default = Some("overwrite"))),
+    raw = false,
+    (ctx, cfg, df) => {
+      val path = cfg.str("Path")
+      val mode = cfg.str("Mode", "overwrite").toLowerCase
+      require(mode == "overwrite" || mode == "append", s"JsonLines: bad Mode '$mode'")
+      val obs = new org.apache.spark.sql.Observation()
+      val part = cfg.strOpt("PartitionBy")
+      part.foreach { f =>
+        require(df.columns.contains(f), s"JsonLines: unknown PartitionBy field '$f'")
+      }
+      // partition columns must survive as COLUMNS for partitionBy, so the
+      // JSON value carries every field and the layout column rides beside
+      val jsonCols = df.columns.map(col)
+      val base = df.observe(obs, count(lit(1)).as("rows"))
+        .select((to_json(struct(jsonCols: _*)).as("value") +: part.toSeq.map(col)): _*)
+      var w = base.write.mode(mode)
+        .option("compression", cfg.str("Compression", "gzip"))
+      part.foreach(f => w = w.partitionBy(f))
+      w.text(path)
       OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
     })
 
