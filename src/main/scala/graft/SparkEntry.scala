@@ -2100,7 +2100,10 @@ object SparkEntry {
         0, 0, 0, 13) ++ "IHDR".getBytes
       val png = concat(lit(pngHdr), be(w, 4), be(h, 4))
       val gif = concat(lit("GIF89a".getBytes), le(w, 2), le(h, 2))
-      val bmp = concat(lit(Array[Byte]('B', 'M') ++ new Array[Byte](16)),
+      // bytes 14-17 carry biSize=40 (BITMAPINFOHEADER) — payloadDims
+      // gates on it to reject OS/2 BITMAPCOREHEADER layouts
+      val bmp = concat(lit(Array[Byte]('B', 'M') ++ new Array[Byte](12) ++
+          Array[Byte](40, 0, 0, 0)),
         le(w, 4), le(lit(4294967296L) - h, 4)) // top-down: height stored negative
       def sniff(payload: org.apache.spark.sql.Column) =
         graft.llm.Multimodal.payloadDims(
@@ -2904,11 +2907,14 @@ object SparkEntry {
            SELECT doc_id, list_sort(list(pos)) AS ps FROM flag GROUP BY doc_id
          )
          SELECT b.doc_id,
-                array_to_string(list_transform(
+                -- COALESCE: duckdb's array_to_string is NULL on an empty
+                -- list, Spark's array_join is '' — a fully-cut doc must
+                -- render '' in both engines
+                COALESCE(array_to_string(list_transform(
                   list_filter(range(0, len(b.t)),
                     i -> len(list_filter(COALESCE(p.ps, []),
                            pp -> pp <= i AND i < pp + 8)) = 0),
-                  i -> b.t[CAST(i + 1 AS INTEGER)]), ' ') AS text
+                  i -> b.t[CAST(i + 1 AS INTEGER)]), ' '), '') AS text
          FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
          ORDER BY b.doc_id""",
     "q_dedup_cc" ->

@@ -156,10 +156,11 @@ object Multimodal {
       val isEbml = payload.length >= 4 && (payload(0) & 0xFF) == 0x1A &&
         (payload(1) & 0xFF) == 0x45 && (payload(2) & 0xFF) == 0xDF &&
         (payload(3) & 0xFF) == 0xA3
-      // audio elementary streams: 0xFFF sync that is NOT a JPEG SOI, or an
-      // ID3v2 tag (how real MP3 files actually start) in front of one
+      // audio elementary streams: MPEG 0xFFE sync (a JPEG SOI second byte
+      // 0xD8 fails the 0xE0 mask, so FF D8 never lands here), or an ID3v2
+      // tag (how real MP3 files actually start) in front of one
       val isAudioSync = payload.length >= 4 && ((payload(0) & 0xFF) == 0xFF &&
-        (payload(1) & 0xE0) == 0xE0 && (payload(1) & 0xFF) != 0xD8 ||
+        (payload(1) & 0xE0) == 0xE0 ||
         (payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3'))
       if (isGif) {
         val frames = try gifComposited(payload, n) catch { case _: Exception => IndexedSeq.empty }
@@ -178,8 +179,17 @@ object Multimodal {
             else if (isEbml) webmKeyframeRanges(payload)
             else audioFrameRanges(payload)
           } catch { case _: Exception => IndexedSeq.empty }
-        if (kf.isEmpty) Nil
-        else (0 until n).map { j =>
+        if (kf.isEmpty) {
+          // ftyp/EBML/ID3 are strong magics — an unwalkable payload is a
+          // corrupt container → Nil. The bare 2-byte MPEG sync is NOT
+          // (1/512 of random binaries match): an unparseable "audio"
+          // payload is just an unknown format, which keeps the stub
+          // contract
+          val weakSyncOnly = isAudioSync && !isMp4 && !isEbml &&
+            !(payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3')
+          if (weakSyncOnly) StubCodecs.sampleFrames(docId, payload, n)
+          else Nil
+        } else (0 until n).map { j =>
           val (s, e) = kf((kf.length.toLong * j / n).toInt)
           Frame(docId, j, java.util.Arrays.copyOfRange(payload, s, e))
         }
@@ -245,7 +255,11 @@ object Multimodal {
                 (if (version == 3) 144 else 72) * br / sr + pad
               }
             } else -1 // layers I/II not supported: reject, don't guess
-          if (len < 4 || o > b.length - len) ok = false
+          // a frame shorter than its own header is corrupt: ADTS headers
+          // are 7 bytes (9 with CRC — frame_length includes them), MP3
+          // headers 4
+          val minLen = if (layerBits == 0) 7 else 4
+          if (len < minLen || o > b.length - len) ok = false
           else { out += ((o, o + len)); o += len; any = true }
         }
       }
@@ -452,6 +466,16 @@ object Multimodal {
                   if ((trFlags & 0x04) != 0 && p + 4 <= te) {
                     firstFlags = bmffU32(b, p); p += 4
                   }
+                  // bound the DECLARED count before looping (a crafted
+                  // 0xFFFFFFFF sample_count must not spin ~4.3B
+                  // iterations): per-sample fields must fit inside the
+                  // trun box itself; a field-less run's samples consume
+                  // payload bytes, so its count cannot exceed them
+                  val perSampleBytes = 4 *
+                    Seq(0x100, 0x200, 0x400, 0x800).count(f => (trFlags & f) != 0)
+                  if (perSampleBytes > 0) {
+                    if (n > (te - p).toLong / perSampleBytes) valid = false
+                  } else if (n > b.length) valid = false
                   var i = 0L
                   while (valid && i < n) {
                     if ((trFlags & 0x100) != 0) p += 4 // duration
@@ -967,7 +991,11 @@ object Multimodal {
     *
     * Formats with fixed-offset dimensions: PNG (IHDR big-endian at 17/21),
     * GIF (logical screen little-endian at 7/9), BMP (BITMAPINFOHEADER
-    * little-endian at 19/23, signed height for top-down bitmaps → abs).
+    * little-endian at 19/23, signed height for top-down bitmaps → abs,
+    * gated on DIB header size ≥ 40 — a 12-byte OS/2 BITMAPCOREHEADER
+    * stores 16-bit dims at different offsets, so it reports null dims
+    * rather than a garbage 32-bit read; V4/V5 headers keep the same
+    * width/height offsets and pass the gate).
     * JPEG dimensions live in an SOF segment at a variable offset behind
     * entropy-coded data — not expressible as a fixed pluck; route JPEGs
     * through [[decodeImages]] (real decode) instead. Unknown formats and
@@ -990,8 +1018,10 @@ object Multimodal {
         struct(lit("png").as("f"), be32(17).as("w"), be32(21).as("h")))
       .when(head.startsWith("474946") && length(p) >= 10,
         struct(lit("gif").as("f"), le16(7).as("w"), le16(9).as("h")))
-      .when(head.startsWith("424D") && length(p) >= 26,
+      .when(head.startsWith("424D") && length(p) >= 26 && le32(15) >= 40,
         struct(lit("bmp").as("f"), le32(19).as("w"), bmpAbsH.as("h")))
+      .when(head.startsWith("424D"),
+        struct(lit("bmp").as("f"), nullDim.as("w"), nullDim.as("h")))
       .otherwise(struct(lit("unknown").as("f"), nullDim.as("w"), nullDim.as("h")))
     df.select(col(idCol), sniff.getField("f").as("format"),
       sniff.getField("w").as("width"), sniff.getField("h").as("height"))

@@ -177,8 +177,11 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"recallAtK: k must be positive: $k")
-    val a = approx.select(col("query_id"), col("neighbor_id"))
-    val e = exact.select(col("query_id"), col("neighbor_id"))
+    // distinct: "any two result frames" includes sets assembled by
+    // unioning overlapping probes — a duplicated (query, neighbor) pair
+    // must not double-count a hit (recall could exceed 1.0)
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+    val e = exact.select(col("query_id"), col("neighbor_id")).distinct()
     val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     e.select("query_id").distinct()

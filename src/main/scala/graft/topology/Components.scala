@@ -107,8 +107,14 @@ object BuiltinComponents {
     * missing keys as null/empty. The per-field `from_json` copies
     * collapse to ONE parse per row under whole-stage codegen's
     * subexpression elimination. Same path resolution (files, dirs,
-    * @list-files, gz/zstd) as [[listInput]].
+    * @list-files, gz/zstd) as [[listInput]], but the default MatchPath
+    * accepts `.jsonl`/`.json` AND the `.txt[.codec]` part files
+    * [[jsonLinesOutput]] emits, so a defaults-only write→read round-trip
+    * works.
     */
+  private val jsonLinesDefaultMatch =
+    ".*\\.(jsonl|json|txt)(\\.(gz|zst|bz2|lz4|deflate))?$"
+
   val jsonLinesInput: InputDesc = InputDesc(
     "JsonLines",
     "Reads JSONL (one JSON object per line) files; the declared [fields] " +
@@ -117,7 +123,7 @@ object BuiltinComponents {
       ConfigKey("Files", "List of files, directories and/or list-files to process",
         default = Some(Seq("-"))),
       ConfigKey("MatchPath", "regexp to filter files in specified directories",
-        default = Some(".*\\.jsonl")),
+        default = Some(jsonLinesDefaultMatch)),
       ConfigKey("Region", "AWS region for s3:// paths (cluster builds)",
         default = Some("us-west-2")),
     ),
@@ -125,7 +131,7 @@ object BuiltinComponents {
       ZstdCodec.register(ctx.spark)
       val m = from_json(col("value"),
         org.apache.spark.sql.types.MapType(StringType, StringType))
-      ctx.spark.read.text(resolveListPaths(cfg): _*)
+      ctx.spark.read.text(resolveListPaths(cfg, jsonLinesDefaultMatch): _*)
         .select(ctx.fields.map(f => element_at(m, f).as(f)): _*)
     },
   )
@@ -167,8 +173,9 @@ object BuiltinComponents {
     * Note: `_metadata.file_path` (MetadataUrl) then reports the spool path,
     * not the original URL.
     */
-  private def resolveListPaths(cfg: ComponentConfig): Seq[String] = {
-    val matchPath = cfg.str("MatchPath", ".*\\.log\\.gz").r
+  private def resolveListPaths(cfg: ComponentConfig,
+      defaultMatch: String = ".*\\.log\\.gz"): Seq[String] = {
+    val matchPath = cfg.str("MatchPath", defaultMatch).r
     val entries = cfg.strList("Files", Seq("-"))
     def spool(in: java.io.InputStream, suffix: String): String = {
       val tmp = java.nio.file.Files.createTempFile("graft-list", suffix)

@@ -520,5 +520,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
     intercept[IllegalArgumentException](
       graft.llm.Similarity.recallAtK(approx, exact, k = 0))
+    // a result set assembled from overlapping probes may repeat a
+    // (query, neighbor) pair — a hit must count once, recall stays ≤ 1
+    val dup = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 11L))
+      .toDF("query_id", "neighbor_id")
+    val dd = graft.llm.Similarity.recallAtK(dup, exact, k = 2)
+      .filter($"query_id" === 1L).collect().head
+    assert((dd.getLong(1), dd.getDouble(2)) == ((2L, 1.0)))
   }
 }

@@ -69,7 +69,9 @@ class JsonLinesSpec extends SparkSpec {
          |  Compression = "gzip"
          |""".stripMargin
     Topology.compileToml(spark, writeToml, BuiltinComponents.all).run()
-    // read what was written back through the input (gz transparent)
+    // read what was written back through the input (gz transparent) with
+    // NO MatchPath: the default must accept the writer's part-*.txt.gz
+    // layout, so a defaults-only round-trip works
     val readToml =
       s"""[fields]
          |names = ["id", "text"]
@@ -77,7 +79,6 @@ class JsonLinesSpec extends SparkSpec {
          |name = "JsonLines"
          |  [input.config]
          |  Files = ["$out"]
-         |  MatchPath = ".*\\\\.txt\\\\.gz"
          |[output]
          |name = "Recorder"
          |fields = ["id", "text"]

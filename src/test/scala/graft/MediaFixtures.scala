@@ -54,6 +54,12 @@ object MediaFixtures {
       def trunBytes(samples: Seq[(Array[Byte], Option[Int])], dataOffset: Option[Int],
           withFirstFlags: Boolean): Array[Byte] = {
         val perFlags = samples.exists(_._2.isDefined)
+        // once 0x400 is declared, EVERY sample record must carry the
+        // 4-byte flags field — a mixed Some/None run would emit a trun
+        // whose declared stride disagrees with its bytes
+        require(!perFlags || samples.forall(_._2.isDefined),
+          "fmp4Fixture: a trun mixing Some/None sample flags is malformed; " +
+            "use all-Some or all-None within one run")
         val flags = (if (dataOffset.isDefined) 0x01 else 0) |
           (if (withFirstFlags) 0x04 else 0) | 0x200 | (if (perFlags) 0x400 else 0)
         bmffBox("trun", be32(flags), be32(samples.length),

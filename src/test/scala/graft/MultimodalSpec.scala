@@ -347,6 +347,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(f => new String(f.payload)) == Seq("F1AAAAAA", "F1CCCC", "F2A"))
   }
 
+  test("fragmented MP4: a crafted 0xFFFFFFFF trun sample_count is rejected, " +
+      "not spun over") {
+    val fmp4 = fmp4Fixture(Seq(Seq(Seq(("KFDATA__".getBytes, Some(0))))))
+    // patch the trun's declared sample_count (content offset +4, after
+    // version/flags) to ~4.3 billion — the declared per-sample records
+    // cannot fit in the box, so the whole run must be dropped instantly
+    val i = fmp4.indexOfSlice("trun".getBytes)
+    assert(i >= 0)
+    val evil = fmp4.clone()
+    for (j <- 0 until 4) evil(i + 8 + j) = 0xFF.toByte
+    assert(Multimodal.JvmCodecs.sampleFrames(1L, evil, n = 2).isEmpty)
+  }
+
   // --- WebM/Matroska fixtures: hand-built EBML trees (shared byte
   // primitives live in MediaFixtures) ---
 
@@ -448,9 +461,15 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.JvmCodecs.sampleFrames(2L, mp3Frame ++ mp3Frame, n = 2)
     assert(got.map(_.payload.length) == Seq(417, 417))
     assert(got(1).payload.take(4).toSeq == mp3Frame.take(4).toSeq)
-    // free-bitrate / reserved fields are rejected, never guessed
+    // free-bitrate / reserved fields are rejected, never guessed — and
+    // since the bare 2-byte sync is a weak magic (1/512 of random
+    // binaries), the payload falls back to the STUB slices of an unknown
+    // format instead of silently vanishing
     val free = Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte) ++ Array.fill(100)(0.toByte)
-    assert(Multimodal.JvmCodecs.sampleFrames(3L, free, n = 1).isEmpty)
+    val fallback = Multimodal.JvmCodecs.sampleFrames(3L, free, n = 2)
+    val stub = Multimodal.StubCodecs.sampleFrames(3L, free, n = 2)
+    assert(fallback.map(f => (f.doc_id, f.frame_ix, f.payload.toSeq)) ==
+      stub.map(f => (f.doc_id, f.frame_ix, f.payload.toSeq)))
     // a leading ID3v2 tag (how real MP3 files start) is skipped: 10-byte
     // header + syncsafe size 20 of tag body, then the ADTS frames
     val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
@@ -461,6 +480,12 @@ class MultimodalSpec extends SparkSpec {
     // ID3 with a size pointing past the buffer → corrupt, Nil
     val lying = Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F)
     assert(Multimodal.JvmCodecs.sampleFrames(5L, lying ++ stream, n = 1).isEmpty)
+    // an ADTS header declaring frame_length=4 — shorter than its own
+    // 7-byte header — ends the walk at the valid prefix, never emitting
+    // the truncated-header junk as a "frame"
+    val shortHdr = Array(0xFF, 0xF1, 0x50, 0x80, 0x00, 0x9F, 0xFC).map(_.toByte)
+    assert(Multimodal.JvmCodecs.sampleFrames(6L, stream.take(15) ++ shortHdr, n = 1)
+      .map(f => new String(f.payload.drop(7))) == Seq("AAAAAAAA"))
   }
 
   test("payloadDims: header-only dims agree with the real decoder") {
@@ -481,6 +506,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == (("gif", Some(gifDec.width.toLong), Some(gifDec.height.toLong))))
     assert(got(3L) == (("unknown", None, None))) // jpeg: decode, don't sniff
     assert(got(4L) == (("unknown", None, None))) // too short for any header
+  }
+
+  test("payloadDims: an OS/2 BITMAPCOREHEADER BMP reports null dims, " +
+      "never a garbage 32-bit read") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // biSize=12: 16-bit width/height live at different offsets — the
+    // fixed-offset 32-bit pluck would read width||height as one value
+    val core = Array[Byte]('B', 'M') ++ le32(40) ++ le16(0) ++ le16(0) ++
+      le32(26) ++ le32(12) ++ le16(100) ++ le16(50) ++ le16(1) ++ le16(24)
+    val got = Multimodal.payloadDims(Seq((1L, core)).toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(r => (r.getString(1), Option(r.get(2)), Option(r.get(3)))).head
+    assert(got == (("bmp", None, None)))
   }
 
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
