@@ -1595,6 +1595,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_bm25_rtbf" -> ((s, d) => {
+      // right-to-be-forgotten over the streaming BM25 store: two batches
+      // index the corpus into an at-rest store, then every doc with
+      // doc_id % 10 == 3 is DELETED in place (partition-granular
+      // crash-safe rewrite of the postings half + stats refreshed from
+      // the survivors) — the post-delete search must equal BM25 over the
+      // surviving corpus EXACTLY, which is what the oracle states. One
+      // pass over the STORE, never the corpus; deleted docs are
+      // unreturnable from the instant their postings partitions commit.
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-rtbf-q").toString
+      val fn = graft.streaming.LexicalIndexStream.batchFunction(
+        "doc_id", "text", dir)
+      fn(docs.filter(col("doc_id") % 2 === 0), 0L)
+      fn(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      graft.streaming.LexicalIndexStream.deleteDocs(s, dir,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
+      val qdf = s.createDataFrame(bm25DemoQueries).toDF("query_id", "qtext")
+      graft.llm.Lexical.bm25Search(
+          graft.streaming.LexicalIndexStream.loadIndex(s, dir), qdf,
+          "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_chunk" -> ((s, d) =>
       // RAG chunking: 16-token windows, 4-token overlap, map-only (the
       // sequence/slice/join pipeline runs inside whole-stage codegen in
@@ -1808,6 +1832,24 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    "q_attribute_mix" -> ((s, d) => {
+      // tag once, mix many (the Dolma sidecar model): two independent
+      // tagger passes materialize slim id-keyed attribute frames; the mix
+      // joins them back by id and filters WITHOUT touching text again —
+      // re-curating 100 TB costs a sidecar join, not a tagger re-run. At
+      // scale corpus and sidecars live bucketed by the same (doc_id,
+      // buckets), making this join exchange-free (PlanShapeSpec pins it).
+      val docs = t(s, d, "documents")
+      val counts = graft.llm.Attributes.tag(docs, "doc_id",
+        Seq("n_tokens" -> TF.tokenCount(col("text"))))
+      val quality = graft.llm.Attributes.tag(docs, "doc_id",
+        Seq("quality" -> TF.qualityScore(col("text"))))
+      graft.llm.Attributes.mix(docs.select("doc_id", "source"), "doc_id",
+          Seq(counts, quality),
+          col("n_tokens") >= 20 && col("quality") >= 0.5)
+        .orderBy("doc_id")
+    }),
 
     "q_budget_select" -> ((s, d) =>
       // corpus curation under a size budget: keep the highest-quality docs
@@ -3142,6 +3184,16 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_bm25" -> bm25Oracle,
+    "q_bm25_rtbf" ->
+      // BM25 restated over ONLY the surviving docs: the delete's contract
+      // is that the store behaves as if the forgotten docs never existed,
+      // so df/n_docs/avgdl all reflect the post-delete corpus
+      s"""WITH survivors AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+          ),
+          ${bm25RankedCtesFor("survivors")}
+          SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+          FROM bm25_ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_jaccard_topk" -> jaccardOracle,
     "q_rag_pipeline" -> ragPipelineOracle,
     "q_phrase_search" ->
@@ -3640,6 +3692,23 @@ object SparkEntry {
     "q_quality" ->
       s"""$qualityScoreCte
          SELECT doc_id, quality FROM q ORDER BY doc_id""",
+    "q_attribute_mix" ->
+      // both sidecars restated (token count = q_token_count's fragment,
+      // quality = the shared CTE); left joins are inner-equivalent here
+      // because the taggers covered every doc and the predicate rejects
+      // nulls
+      s"""$qualityScoreCte, tc AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                  END AS n_tokens
+           FROM documents)
+         SELECT d.doc_id, d.source, tc.n_tokens, q.quality
+         FROM documents d
+         JOIN tc ON tc.doc_id = d.doc_id
+         JOIN q ON q.doc_id = d.doc_id
+         WHERE tc.n_tokens >= 20 AND q.quality >= 0.5
+         ORDER BY d.doc_id""",
     "q_budget_select" ->
       // ground truth stated the naive way: global (quality DESC, doc_id)
       // cumulative sum, keep the prefix within budget — Mix.budgetSelect

@@ -152,6 +152,24 @@ object Lexical {
       textCol: String): LexicalIndex =
     mergeIndexes(index, buildIndex(corpus, idCol, textCol))
 
+  /** Remove `docIds` (one-column frame) from an index WITHOUT touching
+    * document text: postings anti-join + stats recomputed from the
+    * surviving postings with [[buildIndex]]'s exact aggregation, so the
+    * result scores identically to a from-scratch build of the surviving
+    * corpus. Pure frame algebra — persist the result yourself
+    * ([[writeIndexBucketed]]); for in-place deletion from a streaming
+    * store use [[graft.streaming.LexicalIndexStream.deleteDocs]].
+    */
+  def deleteFromIndex(index: LexicalIndex, docIds: DataFrame): LexicalIndex = {
+    val doomed = docIds.select(col(docIds.columns.head).as("__doomed_id")).distinct()
+    val posts = index.postings
+      .join(doomed, index.postings("doc_id") === col("__doomed_id"), "left_anti")
+    val stats = posts.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+    LexicalIndex(posts, stats)
+  }
+
   /** Exact word-shingle Jaccard retrieval: rank docs by
     * `|shingles(q) ∩ shingles(d)| / |shingles(q) ∪ shingles(d)|` over
     * DISTINCT `shingleK`-grams — the set-overlap scorer that catches

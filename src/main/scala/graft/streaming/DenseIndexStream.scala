@@ -34,6 +34,14 @@ object DenseIndexStream {
     if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
   }
 
+  /** Right-to-be-forgotten: remove `ids`' assigned-vector rows from the
+    * store via the partition-granular crash-safe [[StoreLayout.delete]].
+    * Run while no stream is writing. Returns rows removed.
+    */
+  def deleteVectors(spark: SparkSession, indexDir: String, idCol: String,
+      ids: DataFrame): Long =
+    StoreLayout.deleteIds(spark, indexDir, idCol, ids)
+
   def start(docs: DataFrame, idCol: String, vecCol: String, indexDir: String,
       checkpointDir: String, cents: Array[Array[Double]]): StreamingQuery = {
     val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)

@@ -100,6 +100,21 @@ object IncrementalDedupStream {
       targetFiles: Int = 1): Unit =
     StoreLayout.compact(spark, dir, targetFiles)
 
+  /** Right-to-be-forgotten: remove `ids` (one-column frame of doc ids)
+    * from BOTH halves of the store — their MinHash signatures (keyed
+    * `__id`) and their kept-corpus rows (keyed `idCol`) — via the
+    * partition-granular crash-safe [[StoreLayout.delete]]. After this, a
+    * future batch containing a near-duplicate of a deleted doc is ADMITTED
+    * (nothing remains to collide with), which is exactly the contract:
+    * the store must behave as if the doc had never been ingested. Run
+    * while no stream is writing. Returns (signature rows, corpus rows)
+    * removed.
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      corpusDir: String, idCol: String, ids: DataFrame): (Long, Long) =
+    (StoreLayout.deleteIds(spark, storeDir, "__id", ids),
+      StoreLayout.deleteIds(spark, corpusDir, idCol, ids))
+
   /** Start the streaming query: `docs` (a streaming frame with `idCol`,
     * `textCol`) → per-batch incremental dedup → kept docs under
     * `corpusDir/batch=*`, their signatures under `storeDir/batch=*`.

@@ -76,6 +76,16 @@ object PqIndexStream {
       targetFiles: Int = 1): Unit =
     StoreLayout.compact(spark, indexDir, targetFiles)
 
+  /** Right-to-be-forgotten: remove `ids`' code rows from the table via
+    * the partition-granular crash-safe [[StoreLayout.delete]] — deleted
+    * vectors can never again surface as ANN candidates, and no re-encode
+    * of the survivors is needed (codes are row-independent under the
+    * pinned model). Run while no stream is writing. Returns rows removed.
+    */
+  def deleteVectors(spark: SparkSession, indexDir: String, idCol: String,
+      ids: DataFrame): Long =
+    StoreLayout.deleteIds(spark, indexDir, idCol, ids)
+
   /** Start the maintenance query over a streaming embedding frame. */
   def start(docs: DataFrame, encode: DataFrame => DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery = {

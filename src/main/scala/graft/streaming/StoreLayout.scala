@@ -89,6 +89,44 @@ private[graft] object StoreLayout {
       .map(_.getPath.toString)
   }
 
+  /** Sweeps 1+2 of the staged-rewrite protocol, shared by [[compact]] and
+    * [[delete]]: remove staging orphans (runs that died before their
+    * rename-commit — never reader-visible) and finish any earlier run's
+    * interrupted step 3 (absorbed dirs are invisible to readers but must
+    * be gone before this run can list, and possibly re-absorb, the
+    * partitions that absorbed them). Returns the committed partitions
+    * after the sweep.
+    */
+  private def sweepAndList(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compacting-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val committed0 = listCommitted(fs, root)
+    committed0.filter(s => isCompact(s.getPath.getName)).foreach { s =>
+      readAbsorbed(fs, s.getPath).foreach { name =>
+        val leftover = new Path(root, name)
+        if (fs.exists(leftover)) fs.delete(leftover, true)
+      }
+    }
+    committed0
+  }
+
+  /** Stage `df` + an `_ABSORBED` manifest naming `absorbs`, then
+    * rename-commit to `batch=compact-<tag>` — steps 1-2 of the protocol.
+    * The caller deletes the absorbed dirs (step 3).
+    */
+  private def stageAndCommit(fs: FileSystem, root: Path, tag: String,
+      df: org.apache.spark.sql.DataFrame, absorbs: Seq[String],
+      targetFiles: Int): Unit = {
+    val staging = new Path(root, s"_compacting-$tag")
+    val target = new Path(root, s"batch=compact-$tag")
+    df.coalesce(targetFiles).write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(staging, AbsorbedFile), true)
+    try out.write(absorbs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(staging, target),
+      s"store rewrite: rename $staging -> $target failed (concurrent writer?)")
+  }
+
   /** Offline compaction: every committed `batch=*` partition is rewritten
     * as one `batch=compact-<tag>` partition of `targetFiles` files, so
     * read amplification returns to O(targetFiles) after thousands of
@@ -101,39 +139,99 @@ private[graft] object StoreLayout {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    // sweep 1: staging orphans from runs that died before their
-    // rename-commit — never reader-visible, always safe to delete
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compacting-"))
-      .foreach(s => fs.delete(s.getPath, true))
-    // sweep 2: finish any earlier run's interrupted step 3 — absorbed dirs
-    // are invisible to readers but must be gone before this run can list
-    // (and possibly re-absorb) the partitions that absorbed them
-    val committed0 = listCommitted(fs, root)
-    committed0.filter(s => isCompact(s.getPath.getName)).foreach { s =>
-      readAbsorbed(fs, s.getPath).foreach { name =>
-        val leftover = new Path(root, name)
-        if (fs.exists(leftover)) fs.delete(leftover, true)
-      }
-    }
-    val valid = committed0
+    val valid = sweepAndList(fs, root)
     if (valid.length <= 1) return
     val names = valid.map(_.getPath.getName).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val tag = md.digest(names.mkString("\n").getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
-    val staging = new Path(root, s"_compacting-$tag")
-    val target = new Path(root, s"batch=compact-$tag")
-    spark.read.parquet(valid.map(_.getPath.toString): _*)
-      .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging.toString)
-    val out = fs.create(new Path(staging, AbsorbedFile), true)
-    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
-    // the commit point (one rename): readers now see `target`, whose
-    // manifest hides `names`
-    require(fs.rename(staging, target),
-      s"compact: rename $staging -> $target failed (concurrent compactor?)")
+    val tag = md5Tag(names.mkString("\n"))
+    // the rename inside is the commit point: readers now see the compact
+    // partition, whose manifest hides `names`
+    stageAndCommit(fs, root,
+      tag, spark.read.parquet(valid.map(_.getPath.toString): _*), names,
+      targetFiles)
     valid.foreach(s => fs.delete(s.getPath, true))
+  }
+
+  private def md5Tag(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+
+  /** In-place deletion from an at-rest store — the right-to-be-forgotten
+    * pass, PARTITION-GRANULAR so its write volume is proportional to the
+    * partitions that actually hold doomed rows, not the store size (a
+    * GDPR list touching 0.1% of an id-clustered corpus store rewrites
+    * 0.1% of it; content-keyed stores like postings scatter doomed rows
+    * everywhere and degrade to a full rewrite — which is still one pass
+    * over the STORE, never the corpus). Each affected partition is
+    * rewritten under the same staged `_compacting-` / rename-commit /
+    * `_ABSORBED`-manifest protocol as [[compact]] (object scaladoc), so
+    * a crash at ANY step loses nothing and re-running the same delete
+    * resumes where it stopped: already-rewritten partitions contain no
+    * doomed rows and are skipped. Run while NO stream is writing the
+    * directory. Returns the number of rows deleted in THIS run.
+    *
+    * `keep` must be a deterministic row filter (e.g.
+    * `_.filter(...)` or an anti-join against the doomed-id frame) — it
+    * is applied per partition, so it must not depend on rows outside the
+    * one being rewritten.
+    */
+  def delete(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      targetFiles: Int = 1): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    var deleted = 0L
+    for (part <- sweepAndList(fs, root)) {
+      val df = spark.read.parquet(part.getPath.toString)
+      val kept = keep(df)
+      val doomed = df.count() - kept.count()
+      require(doomed >= 0, s"delete: keep() grew partition ${part.getPath.getName}")
+      if (doomed > 0) {
+        val name = part.getPath.getName
+        // tag from the source partition NAME: a crash-and-rerun restages
+        // the same target; chained deletes rename each step (the absorbed
+        // name feeds the next tag), so successive operations never collide
+        stageAndCommit(fs, root, md5Tag(s"$name:delete"), kept, Seq(name),
+          targetFiles)
+        fs.delete(part.getPath, true)
+        deleted += doomed
+      }
+    }
+    deleted
+  }
+
+  /** Replace the ENTIRE store content with `df`, atomically to readers:
+    * one staged partition absorbing every committed partition, committed
+    * by the protocol's single rename. For derived halves that must be
+    * recomputed as a whole (e.g. a stats row after a postings delete) —
+    * NOT for row-level edits, which [[delete]] does partition-granularly.
+    */
+  def replaceAll(spark: SparkSession, dir: String,
+      df: org.apache.spark.sql.DataFrame, targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val valid = sweepAndList(fs, root)
+    val names = valid.map(_.getPath.getName).sorted
+    stageAndCommit(fs, root, md5Tag("replace:" + names.mkString("\n")), df,
+      names, targetFiles)
+    valid.foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** [[delete]] specialised to the common shape: drop every row whose
+    * `keyCol` appears in `ids` (a one-column frame; extra columns are
+    * ignored). The id frame is re-evaluated per partition — pass a small
+    * or cached frame.
+    */
+  def deleteIds(spark: SparkSession, dir: String, keyCol: String,
+      ids: org.apache.spark.sql.DataFrame, targetFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.col
+    val doomed = ids.select(col(ids.columns.head).as("__doomed_id")).distinct()
+    delete(spark, dir,
+      df => df.join(doomed, df(keyCol) === col("__doomed_id"), "left_anti"),
+      targetFiles)
   }
 
   /** Stable-per-checkpoint-INSTANCE, distinct-across-queries run tag: a

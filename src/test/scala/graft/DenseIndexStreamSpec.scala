@@ -39,6 +39,21 @@ class DenseIndexStreamSpec extends SparkSpec {
     assert(rows(loaded) == direct && direct.nonEmpty)
   }
 
+  test("deleteVectors: forgotten ids leave the cell store and never rank") {
+    import spark.implicits._
+    val dir = tmp().toString
+    val fn = DenseIndexStream.batchFunction("vec_id", "embedding", dir, cents)
+    fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+    fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    assert(DenseIndexStream.deleteVectors(spark, dir, "vec_id",
+      Seq(0L, 1L).toDF("vec_id")) == 2L)
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Ivf.ivfTopKAssigned(DenseIndexStream.loadAssigned(spark, dir).get,
+        q, "vec_id", "vec_id", "embedding", cents, k = 5, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && !got.contains(0L) && !got.contains(1L))
+  }
+
   test("empty store is None; replay overwrites its partition") {
     val dir = tmp().toString
     assert(DenseIndexStream.loadAssigned(spark, dir).isEmpty)

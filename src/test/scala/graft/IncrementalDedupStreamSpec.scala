@@ -59,6 +59,25 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store").select("__id").distinct().count() == 2)
   }
 
+  test("deleteDocs: a forgotten doc's near-dup is admitted again — the " +
+      "store behaves as if the doc was never ingested") {
+    import spark.implicits._
+    val dir = tmp()
+    val (store, corpus) = (s"$dir/store", s"$dir/corpus")
+    val fn = IncrementalDedupStream.batchFunction("doc_id", "text", store, corpus)
+    fn(Seq((1L, base), (2L, other)).toDF("doc_id", "text"), 0L)
+    // near-dup of doc 1 dies against the store
+    fn(Seq((10L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text"), 1L)
+    assert(keptIds(corpus) == Set(1L, 2L))
+    val (sigRows, docRows) = IncrementalDedupStream.deleteDocs(
+      spark, store, corpus, "doc_id", Seq(1L).toDF("doc_id"))
+    assert(sigRows == 1L && docRows == 1L)
+    assert(keptIds(corpus) == Set(2L))
+    // the same near-dup, resubmitted, is now ADMITTED
+    fn(Seq((20L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text"), 2L)
+    assert(keptIds(corpus) == Set(2L, 20L))
+  }
+
   test("compaction folds batch partitions; dedup behavior is unchanged") {
     import spark.implicits._
     val dir = tmp()

@@ -84,6 +84,55 @@ class LexicalIndexStreamSpec extends SparkSpec {
     assert(st.length == 1 && st(0).getAs[Long]("n_docs") == 5L)
   }
 
+  test("deleteDocs: post-delete search equals a from-scratch build of " +
+      "the survivors; deleted docs can never be returned") {
+    import spark.implicits._
+    val dir = tmp().toString
+    val fn = LexicalIndexStream.batchFunction("doc_id", "text", dir)
+    val b0 = Seq(1L -> "spark shuffles data", 2L -> "the window slid")
+    val b1 = Seq(3L -> "spark spark window", 4L -> "data data lake")
+    fn(b0.toDF("doc_id", "text"), 0L)
+    fn(b1.toDF("doc_id", "text"), 1L)
+    val q = queryDf(10L -> "spark window data")
+    assert(search(dir, q).exists(_._3 == 3L), "doc 3 ranks before the delete")
+    val removed = LexicalIndexStream.deleteDocs(spark, dir, Seq(3L).toDF("doc_id"))
+    assert(removed == 2L, s"doc 3 had 2 postings (spark, window): $removed")
+    val got = search(dir, q)
+    assert(!got.exists(_._3 == 3L), "a deleted doc must never be returned")
+    // stats were refreshed from the survivors: scores equal a from-scratch
+    // index of the surviving corpus EXACTLY, not just approximately
+    val survivors = (b0 ++ b1).filter(_._1 != 3L).toDF("doc_id", "text")
+    val direct = Lexical.buildIndex(survivors, "doc_id", "text")
+    val expect = Lexical.bm25Search(direct, q, "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(got == expect)
+    val st = LexicalIndexStream.loadIndex(spark, dir).stats.collect()
+    assert(st.length == 1 && st(0).getAs[Long]("n_docs") == 3L)
+    // deleting an absent id is a no-op on both halves
+    assert(LexicalIndexStream.deleteDocs(spark, dir, Seq(99L).toDF("doc_id")) == 0L)
+    assert(search(dir, q) == expect)
+  }
+
+  test("deleteFromIndex (batch layout): same survivors-only contract, " +
+      "pure frame algebra") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "spark shuffles data", 2L -> "the window slid",
+      3L -> "spark spark window", 4L -> "data data lake").toDF("doc_id", "text")
+    val q = queryDf(10L -> "spark window data")
+    val afterDelete = Lexical.deleteFromIndex(
+      Lexical.buildIndex(corpus, "doc_id", "text"), Seq(3L).toDF("doc_id"))
+    val direct = Lexical.buildIndex(
+      corpus.filter($"doc_id" =!= 3L), "doc_id", "text")
+    def run(ix: Lexical.LexicalIndex) =
+      Lexical.bm25Search(ix, q, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(run(afterDelete) == run(direct) && run(direct).nonEmpty)
+  }
+
   test("end to end through Structured Streaming with a MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -165,6 +165,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("attribute mix over co-bucketed corpus + sidecar: zero exchanges " +
+      "(tag once, re-filter forever without moving the text)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    graft.core.Graft.writeBucketed(
+      docs.select("doc_id", "text", "source"), "docs_bkt", Seq("doc_id"), 4)
+    graft.core.Graft.writeBucketed(
+      graft.llm.Attributes.tag(docs, "doc_id", Seq(
+        "n_tokens" -> graft.functions.TextFunctions.tokenCount(col("text")))),
+      "attr_bkt", Seq("doc_id"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val mixed = graft.llm.Attributes.mix(
+        spark.table("docs_bkt"), "doc_id", Seq(spark.table("attr_bkt")),
+        col("n_tokens") >= 20)
+      val p = finalPlan(mixed)
+      assert(!p.contains("Exchange"),
+        s"co-bucketed attribute mix must not shuffle the corpus:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("decontamination matches n-grams via broadcast semi-join") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = plan(graft.llm.Decontaminate.flagged(docs, "doc_id", "text",

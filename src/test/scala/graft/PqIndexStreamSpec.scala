@@ -83,6 +83,28 @@ class PqIndexStreamSpec extends SparkSpec {
     assert(direct.nonEmpty && rows(store) == direct)
   }
 
+  test("deleteVectors: forgotten ids vanish from ANN results; the rest " +
+      "search as if encoded without them") {
+    import spark.implicits._
+    val dir = tmp().toString
+    val fn = PqIndexStream.batchFunction(
+      PqIndexStream.pq("vec_id", "embedding", model), dir)
+    fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+    fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    val before = pqRows(PqIndexStream.loadEncoded(spark, dir).get)
+    val victim = before.head._3 // a top-ranked neighbor — visibly present
+    val removed = PqIndexStream.deleteVectors(spark, dir, "vec_id",
+      Seq(victim).toDF("vec_id"))
+    assert(removed == 1L)
+    val after = pqRows(PqIndexStream.loadEncoded(spark, dir).get)
+    assert(!after.exists(_._3 == victim), "a deleted vector must never rank")
+    // identical to a one-shot encode of the surviving vectors (codes are
+    // row-independent under the pinned model — no re-encode needed)
+    val direct = pqRows(Pq.encode(
+      emb.filter(col("vec_id") =!= victim), "vec_id", "embedding", model))
+    assert(after == direct && after.nonEmpty)
+  }
+
   test("empty store is None; replay overwrites its own partition") {
     val dir = tmp().toString
     assert(PqIndexStream.loadEncoded(spark, dir).isEmpty)

@@ -127,4 +127,69 @@ class StoreLayoutSpec extends SparkSpec {
     // the partial dir is left alone for its own writer's replay to overwrite
     assert(partNames(dir).contains("batch=run-partial"))
   }
+
+  test("delete is partition-granular: untouched partitions keep their " +
+      "names, affected ones rewrite under the staged protocol") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L, 2L)
+    writeBatch(dir, "run-1", 3L, 4L)
+    writeBatch(dir, "run-2", 5L)
+    val n = StoreLayout.deleteIds(spark, dir, "id", Seq(3L, 99L).toDF("id"))
+    assert(n == 1L)
+    assert(readIds(dir) == Seq(1L, 2L, 4L, 5L))
+    val parts = partNames(dir)
+    assert(parts.contains("batch=run-0") && parts.contains("batch=run-2"),
+      s"untouched partitions must not be rewritten: $parts")
+    assert(!parts.contains("batch=run-1") &&
+      parts.count(_.startsWith("batch=compact-")) == 1,
+      s"the affected partition must be replaced by a staged rewrite: $parts")
+    // idempotent: nothing left to delete, no partition churn
+    assert(StoreLayout.deleteIds(spark, dir, "id", Seq(3L).toDF("id")) == 0L)
+    assert(partNames(dir) == parts)
+    // a second, different delete chains over the rewritten partition
+    assert(StoreLayout.deleteIds(spark, dir, "id", Seq(4L).toDF("id")) == 1L)
+    assert(readIds(dir) == Seq(1L, 2L, 5L))
+  }
+
+  test("delete that empties a partition leaves a committed empty " +
+      "partition; readers see the survivors only") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L, 3L)
+    assert(StoreLayout.deleteIds(spark, dir, "id", Seq(2L, 3L).toDF("id")) == 2L)
+    assert(readIds(dir) == Seq(1L))
+  }
+
+  test("delete crash window: an absorbed leftover next to the rewritten " +
+      "partition never double-counts, and a re-run sweeps it") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L, 2L)
+    assert(StoreLayout.deleteIds(spark, dir, "id", Seq(2L).toDF("id")) == 1L)
+    // simulate the crash-after-rename-before-delete window: the absorbed
+    // original reappears beside the committed rewrite
+    writeBatch(dir, "run-0", 1L, 2L)
+    assert(readIds(dir) == Seq(1L), "absorbed leftover must stay invisible")
+    // the re-run of the SAME delete sweeps it and finds nothing doomed
+    assert(StoreLayout.deleteIds(spark, dir, "id", Seq(2L).toDF("id")) == 0L)
+    assert(!partNames(dir).contains("batch=run-0"))
+    assert(readIds(dir) == Seq(1L))
+  }
+
+  test("replaceAll swaps the whole store content in one commit and " +
+      "absorbs every prior partition") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L, 2L)
+    writeBatch(dir, "run-1", 3L)
+    StoreLayout.replaceAll(spark, dir, Seq(7L, 8L).toDF("id"))
+    assert(readIds(dir) == Seq(7L, 8L))
+    assert(partNames(dir).count(_.startsWith("batch=")) == 1)
+    // works on an empty/missing dir too (creates the single partition)
+    val dir2 = tmp().toString + "/fresh"
+    StoreLayout.replaceAll(spark, dir2, Seq(9L).toDF("id"))
+    assert(readIds(dir2) == Seq(9L))
+  }
 }
