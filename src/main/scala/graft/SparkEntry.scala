@@ -1833,6 +1833,21 @@ object SparkEntry {
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    "q_quantile_filter" -> ((s, d) => {
+      // FineWeb-style per-language quality gate with a DATA-DERIVED cut:
+      // drop the bottom 60% by quality per lang. All-integer discrete
+      // quantile (micro-unit scores, cross-multiplied rank test — no
+      // float interpolation to disagree across engines); the only
+      // shuffled payload is the distinct (lang, score) histogram, and
+      // thresholds broadcast back over an unshuffled corpus.
+      val docs = t(s, d, "documents")
+        .withColumn("score",
+          round(TF.qualityScore(col("text")) * 10000).cast("long"))
+      graft.llm.Mix.quantileFilter(docs, col("lang"), col("score"), drop = 0.6)
+        .select("doc_id", "lang", "score")
+        .orderBy("doc_id")
+    }),
+
     "q_attribute_mix" -> ((s, d) => {
       // tag once, mix many (the Dolma sidecar model): two independent
       // tagger passes materialize slim id-keyed attribute frames; the mix
@@ -3692,6 +3707,30 @@ object SparkEntry {
     "q_quality" ->
       s"""$qualityScoreCte
          SELECT doc_id, quality FROM q ORDER BY doc_id""",
+    "q_quantile_filter" ->
+      // the same all-integer discrete quantile: per-lang (score) histogram,
+      // cumulative counts, threshold = min v with cum·10⁶ ≥ 600000·n,
+      // keep strictly above (ties at the cut drop together)
+      s"""$qualityScoreCte, sc AS (
+           SELECT d.doc_id, d.lang,
+                  CAST(round(q.quality * 10000, 0) AS BIGINT) AS score
+           FROM documents d JOIN q ON q.doc_id = d.doc_id
+         ), hist AS (
+           SELECT lang, score, count(*) AS c FROM sc GROUP BY lang, score
+         ), cdf AS (
+           SELECT lang, score,
+                  sum(c) OVER (PARTITION BY lang ORDER BY score
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY lang) AS n
+           FROM hist
+         ), thr AS (
+           SELECT lang, min(score) AS threshold FROM cdf
+           WHERE cum * 1000000 >= 600000 * n GROUP BY lang
+         )
+         SELECT sc.doc_id, sc.lang, sc.score
+         FROM sc JOIN thr ON thr.lang = sc.lang
+         WHERE sc.score > thr.threshold
+         ORDER BY sc.doc_id""",
     "q_attribute_mix" ->
       // both sidecars restated (token count = q_token_count's fragment,
       // quality = the shared CTE); left joins are inner-equivalent here

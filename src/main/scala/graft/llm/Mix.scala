@@ -374,4 +374,60 @@ object Mix {
       .select(col("__e.__id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Per-stratum score-quantile thresholds — the FineWeb-style "drop the
+    * bottom `drop` fraction by quality per language/domain" gate with a
+    * DATA-DERIVED cut instead of a hand-tuned constant. Returns one
+    * `(stratum, threshold)` row per stratum; [[quantileFilter]] applies
+    * them.
+    *
+    * All-integer discrete definition (no interpolation, no float rank
+    * math — deterministic and exactly restatable by an external SQL
+    * engine): with n rows in a stratum, the threshold is the smallest
+    * score value v whose cumulative count reaches `k = ceil(drop·n)`,
+    * stated cross-multiplied (`cum · 10⁶ ≥ ⌈drop·10⁶⌉ · n`, exact long
+    * arithmetic — `drop` rounds UP to micro-units; safe to n ≤ 10¹²).
+    * [[quantileFilter]] keeps rows with score STRICTLY ABOVE v, so at
+    * least the `drop` fraction leaves, and ties at the cut drop together
+    * (deterministic, conservative).
+    *
+    * `scoreInt` must be an integral score (scale a float score to fixed
+    * micro-units first — e.g. `round(quality * 10000)`): the CDF is
+    * computed over per-(stratum, value) COUNTS, so the only shuffled
+    * payload is the distinct (stratum, score) histogram — bounded by the
+    * score's value range, never the corpus — and the window below runs
+    * over that histogram, not over rows.
+    */
+  def quantileThresholds(df: DataFrame, strata: Column, scoreInt: Column,
+      drop: Double): DataFrame = {
+    require(drop > 0 && drop < 1, s"drop fraction must be in (0,1): $drop")
+    val dropMicro = math.ceil(drop * 1e6).toLong
+    val hist = df.select(strata.as("stratum"), scoreInt.cast("long").as("__v"))
+      .groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") * lit(1000000L) >= lit(dropMicro) * col("__n"))
+      .groupBy("stratum").agg(min(col("__v")).as("threshold"))
+  }
+
+  /** Apply [[quantileThresholds]]: keep rows whose `scoreInt` is strictly
+    * above their stratum's threshold. Thresholds broadcast (one row per
+    * stratum); the corpus never shuffles. A stratum absent from the
+    * threshold frame (possible only if it was absent from the frame the
+    * thresholds were computed over) keeps nothing — by the inner join —
+    * which is the conservative reading.
+    */
+  def quantileFilter(df: DataFrame, strata: Column, scoreInt: Column,
+      drop: Double): DataFrame = {
+    val thr = quantileThresholds(df, strata, scoreInt, drop)
+    df.join(broadcast(thr), strata === col("stratum"))
+      .filter(scoreInt.cast("long") > col("threshold"))
+      .drop("stratum", "threshold")
+  }
 }

@@ -61,6 +61,19 @@ object PqIndexStream {
       model: Pq.PqModel): DataFrame => DataFrame =
     df => IvfPq.encode(df, idCol, vecCol, coarse, model)
 
+  /** Int8 scalar tier under PINNED per-dimension [min, max] calibration
+    * (from a bootstrap [[graft.llm.Quantize.int8Stats]] — like a PQ
+    * codebook, the ranges must stay fixed for the store's lifetime; new
+    * out-of-range values clamp).
+    */
+  def int8(idCol: String, vecCol: String, mins: Array[Double],
+      maxs: Array[Double]): DataFrame => DataFrame =
+    df => graft.llm.Quantize.int8Encode(df, idCol, vecCol, mins, maxs)
+
+  /** Binary (1-bit sign) tier — model-free, so nothing to pin. */
+  def binary(idCol: String, vecCol: String, dim: Int): DataFrame => DataFrame =
+    df => graft.llm.Quantize.binaryEncode(df, idCol, vecCol, dim)
+
   /** All committed code rows — feed to the matching `adcTopKEncoded`.
     * None until a first batch commits (the schema lives in the data).
     */

@@ -176,13 +176,15 @@ private[graft] object StoreLayout {
     */
   def delete(spark: SparkSession, dir: String,
       keep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      targetFiles: Int = 1): Long = {
+      targetFiles: Int = 1,
+      onlyParts: Option[Set[String]] = None): Long = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     var deleted = 0L
-    for (part <- sweepAndList(fs, root)) {
+    for (part <- sweepAndList(fs, root)
+        if onlyParts.forall(_.contains(part.getPath.getName))) {
       val df = spark.read.parquet(part.getPath.toString)
       val kept = keep(df)
       val doomed = df.count() - kept.count()
@@ -224,14 +226,37 @@ private[graft] object StoreLayout {
     * `keyCol` appears in `ids` (a one-column frame; extra columns are
     * ignored). The id frame is re-evaluated per partition — pass a small
     * or cached frame.
+    *
+    * Because the doomed set is explicit (unlike [[delete]]'s opaque
+    * `keep`), affected partitions are DISCOVERED first in one semi-join
+    * pass over the whole store (`input_file_name` → partition dir), so
+    * untouched partitions are never anti-join-scanned individually —
+    * with 10⁴ partitions and a deletion list touching 3, the per-
+    * partition work is 3 rewrites, not 10⁴ scans. The collected file
+    * list is bounded by the store's file count (the same order as the
+    * directory listing the protocol already does).
     */
   def deleteIds(spark: SparkSession, dir: String, keyCol: String,
       ids: org.apache.spark.sql.DataFrame, targetFiles: Int = 1): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val doomed = ids.select(col(ids.columns.head).as("__doomed_id")).distinct()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    // sweep crash leftovers BEFORE the early-outs below, so a re-run of a
+    // delete whose predecessor died mid-step-3 still finishes the cleanup
+    val parts = sweepAndList(fs, root).map(_.getPath.toString)
+    if (parts.isEmpty) return 0L
+    val affected = spark.read.parquet(parts: _*)
+      .select(col(keyCol), input_file_name().as("__f"))
+      .join(doomed, col(keyCol) === col("__doomed_id"), "left_semi")
+      .select("__f").distinct().collect()
+      .map(r => new Path(r.getString(0)).getParent.getName)
+      .toSet
+    if (affected.isEmpty) return 0L
     delete(spark, dir,
       df => df.join(doomed, df(keyCol) === col("__doomed_id"), "left_anti"),
-      targetFiles)
+      targetFiles, onlyParts = Some(affected))
   }
 
   /** Stable-per-checkpoint-INSTANCE, distinct-across-queries run tag: a

@@ -338,4 +338,27 @@ class MixSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keptC == Set(1L, 2L), s"got $keptC")
   }
+
+  test("quantileFilter: per-stratum discrete cut, ties at the threshold " +
+      "drop together, small strata behave") {
+    import spark.implicits._
+    // stratum a: scores 1..10 (n=10, drop 0.6 → k=6 → threshold=6):
+    // keep 7,8,9,10. stratum b: 5,5,5,9 (n=4, k=⌈2.4⌉=3 → cum(5)=3 ≥ 3 →
+    // threshold 5; ties at 5 all drop): keep only 9.
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong * 100)) ++
+      Seq(("b", 95L, 5L), ("b", 96L, 5L), ("b", 97L, 5L), ("b", 98L, 9L))
+        .map { case (k, id, s) => (k, id, s) })
+      .toDF("k", "id", "score")
+    val thr = Mix.quantileThresholds(df, col("k"), col("score"), drop = 0.6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr == Map("a" -> 600L, "b" -> 5L), s"got $thr")
+    val kept = Mix.quantileFilter(df, col("k"), col("score"), drop = 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(7L, 8L, 9L, 10L, 98L), s"got $kept")
+    // a one-row stratum: k = 1, threshold = the only value → nothing kept
+    val single = Seq(("c", 1L, 42L)).toDF("k", "id", "score")
+    assert(Mix.quantileFilter(single, col("k"), col("score"), 0.6).count() == 0)
+    intercept[IllegalArgumentException](
+      Mix.quantileThresholds(df, col("k"), col("score"), 0.0))
+  }
 }

@@ -83,6 +83,40 @@ class PqIndexStreamSpec extends SparkSpec {
     assert(direct.nonEmpty && rows(store) == direct)
   }
 
+  test("int8 and binary tiers: stream-appended stores search identically " +
+      "to one-shot encodes (calibration pinned; sign codes model-free)") {
+    import graft.llm.Quantize
+    val (mins, maxs) = Quantize.int8Stats(emb, "embedding", dim = 64)
+    val i8dir = tmp().toString
+    val i8fn = PqIndexStream.batchFunction(
+      PqIndexStream.int8("vec_id", "embedding", mins, maxs), i8dir)
+    i8fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+    i8fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    def i8Rows(enc: DataFrame) =
+      Quantize.int8TopKEncoded(enc, emb, queries, "vec_id", "embedding",
+          mins, maxs, k = 5, rerank = 20)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+    val i8direct = i8Rows(Quantize.int8Encode(emb, "vec_id", "embedding", mins, maxs))
+    assert(i8direct.nonEmpty &&
+      i8Rows(PqIndexStream.loadEncoded(spark, i8dir).get) == i8direct)
+    val bdir = tmp().toString
+    val bfn = PqIndexStream.batchFunction(
+      PqIndexStream.binary("vec_id", "embedding", dim = 64), bdir)
+    bfn(emb.filter(col("vec_id") % 2 === 0), 0L)
+    bfn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    def bRows(enc: DataFrame) =
+      Quantize.hammingTopKEncoded(enc, emb, queries, "vec_id", "embedding",
+          dim = 64, k = 5, rerank = 20)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSeq
+    val bdirect = bRows(Quantize.binaryEncode(emb, "vec_id", "embedding", dim = 64))
+    assert(bdirect.nonEmpty &&
+      bRows(PqIndexStream.loadEncoded(spark, bdir).get) == bdirect)
+  }
+
   test("deleteVectors: forgotten ids vanish from ANN results; the rest " +
       "search as if encoded without them") {
     import spark.implicits._
