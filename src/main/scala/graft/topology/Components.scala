@@ -33,7 +33,7 @@ object BuiltinComponents {
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
-      chunkText, spanDedup, exactSubstrDedup),
+      chunkText, spanDedup, exactSubstrDedup, quantileGate),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
@@ -773,6 +773,27 @@ object BuiltinComponents {
       val n = cfg.int("N", 1000L).toInt
       df => graft.llm.Mix.capPerKey(df, col(cfg.str("GroupField")),
         struct(col(rank).as("r"), col(id).as("i")), id, n)
+    })
+
+  val quantileGate: FilterDesc = mkPureFilter("QuantileFilter",
+    "Drops the bottom Drop fraction of records per group, ranked by a " +
+      "numeric score field with the cut derived from the data (per-group " +
+      "discrete quantile over micro-unit-scaled scores; ties at the cut " +
+      "drop together) — never a global sort.",
+    Seq(
+      ConfigKey("GroupField", "field defining the stratum (e.g. lang)",
+        required = true),
+      ConfigKey("ScoreField", "numeric field ranked (parsed as double)",
+        required = true),
+      ConfigKey("Drop", "fraction of each group to drop, in (0,1)",
+        default = Some(0.5)),
+      ConfigKey("Scale", "micro-unit scale applied before the integer quantile",
+        default = Some(10000L))))(
+    (_, cfg) => { df =>
+      val scoreInt = round(col(cfg.str("ScoreField")).cast("double") *
+        cfg.int("Scale", 10000L)).cast("long")
+      graft.llm.Mix.quantileFilter(df, col(cfg.str("GroupField")), scoreInt,
+        cfg.dbl("Drop", 0.5))
     })
 
   /** NearDupDedup — corpus-wide near-duplicate removal as a TOML filter,

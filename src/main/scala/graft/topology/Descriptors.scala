@@ -44,6 +44,16 @@ final case class ComponentConfig(raw: Map[String, Any], componentName: String = 
       require(default != Long.MinValue, s"$componentName: missing required key '$key'")
       default
   }
+  def dbl(key: String, default: => Double = Double.NaN): Double = any(key) match {
+    case Some(d: Double) => d
+    case Some(l: Long)   => l.toDouble
+    case Some(s: String) => s.toDouble
+    case Some(other) => throw new IllegalArgumentException(
+      s"$componentName: '$key' is not a number: $other")
+    case None =>
+      require(!default.isNaN, s"$componentName: missing required key '$key'")
+      default
+  }
   /** Byte size: a plain integer, or a humanized string like "32MB",
     * "1.5 GiB", "64kib" — decimal suffixes are 1000-based and binary
     * (…iB) suffixes 1024-based, matching the reference's TOML size type

@@ -180,4 +180,74 @@ class DemuxPropertySpec extends SparkSpec {
         s"seed=$seed blocks=${blocks.map(b => (b.track, b.key, b.group))}")
     }
   }
+
+  // --- audio elementary streams ---
+
+  private def adtsFrame(dataLen: Int, fill: Byte): Array[Byte] = {
+    val len = 7 + dataLen
+    Array(0xFF, 0xF1, 0x50, 0x80 | ((len >> 11) & 3), (len >> 3) & 0xFF,
+      ((len & 7) << 5) | 0x1F, 0xFC).map(_.toByte) ++ Array.fill(dataLen)(fill)
+  }
+
+  private def mp3Frame(brIx: Int, srIx: Int, pad: Int, fill: Byte): Array[Byte] = {
+    val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      256, 320)(brIx) * 1000
+    val sr = Array(44100, 48000, 32000)(srIx)
+    val len = 144 * br / sr + pad
+    Array(0xFF, 0xFB, (brIx << 4) | (srIx << 2) | (pad << 1), 0x00)
+      .map(_.toByte) ++ Array.fill(len - 4)(fill)
+  }
+
+  private case class AudioCase(frames: List[Array[Byte]], id3Body: Option[Int],
+      truncate: Int)
+
+  private val audioGen: Gen[AudioCase] = for {
+    isAdts <- Gen.oneOf(true, false)
+    n <- Gen.choose(1, 6)
+    frames <- Gen.listOfN(n,
+      if (isAdts) for {
+        d <- Gen.choose(0, 20); f <- Gen.choose(0, 255)
+      } yield adtsFrame(d, f.toByte)
+      else for {
+        br <- Gen.choose(1, 14); sr <- Gen.choose(0, 2)
+        pad <- Gen.choose(0, 1); f <- Gen.choose(0, 255)
+      } yield mp3Frame(br, sr, pad, f.toByte))
+    id3 <- Gen.option(Gen.choose(0, 30))
+    trunc <- Gen.oneOf(0, 0, 0, 1, 3) // usually whole; sometimes cut tail
+  } yield AudioCase(frames, id3, trunc)
+
+  test("audio frame walk returns exactly the planted ADTS/MP3 frames, " +
+      "any ID3 prefix / truncated tail") {
+    for (seed <- 1L to 60L) {
+      val c = sample(audioGen, seed)
+      val id3 = c.id3Body.fold(Array.empty[Byte]) { b =>
+        Array[Byte]('I', 'D', '3', 4, 0, 0) ++
+          Array(((b >> 21) & 0x7F), ((b >> 14) & 0x7F), ((b >> 7) & 0x7F),
+            b & 0x7F).map(_.toByte) ++ Array.fill(b)(9.toByte)
+      }
+      val whole = id3 ++ c.frames.flatten.toArray
+      val payload = whole.take(whole.length - c.truncate)
+      // a truncated tail ends the walk at the valid prefix — frames whose
+      // end survives the cut
+      val expected = {
+        var off = id3.length
+        c.frames.takeWhile { f => off += f.length; off <= payload.length }
+      }
+      val got = Multimodal.JvmCodecs.sampleFrames(seed, payload,
+        n = expected.length max 1)
+      if (expected.nonEmpty)
+        assert(got.map(_.payload.toSeq) == expected.map(_.toSeq),
+          s"seed=$seed id3=${c.id3Body} trunc=${c.truncate} " +
+            s"lens=${c.frames.map(_.length)}")
+      else if (c.id3Body.isDefined)
+        // ID3 is a strong magic: no walkable frame behind it → corrupt, Nil
+        assert(got.isEmpty, s"seed=$seed: ID3 with no valid frame must be Nil")
+      else
+        // bare 2-byte sync is weak: unparseable payload keeps the stub
+        // contract (deterministic slices), it does not vanish
+        assert(got.map(_.payload.toSeq) ==
+          Multimodal.StubCodecs.sampleFrames(seed, payload, n = 1)
+            .map(_.payload.toSeq), s"seed=$seed: expected stub fallback")
+    }
+  }
 }

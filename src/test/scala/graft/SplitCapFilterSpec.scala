@@ -93,4 +93,22 @@ class SplitCapFilterSpec extends SparkSpec {
       .map(_.getString(0)).sorted
     assert(got == Seq("2", "3", "4", "5", "6"))
   }
+
+  test("QuantileFilter drops the bottom fraction per group with a " +
+      "data-derived cut, matching Mix.quantileFilter") {
+    // group a: scores 0.1..1.0 (n=10, drop 0.6 → threshold 0.6):
+    // keep 0.7..1.0; group b: 0.5,0.5,0.5,0.9 → threshold 0.5, keep 0.9
+    val rows = (1 to 10).map(i => f"a$i;a;${i / 10.0}%.1f") ++
+      Seq("b1;b;0.5", "b2;b;0.5", "b3;b;0.5", "b4;b;0.9")
+    val got = runToml(rows, Seq("id", "grp", "score"),
+      """[[filter]]
+        |name = "QuantileFilter"
+        |  [filter.config]
+        |  GroupField = "grp"
+        |  ScoreField = "score"
+        |  Drop = 0.6""".stripMargin,
+      Seq("id"))
+      .map(_.getString(0)).sorted
+    assert(got == Seq("a10", "a7", "a8", "a9", "b4"), s"got $got")
+  }
 }
