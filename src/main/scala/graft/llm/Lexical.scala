@@ -78,11 +78,18 @@ object Lexical {
     */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String): LexicalIndex = {
     val p = postings(corpus, idCol, textCol)
-    val stats = p.agg(
+    LexicalIndex(p, statsOf(p))
+  }
+
+  /** THE stats aggregation over a postings table — the single definition
+    * [[buildIndex]], [[deleteFromIndex]] and the streaming store's delete
+    * all share, so "recomputed stats equal a from-scratch build exactly"
+    * is true by construction, not by keeping three copies in sync.
+    */
+  def statsOf(postings: DataFrame): DataFrame =
+    postings.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
-    LexicalIndex(p, stats)
-  }
 
   /** BM25 top-k over a pre-built index. Queries must be small (they
     * broadcast, twice: term set for pruning, then (query, term) pairs for
@@ -164,10 +171,7 @@ object Lexical {
     val doomed = docIds.select(col(docIds.columns.head).as("__doomed_id")).distinct()
     val posts = index.postings
       .join(doomed, index.postings("doc_id") === col("__doomed_id"), "left_anti")
-    val stats = posts.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
-    LexicalIndex(posts, stats)
+    LexicalIndex(posts, statsOf(posts))
   }
 
   /** Exact word-shingle Jaccard retrieval: rank docs by

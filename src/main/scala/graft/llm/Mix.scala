@@ -425,9 +425,13 @@ object Mix {
     */
   def quantileFilter(df: DataFrame, strata: Column, scoreInt: Column,
       drop: Double): DataFrame = {
+    // reserved __-prefixed names on the join side: a user frame with a
+    // 'stratum' or 'threshold' column (the TOML filter runs over
+    // arbitrary record schemas) must not become an ambiguous reference
     val thr = quantileThresholds(df, strata, scoreInt, drop)
-    df.join(broadcast(thr), strata === col("stratum"))
-      .filter(scoreInt.cast("long") > col("threshold"))
-      .drop("stratum", "threshold")
+      .select(col("stratum").as("__qf_stratum"), col("threshold").as("__qf_thr"))
+    df.join(broadcast(thr), strata === col("__qf_stratum"))
+      .filter(scoreInt.cast("long") > col("__qf_thr"))
+      .drop("__qf_stratum", "__qf_thr")
   }
 }

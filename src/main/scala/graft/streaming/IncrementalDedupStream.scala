@@ -101,19 +101,27 @@ object IncrementalDedupStream {
     StoreLayout.compact(spark, dir, targetFiles)
 
   /** Right-to-be-forgotten: remove `ids` (one-column frame of doc ids)
-    * from BOTH halves of the store — their MinHash signatures (keyed
-    * `__id`) and their kept-corpus rows (keyed `idCol`) — via the
+    * from BOTH halves of the store — their kept-corpus rows (keyed
+    * `idCol`) and their MinHash signatures (keyed `__id`) — via the
     * partition-granular crash-safe [[StoreLayout.delete]]. After this, a
     * future batch containing a near-duplicate of a deleted doc is ADMITTED
     * (nothing remains to collide with), which is exactly the contract:
-    * the store must behave as if the doc had never been ingested. Run
-    * while no stream is writing. Returns (signature rows, corpus rows)
-    * removed.
+    * the store must behave as if the doc had never been ingested.
+    *
+    * Deletion order is privacy-first: the corpus TEXT (the legal
+    * deliverable) goes before the signatures, so a crash between the two
+    * halves leaves at worst a ghost signature — which still BLOCKS
+    * near-dups of the forgotten doc until the re-run finishes the job —
+    * never the reverse window where the text lingers while near-dups are
+    * already being admitted. Run while no stream is writing. Returns
+    * (signature rows, corpus rows) removed.
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      corpusDir: String, idCol: String, ids: DataFrame): (Long, Long) =
-    (StoreLayout.deleteIds(spark, storeDir, "__id", ids),
-      StoreLayout.deleteIds(spark, corpusDir, idCol, ids))
+      corpusDir: String, idCol: String, ids: DataFrame): (Long, Long) = {
+    val corpusRemoved = StoreLayout.deleteIds(spark, corpusDir, idCol, ids)
+    val sigRemoved = StoreLayout.deleteIds(spark, storeDir, "__id", ids)
+    (sigRemoved, corpusRemoved)
+  }
 
   /** Start the streaming query: `docs` (a streaming frame with `idCol`,
     * `textCol`) → per-batch incremental dedup → kept docs under

@@ -64,6 +64,36 @@ object LexicalIndexStream {
     Lexical.LexicalIndex(postings, stats)
   }
 
+  /** Right-to-be-forgotten: remove `ids`' postings from the index, then
+    * refresh the stats half from the SURVIVING postings
+    * ([[Lexical.statsOf]] — the same aggregation [[Lexical.buildIndex]]
+    * uses, so post-delete scores equal a from-scratch build of the
+    * surviving corpus exactly; LexicalIndexStreamSpec pins it). Two
+    * halves commit independently (partition-granular
+    * [[StoreLayout.delete]], then a stats rewrite): a crash between them
+    * leaves stats counting the deleted docs — a bounded SCORING skew —
+    * while the legal guarantee (deleted docs can never be returned) holds
+    * from the instant their postings partitions commit. The stats refresh
+    * runs UNCONDITIONALLY, not only when this run removed rows, so
+    * re-running after such a crash always heals the stale stats (the
+    * price: a no-op delete still pays one postings aggregation). Run
+    * while no stream is writing. Returns postings rows removed.
+    */
+  def deleteDocs(spark: SparkSession, indexDir: String, ids: DataFrame): Long = {
+    val removed = StoreLayout.deleteIds(spark, s"$indexDir/postings", "doc_id", ids)
+    val postParts = StoreLayout.committed(spark, s"$indexDir/postings")
+    // a store that was never written must not be conjured into existence
+    // by a no-op delete (deletion never removes partitions — it leaves
+    // committed empty ones — so removed > 0 implies parts exist)
+    if (postParts.nonEmpty) {
+      // replace ALL prior stats rows with the one recomputed row; the
+      // reader's dl-weighted merge over a single row is the row itself
+      StoreLayout.replaceAll(spark, s"$indexDir/stats",
+        Lexical.statsOf(spark.read.parquet(postParts: _*)))
+    }
+    removed
+  }
+
   /** Offline compaction of both index halves: thousands of micro-batches
     * mean thousands of postings partitions, each a file-open per search —
     * this folds them into one `batch=compact-*` partition per half via the
@@ -73,36 +103,6 @@ object LexicalIndexStream {
     * results are identical before and after. Run while NO stream is
     * writing the index.
     */
-  /** Right-to-be-forgotten: remove `ids`' postings from the index, then
-    * refresh the stats half from the SURVIVING postings (the same
-    * aggregation [[Lexical.buildIndex]] uses, so post-delete scores equal
-    * a from-scratch build of the surviving corpus exactly — LexicalSpec's
-    * stream sibling pins it). Two halves commit independently
-    * (partition-granular [[StoreLayout.delete]], then a stats rewrite): a
-    * crash between them leaves stats counting the deleted docs — a
-    * bounded SCORING skew, corrected by re-running — while the legal
-    * guarantee (deleted docs can never be returned) holds from the
-    * instant their postings partitions commit. Run while no stream is
-    * writing. Returns postings rows removed.
-    */
-  def deleteDocs(spark: SparkSession, indexDir: String, ids: DataFrame): Long = {
-    val removed = StoreLayout.deleteIds(spark, s"$indexDir/postings", "doc_id", ids)
-    if (removed > 0) {
-      val postParts = StoreLayout.committed(spark, s"$indexDir/postings")
-      val fresh =
-        if (postParts.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-            StructField("n_docs", LongType), StructField("avgdl", DoubleType))))
-        else spark.read.parquet(postParts: _*).agg(
-          countDistinct(col("doc_id")).as("n_docs"),
-          (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
-      // replace ALL prior stats rows with the one recomputed row; the
-      // reader's dl-weighted merge over a single row is the row itself
-      StoreLayout.replaceAll(spark, s"$indexDir/stats", fresh)
-    }
-    removed
-  }
-
   def compactIndex(spark: SparkSession, indexDir: String,
       targetFiles: Int = 1): Unit = {
     StoreLayout.compact(spark, s"$indexDir/postings", targetFiles)

@@ -183,21 +183,40 @@ private[graft] object StoreLayout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     var deleted = 0L
+    // when the caller pre-discovered the affected partitions (deleteIds),
+    // every listed partition is KNOWN to hold doomed rows: skip the
+    // change-detection counts and rewrite directly, observing the kept
+    // row count during the write — 2 scans per partition (count + write)
+    // instead of 3 (count + filtered count + write)
+    val preDiscovered = onlyParts.isDefined
     for (part <- sweepAndList(fs, root)
         if onlyParts.forall(_.contains(part.getPath.getName))) {
       val df = spark.read.parquet(part.getPath.toString)
-      val kept = keep(df)
-      val doomed = df.count() - kept.count()
-      require(doomed >= 0, s"delete: keep() grew partition ${part.getPath.getName}")
-      if (doomed > 0) {
-        val name = part.getPath.getName
-        // tag from the source partition NAME: a crash-and-rerun restages
-        // the same target; chained deletes rename each step (the absorbed
-        // name feeds the next tag), so successive operations never collide
-        stageAndCommit(fs, root, md5Tag(s"$name:delete"), kept, Seq(name),
-          targetFiles)
+      val name = part.getPath.getName
+      // tag from the source partition NAME: a crash-and-rerun restages
+      // the same target; chained deletes rename each step (the absorbed
+      // name feeds the next tag), so successive operations never collide
+      def tag = md5Tag(s"$name:delete")
+      if (preDiscovered) {
+        val before = df.count()
+        val obs = new org.apache.spark.sql.Observation()
+        stageAndCommit(fs, root, tag,
+          keep(df).observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows")),
+          Seq(name), targetFiles)
+        val doomed = before - obs.get("rows").asInstanceOf[Long]
+        require(doomed >= 0, s"delete: keep() grew partition $name")
         fs.delete(part.getPath, true)
         deleted += doomed
+      } else {
+        val kept = keep(df)
+        val doomed = df.count() - kept.count()
+        require(doomed >= 0, s"delete: keep() grew partition $name")
+        if (doomed > 0) {
+          stageAndCommit(fs, root, tag, kept, Seq(name), targetFiles)
+          fs.delete(part.getPath, true)
+          deleted += doomed
+        }
       }
     }
     deleted

@@ -115,6 +115,26 @@ class LexicalIndexStreamSpec extends SparkSpec {
     assert(search(dir, q) == expect)
   }
 
+  test("deleteDocs heals stale stats on re-run after a crash between the " +
+      "postings delete and the stats rewrite") {
+    import spark.implicits._
+    val dir = tmp().toString
+    val fn = LexicalIndexStream.batchFunction("doc_id", "text", dir)
+    val docs = Seq(1L -> "spark shuffles data", 2L -> "the window slid",
+      3L -> "spark spark window", 4L -> "data data lake")
+    fn(docs.toDF("doc_id", "text"), 0L)
+    // simulate the crash window: postings rewritten, stats never refreshed
+    graft.streaming.StoreLayout.deleteIds(
+      spark, s"$dir/postings", "doc_id", Seq(3L).toDF("doc_id"))
+    val stale = LexicalIndexStream.loadIndex(spark, dir).stats.collect()
+    assert(stale(0).getAs[Long]("n_docs") == 4L, "precondition: stats stale")
+    // the re-run finds nothing left to remove (returns 0) but must still
+    // heal the stats half
+    assert(LexicalIndexStream.deleteDocs(spark, dir, Seq(3L).toDF("doc_id")) == 0L)
+    val healed = LexicalIndexStream.loadIndex(spark, dir).stats.collect()
+    assert(healed.length == 1 && healed(0).getAs[Long]("n_docs") == 3L)
+  }
+
   test("deleteFromIndex (batch layout): same survivors-only contract, " +
       "pure frame algebra") {
     import spark.implicits._

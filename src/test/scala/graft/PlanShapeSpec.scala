@@ -165,6 +165,23 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("quantile gate: thresholds broadcast back, the corpus never " +
+      "shuffles (only the histogram agg exchanges)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val gated = graft.llm.Mix.quantileFilter(docs, col("lang"),
+      col("n_chars").cast("long"), drop = 0.5)
+    val p = finalPlan(gated)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastExchange"),
+      s"thresholds must broadcast back to the corpus:\n$p")
+    // the corpus side must reach the join scan-direct: no hash exchange
+    // keyed on the stratum column on the probe side (the only
+    // hashpartitioning exchanges belong to the histogram agg + its window)
+    val corpusShuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(corpusShuffles <= 2,
+      s"expected only the histogram agg/window exchanges, got $corpusShuffles:\n$p")
+  }
+
   test("attribute mix over co-bucketed corpus + sidecar: zero exchanges " +
       "(tag once, re-filter forever without moving the text)") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
