@@ -1833,6 +1833,21 @@ object SparkEntry {
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    "q_span_redact" -> ((s, d) => {
+      // span-attribute rewrite (the Dolma span model: offsets arrive as
+      // DATA, the rewrite happens later): two planted char spans per doc
+      // derived from its fields, replaced by a token in one map-only
+      // fold; the oracle rebuilds the string from kept chars + tokens
+      val s1 = (col("doc_id") % 4).cast("int")
+      val spans = array(
+        struct(s1.as("s"), (s1 + 3).as("e")),
+        struct((s1 + 6).as("s"), (s1 + 8).as("e")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TF.redactSpans(col("text"), spans, "<X>").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_quantile_filter" -> ((s, d) => {
       // FineWeb-style per-language quality gate with a DATA-DERIVED cut:
       // drop the bottom 60% by quality per lang. All-integer discrete
@@ -3707,6 +3722,36 @@ object SparkEntry {
     "q_quality" ->
       s"""$qualityScoreCte
          SELECT doc_id, quality FROM q ORDER BY doc_id""",
+    "q_span_redact" ->
+      // rebuild the redacted string from first principles: kept chars
+      // (positions outside both clamped spans) union one token per
+      // non-empty clamped span, stitched in position order
+      """WITH base AS (
+           SELECT doc_id, text, CAST(doc_id % 4 AS INTEGER) AS s1,
+                  length(text) AS n
+           FROM documents
+         ), ch AS (
+           SELECT doc_id, unnest(range(n)) AS i FROM base
+         ), kept AS (
+           SELECT c.doc_id, CAST(c.i AS BIGINT) AS pos,
+                  substr(b.text, CAST(c.i + 1 AS INTEGER), 1) AS piece
+           FROM ch c JOIN base b ON b.doc_id = c.doc_id
+           WHERE NOT (c.i >= b.s1 AND c.i < LEAST(b.s1 + 3, b.n))
+             AND NOT (c.i >= b.s1 + 6 AND c.i < LEAST(b.s1 + 8, b.n))
+         ), toks AS (
+           SELECT doc_id, CAST(s1 AS BIGINT) AS pos, '<X>' AS piece
+           FROM base WHERE LEAST(s1 + 3, n) > s1
+           UNION ALL
+           SELECT doc_id, CAST(s1 + 6 AS BIGINT), '<X>'
+           FROM base WHERE LEAST(s1 + 8, n) > s1 + 6
+         ), pieces AS (
+           SELECT * FROM kept UNION ALL SELECT * FROM toks
+         )
+         SELECT b.doc_id,
+                COALESCE(string_agg(p.piece, '' ORDER BY p.pos), '') AS text
+         FROM base b LEFT JOIN pieces p ON p.doc_id = b.doc_id
+         GROUP BY b.doc_id
+         ORDER BY b.doc_id""",
     "q_quantile_filter" ->
       // the same all-integer discrete quantile: per-lang (score) histogram,
       // cumulative counts, threshold = min v with cum·10⁶ ≥ 600000·n,

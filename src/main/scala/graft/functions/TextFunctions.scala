@@ -254,6 +254,57 @@ object TextFunctions {
       meanTokenLen(text).between(2.0, 12.0) &&
       (duplicateNgramFraction(text, 2) <= maxDupBigram)
 
+  /** Rewrite `text` by replacing each character span in `spans` (an
+    * `array<struct<s, e>>` of 0-based [s, e) CHAR offsets — the public
+    * Dolma span-attribute model, where taggers emit offsets as DATA and
+    * the rewrite happens later, possibly in a different job reading the
+    * spans from a sidecar) with `token`. Pure column algebra: spans are
+    * clamped to the text, empties dropped, the rest sorted and folded in
+    * one pass — map-only, codegen-resident, no UDF.
+    *
+    * Overlap semantics: coverage is the UNION of the spans; a span that
+    * extends coverage past the current cursor emits one `token`, a span
+    * wholly inside already-covered text emits nothing (so N overlapping
+    * spans merge into one covered region with one token per
+    * coverage-extending span). Null text → "".
+    */
+  def redactSpans(text: Column, spans: Column, token: String): Column = {
+    val t = coalesce(text, lit(""))
+    val norm = array_sort(filter(
+      transform(spans, sp => struct(
+        greatest(sp.getField("s").cast("int"), lit(0)).as("s"),
+        least(sp.getField("e").cast("int"), length(t)).as("e"))),
+      sp => sp.getField("e") > sp.getField("s")))
+    val folded = aggregate(norm,
+      struct(lit(0).as("pos"), lit("").as("acc")),
+      (st, sp) => {
+        val pos = st.getField("pos")
+        val acc = st.getField("acc")
+        val s = sp.getField("s")
+        val e = sp.getField("e")
+        // e > pos ⇔ the span extends coverage: append the kept gap
+        // [pos, max(s,pos)) and one token, advance the cursor to e.
+        // Otherwise the span is inside covered text: nothing moves —
+        // text is only ever consumed together with an append, so none
+        // is lost
+        struct(
+          greatest(pos, e).as("pos"),
+          when(e > pos,
+            concat(acc, t.substr(pos + 1, greatest(s - pos, lit(0))),
+              lit(token)))
+            .otherwise(acc).as("acc"))
+      },
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("pos") + 1, length(t) - st.getField("pos"))))
+    folded
+  }
+
+  /** [[redactSpans]] with an empty replacement — the span CUT (paragraph
+    * dedup cuts, boilerplate removal, right-to-be-forgotten passages).
+    */
+  def cutSpans(text: Column, spans: Column): Column =
+    redactSpans(text, spans, "")
+
   /** Redact common PII shapes (emails, IPv4s, phone-like digit runs) with
     * typed placeholder tokens — the standard scrubbing pass before a text
     * corpus leaves a pipeline. Regexes are written to the Java∩RE2 common

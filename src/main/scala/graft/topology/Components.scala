@@ -33,7 +33,7 @@ object BuiltinComponents {
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
-      chunkText, spanDedup, exactSubstrDedup, quantileGate),
+      chunkText, spanDedup, exactSubstrDedup, quantileGate, redactSpans),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
@@ -910,6 +910,30 @@ object BuiltinComponents {
       df.join(cleaned, Seq(id))
         .withColumn(tf, col("__cleaned"))
         .select(out.map(col): _*)
+    })
+
+  val redactSpans: FilterDesc = mkFilter("RedactSpans",
+    "Replaces character spans of a text field with a token ('' = cut): " +
+      "spans arrive as DATA in a sibling field holding a JSON array of " +
+      "[start, end) char-offset pairs — the span-attribute model, where " +
+      "an upstream tagger emits offsets and the rewrite happens here. " +
+      "A missing/unparseable spans field leaves the text unchanged.",
+    Seq(
+      ConfigKey("Field", "text field rewritten in place", required = true),
+      ConfigKey("SpansField", "field holding JSON [[s,e],...] char offsets",
+        required = true),
+      ConfigKey("Token", "replacement token ('' = cut)", default = Some(""))))(
+    (_, cfg) => { df =>
+      val parsed = from_json(col(cfg.str("SpansField")),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+      val spans = coalesce(
+        transform(parsed, p =>
+          struct(element_at(p, 1).as("s"), element_at(p, 2).as("e"))),
+        array().cast("array<struct<s:int,e:int>>"))
+      df.withColumn(cfg.str("Field"),
+        graft.functions.TextFunctions.redactSpans(col(cfg.str("Field")),
+          spans, cfg.str("Token", "")))
     })
 
   // ===================== outputs =====================

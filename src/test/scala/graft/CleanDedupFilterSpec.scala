@@ -75,4 +75,41 @@ class CleanDedupFilterSpec extends SparkSpec {
     // union [1,6) is cut, leaving only the unshared leading token
     assert(got == Map("1" -> "p q r s t", "2" -> "z"))
   }
+
+  test("RedactSpans rewrites char spans from a JSON offsets field; " +
+      "missing/garbage spans leave the text unchanged") {
+    val dir = Files.createTempDirectory("graft-redactspans-toml").toFile
+    val data = new File(dir, "in.csv")
+    java.nio.file.Files.write(data.toPath,
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        "1;hello world;[[0,5]]",
+        "2;abcdefghij;[[2,5],[7,9]]",
+        "3;untouched;",
+        "4;also kept;not-json")).asJava)
+    val toml =
+      s"""[csv]
+         |field_separator = 59
+         |[fields]
+         |names = ["id", "text", "spans"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$data"]
+         |  MatchPath = ".*\\\\.csv"
+         |[[filter]]
+         |name = "RedactSpans"
+         |  [filter.config]
+         |  Field = "text"
+         |  SpansField = "spans"
+         |  Token = "<PII>"
+         |[output]
+         |name = "Recorder"
+         |fields = ["id", "text"]
+         |""".stripMargin
+    Topology.compileToml(spark, toml, BuiltinComponents.all).run()
+    val got = BuiltinComponents.Recorder.last
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("1" -> "<PII> world", "2" -> "ab<PII>fg<PII>j",
+      "3" -> "untouched", "4" -> "also kept"), s"got $got")
+  }
 }

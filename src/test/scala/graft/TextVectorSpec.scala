@@ -113,4 +113,32 @@ class TextVectorSpec extends SparkSpec {
     assert(s1 != s3) // different seed, different planes
     assert(s1.asInstanceOf[Long] >= 0 && s1.asInstanceOf[Long] < (1L << 12))
   }
+
+  test("redactSpans / cutSpans: clamping, overlap union, degenerate spans, " +
+      "null text") {
+    def spans(ps: (Int, Int)*) =
+      array(ps.map { case (s, e) => struct(lit(s).as("s"), lit(e).as("e")) }: _*)
+    def red(text: String, token: String, ps: (Int, Int)*): String =
+      one(TF.redactSpans(lit(text), spans(ps: _*), token)).asInstanceOf[String]
+    // basic replace, 0-based [s, e)
+    assert(red("hello world", "<X>", (0, 5)) == "<X> world")
+    assert(red("hello world", "<X>", (6, 11)) == "hello <X>")
+    // two disjoint spans, out of order
+    assert(red("abcdefghij", "_", (6, 8), (1, 3)) == "a_def_ij")
+    // overlapping spans merge into one covered region (token per
+    // coverage-extending span)
+    assert(red("abcdefghij", "_", (2, 5), (4, 7)) == "ab__hij")
+    // a span inside covered text emits nothing
+    assert(red("abcdefghij", "_", (2, 8), (3, 4)) == "ab_ij")
+    // clamped past the end; negative start clamps to 0
+    assert(red("abc", "_", (1, 99)) == "a_")
+    assert(red("abc", "_", (-5, 2)) == "_c")
+    // degenerate (empty / inverted) spans are ignored, losing no text
+    assert(red("abcdef", "_", (3, 3), (5, 2)) == "abcdef")
+    // cut = redact with empty token
+    assert(one(TF.cutSpans(lit("abcdefghij"), spans((2, 5), (7, 10))))
+      == "abfg")
+    // null text → ""
+    assert(one(TF.redactSpans(lit(null).cast("string"), spans((0, 2)), "_")) == "")
+  }
 }
