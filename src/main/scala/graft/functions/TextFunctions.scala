@@ -266,14 +266,22 @@ object TextFunctions {
     * extends coverage past the current cursor emits one `token`, a span
     * wholly inside already-covered text emits nothing (so N overlapping
     * spans merge into one covered region with one token per
-    * coverage-extending span). Null text → "".
+    * coverage-extending span). Null text → ""; a NULL spans array (an
+    * un-tagged doc after a left join against a spans sidecar) and spans
+    * with a null bound (malformed tagger output) leave the text
+    * UNCHANGED — they must never clamp to full extent (Spark's
+    * `greatest`/`least` skip NULLs, so an unguarded null bound would
+    * silently cover [0, length) and destroy the document).
     */
   def redactSpans(text: Column, spans: Column, token: String): Column = {
     val t = coalesce(text, lit(""))
+    val wellFormed = filter(spans, sp =>
+      sp.isNotNull && sp.getField("s").isNotNull && sp.getField("e").isNotNull)
+    val clamped = transform(wellFormed, sp => struct(
+      greatest(sp.getField("s").cast("int"), lit(0)).as("s"),
+      least(sp.getField("e").cast("int"), length(t)).as("e")))
     val norm = array_sort(filter(
-      transform(spans, sp => struct(
-        greatest(sp.getField("s").cast("int"), lit(0)).as("s"),
-        least(sp.getField("e").cast("int"), length(t)).as("e"))),
+      coalesce(clamped, array().cast("array<struct<s:int,e:int>>")),
       sp => sp.getField("e") > sp.getField("s")))
     val folded = aggregate(norm,
       struct(lit(0).as("pos"), lit("").as("acc")),

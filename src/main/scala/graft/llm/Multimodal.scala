@@ -142,7 +142,12 @@ object Multimodal {
       * WebM/Matroska demuxes for REAL too (EBML element walking: Tracks →
       * video track number, Clusters → keyframe-flagged SimpleBlocks).
       * Payloads in none of these containers keep the stub's deterministic
-      * slices; corrupt GIFs/JPEGs/MP4s/WebMs → Nil.
+      * slices; corrupt GIFs/JPEGs/MP4s/WebMs → Nil, and an ID3-tagged
+      * payload with no walkable audio frame → Nil too (ID3 is a strong
+      * magic). Only a payload matching nothing stronger than the 2-byte
+      * MPEG sync falls back to the stub when its frames don't parse —
+      * 1/512 of random binaries carry those bits, so "sync but
+      * unparseable" means unknown format, not corrupt audio.
       */
     override def sampleFrames(docId: Long, payload: Array[Byte], n: Int): Seq[Frame] = {
       init

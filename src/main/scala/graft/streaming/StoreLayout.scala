@@ -111,20 +111,32 @@ private[graft] object StoreLayout {
     committed0
   }
 
-  /** Stage `df` + an `_ABSORBED` manifest naming `absorbs`, then
-    * rename-commit to `batch=compact-<tag>` — steps 1-2 of the protocol.
-    * The caller deletes the absorbed dirs (step 3).
+  /** Step 1 of the protocol: write `df` + an `_ABSORBED` manifest naming
+    * `absorbs` into the invisible staging dir. Returns (staging, target)
+    * for [[commitStaged]]. Nothing is reader-visible until the rename.
     */
-  private def stageAndCommit(fs: FileSystem, root: Path, tag: String,
+  private def stage(fs: FileSystem, root: Path, tag: String,
       df: org.apache.spark.sql.DataFrame, absorbs: Seq[String],
-      targetFiles: Int): Unit = {
+      targetFiles: Int): (Path, Path) = {
     val staging = new Path(root, s"_compacting-$tag")
     val target = new Path(root, s"batch=compact-$tag")
     df.coalesce(targetFiles).write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(new Path(staging, AbsorbedFile), true)
     try out.write(absorbs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    (staging, target)
+  }
+
+  /** Step 2 — THE commit point (one rename). */
+  private def commitStaged(fs: FileSystem, staging: Path, target: Path): Unit =
     require(fs.rename(staging, target),
       s"store rewrite: rename $staging -> $target failed (concurrent writer?)")
+
+  /** Steps 1-2 together; the caller deletes the absorbed dirs (step 3). */
+  private def stageAndCommit(fs: FileSystem, root: Path, tag: String,
+      df: org.apache.spark.sql.DataFrame, absorbs: Seq[String],
+      targetFiles: Int): Unit = {
+    val (staging, target) = stage(fs, root, tag, df, absorbs, targetFiles)
+    commitStaged(fs, staging, target)
   }
 
   /** Offline compaction: every committed `batch=*` partition is rewritten
@@ -185,38 +197,41 @@ private[graft] object StoreLayout {
     var deleted = 0L
     // when the caller pre-discovered the affected partitions (deleteIds),
     // every listed partition is KNOWN to hold doomed rows: skip the
-    // change-detection counts and rewrite directly, observing the kept
-    // row count during the write — 2 scans per partition (count + write)
-    // instead of 3 (count + filtered count + write)
+    // change-detection count and rewrite directly, observing the kept
+    // row count during the staging write — 2 scans per partition
+    // (count + write) instead of 3 (count + filtered count + write)
     val preDiscovered = onlyParts.isDefined
     for (part <- sweepAndList(fs, root)
         if onlyParts.forall(_.contains(part.getPath.getName))) {
       val df = spark.read.parquet(part.getPath.toString)
       val name = part.getPath.getName
-      // tag from the source partition NAME: a crash-and-rerun restages
-      // the same target; chained deletes rename each step (the absorbed
-      // name feeds the next tag), so successive operations never collide
-      def tag = md5Tag(s"$name:delete")
-      if (preDiscovered) {
-        val before = df.count()
+      val before = df.count()
+      val proceed = preDiscovered || {
+        val doomed = before - keep(df).count()
+        require(doomed >= 0, s"delete: keep() grew partition $name")
+        doomed > 0
+      }
+      if (proceed) {
         val obs = new org.apache.spark.sql.Observation()
-        stageAndCommit(fs, root, tag,
+        // tag from the source partition NAME: a crash-and-rerun restages
+        // the same target; chained deletes rename each step (the absorbed
+        // name feeds the next tag), so successive operations never collide
+        val (staging, target) = stage(fs, root, md5Tag(s"$name:delete"),
           keep(df).observe(obs, org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("rows")),
           Seq(name), targetFiles)
         val doomed = before - obs.get("rows").asInstanceOf[Long]
-        require(doomed >= 0, s"delete: keep() grew partition $name")
+        if (doomed < 0) {
+          // the contract-violation guard must fire BEFORE the commit
+          // rename: the grown rewrite stays an invisible staging orphan
+          // (next run sweeps it) and the original partition survives
+          fs.delete(staging, true)
+          throw new IllegalArgumentException(
+            s"delete: keep() grew partition $name")
+        }
+        commitStaged(fs, staging, target)
         fs.delete(part.getPath, true)
         deleted += doomed
-      } else {
-        val kept = keep(df)
-        val doomed = df.count() - kept.count()
-        require(doomed >= 0, s"delete: keep() grew partition $name")
-        if (doomed > 0) {
-          stageAndCommit(fs, root, tag, kept, Seq(name), targetFiles)
-          fs.delete(part.getPath, true)
-          deleted += doomed
-        }
       }
     }
     deleted

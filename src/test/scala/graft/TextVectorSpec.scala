@@ -140,5 +140,19 @@ class TextVectorSpec extends SparkSpec {
       == "abfg")
     // null text → ""
     assert(one(TF.redactSpans(lit(null).cast("string"), spans((0, 2)), "_")) == "")
+    // a NULL spans ARRAY (un-tagged doc after a sidecar left join) leaves
+    // the text unchanged — it must not become null
+    assert(one(TF.redactSpans(lit("keep me"),
+      lit(null).cast("array<struct<s:int,e:int>>"), "_")) == "keep me")
+    assert(one(TF.cutSpans(lit("keep me"),
+      lit(null).cast("array<struct<s:int,e:int>>"))) == "keep me")
+    // spans with a null bound (malformed tagger output) are dropped, NOT
+    // clamped to full extent (greatest/least skip nulls — an unguarded
+    // null bound would silently cover the whole document)
+    val nullBound = array(
+      struct(lit(null).cast("int").as("s"), lit(null).cast("int").as("e")),
+      struct(lit(3).as("s"), lit(null).cast("int").as("e")),
+      struct(lit(1).as("s"), lit(2).as("e")))
+    assert(one(TF.redactSpans(lit("abcdef"), nullBound, "_")) == "a_cdef")
   }
 }
