@@ -64,6 +64,15 @@ object GraftFunctions {
     }
   }
 
+  /** Foldable string argument (replacement tokens). */
+  private def stringArg(name: String, e: Expression): String = {
+    require(e.foldable, s"$name: argument must be a string literal")
+    Cast(e, org.apache.spark.sql.types.StringType).eval() match {
+      case null => throw new IllegalArgumentException(s"$name: literal is NULL")
+      case s => s.toString
+    }
+  }
+
   /** Foldable array<double> argument (quantization range tables). */
   private def doubleArrayArg(name: String, e: Expression): Array[Double] = {
     require(e.foldable, s"$name: argument must be a literal array")
@@ -111,6 +120,16 @@ object GraftFunctions {
     fd("graft_canonical_url",
       "graft_canonical_url(url) - canonical form for URL-level dedup",
       Set(1))(es => x(TextFunctions.canonicalUrl(c(es.head)))),
+    fd("graft_redact_spans",
+      "graft_redact_spans(text, spans[, token]) - replace [s,e) char spans " +
+        "(array<struct<s,e>>) with token; null/malformed spans ignored",
+      Set(2, 3))(es => {
+      val token = if (es.length == 3) stringArg("graft_redact_spans", es(2)) else ""
+      x(TextFunctions.redactSpans(c(es(0)), c(es(1)), token))
+    }),
+    fd("graft_cut_spans",
+      "graft_cut_spans(text, spans) - cut [s,e) char spans out of text",
+      Set(2))(es => x(TextFunctions.cutSpans(c(es(0)), c(es(1))))),
     fd("graft_minhash",
       "graft_minhash(text[, numPerm, shingleK, seed]) - MinHash signature array<long>",
       Set(1, 4)) { es =>

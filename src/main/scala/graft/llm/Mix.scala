@@ -422,6 +422,13 @@ object Mix {
     * threshold frame (possible only if it was absent from the frame the
     * thresholds were computed over) keeps nothing — by the inner join —
     * which is the conservative reading.
+    *
+    * Cost note: the corpus scans TWICE (histogram, then filter) and
+    * `scoreInt` is evaluated in both scans. For an expensive score
+    * (model-derived quality), tag it ONCE into an attribute sidecar
+    * ([[graft.llm.Attributes]]) and gate on the stored column — the
+    * sidecar model exists precisely so heavyweight signals never
+    * recompute per experiment.
     */
   def quantileFilter(df: DataFrame, strata: Column, scoreInt: Column,
       drop: Double): DataFrame = {

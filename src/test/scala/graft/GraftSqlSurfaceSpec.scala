@@ -43,6 +43,12 @@ class GraftSqlSurfaceSpec extends SparkSpec {
     sqlVsColumn("graft_html_to_text(text)", TextFunctions.htmlToText(t))
     sqlVsColumn("graft_html_title(text)", TextFunctions.htmlTitle(t))
     sqlVsColumn("graft_canonical_url(text)", TextFunctions.canonicalUrl(t))
+    val spansSql = "array(named_struct('s', 1, 'e', 4))"
+    val spansCol = array(struct(lit(1).as("s"), lit(4).as("e")))
+    sqlVsColumn(s"graft_redact_spans(text, $spansSql, '<X>')",
+      TextFunctions.redactSpans(t, spansCol, "<X>"))
+    sqlVsColumn(s"graft_cut_spans(text, $spansSql)",
+      TextFunctions.cutSpans(t, spansCol))
   }
 
   test("signature functions match the Column API from SQL (incl. literal args)") {

@@ -178,6 +178,25 @@ class StoreLayoutSpec extends SparkSpec {
     assert(readIds(dir) == Seq(1L))
   }
 
+  test("a keep() that grows a partition fails BEFORE the commit rename: " +
+      "the original stays visible, the bad rewrite is an invisible orphan") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L, 2L)
+    // the pre-discovered path defers the grow check to the observed write
+    // — it must still fire before anything becomes reader-visible
+    intercept[IllegalArgumentException](
+      StoreLayout.delete(spark, dir, df => df.unionAll(df),
+        onlyParts = Some(Set("batch=run-0"))))
+    assert(readIds(dir) == Seq(1L, 2L), "original must survive a bad keep()")
+    assert(!partNames(dir).exists(_.startsWith("batch=compact-")),
+      "the grown rewrite must never commit")
+    // any later protocol run sweeps whatever staging debris remains
+    StoreLayout.deleteIds(spark, dir, "id", Seq(99L).toDF("id"))
+    assert(!partNames(dir).exists(_.startsWith("_compacting-")))
+    assert(readIds(dir) == Seq(1L, 2L))
+  }
+
   test("replaceAll swaps the whole store content in one commit and " +
       "absorbs every prior partition") {
     import spark.implicits._
