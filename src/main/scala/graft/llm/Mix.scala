@@ -402,7 +402,13 @@ object Mix {
       drop: Double): DataFrame = {
     require(drop > 0 && drop < 1, s"drop fraction must be in (0,1): $drop")
     val dropMicro = math.ceil(drop * 1e6).toLong
+    // null scores (e.g. an unparseable string field cast to double under
+    // the TOML filter) are EXCLUDED from the distribution — left in, they
+    // would sort below every real value and silently shift the cut
+    // upward; they never pass the final `score > threshold` test anyway,
+    // so exclusion makes the threshold reflect the scored rows only
     val hist = df.select(strata.as("stratum"), scoreInt.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum").orderBy("__v")

@@ -360,5 +360,18 @@ class MixSpec extends SparkSpec {
     assert(Mix.quantileFilter(single, col("k"), col("score"), 0.6).count() == 0)
     intercept[IllegalArgumentException](
       Mix.quantileThresholds(df, col("k"), col("score"), 0.0))
+    // null scores (unparseable fields) are excluded from the
+    // distribution: they never pass the gate AND never shift the cut —
+    // stratum a's threshold stays 600 with nulls planted beside it
+    val withNulls = df.unionByName(
+      Seq(("a", 100L), ("a", 101L)).toDF("k", "id")
+        .withColumn("score", lit(null).cast("long"))
+        .select("k", "id", "score"))
+    val thrN = Mix.quantileThresholds(withNulls, col("k"), col("score"), 0.6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thrN("a") == 600L, s"null scores must not shift the cut: $thrN")
+    val keptN = Mix.quantileFilter(withNulls, col("k"), col("score"), 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!keptN.contains(100L) && !keptN.contains(101L))
   }
 }
