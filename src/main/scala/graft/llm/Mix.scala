@@ -404,9 +404,11 @@ object Mix {
     val dropMicro = math.ceil(drop * 1e6).toLong
     // null scores (e.g. an unparseable string field cast to double under
     // the TOML filter) are EXCLUDED from the distribution — left in, they
-    // would sort below every real value and silently shift the cut
-    // upward; they never pass the final `score > threshold` test anyway,
-    // so exclusion makes the threshold reflect the scored rows only
+    // would sort below every real value, inflate both cum and n, and
+    // silently shift the cut DOWNWARD (every null absorbs part of the
+    // drop budget, so FEWER real rows drop than the fraction demands);
+    // they never pass the final `score > threshold` test anyway, so
+    // exclusion makes the threshold reflect the scored rows only
     val hist = df.select(strata.as("stratum"), scoreInt.cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))

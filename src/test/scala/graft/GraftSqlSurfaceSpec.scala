@@ -47,6 +47,9 @@ class GraftSqlSurfaceSpec extends SparkSpec {
     val spansCol = array(struct(lit(1).as("s"), lit(4).as("e")))
     sqlVsColumn(s"graft_redact_spans(text, $spansSql, '<X>')",
       TextFunctions.redactSpans(t, spansCol, "<X>"))
+    // 2-arg form: the default token is '' — identical to the cut
+    sqlVsColumn(s"graft_redact_spans(text, $spansSql)",
+      TextFunctions.cutSpans(t, spansCol))
     sqlVsColumn(s"graft_cut_spans(text, $spansSql)",
       TextFunctions.cutSpans(t, spansCol))
   }

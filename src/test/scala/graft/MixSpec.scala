@@ -361,10 +361,13 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mix.quantileThresholds(df, col("k"), col("score"), 0.0))
     // null scores (unparseable fields) are excluded from the
-    // distribution: they never pass the gate AND never shift the cut —
-    // stratum a's threshold stays 600 with nulls planted beside it
+    // distribution: they never pass the gate AND never shift the cut.
+    // Ten nulls against ten real scores is past the shift point — were
+    // they counted, n would double (20), the rank demand would become
+    // cum ≥ 12, and the ten bottom-sorted nulls would drag the threshold
+    // down to 200; the exclusion keeps it at 600
     val withNulls = df.unionByName(
-      Seq(("a", 100L), ("a", 101L)).toDF("k", "id")
+      (100L to 109L).map(("a", _)).toDF("k", "id")
         .withColumn("score", lit(null).cast("long"))
         .select("k", "id", "score"))
     val thrN = Mix.quantileThresholds(withNulls, col("k"), col("score"), 0.6)
@@ -372,6 +375,6 @@ class MixSpec extends SparkSpec {
     assert(thrN("a") == 600L, s"null scores must not shift the cut: $thrN")
     val keptN = Mix.quantileFilter(withNulls, col("k"), col("score"), 0.6)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(!keptN.contains(100L) && !keptN.contains(101L))
+    assert(keptN.intersect((100L to 109L).toSet).isEmpty)
   }
 }
