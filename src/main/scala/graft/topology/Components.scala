@@ -33,7 +33,8 @@ object BuiltinComponents {
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
-      chunkText, spanDedup, exactSubstrDedup, quantileGate, redactSpans),
+      chunkText, spanDedup, exactSubstrDedup, quantileGate, redactSpans,
+      sidecarJoin),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
@@ -910,6 +911,43 @@ object BuiltinComponents {
       df.join(cleaned, Seq(id))
         .withColumn(tf, col("__cleaned"))
         .select(out.map(col): _*)
+    })
+
+  val sidecarJoin: FilterDesc = mkFilter("SidecarJoin",
+    "Left-joins an id-keyed parquet sidecar table (e.g. attribute " +
+      "sidecars written by a tagger job) onto the record stream, filling " +
+      "the selected DECLARED fields from sidecar columns of the same " +
+      "name; records without a sidecar row get '' — the 'tag once, mix " +
+      "many' model on the config surface.",
+    Seq(
+      ConfigKey("Path", "parquet sidecar path (file/dir/glob)", required = true),
+      ConfigKey("IdField", "record field equi-joined to the sidecar key",
+        required = true),
+      ConfigKey("SidecarKey", "sidecar key column (defaults to IdField)"),
+      ConfigKey("Fields", "sidecar columns copied into same-named fields",
+        required = true)))(
+    (ctx, cfg) => { df =>
+      val id = cfg.str("IdField")
+      val key = cfg.str("SidecarKey", id)
+      val wanted = cfg.strList("Fields")
+      require(wanted.nonEmpty, "SidecarJoin: Fields must name at least one column")
+      val missing = wanted.filterNot(ctx.fields.contains)
+      require(missing.isEmpty, "SidecarJoin: Fields must be declared " +
+        s"[fields] names; not declared: [${missing.mkString(", ")}]")
+      val side = ctx.spark.read.parquet(cfg.str("Path"))
+      val absent = (key +: wanted).filterNot(side.columns.contains)
+      require(absent.isEmpty, "SidecarJoin: sidecar is missing columns " +
+        s"[${absent.mkString(", ")}] (has [${side.columns.mkString(", ")}])")
+      // sidecar ids compared as strings (the topology's schema-lite
+      // record model); reserved helper names keep arbitrary record
+      // schemas collision-free
+      val slim = side.select(
+        (col(key).cast("string").as("__sj_key") +:
+          wanted.map(f => col(f).cast("string").as(s"__sj_$f"))): _*)
+      val joined = df.join(slim, df(id) === col("__sj_key"), "left")
+      wanted.foldLeft(joined)((acc, f) =>
+        acc.withColumn(f, coalesce(col(s"__sj_$f"), lit(""))))
+        .drop("__sj_key" +: wanted.map(f => s"__sj_$f"): _*)
     })
 
   val redactSpans: FilterDesc = mkFilter("RedactSpans",

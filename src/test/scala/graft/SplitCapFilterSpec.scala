@@ -94,6 +94,51 @@ class SplitCapFilterSpec extends SparkSpec {
     assert(got == Seq("2", "3", "4", "5", "6"))
   }
 
+  test("SidecarJoin fills declared fields from an id-keyed parquet " +
+      "sidecar; absent rows get ''; composes with QuantileFilter") {
+    import spark.implicits._
+    val sideDir = Files.createTempDirectory("graft-sidecar").toFile
+    // a tagger job's sidecar: (doc_id, score) — doc 5 untagged
+    (1 to 10).filter(_ != 5).map(i => (i.toLong, i / 10.0))
+      .toDF("doc_id", "score")
+      .write.mode("overwrite").parquet(s"$sideDir/attrs")
+    val rows = (1 to 10).map(i => s"$i;doc text $i;")
+    val got = runToml(rows, Seq("id", "text", "score"),
+      s"""[[filter]]
+         |name = "SidecarJoin"
+         |  [filter.config]
+         |  Path = "$sideDir/attrs"
+         |  IdField = "id"
+         |  SidecarKey = "doc_id"
+         |  Fields = ["score"]""".stripMargin,
+      Seq("id", "score"))
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("3") == "0.3" && got("10") == "1.0")
+    assert(got("5") == "", "untagged record must get ''")
+    // the mixed-in score drives a data-derived gate in the SAME topology
+    val rows2 = (1 to 10).map(i => s"$i;doc text $i;;g")
+    val got2 = runToml(rows2, Seq("id", "text", "score", "grp"),
+      s"""[[filter]]
+         |name = "SidecarJoin"
+         |  [filter.config]
+         |  Path = "$sideDir/attrs"
+         |  IdField = "id"
+         |  SidecarKey = "doc_id"
+         |  Fields = ["score"]
+         |[[filter]]
+         |name = "QuantileFilter"
+         |  [filter.config]
+         |  GroupField = "grp"
+         |  ScoreField = "score"
+         |  Drop = 0.5""".stripMargin,
+      Seq("id"))
+      .map(_.getString(0)).map(_.toInt).sorted
+    // 9 scored docs (doc 5's '' casts to null and is excluded): drop
+    // fraction 0.5 → rank demand cum ≥ ⌈4.5⌉ = 5 → the 5th smallest of
+    // {0.1..0.4, 0.6..1.0} is 0.6 → keep strictly above → ids 7..10
+    assert(got2 == Seq(7, 8, 9, 10), s"got $got2")
+  }
+
   test("QuantileFilter drops the bottom fraction per group with a " +
       "data-derived cut, matching Mix.quantileFilter") {
     // group a: scores 0.1..1.0 (n=10, drop 0.6 → threshold 0.6):
