@@ -917,8 +917,10 @@ object BuiltinComponents {
     "Left-joins an id-keyed parquet sidecar table (e.g. attribute " +
       "sidecars written by a tagger job) onto the record stream, filling " +
       "the selected DECLARED fields from sidecar columns of the same " +
-      "name; records without a sidecar row get '' — the 'tag once, mix " +
-      "many' model on the config surface.",
+      "name; records without a sidecar row — or whose sidecar value is " +
+      "NULL — get '' (the record model's empty). A sidecar with " +
+      "duplicate keys fails loudly (it would multiply records). The " +
+      "'tag once, mix many' model on the config surface.",
     Seq(
       ConfigKey("Path", "parquet sidecar path (file/dir/glob)", required = true),
       ConfigKey("IdField", "record field equi-joined to the sidecar key",
@@ -931,23 +933,38 @@ object BuiltinComponents {
       val key = cfg.str("SidecarKey", id)
       val wanted = cfg.strList("Fields")
       require(wanted.nonEmpty, "SidecarJoin: Fields must name at least one column")
-      val missing = wanted.filterNot(ctx.fields.contains)
-      require(missing.isEmpty, "SidecarJoin: Fields must be declared " +
-        s"[fields] names; not declared: [${missing.mkString(", ")}]")
+      require(wanted.distinct == wanted,
+        s"SidecarJoin: duplicate Fields entries: [${wanted.mkString(", ")}]")
+      val missing = (id +: wanted).filterNot(ctx.fields.contains)
+      require(missing.isEmpty, "SidecarJoin: IdField and Fields must be " +
+        s"declared [fields] names; not declared: [${missing.mkString(", ")}]")
+      require(!df.columns.exists(_.startsWith("__sj_")),
+        "SidecarJoin reserves the '__sj_' column prefix")
       val side = ctx.spark.read.parquet(cfg.str("Path"))
-      val absent = (key +: wanted).filterNot(side.columns.contains)
+      // resolve sidecar columns the way Spark itself would — case-
+      // insensitively — and use the ACTUAL names thereafter
+      def resolve(n: String): Option[String] =
+        side.columns.find(_.equalsIgnoreCase(n))
+      val absent = (key +: wanted).filterNot(resolve(_).isDefined)
       require(absent.isEmpty, "SidecarJoin: sidecar is missing columns " +
         s"[${absent.mkString(", ")}] (has [${side.columns.mkString(", ")}])")
       // sidecar ids compared as strings (the topology's schema-lite
-      // record model); reserved helper names keep arbitrary record
-      // schemas collision-free
+      // record model); the key's helper alias ('__sj_key') can never
+      // equal a field alias ('__sj_f_<name>') for any field name
       val slim = side.select(
-        (col(key).cast("string").as("__sj_key") +:
-          wanted.map(f => col(f).cast("string").as(s"__sj_$f"))): _*)
+        (col(resolve(key).get).cast("string").as("__sj_key") +:
+          wanted.map(f => col(resolve(f).get).cast("string").as(s"__sj_f_$f"))): _*)
+      // a duplicated sidecar key would emit one output record PER
+      // sidecar row — a cardinality change no filter may make silently
+      val dup = slim.groupBy("__sj_key").agg(count(lit(1)).as("__sj_n"))
+        .filter(col("__sj_n") > 1).limit(1).collect()
+      require(dup.isEmpty, "SidecarJoin: sidecar has duplicate keys " +
+        s"(e.g. '${if (dup.isEmpty) "" else dup.head.get(0)}') — " +
+        "compact or dedup the sidecar first")
       val joined = df.join(slim, df(id) === col("__sj_key"), "left")
       wanted.foldLeft(joined)((acc, f) =>
-        acc.withColumn(f, coalesce(col(s"__sj_$f"), lit(""))))
-        .drop("__sj_key" +: wanted.map(f => s"__sj_$f"): _*)
+        acc.withColumn(f, coalesce(col(s"__sj_f_$f"), lit(""))))
+        .drop("__sj_key" +: wanted.map(f => s"__sj_f_$f"): _*)
     })
 
   val redactSpans: FilterDesc = mkFilter("RedactSpans",

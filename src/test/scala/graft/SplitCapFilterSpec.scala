@@ -139,6 +139,41 @@ class SplitCapFilterSpec extends SparkSpec {
     assert(got2 == Seq(7, 8, 9, 10), s"got $got2")
   }
 
+  test("SidecarJoin guards: duplicate sidecar keys fail loudly; sidecar " +
+      "columns resolve case-insensitively; a typo'd IdField is named") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sidecar-guards").toFile
+    // column case differs from the config's — must still resolve
+    Seq((1L, 0.9), (2L, 0.1)).toDF("Doc_Id", "Score")
+      .write.mode("overwrite").parquet(s"$dir/cased")
+    val rows = Seq("1;t1;", "2;t2;")
+    def toml(path: String, idField: String = "id") =
+      s"""[[filter]]
+         |name = "SidecarJoin"
+         |  [filter.config]
+         |  Path = "$path"
+         |  IdField = "$idField"
+         |  SidecarKey = "doc_id"
+         |  Fields = ["score"]""".stripMargin
+    val got = runToml(rows, Seq("id", "text", "score"), toml(s"$dir/cased"),
+      Seq("id", "score")).map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("1" -> "0.9", "2" -> "0.1"))
+    // a re-run tagger appended a second row for doc 1 → loud failure,
+    // never a silent record multiplication
+    Seq((1L, 0.5)).toDF("Doc_Id", "Score")
+      .write.mode("append").parquet(s"$dir/cased")
+    val dup = intercept[Exception](
+      runToml(rows, Seq("id", "text", "score"), toml(s"$dir/cased"),
+        Seq("id", "score")))
+    assert(dup.getMessage.contains("duplicate keys"), dup.getMessage)
+    // an IdField that is not a declared [fields] name is named in the error
+    val typo = intercept[Exception](
+      runToml(rows, Seq("id", "text", "score"),
+        toml(s"$dir/cased", idField = "doc"), Seq("id", "score")))
+    assert(typo.getMessage.contains("not declared") &&
+      typo.getMessage.contains("doc"), typo.getMessage)
+  }
+
   test("QuantileFilter drops the bottom fraction per group with a " +
       "data-derived cut, matching Mix.quantileFilter") {
     // group a: scores 0.1..1.0 (n=10, drop 0.6 → threshold 0.6):
