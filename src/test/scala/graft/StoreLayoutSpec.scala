@@ -197,6 +197,35 @@ class StoreLayoutSpec extends SparkSpec {
     assert(readIds(dir) == Seq(1L, 2L))
   }
 
+  test("randomized append/compact/delete sequences: the reader's view " +
+      "always equals the reference set") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val dir = tmp().toString
+      var next = 0L
+      val ref = scala.collection.mutable.SortedSet.empty[Long]
+      for (step <- 0 until 8) {
+        rng.nextInt(4) match {
+          case 0 | 1 => // append a fresh committed batch
+            val ids = (0 until 1 + rng.nextInt(4)).map(_ => { next += 1; next })
+            writeBatch(dir, s"run-$step", ids: _*)
+            ref ++= ids
+          case 2 =>
+            StoreLayout.compact(spark, dir)
+          case 3 if ref.nonEmpty =>
+            val doomed = ref.filter(_ => rng.nextBoolean()).toSeq
+            val n = StoreLayout.deleteIds(spark, dir, "id", doomed.toDF("id"))
+            assert(n == doomed.size, s"seed=$seed step=$step: $n != ${doomed.size}")
+            ref --= doomed
+          case _ => ()
+        }
+        assert(readIds(dir) == ref.toSeq,
+          s"seed=$seed step=$step: ${readIds(dir)} != $ref")
+      }
+    }
+  }
+
   test("replaceAll swaps the whole store content in one commit and " +
       "absorbs every prior partition") {
     import spark.implicits._
