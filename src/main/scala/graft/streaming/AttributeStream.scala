@@ -24,8 +24,11 @@ object AttributeStream {
   def batchFunction(idCol: String, attrs: Seq[(String, Column)],
       sidecarDir: String, runTag: String = "run"): (DataFrame, Long) => Unit =
     (batchDf, batchId) =>
-      Attributes.tag(batchDf, idCol, attrs)
-        .write.mode("overwrite").parquet(s"$sidecarDir/batch=$runTag-$batchId")
+      // lease protocol: fail loudly while maintenance holds the store
+      StoreLayout.writing(batchDf.sparkSession, sidecarDir, runTag) {
+        Attributes.tag(batchDf, idCol, attrs)
+          .write.mode("overwrite").parquet(s"$sidecarDir/batch=$runTag-$batchId")
+      }
 
   /** All committed attribute rows — feed to [[Attributes.mix]]. None
     * until a first batch commits (the schema lives in the data).

@@ -20,10 +20,12 @@ object DenseIndexStream {
 
   def batchFunction(idCol: String, vecCol: String, indexDir: String,
       cents: Array[Array[Double]], runTag: String = "run"): (DataFrame, Long) => Unit =
-    (batchDf, batchId) => {
-      Ivf.assign(batchDf, idCol, vecCol, cents)
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$runTag-$batchId")
-    }
+    (batchDf, batchId) =>
+      // lease protocol: fail loudly while maintenance holds the store
+      StoreLayout.writing(batchDf.sparkSession, indexDir, runTag) {
+        Ivf.assign(batchDf, idCol, vecCol, cents)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$runTag-$batchId")
+      }
 
   /** All committed (id, cell, vec) rows — feed to [[Ivf.ivfTopKAssigned]].
     * Empty store → empty frame with the right schema is impossible

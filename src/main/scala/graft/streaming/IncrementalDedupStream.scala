@@ -85,16 +85,23 @@ object IncrementalDedupStream {
       numPerm = numPerm, bands = bands, shingleK = shingleK, seed = seed,
       maxBucketSize = maxBucketSize).persist()
     try {
-      Dedup.minhashSignatures(kept, idCol, textCol, numPerm, shingleK, seed)
-        .write.mode("overwrite").parquet(s"$storeDir/$self")
-      kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
+      // lease protocol: each write fails loudly while maintenance holds
+      // its store, and is invisible to maintenance the moment it finishes
+      StoreLayout.writing(spark, storeDir, runTag) {
+        Dedup.minhashSignatures(kept, idCol, textCol, numPerm, shingleK, seed)
+          .write.mode("overwrite").parquet(s"$storeDir/$self")
+      }
+      StoreLayout.writing(spark, corpusDir, runTag) {
+        kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
+      }
     } finally kept.unpersist()
   }
 
   /** Offline compaction of a store/corpus directory — delegates to the
     * shared two-phase [[StoreLayout.compact]] (absorbed-manifest commit,
     * crash-safe at every step without relying on readers tolerating
-    * duplicate rows). Run while NO stream is writing the directory.
+    * duplicate rows), guarded by its maintenance lease against a write
+    * in flight.
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFiles: Int = 1): Unit =

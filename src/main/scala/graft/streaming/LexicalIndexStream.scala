@@ -37,9 +37,16 @@ object LexicalIndexStream {
   def batchFunction(idCol: String, textCol: String, indexDir: String,
       runTag: String = "run"): (DataFrame, Long) => Unit = (batchDf, batchId) => {
     val self = s"batch=$runTag-$batchId"
+    val spark = batchDf.sparkSession
     val idx = Lexical.buildIndex(batchDf, idCol, textCol)
-    idx.postings.write.mode("overwrite").parquet(s"$indexDir/postings/$self")
-    idx.stats.write.mode("overwrite").parquet(s"$indexDir/stats/$self")
+    // lease protocol: each half's write fails loudly while maintenance
+    // holds it, and is invisible to maintenance the moment it finishes
+    StoreLayout.writing(spark, s"$indexDir/postings", runTag) {
+      idx.postings.write.mode("overwrite").parquet(s"$indexDir/postings/$self")
+    }
+    StoreLayout.writing(spark, s"$indexDir/stats", runTag) {
+      idx.stats.write.mode("overwrite").parquet(s"$indexDir/stats/$self")
+    }
   }
 
   /** Recombine every committed partition into one searchable index. An
@@ -87,9 +94,14 @@ object LexicalIndexStream {
     // committed empty ones — so removed > 0 implies parts exist)
     if (postParts.nonEmpty) {
       // replace ALL prior stats rows with the one recomputed row; the
-      // reader's dl-weighted merge over a single row is the row itself
+      // reader's dl-weighted merge over a single row is the row itself.
+      // If the delete removed EVERY document, statsOf's sum/0 yields
+      // avgdl=null — pin the well-defined empty-index representation
+      // (0, 0.0) instead, so direct stats consumers never see a null
       StoreLayout.replaceAll(spark, s"$indexDir/stats",
-        Lexical.statsOf(spark.read.parquet(postParts: _*)))
+        Lexical.statsOf(spark.read.parquet(postParts: _*))
+          .select(coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("avgdl"), lit(0.0)).as("avgdl")))
     }
     removed
   }

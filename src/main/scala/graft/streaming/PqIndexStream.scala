@@ -40,8 +40,11 @@ object PqIndexStream {
   def batchFunction(encode: DataFrame => DataFrame, indexDir: String,
       runTag: String = "run"): (DataFrame, Long) => Unit =
     (batchDf, batchId) =>
-      encode(batchDf).write.mode("overwrite")
-        .parquet(s"$indexDir/batch=$runTag-$batchId")
+      // lease protocol: fail loudly while maintenance holds the store
+      StoreLayout.writing(batchDf.sparkSession, indexDir, runTag) {
+        encode(batchDf).write.mode("overwrite")
+          .parquet(s"$indexDir/batch=$runTag-$batchId")
+      }
 
   /** (id, pq_codes) appends for [[Pq.adcTopKEncoded]]. */
   def pq(idCol: String, vecCol: String, model: Pq.PqModel): DataFrame => DataFrame =

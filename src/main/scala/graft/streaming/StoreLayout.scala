@@ -41,22 +41,198 @@ import org.apache.spark.sql.SparkSession
 private[graft] object StoreLayout {
 
   private val AbsorbedFile = "_ABSORBED"
+  private val LeaseFile = "_MAINT_LEASE"
+  private val WriterPrefix = "_writer-"
+
+  /** How old a maintenance lease or in-flight writer heartbeat must be
+    * before it is presumed abandoned (its holder crashed mid-operation).
+    * A heartbeat in the `writing` state only lives this long if its batch
+    * died mid-write — a completed batch flips it to `idle` immediately —
+    * so the window bounds recovery time after a crash, not normal
+    * operation, and just needs to exceed the longest plausible
+    * micro-batch write.
+    */
+  val DefaultStaleMs: Long = 15L * 60 * 1000
+
+  private def readSmallFile(fs: FileSystem, f: Path): String = {
+    val in = fs.open(f)
+    try {
+      // read to EOF — a single read() may legally return a short count
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeSmallFile(fs: FileSystem, f: Path, content: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(f, overwrite)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (owner, state, epochMillis) of a lease/heartbeat file, None if the
+    * file is missing or torn. A torn write is treated as absent — the
+    * hazard a torn LEASE protects against is double-maintenance, and a
+    * second acquirer's create-no-overwrite still fails on the torn file's
+    * existence, so tearing never silently UNLOCKS; it at worst blocks
+    * until [[breakLease]]. (Lease files have no state line — their state
+    * reads as "".)
+    */
+  private def readStamp(fs: FileSystem, f: Path): Option[(String, String, Long)] =
+    if (!fs.exists(f)) None
+    else readSmallFile(fs, f).split('\n') match {
+      case Array(owner, ts) if ts.nonEmpty && ts.forall(_.isDigit) =>
+        Some((owner, "", ts.toLong))
+      case Array(owner, state, ts) if ts.nonEmpty && ts.forall(_.isDigit) =>
+        Some((owner, state, ts.toLong))
+      case _ => None
+    }
+
+  /** Advisory single-writer lease over a store directory's MAINTENANCE
+    * operations ([[compact]], [[delete]], [[deleteIds]], [[replaceAll]]),
+    * closing the "run while NO stream is writing" seam those operations
+    * used to leave to hope:
+    *
+    *  - maintenance vs maintenance: the lease file is created with
+    *    overwrite=false — the atomic create is the lock; a second
+    *    acquirer fails loudly naming the holder.
+    *  - maintenance vs live stream: every streaming batch function wraps
+    *    its write in [[writing]], whose heartbeat file says `writing`
+    *    while the batch is in flight and `idle` the moment it completes.
+    *    Acquisition fails while any `writing` heartbeat is younger than
+    *    `staleMs`, and RE-CHECKS the heartbeats after creating the lease
+    *    (a writer stamps `writing` BEFORE it checks the lease, so one of
+    *    the two racing sides always sees the other and backs off);
+    *    conversely a writer's batch fails loudly while a fresh lease is
+    *    held. `idle` heartbeats never block — the instant a stream's last
+    *    batch finishes, maintenance may run; no shutdown hook needed.
+    *  - crashed holder: a lease — or an in-flight `writing` heartbeat —
+    *    older than `staleMs` is presumed dead (taken over / ignored).
+    *    For an operator who KNOWS the holder is dead and cannot wait out
+    *    `staleMs`, [[breakLease]] removes it explicitly.
+    *
+    * Advisory means: it serializes well-behaved callers and turns the
+    * previously silent overlap into a loud failure; it cannot stop a
+    * writer that never calls [[writing]], clock skew between hosts eats
+    * into `staleMs`, and on stores without atomic create (raw S3) the
+    * guarantee degrades to best-effort — the staged-rename commit
+    * protocol underneath is what keeps readers consistent either way.
+    */
+  private def acquireLease(fs: FileSystem, root: Path, owner: String,
+      staleMs: Long): Path = {
+    val lease = new Path(root, LeaseFile)
+    // pre-check for a friendlier failure (no lease litter), but the
+    // POST-create re-check below is the one that closes the race
+    failOnInFlightWriters(fs, root, staleMs)
+    val now = System.currentTimeMillis()
+    readStamp(fs, lease) match {
+      case Some((holder, _, ts)) if now - ts <= staleMs =>
+        throw new IllegalStateException(
+          s"store maintenance on $root: lease held by '$holder' " +
+            s"(${now - ts} ms ago) — concurrent maintenance is not " +
+            s"allowed; if the holder crashed, wait ${staleMs - (now - ts)} " +
+            "ms for stale takeover or call StoreLayout.breakLease")
+      case Some(_) => fs.delete(lease, false) // stale (or torn) — take over
+      case None => ()
+    }
+    try writeSmallFile(fs, lease, s"$owner\n$now", overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"store maintenance on $root: lost the lease race (${e.getMessage})")
+    }
+    // the race-closing re-check: a writer that passed its lease check
+    // just before our create has already stamped `writing` (it stamps
+    // BEFORE checking), so we see it here and back off
+    try failOnInFlightWriters(fs, root, staleMs)
+    catch { case e: Throwable => fs.delete(lease, false); throw e }
+    lease
+  }
+
+  /** Fails if any writer heartbeat under `root` is in the `writing` state
+    * and younger than `staleMs` (a micro-batch write may be in flight).
+    * `idle` heartbeats are ignored — and swept once stale, so a store
+    * written by many finished runs doesn't accumulate marker files.
+    */
+  private def failOnInFlightWriters(fs: FileSystem, root: Path,
+      staleMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    val beats = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(WriterPrefix))
+    for (b <- beats; (tag, state, ts) <- readStamp(fs, b.getPath)) {
+      require(state != "writing" || now - ts > staleMs,
+        s"store maintenance on $root: stream writer '$tag' has a write " +
+          s"in flight (heartbeat ${now - ts} ms old, < staleMs=$staleMs) " +
+          "— let the batch finish, or wait out staleMs if it crashed")
+      if (now - ts > staleMs) fs.delete(b.getPath, false) // hygiene
+    }
+  }
+
+  private def withLease[T](fs: FileSystem, root: Path, op: String,
+      staleMs: Long)(body: => T): T = {
+    val owner = op + "-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val lease = acquireLease(fs, root, owner, staleMs)
+    try body
+    finally {
+      // release only if still ours — a stale takeover may have replaced it
+      if (readStamp(fs, lease).exists(_._1 == owner)) fs.delete(lease, false)
+    }
+  }
+
+  /** Writer-side half of the lease protocol: every streaming batch
+    * function wraps its store write in this bracket. It (1) stamps this
+    * writer's heartbeat `writing` — BEFORE the lease check, so
+    * maintenance's post-acquire re-check can never miss an in-flight
+    * batch; (2) fails the batch loudly if a fresh maintenance lease is
+    * held on `dir` — the stream's replay-on-restart makes that failure
+    * safe; (3) runs the write; (4) stamps the heartbeat `idle`, after
+    * which maintenance may run immediately. A batch that THROWS is also
+    * stamped `idle` (its partial output is invisible to readers and
+    * swept by the commit protocol); only a JVM death mid-write leaves a
+    * `writing` stamp, which ages out after `staleMs`. Two small-file
+    * creates per micro-batch.
+    */
+  def writing[T](spark: SparkSession, dir: String, runTag: String,
+      staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val beat = new Path(root, WriterPrefix + runTag)
+    def stamp(state: String): Unit =
+      writeSmallFile(fs, beat,
+        s"$runTag\n$state\n${System.currentTimeMillis()}", overwrite = true)
+    stamp("writing")
+    try {
+      val now = System.currentTimeMillis()
+      for ((holder, _, ts) <- readStamp(fs, new Path(root, LeaseFile)))
+        require(now - ts > staleMs,
+          s"stream writer '$runTag' on $dir: maintenance lease held by " +
+            s"'$holder' (${now - ts} ms ago) — maintenance is rewriting " +
+            "this store; the stream must not write until it finishes " +
+            "(crashed holder: StoreLayout.breakLease)")
+      body
+    } finally stamp("idle")
+  }
+
+  /** Operator escape hatch: remove a (crashed) maintenance lease without
+    * waiting out `staleMs`. Returns whether a lease existed.
+    */
+  def breakLease(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new Path(root, LeaseFile)
+    fs.exists(lease) && fs.delete(lease, false)
+  }
 
   private def isCompact(name: String): Boolean = name.startsWith("batch=compact-")
 
   private def readAbsorbed(fs: FileSystem, dir: Path): Seq[String] = {
     val f = new Path(dir, AbsorbedFile)
     if (!fs.exists(f)) Nil
-    else {
-      val in = fs.open(f)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
-      } finally in.close()
-    }
+    else readSmallFile(fs, f).split('\n').toSeq.filter(_.nonEmpty)
   }
 
   /** `batch=*` partitions a reader may trust: `_SUCCESS` present, minus
@@ -142,25 +318,31 @@ private[graft] object StoreLayout {
   /** Offline compaction: every committed `batch=*` partition is rewritten
     * as one `batch=compact-<tag>` partition of `targetFiles` files, so
     * read amplification returns to O(targetFiles) after thousands of
-    * micro-batches. Run while NO stream is writing the directory. Safe to
-    * re-run after a crash at any point (protocol in the object scaladoc);
-    * a run that finds ≤ 1 partition only sweeps leftovers and returns.
+    * micro-batches. Guarded by the maintenance lease ([[acquireLease]]) —
+    * fails loudly if another maintenance run holds the store or a stream
+    * wrote within `staleMs`. Safe to re-run after a crash at any point
+    * (protocol in the object scaladoc); a run that finds ≤ 1 partition
+    * only sweeps leftovers and returns.
     */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
+      staleMs: Long = DefaultStaleMs): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val valid = sweepAndList(fs, root)
-    if (valid.length <= 1) return
-    val names = valid.map(_.getPath.getName).sorted
-    val tag = md5Tag(names.mkString("\n"))
-    // the rename inside is the commit point: readers now see the compact
-    // partition, whose manifest hides `names`
-    stageAndCommit(fs, root,
-      tag, spark.read.parquet(valid.map(_.getPath.toString): _*), names,
-      targetFiles)
-    valid.foreach(s => fs.delete(s.getPath, true))
+    withLease(fs, root, "compact", staleMs) {
+      val valid = sweepAndList(fs, root)
+      if (valid.length > 1) {
+        val names = valid.map(_.getPath.getName).sorted
+        val tag = md5Tag(names.mkString("\n"))
+        // the rename inside is the commit point: readers now see the
+        // compact partition, whose manifest hides `names`
+        stageAndCommit(fs, root,
+          tag, spark.read.parquet(valid.map(_.getPath.toString): _*), names,
+          targetFiles)
+        valid.foreach(s => fs.delete(s.getPath, true))
+      }
+    }
   }
 
   private def md5Tag(s: String): String =
@@ -178,8 +360,8 @@ private[graft] object StoreLayout {
     * `_ABSORBED`-manifest protocol as [[compact]] (object scaladoc), so
     * a crash at ANY step loses nothing and re-running the same delete
     * resumes where it stopped: already-rewritten partitions contain no
-    * doomed rows and are skipped. Run while NO stream is writing the
-    * directory. Returns the number of rows deleted in THIS run.
+    * doomed rows and are skipped. Guarded by the maintenance lease
+    * ([[acquireLease]]). Returns the number of rows deleted in THIS run.
     *
     * `keep` must be a deterministic row filter (e.g.
     * `_.filter(...)` or an anti-join against the doomed-id frame) — it
@@ -189,11 +371,24 @@ private[graft] object StoreLayout {
   def delete(spark: SparkSession, dir: String,
       keep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       targetFiles: Int = 1,
-      onlyParts: Option[Set[String]] = None): Long = {
-    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+      onlyParts: Option[Set[String]] = None,
+      staleMs: Long = DefaultStaleMs): Long = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
+    withLease(fs, root, "delete", staleMs) {
+      deleteCore(spark, fs, root, keep, targetFiles, onlyParts)
+    }
+  }
+
+  /** [[delete]]'s body, lease already held by the caller ([[delete]] or
+    * [[deleteIds]] — which must not re-acquire on the same dir).
+    */
+  private def deleteCore(spark: SparkSession, fs: FileSystem, root: Path,
+      keep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      targetFiles: Int,
+      onlyParts: Option[Set[String]]): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     var deleted = 0L
     // when the caller pre-discovered the affected partitions (deleteIds),
     // every listed partition is KNOWN to hold doomed rows: skip the
@@ -242,24 +437,33 @@ private[graft] object StoreLayout {
     * by the protocol's single rename. For derived halves that must be
     * recomputed as a whole (e.g. a stats row after a postings delete) —
     * NOT for row-level edits, which [[delete]] does partition-granularly.
+    * Guarded by the maintenance lease ([[acquireLease]]).
     */
   def replaceAll(spark: SparkSession, dir: String,
-      df: org.apache.spark.sql.DataFrame, targetFiles: Int = 1): Unit = {
+      df: org.apache.spark.sql.DataFrame, targetFiles: Int = 1,
+      staleMs: Long = DefaultStaleMs): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
-    val valid = sweepAndList(fs, root)
-    val names = valid.map(_.getPath.getName).sorted
-    stageAndCommit(fs, root, md5Tag("replace:" + names.mkString("\n")), df,
-      names, targetFiles)
-    valid.foreach(s => fs.delete(s.getPath, true))
+    withLease(fs, root, "replaceAll", staleMs) {
+      val valid = sweepAndList(fs, root)
+      val names = valid.map(_.getPath.getName).sorted
+      stageAndCommit(fs, root, md5Tag("replace:" + names.mkString("\n")), df,
+        names, targetFiles)
+      valid.foreach(s => fs.delete(s.getPath, true))
+    }
   }
 
   /** [[delete]] specialised to the common shape: drop every row whose
     * `keyCol` appears in `ids` (a one-column frame; extra columns are
-    * ignored). The id frame is re-evaluated per partition — pass a small
-    * or cached frame.
+    * ignored). The id frame is evaluated ONCE — distinct ids are
+    * collected to the driver (bounded by `maxIds`; a deletion list is
+    * small by nature — fail loudly rather than silently recompute an
+    * expensive derived frame once per partition) and re-emitted as a
+    * local frame, so the semi-join discovery pass and every per-
+    * partition anti-join see a broadcast-sized local relation no matter
+    * how the caller derived `ids`.
     *
     * Because the doomed set is explicit (unlike [[delete]]'s opaque
     * `keep`), affected partitions are DISCOVERED first in one semi-join
@@ -268,29 +472,41 @@ private[graft] object StoreLayout {
     * with 10⁴ partitions and a deletion list touching 3, the per-
     * partition work is 3 rewrites, not 10⁴ scans. The collected file
     * list is bounded by the store's file count (the same order as the
-    * directory listing the protocol already does).
+    * directory listing the protocol already does). Guarded by the
+    * maintenance lease ([[acquireLease]]).
     */
   def deleteIds(spark: SparkSession, dir: String, keyCol: String,
-      ids: org.apache.spark.sql.DataFrame, targetFiles: Int = 1): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    val doomed = ids.select(col(ids.columns.head).as("__doomed_id")).distinct()
+      ids: org.apache.spark.sql.DataFrame, targetFiles: Int = 1,
+      staleMs: Long = DefaultStaleMs, maxIds: Int = 1000000): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val distinctIds = ids.select(col(ids.columns.head).as("__doomed_id")).distinct()
+    val collected = distinctIds.limit(maxIds + 1).collect()
+    require(collected.length <= maxIds,
+      s"deleteIds: more than $maxIds distinct ids — for bulk rewrites of " +
+        "this size use delete() with a persisted anti-join frame")
+    val doomed = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), distinctIds.schema))
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
-    // sweep crash leftovers BEFORE the early-outs below, so a re-run of a
-    // delete whose predecessor died mid-step-3 still finishes the cleanup
-    val parts = sweepAndList(fs, root).map(_.getPath.toString)
-    if (parts.isEmpty) return 0L
-    val affected = spark.read.parquet(parts: _*)
-      .select(col(keyCol), input_file_name().as("__f"))
-      .join(doomed, col(keyCol) === col("__doomed_id"), "left_semi")
-      .select("__f").distinct().collect()
-      .map(r => new Path(r.getString(0)).getParent.getName)
-      .toSet
-    if (affected.isEmpty) return 0L
-    delete(spark, dir,
-      df => df.join(doomed, df(keyCol) === col("__doomed_id"), "left_anti"),
-      targetFiles, onlyParts = Some(affected))
+    withLease(fs, root, "deleteIds", staleMs) {
+      // sweep crash leftovers BEFORE the early-outs below, so a re-run of
+      // a delete whose predecessor died mid-step-3 still finishes cleanup
+      val parts = sweepAndList(fs, root).map(_.getPath.toString)
+      if (parts.isEmpty) 0L
+      else {
+        val affected = spark.read.parquet(parts: _*)
+          .select(col(keyCol), input_file_name().as("__f"))
+          .join(doomed, col(keyCol) === col("__doomed_id"), "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => new Path(r.getString(0)).getParent.getName)
+          .toSet
+        if (affected.isEmpty) 0L
+        else deleteCore(spark, fs, root,
+          df => df.join(doomed, df(keyCol) === col("__doomed_id"), "left_anti"),
+          targetFiles, onlyParts = Some(affected))
+      }
+    }
   }
 
   /** Stable-per-checkpoint-INSTANCE, distinct-across-queries run tag: a
@@ -314,15 +530,14 @@ private[graft] object StoreLayout {
     def readTag(): Option[String] =
       if (!fs.exists(tagFile)) None
       else {
-        val in = fs.open(tagFile)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          val s = if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
-          // a torn write (crash mid-create) re-mints rather than adopting
-          // a truncated tag that could collide
-          Some(s).filter(t => t.length == 12 && t.forall(c => "0123456789abcdef".contains(c)))
-        } finally in.close()
+        // read to EOF (readSmallFile loops) — a single short read() of an
+        // INTACT tag must not fail the length gate below, or an intact
+        // checkpoint would mint a second tag and a replayed uncommitted
+        // batch would commit beside its previous attempt's partition
+        val s = readSmallFile(fs, tagFile).trim
+        // a torn write (crash mid-create) re-mints rather than adopting
+        // a truncated tag that could collide
+        Some(s).filter(t => t.length == 12 && t.forall(c => "0123456789abcdef".contains(c)))
       }
     readTag().getOrElse {
       val fresh = java.util.UUID.randomUUID().toString.replace("-", "").take(12)

@@ -919,7 +919,9 @@ object BuiltinComponents {
       "the selected DECLARED fields from sidecar columns of the same " +
       "name; records without a sidecar row — or whose sidecar value is " +
       "NULL — get '' (the record model's empty). A sidecar with " +
-      "duplicate keys fails loudly (it would multiply records). The " +
+      "duplicate keys fails loudly (it would multiply records); the " +
+      "guard rides the join plan itself, so the sidecar is scanned " +
+      "once per run, not once extra for the check. The " +
       "'tag once, mix many' model on the config surface.",
     Seq(
       ConfigKey("Path", "parquet sidecar path (file/dir/glob)", required = true),
@@ -927,7 +929,11 @@ object BuiltinComponents {
         required = true),
       ConfigKey("SidecarKey", "sidecar key column (defaults to IdField)"),
       ConfigKey("Fields", "sidecar columns copied into same-named fields",
-        required = true)))(
+        required = true),
+      ConfigKey("TrustKeys", "skip the duplicate-key aggregation for " +
+        "sidecars already deduped (e.g. StoreLayout-compacted stores); " +
+        "a duplicate then silently multiplies records",
+        default = Some(false))))(
     (ctx, cfg) => { df =>
       val id = cfg.str("IdField")
       val key = cfg.str("SidecarKey", id)
@@ -955,13 +961,31 @@ object BuiltinComponents {
         (col(resolve(key).get).cast("string").as("__sj_key") +:
           wanted.map(f => col(resolve(f).get).cast("string").as(s"__sj_f_$f"))): _*)
       // a duplicated sidecar key would emit one output record PER
-      // sidecar row — a cardinality change no filter may make silently
-      val dup = slim.groupBy("__sj_key").agg(count(lit(1)).as("__sj_n"))
-        .filter(col("__sj_n") > 1).limit(1).collect()
-      require(dup.isEmpty, "SidecarJoin: sidecar has duplicate keys " +
-        s"(e.g. '${if (dup.isEmpty) "" else dup.head.get(0)}') — " +
-        "compact or dedup the sidecar first")
-      val joined = df.join(slim, df(id) === col("__sj_key"), "left")
+      // sidecar row — a cardinality change no filter may make silently.
+      // The guard rides the plan instead of preceding it (one sidecar
+      // scan per run, not two): the sidecar is aggregated to one row per
+      // key (count carried along), and every copied field value is
+      // wrapped in a raise_error that fires when its key's count exceeds
+      // one — consumed rows are exactly the rows that would multiply
+      // records, and every output field is serialized downstream, so
+      // Catalyst cannot prune the check away
+      val rightSide =
+        if (cfg.bool("TrustKeys")) slim
+        else {
+          val aggs = wanted.map(f => first(col(s"__sj_f_$f")).as(s"__sj_f_$f")) :+
+            count(lit(1)).as("__sj_n")
+          val uniq = slim.groupBy("__sj_key").agg(aggs.head, aggs.tail: _*)
+          uniq.select(
+            (col("__sj_key") +: wanted.map { f =>
+              when(col("__sj_n") > 1, raise_error(concat(
+                lit("SidecarJoin: sidecar has duplicate keys (e.g. '"),
+                col("__sj_key"),
+                lit("') — compact or dedup the sidecar first, or set " +
+                  "TrustKeys=true for a store known deduped"))))
+                .otherwise(col(s"__sj_f_$f")).as(s"__sj_f_$f")
+            }): _*)
+        }
+      val joined = df.join(rightSide, df(id) === col("__sj_key"), "left")
       wanted.foldLeft(joined)((acc, f) =>
         acc.withColumn(f, coalesce(col(s"__sj_f_$f"), lit(""))))
         .drop("__sj_key" +: wanted.map(f => s"__sj_f_$f"): _*)

@@ -541,6 +541,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"reassembly must not use a window:\n$p")
   }
 
+  test("SidecarJoin scans the sidecar exactly once (the duplicate-key " +
+      "guard rides the join plan, it does not pre-scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sj-plan").toFile
+    val side = new java.io.File(dir, "side")
+    graft.core.Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang").as("tag"))
+      .write.mode("overwrite").parquet(side.toString)
+    val data = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.write(data.toPath,
+      java.util.Arrays.asList("1;a;", "2;b;"))
+    val toml =
+      s"""[csv]
+         |field_separator = 59
+         |[fields]
+         |names = ["id", "text", "tag"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$data"]
+         |[[filter]]
+         |name = "SidecarJoin"
+         |  [filter.config]
+         |  Path = "$side"
+         |  IdField = "id"
+         |  SidecarKey = "doc_id"
+         |  Fields = ["tag"]
+         |[output]
+         |name = "Recorder"
+         |fields = ["id", "tag"]
+         |""".stripMargin
+    val compiled = graft.topology.Topology.compileToml(spark, toml)
+    val p = plan(compiled.frame)
+    val sidecarScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || (l.contains("FileScan") && l.contains("side")))
+    assert(sidecarScans == 1, s"sidecar must be scanned once, got $sidecarScans:\n$p")
+    // and the guard is IN the plan (an aggregate over the sidecar key)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"duplicate-key guard must ride the plan:\n$p")
+  }
+
   test("exact-substring clean text reuses the window exchange, no cartesian") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = finalPlan(graft.llm.ExactSubstr.removeDuplicateWindows(

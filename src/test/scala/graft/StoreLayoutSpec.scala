@@ -240,4 +240,112 @@ class StoreLayoutSpec extends SparkSpec {
     StoreLayout.replaceAll(spark, dir2, Seq(9L).toDF("id"))
     assert(readIds(dir2) == Seq(9L))
   }
+
+  private def plantLease(dir: String, owner: String, ageMs: Long): Unit =
+    Files.write(new java.io.File(dir, "_MAINT_LEASE").toPath,
+      s"$owner\n${System.currentTimeMillis() - ageMs}".getBytes("UTF-8"))
+
+  test("maintenance lease: concurrent maintenance fails loudly; a crashed " +
+      "holder's lease is taken over once stale or broken explicitly") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L)
+    // a FRESH lease (another maintenance run in flight) blocks everything
+    plantLease(dir, "compact-other", ageMs = 0L)
+    val e1 = intercept[IllegalStateException](StoreLayout.compact(spark, dir))
+    assert(e1.getMessage.contains("compact-other"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      StoreLayout.replaceAll(spark, dir, Seq(9L).toDF("id")))
+    assert(e2.getMessage.contains("lease held"), e2.getMessage)
+    val e3 = intercept[IllegalStateException](
+      StoreLayout.deleteIds(spark, dir, "id", Seq(1L).toDF("id")))
+    assert(e3.getMessage.contains("lease held"), e3.getMessage)
+    assert(readIds(dir) == Seq(1L, 2L), "blocked maintenance must not touch data")
+    // a STALE lease (crashed holder) is taken over automatically...
+    plantLease(dir, "compact-dead", ageMs = StoreLayout.DefaultStaleMs + 1000)
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L))
+    assert(partNames(dir).count(_.startsWith("batch=")) == 1)
+    // ...and the lease is released afterwards (next maintenance proceeds)
+    assert(!new java.io.File(dir, "_MAINT_LEASE").exists(),
+      "lease must be released on completion")
+    // breakLease removes a fresh lease when the operator KNOWS it is dead
+    plantLease(dir, "delete-dead", ageMs = 0L)
+    assert(StoreLayout.breakLease(spark, dir))
+    StoreLayout.replaceAll(spark, dir, Seq(5L).toDF("id"))
+    assert(readIds(dir) == Seq(5L))
+  }
+
+  private def plantBeat(dir: String, tag: String, state: String,
+      ageMs: Long): Unit =
+    Files.write(new java.io.File(dir, s"_writer-$tag").toPath,
+      s"$tag\n$state\n${System.currentTimeMillis() - ageMs}".getBytes("UTF-8"))
+
+  test("maintenance lease vs live stream: an in-flight write blocks " +
+      "maintenance; an idle heartbeat does not; a fresh lease fails the " +
+      "writer's batch; a crashed mid-write heartbeat ages out") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L)
+    writeBatch(dir, "run-1", 2L)
+    // a write in flight (crashed mid-batch, or genuinely racing) —
+    // maintenance must refuse while the `writing` stamp is fresh
+    plantBeat(dir, "stream-a", "writing", ageMs = 0L)
+    val e = intercept[IllegalArgumentException](StoreLayout.compact(spark, dir))
+    assert(e.getMessage.contains("stream-a"), e.getMessage)
+    assert(readIds(dir) == Seq(1L, 2L), "blocked maintenance must not touch data")
+    // a COMPLETED batch (the bracket stamps `idle` on exit) never blocks:
+    // the normal stop-stream-then-compact flow needs no waiting period
+    StoreLayout.writing(spark, dir, "stream-a") { () } // stamps idle on exit
+    StoreLayout.compact(spark, dir)
+    assert(readIds(dir) == Seq(1L, 2L))
+    assert(partNames(dir).count(_.startsWith("batch=")) == 1)
+    // writer side: a fresh maintenance lease fails the batch loudly and
+    // the body never runs; the heartbeat is left idle, not writing
+    plantLease(dir, "compact-live", ageMs = 0L)
+    var ran = false
+    val w = intercept[IllegalArgumentException](
+      StoreLayout.writing(spark, dir, "stream-a") { ran = true })
+    assert(w.getMessage.contains("compact-live") && !ran, w.getMessage)
+    StoreLayout.breakLease(spark, dir)
+    StoreLayout.compact(spark, dir) // idle heartbeat from the failed batch
+    // a `writing` stamp older than staleMs (JVM died mid-write) ages out
+    plantBeat(dir, "stream-b", "writing",
+      ageMs = StoreLayout.DefaultStaleMs + 1000)
+    StoreLayout.replaceAll(spark, dir, Seq(7L).toDF("id"))
+    assert(readIds(dir) == Seq(7L))
+    assert(!new java.io.File(dir, "_writer-stream-b").exists(),
+      "stale heartbeats are swept during acquisition")
+    // a batch body that THROWS still exits the bracket idle — its partial
+    // output is the commit protocol's problem, not the lease's
+    intercept[RuntimeException](
+      StoreLayout.writing(spark, dir, "stream-c") { sys.error("batch died") })
+    StoreLayout.compact(spark, dir) // not blocked
+    assert(readIds(dir) == Seq(7L))
+  }
+
+  test("deleteIds evaluates a derived id frame exactly once (collected to " +
+      "a broadcast-local relation, never recomputed per partition)") {
+    import spark.implicits._
+    val dir = tmp().toString
+    writeBatch(dir, "run-0", 1L, 2L)
+    writeBatch(dir, "run-1", 3L, 4L)
+    writeBatch(dir, "run-2", 5L, 6L)
+    val evals = spark.sparkContext.longAccumulator("idEvals")
+    val expensive = udf { (id: Long) => evals.add(1L); id }
+    // a derived frame a naive implementation would recompute per affected
+    // partition AND once more for discovery — 3+ evaluations per row
+    val ids = Seq(1L, 3L).toDF("id").select(expensive(col("id")).as("id"))
+    val removed = StoreLayout.deleteIds(spark, dir, "id", ids)
+    assert(removed == 2L, s"removed $removed")
+    assert(readIds(dir) == Seq(2L, 4L, 5L, 6L))
+    assert(evals.value == 2L,
+      s"id frame must be evaluated once (2 rows), got ${evals.value} evals")
+    // the bound is loud, not a silent truncation
+    val big = spark.range(10).toDF("id")
+    val e = intercept[IllegalArgumentException](
+      StoreLayout.deleteIds(spark, dir, "id", big, maxIds = 5))
+    assert(e.getMessage.contains("more than 5"), e.getMessage)
+  }
 }
