@@ -2177,10 +2177,21 @@ object SparkEntry {
       val bmp = concat(lit(Array[Byte]('B', 'M') ++ new Array[Byte](12) ++
           Array[Byte](40, 0, 0, 0)),
         le(w, 4), le(lit(4294967296L) - h, 4)) // top-down: height stored negative
+      // JPEG has no fixed dims offset — plant the SOF0 behind an APP0
+      // whose PADDING LENGTH VARIES PER DOC (doc_id % 8 filler bytes), so
+      // the oracle row is only reproducible if the segment walk really
+      // walks (a fixed pluck would read filler on 7 of 8 docs)
+      val pad = (col("doc_id") % 8).cast("int")
+      val jpeg = concat(
+        lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)), be(pad + 2, 2),
+        lit(new Array[Byte](8)).substr(lit(1), pad),
+        lit(Array(0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte)), // SOF0, len 11
+        be(h, 2), be(w, 2), lit(Array[Byte](1, 0, 0x11, 0)))    // 1 component
       def sniff(payload: org.apache.spark.sql.Column) =
         graft.llm.Multimodal.payloadDims(
           docs.withColumn("__p", payload), "doc_id", "__p")
       sniff(png).unionByName(sniff(gif)).unionByName(sniff(bmp))
+        .unionByName(sniff(jpeg))
         .orderBy("doc_id", "format")
     }),
 
@@ -3655,25 +3666,40 @@ object SparkEntry {
     "q_multimodal_mp4" ->
       // the two stss keyframes are samples 1 and 3 of the four 8-byte
       // windows the Spark side packed into the mdat, i.e. text bytes
-      // [1,8] and [17,24] — restated directly as substrings
-      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+      // [1,8] and [17,24] — restated directly as substrings. The chk CTE
+      // makes the byte-vs-char slice equivalence LOUD: the Spark side
+      // packs UTF-8 BYTES, this restatement slices CHARACTERS — equal
+      // only while the packed prefix is pure ASCII, so a non-ASCII
+      // fixture must fail here, not diverge silently
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 32))) > 32 THEN error(
+                    'mp4 oracle: non-ASCII in the packed 32-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 32)
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
                 substr(text, 1, 8) AS frame_text
-         FROM documents WHERE length(text) >= 32
+         FROM documents, chk WHERE length(text) >= 32 AND chk.ok = 0
          UNION ALL
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 17, 8) AS frame_text
-         FROM documents WHERE length(text) >= 32
+         FROM documents, chk WHERE length(text) >= 32 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_adts" ->
       // two fixed-length ADTS frames per doc whose bodies are text bytes
-      // [1,8] and [9,16] — the same restatement as the container queries
-      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+      // [1,8] and [9,16] — the same restatement (and the same loud
+      // ASCII-equivalence chk) as the container queries
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 16))) > 16 THEN error(
+                    'adts oracle: non-ASCII in the packed 16-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 16)
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
                 substr(text, 1, 8) AS frame_text
-         FROM documents WHERE length(text) >= 16
+         FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          UNION ALL
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 9, 8) AS frame_text
-         FROM documents WHERE length(text) >= 16
+         FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_dims" ->
       // the sniffed dims are exactly the planted per-doc values, one row
@@ -3684,33 +3710,53 @@ object SparkEntry {
          SELECT doc_id, 'png' AS format, w AS width, h AS height FROM d
          UNION ALL SELECT doc_id, 'gif', w, h FROM d
          UNION ALL SELECT doc_id, 'bmp', w, h FROM d
+         UNION ALL SELECT doc_id, 'jpeg', w, h FROM d
          ORDER BY doc_id, format""",
     "q_multimodal_fmp4" ->
       // both trun samples are sync, 8 bytes each, contiguous at the end of
-      // the payload — exactly text bytes [1,8] and [9,16]
-      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+      // the payload — exactly text bytes [1,8] and [9,16] (same loud
+      // ASCII-equivalence chk as the other container oracles)
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 16))) > 16 THEN error(
+                    'fmp4 oracle: non-ASCII in the packed 16-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 16)
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
                 substr(text, 1, 8) AS frame_text
-         FROM documents WHERE length(text) >= 16
+         FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          UNION ALL
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 9, 8) AS frame_text
-         FROM documents WHERE length(text) >= 16
+         FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_webm" ->
       // both SimpleBlocks are keyframes on the video track, so the demux
-      // yields exactly text bytes [1,8] and [9,16]
-      """SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
+      // yields exactly text bytes [1,8] and [9,16] (same loud
+      // ASCII-equivalence chk as the other container oracles)
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 16))) > 16 THEN error(
+                    'webm oracle: non-ASCII in the packed 16-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 16)
+         SELECT doc_id, CAST(0 AS INTEGER) AS frame_ix,
                 substr(text, 1, 8) AS frame_text
-         FROM documents WHERE length(text) >= 16
+         FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          UNION ALL
          SELECT doc_id, CAST(1 AS INTEGER) AS frame_ix,
                 substr(text, 9, 8) AS frame_text
-         FROM documents WHERE length(text) >= 16
+         FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the
-      // Spark side packed into the WAV data chunk
-      """SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+      // Spark side packed into the WAV data chunk; ord() reads CODEPOINTS
+      // while Spark packed BYTES, so the chk pins the ASCII equivalence
+      // loudly (up to 16 samples = 32 chars used)
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 32))) > 32 THEN error(
+                    'audio oracle: non-ASCII in the packed 32-char prefix - ord() codepoints and packed bytes diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 2)
+         SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
                 CAST(1 AS INTEGER) AS channels,
                 CAST(least(length(text) // 2, 16) AS INTEGER) AS n_samples,
                 CAST(list_sum(list_transform(
@@ -3718,7 +3764,8 @@ object SparkEntry {
                     i -> ord(substr(text, CAST(2*i-1 AS INTEGER), 1))
                          + 256 * ord(substr(text, CAST(2*i AS INTEGER), 1))))
                   AS BIGINT) AS sample_sum
-         FROM documents WHERE length(text) >= 2 ORDER BY doc_id""",
+         FROM documents, chk WHERE length(text) >= 2 AND chk.ok = 0
+         ORDER BY doc_id""",
     "q_quality" ->
       s"""$qualityScoreCte
          SELECT doc_id, quality FROM q ORDER BY doc_id""",

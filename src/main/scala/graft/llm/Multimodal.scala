@@ -1001,10 +1001,14 @@ object Multimodal {
     * stores 16-bit dims at different offsets, so it reports null dims
     * rather than a garbage 32-bit read; V4/V5 headers keep the same
     * width/height offsets and pass the gate).
-    * JPEG dimensions live in an SOF segment at a variable offset behind
-    * entropy-coded data — not expressible as a fixed pluck; route JPEGs
-    * through [[decodeImages]] (real decode) instead. Unknown formats and
-    * too-short payloads report null dims, never garbage.
+    * JPEG dimensions live in an SOF segment at a VARIABLE offset behind a
+    * chain of length-prefixed header segments — not a fixed pluck, so
+    * they come from [[graft.functions.JpegDims]], a native codegen'd
+    * bounded segment walk over the pre-scan header region (the one
+    * departure from pure column algebra here; still one expression in the
+    * same scan stage). Unknown formats, too-short payloads, and JPEGs
+    * whose header yields no dims (corrupt chain, DNL-deferred height)
+    * report null dims, never garbage.
     */
   def payloadDims(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val p = col(payloadCol).cast("binary")
@@ -1018,6 +1022,9 @@ object Multimodal {
     // BMP height is SIGNED (negative = top-down row order) — report |h|
     val bmpH = le32(23)
     val bmpAbsH = when(bmpH >= 2147483648L, lit(4294967296L) - bmpH).otherwise(bmpH)
+    // JPEG: one packed walk result, unpacked by bit algebra (null walks
+    // propagate to null dims)
+    val jpegPacked = graft.functions.JpegDims(p)
     val sniff =
       when(head.startsWith("89504E470D0A1A0A") && length(p) >= 24,
         struct(lit("png").as("f"), be32(17).as("w"), be32(21).as("h")))
@@ -1027,6 +1034,9 @@ object Multimodal {
         struct(lit("bmp").as("f"), le32(19).as("w"), bmpAbsH.as("h")))
       .when(head.startsWith("424D"),
         struct(lit("bmp").as("f"), nullDim.as("w"), nullDim.as("h")))
+      .when(head.startsWith("FFD8"),
+        struct(lit("jpeg").as("f"), shiftright(jpegPacked, 16).as("w"),
+          jpegPacked.bitwiseAND(65535L).as("h")))
       .otherwise(struct(lit("unknown").as("f"), nullDim.as("w"), nullDim.as("h")))
     df.select(col(idCol), sniff.getField("f").as("format"),
       sniff.getField("w").as("width"), sniff.getField("h").as("height"))

@@ -494,7 +494,7 @@ class MultimodalSpec extends SparkSpec {
     // on the same REAL fixtures the codec tests use
     val bmp = bmpFixture
     val gif = gifFixture
-    val jpeg = jpegBytes(0xFF0000) // SOF at a variable offset -> null dims
+    val jpeg = jpegBytes(0xFF0000) // SOF at a variable offset -> segment walk
     val rows = Seq((1L, bmp), (2L, gif), (3L, jpeg), (4L, Array[Byte](1, 2)))
       .toDF("doc_id", "payload")
     val got = Multimodal.payloadDims(rows, "doc_id", "payload")
@@ -504,8 +504,68 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == (("bmp", Some(bmpDec.width.toLong), Some(bmpDec.height.toLong))))
     val gifDec = Multimodal.JvmCodecs.decodeImage(2L, gif).get
     assert(got(2L) == (("gif", Some(gifDec.width.toLong), Some(gifDec.height.toLong))))
-    assert(got(3L) == (("unknown", None, None))) // jpeg: decode, don't sniff
+    val jpegDec = Multimodal.JvmCodecs.decodeImage(3L, jpeg).get
+    assert(got(3L) == (("jpeg", Some(jpegDec.width.toLong), Some(jpegDec.height.toLong))))
     assert(got(4L) == (("unknown", None, None))) // too short for any header
+  }
+
+  test("payloadDims: the JPEG segment walk matches the real decoder on " +
+      "every encoder fixture, and reports null — never garbage — on " +
+      "corrupt, truncated, pre-SOF-terminated, and DNL headers") {
+    import spark.implicits._
+    // real encoder output across sizes (odd dims, 1×1, wide, tall) — the
+    // walk must agree with the full decode bit-for-bit
+    val sizes = Seq((5, 4), (1, 1), (640, 3), (3, 480), (257, 129))
+    val real = sizes.zipWithIndex.map { case ((w, h), i) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      (i.toLong, bos.toByteArray)
+    }
+    val gotReal = Multimodal.payloadDims(real.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    real.foreach { case (id, bytes) =>
+      val dec = Multimodal.JvmCodecs.decodeImage(id, bytes).get
+      assert(gotReal(id) ==
+        (("jpeg", Some(dec.width.toLong), Some(dec.height.toLong))),
+        s"doc $id: ${gotReal(id)} vs decoder ${dec.width}x${dec.height}")
+    }
+    // hand-built headers for what no encoder emits
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        ((body.length + 2) >> 8).toByte, ((body.length + 2) & 0xFF).toByte) ++ body
+    def sof(marker: Int, w: Int, h: Int): Array[Byte] =
+      seg(marker, Array(8.toByte, (h >> 8).toByte, (h & 0xFF).toByte,
+        (w >> 8).toByte, (w & 0xFF).toByte, 1.toByte, 0.toByte, 0x11, 0))
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val bigApp1 = seg(0xE1, new Array[Byte](7000)) // EXIF-sized APP1
+    val cases = Seq(
+      // progressive (SOF2) behind a large APP1 + fill bytes before the SOF
+      10L -> (soi ++ bigApp1 ++ Array(0xFF.toByte) ++ sof(0xC2, 1920, 1080),
+        Some((1920L, 1080L))),
+      // arithmetic-coded SOF9 works; DHT (C4) must NOT be taken for a SOF
+      11L -> (soi ++ seg(0xC4, new Array[Byte](5)) ++ sof(0xC9, 33, 44),
+        Some((33L, 44L))),
+      // SOS before any SOF: dims unknowable without entropy decode -> null
+      12L -> (soi ++ seg(0xDA, Array[Byte](1, 1, 0, 0, 0)), None),
+      // truncated mid-segment -> null
+      13L -> (soi ++ bigApp1.take(40), None),
+      // DNL-deferred height (h=0 in SOF) -> null, not a 0-height "dim"
+      14L -> (soi ++ sof(0xC0, 100, 0), None),
+      // a non-FF byte where a marker must be -> null
+      15L -> (soi ++ Array[Byte](0x12, 0x34), None))
+    val gotEdge = Multimodal.payloadDims(
+        cases.map { case (id, (b, _)) => (id, b) }.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    cases.foreach { case (id, (_, expect)) =>
+      val (w, h) = (expect.map(_._1), expect.map(_._2))
+      assert(gotEdge(id) == (("jpeg", w, h)), s"doc $id: ${gotEdge(id)}")
+    }
   }
 
   test("payloadDims: an OS/2 BITMAPCOREHEADER BMP reports null dims, " +
