@@ -1380,6 +1380,51 @@ object SparkEntry {
           threshold = 0.7, maxHamming = 4)
         .orderBy("idA", "idB")),
 
+    "q_simhash_recall" -> ((s, d) => {
+      // the radius-vs-recall trade MEASURED (the q_ann_recall treatment
+      // applied to q_dedup_simhash's radius knob): per radius, what
+      // fraction of the exact true pairs (shingle-Jaccard >= 0.7, stated
+      // from first principles) lies within hamming distance — so a
+      // fixture change shows up as a recall NUMBER here, never as a
+      // mystery red q_dedup_simhash row. Signature basis is a 32-bit
+      // md5-derived simhash (same bit-majority geometry as the
+      // production XXH64 expression, but restatable verbatim in SQL —
+      // XXH64 is not); SimhashRecallSpec pins the production-hash curve.
+      // A tuning probe over a sample, not a corpus-scale operator: the
+      // truth side is an inverted shingle-index join, exact because a
+      // pair at jaccard >= 0.7 always shares a shingle.
+      val docs = t(s, d, "documents").filter(trim(col("text")) =!= "")
+      val th = transform(TF.tokens(col("text")),
+        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long"))
+      val sigCol = (0 until 32).map { b =>
+        val bitSum = aggregate(th, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = docs.select(col("doc_id"), sigCol.as("sig"),
+        array_distinct(TF.shingles(col("text"), 3)).as("g"))
+      val ex = sigs.select(col("doc_id"), explode(col("g")).as("sh"))
+      val cand = ex.as("a").join(ex.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("idA"), col("b.doc_id").as("idB")).distinct()
+      val scored = cand
+        .join(sigs.select(col("doc_id").as("idA"), col("g").as("ga"),
+          col("sig").as("sa")), "idA")
+        .join(sigs.select(col("doc_id").as("idB"), col("g").as("gb"),
+          col("sig").as("sb")), "idB")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
+        .filter(col("uni") > 0 && col("inter").cast("double") / col("uni") >= 0.7)
+        .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("ham"))
+      scored.select(explode(array(lit(2), lit(4), lit(6))).as("radius"), col("ham"))
+        .groupBy("radius")
+        .agg(count(lit(1)).as("truth_pairs"),
+          sum(when(col("ham") <= col("radius"), 1L).otherwise(0L)).as("caught_pairs"))
+        .withColumn("recall", round(col("caught_pairs").cast("double") /
+          col("truth_pairs"), 4))
+        .orderBy("radius")
+    }),
+
     "q_dedup_cc" -> ((s, d) => {
       // transitive clustering over a deterministic pair graph: consecutive
       // docs whose token-set jaccard ≥ 0.2 are edges; components are then
@@ -1879,6 +1924,61 @@ object SparkEntry {
           Seq(counts, quality),
           col("n_tokens") >= 20 && col("quality") >= 0.5)
         .orderBy("doc_id")
+    }),
+
+    "q_sidecar_recipe" -> ((s, d) => {
+      // the COMPLETE two-job Dolma handoff, end to end: job A runs the
+      // taggers ONCE (quality in micro-units + PII-style span offsets as
+      // JSON data) and materializes a slim parquet sidecar; job B is a
+      // pure-config TOML topology that re-curates WITHOUT re-running any
+      // tagger — SidecarJoin pulls the attributes onto the corpus (its
+      // in-plan duplicate-key guard live), QuantileFilter drops the
+      // bottom 40% per language on the SIDECAR score, RedactSpans
+      // rewrites the SIDECAR's offsets out of the text. Re-curating at
+      // 100 TB costs this join + two map stages; the corpus and taggers
+      // are untouched.
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-recipe-q").toString
+      val s1 = (col("doc_id") % 4).cast("int")
+      graft.llm.Attributes.tag(docs, "doc_id", Seq(
+          "score" -> round(TF.qualityScore(col("text")) * 10000).cast("long"),
+          "spans" -> to_json(array(array(s1, s1 + 3)))))
+        .write.mode("overwrite").parquet(s"$dir/sidecar")
+      docs.select(to_json(struct(col("doc_id"), col("lang"), col("text")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$dir/corpus")
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "lang", "text", "score", "spans"]
+           |[input]
+           |name = "JsonLines"
+           |  [input.config]
+           |  Files = ["$dir/corpus"]
+           |  MatchPath = ".*\\\\.txt"
+           |[[filter]]
+           |name = "SidecarJoin"
+           |  [filter.config]
+           |  Path = "$dir/sidecar"
+           |  IdField = "doc_id"
+           |  Fields = ["score", "spans"]
+           |[[filter]]
+           |name = "QuantileFilter"
+           |  [filter.config]
+           |  GroupField = "lang"
+           |  ScoreField = "score"
+           |  Drop = 0.4
+           |  Scale = 1
+           |[[filter]]
+           |name = "RedactSpans"
+           |  [filter.config]
+           |  Field = "text"
+           |  SpansField = "spans"
+           |  Token = "<PII>"
+           |[output]
+           |name = "Nop"
+           |fields = ["doc_id", "lang", "text", "score"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
     }),
 
     "q_budget_select" -> ((s, d) =>
@@ -3115,6 +3215,36 @@ object SparkEntry {
       s"""$exactJaccardPairsCte
          SELECT idA, idB, round(jac, 4) AS jaccard FROM j
          WHERE jac >= 0.7 ORDER BY idA, idB""",
+    "q_simhash_recall" ->
+      // the md5-basis simhash restated bit by bit (unnest token hashes ×
+      // 32 bit positions, per-bit ±1 majority, bit set iff sum > 0 — the
+      // expression's exact tie rule), hamming over the exact true pairs,
+      // per-radius counts. Every number here is recomputed from scratch:
+      // recall is MEASURED agreement, not a copied constant.
+      s"""$exactJaccardPairsCte, th AS (
+           SELECT doc_id, unnest(list_transform(t,
+                    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS h
+           FROM tok WHERE len(t) > 0
+         ), bits AS (
+           SELECT doc_id, bp.b AS b,
+                  sum(CASE WHEN (h >> bp.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bp
+           GROUP BY doc_id, bp.b
+         ), sig AS (
+           SELECT doc_id,
+                  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS sg
+           FROM bits GROUP BY doc_id
+         ), ham AS (
+           SELECT bit_count(xor(sa.sg, sb.sg)) AS ham
+           FROM j JOIN sig sa ON sa.doc_id = j.idA
+                  JOIN sig sb ON sb.doc_id = j.idB
+           WHERE j.jac >= 0.7
+         ), r AS (SELECT unnest([2, 4, 6]) AS radius)
+         SELECT r.radius, count(*) AS truth_pairs,
+                sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END) AS caught_pairs,
+                round(sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 4) AS recall
+         FROM r CROSS JOIN ham GROUP BY r.radius ORDER BY radius""",
     "q_dedup_cc_verified" ->
       // recursive min-label closure over the exact pair graph: a doc dies
       // iff some transitively-connected doc has a smaller id
@@ -3840,6 +3970,41 @@ object SparkEntry {
          JOIN q ON q.doc_id = d.doc_id
          WHERE tc.n_tokens >= 20 AND q.quality >= 0.5
          ORDER BY d.doc_id""",
+    "q_sidecar_recipe" ->
+      // the whole two-job handoff restated: sidecar score from the shared
+      // quality CTE, per-lang 40% discrete-quantile cut (same all-integer
+      // rank test as q_quantile_filter), then the single planted span
+      // [doc_id%4, doc_id%4+3) redacted by direct string surgery (clamped;
+      // an empty clamped span leaves the text alone). Output is the
+      // topology's string record model.
+      s"""$qualityScoreCte, sc AS (
+           SELECT d.doc_id, d.lang, d.text,
+                  CAST(round(q.quality * 10000, 0) AS BIGINT) AS score
+           FROM documents d JOIN q ON q.doc_id = d.doc_id
+         ), hist AS (
+           SELECT lang, score, count(*) AS c FROM sc GROUP BY lang, score
+         ), cdf AS (
+           SELECT lang, score,
+                  sum(c) OVER (PARTITION BY lang ORDER BY score
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY lang) AS n
+           FROM hist
+         ), thr AS (
+           SELECT lang, min(score) AS threshold FROM cdf
+           WHERE cum * 1000000 >= 400000 * n GROUP BY lang
+         ), kept AS (
+           SELECT sc.* FROM sc JOIN thr ON thr.lang = sc.lang
+           WHERE sc.score > thr.threshold
+         )
+         SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                CASE WHEN LEAST(CAST(doc_id % 4 AS INTEGER) + 3, length(text))
+                          > CAST(doc_id % 4 AS INTEGER)
+                     THEN substr(text, 1, CAST(doc_id % 4 AS INTEGER))
+                          || '<PII>'
+                          || substr(text, CAST(doc_id % 4 AS INTEGER) + 4)
+                     ELSE text END AS text,
+                CAST(score AS VARCHAR) AS score
+         FROM kept ORDER BY doc_id""",
     "q_budget_select" ->
       // ground truth stated the naive way: global (quality DESC, doc_id)
       // cumulative sum, keep the prefix within budget — Mix.budgetSelect
