@@ -1542,6 +1542,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivfpq_serving" -> ((s, d) => {
+      // the full serving-layout lifecycle as one checkable row: the
+      // corpus streams into the ingest store as two idempotent batches
+      // (ivfPq encoder under the pinned coarse+PQ model), promoteServing
+      // rewrites the snapshot partitioned by cell (versioned rename-
+      // commit), and adcTopKServing searches it with the probed cells as
+      // LITERALS so the parquet scan prunes cell= partitions statically
+      // (plan pinned in IvfPqSpec). The snapshot holds exactly the rows a
+      // one-shot encode would and pruning never changes results (a row
+      // outside the probed cells can't join), so the oracle is
+      // q_ann_ivfpq's verbatim.
+      val emb = t(s, d, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft-serving-q").toString
+      val fn = graft.streaming.PqIndexStream.batchFunction(
+        graft.streaming.PqIndexStream.ivfPq("vec_id", "embedding",
+          ivfPqCoarse, pqDemoModel), s"$base/store")
+      fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+      fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      graft.streaming.PqIndexStream.promoteServing(s, s"$base/store", s"$base/serve")
+      val served = graft.streaming.PqIndexStream.loadServing(s, s"$base/serve")
+        .getOrElse(sys.error("serving snapshot must exist after promotion"))
+      graft.llm.IvfPq.adcTopKServing(served, emb.filter(col("vec_id") < 8),
+          "vec_id", "vec_id", "embedding", ivfPqCoarse, pqDemoModel,
+          nprobe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_opq" -> ((s, d) => {
       // the rotated ADC search: rotation fused into both the encode and
       // the LUT scan (one map-only pass per side), ranking unchanged —
@@ -3479,6 +3506,10 @@ object SparkEntry {
     // (pinned model, map-only encode), so the search restates identically
     "q_ann_pq_stream" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    // the serving snapshot holds exactly the one-shot encode's rows and
+    // static cell pruning cannot change a probe's result set, so the
+    // serving-lifecycle query replays the same algorithm end to end
+    "q_ann_ivfpq_serving" -> annIvfPqOracle,
     "q_ann_opq" -> annOpqOracle,
     "q_opq_encode" -> opqEncodeOracle,
     "q_int8_encode" ->

@@ -143,4 +143,35 @@ object IvfPq {
         round(PqExpressions.adc(col("__codes"), col("__lut"), model.ksub), 4).as("adc"))
     Pq.ascTopK(scored, k)
   }
+
+  /** The distinct cells this query batch probes, as driver-side literals.
+    * Bounded by construction: the query frame is the BROADCAST side of
+    * every search (a batch of query vectors, not a corpus), so collecting
+    * its ≤ `queries × nprobe` cell ids costs less than the broadcast the
+    * search does anyway.
+    */
+  def probedCells(queries: DataFrame, vecCol: String,
+      coarse: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    queries.select(explode(NearestCells.l2(col(vecCol), coarse, nprobe)).as("__c"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+  /** [[adcTopKEncoded]] over a cell-PARTITIONED serving snapshot
+    * ([[graft.streaming.PqIndexStream.promoteServing]]): the probed cells
+    * are computed first as literals and applied as a `cell IN (...)`
+    * filter, which Catalyst turns into STATIC partition pruning on the
+    * hive layout — the scan's file listing contains only the probed
+    * `cell=` directories, so at 100 TB a probe touches `nprobe/nlist`
+    * of the store's files before a single row is read. (The equi-join
+    * inside [[adcTopKEncoded]] would prune rows anyway; this prunes the
+    * I/O.) Results are identical to [[adcTopKEncoded]] over the full
+    * table: every corpus row outside the probed cells can never join a
+    * query. IvfPqSpec pins both the plan shape and the parity.
+    */
+  def adcTopKServing(serving: DataFrame, queries: DataFrame, encIdCol: String,
+      idCol: String, vecCol: String, coarse: Array[Array[Double]], model: Pq.PqModel,
+      nprobe: Int = 4, k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val cells = probedCells(queries, vecCol, coarse, nprobe)
+    adcTopKEncoded(serving.filter(col("cell").isin(cells.map(Int.box): _*)),
+      queries, encIdCol, idCol, vecCol, coarse, model, nprobe, k, excludeSelf)
+  }
 }

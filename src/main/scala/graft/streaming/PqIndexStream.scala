@@ -92,6 +92,26 @@ object PqIndexStream {
       targetFiles: Int = 1): Unit =
     StoreLayout.compact(spark, indexDir, targetFiles)
 
+  /** Promote an IVF-PQ code-table snapshot to the SERVING layout: the
+    * committed `(id, cell, pq_codes)` rows rewritten partitioned by
+    * `cell` under the versioned [[StoreLayout.publishServing]] contract,
+    * so a probe's cell filter prunes whole hive partitions statically —
+    * [[graft.llm.IvfPq.adcTopKServing]] over [[loadServing]] reads
+    * `nprobe/nlist` of the store's files instead of all of them. The
+    * ingest store keeps streaming; re-promote (cheap no-op when nothing
+    * landed) to refresh the snapshot. Returns the committed version name,
+    * None if the store is empty.
+    */
+  def promoteServing(spark: SparkSession, indexDir: String,
+      servingDir: String): Option[String] =
+    StoreLayout.publishServing(spark, indexDir, servingDir, Seq("cell"))
+
+  /** The live cell-partitioned snapshot — feed to
+    * [[graft.llm.IvfPq.adcTopKServing]]. None until a promotion commits.
+    */
+  def loadServing(spark: SparkSession, servingDir: String): Option[DataFrame] =
+    StoreLayout.servingSnapshot(spark, servingDir)
+
   /** Right-to-be-forgotten: remove `ids`' code rows from the table via
     * the partition-granular crash-safe [[StoreLayout.delete]] — deleted
     * vectors can never again surface as ANN candidates, and no re-encode

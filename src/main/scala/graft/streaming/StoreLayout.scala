@@ -455,6 +455,117 @@ private[graft] object StoreLayout {
     }
   }
 
+  private val ServingPrefix = "serve="
+  private val PromotingPrefix = "_promoting-"
+
+  /** Parse `serve=<seq>-<tag>` → (seq, tag); None for anything else. */
+  private def servingVersion(name: String): Option[(Long, String)] =
+    if (!name.startsWith(ServingPrefix)) None
+    else name.stripPrefix(ServingPrefix).split("-", 2) match {
+      case Array(seq, tag) if seq.nonEmpty && seq.forall(_.isDigit) =>
+        Some((seq.toLong, tag))
+      case _ => None
+    }
+
+  /** Committed serving versions under `servingDir`, ascending by sequence
+    * number (`_SUCCESS` gate, like [[listCommitted]]).
+    */
+  private def listServing(fs: FileSystem, root: Path): Seq[(Long, String, Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .flatMap(s => servingVersion(s.getPath.getName)
+        .map { case (seq, tag) => (seq, tag, s.getPath) })
+      .sortBy(v => (v._1, v._2))
+
+  /** Publish a read-optimized SERVING SNAPSHOT of a store: the committed
+    * rows rewritten `partitionBy(partitionCols)` into a versioned
+    * directory under `servingDir`, so point reads that filter on those
+    * columns prune whole hive partitions statically (the IVF-PQ probe
+    * reads `nprobe/nlist` of the files; see
+    * [[graft.llm.IvfPq.adcTopKServing]]). The ingest store keeps its
+    * append-friendly `batch=*` layout; serving layouts are DERIVED — a
+    * promotion never mutates the source, and re-promoting after more
+    * batches lands is how a snapshot stays fresh.
+    *
+    * Commit protocol (same staged-rename discipline as [[compact]]):
+    * the snapshot is written to an invisible `_promoting-<seq>-<tag>`
+    * staging dir, then ONE rename commits it as `serve=<seq>-<tag>`;
+    * readers ([[servingSnapshot]]) always open the highest committed
+    * sequence, so a crash at any point leaves the previous snapshot
+    * serving and a re-run resumes cleanly (staging orphans are swept,
+    * superseded versions are deleted after the new commit — a crash
+    * mid-delete leaves old versions the next run sweeps). The tag is the
+    * md5 of the absorbed source-partition names, so promoting an
+    * UNCHANGED store is an idempotent no-op that returns the live
+    * version. Runs under the source store's maintenance lease — a
+    * promotion must not race a [[deleteIds]] (it could silently resurrect
+    * right-to-be-forgotten rows into the snapshot) or a [[compact]]'s
+    * step-3 deletes (it could lose its input files mid-scan); like
+    * compaction, schedule it between ingest batches.
+    *
+    * One file per hive partition (rows are clustered via
+    * `repartition(partitionCols)` before the write — at most one task
+    * writes each partition value), the right read amplification for
+    * point-probe serving. Returns the committed version name, or None if
+    * the source store has no committed rows.
+    */
+  def publishServing(spark: SparkSession, storeDir: String, servingDir: String,
+      partitionCols: Seq[String], staleMs: Long = DefaultStaleMs): Option[String] = {
+    require(partitionCols.nonEmpty, "publishServing: partitionCols is empty")
+    import org.apache.spark.sql.functions.col
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    withLease(fs, root, "publish", staleMs) {
+      val valid = sweepAndList(fs, root)
+      if (valid.isEmpty) None
+      else {
+        val sroot = new Path(servingDir)
+        if (!fs.exists(sroot)) fs.mkdirs(sroot)
+        // sweep promotions that died before their rename-commit
+        fs.listStatus(sroot).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(PromotingPrefix))
+          .foreach(s => fs.delete(s.getPath, true))
+        val names = valid.map(_.getPath.getName).sorted
+        val tag = md5Tag("serve:" + names.mkString("\n"))
+        val versions = listServing(fs, sroot)
+        val live = versions.lastOption
+        val committedName = live match {
+          case Some((seq, liveTag, _)) if liveTag == tag =>
+            s"$ServingPrefix$seq-$tag" // source unchanged — no-op
+          case _ =>
+            val seq = live.map(_._1 + 1).getOrElse(1L)
+            val target = new Path(sroot, s"$ServingPrefix$seq-$tag")
+            val staging = new Path(sroot, s"$PromotingPrefix$seq-$tag")
+            spark.read.parquet(valid.map(_.getPath.toString): _*)
+              .repartition(partitionCols.map(col): _*)
+              .write.partitionBy(partitionCols: _*)
+              .mode("overwrite").parquet(staging.toString)
+            commitStaged(fs, staging, target)
+            target.getName
+        }
+        // superseded versions die only after the new one is committed
+        listServing(fs, sroot).filter(_._3.getName != committedName)
+          .foreach(v => fs.delete(v._3, true))
+        Some(committedName)
+      }
+    }
+  }
+
+  /** The live serving snapshot under `servingDir` — the highest committed
+    * `serve=*` version ([[publishServing]]'s commit discipline guarantees
+    * it is complete) — with its hive partition columns readable and
+    * prunable. None until a first promotion commits.
+    */
+  def servingSnapshot(spark: SparkSession,
+      servingDir: String): Option[org.apache.spark.sql.DataFrame] = {
+    val root = new Path(servingDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listServing(fs, root).lastOption
+      .map(v => spark.read.parquet(v._3.toString))
+  }
+
   /** [[delete]] specialised to the common shape: drop every row whose
     * `keyCol` appears in `ids` (a one-column frame; extra columns are
     * ignored). The id frame is evaluated ONCE — distinct ids are

@@ -105,6 +105,63 @@ class IvfPqSpec extends SparkSpec {
       s"residual distortion $dRes not below raw $dRaw — composition buys nothing")
   }
 
+  test("promoteServing: versioned cell-partitioned snapshot; probes prune " +
+      "statically to the probed cells and match the ingest-store search") {
+    import graft.streaming.PqIndexStream
+    val base = java.nio.file.Files.createTempDirectory("ivfpq-serving").toString
+    val store = s"$base/store"
+    val serving = s"$base/serve"
+    val fn = PqIndexStream.batchFunction(
+      PqIndexStream.ivfPq("vec_id", "embedding", coarse, model), store)
+    fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+    fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    val v1 = PqIndexStream.promoteServing(spark, store, serving)
+    assert(v1.exists(_.startsWith("serve=1-")), s"unexpected version: $v1")
+    // idempotent: nothing landed, so re-promotion returns the live version
+    assert(PqIndexStream.promoteServing(spark, store, serving) == v1)
+    val served = PqIndexStream.loadServing(spark, serving).get
+    val queries = emb.filter(col("vec_id") < 4)
+    val result = IvfPq.adcTopKServing(served, queries, "vec_id", "vec_id",
+      "embedding", coarse, model, nprobe = 2, k = 5)
+    // the plan contract: the literal cell filter reaches the FILE LISTING
+    // of the serving scan — only probed cell= directories are selected
+    val cells = IvfPq.probedCells(queries, "embedding", coarse, 2).toSet
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      s"probe must prune partitions statically:\n$plan")
+    // the same literal filter adcTopKServing applied, inspected directly
+    // (AQE wraps the topK plan's leaves in query stages, hiding the scan
+    // node from collectLeaves; the result-plan STRING above already pins
+    // that the search itself carries the partition filter)
+    val scan = served.filter(col("cell").isin(cells.toSeq.sorted.map(Int.box): _*))
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    val dirs = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+    assert(dirs.nonEmpty && dirs.forall(f => cells.exists(c => f.contains(s"cell=$c"))),
+      s"scan opened files outside the probed cells $cells:\n${dirs.mkString("\n")}")
+    assert(scan.selectedPartitions.partitionCount <= cells.size)
+    // parity: the pruned serving search equals the full ingest-store search
+    val full = PqIndexStream.loadEncoded(spark, store).get
+    val direct = IvfPq.adcTopKEncoded(full, queries, "vec_id", "vec_id",
+        "embedding", coarse, model, nprobe = 2, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(result.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ==
+      direct.toSeq, "serving search diverged from the ingest-store search")
+    // a third batch lands -> re-promotion mints the next version and
+    // sweeps the superseded one; the fresh rows are served
+    fn(emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L), 2L)
+    val v2 = PqIndexStream.promoteServing(spark, store, serving)
+    assert(v2.exists(_.startsWith("serve=2-")) && v2 != v1, s"got $v2")
+    val versionDirs = Option(new java.io.File(serving).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(versionDirs == Seq(v2.get), s"superseded versions not swept: $versionDirs")
+    assert(PqIndexStream.loadServing(spark, serving).get.count() ==
+      PqIndexStream.loadEncoded(spark, store).get.count())
+  }
+
   test("trained index ranks planted exact duplicates at the top") {
     val planted = emb.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 100000)

@@ -348,4 +348,85 @@ class StoreLayoutSpec extends SparkSpec {
       StoreLayout.deleteIds(spark, dir, "id", big, maxIds = 5))
     assert(e.getMessage.contains("more than 5"), e.getMessage)
   }
+
+  private def writeKeyed(dir: String, name: String, rows: (Long, Int)*): Unit = {
+    import spark.implicits._
+    rows.toDF("id", "k").write.mode("overwrite").parquet(s"$dir/batch=$name")
+  }
+
+  private def servedRows(sdir: String): Seq[(Long, Int)] =
+    StoreLayout.servingSnapshot(spark, sdir).toSeq
+      .flatMap(_.select("id", "k").collect().map(r => (r.getLong(0), r.getInt(1))))
+      .sorted
+
+  test("publishServing: versioned partitioned snapshot; unchanged source " +
+      "is a no-op; a changed source mints the next version and sweeps") {
+    val dir = tmp().toString
+    val sdir = tmp().toString + "/serve"
+    assert(StoreLayout.publishServing(spark, dir, sdir, Seq("k")).isEmpty,
+      "missing store must publish nothing")
+    writeKeyed(dir, "run-0", 1L -> 0, 2L -> 1)
+    writeKeyed(dir, "run-1", 3L -> 0)
+    val v1 = StoreLayout.publishServing(spark, dir, sdir, Seq("k"))
+    assert(v1.exists(_.startsWith("serve=1-")), s"got $v1")
+    assert(servedRows(sdir) == Seq(1L -> 0, 2L -> 1, 3L -> 0))
+    // hive layout on disk: one k= dir per key, one data file in each
+    val vDir = new java.io.File(sdir, v1.get)
+    val kDirs = Option(vDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("k=")).sortBy(_.getName)
+    assert(kDirs.map(_.getName) == Seq("k=0", "k=1"), kDirs.mkString(","))
+    assert(kDirs.forall(d => d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "expected exactly one file per partition value")
+    // unchanged source: same version back, nothing rewritten
+    assert(StoreLayout.publishServing(spark, dir, sdir, Seq("k")) == v1)
+    assert(Option(new java.io.File(sdir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName) == Seq(v1.get))
+    // source changes (an append AND a compaction both change the
+    // absorbed-name set): next version commits, superseded one is swept
+    writeKeyed(dir, "run-2", 9L -> 1)
+    val v2 = StoreLayout.publishServing(spark, dir, sdir, Seq("k"))
+    assert(v2.exists(_.startsWith("serve=2-")) && v2 != v1, s"got $v2")
+    assert(servedRows(sdir) == Seq(1L -> 0, 2L -> 1, 3L -> 0, 9L -> 1))
+    assert(Option(new java.io.File(sdir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName) == Seq(v2.get),
+      "superseded serving version must be swept")
+  }
+
+  test("publishServing crash windows: a dead staging dir is invisible and " +
+      "swept; readers keep the previous version until the commit rename") {
+    val dir = tmp().toString
+    val sdir = tmp().toString + "/serve"
+    writeKeyed(dir, "run-0", 1L -> 0)
+    val v1 = StoreLayout.publishServing(spark, dir, sdir, Seq("k"))
+    // simulate a promotion that died before its rename-commit
+    import spark.implicits._
+    Seq(7L -> 9).toDF("id", "k").write.partitionBy("k")
+      .parquet(s"$sdir/_promoting-9-deadbeef")
+    assert(servedRows(sdir) == Seq(1L -> 0),
+      "a staged-but-uncommitted promotion must be reader-invisible")
+    writeKeyed(dir, "run-1", 2L -> 1)
+    val v2 = StoreLayout.publishServing(spark, dir, sdir, Seq("k"))
+    assert(v2.exists(_.startsWith("serve=2-")))
+    val names = Option(new java.io.File(sdir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(names == Seq(v2.get), s"orphan staging must be swept: $names")
+    assert(servedRows(sdir) == Seq(1L -> 0, 2L -> 1))
+  }
+
+  test("publishServing runs under the source maintenance lease: a held " +
+      "lease fails it loudly; it never mutates the source") {
+    val dir = tmp().toString
+    val sdir = tmp().toString + "/serve"
+    writeKeyed(dir, "run-0", 1L -> 0)
+    val before = partNames(dir)
+    val lease = new java.io.File(dir, "_MAINT_LEASE")
+    java.nio.file.Files.write(lease.toPath,
+      s"other-maint\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      StoreLayout.publishServing(spark, dir, sdir, Seq("k")))
+    assert(e.getMessage.contains("other-maint"), e.getMessage)
+    lease.delete()
+    StoreLayout.publishServing(spark, dir, sdir, Seq("k"))
+    assert(partNames(dir) == before, "promotion must never mutate the source")
+  }
 }
