@@ -320,6 +320,34 @@ object TextFunctions {
     * the identical result. Order matters: emails first (an address may
     * embed digits), then IPs, then the greedy phone pattern.
     */
+  /** Every non-empty match of `pattern` as `array<struct<s,e>>` of
+    * 0-based [s, e) code-point offsets — the tagger that feeds
+    * [[redactSpans]]/[[cutSpans]], emitted as DATA (typically into an
+    * [[graft.llm.Attributes]] sidecar) so re-curation never re-runs the
+    * regex. Native codegen'd expression; see [[MatchSpans]].
+    */
+  def matchSpans(text: Column, pattern: String): Column =
+    MatchSpans(text, pattern)
+
+  /** The PII shapes of [[redactPii]] as ONE alternation (emails before
+    * IPs before the greedy phone runs — alternation order encodes the
+    * same priority the sequential replaces did). Both Java and RE2 match
+    * alternations leftmost-FIRST, and the branches are written in the
+    * Java∩RE2 common subset, so an external engine's `regexp_replace`
+    * over this pattern equals span-redacting [[piiSpans]]' offsets —
+    * which is exactly how the oracle checks the offsets.
+    */
+  val PiiPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+      "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
+      "|\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII span TAGGER: where [[redactPii]] rewrites immediately, this
+    * emits the offsets as data for the span-attribute model — tag once
+    * into a sidecar, scrub (or not) at mix time with [[redactSpans]].
+    */
+  def piiSpans(text: Column): Column = matchSpans(text, PiiPattern)
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(coalesce(text, lit("")),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

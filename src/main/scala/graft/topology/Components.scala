@@ -33,8 +33,8 @@ object BuiltinComponents {
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
-      chunkText, spanDedup, exactSubstrDedup, quantileGate, redactSpans,
-      sidecarJoin),
+      chunkText, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
+      redactSpans, sidecarJoin),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
@@ -989,6 +989,29 @@ object BuiltinComponents {
       wanted.foldLeft(joined)((acc, f) =>
         acc.withColumn(f, coalesce(col(s"__sj_f_$f"), lit(""))))
         .drop("__sj_key" +: wanted.map(f => s"__sj_f_$f"): _*)
+    })
+
+  val detectSpans: FilterDesc = mkFilter("DetectSpans",
+    "Extracts regex match spans of a field into a sibling field as a " +
+      "JSON array of [start, end) char-offset pairs — the TAGGER half of " +
+      "the span-attribute model (RedactSpans is the rewrite half, and a " +
+      "slim sidecar written from this field is the 'tag once, mix many' " +
+      "handoff). An empty Pattern selects the built-in PII shapes " +
+      "(emails, IPv4s, phone-like digit runs).",
+    Seq(
+      ConfigKey("Field", "text field scanned for matches", required = true),
+      ConfigKey("SpansField", "field receiving JSON [[s,e],...] char offsets",
+        required = true),
+      ConfigKey("Pattern", "Java-regex to match ('' = built-in PII shapes)",
+        default = Some(""))))(
+    (_, cfg) => { df =>
+      val pat = cfg.str("Pattern", "") match {
+        case "" => graft.functions.TextFunctions.PiiPattern
+        case p => p
+      }
+      df.withColumn(cfg.str("SpansField"), to_json(transform(
+        graft.functions.TextFunctions.matchSpans(col(cfg.str("Field")), pat),
+        sp => array(sp.getField("s"), sp.getField("e")))))
     })
 
   val redactSpans: FilterDesc = mkFilter("RedactSpans",
