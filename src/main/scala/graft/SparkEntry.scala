@@ -2229,6 +2229,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_span_units" -> ((s, d) => {
+      // span offset unit conversion (code points ↔ UTF-8 bytes), the
+      // interop seam for byte-indexing external taggers. DIRECTLY
+      // oracle-checkable: DuckDB's substr counts characters and strlen
+      // counts bytes, so the byte offset of char offset k is
+      // strlen(substr(t, 1, k)) — every span bound is checked as a
+      // number, across 2/3/4-byte sequences planted in the prefix. The
+      // reverse direction is pinned as the round trip r_s/r_e == s0/e0.
+      val docs = t(s, d, "documents")
+      val synth = concat(lit("¡é⌘🙂 "), col("text"))
+      val n = length(synth)
+      val s0 = (col("doc_id") % 7).cast("int")
+      val e0 = least(s0 + 5, n).cast("int")
+      val spans = array(struct(s0.as("s"), e0.as("e")))
+      val b = TF.spansToBytes(synth, spans)
+      val back = TF.spansToChars(synth, b)
+      docs.select(col("doc_id"),
+          element_at(b, 1).getField("s").as("b_s"),
+          element_at(b, 1).getField("e").as("b_e"),
+          element_at(back, 1).getField("s").as("r_s"),
+          element_at(back, 1).getField("e").as("r_e"))
+        .orderBy("doc_id")
+    }),
+
     "q_rolling_hash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TF.rollingHash(col("text")).as("rh"))
@@ -3856,6 +3880,24 @@ object SparkEntry {
                        (acc, h) -> (acc * 31 + h) % 2147483647)
                 END AS rhash
          FROM t ORDER BY doc_id""",
+    "q_span_units" ->
+      // byte offsets stated from first principles: DuckDB substr counts
+      // CHARACTERS and strlen counts BYTES, so the byte offset of char
+      // offset k is strlen(substr(t, 1, k)); the round-trip columns are
+      // the original char offsets by the inversion law
+      """WITH sy AS (
+           SELECT doc_id, '¡é⌘🙂 ' || text AS t,
+                  CAST(doc_id % 7 AS INT) AS s0
+           FROM documents),
+         sp AS (
+           SELECT doc_id, t, s0,
+                  CAST(LEAST(s0 + 5, length(t)) AS INT) AS e0
+           FROM sy)
+         SELECT doc_id,
+                CAST(strlen(substr(t, 1, s0)) AS INT) AS b_s,
+                CAST(strlen(substr(t, 1, e0)) AS INT) AS b_e,
+                s0 AS r_s, e0 AS r_e
+         FROM sp ORDER BY doc_id""",
     "q_rolling_hash" ->
       """SELECT doc_id,
                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -348,6 +348,20 @@ object TextFunctions {
     */
   def piiSpans(text: Column): Column = matchSpans(text, PiiPattern)
 
+  /** Code-point span offsets → UTF-8 BYTE offsets — export to external
+    * span consumers that index raw bytes (Dolma attribute files, Rust/Go
+    * tooling). One shared walk per row; see [[SpanUnits]].
+    */
+  def spansToBytes(text: Column, spans: Column): Column =
+    SpanUnits(text, spans, toBytes = true)
+
+  /** UTF-8 byte span offsets → CODE-POINT offsets — import sidecars from
+    * external byte-indexing taggers into [[redactSpans]]/[[cutSpans]]'
+    * native unit. Mid-sequence byte offsets round down; see [[SpanUnits]].
+    */
+  def spansToChars(text: Column, spans: Column): Column =
+    SpanUnits(text, spans, toBytes = false)
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(coalesce(text, lit("")),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -1003,14 +1003,24 @@ object BuiltinComponents {
       ConfigKey("SpansField", "field receiving JSON [[s,e],...] char offsets",
         required = true),
       ConfigKey("Pattern", "Java-regex to match ('' = built-in PII shapes)",
-        default = Some(""))))(
+        default = Some("")),
+      ConfigKey("Units", "offset unit written: 'chars' (code points, the " +
+        "native unit) or 'bytes' (UTF-8, for external byte-indexing " +
+        "consumers)", default = Some("chars"))))(
     (_, cfg) => { df =>
       val pat = cfg.str("Pattern", "") match {
         case "" => graft.functions.TextFunctions.PiiPattern
         case p => p
       }
-      df.withColumn(cfg.str("SpansField"), to_json(transform(
-        graft.functions.TextFunctions.matchSpans(col(cfg.str("Field")), pat),
+      val text = col(cfg.str("Field"))
+      val charSpans = graft.functions.TextFunctions.matchSpans(text, pat)
+      val spans = cfg.str("Units", "chars") match {
+        case "chars" => charSpans
+        case "bytes" => graft.functions.TextFunctions.spansToBytes(text, charSpans)
+        case u => throw new IllegalArgumentException(
+          s"DetectSpans: Units must be 'chars' or 'bytes', got '$u'")
+      }
+      df.withColumn(cfg.str("SpansField"), to_json(transform(spans,
         sp => array(sp.getField("s"), sp.getField("e")))))
     })
 
@@ -1024,18 +1034,29 @@ object BuiltinComponents {
       ConfigKey("Field", "text field rewritten in place", required = true),
       ConfigKey("SpansField", "field holding JSON [[s,e],...] char offsets",
         required = true),
-      ConfigKey("Token", "replacement token ('' = cut)", default = Some(""))))(
+      ConfigKey("Token", "replacement token ('' = cut)", default = Some("")),
+      ConfigKey("Units", "unit the spans field's offsets are in: 'chars' " +
+        "(code points, the native unit) or 'bytes' (UTF-8 offsets from an " +
+        "external byte-indexing tagger, converted in-plan before the " +
+        "rewrite)", default = Some("chars"))))(
     (_, cfg) => { df =>
       val parsed = from_json(col(cfg.str("SpansField")),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.IntegerType)))
-      val spans = coalesce(
+      val text = col(cfg.str("Field"))
+      val raw = coalesce(
         transform(parsed, p =>
           struct(element_at(p, 1).as("s"), element_at(p, 2).as("e"))),
         array().cast("array<struct<s:int,e:int>>"))
+      val spans = cfg.str("Units", "chars") match {
+        case "chars" => raw
+        case "bytes" => graft.functions.TextFunctions.spansToChars(text, raw)
+        case u => throw new IllegalArgumentException(
+          s"RedactSpans: Units must be 'chars' or 'bytes', got '$u'")
+      }
       df.withColumn(cfg.str("Field"),
-        graft.functions.TextFunctions.redactSpans(col(cfg.str("Field")),
-          spans, cfg.str("Token", "")))
+        graft.functions.TextFunctions.redactSpans(text, spans,
+          cfg.str("Token", "")))
     })
 
   // ===================== outputs =====================
