@@ -2662,6 +2662,42 @@ object SparkEntry {
           md5(col("__enc").cast("binary")).as("enc_md5"))
         .orderBy("doc_id")),
 
+    "q_bpe_offsets" -> ((s, d) => {
+      // token offsets + span→token loss-mask projection, one row per BPE
+      // symbol. Two texts on purpose: `norm` (single-space joined words)
+      // has DuckDB-derivable offsets (prefix sums over word/piece lengths
+      // — every s/e is restated NUMERICALLY), while `raw_sub` slices the
+      // ORIGINAL text at the raw-text offsets and must reproduce the
+      // token string (the oracle states the token string from its own
+      // replay), pinning the multi-space/leading-whitespace offset path
+      // no prefix sum can restate. `masked` projects a doc_id-derived
+      // attribute span through spanOverlapMask — the mask law is checked
+      // numerically because the oracle derives the same overlaps from its
+      // own offsets.
+      val docs = t(s, d, "documents")
+      val raw = coalesce(col("text"), lit(""))
+      val norm = array_join(TF.tokens(col("text")), " ")
+      val normToks = graft.llm.Bpe.encodeWithOffsets(norm, bpeDemoMerges)
+      val rawToks = graft.llm.Bpe.encodeWithOffsets(col("text"), bpeDemoMerges)
+      val attr = array(struct((col("doc_id") % 11).cast("int").as("s"),
+        (col("doc_id") % 11 + 6).cast("int").as("e")))
+      val mask = TF.spanOverlapMask(normToks, attr)
+      val nr = zip_with(normToks, rawToks, (n, r) => struct(
+        n.getField("tok").as("tok"), n.getField("s").as("s"),
+        n.getField("e").as("e"),
+        raw.substr(r.getField("s") + 1,
+          r.getField("e") - r.getField("s")).as("raw_sub")))
+      val full = zip_with(nr, mask, (x, m) => struct(
+        x.getField("tok").as("tok"), x.getField("s").as("s"),
+        x.getField("e").as("e"), x.getField("raw_sub").as("raw_sub"),
+        m.as("masked")))
+      docs.select(col("doc_id"), posexplode(full).as(Seq("ti", "tk")))
+        .select(col("doc_id"), col("ti").cast("int").as("ti"),
+          col("tk.tok").as("tok"), col("tk.s").as("s"), col("tk.e").as("e"),
+          col("tk.raw_sub").as("raw_sub"), col("tk.masked").as("masked"))
+        .orderBy("doc_id", "ti")
+    }),
+
     "q_unigram_segment" -> ((s, d) =>
       // SentencePiece-style OPTIMAL segmentation: per-word Viterbi DP in
       // the native expression (lexicographic (cost, pieces) packed into
@@ -4533,6 +4569,50 @@ object SparkEntry {
          SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
+    "q_bpe_offsets" ->
+      // token offsets restated from first principles: word starts are
+      // prefix sums of word lengths + 1 separator over the single-space
+      // normalized text, piece offsets are prefix sums of piece lengths
+      // within each word (the same merge-chain replay as q_bpe_encode
+      // yields the pieces), and the mask is the half-open overlap test on
+      // the oracle's own offsets. raw_sub must equal the piece: the Spark
+      // side slices the ORIGINAL text at raw-text offsets, so any error
+      // on the multi-space path corrupts the slice.
+      s"""WITH w1 AS (
+           SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+                 FROM documents)),
+         w2 AS (
+           SELECT doc_id, wi,
+                  CAST(coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id
+                    ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                    PRECEDING), 0) AS INT) AS wstart,
+                  ${bpeReplaceChainSql(bpeWrapSql)} AS enc
+           FROM w1),
+         p1 AS (
+           SELECT doc_id, wi, wstart,
+                  generate_subscripts(ps, 1) AS pi, unnest(ps) AS piece
+           FROM (SELECT doc_id, wi, wstart,
+                   string_split(substr(enc, 2, length(enc) - 2),
+                     '$bpeC$bpeO') AS ps
+                 FROM w2)),
+         p2 AS (
+           SELECT doc_id, wi, pi, piece,
+                  CAST(wstart + coalesce(sum(length(piece)) OVER (
+                    PARTITION BY doc_id, wi ORDER BY pi ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s
+           FROM p1)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY wi, pi) - 1 AS INT) AS ti,
+                piece AS tok, s, CAST(s + length(piece) AS INT) AS e,
+                piece AS raw_sub,
+                (CAST(doc_id % 11 AS INT) < s + length(piece)
+                  AND s < CAST(doc_id % 11 + 6 AS INT)) AS masked
+         FROM p2 ORDER BY doc_id, ti""",
     "q_wordpiece" -> wordpieceOracle,
     "q_unigram_segment" -> unigramSegmentOracle,
     "q_bpe_encode_native" ->

@@ -362,6 +362,26 @@ object TextFunctions {
   def spansToChars(text: Column, spans: Column): Column =
     SpanUnits(text, spans, toBytes = false)
 
+  /** For each span of `tokenSpans` (any `struct` with `s`/`e` int fields,
+    * e.g. [[graft.llm.Bpe.encodeWithOffsets]]' tokens), whether it
+    * OVERLAPS any span of `attrSpans` — `array<boolean>` aligned with
+    * `tokenSpans`: the projection of character-space attribute spans onto
+    * token space (loss masks, token drop masks). Overlap is the standard
+    * half-open test `a.s < t.e && t.s < a.e`. A null `attrSpans` (an
+    * untagged doc after a sidecar left join) and malformed members with
+    * null bounds mask NOTHING — same tolerance as [[redactSpans]], and
+    * for the same reason: a null must never widen to full extent.
+    * O(tokens × attr spans) per row in one codegen'd map — attr span
+    * lists are small (they tag shapes, not characters).
+    */
+  def spanOverlapMask(tokenSpans: Column, attrSpans: Column): Column = {
+    val sp = coalesce(attrSpans, array().cast("array<struct<s:int,e:int>>"))
+    transform(tokenSpans, tk => exists(sp, a =>
+      a.isNotNull && a.getField("s").isNotNull && a.getField("e").isNotNull &&
+        a.getField("s") < tk.getField("e") &&
+        tk.getField("s") < a.getField("e")))
+  }
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(coalesce(text, lit("")),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

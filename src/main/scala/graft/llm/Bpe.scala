@@ -110,6 +110,46 @@ object Bpe {
   def encodeText(text: Column, merges: Seq[(String, String)]): Column =
     array_join(encodeWords(text, merges), "|")
 
+  /** Every BPE symbol of the document with its [s, e) code-point offsets
+    * in `text` — `array<struct<tok:string, s:int, e:int>>`. This is the
+    * bridge between the SPAN-attribute model and the TOKEN sequence the
+    * model trains on: project a sidecar's character spans (PII, dedup
+    * cuts, boilerplate, quality segments) onto tokens with
+    * [[graft.functions.TextFunctions.spanOverlapMask]] and the result is
+    * a loss mask / drop mask at token granularity — tag once in character
+    * space, train in token space, no re-tokenization.
+    *
+    * Pure composition, no new expression: word spans come from
+    * [[graft.functions.TextFunctions.matchSpans]] `\S+` (the exact match
+    * sequence of [[graft.functions.TextFunctions.tokens]]' `\s+` split,
+    * so words and encodings zip 1:1), and each word's symbols tile its
+    * span by construction (BPE merges never cross word boundaries), so
+    * token offsets are one `aggregate` fold of cumulative piece lengths
+    * per word — map-only, zero shuffles, whole-stage codegen throughout.
+    *
+    * Caveat (shared with [[wrapChars]]): the reserved delimiter chars
+    * U+0001/U+0002 are stripped from symbol content, so a document
+    * containing them yields offsets over the stripped word — tokens after
+    * the stripped char shift left within that word only.
+    */
+  def encodeWithOffsets(text: Column, merges: Seq[(String, String)]): Column = {
+    val outT = "array<struct<tok:string,s:int,e:int>>"
+    flatten(zip_with(
+      TextFunctions.matchSpans(coalesce(text, lit("")), "\\S+"),
+      encodeWords(text, merges),
+      (sp, enc) =>
+        aggregate(symbols(enc),
+          struct(sp.getField("s").as("pos"), array().cast(outT).as("acc")),
+          (st, p) => {
+            val pos = st.getField("pos")
+            val nxt = (pos + length(p)).cast("int")
+            struct(nxt.as("pos"),
+              array_append(st.getField("acc"),
+                struct(p.as("tok"), pos.as("s"), nxt.as("e"))).as("acc"))
+          },
+          st => st.getField("acc"))))
+  }
+
   /** Number of symbols in an encoded string = its count of Open chars. */
   def symbolCount(enc: Column): Column =
     (length(enc) - length(replace(enc, lit(Open), lit("")))).cast("long")
