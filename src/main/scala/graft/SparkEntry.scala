@@ -2245,11 +2245,20 @@ object SparkEntry {
       val spans = array(struct(s0.as("s"), e0.as("e")))
       val b = TF.spansToBytes(synth, spans)
       val back = TF.spansToChars(synth, b)
+      // utf16: the astral 🙂 in the prefix is 1 code point but 2 UTF-16
+      // units, so u_* = char offset + count of astral chars before it —
+      // which is exactly how the oracle restates it
+      val u = TF.spansToUtf16(synth, spans)
+      val back16 = TF.spansFromUtf16(synth, u)
       docs.select(col("doc_id"),
           element_at(b, 1).getField("s").as("b_s"),
           element_at(b, 1).getField("e").as("b_e"),
           element_at(back, 1).getField("s").as("r_s"),
-          element_at(back, 1).getField("e").as("r_e"))
+          element_at(back, 1).getField("e").as("r_e"),
+          element_at(u, 1).getField("s").as("u_s"),
+          element_at(u, 1).getField("e").as("u_e"),
+          element_at(back16, 1).getField("s").as("r2_s"),
+          element_at(back16, 1).getField("e").as("r2_e"))
         .orderBy("doc_id")
     }),
 
@@ -3932,7 +3941,12 @@ object SparkEntry {
          SELECT doc_id,
                 CAST(strlen(substr(t, 1, s0)) AS INT) AS b_s,
                 CAST(strlen(substr(t, 1, e0)) AS INT) AS b_e,
-                s0 AS r_s, e0 AS r_e
+                s0 AS r_s, e0 AS r_e,
+                CAST(s0 + length(regexp_replace(substr(t, 1, s0),
+                  '[^\x{10000}-\x{10FFFF}]', '', 'g')) AS INT) AS u_s,
+                CAST(e0 + length(regexp_replace(substr(t, 1, e0),
+                  '[^\x{10000}-\x{10FFFF}]', '', 'g')) AS INT) AS u_e,
+                s0 AS r2_s, e0 AS r2_e
          FROM sp ORDER BY doc_id""",
     "q_rolling_hash" ->
       """SELECT doc_id,

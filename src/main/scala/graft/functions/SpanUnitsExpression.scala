@@ -9,48 +9,50 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `SpanUnits(text, spans, toBytes)` — rewrites every [s, e) span offset
-  * of `spans` between the two units the span-attribute ecosystem actually
-  * uses: CODE POINTS (this library's native unit — Spark `substring`/
-  * `length`, [[MatchSpans]], [[TextFunctions.redactSpans]]) and UTF-8
-  * BYTES (the unit external taggers commonly emit — Dolma attribute
-  * files, WARC/HTML extraction offsets, Rust/Go tooling that indexes
-  * `&str`/`[]byte` directly). Without a converter, a byte-offset sidecar
-  * applied to non-ASCII text silently shifts every rewrite; with one, the
-  * "tag once, mix many" handoff works across toolchains.
+/** `SpanUnits(text, spans, from, to)` — rewrites every [s, e) span offset
+  * of `spans` between the THREE units the span-attribute ecosystem
+  * actually uses: CODE POINTS (`"chars"`, this library's native unit —
+  * Spark `substring`/`length`, [[MatchSpans]],
+  * [[TextFunctions.redactSpans]]), UTF-8 BYTES (`"bytes"` — Dolma
+  * attribute files, WARC/HTML extraction offsets, Rust/Go tooling
+  * indexing `&str`/`[]byte`), and UTF-16 UNITS (`"utf16"` — JavaScript
+  * `String.prototype.indexOf`/`match`, Java `Matcher.start()`, .NET:
+  * every browser-side or JVM-regex tagger that didn't convert). Without
+  * converters, a foreign-unit sidecar applied to non-ASCII text silently
+  * shifts every rewrite; with them, the "tag once, mix many" handoff
+  * works across toolchains.
   *
-  * Direction: `toBytes = true` maps code-point offsets → byte offsets;
-  * `false` maps byte offsets → code-point offsets. Both directions are a
-  * single forward walk over the string shared by ALL of a row's span
-  * boundaries: boundaries are sorted (spans arrive from external files in
-  * any order), walked once, and written back to their original slots —
+  * All directions are a single forward walk over the string shared by ALL
+  * of a row's span boundaries: boundaries are sorted (spans arrive from
+  * external files in any order), walked once with code-point/byte/UTF-16
+  * cursors advancing together, and written back to their original slots —
   * O(chars + k log k) per row for k spans, not O(chars × k).
   *
   * Out-of-range offsets clamp ([0, length] in the source unit), matching
   * `redactSpans`' clamping so convert-then-redact equals redact on the
-  * pre-clamped spans. A byte offset landing INSIDE a multi-byte sequence
-  * (malformed external data) rounds DOWN to the enclosing code point's
-  * start — deterministic, and a degenerate span that collapses to s == e
-  * is dropped by `redactSpans`' well-formedness filter downstream. Null
-  * span ELEMENTS and null s/e fields pass through unchanged (the same
-  * malformed-tagger tolerance `redactSpans` has); a null text or null
-  * spans column yields null.
+  * pre-clamped spans. A source offset landing INSIDE a multi-unit
+  * sequence (a byte mid-UTF-8-sequence, a UTF-16 index between surrogate
+  * halves — malformed external data) rounds DOWN to the enclosing code
+  * point's start — deterministic, and a degenerate span that collapses to
+  * s == e is dropped by `redactSpans`' well-formedness filter downstream.
+  * Null span ELEMENTS and null s/e fields pass through unchanged (the
+  * same malformed-tagger tolerance `redactSpans` has); a null text or
+  * null spans column yields null.
   *
   * Why a custom Expression (SURVEY §7.2 preference order): the walk needs
   * one shared pass per row across an array of values — `transform` would
   * re-walk the prefix per span (O(chars × k)), and no built-in exposes
-  * UTF-8 byte offsets of a character index at all (`encode` + `length`
-  * per boundary re-encodes the prefix per span). Codegen'd via one call
-  * into the shared walk, fused into whole-stage codegen.
+  * UTF-8 byte or UTF-16 offsets of a character index at all. Codegen'd
+  * via one call into the shared walk, fused into whole-stage codegen.
   *
   * Reference behavior anchor: the reference engine has no span model;
   * offsets-as-data is part of this repo's LLM-pipeline extension surface
   * (see [[MatchSpans]]).
   */
-case class SpanUnits(left: Expression, right: Expression, toBytes: Boolean)
+case class SpanUnits(left: Expression, right: Expression, from: String, to: String)
     extends BinaryExpression {
 
-  override def prettyName: String = if (toBytes) "spans_to_bytes" else "spans_to_chars"
+  override def prettyName: String = s"spans_${from}_to_$to"
   override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = right.dataType
@@ -64,8 +66,14 @@ case class SpanUnits(left: Expression, right: Expression, toBytes: Boolean)
         s"(${l.catalogString}, ${r.catalogString})")
   }
 
-  private def utf8Len(cp: Int): Int =
+  private def len8(cp: Int): Int =
     if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+  private def len16(cp: Int): Int = if (cp < 0x10000) 1 else 2
+  private def unitLen(unit: String, cp: Int): Int = unit match {
+    case "chars" => 1
+    case "bytes" => len8(cp)
+    case "utf16" => len16(cp)
+  }
 
   /** Shared by eval and generated code (via addReferenceObj), so the two
     * paths cannot drift.
@@ -88,29 +96,29 @@ case class SpanUnits(left: Expression, right: Expression, toBytes: Boolean)
     }
     val order = bound.indices.filterNot(isNull).sortBy(bound).toArray
     val out = new Array[Int](2 * n)
-    var si = 0  // UTF-16 index into s
-    var cp = 0  // code points consumed
-    var bo = 0  // UTF-8 bytes consumed
+    var si = 0   // UTF-16 index into s (the iteration cursor)
+    var cp = 0   // code points consumed
+    var bo = 0   // UTF-8 bytes consumed
+    var u16 = 0  // UTF-16 units consumed
+    def srcPos: Int = from match {
+      case "chars" => cp; case "bytes" => bo; case "utf16" => u16
+    }
+    def tgtPos: Int = to match {
+      case "chars" => cp; case "bytes" => bo; case "utf16" => u16
+    }
     var k = 0
     while (k < order.length) {
       val oi = order(k)
       val target = math.max(0, bound(oi))
-      if (toBytes) {
-        while (cp < target && si < s.length) {
-          val c = s.codePointAt(si)
-          si += Character.charCount(c); cp += 1; bo += utf8Len(c)
-        }
-        out(oi) = bo
-      } else {
-        // advance whole code points while they END at or before target —
-        // a target inside a sequence leaves cp at the enclosing start
-        var cLen = if (si < s.length) utf8Len(s.codePointAt(si)) else 0
-        while (si < s.length && bo + cLen <= target) {
-          si += Character.charCount(s.codePointAt(si)); cp += 1; bo += cLen
-          cLen = if (si < s.length) utf8Len(s.codePointAt(si)) else 0
-        }
-        out(oi) = cp
+      // advance whole code points while they END at or before target —
+      // a target inside a multi-unit sequence leaves the cursor at the
+      // enclosing code point's start (for a "chars" source every code
+      // point is one unit, so this is exactly `while srcPos < target`)
+      while (si < s.length && srcPos + unitLen(from, s.codePointAt(si)) <= target) {
+        val c = s.codePointAt(si)
+        si += Character.charCount(c); cp += 1; bo += len8(c); u16 += len16(c)
       }
+      out(oi) = tgtPos
       k += 1
     }
     val res = new Array[Any](n)
@@ -142,7 +150,16 @@ case class SpanUnits(left: Expression, right: Expression, toBytes: Boolean)
 }
 
 object SpanUnits {
-  def apply(text: Column, spans: Column, toBytes: Boolean): Column =
+  val Units: Set[String] = Set("chars", "bytes", "utf16")
+
+  /** Column API; units are validated eagerly (a bad unit fails at plan
+    * construction, not per task). `from == to` is the identity and is
+    * rejected — callers should not pay a walk for a no-op.
+    */
+  def apply(text: Column, spans: Column, from: String, to: String): Column = {
+    require(Units(from) && Units(to), s"span units must be in $Units, got ($from, $to)")
+    require(from != to, s"span unit conversion needs from != to, got $from")
     GraftShims.toColumn(SpanUnits(
-      GraftShims.toExpression(text), GraftShims.toExpression(spans), toBytes))
+      GraftShims.toExpression(text), GraftShims.toExpression(spans), from, to))
+  }
 }

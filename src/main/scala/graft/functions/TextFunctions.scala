@@ -353,14 +353,38 @@ object TextFunctions {
     * tooling). One shared walk per row; see [[SpanUnits]].
     */
   def spansToBytes(text: Column, spans: Column): Column =
-    SpanUnits(text, spans, toBytes = true)
+    SpanUnits(text, spans, "chars", "bytes")
 
   /** UTF-8 byte span offsets → CODE-POINT offsets — import sidecars from
     * external byte-indexing taggers into [[redactSpans]]/[[cutSpans]]'
     * native unit. Mid-sequence byte offsets round down; see [[SpanUnits]].
     */
   def spansToChars(text: Column, spans: Column): Column =
-    SpanUnits(text, spans, toBytes = false)
+    SpanUnits(text, spans, "bytes", "chars")
+
+  /** Code-point span offsets → UTF-16 unit offsets — export to JavaScript
+    * (`indexOf`/`match`), Java `Matcher`, .NET consumers, which all index
+    * UTF-16. See [[SpanUnits]].
+    */
+  def spansToUtf16(text: Column, spans: Column): Column =
+    SpanUnits(text, spans, "chars", "utf16")
+
+  /** UTF-16 span offsets → code-point offsets — import sidecars from
+    * JS/JVM-regex taggers into the native unit. An offset between
+    * surrogate halves rounds down; see [[SpanUnits]].
+    */
+  def spansFromUtf16(text: Column, spans: Column): Column =
+    SpanUnits(text, spans, "utf16", "chars")
+
+  /** Span offsets from any unit to any other (`"chars"`, `"bytes"`,
+    * `"utf16"`); `from == to` is the identity. The two foreign-unit
+    * pairs (bytes ↔ utf16) route through the same single-walk expression
+    * twice via chars — still O(chars) per row.
+    */
+  def convertSpans(text: Column, spans: Column, from: String, to: String): Column =
+    if (from == to) spans
+    else if (from == "chars" || to == "chars") SpanUnits(text, spans, from, to)
+    else SpanUnits(text, SpanUnits(text, spans, from, "chars"), "chars", to)
 
   /** For each span of `tokenSpans` (any `struct` with `s`/`e` int fields,
     * e.g. [[graft.llm.Bpe.encodeWithOffsets]]' tokens), whether it

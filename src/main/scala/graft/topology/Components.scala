@@ -34,7 +34,7 @@ object BuiltinComponents {
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
-      redactSpans, sidecarJoin),
+      redactSpans, convertSpansFilter, sidecarJoin),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
@@ -1005,24 +1005,29 @@ object BuiltinComponents {
       ConfigKey("Pattern", "Java-regex to match ('' = built-in PII shapes)",
         default = Some("")),
       ConfigKey("Units", "offset unit written: 'chars' (code points, the " +
-        "native unit) or 'bytes' (UTF-8, for external byte-indexing " +
-        "consumers)", default = Some("chars"))))(
+        "native unit), 'bytes' (UTF-8, for external byte-indexing " +
+        "consumers), or 'utf16' (JS/JVM-regex consumers)",
+        default = Some("chars"))))(
     (_, cfg) => { df =>
       val pat = cfg.str("Pattern", "") match {
         case "" => graft.functions.TextFunctions.PiiPattern
         case p => p
       }
+      val u = spanUnitOf("DetectSpans", cfg.str("Units", "chars"))
       val text = col(cfg.str("Field"))
-      val charSpans = graft.functions.TextFunctions.matchSpans(text, pat)
-      val spans = cfg.str("Units", "chars") match {
-        case "chars" => charSpans
-        case "bytes" => graft.functions.TextFunctions.spansToBytes(text, charSpans)
-        case u => throw new IllegalArgumentException(
-          s"DetectSpans: Units must be 'chars' or 'bytes', got '$u'")
-      }
+      val spans = graft.functions.TextFunctions.convertSpans(text,
+        graft.functions.TextFunctions.matchSpans(text, pat), "chars", u)
       df.withColumn(cfg.str("SpansField"), to_json(transform(spans,
         sp => array(sp.getField("s"), sp.getField("e")))))
     })
+
+  /** Shared Units validation for the span filters: fail at topology
+    * compile, naming the component, not at runtime.
+    */
+  private def spanUnitOf(component: String, u: String): String =
+    if (graft.functions.SpanUnits.Units(u)) u
+    else throw new IllegalArgumentException(
+      s"$component: Units must be one of 'chars', 'bytes', 'utf16', got '$u'")
 
   val redactSpans: FilterDesc = mkFilter("RedactSpans",
     "Replaces character spans of a text field with a token ('' = cut): " +
@@ -1036,27 +1041,52 @@ object BuiltinComponents {
         required = true),
       ConfigKey("Token", "replacement token ('' = cut)", default = Some("")),
       ConfigKey("Units", "unit the spans field's offsets are in: 'chars' " +
-        "(code points, the native unit) or 'bytes' (UTF-8 offsets from an " +
-        "external byte-indexing tagger, converted in-plan before the " +
-        "rewrite)", default = Some("chars"))))(
+        "(code points, the native unit), 'bytes' (UTF-8 offsets from an " +
+        "external byte-indexing tagger), or 'utf16' (a JS/JVM-regex " +
+        "tagger) — foreign units are converted in-plan before the " +
+        "rewrite", default = Some("chars"))))(
     (_, cfg) => { df =>
       val parsed = from_json(col(cfg.str("SpansField")),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.IntegerType)))
+      val u = spanUnitOf("RedactSpans", cfg.str("Units", "chars"))
       val text = col(cfg.str("Field"))
       val raw = coalesce(
         transform(parsed, p =>
           struct(element_at(p, 1).as("s"), element_at(p, 2).as("e"))),
         array().cast("array<struct<s:int,e:int>>"))
-      val spans = cfg.str("Units", "chars") match {
-        case "chars" => raw
-        case "bytes" => graft.functions.TextFunctions.spansToChars(text, raw)
-        case u => throw new IllegalArgumentException(
-          s"RedactSpans: Units must be 'chars' or 'bytes', got '$u'")
-      }
+      val spans = graft.functions.TextFunctions.convertSpans(text, raw, u, "chars")
       df.withColumn(cfg.str("Field"),
         graft.functions.TextFunctions.redactSpans(text, spans,
           cfg.str("Token", "")))
+    })
+
+  val convertSpansFilter: FilterDesc = mkFilter("ConvertSpans",
+    "Rewrites a JSON spans field between offset units ('chars' code " +
+      "points / 'bytes' UTF-8 / 'utf16') against a text field — the " +
+      "sidecar-interop shim: convert a foreign tagger's offsets once at " +
+      "ingest, or export native spans to a byte- or UTF-16-indexing " +
+      "consumer. An unparseable spans field passes through unchanged.",
+    Seq(
+      ConfigKey("Field", "text field the offsets index into", required = true),
+      ConfigKey("SpansField", "field holding JSON [[s,e],...] offsets, " +
+        "rewritten in place", required = true),
+      ConfigKey("From", "unit the offsets are in", required = true),
+      ConfigKey("To", "unit to convert to", required = true)))(
+    (_, cfg) => { df =>
+      val from = spanUnitOf("ConvertSpans", cfg.str("From"))
+      val to = spanUnitOf("ConvertSpans", cfg.str("To"))
+      val spansField = cfg.str("SpansField")
+      val parsed = from_json(col(spansField),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+      val raw = transform(parsed, p =>
+        struct(element_at(p, 1).as("s"), element_at(p, 2).as("e")))
+      val converted = graft.functions.TextFunctions.convertSpans(
+        col(cfg.str("Field")), raw, from, to)
+      df.withColumn(spansField,
+        coalesce(to_json(transform(converted,
+          sp => array(sp.getField("s"), sp.getField("e")))), col(spansField)))
     })
 
   // ===================== outputs =====================

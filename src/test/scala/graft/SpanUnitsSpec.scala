@@ -75,6 +75,75 @@ class SpanUnitsSpec extends SparkSpec {
     assert(r(1).isNullAt(1), "null text must yield null")
   }
 
+  private def conv16(text: String, spans: Seq[(Int, Int)], to16: Boolean): Seq[(Int, Int)] = {
+    import spark.implicits._
+    val spanCol = array(spans.map { case (s, e) =>
+      struct(lit(s).as("s"), lit(e).as("e")) }: _*)
+    val c = if (to16) TF.spansToUtf16(col("t"), spanCol)
+            else TF.spansFromUtf16(col("t"), spanCol)
+    Seq(text).toDF("t").select(explode(c).as("sp"))
+      .select(col("sp.s"), col("sp.e"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+  }
+
+  test("chars -> utf16: astral code points count 2; mid-surrogate utf16 " +
+      "offsets round down coming back") {
+    // T: cp6 is the emoji (utf16 len 2): utf16 offsets = cp offsets until
+    // cp 6, then +1
+    assert(conv16(T, Seq((0, 6), (6, 7), (7, 8)), to16 = true) ==
+      Seq((0, 6), (6, 8), (8, 9)))
+    assert(conv16(T, Seq((0, 6), (6, 8), (8, 9)), to16 = false) ==
+      Seq((0, 6), (6, 7), (7, 8)))
+    // utf16 offset 7 falls between the emoji's surrogate halves
+    assert(conv16(T, Seq((7, 9)), to16 = false) == Seq((6, 8)))
+  }
+
+  test("convertSpans composes any unit pair: bytes -> utf16 through chars") {
+    import spark.implicits._
+    // bytes [8,15) is ⌘🙂 = chars [5,7) = utf16 [5,8)
+    val spanCol = array(struct(lit(8).as("s"), lit(15).as("e")))
+    val r = Seq(T).toDF("t")
+      .select(explode(TF.convertSpans(col("t"), spanCol, "bytes", "utf16")).as("sp"))
+      .select(col("sp.s"), col("sp.e")).collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(r == Seq((5, 8)))
+    val e = intercept[IllegalArgumentException](
+      TF.convertSpans(col("t"), spanCol, "bytes", "ebcdic"))
+    assert(e.getMessage.contains("span units"))
+  }
+
+  test("ConvertSpans TOML filter rewrites a sidecar spans field between " +
+      "units; garbage spans pass through unchanged") {
+    val toml =
+      """[fields]
+        |names = ["id", "text", "spans"]
+        |[input]
+        |name = "LogLines"
+        |  [input.config]
+        |  Lines = ["1,¡a@b.cc!,[[2;8]]", "2,¡a@b.cc!,garbage"]
+        |[[filter]]
+        |name = "SqlExpr"
+        |  [filter.config]
+        |  Expr = "replace(spans, ';', ',')"
+        |  DstField = "spans"
+        |[[filter]]
+        |name = "ConvertSpans"
+        |  [filter.config]
+        |  Field = "text"
+        |  SpansField = "spans"
+        |  From = "bytes"
+        |  To = "chars"
+        |[output]
+        |name = "Nop"
+        |fields = ["id", "text", "spans"]
+        |""".stripMargin
+    val out = graft.topology.Topology.compileToml(spark, toml)
+      .projected.orderBy("id").collect()
+    // bytes [2,8) over "¡a@b.cc!" (¡ is 2 bytes) = chars [1,7)
+    assert(out(0).getString(2) == "[[1,7]]", out(0).getString(2))
+    assert(out(1).getString(2) == "garbage", "unparseable passes through")
+  }
+
   test("composition: convert-then-redact on byte offsets equals direct " +
       "char-offset redaction on the corpus") {
     val sf = "/root/testdata/sf0.001"
