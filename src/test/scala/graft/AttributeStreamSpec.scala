@@ -67,4 +67,34 @@ class AttributeStreamSpec extends SparkSpec {
       assert(side.filter(col("n_tokens") >= 4).count() == 2)
     } finally q.stop()
   }
+
+  test("streaming SPAN tagging: piiSpans JSON tagged per batch, scrubbed " +
+      "at mix time — the incremental tag-once / scrub-later handoff") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val dir = tmp().toString
+    val docs = Seq((1L, "mail a@b.cc now"), (2L, "no pii here"))
+      .toDF("doc_id", "text")
+    // the tagger stores offsets as data (same JSON shape DetectSpans
+    // writes), incrementally, one micro-batch per doc
+    val spanAttrs = Seq("pii_spans" -> to_json(transform(
+      TF.piiSpans(col("text")), sp => array(sp.getField("s"), sp.getField("e")))))
+    val fn = AttributeStream.batchFunction("doc_id", spanAttrs, dir)
+    fn(docs.filter(col("doc_id") === 1), 0L)
+    fn(docs.filter(col("doc_id") === 2), 1L)
+    val side = AttributeStream.loadSidecar(spark, dir).get
+    val mixed = Attributes.mix(docs, "doc_id", Seq(side), lit(true))
+    val parsed = from_json(col("pii_spans"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+    val spans = coalesce(transform(parsed, p =>
+      struct(element_at(p, 1).as("s"), element_at(p, 2).as("e"))),
+      array().cast("array<struct<s:int,e:int>>"))
+    val out = mixed.select(col("doc_id"),
+        TF.redactSpans(col("text"), spans, "<PII>").as("red"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("mail <PII> now", "no pii here"))
+  }
 }
