@@ -2569,6 +2569,31 @@ object SparkEntry {
         .select("doc_id", "shard", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    "q_pack_tokens" -> ((s, d) => {
+      // MATERIALIZED packing: fixed-length training sequences with
+      // segment ids and a loss mask, documents split across cuts. Token
+      // ids are word lengths and the mask marks words longer than 3 —
+      // both restatable numerically, so DuckDB rebuilds every sequence
+      // ARRAY and the md5s compare the exact layout (ids, segments, mask,
+      // padding) rather than just counts.
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk, 512, shard,
+          padId = -1)
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "q_unigram_score" -> ((s, d) =>
       // unigram-LM scoring: corpus vocab (1 shuffle) broadcast against
       // exploded tokens — integer sufficient statistics, exact cross-engine
@@ -4376,6 +4401,67 @@ object SparkEntry {
                 CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
                 CAST(st % 2048 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q_pack_tokens" ->
+      // every sequence rebuilt from first principles: per-shard start
+      // positions by window cumsum, per-sequence pieces by list_slice at
+      // the cut arithmetic, assembly by offset-ordered flatten, segment
+      // ordinals by piece row_number, padding to the budget — then md5 of
+      // the joined arrays, so the exact layout is compared
+      """WITH tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  list_transform(ws, w -> length(w) > 3) AS msk,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         st AS (
+           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n AS strt
+           FROM tk),
+         pc AS (
+           SELECT *, unnest(generate_series(
+                       CAST(FLOOR(strt / 512.0) AS BIGINT),
+                       CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
+           FROM st),
+         pieces AS (
+           SELECT shard, seq_id,
+                  GREATEST(strt - seq_id * 512, 0) AS off,
+                  list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
+                  list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
+           FROM pc),
+         p2 AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY shard, seq_id
+                       ORDER BY off) - 1 AS INT) AS pidx
+           FROM pieces),
+         asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(ptok ORDER BY off)) AS ids0,
+                  flatten(list(pmsk ORDER BY off)) AS mk0,
+                  flatten(list(list_transform(ptok, x -> pidx)
+                    ORDER BY off)) AS sg0
+           FROM p2 GROUP BY shard, seq_id),
+         fin AS (
+           SELECT shard, seq_id, len(ids0) AS n_real,
+                  ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
+                  sg0 || list_transform(range(512 - len(ids0)), x -> -1) AS sg,
+                  mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk
+           FROM asm)
+         SELECT shard, seq_id,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(sg,
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                CAST(n_real AS INT) AS n_real
+         FROM fin ORDER BY shard, seq_id""",
     "q_heavy_hitters" ->
       // the CMS estimate is not SQL-recomputable; the contract is: exact
       // counts, and the estimate within [exact, exact + eps·N] (TRUE when

@@ -44,4 +44,92 @@ object Pack {
       .withColumn("seq_offset", col("__start") % budget)
       .drop("__shard", "__start")
   }
+
+  /** MATERIALIZE the packed training sequences: concatenate each shard's
+    * per-document token arrays in `orderCol` order, cut every `budget`
+    * tokens (documents split across cuts — GPT-style concat-then-chunk,
+    * the same layout [[concatChunk]] assigns), and emit one row per
+    * sequence:
+    *
+    *   - `input_ids`  — exactly `budget` ints, the tail of the shard's
+    *     last sequence padded with `padId`
+    *   - `segment_ids` — per position, the 0-based ordinal of the
+    *     document within THIS sequence (resets each sequence — exactly
+    *     what an attention mask needs to stop cross-document attention);
+    *     pad positions get −1
+    *   - `loss_mask`  — per position, the document's aligned `maskCol`
+    *     boolean carried through the cut (e.g.
+    *     [[graft.functions.TextFunctions.spanOverlapMask]] over PII spans,
+    *     negated by the caller if overlap means "exclude"); pad positions
+    *     get false
+    *   - `n_real`     — how many positions are content, = `budget`
+    *     everywhere but each shard's final sequence
+    *
+    * Scale contract: ONE exchange. The start-position window partitions
+    * by `shard`, and the per-sequence assembly groups by
+    * (`shard`, `seq_id`) — a superset of the window's partitioning, so
+    * Catalyst reuses the exchange (hash-partitioning on `shard` already
+    * co-locates every (shard, seq_id) group; PlanShapeSpec pins the
+    * single-exchange plan). Documents explode into at most
+    * ⌈len/budget⌉ + 1 per-sequence pieces, so no row ever exceeds
+    * ~2 × budget tokens and the assembled sequence is exactly budget —
+    * executor memory is bounded regardless of document length.
+    *
+    * `orderCol` MUST be unique within a shard (same contract and reason
+    * as [[concatChunk]]). Empty/null token arrays contribute nothing.
+    * `maskCol` must be the same length as `tokensCol` per row (a
+    * mismatched tagger output fails loudly at assembly).
+    */
+  def packTokens(df: DataFrame, orderCol: Column, tokensCol: Column,
+      maskCol: Column, budget: Int, shard: Column, padId: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy("__shard").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .withColumn("__shard", shard)
+      .withColumn("__tok", tokensCol)
+      .withColumn("__msk", maskCol)
+      .withColumn("__len", size(col("__tok")).cast("long"))
+      .filter(col("__len") > 0)
+      .withColumn("__start", sum(col("__len")).over(w) - col("__len"))
+    // each doc → one piece per sequence it touches; all slicing is local
+    // arithmetic on the row, nothing global
+    val b = lit(budget.toLong)
+    val pieces = base.select(col("__shard").as("shard"),
+        col("__start"), col("__tok"), col("__msk"), col("__len"),
+        explode(sequence(floor(col("__start") / b),
+          floor((col("__start") + col("__len") - 1) / b))).as("seq_id"))
+      .withColumn("__from", greatest(col("seq_id") * b - col("__start"), lit(0L)))
+      .withColumn("__to",
+        least((col("seq_id") + 1) * b - col("__start"), col("__len")))
+      .withColumn("__off", greatest(col("__start") - col("seq_id") * b, lit(0L)))
+      .select(col("shard"), col("seq_id"), col("__off"),
+        slice(col("__tok"), (col("__from") + 1).cast("int"),
+          (col("__to") - col("__from")).cast("int")).as("ptok"),
+        slice(col("__msk"), (col("__from") + 1).cast("int"),
+          (col("__to") - col("__from")).cast("int")).as("pmsk"))
+    // assemble: pieces of a sequence sorted by offset tile it exactly
+    val assembled = pieces.groupBy("shard", "seq_id")
+      .agg(sort_array(collect_list(struct(col("__off"), col("ptok"),
+        col("pmsk")))).as("ps"))
+    val ids = flatten(transform(col("ps"), p => p.getField("ptok")))
+    val msk = flatten(transform(col("ps"), p => {
+      val t = p.getField("ptok")
+      val m = p.getField("pmsk")
+      // loud alignment check: a tagger that emitted a mask of the wrong
+      // length would silently shift every downstream position otherwise
+      when(size(m) === size(t), m).otherwise(raise_error(concat(
+        lit("packTokens: mask/tokens length mismatch in sequence "),
+        col("seq_id").cast("string"))))
+    }))
+    val seg = flatten(transform(col("ps"),
+      (p, i) => array_repeat(i.cast("int"), size(p.getField("ptok")))))
+    val nReal = size(ids)
+    val nPad = (lit(budget) - nReal).cast("int")
+    assembled.select(col("shard"), col("seq_id"),
+      concat(ids, array_repeat(lit(padId), nPad)).as("input_ids"),
+      concat(seg, array_repeat(lit(-1), nPad)).as("segment_ids"),
+      concat(msk, array_repeat(lit(false), nPad)).as("loss_mask"),
+      nReal.cast("int").as("n_real"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Pack
+
+/** [[Pack.packTokens]] — materialized GPT-style packing: exact cut
+  * positions (agreeing with [[Pack.concatChunk]]'s layout), padding only
+  * on each shard's final sequence, per-sequence segment ordinals,
+  * loss-mask carry-through, the mask-length loud fail, and the
+  * single-exchange plan.
+  */
+class PackTokensSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def pack(df: DataFrame, budget: Int): DataFrame =
+    Pack.packTokens(df, col("doc_id"), col("toks"), col("msk"), budget,
+      lit(0), padId = -9)
+
+  private def docs(rows: (Long, Seq[Int], Seq[Boolean])*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "toks", "msk")
+  }
+
+  test("documents split across cuts exactly where concatChunk says; " +
+      "segments reset per sequence; only the last sequence pads") {
+    // doc1: 3 toks, doc2: 4 toks (spans seqs 0→1), doc3: 2 toks
+    val df = docs(
+      (1L, Seq(10, 11, 12), Seq(true, false, true)),
+      (2L, Seq(20, 21, 22, 23), Seq(false, false, true, true)),
+      (3L, Seq(30, 31), Seq(true, true)))
+    val out = pack(df, 5).orderBy("seq_id").collect()
+    assert(out.length == 2)
+    // seq 0: [10 11 12 | 20 21], segments [0 0 0 1 1], full
+    assert(out(0).getSeq[Int](2) == Seq(10, 11, 12, 20, 21))
+    assert(out(0).getSeq[Int](3) == Seq(0, 0, 0, 1, 1))
+    assert(out(0).getSeq[Boolean](4) == Seq(true, false, true, false, false))
+    assert(out(0).getInt(5) == 5)
+    // seq 1: [22 23 | 30 31] + pad, doc2's tail is segment 0 HERE
+    assert(out(1).getSeq[Int](2) == Seq(22, 23, 30, 31, -9))
+    assert(out(1).getSeq[Int](3) == Seq(0, 0, 1, 1, -1))
+    assert(out(1).getSeq[Boolean](4) == Seq(true, true, true, true, false))
+    assert(out(1).getInt(5) == 4)
+  }
+
+  test("a document longer than the budget tiles whole sequences") {
+    val df = docs((1L, (0 until 12).toList, Seq.fill(12)(true)))
+    val out = pack(df, 5).orderBy("seq_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(5)).toSeq == Seq(5, 5, 2))
+    assert(out(1).getSeq[Int](2) == Seq(5, 6, 7, 8, 9))
+    assert(out(2).getSeq[Int](2) == Seq(10, 11, -9, -9, -9))
+  }
+
+  test("empty/null token arrays contribute nothing; shards pack " +
+      "independently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, Seq(1, 2, 3), Seq(true, true, true)),
+      (2L, 0, Seq.empty[Int], Seq.empty[Boolean]),
+      (3L, 1, Seq(7, 8), Seq(false, false)))
+      .toDF("doc_id", "sh", "toks", "msk")
+    val out = Pack.packTokens(df, col("doc_id"), col("toks"), col("msk"),
+        4, col("sh")).orderBy("shard", "seq_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Int](2) == Seq(1, 2, 3, 0))
+    assert(out(1).getSeq[Int](2) == Seq(7, 8, 0, 0))
+  }
+
+  test("layout agrees with concatChunk: each doc's first token lands at " +
+      "(seq_id, seq_offset)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 40L).map(i =>
+      (i, i % 3, Seq.fill(1 + rnd.nextInt(9))(i.toInt)))
+      .toSeq.toDF("doc_id", "sh", "toks")
+      .withColumn("msk", transform(col("toks"), _ => lit(true)))
+    val assigned = Pack.concatChunk(df, col("doc_id"), size(col("toks")),
+      7L, col("sh")).select(col("doc_id"), col("sh"), col("toks"),
+      col("seq_id"), col("seq_offset")).collect()
+    val packed = Pack.packTokens(df, col("doc_id"), col("toks"), col("msk"),
+        7, col("sh")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Int](2)).toMap
+    assigned.foreach { r =>
+      val (id, sh, toks) = (r.getLong(0), r.getLong(1), r.getSeq[Int](2))
+      val seq = packed((sh, r.getLong(3)))
+      assert(seq(r.getLong(4).toInt) == toks.head,
+        s"doc $id first token misplaced")
+    }
+  }
+
+  test("mask/tokens length mismatch fails loudly") {
+    val df = docs((1L, Seq(1, 2, 3), Seq(true)))
+    val e = intercept[Exception](pack(df, 4).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("plan shape: ONE exchange — the window's shard partitioning " +
+      "serves the (shard, seq_id) aggregation") {
+    val df = docs((1L, Seq(1, 2), Seq(true, true)))
+    val plan = pack(df, 4).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}

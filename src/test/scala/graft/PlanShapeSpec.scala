@@ -297,6 +297,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"BPE encode should not explode:\n$p")
   }
 
+  test("token-offset BPE encode + mask projection is map-only (no " +
+      "shuffle, no explode: the fold stays inside the row)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val toks = graft.llm.Bpe.encodeWithOffsets(col("text"), merges)
+    val attr = array(struct(lit(0).as("s"), lit(5).as("e")))
+    val p = plan(docs.select(col("doc_id"), size(toks).as("n"),
+      size(filter(graft.functions.TextFunctions.spanOverlapMask(toks, attr),
+        m => m)).as("n_masked")))
+    assert(!p.contains("Exchange"), s"offset encode should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"offset encode should not explode:\n$p")
+  }
+
   test("BPE pair counting shuffles exactly once (the pair aggregate)") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = plan(graft.llm.Bpe.pairCounts(docs, col("text")))
