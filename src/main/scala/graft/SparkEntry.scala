@@ -2569,6 +2569,18 @@ object SparkEntry {
         .select("doc_id", "shard", "seq_id", "seq_offset")
         .orderBy("doc_id")),
 
+    "q_pack_greedy" -> ((s, d) =>
+      // no-split SFT-style packing: greedy fill per shard, new sequence
+      // exactly on would-overflow. Sequential recurrence (data-dependent
+      // reset) — the oracle replays it as a recursive CTE stepping
+      // row_number ranks in lockstep across shards
+      graft.llm.Pack.packGreedy(
+          t(s, d, "documents"), col("doc_id"), col("n_chars"), budget = 2048,
+          shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+            lit(8)))
+        .select("doc_id", "shard", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
     "q_pack_tokens" -> ((s, d) => {
       // MATERIALIZED packing: fixed-length training sequences with
       // segment ids and a loss mask, documents split across cuts. Token
@@ -4401,6 +4413,35 @@ object SparkEntry {
                 CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
                 CAST(st % 2048 AS BIGINT) AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q_pack_greedy" ->
+      // the greedy recurrence replayed exactly: rank docs per shard, then
+      // a recursive CTE carries (seq_id, fill) from rank r to r+1 — every
+      // shard advances in lockstep per iteration, so the recursion depth
+      // is the largest shard's doc count, not the corpus size
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 8 AS shard,
+                  CAST(n_chars AS BIGINT) AS sz,
+                  row_number() OVER (
+                    PARTITION BY ((doc_id % 2147483647) * 2654435761) % 8
+                    ORDER BY doc_id) AS rn
+           FROM documents),
+         r AS (
+           SELECT shard, rn, doc_id, sz,
+                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
+                  sz AS fill
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.shard, s.rn, s.doc_id, s.sz,
+                  CASE WHEN r.fill + s.sz > 2048 THEN r.seq_id + 1
+                       ELSE r.seq_id END,
+                  CASE WHEN r.fill + s.sz > 2048 THEN CAST(0 AS BIGINT)
+                       ELSE r.fill END,
+                  CASE WHEN r.fill + s.sz > 2048 THEN s.sz
+                       ELSE r.fill + s.sz END
+           FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+         SELECT doc_id, shard, seq_id, off AS seq_offset
+         FROM r ORDER BY doc_id""",
     "q_pack_tokens" ->
       // every sequence rebuilt from first principles: per-shard start
       // positions by window cumsum, per-sequence pieces by list_slice at

@@ -45,6 +45,60 @@ object Pack {
       .drop("__shard", "__start")
   }
 
+  /** NO-SPLIT packing (SFT-style): documents are never cut. In `orderCol`
+    * order within each shard, a document joins the current sequence when
+    * it fits (`fill + size <= budget`) and otherwise OPENS a new one; a
+    * document larger than the budget gets a sequence of its own (callers
+    * that can't tolerate overflow filter or truncate first — silently
+    * dropping data is not this function's call to make). Output adds
+    * (`shard`, `seq_id`, `seq_offset`) like [[concatChunk]]; sequences
+    * number consecutively from 0 per shard.
+    *
+    * Why `mapPartitions` (the §7.2 last resort, justified here): the
+    * greedy fill is a sequential recurrence whose RESET depends on the
+    * running value — `seq` opens exactly when the accumulated fill would
+    * overflow — which no window algebra expresses (a window cumsum has no
+    * data-dependent reset). The plan is still scale-correct: one exchange
+    * (hash by shard), an in-partition sort, then a STREAMING single-pass
+    * walk with O(1) state per shard — the same shape every per-shard
+    * window query compiles to, minus the window buffer.
+    *
+    * Same uniqueness contract on `orderCol` as [[concatChunk]].
+    */
+  def packGreedy(df: DataFrame, orderCol: Column, sizeCol: Column,
+      budget: Long, shard: Column): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val tagged = df.withColumn("__shard", shard)
+      .withColumn("__size", sizeCol.cast("long"))
+    val parted = tagged.repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), orderCol)
+    val schema = parted.schema
+    val shardIdx = schema.fieldIndex("__shard")
+    val sizeIdx = schema.fieldIndex("__size")
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_offset",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val packed = parted.mapPartitions { it =>
+      // partitions hold whole shards (hash partitioning), sorted by
+      // (shard, order): reset the running state at each shard boundary
+      var cur: Any = null
+      var fill = 0L
+      var seq = -1L
+      it.map { r =>
+        val sh = r.get(shardIdx)
+        val sz = r.getLong(sizeIdx)
+        if (sh != cur) { cur = sh; fill = 0L; seq = -1L }
+        if (seq < 0 || fill + sz > budget) { seq += 1; fill = 0L }
+        val off = fill
+        fill += sz
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(seq, off))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.withColumnRenamed("__shard", "shard").drop("__size")
+  }
+
   /** MATERIALIZE the packed training sequences: concatenate each shard's
     * per-document token arrays in `orderCol` order, cut every `budget`
     * tokens (documents split across cuts — GPT-style concat-then-chunk,

@@ -96,6 +96,41 @@ class PackTokensSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("end to end: piiSpans -> encodeWithOffsets -> spanOverlapMask -> " +
+      "packTokens: packed loss mask flags exactly the PII tokens") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "write to a@b.cc about the offer"),
+      (2L, "clean text with no addresses here"),
+      (3L, "two hits a@b.cc and c@d.ee inside"))
+      .toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val toks = graft.llm.Bpe.encodeWithOffsets(col("text"), merges)
+    val mask = TF.spanOverlapMask(toks, TF.piiSpans(col("text")))
+    val packed = graft.llm.Pack.packTokens(
+      df.withColumn("tk", transform(toks, t => crc32(t.getField("tok")
+          .cast("binary")).cast("int")))
+        .withColumn("mk", mask),
+      col("doc_id"), col("tk"), col("mk"), 16, lit(0))
+    // reconstruct: flag positions across sequences in seq order must
+    // equal the per-doc mask flags in doc order
+    val packedFlags = packed.orderBy("seq_id")
+      .select(explode(col("loss_mask"))).collect().map(_.getBoolean(0))
+    val docFlags = df.orderBy("doc_id")
+      .select(explode(mask)).collect().map(_.getBoolean(0))
+    assert(packedFlags.take(docFlags.length).toSeq == docFlags.toSeq)
+    assert(packedFlags.drop(docFlags.length).forall(!_), "pad must be false")
+    // and the flagged symbols, concatenated per doc, spell out exactly
+    // the PII matches (the demo merges leave the emails as char symbols)
+    val flaggedPerDoc = df.orderBy("doc_id").select(
+        array_join(transform(filter(zip_with(toks, mask,
+          (t, m) => struct(t.getField("tok").as("tok"), m.as("m"))),
+          x => x.getField("m")), x => x.getField("tok")), "").as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(flaggedPerDoc == Seq("a@b.cc", "", "a@b.ccc@d.ee"))
+  }
+
   test("plan shape: ONE exchange — the window's shard partitioning " +
       "serves the (shard, seq_id) aggregation") {
     val df = docs((1L, Seq(1, 2), Seq(true, true)))
