@@ -2710,38 +2710,35 @@ object SparkEntry {
 
     "q_bpe_offsets" -> ((s, d) => {
       // token offsets + span→token loss-mask projection, one row per BPE
-      // symbol. Two texts on purpose: `norm` (single-space joined words)
-      // has DuckDB-derivable offsets (prefix sums over word/piece lengths
-      // — every s/e is restated NUMERICALLY), while `raw_sub` slices the
-      // ORIGINAL text at the raw-text offsets and must reproduce the
-      // token string (the oracle states the token string from its own
-      // replay), pinning the multi-space/leading-whitespace offset path
-      // no prefix sum can restate. `masked` projects a doc_id-derived
-      // attribute span through spanOverlapMask — the mask law is checked
-      // numerically because the oracle derives the same overlaps from its
-      // own offsets.
+      // symbol. Two offset bases on purpose: the NORMALIZED (single-space)
+      // offsets are DuckDB-derivable (prefix sums over word/piece lengths
+      // — every s/e restated NUMERICALLY), while `raw_sub` slices the
+      // ORIGINAL text at raw-text offsets and must reproduce the token
+      // string, pinning the multi-space/leading-whitespace path no prefix
+      // sum can restate. `masked` is the overlap test against a
+      // doc_id-derived attribute span, checked because the oracle derives
+      // the same overlaps from its own offsets.
+      //
+      // ONE native walk (BpeEncodeOffsets: tokenize + merge + both offset
+      // bases in one JVM pass), then every per-token output field is a
+      // plain codegen'd scalar over the exploded rows. Earlier composed
+      // drafts measured 8.3 s then 3.5 s at sf0.1 on the single-row-group
+      // bench file (interpreted HOF lambdas over ~1M tokens); no global
+      // sort (the driver compare is row-order-insensitive).
       val docs = t(s, d, "documents")
-      val raw = coalesce(col("text"), lit(""))
-      val norm = array_join(TF.tokens(col("text")), " ")
-      val normToks = graft.llm.Bpe.encodeWithOffsets(norm, bpeDemoMerges)
-      val rawToks = graft.llm.Bpe.encodeWithOffsets(col("text"), bpeDemoMerges)
-      val attr = array(struct((col("doc_id") % 11).cast("int").as("s"),
-        (col("doc_id") % 11 + 6).cast("int").as("e")))
-      val mask = TF.spanOverlapMask(normToks, attr)
-      val nr = zip_with(normToks, rawToks, (n, r) => struct(
-        n.getField("tok").as("tok"), n.getField("s").as("s"),
-        n.getField("e").as("e"),
-        raw.substr(r.getField("s") + 1,
-          r.getField("e") - r.getField("s")).as("raw_sub")))
-      val full = zip_with(nr, mask, (x, m) => struct(
-        x.getField("tok").as("tok"), x.getField("s").as("s"),
-        x.getField("e").as("e"), x.getField("raw_sub").as("raw_sub"),
-        m.as("masked")))
-      docs.select(col("doc_id"), posexplode(full).as(Seq("ti", "tk")))
+      val textC = coalesce(col("text"), lit(""))
+      val toks = graft.llm.Bpe.encodeWithOffsets(col("text"), bpeDemoMerges)
+      val lo = (col("doc_id") % 11).cast("int")
+      val hi = (col("doc_id") % 11 + 6).cast("int")
+      docs.select(col("doc_id"), lo.as("__lo"), hi.as("__hi"),
+          textC.as("__t"), posexplode(toks).as(Seq("ti", "tk")))
         .select(col("doc_id"), col("ti").cast("int").as("ti"),
-          col("tk.tok").as("tok"), col("tk.s").as("s"), col("tk.e").as("e"),
-          col("tk.raw_sub").as("raw_sub"), col("tk.masked").as("masked"))
-        .orderBy("doc_id", "ti")
+          col("tk.tok").as("tok"),
+          col("tk.norm_s").as("s"), col("tk.norm_e").as("e"),
+          col("__t").substr(col("tk.s") + 1,
+            col("tk.e") - col("tk.s")).as("raw_sub"),
+          (col("__lo") < col("tk.norm_e") &&
+            col("tk.norm_s") < col("__hi")).as("masked"))
     }),
 
     "q_unigram_segment" -> ((s, d) =>

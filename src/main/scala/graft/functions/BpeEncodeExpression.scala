@@ -48,12 +48,8 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)],
   /** pair → rank; the key joiner is `open`, which cannot occur inside a
     * symbol (delimiter chars are stripped from input).
     */
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    for (((a, b), i) <- merges.zipWithIndex)
-      if (!m.containsKey(a + open + b)) m.put(a + open + b, i)
-    m
-  }
+  @transient private lazy val rank: java.util.HashMap[String, Integer] =
+    BpeMerge.buildRank(merges, open)
 
   /** Encode every word of the array (public: the generated code calls it
     * through the codegen reference object).
@@ -70,41 +66,7 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)],
   }
 
   private def encodeOne(word: String): UTF8String = {
-    // code-point split, delimiter chars stripped (same contract as
-    // Bpe.wrapChars)
-    var syms = new java.util.ArrayList[String](word.length)
-    var i = 0
-    while (i < word.length) {
-      val cc = Character.charCount(word.codePointAt(i))
-      val s = word.substring(i, i + cc)
-      if (s != open && s != close) syms.add(s)
-      i += cc
-    }
-    // canonical loop: merge ALL occurrences of the lowest-ranked adjacent
-    // pair present, left-to-right non-overlapping, until none remains
-    var go = syms.size() >= 2
-    while (go) {
-      var best = Int.MaxValue
-      var j = 0
-      while (j < syms.size() - 1) {
-        val r = rank.get(syms.get(j) + open + syms.get(j + 1))
-        if (r != null && r < best) best = r
-        j += 1
-      }
-      if (best == Int.MaxValue) go = false
-      else {
-        val (a, b) = merges(best)
-        val next = new java.util.ArrayList[String](syms.size())
-        var k = 0
-        while (k < syms.size()) {
-          if (k + 1 < syms.size() && syms.get(k) == a && syms.get(k + 1) == b) {
-            next.add(a + b); k += 2
-          } else { next.add(syms.get(k)); k += 1 }
-        }
-        syms = next
-        go = syms.size() >= 2
-      }
-    }
+    val syms = BpeMerge.mergedSymbols(word, merges, rank, open, close)
     val sb = new java.lang.StringBuilder(word.length * 3 + 2)
     sb.append(open)
     var k = 0
@@ -128,6 +90,170 @@ case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)],
       classOf[BpeEncodeWords].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $ref.encodeArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The canonical BPE merge machinery shared by [[BpeEncodeWords]] and
+  * [[BpeEncodeOffsets]]: one implementation of the split-strip-merge loop
+  * so the two expressions cannot drift.
+  */
+private[functions] object BpeMerge {
+
+  def buildRank(merges: Seq[(String, String)],
+      open: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    for (((a, b), i) <- merges.zipWithIndex)
+      if (!m.containsKey(a + open + b)) m.put(a + open + b, i)
+    m
+  }
+
+  /** Code-point split (delimiter chars stripped, same contract as
+    * `Bpe.wrapChars`), then the canonical loop: merge ALL occurrences of
+    * the lowest-ranked adjacent pair present, left-to-right
+    * non-overlapping, until none remains.
+    */
+  def mergedSymbols(word: String, merges: Seq[(String, String)],
+      rank: java.util.HashMap[String, Integer], open: String,
+      close: String): java.util.ArrayList[String] = {
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      val s = word.substring(i, i + cc)
+      if (s != open && s != close) syms.add(s)
+      i += cc
+    }
+    var go = syms.size() >= 2
+    while (go) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size() - 1) {
+        val r = rank.get(syms.get(j) + open + syms.get(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        val (a, b) = merges(best)
+        val next = new java.util.ArrayList[String](syms.size())
+        var k = 0
+        while (k < syms.size()) {
+          if (k + 1 < syms.size() && syms.get(k) == a && syms.get(k + 1) == b) {
+            next.add(a + b); k += 2
+          } else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+        go = syms.size() >= 2
+      }
+    }
+    syms
+  }
+}
+
+/** `BpeEncodeOffsets(text, merges)` — the whole token-offset encode
+  * ([[graft.llm.Bpe.encodeWithOffsets]]) as ONE native expression: walk
+  * the text once, tokenize on the `\s+`/`\S+` run boundary (the exact
+  * class of `TextFunctions.tokens`' split — space, tab, LF, VT, FF, CR),
+  * merge each word under the shared [[BpeMerge]] loop, and emit every
+  * symbol with BOTH offset bases as
+  * `array<struct<tok, s, e, norm_s, norm_e>>`:
+  *
+  *   - `s`/`e` — [s, e) code-point offsets in the ORIGINAL text (the
+  *     primary contract: slice the raw text at [s, e) and get the token)
+  *   - `norm_s`/`norm_e` — offsets in the single-space NORMALIZED text
+  *     (words joined by one space): the base external prefix-sum
+  *     restatements can derive, and the right one for pipelines that
+  *     normalize whitespace before training
+  *
+  * Why native (SURVEY §7.2): the composed form (matchSpans × 2 + encode +
+  * per-word `aggregate` folds) measured 3.5–8.3 s at sf0.1 on the
+  * single-row-group bench file — interpreted HOF lambdas over ~1M
+  * tokens; this walk is one JVM pass per row inside whole-stage codegen.
+  * Offsets advance by SYMBOL length, so a word containing the reserved
+  * delimiter chars (stripped by the merge contract) shifts within that
+  * word only — the same caveat the composed form had.
+  */
+case class BpeEncodeOffsets(child: Expression, merges: Seq[(String, String)],
+    open: String, close: String) extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def prettyName: String = "bpe_encode_offsets"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("s", IntegerType, nullable = false),
+    StructField("e", IntegerType, nullable = false),
+    StructField("norm_s", IntegerType, nullable = false),
+    StructField("norm_e", IntegerType, nullable = false))),
+    containsNull = false)
+
+  // the library wrapper coalesces null text to "" (the `tokens` contract:
+  // null → empty token list), so this expression is plain null-intolerant
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] =
+    BpeMerge.buildRank(merges, open)
+
+  private def isSpace(c: Char): Boolean = // Java regex \s, exactly
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def encode(u: UTF8String): ArrayData = {
+    val text = u.toString
+    val out = new java.util.ArrayList[InternalRow]()
+    var i = 0      // UTF-16 cursor
+    var cp = 0     // code points consumed (raw base)
+    var normNext = 0
+    var first = true
+    while (i < text.length) {
+      if (isSpace(text.charAt(i))) { i += 1; cp += 1 }
+      else {
+        val wordStartCp = cp
+        val ws = i
+        while (i < text.length && !isSpace(text.charAt(i))) {
+          i += Character.charCount(text.codePointAt(i))
+          cp += 1
+        }
+        val word = text.substring(ws, i)
+        val wordCpLen = cp - wordStartCp
+        val normStart = if (first) 0 else normNext
+        val syms = BpeMerge.mergedSymbols(word, merges, rank, open, close)
+        var rawOff = wordStartCp
+        var normOff = normStart
+        var k = 0
+        while (k < syms.size()) {
+          val sym = syms.get(k)
+          val len = sym.codePointCount(0, sym.length)
+          out.add(InternalRow(UTF8String.fromString(sym),
+            rawOff, rawOff + len, normOff, normOff + len))
+          rawOff += len
+          normOff += len
+          k += 1
+        }
+        normNext = normStart + wordCpLen + 1
+        first = false
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    encode(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeOffsets", this,
+      classOf[BpeEncodeOffsets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -111,44 +111,33 @@ object Bpe {
     array_join(encodeWords(text, merges), "|")
 
   /** Every BPE symbol of the document with its [s, e) code-point offsets
-    * in `text` — `array<struct<tok:string, s:int, e:int>>`. This is the
-    * bridge between the SPAN-attribute model and the TOKEN sequence the
-    * model trains on: project a sidecar's character spans (PII, dedup
-    * cuts, boilerplate, quality segments) onto tokens with
+    * — `array<struct<tok:string, s:int, e:int, norm_s:int, norm_e:int>>`.
+    * This is the bridge between the SPAN-attribute model and the TOKEN
+    * sequence the model trains on: project a sidecar's character spans
+    * (PII, dedup cuts, boilerplate, quality segments) onto tokens with
     * [[graft.functions.TextFunctions.spanOverlapMask]] and the result is
     * a loss mask / drop mask at token granularity — tag once in character
     * space, train in token space, no re-tokenization.
     *
-    * Pure composition, no new expression: word spans come from
-    * [[graft.functions.TextFunctions.matchSpans]] `\S+` (the exact match
-    * sequence of [[graft.functions.TextFunctions.tokens]]' `\s+` split,
-    * so words and encodings zip 1:1), and each word's symbols tile its
-    * span by construction (BPE merges never cross word boundaries), so
-    * token offsets are one `aggregate` fold of cumulative piece lengths
-    * per word — map-only, zero shuffles, whole-stage codegen throughout.
+    * `s`/`e` index the ORIGINAL text (slice it at [s, e) and get the
+    * token); `norm_s`/`norm_e` index the single-space NORMALIZED text
+    * (words joined by one space) — the base whitespace-normalizing
+    * pipelines tag in, and the one external prefix-sum restatements can
+    * derive. One native expression, one walk per row
+    * ([[graft.functions.BpeEncodeOffsets]]): the composed
+    * matchSpans + per-word-fold form measured 3.5–8.3 s at sf0.1 in
+    * interpreted HOF lambdas; the native walk stays inside whole-stage
+    * codegen. Null text → empty token list (the [[TextFunctions.tokens]]
+    * contract).
     *
     * Caveat (shared with [[wrapChars]]): the reserved delimiter chars
     * U+0001/U+0002 are stripped from symbol content, so a document
     * containing them yields offsets over the stripped word — tokens after
     * the stripped char shift left within that word only.
     */
-  def encodeWithOffsets(text: Column, merges: Seq[(String, String)]): Column = {
-    val outT = "array<struct<tok:string,s:int,e:int>>"
-    flatten(zip_with(
-      TextFunctions.matchSpans(coalesce(text, lit("")), "\\S+"),
-      encodeWords(text, merges),
-      (sp, enc) =>
-        aggregate(symbols(enc),
-          struct(sp.getField("s").as("pos"), array().cast(outT).as("acc")),
-          (st, p) => {
-            val pos = st.getField("pos")
-            val nxt = (pos + length(p)).cast("int")
-            struct(nxt.as("pos"),
-              array_append(st.getField("acc"),
-                struct(p.as("tok"), pos.as("s"), nxt.as("e"))).as("acc"))
-          },
-          st => st.getField("acc"))))
-  }
+  def encodeWithOffsets(text: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.toColumn(graft.functions.BpeEncodeOffsets(
+      GraftShims.toExpression(coalesce(text, lit(""))), merges, Open, Close))
 
   /** Number of symbols in an encoded string = its count of Open chars. */
   def symbolCount(enc: Column): Column =

@@ -65,6 +65,21 @@ class BpeOffsetsSpec extends SparkSpec {
     }
   }
 
+  test("normalized offsets index the single-space-joined text exactly") {
+    import spark.implicits._
+    val messy = "  the  theab   x "
+    val normed = "the theab x"
+    val both = Seq((1, messy), (2, normed)).toDF("id", "t")
+      .select(col("id"), explode(Bpe.encodeWithOffsets(col("t"), merges)).as("tk"))
+      .select(col("id"), col("tk.tok"), col("tk.norm_s"), col("tk.norm_e"))
+      .collect().groupBy(_.getInt(0))
+    // norm offsets of the messy text == raw offsets of the normalized one
+    val a = both(1).map(r => (r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    val b = both(2).map(r => (r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(a == b)
+    a.foreach { case (tok, s, e) => assert(normed.substring(s, e) == tok) }
+  }
+
   test("null -> empty token list; empty/blank -> empty") {
     import spark.implicits._
     val rows = Seq((1, Option("a b")), (2, None), (3, Option("   ")))
