@@ -202,6 +202,25 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Fixed ustar skeleton for q_webdataset: a two-member WebDataset-style
+    * archive with CONSTANT names and sizes (`sample.txt`, 64 bytes;
+    * `sample.json`, 32 bytes), so every header/padding run is a fixed
+    * literal built by the PRODUCTION writer (real octal fields, verified
+    * checksums) and the whole shard is column algebra around two text
+    * substrings — the container-oracle trick (q_multimodal_mp4) applied
+    * to tar. Returns (header1, padding1+header2, padding2+end-of-archive).
+    */
+  private lazy val tarQueryFixture: (Array[Byte], Array[Byte], Array[Byte]) = {
+    def header(name: String, size: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.TarShards.writeEntry(bos, name, new Array[Byte](size))
+      bos.toByteArray.take(512)
+    }
+    (header("sample.txt", 64),
+      new Array[Byte](512 - 64) ++ header("sample.json", 32),
+      new Array[Byte](512 - 32 + 1024))
+  }
+
   /** Fixed ISO-BMFF skeleton for q_multimodal_mp4: the bytes before and
     * after the 32 media bytes each document supplies. One `mdat` holding
     * four 8-byte video samples in one chunk at offset 24 (uniform `stsz`,
@@ -2350,6 +2369,25 @@ object SparkEntry {
         .orderBy("doc_id", "frame_ix")
     }),
 
+    "q_webdataset" -> ((s, d) => {
+      // the WebDataset (tar-shard) member walk under the oracle: wrap each
+      // document's first 96 text bytes as a REAL two-member ustar archive
+      // (sample.txt = bytes [1,64], sample.json = bytes [65,96]) — names
+      // and sizes are constant, so the three header/padding runs are fixed
+      // literals from the production writer (verified checksums included)
+      // and the shard is column algebra around two substrings; the member
+      // walker then parses it back and the oracle restates every field
+      val (pre, mid, post) = tarQueryFixture
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 96)
+        .withColumn("payload", concat(lit(pre),
+          col("text").cast("binary").substr(1, 64), lit(mid),
+          col("text").cast("binary").substr(65, 32), lit(post)))
+      graft.sources.TarShards.members(docs, "doc_id", "payload").toDF()
+        .select(col("doc_id"), col("member_ix"), col("name"), col("key"),
+          col("ext"), col("size"), col("payload").cast("string").as("member_text"))
+        .orderBy("doc_id", "member_ix")
+    }),
+
     "q_multimodal_dims" -> ((s, d) => {
       // the decode-free resolution filter, oracle-checked: build a real
       // PNG, GIF and BMP header per document whose dimensions derive from
@@ -4044,6 +4082,24 @@ object SparkEntry {
                 substr(text, 9, 8) AS frame_text
          FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
+    "q_webdataset" ->
+      // the two tar members carry text bytes [1,64] and [65,96] under the
+      // constant names the fixture packed — restated directly, with the
+      // same loud ASCII-equivalence chk as the other container oracles
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 96))) > 96 THEN error(
+                    'tar oracle: non-ASCII in the packed 96-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 96)
+         SELECT doc_id, CAST(0 AS INTEGER) AS member_ix, 'sample.txt' AS name,
+                'sample' AS key, 'txt' AS ext, CAST(64 AS BIGINT) AS size,
+                substr(text, 1, 64) AS member_text
+         FROM documents, chk WHERE length(text) >= 96 AND chk.ok = 0
+         UNION ALL
+         SELECT doc_id, CAST(1 AS INTEGER), 'sample.json', 'sample', 'json',
+                CAST(32 AS BIGINT), substr(text, 65, 32)
+         FROM documents, chk WHERE length(text) >= 96 AND chk.ok = 0
+         ORDER BY doc_id, member_ix""",
     "q_multimodal_dims" ->
       // the sniffed dims are exactly the planted per-doc values, one row
       // per (doc, format); the BMP's negative stored height reports |h|
