@@ -2105,6 +2105,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_block_domains" -> ((s, d) => {
+      // URL blocklist curation (C4/RefinedWeb): synthesize hosts that hit
+      // every matching rule — exact match, deep subdomain, the
+      // substring TRAP (nottracker.com must NOT be blocked by
+      // tracker.com), and unlisted hosts — plus userinfo/port/mixed-case
+      // noise for the host extraction. The blocklist is padded past the
+      // literal threshold so the NATIVE hash-set expression runs under
+      // the oracle; the oracle restates whole-label suffix matching from
+      // first principles (= or LIKE '%.domain').
+      val host = when(col("doc_id") % 5 === 0, lit("Tracker.COM"))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("ads.sub"), (col("doc_id") % 3).cast("string"), lit(".tracker.com")))
+        .when(col("doc_id") % 5 === 2, lit("nottracker.com"))
+        .when(col("doc_id") % 5 === 3, lit("spam.example.org"))
+        .otherwise(lit("good.example.org"))
+      val url = concat(lit("https://User@"), host, lit(":8443/p?x=1#f"))
+      val blocklist = Seq("tracker.com", "spam.example.org") ++
+        (1 to 70).map(i => s"unused$i.invalid")
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.urlHost(url).as("host"),
+          TF.domainBlocked(url, blocklist).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "q_topology_parquet" -> ((s, d) => {
       // a COMPLETE topology compiled from TOML — Parquet input (columnar,
       // declared fields pruned at the footer) → SqlWhere predicate →
@@ -3884,6 +3908,25 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_block_domains" ->
+      // whole-label suffix matching restated from first principles: a
+      // host is blocked iff it EQUALS a listed domain or ends with
+      // '.'+domain; the 70 padding entries ('unusedN.invalid') can match
+      // no synthesized host, so the two live rules state the whole list
+      """WITH u AS (
+           SELECT doc_id,
+                  lower(CASE CAST(doc_id % 5 AS INTEGER)
+                        WHEN 0 THEN 'Tracker.COM'
+                        WHEN 1 THEN 'ads.sub' || (doc_id % 3) || '.tracker.com'
+                        WHEN 2 THEN 'nottracker.com'
+                        WHEN 3 THEN 'spam.example.org'
+                        ELSE 'good.example.org' END) AS host
+           FROM documents)
+         SELECT doc_id, host,
+                (host = 'tracker.com' OR host LIKE '%.tracker.com'
+                 OR host = 'spam.example.org' OR host LIKE '%.spam.example.org')
+                  AS blocked
+         FROM u ORDER BY doc_id""",
     "q_url_canonical" ->
       """WITH u AS (
            SELECT doc_id,

@@ -77,6 +77,54 @@ object TextFunctions {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
+  /** Lowercased host of a URL — no scheme, userinfo, port, path, query or
+    * fragment; empty string when the input has no `scheme://` prefix.
+    * The key every host-level curation rule (blocklists, per-domain caps)
+    * matches on.
+    */
+  def urlHost(url: Column): Column = {
+    val rawAuth = regexp_extract(trim(coalesce(url, lit(""))),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(rawAuth, "^.*@", ""), ":[0-9]*$", ""))
+  }
+
+  /** Label-boundary suffix chain of a host: `a.b.c.com` →
+    * `["a.b.c.com","b.c.com","c.com","com"]` — the set a domain blocklist
+    * is probed against ("blocked" = any suffix listed). Empty/blank labels
+    * drop, so a trailing-dot FQDN chains identically to its plain form.
+    */
+  def hostSuffixes(host: Column): Column =
+    bindOnce(filter(split(lower(coalesce(host, lit(""))), "\\."), p => p =!= "")) {
+      labels =>
+        when(size(labels) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(labels)),
+            i => array_join(slice(labels, i, size(labels) - i + 1), ".")))
+    }
+
+  /** Above this many domains [[domainBlocked]] switches from the literal
+    * `arrays_overlap` form (oracle-restatable, but the list is plan
+    * structure) to the native [[graft.functions.HostBlocked]] expression,
+    * whose list is a per-executor hash set (a UT1-scale blocklist is
+    * millions of domains).
+    */
+  val BlocklistLiteralThreshold = 64
+
+  /** True when `url`'s host equals or is a subdomain of any blocklist
+    * domain — the C4/RefinedWeb URL-filter curation step. Matching is on
+    * whole dot-separated labels (`tracker.com` blocks `ads.tracker.com`,
+    * never `nottracker.com`). Map-only; small lists stay pure column
+    * algebra, large ones route through the native expression (equality
+    * spec-pinned).
+    */
+  def domainBlocked(url: Column, domains: Seq[String]): Column = {
+    val cleaned = domains.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    if (cleaned.isEmpty) lit(false)
+    else if (cleaned.size <= BlocklistLiteralThreshold)
+      arrays_overlap(hostSuffixes(urlHost(url)), lit(cleaned.toArray))
+    else org.apache.spark.sql.GraftShims.toColumn(
+      HostBlocked(org.apache.spark.sql.GraftShims.toExpression(urlHost(url)), cleaned))
+  }
+
   /** BPE-ish subword token estimate: word-boundary regex pieces (letter
     * runs, digit runs, punctuation singletons; whitespace not counted),
     * the standard cheap approximation of a byte-pair tokenizer's output

@@ -32,7 +32,7 @@ object BuiltinComponents {
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
-      nearDupDedup, canonicalUrl, sqlExpr, sqlWhere, assignSplit, domainCap,
+      nearDupDedup, canonicalUrl, blockDomains, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
       redactSpans, convertSpansFilter, sidecarJoin),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
@@ -713,6 +713,40 @@ object BuiltinComponents {
         required = true)))(
     (_, cfg) => df => df.withColumn(cfg.str("DstField"),
       graft.functions.TextFunctions.canonicalUrl(col(cfg.str("SrcField")))))
+
+  val blockDomains: FilterDesc = mkPureFilter("BlockDomains",
+    "Discards records whose URL field's host equals or is a subdomain of " +
+      "any blocklist domain (whole-label matching: tracker.com blocks " +
+      "ads.tracker.com, never nottracker.com) — the C4/RefinedWeb " +
+      "URL-filter curation step.",
+    Seq(
+      ConfigKey("Field", "field holding the URL", required = true),
+      ConfigKey("Domains", "comma list of blocked domains"),
+      ConfigKey("DomainsFile", "file URL(s), one domain per line, # comments " +
+        "(set Domains and/or DomainsFile)"),
+      ConfigKey("KeepOnMatch", "true: keep ONLY blocked records (audit mode)",
+        default = Some(false))))(
+    (ctx, cfg) => {
+      val inline = cfg.strOpt("Domains").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val fromFiles = cfg.strList("DomainsFile", Nil)
+        .map(_.stripPrefix("file://")) match {
+        case Nil => Nil
+        case files =>
+          // a blocklist is driver-collectable by nature (domains, not docs);
+          // it ships to executors as ONE hash set inside the expression
+          ctx.spark.read.textFile(files: _*).collect().toSeq
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      }
+      val domains = inline ++ fromFiles
+      require(domains.nonEmpty,
+        "BlockDomains: set Domains and/or DomainsFile (empty blocklist)")
+      val keepOnMatch = cfg.bool("KeepOnMatch")
+      df => {
+        val hit = graft.functions.TextFunctions.domainBlocked(col(cfg.str("Field")), domains)
+        df.filter(if (keepOnMatch) hit else !hit)
+      }
+    })
 
   val assignSplit: FilterDesc = mkFilter("AssignSplit",
     "Labels each record with a deterministic train/valid/test (or any) " +
