@@ -1383,6 +1383,17 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    "q_dedup_keep_best" -> ((s, d) =>
+      // canonical-document selection by QUALITY: same exact-verified edge
+      // graph as q_dedup_cc_verified, but each cluster keeps its LONGEST
+      // document (n_chars desc, doc_id asc tiebreak) instead of its
+      // smallest id — the keep-the-best-copy curation rule; the oracle
+      // replays the min-label closure then ranks inside each component
+      Dedup.minhashDedupCCBest(t(s, d, "documents"), "doc_id", "text",
+          score = col("n_chars"), threshold = 0.7)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     "q_dedup_simhash" -> ((s, d) =>
       // pigeonhole-banded SimHash candidates, verified by exact
       // shingle-Jaccard: the hamming radius only proposes pairs, the exact
@@ -3491,6 +3502,29 @@ object SparkEntry {
          WHERE doc_id NOT IN (
            SELECT id FROM reach GROUP BY id HAVING min(x) < id)
          ORDER BY doc_id""",
+    "q_dedup_keep_best" ->
+      // component label = min over self + reachable set; per component
+      // keep the (n_chars DESC, doc_id ASC) argmax; singletons keep
+      s"""${exactJaccardPairsCte.replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+         e AS (
+           SELECT idA AS a, idB AS b FROM j WHERE jac >= 0.7
+           UNION
+           SELECT idB AS a, idA AS b FROM j WHERE jac >= 0.7
+         ), reach AS (
+           SELECT a AS id, b AS x FROM e
+           UNION
+           SELECT r.id, e.b FROM reach r JOIN e ON e.a = r.x
+         ), comp AS (
+           SELECT d.doc_id AS id, d.n_chars,
+                  least(d.doc_id, coalesce(
+                    (SELECT min(x) FROM reach r WHERE r.id = d.doc_id),
+                    d.doc_id)) AS c
+           FROM documents d
+         ), ranked AS (
+           SELECT id, row_number() OVER (PARTITION BY c
+                                         ORDER BY n_chars DESC, id) AS rk
+           FROM comp)
+         SELECT id AS doc_id FROM ranked WHERE rk = 1 ORDER BY doc_id""",
     "q_ann_lsh" -> annLshOracle,
     "q_ann_recall" ->
       // both pipelines restated (the IVF-PQ algorithm oracle verbatim as

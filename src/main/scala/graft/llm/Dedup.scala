@@ -626,6 +626,48 @@ object Dedup {
     df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
+  /** Canonical-document selection by QUALITY: cluster near-dup `pairs`
+    * with [[connectedComponents]] and keep, per cluster, the row with the
+    * HIGHEST `score` (ties → smallest id) — the curation-grade sibling of
+    * the keep-min-id rule, for pipelines that rank duplicates ("keep the
+    * longest / highest-quality copy, drop the mirrors"). Rows in no pair
+    * survive untouched.
+    *
+    * Scale contract: components run over the PAIR graph only (never
+    * corpus-sized), the per-cluster argmax is the bounded CollectTopK of
+    * [[graft.llm.Mix.capPerKey]] (map-side partial keeps one row per
+    * cluster per partition), and survivors return via anti-join on the
+    * doomed-id set — the corpus is scanned, never shuffled. `score` must
+    * be non-null and numeric (cast in the caller).
+    */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val comps = connectedComponents(pairs) // (id, component), roots included
+    val scored = df.select(col(idCol).as("id"), score.cast("double").as("__s"))
+      .join(comps, "id")
+    val keep = Mix.capPerKey(scored, col("component"),
+        struct((-col("__s")).as("negScore"), col("id").as("tieId")), "id", n = 1)
+      .select("id")
+    val doomed = comps.join(keep, Seq("id"), "left_anti")
+      .select(col("id").as("__doomed"))
+    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
+  }
+
+  /** Transitive MinHash dedup over exact-verified pairs, keeping each
+    * cluster's BEST-scoring document ([[keepBestPerCluster]] over the
+    * [[minhashDedupCCVerified]] edge graph). The edges are exact, so a
+    * recursive-SQL oracle restates the whole decision.
+    */
+  def minhashDedupCCBest(df: DataFrame, idCol: String, textCol: String, score: Column,
+      threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize = maxBucketSize).select("idA", "idB")
+    val edges = verifyJaccard(cand, df, idCol, textCol, shingleK, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+    keepBestPerCluster(df, edges, idCol, score)
+  }
+
   /** Transitive embedding near-dup dedup: cluster cosine-similar pairs
     * with [[connectedComponents]], keep each cluster's smallest id.
     */

@@ -528,4 +528,17 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter($"query_id" === 1L).collect().head
     assert((dd.getLong(1), dd.getDouble(2)) == ((2L, 1.0)))
   }
+
+  test("keepBestPerCluster: per-cluster argmax score, tie -> min id, singletons survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // clusters {1,2,3} (transitive via 2) and {10,11}; 20 unclustered
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 0.5), (20L, 0.0))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val kept = graft.llm.Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cluster one: 2 and 3 tie at 9.0 -> min id 2; cluster two: 10
+    assert(kept == Seq(2L, 10L, 20L))
+  }
 }
