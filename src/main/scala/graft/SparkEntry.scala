@@ -56,12 +56,33 @@ object SparkEntry {
   private val bpeNativeDemoMerges: Seq[(String, String)] =
     (0 until 64).map(i => ((i / 8).toString, (i % 8).toString))
 
+  /** Byte-level (GPT-2-style) demo merge table for q_bpe_byte_level:
+    * symbols live in the MAPPED alphabet (Ġ = space), well-ordered, deep
+    * enough to chain five levels on common fixture words (" table" →
+    * Ġtable in five merges).
+    */
+  private val byteLevelDemoMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("Ġ", "tab"), ("l", "e"), ("Ġtab", "le"),
+    ("Ġ", "s"), ("Ġ", "a"), ("r", "o"), ("ro", "w"), ("Ġ", "row"))
+
+  /** Chain [[byteLevelDemoMerges]] as literal replaces — the oracle-side
+    * mirror of the byte-level merge loop (same well-ordering argument as
+    * [[bpeReplaceChainSql]]).
+    */
+  private def byteLevelReplaceChainSql(inner: String): String =
+    byteLevelDemoMerges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, '$bpeO$a$bpeC$bpeO$b$bpeC', '$bpeO$a$b$bpeC')"
+    }
+
   /** The delimiter-wrapped char split of one word, as DuckDB SQL over `w` —
     * mirrors Bpe.wrapChars, including stripping the reserved delimiters
     * from input.
     */
-  private val bpeWrapSql: String =
-    s"'$bpeO' || array_to_string(list_filter(string_split(w, ''), " +
+  private val bpeWrapSql: String = bpeWrapSqlOf("w")
+
+  /** [[bpeWrapSql]] over an arbitrary SQL expression instead of `w`. */
+  private def bpeWrapSqlOf(v: String): String =
+    s"'$bpeO' || array_to_string(list_filter(string_split($v, ''), " +
       s"ch -> ch <> '$bpeO' AND ch <> '$bpeC'), '$bpeC$bpeO') || '$bpeC'"
 
   /** Chain [[bpeDemoMerges]] as literal replaces over a SQL expression —
@@ -2781,6 +2802,24 @@ object SparkEntry {
           md5(col("__enc").cast("binary")).as("enc_md5"))
         .orderBy("doc_id")),
 
+    "q_bpe_byte_level" -> ((s, d) =>
+      // byte-level BPE (the GPT-2/RoBERTa/Llama family): GPT-2 regex
+      // pretokenization → byte→unicode map (space → Ġ) → canonical merges
+      // in the mapped alphabet. Text is single-space-normalized first so
+      // the oracle can restate the pretokenizer WITHOUT its lookahead
+      // (`\s+(?!\S)` only matters on multi-space runs; RE2 has no
+      // lookahead) — the lookahead path itself is spec-pinned
+      // (BpeByteLevelSpec). Guarded printable-ASCII so `\p{L}` ≡ [A-Za-z]
+      // and the byte map reduces to the space rule the oracle replays.
+      t(s, d, "documents")
+        .withColumn("__enc", graft.llm.Bpe.byteLevelEncode(
+          regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " "),
+          byteLevelDemoMerges))
+        .select(col("doc_id"),
+          graft.llm.Bpe.symbolCount(col("__enc")).as("n_tokens"),
+          md5(col("__enc").cast("binary")).as("enc_md5"))
+        .orderBy("doc_id")),
+
     "q_bpe_offsets" -> ((s, d) => {
       // token offsets + span→token loss-mask projection, one row per BPE
       // symbol. Two offset bases on purpose: the NORMALIZED (single-space)
@@ -4838,6 +4877,29 @@ object SparkEntry {
                     w -> ${bpeReplaceChainSql(bpeWrapSql)}), '|') AS enc
            FROM documents)
          SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_bpe,
+                md5(enc) AS enc_md5
+         FROM e ORDER BY doc_id""",
+    "q_bpe_byte_level" ->
+      // pretokenizer restated lookahead-free (valid on single-space
+      // text), byte map restated as the space→Ġ rule (valid on printable
+      // ASCII — both preconditions are LOUD), merges replayed as literal
+      // replaces over the wrapped char split
+      s"""WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'byte-level oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), n AS (
+           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0
+         ), e AS (
+           SELECT doc_id, array_to_string(list_transform(
+                    regexp_extract_all(t,
+                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| '),
+                    p -> ${byteLevelReplaceChainSql(
+                      bpeWrapSqlOf("replace(p, ' ', 'Ġ')"))}), '|') AS enc
+           FROM n)
+         SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_tokens,
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
     "q_bpe_offsets" ->

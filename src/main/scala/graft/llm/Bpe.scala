@@ -139,6 +139,41 @@ object Bpe {
     GraftShims.toColumn(graft.functions.BpeEncodeOffsets(
       GraftShims.toExpression(coalesce(text, lit(""))), merges, Open, Close))
 
+  /** The GPT-2 pretokenizer (Radford et al. 2019, `encoder.py`): English
+    * contractions, optionally-space-prefixed letter / digit / other runs,
+    * then whitespace — where `\s+(?!\S)` keeps the LAST space of an inner
+    * run attached to the following word (" ?\p{L}+" then claims it). Java
+    * regex supports the lookahead, so pretokenization is the built-in
+    * `regexp_extract_all` — no custom expression needed.
+    */
+  val Gpt2SplitPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** GPT-2 pretokenized pieces of a document, in order (empty for null). */
+  def byteLevelPieces(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(Gpt2SplitPattern), lit(0))
+
+  /** Byte-level BPE encode (the GPT-2/RoBERTa/Llama tokenizer family):
+    * GPT-2 regex pretokenization → each piece's UTF-8 BYTES mapped through
+    * the [[graft.functions.ByteLevel]] bijection (space → `Ġ`, every byte
+    * printable, so NO input is out-of-vocabulary) → the shared canonical
+    * merge loop under `merges` (whose symbols live in the MAPPED alphabet,
+    * as published byte-level vocabularies do). Output is the same
+    * delimiter form as [[encodeText]] ("|"-joined encoded pieces), so
+    * [[symbolCount]] and hashing apply unchanged. Map-only column algebra
+    * + two native walks; no shuffle.
+    *
+    * Unlike [[encodeText]]'s whitespace tokenization, byte-level encoding
+    * is LOSSLESS: whitespace runs become tokens too, and the mapped
+    * alphabet cannot collide with the reserved delimiters (every mapped
+    * char is ≥ '!'), so nothing is ever stripped.
+    */
+  def byteLevelEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val mapped = GraftShims.toColumn(graft.functions.BytesToUnicodeWords(
+      GraftShims.toExpression(byteLevelPieces(text))))
+    array_join(encodeWordsNative(mapped, merges), "|")
+  }
+
   /** Number of symbols in an encoded string = its count of Open chars. */
   def symbolCount(enc: Column): Column =
     (length(enc) - length(replace(enc, lit(Open), lit("")))).cast("long")

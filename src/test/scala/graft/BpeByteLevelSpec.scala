@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ByteLevel
+import graft.llm.Bpe
+
+/** Byte-level BPE (the GPT-2 tokenizer family): the byte↔unicode
+  * bijection, the regex pretokenizer (lookahead semantics included), and
+  * the end-to-end encode against hand-computed tokenizations.
+  */
+class BpeByteLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byte map is the canonical GPT-2 bijection") {
+    assert(ByteLevel.byteToChar('A') == 'A')
+    assert(ByteLevel.byteToChar('~') == '~')
+    assert(ByteLevel.byteToChar(' ') == 'Ġ')  // Ġ
+    assert(ByteLevel.byteToChar('\n') == 'Ċ') // Ċ
+    assert(ByteLevel.byteToChar('\t') == 'ĉ') // ĉ
+    assert(ByteLevel.byteToChar(0) == 'Ā')    // Ā
+    assert(ByteLevel.byteToChar(0x7F) == 'ġ') // DEL is not printable
+    assert(ByteLevel.byteToChar(0xAD) == 'Ń') // soft hyphen excluded
+    assert(ByteLevel.byteToChar(0xA1) == 0xA1)     // ¡ maps to itself
+    // bijection: all 256 distinct, inverse closes
+    assert(ByteLevel.byteToChar.distinct.length == 256)
+    for (b <- 0 until 256) assert(ByteLevel.charToByte(ByteLevel.byteToChar(b)) == b)
+  }
+
+  test("map/unmap round-trips arbitrary byte content; é becomes the famous Ã©") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = UTF8String.fromString("café \n déjà-vu\t½")
+    assert(ByteLevel.unmap(ByteLevel.map(s)).toString == s.toString)
+    assert(ByteLevel.map(UTF8String.fromString("é")).toString == "Ã©")
+    assert(ByteLevel.map(UTF8String.fromString(" a")).toString == "Ġa")
+  }
+
+  private def pieces(text: String): Seq[String] =
+    Seq(text).toDF("t").select(Bpe.byteLevelPieces(col("t"))).as[Seq[String]].head()
+
+  test("GPT-2 pretokenizer: contractions, space-prefixed runs, lookahead whitespace") {
+    assert(pieces("he's sure") == Seq("he", "'s", " sure"))
+    assert(pieces("abc123 x!") == Seq("abc", "123", " x", "!"))
+    // the lookahead: an inner multi-space run keeps its LAST space for
+    // the next word; a trailing run is taken whole
+    assert(pieces("a  b") == Seq("a", " ", " b"))
+    assert(pieces("a   b") == Seq("a", "  ", " b"))
+    assert(pieces("ab  ") == Seq("ab", "  "))
+    assert(pieces(" lead") == Seq(" lead"))
+    // only SPACES attach to the next word (the pattern's literal ' ?');
+    // newline runs split off alone
+    assert(pieces("x\n\ny") == Seq("x", "\n", "\n", "y"))
+    assert(pieces("") == Seq())
+  }
+
+  test("byteLevelEncode: hand-computed merges over mapped symbols") {
+    // merges in the MAPPED alphabet: Ġ = space
+    val merges = Seq(("t", "h"), ("th", "e"), ("Ġ", "the"), ("a", "n"))
+    val enc = Seq("the man  the").toDF("t")
+      .select(Bpe.byteLevelEncode(col("t"), merges)).as[String].head()
+    val o = Bpe.Open; val c = Bpe.Close
+    def w(syms: String*) = syms.map(s => s"$o$s$c").mkString
+    // pieces: "the", " man", " ", " the" →
+    //   [the], [Ġ m an], [Ġ], [Ġthe]
+    assert(enc == Seq(
+      w("the"), w("Ġ", "m", "an"), w("Ġ"), w("Ġthe")).mkString("|"))
+    // symbol count through the shared helper
+    val n = Seq("the man  the").toDF("t")
+      .select(Bpe.symbolCount(Bpe.byteLevelEncode(col("t"), merges))).as[Long].head()
+    assert(n == 6)
+  }
+
+  test("byte-level is lossless: delimiters and non-ASCII survive as mapped bytes") {
+    val enc = Seq("aé").toDF("t")
+      .select(Bpe.byteLevelEncode(col("t"), Nil)).as[String].head()
+    val o = Bpe.Open; val c = Bpe.Close
+    // pieces: "a" (letters), U+0001 alone (an "other" run — and the
+    // reserved Open delimiter, which whitespace BPE would STRIP; here it
+    // maps to ā and survives), then "é" (letters, one code point, TWO
+    // UTF-8 bytes 0xC3 0xA9 → chars Ã ©)
+    assert(enc == s"${o}a$c|${o}ā$c|${o}Ã$c${o}©$c")
+  }
+
+  test("null text encodes to empty") {
+    val enc = Seq(Option.empty[String]).toDF("t")
+      .select(Bpe.byteLevelEncode(col("t"), Nil)).as[String].head()
+    assert(enc == "")
+  }
+}
