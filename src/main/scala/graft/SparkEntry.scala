@@ -1797,6 +1797,23 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q_embed_covariance" -> ((s, d) => {
+      // the sufficient statistic PCA/OPQ train on — corpus mean + full
+      // covariance from ONE aggregate job (a single O(dim²) driver row) —
+      // restated cell by cell in DuckDB; the eigensolve consuming it is
+      // deterministic driver math, spec-pinned (PcaSpec) like the other
+      // pinned-model trainers
+      val (mean, cov) = graft.llm.Opq.covariance(t(s, d, "embeddings"), "embedding", 64)
+      val rows = (0 until 64).map(i => (i, -1, mean(i))) ++
+        (for { i <- 0 until 64; j <- i until 64 } yield (i, j, cov(i)(j)))
+      import s.implicits._
+      rows.toDF("i", "j", "v")
+        .select(col("i"), col("j"),
+          // + 0.0 folds IEEE negative zero to +0 on both engines
+          (round(col("v"), 6) + lit(0.0)).as("v"))
+        .orderBy("i", "j")
+    }),
+
     "q_embed_centroid" -> ((s, d) =>
       // per-label mean embedding: dims explode to primitive (label, dim)
       // rows for ONE map-side-combined agg; components reported in exact
@@ -3696,6 +3713,23 @@ object SparkEntry {
                                               doc_id) AS rn
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "q_embed_covariance" ->
+      // population mean (j = -1 rows) and upper-triangle covariance
+      // E[xy] − E[x]E[y], restated over the same dim-64 gate
+      """WITH e AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE len(embedding) = 64
+         ), idx AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS i),
+         m AS (SELECT i, avg(v[i]) AS mu FROM e, idx GROUP BY i),
+         c AS (
+           SELECT a.i AS i, b.i AS j, sum(v[a.i] * v[b.i]) / count(*) AS exy
+           FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY a.i, b.i)
+         SELECT m.i - 1 AS i, -1 AS j, round(m.mu, 6) + 0 AS v FROM m
+         UNION ALL
+         SELECT c.i - 1 AS i, c.j - 1 AS j,
+                round(c.exy - ma.mu * mb.mu, 6) + 0 AS v
+         FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
+         ORDER BY i, j""",
     "q_embed_centroid" ->
       // same op sequence as the query: round(avg, 6), then micro-units via
       // round(·1e6) — the double rounding is replicated, not approximated

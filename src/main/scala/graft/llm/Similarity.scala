@@ -190,4 +190,51 @@ object Similarity {
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
+
+  /** PCA over an embedding column — the dimensionality-reduction /
+    * whitening preprocessor of an embedding pipeline (smaller ANN indexes,
+    * decorrelated PQ subspaces). ONE covariance aggregation over the
+    * corpus ([[graft.llm.Opq.covariance]]: a single O(dim²) driver row
+    * with map-side partial combine), a deterministic driver-side Jacobi
+    * eigensolve, top-`k` eigenvectors by descending eigenvalue. Signs are
+    * fixed (each component's largest-|coordinate| entry made positive,
+    * first index on ties) so training is bit-reproducible — eigenvectors
+    * are otherwise only defined up to sign.
+    *
+    * Returns (mean, components as `k` rows × dim, eigenvalues) — the
+    * "model" in the same pinned-codebook sense as PQ/OPQ: train once on a
+    * sample, project 100 TB map-only with [[pcaProject]].
+    */
+  def pcaTrain(df: DataFrame, vecCol: String, dim: Int, k: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"pcaTrain: need 1 <= k <= dim, got k=$k dim=$dim")
+    val (mean, cov) = Opq.covariance(df, vecCol, dim)
+    val (values, vectors) = Opq.jacobiEigen(cov)
+    val top = values.indices.sortBy(i => -values(i)).take(k)
+    val comps = top.map { i =>
+      val v = vectors(i)
+      var m = 0
+      var j = 1
+      while (j < v.length) { if (math.abs(v(j)) > math.abs(v(m))) m = j; j += 1 }
+      if (v(m) < 0) v.map(-_) else v.clone()
+    }.toArray
+    (mean, comps, top.map(values).toArray)
+  }
+
+  /** Project vectors onto trained PCA components: map-only, fused into
+    * the reading scan via the [[graft.functions.AffineProject]] native
+    * expression (center + rectangular matrix product in one walk).
+    * Output: (idCol, `pca` array<double> of length components.length).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], components: Array[Array[Double]]): DataFrame = {
+    require(components.nonEmpty, "pcaProject: no components")
+    val dim = mean.length
+    require(components.forall(_.length == dim),
+      s"pcaProject: component length != dim $dim")
+    val flat = components.flatten
+    df.select(col(idCol), GraftShims.toColumn(graft.functions.AffineProject(
+      GraftShims.toExpression(col(vecCol)), mean, flat, components.length, dim))
+      .as("pca"))
+  }
 }
