@@ -117,6 +117,27 @@ object GraftFunctions {
       Set(1))(es => x(TextFunctions.htmlToText(c(es.head)))),
     fd("graft_html_title", "graft_html_title(html) - <title> text, '' when absent",
       Set(1))(es => x(TextFunctions.htmlTitle(c(es.head)))),
+    fd("graft_url_host",
+      "graft_url_host(url) - lowercased host (no scheme/userinfo/port/path)",
+      Set(1))(es => x(graft.functions.TextFunctions.urlHost(c(es.head)))),
+    fd("graft_domain_blocked",
+      "graft_domain_blocked(url, domains) - host equals/is a subdomain of " +
+        "any listed domain (whole-label matching)",
+      Set(2))(es => x(graft.functions.TextFunctions.domainBlocked(c(es.head),
+        stringArrayArg("graft_domain_blocked", es(1))))),
+    fd("graft_byte_bpe",
+      "graft_byte_bpe(text, merges) - byte-level (GPT-2) BPE encode; merges " +
+        "are 'a b' pair strings in the mapped alphabet",
+      Set(2)) { es =>
+      val merges = stringArrayArg("graft_byte_bpe", es(1)).map { m =>
+        m.split(" ", 2) match {
+          case Array(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"graft_byte_bpe: merge rule must be 'a b', got '$m'")
+        }
+      }
+      x(graft.llm.Bpe.byteLevelEncode(c(es.head), merges))
+    },
     fd("graft_canonical_url",
       "graft_canonical_url(url) - canonical form for URL-level dedup",
       Set(1))(es => x(TextFunctions.canonicalUrl(c(es.head)))),

@@ -52,6 +52,11 @@ class GraftSqlSurfaceSpec extends SparkSpec {
       TextFunctions.cutSpans(t, spansCol))
     sqlVsColumn(s"graft_cut_spans(text, $spansSql)",
       TextFunctions.cutSpans(t, spansCol))
+    sqlVsColumn("graft_url_host(text)", TextFunctions.urlHost(t))
+    sqlVsColumn("graft_domain_blocked(text, array('tracker.com'))",
+      TextFunctions.domainBlocked(t, Seq("tracker.com")))
+    sqlVsColumn("graft_byte_bpe(text, array('t h', 'Ġ th'))",
+      graft.llm.Bpe.byteLevelEncode(t, Seq(("t", "h"), ("Ġ", "th"))))
   }
 
   test("signature functions match the Column API from SQL (incl. literal args)") {
