@@ -1797,6 +1797,15 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q_sample_n" -> ((s, d) =>
+      // exactly-75 deterministic sample by md5(seed|id) order — the
+      // count-exact sibling of rate sampling; one bounded CollectTopK,
+      // O(n) shuffle/driver state
+      graft.llm.Mix.sampleN(t(s, d, "documents"), col("doc_id"), "doc_id",
+        n = 75, seed = "r11")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     "q_embed_covariance" -> ((s, d) => {
       // the sufficient statistic PCA/OPQ train on — corpus mean + full
       // covariance from ONE aggregate job (a single O(dim²) driver row) —
@@ -3713,6 +3722,10 @@ object SparkEntry {
                                               doc_id) AS rn
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "q_sample_n" ->
+      """SELECT doc_id, lang FROM documents
+         ORDER BY md5('r11|' || CAST(doc_id AS VARCHAR)), doc_id
+         LIMIT 75""",
     "q_embed_covariance" ->
       // population mean (j = -1 rows) and upper-triangle covariance
       // E[xy] − E[x]E[y], restated over the same dim-64 gate

@@ -331,6 +331,20 @@ object Mix {
         col(idCol).as("i")),
       idCol, k)
 
+  /** EXACTLY `n` rows (or all, if fewer), deterministically chosen by
+    * md5(seed‖key) order — "give me a 100k-document sample" with the same
+    * documents on every run and any partitioning, where a RATE-based
+    * sample ([[sampleDeterministic]]) can only hit a count in expectation.
+    * One bounded CollectTopK aggregation ([[capPerKey]] with a constant
+    * key): map-side partials keep ≤ n rows per partition, so driver and
+    * shuffle state are O(n), never corpus-sized. `key` must be non-null
+    * and unique (ties beyond the digest are broken by id).
+    */
+  def sampleN(df: DataFrame, key: Column, idCol: String, n: Int,
+      seed: String = "sampleN"): DataFrame =
+    capPerKey(df, lit(1), md5(concat(lit(seed), lit("|"), key.cast("string"))),
+      idCol, n)
+
   /** Keep at most `n` rows per key, ranked by `order` ASCENDING (wrap a
     * struct for composite ranks, negate for descending) — the per-domain /
     * per-source cap of a crawl-curation pipeline ("≤ N pages per host, best

@@ -377,4 +377,25 @@ class MixSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(keptN.intersect((100L to 109L).toSet).isEmpty)
   }
+
+  test("sampleN: exactly n, deterministic, seed-sensitive, partitioning-stable") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "t")
+    val a = Mix.sampleN(df, col("id"), "id", 40).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 40)
+    // stable under repartitioning, sensitive to the seed, total under n
+    val b = Mix.sampleN(df.repartition(7), col("id"), "id", 40).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val c = Mix.sampleN(df, col("id"), "id", 40, seed = "other").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(c.size == 40 && c != a)
+    assert(Mix.sampleN(df, col("id"), "id", 1000).count() == 200)
+    // matches the order-by-md5-limit-n specification
+    val expect = (0L until 200L)
+      .sortBy(i => org.apache.commons.codec.digest.DigestUtils.md5Hex(s"sampleN|$i"))
+      .take(40).toSet
+    assert(a == expect)
+  }
 }
