@@ -2237,6 +2237,38 @@ object SparkEntry {
       graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
     }),
 
+    "q_topology_webdataset" -> ((s, d) => {
+      // the multimodal interchange path end to end: documents written as
+      // REAL WebDataset shards by the production writer (txt + json
+      // member per sample), then a TOML topology ingests them through
+      // the WebDataset input (reader-side sample grouping, ext pruning),
+      // filters in SQL and projects — a user curates a tar corpus from
+      // config alone
+      val dir = java.nio.file.Files.createTempDirectory("graft-wds-q").toString
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 50)
+      val members = docs.select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          lit("txt").as("ext"), col("text").substr(1, 50).cast("binary").as("payload"))
+        .unionByName(docs.select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          lit("json").as("ext"),
+          concat(lit("{\"lang\":\""), col("lang"), lit("\"}")).cast("binary").as("payload")))
+      graft.sources.TarShards.write(members, dir, samplesPerShard = 100, numTasks = 2)
+      val toml =
+        s"""[fields]
+           |names = ["key", "txt", "json"]
+           |[input]
+           |name = "WebDataset"
+           |  [input.config]
+           |  Path = "$dir"
+           |[[filter]]
+           |name = "SqlWhere"
+           |  [filter.config]
+           |  Where = "json like '%\"en\"%'"
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected.orderBy("key")
+    }),
+
     "q_topology_curation" -> ((s, d) => {
       // LLM curation driven ENTIRELY from config: language gate (SqlWhere)
       // then corpus-wide verified near-dup dedup (NearDupDedup) — the
@@ -4086,6 +4118,23 @@ object SparkEntry {
                 scheme || '://' || auth || pth ||
                 (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url
          FROM r ORDER BY doc_id""",
+    "q_topology_webdataset" ->
+      // each sample's members restated from the documents the shards were
+      // packed from (txt = the 50-byte prefix, json = the lang wrapper,
+      // key = the zero-padded id); the SqlWhere like-filter equals
+      // lang = 'en' (no other fixture lang value contains quoted "en");
+      // same loud ASCII guard as the container oracles
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 50))) > 50 THEN error(
+                    'webdataset oracle: non-ASCII in the packed 50-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 50)
+         SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+                substr(text, 1, 50) AS txt,
+                '{"lang":"' || lang || '"}' AS json
+         FROM documents, chk
+         WHERE length(text) >= 50 AND lang = 'en' AND chk.ok = 0
+         ORDER BY key""",
     "q_topology_curation" ->
       // en-only corpus, verified near-dup kill rule with the record
       // model's VARCHAR id ordering (the topology compares strings) —

@@ -22,7 +22,7 @@ import graft.sources.ZstdCodec
 object BuiltinComponents {
 
   def all: Components = Components(
-    inputs = Seq(listInput, parquetInput, jsonLinesInput, logLinesInput,
+    inputs = Seq(listInput, parquetInput, jsonLinesInput, webDatasetInput, logLinesInput,
       randomInput, NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
       NetworkInputs.kclInput, NetworkInputs.sqsInput),
     filters = Seq(
@@ -136,6 +136,35 @@ object BuiltinComponents {
         .select(ctx.fields.map(f => element_at(m, f).as(f)): _*)
     },
   )
+
+  /** WebDataset — multimodal tar-shard input (beyond the reference): each
+    * SAMPLE (the adjacent-member group of one key) becomes one record.
+    * Declared `[fields]` name member EXTENSIONS, decoded as UTF-8 text
+    * into the string record model (`key`/`shard` are meta-fields); the
+    * ext list pushes into the scan as the `exts` option, so undeclared
+    * members' payload bytes are never read — the config surface inherits
+    * the reader's byte-level pruning. Missing members yield '' (the
+    * record model's empty), binary members belong in the Dataset API
+    * ([[graft.sources.TarShards]]), not a string topology.
+    */
+  val webDatasetInput: InputDesc = InputDesc(
+    "WebDataset",
+    "Reads WebDataset tar shards (one record per sample); declared " +
+      "[fields] are member extensions decoded as text, plus the " +
+      "meta-fields 'key' and 'shard'.",
+    Seq(
+      ConfigKey("Path", "tar shard file, directory, or glob", required = true)),
+    (ctx, cfg) => {
+      val meta = Set("key", "shard")
+      val extFields = ctx.fields.filterNot(meta)
+      val reader = ctx.spark.read.format("tar").option("group", "true")
+      val df = (if (extFields.nonEmpty) reader.option("exts", extFields.mkString(","))
+                else reader).load(cfg.str("Path"))
+      df.select(ctx.fields.map {
+        case f @ ("key" | "shard") => col(f)
+        case f => coalesce(element_at(col("files"), f).cast("string"), lit("")).as(f)
+      }: _*)
+    })
 
   /** Parquet — columnar input, the [[parquetOutput]] symmetric (beyond the
     * reference): the declared `[fields]` select from the parquet schema by

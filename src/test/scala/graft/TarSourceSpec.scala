@@ -245,6 +245,30 @@ class TarSourceSpec extends SparkSpec {
     assert(scanned == n)
   }
 
+  test("WebDataset TOML input: samples become records, missing members yield ''") {
+    import graft.topology.{BuiltinComponents, Topology}
+    val dir = tmp("tar-toml")
+    TarShards.write(samplesDf, dir, numTasks = 1)
+    val toml =
+      s"""[fields]
+         |names = ["key", "txt", "json"]
+         |[input]
+         |name = "WebDataset"
+         |  [input.config]
+         |  Path = "$dir"
+         |[output]
+         |name = "Recorder"
+         |fields = ["key", "txt", "json"]
+         |""".stripMargin
+    Topology.compileToml(spark, toml).run()
+    val got = BuiltinComponents.Recorder.last
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got == Seq(
+      ("s/000", "alpha doc", """{"lang":"en"}"""),
+      ("s/001", "beta doc", """{"lang":"de"}"""),
+      ("s/002", "gamma", ""))) // no json member: the record model's empty
+  }
+
   test("TarReader rejects a lone zero block mid-archive") {
     val bos = new ByteArrayOutputStream()
     bos.write(new Array[Byte](512))
