@@ -237,4 +237,24 @@ object Similarity {
       GraftShims.toExpression(col(vecCol)), mean, flat, components.length, dim))
       .as("pca"))
   }
+
+  /** PCA-whitening projection matrix: each component scaled by
+    * 1/√eigenvalue, so projected coordinates have UNIT variance — the
+    * standard decorrelate-and-equalize preprocessor before cosine/L2
+    * retrieval or product quantization (every subspace then carries
+    * comparable energy). Components at or below `minVariance` are DROPPED
+    * rather than amplified: a near-zero-variance direction is numerical
+    * noise, and dividing by its √λ would explode it into the dominant
+    * coordinate. Feed the result to [[pcaProject]].
+    */
+  def whiten(components: Array[Array[Double]], eigenvalues: Array[Double],
+      minVariance: Double = 1e-9): Array[Array[Double]] = {
+    require(components.length == eigenvalues.length,
+      s"whiten: ${components.length} components vs ${eigenvalues.length} eigenvalues")
+    components.zip(eigenvalues).collect {
+      case (c, ev) if ev > minVariance =>
+        val s = 1.0 / math.sqrt(ev)
+        c.map(_ * s)
+    }
+  }
 }

@@ -885,6 +885,9 @@ object BuiltinComponents {
       ConfigKey("ShingleK", "word-shingle width", default = Some(3L)),
       ConfigKey("MaxBucketSize", "skew fuse: drop hotter band buckets (0 = off)",
         default = Some(0L)),
+      ConfigKey("KeepBest", "numeric field ranking duplicates: clusters form " +
+        "transitively and each keeps its HIGHEST-value record (ties: smaller " +
+        "id) instead of the pairwise smaller-id rule; batch mode only"),
       ConfigKey("StoreSigs", "optional parquet dir of at-rest (__id, __sig) signatures"),
       ConfigKey("StoreCorpus", "optional parquet dir of the at-rest kept (id, text) docs")))(
     (ctx, cfg) => df => {
@@ -895,7 +898,14 @@ object BuiltinComponents {
       val b = cfg.int("Bands", 16L).toInt
       val k = cfg.int("ShingleK", 3L).toInt
       val cap = cfg.int("MaxBucketSize", 0L).toInt
-      (cfg.strOpt("StoreSigs"), cfg.strOpt("StoreCorpus")) match {
+      (cfg.strOpt("KeepBest"), cfg.strOpt("StoreSigs"), cfg.strOpt("StoreCorpus")) match {
+        case (Some(scoreField), None, None) =>
+          graft.llm.Dedup.minhashDedupCCBest(df, id, tf,
+            score = col(scoreField).cast("double"), thr, p, b, k, cap)
+        case (Some(_), _, _) => throw new IllegalArgumentException(
+          "NearDupDedup: KeepBest applies to batch mode only (an at-rest " +
+            "store's keep decisions are already committed)")
+        case (None, sigsOpt, corpusOpt) => (sigsOpt, corpusOpt) match {
         case (Some(sigs), Some(corpus)) =>
           val sp = ctx.spark
           graft.llm.Dedup.incrementalDedupVerified(df, id, tf,
@@ -909,6 +919,7 @@ object BuiltinComponents {
           graft.llm.Dedup.minhashDedupVerified(df, id, tf, thr, p, b, k, cap)
         case _ => throw new IllegalArgumentException(
           "NearDupDedup: StoreSigs and StoreCorpus must be set together")
+        }
       }
     })
 

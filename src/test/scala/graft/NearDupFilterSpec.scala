@@ -74,4 +74,43 @@ class NearDupFilterSpec extends SparkSpec {
     val e = intercept[Exception](runToml(tmpDir(), "  StoreSigs = \"/nope\""))
     assert(e.getMessage.contains("StoreSigs and StoreCorpus"))
   }
+
+  test("KeepBest: the higher-scoring duplicate survives instead of the smaller id") {
+    val dir = tmpDir()
+    val data = new File(dir, "in.csv")
+    java.nio.file.Files.write(data.toPath, java.util.List.of(
+      s"1;0.2;$base",
+      s"2;0.9;${base.replace("lazy", "sleepy")}",
+      s"3;0.1;$other"))
+    val toml =
+      s"""[csv]
+         |field_separator = 59
+         |[fields]
+         |names = ["id", "score", "text"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$data"]
+         |  MatchPath = ".*\\\\.csv"
+         |[[filter]]
+         |name = "NearDupDedup"
+         |  [filter.config]
+         |  IdField = "id"
+         |  Field = "text"
+         |  KeepBest = "score"
+         |[output]
+         |name = "Recorder"
+         |fields = ["id"]
+         |""".stripMargin
+    Topology.compileToml(spark, toml, BuiltinComponents.all).run()
+    assert(BuiltinComponents.Recorder.last.map(_.getString(0)).toSet == Set("2", "3"))
+  }
+
+  test("KeepBest with an at-rest store is a loud config error") {
+    val e = intercept[Exception](runToml(tmpDir(),
+      """  KeepBest = "id"
+        |  StoreSigs = "/nope"
+        |  StoreCorpus = "/nope"""".stripMargin))
+    assert(e.getMessage.contains("KeepBest applies to batch mode only"))
+  }
 }

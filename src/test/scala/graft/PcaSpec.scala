@@ -87,6 +87,19 @@ class PcaSpec extends SparkSpec {
     assert(nullRow == None)
   }
 
+  test("whiten: unit variance per kept component; degenerate directions drop") {
+    val (mean, comps, values) = Similarity.pcaTrain(df, "v", dim = 3, k = 3)
+    val w = Similarity.whiten(comps, values)
+    assert(w.length == 2, "the zero-variance z direction must drop, not explode")
+    val proj = Similarity.pcaProject(df, "id", "v", mean, w)
+      .select(col("pca")).as[Seq[Double]].collect()
+    for (c <- 0 until 2) {
+      val xs = proj.map(_(c))
+      val varc = xs.map(x => x * x).sum / xs.length - math.pow(xs.sum / xs.length, 2)
+      assert(math.abs(varc - 1.0) < 1e-9, s"whitened component $c variance $varc")
+    }
+  }
+
   test("pcaProject plan is map-only (no exchange)") {
     val (mean, comps, _) = Similarity.pcaTrain(df, "v", dim = 3, k = 2)
     val plan = Similarity.pcaProject(df, "id", "v", mean, comps)
