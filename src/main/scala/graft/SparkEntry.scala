@@ -65,6 +65,15 @@ object SparkEntry {
     ("t", "a"), ("ta", "b"), ("Ġ", "tab"), ("l", "e"), ("Ġtab", "le"),
     ("Ġ", "s"), ("Ġ", "a"), ("r", "o"), ("ro", "w"), ("Ġ", "row"))
 
+  /** Demo vocabulary for q_bpe_ids: lowercase letters, Ġ, and the
+    * [[byteLevelDemoMerges]] outputs; everything else (digits,
+    * punctuation, uppercase) maps to unk — exercising both paths.
+    */
+  private val byteBpeDemoVocab: Seq[String] =
+    "Ġ" +: ('a' to 'z').map(_.toString) :+
+      "ta" :+ "tab" :+ "Ġtab" :+ "le" :+ "Ġtable" :+ "Ġs" :+ "Ġa" :+
+      "ro" :+ "row" :+ "Ġrow"
+
   /** Chain [[byteLevelDemoMerges]] as literal replaces — the oracle-side
     * mirror of the byte-level merge loop (same well-ordering argument as
     * [[bpeReplaceChainSql]]).
@@ -2878,6 +2887,23 @@ object SparkEntry {
           md5(col("__enc").cast("binary")).as("enc_md5"))
         .orderBy("doc_id")),
 
+    "q_bpe_ids" -> ((s, d) =>
+      // the COMPLETE tokenize-to-ids path: byte-level BPE encode →
+      // per-executor vocabulary hash map → id arrays (unk = -1) — what
+      // Pack.packTokens consumes; same normalization/ASCII preconditions
+      // as q_bpe_byte_level, ids restated via list_position over the
+      // inlined vocab
+      t(s, d, "documents")
+        .withColumn("__ids", graft.llm.Bpe.tokenIds(
+          graft.llm.Bpe.byteLevelEncode(
+            regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " "),
+            byteLevelDemoMerges),
+          byteBpeDemoVocab, unkId = -1))
+        .select(col("doc_id"), size(col("__ids")).as("n_ids"),
+          md5(concat_ws(",", transform(col("__ids"), i => i.cast("string")))
+            .cast("binary")).as("ids_md5"))
+        .orderBy("doc_id")),
+
     "q_bpe_offsets" -> ((s, d) => {
       // token offsets + span→token loss-mask projection, one row per BPE
       // symbol. Two offset bases on purpose: the NORMALIZED (single-space)
@@ -4998,6 +5024,38 @@ object SparkEntry {
          SELECT doc_id, length(enc) - length(replace(enc, '$bpeO', '')) AS n_tokens,
                 md5(enc) AS enc_md5
          FROM e ORDER BY doc_id""",
+    "q_bpe_ids" ->
+      // same pretokenize+map+merge replay as q_bpe_byte_level, then the
+      // per-piece symbol split is flattened across pieces and each symbol
+      // becomes list_position(vocab) - 1 (absent → -1); empty docs
+      // coalesce to '' (duckdb's empty-list array_to_string is NULL)
+      s"""WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'bpe-ids oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), n AS (
+           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0
+         ), p AS (
+           SELECT doc_id, list_transform(
+                    regexp_extract_all(t,
+                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| '),
+                    p -> ${byteLevelReplaceChainSql(
+                      bpeWrapSqlOf("replace(p, ' ', 'Ġ')"))}) AS encs
+           FROM n
+         ), sym AS (
+           SELECT doc_id, flatten(list_transform(encs, e ->
+                    CASE WHEN length(e) <= 2 THEN CAST([] AS VARCHAR[])
+                         ELSE string_split(substr(e, 2, length(e) - 2),
+                                           '$bpeC$bpeO') END)) AS syms
+           FROM p)
+         SELECT doc_id, CAST(len(syms) AS INTEGER) AS n_ids,
+                md5(coalesce(array_to_string(list_transform(syms, s ->
+                  CAST(coalesce(list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) - 1,
+                    -1) AS VARCHAR)), ','), '')) AS ids_md5
+         FROM sym ORDER BY doc_id""",
     "q_bpe_offsets" ->
       // token offsets restated from first principles: word starts are
       // prefix sums of word lengths + 1 separator over the single-space

@@ -69,6 +69,57 @@ object ByteLevel {
   }
 }
 
+/** `VocabIds(symbols, vocab, unkId)` — map each symbol string of an
+  * `array<string>` column to its 0-based vocabulary id (`unkId` when
+  * absent): the tokenize→ids bridge between the BPE/WordPiece encoders
+  * (symbol STRINGS) and sequence packing / training consumers (id
+  * ARRAYS). The vocabulary is a per-executor hash map, not plan structure
+  * — the [[WordpieceEncodeWords]] argument again; a `array_position` over
+  * a 32 k literal vocab would be O(|vocab|) per token AND bloat the plan.
+  */
+case class VocabIds(child: Expression, vocab: Seq[String], unkId: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "vocab_ids"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    for ((p, i) <- vocab.zipWithIndex) if (!m.containsKey(p)) m.put(p, i)
+    m
+  }
+
+  def mapArray(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (input.isNullAt(i)) null else {
+        val id = ids.get(input.getUTF8String(i).toString)
+        if (id == null) Integer.valueOf(unkId) else id
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    mapArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabIds", this, classOf[VocabIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mapArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `BytesToUnicodeWords(words)` — apply [[ByteLevel.map]] to every element
   * of an `array<string>` column: the byte-level pretokenized pieces become
   * merge-ready symbol strings. One native walk per piece, inside the

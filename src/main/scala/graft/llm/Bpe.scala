@@ -174,6 +174,26 @@ object Bpe {
     array_join(encodeWordsNative(mapped, merges), "|")
   }
 
+  /** ALL symbols of a document's encoded string, across word boundaries in
+    * order: the "|" joiner sits between Close and Open — a position no
+    * symbol content can occupy (delimiters are reserved in the whitespace
+    * encoder; unreachable characters in the byte-level mapped alphabet) —
+    * so collapsing `Close|Open` to `CloseOpen` then splitting yields the
+    * document's token sequence. A symbol that IS "|" (byte-level) is
+    * untouched: its delimiters don't match the joiner pattern.
+    */
+  def docSymbols(enc: Column): Column =
+    symbols(replace(enc, lit(s"$Close|$Open"), lit(s"$Close$Open")))
+
+  /** Symbol strings → 0-based vocabulary ids (`unkId` when absent), the
+    * tokenize→ids bridge into [[graft.llm.Pack]]: the vocabulary ships as
+    * one per-executor hash map ([[graft.functions.VocabIds]]), so the
+    * whole text→ids path is map-only native walks.
+    */
+  def tokenIds(enc: Column, vocab: Seq[String], unkId: Int = 0): Column =
+    GraftShims.toColumn(graft.functions.VocabIds(
+      GraftShims.toExpression(docSymbols(enc)), vocab, unkId))
+
   /** Number of symbols in an encoded string = its count of Open chars. */
   def symbolCount(enc: Column): Column =
     (length(enc) - length(replace(enc, lit(Open), lit("")))).cast("long")

@@ -81,6 +81,21 @@ class BpeByteLevelSpec extends SparkSpec {
     assert(enc == s"${o}a$c|${o}ā$c|${o}Ã$c${o}©$c")
   }
 
+  test("docSymbols + tokenIds: cross-word token sequence, unk mapping, '|' symbol safe") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val vocab = Seq("the", "Ġ", "m", "x", "|")
+    val ids = Seq("the m | zz").toDF("t")
+      .select(Bpe.tokenIds(Bpe.byteLevelEncode(col("t"), merges), vocab, unkId = -1))
+      .as[Seq[Int]].head()
+    // pieces: "the", " m", " |", " zz" → symbols the | Ġ m | Ġ | | Ġ z z
+    assert(ids == Seq(0, 1, 2, 1, 4, 1, -1, -1))
+    // whitespace-BPE side uses the same bridge
+    val wIds = Seq("the the").toDF("t")
+      .select(Bpe.tokenIds(Bpe.encodeText(col("t"), merges), Seq("the"), unkId = 9))
+      .as[Seq[Int]].head()
+    assert(wIds == Seq(0, 0))
+  }
+
   test("null text encodes to empty") {
     val enc = Seq(Option.empty[String]).toDF("t")
       .select(Bpe.byteLevelEncode(col("t"), Nil)).as[String].head()
