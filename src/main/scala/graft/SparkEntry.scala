@@ -2545,11 +2545,29 @@ object SparkEntry {
         lit(new Array[Byte](8)).substr(lit(1), pad),
         lit(Array(0xFF, 0xC0, 0x00, 0x0B, 0x08).map(_.toByte)), // SOF0, len 11
         be(h, 2), be(w, 2), lit(Array[Byte](1, 0, 0x11, 0)))    // 1 component
+      // WebP: the FLAVOR varies per doc (VP8X 24-bit canvas / lossy VP8
+      // 14-bit pair behind the start code / VP8L 14+14 pack), so the one
+      // oracle row per doc is only reproducible if all three pluck paths
+      // are right
+      def riffHdr(four: String, paySize: Int) =
+        "RIFF".getBytes("ISO-8859-1") ++
+          Array[Byte]((paySize + 12).toByte, 0, 0, 0) ++
+          ("WEBP" + four).getBytes("ISO-8859-1") ++
+          Array[Byte](paySize.toByte, 0, 0, 0)
+      val webp = when(col("doc_id") % 3 === 0,
+          concat(lit(riffHdr("VP8X", 10) ++ new Array[Byte](4)),
+            le(w - 1, 3), le(h - 1, 3)))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(riffHdr("VP8 ", 10) ++
+              Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A)),
+            le(w, 2), le(h, 2)))
+        .otherwise(concat(lit(riffHdr("VP8L", 5) ++ Array[Byte](0x2F)),
+          le((w - 1) + (h - 1) * 16384, 4)))
       def sniff(payload: org.apache.spark.sql.Column) =
         graft.llm.Multimodal.payloadDims(
           docs.withColumn("__p", payload), "doc_id", "__p")
       sniff(png).unionByName(sniff(gif)).unionByName(sniff(bmp))
-        .unionByName(sniff(jpeg))
+        .unionByName(sniff(jpeg)).unionByName(sniff(webp))
         .orderBy("doc_id", "format")
     }),
 
@@ -4348,6 +4366,7 @@ object SparkEntry {
          UNION ALL SELECT doc_id, 'gif', w, h FROM d
          UNION ALL SELECT doc_id, 'bmp', w, h FROM d
          UNION ALL SELECT doc_id, 'jpeg', w, h FROM d
+         UNION ALL SELECT doc_id, 'webp', w, h FROM d
          ORDER BY doc_id, format""",
     "q_multimodal_fmp4" ->
       // both trun samples are sync, 8 bytes each, contiguous at the end of

@@ -1025,6 +1025,9 @@ object Multimodal {
     // JPEG: one packed walk result, unpacked by bit algebra (null walks
     // propagate to null dims)
     val jpegPacked = graft.functions.JpegDims(p)
+    def le24(off: Int): Column = u8(off) + u8(off + 1) * 256 + u8(off + 2) * 65536
+    val isWebp = head.startsWith("52494646") && hex(substring(p, 9, 4)) === "57454250"
+    val webpFour = hex(substring(p, 13, 4))
     val sniff =
       when(head.startsWith("89504E470D0A1A0A") && length(p) >= 24,
         struct(lit("png").as("f"), be32(17).as("w"), be32(21).as("h")))
@@ -1037,6 +1040,24 @@ object Multimodal {
       .when(head.startsWith("FFD8"),
         struct(lit("jpeg").as("f"), shiftright(jpegPacked, 16).as("w"),
           jpegPacked.bitwiseAND(65535L).as("h")))
+      // WebP (RIFF + 'WEBP'): all three container flavors are fixed-offset
+      // plucks — VP8X carries the canvas as 24-bit LE minus-one fields;
+      // lossy VP8 a 14-bit LE pair behind the 9D 01 2A start code; VP8L a
+      // 14+14-bit pack behind the 0x2F signature. Unrecognized/corrupt
+      // sub-chunks report null dims, never garbage.
+      .when(isWebp && webpFour === "56503858" && length(p) >= 30, // VP8X
+        struct(lit("webp").as("f"), (le24(25) + 1).as("w"), (le24(28) + 1).as("h")))
+      .when(isWebp && webpFour === "56503820" && length(p) >= 30 && // 'VP8 '
+          hex(substring(p, 24, 3)) === "9D012A",
+        struct(lit("webp").as("f"), le16(27).bitwiseAND(lit(16383L)).as("w"),
+          le16(29).bitwiseAND(lit(16383L)).as("h")))
+      .when(isWebp && webpFour === "5650384C" && length(p) >= 25 && // VP8L
+          u8(21) === 0x2F,
+        struct(lit("webp").as("f"),
+          (le32(22).bitwiseAND(lit(16383L)) + 1).as("w"),
+          (shiftright(le32(22), 14).bitwiseAND(lit(16383L)) + 1).as("h")))
+      .when(isWebp,
+        struct(lit("webp").as("f"), nullDim.as("w"), nullDim.as("h")))
       .otherwise(struct(lit("unknown").as("f"), nullDim.as("w"), nullDim.as("h")))
     df.select(col(idCol), sniff.getField("f").as("format"),
       sniff.getField("w").as("width"), sniff.getField("h").as("height"))

@@ -583,6 +583,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got == (("bmp", None, None)))
   }
 
+  test("payloadDims: WebP VP8X/VP8/VP8L plucks; corrupt sub-chunks report null") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def riff(four: String, payload: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4 + 8 + payload.length) ++ "WEBP".getBytes ++
+        four.getBytes ++ le32(payload.length) ++ payload
+    val vp8x = riff("VP8X", new Array[Byte](4) ++ le24(799) ++ le24(449))
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++
+      le16(320) ++ le16(240))
+    val vp8l = riff("VP8L", Array[Byte](0x2F) ++ le32((639) | (359 << 14)))
+    val badCode = riff("VP8 ", Array[Byte](0, 0, 0, 0x11, 0x01, 0x2A) ++
+      le16(320) ++ le16(240))
+    val badSig = riff("VP8L", Array[Byte](0x30) ++ le32(1))
+    val unknownChunk = riff("ALPH", new Array[Byte](10))
+    val rows = Seq((0L, vp8x), (1L, vp8), (2L, vp8l), (3L, badCode),
+      (4L, badSig), (5L, unknownChunk)).toDF("doc_id", "payload")
+    val got = Multimodal.payloadDims(rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(0L) == (("webp", Some(800L), Some(450L))))
+    assert(got(1L) == (("webp", Some(320L), Some(240L))))
+    assert(got(2L) == (("webp", Some(640L), Some(360L))))
+    assert(got(3L) == (("webp", None, None)))
+    assert(got(4L) == (("webp", None, None)))
+    assert(got(5L) == (("webp", None, None)))
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
