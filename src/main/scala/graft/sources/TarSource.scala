@@ -71,7 +71,7 @@ class TarDataSource extends TableProvider with DataSourceRegister {
     if (options.getBoolean("group", false)) TarSource.groupedSchema else TarSource.flatSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new TarTable(WarcSource.resolvePaths(properties.asScala.toMap),
+    new TarTable(WarcSource.resolvePaths(properties.asScala.toMap, "tar"),
       properties.asScala.get("group").exists(_.toBoolean))
 }
 
@@ -260,7 +260,7 @@ final class TarReader(in: InputStream, file: String) {
         else base
 
       typeflag match {
-        case '0' | ' ' | '7' => // regular file ('7' = contiguous, treated as regular)
+        case '0' | '\u0000' | '7' => // regular file ('7' = contiguous, treated as regular)
           pending = Member(name, size, offset)
           pendingSize = size
           return true
@@ -323,7 +323,7 @@ class TarScan(paths: Seq[String], grouped: Boolean, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    WarcSource.expand(paths, conf).map(f => TarInputPartition(f)).toArray
+    WarcSource.expand(paths, conf, "tar").map(f => TarInputPartition(f)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -73,19 +73,22 @@ object WarcSource {
 
   /** Spark hands `.load(p…)` to the provider as `path` or a JSON-array
     * `paths` property; globs and directories expand via the Hadoop FS.
+    * Shared with the `tar` source (`format` labels the error).
     */
-  def resolvePaths(properties: Map[String, String]): Seq[String] = {
+  def resolvePaths(properties: Map[String, String], format: String = "warc"): Seq[String] = {
     val raw = properties.get("paths") match {
       case Some(json) => // minimal JSON string-array parse: ["a","b"]
         "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
           .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
       case None => properties.get("path").toSeq
     }
-    require(raw.nonEmpty, "warc: no path given — use spark.read.format(\"warc\").load(path)")
+    require(raw.nonEmpty,
+      s"$format: no path given — use spark.read.format(\"$format\").load(path)")
     raw
   }
 
-  private[sources] def expand(paths: Seq[String], conf: Configuration): Seq[String] = {
+  private[sources] def expand(paths: Seq[String], conf: Configuration,
+      format: String = "warc"): Seq[String] = {
     val files = paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -97,7 +100,7 @@ object WarcSource {
         else Seq(st.getPath.toString)
       }
     }
-    require(files.nonEmpty, s"warc: no files matched $paths")
+    require(files.nonEmpty, s"$format: no files matched $paths")
     files.sorted
   }
 }
@@ -162,6 +165,9 @@ class WarcPartitionReader(file: String, fields: Array[String], types: Option[Set
     val raw = hp.getFileSystem(conf).open(hp)
     val buffered: InputStream =
       if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+      else if (file.endsWith(".zst") || file.endsWith(".zstd"))
+        new BufferedInputStream(
+          new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw), 1 << 16)
       else new BufferedInputStream(raw, 1 << 16)
     buffered
   }

@@ -93,6 +93,20 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("zstd-compressed WARC streams transparently") {
+    val src = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/part-0.warc"))
+    val zdir = java.nio.file.Files.createTempDirectory("warc-zst").toFile
+    zdir.deleteOnExit()
+    val zf = new java.io.File(zdir, "part-2.warc.zst")
+    val out = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(
+      new FileOutputStream(zf), 3)
+    out.write(src); out.close()
+    val rows = read(zf.getAbsolutePath).orderBy("warc_offset").collect()
+    assert(rows.length == 4)
+    assert(rows(2).getAs[Int]("http_status") == 200)
+  }
+
   test("types option filters at parse time") {
     val df = spark.read.format("warc").option("types", "response").load(s"$dir/part-0.warc")
     assert(df.select("warc_type").distinct().collect().map(_.getString(0)).toSeq ==
