@@ -117,6 +117,10 @@ object GraftFunctions {
       Set(1))(es => x(TextFunctions.htmlToText(c(es.head)))),
     fd("graft_html_title", "graft_html_title(html) - <title> text, '' when absent",
       Set(1))(es => x(TextFunctions.htmlTitle(c(es.head)))),
+    fd("graft_sentences",
+      "graft_sentences(text) - sentences under the deterministic " +
+        "terminal-punctuation boundary rule",
+      Set(1))(es => x(graft.functions.TextFunctions.sentences(c(es.head)))),
     fd("graft_url_host",
       "graft_url_host(url) - lowercased host (no scheme/userinfo/port/path)",
       Set(1))(es => x(graft.functions.TextFunctions.urlHost(c(es.head)))),

@@ -2172,6 +2172,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_sentences" -> ((s, d) =>
+      // sentence segmentation under the deterministic boundary rule:
+      // build a synthetic paragraph per doc (periods, bang+quote, a
+      // sentence-final question mark, an unsplit "Dr." showing the rule
+      // is list-free) and restate the same regex replay in DuckDB
+      t(s, d, "documents").filter(length(col("text")) >= 100)
+        .withColumn("__para", concat(
+          col("text").substr(1, 40), lit(". "),
+          col("text").substr(41, 40), lit("! \"Quote.\" Dr. "),
+          col("text").substr(81, 20), lit("?")))
+        .select(col("doc_id"),
+          TF.sentenceCount(col("__para")).as("n_sentences"),
+          md5(concat_ws("\u001F", TF.sentences(col("__para"))).cast("binary"))
+            .as("sentences_md5"))
+        .orderBy("doc_id")),
+
     "q_block_domains" -> ((s, d) => {
       // URL blocklist curation (C4/RefinedWeb): synthesize hosts that hit
       // every matching rule — exact match, deep subdomain, the
@@ -4104,6 +4120,27 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_sentences" ->
+      // the same marker-replace-then-split replay: boundary = terminal
+      // punctuation run (+ closing quotes/brackets) before whitespace
+      """WITH p AS (
+           SELECT doc_id,
+                  substr(text, 1, 40) || '. ' || substr(text, 41, 40) ||
+                  '! "Quote." Dr. ' || substr(text, 81, 20) || '?' AS para
+           FROM documents WHERE length(text) >= 100
+         ), m AS (
+           SELECT doc_id, regexp_replace(replace(para, chr(30), ''),
+                    '([.!?]+["'')\]]*)\s+', '\1' || chr(30), 'g') AS marked
+           FROM p
+         ), s AS (
+           SELECT doc_id, list_filter(list_transform(
+                    string_split(marked, chr(30)), x -> trim(x)),
+                    x -> x <> '') AS sents
+           FROM m)
+         SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sentences,
+                md5(coalesce(array_to_string(sents, chr(31)), ''))
+                  AS sentences_md5
+         FROM s ORDER BY doc_id""",
     "q_block_domains" ->
       // whole-label suffix matching restated from first principles: a
       // host is blocked iff it EQUALS a listed domain or ends with

@@ -125,6 +125,25 @@ object TextFunctions {
       HostBlocked(org.apache.spark.sql.GraftShims.toExpression(urlHost(url)), cleaned))
   }
 
+  /** Sentence segmentation under a DETERMINISTIC boundary rule: a run of
+    * terminal punctuation `[.!?]` plus any trailing closing quotes or
+    * brackets, followed by whitespace, ends a sentence; pieces are
+    * trimmed, empties drop. Deliberately list-free — no abbreviation
+    * handling ("Dr. Smith" splits), because the rule is a cross-engine-
+    * exact CONTRACT (same regex replays in any engine), the property
+    * sentence-level dedup and span units need more than linguistic
+    * perfection. The U+001E marker is stripped from input first, so a
+    * pathological document cannot forge boundaries. Map-only.
+    */
+  def sentences(text: Column): Column = {
+    val clean = regexp_replace(coalesce(text, lit("")), "\u001E", "")
+    val marked = regexp_replace(clean, "([.!?]+[\"')\\]]*)\\s+", "$1\u001E")
+    filter(transform(split(marked, "\u001E"), s => trim(s)), s => s =!= "")
+  }
+
+  /** Number of sentences under the [[sentences]] boundary rule. */
+  def sentenceCount(text: Column): Column = size(sentences(text))
+
   /** BPE-ish subword token estimate: word-boundary regex pieces (letter
     * runs, digit runs, punctuation singletons; whitespace not counted),
     * the standard cheap approximation of a byte-pair tokenizer's output

@@ -16,6 +16,25 @@ class TextVectorSpec extends SparkSpec {
     assert(one(TF.tokenCount(lit(null).cast("string"))) == 0)
   }
 
+  test("sentences: terminal-punctuation boundaries, quotes, empties, null") {
+    def sent(s: String): Seq[String] =
+      one(TF.sentences(lit(s))).asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sent("One. Two! Three?") == Seq("One.", "Two!", "Three?"))
+    assert(sent("He said \"Stop.\" Then left.") == Seq("He said \"Stop.\"", "Then left."))
+    assert(sent("Multi?! Bang...  Done") == Seq("Multi?!", "Bang...", "Done"))
+    assert(sent("no terminal punctuation") == Seq("no terminal punctuation"))
+    // list-free contract: abbreviations split (documented, not a bug)
+    assert(sent("Dr. Smith left.") == Seq("Dr.", "Smith left."))
+    // a mid-word period does NOT split (no following whitespace)
+    assert(sent("v1.2 shipped. done") == Seq("v1.2 shipped.", "done"))
+    assert(sent("") == Seq())
+    assert(one(TF.sentences(lit(null).cast("string")))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq())
+    // forged markers in input are stripped, never boundaries
+    assert(sent("a\u001Eb. c") == Seq("ab.", "c"))
+    assert(one(TF.sentenceCount(lit("One. Two."))) == 2)
+  }
+
   test("subwordCount ignores tabs/newlines, not just spaces") {
     assert(one(TF.subwordCount(lit("ab\tcd\nef"))) == 3)
     assert(one(TF.subwordCount(lit("\t\n"))) == 0)
