@@ -303,7 +303,7 @@ class TarTable(paths: Seq[String], grouped: Boolean) extends Table with Supports
   override def schema(): StructType =
     if (grouped) TarSource.groupedSchema else TarSource.flatSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarScanBuilder(paths, grouped, options.asScala.toMap)
 }
@@ -332,6 +332,150 @@ class TarScan(paths: Seq[String], grouped: Boolean, required: StructType,
     val exts = options.get("exts").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     TarReaderFactory(required.fieldNames, grouped, exts, confGetter)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TarMicroBatchStream(paths, required, grouped, options)
+}
+
+/** `spark.readStream.format("tar")` — micro-batch WebDataset ingest: each
+  * trigger picks up newly arrived shard files; samples flow through the
+  * same flat/grouped readers as the batch source.
+  *
+  * Offsets are the HIGHEST SHARD NAME processed (not a count), so a batch
+  * is reproducible from its (start, end] name range alone — restart-safe
+  * with zero source-side state. That makes monotonicity the source's one
+  * contract: shards must arrive in lexicographically increasing name
+  * order, which every log-structured producer (including
+  * [[TarShards.write]]'s `part-<task>-<seq>` naming under a
+  * task-per-epoch layout, Kafka-style shard dumpers, date-prefixed drops)
+  * already satisfies. A shard arriving UNDER the committed high-water
+  * name would be silently invisible to the range, so discovery fails
+  * loudly when it sees one instead. `maxFilesPerTrigger` bounds admission
+  * per batch (default: all new files).
+  */
+class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boolean,
+    options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val confGetter =
+    GraftShims.serializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+  private val exts = options.get("exts").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    .filter(_.nonEmpty)
+  private val maxFiles = options.get("maxfilespertrigger")
+    .orElse(options.get("maxFilesPerTrigger")).map(_.toInt)
+
+  /** Name-sorted discovery; empty directories are normal while streaming. */
+  private def discover(): Seq[String] = {
+    val conf = confGetter()
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      Option(fs.globStatus(hp)).toSeq.flatten.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".")
+            && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.sorted
+  }
+
+  // best-effort loud-fail memory for the monotonicity contract: every
+  // name this instance has ever discovered (names only — the same
+  // driver-memory order as Spark's own FileStreamSource seen-map). A name
+  // that appears for the FIRST time at or under the admitted high water
+  // arrived late and would otherwise be silently invisible to the name
+  // ranges. Restart resets the memory, so a late file landing exactly
+  // across a restart is undetectable — documented best-effort, the
+  // contract itself is the producer's.
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  @volatile private var highWater: String = ""
+
+  private def discoverChecked(): Seq[String] = {
+    val all = discover()
+    if (highWater.nonEmpty) {
+      val late = all.filter(f => f <= highWater && !seen.contains(f))
+      require(late.isEmpty,
+        s"tar stream: shard(s) ${late.take(3).mkString(", ")} appeared at or under " +
+          s"the admitted high-water name '$highWater' — shard names must arrive in " +
+          "increasing order (they would be silently skipped otherwise)")
+    }
+    seen ++= all
+    all
+  }
+
+  // Trigger.AvailableNow: snapshot the drain target once; admission then
+  // never passes it, so the query terminates after catching up in
+  // maxFilesPerTrigger-bounded batches
+  @volatile private var availableNowCap: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(discoverChecked().lastOption.getOrElse(""))
+
+  override def initialOffset(): Offset = TarNameOffset("")
+  override def deserializeOffset(json: String): Offset = TarNameOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startName = start.asInstanceOf[TarNameOffset].maxName
+    if (startName > highWater) highWater = startName
+    val fresh = discoverChecked().filter(f =>
+      f > startName && availableNowCap.forall(f <= _))
+    val admitted = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    if (admitted.isEmpty) start
+    else {
+      highWater = admitted.last
+      TarNameOffset(admitted.last)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val all = discover()
+    if (all.isEmpty) TarNameOffset("") else TarNameOffset(all.last)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TarNameOffset].maxName
+    val e = end.asInstanceOf[TarNameOffset].maxName
+    if (e > highWater) highWater = e
+    discover().filter(f => f > s && f <= e).map(TarInputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TarReaderFactory(required.fieldNames, grouped, exts, confGetter)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Streaming offset: the highest shard NAME committed ("" = nothing). */
+case class TarNameOffset(maxName: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = {
+    val esc = maxName.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"maxName":"$esc"}"""
+  }
+}
+
+object TarNameOffset {
+  def fromJson(json: String): TarNameOffset = {
+    val m = "\"maxName\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(json)
+    TarNameOffset(m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(throw new IllegalArgumentException(s"tar stream: bad offset json $json")))
   }
 }
 
