@@ -143,6 +143,55 @@ object SparkEntry {
     s"$head$stepCtes SELECT step, pair, cnt FROM ($union) ORDER BY step"
   }
 
+  /** [[bpeTrainOracleSql]]'s byte-level sibling: the initial encoding is
+    * GPT-2 pieces (lookahead-free restatement, valid on single-space
+    * text) mapped by the space→Ġ rule (valid on printable ASCII), both
+    * preconditions loud; the step CTEs are shared verbatim.
+    */
+  private def bpeTrainByteOracleSql(steps: Int): String = {
+    val head =
+      s"""WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'byte-train oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), n AS (
+           SELECT regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0 AND doc_id % 2 = 0
+         ), w0 AS (
+           SELECT replace(unnest(regexp_extract_all(t,
+                    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| ')),
+                  ' ', 'Ġ') AS w
+           FROM n
+         ), e0 AS (
+           SELECT $bpeWrapSql AS e
+           FROM w0
+         )"""
+    val stepCtes = (1 to steps).map { i =>
+      val prev = s"e${i - 1}"
+      s""", p$i AS (
+           SELECT list_extract(sym, j) || ' ' || list_extract(sym, j + 1) AS pair,
+                  count(*) AS cnt
+           FROM (
+             SELECT sym, unnest(generate_series(1, len(sym) - 1)) AS j
+             FROM (SELECT string_split(substr(e, 2, length(e) - 2), '$bpeC$bpeO') AS sym
+                   FROM $prev WHERE length(e) > 2))
+           GROUP BY pair
+         ), t$i AS (
+           SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1
+         ), e$i AS (
+           SELECT replace(e,
+             '$bpeO' || split_part((SELECT pair FROM t$i), ' ', 1) || '$bpeC$bpeO' ||
+                    split_part((SELECT pair FROM t$i), ' ', 2) || '$bpeC',
+             '$bpeO' || replace((SELECT pair FROM t$i), ' ', '') || '$bpeC') AS e
+           FROM $prev
+         )"""
+    }.mkString
+    val union = (1 to steps).map(i => s"SELECT $i AS step, pair, cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"$head$stepCtes SELECT step, pair, cnt FROM ($union) ORDER BY step"
+  }
+
   /** DuckDB SQL mirroring histSketch + histQuantile arithmetic exactly:
     * same unrolled boundary-comparison bin index, same cumulative-count
     * bin location (first c>0 bin whose cum crosses q·total), same linear
@@ -2891,6 +2940,22 @@ object SparkEntry {
       hist.toDF("step", "pair", "cnt").orderBy("step")
     }),
 
+    "q_bpe_train_byte" -> ((s, d) => {
+      // byte-level BPE training (how GPT-2-family vocabularies are built):
+      // the same 4-step argmax loop as q_bpe_train, but over GPT-2
+      // pretokenized pieces in the mapped alphabet; text is single-space
+      // normalized so the oracle's lookahead-free pretokenizer replay is
+      // exact (same preconditions as q_bpe_byte_level, loudly guarded)
+      val sample = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " ")
+          .as("text"))
+      val (_, hist) = graft.llm.Bpe.train(sample, col("text"), steps = 4,
+        byteLevel = true)
+      import s.implicits._
+      hist.toDF("step", "pair", "cnt").orderBy("step")
+    }),
+
     "q_bpe_encode" -> ((s, d) =>
       // map-only BPE encode under the fixed demo merge table: symbol count
       // + md5 of the full delimited tokenization (pins the exact symbol
@@ -5044,6 +5109,7 @@ object SparkEntry {
                 count(*) AS cnt
          FROM pos GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "q_bpe_train" -> bpeTrainOracleSql(4),
+    "q_bpe_train_byte" -> bpeTrainByteOracleSql(4),
     "q_bpe_encode" ->
       // the merge chain replayed verbatim as literal replaces over the
       // delimiter-wrapped char split; symbol count = open-delimiter count

@@ -168,11 +168,16 @@ object Bpe {
     * alphabet cannot collide with the reserved delimiters (every mapped
     * char is ≥ '!'), so nothing is ever stripped.
     */
-  def byteLevelEncode(text: Column, merges: Seq[(String, String)]): Column = {
-    val mapped = GraftShims.toColumn(graft.functions.BytesToUnicodeWords(
+  /** GPT-2 pretokenized pieces mapped into the byte-level alphabet — the
+    * symbol-ready form shared by [[byteLevelEncode]] and byte-level
+    * [[train]]ing.
+    */
+  def byteLevelMapped(text: Column): Column =
+    GraftShims.toColumn(graft.functions.BytesToUnicodeWords(
       GraftShims.toExpression(byteLevelPieces(text))))
-    array_join(encodeWordsNative(mapped, merges), "|")
-  }
+
+  def byteLevelEncode(text: Column, merges: Seq[(String, String)]): Column =
+    array_join(encodeWordsNative(byteLevelMapped(text), merges), "|")
 
   /** ALL symbols of a document's encoded string, across word boundaries in
     * order: the "|" joiner sits between Close and Open — a position no
@@ -262,11 +267,18 @@ object Bpe {
     * oracle-checked sequential path). Real vocabularies need thousands of
     * rules; batching divides the Spark-job count by up to `batchSize`.
     */
-  def train(df: DataFrame, textCol: Column, steps: Int, batchSize: Int = 1)
+  def train(df: DataFrame, textCol: Column, steps: Int, batchSize: Int = 1,
+      byteLevel: Boolean = false)
       : (Seq[(String, String)], Seq[(Int, String, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    var enc = df.select(encodeWords(textCol, Nil).as("__ws"))
+    // byteLevel trains in the mapped alphabet over GPT-2 pieces (how the
+    // published byte-level vocabularies are built); the merge loop,
+    // counting jobs, and cache discipline are representation-agnostic
+    val initial =
+      if (byteLevel) encodeWordsNative(byteLevelMapped(textCol), Nil)
+      else encodeWords(textCol, Nil)
+    var enc = df.select(initial.as("__ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var parent: Option[DataFrame] = None
     var merges = Vector.empty[(String, String)]
