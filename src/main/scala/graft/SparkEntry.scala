@@ -2917,6 +2917,22 @@ object SparkEntry {
           round(col("logit"), 4).as("logit"), col("keep"))
         .orderBy("doc_id")),
 
+    "q_classifier_grad" -> ((s, d) =>
+      // one full-batch logistic gradient under the q_classifier weight
+      // table with synthetic labels y = doc_id % 2 — the sufficient
+      // statistic every trainLogistic iteration aggregates. Residuals are
+      // nano-quantized BEFORE aggregation (round((σ−y)·1e9)), so the sums
+      // are exact integers both engines reproduce — and the same
+      // quantization is what makes training itself bit-deterministic
+      // across partitionings (ClassifierSpec pins the loop)
+      graft.llm.Classifier.logisticGradient(
+        t(s, d, "documents").withColumn("label", (col("doc_id") % 2).cast("double")),
+        "text", "label",
+        weights = Map("join" -> 0.5, "slow" -> -0.5, "hash" -> 0.25,
+          "batch" -> -0.125, "scan" -> 0.0625, "hash join" -> 0.25),
+        bias = -0.125, wordNgrams = 2)
+        .orderBy("feature")),
+
     "q_bpe_pairs" -> ((s, d) =>
       // BPE training step 1's sufficient statistics: corpus-wide adjacent
       // character-pair counts (one explode + one map-side-combined agg),
@@ -5067,6 +5083,47 @@ object SparkEntry {
                 (-0.125 + sum(COALESCE(w.weight, 0)) / count(*)) > 0 AS keep
          FROM feat f LEFT JOIN w ON f.f = w.token
          GROUP BY f.doc_id ORDER BY f.doc_id""",
+    "q_classifier_grad" ->
+      // the same feat/weights CTEs as q_classifier, then: per-doc logit →
+      // σ → residual rounded to nano-units (round is HALF_UP in both
+      // engines; the 1e-9 grain absorbs libm exp ulp differences), each
+      // feature OCCURRENCE contributing round(rq/n); sums of integral
+      // doubles ≤ 5e11 are exact and order-independent
+      """WITH w AS (
+           SELECT 'join' AS token, CAST(0.5 AS DOUBLE) AS weight
+           UNION ALL SELECT 'slow', -0.5
+           UNION ALL SELECT 'hash', 0.25
+           UNION ALL SELECT 'batch', -0.125
+           UNION ALL SELECT 'scan', 0.0625
+           UNION ALL SELECT 'hash join', 0.25
+         ), tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), feat AS (
+           SELECT doc_id, unnest(t) AS f FROM tok
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS f
+           FROM tok WHERE len(t) >= 2
+         ), doc AS (
+           SELECT f.doc_id, count(*) AS n, sum(COALESCE(w.weight, 0)) AS sw
+           FROM feat f LEFT JOIN w ON f.f = w.token
+           GROUP BY f.doc_id
+         ), resid AS (
+           SELECT doc_id, n,
+                  round((1.0 / (1.0 + exp(-(-0.125 + sw / n)))
+                         - CAST(doc_id % 2 AS DOUBLE)) * 1e9) AS rq
+           FROM doc
+         ), contrib AS (
+           SELECT doc_id, round(rq / n) AS c FROM resid)
+         SELECT f.f AS feature, sum(ct.c) / 1e9 AS grad
+         FROM feat f
+         JOIN contrib ct ON ct.doc_id = f.doc_id
+         JOIN w ON w.token = f.f
+         GROUP BY f.f
+         UNION ALL
+         SELECT '__bias__', sum(rq) / 1e9 FROM resid
+         ORDER BY feature""",
     "q_decontaminate_fuzzy" ->
       // bipartite all-pairs exact jaccard vs the benchmark subset — the
       // ground truth the LSH-candidates-then-exact-verify path must equal

@@ -94,4 +94,80 @@ class ClassifierSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptFilter == keptScore && keptScore.nonEmpty)
   }
+
+  private lazy val labeled = {
+    import spark.implicits._
+    // separable: the keep-class shares 'clean' tokens, the drop-class
+    // 'spam' tokens; both share filler so the bias can't do it alone
+    val pos = (0 until 30).map(i => (s"clean good prose filler$i common text", 1.0))
+    val neg = (0 until 30).map(i => (s"spam junk noise filler$i common text", 0.0))
+    (pos ++ neg).toDF("text", "label")
+  }
+
+  test("trainLogistic: separates a separable corpus; filter agrees with labels") {
+    import spark.implicits._
+    val (w, bias, losses) = graft.llm.Classifier.trainLogistic(
+      labeled, "text", "label", iters = 40, lr = 4.0, vocabSize = 64)
+    assert(losses.head > losses.last, s"loss must fall: ${losses.head} -> ${losses.last}")
+    assert(w("clean") > 0 && w("good") > 0)
+    assert(w("spam") < 0 && w("junk") < 0)
+    val kept = graft.llm.Classifier.qualityFilter(
+        labeled.withColumn("id", monotonically_increasing_id()), "id", "text", w, bias)
+      .select("label").as[Double].collect()
+    assert(kept.nonEmpty && kept.forall(_ == 1.0))
+    assert(kept.length == 30) // every positive survives, every negative drops
+  }
+
+  test("trainLogistic is bit-deterministic across partitionings") {
+    val (w1, b1, _) = graft.llm.Classifier.trainLogistic(
+      labeled, "text", "label", iters = 5, lr = 2.0, vocabSize = 32)
+    val (w2, b2, _) = graft.llm.Classifier.trainLogistic(
+      labeled.repartition(7), "text", "label", iters = 5, lr = 2.0, vocabSize = 32)
+    assert(w1 == w2, "nano-quantized gradients must make training layout-independent")
+    assert(b1 == b2)
+  }
+
+  test("trainLogistic: vocabulary cap bounds the weight table") {
+    val (w, _, _) = graft.llm.Classifier.trainLogistic(
+      labeled, "text", "label", iters = 2, lr = 1.0, vocabSize = 5)
+    assert(w.size == 5)
+    // the cap keeps the most frequent features (shared fillers beat the
+    // one-off fillerN tokens)
+    assert(w.contains("common") && w.contains("text"))
+  }
+
+  test("trainLogistic agrees with an in-memory reference implementation") {
+    import spark.implicits._
+    val docs = Seq(("alpha beta", 1.0), ("beta gamma", 0.0), ("alpha alpha gamma", 1.0),
+      ("gamma beta beta", 0.0)).toDF("text", "label")
+    val (w, bias, _) = graft.llm.Classifier.trainLogistic(
+      docs, "text", "label", iters = 3, lr = 1.0, vocabSize = 10)
+    // replicate: same vocab (all features), same quantized updates
+    val corpus = Seq(
+      (Seq("alpha", "beta"), 1.0), (Seq("beta", "gamma"), 0.0),
+      (Seq("alpha", "alpha", "gamma"), 1.0), (Seq("gamma", "beta", "beta"), 0.0))
+    var rw = Map("alpha" -> 0.0, "beta" -> 0.0, "gamma" -> 0.0)
+    var rb = 0.0
+    val m = corpus.size.toDouble
+    def halfUp(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+    for (_ <- 1 to 3) {
+      var bsum = 0L
+      var gsum = Map.empty[String, Long].withDefaultValue(0L)
+      for ((toks, y) <- corpus) {
+        val n = toks.size.toDouble
+        val logit = rb + toks.map(rw).sum / n
+        val p = 1.0 / (1.0 + math.exp(-logit))
+        val rq = halfUp((p - y) * 1e9)
+        bsum += rq
+        val c = halfUp(rq.toDouble / n)
+        for (t <- toks) gsum += t -> (gsum(t) + c)
+      }
+      rw = rw.map { case (f, wf) => f -> (wf - 1.0 * (gsum(f) / 1e9) / m) }
+      rb -= 1.0 * (bsum / 1e9) / m
+    }
+    for (f <- rw.keys) assert(math.abs(w(f) - rw(f)) < 1e-12, s"$f: ${w(f)} vs ${rw(f)}")
+    assert(math.abs(bias - rb) < 1e-12)
+  }
 }
