@@ -749,6 +749,37 @@ object SparkEntry {
         FROM b ORDER BY doc_id"""
   }
 
+  /** q_split_leakage_safe: the recursive min-label closure (the component
+    * label [[graft.llm.Dedup.connectedComponents]] produces) feeds the
+    * same md5 CASE as [[splitAssignOracle]] — cluster label for clustered
+    * docs, own id for singletons.
+    */
+  private def splitLeakageOracle: String = {
+    val th = graft.llm.Mix.splitThresholds(
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val whens = th.init.map { case (n, h) => s"WHEN b < '$h' THEN '$n'" }.mkString(" ")
+    s"""${exactJaccardPairsCte.replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+       e AS (
+         SELECT idA AS a, idB AS b FROM j WHERE jac >= 0.7
+         UNION
+         SELECT idB AS a, idA AS b FROM j WHERE jac >= 0.7
+       ), reach AS (
+         SELECT a AS id, b AS x FROM e
+         UNION
+         SELECT r.id, e.b FROM reach r JOIN e ON e.a = r.x
+       ), comp AS (
+         SELECT d.doc_id,
+                least(d.doc_id, coalesce(
+                  (SELECT min(x) FROM reach r WHERE r.id = d.doc_id),
+                  d.doc_id)) AS c
+         FROM documents d
+       ), b AS (
+         SELECT doc_id, substr(md5('r11|' || CAST(c AS VARCHAR)), 1, 8) AS b
+         FROM comp)
+       SELECT doc_id, CASE $whens ELSE '${th.last._1}' END AS split
+       FROM b ORDER BY doc_id"""
+  }
+
   /** The RAG ingestion funnel end to end: chunk (q_chunk's exact
     * width-16/overlap-4 kernel), exact-dedup chunks (min composite id per
     * distinct chunk text), then BM25 over the SURVIVING chunks — the same
@@ -1968,6 +1999,22 @@ object SparkEntry {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")
         .orderBy("doc_id")),
+
+    "q_split_leakage_safe" -> ((s, d) => {
+      // leakage-safe splits: the exact-verified near-dup graph of
+      // q_dedup_cc_verified decides CLUSTERS, and every clustered doc
+      // hashes its cluster label into the split — paraphrase pairs can
+      // never straddle train/test; singletons hash their own id, so away
+      // from clusters this equals q_split_assign's rule
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text").select("idA", "idB")
+      val edges = Dedup.verifyJaccard(cand, docs, "doc_id", "text", 3,
+        minJaccard = 0.7).filter(col("jaccard") >= 0.7)
+      Dedup.assignSplitsLeakageSafe(docs, edges, "doc_id", "r11",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
 
     "q_embed_neardup" -> ((s, d) => {
       // The synthetic embeddings have no natural near-dups (max pairwise
@@ -3947,6 +3994,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_hybrid_rrf" -> hybridRrfOracle,
     "q_split_assign" -> splitAssignOracle,
+    "q_split_leakage_safe" -> splitLeakageOracle,
     "q_chunk" ->
       // stride 12 = width 16 − overlap 4; a start whose window adds no new
       // tokens (s > 0 and n ≤ s + overlap) is dropped; integer division

@@ -668,6 +668,25 @@ object Dedup {
     keepBestPerCluster(df, edges, idCol, score)
   }
 
+  /** Leakage-safe train/valid/test assignment: near-duplicate documents
+    * MUST share a split — an eval paraphrase of a training document is
+    * test-set contamination that plain id-hashed splitting
+    * ([[graft.llm.Mix.assignSplits]]) happily creates. Cluster the
+    * near-dup `pairs` with [[connectedComponents]] and hash the CLUSTER
+    * LABEL instead of the id; unclustered documents hash their own id.
+    * Only the pair graph is clustered (never corpus-sized); the corpus
+    * pays one key join against the (id, component) frame, then the
+    * map-only md5 CASE.
+    */
+  def assignSplitsLeakageSafe(df: DataFrame, pairs: DataFrame, idCol: String,
+      seed: String, splits: Seq[(String, Double)]): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .withColumnRenamed("id", "__lsid").withColumnRenamed("component", "__lscomp")
+    Mix.assignSplits(df.join(comps, col(idCol) === col("__lsid"), "left"),
+        coalesce(col("__lscomp"), col(idCol)), seed, splits)
+      .drop("__lsid", "__lscomp")
+  }
+
   /** Transitive embedding near-dup dedup: cluster cosine-similar pairs
     * with [[connectedComponents]], keep each cluster's smallest id.
     */

@@ -541,4 +541,22 @@ class DedupSimilaritySpec extends SparkSpec {
     // cluster one: 2 and 3 tie at 9.0 -> min id 2; cluster two: 10
     assert(kept == Seq(2L, 10L, 20L))
   }
+
+  test("assignSplitsLeakageSafe: a near-dup cluster shares ONE split") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val got = graft.llm.Dedup.assignSplitsLeakageSafe(docs, pairs, "doc_id", "s1", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, "cluster {1,2,3} must share")
+    assert(got(10L) == got(11L))
+    // clustered docs take the LABEL's split; singletons equal plain assignSplits
+    val plain = graft.llm.Mix.assignSplits(docs, org.apache.spark.sql.functions.col("doc_id"),
+        "s1", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(1L) == plain(1L) && got(10L) == plain(10L))
+    for (i <- 4L to 9L) assert(got(i) == plain(i))
+    assert(got.size == 40)
+  }
 }
