@@ -2683,6 +2683,33 @@ object SparkEntry {
         .orderBy("doc_id", "format")
     }),
 
+    "q_multimodal_ahash" -> ((s, d) => {
+      // perceptual image hashing under the oracle: an 8×8 24bpp BMP per
+      // doc whose 64 gray cells are text bytes (each tripled to rgb), fed
+      // through the REAL decode path (ImageIO BMP, bottom-up rows) and
+      // aHash; the oracle recomputes the integer mean-threshold bits from
+      // the same bytes — stored row r is image row 7−r
+      val hdr: Array[Byte] = {
+        def le32(v: Int) =
+          Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        Array[Byte]('B', 'M') ++ le32(246) ++ le32(0) ++ le32(54) ++
+          le32(40) ++ le32(8) ++ le32(8) ++ le16(1) ++ le16(24) ++
+          le32(0) ++ le32(192) ++ new Array[Byte](16)
+      }
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
+      val b = col("text").cast("binary")
+      val pixels = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
+      val imgs = docs.withColumn("__img", concat(lit(hdr), pixels))
+      val decoded = graft.llm.Multimodal.decodeImages(imgs, "doc_id", "__img",
+        codecs = graft.llm.Multimodal.JvmCodecs)
+      graft.llm.Multimodal.aHash(decoded)
+        .select(col("doc_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_adts" -> ((s, d) => {
       // audio elementary-stream framing: two 15-byte ADTS frames per doc
       // (7-byte header + 8 text bytes each, header CONSTANT because the
@@ -4487,6 +4514,36 @@ object SparkEntry {
                 substr(text, 17, 8) AS frame_text
          FROM documents, chk WHERE length(text) >= 32 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
+    "q_multimodal_ahash" ->
+      // gray cell (x, y) = the text byte at (7−y)·8+x (BMP rows store
+      // bottom-up); mean = integer floor; bit 63−i set when cell i beats
+      // the mean, reported as two 32-bit halves so no engine needs an
+      // unsigned 64-bit literal
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 64))) > 64 THEN error(
+                    'ahash oracle: non-ASCII in the packed 64-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 64
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 64 AND chk.ok = 0
+         ), cell AS (
+           SELECT doc_id, y.y, x.x,
+                  ascii(substr(text, (7 - y.y) * 8 + x.x + 1, 1)) AS g
+           FROM d, (SELECT unnest(range(0, 8)) AS y) y,
+                   (SELECT unnest(range(0, 8)) AS x) x
+         ), m AS (
+           SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS mean
+           FROM cell GROUP BY doc_id)
+         SELECT c.doc_id,
+                sum(CASE WHEN (c.y * 8 + c.x) < 32 AND c.g > m.mean
+                         THEN (CAST(1 AS BIGINT) << (31 - (c.y * 8 + c.x)))
+                         ELSE 0 END) AS ahash_hi,
+                sum(CASE WHEN (c.y * 8 + c.x) >= 32 AND c.g > m.mean
+                         THEN (CAST(1 AS BIGINT) << (63 - (c.y * 8 + c.x)))
+                         ELSE 0 END) AS ahash_lo
+         FROM cell c JOIN m ON m.doc_id = c.doc_id
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
     "q_multimodal_adts" ->
       // two fixed-length ADTS frames per doc whose bodies are text bytes
       // [1,8] and [9,16] — the same restatement (and the same loud

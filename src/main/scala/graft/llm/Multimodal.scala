@@ -970,6 +970,41 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "mean_pixel")
   }
 
+  /** 64-bit average hash (aHash) per decoded image — the standard cheap
+    * PERCEPTUAL fingerprint for image-level near-dup dedup: grayscale the
+    * 8×8 nearest-neighbor downsample, threshold each cell against the
+    * integer mean, pack bits row-major (bit 63 = cell (0,0)). Identical
+    * hashes mark near-certain duplicates ACROSS RESOLUTIONS (a clean 2×
+    * upscale downsamples back to the same 64 cells); small Hamming
+    * distance marks near-dup candidates — `graft_hamming` and the banded
+    * machinery apply downstream exactly as for SimHash. All arithmetic is
+    * integer (sum, floor division, compare), so an external engine can
+    * restate the hash from raw pixel bytes.
+    */
+  def aHash(ds: Dataset[DecodedImage]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    resize(ds, 8, 8).map { img =>
+      val ch = img.channels
+      val g = new Array[Int](64)
+      var sum = 0
+      var i = 0
+      while (i < 64) {
+        var s = 0
+        var c = 0
+        while (c < ch) { s += img.pixels(i * ch + c) & 0xFF; c += 1 }
+        g(i) = s / ch
+        sum += g(i)
+        i += 1
+      }
+      val mean = sum / 64
+      var bits = 0L
+      i = 0
+      while (i < 64) { if (g(i) > mean) bits |= 1L << (63 - i); i += 1 }
+      (img.doc_id, bits)
+    }.toDF("doc_id", "ahash")
+  }
+
   /** Payload-level features needing no codec at all (real, not stubbed):
     * size, content digest, and a coarse magic-byte sniff.
     */

@@ -612,6 +612,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L) == (("webp", None, None)))
   }
 
+  test("aHash: resolution-invariant for clean upscales; content changes flip bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)((32 + rnd.nextInt(90)).toByte) // 8×8 grays
+    def img(id: Long, w: Int, h: Int, gray: Int => Byte) =
+      graft.llm.Multimodal.DecodedImage(id, w, h, 3,
+        Array.tabulate(w * h * 3)(i => gray(i / 3)))
+    val small = img(1L, 8, 8, i => base(i))
+    // clean 2× nearest-neighbor upscale: cell (x,y) -> 2×2 block
+    val big = img(2L, 16, 16, i => { val x = i % 16; val y = i / 16; base((y / 2) * 8 + x / 2) })
+    // brightness shifts DON'T change the hash (thresholding against the
+    // mean is the point); different content does
+    val brighter = img(3L, 8, 8, i => (base(i) + 60).toByte)
+    val other = img(4L, 8, 8, i => (32 + (i * 37) % 90).toByte)
+    val hashes = graft.llm.Multimodal.aHash(Seq(small, big, brighter, other).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L), "a clean upscale must hash identically")
+    assert(hashes(1L) == hashes(3L), "a uniform brightness shift must hash identically")
+    assert(hashes(1L) != hashes(4L))
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
