@@ -107,6 +107,31 @@ class TarStreamSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("tar shards stream into an attribute sidecar (multimodal tag-once ingest)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("tarstream-side")
+    val ckpt = tmp("tarstream-side-ckpt")
+    val sidecar = tmp("tarstream-side-store")
+    shard(dir, "part-00000.tar", "a.txt" -> "one two three", "b.txt" -> "four")
+    val docs = spark.readStream.format("tar").option("exts", "txt")
+      .load(dir.getAbsolutePath)
+      .select(col("key"), col("payload").cast("string").as("text"))
+    val q = graft.streaming.AttributeStream.start(docs, "key",
+      Seq("n_tokens" -> graft.functions.TextFunctions.tokenCount(col("text"))),
+      sidecar.getAbsolutePath, ckpt.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      // a later shard arrives; only IT is tagged (tag once, never re-run)
+      shard(dir, "part-00001.tar", "c.txt" -> "five six")
+      q.processAllAvailable()
+    } finally q.stop()
+    val side = graft.streaming.AttributeStream
+      .loadSidecar(spark, sidecar.getAbsolutePath).get
+      .select(col("key"), col("n_tokens").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(side == Map("a" -> 3L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("offset json round-trips names with quotes and backslashes") {
     for (n <- Seq("", "plain.tar", "we\"ird\\name.tar")) {
       assert(TarNameOffset.fromJson(TarNameOffset(n).json) == TarNameOffset(n))
