@@ -281,6 +281,21 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** 24bpp bottom-up BMP header for the aHash fixtures. Row stride must
+    * already be 4-aligned (w·3 % 4 == 0 for the planted widths 8 and 16),
+    * so the payload is exactly w·3·h gray-triple bytes.
+    */
+  private def bmpHeader(w: Int, h: Int): Array[Byte] = {
+    def le32(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    require(w * 3 % 4 == 0, s"bmpHeader: unpadded width only, got $w")
+    val size = w * 3 * h
+    Array[Byte]('B', 'M') ++ le32(54 + size) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(size) ++ new Array[Byte](16)
+  }
+
   /** Fixed ustar skeleton for q_webdataset: a two-member WebDataset-style
     * archive with CONSTANT names and sizes (`sample.txt`, 64 bytes;
     * `sample.json`, 32 bytes), so every header/padding run is a fixed
@@ -2689,14 +2704,7 @@ object SparkEntry {
       // through the REAL decode path (ImageIO BMP, bottom-up rows) and
       // aHash; the oracle recomputes the integer mean-threshold bits from
       // the same bytes — stored row r is image row 7−r
-      val hdr: Array[Byte] = {
-        def le32(v: Int) =
-          Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-        Array[Byte]('B', 'M') ++ le32(246) ++ le32(0) ++ le32(54) ++
-          le32(40) ++ le32(8) ++ le32(8) ++ le16(1) ++ le16(24) ++
-          le32(0) ++ le32(192) ++ new Array[Byte](16)
-      }
+      val hdr: Array[Byte] = bmpHeader(8, 8)
       val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
       val b = col("text").cast("binary")
       val pixels = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
@@ -2708,6 +2716,36 @@ object SparkEntry {
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
           col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
         .orderBy("doc_id")
+    }),
+
+    "q_image_dedup" -> ((s, d) => {
+      // image-level near-dup dedup end to end: the q_multimodal_ahash
+      // fixture plus PLANTED cross-resolution duplicates (docs 0..19 get a
+      // 16×16 clean upscale under doc_id+100000 — same 64 cells after the
+      // 8×8 downsample, so the aHash collides exactly), exact-dedup on the
+      // hash keeping the smallest id; the oracle recomputes hashes from
+      // the bytes and replays the keep rule
+      val hdr8: Array[Byte] = bmpHeader(8, 8)
+      val hdr16: Array[Byte] = bmpHeader(16, 16)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
+      val b = col("text").cast("binary")
+      val px8 = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
+      // 16×16: stored row r repeats source stored row r/2; each byte ×2
+      // horizontally (and ×3 to rgb) — a clean 2× nearest-neighbor upscale
+      val px16 = concat((0 until 16).flatMap { r =>
+        (0 until 16).flatMap { x =>
+          Seq.fill(3)(b.substr((r / 2) * 8 + x / 2 + 1, 1))
+        }
+      }: _*)
+      val base = docs.select(col("doc_id"), concat(lit(hdr8), px8).as("__img"))
+      val ups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit(hdr16), px16).as("__img"))
+      val hashes = graft.llm.Multimodal.aHash(graft.llm.Multimodal.decodeImages(
+        base.unionByName(ups), "doc_id", "__img",
+        codecs = graft.llm.Multimodal.JvmCodecs))
+      graft.llm.Dedup.exact(hashes, "doc_id", Seq(col("ahash")))
+        .select("doc_id").orderBy("doc_id")
     }),
 
     "q_multimodal_adts" -> ((s, d) => {
@@ -4514,6 +4552,44 @@ object SparkEntry {
                 substr(text, 17, 8) AS frame_text
          FROM documents, chk WHERE length(text) >= 32 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
+    "q_image_dedup" ->
+      // the planted 16×16 upscale downsamples back to the base's 64 cells
+      // (cell-identical by construction), so its hash comes from the SAME
+      // byte formula; keep rule = min doc_id per (hi, lo) hash
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 64))) > 64 THEN error(
+                    'image-dedup oracle: non-ASCII in the packed 64-char prefix')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 64
+         ), base AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 64 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 100000, text FROM base WHERE doc_id < 20
+         ), cell AS (
+           SELECT doc_id, y.y, x.x,
+                  ascii(substr(text, (7 - y.y) * 8 + x.x + 1, 1)) AS g
+           FROM alld, (SELECT unnest(range(0, 8)) AS y) y,
+                      (SELECT unnest(range(0, 8)) AS x) x
+         ), m AS (
+           SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS mean
+           FROM cell GROUP BY doc_id
+         ), bits AS (
+           SELECT c.doc_id,
+                  sum(CASE WHEN (c.y * 8 + c.x) < 32 AND c.g > m.mean
+                           THEN (CAST(1 AS BIGINT) << (31 - (c.y * 8 + c.x)))
+                           ELSE 0 END) AS hi,
+                  sum(CASE WHEN (c.y * 8 + c.x) >= 32 AND c.g > m.mean
+                           THEN (CAST(1 AS BIGINT) << (63 - (c.y * 8 + c.x)))
+                           ELSE 0 END) AS lo
+           FROM cell c JOIN m ON m.doc_id = c.doc_id
+           GROUP BY c.doc_id)
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY hi, lo) AS keeper
+           FROM bits)
+         WHERE doc_id = keeper ORDER BY doc_id""",
     "q_multimodal_ahash" ->
       // gray cell (x, y) = the text byte at (7−y)·8+x (BMP rows store
       // bottom-up); mean = integer floor; bit 63−i set when cell i beats
