@@ -604,4 +604,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!p.contains("Window"), s"no window:\n$p")
   }
+
+  test("byte-level BPE encode + tokenIds + blocklist + sentences: one map-only scan") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val url = concat(lit("https://h"), col("doc_id"), lit(".example.com/"))
+    val bl = (1 to 70).map(i => s"b$i.invalid") :+ "example.com"
+    val p = finalPlan(docs.select(
+      graft.llm.Bpe.tokenIds(
+        graft.llm.Bpe.byteLevelEncode(col("text"), Seq(("t", "h"))),
+        Seq("th", "Ġ"), unkId = -1).as("ids"),
+      graft.functions.TextFunctions.domainBlocked(url, bl).as("blocked"),
+      graft.functions.TextFunctions.sentences(col("text")).as("sents")))
+    assert(!p.contains("Exchange"), s"tokenize/block/segment must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
+  test("keepBestPerCluster: bounded CollectTopK per cluster, no window, anti-join") {
+    import spark.implicits._
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("idA", "idB")
+    val p = finalPlan(graft.llm.Dedup.keepBestPerCluster(
+      docs, pairs, "doc_id", col("n_chars")))
+    assert(p.contains("collect_top_k"), s"per-cluster argmax should be CollectTopK:\n$p")
+    assert(!p.contains("Window"), s"no per-cluster window:\n$p")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("logisticGradient: vocab gate is a broadcast join, partials bounded") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+      .withColumn("label", (col("doc_id") % 2).cast("double"))
+    val p = finalPlan(graft.llm.Classifier.logisticGradient(
+      docs, "text", "label", Map("join" -> 0.5, "scan" -> 0.25)))
+    assert(p.contains("BroadcastHashJoin"), s"vocab gate must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join against the vocab:\n$p")
+    assert(!p.contains("Window"), p)
+  }
 }
