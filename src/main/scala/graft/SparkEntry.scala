@@ -65,6 +65,15 @@ object SparkEntry {
     ("t", "a"), ("ta", "b"), ("Ġ", "tab"), ("l", "e"), ("Ġtab", "le"),
     ("Ġ", "s"), ("Ġ", "a"), ("r", "o"), ("ro", "w"), ("Ġ", "row"))
 
+  /** Full-coverage vocabulary for q_bpe_roundtrip: every printable-ASCII
+    * mapped char plus Ġ plus the demo merge outputs — with total symbol
+    * coverage the byte-level round trip is exact, and a coverage gap
+    * fails loudly (unk id decodes out of range) instead of corrupting.
+    */
+  private lazy val byteBpeRoundtripVocab: Seq[String] =
+    (('!' to '~').map(_.toString) ++ Seq("Ġ") ++
+      byteLevelDemoMerges.map { case (a, b) => a + b }).distinct
+
   /** Demo vocabulary for q_bpe_ids: lowercase letters, Ġ, and the
     * [[byteLevelDemoMerges]] outputs; everything else (digits,
     * punctuation, uppercase) maps to unk — exercising both paths.
@@ -3131,6 +3140,26 @@ object SparkEntry {
             .cast("binary")).as("ids_md5"))
         .orderBy("doc_id")),
 
+    "q_bpe_roundtrip" -> ((s, d) => {
+      // the losslessness LAW: text → byte-level BPE → vocabulary ids →
+      // decode must reproduce the input byte-for-byte (the byte map is a
+      // bijection, merges only regroup symbols, the vocabulary covers
+      // every emitted symbol — a coverage gap decodes out of range and
+      // fails loudly). The oracle states decode∘encode = id directly:
+      // both md5 columns are md5(text); only a real decode can match.
+      val vocab = byteBpeRoundtripVocab
+      val dec = graft.llm.Bpe.byteLevelDecode(
+        graft.llm.Bpe.tokenIds(
+          graft.llm.Bpe.byteLevelEncode(col("text"), byteLevelDemoMerges),
+          vocab, unkId = vocab.size),
+        vocab)
+      t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("orig_md5"),
+          md5(dec.cast("binary")).as("dec_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_bpe_offsets" -> ((s, d) => {
       // token offsets + span→token loss-mask projection, one row per BPE
       // symbol. Two offset bases on purpose: the NORMALIZED (single-space)
@@ -5416,6 +5445,21 @@ object SparkEntry {
                     byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) - 1,
                     -1) AS VARCHAR)), ','), '')) AS ids_md5
          FROM sym ORDER BY doc_id""",
+    "q_bpe_roundtrip" ->
+      // decode∘encode = identity: dec_md5 IS md5(text) when the round
+      // trip holds; the printable-ASCII guard keeps the demo vocabulary's
+      // coverage total (non-ASCII would still round-trip, but through
+      // symbols outside the inlined vocab — loud, not wrong)
+      """WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'roundtrip oracle: non-printable-ASCII text - demo vocab coverage is ASCII-only')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         )
+         SELECT doc_id, md5(text) AS orig_md5, md5(text) AS dec_md5
+         FROM documents, chk
+         WHERE chk.ok = 0 AND text IS NOT NULL
+         ORDER BY doc_id""",
     "q_bpe_offsets" ->
       // token offsets restated from first principles: word starts are
       // prefix sums of word lengths + 1 separator over the single-space

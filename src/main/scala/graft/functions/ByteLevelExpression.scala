@@ -120,6 +120,38 @@ case class VocabIds(child: Expression, vocab: Seq[String], unkId: Int)
     copy(child = newChild)
 }
 
+/** `UnicodeToBytes(str)` — invert [[ByteLevel.map]] on a STRING column:
+  * mapped symbol text back to the raw bytes it encodes, decoded as UTF-8.
+  * With [[VocabIds]]' inverse lookup this closes the byte-level
+  * round trip: `decode(encode(text)) = text` for any input (the byte map
+  * is a bijection and merges only regroup symbols). Chars outside the
+  * bijection fail loudly — they cannot have come from the encoder.
+  */
+case class UnicodeToBytes(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "unicode_to_bytes"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${child.dataType.catalogString}")
+
+  def unmap(s: UTF8String): UTF8String = ByteLevel.unmap(s)
+
+  override protected def nullSafeEval(input: Any): Any =
+    unmap(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unmapBytes", this, classOf[UnicodeToBytes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.unmap($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `BytesToUnicodeWords(words)` — apply [[ByteLevel.map]] to every element
   * of an `array<string>` column: the byte-level pretokenized pieces become
   * merge-ready symbol strings. One native walk per piece, inside the

@@ -199,6 +199,24 @@ object Bpe {
     GraftShims.toColumn(graft.functions.VocabIds(
       GraftShims.toExpression(docSymbols(enc)), vocab, unkId))
 
+  /** Invert the byte-level path: token ids → vocabulary symbols →
+    * unmapped bytes → text. EXACT inverse of
+    * `tokenIds(byteLevelEncode(text), vocab)` whenever the vocabulary
+    * covers every symbol the encoder emits (all single mapped chars
+    * present in the corpus plus the merge outputs) — byte-level BPE is
+    * lossless, and this is the law that says so (q_bpe_roundtrip states
+    * it under the oracle). An out-of-range id fails loudly; the decoder
+    * never invents bytes.
+    */
+  def byteLevelDecode(ids: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "byteLevelDecode: empty vocabulary")
+    val sym = transform(ids, i =>
+      coalesce(element_at(lit(vocab.toArray), i + 1),
+        raise_error(concat(lit("byteLevelDecode: id out of range: "), i))))
+    GraftShims.toColumn(graft.functions.UnicodeToBytes(
+      GraftShims.toExpression(array_join(sym, ""))))
+  }
+
   /** Number of symbols in an encoded string = its count of Open chars. */
   def symbolCount(enc: Column): Column =
     (length(enc) - length(replace(enc, lit(Open), lit("")))).cast("long")

@@ -96,6 +96,29 @@ class BpeByteLevelSpec extends SparkSpec {
     assert(wIds == Seq(0, 0))
   }
 
+  test("byteLevelDecode round-trips arbitrary content incl. non-ASCII") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    // full coverage for THIS text: all its mapped chars + merge outputs
+    val text = "the café\nhad\tthé & 日本 text"
+    val mapped = Seq(text).toDF("t")
+      .select(Bpe.docSymbols(Bpe.byteLevelEncode(col("t"), Nil))).as[Seq[String]].head()
+    val vocab = (mapped ++ merges.map { case (a, b) => a + b }).distinct
+    val back = Seq(text).toDF("t")
+      .select(Bpe.byteLevelDecode(
+        Bpe.tokenIds(Bpe.byteLevelEncode(col("t"), merges), vocab, unkId = vocab.size),
+        vocab)).as[String].head()
+    assert(back == text)
+    // a coverage gap fails loudly instead of inventing bytes
+    val ex = intercept[Exception] {
+      Seq("zzz").toDF("t")
+        .select(Bpe.byteLevelDecode(
+          Bpe.tokenIds(Bpe.byteLevelEncode(col("t"), Nil), Seq("a"), unkId = 1),
+          Seq("a"))).as[String].head()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.contains("id out of range"))), ex.toString)
+  }
+
   test("null text encodes to empty") {
     val enc = Seq(Option.empty[String]).toDF("t")
       .select(Bpe.byteLevelEncode(col("t"), Nil)).as[String].head()
