@@ -2971,6 +2971,33 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_pack_ids" -> ((s, d) => {
+      // the COMPLETE pretraining data path in one declarative plan: raw
+      // text → byte-level BPE → vocabulary ids (unk = -1) → materialized
+      // fixed-length training rows, with the loss mask marking real
+      // (non-unk) tokens. Composes q_bpe_ids' tokenizer with
+      // q_pack_tokens' packer; the oracle replays BOTH ends.
+      val docs = t(s, d, "documents").withColumn("__ids",
+        graft.llm.Bpe.tokenIds(
+          graft.llm.Bpe.byteLevelEncode(
+            regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " "),
+            byteLevelDemoMerges),
+          byteBpeDemoVocab, unkId = -1))
+      val msk = transform(col("__ids"), i => i =!= -1)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokens(docs, col("doc_id"), col("__ids"), msk, 256,
+          shard, padId = -2)
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "q_unigram_score" -> ((s, d) =>
       // unigram-LM scoring: corpus vocab (1 shuffle) broadcast against
       // exploded tokens — integer sufficient statistics, exact cross-engine
@@ -5080,6 +5107,76 @@ object SparkEntry {
            FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
          SELECT doc_id, shard, seq_id, off AS seq_offset
          FROM r ORDER BY doc_id""",
+    "q_pack_ids" ->
+      // q_bpe_ids' tokenizer replay (pretokenize → map → merge chain →
+      // list_position ids) feeding q_pack_tokens' sequence rebuild
+      // (cumsum starts, cut slices, offset-ordered flatten, padding)
+      s"""WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'pack-ids oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), nrm AS (
+           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0
+         ), enc AS (
+           SELECT doc_id, list_transform(
+                    regexp_extract_all(t,
+                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| '),
+                    p -> ${byteLevelReplaceChainSql(
+                      bpeWrapSqlOf("replace(p, ' ', 'Ġ')"))}) AS encs
+           FROM nrm
+         ), sym AS (
+           SELECT doc_id, flatten(list_transform(encs, e ->
+                    CASE WHEN length(e) <= 2 THEN CAST([] AS VARCHAR[])
+                         ELSE string_split(substr(e, 2, length(e) - 2),
+                                           '$bpeC$bpeO') END)) AS syms
+           FROM enc
+         ), tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  list_transform(syms, s -> CAST(coalesce(
+                    list_position([${byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}],
+                      s) - 1, -1) AS INT)) AS toks,
+                  list_transform(syms, s -> list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) IS NOT NULL)
+                    AS msk,
+                  CAST(len(syms) AS BIGINT) AS n
+           FROM sym WHERE len(syms) > 0),
+         st AS (
+           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n AS strt
+           FROM tk),
+         pc AS (
+           SELECT *, unnest(generate_series(
+                       CAST(FLOOR(strt / 256.0) AS BIGINT),
+                       CAST(FLOOR((strt + n - 1) / 256.0) AS BIGINT))) AS seq_id
+           FROM st),
+         pieces AS (
+           SELECT shard, seq_id,
+                  GREATEST(strt - seq_id * 256, 0) AS off,
+                  list_slice(toks, GREATEST(seq_id * 256 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 256 - strt, n)) AS ptok,
+                  list_slice(msk, GREATEST(seq_id * 256 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 256 - strt, n)) AS pmsk
+           FROM pc),
+         asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(ptok ORDER BY off)) AS ids0,
+                  flatten(list(pmsk ORDER BY off)) AS mk0
+           FROM pieces GROUP BY shard, seq_id),
+         fin AS (
+           SELECT shard, seq_id, len(ids0) AS n_real,
+                  ids0 || list_transform(range(256 - len(ids0)), x -> -2) AS ids,
+                  mk0 || list_transform(range(256 - len(ids0)), x -> false) AS mk
+           FROM asm)
+         SELECT shard, seq_id,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                CAST(n_real AS INT) AS n_real
+         FROM fin ORDER BY shard, seq_id""",
     "q_pack_tokens" ->
       // every sequence rebuilt from first principles: per-shard start
       // positions by window cumsum, per-sequence pieces by list_slice at
