@@ -395,9 +395,18 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
   // contract itself is the producer's.
   private val seen = scala.collection.mutable.HashSet.empty[String]
   @volatile private var highWater: String = ""
+  // per-trigger listing memo: latestOffset's discovery serves the same
+  // trigger's planInputPartitions/reportLatestOffset (each a fresh FS
+  // listing otherwise — 3× the object-store LIST cost per trigger); a
+  // replayed batch after restart sees the memo empty and lists fresh
+  @volatile private var lastListing: Seq[String] = Nil
+
+  private def listing(): Seq[String] =
+    if (lastListing.nonEmpty) lastListing else discover()
 
   private def discoverChecked(): Seq[String] = {
     val all = discover()
+    lastListing = all
     if (highWater.nonEmpty) {
       val late = all.filter(f => f <= highWater && !seen.contains(f))
       require(late.isEmpty,
@@ -444,7 +453,7 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
   }
 
   override def reportLatestOffset(): Offset = {
-    val all = discover()
+    val all = listing()
     if (all.isEmpty) TarNameOffset("") else TarNameOffset(all.last)
   }
 
@@ -452,7 +461,7 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
     val s = start.asInstanceOf[TarNameOffset].maxName
     val e = end.asInstanceOf[TarNameOffset].maxName
     if (e > highWater) highWater = e
-    discover().filter(f => f > s && f <= e).map(TarInputPartition).toArray
+    listing().filter(f => f > s && f <= e).map(TarInputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
