@@ -119,6 +119,33 @@ class BpeByteLevelSpec extends SparkSpec {
       .exists(t => Option(t.getMessage).exists(_.contains("id out of range"))), ex.toString)
   }
 
+  test("roundtrip law on random unicode corpora and arbitrary merge tables (property)") {
+    val rnd = new scala.util.Random(4242)
+    // CODE POINTS (an astral char is two Java chars - indexing a string
+    // by char would forge lone surrogates, which are not valid text);
+    // includes the reserved delimiters, CJK, and an astral emoji
+    val pool: IndexedSeq[String] =
+      ("abc XYZ09.,!?'\n\t\u0001\u0002".map(_.toString) ++
+        Seq("\u00e9", "\u4e2d", "\u6587", "\ud83d\ude42")).toIndexedSeq
+    for (_ <- 0 until 12) {
+      val text = Seq.fill(3 + rnd.nextInt(40))(pool(rnd.nextInt(pool.size))).mkString
+      // ANY merge list is roundtrip-safe (merges only regroup symbols):
+      // random pairs over the text's mapped chars, some stacked two deep
+      val chars = Seq("a", "b", "Ġ", "Ã", "X", ".", "Ċ")
+      val merges = Seq.fill(rnd.nextInt(6))((chars(rnd.nextInt(chars.size)),
+        chars(rnd.nextInt(chars.size)))) ++
+        Seq(("ab", "Ġ"), ("Ġ", "ab")).take(rnd.nextInt(3))
+      val df = Seq(text).toDF("t")
+      val vocab = df.select(Bpe.docSymbols(Bpe.byteLevelEncode(col("t"), merges)))
+        .as[Seq[String]].head().distinct
+      val back = df.select(Bpe.byteLevelDecode(
+          Bpe.tokenIds(Bpe.byteLevelEncode(col("t"), merges), vocab, unkId = vocab.size),
+          vocab)).as[String].head()
+      assert(back == text,
+        s"roundtrip broke for merges=$merges text=${text.take(40)}…")
+    }
+  }
+
   test("null text encodes to empty") {
     val enc = Seq(Option.empty[String]).toDF("t")
       .select(Bpe.byteLevelEncode(col("t"), Nil)).as[String].head()
