@@ -33,7 +33,7 @@ object BuiltinComponents {
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, blockDomains, sqlExpr, sqlWhere, assignSplit, domainCap,
-      chunkText, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
+      chunkText, sentenceChunk, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
       redactSpans, convertSpansFilter, sidecarJoin),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
@@ -818,6 +818,26 @@ object BuiltinComponents {
       graft.llm.Chunk.chunkField(df, cfg.str("Field"),
           cfg.int("Width", 256L).toInt, cfg.int("Overlap", 0L).toInt, ix)
         .withColumn(ix, col(ix).cast("string")) // schema-lite string fields
+    })
+
+  val sentenceChunk: FilterDesc = mkFilter("SentenceChunk",
+    "Explodes each record into its sentences (deterministic list-free " +
+      "terminal-punctuation boundary rule): the sentence replaces the " +
+      "field, the 0-based sentence index lands in IndexField. Map-only.",
+    Seq(
+      ConfigKey("Field", "text field to segment (replaced by the sentence)",
+        required = true),
+      ConfigKey("IndexField", "field receiving the sentence index",
+        default = Some("sentence_ix"))))(
+    (_, cfg) => { df =>
+      val f = cfg.str("Field")
+      val ix = cfg.str("IndexField", "sentence_ix")
+      val out = df.columns
+      df.select(out.filterNot(c => c == f || c == ix).map(col) :+
+          posexplode(graft.functions.TextFunctions.sentences(col(f)))
+            .as(Seq(ix, f)): _*)
+        .withColumn(ix, col(ix).cast("string")) // schema-lite string fields
+        .select((out.filterNot(_ == ix) :+ ix).map(col): _*)
     })
 
   val domainCap: FilterDesc = mkPureFilter("DomainCap",

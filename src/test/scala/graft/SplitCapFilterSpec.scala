@@ -57,6 +57,21 @@ class SplitCapFilterSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(Set("train", "valid", "test")))
   }
 
+  test("SentenceChunk explodes records into sentences with sibling fields intact") {
+    val rows = Seq("1;en;One two. Three! Done", "2;fr;")
+    val got = runToml(rows, Seq("id", "lang", "text", "sentence_ix"),
+      """[[filter]]
+        |name = "SentenceChunk"
+        |  [filter.config]
+        |  Field = "text"""".stripMargin,
+      Seq("id", "lang", "text", "sentence_ix"))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got == Seq(
+      ("1", "en", "One two.", "0"), ("1", "en", "Three!", "1"),
+      ("1", "en", "Done", "2")))
+    // the empty doc explodes to zero sentences, like ChunkText's contract
+  }
+
   test("ChunkText explodes records into overlapping chunks with sibling fields intact") {
     val rows = Seq("1;en;a b c d e f g", "2;fr;")
     val got = runToml(rows, Seq("id", "lang", "text", "chunk_ix"),
