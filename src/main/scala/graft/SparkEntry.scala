@@ -1910,6 +1910,16 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    "q_percentile_rank" -> ((s, d) =>
+      // per-stratum score calibration: cume_dist semantics from a
+      // histogram-only window joined back — the corpus never enters a
+      // window; exact-integer division, so the doubles match the SQL
+      // cume_dist bit for bit
+      graft.llm.Mix.percentileRank(t(s, d, "documents"), col("lang"),
+          col("n_chars"))
+        .select("doc_id", "lang", "percentile")
+        .orderBy("doc_id")),
+
     "q_sample_n" -> ((s, d) =>
       // exactly-75 deterministic sample by md5(seed|id) order — the
       // count-exact sibling of rate sampling; one bounded CollectTopK,
@@ -4063,6 +4073,11 @@ object SparkEntry {
                                               doc_id) AS rn
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "q_percentile_rank" ->
+      """SELECT doc_id, lang,
+                cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)
+                  AS percentile
+         FROM documents ORDER BY doc_id""",
     "q_sample_n" ->
       """SELECT doc_id, lang FROM documents
          ORDER BY md5('r11|' || CAST(doc_id AS VARCHAR)), doc_id

@@ -438,6 +438,41 @@ object Mix {
       .groupBy("stratum").agg(min(col("__v")).as("threshold"))
   }
 
+  /** Per-stratum PERCENTILE of an integer score (`cume_dist` semantics:
+    * the fraction of the stratum's scored rows with value ≤ this row's) —
+    * the calibration step that makes raw quality scores comparable across
+    * languages/sources before a global cut or a curriculum order.
+    *
+    * Scale shape, same family as [[quantileThresholds]]: the window runs
+    * over the (stratum, score) HISTOGRAM only, never the corpus; the
+    * corpus then key-joins the ranked histogram back (broadcast when it
+    * fits — the usual case for micro-unit scores — AQE decides
+    * otherwise). The percentile is a division of exact integers, so both
+    * engines produce the identical double. Null scores get a null
+    * percentile and never enter the distribution.
+    */
+  def percentileRank(df: DataFrame, strata: Column, scoreInt: Column,
+      dstCol: String = "percentile"): DataFrame = {
+    for (c <- Seq("__pr_s", "__pr_v", "__pr_p", "__pr_c"))
+      require(!df.columns.contains(c),
+        s"percentileRank: input column '$c' collides with an internal name")
+    val hist = df.select(strata.as("__pr_s"), scoreInt.cast("long").as("__pr_v"))
+      .filter(col("__pr_v").isNotNull)
+      .groupBy("__pr_s", "__pr_v").agg(count(lit(1)).as("__pr_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pr_s").orderBy("__pr_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("__pr_s")
+    val ranked = hist.withColumn("__pr_p",
+        sum(col("__pr_c")).over(w).cast("double") / sum(col("__pr_c")).over(wAll))
+      .select("__pr_s", "__pr_v", "__pr_p")
+    df.join(ranked,
+        strata === col("__pr_s") && scoreInt.cast("long") === col("__pr_v"), "left")
+      .withColumn(dstCol, col("__pr_p"))
+      .drop("__pr_s", "__pr_v", "__pr_p")
+  }
+
   /** Apply [[quantileThresholds]]: keep rows whose `scoreInt` is strictly
     * above their stratum's threshold. Thresholds broadcast (one row per
     * stratum); the corpus never shuffles. A stratum absent from the

@@ -378,6 +378,33 @@ class MixSpec extends SparkSpec {
     assert(keptN.intersect((100L to 109L).toSet).isEmpty)
   }
 
+  test("percentileRank: cume_dist per stratum, null scores null, no corpus window") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 40L), ("b", 5L))
+      .toDF("k", "s").withColumn("id", monotonically_increasing_id())
+    val got = Mix.percentileRank(df, col("k"), col("s"))
+      .select("k", "s", "percentile").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 10L)) == 0.25)
+    assert(got(("a", 20L)) == 0.75) // ties share the cumulative rank
+    assert(got(("a", 40L)) == 1.0)
+    assert(got(("b", 5L)) == 1.0)
+    // null score → null percentile, and it never shifts the others
+    val withNull = df.unionByName(
+      Seq(("a", Option.empty[Long])).toDF("k", "s")
+        .withColumn("id", lit(99L)))
+    val n = Mix.percentileRank(withNull, col("k"), col("s"))
+    assert(n.filter(col("s").isNull).select("percentile").collect().head.isNullAt(0))
+    assert(n.filter(col("s") === 10L).select("percentile")
+      .collect().head.getDouble(0) == 0.25)
+    // the window runs over the histogram, never the corpus: plan has a
+    // Window whose input is the aggregated (stratum, score) frame
+    val plan = Mix.percentileRank(df, col("k"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("sampleN: exactly n, deterministic, seed-sensitive, partitioning-stable") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "t")
