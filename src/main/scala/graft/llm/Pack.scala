@@ -139,20 +139,35 @@ object Pack {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy("__shard").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the window's shard exchange, taken EARLY and explicitly: for a real
+    // tokenizer the token column is the expensive part, and every
+    // reference the optimizer can reach re-evaluates it — an empty-doc
+    // FILTER here pushed `size(<tokenizer chain>) > 0` all the way into
+    // the parquet scan's data filters, and the mask column carried a
+    // second inlined copy (measured: the native BPE chain appeared at 3
+    // evaluation sites, q_pack_ids 3.8 s at sf0.1 → 1.5 s after this
+    // restructure). An exchange is a MATERIALIZATION point: tokens are
+    // computed once below it; the mask and length derive from exchanged
+    // DATA above it; the empty-doc drop becomes an explode-empty guard
+    // (nothing for a predicate to push); and the window reuses this very
+    // partitioning, so the plan still holds exactly ONE exchange.
     val base = df
       .withColumn("__shard", shard)
       .withColumn("__tok", tokensCol)
+      .repartition(col("__shard"))
       .withColumn("__msk", maskCol)
       .withColumn("__len", size(col("__tok")).cast("long"))
-      .filter(col("__len") > 0)
       .withColumn("__start", sum(col("__len")).over(w) - col("__len"))
     // each doc → one piece per sequence it touches; all slicing is local
     // arithmetic on the row, nothing global
     val b = lit(budget.toLong)
     val pieces = base.select(col("__shard").as("shard"),
         col("__start"), col("__tok"), col("__msk"), col("__len"),
-        explode(sequence(floor(col("__start") / b),
-          floor((col("__start") + col("__len") - 1) / b))).as("seq_id"))
+        // empty documents explode to zero pieces (sequence(x, x-1) would
+        // throw); they already contributed 0 to every cumulative start
+        explode(when(col("__len") > 0, sequence(floor(col("__start") / b),
+            floor((col("__start") + col("__len") - 1) / b)))
+          .otherwise(array().cast("array<long>"))).as("seq_id"))
       .withColumn("__from", greatest(col("seq_id") * b - col("__start"), lit(0L)))
       .withColumn("__to",
         least((col("seq_id") + 1) * b - col("__start"), col("__len")))
