@@ -680,6 +680,9 @@ object Dedup {
     */
   def assignSplitsLeakageSafe(df: DataFrame, pairs: DataFrame, idCol: String,
       seed: String, splits: Seq[(String, Double)]): DataFrame = {
+    for (c <- Seq("__lsid", "__lscomp"))
+      require(!df.columns.contains(c),
+        s"assignSplitsLeakageSafe: input column '$c' collides with an internal name")
     val comps = connectedComponents(pairs)
       .withColumnRenamed("id", "__lsid").withColumnRenamed("component", "__lscomp")
     Mix.assignSplits(df.join(comps, col(idCol) === col("__lsid"), "left"),
