@@ -22,6 +22,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** Session-scoped root for the queries that materialize an at-rest
+    * store (stream fixtures, serving promotions, topology recipes):
+    * everything lands under ONE temp directory that a shutdown hook
+    * removes, so a long driver session sweeping the query map repeatedly
+    * doesn't accumulate orphaned parquet under /tmp.
+    */
+  private lazy val qTmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-qtmp")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def qTmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(qTmpRoot, tag).toString
+
   /** Deterministic fernet key for the Crypt roundtrip query/tests. */
   val testKey: String = Fernet.keyFromPassphrase("graft-test-key")
 
@@ -1576,7 +1598,7 @@ object SparkEntry {
       // unmaterialized, the interpreted-HOF signature pass would rerun
       // per reference (measured 2× at sf0.1). Same write-once/read-many
       // store pattern as the at-rest index queries.
-      val dir = java.nio.file.Files.createTempDirectory("graft-simrec-q").toString
+      val dir = qTmpDir("simrec-q")
       docs.select(col("doc_id"), sigCol.as("sig"),
           array_distinct(TF.shingles(col("text"), 3)).as("g"))
         .write.mode("overwrite").parquet(s"$dir/base")
@@ -1600,8 +1622,13 @@ object SparkEntry {
         .groupBy("radius")
         .agg(count(lit(1)).as("truth_pairs"),
           sum(when(col("ham") <= col("radius"), 1L).otherwise(0L)).as("caught_pairs"))
-        .withColumn("recall", round(col("caught_pairs").cast("double") /
-          col("truth_pairs"), 4))
+        // recall in integer BASIS POINTS (floor(caught·10000/truth)) — the
+        // one engine-formatting-sensitive surface this query had was a
+        // rounded DOUBLE recall column; the integer pair already carries
+        // the measurement, and floor of small-integer division is exact
+        // in both engines
+        .withColumn("recall_bp", floor(col("caught_pairs") * 10000.0 /
+          col("truth_pairs")).cast("long"))
         .orderBy("radius")
     }),
 
@@ -1710,7 +1737,7 @@ object SparkEntry {
       // store holds exactly the rows a one-shot encode would, so the
       // oracle is q_ann_pq's verbatim
       val emb = t(s, d, "embeddings")
-      val dir = java.nio.file.Files.createTempDirectory("graft-pqstream-q").toString
+      val dir = qTmpDir("pqstream-q")
       val fn = graft.streaming.PqIndexStream.batchFunction(
         graft.streaming.PqIndexStream.pq("vec_id", "embedding", pqDemoModel), dir)
       fn(emb.filter(col("vec_id") % 2 === 0), 0L)
@@ -1734,7 +1761,7 @@ object SparkEntry {
       // outside the probed cells can't join), so the oracle is
       // q_ann_ivfpq's verbatim.
       val emb = t(s, d, "embeddings")
-      val base = java.nio.file.Files.createTempDirectory("graft-serving-q").toString
+      val base = qTmpDir("serving-q")
       val fn = graft.streaming.PqIndexStream.batchFunction(
         graft.streaming.PqIndexStream.ivfPq("vec_id", "embedding",
           ivfPqCoarse, pqDemoModel), s"$base/store")
@@ -1857,7 +1884,7 @@ object SparkEntry {
       // pass over the STORE, never the corpus; deleted docs are
       // unreturnable from the instant their postings partitions commit.
       val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft-rtbf-q").toString
+      val dir = qTmpDir("rtbf-q")
       val fn = graft.streaming.LexicalIndexStream.batchFunction(
         "doc_id", "text", dir)
       fn(docs.filter(col("doc_id") % 2 === 0), 0L)
@@ -2197,7 +2224,7 @@ object SparkEntry {
       // 100 TB costs this join + two map stages; the corpus and taggers
       // are untouched.
       val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft-recipe-q").toString
+      val dir = qTmpDir("recipe-q")
       val s1 = (col("doc_id") % 4).cast("int")
       graft.llm.Attributes.tag(docs, "doc_id", Seq(
           "score" -> round(TF.qualityScore(col("text")) * 10000).cast("long"),
@@ -2370,7 +2397,7 @@ object SparkEntry {
       // back through the JsonLines input (one parse per line, fields by
       // key), filters in SQL and projects — proving a user can ingest a
       // Dolma/FineWeb-style corpus from config alone
-      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-q").toString
+      val dir = qTmpDir("jsonl-q")
       t(s, d, "documents").select(
           to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
         .coalesce(1).write.mode("overwrite").text(dir)
@@ -2399,7 +2426,7 @@ object SparkEntry {
       // the WebDataset input (reader-side sample grouping, ext pruning),
       // filters in SQL and projects — a user curates a tar corpus from
       // config alone
-      val dir = java.nio.file.Files.createTempDirectory("graft-wds-q").toString
+      val dir = qTmpDir("wds-q")
       val docs = t(s, d, "documents").filter(length(col("text")) >= 50)
       val members = docs.select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
           lit("txt").as("ext"), col("text").substr(1, 50).cast("binary").as("payload"))
@@ -3898,8 +3925,8 @@ object SparkEntry {
          ), r AS (SELECT unnest([2, 4, 6]) AS radius)
          SELECT r.radius, count(*) AS truth_pairs,
                 sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END) AS caught_pairs,
-                round(sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 4) AS recall
+                (sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END) * 10000)
+                  // count(*) AS recall_bp
          FROM r CROSS JOIN ham GROUP BY r.radius ORDER BY radius""",
     "q_dedup_cc_verified" ->
       // recursive min-label closure over the exact pair graph: a doc dies

@@ -145,6 +145,19 @@ object Bpe {
     * run attached to the following word (" ?\p{L}+" then claims it). Java
     * regex supports the lookahead, so pretokenization is the built-in
     * `regexp_extract_all` — no custom expression needed.
+    *
+    * KNOWN DIVERGENCE from the reference tokenizer, deliberate: `\s` here
+    * is Java-regex ASCII whitespace, while GPT-2's `encoder.py` runs
+    * under Python's `regex` module where `\s` is Unicode — text holding
+    * U+00A0/U+2028-class whitespace pretokenizes differently (those chars
+    * fall into the `[^\s\p{L}\p{N}]+` "other" run here instead of a
+    * whitespace run). The ASCII stance is shared by
+    * [[graft.functions.BpeEncodeOffsets]].isSpace and by every external
+    * oracle (DuckDB's RE2 `\s` is ASCII too, and `(?U)` has no RE2
+    * equivalent), so the engine is self-consistent and oracle-checkable;
+    * byte-level encoding stays LOSSLESS either way — only token
+    * boundaries around exotic whitespace differ from a published GPT-2
+    * merge table's.
     */
   val Gpt2SplitPattern: String =
     """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""

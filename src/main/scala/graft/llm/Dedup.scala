@@ -637,13 +637,22 @@ object Dedup {
     * corpus-sized), the per-cluster argmax is the bounded CollectTopK of
     * [[graft.llm.Mix.capPerKey]] (map-side partial keeps one row per
     * cluster per partition), and survivors return via anti-join on the
-    * doomed-id set — the corpus is scanned, never shuffled. `score` must
-    * be non-null and numeric (cast in the caller).
+    * doomed-id set — the corpus is scanned, never shuffled.
+    *
+    * Null scores rank BELOW every real score (coalesced to −∞ before
+    * ranking), so a cluster whose every member has a null score still
+    * keeps its smallest id — without the coalesce the top-k would have no
+    * ranked member for such a cluster and EVERY copy of that content
+    * would silently die, which is never the right dedup outcome. Callers
+    * that consider a null score a data error should validate upstream
+    * (the TOML `NearDupDedup KeepBest` surface does: a non-numeric score
+    * string fails loudly instead of casting to null).
     */
   def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
       score: Column): DataFrame = {
     val comps = connectedComponents(pairs) // (id, component), roots included
-    val scored = df.select(col(idCol).as("id"), score.cast("double").as("__s"))
+    val scored = df.select(col(idCol).as("id"),
+        coalesce(score.cast("double"), lit(Double.NegativeInfinity)).as("__s"))
       .join(comps, "id")
     val keep = Mix.capPerKey(scored, col("component"),
         struct((-col("__s")).as("negScore"), col("id").as("tieId")), "id", n = 1)

@@ -448,8 +448,10 @@ object Mix {
     * corpus then key-joins the ranked histogram back (broadcast when it
     * fits — the usual case for micro-unit scores — AQE decides
     * otherwise). The percentile is a division of exact integers, so both
-    * engines produce the identical double. Null scores get a null
-    * percentile and never enter the distribution.
+    * engines produce the identical double. Null scores — and rows whose
+    * STRATUM is null — get a null percentile and never enter the
+    * distribution (a null stratum can't equi-join the histogram back, so
+    * counting it in would shape a distribution nobody reads).
     */
   def percentileRank(df: DataFrame, strata: Column, scoreInt: Column,
       dstCol: String = "percentile"): DataFrame = {
@@ -457,7 +459,7 @@ object Mix {
       require(!df.columns.contains(c),
         s"percentileRank: input column '$c' collides with an internal name")
     val hist = df.select(strata.as("__pr_s"), scoreInt.cast("long").as("__pr_v"))
-      .filter(col("__pr_v").isNotNull)
+      .filter(col("__pr_v").isNotNull && col("__pr_s").isNotNull)
       .groupBy("__pr_s", "__pr_v").agg(count(lit(1)).as("__pr_c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pr_s").orderBy("__pr_v")

@@ -155,8 +155,20 @@ object Pack {
       .withColumn("__shard", shard)
       .withColumn("__tok", tokensCol)
       .repartition(col("__shard"))
-      .withColumn("__msk", maskCol)
       .withColumn("__len", size(col("__tok")).cast("long"))
+      // loud PER-ROW alignment guard, below the exchange (so the
+      // tokenizer chain still evaluates at exactly one site): the
+      // assembly-time check further down only catches masks SHORTER than
+      // the tokens — slice bounds derive from __len, so a LONGER mask
+      // slices into pieces of exactly the token piece lengths and the
+      // surplus entries would silently drop. Null tokens (empty docs)
+      // pass; a null mask against real tokens is a violation too.
+      .withColumn("__msk", when(col("__len").isNull || size(maskCol) === col("__len"),
+          maskCol)
+        .otherwise(raise_error(concat(
+          lit("packTokens: mask/tokens length mismatch ("),
+          size(maskCol).cast("string"), lit(" vs "),
+          col("__len").cast("string"), lit(")")))))
       .withColumn("__start", sum(col("__len")).over(w) - col("__len"))
     // each doc → one piece per sequence it touches; all slicing is local
     // arithmetic on the row, nothing global

@@ -684,17 +684,40 @@ object TarShards {
       rows: Iterator[(String, String, Array[Byte])] =>
         if (rows.hasNext) {
           val task = TaskContext.getPartitionId()
+          // staging discipline: each shard streams into a dot-prefixed
+          // attempt-unique name and RENAMES to its final name on close —
+          // a speculative or zombie retry attempt never interleaves bytes
+          // into the same open file, and a task that dies mid-write
+          // leaves only dot-files every tar reader (and this source's own
+          // discover()) already skips. If the final name exists, another
+          // attempt won: drop the staging copy (attempts write identical
+          // bytes — the input partition and sort are deterministic).
+          val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
           val fs = new Path(dir).getFileSystem(confGetter())
           fs.mkdirs(new Path(dir))
           var shardIx = -1
           var out: OutputStream = null
+          var staging: Path = null
+          var finalPath: Path = null
           var keysInShard = 0
           var lastKey: String = null
+          def closeCurrent(): Unit = if (out != null) {
+            out.write(new Array[Byte](1024)) // two end-of-archive zero blocks
+            out.close()
+            if (!fs.rename(staging, finalPath)) {
+              if (fs.exists(finalPath)) fs.delete(staging, false)
+              else throw new java.io.IOException(
+                s"tar: rename $staging -> $finalPath failed")
+            }
+            out = null
+          }
           def roll(): Unit = {
-            if (out != null) { out.write(new Array[Byte](1024)); out.close() }
+            closeCurrent()
             shardIx += 1
             val name = f"part-$task%05d-$shardIx%05d$suffix"
-            out = TarSource.wrapOut(name, fs.create(new Path(dir, name), true))
+            finalPath = new Path(dir, name)
+            staging = new Path(dir, s".inprogress-$attempt-$name")
+            out = TarSource.wrapOut(name, fs.create(staging, true))
             keysInShard = 0
           }
           roll()
@@ -709,10 +732,16 @@ object TarShards {
             val name = if (ext == null || ext.isEmpty) key else s"$key.$ext"
             writeEntry(out, name, payload)
           }
-          out.write(new Array[Byte](1024)) // two end-of-archive zero blocks
-          out.close()
+          closeCurrent()
         }
     }
+    // job-level completion marker: a partial shard set (the job died
+    // after some tasks committed) is now DISTINGUISHABLE from a complete
+    // one — consumers that care check for _SUCCESS; the tar reader itself
+    // skips underscore files, so the marker never reads as a shard.
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(dir)) // zero-partition writes still mark success
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
   /** One ustar entry (header + padded data); GNU 'L' member for long names. */

@@ -920,8 +920,17 @@ object BuiltinComponents {
       val cap = cfg.int("MaxBucketSize", 0L).toInt
       (cfg.strOpt("KeepBest"), cfg.strOpt("StoreSigs"), cfg.strOpt("StoreCorpus")) match {
         case (Some(scoreField), None, None) =>
-          graft.llm.Dedup.minhashDedupCCBest(df, id, tf,
-            score = col(scoreField).cast("double"), thr, p, b, k, cap)
+          // loud cast: a non-numeric score STRING would cast to null and
+          // silently rank last — on a config surface that's a typo'd
+          // field, not a ranking decision, so fail the job instead.
+          // Genuinely-null fields stay null (keepBestPerCluster ranks
+          // them below every real score).
+          val score = when(col(scoreField).isNotNull &&
+              col(scoreField).cast("double").isNull,
+            raise_error(concat(lit(s"NearDupDedup: KeepBest field '$scoreField' " +
+              "holds a non-numeric value: "), col(scoreField).cast("string"))))
+            .otherwise(col(scoreField).cast("double"))
+          graft.llm.Dedup.minhashDedupCCBest(df, id, tf, score, thr, p, b, k, cap)
         case (Some(_), _, _) => throw new IllegalArgumentException(
           "NearDupDedup: KeepBest applies to batch mode only (an at-rest " +
             "store's keep decisions are already committed)")

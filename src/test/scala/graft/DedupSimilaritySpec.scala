@@ -542,6 +542,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(2L, 10L, 20L))
   }
 
+  test("keepBestPerCluster: null scores rank last, an all-null cluster " +
+      "still keeps its min id (never the empty set)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3}: all scores null -> keep 1 (the coalesce-to--inf
+    // fallback; without it every member would be doomed); cluster
+    // {10,11}: null loses to a real score even a negative one
+    val docs = Seq[(Long, Option[Double])]((1L, None), (2L, None), (3L, None),
+        (10L, None), (11L, Some(-4.0)), (20L, None))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+    val kept = graft.llm.Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 11L, 20L))
+  }
+
   test("assignSplitsLeakageSafe: a near-dup cluster shares ONE split") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "t")

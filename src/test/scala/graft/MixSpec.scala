@@ -397,6 +397,16 @@ class MixSpec extends SparkSpec {
     assert(n.filter(col("s").isNull).select("percentile").collect().head.isNullAt(0))
     assert(n.filter(col("s") === 10L).select("percentile")
       .collect().head.getDouble(0) == 0.25)
+    // null STRATA are symmetric with null scores: the row gets a null
+    // percentile and never shapes any distribution (it can't equi-join
+    // the histogram back, so counting it in would be write-only state)
+    val withNullK = Seq((Option("a"), 10L), (Option("a"), 20L),
+        (Option.empty[String], 99L))
+      .toDF("k", "s")
+    val nk = Mix.percentileRank(withNullK, col("k"), col("s"))
+    assert(nk.filter(col("k").isNull).select("percentile").collect().head.isNullAt(0))
+    assert(nk.filter(col("s") === 20L).select("percentile")
+      .collect().head.getDouble(0) == 1.0)
     // the window runs over the histogram, never the corpus: plan has a
     // Window whose input is the aggregated (stratum, score) frame
     val plan = Mix.percentileRank(df, col("k"), col("s"))

@@ -106,6 +106,41 @@ class NearDupFilterSpec extends SparkSpec {
     assert(BuiltinComponents.Recorder.last.map(_.getString(0)).toSet == Set("2", "3"))
   }
 
+  test("KeepBest on a non-numeric field is a loud data error, not a " +
+      "silent null rank") {
+    val dir = tmpDir()
+    val data = new File(dir, "in.csv")
+    java.nio.file.Files.write(data.toPath, java.util.List.of(
+      s"1;not-a-number;$base",
+      s"2;0.9;${base.replace("lazy", "sleepy")}"))
+    val toml =
+      s"""[csv]
+         |field_separator = 59
+         |[fields]
+         |names = ["id", "score", "text"]
+         |[input]
+         |name = "List"
+         |  [input.config]
+         |  Files = ["$data"]
+         |  MatchPath = ".*\\\\.csv"
+         |[[filter]]
+         |name = "NearDupDedup"
+         |  [filter.config]
+         |  IdField = "id"
+         |  Field = "text"
+         |  KeepBest = "score"
+         |[output]
+         |name = "Recorder"
+         |fields = ["id"]
+         |""".stripMargin
+    val e = intercept[Exception](
+      Topology.compileToml(spark, toml, BuiltinComponents.all).run())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("non-numeric")), chain(e).mkString(" | "))
+  }
+
   test("KeepBest with an at-rest store is a loud config error") {
     val e = intercept[Exception](runToml(tmpDir(),
       """  KeepBest = "id"

@@ -96,6 +96,13 @@ class PackTokensSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("mask LONGER than tokens fails loudly too (slice bounds derive " +
+      "from the token length, so the surplus would silently drop)") {
+    val df = docs((1L, Seq(1, 2, 3), Seq(true, false, true, true, false)))
+    val e = intercept[Exception](pack(df, 4).collect())
+    assert(e.getMessage != null)
+  }
+
   test("end to end: piiSpans -> encodeWithOffsets -> spanOverlapMask -> " +
       "packTokens: packed loss mask flags exactly the PII tokens") {
     import spark.implicits._

@@ -53,6 +53,12 @@ class TarSourceSpec extends SparkSpec {
         r.getString(3), r.getLong(4))).toSet
     assert(back == samples.map { case (k, e, t) =>
       (k, e, t, s"$k.$e", t.getBytes(UTF_8).length.toLong) }.toSet)
+    // staged-commit discipline: every shard was renamed from its
+    // dot-prefixed staging name (none left behind), and the job marked
+    // completion so a partial shard set is distinguishable from a full one
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.exists(_.startsWith(".inprogress")), left.toString)
+    assert(left.contains("_SUCCESS"), left.toString)
   }
 
   test("grouped reader assembles adjacent members into samples") {
@@ -105,7 +111,8 @@ class TarSourceSpec extends SparkSpec {
     for (comp <- Seq("gzip", "zstd")) {
       val dir = tmp(s"tar-$comp")
       TarShards.write(samplesDf, dir, compression = comp, numTasks = 1)
-      val files = new java.io.File(dir).list().toSeq.filterNot(_.startsWith("."))
+      val files = new java.io.File(dir).list().toSeq
+        .filterNot(f => f.startsWith(".") || f.startsWith("_"))
       assert(files.forall(_.endsWith(if (comp == "gzip") ".tar.gz" else ".tar.zst")), files)
       assert(spark.read.format("tar").load(dir).count() == samples.size)
     }
