@@ -3008,6 +3008,33 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_pack_greedy_rows" -> ((s, d) => {
+      // MATERIALIZED SFT packing: the no-split greedy layout
+      // (q_pack_greedy's assignment) as padded input_ids / segment_ids /
+      // loss_mask training rows (q_pack_tokens' output contract) —
+      // documents stay whole, a sequence opens exactly on would-overflow.
+      // Same numeric tokenization as q_pack_tokens; the oracle replays
+      // the greedy recurrence as a recursive CTE and rebuilds every
+      // array, so the exact layout (ids, doc ordinals, mask, padding)
+      // is compared, not just counts.
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokensGreedy(docs, col("doc_id"), toks, msk, 512,
+          shard, padId = -1)
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "q_pack_ids" -> ((s, d) => {
       // the COMPLETE pretraining data path in one declarative plan: raw
       // text → byte-level BPE → vocabulary ids (unk = -1) → materialized
@@ -5215,6 +5242,68 @@ object SparkEntry {
          SELECT shard, seq_id,
                 md5(array_to_string(list_transform(ids,
                   x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                CAST(n_real AS INT) AS n_real
+         FROM fin ORDER BY shard, seq_id""",
+    "q_pack_greedy_rows" ->
+      // q_pack_greedy's recursive-CTE recurrence (rank docs per shard,
+      // carry (seq_id, fill) rank to rank — a sequence opens exactly on
+      // would-overflow) feeding q_pack_tokens' array rebuild: per
+      // sequence, offset-ordered flatten of whole documents, doc-ordinal
+      // segment ids, padding to the budget, md5 of the joined arrays
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  list_transform(ws, w -> length(w) > 3) AS msk,
+                  CAST(len(ws) AS BIGINT) AS n,
+                  row_number() OVER (
+                    PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
+                    ORDER BY doc_id) AS rn
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         r AS (
+           SELECT shard, rn, toks, msk, n,
+                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
+                  n AS fill
+           FROM tk WHERE rn = 1
+           UNION ALL
+           SELECT tk.shard, tk.rn, tk.toks, tk.msk, tk.n,
+                  CASE WHEN r.fill + tk.n > 512 THEN r.seq_id + 1
+                       ELSE r.seq_id END,
+                  CASE WHEN r.fill + tk.n > 512 THEN CAST(0 AS BIGINT)
+                       ELSE r.fill END,
+                  CASE WHEN r.fill + tk.n > 512 THEN tk.n
+                       ELSE r.fill + tk.n END
+           FROM r JOIN tk ON tk.shard = r.shard AND tk.rn = r.rn + 1),
+         p2 AS (
+           SELECT shard, seq_id, off, toks, msk,
+                  CAST(row_number() OVER (PARTITION BY shard, seq_id
+                    ORDER BY off) - 1 AS INT) AS pidx
+           FROM r),
+         asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(toks ORDER BY off)) AS ids0,
+                  flatten(list(msk ORDER BY off)) AS mk0,
+                  flatten(list(list_transform(toks, x -> pidx)
+                    ORDER BY off)) AS sg0
+           FROM p2 GROUP BY shard, seq_id),
+         fin AS (
+           SELECT shard, seq_id, len(ids0) AS n_real,
+                  ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
+                  sg0 || list_transform(range(512 - len(ids0)), x -> -1) AS sg,
+                  mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk
+           FROM asm)
+         SELECT shard, seq_id,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(sg,
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
                 md5(array_to_string(list_transform(mk,
                   x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
                 CAST(n_real AS INT) AS n_real

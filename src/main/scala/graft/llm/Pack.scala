@@ -213,4 +213,104 @@ object Pack {
       concat(msk, array_repeat(lit(false), nPad)).as("loss_mask"),
       nReal.cast("int").as("n_real"))
   }
+
+  /** MATERIALIZE the no-split greedy layout ([[packGreedy]]'s assignment,
+    * [[packTokens]]'s output): fixed-length `input_ids` / `segment_ids` /
+    * `loss_mask` rows where documents are NEVER cut — the SFT-style
+    * packing (each example must stay whole for its prompt/response
+    * structure to survive), completing the raw-text→training-rows story
+    * for instruction-tuning pipelines the concat-then-chunk form covers
+    * for pretraining. Column semantics match [[packTokens]] exactly
+    * (`segment_ids` = 0-based doc ordinal within the sequence, pad = −1;
+    * `loss_mask` pad = false; `n_real` ≤ `budget`).
+    *
+    * A document longer than `budget` CANNOT be materialized whole into a
+    * `budget`-length row, so it fails loudly — filter or truncate first
+    * (the assignment-only [[packGreedy]] gives such a document an
+    * overflow sequence of its own instead, for callers that only need the
+    * layout). Empty/null token arrays contribute nothing, like
+    * [[packTokens]]; a null or misaligned mask against real tokens fails
+    * loudly, same contract as [[packTokens]]'s per-row guard.
+    *
+    * Scale shape (the same one-exchange contract as [[packTokens]], minus
+    * even the window buffer): ONE hash exchange on `shard`, an
+    * in-partition sort by (`shard`, `orderCol`), then a single STREAMING
+    * pass assembling each sequence with O(`budget`) task state — the
+    * greedy fill is a sequential recurrence with a data-dependent reset
+    * (a sequence opens exactly when the accumulated fill would overflow),
+    * which no window algebra expresses, so this is the §7.2-justified
+    * `mapPartitions` next to [[packGreedy]]'s. Tokens and masks are
+    * materialized by the exchange, so the tokenizer chain evaluates at
+    * exactly one site (the q_pack_ids evaluation-sites lesson).
+    */
+  def packTokensGreedy(df: DataFrame, orderCol: Column, tokensCol: Column,
+      maskCol: Column, budget: Int, shard: Column, padId: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.types._
+    val tagged = df.select(shard.as("__shard"), orderCol.as("__ord"),
+      tokensCol.cast("array<int>").as("__tok"),
+      maskCol.cast("array<boolean>").as("__msk"))
+    val parted = tagged.repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__ord"))
+    val outSchema = StructType(Seq(
+      parted.schema("__shard").copy(name = "shard"),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("input_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("segment_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("loss_mask", ArrayType(BooleanType, containsNull = false),
+        nullable = false),
+      StructField("n_real", IntegerType, nullable = false)))
+    parted.mapPartitions { raw =>
+      // skip empty docs IN-FLIGHT (a plan-level filter would hand the
+      // optimizer a predicate to push below the exchange and duplicate
+      // the tokenizer evaluation — the packTokens trap)
+      val it = raw.filter(r => !r.isNullAt(2) && r.getSeq[Int](2).nonEmpty).buffered
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var curShard: Any = null
+        private var started = false
+        private var seqId = -1L
+        override def hasNext: Boolean = it.hasNext
+        override def next(): org.apache.spark.sql.Row = {
+          val sh = it.head.get(0)
+          if (!started || sh != curShard) { curShard = sh; started = true; seqId = -1L }
+          seqId += 1
+          val ids = Array.fill(budget)(padId)
+          val segs = Array.fill(budget)(-1)
+          val mask = new Array[Boolean](budget)
+          var fill = 0
+          var docIx = 0
+          var open = true
+          while (open && it.hasNext && it.head.get(0) == curShard) {
+            val r = it.head
+            val toks = r.getSeq[Int](2)
+            if (toks.length > budget) throw new IllegalArgumentException(
+              s"packTokensGreedy: document of ${toks.length} tokens exceeds " +
+                s"the $budget budget and can never be packed whole - filter " +
+                "or truncate first (or use packGreedy for assignment only)")
+            if (fill + toks.length > budget) open = false
+            else {
+              val msk = if (r.isNullAt(3)) null else r.getSeq[Boolean](3)
+              require(msk != null && msk.length == toks.length,
+                s"packTokensGreedy: mask/tokens length mismatch (" +
+                  s"${if (msk == null) "null" else msk.length} vs ${toks.length})")
+              var i = 0
+              while (i < toks.length) {
+                ids(fill + i) = toks(i)
+                segs(fill + i) = docIx
+                mask(fill + i) = msk(i)
+                i += 1
+              }
+              fill += toks.length
+              docIx += 1
+              it.next()
+            }
+          }
+          org.apache.spark.sql.Row(curShard, seqId, ids.toSeq, segs.toSeq,
+            mask.toSeq, fill)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -145,4 +145,77 @@ class PackTokensSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  // --- packTokensGreedy (the materialized no-split / SFT layout) ---
+
+  private def packG(df: DataFrame, budget: Int): DataFrame =
+    Pack.packTokensGreedy(df, col("doc_id"), col("toks"), col("msk"), budget,
+      lit(0), padId = -9)
+
+  test("greedy rows: documents stay whole, a sequence opens exactly on " +
+      "would-overflow, layout agrees with packGreedy's assignment") {
+    // doc1: 3, doc2: 4 (would overflow seq 0 at budget 5 -> opens seq 1),
+    // doc3: 1 (fits after doc2)
+    val df = docs(
+      (1L, Seq(10, 11, 12), Seq(true, false, true)),
+      (2L, Seq(20, 21, 22, 23), Seq(false, false, true, true)),
+      (3L, Seq(30), Seq(true)))
+    val out = packG(df, 5).orderBy("seq_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Int](2) == Seq(10, 11, 12, -9, -9))
+    assert(out(0).getSeq[Int](3) == Seq(0, 0, 0, -1, -1))
+    assert(out(0).getSeq[Boolean](4) == Seq(true, false, true, false, false))
+    assert(out(0).getInt(5) == 3)
+    assert(out(1).getSeq[Int](2) == Seq(20, 21, 22, 23, 30))
+    assert(out(1).getSeq[Int](3) == Seq(0, 0, 0, 0, 1))
+    assert(out(1).getSeq[Boolean](4) == Seq(false, false, true, true, true))
+    assert(out(1).getInt(5) == 5)
+    // the assignment-only form agrees on every (seq_id, seq_offset)
+    val assigned = Pack.packGreedy(df, col("doc_id"), size(col("toks")),
+        5L, lit(0)).select("doc_id", "seq_id", "seq_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(assigned == Map(1L -> ((0L, 0L)), 2L -> ((1L, 0L)), 3L -> ((1L, 4L))))
+  }
+
+  test("greedy rows: empty docs contribute nothing; shards pack and " +
+      "number sequences independently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, Seq(1, 2, 3), Seq(true, true, true)),
+      (2L, 0, Seq.empty[Int], Seq.empty[Boolean]),
+      (3L, 0, Seq(4, 5), Seq(false, false)),
+      (4L, 1, Seq(7, 8), Seq(false, true)))
+      .toDF("doc_id", "sh", "toks", "msk")
+    val out = Pack.packTokensGreedy(df, col("doc_id"), col("toks"), col("msk"),
+        4, col("sh")).orderBy("shard", "seq_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getSeq[Int](2) == Seq(1, 2, 3, 0)) // doc3 (2) won't fit
+    assert(out(1).getSeq[Int](2) == Seq(4, 5, 0, 0))
+    assert(out(1).getLong(1) == 1L)
+    assert(out(2).getSeq[Int](2) == Seq(7, 8, 0, 0)) // shard 1 restarts at 0
+    assert(out(2).getLong(1) == 0L)
+  }
+
+  test("greedy rows: a document larger than the budget fails loudly " +
+      "(it can never be materialized whole)") {
+    val df = docs((1L, (0 until 12).toList, Seq.fill(12)(true)))
+    val e = intercept[Exception](packG(df, 5).collect())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("exceeds")), chain(e).mkString(" | "))
+  }
+
+  test("greedy rows: mask/tokens mismatch fails loudly") {
+    val df = docs((1L, Seq(1, 2, 3), Seq(true)))
+    val e = intercept[Exception](packG(df, 4).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("greedy rows plan shape: ONE exchange, then sort + streaming walk") {
+    val df = docs((1L, Seq(1, 2), Seq(true, true)))
+    val plan = packG(df, 4).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
 }
