@@ -63,6 +63,15 @@ object SparkEntry {
     "tab" -> "le", "s" -> "c", "o" -> "r", "e" -> "r", "a" -> "n",
     "s" -> "t", "r" -> "o")
 
+  /** The [[graft.llm.Multimodal.PhashCos]] fixed-point cosine table as
+    * 256 `(k, n, qv)` VALUES literals — the q_multimodal_phash oracle
+    * multiplies by EXACTLY the integers the executor does.
+    */
+  private lazy val phashCosValuesSql: String =
+    graft.llm.Multimodal.PhashCos.zipWithIndex.flatMap { case (row, k) =>
+      row.zipWithIndex.map { case (qv, n) => s"($k, $n, $qv)" }
+    }.mkString(", ")
+
   /** Bpe's reserved symbol delimiters, embedded RAW in the oracle SQL
     * (Verify's JSON dump escapes control chars; DuckDB literals accept
     * them).
@@ -2764,6 +2773,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_dhash" -> ((s, d) => {
+      // difference hash under the oracle: the q_multimodal_ahash fixture
+      // (8×8 BMP whose 64 gray cells are text bytes) through the REAL
+      // decode + the 9×8 nearest-neighbor resize (dst x reads source
+      // column (x·8)//9 — floor division, restatable) + the
+      // right-neighbor comparison bits; integer-only end to end
+      val hdr: Array[Byte] = bmpHeader(8, 8)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
+      val b = col("text").cast("binary")
+      val pixels = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
+      val imgs = docs.withColumn("__img", concat(lit(hdr), pixels))
+      val decoded = graft.llm.Multimodal.decodeImages(imgs, "doc_id", "__img",
+        codecs = graft.llm.Multimodal.JvmCodecs)
+      graft.llm.Multimodal.dHash(decoded)
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    "q_multimodal_phash" -> ((s, d) => {
+      // DCT perceptual hash under the oracle: same fixture, resized
+      // 32×32 (dst (x,y) reads source cell (x//4, y//4)), separable
+      // fixed-point DCT-II under the shared PhashCos integer table
+      // (inlined as 256 VALUES literals in the oracle — the exact table
+      // the executor multiplies by), median-of-63-non-DC threshold. The
+      // whole transform is integer, so the oracle restates every bit
+      // from pixel bytes; no float ever nears the threshold.
+      val hdr: Array[Byte] = bmpHeader(8, 8)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
+      val b = col("text").cast("binary")
+      val pixels = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
+      val imgs = docs.withColumn("__img", concat(lit(hdr), pixels))
+      val decoded = graft.llm.Multimodal.decodeImages(imgs, "doc_id", "__img",
+        codecs = graft.llm.Multimodal.JvmCodecs)
+      graft.llm.Multimodal.pHash(decoded)
+        .select(col("doc_id"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"),
+          col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("phash_lo"))
+        .orderBy("doc_id")
+    }),
+
     "q_image_dedup" -> ((s, d) => {
       // image-level near-dup dedup end to end: the q_multimodal_ahash
       // fixture plus PLANTED cross-resolution duplicates (docs 0..19 get a
@@ -4745,6 +4796,80 @@ object SparkEntry {
                          ELSE 0 END) AS ahash_lo
          FROM cell c JOIN m ON m.doc_id = c.doc_id
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q_multimodal_dhash" ->
+      // the 9×8 resize reads source column (x·8)//9 of the same
+      // bottom-up byte grid as the ahash oracle; bit 63−(y·8+x) set when
+      // cell (x,y) beats its right neighbor — a self-join on (y, x+1)
+      """WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 64))) > 64 THEN error(
+                    'dhash oracle: non-ASCII in the packed 64-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 64
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 64 AND chk.ok = 0
+         ), cell AS (
+           SELECT doc_id, y.y AS y, x.x AS x,
+                  ascii(substr(text,
+                    (7 - y.y) * 8 + ((x.x * 8) // 9) + 1, 1)) AS g
+           FROM d, (SELECT unnest(range(0, 8)) AS y) y,
+                   (SELECT unnest(range(0, 9)) AS x) x)
+         SELECT a.doc_id,
+                sum(CASE WHEN (a.y * 8 + a.x) < 32 AND a.g > b.g
+                         THEN (CAST(1 AS BIGINT) << (31 - (a.y * 8 + a.x)))
+                         ELSE 0 END) AS dhash_hi,
+                sum(CASE WHEN (a.y * 8 + a.x) >= 32 AND a.g > b.g
+                         THEN (CAST(1 AS BIGINT) << (63 - (a.y * 8 + a.x)))
+                         ELSE 0 END) AS dhash_lo
+         FROM cell a JOIN cell b
+           ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+         WHERE a.x < 8
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "q_multimodal_phash" ->
+      // the full fixed-point DCT replayed: 32×32 grid reads source cell
+      // (x//4, y//4); row pass Σ_y g·Q(v,y), column pass Σ_x rp·Q(u,x)
+      // under the SAME 256 integer cosine literals the executor uses;
+      // median = 32nd smallest of the 63 non-DC coefficients; DC bit 0
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 64))) > 64 THEN error(
+                    'phash oracle: non-ASCII in the packed 64-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 64
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 64 AND chk.ok = 0
+         ), cell AS (
+           SELECT doc_id, y.y AS y, x.x AS x,
+                  ascii(substr(text,
+                    (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1)) AS g
+           FROM d, (SELECT unnest(range(0, 32)) AS y) y,
+                   (SELECT unnest(range(0, 32)) AS x) x
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+         ), rp AS (
+           SELECT c.doc_id, c.x, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
+           FROM cell c JOIN q ON q.n = c.y
+           GROUP BY c.doc_id, c.x, q.k
+         ), co AS (
+           SELECT rp.doc_id, rp.v, q.k AS u, CAST(sum(rp.s * q.qv) AS BIGINT) AS s
+           FROM rp JOIN q ON q.n = rp.x
+           GROUP BY rp.doc_id, rp.v, q.k
+         ), med AS (
+           SELECT doc_id, s AS m FROM (
+             SELECT doc_id, s, row_number() OVER (
+               PARTITION BY doc_id ORDER BY s) AS rk
+             FROM co WHERE NOT (u = 0 AND v = 0))
+           WHERE rk = 32)
+         SELECT co.doc_id,
+                sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
+                         THEN (CAST(1 AS BIGINT) << (31 - (co.v * 8 + co.u)))
+                         ELSE 0 END) AS phash_hi,
+                sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
+                         THEN (CAST(1 AS BIGINT) << (63 - (co.v * 8 + co.u)))
+                         ELSE 0 END) AS phash_lo
+         FROM co JOIN med ON med.doc_id = co.doc_id
+         GROUP BY co.doc_id ORDER BY co.doc_id""",
     "q_multimodal_adts" ->
       // two fixed-length ADTS frames per doc whose bodies are text bytes
       // [1,8] and [9,16] — the same restatement (and the same loud

@@ -1005,6 +1005,123 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
+  /** Grayscale grid of a decoded image: per cell, the integer mean of its
+    * channels (the shared first step of every perceptual hash here).
+    */
+  private def grayGrid(img: DecodedImage): Array[Int] = {
+    val ch = img.channels
+    val n = img.width * img.height
+    val g = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var s = 0
+      var c = 0
+      while (c < ch) { s += img.pixels(i * ch + c) & 0xFF; c += 1 }
+      g(i) = s / ch
+      i += 1
+    }
+    g
+  }
+
+  /** 64-bit difference hash (dHash) per decoded image — the gradient
+    * sibling of [[aHash]] and the workhorse of production image dedup:
+    * grayscale the 9×8 nearest-neighbor downsample and set bit
+    * 63 − (y·8+x) when cell (x, y) is brighter than its right neighbor
+    * (x+1, y). Comparing ADJACENT cells instead of a global mean makes
+    * the hash robust where aHash is fragile — any monotone per-image
+    * brightness curve (gamma, contrast stretch) preserves every local
+    * comparison, while a single bright region can drag aHash's global
+    * mean across half the cells. All arithmetic is integer (channel
+    * mean, floor-division resize, compare), so an external engine can
+    * restate the bits from raw pixel bytes. Hamming machinery downstream
+    * is shared with [[aHash]]/SimHash.
+    */
+  def dHash(ds: Dataset[DecodedImage]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    resize(ds, 9, 8).map { img =>
+      val g = grayGrid(img)
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y * 9 + x) > g(y * 9 + x + 1)) bits |= 1L << (63 - (y * 8 + x))
+          x += 1
+        }
+        y += 1
+      }
+      (img.doc_id, bits)
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Fixed-point DCT-II cosine table shared by [[pHash]] and its oracle:
+    * `PhashCos(k)(n) = round(cos(π·(2n+1)·k / 64) · 2¹⁴)` — only the 8
+    * low frequencies are ever read, so the table is 8×32. Integer
+    * weights make the whole transform EXACT (sums of products of
+    * bounded integers, |coef| < 2⁴⁶), so the hash is restatable
+    * bit-for-bit by an external SQL engine with the same 256 literals;
+    * a floating DCT would hang the bit decisions on cross-engine cosine
+    * ULPs right at the median threshold.
+    */
+  val PhashCos: Array[Array[Long]] = Array.tabulate(8, 32)((k, n) =>
+    math.round(math.cos(math.Pi * (2 * n + 1) * k / 64.0) * 16384.0))
+
+  /** 64-bit DCT perceptual hash (pHash) per decoded image — the public
+    * standard for image near-dup dedup (ImageHash/pHash lineage):
+    * grayscale the 32×32 nearest-neighbor downsample, take the 2-D
+    * DCT-II's 8×8 low-frequency block (computed separably under the
+    * fixed-point [[PhashCos]] table: row pass then column pass, all
+    * integer), and set bit 63 − (v·8+u) when coefficient (u, v) exceeds
+    * the MEDIAN of the 63 non-DC coefficients (the 32nd smallest; the
+    * DC bit is always 0 — it carries only global brightness). Surviving
+    * gamma/contrast curves AND small local edits is what the frequency
+    * domain buys over [[aHash]]/[[dHash]]'s spatial comparisons.
+    */
+  def pHash(ds: Dataset[DecodedImage]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cos = PhashCos
+    resize(ds, 32, 32).map { img =>
+      val g = grayGrid(img)
+      // row pass: rp(v)(x) = Σ_y g(y, x) · cos(v)(y)
+      val rp = Array.ofDim[Long](8, 32)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 32) {
+          var s = 0L
+          var y = 0
+          while (y < 32) { s += g(y * 32 + x) * cos(v)(y); y += 1 }
+          rp(v)(x) = s
+          x += 1
+        }
+        v += 1
+      }
+      // column pass: coef(v·8+u) = Σ_x rp(v)(x) · cos(u)(x)
+      val coef = new Array[Long](64)
+      v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0L
+          var x = 0
+          while (x < 32) { s += rp(v)(x) * cos(u)(x); x += 1 }
+          coef(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      val nonDc = java.util.Arrays.copyOfRange(coef, 1, 64)
+      java.util.Arrays.sort(nonDc)
+      val med = nonDc(31)
+      var bits = 0L
+      var i = 1
+      while (i < 64) { if (coef(i) > med) bits |= 1L << (63 - i); i += 1 }
+      (img.doc_id, bits)
+    }.toDF("doc_id", "phash")
+  }
+
   /** Payload-level features needing no codec at all (real, not stubbed):
     * size, content digest, and a coarse magic-byte sniff.
     */

@@ -633,6 +633,60 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L) != hashes(4L))
   }
 
+  test("dHash/pHash: upscale-invariant like aHash; and a cross-variant " +
+      "collision aHash can't see, the stronger hashes split") {
+    import spark.implicits._
+    def img(id: Long, w: Int, h: Int, gray: Int => Byte) =
+      graft.llm.Multimodal.DecodedImage(id, w, h, 3,
+        Array.tabulate(w * h * 3)(i => gray(i / 3)))
+    // two images with IDENTICAL above/below-mean membership per cell
+    // (so aHash collides) but different local structure: every row is
+    // the same 8-column ramp; B swaps each adjacent pair. Means match
+    // (same multiset), above-mean sets match (columns 4..7), but the
+    // right-neighbor comparisons differ.
+    val rampA = Array[Int](0, 10, 20, 30, 200, 210, 220, 230)
+    val rampB = Array[Int](10, 0, 30, 20, 210, 200, 230, 220)
+    val a = img(1L, 8, 8, i => rampA(i % 8).toByte)
+    val bb = img(2L, 8, 8, i => rampB(i % 8).toByte)
+    // clean 4× upscale of A: all three hashes must be invariant
+    val big = img(3L, 32, 32, i => {
+      val x = i % 32; val y = i / 32; rampA((x / 4) % 8).toByte
+    })
+    // second cross-variant pair: checkerboard with a diagonal gradient
+    // vs its REVERSED gradient — above/below-mean membership identical
+    // (aHash collides) and every local comparison dominated by the
+    // checker gap (dHash collides too); only the frequency domain sees
+    // the reversed low-frequency ramp. pHash splits what BOTH spatial
+    // hashes miss.
+    val chkA = img(5L, 8, 8, i => {
+      val x = i % 8; val y = i / 8
+      ((if ((x + y) % 2 == 1) 200 else 40) + x + y).toByte
+    })
+    val chkB = img(6L, 8, 8, i => {
+      val x = i % 8; val y = i / 8
+      ((if ((x + y) % 2 == 1) 200 else 40) + (7 - x) + (7 - y)).toByte
+    })
+    val ds = Seq(a, bb, big, chkA, chkB).toDS()
+    val ah = graft.llm.Multimodal.aHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dh = graft.llm.Multimodal.dHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ph = graft.llm.Multimodal.pHash(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ah(1L) == ah(2L), "constructed aHash collision must collide")
+    assert(dh(1L) != dh(2L), "dHash must split the aHash pair-swap collision")
+    assert(dh(1L) == dh(3L), "dHash must survive a clean upscale")
+    assert(ph(1L) == ph(3L), "pHash must survive a clean upscale")
+    assert(ah(5L) == ah(6L), "gradient reversal must collide under aHash")
+    assert(dh(5L) == dh(6L), "gradient reversal must collide under dHash too")
+    assert(ph(5L) != ph(6L), "pHash must split what both spatial hashes miss")
+    // affine brightness curves preserve all comparisons in all three
+    val bright = img(4L, 8, 8, i => (rampA(i % 8) / 2 + 10).toByte)
+    val dh2 = graft.llm.Multimodal.dHash(Seq(a, bright).toDS()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dh2(1L) == dh2(4L), "dHash must survive an affine brightness curve")
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
