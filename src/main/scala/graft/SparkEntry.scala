@@ -3196,6 +3196,22 @@ object SparkEntry {
         bias = -0.125, wordNgrams = 2)
         .orderBy("feature")),
 
+    "q_classifier_hashed" -> ((s, d) =>
+      // the hashing-trick gradient: q_classifier_grad's nano-quantized
+      // statistic over md5-hashed feature BUCKETS (256) and a formulaic
+      // exact-binary-fraction weight table w(b) = ((b%21)−10)/1024 — no
+      // vocabulary anywhere (the fastText bucket trick removes the top-K
+      // cap); the oracle replays hash, weights, residuals and sums from
+      // scratch. md5 basis for restatability; ClassifierSpec pins the
+      // production xxhash64 path and its bit-determinism.
+      graft.llm.Classifier.logisticGradientHashed(
+        t(s, d, "documents").withColumn("label", (col("doc_id") % 2).cast("double")),
+        "text", "label",
+        weights = Array.tabulate(256)(b => ((b % 21) - 10) / 1024.0),
+        bias = -0.125, wordNgrams = 2,
+        hasher = Some(graft.llm.Classifier.md5Bucket(256)))
+        .orderBy("bucket")),
+
     "q_bpe_pairs" -> ((s, d) =>
       // BPE training step 1's sufficient statistics: corpus-wide adjacent
       // character-pair counts (one explode + one map-side-combined agg),
@@ -5687,6 +5703,40 @@ object SparkEntry {
          UNION ALL
          SELECT '__bias__', sum(rq) / 1e9 FROM resid
          ORDER BY feature""",
+    "q_classifier_hashed" ->
+      // q_classifier_grad's restatement with the weight JOIN replaced by
+      // the md5 bucket hash and the formulaic weight table — every
+      // occupied bucket gets a gradient row; bucket −1 is the bias
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), feat AS (
+           SELECT doc_id, unnest(t) AS f FROM tok
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS f
+           FROM tok WHERE len(t) >= 2
+         ), hb AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS INT) AS b
+           FROM feat
+         ), doc AS (
+           SELECT doc_id, count(*) AS n,
+                  sum(((b % 21) - 10) / 1024.0) AS sw
+           FROM hb GROUP BY doc_id
+         ), resid AS (
+           SELECT doc_id, n,
+                  round((1.0 / (1.0 + exp(-(-0.125 + sw / n)))
+                         - CAST(doc_id % 2 AS DOUBLE)) * 1e9) AS rq
+           FROM doc
+         ), contrib AS (
+           SELECT doc_id, round(rq / n) AS c FROM resid)
+         SELECT hb.b AS bucket, sum(ct.c) / 1e9 AS grad
+         FROM hb JOIN contrib ct ON ct.doc_id = hb.doc_id
+         GROUP BY hb.b
+         UNION ALL
+         SELECT -1, sum(rq) / 1e9 FROM resid
+         ORDER BY bucket""",
     "q_decontaminate_fuzzy" ->
       // bipartite all-pairs exact jaccard vs the benchmark subset — the
       // ground truth the LSH-candidates-then-exact-verify path must equal

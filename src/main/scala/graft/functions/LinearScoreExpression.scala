@@ -75,6 +75,60 @@ case class LinearScoreSum(child: Expression, weights: Map[String, Double])
     copy(child = newChild)
 }
 
+/** `BucketScoreSum(buckets, weights)` — Σ weights(b) over an `array<int>`
+  * of hashed feature BUCKETS: the hashing-trick dot product
+  * ([[graft.llm.Classifier]]'s fastText-style bucket features). The same
+  * map-only / zero-shuffle / reference-object shape as
+  * [[LinearScoreSum]], but the table is a flat double array indexed
+  * directly by bucket — no hash lookup at all, one bounds check per
+  * token. Out-of-range buckets contribute 0.0 (hashers guarantee range;
+  * the check is defensive, not semantic). With weights chosen as exact
+  * binary fractions the sum is order-independent and cross-engine exact.
+  */
+case class BucketScoreSum(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+
+  override def prettyName: String = "bucket_score_sum"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<int>, got ${dt.catalogString}")
+    }
+
+  /** Public: the generated code calls it through the reference object. */
+  def score(input: ArrayData): Double = {
+    val n = input.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!input.isNullAt(i)) {
+        val b = input.getInt(i)
+        if (b >= 0 && b < weights.length) sum += weights(b)
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketScore", this,
+      classOf[BucketScoreSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `LinearLogit(features, weights, bias)` = bias + Σ weight(f) / n — the
   * classifier's whole decision statistic as ONE expression, null when the
   * feature array is empty (no statistic to take).

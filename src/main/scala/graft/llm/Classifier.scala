@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{LinearLogit, LinearScoreSum, TextFunctions}
+import graft.functions.{BucketScoreSum, LinearLogit, LinearScoreSum, TextFunctions}
 
 /** fastText-style shallow linear text classifier — the standard
   * quality-filter stage of LLM pretraining pipelines (a CCNet/LLaMA-style
@@ -56,6 +56,145 @@ object Classifier {
       .filter(col("n_features") > 0)
       .withColumn("logit", lit(bias) + col("sum_weight") / col("n_features"))
       .withColumn("keep", col("logit") > 0)
+  }
+
+  // --- hashing-trick features (fastText's bucket trick) ---
+
+  /** Feature → bucket hash columns. The default is the production basis
+    * (one xxhash64 per feature, non-negative mod `nBuckets`); [[md5Bucket]]
+    * is the same geometry on a 32-bit md5 prefix, restatable VERBATIM in
+    * external SQL — the q_simhash_recall treatment applied to feature
+    * hashing (oracles replay md5; specs pin the xxhash64 path).
+    */
+  def xxhashBucket(nBuckets: Int): Column => Column =
+    f => pmod(xxhash64(f), lit(nBuckets.toLong)).cast("int")
+
+  def md5Bucket(nBuckets: Int): Column => Column =
+    f => (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % nBuckets).cast("int")
+
+  /** Hashed unigram + word-n-gram buckets (`array<int>`): every feature
+    * hashes into one of `nBuckets` slots — NO vocabulary, no top-K cap,
+    * O(`nBuckets`) model state however large the corpus vocabulary grows
+    * (the fastText hashing trick). Collisions fold rare features onto
+    * shared slots, the standard capacity/precision dial.
+    */
+  def hashedBuckets(textCol: Column, nBuckets: Int, wordNgrams: Int = 1,
+      hasher: Option[Column => Column] = None): Column = {
+    require(nBuckets >= 1 && wordNgrams >= 1,
+      s"hashedBuckets: bad parameters (nBuckets=$nBuckets wordNgrams=$wordNgrams)")
+    transform(featuresOf(textCol, wordNgrams),
+      hasher.getOrElse(xxhashBucket(nBuckets)))
+  }
+
+  /** Σ weights(b) over a bucket array (out-of-range → 0.0), map-only. */
+  def bucketScore(buckets: Column, weights: Array[Double]): Column =
+    GraftShims.toColumn(BucketScoreSum(GraftShims.toExpression(buckets), weights))
+
+  /** [[scoreLinear]] over hashed buckets: same output columns, same
+    * absence semantics, weight table = a flat array indexed by bucket.
+    */
+  def scoreLinearHashed(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double = 0.0, wordNgrams: Int = 1,
+      hasher: Option[Column => Column] = None): DataFrame = {
+    require(weights.nonEmpty, "Classifier: weights must be non-empty")
+    val feats = hashedBuckets(col(textCol), weights.length, wordNgrams, hasher)
+    df.select(col(idCol), size(feats).cast("long").as("n_features"),
+        bucketScore(feats, weights).as("sum_weight"))
+      .filter(col("n_features") > 0)
+      .withColumn("logit", lit(bias) + col("sum_weight") / col("n_features"))
+      .withColumn("keep", col("logit") > 0)
+  }
+
+  /** [[trainLogistic]] under hashed-bucket features: the top-K vocabulary
+    * cap disappears — model state is exactly `nBuckets` doubles, and the
+    * per-iteration gradient aggregation groups by an INT bucket key whose
+    * distinct count is ≤ `nBuckets` by construction, so map-side partials
+    * are bounded with no broadcast vocabulary gate at all (one job fewer
+    * than the vocabulary path). Gradients aggregate as the same
+    * nano-quantized integers, so training stays bit-DETERMINISTIC across
+    * partitionings. Returns (bucket-indexed weights, bias, per-iteration
+    * mean log-loss).
+    */
+  def trainLogisticHashed(df: DataFrame, textCol: String, labelCol: String,
+      iters: Int = 20, lr: Double = 1.0, nBuckets: Int = 4096,
+      wordNgrams: Int = 1, l2: Double = 0.0,
+      hasher: Option[Column => Column] = None)
+      : (Array[Double], Double, Seq[Double]) = {
+    require(iters >= 1 && lr > 0 && nBuckets >= 1 && wordNgrams >= 1 && l2 >= 0,
+      s"trainLogisticHashed: bad hyperparameters (iters=$iters lr=$lr " +
+        s"nBuckets=$nBuckets wordNgrams=$wordNgrams l2=$l2)")
+    import org.apache.spark.storage.StorageLevel
+    val prep = preparedHashed(df, textCol, labelCol, nBuckets, wordNgrams, hasher)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = new Array[Double](nBuckets)
+      var bias = 0.0
+      val m = prep.count().toDouble
+      require(m > 0, "trainLogisticHashed: no usable examples in the corpus")
+      var losses = Vector.empty[Double]
+      for (_ <- 1 to iters) {
+        val p = probabilityHashed(w, bias)
+        val scored = residualizedHashed(prep, w, bias)
+          .withColumn("__loss",
+            -(col("__y") * log(greatest(p, lit(1e-12))) +
+              (lit(1.0) - col("__y")) * log(greatest(lit(1.0) - p, lit(1e-12)))))
+        val head = scored.agg(sum(col("__rq")).as("b"), sum(col("__loss")).as("l"))
+          .collect()(0)
+        val biasGrad = head.getDecimal(0).doubleValue() / 1e9 / m
+        losses :+= head.getDouble(1) / m
+        val grads = scored
+          .withColumn("__c",
+            round(col("__rq").cast("double") / col("__n")).cast("decimal(28,0)"))
+          .select(explode(col("__f")).as("b"), col("__c"))
+          .groupBy("b").agg(sum(col("__c")).as("g")) // ≤ nBuckets groups
+          .collect()
+        var i = 0
+        while (i < nBuckets) { w(i) *= 1.0 - lr * l2; i += 1 }
+        for (r <- grads)
+          w(r.getInt(0)) -= lr * (r.getDecimal(1).doubleValue() / 1e9) / m
+        bias -= lr * biasGrad
+      }
+      (w, bias, losses)
+    } finally prep.unpersist(false)
+  }
+
+  private def preparedHashed(df: DataFrame, textCol: String, labelCol: String,
+      nBuckets: Int, wordNgrams: Int,
+      hasher: Option[Column => Column]): DataFrame =
+    df.select(col(labelCol).cast("double").as("__y"),
+        hashedBuckets(col(textCol), nBuckets, wordNgrams, hasher).as("__f"))
+      .filter(size(col("__f")) > 0 && col("__y").isNotNull)
+      .withColumn("__n", size(col("__f")).cast("double"))
+
+  private def probabilityHashed(w: Array[Double], bias: Double): Column =
+    lit(1.0) / (lit(1.0) +
+      exp(-(lit(bias) + bucketScore(col("__f"), w) / col("__n"))))
+
+  private def residualizedHashed(prep: DataFrame, w: Array[Double],
+      bias: Double): DataFrame =
+    prep.withColumn("__rq",
+      round((probabilityHashed(w, bias) - col("__y")) * 1e9).cast("decimal(28,0)"))
+
+  /** One full-batch gradient under FIXED bucket weights — the hashed
+    * sibling of [[logisticGradient]], exposed for the external oracle.
+    * Output: one `(bucket, grad)` row per OCCUPIED bucket plus a
+    * `bucket = −1` bias row (buckets are non-negative by construction);
+    * grads are unnormalized sums like [[logisticGradient]]'s.
+    */
+  def logisticGradientHashed(df: DataFrame, textCol: String, labelCol: String,
+      weights: Array[Double], bias: Double = 0.0, wordNgrams: Int = 1,
+      hasher: Option[Column => Column] = None): DataFrame = {
+    require(weights.nonEmpty, "Classifier: weights must be non-empty")
+    val scored = residualizedHashed(
+      preparedHashed(df, textCol, labelCol, weights.length, wordNgrams, hasher),
+      weights, bias)
+    val grads = scored
+      .withColumn("__c",
+        round(col("__rq").cast("double") / col("__n")).cast("decimal(28,0)"))
+      .select(explode(col("__f")).as("bucket"), col("__c"))
+      .groupBy("bucket").agg((sum(col("__c")) / 1e9).as("grad"))
+    grads.unionByName(scored.agg((sum(col("__rq")) / 1e9).as("grad"))
+      .select(lit(-1).as("bucket"), col("grad")))
   }
 
   /** Full-batch logistic-regression TRAINING for the linear quality

@@ -170,4 +170,59 @@ class ClassifierSpec extends SparkSpec {
     for (f <- rw.keys) assert(math.abs(w(f) - rw(f)) < 1e-12, s"$f: ${w(f)} vs ${rw(f)}")
     assert(math.abs(bias - rb) < 1e-12)
   }
+
+  // --- hashing-trick (bucket) features ---
+
+  test("trainLogisticHashed: separates the corpus with NO vocabulary; " +
+      "hashed scoring agrees with labels") {
+    import spark.implicits._
+    val (w, bias, losses) = Classifier.trainLogisticHashed(
+      labeled, "text", "label", iters = 40, lr = 4.0, nBuckets = 512)
+    assert(losses.head > losses.last, s"loss must fall: ${losses.head} -> ${losses.last}")
+    val kept = Classifier.scoreLinearHashed(
+        labeled.withColumn("id", monotonically_increasing_id()),
+        "id", "text", w, bias)
+      .filter(col("keep"))
+      .join(labeled.withColumn("id", monotonically_increasing_id()), "id")
+      .select("label").as[Double].collect()
+    assert(kept.length == 30 && kept.forall(_ == 1.0),
+      "every positive survives, every negative drops")
+  }
+
+  test("trainLogisticHashed is bit-deterministic across partitionings") {
+    val (w1, b1, _) = Classifier.trainLogisticHashed(
+      labeled, "text", "label", iters = 5, lr = 2.0, nBuckets = 64)
+    val (w2, b2, _) = Classifier.trainLogisticHashed(
+      labeled.repartition(7), "text", "label", iters = 5, lr = 2.0, nBuckets = 64)
+    assert(w1.sameElements(w2),
+      "nano-quantized gradients must make hashed training layout-independent")
+    assert(b1 == b2)
+  }
+
+  test("hashed scoring is map-only: no exchange, no join, no aggregate") {
+    val p = Classifier.scoreLinearHashed(docs, "doc_id", "text",
+        Array.fill(64)(0.25)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Aggregate"), p)
+  }
+
+  test("hashed gradient: md5 and xxhash bases produce the same statistic " +
+      "up to bucket relabeling (same bias row; same gradient multiset " +
+      "when nBuckets is collision-free for this corpus)") {
+    import spark.implicits._
+    val tiny = Seq(("alpha beta", 1.0), ("beta gamma", 0.0),
+      ("alpha alpha gamma", 1.0)).toDF("text", "label")
+    // big bucket space -> no collisions among the 3 distinct unigrams,
+    // so the hash basis is a pure relabeling of the same features
+    val n = 1 << 16
+    val wZero = new Array[Double](n)
+    def stat(h: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Classifier.logisticGradientHashed(tiny, "text", "label", wZero,
+        bias = 0.0, hasher = h)
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val md5S = stat(Some(Classifier.md5Bucket(n)))
+    val xxS = stat(None)
+    assert(md5S.filter(_._1 == -1).toSeq == xxS.filter(_._1 == -1).toSeq)
+    assert(md5S.map(_._2).sorted.toSeq == xxS.map(_._2).sorted.toSeq)
+  }
 }
