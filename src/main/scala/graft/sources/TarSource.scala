@@ -353,7 +353,8 @@ class TarScan(paths: Seq[String], grouped: Boolean, required: StructType,
   * already satisfies. A shard arriving UNDER the committed high-water
   * name would be silently invisible to the range, so discovery fails
   * loudly when it sees one instead. `maxFilesPerTrigger` bounds admission
-  * per batch (default: all new files).
+  * per batch by shard count, `maxBytesPerTrigger` by cumulative shard
+  * size (both together compose; default: all new files).
   */
 class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boolean,
     options: Map[String, String])
@@ -368,9 +369,17 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
     .filter(_.nonEmpty)
   private val maxFiles = options.get("maxfilespertrigger")
     .orElse(options.get("maxFilesPerTrigger")).map(_.toInt)
+  // byte-budget admission next to the file-count one: real WebDataset
+  // corpora mix shard sizes across orders of magnitude, so a file-count
+  // bound alone lets one trigger pull a multi-GB batch
+  private val maxBytes = options.get("maxbytespertrigger")
+    .orElse(options.get("maxBytesPerTrigger")).map(_.toLong)
 
-  /** Name-sorted discovery; empty directories are normal while streaming. */
-  private def discover(): Seq[String] = {
+  /** Name-sorted `(path, length)` discovery; empty directories are normal
+    * while streaming. Lengths ride along so byte-budget admission costs
+    * no extra FS calls (the listing already carries them).
+    */
+  private def discover(): Seq[(String, Long)] = {
     val conf = confGetter()
     paths.flatMap { p =>
       val hp = new Path(p)
@@ -379,10 +388,10 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".")
             && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString)
-        else Seq(st.getPath.toString)
+          .map(s => (s.getPath.toString, s.getLen))
+        else Seq((st.getPath.toString, st.getLen))
       }
-    }.sorted
+    }.sortBy(_._1)
   }
 
   // best-effort loud-fail memory for the monotonicity contract: every
@@ -399,37 +408,65 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
   // trigger's planInputPartitions/reportLatestOffset (each a fresh FS
   // listing otherwise — 3× the object-store LIST cost per trigger); a
   // replayed batch after restart sees the memo empty and lists fresh
-  @volatile private var lastListing: Seq[String] = Nil
+  @volatile private var lastListing: Seq[(String, Long)] = Nil
 
-  private def listing(): Seq[String] =
+  private def listing(): Seq[(String, Long)] =
     if (lastListing.nonEmpty) lastListing else discover()
 
-  private def discoverChecked(): Seq[String] = {
+  private def discoverChecked(): Seq[(String, Long)] = {
     val all = discover()
     lastListing = all
     if (highWater.nonEmpty) {
-      val late = all.filter(f => f <= highWater && !seen.contains(f))
+      val late = all.filter { case (f, _) => f <= highWater && !seen.contains(f) }
       require(late.isEmpty,
-        s"tar stream: shard(s) ${late.take(3).mkString(", ")} appeared at or under " +
+        s"tar stream: shard(s) ${late.take(3).map(_._1).mkString(", ")} appeared at or under " +
           s"the admitted high-water name '$highWater' — shard names must arrive in " +
           "increasing order (they would be silently skipped otherwise)")
     }
-    seen ++= all
+    seen ++= all.map(_._1)
     all
   }
 
   // Trigger.AvailableNow: snapshot the drain target once; admission then
   // never passes it, so the query terminates after catching up in
-  // maxFilesPerTrigger-bounded batches
+  // maxFilesPerTrigger/maxBytesPerTrigger-bounded batches
   @volatile private var availableNowCap: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(discoverChecked().lastOption.getOrElse(""))
+    availableNowCap = Some(discoverChecked().lastOption.map(_._1).getOrElse(""))
 
   override def initialOffset(): Offset = TarNameOffset("")
   override def deserializeOffset(json: String): Offset = TarNameOffset.fromJson(json)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = (maxFiles, maxBytes) match {
+    case (Some(f), Some(b)) => ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _ => ReadLimit.allAvailable()
+  }
+
+  /** Apply one admission bound. Byte budgets always admit the FIRST
+    * fresh file even when it alone exceeds the budget — the standard
+    * FileStreamSource behavior: a shard larger than the budget must
+    * still flow (bounding is about batch sizing, not filtering), and
+    * refusing it would stall the stream forever.
+    */
+  private def admit(fresh: Seq[(String, Long)], limit: ReadLimit): Seq[(String, Long)] =
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        var total = 0L
+        var n = 0
+        while (n < fresh.length && (n == 0 || total + fresh(n)._2 <= mb.maxBytes())) {
+          total += fresh(n)._2
+          n += 1
+        }
+        fresh.take(n)
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.foldLeft(fresh)(admit)
+      case _ => fresh
+    }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -438,30 +475,26 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startName = start.asInstanceOf[TarNameOffset].maxName
     if (startName > highWater) highWater = startName
-    val fresh = discoverChecked().filter(f =>
-      f > startName && availableNowCap.forall(f <= _))
-    val admitted = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        fresh.take(mf.maxFiles())
-      case _ => fresh
-    }
+    val fresh = discoverChecked().filter { case (f, _) =>
+      f > startName && availableNowCap.forall(f <= _) }
+    val admitted = admit(fresh, limit)
     if (admitted.isEmpty) start
     else {
-      highWater = admitted.last
-      TarNameOffset(admitted.last)
+      highWater = admitted.last._1
+      TarNameOffset(admitted.last._1)
     }
   }
 
   override def reportLatestOffset(): Offset = {
     val all = listing()
-    if (all.isEmpty) TarNameOffset("") else TarNameOffset(all.last)
+    if (all.isEmpty) TarNameOffset("") else TarNameOffset(all.last._1)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TarNameOffset].maxName
     val e = end.asInstanceOf[TarNameOffset].maxName
     if (e > highWater) highWater = e
-    listing().filter(f => f > s && f <= e).map(TarInputPartition).toArray
+    listing().map(_._1).filter(f => f > s && f <= e).map(TarInputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

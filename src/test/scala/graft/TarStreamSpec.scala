@@ -73,6 +73,52 @@ class TarStreamSpec extends SparkSpec {
     assert(progress.length == 3, progress.map(_.numInputRows).mkString(","))
   }
 
+  test("maxBytesPerTrigger bounds admission by cumulative shard size; " +
+      "an oversized shard still flows alone") {
+    val dir = tmp("tarstream-mbt")
+    val ckpt = tmp("tarstream-mbt-ckpt")
+    // 5 shards ~2560 bytes each (512B header + padded data + 1024B EOA);
+    // a 6000-byte budget admits two per trigger
+    for (i <- 0 until 5) shard(dir, f"part-$i%05d.tar", s"k$i.txt" -> s"v$i")
+    val q = spark.readStream.format("tar").option("maxBytesPerTrigger", "6000")
+      .load(dir.getAbsolutePath)
+      .selectExpr("key").writeStream.format("memory").queryName("tar_stream_mbt")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("tar_stream_mbt").count() == 5)
+    // 5 shards at 2 per 6000-byte trigger = 3 batches
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length == 3, progress.map(_.numInputRows).mkString(","))
+    // a budget smaller than any single shard must still drain (one shard
+    // per trigger), never stall
+    val ckpt2 = tmp("tarstream-mbt2-ckpt")
+    val q2 = spark.readStream.format("tar").option("maxBytesPerTrigger", "10")
+      .load(dir.getAbsolutePath)
+      .selectExpr("key").writeStream.format("memory").queryName("tar_stream_mbt2")
+      .option("checkpointLocation", ckpt2.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.table("tar_stream_mbt2").count() == 5)
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 5)
+  }
+
+  test("maxFiles and maxBytes compose: the tighter bound wins per trigger") {
+    val dir = tmp("tarstream-comp")
+    val ckpt = tmp("tarstream-comp-ckpt")
+    for (i <- 0 until 4) shard(dir, f"part-$i%05d.tar", s"k$i.txt" -> s"v$i")
+    // byte budget would admit 2; file budget admits 1 -> 4 batches
+    val q = spark.readStream.format("tar")
+      .option("maxBytesPerTrigger", "6000").option("maxFilesPerTrigger", "1")
+      .load(dir.getAbsolutePath)
+      .selectExpr("key").writeStream.format("memory").queryName("tar_stream_comp")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("tar_stream_comp").count() == 4)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+  }
+
   test("grouped streaming: samples assemble inside the micro-batch reader") {
     val dir = tmp("tarstream-grp")
     val ckpt = tmp("tarstream-grp-ckpt")
