@@ -1785,6 +1785,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf_serving" -> ((s, d) => {
+      // the raw-vector IVF tier through the same serving lifecycle as
+      // q_ann_ivfpq_serving: two idempotent ingest batches of (id, cell,
+      // vec) rows under the PINNED deterministic codebook, promotion to
+      // the cell-partitioned versioned snapshot, then ivfTopKServing with
+      // the probed cells as LITERALS so the parquet scan prunes cell=
+      // partitions statically (plan pinned in IvfSpec). nprobe 2 of
+      // nlist 8 is REAL pruning; the oracle replays the max-dot cell
+      // assignment, the probe, and the exact cosine ranking from scratch.
+      val emb = t(s, d, "embeddings")
+      val base = qTmpDir("ivfserving-q")
+      val fn = graft.streaming.DenseIndexStream.batchFunction(
+        "vec_id", "embedding", s"$base/store", ivfPqCoarse)
+      fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+      fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      graft.streaming.DenseIndexStream.promoteServing(s, s"$base/store", s"$base/serve")
+      val served = graft.streaming.DenseIndexStream.loadServing(s, s"$base/serve")
+        .getOrElse(sys.error("serving snapshot must exist after promotion"))
+      graft.llm.Ivf.ivfTopKServing(served, emb.filter(col("vec_id") < 8),
+          "vec_id", "vec_id", "embedding", ivfPqCoarse, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_opq" -> ((s, d) => {
       // the rotated ADC search: rotation fused into both the encode and
       // the LUT scan (one map-only pass per side), ranking unchanged —
@@ -4310,6 +4333,44 @@ object SparkEntry {
     // static cell pruning cannot change a probe's result set, so the
     // serving-lifecycle query replays the same algorithm end to end
     "q_ann_ivfpq_serving" -> annIvfPqOracle,
+    "q_ann_ivf_serving" ->
+      // max-dot cell assignment and probe under the inlined coarse
+      // VALUES table (ties → lower cell id, the expression's rule), then
+      // exact cosine over ONLY the probed cells' members — the serving
+      // snapshot holds exactly the rows a one-shot assign would, and
+      // pruning never changes results (a row outside the probed cells
+      // can't join), so this restates the whole pruned search
+      s"""WITH cc(c, i, w) AS (VALUES $ivfPqCoarseValues),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         score AS (
+           SELECT e.vec_id, cc.c, sum(cc.w * v[cc.i + 1]) AS sc
+           FROM e, cc GROUP BY e.vec_id, cc.c
+         ), cell AS (
+           SELECT vec_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (
+               PARTITION BY vec_id ORDER BY sc DESC, c) AS rn
+             FROM score) WHERE rn = 1
+         ), probe AS (
+           SELECT vec_id AS query_id, c AS cell FROM (
+             SELECT vec_id, c, row_number() OVER (
+               PARTITION BY vec_id ORDER BY sc DESC, c) AS rn
+             FROM score WHERE vec_id < 8) WHERE rn <= 2
+         ), scored AS (
+           SELECT p.query_id, ce.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(n.embedding AS DOUBLE[])), 4) AS cosine
+           FROM probe p
+           JOIN cell ce ON ce.cell = p.cell
+           JOIN embeddings q ON q.vec_id = p.query_id
+           JOIN embeddings n ON n.vec_id = ce.vec_id
+           WHERE ce.vec_id <> p.query_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_ann_opq" -> annOpqOracle,
     "q_opq_encode" -> opqEncodeOracle,
     "q_int8_encode" ->

@@ -113,6 +113,36 @@ object Ivf {
     corpus.select(col(idCol), col(vecCol),
       coalesce(element_at(NearestCells(col(vecCol), cents, 1), 1), lit(-1)).as("cell"))
 
+  /** The distinct cells this query batch probes, as driver-side literals.
+    * Bounded by construction: the query frame is the BROADCAST side of
+    * every search, so collecting its ≤ `queries × nprobe` cell ids costs
+    * less than the broadcast the search does anyway (the
+    * [[IvfPq.probedCells]] treatment on the max-dot cell geometry).
+    */
+  def probedCells(queries: DataFrame, vecCol: String,
+      cents: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    queries.select(explode(NearestCells(col(vecCol), cents, nprobe)).as("__c"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+  /** [[ivfTopKAssigned]] over a cell-PARTITIONED serving snapshot
+    * ([[graft.streaming.DenseIndexStream.promoteServing]]): the probed
+    * cells are computed first as literals and applied as a
+    * `cell IN (...)` filter, which Catalyst turns into STATIC partition
+    * pruning on the hive layout — at 100 TB a probe touches
+    * `nprobe/nlist` of the store's FILES before a single row is read
+    * (the equi-join inside [[ivfTopKAssigned]] would prune rows anyway;
+    * this prunes the I/O). Results are identical to [[ivfTopKAssigned]]
+    * over the full table: a corpus row outside the probed cells can
+    * never join a query. IvfSpec pins plan shape and parity.
+    */
+  def ivfTopKServing(serving: DataFrame, queries: DataFrame, servingIdCol: String,
+      idCol: String, vecCol: String, cents: Array[Array[Double]], k: Int = 10,
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val cells = probedCells(queries, vecCol, cents, nprobe)
+    ivfTopKAssigned(serving.filter(col("cell").isin(cells.map(Int.box): _*)),
+      queries, servingIdCol, idCol, vecCol, cents, k, nprobe, excludeSelf)
+  }
+
   /** Search a PRE-ASSIGNED (id, cell, vec) table without re-running cell
     * assignment over the corpus.
     */

@@ -36,6 +36,27 @@ object DenseIndexStream {
     if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
   }
 
+  /** Promote the assigned-vector store to the SERVING layout: committed
+    * `(id, cell, vec)` rows rewritten partitioned by `cell` under the
+    * versioned [[StoreLayout.publishServing]] contract, so a probe's
+    * literal cell filter prunes whole hive partitions statically —
+    * [[graft.llm.Ivf.ivfTopKServing]] over [[loadServing]] reads
+    * `nprobe/nlist` of the store's files instead of all of them (the
+    * same promotion IVF-PQ got; unlike PQ the raw vector rides along for
+    * the exact-cosine score). The ingest store keeps streaming;
+    * re-promote (cheap no-op when nothing landed) to refresh. Returns
+    * the committed version name, None if the store is empty.
+    */
+  def promoteServing(spark: SparkSession, indexDir: String,
+      servingDir: String): Option[String] =
+    StoreLayout.publishServing(spark, indexDir, servingDir, Seq("cell"))
+
+  /** The live cell-partitioned snapshot — feed to
+    * [[graft.llm.Ivf.ivfTopKServing]]. None until a promotion commits.
+    */
+  def loadServing(spark: SparkSession, servingDir: String): Option[DataFrame] =
+    StoreLayout.servingSnapshot(spark, servingDir)
+
   /** Right-to-be-forgotten: remove `ids`' assigned-vector rows from the
     * store via the partition-granular crash-safe [[StoreLayout.delete]].
     * Run while no stream is writing. Returns rows removed.

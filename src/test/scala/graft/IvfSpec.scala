@@ -62,6 +62,45 @@ class IvfSpec extends SparkSpec {
     assert(hits == 10, s"expected all 10 planted duplicates as top-1, got $hits")
   }
 
+  test("promoteServing: cell-partitioned snapshot; probes prune the file " +
+      "listing statically and match the ingest-store search") {
+    import graft.streaming.DenseIndexStream
+    val cents = Ivf.train(emb, "embedding", dim = 64, nlist = 8)
+    val base = java.nio.file.Files.createTempDirectory("ivf-serving").toString
+    val store = s"$base/store"
+    val serving = s"$base/serve"
+    val fn = DenseIndexStream.batchFunction("vec_id", "embedding", store, cents)
+    fn(emb.filter(col("vec_id") % 2 === 0), 0L)
+    fn(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    val v1 = DenseIndexStream.promoteServing(spark, store, serving)
+    assert(v1.exists(_.startsWith("serve=1-")), s"unexpected version: $v1")
+    val served = DenseIndexStream.loadServing(spark, serving).get
+    val queries = emb.filter(col("vec_id") < 4)
+    val result = Ivf.ivfTopKServing(served, queries, "vec_id", "vec_id",
+      "embedding", cents, k = 5, nprobe = 2)
+    // the plan contract: the literal cell filter reaches the FILE LISTING
+    val cells = Ivf.probedCells(queries, "embedding", cents, 2).toSet
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      s"probe must prune partitions statically:\n$plan")
+    val scan = served.filter(col("cell").isin(cells.toSeq.sorted.map(Int.box): _*))
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    val dirs = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+    assert(dirs.nonEmpty && dirs.forall(f => cells.exists(c => f.contains(s"cell=$c"))),
+      s"scan opened files outside the probed cells $cells:\n${dirs.mkString("\n")}")
+    assert(scan.selectedPartitions.partitionCount <= cells.size)
+    // parity: the pruned serving search equals the plain assigned search
+    val full = DenseIndexStream.loadAssigned(spark, store).get
+    val direct = Ivf.ivfTopKAssigned(full, queries, "vec_id", "vec_id",
+        "embedding", cents, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(result.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ==
+      direct.toSeq, "serving search diverged from the ingest-store search")
+  }
+
   test("plan shape: broadcast probe join, bounded top-k, codegen assignment") {
     val df = Ivf.ivfTopK(emb, emb.limit(3), "vec_id", "embedding", dim = 64, k = 3,
       nlist = 8, nprobe = 2)
