@@ -54,11 +54,16 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadAvg = loadAvgNow
 
-    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // optional extra args: bench only the named queries (local iteration
+    // on one operator's plan); the driver passes no args and sweeps all
+    val only = args.toSet
+    def sweep(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // two FULL sweeps, not cold/warm interleaved per query: the first
     // queries of a run otherwise absorb session-wide JIT/GC warmup into
     // their "steady" slot and read as false regressions
