@@ -2919,6 +2919,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_audio_fingerprint" -> ((s, d) => {
+      // audio near-dup fingerprint under the oracle: the q_multimodal_audio
+      // WAV fixture (16 samples from the first 32 text bytes) through the
+      // REAL PCM decode, then the integer-exact spectral-band fingerprint
+      // (1024-point floor resample, PhashCos bins 1-2 energies, delta-sign
+      // bits). The oracle restates every sample from text bytes and
+      // replays grid, energies and bits under the same 256 cosine
+      // literals; reported as two 32-bit halves like the image hashes.
+      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
+        val h = lpad(hex(c), nBytes * 2, "0")
+        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+      }
+      val dataLen = lit(32)
+      val payload = concat(
+        lit("RIFF".getBytes), le(dataLen + 36, 4), lit("WAVEfmt ".getBytes),
+        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+        lit("data".getBytes), le(dataLen, 4),
+        col("text").cast("binary").substr(lit(1), dataLen))
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 32)
+        .withColumn("payload", payload)
+      graft.llm.Multimodal.audioFingerprint(
+          graft.llm.Multimodal.decodeAudio(docs, "doc_id", "payload"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("afp"), 32).as("afp_hi"),
+          col("afp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time primitives (streaming/EventTime, batch-checkable) ----
     "q_event_window" -> ((s, d) =>
       // tumbling event-time window counts; same code path as the
@@ -5028,6 +5057,45 @@ object SparkEntry {
                 substr(text, 9, 8) AS frame_text
          FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
+    "q_audio_fingerprint" ->
+      // sample_j = b(2j+1) + 256·b(2j+2) (the q_multimodal_audio
+      // restatement); grid point (f, n) reads sample (f·32+n)//64; band
+      // energies |Σ s·Q(k,n)| for cosine rows k ∈ {1,2} under the same
+      // inlined VALUES; bit 63−(f·2+band) set when the band's energy
+      // rises to frame (f+1) mod 32
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 32))) > 32 THEN error(
+                    'afp oracle: non-ASCII in the packed 32-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 32
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 32 AND chk.ok = 0
+         ), smp AS (
+           SELECT doc_id, j.j AS j,
+                  ascii(substr(text, 2 * j.j + 1, 1))
+                    + 256 * ascii(substr(text, 2 * j.j + 2, 1)) AS s
+           FROM d, (SELECT unnest(range(0, 16)) AS j) j
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+           WHERE k IN (1, 2)
+         ), en AS (
+           SELECT smp.doc_id, q.k - 1 AS k, f.f AS f,
+                  abs(sum(CAST(smp.s AS BIGINT) * q.qv)) AS e
+           FROM (SELECT unnest(range(0, 32)) AS f) f
+           CROSS JOIN q
+           JOIN smp ON smp.j = (f.f * 32 + q.n) // 64
+           GROUP BY smp.doc_id, q.k, f.f)
+         SELECT a.doc_id,
+                sum(CASE WHEN (a.f * 2 + a.k) < 32 AND a.e > b.e
+                         THEN (CAST(1 AS BIGINT) << (31 - (a.f * 2 + a.k)))
+                         ELSE 0 END) AS afp_hi,
+                sum(CASE WHEN (a.f * 2 + a.k) >= 32 AND a.e > b.e
+                         THEN (CAST(1 AS BIGINT) << (63 - (a.f * 2 + a.k)))
+                         ELSE 0 END) AS afp_lo
+         FROM en a JOIN en b
+           ON b.doc_id = a.doc_id AND b.k = a.k AND b.f = (a.f + 1) % 32
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the
       // Spark side packed into the WAV data chunk; ord() reads CODEPOINTS

@@ -1122,6 +1122,66 @@ object Multimodal {
     }.toDF("doc_id", "phash")
   }
 
+  /** 64-bit spectral-band energy fingerprint per decoded audio clip —
+    * the chromaprint-style GEOMETRY (band energies over time frames,
+    * bits from energy deltas) in integer-exact arithmetic, for
+    * audio-level near-dup dedup on the banded Hamming machinery the
+    * image hashes already ride:
+    *
+    *   1. resample the PCM to a fixed 1024-point grid (32 frames × 32
+    *      points, nearest-neighbor floor arithmetic) — DURATION- and
+    *      sample-rate-invariant by construction, the audio analogue of
+    *      the 8×8 image downsample;
+    *   2. per frame, two coarse "band energies": |fixed-point DCT bins
+    *      1 and 2| under the shared [[PhashCos]] integer table (a crude
+    *      low/mid spectral split — enough structure for near-dup
+    *      candidates; this is a fingerprint, not a codec);
+    *   3. bit 63 − (f·2+k) set when band k's energy RISES from frame f
+    *      to frame (f+1) mod 32 — delta signs survive any positive gain
+    *      (energies scale linearly), the chromaprint trick.
+    *
+    * All arithmetic is integer (floor resample, integer cosine weights,
+    * |Σ| ≤ 32·32767·2¹⁴ < 2⁴⁴, compare), so an external engine restates
+    * every bit from raw sample values.
+    */
+  def audioFingerprint(ds: Dataset[DecodedAudio]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cos = PhashCos
+    ds.map { a =>
+      val total = a.samples.length
+      val e = Array.ofDim[Long](2, 32)
+      var f = 0
+      while (f < 32) {
+        var k = 0
+        while (k < 2) {
+          var s = 0L
+          var n = 0
+          while (n < 32) {
+            val v = if (total == 0) 0L
+              else a.samples(((f * 32 + n).toLong * total / 1024).toInt).toLong
+            s += v * cos(k + 1)(n)
+            n += 1
+          }
+          e(k)(f) = math.abs(s)
+          k += 1
+        }
+        f += 1
+      }
+      var bits = 0L
+      f = 0
+      while (f < 32) {
+        var k = 0
+        while (k < 2) {
+          if (e(k)(f) > e(k)((f + 1) % 32)) bits |= 1L << (63 - (f * 2 + k))
+          k += 1
+        }
+        f += 1
+      }
+      (a.doc_id, bits)
+    }.toDF("doc_id", "afp")
+  }
+
   /** Payload-level features needing no codec at all (real, not stubbed):
     * size, content digest, and a coarse magic-byte sniff.
     */

@@ -687,6 +687,28 @@ class MultimodalSpec extends SparkSpec {
     assert(dh2(1L) == dh2(4L), "dHash must survive an affine brightness curve")
   }
 
+  test("audioFingerprint: invariant under resampling and exact gain; " +
+      "content changes flip bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(128)(rnd.nextInt(20000) - 10000)
+    def clip(id: Long, samples: Array[Int]) =
+      graft.llm.Multimodal.DecodedAudio(id, 8000, 1, samples)
+    val a = clip(1L, base)
+    // 2x "sample-rate" copy: every sample duplicated — the fixed
+    // 1024-point grid must read the same values
+    val up = clip(2L, base.flatMap(s => Array(s, s)))
+    // exact 2x gain: energies scale linearly, delta signs survive
+    val loud = clip(3L, base.map(_ * 2))
+    val other = clip(4L, base.reverse)
+    val fp = graft.llm.Multimodal.audioFingerprint(
+        Seq(a, up, loud, other).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "a resampled copy must fingerprint identically")
+    assert(fp(1L) == fp(3L), "an exact gain change must fingerprint identically")
+    assert(fp(1L) != fp(4L))
+  }
+
   test("payloadFeatures: size, sha256, magic sniff — no codec involved") {
     val rows = Multimodal.payloadFeatures(media, "doc_id", "payload")
       .collect().map(r => r.getLong(0) -> r).toMap
