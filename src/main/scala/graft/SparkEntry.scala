@@ -2919,6 +2919,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_audio_dedup" -> ((s, d) => {
+      // audio-level near-dup dedup end to end: the q_audio_fingerprint
+      // fixture plus PLANTED resampled duplicates (docs 0..19 get a 2×
+      // sample-duplicated copy under doc_id+100000 — the fixed 1024-point
+      // grid reads identical values, so the fingerprint collides
+      // exactly), exact-dedup on the fingerprint keeping the smallest
+      // id; the oracle recomputes fingerprints from the bytes (one
+      // formula covers both, the grids coincide) and replays the keep
+      // rule — the q_image_dedup treatment on the audio path
+      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
+        val h = lpad(hex(c), nBytes * 2, "0")
+        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+      }
+      def wav(dataLen: Int, data: org.apache.spark.sql.Column) = concat(
+        lit("RIFF".getBytes), le(lit(dataLen + 36), 4), lit("WAVEfmt ".getBytes),
+        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+        lit("data".getBytes), le(lit(dataLen), 4), data)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
+      val b = col("text").cast("binary")
+      val base = docs.select(col("doc_id"),
+        wav(128, b.substr(1, 128)).as("payload"))
+      // 2× resample: every 16-bit sample's byte pair emitted twice
+      val ups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          wav(256, concat((0 until 64).flatMap(j =>
+            Seq(b.substr(2 * j + 1, 2), b.substr(2 * j + 1, 2))): _*)).as("payload"))
+      val fps = graft.llm.Multimodal.audioFingerprint(
+        graft.llm.Multimodal.decodeAudio(base.unionByName(ups), "doc_id", "payload"))
+      graft.llm.Dedup.exact(fps, "doc_id", Seq(col("afp")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q_audio_fingerprint" -> ((s, d) => {
       // audio near-dup fingerprint under the oracle: the q_multimodal_audio
       // WAV fixture (16 samples from the first 32 text bytes) through the
@@ -2931,14 +2964,16 @@ object SparkEntry {
         val h = lpad(hex(c), nBytes * 2, "0")
         unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
       }
-      val dataLen = lit(32)
+      val dataLen = lit(128) // 64 samples: ~2 per 32-point frame, so the
+      // band energies genuinely vary per document (16 samples made every
+      // frame near-constant and the fingerprint degenerate)
       val payload = concat(
         lit("RIFF".getBytes), le(dataLen + 36, 4), lit("WAVEfmt ".getBytes),
         le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
         le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
         lit("data".getBytes), le(dataLen, 4),
         col("text").cast("binary").substr(lit(1), dataLen))
-      val docs = t(s, d, "documents").filter(length(col("text")) >= 32)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
         .withColumn("payload", payload)
       graft.llm.Multimodal.audioFingerprint(
           graft.llm.Multimodal.decodeAudio(docs, "doc_id", "payload"))
@@ -5057,25 +5092,27 @@ object SparkEntry {
                 substr(text, 9, 8) AS frame_text
          FROM documents, chk WHERE length(text) >= 16 AND chk.ok = 0
          ORDER BY doc_id, frame_ix""",
-    "q_audio_fingerprint" ->
-      // sample_j = b(2j+1) + 256·b(2j+2) (the q_multimodal_audio
-      // restatement); grid point (f, n) reads sample (f·32+n)//64; band
-      // energies |Σ s·Q(k,n)| for cosine rows k ∈ {1,2} under the same
-      // inlined VALUES; bit 63−(f·2+band) set when the band's energy
-      // rises to frame (f+1) mod 32
+    "q_audio_dedup" ->
+      // the planted 2× resample reads back the same 1024-point grid, so
+      // its fingerprint comes from the SAME byte formula; keep rule =
+      // min doc_id per (hi, lo) fingerprint
       s"""WITH chk AS (
-           SELECT CASE WHEN max(strlen(substr(text, 1, 32))) > 32 THEN error(
-                    'afp oracle: non-ASCII in the packed 32-char prefix - byte and char slices diverge')
+           SELECT CASE WHEN max(strlen(substr(text, 1, 128))) > 128 THEN error(
+                    'audio-dedup oracle: non-ASCII in the packed 128-char prefix')
                   ELSE 0 END AS ok
-           FROM documents WHERE length(text) >= 32
+           FROM documents WHERE length(text) >= 128
          ), d AS (
            SELECT doc_id, text FROM documents, chk
-           WHERE length(text) >= 32 AND chk.ok = 0
+           WHERE length(text) >= 128 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text FROM d
+           UNION ALL
+           SELECT doc_id + 100000, text FROM d WHERE doc_id < 20
          ), smp AS (
            SELECT doc_id, j.j AS j,
                   ascii(substr(text, 2 * j.j + 1, 1))
                     + 256 * ascii(substr(text, 2 * j.j + 2, 1)) AS s
-           FROM d, (SELECT unnest(range(0, 16)) AS j) j
+           FROM alld, (SELECT unnest(range(0, 64)) AS j) j
          ), q AS (
            SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
            WHERE k IN (1, 2)
@@ -5084,7 +5121,51 @@ object SparkEntry {
                   abs(sum(CAST(smp.s AS BIGINT) * q.qv)) AS e
            FROM (SELECT unnest(range(0, 32)) AS f) f
            CROSS JOIN q
-           JOIN smp ON smp.j = (f.f * 32 + q.n) // 64
+           JOIN smp ON smp.j = (f.f * 32 + q.n) // 16
+           GROUP BY smp.doc_id, q.k, f.f
+         ), bits AS (
+           SELECT a.doc_id,
+                  sum(CASE WHEN (a.f * 2 + a.k) < 32 AND a.e > b.e
+                           THEN (CAST(1 AS BIGINT) << (31 - (a.f * 2 + a.k)))
+                           ELSE 0 END) AS hi,
+                  sum(CASE WHEN (a.f * 2 + a.k) >= 32 AND a.e > b.e
+                           THEN (CAST(1 AS BIGINT) << (63 - (a.f * 2 + a.k)))
+                           ELSE 0 END) AS lo
+           FROM en a JOIN en b
+             ON b.doc_id = a.doc_id AND b.k = a.k AND b.f = (a.f + 1) % 32
+           GROUP BY a.doc_id)
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY hi, lo) AS keeper
+           FROM bits)
+         WHERE doc_id = keeper ORDER BY doc_id""",
+    "q_audio_fingerprint" ->
+      // sample_j = b(2j+1) + 256·b(2j+2) (the q_multimodal_audio
+      // restatement); grid point (f, n) reads sample (f·32+n)//64; band
+      // energies |Σ s·Q(k,n)| for cosine rows k ∈ {1,2} under the same
+      // inlined VALUES; bit 63−(f·2+band) set when the band's energy
+      // rises to frame (f+1) mod 32
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 128))) > 128 THEN error(
+                    'afp oracle: non-ASCII in the packed 128-char prefix - byte and char slices diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 128
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 128 AND chk.ok = 0
+         ), smp AS (
+           SELECT doc_id, j.j AS j,
+                  ascii(substr(text, 2 * j.j + 1, 1))
+                    + 256 * ascii(substr(text, 2 * j.j + 2, 1)) AS s
+           FROM d, (SELECT unnest(range(0, 64)) AS j) j
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+           WHERE k IN (1, 2)
+         ), en AS (
+           SELECT smp.doc_id, q.k - 1 AS k, f.f AS f,
+                  abs(sum(CAST(smp.s AS BIGINT) * q.qv)) AS e
+           FROM (SELECT unnest(range(0, 32)) AS f) f
+           CROSS JOIN q
+           JOIN smp ON smp.j = (f.f * 32 + q.n) // 16
            GROUP BY smp.doc_id, q.k, f.f)
          SELECT a.doc_id,
                 sum(CASE WHEN (a.f * 2 + a.k) < 32 AND a.e > b.e
