@@ -2838,6 +2838,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_image_neardup" -> ((s, d) => {
+      // NEAR-duplicate image pairs (not exact-collision dedup): pHash +
+      // the generic pigeonhole Hamming banding (Dedup.hammingPairs — the
+      // simhash machinery over ANY 64-bit signature). Planted copies of
+      // docs 0..19 get ONE corner cell forced to a constant — a small
+      // local edit whose pHash lands a few bits away, exactly the case
+      // exact-hash dedup misses. The banding is invisible to the result
+      // (the pair set is defined by the radius alone), so the oracle is
+      // the all-pairs restatement: recompute both hash sets from bytes,
+      // bit_count the xor, threshold.
+      val hdr: Array[Byte] = bmpHeader(8, 8)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
+      val b = col("text").cast("binary")
+      val px = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
+      val pxT = concat((1 to 63).flatMap(i => Seq.fill(3)(b.substr(i, 1))) ++
+        Seq.fill(3)(lit(Array[Byte](126))): _*)
+      val base = docs.select(col("doc_id"), concat(lit(hdr), px).as("__img"))
+      val ups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit(hdr), pxT).as("__img"))
+      val hashes = graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
+        base.unionByName(ups), "doc_id", "__img",
+        codecs = graft.llm.Multimodal.JvmCodecs))
+      graft.llm.Dedup.hammingPairs(hashes, "doc_id", col("phash"),
+          nBits = 64, maxHamming = 8)
+        .orderBy("idA", "idB")
+    }),
+
     "q_image_dedup" -> ((s, d) => {
       // image-level near-dup dedup end to end: the q_multimodal_ahash
       // fixture plus PLANTED cross-resolution duplicates (docs 0..19 get a
@@ -5011,6 +5039,64 @@ object SparkEntry {
                          ELSE 0 END) AS phash_lo
          FROM co JOIN med ON med.doc_id = co.doc_id
          GROUP BY co.doc_id ORDER BY co.doc_id""",
+    "q_image_neardup" ->
+      // the q_multimodal_phash restatement over base ∪ tweaked images
+      // (the tweak forces text cell 64 — image cell (7,0) — to byte 126),
+      // then ALL-PAIRS hamming from the (hi, lo) halves and the radius
+      // threshold; banding never changes the pair set
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 64))) > 64 THEN error(
+                    'image-neardup oracle: non-ASCII in the packed 64-char prefix')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 64
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 64 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text, 0 AS tweak FROM d
+           UNION ALL
+           SELECT doc_id + 100000, text, 1 FROM d WHERE doc_id < 20
+         ), cell AS (
+           SELECT doc_id, y.y AS y, x.x AS x,
+                  CASE WHEN tweak = 1
+                        AND (7 - (y.y // 4)) * 8 + (x.x // 4) + 1 = 64 THEN 126
+                       ELSE ascii(substr(text,
+                         (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1)) END AS g
+           FROM alld, (SELECT unnest(range(0, 32)) AS y) y,
+                      (SELECT unnest(range(0, 32)) AS x) x
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+         ), rp AS (
+           SELECT c.doc_id, c.x, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
+           FROM cell c JOIN q ON q.n = c.y
+           GROUP BY c.doc_id, c.x, q.k
+         ), co AS (
+           SELECT rp.doc_id, rp.v, q.k AS u, CAST(sum(rp.s * q.qv) AS BIGINT) AS s
+           FROM rp JOIN q ON q.n = rp.x
+           GROUP BY rp.doc_id, rp.v, q.k
+         ), med AS (
+           SELECT doc_id, s AS m FROM (
+             SELECT doc_id, s, row_number() OVER (
+               PARTITION BY doc_id ORDER BY s) AS rk
+             FROM co WHERE NOT (u = 0 AND v = 0))
+           WHERE rk = 32
+         ), bits AS (
+           SELECT co.doc_id,
+                  sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (31 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS hi,
+                  sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (63 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS lo
+           FROM co JOIN med ON med.doc_id = co.doc_id
+           GROUP BY co.doc_id)
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+                CAST(bit_count(xor(a.hi, b.hi))
+                     + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
+         ORDER BY idA, idB""",
     "q_multimodal_adts" ->
       // two fixed-length ADTS frames per doc whose bodies are text bytes
       // [1,8] and [9,16] — the same restatement (and the same loud

@@ -395,17 +395,6 @@ object Dedup {
   private[graft] def simhashBanded(df: DataFrame, idCol: String, textCol: String,
       nBits: Int, maxHamming: Int, pieces: Int,
       minSizeRatio: Double = 0.0, sizeNgram: Int = 3): DataFrame = {
-    require(pieces >= 1, s"pieces must be >= 1: $pieces")
-    val chunks = maxHamming + pieces
-    require(chunks <= nBits, s"maxHamming+pieces=$chunks exceeds signature width $nBits")
-    // chunk widths cover ALL nBits: the first (nBits % chunks) chunks take an
-    // extra bit, so no high bits escape the pigeonhole argument for any
-    // (nBits, maxHamming) combination
-    val base = nBits / chunks
-    val widths = (0 until chunks).map(c => base + (if (c < nBits % chunks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    // same reuse-point trick as minhashPairs: one exchange of (id, long)
-    // rows materializes the signatures once for both self-join sides.
     // minSizeRatio > 0 (exact pre-gate for jaccard-thresholded callers:
     // jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so ratio < threshold can never
     // reach it) adds ONE scalar per row — the distinct-shingle-set size —
@@ -419,14 +408,39 @@ object Dedup {
         size(array_distinct(transform(TextFunctions.shingles(col(textCol), sizeNgram),
           g => xxhash64(g)))).cast("double").as("__n"))
     val sizeCols = if (minSizeRatio <= 0) Nil else Seq(col("__n"))
-    val sig = withSize.select(col(idCol).as("__id") +: col("simhash") +: sizeCols: _*)
-      .repartition(col("__id"))
+    hammingBanded(
+      withSize.select(col(idCol).as("__id") +: col("simhash") +: sizeCols: _*),
+      "simhash", nBits, maxHamming, pieces)
+  }
+
+  /** Pigeonhole banding over ANY pre-computed long signature frame
+    * (`(__id, <sigName>[, extras])`): split the signature's low `nBits`
+    * into `maxHamming + pieces` chunks — a pair within the radius leaves
+    * at least `pieces` chunks untouched, so every `pieces`-sized chunk
+    * COMBINATION becomes a bucket key; extras ride through. Shared by
+    * the text simhash path and [[hammingPairs]]'s generic signatures.
+    */
+  private[graft] def hammingBanded(sigFrame: DataFrame, sigName: String,
+      nBits: Int, maxHamming: Int, pieces: Int): DataFrame = {
+    require(pieces >= 1, s"pieces must be >= 1: $pieces")
+    val chunks = maxHamming + pieces
+    require(chunks <= nBits, s"maxHamming+pieces=$chunks exceeds signature width $nBits")
+    // chunk widths cover ALL nBits: the first (nBits % chunks) chunks take an
+    // extra bit, so no high bits escape the pigeonhole argument for any
+    // (nBits, maxHamming) combination
+    val base = nBits / chunks
+    val widths = (0 until chunks).map(c => base + (if (c < nBits % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // same reuse-point trick as minhashPairs: one exchange of (id, long)
+    // rows materializes the signatures once for both self-join sides.
+    val passthrough = sigFrame.columns.filterNot(_ == "__id").map(col).toSeq
+    val sig = sigFrame.repartition(col("__id"))
     def chunkVal(c: Int): Column = {
       // width 64 (nBits=64, maxHamming=0): (1L<<64)-1 wraps to 0 under
       // Scala's mod-64 shift and would hash every doc to ONE bucket —
       // use the all-ones mask explicitly
       val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1
-      shiftright(col("simhash"), offsets(c)).bitwiseAND(mask)
+      shiftright(col(sigName), offsets(c)).bitwiseAND(mask)
     }
     val combos = (0 until chunks).combinations(pieces).toSeq
     // bucket key: the combo id + its chunk values folded into ONE long via
@@ -435,10 +449,41 @@ object Dedup {
     // falls off the codegen'd hash-join path. Equal real keys hash equal
     // (recall preserved); a 64-bit hash collision only ADDS a candidate
     // row, which the exact bit_count filter rejects — precision intact.
-    sig.select(col("__id") +: col("simhash") +:
+    sig.select(col("__id") +:
       explode(array(combos.zipWithIndex.map { case (ix, cid) =>
         xxhash64(lit(cid) +: ix.map(chunkVal): _*)
-      }: _*)).as("bk") +: sizeCols: _*)
+      }: _*)).as("bk") +: passthrough: _*)
+  }
+
+  /** Hamming near-dup pairs over ANY pre-computed 64-bit signature column
+    * — the [[simhashPairs]] pigeonhole machinery generalized beyond text:
+    * perceptual image hashes ([[Multimodal.aHash]]/`dHash`/`pHash`),
+    * audio fingerprints ([[Multimodal.audioFingerprint]]), binary sign
+    * patterns — any per-row long whose small Hamming distance means
+    * "near-duplicate". Returns `(idA, idB, hamming)` for pairs within
+    * `maxHamming` (idA < idB). The signature must occupy the LOW `nBits`
+    * of the long (all 64 for the image/audio hashes).
+    *
+    * Scale contract = simhashPairs': one (id, long) exchange reused by
+    * both self-join sides, bucket keys from chunk combinations (the
+    * candidate SET is defined by the radius alone — `pieces` only trades
+    * explode rows against collision volume), hot-bucket fuse available,
+    * exact `bit_count` verification, no corpus-sized anything.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, sigCol: Column, nBits: Int = 64,
+      maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+    val banded = hammingBanded(
+      df.select(col(idCol).as("__id"), sigCol.cast("long").as("__hsig")),
+      "__hsig", nBits, maxHamming, pieces)
+    val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
+    val a = pruned.select(col("bk"), col("__id").as("idA"), col("__hsig").as("shA"))
+    val b = pruned.select(col("bk").as("bk2"), col("__id").as("idB"),
+      col("__hsig").as("shB"))
+    a.join(b, col("bk") === col("bk2") && col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
   /** SimHash near-dup pairs with exact verification: the pigeonhole-banded

@@ -232,6 +232,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairSet(1) == pairSet(2))
   }
 
+  test("hammingPairs: generic 64-bit signatures equal the brute-force " +
+      "pair set for every pieces config; radius is exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val sigs = (0L until 200L).map(id => (id, rnd.nextLong()))
+    // plant near pairs: 200+i = sig(i) with i low bits flipped
+    val planted = (0 until 6).map(i => (200L + i, sigs(i.toInt)._2 ^ ((1L << i) - 1)))
+    val all = (sigs ++ planted).toDF("id", "sig")
+    val brute = (for {
+      (a, sa) <- sigs ++ planted
+      (b, sb) <- sigs ++ planted
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    for (p <- Seq(1, 2)) {
+      val got = graft.llm.Dedup.hammingPairs(all, "id", col("sig"),
+          nBits = 64, maxHamming = 4, pieces = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute, s"pieces=$p: ${got.size} vs brute ${brute.size}")
+    }
+    // the planted pairs with flips 0..4 are in; flip-5 (hamming 5) is out
+    val got1 = graft.llm.Dedup.hammingPairs(all, "id", col("sig"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 5) assert(got1.contains((i.toLong, 200L + i)), s"flip-$i lost")
+    assert(!got1.contains((5L, 205L)))
+  }
+
   test("connectedComponents: transitive clusters, min-id labels, chains") {
     import spark.implicits._
     // components: {1,2,3,4} via a chain, {10,11}, and 3-3 self-pair noise
