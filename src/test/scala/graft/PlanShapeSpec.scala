@@ -81,6 +81,15 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash signatures computed more than once:\n$p")
   }
 
+  test("hammingPairs (generic signatures) reuses one exchange like simhash") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val sigs = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.xxhash64(col("text")).as("sig"))
+    val p = finalPlan(Dedup.hammingPairs(sigs, "doc_id", col("sig"),
+      nBits = 64, maxHamming = 4))
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("simhash verify: primitive bucket key, merge-walk intersect, no per-pair hash sets") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = finalPlan(Dedup.simhashPairsVerified(docs, "doc_id", "text",
