@@ -2361,6 +2361,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_fim" -> ((s, d) =>
+      // fill-in-the-middle (PSM) transform: a hash-selected half of the
+      // corpus rewritten PRE+prefix+SUF+suffix+MID+middle with both split
+      // points md5-derived from the doc id — selection, positions, and
+      // the rewritten STRING all restated verbatim (substr counts
+      // characters in both engines, and the hash never touches text)
+      t(s, d, "documents").select(col("doc_id"),
+          TF.fimTransform(col("text"), col("doc_id"), "fim1", 0.5).as("fim_text"))
+        .orderBy("doc_id")),
+
     "q_sentences" -> ((s, d) =>
       // sentence segmentation under the deterministic boundary rule:
       // build a synthetic paragraph per doc (periods, bang+quote, a
@@ -4659,6 +4669,28 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\s+') END)), ' '))
                   AS fp
          FROM documents ORDER BY doc_id""",
+    "q_fim" ->
+      // selection bucket and both positions replayed from the same
+      // md5(seed|...|doc_id) basis; 0.5 rate = hex threshold 80000000
+      """WITH p AS (
+           SELECT doc_id, text,
+                  ('0x' || substr(md5('fim1|p1|' || doc_id), 1, 8))::BIGINT
+                    % (length(text) + 1) AS p1,
+                  ('0x' || substr(md5('fim1|p2|' || doc_id), 1, 8))::BIGINT
+                    % (length(text) + 1) AS p2
+           FROM documents
+         ), b AS (
+           SELECT doc_id, text, least(p1, p2) AS lo, greatest(p1, p2) AS hi
+           FROM p)
+         SELECT doc_id,
+                CASE WHEN substr(md5('fim1|' || doc_id), 1, 8) < '80000000'
+                     THEN '<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+                          || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+                               CAST(length(text) - hi AS INTEGER))
+                          || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+                               CAST(hi - lo AS INTEGER))
+                     ELSE text END AS fim_text
+         FROM b ORDER BY doc_id""",
     "q_sentences" ->
       // the same marker-replace-then-split replay: boundary = terminal
       // punctuation run (+ closing quotes/brackets) before whitespace

@@ -125,6 +125,44 @@ object TextFunctions {
       HostBlocked(org.apache.spark.sql.GraftShims.toExpression(urlHost(url)), cleaned))
   }
 
+  /** Fill-in-the-middle (FIM) transform — the code-model training-data
+    * reordering of Bavarian et al. 2022 ("Efficient Training of Language
+    * Models to Fill in the Middle"), PSM layout: a hash-selected `rate`
+    * fraction of documents is rewritten
+    * `PRE + prefix + SUF + suffix + MID + middle`, teaching the model to
+    * infill; the rest pass through unchanged. All randomness derives
+    * from `md5(seed|…|key)` — the [[graft.llm.Mix.assignSplits]] basis —
+    * so selection AND the two split points are deterministic,
+    * partition-independent, and restatable verbatim in external SQL
+    * (character positions; both engines' substr count characters).
+    * Map-only, zero shuffle. A null `key` passes the document through
+    * (selection can't be decided); null text stays null.
+    *
+    * Sentinel DEFAULTS are placeholders — real pipelines pass their
+    * tokenizer's reserved sentinel strings and guarantee they don't
+    * occur in the corpus (this function deliberately does not guess a
+    * vocabulary).
+    */
+  def fimTransform(text: Column, key: Column, seed: String, rate: Double = 0.5,
+      pre: String = "<PRE>", suf: String = "<SUF>", mid: String = "<MID>"): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"fimTransform: rate must be in [0,1]: $rate")
+    def h(tag: String): Column =
+      md5(concat(lit(seed), lit(tag), key.cast("string")))
+    val bucket = substring(h("|"), 1, 8)
+    val thr = f"${math.floor(rate * 4294967296.0).toLong.min(4294967295L)}%08x"
+    def pos(tag: String): Column =
+      conv(substring(h(tag), 1, 8), 16, 10).cast("long") % (length(text) + 1)
+    val p1 = pos("|p1|")
+    val p2 = pos("|p2|")
+    val lo = least(p1, p2)
+    val hi = greatest(p1, p2)
+    when(key.isNotNull && bucket < lit(thr),
+      concat(lit(pre), text.substr(lit(1), lo),
+        lit(suf), text.substr(hi + 1, length(text) - hi),
+        lit(mid), text.substr(lo + 1, hi - lo)))
+      .otherwise(text)
+  }
+
   /** Sentence segmentation under a DETERMINISTIC boundary rule: a run of
     * terminal punctuation `[.!?]` plus any trailing closing quotes or
     * brackets, followed by whitespace, ends a sentence; pieces are

@@ -34,7 +34,7 @@ object BuiltinComponents {
       normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
       nearDupDedup, canonicalUrl, blockDomains, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, sentenceChunk, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
-      redactSpans, convertSpansFilter, sidecarJoin),
+      redactSpans, convertSpansFilter, sidecarJoin, fimTransform),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
@@ -602,6 +602,26 @@ object BuiltinComponents {
         required = true)))(
     (_, cfg) => df => df.withColumn(cfg.str("DstField"),
       graft.functions.TextFunctions.normalizeText(col(cfg.str("SrcField")))))
+
+  val fimTransform: FilterDesc = mkFilter("FimTransform",
+    "Rewrites a hash-selected fraction of records' text field into the " +
+      "fill-in-the-middle PSM layout (PRE+prefix+SUF+suffix+MID+middle, " +
+      "Bavarian et al. 2022); selection and split points derive from " +
+      "md5(seed|key), so the transform is deterministic and " +
+      "partition-independent.",
+    Seq(
+      ConfigKey("Field", "text field to transform in place", required = true),
+      ConfigKey("KeyField", "unique key field driving the hash", required = true),
+      ConfigKey("Seed", "hash seed", required = true),
+      ConfigKey("Rate", "fraction of records transformed", default = Some("0.5")),
+      ConfigKey("PreToken", "prefix sentinel", default = Some("<PRE>")),
+      ConfigKey("SufToken", "suffix sentinel", default = Some("<SUF>")),
+      ConfigKey("MidToken", "middle sentinel", default = Some("<MID>"))))(
+    (_, cfg) => df => df.withColumn(cfg.str("Field"),
+      graft.functions.TextFunctions.fimTransform(
+        col(cfg.str("Field")), col(cfg.str("KeyField")), cfg.str("Seed"),
+        cfg.str("Rate", "0.5").toDouble, cfg.str("PreToken", "<PRE>"),
+        cfg.str("SufToken", "<SUF>"), cfg.str("MidToken", "<MID>"))))
 
   val decontaminate: FilterDesc = mkPureFilter("Decontaminate",
     "Drops records whose text field contains any configured benchmark phrase " +

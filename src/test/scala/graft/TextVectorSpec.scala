@@ -95,6 +95,38 @@ class TextVectorSpec extends SparkSpec {
     assert(one(TF.gopherPasses(lit(spam), maxDupBigram = 0.5)) == false)
   }
 
+  test("fimTransform: PSM pieces reassemble the original; rate 0/1 " +
+      "select none/all; deterministic in the key alone") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"doc $i body ${"x" * (i % 17).toInt} end"))
+      .toDF("id", "text")
+    val out = docs.select(col("id"), col("text"),
+        TF.fimTransform(col("text"), col("id"), "s1", rate = 1.0).as("fim"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.forall(_._3.startsWith("<PRE>")), "rate 1.0 must transform all")
+    for ((_, orig, fim) <- out) {
+      // <PRE>p<SUF>s<MID>m with p+m+s == original
+      val pre = fim.stripPrefix("<PRE>")
+      val Array(p, rest) = pre.split("<SUF>", 2)
+      val Array(s2, m) = rest.split("<MID>", 2)
+      assert(p + m + s2 == orig, s"pieces must reassemble: '$fim' vs '$orig'")
+    }
+    val none = docs.select(TF.fimTransform(col("text"), col("id"), "s1",
+        rate = 0.0).as("f"), col("text"))
+      .collect()
+    assert(none.forall(r => r.getString(0) == r.getString(1)), "rate 0 = identity")
+    // key-determinism: same (key, seed) -> same output under any layout
+    val a = docs.select(col("id"), TF.fimTransform(col("text"), col("id"), "s1",
+      0.5).as("f")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = docs.repartition(7).select(col("id"),
+        TF.fimTransform(col("text"), col("id"), "s1", 0.5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // ~half selected at rate 0.5 on 50 docs (loose: the hash is uniform)
+    val nSel = a.values.count(_.startsWith("<PRE>"))
+    assert(nSel > 10 && nSel < 40, s"rate 0.5 selected $nSel of 50")
+  }
+
   test("topNgramCharFraction covers count·chars of the densest n-gram") {
     // "a b a b a" (9 chars): top word 'a' → 3·1/9; top bigram "a b" → 2·3/9;
     // top trigram "a b a" appears twice (overlapping) → 2·5/9 > 1
