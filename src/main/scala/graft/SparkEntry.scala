@@ -2876,6 +2876,39 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q_dedup_incremental_image" -> ((s, d) => {
+      // the perceptual tier's INCREMENTAL store lifecycle as one
+      // checkable row set: batch 0 (even docs) fingerprints into the
+      // at-rest signature store via ImageDedupStream's idempotent batch
+      // function; batch 1 (odd docs + planted one-cell-edited near-dups
+      // of even docs < 40) dedups against the store AND itself; the
+      // kept corpus is read back. The oracle replays both stages from
+      // pixel bytes — batch-0 internal keep, then store-kill + batch-kill
+      // for batch 1 — under the same radius.
+      val hdr: Array[Byte] = bmpHeader(8, 8)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 64)
+      val b = col("text").cast("binary")
+      val px = concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(i, 1))): _*)
+      val pxT = concat((1 to 63).flatMap(i => Seq.fill(3)(b.substr(i, 1))) ++
+        Seq.fill(3)(lit(Array[Byte](126))): _*)
+      val base = docs.select(col("doc_id"), concat(lit(hdr), px).as("__img"))
+      val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit(hdr), pxT).as("__img"))
+      val batch0 = base.filter(col("doc_id") % 2 === 0)
+      val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
+      val dir = qTmpDir("imgdedup-q")
+      def sigOf(df: org.apache.spark.sql.DataFrame) =
+        graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
+            df, "doc_id", "__img", codecs = graft.llm.Multimodal.JvmCodecs))
+          .select(col("doc_id").as("__id"), col("phash").as("__hsig"))
+      val fn = graft.streaming.ImageDedupStream.batchFunction("doc_id", sigOf,
+        s"$dir/store", s"$dir/corpus", maxHamming = 8)
+      fn(batch0, 0L)
+      fn(batch1, 1L)
+      s.read.parquet(s"$dir/corpus").select("doc_id").orderBy("doc_id")
+    }),
+
     "q_image_dedup" -> ((s, d) => {
       // image-level near-dup dedup end to end: the q_multimodal_ahash
       // fixture plus PLANTED cross-resolution duplicates (docs 0..19 get a
@@ -5071,6 +5104,81 @@ object SparkEntry {
                          ELSE 0 END) AS phash_lo
          FROM co JOIN med ON med.doc_id = co.doc_id
          GROUP BY co.doc_id ORDER BY co.doc_id""",
+    "q_dedup_incremental_image" ->
+      // both lifecycle stages replayed: pHash bits per doc (base formula;
+      // planted copies force text cell 64 to byte 126), batch-0 keep =
+      // no smaller-id batch-0 doc within radius, batch-1 keep = no
+      // batch-0 SURVIVOR within radius (the store) and no smaller-id
+      // batch-1 doc within radius
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 64))) > 64 THEN error(
+                    'incr-image oracle: non-ASCII in the packed 64-char prefix')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 64
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 64 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text, 0 AS tweak,
+                  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
+           FROM d
+           UNION ALL
+           SELECT doc_id + 100000, text, 1, 1 FROM d
+           WHERE doc_id % 2 = 0 AND doc_id < 40
+         ), cell AS (
+           SELECT doc_id, bt, y.y AS y, x.x AS x,
+                  CASE WHEN tweak = 1
+                        AND (7 - (y.y // 4)) * 8 + (x.x // 4) + 1 = 64 THEN 126
+                       ELSE ascii(substr(text,
+                         (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1)) END AS g
+           FROM alld, (SELECT unnest(range(0, 32)) AS y) y,
+                      (SELECT unnest(range(0, 32)) AS x) x
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+         ), rp AS (
+           SELECT c.doc_id, any_value(c.bt) AS bt, c.x, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
+           FROM cell c JOIN q ON q.n = c.y
+           GROUP BY c.doc_id, c.x, q.k
+         ), co AS (
+           SELECT rp.doc_id, any_value(rp.bt) AS bt, rp.v, q.k AS u,
+                  CAST(sum(rp.s * q.qv) AS BIGINT) AS s
+           FROM rp JOIN q ON q.n = rp.x
+           GROUP BY rp.doc_id, rp.v, q.k
+         ), med AS (
+           SELECT doc_id, s AS m FROM (
+             SELECT doc_id, s, row_number() OVER (
+               PARTITION BY doc_id ORDER BY s) AS rk
+             FROM co WHERE NOT (u = 0 AND v = 0))
+           WHERE rk = 32
+         ), bits AS (
+           SELECT co.doc_id, any_value(co.bt) AS bt,
+                  sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (31 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS hi,
+                  sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (63 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS lo
+           FROM co JOIN med ON med.doc_id = co.doc_id
+           GROUP BY co.doc_id
+         ), k0 AS (
+           SELECT a.doc_id, a.hi, a.lo FROM bits a
+           WHERE a.bt = 0 AND NOT EXISTS (
+             SELECT 1 FROM bits b WHERE b.bt = 0 AND b.doc_id < a.doc_id
+               AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8)
+         ), k1 AS (
+           SELECT a.doc_id FROM bits a
+           WHERE a.bt = 1
+             AND NOT EXISTS (
+               SELECT 1 FROM k0 s
+               WHERE bit_count(xor(a.hi, s.hi)) + bit_count(xor(a.lo, s.lo)) <= 8)
+             AND NOT EXISTS (
+               SELECT 1 FROM bits b WHERE b.bt = 1 AND b.doc_id < a.doc_id
+                 AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8))
+         SELECT doc_id FROM k0
+         UNION ALL
+         SELECT doc_id FROM k1
+         ORDER BY doc_id""",
     "q_image_neardup" ->
       // the q_multimodal_phash restatement over base ∪ tweaked images
       // (the tweak forces text cell 64 — image cell (7,0) — to byte 126),

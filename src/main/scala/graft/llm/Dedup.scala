@@ -486,6 +486,46 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
+  /** Incremental Hamming dedup against an at-rest SIGNATURE store — the
+    * [[incrementalDedupVerified]] shape for the perceptual tier (image
+    * pHash/dHash/aHash, audio fingerprints), where the signature IS the
+    * decision statistic, so no stored payloads are ever re-read: a batch
+    * row dies when its signature is within `maxHamming` of ANY store
+    * signature (either id order — the store is canonical) or of a
+    * smaller-id batch signature. `batchSigs` is the batch's `(__id,
+    * __hsig)` frame (computed by the caller — perceptual hashes come out
+    * of the typed decode path, not a Column); `atRestSigs` the store's.
+    * Returns the surviving batch rows.
+    *
+    * Plan shape: batch signatures band once and the banded frame is
+    * reused by the store join and the within-batch self-join; the store
+    * join keys on the 64-bit bucket hash; verification is the exact
+    * `bit_count` — nothing corpus-sized collects or broadcasts.
+    */
+  def incrementalHammingDedup(batch: DataFrame, idCol: String,
+      batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,
+      maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+    val bb = pruneHotBuckets(hammingBanded(
+      batchSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig")),
+      "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
+    val ob = pruneHotBuckets(hammingBanded(
+      atRestSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig")),
+      "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
+    val vsStore = bb.select(col("bk"), col("__id").as("idB"), col("__hsig").as("sB"))
+      .join(ob.select(col("bk").as("bk2"), col("__hsig").as("sA")),
+        col("bk") === col("bk2"))
+      .filter(bit_count(col("sA").bitwiseXOR(col("sB"))) <= maxHamming)
+      .select(col("idB").as("__doomed"))
+    val vsBatch = bb.select(col("bk"), col("__id").as("idA"), col("__hsig").as("sA"))
+      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB"),
+          col("__hsig").as("sB")),
+        col("bk") === col("bk2") && col("idA") < col("idB"))
+      .filter(bit_count(col("sA").bitwiseXOR(col("sB"))) <= maxHamming)
+      .select(col("idB").as("__doomed"))
+    batch.join(vsStore.unionByName(vsBatch).distinct(),
+      col(idCol) === col("__doomed"), "left_anti")
+  }
+
   /** SimHash near-dup pairs with exact verification: the pigeonhole-banded
     * hamming candidates of [[simhashPairs]], re-scored by EXACT word-ngram
     * Jaccard and thresholded — signature noise decides only which pairs get

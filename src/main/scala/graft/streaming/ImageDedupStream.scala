@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.llm.Dedup
+
+/** Streaming perceptual near-dup dedup — [[Dedup.incrementalHammingDedup]]
+  * lifted to Structured Streaming with `foreachBatch`: every micro-batch
+  * of media records is fingerprinted (image pHash/dHash/aHash, audio
+  * fingerprint — any 64-bit Hamming signature the caller's `sigOf`
+  * produces), deduped against the accumulated at-rest signature store AND
+  * within itself, and the survivors land in `corpusDir` with their
+  * signatures appended to `storeDir` — the [[IncrementalDedupStream]]
+  * contract for the multimodal tier.
+  *
+  * The perceptual store is LIGHTER than the text one: a signature is the
+  * whole decision statistic (Hamming distance needs no payload re-read),
+  * so the store holds 8 bytes per object and no collision-id point reads
+  * of payloads ever happen — at 10⁹ images the store is ~8 GB of parquet.
+  *
+  * Exactly-once and store discipline are [[StoreLayout]]'s: idempotent
+  * `batch=<runTag>-<batchId>` partitions (a replayed batch overwrites its
+  * own output and never dedupes against its own previous attempt),
+  * committed-only reads, the maintenance lease, crash-safe compaction,
+  * and partition-granular right-to-be-forgotten deletion.
+  */
+object ImageDedupStream {
+
+  /** The idempotent `foreachBatch` function. `sigOf` maps a batch to its
+    * `(__id, __hsig)` signature frame — perceptual hashes come out of the
+    * typed decode path ([[graft.llm.Multimodal.pHash]] etc.), not a
+    * Column, so the producer is a frame transformation. Batch rows
+    * MISSING from `sigOf`'s output (undecodable payloads — the decode
+    * path drops them) are KEPT and contribute nothing to the store: an
+    * object with no fingerprint cannot be a duplicate of anything.
+    */
+  def batchFunction(idCol: String, sigOf: DataFrame => DataFrame,
+      storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
+      maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
+      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    val self = s"batch=$runTag-$batchId"
+    val spark = batchDf.sparkSession
+    def committed(dir: String): Seq[String] =
+      StoreLayout.committed(spark, dir, Some(self))
+    val sigParts = committed(storeDir)
+    val atRest =
+      if (sigParts.nonEmpty) spark.read.parquet(sigParts: _*).select("__id", "__hsig")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        batchDf.schema(idCol).copy(name = "__id"),
+        StructField("__hsig", LongType, nullable = false))))
+    // signatures computed ONCE per batch: the dedup reuses this frame for
+    // both joins, and the store append below writes the kept subset of it
+    val sigs = sigOf(batchDf).select(col("__id"), col("__hsig").cast("long")
+      .as("__hsig")).persist()
+    try {
+      val kept = Dedup.incrementalHammingDedup(batchDf, idCol, sigs, atRest,
+        nBits, maxHamming, maxBucketSize, pieces).persist()
+      try {
+        StoreLayout.writing(spark, storeDir, runTag) {
+          sigs.join(kept.select(col(idCol).as("__kid")),
+              col("__id") === col("__kid"), "left_semi")
+            .write.mode("overwrite").parquet(s"$storeDir/$self")
+        }
+        StoreLayout.writing(spark, corpusDir, runTag) {
+          kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
+        }
+      } finally kept.unpersist()
+    } finally sigs.unpersist()
+  }
+
+  /** Offline compaction — the shared crash-safe [[StoreLayout.compact]]. */
+  def compactStore(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
+    StoreLayout.compact(spark, dir, targetFiles)
+
+  /** Right-to-be-forgotten: remove `ids` from BOTH halves — kept-corpus
+    * rows first (the payload is the legal deliverable; a crash window
+    * leaves at worst a ghost signature that still BLOCKS near-dups of the
+    * forgotten object, never the reverse), then signatures. Run while no
+    * stream is writing. Returns (signature rows, corpus rows) removed.
+    */
+  def deleteObjects(spark: SparkSession, storeDir: String, corpusDir: String,
+      idCol: String, ids: DataFrame): (Long, Long) = {
+    val corpusRemoved = StoreLayout.deleteIds(spark, corpusDir, idCol, ids)
+    val sigRemoved = StoreLayout.deleteIds(spark, storeDir, "__id", ids)
+    (sigRemoved, corpusRemoved)
+  }
+
+  /** Start the streaming query: media records → per-batch perceptual
+    * dedup → kept rows under `corpusDir/batch=*`, their signatures under
+    * `storeDir/batch=*`.
+    */
+  def start(docs: DataFrame, idCol: String, sigOf: DataFrame => DataFrame,
+      storeDir: String, corpusDir: String, checkpointDir: String,
+      nBits: Int = 64, maxHamming: Int = 3, maxBucketSize: Int = 0,
+      pieces: Int = 1): StreamingQuery = {
+    val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(batchFunction(idCol, sigOf, storeDir, corpusDir,
+        nBits, maxHamming, maxBucketSize, pieces, runTag))
+      .start()
+  }
+}
