@@ -72,6 +72,78 @@ object SparkEntry {
       row.zipWithIndex.map { case (qv, n) => s"($k, $n, $qv)" }
     }.mkString(", ")
 
+  /** q_mix_solver's target mixture (basis points, sum 10000) — a QUERY
+    * PARAMETER inlined identically on both engines.
+    */
+  private val mixSolverWeights: Map[String, Int] =
+    Map("en" -> 4000, "zh" -> 2000, "de" -> 1500, "es" -> 1500, "fr" -> 1000)
+
+  /** The water-filling fixed point of q_mix_solver unrolled: each round
+    * re-tests every still-uncapped source against its proportional share
+    * of the remaining budget (integer cross-multiplication — exactly
+    * [[graft.llm.Mix.solveMixture]]'s test); n sources need at most n
+    * rounds, so the unroll depth equals the weight-table size.
+    */
+  private def mixSolverOracle: String = {
+    val budget = 50000L
+    val n = mixSolverWeights.size
+    val values = mixSolverWeights.toSeq.sorted
+      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+           SELECT source, wbp, avail, cap,
+                  CASE WHEN capped THEN TRUE
+                       WHEN (SELECT coalesce(sum(CASE WHEN NOT capped
+                                THEN wbp END), 0) FROM $prev) = 0 THEN FALSE
+                       ELSE ($budget - (SELECT coalesce(sum(CASE WHEN capped
+                                THEN cap END), 0) FROM $prev)) * wbp
+                            >= cap * (SELECT sum(CASE WHEN NOT capped
+                                THEN wbp END) FROM $prev)
+                  END AS capped
+           FROM $prev)"""
+    val rounds = (1 to n).map(i => round(if (i == 1) "s0" else s"s${i - 1}", s"s$i"))
+      .mkString(",\n         ")
+    s"""WITH w(source, wbp) AS (VALUES $values),
+         a AS MATERIALIZED (
+           SELECT lang AS source,
+                  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS avail
+           FROM documents WHERE trim(text) <> '' GROUP BY lang
+         ), s0 AS MATERIALIZED (
+           SELECT w.source, CAST(w.wbp AS BIGINT) AS wbp, a.avail,
+                  a.avail * 20000 // 10000 AS cap, FALSE AS capped
+           FROM w JOIN a USING (source)
+         ),
+         $rounds,
+         fin AS MATERIALIZED (
+           SELECT *,
+                  $budget - (SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                             FROM s$n) AS rem,
+                  (SELECT coalesce(sum(CASE WHEN NOT capped THEN wbp END), 0)
+                   FROM s$n) AS wunc
+           FROM s$n
+         ), base AS MATERIALIZED (
+           SELECT source, avail, capped, wbp,
+                  CASE WHEN capped THEN cap
+                       WHEN wunc = 0 THEN 0
+                       ELSE rem * wbp // wunc END AS t0,
+                  CASE WHEN capped THEN CAST(NULL AS BIGINT)
+                       ELSE row_number() OVER (PARTITION BY capped
+                              ORDER BY wbp DESC, source) END AS rn,
+                  rem, wunc
+           FROM fin
+         ), lf AS (
+           SELECT CASE WHEN max(wunc) = 0 THEN 0
+                       ELSE max(rem) - coalesce(sum(CASE WHEN NOT capped
+                                THEN t0 END), 0) END AS leftover
+           FROM base)
+         SELECT source, avail AS available,
+                t0 + CASE WHEN NOT capped AND rn <= (SELECT leftover FROM lf)
+                          THEN 1 ELSE 0 END AS tokens_out,
+                capped
+         FROM base ORDER BY source"""
+  }
+
   /** Bpe's reserved symbol delimiters, embedded RAW in the oracle SQL
     * (Verify's JSON dump escapes control chars; DuckDB literals accept
     * them).
@@ -3145,6 +3217,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    "q_mix_solver" -> ((s, d) => {
+      // the token-budget mixture solve: per-language inventories from ONE
+      // aggregation, then the exact-integer water-filling (caps at 2
+      // epochs, shortfall redistributed by weight, floor shares with the
+      // remainder handed to the largest-weight uncapped sources). The
+      // oracle replays the whole solve as unrolled fixed-point rounds —
+      // every comparison is an integer cross-multiplication, so the
+      // capped set, the shares, and the ±1 remainder tokens all match
+      // bit-for-bit.
+      val avail = t(s, d, "documents").filter(trim(col("text")) =!= "")
+        .groupBy("lang").agg(sum(TF.tokenCount(col("text"))).as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sol = graft.llm.Mix.solveMixture(avail, mixSolverWeights,
+        budget = 50000L, maxEpochsBp = 20000)
+      import s.implicits._
+      sol.toDF("source", "available", "tokens_out", "capped")
+        .orderBy("source")
+    }),
+
     "q_sample_stratified" -> ((s, d) =>
       // per-language deterministic sampling ("50% en, 10% zh, all fr"):
       // map-only CASE threshold on the stratum, integer-algebra hash so the
@@ -5658,6 +5749,7 @@ object SparkEntry {
                 substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 60)
                   AS norm_prefix
          FROM documents ORDER BY doc_id""",
+    "q_mix_solver" -> mixSolverOracle,
     "q_mix_epochs" ->
       // copies = floor(f) + (1 iff the portable hash lands under frac(f));
       // unnest(range(0, copies)) drops copies=0 rows like Spark's explode

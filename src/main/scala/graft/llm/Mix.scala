@@ -69,6 +69,79 @@ object Mix {
       explode(when(copies > 0, sequence(lit(0L), copies - 1))))
   }
 
+  /** Token-budget mixture solver with an epoch cap — the step between
+    * "target weights" and the `factors` map [[epochExpand]] consumes:
+    * given per-source token inventories, target mixture weights (basis
+    * points summing to 10000), a total token budget, and a repetition
+    * cap (`maxEpochsBp`, e.g. 20000 = at most 2 epochs of any source),
+    * allocate `tokens(s) = min(cap(s), λ·w(s))` with λ set so the
+    * allocations sum to the budget — WATER-FILLING: a source too small
+    * to supply its proportional share caps at `maxEpochs` epochs and its
+    * shortfall redistributes to the uncapped sources by weight
+    * (iterating, since redistribution can cap further sources). When
+    * even the fully-capped total can't reach the budget, every source
+    * caps and the result is the maximum obtainable corpus.
+    *
+    * EXACT integer arithmetic throughout (BigInt cross-multiplication
+    * for the cap tests, floor division for shares, the ≤ n−1 floor
+    * remainder handed one token each to the largest-weight uncapped
+    * sources — each has ≥ 1 token of slack below its cap by the strict
+    * uncapped inequality), so an external engine replays the whole
+    * solve, and Σ tokens == min(budget, Σ caps) EXACTLY. Driver-side
+    * pure arithmetic — sources are languages/domains/corpora, a small
+    * set by nature; the per-source inventory aggregation is the only
+    * Spark job a caller runs.
+    *
+    * Returns (source, available, tokensOut, capped) sorted by source;
+    * epoch factors for [[epochExpand]] are `tokensOut / available`.
+    */
+  def solveMixture(available: Map[String, Long], weightBp: Map[String, Int],
+      budget: Long, maxEpochsBp: Int): Seq[(String, Long, Long, Boolean)] = {
+    require(available.keySet == weightBp.keySet,
+      s"solveMixture: sources differ: ${available.keySet} vs ${weightBp.keySet}")
+    require(available.nonEmpty, "solveMixture: no sources")
+    require(weightBp.values.sum == 10000,
+      s"solveMixture: weights must sum to 10000 bp: ${weightBp.values.sum}")
+    require(weightBp.values.forall(_ >= 0) && available.values.forall(_ >= 0),
+      "solveMixture: negative weight or inventory")
+    require(budget >= 0 && maxEpochsBp > 0,
+      s"solveMixture: bad budget=$budget maxEpochsBp=$maxEpochsBp")
+    val caps: Map[String, Long] =
+      available.map { case (s, a) => s -> (BigInt(a) * maxEpochsBp / 10000).toLong }
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      val rem = budget - capped.toSeq.map(caps).sum
+      val wUnc = weightBp.collect { case (s, w) if !capped(s) => w.toLong }.sum
+      if (wUnc > 0) {
+        for ((s, w) <- weightBp if !capped(s)) {
+          if (BigInt(rem) * w >= BigInt(caps(s)) * wUnc) {
+            capped += s
+            changed = true
+          }
+        }
+      }
+    }
+    val rem = budget - capped.toSeq.map(caps).sum
+    val wUnc = weightBp.collect { case (s, w) if !capped(s) => w.toLong }.sum
+    // wUnc == 0 with uncapped sources is the all-weight-mass-capped
+    // corner (the uncapped survivors all weigh 0): they get nothing
+    val base: Map[String, Long] = weightBp.map { case (s, w) =>
+      s -> (if (capped(s)) caps(s)
+            else if (wUnc == 0) 0L
+            else (BigInt(rem) * w / wUnc).toLong)
+    }
+    val leftover =
+      if (wUnc == 0) 0L
+      else rem - base.collect { case (s, t) if !capped(s) => t }.sum
+    val bonus = weightBp.keys.toSeq.filterNot(capped)
+      .sortBy(s => (-weightBp(s), s)).take(leftover.toInt).toSet
+    available.keys.toSeq.sorted.map { s =>
+      (s, available(s), base(s) + (if (bonus(s)) 1L else 0L), capped(s))
+    }
+  }
+
   /** Stratified deterministic sample: keep a per-stratum fraction of rows
     * ("50% of en, 10% of zh, …"), selected by `hash` as in
     * [[sampleDeterministic]]. Strata not in `rates` keep `defaultRate`.

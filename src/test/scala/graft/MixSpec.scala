@@ -185,6 +185,51 @@ class MixSpec extends SparkSpec {
     assert(byLang("tail") / 100.0 > byLang("head") / 900.0)
   }
 
+  test("solveMixture: water-filling caps and redistributes; exact totals; " +
+      "corners (all capped, zero weight, empty source)") {
+    def total(sol: Seq[(String, Long, Long, Boolean)]) = sol.map(_._3).sum
+    val avail = Map("en" -> 1000L, "zh" -> 100L, "de" -> 100L, "fr" -> 50L)
+    val w = Map("en" -> 4000, "zh" -> 3000, "de" -> 2000, "fr" -> 1000)
+    // budget 1000 at 2-epoch caps (2000/200/200/100): zh wants 300 ->
+    // caps at 200; de and fr sit EXACTLY at their caps (shares 200/100 =
+    // caps — the >= boundary caps them too); en absorbs the remainder
+    val sol = graft.llm.Mix.solveMixture(avail, w, budget = 1000L,
+      maxEpochsBp = 20000)
+    val m = sol.map(s => s._1 -> s).toMap
+    assert(total(sol) == 1000L, sol.toString)
+    assert(m("zh")._3 == 200L && m("zh")._4, "zh must cap at 2 epochs")
+    assert(m("de")._3 == 200L && m("de")._4, "de caps at the boundary")
+    assert(m("fr")._3 == 100L && m("fr")._4, "fr caps at the boundary")
+    assert(m("en")._3 == 500L && !m("en")._4, "en absorbs the remainder")
+    // a genuinely partial redistribution: fr slightly larger so only zh
+    // caps and the 4:2:1 proportional split holds among the rest
+    val sol2 = graft.llm.Mix.solveMixture(avail + ("fr" -> 80L), w,
+      budget = 1000L, maxEpochsBp = 20000)
+    val m2 = sol2.map(s => s._1 -> s).toMap
+    assert(total(sol2) == 1000L, sol2.toString)
+    assert(m2("zh")._4 && m2("de")._4 && !m2("en")._4 && !m2("fr")._4,
+      sol2.toString)
+    // en and fr split rem = 600 as 4000:1000 -> 480/120
+    assert(m2("en")._3 == 480L && m2("fr")._3 == 120L, sol2.toString)
+    // unreachable budget: everything caps, result = the max corpus
+    val solAll = graft.llm.Mix.solveMixture(avail, w, budget = 100000L,
+      maxEpochsBp = 20000)
+    assert(solAll.forall(_._4) && total(solAll) == 2500L)
+    // zero-weight source gets nothing unless capped at zero
+    val solZ = graft.llm.Mix.solveMixture(avail,
+      Map("en" -> 10000, "zh" -> 0, "de" -> 0, "fr" -> 0), budget = 1000L,
+      maxEpochsBp = 20000)
+    assert(solZ.filter(_._1 != "en").forall(_._3 == 0L))
+    assert(solZ.find(_._1 == "en").get._3 == 1000L)
+    // empty source: cap 0, capped immediately, contributes nothing
+    val solE = graft.llm.Mix.solveMixture(avail + ("xx" -> 0L),
+      Map("en" -> 4000, "zh" -> 3000, "de" -> 2000, "fr" -> 500, "xx" -> 500),
+      budget = 1000L, maxEpochsBp = 20000)
+    val mx = solE.find(_._1 == "xx").get
+    assert(mx._3 == 0L && mx._4)
+    assert(total(solE) == 1000L)
+  }
+
   test("epochExpand: floor copies + hash-selected fractional epoch, 0 drops, default passes") {
     import spark.implicits._
     val df = (0L until 1000L).map(id =>
