@@ -3217,6 +3217,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    "q_tokenizer_fertility" -> ((s, d) => {
+      // the tokenizer-evaluation report: per language, how many TOKENS
+      // the byte-level BPE (pinned demo merges) spends per normalized
+      // character — the fertility metric vocab builds are judged by.
+      // Integer sufficient statistics (strategy 4: docs, tokens, chars);
+      // the float tokens-per-char ratio derives in one expression.
+      val norm = regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " ")
+      val nTok = graft.llm.Bpe.symbolCount(
+        graft.llm.Bpe.byteLevelEncode(norm, byteLevelDemoMerges))
+      t(s, d, "documents")
+        .select(col("lang"), nTok.as("__t"), length(norm).cast("long").as("__c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("sum_tokens"),
+          sum(col("__c")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "q_mix_solver" -> ((s, d) => {
       // the token-budget mixture solve: per-language inventories from ONE
       // aggregation, then the exact-integer water-filling (caps at 2
@@ -5749,6 +5766,37 @@ object SparkEntry {
                 substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 60)
                   AS norm_prefix
          FROM documents ORDER BY doc_id""",
+    "q_tokenizer_fertility" ->
+      // the q_bpe_ids tokenizer replay (pretokenize → byte map → merge
+      // chain → symbols) reduced to per-language counts; same loud ASCII
+      // guard (the byte map and char split diverge on non-ASCII)
+      s"""WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'fertility oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), nrm AS (
+           SELECT doc_id, lang,
+                  regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0
+         ), enc AS (
+           SELECT doc_id, lang, length(t) AS n_chars, list_transform(
+                    regexp_extract_all(t,
+                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| '),
+                    p -> ${byteLevelReplaceChainSql(
+                      bpeWrapSqlOf("replace(p, ' ', 'Ġ')"))}) AS encs
+           FROM nrm
+         ), cnt AS (
+           SELECT doc_id, lang, n_chars,
+                  coalesce(list_sum(list_transform(encs, e ->
+                    CASE WHEN length(e) <= 2 THEN 0
+                         ELSE length(string_split(substr(e, 2, length(e) - 2),
+                                     '$bpeC$bpeO')) END)), 0) AS n_tok
+           FROM enc)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM cnt GROUP BY lang ORDER BY lang""",
     "q_mix_solver" -> mixSolverOracle,
     "q_mix_epochs" ->
       // copies = floor(f) + (1 iff the portable hash lands under frac(f));
