@@ -145,6 +145,15 @@ object GraftFunctions {
     fd("graft_canonical_url",
       "graft_canonical_url(url) - canonical form for URL-level dedup",
       Set(1))(es => x(TextFunctions.canonicalUrl(c(es.head)))),
+    fd("graft_fim",
+      "graft_fim(text, key, seed[, rate_bp]) - fill-in-the-middle PSM " +
+        "rewrite (PRE+prefix+SUF+suffix+MID+middle) of a hash-selected " +
+        "rate_bp/10000 fraction of rows (default 5000)",
+      Set(3, 4)) { es =>
+      val rate = (if (es.length == 4) intArg("rate_bp", es(3)) else 5000) / 10000.0
+      x(TextFunctions.fimTransform(c(es.head), c(es(1)),
+        stringArg("graft_fim", es(2)), rate))
+    },
     fd("graft_redact_spans",
       "graft_redact_spans(text, spans[, token]) - replace [s,e) char spans " +
         "(array<struct<s,e>>) with token; null/malformed spans ignored",

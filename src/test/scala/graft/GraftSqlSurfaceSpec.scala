@@ -57,6 +57,10 @@ class GraftSqlSurfaceSpec extends SparkSpec {
       TextFunctions.domainBlocked(t, Seq("tracker.com")))
     sqlVsColumn("graft_byte_bpe(text, array('t h', 'Ġ th'))",
       graft.llm.Bpe.byteLevelEncode(t, Seq(("t", "h"), ("Ġ", "th"))))
+    sqlVsColumn("graft_fim(text, doc_id, 's1', 10000)",
+      TextFunctions.fimTransform(t, col("doc_id"), "s1", 1.0))
+    sqlVsColumn("graft_fim(text, doc_id, 's1')",
+      TextFunctions.fimTransform(t, col("doc_id"), "s1", 0.5))
   }
 
   test("signature functions match the Column API from SQL (incl. literal args)") {
