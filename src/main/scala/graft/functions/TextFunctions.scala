@@ -156,7 +156,10 @@ object TextFunctions {
     val p2 = pos("|p2|")
     val lo = least(p1, p2)
     val hi = greatest(p1, p2)
-    when(key.isNotNull && bucket < lit(thr),
+    // rate 1.0 selects ALL rows — the 8-hex bucket tops out at ffffffff,
+    // which a strict < threshold would exclude with probability 2⁻³²
+    val selected = if (rate >= 1.0) lit(true) else bucket < lit(thr)
+    when(key.isNotNull && selected,
       concat(lit(pre), text.substr(lit(1), lo),
         lit(suf), text.substr(hi + 1, length(text) - hi),
         lit(mid), text.substr(lo + 1, hi - lo)))

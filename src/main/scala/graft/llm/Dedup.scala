@@ -472,8 +472,13 @@ object Dedup {
     */
   def hammingPairs(df: DataFrame, idCol: String, sigCol: Column, nBits: Int = 64,
       maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+    // null signatures can't be near anything, and unfiltered they'd all
+    // collide into #chunks degenerate buckets (hash functions skip null
+    // children) — pure candidate-join volume the bit_count filter then
+    // rejects row by row
     val banded = hammingBanded(
-      df.select(col(idCol).as("__id"), sigCol.cast("long").as("__hsig")),
+      df.select(col(idCol).as("__id"), sigCol.cast("long").as("__hsig"))
+        .filter(col("__hsig").isNotNull),
       "__hsig", nBits, maxHamming, pieces)
     val pruned = pruneHotBuckets(banded, "bk", maxBucketSize)
     val a = pruned.select(col("bk"), col("__id").as("idA"), col("__hsig").as("shA"))
@@ -505,11 +510,14 @@ object Dedup {
   def incrementalHammingDedup(batch: DataFrame, idCol: String,
       batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,
       maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+    // null signatures filtered on both sides (see hammingPairs)
     val bb = pruneHotBuckets(hammingBanded(
-      batchSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig")),
+      batchSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig"))
+        .filter(col("__hsig").isNotNull),
       "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
     val ob = pruneHotBuckets(hammingBanded(
-      atRestSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig")),
+      atRestSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig"))
+        .filter(col("__hsig").isNotNull),
       "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
     val vsStore = bb.select(col("bk"), col("__id").as("idB"), col("__hsig").as("sB"))
       .join(ob.select(col("bk").as("bk2"), col("__hsig").as("sA")),

@@ -256,6 +256,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (i <- 0 until 5) assert(got1.contains((i.toLong, 200L + i)), s"flip-$i lost")
     assert(!got1.contains((5L, 205L)))
+    // null signatures pair with nothing (and never flood the buckets)
+    val withNulls = (sigs.map { case (i, v) => (i, Option(v)) } ++
+      (500L until 520L).map(i => (i, Option.empty[Long]))).toDF("id", "sig")
+    val gotN = graft.llm.Dedup.hammingPairs(withNulls, "id", col("sig"),
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotN.forall { case (a, b) => a < 500 && b < 500 })
   }
 
   test("connectedComponents: transitive clusters, min-id labels, chains") {

@@ -212,6 +212,38 @@ class PackTokensSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("greedy rows agree with packGreedy's assignment on a randomized " +
+      "multi-shard corpus (every token at its assigned offset)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val df = (1L to 120L).map(i =>
+      (i, i % 5, Seq.fill(1 + rnd.nextInt(9))(rnd.nextInt(1000))))
+      .toSeq.toDF("doc_id", "sh", "toks")
+      .withColumn("msk", transform(col("toks"), x => x % 2 === 0))
+    val rows = Pack.packTokensGreedy(df, col("doc_id"), col("toks"), col("msk"),
+        12, col("sh"), padId = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[Int](2), r.getSeq[Int](3), r.getSeq[Boolean](4),
+          r.getInt(5)))).toMap
+    val assigned = Pack.packGreedy(df, col("doc_id"), size(col("toks")),
+        12L, col("sh"))
+      .select("doc_id", "toks", "shard", "seq_id", "seq_offset").collect()
+    // every doc's tokens sit exactly at (seq_id, seq_offset..) of its row
+    for (r <- assigned) {
+      val toks = r.getSeq[Int](1)
+      val (ids, _, mask, _) = rows((r.getLong(2), r.getLong(3)))
+      val off = r.getLong(4).toInt
+      assert(ids.slice(off, off + toks.length) == toks,
+        s"doc ${r.getLong(0)} misplaced")
+      assert(mask.slice(off, off + toks.length) ==
+        toks.map(_ % 2 == 0).toSeq)
+    }
+    // totals: padded width everywhere, n_real sums to the token count
+    assert(rows.values.forall(_._1.length == 12))
+    val totalTokens = assigned.map(_.getSeq[Int](1).length).sum
+    assert(rows.values.map(_._4).sum == totalTokens)
+  }
+
   test("greedy rows plan shape: ONE exchange, then sort + streaming walk") {
     val df = docs((1L, Seq(1, 2), Seq(true, true)))
     val plan = packG(df, 4).queryExecution.executedPlan.toString
