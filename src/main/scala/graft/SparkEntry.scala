@@ -3379,6 +3379,36 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_pack_ids_greedy" -> ((s, d) => {
+      // the SFT capstone: raw text → byte-level BPE → vocabulary ids →
+      // MATERIALIZED no-split training rows (q_pack_ids' tokenizer
+      // feeding packTokensGreedy instead of the concat-then-chunk
+      // packer) — documents stay whole, a sequence opens exactly on
+      // would-overflow, the loss mask marks real (non-unk) tokens. The
+      // oracle composes the tokenizer replay with the greedy recursive
+      // CTE and the array rebuild.
+      val docs = t(s, d, "documents").withColumn("__ids",
+        graft.llm.Bpe.tokenIds(
+          graft.llm.Bpe.byteLevelEncode(
+            regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " "),
+            byteLevelDemoMerges),
+          byteBpeDemoVocab, unkId = -1))
+      val msk = transform(col("__ids"), i => i =!= -1)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokensGreedy(docs, col("doc_id"), col("__ids"), msk,
+          1024, shard, padId = -2)
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "q_unigram_score" -> ((s, d) =>
       // unigram-LM scoring: corpus vocab (1 shuffle) broadcast against
       // exploded tokens — integer sufficient statistics, exact cross-engine
@@ -6015,6 +6045,86 @@ object SparkEntry {
                   ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
                   sg0 || list_transform(range(512 - len(ids0)), x -> -1) AS sg,
                   mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk
+           FROM asm)
+         SELECT shard, seq_id,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(sg,
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                CAST(n_real AS INT) AS n_real
+         FROM fin ORDER BY shard, seq_id""",
+    "q_pack_ids_greedy" ->
+      // q_pack_ids' tokenizer replay feeding q_pack_greedy_rows' greedy
+      // recurrence + array rebuild (budget 1024, pad -2): the SFT
+      // training-row layout checked from raw text end to end
+      s"""WITH RECURSIVE chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'pack-ids-greedy oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), nrm AS (
+           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0
+         ), enc AS (
+           SELECT doc_id, list_transform(
+                    regexp_extract_all(t,
+                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| '),
+                    p -> ${byteLevelReplaceChainSql(
+                      bpeWrapSqlOf("replace(p, ' ', 'Ġ')"))}) AS encs
+           FROM nrm
+         ), sym AS (
+           SELECT doc_id, flatten(list_transform(encs, e ->
+                    CASE WHEN length(e) <= 2 THEN CAST([] AS VARCHAR[])
+                         ELSE string_split(substr(e, 2, length(e) - 2),
+                                           '$bpeC$bpeO') END)) AS syms
+           FROM enc
+         ), tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  list_transform(syms, s -> CAST(coalesce(
+                    list_position([${byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}],
+                      s) - 1, -1) AS INT)) AS toks,
+                  list_transform(syms, s -> list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) IS NOT NULL)
+                    AS msk,
+                  CAST(len(syms) AS BIGINT) AS n,
+                  row_number() OVER (
+                    PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
+                    ORDER BY doc_id) AS rn
+           FROM sym WHERE len(syms) > 0
+         ), r AS (
+           SELECT shard, rn, toks, msk, n,
+                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
+                  n AS fill
+           FROM tk WHERE rn = 1
+           UNION ALL
+           SELECT tk.shard, tk.rn, tk.toks, tk.msk, tk.n,
+                  CASE WHEN r.fill + tk.n > 1024 THEN r.seq_id + 1
+                       ELSE r.seq_id END,
+                  CASE WHEN r.fill + tk.n > 1024 THEN CAST(0 AS BIGINT)
+                       ELSE r.fill END,
+                  CASE WHEN r.fill + tk.n > 1024 THEN tk.n
+                       ELSE r.fill + tk.n END
+           FROM r JOIN tk ON tk.shard = r.shard AND tk.rn = r.rn + 1
+         ), p2 AS (
+           SELECT shard, seq_id, off, toks, msk,
+                  CAST(row_number() OVER (PARTITION BY shard, seq_id
+                    ORDER BY off) - 1 AS INT) AS pidx
+           FROM r
+         ), asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(toks ORDER BY off)) AS ids0,
+                  flatten(list(msk ORDER BY off)) AS mk0,
+                  flatten(list(list_transform(toks, x -> pidx)
+                    ORDER BY off)) AS sg0
+           FROM p2 GROUP BY shard, seq_id
+         ), fin AS (
+           SELECT shard, seq_id, len(ids0) AS n_real,
+                  ids0 || list_transform(range(1024 - len(ids0)), x -> -2) AS ids,
+                  sg0 || list_transform(range(1024 - len(ids0)), x -> -1) AS sg,
+                  mk0 || list_transform(range(1024 - len(ids0)), x -> false) AS mk
            FROM asm)
          SELECT shard, seq_id,
                 md5(array_to_string(list_transform(ids,
