@@ -894,8 +894,20 @@ object BuiltinComponents {
       ConfigKey("Scale", "micro-unit scale applied before the integer quantile",
         default = Some(10000L))))(
     (_, cfg) => { df =>
-      val scoreInt = round(col(cfg.str("ScoreField")).cast("double") *
-        cfg.int("Scale", 10000L)).cast("long")
+      // loud cast (the NearDupDedup KeepBest treatment): a non-numeric
+      // score STRING casts to null, and a null score fails the `>`
+      // threshold — on a config surface that's a typo'd field silently
+      // dropping records, so fail the job instead. Genuinely-ABSENT
+      // scores (null, or '' — the record model's empty) still drop: an
+      // unrankable row can't clear a data-derived cut.
+      val scoreField = cfg.str("ScoreField")
+      val absent = col(scoreField).isNull ||
+        trim(col(scoreField).cast("string")) === ""
+      val dbl = when(!absent && col(scoreField).cast("double").isNull,
+        raise_error(concat(lit(s"QuantileFilter: ScoreField '$scoreField' " +
+          "holds a non-numeric value: "), col(scoreField).cast("string"))))
+        .otherwise(col(scoreField).cast("double"))
+      val scoreInt = round(dbl * cfg.int("Scale", 10000L)).cast("long")
       graft.llm.Mix.quantileFilter(df, col(cfg.str("GroupField")), scoreInt,
         cfg.dbl("Drop", 0.5))
     })
@@ -943,10 +955,12 @@ object BuiltinComponents {
           // loud cast: a non-numeric score STRING would cast to null and
           // silently rank last — on a config surface that's a typo'd
           // field, not a ranking decision, so fail the job instead.
-          // Genuinely-null fields stay null (keepBestPerCluster ranks
-          // them below every real score).
-          val score = when(col(scoreField).isNotNull &&
-              col(scoreField).cast("double").isNull,
+          // Genuinely-ABSENT scores (null, or '' — the record model's
+          // empty) stay null: keepBestPerCluster ranks them below every
+          // real score.
+          val absent = col(scoreField).isNull ||
+            trim(col(scoreField).cast("string")) === ""
+          val score = when(!absent && col(scoreField).cast("double").isNull,
             raise_error(concat(lit(s"NearDupDedup: KeepBest field '$scoreField' " +
               "holds a non-numeric value: "), col(scoreField).cast("string"))))
             .otherwise(col(scoreField).cast("double"))

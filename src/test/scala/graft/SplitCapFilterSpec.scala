@@ -206,4 +206,27 @@ class SplitCapFilterSpec extends SparkSpec {
       .map(_.getString(0)).sorted
     assert(got == Seq("a10", "a7", "a8", "a9", "b4"), s"got $got")
   }
+
+  test("QuantileFilter: a non-numeric score is a loud data error, not a " +
+      "silent drop; '' (the record model's empty) drops quietly") {
+    val toml =
+      """[[filter]]
+        |name = "QuantileFilter"
+        |  [filter.config]
+        |  GroupField = "grp"
+        |  ScoreField = "score"
+        |  Drop = 0.5""".stripMargin
+    val e = intercept[Exception](
+      runToml(Seq("a1;a;0.4", "a2;a;oops", "a3;a;0.9"),
+        Seq("id", "grp", "score"), toml, Seq("id")))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("non-numeric")), chain(e).mkString(" | "))
+    // empty = absent: excluded from the distribution and dropped quietly
+    val got = runToml(Seq("a1;a;0.1", "a2;a;", "a3;a;0.9", "a4;a;0.5"),
+        Seq("id", "grp", "score"), toml, Seq("id"))
+      .map(_.getString(0)).sorted
+    assert(got == Seq("a3"), s"got $got")
+  }
 }
