@@ -1690,8 +1690,16 @@ object SparkEntry {
       // never travel through the pair join and nothing is re-intersected
       val ex = base.select(col("doc_id"), col("sig"),
         size(col("g")).as("sz"), explode(col("g")).as("sh"))
+      // exact size-ratio pre-gate INSIDE the join (the verified-dedup
+      // trick): jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
+      // shingle-set sizes differ by more than the 0.7 threshold can never
+      // pass the filter below — pruning it here, before the per-pair
+      // groupBy, cuts the collision volume the aggregate must chew (this
+      // was the slowest query in the suite; the result set is provably
+      // unchanged, so the oracle doesn't mention the gate)
       val scored = ex.as("a").join(ex.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") >= col("b.sz") * 0.7 && col("b.sz") >= col("a.sz") * 0.7)
         .groupBy(col("a.doc_id").as("idA"), col("b.doc_id").as("idB"))
         .agg(count(lit(1)).as("inter"),
           first(col("a.sz")).as("szA"), first(col("b.sz")).as("szB"),
