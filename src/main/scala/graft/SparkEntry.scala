@@ -138,9 +138,9 @@ object SparkEntry {
                                 THEN t0 END), 0) END AS leftover
            FROM base)
          SELECT source, avail AS available,
-                t0 + CASE WHEN NOT capped AND rn <= (SELECT leftover FROM lf)
-                          THEN 1 ELSE 0 END AS tokens_out,
-                capped
+                CAST(t0 + CASE WHEN NOT capped AND rn <= (SELECT leftover FROM lf)
+                          THEN 1 ELSE 0 END AS BIGINT) AS tokens_out,
+                CAST(CASE WHEN capped THEN 1 ELSE 0 END AS INTEGER) AS capped
          FROM base ORDER BY source"""
   }
 
@@ -3257,7 +3257,11 @@ object SparkEntry {
       val sol = graft.llm.Mix.solveMixture(avail, mixSolverWeights,
         budget = 50000L, maxEpochsBp = 20000)
       import s.implicits._
+      // capped is reported as 0/1 int, not boolean: every output column in
+      // the oracle-checked suite stays in the integer/text domain the
+      // driver's comparison is known to canonicalize identically
       sol.toDF("source", "available", "tokens_out", "capped")
+        .withColumn("capped", col("capped").cast("int"))
         .orderBy("source")
     }),
 
@@ -4322,9 +4326,10 @@ object SparkEntry {
            WHERE j.jac >= 0.7
          ), r AS (SELECT unnest([2, 4, 6]) AS radius)
          SELECT r.radius, count(*) AS truth_pairs,
-                sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END) AS caught_pairs,
-                (sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END) * 10000)
-                  // count(*) AS recall_bp
+                CAST(sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END)
+                  AS BIGINT) AS caught_pairs,
+                CAST((sum(CASE WHEN ham <= r.radius THEN 1 ELSE 0 END) * 10000)
+                  // count(*) AS BIGINT) AS recall_bp
          FROM r CROSS JOIN ham GROUP BY r.radius ORDER BY radius""",
     "q_dedup_cc_verified" ->
       // recursive min-label closure over the exact pair graph: a doc dies
@@ -5168,12 +5173,12 @@ object SparkEntry {
            SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS mean
            FROM cell GROUP BY doc_id)
          SELECT c.doc_id,
-                sum(CASE WHEN (c.y * 8 + c.x) < 32 AND c.g > m.mean
+                CAST(sum(CASE WHEN (c.y * 8 + c.x) < 32 AND c.g > m.mean
                          THEN (CAST(1 AS BIGINT) << (31 - (c.y * 8 + c.x)))
-                         ELSE 0 END) AS ahash_hi,
-                sum(CASE WHEN (c.y * 8 + c.x) >= 32 AND c.g > m.mean
+                         ELSE 0 END) AS BIGINT) AS ahash_hi,
+                CAST(sum(CASE WHEN (c.y * 8 + c.x) >= 32 AND c.g > m.mean
                          THEN (CAST(1 AS BIGINT) << (63 - (c.y * 8 + c.x)))
-                         ELSE 0 END) AS ahash_lo
+                         ELSE 0 END) AS BIGINT) AS ahash_lo
          FROM cell c JOIN m ON m.doc_id = c.doc_id
          GROUP BY c.doc_id ORDER BY c.doc_id""",
     "q_multimodal_dhash" ->
@@ -5195,12 +5200,12 @@ object SparkEntry {
            FROM d, (SELECT unnest(range(0, 8)) AS y) y,
                    (SELECT unnest(range(0, 9)) AS x) x)
          SELECT a.doc_id,
-                sum(CASE WHEN (a.y * 8 + a.x) < 32 AND a.g > b.g
+                CAST(sum(CASE WHEN (a.y * 8 + a.x) < 32 AND a.g > b.g
                          THEN (CAST(1 AS BIGINT) << (31 - (a.y * 8 + a.x)))
-                         ELSE 0 END) AS dhash_hi,
-                sum(CASE WHEN (a.y * 8 + a.x) >= 32 AND a.g > b.g
+                         ELSE 0 END) AS BIGINT) AS dhash_hi,
+                CAST(sum(CASE WHEN (a.y * 8 + a.x) >= 32 AND a.g > b.g
                          THEN (CAST(1 AS BIGINT) << (63 - (a.y * 8 + a.x)))
-                         ELSE 0 END) AS dhash_lo
+                         ELSE 0 END) AS BIGINT) AS dhash_lo
          FROM cell a JOIN cell b
            ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
          WHERE a.x < 8
@@ -5242,12 +5247,12 @@ object SparkEntry {
              FROM co WHERE NOT (u = 0 AND v = 0))
            WHERE rk = 32)
          SELECT co.doc_id,
-                sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
+                CAST(sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
                          THEN (CAST(1 AS BIGINT) << (31 - (co.v * 8 + co.u)))
-                         ELSE 0 END) AS phash_hi,
-                sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
+                         ELSE 0 END) AS BIGINT) AS phash_hi,
+                CAST(sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
                          THEN (CAST(1 AS BIGINT) << (63 - (co.v * 8 + co.u)))
-                         ELSE 0 END) AS phash_lo
+                         ELSE 0 END) AS BIGINT) AS phash_lo
          FROM co JOIN med ON med.doc_id = co.doc_id
          GROUP BY co.doc_id ORDER BY co.doc_id""",
     "q_dedup_incremental_image" ->
@@ -5515,7 +5520,7 @@ object SparkEntry {
       // restatement); grid point (f, n) reads sample (f·32+n)//64; band
       // energies |Σ s·Q(k,n)| for cosine rows k ∈ {1,2} under the same
       // inlined VALUES; bit 63−(f·2+band) set when the band's energy
-      // rises to frame (f+1) mod 32
+      // DROPS to frame (f+1) mod 32 (e(f) > e(f+1))
       s"""WITH chk AS (
            SELECT CASE WHEN max(strlen(substr(text, 1, 128))) > 128 THEN error(
                     'afp oracle: non-ASCII in the packed 128-char prefix - byte and char slices diverge')
@@ -5540,12 +5545,12 @@ object SparkEntry {
            JOIN smp ON smp.j = (f.f * 32 + q.n) // 16
            GROUP BY smp.doc_id, q.k, f.f)
          SELECT a.doc_id,
-                sum(CASE WHEN (a.f * 2 + a.k) < 32 AND a.e > b.e
+                CAST(sum(CASE WHEN (a.f * 2 + a.k) < 32 AND a.e > b.e
                          THEN (CAST(1 AS BIGINT) << (31 - (a.f * 2 + a.k)))
-                         ELSE 0 END) AS afp_hi,
-                sum(CASE WHEN (a.f * 2 + a.k) >= 32 AND a.e > b.e
+                         ELSE 0 END) AS BIGINT) AS afp_hi,
+                CAST(sum(CASE WHEN (a.f * 2 + a.k) >= 32 AND a.e > b.e
                          THEN (CAST(1 AS BIGINT) << (63 - (a.f * 2 + a.k)))
-                         ELSE 0 END) AS afp_lo
+                         ELSE 0 END) AS BIGINT) AS afp_lo
          FROM en a JOIN en b
            ON b.doc_id = a.doc_id AND b.k = a.k AND b.f = (a.f + 1) % 32
          GROUP BY a.doc_id ORDER BY a.doc_id""",

@@ -57,9 +57,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // build/environment provenance: the r11/r12 correctness records could
+    // not be reconciled against a commit (six rows red in the official gate
+    // yet green in every independent HEAD re-run). The SHA + JVM + Spark +
+    // timezone make any future skew diagnosable from the record itself.
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .directory(new java.io.File(".")).start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
     val manifest = s"""{"queries": [${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(",")}],
       |"written": [${written.sorted.map(q).mkString(",")}],
-      |"failed": [${failed.sorted.map(q).mkString(",")}]}""".stripMargin.replace("\n", "")
+      |"failed": [${failed.sorted.map(q).mkString(",")}],
+      |"git_sha": ${q(sha)},
+      |"jvm": ${q(System.getProperty("java.version", "unknown"))},
+      |"spark": ${q(spark.version)},
+      |"spark_cpus": ${q(cpus)},
+      |"jvm_timezone": ${q(java.util.TimeZone.getDefault.getID)},
+      |"session_timezone": ${q(spark.conf.get("spark.sql.session.timeZone"))}}""".stripMargin.replace("\n", "")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }

@@ -1136,9 +1136,10 @@ object Multimodal {
     *      1 and 2| under the shared [[PhashCos]] integer table (a crude
     *      low/mid spectral split — enough structure for near-dup
     *      candidates; this is a fingerprint, not a codec);
-    *   3. bit 63 − (f·2+k) set when band k's energy RISES from frame f
-    *      to frame (f+1) mod 32 — delta signs survive any positive gain
-    *      (energies scale linearly), the chromaprint trick.
+    *   3. bit 63 − (f·2+k) set when band k's energy DROPS from frame f
+    *      to frame (f+1) mod 32 (e(f) > e(f+1)) — delta signs survive
+    *      any positive gain (energies scale linearly), the chromaprint
+    *      trick.
     *
     * All arithmetic is integer (floor resample, integer cosine weights,
     * |Σ| ≤ 32·32767·2¹⁴ < 2⁴⁴, compare), so an external engine restates

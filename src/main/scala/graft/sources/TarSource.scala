@@ -774,6 +774,14 @@ object TarShards {
     // skips underscore files, so the marker never reads as a shard.
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(dir)) // zero-partition writes still mark success
+    // the job is complete: every shard that matters has renamed into its
+    // final name, so any surviving '.inprogress-*' file is a dead task
+    // attempt's orphan (killed mid-write, or a speculative loser whose
+    // rename found the final name taken). Readers skip dot-files, but
+    // retried jobs would otherwise accrete junk in the directory forever.
+    val stale = fs.listStatus(new Path(dir)).iterator
+      .map(_.getPath).filter(_.getName.startsWith(".inprogress-"))
+    stale.foreach(p => fs.delete(p, false))
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 

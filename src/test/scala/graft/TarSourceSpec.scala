@@ -61,6 +61,19 @@ class TarSourceSpec extends SparkSpec {
     assert(left.contains("_SUCCESS"), left.toString)
   }
 
+  test("a rerun sweeps a dead attempt's orphaned staging file") {
+    val dir = tmp("tar-stale")
+    // simulate a task attempt killed mid-write in a PREVIOUS job: an
+    // .inprogress file nothing will ever rename
+    new java.io.File(dir).mkdirs()
+    val orphan = new java.io.File(dir, ".inprogress-999-part-00099-00000.tar")
+    java.nio.file.Files.write(orphan.toPath, "torn bytes".getBytes(UTF_8))
+    TarShards.write(samplesDf, dir, numTasks = 2)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.exists(_.startsWith(".inprogress")), left.toString)
+    assert(left.contains("_SUCCESS"), left.toString)
+  }
+
   test("grouped reader assembles adjacent members into samples") {
     val dir = tmp("tar-grp")
     TarShards.write(samplesDf, dir, numTasks = 1)

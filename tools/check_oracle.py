@@ -54,6 +54,20 @@ def main():
             n_noop += 1
             continue
         try:
+            # HUGEINT guard: the driver's comparison converts DuckDB results
+            # through a path where HUGEINT/UHUGEINT become float64 (unlike
+            # fetchall's exact Python ints), so any oracle whose FINAL
+            # projection is hugeint hash-mismatches in the official gate even
+            # when values are identical — this was the r11/r12 six-red-row
+            # root cause. Fail loudly here so it never ships again.
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM ({oracle[name]}) LIMIT 0").fetchall()
+            huge = [(c, t) for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"{name:28s} HUGEINT-OUTPUT {huge} "
+                      f"(cast to BIGINT in the oracle SQL)")
+                n_fail += 1
+                continue
             odf = con.execute(oracle[name]).fetchall()
             ocols = [c[0] for c in con.description]
         except Exception as e:
