@@ -3103,6 +3103,46 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "q_dedup_incremental_audio" -> ((s, d) => {
+      // the audio tier's INCREMENTAL store lifecycle — the
+      // q_dedup_incremental_image treatment with the audio fingerprint as
+      // the 64-bit signature (the store machinery is signature-generic):
+      // batch 0 (even docs) fingerprints into the at-rest store, batch 1
+      // (odd docs + planted near-dups of even docs < 40 whose last TWO
+      // samples are forced constant — only frame 31's band energies move,
+      // so the fingerprint lands ≤4 bits away) dedups against the store
+      // AND itself; the kept corpus is read back. The oracle replays both
+      // stages from sample bytes under the same radius.
+      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
+        val h = lpad(hex(c), nBytes * 2, "0")
+        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+      }
+      def wav(data: org.apache.spark.sql.Column) = concat(
+        lit("RIFF".getBytes), le(lit(128 + 36), 4), lit("WAVEfmt ".getBytes),
+        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
+        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
+        lit("data".getBytes), le(lit(128), 4), data)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
+      val b = col("text").cast("binary")
+      val base = docs.select(col("doc_id"), wav(b.substr(1, 128)).as("payload"))
+      val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          wav(concat(b.substr(1, 124),
+            lit(Array[Byte](126, 126, 126, 126)))).as("payload"))
+      val batch0 = base.filter(col("doc_id") % 2 === 0)
+      val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
+      val dir = qTmpDir("auddedup-q")
+      def sigOf(df: org.apache.spark.sql.DataFrame) =
+        graft.llm.Multimodal.audioFingerprint(
+            graft.llm.Multimodal.decodeAudio(df, "doc_id", "payload"))
+          .select(col("doc_id").as("__id"), col("afp").as("__hsig"))
+      val fn = graft.streaming.ImageDedupStream.batchFunction("doc_id", sigOf,
+        s"$dir/store", s"$dir/corpus", maxHamming = 8)
+      fn(batch0, 0L)
+      fn(batch1, 1L)
+      s.read.parquet(s"$dir/corpus").select("doc_id").orderBy("doc_id")
+    }),
+
     "q_audio_fingerprint" -> ((s, d) => {
       // audio near-dup fingerprint under the oracle: the q_multimodal_audio
       // WAV fixture (16 samples from the first 32 text bytes) through the
@@ -5554,6 +5594,72 @@ object SparkEntry {
          FROM en a JOIN en b
            ON b.doc_id = a.doc_id AND b.k = a.k AND b.f = (a.f + 1) % 32
          GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "q_dedup_incremental_audio" ->
+      // both lifecycle stages replayed on the audio fingerprint: samples
+      // from text bytes (planted copies force samples 62-63 to
+      // 126 + 256·126), band energies + delta-sign bits per doc, batch-0
+      // keep = no smaller-id batch-0 doc within radius 8, batch-1 keep =
+      // no batch-0 SURVIVOR within radius (the store) and no smaller-id
+      // batch-1 doc within radius
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 128))) > 128 THEN error(
+                    'incr-audio oracle: non-ASCII in the packed 128-char prefix')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 128
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 128 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text, 0 AS tweak,
+                  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
+           FROM d
+           UNION ALL
+           SELECT doc_id + 100000, text, 1, 1 FROM d
+           WHERE doc_id % 2 = 0 AND doc_id < 40
+         ), smp AS (
+           SELECT doc_id, bt, j.j AS j,
+                  CASE WHEN tweak = 1 AND j.j >= 62 THEN 126 + 256 * 126
+                       ELSE ascii(substr(text, 2 * j.j + 1, 1))
+                            + 256 * ascii(substr(text, 2 * j.j + 2, 1)) END AS s
+           FROM alld, (SELECT unnest(range(0, 64)) AS j) j
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+           WHERE k IN (1, 2)
+         ), en AS (
+           SELECT smp.doc_id, any_value(smp.bt) AS bt, q.k - 1 AS k, f.f AS f,
+                  abs(sum(CAST(smp.s AS BIGINT) * q.qv)) AS e
+           FROM (SELECT unnest(range(0, 32)) AS f) f
+           CROSS JOIN q
+           JOIN smp ON smp.j = (f.f * 32 + q.n) // 16
+           GROUP BY smp.doc_id, q.k, f.f
+         ), bits AS (
+           SELECT a.doc_id, any_value(a.bt) AS bt,
+                  CAST(sum(CASE WHEN (a.f * 2 + a.k) < 32 AND a.e > b.e
+                           THEN (CAST(1 AS BIGINT) << (31 - (a.f * 2 + a.k)))
+                           ELSE 0 END) AS BIGINT) AS hi,
+                  CAST(sum(CASE WHEN (a.f * 2 + a.k) >= 32 AND a.e > b.e
+                           THEN (CAST(1 AS BIGINT) << (63 - (a.f * 2 + a.k)))
+                           ELSE 0 END) AS BIGINT) AS lo
+           FROM en a JOIN en b
+             ON b.doc_id = a.doc_id AND b.k = a.k AND b.f = (a.f + 1) % 32
+           GROUP BY a.doc_id
+         ), k0 AS (
+           SELECT a.doc_id, a.hi, a.lo FROM bits a
+           WHERE a.bt = 0 AND NOT EXISTS (
+             SELECT 1 FROM bits b WHERE b.bt = 0 AND b.doc_id < a.doc_id
+               AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8)
+         ), k1 AS (
+           SELECT a.doc_id FROM bits a
+           WHERE a.bt = 1
+             AND NOT EXISTS (
+               SELECT 1 FROM k0 s
+               WHERE bit_count(xor(a.hi, s.hi)) + bit_count(xor(a.lo, s.lo)) <= 8)
+             AND NOT EXISTS (
+               SELECT 1 FROM bits b WHERE b.bt = 1 AND b.doc_id < a.doc_id
+                 AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8))
+         SELECT doc_id FROM k0
+         UNION ALL
+         SELECT doc_id FROM k1 ORDER BY doc_id""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the
       // Spark side packed into the WAV data chunk; ord() reads CODEPOINTS

@@ -201,16 +201,31 @@ object Classifier {
       weights: Array[Double], bias: Double = 0.0, wordNgrams: Int = 1,
       hasher: Option[Column => Column] = None): DataFrame = {
     require(weights.nonEmpty, "Classifier: weights must be non-empty")
-    val scored = residualizedHashed(
-      preparedHashed(df, textCol, labelCol, weights.length, wordNgrams, hasher),
-      weights, bias)
-    val grads = scored
-      .withColumn("__c",
-        round(col("__rq").cast("double") / col("__n")).cast("decimal(28,0)"))
-      .select(explode(col("__f")).as("bucket"), col("__c"))
-      .groupBy("bucket").agg((sum(col("__c")) / 1e9).as("grad"))
-    grads.unionByName(scored.agg((sum(col("__rq")) / 1e9).as("grad"))
-      .select(lit(-1).as("bucket"), col("grad")))
+    // the prepared frame is PERSISTED for the statistic's two aggregations
+    // (the per-bucket gradient and the bias row) — exactly the treatment
+    // trainLogisticHashed gives its iteration loop. Unpersisted, the two
+    // scans each inline the md5 feature chain into both the
+    // featureless-doc filter and the projection: four hash evaluations
+    // per doc for a one-pass statistic. The result is ≤ nBuckets+1 rows
+    // (bucket-bounded, never corpus-bounded), so it collects and the
+    // cache entry is released before returning.
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val prep = preparedHashed(df, textCol, labelCol, weights.length,
+      wordNgrams, hasher).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scored = residualizedHashed(prep, weights, bias)
+      val grads = scored
+        .withColumn("__c",
+          round(col("__rq").cast("double") / col("__n")).cast("decimal(28,0)"))
+        .select(explode(col("__f")).as("bucket"), col("__c"))
+        .groupBy("bucket").agg((sum(col("__c")) / 1e9).as("grad"))
+      val rows = grads.unionByName(scored.agg((sum(col("__rq")) / 1e9).as("grad"))
+          .select(lit(-1).as("bucket"), col("grad")))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), grads.schema)
+    } finally prep.unpersist(false)
   }
 
   /** Full-batch logistic-regression TRAINING for the linear quality
