@@ -707,6 +707,133 @@ object SparkEntry {
         FROM fin, chk WHERE chk.ok = 0 GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** DuckDB restatement of [[graft.llm.UnigramTrain]] — the ENTIRE
+    * two-round Viterbi-EM vocabulary build replayed from corpus words:
+    * substring seed counting, bit-length (⌊log2⌋ = `strlen(bin(x))−1`)
+    * cost quantization, the forward DP unrolled per end position (the
+    * unigramSegmentOracle treatment), the smallest-l BACKTRACE unrolled
+    * per step (each step's parent length is a `min(v.l)` scalar subquery
+    * under the DP-equality predicate — the native expression's exact tie
+    * rule), per-piece use counts, and the count-ordered prune. Two full
+    * rounds are chained; every number is an integer.
+    */
+  private def unigramTrainOracle: String = {
+    val steps = 10 // == train's maxWordLen: longer words are skipped
+    val maxPieceLen = 4
+    val seedTopN = 40
+    val pruneTopK = 20
+    val scale = 8
+    def dp(vtab: String, pref: String, src: String): String =
+      (1 to steps).map { j =>
+        val prior = (1 to math.min(j, maxPieceLen))
+          .map(l => s"WHEN $l THEN ${pref}b${j - l}").mkString(" ")
+        s"""$pref$j AS MATERIALIZED (
+             SELECT *, (
+               SELECT min((CASE v.l $prior END) + v.c * 64 + 1)
+               FROM $vtab v
+               WHERE v.l <= $j AND substr(word, $j - v.l + 1, v.l) = v.p
+             ) AS ${pref}b$j
+             FROM ${if (j == 1) src else s"$pref${j - 1}"}
+           )"""
+      }.mkString(", ")
+    def bt(vtab: String, pref: String, dpLast: String): String = {
+      val bcols = (0 to steps).map(x => s"${pref}b$x").mkString(", ")
+      val bcase = (0 to steps).map(x => s"WHEN $x THEN ${pref}b$x").mkString(" ")
+      val t0 =
+        s"""${pref}t0 AS MATERIALIZED (
+             SELECT word, freq, $bcols, length(word) AS pos
+             FROM $dpLast
+             WHERE (CASE length(word) $bcase END) IS NOT NULL
+           )"""
+      val chain = (1 to steps).map { k =>
+        s"""${pref}t$k AS MATERIALIZED (
+             SELECT word, freq, $bcols, pos - lch AS pos,
+                    substr(word, pos - lch + 1, lch) AS piece
+             FROM (
+               SELECT word, freq, $bcols, pos, (
+                 SELECT min(v.l) FROM $vtab v
+                 WHERE v.l <= pos AND substr(word, pos - v.l + 1, v.l) = v.p
+                   AND (CASE pos - v.l $bcase END) + v.c * 64 + 1
+                       = (CASE pos $bcase END)
+               ) AS lch
+               FROM ${pref}t${k - 1} WHERE pos > 0
+             ) s
+           )"""
+      }.mkString(", ")
+      val pcs = (1 to steps)
+        .map(k => s"SELECT freq, piece FROM ${pref}t$k WHERE piece IS NOT NULL")
+        .mkString(" UNION ALL ")
+      s"$t0, $chain, ${pref}pc AS MATERIALIZED ($pcs)"
+    }
+    def cntCte(vtab: String, pref: String, dst: String): String =
+      s"""$dst AS MATERIALIZED (
+           SELECT v.p AS p, CAST(coalesce(sum(pc.freq), 0) AS BIGINT) AS cnt
+           FROM $vtab v LEFT JOIN ${pref}pc pc ON pc.piece = v.p
+           GROUP BY v.p
+         )"""
+    def costCte(src: String, dst: String): String =
+      s"""$dst AS MATERIALIZED (
+           SELECT p, cnt, length(p) AS l,
+                  (strlen(bin((SELECT CAST(sum(cnt) AS BIGINT) FROM $src)
+                              + (SELECT count(*) FROM $src)))
+                   - strlen(bin(cnt + 1))) * $scale + $scale AS c
+           FROM $src
+         )"""
+    s"""WITH tok AS MATERIALIZED (
+          SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), wr AS MATERIALIZED (
+          SELECT t[i + 1] AS word
+          FROM (SELECT t, unnest(range(len(t))) AS i FROM tok)
+        ), chk AS MATERIALIZED (
+          SELECT CASE WHEN max(CASE WHEN strlen(word) <> length(word)
+                                THEN 1 ELSE 0 END) = 1 THEN error(
+                   'unigram-train oracle: non-ASCII corpus word - char and byte slicing diverge')
+                 ELSE 0 END AS ok
+          FROM wr
+        ), w AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq
+          FROM wr, chk
+          WHERE chk.ok = 0 AND length(word) BETWEEN 1 AND $steps
+          GROUP BY word
+        ), sub AS MATERIALIZED (
+          SELECT substr(word, i.i + 1, l.l) AS p,
+                 CAST(sum(freq) AS BIGINT) AS cnt
+          FROM w, (SELECT unnest(range(0, $steps)) AS i) i,
+               (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l) l
+          WHERE i.i < length(word) AND l.l <= length(word) - i.i
+          GROUP BY 1
+        ), seedm AS MATERIALIZED (
+          SELECT p, cnt FROM (
+            SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+            FROM sub WHERE length(p) >= 2)
+          WHERE rn <= $seedTopN
+        ), seed AS MATERIALIZED (
+          SELECT p, cnt FROM sub WHERE length(p) = 1
+          UNION ALL SELECT p, cnt FROM seedm
+        ), ${costCte("seed", "v1")},
+        a0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS ab0 FROM w),
+        ${dp("v1", "a", "a0")},
+        ${bt("v1", "a", s"a$steps")},
+        ${cntCte("v1", "a", "c1")},
+        keepm AS MATERIALIZED (
+          SELECT p, cnt FROM (
+            SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn
+            FROM c1 WHERE length(p) >= 2)
+          WHERE rn <= $pruneTopK
+        ), v2base AS MATERIALIZED (
+          SELECT p, cnt FROM c1 WHERE length(p) = 1
+          UNION ALL SELECT p, cnt FROM keepm
+        ), ${costCte("v2base", "v2")},
+        g0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS gb0 FROM w),
+        ${dp("v2", "g", "g0")},
+        ${bt("v2", "g", s"g$steps")},
+        ${cntCte("v2", "g", "c2")}
+        SELECT v2.p AS piece, c2.cnt AS cnt, CAST(v2.c AS BIGINT) AS cost
+        FROM v2 JOIN c2 ON c2.p = v2.p
+        ORDER BY piece"""
+  }
+
   /** DuckDB restatement of MMR diversity re-ranking: candidates and their
     * pairwise rounded cosines as CTEs, then the GREEDY loop unrolled into
     * per-step (value, pick, selected-set) CTE triples — strategy 6 once
@@ -3706,6 +3833,16 @@ object SparkEntry {
       graft.llm.UnigramSegment.segmentStats(t(s, d, "documents"), "doc_id",
         "text", usDemoVocab)
         .orderBy("doc_id")),
+
+    "q_unigram_train" -> ((s, d) =>
+      // unigram-LM (SentencePiece-style) vocabulary TRAINING — integer-
+      // exact Viterbi-EM: substring seed, bit-length-quantized -log2
+      // costs, native Viterbi E-step piece counts (map-only over the
+      // distinct-word table + one bounded agg per round), count-ordered
+      // prune, two rounds. The oracle replays the whole build unrolled
+      // (DP per end position, backtrace per step)
+      graft.llm.UnigramTrain.train(t(s, d, "documents"), "text")
+        .orderBy("piece")),
 
     "q_wordpiece" -> ((s, d) =>
       // greedy longest-match-first WordPiece under the fixed demo vocab:
@@ -6714,6 +6851,7 @@ object SparkEntry {
          FROM p2 ORDER BY doc_id, ti""",
     "q_wordpiece" -> wordpieceOracle,
     "q_unigram_segment" -> unigramSegmentOracle,
+    "q_unigram_train" -> unigramTrainOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is

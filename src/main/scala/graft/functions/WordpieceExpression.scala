@@ -197,3 +197,131 @@ case class UnigramSegmentCost(child: Expression, vocab: Seq[(String, Int)],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `UnigramViterbiPieces(words, vocab)` — the PIECES of each word's
+  * min-cost unigram-LM segmentation (the argmin [[UnigramSegmentCost]]
+  * only scores), flattened across the word array, for the Viterbi-EM
+  * E-step of unigram vocabulary TRAINING: explode + one bounded
+  * aggregation turns this column into per-piece use counts.
+  *
+  * Objective and DP are [[UnigramSegmentCost]]'s exactly (packed
+  * `cost·64 + 1` per piece — lexicographic (cost, piece-count) under one
+  * integer `min`). The backtrace is deterministic and RESTATABLE: from
+  * end position j, the chosen piece length is the SMALLEST l with
+  * `best(j−l) + cost(word[j−l..j))·64 + 1 = best(j)` — in SQL, a
+  * `min(v.l)` scalar subquery over the inlined vocab with that equality
+  * as the predicate, so an external engine replays the exact multiset of
+  * pieces. Words that are empty, longer than `maxWordLen` code points,
+  * or unsegmentable contribute NO pieces (training skips them; the
+  * trainer seeds every corpus character, so unreachable words cannot
+  * occur there).
+  *
+  * Reference behavior anchor: SentencePiece's unigram trainer
+  * (Kudo 2018) alternates expected-count collection with pruning; this
+  * expression is the count-collection step under hard (Viterbi)
+  * assignments, quantized to integers so cross-engine replay is exact.
+  */
+case class UnigramViterbiPieces(child: Expression, vocab: Seq[(String, Int)],
+    maxWordLen: Int = 10) extends UnaryExpression {
+  require(maxWordLen >= 1 && maxWordLen < 64,
+    s"maxWordLen must be in [1, 64) (piece-count packing): $maxWordLen")
+  vocab.foreach { case (p, c) =>
+    require(p.nonEmpty, "UnigramViterbiPieces: empty vocab piece")
+    require(c >= 0, s"vocab cost must be non-negative (cost*64 packing): '$p' -> $c")
+  }
+
+  override def prettyName: String = "unigram_viterbi_pieces"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  @transient private lazy val cost: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    for ((p, c) <- vocab) if (!m.containsKey(p)) m.put(p, c)
+    m
+  }
+
+  @transient private lazy val maxPieceChars: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max.max(1)
+
+  private val Unreachable = java.lang.Long.MAX_VALUE
+
+  def piecesOf(input: ArrayData): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val n = input.numElements()
+    var i = 0
+    while (i < n) {
+      if (!input.isNullAt(i))
+        appendPieces(input.getUTF8String(i).toString, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def appendPieces(word: String,
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    if (word.isEmpty) return
+    if (word.codePointCount(0, word.length) > maxWordLen) return
+    val len = word.length
+    val best = new Array[Long](len + 1)
+    java.util.Arrays.fill(best, Unreachable)
+    best(0) = 0L
+    var j = 1
+    while (j <= len) {
+      var l = 1
+      val lmax = math.min(j, maxPieceChars)
+      while (l <= lmax) {
+        if (best(j - l) != Unreachable) {
+          val c = cost.get(word.substring(j - l, j))
+          if (c != null) {
+            val cand = best(j - l) + c.longValue() * 64 + 1
+            if (cand < best(j)) best(j) = cand
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (best(len) == Unreachable) return
+    // smallest-l backtrace: at each end position the FIRST length whose
+    // predecessor-plus-piece cost equals the DP minimum is the parent —
+    // the SQL restatement's min(v.l) under the same equality
+    val pieces = new scala.collection.mutable.ArrayBuffer[String]()
+    j = len
+    while (j > 0) {
+      var l = 1
+      var chosen = 0
+      val lmax = math.min(j, maxPieceChars)
+      while (l <= lmax && chosen == 0) {
+        if (best(j - l) != Unreachable) {
+          val c = cost.get(word.substring(j - l, j))
+          if (c != null && best(j - l) + c.longValue() * 64 + 1 == best(j))
+            chosen = l
+        }
+        l += 1
+      }
+      // chosen > 0 always: best(j) < Unreachable was produced by some l
+      pieces += word.substring(j - chosen, j)
+      j -= chosen
+    }
+    var k = pieces.length - 1
+    while (k >= 0) {
+      out += UTF8String.fromString(pieces(k))
+      k -= 1
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    piecesOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVit", this,
+      classOf[UnigramViterbiPieces].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.piecesOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

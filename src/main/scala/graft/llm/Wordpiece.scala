@@ -70,3 +70,112 @@ object UnigramSegment {
         size(filter(col("__c"), x => x === lit(unkComb))).cast("long").as("n_unk"))
   }
 }
+
+/** Unigram-LM (SentencePiece-style) vocabulary TRAINING — integer-exact
+  * Viterbi-EM, completing the tokenizer-training family (BPE train ✓,
+  * byte-BPE train ✓, WordPiece encode ✓, unigram encode ✓ — this is the
+  * build path a SentencePiece-standard pipeline needs).
+  *
+  * Reference behavior anchor: SentencePiece's unigram trainer
+  * (Kudo 2018, arXiv:1804.10959): seed a large candidate vocabulary from
+  * corpus substrings, alternate (E) collecting per-piece use counts under
+  * the current piece costs with (M) re-deriving costs from counts, and
+  * prune low-utility pieces between rounds, always keeping single
+  * characters so every word stays segmentable. This implementation makes
+  * every step integer-exact so an external engine replays it bit-for-bit:
+  *
+  *   - E-step: HARD (Viterbi) assignments via the native
+  *     [[graft.functions.UnigramViterbiPieces]] expression — map-only
+  *     over the distinct-WORD frequency table, one bounded aggregation
+  *     (≤ |vocab| groups) per round; driver state is O(|vocab|).
+  *   - M-step: cost(p) = (⌊log2(T + |V|)⌋ − ⌊log2(cnt(p) + 1)⌋)·scale
+  *     + scale, a quantized −log2 of the add-one-smoothed piece
+  *     probability. Floor-log2 is BIT LENGTH, exact in every engine
+  *     (`63 − numberOfLeadingZeros` here, `strlen(bin(x)) − 1` in SQL) —
+  *     the same correctly-rounded-primitive discipline as
+  *     q_mix_temperature's sqrt.
+  *   - Prune: keep all single-character pieces + the top `pruneTopK`
+  *     multi-character pieces by (count DESC, piece ASC) — a
+  *     deterministic total order.
+  *
+  * Scale shape at 100 TB: the corpus is touched ONCE (word explode +
+  * count — the standard word-frequency aggregation, bounded by the
+  * distinct-word vocabulary, not the corpus); every EM round then runs
+  * over that persisted distinct-word table, map-only + one bounded
+  * aggregation. Seed and per-round counts collect O(seedTopN + charset)
+  * rows to the driver — never corpus rows.
+  */
+object UnigramTrain {
+
+  private def fl2(x: Long): Int = {
+    require(x >= 1, s"fl2 of non-positive $x")
+    63 - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  /** Integer cost table from counts (M-step): quantized −log2 of the
+    * add-one-smoothed probability, scaled; strictly positive.
+    */
+  def costsOf(counts: Seq[(String, Long)], scale: Int): Seq[(String, Int)] = {
+    val t = counts.iterator.map(_._2).sum + counts.size
+    counts.map { case (p, c) => p -> ((fl2(t) - fl2(c + 1)) * scale + scale) }
+  }
+
+  /** Train a unigram vocabulary; returns one row per final-vocabulary
+    * piece: (piece, cnt = its final-round Viterbi use count, cost = the
+    * integer cost the final E-step segmented under). Words longer than
+    * `maxWordLen` code points are excluded from training entirely.
+    */
+  def train(df: DataFrame, textCol: String, rounds: Int = 2,
+      maxPieceLen: Int = 4, seedTopN: Int = 40, pruneTopK: Int = 20,
+      maxWordLen: Int = 10, costScale: Int = 8): DataFrame = {
+    require(rounds >= 1 && maxPieceLen >= 1 && seedTopN >= 1 &&
+      pruneTopK >= 1 && maxWordLen >= 1 && costScale >= 1,
+      s"UnigramTrain: bad hyperparameters (rounds=$rounds " +
+        s"maxPieceLen=$maxPieceLen seedTopN=$seedTopN pruneTopK=$pruneTopK " +
+        s"maxWordLen=$maxWordLen costScale=$costScale)")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed candidates: every substring up to maxPieceLen chars, weighted
+      // by word frequency — all single characters (never pruned, so every
+      // word stays segmentable) + the top seedTopN multi-char substrings
+      val subs = words.select(col("freq"), explode(flatten(
+          transform(sequence(lit(0), length(col("w")) - 1), i =>
+            transform(
+              sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
+              l => col("w").substr(i + lit(1), l))))).as("p"))
+        .groupBy("p").agg(sum("freq").as("cnt"))
+      val singles = subs.filter(length(col("p")) === 1)
+        .orderBy("p").collect().map(r => r.getString(0) -> r.getLong(1))
+      val multi = subs.filter(length(col("p")) >= 2)
+        .orderBy(col("cnt").desc, col("p")).limit(seedTopN)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      var vocab: Seq[(String, Long)] = (singles ++ multi).sortBy(_._1).toSeq
+      var lastCosts: Seq[(String, Int)] = Nil
+      for (r <- 1 to rounds) {
+        if (r > 1) {
+          val keepS = vocab.filter(_._1.length == 1)
+          val keepM = vocab.filter(_._1.length >= 2)
+            .sortBy { case (p, c) => (-c, p) }.take(pruneTopK)
+          vocab = (keepS ++ keepM).sortBy(_._1)
+        }
+        lastCosts = costsOf(vocab, costScale)
+        val pcs = GraftShims.toColumn(graft.functions.UnigramViterbiPieces(
+          GraftShims.toExpression(array(col("w"))), lastCosts, maxWordLen))
+        val counted = words.select(col("freq"), explode(pcs).as("p"))
+          .groupBy("p").agg(sum("freq").as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        vocab = vocab.map { case (p, _) => p -> counted.getOrElse(p, 0L) }
+      }
+      val costMap = lastCosts.toMap
+      import spark.implicits._
+      vocab.map { case (p, c) => (p, c, costMap(p).toLong) }
+        .toDF("piece", "cnt", "cost")
+    } finally words.unpersist(false)
+  }
+}
