@@ -453,6 +453,32 @@ object SparkEntry {
     (ftyp ++ mdatHeader, moov)
   }
 
+  /** Fixed ISO-BMFF skeleton for q_video_neardup: the mp4QueryFixture
+    * geometry sized for TWO 246-byte keyframe samples (8×8 24bpp BMPs —
+    * 54-byte header + 192 pixel bytes), both marked sync in `stss`. The
+    * documents supply only pixel bytes; every container byte is fixed,
+    * so the video is column algebra around two BMP bodies.
+    */
+  private lazy val mp4VideoFixture: (Array[Byte], Array[Byte]) = {
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, content: Array[Byte]*): Array[Byte] = {
+      val c = content.flatten.toArray
+      be32(c.length + 8) ++ typ.getBytes("ISO-8859-1") ++ c
+    }
+    val sampleSize = 54 + 8 * 8 * 3 // one 8×8 24bpp BMP keyframe
+    val ftyp = box("ftyp", "isom".getBytes, be32(0))
+    val mdatHeader = be32(8 + 2 * sampleSize) ++ "mdat".getBytes
+    val stbl = box("stbl",
+      box("stsz", be32(0), be32(sampleSize), be32(2)),          // uniform BMP samples
+      box("stsc", be32(0), be32(1), be32(1), be32(2), be32(1)), // one chunk of 2
+      box("stco", be32(0), be32(1), be32(ftyp.length + 8)),     // mdat content offset
+      box("stss", be32(0), be32(2), be32(1), be32(2)))          // both are keyframes
+    val moov = box("moov", box("trak", box("mdia",
+      box("hdlr", be32(0), be32(0), "vide".getBytes), box("minf", stbl))))
+    (ftyp ++ mdatHeader, moov)
+  }
+
   /** Fixed EBML skeleton for q_multimodal_webm: (bytes before the first
     * 8-byte keyframe payload, bytes between the two). One video track,
     * one cluster holding two keyframe-flagged SimpleBlocks of 8 data
@@ -3301,6 +3327,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_video_neardup" -> ((s, d) => {
+      // the video-level near-dup CAPSTONE — the pieces composed end to
+      // end: real MP4 keyframe demux (box walking, stss sync samples) →
+      // BMP keyframe decode → pHash per keyframe → generic banded
+      // Hamming pairs per keyframe POSITION → a video pair survives iff
+      // every keyframe position matches within radius. Planted
+      // "re-encodes" of docs < 20 force one corner cell of each keyframe
+      // to a constant — each pHash lands a few bits away, the case
+      // exact-hash video dedup misses. The banding is invisible to the
+      // result, so the oracle is the all-pairs restatement per frame
+      // window intersected across windows.
+      val (pre, post) = mp4VideoFixture
+      val hdr: Array[Byte] = bmpHeader(8, 8)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
+      val b = col("text").cast("binary")
+      def px(off: Int) =
+        concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(off + i, 1))): _*)
+      def pxT(off: Int) =
+        concat((1 to 63).flatMap(i => Seq.fill(3)(b.substr(off + i, 1))) ++
+          Seq.fill(3)(lit(Array[Byte](126))): _*)
+      def video(p1: org.apache.spark.sql.Column, p2: org.apache.spark.sql.Column) =
+        concat(lit(pre), lit(hdr), p1, lit(hdr), p2, lit(post))
+      val base = docs.select(col("doc_id"), video(px(0), px(64)).as("payload"))
+      val ups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          video(pxT(0), pxT(64)).as("payload"))
+      val frames = graft.llm.Multimodal.sampleFrames(base.unionByName(ups),
+        "doc_id", "payload", n = 2,
+        codecs = graft.llm.Multimodal.JvmCodecs).toDF()
+      val hashes = graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
+        frames.select((col("doc_id") * 4 + col("frame_ix")).as("fid"),
+          col("payload")),
+        "fid", "payload", codecs = graft.llm.Multimodal.JvmCodecs))
+      val sig = hashes.select(floor(col("doc_id") / 4).cast("long").as("vid"),
+        pmod(col("doc_id"), lit(4)).as("fx"), col("phash"))
+      def pairsAt(f: Int) = graft.llm.Dedup.hammingPairs(
+        sig.filter(col("fx") === f).select(col("vid"), col("phash")),
+        "vid", col("phash"), nBits = 64, maxHamming = 8)
+        .select("idA", "idB")
+      pairsAt(0).join(pairsAt(1), Seq("idA", "idB")).orderBy("idA", "idB")
+    }),
+
     // ---- event-time primitives (streaming/EventTime, batch-checkable) ----
     "q_event_window" -> ((s, d) =>
       // tumbling event-time window counts; same code path as the
@@ -5797,6 +5865,69 @@ object SparkEntry {
          SELECT doc_id FROM k0
          UNION ALL
          SELECT doc_id FROM k1 ORDER BY doc_id""",
+    "q_video_neardup" ->
+      // the two 8×8 keyframes read text windows [1,64] and [65,128]
+      // (planted re-encodes force window cell 64 to byte 126); each
+      // window's pHash is the q_multimodal_phash restatement keyed by
+      // frame index; a pair survives iff BOTH frame windows are within
+      // Hamming radius 8 (HAVING count(*) = 2 over the per-frame pairs)
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 128))) > 128 THEN error(
+                    'video oracle: non-ASCII in the packed 128-char prefix')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 128
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 128 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text, 0 AS tweak FROM d
+           UNION ALL
+           SELECT doc_id + 100000, text, 1 FROM d WHERE doc_id < 20
+         ), cell AS (
+           SELECT a.doc_id, a.tweak, fr.fx AS fx, y.y AS y, x.x AS x,
+                  CASE WHEN a.tweak = 1
+                        AND (7 - (y.y // 4)) * 8 + (x.x // 4) + 1 = 64 THEN 126
+                       ELSE ascii(substr(a.text,
+                         fr.fx * 64 + (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1))
+                  END AS g
+           FROM alld a, (SELECT unnest(range(0, 2)) AS fx) fr,
+                (SELECT unnest(range(0, 32)) AS y) y,
+                (SELECT unnest(range(0, 32)) AS x) x
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+         ), rp AS (
+           SELECT c.doc_id, c.fx, c.x, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
+           FROM cell c JOIN q ON q.n = c.y
+           GROUP BY c.doc_id, c.fx, c.x, q.k
+         ), co AS (
+           SELECT rp.doc_id, rp.fx, rp.v, q.k AS u,
+                  CAST(sum(rp.s * q.qv) AS BIGINT) AS s
+           FROM rp JOIN q ON q.n = rp.x
+           GROUP BY rp.doc_id, rp.fx, rp.v, q.k
+         ), med AS (
+           SELECT doc_id, fx, s AS m FROM (
+             SELECT doc_id, fx, s, row_number() OVER (
+               PARTITION BY doc_id, fx ORDER BY s) AS rk
+             FROM co WHERE NOT (u = 0 AND v = 0))
+           WHERE rk = 32
+         ), bits AS (
+           SELECT co.doc_id, co.fx,
+                  sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (31 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS hi,
+                  sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (63 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS lo
+           FROM co JOIN med ON med.doc_id = co.doc_id AND med.fx = co.fx
+           GROUP BY co.doc_id, co.fx
+         ), pair AS (
+           SELECT a.fx, a.doc_id AS idA, b.doc_id AS idB
+           FROM bits a JOIN bits b ON b.fx = a.fx AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8)
+         SELECT idA, idB FROM pair
+         GROUP BY idA, idB HAVING count(*) = 2
+         ORDER BY idA, idB""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the
       // Spark side packed into the WAV data chunk; ord() reads CODEPOINTS
