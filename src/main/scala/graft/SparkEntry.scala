@@ -255,6 +255,71 @@ object SparkEntry {
     s"$head$stepCtes SELECT step, pair, cnt FROM ($union) ORDER BY step"
   }
 
+  /** Oracle for q_wordpiece_train — [[bpeTrainOracleSql]] with the
+    * LIKELIHOOD-GAIN argmax: per step, pair counts AND symbol counts over
+    * the previous encoding, then the winner is the pair no other pair
+    * beats under cross-multiplied HUGEINT score comparison
+    * (cnt_q·ca_p·cb_p > cnt_p·ca_q·cb_q, ties on the pair string) — an
+    * anti-join restatement of the exact rational argmax. CTEs are
+    * MATERIALIZED: the anti-join references each scored table twice and
+    * DuckDB inlines CTEs by default, which would re-expand the whole
+    * chain exponentially.
+    */
+  private def wordpieceTrainOracleSql(steps: Int): String = {
+    val head =
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
+         ), e0 AS MATERIALIZED (
+           SELECT $bpeWrapSql AS e
+           FROM w0
+         )"""
+    val stepCtes = (1 to steps).map { i =>
+      val prev = s"e${i - 1}"
+      s""", p$i AS MATERIALIZED (
+           SELECT list_extract(sym, j) || ' ' || list_extract(sym, j + 1) AS pair,
+                  count(*) AS cnt
+           FROM (
+             SELECT sym, unnest(generate_series(1, len(sym) - 1)) AS j
+             FROM (SELECT string_split(substr(e, 2, length(e) - 2), '$bpeC$bpeO') AS sym
+                   FROM $prev WHERE length(e) > 2))
+           GROUP BY pair
+         ), y$i AS MATERIALIZED (
+           SELECT sym, count(*) AS cnt
+           FROM (
+             SELECT unnest(string_split(substr(e, 2, length(e) - 2), '$bpeC$bpeO')) AS sym
+             FROM $prev WHERE length(e) > 2)
+           GROUP BY sym
+         ), sc$i AS MATERIALIZED (
+           SELECT p.pair, p.cnt,
+                  (SELECT y.cnt FROM y$i y
+                   WHERE y.sym = split_part(p.pair, ' ', 1)) AS ca,
+                  (SELECT y.cnt FROM y$i y
+                   WHERE y.sym = split_part(p.pair, ' ', 2)) AS cb
+           FROM p$i p
+         ), t$i AS MATERIALIZED (
+           SELECT pair, cnt FROM sc$i p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM sc$i q
+             WHERE CAST(q.cnt AS HUGEINT) * p.ca * p.cb
+                     > CAST(p.cnt AS HUGEINT) * q.ca * q.cb
+                OR (CAST(q.cnt AS HUGEINT) * p.ca * p.cb
+                      = CAST(p.cnt AS HUGEINT) * q.ca * q.cb
+                    AND q.pair < p.pair))
+         ), e$i AS MATERIALIZED (
+           SELECT replace(e,
+             '$bpeO' || split_part((SELECT pair FROM t$i), ' ', 1) || '$bpeC$bpeO' ||
+                    split_part((SELECT pair FROM t$i), ' ', 2) || '$bpeC',
+             '$bpeO' || replace((SELECT pair FROM t$i), ' ', '') || '$bpeC') AS e
+           FROM $prev
+         )"""
+    }.mkString
+    val union = (1 to steps).map(i => s"SELECT $i AS step, pair, cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"$head$stepCtes SELECT CAST(step AS INTEGER) AS step, pair, " +
+      s"CAST(cnt AS BIGINT) AS cnt FROM ($union) ORDER BY step"
+  }
+
   /** [[bpeTrainOracleSql]]'s byte-level sibling: the initial encoding is
     * GPT-2 pieces (lookahead-free restatement, valid on single-space
     * text) mapped by the space→Ġ rule (valid on printable ASCII), both
@@ -3778,6 +3843,19 @@ object SparkEntry {
       hist.toDF("step", "pair", "cnt").orderBy("step")
     }),
 
+    "q_wordpiece_train" -> ((s, d) => {
+      // WordPiece vocabulary TRAINING (the BERT-family build path): the
+      // q_bpe_train loop under the LIKELIHOOD-GAIN rule — each step
+      // merges the pair maximizing count(ab)/(count(a)·count(b)), exact
+      // integer cross-multiplied argmax, ties on the pair string. Same
+      // deterministic half-sample; the oracle replays all 4 steps with
+      // an anti-join argmax in HUGEINT cross-products
+      val sample = t(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === 0)
+      val (_, hist) = graft.llm.Bpe.trainWordpiece(sample, col("text"), steps = 4)
+      import s.implicits._
+      hist.toDF("step", "pair", "cnt").orderBy("step")
+    }),
+
     "q_bpe_train_byte" -> ((s, d) => {
       // byte-level BPE training (how GPT-2-family vocabularies are built):
       // the same 4-step argmax loop as q_bpe_train, but over GPT-2
@@ -6852,6 +6930,7 @@ object SparkEntry {
                 count(*) AS cnt
          FROM pos GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "q_bpe_train" -> bpeTrainOracleSql(4),
+    "q_wordpiece_train" -> wordpieceTrainOracleSql(4),
     "q_bpe_train_byte" -> bpeTrainByteOracleSql(4),
     "q_bpe_encode" ->
       // the merge chain replayed verbatim as literal replaces over the

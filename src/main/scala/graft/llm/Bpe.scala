@@ -360,4 +360,85 @@ object Bpe {
     }
     (merges, hist)
   }
+
+  /** Per-symbol occurrence counts over an encoded-words column — the
+    * unigram sufficient statistic [[trainWordpiece]] scores against
+    * (one explode + one map-side-combined count, ≤ |symbol vocabulary|
+    * groups).
+    */
+  private def symbolCountsOfWords(enc: DataFrame): DataFrame =
+    enc.select(explode(flatten(transform(col("__ws"), w => symbols(w))))
+        .as("sym"))
+      .groupBy("sym").agg(count(lit(1)).as("cnt"))
+
+  /** WordPiece vocabulary TRAINING — the BERT-family build path
+    * (Schuster & Nakajima 2012; the rule the huggingface/tokenizers
+    * WordPiece trainer implements): [[train]]'s merge loop with the
+    * LIKELIHOOD-GAIN objective — each step merges the adjacent pair
+    * maximizing count(ab) / (count(a)·count(b)), the pair whose merge
+    * most increases corpus likelihood under a unigram symbol model, not
+    * the raw-count argmax BPE uses. Rare-but-always-together symbols win
+    * over frequent-but-independent ones.
+    *
+    * The argmax is EXACT: scores are compared by integer
+    * cross-multiplication over arbitrary-precision values (never a
+    * float ratio), ties broken on the pair string — bit-deterministic
+    * and restatable verbatim in SQL. Per step the driver holds the
+    * pair-count and symbol-count tables — bounded by the adjacent-pair
+    * and symbol VOCABULARIES (the standard in-memory WordPiece/BPE
+    * trainer working set), never corpus rows; the cache discipline
+    * (encode once, splice per round, O(1) lineage) is [[train]]'s.
+    */
+  def trainWordpiece(df: DataFrame, textCol: Column, steps: Int)
+      : (Seq[(String, String)], Seq[(Int, String, Long)]) = {
+    import org.apache.spark.storage.StorageLevel
+    var enc = df.select(encodeWords(textCol, Nil).as("__ws"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var parent: Option[DataFrame] = None
+    var merges = Vector.empty[(String, String)]
+    var hist = Vector.empty[(Int, String, Long)]
+    var done = false
+    try {
+      while (merges.size < steps && !done) {
+        val pairRows = pairCountsOfWords(enc).collect()
+        parent.foreach(_.unpersist(false))
+        parent = None
+        if (pairRows.isEmpty) done = true
+        else {
+          val syms = symbolCountsOfWords(enc).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          var bp: String = null
+          var bc = 0L
+          var bn = BigInt(0)
+          var bd = BigInt(1)
+          for (r <- pairRows) {
+            val pair = r.getString(0)
+            val c = r.getLong(1)
+            val Array(a, b) = pair.split(" ", 2)
+            val n = BigInt(c)
+            val dd = BigInt(syms(a)) * BigInt(syms(b))
+            // pair beats best iff n/dd > bn/bd — cross-multiplied, exact
+            val cmp = (n * bd).compare(bn * dd)
+            if (bp == null || cmp > 0 || (cmp == 0 && pair < bp)) {
+              bp = pair; bc = c; bn = n; bd = dd
+            }
+          }
+          val Array(a, b) = bp.split(" ", 2)
+          hist :+= ((merges.size + 1, bp, bc))
+          merges :+= ((a, b))
+          if (merges.size < steps) {
+            val next = enc.select(transform(col("__ws"),
+                e => applyMerges(e, Seq((a, b)))).as("__ws"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            parent = Some(enc)
+            enc = next
+          }
+        }
+      }
+    } finally {
+      enc.unpersist(false)
+      parent.foreach(_.unpersist(false))
+    }
+    (merges, hist)
+  }
 }

@@ -92,6 +92,32 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty && hist.isEmpty)
   }
 
+  test("trainWordpiece maximizes likelihood gain, not raw count") {
+    import spark.implicits._
+    // (e,r) is the most FREQUENT pair (6) but e and r are common
+    // (e: 9, r: 7 → gain 6/63); (q,u) occurs only 3 times but q appears
+    // ONLY before u (q: 3, u: 4 → gain 3/12 = 1/4) — the gain rule picks
+    // "q u" first where raw-count BPE would pick "e r"
+    val df = Seq("er er er er er er", "qu qu qu ue", "e e e r").toDF("text")
+    val (wm, wh) = Bpe.trainWordpiece(df, col("text"), steps = 1)
+    assert(wm == Seq("q" -> "u"), wm.toString)
+    assert(wh == Seq((1, "q u", 3L)))
+    val (bm, _) = Bpe.train(df, col("text"), steps = 1)
+    assert(bm == Seq("e" -> "r"), bm.toString)
+  }
+
+  test("trainWordpiece cross-multiplied ties break on the pair string") {
+    import spark.implicits._
+    // "ab" and "cd": both pairs occur twice, all four symbols occur
+    // twice — identical gain 2/4; the tie-break picks "a b"
+    val df = Seq("ab cd", "ab cd").toDF("text")
+    val (m, h) = Bpe.trainWordpiece(df, col("text"), steps = 2)
+    assert(m.head == ("a" -> "b"), m.toString)
+    assert(h.head == ((1, "a b", 2L)))
+    // after merging, "c d" is the sole remaining pair
+    assert(m(1) == ("c" -> "d"))
+  }
+
   test("c4KeepLine enforces punct, min words, javascript, and brace rules") {
     def keep(s: String): Boolean =
       one(TF.c4KeepLine(lit(s))).asInstanceOf[Boolean]
