@@ -3425,8 +3425,16 @@ object SparkEntry {
         frames.select((col("doc_id") * 4 + col("frame_ix")).as("fid"),
           col("payload")),
         "fid", "payload", codecs = graft.llm.Multimodal.JvmCodecs))
-      val sig = hashes.select(floor(col("doc_id") / 4).cast("long").as("vid"),
-        pmod(col("doc_id"), lit(4)).as("fx"), col("phash"))
+      // the (vid, fx, phash) frame is MATERIALIZED once (tiny: one row per
+      // keyframe): both per-frame pair joins reference it, and Catalyst
+      // has no DAG sharing — unmaterialized, the demux+decode+DCT typed
+      // lineage would run once per reference (the simhash_recall
+      // write-once/read-many treatment)
+      val dir = qTmpDir("vidndp-q")
+      hashes.select(floor(col("doc_id") / 4).cast("long").as("vid"),
+          pmod(col("doc_id"), lit(4)).as("fx"), col("phash"))
+        .write.mode("overwrite").parquet(s"$dir/sig")
+      val sig = s.read.parquet(s"$dir/sig")
       def pairsAt(f: Int) = graft.llm.Dedup.hammingPairs(
         sig.filter(col("fx") === f).select(col("vid"), col("phash")),
         "vid", col("phash"), nBits = 64, maxHamming = 8)
