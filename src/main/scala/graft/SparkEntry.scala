@@ -808,25 +808,36 @@ object SparkEntry {
     * rule), per-piece use counts, and the count-ordered prune. Two full
     * rounds are chained; every number is an integer.
     */
-  private def unigramTrainOracle: String = {
-    val steps = 10 // == train's maxWordLen: longer words are skipped
-    val maxPieceLen = 4
+  private val utSteps = 10 // == train's maxWordLen: longer words are skipped
+  private val utMaxPieceLen = 4
+
+  /** The unrolled forward Viterbi DP over a `word` column (one chained
+    * MATERIALIZED CTE per end position) against cost table `vtab(p,l,c)`
+    * — shared by the training oracle (both rounds) and the
+    * train-then-segment capstone.
+    */
+  private def unigramTrainDpChain(vtab: String, pref: String,
+      src: String): String =
+    (1 to utSteps).map { j =>
+      val prior = (1 to math.min(j, utMaxPieceLen))
+        .map(l => s"WHEN $l THEN ${pref}b${j - l}").mkString(" ")
+      s"""$pref$j AS MATERIALIZED (
+           SELECT *, (
+             SELECT min((CASE v.l $prior END) + v.c * 64 + 1)
+             FROM $vtab v
+             WHERE v.l <= $j AND substr(word, $j - v.l + 1, v.l) = v.p
+           ) AS ${pref}b$j
+           FROM ${if (j == 1) src else s"$pref${j - 1}"}
+         )"""
+    }.mkString(", ")
+
+  private def unigramTrainOracleWith(finalSelect: String): String = {
+    val steps = utSteps
     val seedTopN = 40
     val pruneTopK = 20
     val scale = 8
     def dp(vtab: String, pref: String, src: String): String =
-      (1 to steps).map { j =>
-        val prior = (1 to math.min(j, maxPieceLen))
-          .map(l => s"WHEN $l THEN ${pref}b${j - l}").mkString(" ")
-        s"""$pref$j AS MATERIALIZED (
-             SELECT *, (
-               SELECT min((CASE v.l $prior END) + v.c * 64 + 1)
-               FROM $vtab v
-               WHERE v.l <= $j AND substr(word, $j - v.l + 1, v.l) = v.p
-             ) AS ${pref}b$j
-             FROM ${if (j == 1) src else s"$pref${j - 1}"}
-           )"""
-      }.mkString(", ")
+      unigramTrainDpChain(vtab, pref, src)
     def bt(vtab: String, pref: String, dpLast: String): String = {
       val bcols = (0 to steps).map(x => s"${pref}b$x").mkString(", ")
       val bcase = (0 to steps).map(x => s"WHEN $x THEN ${pref}b$x").mkString(" ")
@@ -871,7 +882,7 @@ object SparkEntry {
            FROM $src
          )"""
     s"""WITH tok AS MATERIALIZED (
-          SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
           FROM documents WHERE trim(text) <> ''
         ), wr AS MATERIALIZED (
           SELECT t[i + 1] AS word
@@ -891,7 +902,7 @@ object SparkEntry {
           SELECT substr(word, i.i + 1, l.l) AS p,
                  CAST(sum(freq) AS BIGINT) AS cnt
           FROM w, (SELECT unnest(range(0, $steps)) AS i) i,
-               (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l) l
+               (SELECT unnest(range(1, ${utMaxPieceLen + 1})) AS l) l
           WHERE i.i < length(word) AND l.l <= length(word) - i.i
           GROUP BY 1
         ), seedm AS MATERIALIZED (
@@ -920,9 +931,46 @@ object SparkEntry {
         ${dp("v2", "g", "g0")},
         ${bt("v2", "g", s"g$steps")},
         ${cntCte("v2", "g", "c2")}
-        SELECT v2.p AS piece, c2.cnt AS cnt, CAST(v2.c AS BIGINT) AS cost
+        $finalSelect"""
+  }
+
+  private def unigramTrainOracle: String =
+    unigramTrainOracleWith(
+      """SELECT v2.p AS piece, c2.cnt AS cnt, CAST(v2.c AS BIGINT) AS cost
         FROM v2 JOIN c2 ON c2.p = v2.p
-        ORDER BY piece"""
+        ORDER BY piece""")
+
+  /** Oracle for q_unigram_train_segment — the training chain's trained
+    * cost table `v2` feeding the unigramSegmentOracle DP over DISTINCT
+    * corpus words (joined back to per-doc occurrences), per-doc integer
+    * stats under unk sentinel 1000·64+1. A corpus word longer than the
+    * 10-position unroll errors loudly (training merely SKIPS such words,
+    * but the segment phase must replay them).
+    */
+  private def unigramTrainSegmentOracle: String = {
+    val steps = 10
+    val unkComb = 1000L * 64 + 1
+    val bcase = (1 to steps).map(j => s"WHEN $j THEN hb$j").mkString(" ")
+    unigramTrainOracleWith(
+      s""", wd AS MATERIALIZED (
+          SELECT doc_id, t[i + 1] AS word
+          FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), chk2 AS MATERIALIZED (
+          SELECT CASE WHEN max(length(word)) > $steps THEN error(
+                   'unigram-train-segment oracle: corpus word longer than $steps unrolled DP positions')
+                 ELSE 0 END AS ok FROM wd
+        ), h0 AS MATERIALIZED (
+          SELECT DISTINCT word, CAST(0 AS BIGINT) AS hb0 FROM wd),
+        ${unigramTrainDpChain("v2", "h", "h0")},
+        fin AS MATERIALIZED (
+          SELECT wd.doc_id,
+                 COALESCE(CASE length(wd.word) $bcase END, $unkComb) AS comb
+          FROM wd JOIN h$steps h ON h.word = wd.word)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(comb // 64) AS BIGINT) AS total_cost,
+               CAST(sum(comb % 64) AS BIGINT) AS total_pieces,
+               CAST(sum(CASE WHEN comb = $unkComb THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        FROM fin, chk2 WHERE chk2.ok = 0 GROUP BY doc_id ORDER BY doc_id""")
   }
 
   /** DuckDB restatement of MMR diversity re-ranking: candidates and their
@@ -3998,6 +4046,19 @@ object SparkEntry {
       graft.llm.UnigramTrain.train(t(s, d, "documents"), "text")
         .orderBy("piece")),
 
+    "q_unigram_train_segment" -> ((s, d) => {
+      // the SentencePiece capstone: TRAIN the unigram vocabulary, then
+      // SEGMENT the corpus under the learned costs — per-doc integer
+      // stats from the native Viterbi scorer, the q_pack_ids_greedy
+      // treatment for the unigram family. The oracle chains the whole
+      // training replay into the per-doc segmentation DP.
+      val trained = graft.llm.UnigramTrain.train(t(s, d, "documents"), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(2).toInt).toSeq
+      graft.llm.UnigramSegment.segmentStats(t(s, d, "documents"), "doc_id",
+        "text", trained, unkCost = 1000, maxWordLen = 10)
+        .orderBy("doc_id")
+    }),
+
     "q_wordpiece" -> ((s, d) =>
       // greedy longest-match-first WordPiece under the fixed demo vocab:
       // map-only (the vocab is a codegen reference object inside the
@@ -7070,6 +7131,7 @@ object SparkEntry {
     "q_wordpiece" -> wordpieceOracle,
     "q_unigram_segment" -> unigramSegmentOracle,
     "q_unigram_train" -> unigramTrainOracle,
+    "q_unigram_train_segment" -> unigramTrainSegmentOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is

@@ -201,31 +201,37 @@ object Classifier {
       weights: Array[Double], bias: Double = 0.0, wordNgrams: Int = 1,
       hasher: Option[Column => Column] = None): DataFrame = {
     require(weights.nonEmpty, "Classifier: weights must be non-empty")
-    // the prepared frame is PERSISTED for the statistic's two aggregations
-    // (the per-bucket gradient and the bias row) — exactly the treatment
-    // trainLogisticHashed gives its iteration loop. Unpersisted, the two
-    // scans each inline the md5 feature chain into both the
-    // featureless-doc filter and the projection: four hash evaluations
-    // per doc for a one-pass statistic. The result is ≤ nBuckets+1 rows
-    // (bucket-bounded, never corpus-bounded), so it collects and the
-    // cache entry is released before returning.
-    import org.apache.spark.storage.StorageLevel
-    val spark = df.sparkSession
-    val prep = preparedHashed(df, textCol, labelCol, weights.length,
-      wordNgrams, hasher).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val scored = residualizedHashed(prep, weights, bias)
-      val grads = scored
-        .withColumn("__c",
-          round(col("__rq").cast("double") / col("__n")).cast("decimal(28,0)"))
-        .select(explode(col("__f")).as("bucket"), col("__c"))
-        .groupBy("bucket").agg((sum(col("__c")) / 1e9).as("grad"))
-      val rows = grads.unionByName(scored.agg((sum(col("__rq")) / 1e9).as("grad"))
-          .select(lit(-1).as("bucket"), col("grad")))
-        .collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), grads.schema)
-    } finally prep.unpersist(false)
+    // ONE corpus pass, ONE aggregation, ONE feature-hash evaluation site.
+    // The r12 plan probe measured the prepared-frame shape evaluating the
+    // md5 chain up to 4× per doc (filter+projection duplication × the
+    // gradient∪bias union's two scans). Three structural moves fix it
+    // without a cache:
+    //  - the empty-doc/null-label skip is the EXPLODE itself (empty array
+    //    → no rows), not a Filter operator the optimizer would duplicate
+    //    the hash transform into — the packTokens in-flight-skip trick;
+    //  - the feature array appears several times within ONE projection
+    //    (guard + struct), which whole-stage codegen's subexpression
+    //    elimination evaluates once (the SCALE.md ground rule);
+    //  - the bias statistic rides the SAME aggregation as a sentinel
+    //    bucket −1 element appended to each doc's feature array (its row
+    //    contributes the raw nano-residual; real buckets contribute the
+    //    per-occurrence share), so no second scan and no union.
+    val f = hashedBuckets(col(textCol), weights.length, wordNgrams, hasher)
+    val y = col(labelCol).cast("double")
+    val n = size(f).cast("double")
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(lit(bias) + bucketScore(f, weights) / n)))
+    val rq = round((p - y) * 1e9).cast("decimal(28,0)")
+    val packed = when(y.isNotNull && size(f) > 0,
+        array(struct(f.as("f"), rq.as("rq"), n.as("n"))))
+      .otherwise(array().cast("array<struct<f:array<int>,rq:decimal(28,0),n:double>>"))
+    df.select(explode(packed).as("s"))
+      .select(explode(concat(col("s.f"), array(lit(-1)))).as("bucket"),
+        col("s.rq").as("rq"), col("s.n").as("n"))
+      .groupBy("bucket")
+      .agg((sum(when(col("bucket") === -1, col("rq"))
+          .otherwise(round(col("rq").cast("double") / col("n"))
+            .cast("decimal(28,0)"))) / 1e9).as("grad"))
   }
 
   /** Full-batch logistic-regression TRAINING for the linear quality
