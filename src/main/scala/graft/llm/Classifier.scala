@@ -209,22 +209,26 @@ object Classifier {
     //  - the empty-doc/null-label skip is the EXPLODE itself (empty array
     //    → no rows), not a Filter operator the optimizer would duplicate
     //    the hash transform into — the packTokens in-flight-skip trick;
-    //  - the feature array appears several times within ONE projection
-    //    (guard + struct), which whole-stage codegen's subexpression
-    //    elimination evaluates once (the SCALE.md ground rule);
+    //  - the feature array is BOUND ONCE as a lambda variable
+    //    (TextFunctions.bindOnce): guard, struct, score, and size all
+    //    reference the binding, so the hash chain occurs at ONE plan site
+    //    (PlanShapeSpec counts it) instead of five;
     //  - the bias statistic rides the SAME aggregation as a sentinel
     //    bucket −1 element appended to each doc's feature array (its row
     //    contributes the raw nano-residual; real buckets contribute the
     //    per-occurrence share), so no second scan and no union.
-    val f = hashedBuckets(col(textCol), weights.length, wordNgrams, hasher)
     val y = col(labelCol).cast("double")
-    val n = size(f).cast("double")
-    val p = lit(1.0) / (lit(1.0) +
-      exp(-(lit(bias) + bucketScore(f, weights) / n)))
-    val rq = round((p - y) * 1e9).cast("decimal(28,0)")
-    val packed = when(y.isNotNull && size(f) > 0,
-        array(struct(f.as("f"), rq.as("rq"), n.as("n"))))
-      .otherwise(array().cast("array<struct<f:array<int>,rq:decimal(28,0),n:double>>"))
+    val packed = graft.functions.TextFunctions.bindOnce(
+        hashedBuckets(col(textCol), weights.length, wordNgrams, hasher)) { f =>
+      val n = size(f).cast("double")
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-(lit(bias) + bucketScore(f, weights) / n)))
+      val rq = round((p - y) * 1e9).cast("decimal(28,0)")
+      when(y.isNotNull && size(f) > 0,
+          array(struct(f.as("f"), rq.as("rq"), n.as("n"))))
+        .otherwise(array()
+          .cast("array<struct<f:array<int>,rq:decimal(28,0),n:double>>"))
+    }
     df.select(explode(packed).as("s"))
       .select(explode(concat(col("s.f"), array(lit(-1)))).as("bucket"),
         col("s.rq").as("rq"), col("s.n").as("n"))

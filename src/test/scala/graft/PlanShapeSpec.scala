@@ -649,4 +649,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join against the vocab:\n$p")
     assert(!p.contains("Window"), p)
   }
+
+  test("hashed gradient statistic: one corpus pass, one exchange, one " +
+      "feature-hash evaluation site (the r12 4x-evaluation fix)") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+      .withColumn("label", (col("doc_id") % 2).cast("double"))
+    val p = plan(graft.llm.Classifier.logisticGradientHashed(
+      docs, "text", "label",
+      weights = Array.tabulate(256)(b => ((b % 21) - 10) / 1024.0),
+      bias = -0.125, wordNgrams = 2,
+      hasher = Some(graft.llm.Classifier.md5Bucket(256))))
+    // single aggregation: exactly one hash exchange (the bucket groupBy)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"hashed gradient should shuffle exactly once:\n$p")
+    // the md5 feature chain appears at ONE plan site: the explode's
+    // projection (no Filter duplicate, no union second scan)
+    assert(p.split("md5").length - 1 == 1,
+      s"feature hash should have one evaluation site:\n$p")
+    assert(!p.contains("Union"), s"bias must ride the same aggregation:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"gradient sum should combine map-side:\n$p")
+  }
+
+  test("unigram-train E-step: map-only pieces + one bounded aggregation") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, 10))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val costs = Seq("a" -> 10, "b" -> 12, "ab" -> 15)
+    val pcs = org.apache.spark.sql.GraftShims.toColumn(
+      graft.functions.UnigramViterbiPieces(
+        org.apache.spark.sql.GraftShims.toExpression(array(col("w"))), costs, 10))
+    val p = plan(words.select(col("freq"), explode(pcs).as("p"))
+      .groupBy("p").agg(sum("freq").as("cnt")))
+    // word-frequency agg + piece-count agg: exactly two exchanges, both
+    // vocabulary-bounded; the Viterbi expression itself is map-only
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      s"E-step should be two bounded aggregations:\n$p")
+    assert(p.contains("unigram_viterbi_pieces") || p.contains("unigramVit") ||
+      p.contains("UnigramViterbiPieces"),
+      s"native Viterbi expression should be in the plan:\n$p")
+  }
 }
