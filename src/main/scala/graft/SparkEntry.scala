@@ -462,6 +462,27 @@ object SparkEntry {
     * already be 4-aligned (w·3 % 4 == 0 for the planted widths 8 and 16),
     * so the payload is exactly w·3·h gray-triple bytes.
     */
+  /** Little-endian fixed-width bytes of an integer column (hex byte
+    * swap) — the WAV/BMP/GIF fixture builders' shared primitive.
+    */
+  private def leBytes(c: org.apache.spark.sql.Column,
+      nBytes: Int): org.apache.spark.sql.Column = {
+    val h = lpad(hex(c), nBytes * 2, "0")
+    unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+  }
+
+  /** A complete 8 kHz mono 16-bit PCM WAV around `data` of `dataLen`
+    * bytes — the audio queries' ONE fixture builder (RIFF/fmt/data
+    * headers in column algebra; a header-math fix lands everywhere).
+    */
+  private def wavFixture(dataLen: org.apache.spark.sql.Column,
+      data: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("RIFF".getBytes), leBytes(dataLen + 36, 4), lit("WAVEfmt ".getBytes),
+      leBytes(lit(16), 4), leBytes(lit(1), 2), leBytes(lit(1), 2),
+      leBytes(lit(8000), 4), leBytes(lit(16000), 4), leBytes(lit(2), 2),
+      leBytes(lit(16), 2), lit("data".getBytes), leBytes(dataLen, 4), data)
+
   private def bmpHeader(w: Int, h: Int): Array[Byte] = {
     def le32(v: Int) =
       Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
@@ -3080,22 +3101,18 @@ object SparkEntry {
       // oracle recompute the dims from the same fields
       def be(c: org.apache.spark.sql.Column, nBytes: Int) =
         unhex(lpad(hex(c), nBytes * 2, "0"))
-      def le(c: org.apache.spark.sql.Column, nBytes: Int) = {
-        val hx = lpad(hex(c), nBytes * 2, "0")
-        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(hx, i * 2 + 1, 2)): _*))
-      }
       val docs = t(s, d, "documents")
       val w = col("n_chars") % 800 + 1
       val h = col("doc_id") % 600 + 1
       val pngHdr = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
         0, 0, 0, 13) ++ "IHDR".getBytes
       val png = concat(lit(pngHdr), be(w, 4), be(h, 4))
-      val gif = concat(lit("GIF89a".getBytes), le(w, 2), le(h, 2))
+      val gif = concat(lit("GIF89a".getBytes), leBytes(w, 2), leBytes(h, 2))
       // bytes 14-17 carry biSize=40 (BITMAPINFOHEADER) — payloadDims
       // gates on it to reject OS/2 BITMAPCOREHEADER layouts
       val bmp = concat(lit(Array[Byte]('B', 'M') ++ new Array[Byte](12) ++
           Array[Byte](40, 0, 0, 0)),
-        le(w, 4), le(lit(4294967296L) - h, 4)) // top-down: height stored negative
+        leBytes(w, 4), leBytes(lit(4294967296L) - h, 4)) // top-down: height stored negative
       // JPEG has no fixed dims offset — plant the SOF0 behind an APP0
       // whose PADDING LENGTH VARIES PER DOC (doc_id % 8 filler bytes), so
       // the oracle row is only reproducible if the segment walk really
@@ -3117,13 +3134,13 @@ object SparkEntry {
           Array[Byte](paySize.toByte, 0, 0, 0)
       val webp = when(col("doc_id") % 3 === 0,
           concat(lit(riffHdr("VP8X", 10) ++ new Array[Byte](4)),
-            le(w - 1, 3), le(h - 1, 3)))
+            leBytes(w - 1, 3), leBytes(h - 1, 3)))
         .when(col("doc_id") % 3 === 1,
           concat(lit(riffHdr("VP8 ", 10) ++
               Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A)),
-            le(w, 2), le(h, 2)))
+            leBytes(w, 2), leBytes(h, 2)))
         .otherwise(concat(lit(riffHdr("VP8L", 5) ++ Array[Byte](0x2F)),
-          le((w - 1) + (h - 1) * 16384, 4)))
+          leBytes((w - 1) + (h - 1) * 16384, 4)))
       def sniff(payload: org.apache.spark.sql.Column) =
         graft.llm.Multimodal.payloadDims(
           docs.withColumn("__p", payload), "doc_id", "__p")
@@ -3314,17 +3331,9 @@ object SparkEntry {
       // walker (JvmCodecs). The oracle recomputes every sample from the
       // same text bytes — ASCII corpus, so sample_i = b(2i-1) + 256·b(2i),
       // always positive (high byte < 128)
-      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
-        val h = lpad(hex(c), nBytes * 2, "0")
-        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
-      }
       val n = least(floor(length(col("text")) / 2), lit(16)).cast("int")
       val dataLen = n * 2
-      val payload = concat(
-        lit("RIFF".getBytes), le(dataLen + 36, 4), lit("WAVEfmt ".getBytes),
-        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
-        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
-        lit("data".getBytes), le(dataLen, 4),
+      val payload = wavFixture(dataLen,
         col("text").cast("binary").substr(lit(1), dataLen))
       val docs = t(s, d, "documents").filter(length(col("text")) >= 2)
         .withColumn("payload", payload)
@@ -3345,15 +3354,8 @@ object SparkEntry {
       // id; the oracle recomputes fingerprints from the bytes (one
       // formula covers both, the grids coincide) and replays the keep
       // rule — the q_image_dedup treatment on the audio path
-      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
-        val h = lpad(hex(c), nBytes * 2, "0")
-        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
-      }
-      def wav(dataLen: Int, data: org.apache.spark.sql.Column) = concat(
-        lit("RIFF".getBytes), le(lit(dataLen + 36), 4), lit("WAVEfmt ".getBytes),
-        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
-        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
-        lit("data".getBytes), le(lit(dataLen), 4), data)
+      def wav(dataLen: Int, data: org.apache.spark.sql.Column) =
+        wavFixture(lit(dataLen), data)
       val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
       val b = col("text").cast("binary")
       val base = docs.select(col("doc_id"),
@@ -3379,15 +3381,7 @@ object SparkEntry {
       // so the fingerprint lands ≤4 bits away) dedups against the store
       // AND itself; the kept corpus is read back. The oracle replays both
       // stages from sample bytes under the same radius.
-      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
-        val h = lpad(hex(c), nBytes * 2, "0")
-        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
-      }
-      def wav(data: org.apache.spark.sql.Column) = concat(
-        lit("RIFF".getBytes), le(lit(128 + 36), 4), lit("WAVEfmt ".getBytes),
-        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
-        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
-        lit("data".getBytes), le(lit(128), 4), data)
+      def wav(data: org.apache.spark.sql.Column) = wavFixture(lit(128), data)
       val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
       val b = col("text").cast("binary")
       val base = docs.select(col("doc_id"), wav(b.substr(1, 128)).as("payload"))
@@ -3417,18 +3411,10 @@ object SparkEntry {
       // bits). The oracle restates every sample from text bytes and
       // replays grid, energies and bits under the same 256 cosine
       // literals; reported as two 32-bit halves like the image hashes.
-      def le(c: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column = {
-        val h = lpad(hex(c), nBytes * 2, "0")
-        unhex(concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
-      }
       val dataLen = lit(128) // 64 samples: ~2 per 32-point frame, so the
       // band energies genuinely vary per document (16 samples made every
       // frame near-constant and the fingerprint degenerate)
-      val payload = concat(
-        lit("RIFF".getBytes), le(dataLen + 36, 4), lit("WAVEfmt ".getBytes),
-        le(lit(16), 4), le(lit(1), 2), le(lit(1), 2), le(lit(8000), 4),
-        le(lit(16000), 4), le(lit(2), 2), le(lit(16), 2),
-        lit("data".getBytes), le(dataLen, 4),
+      val payload = wavFixture(dataLen,
         col("text").cast("binary").substr(lit(1), dataLen))
       val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
         .withColumn("payload", payload)

@@ -325,3 +325,58 @@ case class BpeSymbolPairs(child: Expression, open: String, close: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `BpeSymbols(encodedWords, open, close)` — every SYMBOL of every
+  * delimiter-encoded word, flattened: the unigram sibling of
+  * [[BpeSymbolPairs]], built for [[graft.llm.Bpe.trainWordpiece]]'s
+  * per-step symbol counts. Same design argument: the equivalent HOF
+  * chain (`flatten(transform(_, symbols))`) evaluates its lambdas
+  * interpreted and dominates the counting scan (the measured reason
+  * BpeSymbolPairs exists); this walk fuses into whole-stage codegen.
+  */
+case class BpeSymbols(child: Expression, open: String, close: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_symbols"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  def symbolsOf(input: ArrayData): ArrayData = {
+    val sep = close + open
+    val out = new java.util.ArrayList[UTF8String]()
+    val n = input.numElements()
+    var w = 0
+    while (w < n) {
+      if (!input.isNullAt(w)) {
+        val enc = input.getUTF8String(w).toString
+        if (enc.length > 2) {
+          var prevStart = 1
+          val stop = enc.length - 1
+          while (prevStart <= stop) {
+            val cut = enc.indexOf(sep, prevStart)
+            val end = if (cut < 0 || cut >= stop) stop else cut
+            out.add(UTF8String.fromString(enc.substring(prevStart, end)))
+            prevStart = end + 2
+          }
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    symbolsOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSymbols", this,
+      classOf[BpeSymbols].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.symbolsOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeEncodeWords, BpeSymbolPairs, TextFunctions}
+import graft.functions.{BpeEncodeWords, BpeSymbolPairs, BpeSymbols, TextFunctions}
 
 /** Byte-pair-encoding tokenizer over a text corpus — the real merge-table
   * algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
@@ -361,14 +361,34 @@ object Bpe {
     (merges, hist)
   }
 
+  /** Driver-side string order matching Spark `UTF8String` / DuckDB
+    * VARCHAR binary order (= UTF-8 unsigned-byte = code-point
+    * lexicographic). Java's `String.compareTo` is UTF-16 order, which
+    * DIVERGES for supplementary-plane characters vs U+E000–U+FFFF —
+    * any driver-side tie-break that an oracle replays must use this.
+    */
+  private[llm] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Per-symbol occurrence counts over an encoded-words column — the
     * unigram sufficient statistic [[trainWordpiece]] scores against
     * (one explode + one map-side-combined count, ≤ |symbol vocabulary|
-    * groups).
+    * groups). Symbol emission is the native [[BpeSymbols]] walk for the
+    * same reason pair emission is [[BpeSymbolPairs]]: the HOF chain
+    * evaluates interpreted and dominates the counting scan.
     */
   private def symbolCountsOfWords(enc: DataFrame): DataFrame =
-    enc.select(explode(flatten(transform(col("__ws"), w => symbols(w))))
-        .as("sym"))
+    enc.select(explode(GraftShims.toColumn(BpeSymbols(
+        GraftShims.toExpression(col("__ws")), Open, Close))).as("sym"))
       .groupBy("sym").agg(count(lit(1)).as("cnt"))
 
   /** WordPiece vocabulary TRAINING — the BERT-family build path
@@ -417,9 +437,11 @@ object Bpe {
             val Array(a, b) = pair.split(" ", 2)
             val n = BigInt(c)
             val dd = BigInt(syms(a)) * BigInt(syms(b))
-            // pair beats best iff n/dd > bn/bd — cross-multiplied, exact
+            // pair beats best iff n/dd > bn/bd — cross-multiplied, exact;
+            // ties in CODE-POINT order (what the oracle's DuckDB `<` and
+            // Bpe.train's Spark orderBy both use), not UTF-16 compareTo
             val cmp = (n * bd).compare(bn * dd)
-            if (bp == null || cmp > 0 || (cmp == 0 && pair < bp)) {
+            if (bp == null || cmp > 0 || (cmp == 0 && utf8Less(pair, bp))) {
               bp = pair; bc = c; bn = n; bd = dd
             }
           }

@@ -195,7 +195,10 @@ object Classifier {
     * sibling of [[logisticGradient]], exposed for the external oracle.
     * Output: one `(bucket, grad)` row per OCCUPIED bucket plus a
     * `bucket = −1` bias row (buckets are non-negative by construction);
-    * grads are unnormalized sums like [[logisticGradient]]'s.
+    * grads are unnormalized sums like [[logisticGradient]]'s. A corpus
+    * with NO usable examples (every label null or every feature array
+    * empty) yields an EMPTY frame — no bias row; callers keying on
+    * bucket −1 must treat absence as "no data", not zero gradient.
     */
   def logisticGradientHashed(df: DataFrame, textCol: String, labelCol: String,
       weights: Array[Double], bias: Double = 0.0, wordNgrams: Int = 1,

@@ -150,18 +150,35 @@ object UnigramTrain {
               sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
               l => col("w").substr(i + lit(1), l))))).as("p"))
         .groupBy("p").agg(sum("freq").as("cnt"))
-      val singles = subs.filter(length(col("p")) === 1)
-        .orderBy("p").collect().map(r => r.getString(0) -> r.getLong(1))
-      val multi = subs.filter(length(col("p")) >= 2)
-        .orderBy(col("cnt").desc, col("p")).limit(seedTopN)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (singles, multi) = try {
+        (subs.filter(length(col("p")) === 1)
+           .orderBy("p").collect().map(r => r.getString(0) -> r.getLong(1)),
+         subs.filter(length(col("p")) >= 2)
+           .orderBy(col("cnt").desc, col("p")).limit(seedTopN)
+           .collect().map(r => r.getString(0) -> r.getLong(1)))
+      } finally subs.unpersist(false)
       var vocab: Seq[(String, Long)] = (singles ++ multi).sortBy(_._1).toSeq
+      require(vocab.nonEmpty,
+        "UnigramTrain: no trainable words in the corpus (every doc blank " +
+          s"or every word longer than maxWordLen=$maxWordLen)")
       var lastCosts: Seq[(String, Int)] = Nil
       for (r <- 1 to rounds) {
         if (r > 1) {
-          val keepS = vocab.filter(_._1.length == 1)
-          val keepM = vocab.filter(_._1.length >= 2)
-            .sortBy { case (p, c) => (-c, p) }.take(pruneTopK)
+          // single-character = one CODE POINT (what the seed's Spark
+          // `length === 1` and the oracle's DuckDB `length(p) = 1` both
+          // count) — UTF-16 .length would misclassify supplementary-plane
+          // characters as prunable and break the every-word-segmentable
+          // invariant
+          def isSingle(p: String): Boolean =
+            p.codePointCount(0, p.length) == 1
+          val keepS = vocab.filter(t => isSingle(t._1))
+          // tie-break in CODE-POINT order (Spark/DuckDB binary string
+          // order), not UTF-16 compareTo — the oracle replays this rank
+          val keepM = vocab.filter(t => !isSingle(t._1))
+            .sortWith { case ((p1, c1), (p2, c2)) =>
+              c1 > c2 || (c1 == c2 && Bpe.utf8Less(p1, p2)) }
+            .take(pruneTopK)
           vocab = (keepS ++ keepM).sortBy(_._1)
         }
         lastCosts = costsOf(vocab, costScale)
