@@ -3242,7 +3242,7 @@ object SparkEntry {
     "q_dedup_incremental_image" -> ((s, d) => {
       // the perceptual tier's INCREMENTAL store lifecycle as one
       // checkable row set: batch 0 (even docs) fingerprints into the
-      // at-rest signature store via ImageDedupStream's idempotent batch
+      // at-rest signature store via PerceptualDedupStream's idempotent batch
       // function; batch 1 (odd docs + planted one-cell-edited near-dups
       // of even docs < 40) dedups against the store AND itself; the
       // kept corpus is read back. The oracle replays both stages from
@@ -3265,7 +3265,7 @@ object SparkEntry {
         graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
             df, "doc_id", "__img", codecs = graft.llm.Multimodal.JvmCodecs))
           .select(col("doc_id").as("__id"), col("phash").as("__hsig"))
-      val fn = graft.streaming.ImageDedupStream.batchFunction("doc_id", sigOf,
+      val fn = graft.streaming.PerceptualDedupStream.batchFunction("doc_id", sigOf,
         s"$dir/store", s"$dir/corpus", maxHamming = 8)
       fn(batch0, 0L)
       fn(batch1, 1L)
@@ -3396,7 +3396,7 @@ object SparkEntry {
         graft.llm.Multimodal.audioFingerprint(
             graft.llm.Multimodal.decodeAudio(df, "doc_id", "payload"))
           .select(col("doc_id").as("__id"), col("afp").as("__hsig"))
-      val fn = graft.streaming.ImageDedupStream.batchFunction("doc_id", sigOf,
+      val fn = graft.streaming.PerceptualDedupStream.batchFunction("doc_id", sigOf,
         s"$dir/store", s"$dir/corpus", maxHamming = 8)
       fn(batch0, 0L)
       fn(batch1, 1L)

@@ -27,7 +27,7 @@ import graft.llm.Dedup
   * committed-only reads, the maintenance lease, crash-safe compaction,
   * and partition-granular right-to-be-forgotten deletion.
   */
-object ImageDedupStream {
+object PerceptualDedupStream {
 
   /** The idempotent `foreachBatch` function. `sigOf` maps a batch to its
     * `(__id, __hsig)` signature frame — perceptual hashes come out of the
@@ -103,4 +103,20 @@ object ImageDedupStream {
         nBits, maxHamming, maxBucketSize, pieces, runTag))
       .start()
   }
+}
+
+/** Pre-r13 name of [[PerceptualDedupStream]] — the store was always
+  * signature-generic (any 64-bit Hamming signature: image pHash/dHash/
+  * aHash, audio fingerprint, video folds), so the image-specific name
+  * undersold it. Kept as a thin alias for existing callers.
+  */
+@deprecated("use PerceptualDedupStream", "r13")
+object ImageDedupStream {
+  def batchFunction(idCol: String, sigOf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
+      maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
+      : (org.apache.spark.sql.DataFrame, Long) => Unit =
+    PerceptualDedupStream.batchFunction(idCol, sigOf, storeDir, corpusDir,
+      nBits, maxHamming, maxBucketSize, pieces, runTag)
 }

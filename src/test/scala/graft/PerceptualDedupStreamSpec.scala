@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.streaming.ImageDedupStream
+import graft.streaming.PerceptualDedupStream
 
-/** [[ImageDedupStream]] — the perceptual incremental-dedup store:
+/** [[PerceptualDedupStream]] — the perceptual incremental-dedup store:
   * store-kill and batch-kill semantics, idempotent batch replay,
   * undecodable-payload keep, and right-to-be-forgotten re-admission.
   */
-class ImageDedupStreamSpec extends SparkSpec {
+class PerceptualDedupStreamSpec extends SparkSpec {
   import spark.implicits._
 
   // tiny BMP factory: 8×8 24bpp grayscale from a 64-value function
@@ -47,7 +47,7 @@ class ImageDedupStreamSpec extends SparkSpec {
   test("store-kill, batch-kill, idempotent replay, and RTBF re-admission") {
     val base = java.nio.file.Files.createTempDirectory("imgstream").toString
     val (store, corpus) = (s"$base/store", s"$base/corpus")
-    val fn = ImageDedupStream.batchFunction("doc_id", sigOf, store, corpus,
+    val fn = PerceptualDedupStream.batchFunction("doc_id", sigOf, store, corpus,
       maxHamming = 10)
     // batch 0: three distinct images plus an exact in-batch duplicate of
     // image 0 (id 100) — batch-kill keeps the smaller id
@@ -64,7 +64,7 @@ class ImageDedupStreamSpec extends SparkSpec {
       (103L, img(4L)._2), (104L, img(4L)._2)), 1L)
     assert(keptIds(corpus) == Seq(0L, 1L, 2L, 3L, 103L))
     // RTBF: forget image 1 -> a later near-dup of it is ADMITTED
-    val (sigGone, corpGone) = ImageDedupStream.deleteObjects(spark, store,
+    val (sigGone, corpGone) = PerceptualDedupStream.deleteObjects(spark, store,
       corpus, "doc_id", Seq(1L).toDF("doc_id"))
     assert(sigGone == 1L && corpGone == 1L)
     fn(frame((201L, img(1L, tweakCell = 7)._2)), 2L)
@@ -74,7 +74,7 @@ class ImageDedupStreamSpec extends SparkSpec {
   test("undecodable payloads are kept and never enter the store") {
     val base = java.nio.file.Files.createTempDirectory("imgstream2").toString
     val (store, corpus) = (s"$base/store", s"$base/corpus")
-    val fn = ImageDedupStream.batchFunction("doc_id", sigOf, store, corpus)
+    val fn = PerceptualDedupStream.batchFunction("doc_id", sigOf, store, corpus)
     fn(frame(img(0L), (50L, "not an image".getBytes)), 0L)
     assert(keptIds(corpus) == Seq(0L, 50L))
     assert(spark.read.parquet(store).count() == 1)
