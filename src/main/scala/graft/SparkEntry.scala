@@ -3476,6 +3476,54 @@ object SparkEntry {
       pairsAt(0).join(pairsAt(1), Seq("idA", "idB")).orderBy("idA", "idB")
     }),
 
+    "q_dedup_incremental_video" -> ((s, d) => {
+      // the video tier's INCREMENTAL store lifecycle — the perceptual
+      // store generalized to a VECTOR of signatures per object (one
+      // pHash per keyframe position): batch 0 (even docs) ingests its
+      // per-keyframe signature arrays, batch 1 (odd docs + planted
+      // one-cell-per-keyframe re-encodes of even docs < 40) dedups
+      // against the store AND itself, where a kill requires EVERY
+      // keyframe position within radius 8. Candidates band on keyframe 0
+      // alone (an all-positions match is a position-0 match). The oracle
+      // replays both stages from pixel bytes.
+      val (pre, post) = mp4VideoFixture
+      val hdr: Array[Byte] = bmpHeader(8, 8)
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 128)
+      val b = col("text").cast("binary")
+      def px(off: Int) =
+        concat((1 to 64).flatMap(i => Seq.fill(3)(b.substr(off + i, 1))): _*)
+      def pxT(off: Int) =
+        concat((1 to 63).flatMap(i => Seq.fill(3)(b.substr(off + i, 1))) ++
+          Seq.fill(3)(lit(Array[Byte](126))): _*)
+      def video(p1: org.apache.spark.sql.Column, p2: org.apache.spark.sql.Column) =
+        concat(lit(pre), lit(hdr), p1, lit(hdr), p2, lit(post))
+      val base = docs.select(col("doc_id"), video(px(0), px(64)).as("payload"))
+      val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          video(pxT(0), pxT(64)).as("payload"))
+      val batch0 = base.filter(col("doc_id") % 2 === 0)
+      val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
+      val dir = qTmpDir("viddedup-q")
+      def sigsOf(df: org.apache.spark.sql.DataFrame) = {
+        val frames = graft.llm.Multimodal.sampleFrames(df, "doc_id", "payload",
+          n = 2, codecs = graft.llm.Multimodal.JvmCodecs).toDF()
+        graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
+            frames.select((col("doc_id") * 4 + col("frame_ix")).as("fid"),
+              col("payload")),
+            "fid", "payload", codecs = graft.llm.Multimodal.JvmCodecs))
+          .select(floor(col("doc_id") / 4).cast("long").as("__id"),
+            pmod(col("doc_id"), lit(4)).cast("int").as("fx"), col("phash"))
+          .groupBy("__id")
+          .agg(transform(array_sort(collect_list(struct(col("fx"), col("phash")))),
+            e => e.getField("phash")).as("__hsigs"))
+      }
+      val fn = graft.streaming.PerceptualDedupStream.batchFunctionMulti(
+        "doc_id", sigsOf, s"$dir/store", s"$dir/corpus", maxHamming = 8)
+      fn(batch0, 0L)
+      fn(batch1, 1L)
+      s.read.parquet(s"$dir/corpus").select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- event-time primitives (streaming/EventTime, batch-checkable) ----
     "q_event_window" -> ((s, d) =>
       // tumbling event-time window counts; same code path as the
@@ -6061,6 +6109,94 @@ object SparkEntry {
          SELECT idA, idB FROM pair
          GROUP BY idA, idB HAVING count(*) = 2
          ORDER BY idA, idB""",
+    "q_dedup_incremental_video" ->
+      // both lifecycle stages replayed on PER-KEYFRAME pHash vectors:
+      // the q_video_neardup bits machinery tagged with batch membership,
+      // a DIRECTED all-positions-within pair set (every frame index
+      // present and max per-frame Hamming ≤ 8), then batch-0 keep = no
+      // smaller-id batch-0 doc all-within, batch-1 keep = no batch-0
+      // SURVIVOR all-within (the store) and no smaller-id batch-1 doc
+      // all-within
+      s"""WITH chk AS (
+           SELECT CASE WHEN max(strlen(substr(text, 1, 128))) > 128 THEN error(
+                    'incr-video oracle: non-ASCII in the packed 128-char prefix')
+                  ELSE 0 END AS ok
+           FROM documents WHERE length(text) >= 128
+         ), d AS (
+           SELECT doc_id, text FROM documents, chk
+           WHERE length(text) >= 128 AND chk.ok = 0
+         ), alld AS (
+           SELECT doc_id, text, 0 AS tweak,
+                  CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
+           FROM d
+           UNION ALL
+           SELECT doc_id + 100000, text, 1, 1 FROM d
+           WHERE doc_id % 2 = 0 AND doc_id < 40
+         ), cell AS (
+           SELECT a.doc_id, a.bt, fr.fx AS fx, y.y AS y, x.x AS x,
+                  CASE WHEN a.tweak = 1
+                        AND (7 - (y.y // 4)) * 8 + (x.x // 4) + 1 = 64 THEN 126
+                       ELSE ascii(substr(a.text,
+                         fr.fx * 64 + (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1))
+                  END AS g
+           FROM alld a, (SELECT unnest(range(0, 2)) AS fx) fr,
+                (SELECT unnest(range(0, 32)) AS y) y,
+                (SELECT unnest(range(0, 32)) AS x) x
+         ), q AS (
+           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+         ), rp AS (
+           SELECT c.doc_id, any_value(c.bt) AS bt, c.fx, c.x, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
+           FROM cell c JOIN q ON q.n = c.y
+           GROUP BY c.doc_id, c.fx, c.x, q.k
+         ), co AS (
+           SELECT rp.doc_id, any_value(rp.bt) AS bt, rp.fx, rp.v, q.k AS u,
+                  CAST(sum(rp.s * q.qv) AS BIGINT) AS s
+           FROM rp JOIN q ON q.n = rp.x
+           GROUP BY rp.doc_id, rp.fx, rp.v, q.k
+         ), med AS (
+           SELECT doc_id, fx, s AS m FROM (
+             SELECT doc_id, fx, s, row_number() OVER (
+               PARTITION BY doc_id, fx ORDER BY s) AS rk
+             FROM co WHERE NOT (u = 0 AND v = 0))
+           WHERE rk = 32
+         ), bits AS MATERIALIZED (
+           SELECT co.doc_id, any_value(co.bt) AS bt, co.fx,
+                  sum(CASE WHEN (co.v * 8 + co.u) BETWEEN 1 AND 31 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (31 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS hi,
+                  sum(CASE WHEN (co.v * 8 + co.u) >= 32 AND co.s > med.m
+                           THEN (CAST(1 AS BIGINT) << (63 - (co.v * 8 + co.u)))
+                           ELSE 0 END) AS lo
+           FROM co JOIN med ON med.doc_id = co.doc_id AND med.fx = co.fx
+           GROUP BY co.doc_id, co.fx
+         ), btmap AS MATERIALIZED (
+           SELECT doc_id, any_value(bt) AS bt FROM bits GROUP BY doc_id
+         ), aw AS MATERIALIZED (
+           SELECT a.doc_id AS idA, b.doc_id AS idB
+           FROM bits a JOIN bits b
+             ON b.fx = a.fx AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*) = 2
+              AND max(bit_count(xor(a.hi, b.hi))
+                      + bit_count(xor(a.lo, b.lo))) <= 8
+         ), k0 AS MATERIALIZED (
+           SELECT m.doc_id FROM btmap m
+           WHERE m.bt = 0 AND NOT EXISTS (
+             SELECT 1 FROM aw JOIN btmap mb ON mb.doc_id = aw.idA
+             WHERE aw.idB = m.doc_id AND mb.bt = 0 AND aw.idA < m.doc_id)
+         ), k1 AS (
+           SELECT m.doc_id FROM btmap m
+           WHERE m.bt = 1
+             AND NOT EXISTS (
+               SELECT 1 FROM aw JOIN k0 s ON s.doc_id = aw.idA
+               WHERE aw.idB = m.doc_id)
+             AND NOT EXISTS (
+               SELECT 1 FROM aw JOIN btmap mb ON mb.doc_id = aw.idA
+               WHERE aw.idB = m.doc_id AND mb.bt = 1 AND aw.idA < m.doc_id))
+         SELECT doc_id FROM k0
+         UNION ALL
+         SELECT doc_id FROM k1 ORDER BY doc_id""",
     "q_multimodal_audio" ->
       // every 16-bit LE sample recomputed from the same text bytes the
       // Spark side packed into the WAV data chunk; ord() reads CODEPOINTS

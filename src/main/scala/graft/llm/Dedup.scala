@@ -534,6 +534,56 @@ object Dedup {
       col(idCol) === col("__doomed"), "left_anti")
   }
 
+  /** Multi-position incremental Hamming dedup — the perceptual store
+    * lifecycle for media carrying SEVERAL 64-bit signatures per object
+    * (one per video keyframe position, one per audio segment, …): a
+    * batch object dies when EVERY position is within `maxHamming` of the
+    * same store object (either id order) or of a smaller-id batch
+    * object. Candidates band on POSITION 0 alone — full recall, because
+    * an all-positions match is in particular a position-0 match; the
+    * per-pair verify walks the zipped signature arrays (a handful of
+    * longs) with an exact `bit_count` max. Objects with differing
+    * position counts never kill each other.
+    *
+    * `batchSigs`/`atRestSigs`: `(__id, __hsigs array<long>)`; position
+    * order is the caller's contract (e.g. keyframe index). Scale shape
+    * is [[incrementalHammingDedup]]'s — the store holds 8·K bytes per
+    * object, the batch bands once and the banded frame feeds both the
+    * store join and the self-join, nothing corpus-sized moves.
+    */
+  def incrementalHammingDedupMulti(batch: DataFrame, idCol: String,
+      batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,
+      maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+    def prep(df: DataFrame) = pruneHotBuckets(hammingBanded(
+      df.select(col("__id"), col("__hsigs").cast("array<long>").as("__hsigs"))
+        .filter(col("__hsigs").isNotNull && size(col("__hsigs")) >= 1 &&
+          !exists(col("__hsigs"), x => x.isNull))
+        .withColumn("__hsig0", element_at(col("__hsigs"), 1)),
+      "__hsig0", nBits, maxHamming, pieces), "bk", maxBucketSize)
+    def allWithin(a: Column, b: Column): Column =
+      size(a) === size(b) &&
+        aggregate(zip_with(a, b, (x, y) =>
+            bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, d) => greatest(acc, d)) <= maxHamming
+    val bb = prep(batchSigs)
+    val ob = prep(atRestSigs)
+    val vsStore = bb.select(col("bk"), col("__id").as("idB"),
+        col("__hsigs").as("sB"))
+      .join(ob.select(col("bk").as("bk2"), col("__hsigs").as("sA")),
+        col("bk") === col("bk2"))
+      .filter(allWithin(col("sA"), col("sB")))
+      .select(col("idB").as("__doomed"))
+    val vsBatch = bb.select(col("bk"), col("__id").as("idA"),
+        col("__hsigs").as("sA"))
+      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB"),
+          col("__hsigs").as("sB")),
+        col("bk") === col("bk2") && col("idA") < col("idB"))
+      .filter(allWithin(col("sA"), col("sB")))
+      .select(col("idB").as("__doomed"))
+    batch.join(vsStore.unionByName(vsBatch).distinct(),
+      col(idCol) === col("__doomed"), "left_anti")
+  }
+
   /** SimHash near-dup pairs with exact verification: the pigeonhole-banded
     * hamming candidates of [[simhashPairs]], re-scored by EXACT word-ngram
     * Jaccard and thresholded — signature noise decides only which pairs get

@@ -71,6 +71,50 @@ object PerceptualDedupStream {
     } finally sigs.unpersist()
   }
 
+  /** The MULTI-signature sibling of [[batchFunction]] — for media whose
+    * decision statistic is a VECTOR of 64-bit signatures (one per video
+    * keyframe position, …): `sigsOf` maps a batch to its `(__id,
+    * __hsigs array<long>)` frame and a batch object dies only when EVERY
+    * position is within `maxHamming` of the same store/batch object
+    * ([[Dedup.incrementalHammingDedupMulti]]). Store discipline, crash
+    * windows, RTBF, and the missing-fingerprint-keeps-the-row contract
+    * are [[batchFunction]]'s verbatim; the store holds 8·K bytes per
+    * object.
+    */
+  def batchFunctionMulti(idCol: String, sigsOf: DataFrame => DataFrame,
+      storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
+      maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
+      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    val self = s"batch=$runTag-$batchId"
+    val spark = batchDf.sparkSession
+    val sigParts = StoreLayout.committed(spark, storeDir, Some(self))
+    val atRest =
+      if (sigParts.nonEmpty)
+        spark.read.parquet(sigParts: _*).select("__id", "__hsigs")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        batchDf.schema(idCol).copy(name = "__id"),
+        StructField("__hsigs",
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+          nullable = false))))
+    val sigs = sigsOf(batchDf)
+      .select(col("__id"), col("__hsigs").cast("array<long>").as("__hsigs"))
+      .persist()
+    try {
+      val kept = Dedup.incrementalHammingDedupMulti(batchDf, idCol, sigs,
+        atRest, nBits, maxHamming, maxBucketSize, pieces).persist()
+      try {
+        StoreLayout.writing(spark, storeDir, runTag) {
+          sigs.join(kept.select(col(idCol).as("__kid")),
+              col("__id") === col("__kid"), "left_semi")
+            .write.mode("overwrite").parquet(s"$storeDir/$self")
+        }
+        StoreLayout.writing(spark, corpusDir, runTag) {
+          kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
+        }
+      } finally kept.unpersist()
+    } finally sigs.unpersist()
+  }
+
   /** Offline compaction — the shared crash-safe [[StoreLayout.compact]]. */
   def compactStore(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
     StoreLayout.compact(spark, dir, targetFiles)
