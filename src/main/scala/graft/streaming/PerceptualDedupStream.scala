@@ -147,6 +147,19 @@ object PerceptualDedupStream {
         nBits, maxHamming, maxBucketSize, pieces, runTag))
       .start()
   }
+
+  /** [[start]] for the multi-signature tier (video keyframe vectors). */
+  def startMulti(docs: DataFrame, idCol: String,
+      sigsOf: DataFrame => DataFrame, storeDir: String, corpusDir: String,
+      checkpointDir: String, nBits: Int = 64, maxHamming: Int = 3,
+      maxBucketSize: Int = 0, pieces: Int = 1): StreamingQuery = {
+    val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(batchFunctionMulti(idCol, sigsOf, storeDir, corpusDir,
+        nBits, maxHamming, maxBucketSize, pieces, runTag))
+      .start()
+  }
 }
 
 /** Pre-r13 name of [[PerceptualDedupStream]] — the store was always

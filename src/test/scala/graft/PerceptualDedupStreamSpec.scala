@@ -82,4 +82,54 @@ class PerceptualDedupStreamSpec extends SparkSpec {
     fn(frame((51L, "not an image".getBytes)), 1L)
     assert(keptIds(corpus) == Seq(0L, 50L, 51L))
   }
+
+  // multi-signature (video-style) sigs: TWO perceptual hashes per object,
+  // derived from two independent pattern ids
+  private def sigsOf(df: DataFrame): DataFrame =
+    graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
+        df.select(col("doc_id"),
+          explode(array(struct(lit(0).as("fx"), col("p0").as("payload")),
+            struct(lit(1).as("fx"), col("p1").as("payload")))).as("f"))
+          .select((col("doc_id") * 4 + col("f.fx")).as("fid"),
+            col("f.payload").as("payload")),
+        "fid", "payload", codecs = graft.llm.Multimodal.JvmCodecs))
+      .select(floor(col("doc_id") / 4).cast("long").as("__id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("fx"), col("phash"))
+      .groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("fx"), col("phash")))),
+        e => e.getField("phash")).as("__hsigs"))
+
+  private def vids(rows: (Long, Array[Byte], Array[Byte])*): DataFrame =
+    rows.toSeq.toDF("doc_id", "p0", "p1")
+
+  test("multi-signature streaming lifecycle: startMulti under AvailableNow, " +
+      "kill requires every position") {
+    val base = java.nio.file.Files.createTempDirectory("vidstream").toString
+    val (store, corpus, ckpt, in) =
+      (s"$base/store", s"$base/corpus", s"$base/ckpt", s"$base/in")
+    // feed rows through a parquet stream so the REAL writeStream path runs
+    new java.io.File(in).mkdirs()
+    vids((0L, img(0L)._2, img(1L)._2),
+         // matches doc 0 at position 0 only -> must SURVIVE
+         (5L, img(0L)._2, img(3L)._2),
+         // exact match at both positions -> batch-kill (keep doc 0)
+         (9L, img(0L)._2, img(1L)._2))
+      .write.parquet(s"$in/b0")
+    def runOnce(): Unit = {
+      val q = PerceptualDedupStream.startMulti(
+        spark.readStream.schema("doc_id long, p0 binary, p1 binary")
+          .parquet(s"$in/*"),
+        "doc_id", sigsOf, store, corpus, ckpt, maxHamming = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(keptIds(corpus) == Seq(0L, 5L))
+    // a later file: near-dup of doc 0 at BOTH positions -> store-kill;
+    // a fresh pair survives
+    vids((20L, img(0L, tweakCell = 7)._2, img(1L, tweakCell = 9)._2),
+         (21L, img(6L)._2, img(7L)._2))
+      .write.parquet(s"$in/b1")
+    runOnce()
+    assert(keptIds(corpus) == Seq(0L, 5L, 21L))
+  }
 }
