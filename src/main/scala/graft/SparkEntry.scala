@@ -968,12 +968,16 @@ object SparkEntry {
     * 10-position unroll errors loudly (training merely SKIPS such words,
     * but the segment phase must replay them).
     */
-  private def unigramTrainSegmentOracle: String = {
+  /** The per-doc-word segmentation chain under the TRAINED cost table
+    * `v2` (wd → guard → distinct-word DP → per-occurrence packed combs)
+    * — shared by the train-then-segment capstone and the fertility
+    * report, which differ only in the final aggregation.
+    */
+  private def unigramSegmentChainSql: String = {
     val steps = 10
     val unkComb = 1000L * 64 + 1
     val bcase = (1 to steps).map(j => s"WHEN $j THEN hb$j").mkString(" ")
-    unigramTrainOracleWith(
-      s""", wd AS MATERIALIZED (
+    s""", wd AS MATERIALIZED (
           SELECT doc_id, t[i + 1] AS word
           FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
         ), chk2 AS MATERIALIZED (
@@ -986,12 +990,35 @@ object SparkEntry {
         fin AS MATERIALIZED (
           SELECT wd.doc_id,
                  COALESCE(CASE length(wd.word) $bcase END, $unkComb) AS comb
-          FROM wd JOIN h$steps h ON h.word = wd.word)
+          FROM wd JOIN h$steps h ON h.word = wd.word)"""
+  }
+
+  private def unigramTrainSegmentOracle: String = {
+    val unkComb = 1000L * 64 + 1
+    unigramTrainOracleWith(
+      s"""$unigramSegmentChainSql
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(comb // 64) AS BIGINT) AS total_cost,
                CAST(sum(comb % 64) AS BIGINT) AS total_pieces,
                CAST(sum(CASE WHEN comb = $unkComb THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
         FROM fin, chk2 WHERE chk2.ok = 0 GROUP BY doc_id ORDER BY doc_id""")
+  }
+
+  /** Oracle for q_unigram_fertility — the same trained-vocab segmentation
+    * chain aggregated per LANGUAGE (the tokenizer-evaluation report).
+    */
+  private def unigramFertilityOracle: String = {
+    val unkComb = 1000L * 64 + 1
+    unigramTrainOracleWith(
+      s"""$unigramSegmentChainSql
+        SELECT dd.lang AS lang,
+               CAST(count(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS sum_words,
+               CAST(sum(f.comb % 64) AS BIGINT) AS sum_pieces,
+               CAST(sum(CASE WHEN f.comb = $unkComb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS sum_unk
+        FROM fin f JOIN documents dd ON dd.doc_id = f.doc_id, chk2
+        WHERE chk2.ok = 0 GROUP BY dd.lang ORDER BY lang""")
   }
 
   /** DuckDB restatement of MMR diversity re-ranking: candidates and their
@@ -4091,6 +4118,27 @@ object SparkEntry {
       graft.llm.UnigramSegment.segmentStats(t(s, d, "documents"), "doc_id",
         "text", trained, unkCost = 1000, maxWordLen = 10)
         .orderBy("doc_id")
+    }),
+
+    "q_unigram_fertility" -> ((s, d) => {
+      // the tokenizer-evaluation report for the TRAINED unigram
+      // vocabulary: per language, docs / words / pieces / unks under the
+      // learned costs — the fertility comparison a vocabulary build is
+      // judged by (integer sufficient statistics; pieces-per-word derives
+      // in one expression). Composes the train chain with the native
+      // Viterbi scorer; the oracle aggregates the same replayed combs by
+      // language.
+      val trained = graft.llm.UnigramTrain.train(t(s, d, "documents"), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(2).toInt).toSeq
+      graft.llm.UnigramSegment.segmentStats(t(s, d, "documents"), "doc_id",
+          "text", trained, unkCost = 1000, maxWordLen = 10)
+        .join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("sum_words"),
+          sum("total_pieces").as("sum_pieces"),
+          sum("n_unk").as("sum_unk"))
+        .orderBy("lang")
     }),
 
     "q_wordpiece" -> ((s, d) =>
@@ -7254,6 +7302,7 @@ object SparkEntry {
     "q_unigram_segment" -> unigramSegmentOracle,
     "q_unigram_train" -> unigramTrainOracle,
     "q_unigram_train_segment" -> unigramTrainSegmentOracle,
+    "q_unigram_fertility" -> unigramFertilityOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is
