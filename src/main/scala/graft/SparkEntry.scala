@@ -1004,6 +1004,114 @@ object SparkEntry {
         FROM fin, chk2 WHERE chk2.ok = 0 GROUP BY doc_id ORDER BY doc_id""")
   }
 
+  /** Oracle for q_pack_ids_unigram — the SentencePiece SFT path replayed
+    * end to end: the training chain's trained cost table `v2`, a
+    * POSITIONS-TRACKING backtrace (each step also emits the piece's start
+    * offset, so pieces order by (word index, start) into the exact
+    * sequence the native expression produces), vocabulary ids by sorted
+    * rank over `v2`, then q_pack_ids_greedy's greedy recursive CTE and
+    * array rebuild verbatim (budget 1024, pad −2). Words longer than the
+    * unroll are SKIPPED on both sides (the trainer's contract), not an
+    * error.
+    */
+  private def unigramPackOracle: String = {
+    val steps = 10
+    val bcols = (0 to steps).map(x => s"hb$x").mkString(", ")
+    val bcase = (0 to steps).map(x => s"WHEN $x THEN hb$x").mkString(" ")
+    val btChain = (1 to steps).map { k =>
+      s"""ht$k AS MATERIALIZED (
+           SELECT word, $bcols, pos - lch AS pos,
+                  substr(word, pos - lch + 1, lch) AS piece,
+                  pos - lch + 1 AS pstart
+           FROM (
+             SELECT word, $bcols, pos, (
+               SELECT min(v.l) FROM v2 v
+               WHERE v.l <= pos AND substr(word, pos - v.l + 1, v.l) = v.p
+                 AND (CASE pos - v.l $bcase END) + v.c * 64 + 1
+                     = (CASE pos $bcase END)
+             ) AS lch
+             FROM ht${k - 1} WHERE pos > 0
+           ) s
+         )"""
+    }.mkString(", ")
+    val pcsUnion = (1 to steps)
+      .map(k => s"SELECT word, pstart, piece FROM ht$k WHERE piece IS NOT NULL")
+      .mkString(" UNION ALL ")
+    unigramTrainOracleWith(s"""
+      , wd2 AS MATERIALIZED (
+        SELECT doc_id, i + 1 AS w_ix, t[i + 1] AS word
+        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+      ), h0 AS MATERIALIZED (
+        SELECT DISTINCT word, CAST(0 AS BIGINT) AS hb0 FROM wd2
+        WHERE length(word) BETWEEN 1 AND $steps),
+      ${unigramTrainDpChain("v2", "h", "h0")},
+      ht0 AS MATERIALIZED (
+        SELECT word, $bcols, length(word) AS pos
+        FROM h$steps
+        WHERE (CASE length(word) $bcase END) IS NOT NULL
+      ), $btChain,
+      wpcs AS MATERIALIZED ($pcsUnion),
+      vmap AS MATERIALIZED (
+        SELECT p, row_number() OVER (ORDER BY p) - 1 AS vid FROM v2
+      ), wiv AS MATERIALIZED (
+        SELECT wpcs.word, wpcs.pstart,
+               CAST((SELECT vid FROM vmap WHERE vmap.p = wpcs.piece) AS INT) AS vid
+        FROM wpcs
+      ), tk AS MATERIALIZED (
+        SELECT doc_id,
+               ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+               list(wiv.vid ORDER BY wd2.w_ix, wiv.pstart) AS toks,
+               list(true ORDER BY wd2.w_ix, wiv.pstart) AS msk,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (
+                 PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
+                 ORDER BY doc_id) AS rn
+        FROM wd2 JOIN wiv ON wiv.word = wd2.word
+        GROUP BY doc_id
+      ), r AS (
+        SELECT shard, rn, toks, msk, n,
+               CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
+               n AS fill
+        FROM tk WHERE rn = 1
+        UNION ALL
+        SELECT tk.shard, tk.rn, tk.toks, tk.msk, tk.n,
+               CASE WHEN r.fill + tk.n > 1024 THEN r.seq_id + 1
+                    ELSE r.seq_id END,
+               CASE WHEN r.fill + tk.n > 1024 THEN CAST(0 AS BIGINT)
+                    ELSE r.fill END,
+               CASE WHEN r.fill + tk.n > 1024 THEN tk.n
+                    ELSE r.fill + tk.n END
+        FROM r JOIN tk ON tk.shard = r.shard AND tk.rn = r.rn + 1
+      ), p2 AS (
+        SELECT shard, seq_id, off, toks, msk,
+               CAST(row_number() OVER (PARTITION BY shard, seq_id
+                 ORDER BY off) - 1 AS INT) AS pidx
+        FROM r
+      ), asm AS (
+        SELECT shard, seq_id,
+               flatten(list(toks ORDER BY off)) AS ids0,
+               flatten(list(msk ORDER BY off)) AS mk0,
+               flatten(list(list_transform(toks, x -> pidx)
+                 ORDER BY off)) AS sg0
+        FROM p2 GROUP BY shard, seq_id
+      ), fin AS (
+        SELECT shard, seq_id, len(ids0) AS n_real,
+               ids0 || list_transform(range(1024 - len(ids0)), x -> -2) AS ids,
+               sg0 || list_transform(range(1024 - len(ids0)), x -> -1) AS sg,
+               mk0 || list_transform(range(1024 - len(ids0)), x -> false) AS mk
+        FROM asm)
+      SELECT shard, seq_id,
+             md5(array_to_string(list_transform(ids,
+               x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+             md5(array_to_string(list_transform(sg,
+               x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
+             md5(array_to_string(list_transform(mk,
+               x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+             CAST(n_real AS INT) AS n_real
+      FROM fin ORDER BY shard, seq_id""")
+      .replaceFirst("WITH tok", "WITH RECURSIVE tok")
+  }
+
   /** Oracle for q_unigram_fertility — the same trained-vocab segmentation
     * chain aggregated per LANGUAGE (the tokenizer-evaluation report).
     */
@@ -4118,6 +4226,43 @@ object SparkEntry {
       graft.llm.UnigramSegment.segmentStats(t(s, d, "documents"), "doc_id",
         "text", trained, unkCost = 1000, maxWordLen = 10)
         .orderBy("doc_id")
+    }),
+
+    "q_pack_ids_unigram" -> ((s, d) => {
+      // the SentencePiece SFT capstone: TRAIN the unigram vocabulary,
+      // segment raw text into its ORDERED Viterbi pieces (the native
+      // expression emits words in order, pieces forward within each
+      // word), map pieces to vocabulary ids, and pack into no-split
+      // training rows — q_pack_ids_greedy with the unigram family as the
+      // tokenizer. Mask is all-real (pieces are vocabulary members by
+      // construction); words beyond the trainer's maxWordLen are skipped
+      // on both sides.
+      val trained = graft.llm.UnigramTrain.train(t(s, d, "documents"), "text")
+        .collect().map(r => (r.getString(0), r.getLong(2).toInt)).toSeq
+      val vocabIdx: Seq[String] = trained.map(_._1)
+      val pcs = org.apache.spark.sql.GraftShims.toColumn(
+        graft.functions.UnigramViterbiPieces(
+          org.apache.spark.sql.GraftShims.toExpression(
+            TF.tokens(col("text"))), trained, maxWordLen = 10))
+      val docs = t(s, d, "documents")
+        .withColumn("__ids", org.apache.spark.sql.GraftShims.toColumn(
+          graft.functions.VocabIds(
+            org.apache.spark.sql.GraftShims.toExpression(pcs),
+            vocabIdx, unkId = -1)))
+      val msk = transform(col("__ids"), _ => lit(true))
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokensGreedy(docs, col("doc_id"), col("__ids"), msk,
+          1024, shard, padId = -2)
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
     }),
 
     "q_unigram_fertility" -> ((s, d) => {
@@ -7303,6 +7448,7 @@ object SparkEntry {
     "q_unigram_train" -> unigramTrainOracle,
     "q_unigram_train_segment" -> unigramTrainSegmentOracle,
     "q_unigram_fertility" -> unigramFertilityOracle,
+    "q_pack_ids_unigram" -> unigramPackOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is
