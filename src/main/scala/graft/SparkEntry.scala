@@ -977,13 +977,15 @@ object SparkEntry {
     val steps = 10
     val unkComb = 1000L * 64 + 1
     val bcase = (1 to steps).map(j => s"WHEN $j THEN hb$j").mkString(" ")
+    // no overlong-word error guard here: the scorer's contract is to UNK
+    // words beyond maxWordLen(=$steps), and the COALESCE below replays
+    // exactly that — a length-11+ word falls off the CASE (and its DP
+    // columns are irrelevant), landing on the unk sentinel like Spark.
+    // Non-ASCII is still guarded by the training chain's chk over ALL
+    // corpus words.
     s""", wd AS MATERIALIZED (
           SELECT doc_id, t[i + 1] AS word
           FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
-        ), chk2 AS MATERIALIZED (
-          SELECT CASE WHEN max(length(word)) > $steps THEN error(
-                   'unigram-train-segment oracle: corpus word longer than $steps unrolled DP positions')
-                 ELSE 0 END AS ok FROM wd
         ), h0 AS MATERIALIZED (
           SELECT DISTINCT word, CAST(0 AS BIGINT) AS hb0 FROM wd),
         ${unigramTrainDpChain("v2", "h", "h0")},
@@ -1001,7 +1003,7 @@ object SparkEntry {
                CAST(sum(comb // 64) AS BIGINT) AS total_cost,
                CAST(sum(comb % 64) AS BIGINT) AS total_pieces,
                CAST(sum(CASE WHEN comb = $unkComb THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
-        FROM fin, chk2 WHERE chk2.ok = 0 GROUP BY doc_id ORDER BY doc_id""")
+        FROM fin GROUP BY doc_id ORDER BY doc_id""")
   }
 
   /** Oracle for q_pack_ids_unigram — the SentencePiece SFT path replayed
@@ -1125,8 +1127,8 @@ object SparkEntry {
                CAST(sum(f.comb % 64) AS BIGINT) AS sum_pieces,
                CAST(sum(CASE WHEN f.comb = $unkComb THEN 1 ELSE 0 END)
                  AS BIGINT) AS sum_unk
-        FROM fin f JOIN documents dd ON dd.doc_id = f.doc_id, chk2
-        WHERE chk2.ok = 0 GROUP BY dd.lang ORDER BY lang""")
+        FROM fin f JOIN documents dd ON dd.doc_id = f.doc_id
+        GROUP BY dd.lang ORDER BY lang""")
   }
 
   /** DuckDB restatement of MMR diversity re-ranking: candidates and their
@@ -3521,7 +3523,7 @@ object SparkEntry {
       val b = col("text").cast("binary")
       val base = docs.select(col("doc_id"), wav(b.substr(1, 128)).as("payload"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           wav(concat(b.substr(1, 124),
             lit(Array[Byte](126, 126, 126, 126)))).as("payload"))
       val batch0 = base.filter(col("doc_id") % 2 === 0)
@@ -3585,7 +3587,7 @@ object SparkEntry {
         concat(lit(pre), lit(hdr), p1, lit(hdr), p2, lit(post))
       val base = docs.select(col("doc_id"), video(px(0), px(64)).as("payload"))
       val ups = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           video(pxT(0), pxT(64)).as("payload"))
       val frames = graft.llm.Multimodal.sampleFrames(base.unionByName(ups),
         "doc_id", "payload", n = 2,
@@ -3634,7 +3636,7 @@ object SparkEntry {
         concat(lit(pre), lit(hdr), p1, lit(hdr), p2, lit(post))
       val base = docs.select(col("doc_id"), video(px(0), px(64)).as("payload"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           video(pxT(0), pxT(64)).as("payload"))
       val batch0 = base.filter(col("doc_id") % 2 === 0)
       val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
@@ -3651,6 +3653,11 @@ object SparkEntry {
           .groupBy("__id")
           .agg(transform(array_sort(collect_list(struct(col("fx"), col("phash")))),
             e => e.getField("phash")).as("__hsigs"))
+          // position-complete vectors only: an object whose frames only
+          // PARTIALLY decode would otherwise pack its surviving hash into
+          // the wrong slot and compare cross-position — treat it like an
+          // undecodable object (no signature row ⇒ kept, kills nothing)
+          .filter(size(col("__hsigs")) === 2)
       }
       val fn = graft.streaming.PerceptualDedupStream.batchFunctionMulti(
         "doc_id", sigsOf, s"$dir/store", s"$dir/corpus", maxHamming = 8)
@@ -5747,7 +5754,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text FROM base
            UNION ALL
-           SELECT doc_id + 100000, text FROM base WHERE doc_id < 20
+           SELECT doc_id + 10000000, text FROM base WHERE doc_id < 20
          ), cell AS (
            SELECT doc_id, y.y, x.x,
                   ascii(substr(text, (7 - y.y) * 8 + x.x + 1, 1)) AS g
@@ -5893,7 +5900,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
            FROM d
            UNION ALL
-           SELECT doc_id + 100000, text, 1, 1 FROM d
+           SELECT doc_id + 10000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), cell AS (
            SELECT doc_id, bt, y.y AS y, x.x AS x,
@@ -5965,7 +5972,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text, 0 AS tweak FROM d
            UNION ALL
-           SELECT doc_id + 100000, text, 1 FROM d WHERE doc_id < 20
+           SELECT doc_id + 10000000, text, 1 FROM d WHERE doc_id < 20
          ), cell AS (
            SELECT doc_id, y.y AS y, x.x AS x,
                   CASE WHEN tweak = 1
@@ -6103,7 +6110,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text FROM d
            UNION ALL
-           SELECT doc_id + 100000, text FROM d WHERE doc_id < 20
+           SELECT doc_id + 10000000, text FROM d WHERE doc_id < 20
          ), smp AS (
            SELECT doc_id, j.j AS j,
                   ascii(substr(text, 2 * j.j + 1, 1))
@@ -6193,7 +6200,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
            FROM d
            UNION ALL
-           SELECT doc_id + 100000, text, 1, 1 FROM d
+           SELECT doc_id + 10000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), smp AS (
            SELECT doc_id, bt, j.j AS j,
@@ -6256,7 +6263,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text, 0 AS tweak FROM d
            UNION ALL
-           SELECT doc_id + 100000, text, 1 FROM d WHERE doc_id < 20
+           SELECT doc_id + 10000000, text, 1 FROM d WHERE doc_id < 20
          ), cell AS (
            SELECT a.doc_id, a.tweak, fr.fx AS fx, y.y AS y, x.x AS x,
                   CASE WHEN a.tweak = 1
@@ -6323,7 +6330,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
            FROM d
            UNION ALL
-           SELECT doc_id + 100000, text, 1, 1 FROM d
+           SELECT doc_id + 10000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), cell AS (
            SELECT a.doc_id, a.bt, fr.fx AS fx, y.y AS y, x.x AS x,

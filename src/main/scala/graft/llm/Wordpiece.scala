@@ -158,7 +158,12 @@ object UnigramTrain {
            .orderBy(col("cnt").desc, col("p")).limit(seedTopN)
            .collect().map(r => r.getString(0) -> r.getLong(1)))
       } finally subs.unpersist(false)
-      var vocab: Seq[(String, Long)] = (singles ++ multi).sortBy(_._1).toSeq
+      // vocab order is UTF-8 binary (Spark/DuckDB string order), not
+      // UTF-16 sortBy: downstream id assignment (q_pack_ids_unigram's
+      // sorted-rank vocabulary) replays this order in SQL
+      def sortedUtf8(v: Seq[(String, Long)]): Seq[(String, Long)] =
+        v.sortWith((a, b) => Bpe.utf8Less(a._1, b._1))
+      var vocab: Seq[(String, Long)] = sortedUtf8((singles ++ multi).toSeq)
       require(vocab.nonEmpty,
         "UnigramTrain: no trainable words in the corpus (every doc blank " +
           s"or every word longer than maxWordLen=$maxWordLen)")
@@ -179,7 +184,7 @@ object UnigramTrain {
             .sortWith { case ((p1, c1), (p2, c2)) =>
               c1 > c2 || (c1 == c2 && Bpe.utf8Less(p1, p2)) }
             .take(pruneTopK)
-          vocab = (keepS ++ keepM).sortBy(_._1)
+          vocab = sortedUtf8(keepS ++ keepM)
         }
         lastCosts = costsOf(vocab, costScale)
         val pcs = GraftShims.toColumn(graft.functions.UnigramViterbiPieces(

@@ -40,24 +40,40 @@ object PerceptualDedupStream {
   def batchFunction(idCol: String, sigOf: DataFrame => DataFrame,
       storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
+      : (DataFrame, Long) => Unit =
+    lifecycle(idCol, storeDir, corpusDir, runTag,
+      sigCol = "__hsig",
+      sigField = StructField("__hsig", LongType, nullable = false),
+      normalize = df => df.select(col("__id"),
+        col("__hsig").cast("long").as("__hsig")),
+      sigOf = sigOf,
+      dedup = (batchDf, sigs, atRest) => Dedup.incrementalHammingDedup(
+        batchDf, idCol, sigs, atRest, nBits, maxHamming, maxBucketSize, pieces))
+
+  /** ONE copy of the store lifecycle (committed-parts read, empty-store
+    * synthesis, signatures-computed-once persist discipline, the two
+    * crash-safe `StoreLayout.writing` blocks) shared by the single- and
+    * multi-signature batch functions — a fix to the crash-window or
+    * idempotency logic lands in both tiers by construction.
+    */
+  private def lifecycle(idCol: String, storeDir: String, corpusDir: String,
+      runTag: String, sigCol: String, sigField: StructField,
+      normalize: DataFrame => DataFrame, sigOf: DataFrame => DataFrame,
+      dedup: (DataFrame, DataFrame, DataFrame) => DataFrame)
       : (DataFrame, Long) => Unit = (batchDf, batchId) => {
     val self = s"batch=$runTag-$batchId"
     val spark = batchDf.sparkSession
-    def committed(dir: String): Seq[String] =
-      StoreLayout.committed(spark, dir, Some(self))
-    val sigParts = committed(storeDir)
+    val sigParts = StoreLayout.committed(spark, storeDir, Some(self))
     val atRest =
-      if (sigParts.nonEmpty) spark.read.parquet(sigParts: _*).select("__id", "__hsig")
+      if (sigParts.nonEmpty)
+        spark.read.parquet(sigParts: _*).select("__id", sigCol)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-        batchDf.schema(idCol).copy(name = "__id"),
-        StructField("__hsig", LongType, nullable = false))))
+        batchDf.schema(idCol).copy(name = "__id"), sigField)))
     // signatures computed ONCE per batch: the dedup reuses this frame for
     // both joins, and the store append below writes the kept subset of it
-    val sigs = sigOf(batchDf).select(col("__id"), col("__hsig").cast("long")
-      .as("__hsig")).persist()
+    val sigs = normalize(sigOf(batchDf)).persist()
     try {
-      val kept = Dedup.incrementalHammingDedup(batchDf, idCol, sigs, atRest,
-        nBits, maxHamming, maxBucketSize, pieces).persist()
+      val kept = dedup(batchDf, sigs, atRest).persist()
       try {
         StoreLayout.writing(spark, storeDir, runTag) {
           sigs.join(kept.select(col(idCol).as("__kid")),
@@ -84,36 +100,17 @@ object PerceptualDedupStream {
   def batchFunctionMulti(idCol: String, sigsOf: DataFrame => DataFrame,
       storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
-      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
-    val self = s"batch=$runTag-$batchId"
-    val spark = batchDf.sparkSession
-    val sigParts = StoreLayout.committed(spark, storeDir, Some(self))
-    val atRest =
-      if (sigParts.nonEmpty)
-        spark.read.parquet(sigParts: _*).select("__id", "__hsigs")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-        batchDf.schema(idCol).copy(name = "__id"),
-        StructField("__hsigs",
-          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
-          nullable = false))))
-    val sigs = sigsOf(batchDf)
-      .select(col("__id"), col("__hsigs").cast("array<long>").as("__hsigs"))
-      .persist()
-    try {
-      val kept = Dedup.incrementalHammingDedupMulti(batchDf, idCol, sigs,
-        atRest, nBits, maxHamming, maxBucketSize, pieces).persist()
-      try {
-        StoreLayout.writing(spark, storeDir, runTag) {
-          sigs.join(kept.select(col(idCol).as("__kid")),
-              col("__id") === col("__kid"), "left_semi")
-            .write.mode("overwrite").parquet(s"$storeDir/$self")
-        }
-        StoreLayout.writing(spark, corpusDir, runTag) {
-          kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
-        }
-      } finally kept.unpersist()
-    } finally sigs.unpersist()
-  }
+      : (DataFrame, Long) => Unit =
+    lifecycle(idCol, storeDir, corpusDir, runTag,
+      sigCol = "__hsigs",
+      sigField = StructField("__hsigs",
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+        nullable = false),
+      normalize = df => df.select(col("__id"),
+        col("__hsigs").cast("array<long>").as("__hsigs")),
+      sigOf = sigsOf,
+      dedup = (batchDf, sigs, atRest) => Dedup.incrementalHammingDedupMulti(
+        batchDf, idCol, sigs, atRest, nBits, maxHamming, maxBucketSize, pieces))
 
   /** Offline compaction — the shared crash-safe [[StoreLayout.compact]]. */
   def compactStore(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
@@ -169,11 +166,24 @@ object PerceptualDedupStream {
   */
 @deprecated("use PerceptualDedupStream", "r13")
 object ImageDedupStream {
-  def batchFunction(idCol: String, sigOf: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame,
+  def batchFunction(idCol: String, sigOf: DataFrame => DataFrame,
       storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
-      : (org.apache.spark.sql.DataFrame, Long) => Unit =
+      : (DataFrame, Long) => Unit =
     PerceptualDedupStream.batchFunction(idCol, sigOf, storeDir, corpusDir,
       nBits, maxHamming, maxBucketSize, pieces, runTag)
+
+  def compactStore(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
+    PerceptualDedupStream.compactStore(spark, dir, targetFiles)
+
+  def deleteObjects(spark: SparkSession, storeDir: String, corpusDir: String,
+      idCol: String, ids: DataFrame): (Long, Long) =
+    PerceptualDedupStream.deleteObjects(spark, storeDir, corpusDir, idCol, ids)
+
+  def start(docs: DataFrame, idCol: String, sigOf: DataFrame => DataFrame,
+      storeDir: String, corpusDir: String, checkpointDir: String,
+      nBits: Int = 64, maxHamming: Int = 3, maxBucketSize: Int = 0,
+      pieces: Int = 1): StreamingQuery =
+    PerceptualDedupStream.start(docs, idCol, sigOf, storeDir, corpusDir,
+      checkpointDir, nBits, maxHamming, maxBucketSize, pieces)
 }
