@@ -3366,7 +3366,7 @@ object SparkEntry {
         Seq.fill(3)(lit(Array[Byte](126))): _*)
       val base = docs.select(col("doc_id"), concat(lit(hdr), px).as("__img"))
       val ups = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           concat(lit(hdr), pxT).as("__img"))
       val hashes = graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
         base.unionByName(ups), "doc_id", "__img",
@@ -3393,7 +3393,7 @@ object SparkEntry {
         Seq.fill(3)(lit(Array[Byte](126))): _*)
       val base = docs.select(col("doc_id"), concat(lit(hdr), px).as("__img"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           concat(lit(hdr), pxT).as("__img"))
       val batch0 = base.filter(col("doc_id") % 2 === 0)
       val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
