@@ -264,12 +264,22 @@ object SparkEntry {
     * MATERIALIZED: the anti-join references each scored table twice and
     * DuckDB inlines CTEs by default, which would re-expand the whole
     * chain exponentially.
+    *
+    * The chain always unrolls all `steps` CTEs; when the corpus exhausts
+    * mergeable pairs early, `(SELECT pair FROM tN)` is NULL, the eN
+    * chain goes all-NULL, and every later tN is empty — degrading to
+    * exactly the early stop `trainWordpiece` takes. That equivalence is
+    * load-bearing, so `q_wordpiece_train_tiny` pins it in the oracle
+    * gate itself with a corpus that runs dry at step 3 of 4 (`w0Sql`
+    * parametrizes the corpus for that row).
     */
-  private def wordpieceTrainOracleSql(steps: Int): String = {
+  private def wordpieceTrainOracleSql(steps: Int,
+      w0Sql: String = """SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0""")
+      : String = {
     val head =
       s"""WITH w0 AS MATERIALIZED (
-           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-           FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
+           $w0Sql
          ), e0 AS MATERIALIZED (
            SELECT $bpeWrapSql AS e
            FROM w0
@@ -4088,6 +4098,19 @@ object SparkEntry {
       hist.toDF("step", "pair", "cnt").orderBy("step")
     }),
 
+    "q_wordpiece_train_tiny" -> ((s, d) => {
+      // pairs exhaust BEFORE the requested 4 steps: two copies of the
+      // 3-letter word "nat" (nation-name prefixes) merge at steps 1-2
+      // and run dry at step 3. Pins the load-bearing equivalence between
+      // trainWordpiece's early stop and the oracle's NULL-propagating
+      // always-unrolled CTE chain (see wordpieceTrainOracleSql).
+      val tiny = t(s, d, "nation").filter(col("n_nationkey") < 2)
+        .select(lower(substring(col("n_name"), 1, 3)).as("text"))
+      val (_, hist) = graft.llm.Bpe.trainWordpiece(tiny, col("text"), steps = 4)
+      import s.implicits._
+      hist.toDF("step", "pair", "cnt").orderBy("step")
+    }),
+
     "q_bpe_train_byte" -> ((s, d) => {
       // byte-level BPE training (how GPT-2-family vocabularies are built):
       // the same 4-step argmax loop as q_bpe_train, but over GPT-2
@@ -7322,6 +7345,8 @@ object SparkEntry {
          FROM pos GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "q_bpe_train" -> bpeTrainOracleSql(4),
     "q_wordpiece_train" -> wordpieceTrainOracleSql(4),
+    "q_wordpiece_train_tiny" -> wordpieceTrainOracleSql(4,
+      "SELECT lower(substr(n_name, 1, 3)) AS w FROM nation WHERE n_nationkey < 2"),
     "q_bpe_train_byte" -> bpeTrainByteOracleSql(4),
     "q_bpe_encode" ->
       // the merge chain replayed verbatim as literal replaces over the

@@ -502,10 +502,15 @@ object Dedup {
     * of the typed decode path, not a Column); `atRestSigs` the store's.
     * Returns the surviving batch rows.
     *
-    * Plan shape: batch signatures band once and the banded frame is
-    * reused by the store join and the within-batch self-join; the store
-    * join keys on the 64-bit bucket hash; verification is the exact
-    * `bit_count` — nothing corpus-sized collects or broadcasts.
+    * Plan shape: the banded batch frame feeds BOTH the store join and
+    * the within-batch self-join, so its lineage (the banding map plus
+    * whatever computed `batchSigs`) evaluates once per join — the
+    * banding itself is a narrow map, but an expensive upstream
+    * signature computation (media decode, perceptual hash) re-runs
+    * unless the CALLER persists `batchSigs`, as
+    * [[graft.streaming.PerceptualDedupStream.batchFunction]] does.
+    * The store join keys on the 64-bit bucket hash; verification is the
+    * exact `bit_count` — nothing corpus-sized collects or broadcasts.
     */
   def incrementalHammingDedup(batch: DataFrame, idCol: String,
       batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,
@@ -548,8 +553,10 @@ object Dedup {
     * `batchSigs`/`atRestSigs`: `(__id, __hsigs array<long>)`; position
     * order is the caller's contract (e.g. keyframe index). Scale shape
     * is [[incrementalHammingDedup]]'s — the store holds 8·K bytes per
-    * object, the batch bands once and the banded frame feeds both the
-    * store join and the self-join, nothing corpus-sized moves.
+    * object, nothing corpus-sized moves, and the banded batch frame
+    * feeds both the store join and the self-join, so (as there) callers
+    * whose `batchSigs` lineage is expensive must persist it —
+    * [[graft.streaming.PerceptualDedupStream.batchFunctionMulti]] does.
     */
   def incrementalHammingDedupMulti(batch: DataFrame, idCol: String,
       batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,

@@ -779,6 +779,11 @@ object TarShards {
     // attempt's orphan (killed mid-write, or a speculative loser whose
     // rename found the final name taken). Readers skip dot-files, but
     // retried jobs would otherwise accrete junk in the directory forever.
+    // Best-effort: a zombie/speculative attempt still writing at
+    // job-commit time can recreate its orphan after this sweep (deleting
+    // its open file never corrupts committed output, since the final
+    // names are already renamed in) — any later write job to the same
+    // directory re-runs this sweep, so leftovers don't accrete.
     val stale = fs.listStatus(new Path(dir)).iterator
       .map(_.getPath).filter(_.getName.startsWith(".inprogress-"))
     stale.foreach(p => fs.delete(p, false))

@@ -242,4 +242,20 @@ class ClassifierSpec extends SparkSpec {
     assert(md5S.filter(_._1 == -1).toSeq == xxS.filter(_._1 == -1).toSeq)
     assert(md5S.map(_._2).sorted.toSeq == xxS.map(_._2).sorted.toSeq)
   }
+
+  test("hashed gradient: a corpus with no usable examples returns an " +
+      "EMPTY frame (no bias row) — the documented contract, pinned") {
+    import spark.implicits._
+    val wZero = new Array[Double](16)
+    // every label null
+    val nullLabels = Seq(("alpha beta", null.asInstanceOf[java.lang.Double]),
+      ("gamma", null.asInstanceOf[java.lang.Double])).toDF("text", "label")
+    // every feature array empty (no word survives tokenization)
+    val emptyFeats = Seq(("", 1.0), ("   ", 0.0)).toDF("text", "label")
+    for (df <- Seq(nullLabels, emptyFeats)) {
+      val out = Classifier.logisticGradientHashed(df, "text", "label", wZero)
+      assert(out.columns.toSeq == Seq("bucket", "grad"))
+      assert(out.count() == 0L)
+    }
+  }
 }

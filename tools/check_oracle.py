@@ -81,9 +81,9 @@ def main():
             print(f"{name:28s} OK rows={len(sdf)}")
             n_pass += 1
         else:
+            schema_desc = "ok" if schema_ok else f"{scols} / {ocols}"
             print(f"{name:28s} MISMATCH rows {len(sdf)}/{len(odf)} "
-                  f"schema {scols if not schema_ok else 'ok'}"
-                  f"{'' if not schema_ok else ' / ' + str(ocols) if not schema_ok else ''} hash={hash_ok}")
+                  f"schema {schema_desc} hash={hash_ok}")
             if schema_ok and rows_ok and not hash_ok:
                 a, b = canon(sdf, scols), canon(odf, ocols)
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
