@@ -206,6 +206,19 @@ object SparkEntry {
     s"'$bpeO' || array_to_string(list_filter(string_split($v, ''), " +
       s"ch -> ch <> '$bpeO' AND ch <> '$bpeC'), '$bpeC$bpeO') || '$bpeC'"
 
+  /** DuckDB restatement of [[graft.functions.TextFunctions.htmlFragmentText]]
+    * over a SQL expression: inline-tag strip, named-entity decode (`&amp;`
+    * last), whitespace collapse — the per-block text of the main-content
+    * extractor's scoring.
+    */
+  private def htmlFragmentTextSql(v: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($v, '<[^>]*>', ' ', 'g'), " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&apos;', ''''), '&amp;', '&'), " +
+      "'[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
   /** Chain [[bpeDemoMerges]] as literal replaces over a SQL expression —
     * the oracle-side mirror of Bpe.applyMerges.
     */
@@ -4394,6 +4407,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_html_main_text" -> ((s, d) => {
+      // readability/jusText MAIN-CONTENT extraction — the boilerplate
+      // removal step ahead of the C4/Gopher quality stack: the planted
+      // page wraps each document's prose in <article><p> blocks between
+      // a nav bar, a cookie banner, an aside and a footer (short or
+      // link-dense — all must drop). The block scores bind once and feed
+      // md5/len/counts through one explode (single evaluation site;
+      // HtmlMainTextSpec pins this rebuild equal to TF.htmlMainText).
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>nav{color:#eee}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav>"),
+        lit("<header><h1>Site &amp; Co</h1></header>"),
+        lit("<div class=\"cookie\">We use cookies. " +
+          "<a href=\"/privacy\">Learn more</a></div>"),
+        lit("<article><p>"), substring(col("text"), 1, 200),
+        lit("</p><!-- ad slot --><p>"), substring(col("text"), 201, 200),
+        lit(" closing words keep this paragraph long enough.</p></article>"),
+        lit("<aside><a href=\"/rel1\">Related one</a> " +
+          "<a href=\"/rel2\">Related two</a></aside>"),
+        lit("<footer>(c) 2026 Example <a href=\"/tos\">Terms</a> " +
+          "<a href=\"/priv\">Privacy</a></footer>"),
+        lit("</body></html>"))
+      val scored = TF.bindOnce(TF.htmlBlockScores(page)) { b =>
+        val kept = filter(b, x =>
+          x.getField("len") >= 30 &&
+            x.getField("link_chars").cast("double") <=
+              lit(0.33) * x.getField("len").cast("double"))
+        val main = array_join(transform(kept, _.getField("text")), "\n")
+        struct(
+          md5(main.cast("binary")).as("main_md5"),
+          length(main).as("main_len"),
+          size(b).as("n_blocks"),
+          size(kept).as("n_kept"))
+      }
+      t(s, d, "documents").filter(col("text") =!= "")
+        .select(col("doc_id"), explode(array(scored)).as("__s"))
+        .select(col("doc_id"), col("__s.main_md5"), col("__s.main_len"),
+          col("__s.n_blocks"), col("__s.n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_bpe" -> ((s, d) =>
       // the tokenizer feeding the packer: per-doc BPE symbol counts
       // (map-only) become the packing budget unit — "tokenize, then pack
@@ -7560,6 +7616,64 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(page, '(?is)href="([^"]*)"', 1))
                      AS INTEGER) AS n_links
          FROM decoded ORDER BY doc_id""",
+    "q_html_main_text" -> (
+      // identical planted page; block split at the SAME tag pattern
+      // (injected from TextFunctions.htmlBlockTagPattern — one source of
+      // truth), per-block strip/decode/collapse via htmlFragmentTextSql,
+      // link chars as the summed anchor-text lengths, then the two-signal
+      // keep gate and an ordered string_agg rebuild of the main text
+      """WITH pages AS (
+           SELECT doc_id,
+                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  '</title><style>nav{color:#eee}</style></head><body>' ||
+                  '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+                  '<a href="/contact">Contact</a></nav>' ||
+                  '<header><h1>Site &amp; Co</h1></header>' ||
+                  '<div class="cookie">We use cookies. ' ||
+                  '<a href="/privacy">Learn more</a></div>' ||
+                  '<article><p>' || substr(text, 1, 200) ||
+                  '</p><!-- ad slot --><p>' || substr(text, 201, 200) ||
+                  ' closing words keep this paragraph long enough.</p></article>' ||
+                  '<aside><a href="/rel1">Related one</a> ' ||
+                  '<a href="/rel2">Related two</a></aside>' ||
+                  '<footer>(c) 2026 Example <a href="/tos">Terms</a> ' ||
+                  '<a href="/priv">Privacy</a></footer>' ||
+                  '</body></html>' AS page
+           FROM documents WHERE text <> ''
+         ), blk AS (
+           SELECT doc_id, j, list_extract(bl, j) AS b
+           FROM (
+             SELECT doc_id, bl, unnest(generate_series(1, len(bl))) AS j
+             FROM (
+               SELECT doc_id,
+                      string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+                        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                        '""" + graft.functions.TextFunctions.htmlBlockTagPattern +
+        """', chr(1), 'g'), chr(1)) AS bl
+               FROM pages))
+         ), scored AS (
+           SELECT doc_id, j, """ + htmlFragmentTextSql("b") + """ AS t,
+                  coalesce(list_sum(list_transform(
+                    regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                    a -> length(""" + htmlFragmentTextSql("a") + """))), 0) AS lc
+           FROM blk
+         ), ne AS (
+           SELECT doc_id, j, t, lc,
+                  (length(t) >= 30 AND
+                   CAST(lc AS DOUBLE) <= 0.33 * CAST(length(t) AS DOUBLE)) AS kept
+           FROM scored WHERE t <> ''
+         )
+         SELECT doc_id,
+                md5(coalesce(string_agg(CASE WHEN kept THEN t END, chr(10)
+                                        ORDER BY j), '')) AS main_md5,
+                CAST(length(coalesce(string_agg(CASE WHEN kept THEN t END, chr(10)
+                                                ORDER BY j), '')) AS INTEGER)
+                  AS main_len,
+                CAST(count(*) AS INTEGER) AS n_blocks,
+                CAST(count(*) FILTER (WHERE kept) AS INTEGER) AS n_kept
+         FROM ne GROUP BY doc_id ORDER BY doc_id"""),
     "q_c4_filters" ->
       // identical planted page, identical lambda filter: terminal punct,
       // >=5 words, no javascript/brace at line level; lorem-ipsum + >=3

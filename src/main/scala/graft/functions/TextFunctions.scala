@@ -602,4 +602,94 @@ object TextFunctions {
     */
   def htmlLinkCount(page: Column): Column =
     size(regexp_extract_all(page, lit("(?is)href=\"([^\"]*)\""), lit(1)))
+
+  // --- Main-content (boilerplate) extraction ------------------------------
+  //
+  // The readability/jusText step every web-scale corpus (C4, FineWeb,
+  // Dolma) runs BEFORE quality filtering: htmlToText keeps nav bars,
+  // cookie banners, and footers; htmlMainText segments the page into
+  // blocks at block-level tags and keeps only blocks that read like
+  // prose — long enough, and not link-dense. Same engineering stance as
+  // htmlToText: regex + array algebra only (no DOM, no UDF), every
+  // pattern in shared java-regex/RE2 syntax so an external SQL engine
+  // replays it verbatim.
+
+  /** Block-level tags whose open OR close tag ends one block and starts
+    * the next (the jusText segmentation set; inline tags — a, b, span,
+    * em, … — stay inside their block for link-density scoring).
+    */
+  val htmlBlockTagPattern: String =
+    "(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|td|th|tr|table|thead|tbody|" +
+      "section|article|header|footer|nav|aside|main|blockquote|pre|form|" +
+      "fieldset|hr|figure|figcaption|body|html|head|title)\\b[^>]*>"
+
+  /** Raw HTML block fragments of a page: script/style/comment-stripped,
+    * then split at block-level tags. Fragments still carry their inline
+    * markup (needed to score link density); empty fragments survive and
+    * are dropped by the caller's length gate.
+    */
+  def htmlBlocks(page: Column): Column = {
+    val noScript = regexp_replace(page, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noCmt    = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // the 0x01 separator can't occur in real HTML text (a C0 control
+    // char); DuckDB restates the split as string_split(…, chr(1))
+    split(regexp_replace(noCmt, htmlBlockTagPattern, "\u0001"), "\u0001")
+  }
+
+  /** Visible text of one block FRAGMENT (no script/style/comment handling
+    * — [[htmlBlocks]] already removed those): inline tags stripped, named
+    * entities decoded (`&amp;` last), whitespace collapsed.
+    */
+  def htmlFragmentText(frag: Column): Column = {
+    val noTags = regexp_replace(frag, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&",
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Characters of anchor (`<a …>…</a>`) text inside one block fragment —
+    * the link-density numerator, measured on the same decoded/collapsed
+    * scale as the block text itself.
+    */
+  def htmlFragmentLinkChars(frag: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(frag, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        a => length(htmlFragmentText(a))),
+      lit(0), (acc, n) => acc + n)
+
+  /** Per-block score frame of a page: `array<struct<text, len, link_chars>>`
+    * over the non-empty blocks — the statistic [[htmlMainText]] gates on,
+    * exposed so pipelines (and the SQL oracle) can inspect the scoring.
+    */
+  def htmlBlockScores(page: Column): Column =
+    filter(
+      transform(htmlBlocks(page), b => {
+        val t = htmlFragmentText(b)
+        struct(t.as("text"), length(t).as("len"),
+          htmlFragmentLinkChars(b).as("link_chars"))
+      }),
+      s => s.getField("len") > 0)
+
+  /** Main content of an HTML page: the non-boilerplate blocks joined by
+    * newlines. A block survives iff its visible text has at least
+    * `minLen` characters AND its link density (anchor-text chars /
+    * text chars) is at most `maxLinkDensity` — the two-signal
+    * readability/jusText core (nav/footer/cookie blocks are short or
+    * link-dense; prose is neither). One codegen'd map-only pass at scale.
+    */
+  def htmlMainText(page: Column, minLen: Int = 30,
+      maxLinkDensity: Double = 0.33): Column =
+    array_join(
+      transform(
+        filter(htmlBlockScores(page), s =>
+          s.getField("len") >= minLen &&
+            s.getField("link_chars").cast("double") <=
+              lit(maxLinkDensity) * s.getField("len").cast("double")),
+        s => s.getField("text")),
+      "\n")
 }

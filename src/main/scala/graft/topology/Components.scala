@@ -31,7 +31,7 @@ object BuiltinComponents {
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
-      normalizeText, decontaminate, c4Clean, htmlExtract, bpeEncode,
+      normalizeText, decontaminate, c4Clean, htmlExtract, mainContent, bpeEncode,
       nearDupDedup, canonicalUrl, blockDomains, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, sentenceChunk, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
       redactSpans, convertSpansFilter, sidecarJoin, fimTransform),
@@ -689,6 +689,33 @@ object BuiltinComponents {
           graft.functions.TextFunctions.htmlLinkCount(src).cast("string")))
       withLinks.withColumn(cfg.str("DstField"),
         graft.functions.TextFunctions.htmlToText(src))
+    })
+
+  val mainContent: FilterDesc = mkFilter("MainContent",
+    "Readability-style main-content extraction: segments HTML into blocks " +
+      "at block-level tags and keeps only prose-like blocks (at least " +
+      "MinLength visible characters AND link density at most " +
+      "MaxLinkDensity); DstField receives the surviving blocks joined by " +
+      "newlines — run this BEFORE C4Clean/GopherQuality so the quality " +
+      "stack never scores nav/cookie/footer boilerplate.",
+    Seq(
+      ConfigKey("SrcField", "field holding the raw HTML", required = true),
+      ConfigKey("DstField", "field for the extracted main text (may equal SrcField)",
+        required = true),
+      ConfigKey("MinLength", "minimum visible characters for a block to survive",
+        default = Some("30")),
+      ConfigKey("MaxLinkDensity",
+        "maximum anchor-text chars / visible chars for a block to survive",
+        default = Some("0.33"))))(
+    (_, cfg) => df => {
+      val minLen = cfg.int("MinLength", 30L).toInt
+      val maxLd = cfg.dbl("MaxLinkDensity", 0.33)
+      require(minLen >= 0, s"MainContent: MinLength must be >= 0: $minLen")
+      require(maxLd >= 0.0 && maxLd <= 1.0,
+        s"MainContent: MaxLinkDensity must be in [0,1]: $maxLd")
+      df.withColumn(cfg.str("DstField"),
+        graft.functions.TextFunctions.htmlMainText(
+          col(cfg.str("SrcField")), minLen, maxLd))
     })
 
   val bpeEncode: FilterDesc = mkFilter("BpeEncode",
