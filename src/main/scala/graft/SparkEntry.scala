@@ -2058,6 +2058,29 @@ object SparkEntry {
           "doc_id", "text", k = 8, hash = md5(_))
         .orderBy("doc_id")),
 
+    "q_dedup_substr_exact" -> ((s, d) => {
+      // suffix-grouping exact-substring dedup (the Lee et al. suffix-array
+      // fidelity pass): k-gram anchor groups sort by suffix EXTENSION and
+      // neighbor LCP recovers each occurrence's maximal repeat extent —
+      // per-repeat boundaries the window pass quantizes away. Planted:
+      // doc 13 carries phrases P and Q ADJACENTLY whose keepers live in
+      // docs 7 and 9, so its row reads n_max_repeats=2 against
+      // n_union_intervals=1 — the boundary case q_dedup_substr cannot
+      // express. md5 anchors so the oracle regroups identically.
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val base = array_join(slice(toks, 1, 40), " ")
+      val p = (1 to 10).map(i => s"qp$i").mkString(" ")
+      val q = (1 to 10).map(i => s"qq$i").mkString(" ")
+      val planted = when(col("doc_id") === 13, concat_ws(" ", base, lit(p), lit(q)))
+        .when(pmod(col("doc_id"), lit(10)) === 7, concat_ws(" ", base, lit(p)))
+        .when(pmod(col("doc_id"), lit(10)) === 9, concat_ws(" ", base, lit(q)))
+        .otherwise(base)
+      graft.llm.ExactSubstr.suffixDedupStats(
+          t(s, d, "documents").select(col("doc_id"), planted.as("text")),
+          "doc_id", "text", k = 8, extBudget = 16, anchorHash = md5(_))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_cc_verified" -> ((s, d) =>
       // transitive dedup over exact-verified minhash candidates: the edge
       // graph is exact, so the oracle restates it as a recursive-SQL
@@ -4888,6 +4911,86 @@ object SparkEntry {
                     i -> len(list_filter(COALESCE(p.ps, []),
                            pp -> pp <= i AND i < pp + 8)) = 0),
                   i -> b.t[CAST(i + 1 AS INTEGER)]), ' '), '') AS text
+         FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
+    "q_dedup_substr_exact" ->
+      // the suffix-grouping pass replayed: identical planted corpus,
+      // anchors regrouped on the same md5 key, the group sorted by
+      // (extension list, rank) with lag/lead token-LCP giving each
+      // occurrence's maximal extent (capped at 8+16), keeper = min rank,
+      // doc-level maximality via the running right-end max, and the
+      // window-style interval-union stats restated for contrast
+      """WITH tok0 AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t0
+           FROM documents
+         ), txt AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id = 13 THEN array_to_string(t0[1:40], ' ') ||
+                         ' qp1 qp2 qp3 qp4 qp5 qp6 qp7 qp8 qp9 qp10' ||
+                         ' qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10'
+                       WHEN doc_id % 10 = 7 THEN array_to_string(t0[1:40], ' ') ||
+                         ' qp1 qp2 qp3 qp4 qp5 qp6 qp7 qp8 qp9 qp10'
+                       WHEN doc_id % 10 = 9 THEN array_to_string(t0[1:40], ' ') ||
+                         ' qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10'
+                       ELSE array_to_string(t0[1:40], ' ') END AS text2
+           FROM tok0
+         ), tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text2), '\s+') AS t
+           FROM txt
+         ), occ AS (
+           SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS a,
+                  t[CAST(pos + 9 AS INTEGER):CAST(pos + 24 AS INTEGER)] AS ext,
+                  doc_id * 1048576 + pos AS rnk
+           FROM (SELECT doc_id, t,
+                        unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+                 FROM tok)
+         ), nbr AS (
+           SELECT doc_id, pos, ext, rnk,
+                  lag(ext) OVER w AS pext,
+                  lead(ext) OVER w AS next,
+                  count(*) OVER (PARTITION BY a) AS cnt,
+                  min(rnk) OVER (PARTITION BY a) AS mr
+           FROM occ
+           WINDOW w AS (PARTITION BY a ORDER BY ext, rnk)
+         ), scored AS (
+           SELECT doc_id, pos,
+                  8 + greatest(
+                    CASE WHEN pext IS NULL OR least(len(ext), len(pext)) = 0 THEN 0
+                         ELSE coalesce(list_filter(range(1, least(len(ext), len(pext)) + 1),
+                                i -> ext[i] <> pext[i])[1] - 1,
+                              least(len(ext), len(pext))) END,
+                    CASE WHEN next IS NULL OR least(len(ext), len(next)) = 0 THEN 0
+                         ELSE coalesce(list_filter(range(1, least(len(ext), len(next)) + 1),
+                                i -> ext[i] <> next[i])[1] - 1,
+                              least(len(ext), len(next))) END) AS rep_len
+           FROM nbr WHERE cnt >= 2 AND rnk > mr
+         ), mx AS (
+           SELECT doc_id, pos, rep_len,
+                  max(pos + rep_len) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           FROM scored
+         ), pd AS (
+           SELECT doc_id, count(*) AS nd,
+                  sum(CASE WHEN pe IS NULL OR pos + rep_len > pe
+                           THEN 1 ELSE 0 END) AS nm,
+                  max(rep_len) AS ml,
+                  list_sort(list(pos)) AS ps
+           FROM mx GROUP BY doc_id
+         )
+         SELECT b.doc_id,
+                CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_occurrences,
+                CAST(coalesce(p.nm, 0) AS BIGINT) AS n_max_repeats,
+                CAST(coalesce(p.ml, 0) AS BIGINT) AS max_rep_len,
+                CAST(CASE WHEN p.ps IS NULL THEN 0
+                          ELSE 1 + len(list_filter(range(1, len(p.ps)),
+                                 i -> p.ps[i + 1] - p.ps[i] > 8))
+                     END AS BIGINT) AS n_union_intervals,
+                CAST(CASE WHEN p.ps IS NULL THEN 0
+                          WHEN len(p.ps) = 1 THEN 8
+                          ELSE list_sum(list_transform(range(1, len(p.ps)),
+                                 i -> least(p.ps[i + 1] - p.ps[i], 8))) + 8
+                     END AS BIGINT) AS n_tokens_removed
          FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
          ORDER BY b.doc_id""",
     "q_dedup_cc" ->

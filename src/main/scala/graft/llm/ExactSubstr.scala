@@ -117,6 +117,150 @@ object ExactSubstr {
           .otherwise(unionLength(col("__ps"), k)).as("n_tokens_removed"))
   }
 
+  // --- Suffix grouping: per-repeat EXACT boundaries -----------------------
+  //
+  // The window pass above answers "which tokens are duplicated" exactly,
+  // but it cannot answer "where does each REPEAT start and end": its
+  // per-window flags union into a flat token cover, so two ADJACENT
+  // distinct repeats (P copied from one document, Q from another) merge
+  // into one interval, and a repeat's own extent is never identified.
+  // The suffix-grouping pass recovers per-occurrence maximal extents the
+  // way Lee et al. 2022's suffix array does: occurrences meet in k-gram
+  // ANCHOR groups, the group sorts by the suffix EXTENSION, and the
+  // longest-common-prefix with the sorted neighbors IS the occurrence's
+  // maximal repeat length (the classic suffix-array LCP-neighbor
+  // property: the best match over a lexicographically sorted set is
+  // adjacent to you).
+  //
+  // Scale shape: ONE exchange keyed on the anchor (same key as the
+  // window pass), whose rows carry `ext` ≤ `extBudget` tokens instead of
+  // an 8-byte hash — the bounded price of exact extents; the in-group
+  // sort + lag/lead ride that exchange, and the per-doc maximality and
+  // aggregation are one doc-keyed window + agg. Extents cap at
+  // k + extBudget (a longer repeat is still FOUND and flagged — only its
+  // REPORTED extent truncates; full extents would take prefix-doubling
+  // rounds). Driver state: none.
+
+  /** Token-level longest common prefix of two token arrays; null `b`
+    * (partition edge) → 0.
+    */
+  private def tokLcp(a: Column, b: Column): Column =
+    when(b.isNull, lit(0)).otherwise {
+      val n = least(size(a), size(b))
+      when(n === 0, lit(0)).otherwise {
+        val firstDiff = filter(sequence(lit(1), n),
+          i => element_at(a, i) =!= element_at(b, i))
+        when(size(firstDiff) > 0, element_at(firstDiff, 1) - 1).otherwise(n)
+      }
+    }
+
+  /** Every duplicated k-gram occurrence with its maximal repeat extent:
+    * (idCol, pos, rep_len, is_keeper) where `rep_len` = k + the longest
+    * common extension with ANY other occurrence of the same anchor
+    * (capped at k + extBudget) and the keeper is the (id, pos)-first
+    * occurrence of the anchor — [[flaggedWindows]]'s rule. `anchorHash`
+    * defaults to the fixed-width production key; pass `md5` for an
+    * external-SQL-recomputable key (the extension LCP always compares
+    * exact token content, never hashes).
+    */
+  def suffixOccurrences(df: DataFrame, idCol: String, textCol: String, k: Int,
+      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"ExactSubstr.suffixOccurrences: k must be positive: $k")
+    require(extBudget >= 1,
+      s"ExactSubstr.suffixOccurrences: extBudget must be positive: $extBudget")
+    import org.apache.spark.sql.expressions.Window
+    val occ = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), TextFunctions.bindOnce(TextFunctions.tokens(col(textCol))) {
+        t =>
+          when(size(t) < k,
+              array().cast("array<struct<anchor:string,ext:array<string>>>"))
+            .otherwise(transform(sequence(lit(0), size(t) - k), i =>
+              struct(array_join(slice(t, i + 1, lit(k)), " ").as("anchor"),
+                slice(t, i + 1 + k, lit(extBudget)).as("ext"))))
+      }.as("__occ"))
+      .select(col(idCol), posexplode(col("__occ")).as(Seq("pos", "__o")))
+      .select(col(idCol), col("pos"),
+        anchorHash(col("__o.anchor")).as("__a"), col("__o.ext").as("__ext"))
+    val ordered = Window.partitionBy("__a")
+      .orderBy(col("__ext"), col(idCol), col("pos"))
+    val grp = Window.partitionBy("__a")
+    occ
+      .withColumn("__lcp", greatest(
+        tokLcp(col("__ext"), lag("__ext", 1).over(ordered)),
+        tokLcp(col("__ext"), lead("__ext", 1).over(ordered))))
+      .withColumn("__cnt", count(lit(1)).over(grp))
+      .withColumn("__first", min(struct(col(idCol), col("pos"))).over(grp))
+      .filter(col("__cnt") >= 2)
+      .select(col(idCol), col("pos"),
+        (lit(k) + col("__lcp")).as("rep_len"),
+        (struct(col(idCol), col("pos")) === col("__first")).as("is_keeper"))
+  }
+
+  /** The NON-KEEPER maximal repeats of each document — one row per repeat
+    * with its exact boundaries: (idCol, pos, rep_len), where an occurrence
+    * is maximal iff its right end exceeds every earlier flagged
+    * occurrence's right end in the same document (inner positions of a
+    * long repeat shrink by one per step, so the running-max test keeps
+    * exactly the repeat starts). This is the per-repeat answer the window
+    * pass cannot give: adjacent distinct repeats stay TWO rows here where
+    * the window union merges them into one interval.
+    */
+  def maximalRepeats(df: DataFrame, idCol: String, textCol: String, k: Int,
+      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prevEnd = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    suffixOccurrences(df, idCol, textCol, k, extBudget, anchorHash)
+      .filter(!col("is_keeper"))
+      .withColumn("__prevEnd", max(col("pos") + col("rep_len")).over(prevEnd))
+      .filter(col("__prevEnd").isNull ||
+        col("pos") + col("rep_len") > col("__prevEnd"))
+      .select(col(idCol), col("pos"), col("rep_len"))
+  }
+
+  /** Per-document integer statistics of the suffix-grouping pass, the
+    * boundary-exact sibling of [[dedupStats]]: every input document with
+    *  - `n_dup_occurrences`: flagged (non-keeper) duplicated k-gram
+    *    positions,
+    *  - `n_max_repeats`: distinct maximal repeats ([[maximalRepeats]]),
+    *  - `max_rep_len`: the longest repeat extent,
+    *  - `n_union_intervals`: merged intervals of the window-style token
+    *    cover — reported NEXT TO n_max_repeats precisely because the two
+    *    disagree when distinct repeats touch (the boundary quantization
+    *    the window pass can't see),
+    *  - `n_tokens_removed`: the interval-union token count (identical to
+    *    [[dedupStats]]'s — removal semantics don't change, boundaries do).
+    */
+  def suffixDedupStats(df: DataFrame, idCol: String, textCol: String, k: Int,
+      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prevEnd = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = suffixOccurrences(df, idCol, textCol, k, extBudget, anchorHash)
+      .filter(!col("is_keeper"))
+      .withColumn("__end", col("pos") + col("rep_len"))
+      .withColumn("__prevEnd", max(col("__end")).over(prevEnd))
+    val perDoc = flagged.groupBy(idCol).agg(
+      count(lit(1)).as("__n_dup"),
+      sum(when(col("__prevEnd").isNull || col("__end") > col("__prevEnd"), 1L)
+        .otherwise(0L)).as("__n_max"),
+      max(col("rep_len")).cast("long").as("__max_len"),
+      sort_array(collect_list(col("pos"))).as("__ps"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_occurrences"),
+        coalesce(col("__n_max"), lit(0L)).as("n_max_repeats"),
+        coalesce(col("__max_len"), lit(0L)).as("max_rep_len"),
+        when(col("__ps").isNull, lit(0L))
+          .otherwise(lit(1L) + size(filter(
+            when(size(col("__ps")) <= 1, array().cast("array<int>"))
+              .otherwise(transform(sequence(lit(1), size(col("__ps")) - 1),
+                i => element_at(col("__ps"), i + 1) - element_at(col("__ps"), i))),
+            g => g > k)).cast("long")).as("n_union_intervals"),
+        when(col("__ps").isNull, lit(0L))
+          .otherwise(unionLength(col("__ps"), k)).as("n_tokens_removed"))
+  }
+
   /** The cleaned corpus: every flagged window's tokens removed, first
     * occurrences kept verbatim. Returns (idCol, text) with `text`
     * re-joined from the surviving tokens; untouched documents pass through

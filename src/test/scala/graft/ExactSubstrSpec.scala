@@ -75,4 +75,72 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got(12L) == ((0L, 0L)))
     assert(got(13L) == ((1L, 2L)))
   }
+
+  // --- suffix grouping: per-repeat exact boundaries ---
+
+  test("suffix grouping recovers the exact extent of a shifted repeat") {
+    import spark.implicits._
+    // doc 1 embeds doc 0's "a b c d" (4 tokens) at pos 2; k=3 — the
+    // anchor groups are "a b c" (ext LCP 1) and "b c d" (ext LCP 0), so
+    // the occurrence at pos 2 reports extent 4 and pos 3's extent-3 row
+    // is non-maximal (its right end ties)
+    val df = Seq((0L, "a b c d e"), (1L, "x y a b c d z")).toDF("doc_id", "text")
+    val reps = ExactSubstr.maximalRepeats(df, "doc_id", "text", k = 3, extBudget = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(reps == Set((1L, 2, 4)))
+    val occ = ExactSubstr.suffixOccurrences(df, "doc_id", "text", k = 3, extBudget = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSet
+    assert(occ == Set(
+      (0L, 0, 4, true), (1L, 2, 4, false),   // "a b c" group, extent 4
+      (0L, 1, 3, true), (1L, 3, 3, false)))  // "b c d" group, extent 3
+  }
+
+  test("adjacent DISTINCT repeats: two maximal rows where the window " +
+      "union reports one interval — the boundary case the window pass fails") {
+    import spark.implicits._
+    val df = Seq((0L, "p1 p2 p3"), (1L, "q1 q2 q3"),
+      (2L, "z1 z2 p1 p2 p3 q1 q2 q3")).toDF("doc_id", "text")
+    val reps = ExactSubstr.maximalRepeats(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // P copied from doc 0, Q from doc 1, ADJACENT in doc 2: two repeats
+    // with exact boundaries [2,5) and [5,8)
+    assert(reps == Set((2L, 2, 3), (2L, 5, 3)))
+    val stats = ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 2: 2 dup occurrences, 2 maximal repeats, max extent 3, but the
+    // window-style cover merges them into ONE interval of 6 tokens
+    assert(stats(2L) == ((2L, 2L, 3L, 1L, 6L)))
+    assert(stats(0L) == ((0L, 0L, 0L, 0L, 0L)))
+    assert(stats(1L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("keeper rule matches flaggedWindows; removed-token counts agree " +
+      "with the window pass on a real corpus") {
+    val docs = graft.core.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val win = ExactSubstr.dedupStats(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_tokens_removed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val suf = ExactSubstr.suffixDedupStats(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_tokens_removed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(win == suf)
+    assert(suf.values.exists(_ > 0L), "test corpus has no duplicated windows")
+  }
+
+  test("extBudget caps REPORTED extents; repeats are still flagged whole") {
+    import spark.implicits._
+    // a 7-token exact copy with k=3, extBudget=2: extents cap at 5, and
+    // the capped extents stop shrinking along the run, so maximality
+    // quantizes into ceil((L-k)/ext)-ish rows — removal stays exact
+    val df = Seq((0L, "a b c d e f g"), (1L, "a b c d e f g")).toDF("doc_id", "text")
+    val occ = ExactSubstr.suffixOccurrences(df, "doc_id", "text", k = 3, extBudget = 2)
+      .filter(!col("is_keeper"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(occ == Set((0, 5), (1, 5), (2, 5), (3, 4), (4, 3)))
+    val stats = ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3,
+        extBudget = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(stats(1L) == 7L) // the full copy still removes completely
+  }
 }
