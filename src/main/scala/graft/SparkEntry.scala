@@ -47,6 +47,21 @@ object SparkEntry {
   /** Deterministic fernet key for the Crypt roundtrip query/tests. */
   val testKey: String = Fernet.keyFromPassphrase("graft-test-key")
 
+  /** q_pdf_text's constant FlateDecode stream, deflated once on the
+    * driver. The compressed BYTES may vary across zlib builds; the
+    * extracted TEXT (what the oracle checks) never does.
+    */
+  private lazy val pdfFlateFixture: Array[Byte] = {
+    val src = "BT (flate stream text works) Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(src); defl.finish()
+    val buf = new Array[Byte](4096)
+    val n = defl.deflate(buf)
+    defl.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
   /** Shared histogram boundaries for q_hist_quantiles: lineitem prices span
     * ~[900, 105k]; 20 log bins/decade ≈ 12% relative quantile error.
     */
@@ -3183,6 +3198,35 @@ object SparkEntry {
           sha2(col("payload"), 256).as("payload_sha"))
         .orderBy("doc_id")),
 
+    "q_pdf_text" -> ((s, d) => {
+      // PDF text extraction over column-algebra fixtures: each doc's
+      // payload is a two-stream PDF — an UNCOMPRESSED content stream
+      // carrying the doc's prose plus the escape/hex/TJ corner cases, and
+      // a constant FlateDecode stream (deflated once on the driver; the
+      // oracle checks the EXTRACTED text, which never depends on the
+      // compressor's byte choices). Pdf.extractText walks stream framing,
+      // inflates, and collects show-text between BT/ET (PdfSpec pins the
+      // parser cases; this row pins the end-to-end distributed path).
+      val esc = "(esc \\(a\\) \\\\ \\101) Tj [(ker) -250 (ned)] TJ " +
+        "<48492121> Tj ET\nBT (page footer) Tj ET"
+      val content1 = concat(
+        lit("BT /F1 12 Tf 72 720 Td ("), substring(col("text"), 1, 60),
+        lit(") Tj "), lit(esc))
+      val payload = concat(
+        concat(lit("%PDF-1.4\n1 0 obj\n<< /Length "),
+          length(content1).cast("string"), lit(" >>\nstream\n"),
+          content1).cast("binary"),
+        lit("\nendstream\nendobj\n2 0 obj\n<< /Length " +
+          pdfFlateFixture.length +
+          " /Filter /FlateDecode >>\nstream\n").cast("binary"),
+        lit(pdfFlateFixture),
+        lit("\nendstream\nendobj\n%%EOF\n").cast("binary"))
+      graft.llm.Pdf.pdfTexts(
+          t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_decode" -> ((s, d) =>
       // batched partition decode (stub codec, deterministic dims from size)
       graft.llm.Multimodal.decodeImages(
@@ -4327,6 +4371,63 @@ object SparkEntry {
           md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
           md5(joined(transform(col("loss_mask"), m => m.cast("int")))
             .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
+    "q_topology_tokenize" -> ((s, d) => {
+      // the SFT path PURELY FROM CONFIG — no Scala between the TOMLs:
+      // job A trains the unigram vocabulary via the job-level [tokenizer]
+      // section and persists the (id, piece, cost) sidecar; job B maps
+      // text to Viterbi token ids under that sidecar (TokenizeIds) and
+      // packs them into fixed-budget training rows (PackRows). Semantics
+      // identical to q_pack_ids_unigram's API path (same trainer
+      // defaults, ids by the trainer's UTF-8 piece order, budget 1024,
+      // multiplicative shard hash, pad -2), so the oracle is SHARED
+      // verbatim — the config path must reproduce the API path bit-for-bit
+      val dir = qTmpDir("toktoml-q")
+      val trainToml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[tokenizer]
+           |Method = "unigram"
+           |SrcField = "text"
+           |VocabPath = "$dir/vocab"
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, trainToml).run()
+      val packToml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  VocabPath = "$dir/vocab"
+           |[[filter]]
+           |name = "PackRows"
+           |  [filter.config]
+           |  IdsField = "ids"
+           |  OrderField = "doc_id"
+           |[output]
+           |name = "Nop"
+           |fields = ["shard", "seq_id", "input_ids", "segment_ids", "loss_mask", "n_real"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, packToml).projected
+        .select(col("shard"), col("seq_id"),
+          md5(col("input_ids").cast("binary")).as("ids_md5"),
+          md5(col("segment_ids").cast("binary")).as("seg_md5"),
+          md5(col("loss_mask").cast("binary")).as("msk_md5"),
           col("n_real"))
         .orderBy("shard", "seq_id")
     }),
@@ -5889,6 +5990,17 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
                 sha256(text) AS payload_sha
+         FROM documents ORDER BY doc_id""",
+    "q_pdf_text" ->
+      // the planted PDF's extraction restated: the uncompressed stream's
+      // two text objects (doc prose + escape/TJ/hex pieces, then the
+      // footer) and the constant flate stream's text — extraction output
+      // is independent of the compressor's byte choices, so the oracle
+      // needs no zlib
+      """SELECT doc_id,
+                substr(text, 1, 60) || ' esc (a) \ A kerned HI!!' ||
+                chr(10) || 'page footer' || chr(10) ||
+                'flate stream text works' AS text
          FROM documents ORDER BY doc_id""",
     "q_multimodal_decode" ->
       """SELECT doc_id,
@@ -7640,6 +7752,9 @@ object SparkEntry {
     "q_unigram_train_segment" -> unigramTrainSegmentOracle,
     "q_unigram_fertility" -> unigramFertilityOracle,
     "q_pack_ids_unigram" -> unigramPackOracle,
+    // the config-surface replay of the same path: train → sidecar →
+    // TokenizeIds → PackRows must reproduce the API capstone exactly
+    "q_topology_tokenize" -> unigramPackOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is

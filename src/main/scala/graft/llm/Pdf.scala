@@ -1,0 +1,225 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PDF text extraction — pure-JVM byte walking of PDF content streams,
+  * the same engineering discipline as the ISO-BMFF/EBML/JPEG walkers in
+  * [[Multimodal.JvmCodecs]]: no external codec library, deterministic
+  * output, undecodable payloads drop (never throw). PDFs are a top-3
+  * training-data source; this covers the mainstream text-object layout:
+  *
+  *  - content streams located by `stream`…`endstream` framing, the
+  *    object dictionary read back to the enclosing `obj` for the
+  *    `/FlateDecode` filter (inflated with the JDK's zlib; other filters
+  *    and encrypted documents are skipped, not errors);
+  *  - show-text collected between `BT`…`ET`: literal strings `(…)` with
+  *    balanced nested parens and the full escape table (`\n \r \t \b \f
+  *    \( \) \\`, 1-3 digit octal, line continuations), hex strings
+  *    `<…>` (odd-length per spec pads a trailing 0);
+  *  - one `TJ` array concatenates its strings into ONE piece (kerning
+  *    splits mid-word); pieces join with a single space within a text
+  *    object; text objects join with newlines. Positioning operators are
+  *    deliberately not interpreted — this is the WET-style extraction
+  *    tier (layout-reconstructing extraction is a codec-library job).
+  *
+  * Scale shape: map-only over (id, payload) in the typed partition path,
+  * partition-batched like [[Multimodal.decodeImages]]; nothing shuffles,
+  * nothing collects.
+  */
+object Pdf {
+
+  /** Decoded content streams of a PDF: (dictText, bytes) per stream,
+    * Flate-inflated when the dict names it. Not a PDF → Nil.
+    */
+  private def contentStreams(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (b.length < 8 || !asciiAt(b, 0, "%PDF-")) return Nil
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < b.length - 6) {
+      if (asciiAt(b, i, "stream") && !asciiAt(b, i - 3, "end")) {
+        // data begins after "stream" + CRLF or LF (PDF 32000-1 §7.3.8.1)
+        var ds = i + 6
+        if (ds < b.length && b(ds) == '\r') ds += 1
+        if (ds < b.length && b(ds) == '\n') ds += 1
+        var de = indexOfAscii(b, ds, "endstream")
+        if (de < 0) de = b.length
+        var dataEnd = de
+        // the spec's trailing EOL before "endstream" is not stream data
+        if (dataEnd > ds && b(dataEnd - 1) == '\n') dataEnd -= 1
+        if (dataEnd > ds && b(dataEnd - 1) == '\r') dataEnd -= 1
+        // the object dictionary: back to the enclosing "obj" (or origin)
+        val objAt = lastIndexOfAscii(b, i, "obj")
+        val dict = new String(b, math.max(objAt, 0), i - math.max(objAt, 0),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val raw = java.util.Arrays.copyOfRange(b, ds, math.max(ds, dataEnd))
+        if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
+        else out += raw
+        i = de + 9
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private def asciiAt(b: Array[Byte], i: Int, s: String): Boolean =
+    i >= 0 && i + s.length <= b.length &&
+      (0 until s.length).forall(j => b(i + j) == s.charAt(j).toByte)
+
+  private def indexOfAscii(b: Array[Byte], from: Int, s: String): Int = {
+    var i = math.max(from, 0)
+    while (i <= b.length - s.length) {
+      if (asciiAt(b, i, s)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def lastIndexOfAscii(b: Array[Byte], before: Int, s: String): Int = {
+    var i = math.min(before, b.length) - s.length
+    while (i >= 0) {
+      if (asciiAt(b, i, s)) return i
+      i -= 1
+    }
+    -1
+  }
+
+  /** zlib-inflate (FlateDecode); corrupt data → None, never a throw. */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](4096)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return None // stalled
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Show-text pieces of one decoded content stream, grouped into text
+    * objects: BT…ET blocks, literal/hex strings, TJ arrays as one piece.
+    */
+  private def textBlocks(s: Array[Byte]): Seq[Seq[String]] = {
+    val blocks = Vector.newBuilder[Seq[String]]
+    var pieces: Vector[String] = null // non-null inside BT…ET
+    var arrayPiece: StringBuilder = null // non-null inside [ … ]
+    var i = 0
+    def emit(str: String): Unit =
+      if (pieces != null) {
+        if (arrayPiece != null) arrayPiece.append(str)
+        else pieces :+= str
+      }
+    while (i < s.length) {
+      val c = s(i).toChar
+      if (c == 'B' && asciiAt(s, i, "BT")) { pieces = Vector.empty; i += 2 }
+      else if (c == 'E' && asciiAt(s, i, "ET")) {
+        if (pieces != null && pieces.nonEmpty) blocks += pieces
+        pieces = null; arrayPiece = null; i += 2
+      }
+      else if (c == '[' && pieces != null) { arrayPiece = new StringBuilder; i += 1 }
+      else if (c == ']' && pieces != null) {
+        if (arrayPiece != null && arrayPiece.nonEmpty) pieces :+= arrayPiece.toString
+        arrayPiece = null; i += 1
+      }
+      else if (c == '(') {
+        val (str, next) = literalString(s, i + 1)
+        emit(str); i = next
+      }
+      else if (c == '<' && i + 1 < s.length && s(i + 1) != '<') {
+        val (str, next) = hexString(s, i + 1)
+        emit(str); i = next
+      }
+      else if (c == '<') i += 2 // dict open "<<" inside a stream
+      else i += 1
+    }
+    blocks.result()
+  }
+
+  /** PDF literal string from after '(' to its BALANCED ')'; returns
+    * (decoded, index past the closing paren). Full escape table.
+    */
+  private def literalString(s: Array[Byte], from: Int): (String, Int) = {
+    val out = new StringBuilder
+    var depth = 1
+    var i = from
+    while (i < s.length && depth > 0) {
+      val c = s(i).toChar
+      if (c == '\\' && i + 1 < s.length) {
+        val e = s(i + 1).toChar
+        e match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '(' => out.append('('); i += 2
+          case ')' => out.append(')'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '\r' => i += 2; if (i < s.length && s(i) == '\n') i += 1 // continuation
+          case '\n' => i += 2 // continuation
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var n = 0; i += 1
+            while (n < 3 && i < s.length && s(i) >= '0' && s(i) <= '7') {
+              v = v * 8 + (s(i) - '0'); i += 1; n += 1
+            }
+            out.append((v & 0xFF).toChar)
+          case other => out.append(other); i += 2 // unknown: drop backslash
+        }
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) out.append(c)
+        i += 1
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, i)
+  }
+
+  /** PDF hex string from after '<' to '>'; odd digit count pads 0. */
+  private def hexString(s: Array[Byte], from: Int): (String, Int) = {
+    val out = new StringBuilder
+    val digits = new StringBuilder
+    var i = from
+    while (i < s.length && s(i) != '>') {
+      val c = s(i).toChar
+      if (Character.digit(c, 16) >= 0) digits.append(c)
+      i += 1
+    }
+    if (digits.length % 2 == 1) digits.append('0')
+    var j = 0
+    while (j < digits.length) {
+      out.append(Integer.parseInt(digits.substring(j, j + 2), 16).toChar)
+      j += 2
+    }
+    (out.toString, i + 1)
+  }
+
+  /** Visible text of one PDF payload: text objects joined by newlines,
+    * pieces within an object by single spaces. Not a PDF / no text →
+    * None (the caller's rows drop, matching the media decoders).
+    */
+  def extractText(payload: Array[Byte]): Option[String] = {
+    if (payload == null) return None
+    val blocks = contentStreams(payload).flatMap(textBlocks)
+    if (blocks.isEmpty) None
+    else Some(blocks.map(_.mkString(" ")).mkString("\n"))
+  }
+
+  /** (idCol, text) for every payload that IS a PDF with text — map-only,
+    * partition-batched in the typed path like the image/audio decoders.
+    */
+  def pdfTexts(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, p) =>
+        extractText(p).map(t => (id, t))
+      }))
+      .toDF(idCol, "text")
+  }
+}

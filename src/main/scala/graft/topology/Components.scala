@@ -34,7 +34,8 @@ object BuiltinComponents {
       normalizeText, decontaminate, c4Clean, htmlExtract, mainContent, bpeEncode,
       nearDupDedup, canonicalUrl, blockDomains, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, sentenceChunk, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
-      redactSpans, convertSpansFilter, sidecarJoin, fimTransform),
+      redactSpans, convertSpansFilter, sidecarJoin, fimTransform,
+      Tokenize.tokenizeIds, Tokenize.packRows),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
       SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),

@@ -1,0 +1,196 @@
+package graft.topology
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftShims
+
+import graft.functions.TextFunctions
+
+/** Tokenizer training and application on the TOML surface — the missing
+  * config path from raw corpus to packed training rows. A config-driven
+  * user can now run the whole SFT shape without Scala:
+  *
+  *   1. TRAIN job: `[input] → [[filter]] cleaning chain → [tokenizer]
+  *      (persists the vocabulary sidecar) → Nop output`;
+  *   2. PACK job: `[input] → TokenizeIds (reads the sidecar) → PackRows →
+  *      parquet output` — the materialized `(shard, seq_id, input_ids,
+  *      segment_ids, loss_mask, n_real)` rows of
+  *      [[graft.llm.Pack.packTokensGreedy]].
+  *
+  * The vocabulary sidecar is one tiny parquet `(id BIGINT, piece STRING,
+  * cost BIGINT)`: unigram rows are the trained pieces in UTF-8 order with
+  * their quantized Viterbi costs; bpe/wordpiece rows are the learned
+  * merge rules `"left right"` in learned order with their argmax counts.
+  * Driver work is vocabulary-bounded on both ends (the trainers' standard
+  * working set; the apply side broadcasts the vocab inside native
+  * codegen'd expressions, never a join).
+  */
+object Tokenize {
+
+  val trainKeys: Seq[ConfigKey] = Seq(
+    ConfigKey("Method", "unigram | bpe | wordpiece", required = true),
+    ConfigKey("SrcField", "text field to train on", required = true),
+    ConfigKey("VocabPath", "parquet sidecar path for the trained vocabulary",
+      required = true),
+    ConfigKey("Steps", "merge steps (bpe/wordpiece)", default = Some("8")),
+    ConfigKey("Rounds", "EM rounds (unigram)", default = Some("2")),
+    ConfigKey("MaxWordLen", "unigram trainer word-length bound",
+      default = Some("10")))
+
+  /** The job-level `[tokenizer]` TRAIN step: runs on the topology's
+    * post-filter frame when the topology COMPILES (the train aggregations
+    * execute eagerly — a train job's output is usually Nop) and persists
+    * the vocabulary sidecar to VocabPath.
+    */
+  def train(ctx: TopologyCtx, cfg: ComponentConfig, frame: DataFrame): Unit = {
+    cfg.validate(trainKeys)
+    val src = cfg.str("SrcField")
+    require(ctx.fields.contains(src), s"[tokenizer]: unknown SrcField '$src'")
+    val spark = ctx.spark
+    import spark.implicits._
+    val rows: Seq[(Long, String, Long)] = cfg.str("Method").toLowerCase match {
+      case "unigram" =>
+        graft.llm.UnigramTrain.train(frame, src,
+            rounds = cfg.int("Rounds", 2L).toInt,
+            maxWordLen = cfg.int("MaxWordLen", 10L).toInt)
+          .collect().toSeq.zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getString(0), r.getLong(2)) }
+      case "bpe" =>
+        val (_, hist) = graft.llm.Bpe.train(frame, col(src),
+          steps = cfg.int("Steps", 8L).toInt)
+        hist.map { case (step, pair, cnt) => ((step - 1).toLong, pair, cnt) }
+      case "wordpiece" =>
+        val (_, hist) = graft.llm.Bpe.trainWordpiece(frame, col(src),
+          steps = cfg.int("Steps", 8L).toInt)
+        hist.map { case (step, pair, cnt) => ((step - 1).toLong, pair, cnt) }
+      case other => throw new IllegalArgumentException(
+        s"[tokenizer] Method must be unigram, bpe or wordpiece: '$other'")
+    }
+    rows.toDF("id", "piece", "cost").coalesce(1)
+      .write.mode("overwrite").parquet(cfg.str("VocabPath"))
+  }
+
+  /** Sidecar rows in id order — vocabulary-bounded driver read. */
+  private def loadVocab(ctx: TopologyCtx, path: String): Seq[(String, Long)] = {
+    val rows = ctx.spark.read.parquet(path).orderBy("id")
+      .select(col("piece"), col("cost")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(rows.nonEmpty, s"TokenizeIds: empty vocabulary sidecar at $path")
+    rows
+  }
+
+  private val tokenizeKeys = Seq(
+    ConfigKey("SrcField", "field holding the text", required = true),
+    ConfigKey("DstField", "field for the comma-joined token ids", required = true),
+    ConfigKey("VocabPath", "vocabulary sidecar written by a [tokenizer] train job",
+      required = true),
+    ConfigKey("Method", "unigram | bpe — must match the sidecar's trainer",
+      default = Some("unigram")),
+    ConfigKey("CountField", "optional field for the token count"),
+    ConfigKey("MaxWordLen", "unigram Viterbi word-length bound (match training)",
+      default = Some("10")),
+    ConfigKey("UnkId", "id for out-of-vocabulary pieces", default = Some("-1")))
+
+  /** TokenizeIds — text → token ids under a PERSISTED vocabulary.
+    * unigram: Viterbi pieces under the sidecar costs, ids by sidecar
+    * order (the trainer's UTF-8 piece order). bpe: the sidecar's merge
+    * rules applied in learned order, ids = rule index of the merged
+    * symbol (base characters that no rule produced map to UnkId).
+    * Map-only: the vocabulary rides inside native codegen'd expressions.
+    */
+  val tokenizeIds: FilterDesc = FilterDesc("TokenizeIds",
+    "Tokenizes a text field into comma-joined token ids under a vocabulary " +
+      "sidecar persisted by a [tokenizer] train job.",
+    tokenizeKeys,
+    (ctx, cfg) => {
+      cfg.validate(tokenizeKeys)
+      df => {
+        val vocab = loadVocab(ctx, cfg.str("VocabPath"))
+        val unk = cfg.int("UnkId", -1L).toInt
+        val src = col(cfg.str("SrcField"))
+        val ids: Column = cfg.str("Method", "unigram").toLowerCase match {
+          case "unigram" =>
+            val trained = vocab.map { case (p, c) => (p, c.toInt) }
+            val pcs = GraftShims.toColumn(graft.functions.UnigramViterbiPieces(
+              GraftShims.toExpression(TextFunctions.tokens(src)), trained,
+              cfg.int("MaxWordLen", 10L).toInt))
+            GraftShims.toColumn(graft.functions.VocabIds(
+              GraftShims.toExpression(pcs), trained.map(_._1), unk))
+          case "bpe" =>
+            val merges = vocab.map(_._1).map { m =>
+              val p = m.split(" ", 2)
+              require(p.length == 2 && p.forall(_.nonEmpty),
+                s"TokenizeIds: bad merge rule '$m' in sidecar (want \"left right\")")
+              (p(0), p(1))
+            }
+            graft.llm.Bpe.tokenIds(graft.llm.Bpe.encodeText(src, merges),
+              merges.map { case (a, b) => a + b }, unk)
+          case other => throw new IllegalArgumentException(
+            s"TokenizeIds: Method must be unigram or bpe: '$other'")
+        }
+        cfg.strOpt("CountField") match {
+          case Some(cf) =>
+            // one evaluation site for the (expensive) tokenizer: bind the
+            // id array once, explode the 1-element struct, extract both
+            val packed = TextFunctions.bindOnce(ids) { v =>
+              struct(
+                array_join(transform(v, _.cast("string")), ",").as("ids"),
+                size(v).cast("string").as("n"))
+            }
+            df.withColumn("__tk", explode(array(packed)))
+              .withColumn(cfg.str("DstField"), col("__tk.ids"))
+              .withColumn(cf, col("__tk.n"))
+              .drop("__tk")
+          case None =>
+            df.withColumn(cfg.str("DstField"),
+              array_join(transform(ids, _.cast("string")), ","))
+        }
+      }
+    })
+
+  private val packKeys = Seq(
+    ConfigKey("IdsField", "field holding comma-joined token ids", required = true),
+    ConfigKey("OrderField", "numeric field giving the deterministic pack order",
+      required = true),
+    ConfigKey("Budget", "tokens per packed row", default = Some("1024")),
+    ConfigKey("Shards", "number of independent pack shards", default = Some("4")),
+    ConfigKey("PadId", "padding token id", default = Some("-2")))
+
+  /** PackRows — greedy no-split packing into fixed-budget training rows.
+    * REPLACES the record stream: downstream stages (and [output] fields)
+    * see `(shard, seq_id, input_ids, segment_ids, loss_mask, n_real)`,
+    * the materialized rows of [[graft.llm.Pack.packTokensGreedy]] with
+    * arrays comma-joined into the string record model. The shard
+    * assignment is the standard multiplicative hash of OrderField, so
+    * packing is deterministic and partition-independent; the one shuffle
+    * is the shard exchange.
+    */
+  val packRows: FilterDesc = FilterDesc("PackRows",
+    "Packs tokenized records into fixed-budget training rows (greedy " +
+      "no-split); emits shard, seq_id, input_ids, segment_ids, loss_mask, " +
+      "n_real.",
+    packKeys,
+    (ctx, cfg) => {
+      cfg.validate(packKeys)
+      df => {
+        val toks = transform(
+          filter(split(col(cfg.str("IdsField")), ","), x => x =!= ""),
+          _.cast("int"))
+        val ord = col(cfg.str("OrderField")).cast("long")
+        val shard = pmod(pmod(ord, lit(2147483647L)) * lit(2654435761L),
+          lit(cfg.int("Shards", 4L)))
+        graft.llm.Pack.packTokensGreedy(df, ord, toks,
+            transform(toks, _ => lit(true)),
+            cfg.int("Budget", 1024L).toInt, shard,
+            cfg.int("PadId", -2L).toInt)
+          .select(col("shard"), col("seq_id"),
+            array_join(transform(col("input_ids"), _.cast("string")), ",")
+              .as("input_ids"),
+            array_join(transform(col("segment_ids"), _.cast("string")), ",")
+              .as("segment_ids"),
+            array_join(transform(col("loss_mask"),
+              m => m.cast("int").cast("string")), ",").as("loss_mask"),
+            col("n_real"))
+      }
+    })
+}

@@ -40,6 +40,12 @@ object Topology {
         * at compile time.
         */
       user: Seq[(String, ComponentConfig)] = Nil,
+      /** Optional job-level `[tokenizer]` TRAIN section (extension
+        * surface, no reference analogue): trains on the post-filter frame
+        * at compile time and persists a vocabulary sidecar — see
+        * [[Tokenize.train]].
+        */
+      tokenizer: Option[ComponentConfig] = None,
   )
 
   /** Decode the parsed TOML tree (reference: NewConfigFromToml stages 2-6). */
@@ -129,6 +135,15 @@ object Topology {
         }
         case None => Nil
         case Some(other) => throw new IllegalArgumentException(s"topology: [[user]]: $other")
+      },
+      tokenizer = tree.get("tokenizer") match {
+        // job-level section: keys live directly under [tokenizer] (it is
+        // not a named component with a nested .config table)
+        case Some(m: Map[String @unchecked, Any @unchecked]) =>
+          Some(ComponentConfig(m, "tokenizer"))
+        case None => None
+        case Some(other) =>
+          throw new IllegalArgumentException(s"topology: [tokenizer]: $other")
       },
     )
   }
@@ -262,6 +277,7 @@ object Topology {
     // reference — a 2-field filter over 3000-field records never parses
     // the other 2998 — and the sink writes the original line bytes.
     val rawFast = outDescEarly.raw && inDesc.buildRaw.isDefined &&
+      cfg.tokenizer.isEmpty &&
       cfg.filters.forall { case (n, _) => !components.filter(n).mutating }
 
     var df =
@@ -324,6 +340,14 @@ object Topology {
       df = observeStage(desc.build(ctx, fCfg)(df), s"${i}_$name")
     }
 
+    // --- [tokenizer] train step (extension surface): trains on the
+    // post-filter frame EAGERLY (vocabulary-bounded driver aggregations)
+    // and persists the sidecar — a train job's output is usually Nop
+    for (tCfg <- cfg.tokenizer) {
+      require(!df.isStreaming, "[tokenizer]: training requires a batch input")
+      Tokenize.train(ctx, tCfg, df)
+    }
+
     // --- sharding (topology.go:157-184): the one intentional shuffle ---
     val sharded = cfg.sharding match {
       case Some(f) =>
@@ -335,7 +359,11 @@ object Topology {
     // --- projection to output fields (+ raw record, topology.go:330-348) ---
     val outDesc = components.output(cfg.outputName)
     val outFields = if (cfg.outputFields.nonEmpty) cfg.outputFields else cfg.fields
-    outFields.foreach(f => require(cfg.fields.contains(f), s"output: unknown field '$f'"))
+    // a declared field, or a column a record-RESHAPING filter produced
+    // (PackRows replaces the record stream with packed training rows)
+    outFields.foreach(f => require(
+      cfg.fields.contains(f) || df.columns.contains(f),
+      s"output: unknown field '$f'"))
     val projCols = outFields.map(f => coalesce(col(f).cast("string"), lit("")).as(f))
     val projected =
       if (outDesc.raw) {

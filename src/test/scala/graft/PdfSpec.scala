@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.llm.Pdf
+
+/** PDF text extraction: stream framing, FlateDecode, the literal-string
+  * escape table, nested parens, hex strings, TJ piece grouping, BT/ET
+  * block joining, and the never-throw contract on garbage.
+  */
+class PdfSpec extends SparkSpec {
+
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes(ISO_8859_1)); d.finish()
+    val buf = new Array[Byte](4096)
+    val n = d.deflate(buf)
+    d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  private def pdf(streams: (String, Option[Array[Byte]])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    streams.zipWithIndex.foreach { case ((dict, data), i) =>
+      val bytes = data.getOrElse(dict.getBytes(ISO_8859_1))
+      val d = if (data.isDefined) s"<< /Length ${bytes.length} /Filter /FlateDecode >>"
+      else s"<< /Length ${bytes.length} >>"
+      out.write(s"${i + 1} 0 obj\n$d\nstream\n".getBytes(ISO_8859_1))
+      out.write(bytes)
+      out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    out.write("%%EOF\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  test("literal strings, escapes, octal, nested parens, hex, TJ grouping") {
+    val content = "BT /F1 12 Tf 72 720 Td (hello world) Tj " +
+      "(esc \\(a\\) \\\\ \\101\\n) Tj [(ker) -250 (ned)] TJ <48492121> Tj ET\n" +
+      "BT (second block) Tj ET"
+    val got = Pdf.extractText(pdf(content -> None))
+    assert(got.contains(
+      "hello world esc (a) \\ A\n kerned HI!!\nsecond block"))
+  }
+
+  test("balanced nested parens without escapes") {
+    val got = Pdf.extractText(pdf("BT (a (nested (deep)) done) Tj ET" -> None))
+    assert(got.contains("a (nested (deep)) done"))
+  }
+
+  test("FlateDecode streams inflate; mixed with uncompressed streams") {
+    val flate = deflate("BT (flate text works) Tj ET")
+    val got = Pdf.extractText(pdf(
+      "BT (plain first) Tj ET" -> None,
+      "" -> Some(flate)))
+    assert(got.contains("plain first\nflate text works"))
+  }
+
+  test("strings outside BT/ET are ignored; dict << >> inside streams skipped") {
+    val got = Pdf.extractText(pdf(
+      "(not shown) BT (shown) Tj << /X (nope) >> ET (also not)" -> None))
+    // strings inside the BT..ET block are collected even as dict values —
+    // the documented naive tier; outside the block nothing is
+    assert(got.contains("shown nope"))
+  }
+
+  test("garbage, empty, truncated and non-PDF payloads never throw") {
+    assert(Pdf.extractText(null).isEmpty)
+    assert(Pdf.extractText(Array.empty[Byte]).isEmpty)
+    assert(Pdf.extractText("not a pdf at all".getBytes(ISO_8859_1)).isEmpty)
+    assert(Pdf.extractText("%PDF-1.4\nstream\n(x".getBytes(ISO_8859_1)).isEmpty ||
+      true) // truncated: any non-throwing result is acceptable
+    val corrupt = pdf("" -> Some(Array[Byte](1, 2, 3, 4)))
+    assert(Pdf.extractText(corrupt).isEmpty) // bad zlib drops the stream
+    // a PDF with streams but no text objects
+    assert(Pdf.extractText(pdf("0 0 m 100 100 l S" -> None)).isEmpty)
+  }
+
+  test("pdfTexts: distributed map-only extraction, undecodable rows drop") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pdf("BT (doc one) Tj ET" -> None)),
+      (2L, "junk".getBytes(ISO_8859_1)),
+      (3L, pdf("BT (doc three) Tj ET" -> None)))
+    val got = Pdf.pdfTexts(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "doc one", 3L -> "doc three"))
+    val plan = Pdf.pdfTexts(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
