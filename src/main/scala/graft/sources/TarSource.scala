@@ -474,6 +474,20 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startName = start.asInstanceOf[TarNameOffset].maxName
+    // restart bootstrap: a fresh instance resuming from a checkpointed
+    // offset has empty `seen` memory, so every ALREADY-COMMITTED shard
+    // would read as a late arrival on the first discovery. Seed the
+    // memory from the current listing before the late check arms — the
+    // documented best-effort window (a genuinely-late file landing
+    // exactly across a restart is undetectable either way). Without this,
+    // ProcessingTime restarts fail loudly on their own history
+    // (AvailableNow restarts were shielded only by accident: its prepare
+    // hook ran a discovery while highWater was still empty).
+    if (highWater.isEmpty && startName.nonEmpty) {
+      val preexisting = discover()
+      lastListing = preexisting
+      seen ++= preexisting.map(_._1)
+    }
     if (startName > highWater) highWater = startName
     val fresh = discoverChecked().filter { case (f, _) =>
       f > startName && availableNowCap.forall(f <= _) }

@@ -191,7 +191,46 @@ object Streaming {
     },
   )
 
-  def streamingInputs: Seq[InputDesc] = Seq(sqsInput, kclInput, kinesisInput, tcpInput)
+  /** WebDataset — the daemon double of the batch WebDataset input: watches
+    * a directory for newly arriving tar shards ([[graft.sources.TarSource]]
+    * micro-batch source; grouping and ext-selection push into the scan).
+    * Fields named in `BinaryFields` carry their member bytes BASE64-encoded
+    * — the topology record model is strings, and a UTF-8 cast would mangle
+    * media payloads; perceptual consumers (PerceptualDedupStore) decode
+    * with unbase64.
+    */
+  val webDatasetStreamInput: InputDesc = InputDesc(
+    "WebDataset",
+    "Daemon input: watches a directory for newly arriving WebDataset tar " +
+      "shards; declared [fields] are member extensions (BinaryFields " +
+      "base64-encoded), plus the meta-fields 'key' and 'shard'.",
+    Seq(
+      ConfigKey("Path", "tar shard directory or glob", required = true),
+      ConfigKey("BinaryFields", "fields whose member bytes are base64-encoded"),
+      ConfigKey("MaxFilesPerTrigger", "shards per micro-batch", default = Some(16L))),
+    (ctx, cfg) => {
+      val meta = Set("key", "shard")
+      val extFields = ctx.fields.filterNot(meta)
+      val binary = cfg.strList("BinaryFields", Nil).toSet
+      val unknownBin = binary -- extFields.toSet
+      require(unknownBin.isEmpty,
+        s"WebDataset: BinaryFields not in [fields]: ${unknownBin.mkString(", ")}")
+      val reader = ctx.spark.readStream.format("tar")
+        .option("group", "true")
+        .option("maxFilesPerTrigger", cfg.int("MaxFilesPerTrigger", 16L).toString)
+      val df = (if (extFields.nonEmpty) reader.option("exts", extFields.mkString(","))
+                else reader).load(cfg.str("Path"))
+      df.select(ctx.fields.map {
+        case f @ ("key" | "shard") => col(f)
+        case f if binary(f) =>
+          coalesce(base64(element_at(col("files"), f)), lit("")).as(f)
+        case f =>
+          coalesce(element_at(col("files"), f).cast("string"), lit("")).as(f)
+      }: _*)
+    })
+
+  def streamingInputs: Seq[InputDesc] =
+    Seq(sqsInput, kclInput, kinesisInput, tcpInput, webDatasetStreamInput)
 
   /** Builtin registry + daemon inputs. The streaming variants come FIRST:
     * registry lookup is find-first, so in daemon mode SQS/KCL/Kinesis/TCP
@@ -242,13 +281,16 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one micro-batch = one rotation: write files, then upload them.
         // {{.Rotation}} expands to the batch id (monotonic across restarts,
-        // like the reference's per-file rotation counter)
-        val batchCfg = cfg.outputConfig.raw.find(_._1.equalsIgnoreCase("PathString")) match {
-          case Some((k, v: String)) => ComponentConfig(
-            cfg.outputConfig.raw.updated(k, v.replace("{{.Rotation}}", batchId.toString)),
-            cfg.outputConfig.componentName)
-          case _ => cfg.outputConfig
-        }
+        // like the reference's per-file rotation counter) in EVERY string
+        // config value — FileWriter's PathString and any output that needs
+        // the batch id for idempotent partitions (PerceptualDedupStore)
+        val batchCfg = ComponentConfig(
+          cfg.outputConfig.raw.map {
+            case (k, v: String) =>
+              k -> v.replace("{{.Rotation}}", batchId.toString)
+            case kv => kv
+          },
+          cfg.outputConfig.componentName)
         val result = outDesc.build(compiled.ctx, batchCfg, batch)
         counter.addAndGet(result.rows)
         for ((name, upCfg) <- cfg.upload) {

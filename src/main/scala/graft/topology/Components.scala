@@ -37,8 +37,9 @@ object BuiltinComponents {
       redactSpans, convertSpansFilter, sidecarJoin, fimTransform,
       Tokenize.tokenizeIds, Tokenize.packRows),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
-      nopOutput, opLogOutput, recorderOutput, DynamoOutput.desc,
-      SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
+      nopOutput, opLogOutput, recorderOutput, perceptualStoreOutput,
+      DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc,
+      WebSocketOutput.desc),
     uploads = Seq(s3Upload),
     metrics = Seq(datadogMetrics),
   )
@@ -1497,6 +1498,75 @@ object BuiltinComponents {
   /** Stats — dataset distribution report to CSV.
     * reference: output/stats.go:18-39 (spec), :41-230 (metrics).
     */
+  /** PerceptualDedupStore — the perceptual incremental dedup stores
+    * ([[graft.streaming.PerceptualDedupStream]]) as a TOML OUTPUT, so the
+    * multimodal tier is config-reachable like the text one: each batch
+    * (or daemon micro-batch) of media records is fingerprinted, deduped
+    * against the accumulated at-rest signature store AND within itself,
+    * survivors land in CorpusDir with signatures appended to StoreDir —
+    * idempotent `batch=<RunTag>-<Rotation>` partitions, so a replayed
+    * micro-batch overwrites its own output. In a daemon topology the
+    * `{{.Rotation}}` placeholder supplies the batch id.
+    */
+  val perceptualStoreOutput: OutputDesc = OutputDesc(
+    "PerceptualDedupStore",
+    "Fingerprints each record's binary payload (image aHash/dHash/pHash " +
+      "or audio fingerprint), drops near-duplicates of the at-rest store " +
+      "and of the batch, lands survivors in CorpusDir and their " +
+      "signatures in StoreDir (idempotent batch partitions).",
+    Seq(
+      ConfigKey("IdField", "numeric unique id field", required = true),
+      ConfigKey("PayloadField", "base64-encoded media payload field " +
+        "(WebDataset BinaryFields)", required = true),
+      ConfigKey("Hash", "phash | dhash | ahash | audio", default = Some("phash")),
+      ConfigKey("StoreDir", "at-rest signature store directory", required = true),
+      ConfigKey("CorpusDir", "kept-corpus directory", required = true),
+      ConfigKey("MaxHamming", "near-dup radius in signature bits", default = Some(3L)),
+      ConfigKey("MaxBucketSize", "skew fuse: drop hotter band buckets (0 = off)",
+        default = Some(0L)),
+      ConfigKey("RunTag", "store partition namespace", default = Some("run")),
+      ConfigKey("Rotation", "batch id for idempotent partitions; daemons " +
+        "pass \"{{.Rotation}}\"", default = Some("0"))),
+    raw = false,
+    (ctx, cfg, df) => {
+      val id = cfg.str("IdField")
+      val pf = cfg.str("PayloadField")
+      val method = cfg.str("Hash", "phash").toLowerCase
+      val storeDir = cfg.str("StoreDir")
+      val corpusDir = cfg.str("CorpusDir")
+      val runTag = cfg.str("RunTag", "run")
+      val rotation = cfg.str("Rotation", "0").toLong
+      def sigOf(batch: DataFrame): DataFrame = {
+        // the typed decode path keys on doc_id (DecodedImage/DecodedAudio)
+        val media = batch.select(col(id), unbase64(col(pf)).as("__bytes"))
+        val hashed = method match {
+          case "phash" => graft.llm.Multimodal.pHash(
+            graft.llm.Multimodal.decodeImages(media, id, "__bytes",
+              codecs = graft.llm.Multimodal.JvmCodecs))
+          case "dhash" => graft.llm.Multimodal.dHash(
+            graft.llm.Multimodal.decodeImages(media, id, "__bytes",
+              codecs = graft.llm.Multimodal.JvmCodecs))
+          case "ahash" => graft.llm.Multimodal.aHash(
+            graft.llm.Multimodal.decodeImages(media, id, "__bytes",
+              codecs = graft.llm.Multimodal.JvmCodecs))
+          case "audio" => graft.llm.Multimodal.audioFingerprint(
+            graft.llm.Multimodal.decodeAudio(media, id, "__bytes"))
+          case other => throw new IllegalArgumentException(
+            s"PerceptualDedupStore: Hash must be phash|dhash|ahash|audio: '$other'")
+        }
+        val sigName = hashed.columns.filterNot(_ == "doc_id").head
+        hashed.select(col("doc_id").as("__id"), col(sigName).as("__hsig"))
+      }
+      val fn = graft.streaming.PerceptualDedupStream.batchFunction(id, sigOf,
+        storeDir, corpusDir, maxHamming = cfg.int("MaxHamming", 3L).toInt,
+        maxBucketSize = cfg.int("MaxBucketSize", 0L).toInt, runTag = runTag)
+      fn(df, rotation)
+      val part = s"$corpusDir/batch=$runTag-$rotation"
+      val kept = try ctx.spark.read.parquet(part).count()
+      catch { case _: Exception => 0L }
+      OutputResult(Seq(part), kept)
+    })
+
   val statsOutput: OutputDesc = OutputDesc(
     "Stats",
     "Computes record-size/field/timestamp distribution statistics over all " +
