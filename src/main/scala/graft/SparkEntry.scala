@@ -583,7 +583,8 @@ object SparkEntry {
     * documents supply only pixel bytes; every container byte is fixed,
     * so the video is column algebra around two BMP bodies.
     */
-  private lazy val mp4VideoFixture: (Array[Byte], Array[Byte]) = {
+  // package-visible for the ProfVideoCost attribution probe
+  private[graft] lazy val mp4VideoFixture: (Array[Byte], Array[Byte]) = {
     def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
     def box(typ: String, content: Array[Byte]*): Array[Byte] = {
