@@ -208,6 +208,43 @@ object Pdf {
     else Some(blocks.map(_.mkString(" ")).mkString("\n"))
   }
 
+  /** Record-preserving extraction for the TOML surface: appends (or
+    * overwrites) `dstCol` with the text of the BASE64-encoded PDF in
+    * `srcB64Col` (the WebDataset BinaryFields encoding — the string
+    * record model would mangle raw PDF bytes). Payloads that are not a
+    * PDF with text DROP, or pass through with an empty `dstCol` when
+    * `keepUndecodable`. Map-only in the typed row path, the media-decoder
+    * discipline.
+    */
+  def withPdfText(df: DataFrame, srcB64Col: String, dstCol: String,
+      keepUndecodable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StringType
+    val srcIx = df.schema.fieldIndex(srcB64Col)
+    val replaceIx = if (df.columns.contains(dstCol)) df.schema.fieldIndex(dstCol) else -1
+    val outSchema = if (replaceIx >= 0) df.schema
+      else df.schema.add(dstCol, StringType, nullable = true)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val b64 = row.get(srcIx)
+        val text =
+          if (b64 == null) None
+          else try extractText(
+            java.util.Base64.getMimeDecoder.decode(b64.toString))
+          catch { case _: IllegalArgumentException => None }
+        (text, keepUndecodable) match {
+          case (None, false) => None
+          case (t, _) =>
+            val vals = row.toSeq.toArray
+            val out = if (replaceIx >= 0) {
+              vals(replaceIx) = t.getOrElse(""); vals
+            } else vals :+ t.getOrElse("")
+            Some(Row.fromSeq(out.toIndexedSeq))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** (idCol, text) for every payload that IS a PDF with text — map-only,
     * partition-batched in the typed path like the image/audio decoders.
     */

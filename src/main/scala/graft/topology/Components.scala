@@ -31,7 +31,8 @@ object BuiltinComponents {
       metadataLastModified, metadataUrl, notNull, partialClone, regexMatch,
       replaceFields, setStringFromUrl, slice, stringMatch, timestampF,
       timestampRange, urlEscape, urlParam, gopherQuality, redactPii,
-      normalizeText, decontaminate, c4Clean, htmlExtract, mainContent, bpeEncode,
+      normalizeText, decontaminate, c4Clean, htmlExtract, mainContent,
+      pdfExtract, bpeEncode,
       nearDupDedup, canonicalUrl, blockDomains, sqlExpr, sqlWhere, assignSplit, domainCap,
       chunkText, sentenceChunk, spanDedup, exactSubstrDedup, quantileGate, detectSpans,
       redactSpans, convertSpansFilter, sidecarJoin, fimTransform,
@@ -152,18 +153,26 @@ object BuiltinComponents {
   val webDatasetInput: InputDesc = InputDesc(
     "WebDataset",
     "Reads WebDataset tar shards (one record per sample); declared " +
-      "[fields] are member extensions decoded as text, plus the " +
-      "meta-fields 'key' and 'shard'.",
+      "[fields] are member extensions decoded as text (BinaryFields " +
+      "base64-encoded), plus the meta-fields 'key' and 'shard'.",
     Seq(
-      ConfigKey("Path", "tar shard file, directory, or glob", required = true)),
+      ConfigKey("Path", "tar shard file, directory, or glob", required = true),
+      ConfigKey("BinaryFields", "fields whose member bytes are base64-encoded " +
+        "(media/PDF payloads — a UTF-8 text decode would mangle them)")),
     (ctx, cfg) => {
       val meta = Set("key", "shard")
       val extFields = ctx.fields.filterNot(meta)
+      val binary = cfg.strList("BinaryFields", Nil).toSet
+      val unknownBin = binary -- extFields.toSet
+      require(unknownBin.isEmpty,
+        s"WebDataset: BinaryFields not in [fields]: ${unknownBin.mkString(", ")}")
       val reader = ctx.spark.read.format("tar").option("group", "true")
       val df = (if (extFields.nonEmpty) reader.option("exts", extFields.mkString(","))
                 else reader).load(cfg.str("Path"))
       df.select(ctx.fields.map {
         case f @ ("key" | "shard") => col(f)
+        case f if binary(f) =>
+          coalesce(base64(element_at(col("files"), f)), lit("")).as(f)
         case f => coalesce(element_at(col("files"), f).cast("string"), lit("")).as(f)
       }: _*)
     })
@@ -692,6 +701,21 @@ object BuiltinComponents {
       withLinks.withColumn(cfg.str("DstField"),
         graft.functions.TextFunctions.htmlToText(src))
     })
+
+  val pdfExtract: FilterDesc = mkFilter("PdfExtract",
+    "Extracts visible text from a base64-encoded PDF payload field (e.g. " +
+      "a WebDataset BinaryFields member): content streams walked " +
+      "pure-JVM, FlateDecode inflated, show-text collected between " +
+      "BT/ET. Records whose payload is not a PDF with text DROP unless " +
+      "KeepUndecodable (then DstField is empty).",
+    Seq(
+      ConfigKey("SrcField", "base64-encoded PDF payload field", required = true),
+      ConfigKey("DstField", "field for the extracted text (may equal SrcField)",
+        required = true),
+      ConfigKey("KeepUndecodable", "keep non-PDF records with empty DstField",
+        default = Some(false))))(
+    (_, cfg) => df => graft.llm.Pdf.withPdfText(df, cfg.str("SrcField"),
+      cfg.str("DstField"), cfg.bool("KeepUndecodable", false)))
 
   val mainContent: FilterDesc = mkFilter("MainContent",
     "Readability-style main-content extraction: segments HTML into blocks " +

@@ -76,6 +76,61 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractText(pdf("0 0 m 100 100 l S" -> None)).isEmpty)
   }
 
+  test("withPdfText keeps all record fields; KeepUndecodable passes junk " +
+      "through with an empty text") {
+    import spark.implicits._
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    val rows = Seq(
+      ("a", b64(pdf("BT (alpha text) Tj ET" -> None)), "x1"),
+      ("b", b64("not a pdf".getBytes(ISO_8859_1)), "x2"))
+      .toDF("id", "payload", "extra")
+    val strict = Pdf.withPdfText(rows, "payload", "text")
+      .select("id", "extra", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(strict == Set(("a", "x1", "alpha text")))
+    val kept = Pdf.withPdfText(rows, "payload", "text", keepUndecodable = true)
+      .select("id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("a", "alpha text"), ("b", "")))
+    // overwrite mode: DstField == SrcField
+    val over = Pdf.withPdfText(rows, "payload", "payload")
+      .select("id", "payload").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(over == Set(("a", "alpha text")))
+  }
+
+  test("PdfExtract TOML filter over WebDataset BinaryFields, end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdf-toml").toFile
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.sources.TarShards.writeEntry(bos, "0001.pdf",
+      pdf("BT (config reachable pdf) Tj ET" -> None))
+    graft.sources.TarShards.writeEntry(bos, "0002.pdf",
+      "junk bytes".getBytes(ISO_8859_1))
+    bos.write(new Array[Byte](1024))
+    val f = new java.io.FileOutputStream(new java.io.File(dir, "s0.tar"))
+    f.write(bos.toByteArray); f.close()
+    val toml =
+      s"""[fields]
+         |names = ["key", "pdf", "text"]
+         |[input]
+         |name = "WebDataset"
+         |  [input.config]
+         |  Path = "${dir.getAbsolutePath}"
+         |  BinaryFields = ["pdf"]
+         |[[filter]]
+         |name = "PdfExtract"
+         |  [filter.config]
+         |  SrcField = "pdf"
+         |  DstField = "text"
+         |[output]
+         |name = "Recorder"
+         |fields = ["key", "text"]
+         |""".stripMargin
+    graft.topology.Topology.compileToml(spark, toml, env = Map.empty).run()
+    val rows = graft.topology.BuiltinComponents.Recorder.last
+      .map(r => (r(0), r(1))).toSet
+    assert(rows == Set(("0001", "config reachable pdf")))
+  }
+
   test("pdfTexts: distributed map-only extraction, undecodable rows drop") {
     import spark.implicits._
     val rows = Seq(
