@@ -76,6 +76,20 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got(13L) == ((1L, 2L)))
   }
 
+  test("identity window keys (hash = c => c) give collision-FREE exact " +
+      "removal and agree with the hashed runs on a real corpus") {
+    val docs = graft.core.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val hashed = ExactSubstr.removeDuplicateWindows(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the exact-string key: no 64-bit collision can ever flag a
+    // non-duplicated window (the suffix-array-fidelity stance for a
+    // final/audit pass; the hash is the production scale key)
+    val exact = ExactSubstr.removeDuplicateWindows(docs, "doc_id", "text", 8,
+        hash = c => c)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hashed == exact)
+  }
+
   // --- suffix grouping: per-repeat exact boundaries ---
 
   test("suffix grouping recovers the exact extent of a shifted repeat") {

@@ -691,4 +691,40 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("UnigramViterbiPieces"),
       s"native Viterbi expression should be in the plan:\n$p")
   }
+
+  test("main-content extraction is map-only: no exchange, no UDF") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = plan(docs.select(col("doc_id"),
+      graft.functions.TextFunctions.htmlMainText(
+        concat(lit("<nav><a href=\"/\">Home</a></nav><p>"), col("text"),
+          lit("</p>"))).as("main")))
+    assert(!p.contains("Exchange"), s"extraction must be map-only:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"no UDF in the extraction path:\n$p")
+  }
+
+  test("suffix grouping: ONE anchor-keyed exchange feeds sort + windows; " +
+      "no cartesian") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.ExactSubstr.suffixOccurrences(
+      docs, "doc_id", "text", k = 8, extBudget = 4))
+    // lag/lead + count/min share the anchor partition: one hash exchange
+    // of the occurrence stream, the in-group sort rides it
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one anchor exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("suffixDedupStats: anchor exchange + doc-keyed window/agg, " +
+      "corpus never joins itself") {
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val p = finalPlan(graft.llm.ExactSubstr.suffixDedupStats(
+      docs, "doc_id", "text", k = 8, extBudget = 4))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the only join is the per-doc stats LEFT join back onto doc ids —
+    // no corpus-payload self-join anywhere
+    assert(!p.contains("SortMergeJoin") ||
+      p.split("SortMergeJoin").length - 1 <= 1,
+      s"at most the per-doc stats join:\n$p")
+  }
 }
