@@ -234,6 +234,43 @@ object SparkEntry {
       "'&#39;', ''''), '&apos;', ''''), '&amp;', '&'), " +
       "'[ \\t\\n\\r\\f]+', ' ', 'g'))"
 
+  /** The main-content extractor's CTE chain over a caller-supplied page
+    * expression: `pages(doc_id, page)` → block split at
+    * [[graft.functions.TextFunctions.htmlBlockTagPattern]] (injected —
+    * one source of truth) → per-block text/link-chars scoring → the
+    * two-signal keep gate, ending in `ne(doc_id, j, t, lc, kept)`.
+    * Callers append their own aggregation.
+    */
+  private def htmlMainChainSql(pageSql: String): String =
+    """WITH pages AS (
+           SELECT doc_id, """ + pageSql + """ AS page
+           FROM documents WHERE text <> ''
+         ), blk AS (
+           SELECT doc_id, j, list_extract(bl, j) AS b
+           FROM (
+             SELECT doc_id, bl, unnest(generate_series(1, len(bl))) AS j
+             FROM (
+               SELECT doc_id,
+                      string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+                        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                        '""" + graft.functions.TextFunctions.htmlBlockTagPattern +
+      """', chr(1), 'g'), chr(1)) AS bl
+               FROM pages))
+         ), scored AS (
+           SELECT doc_id, j, """ + htmlFragmentTextSql("b") + """ AS t,
+                  coalesce(list_sum(list_transform(
+                    regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                    a -> length(""" + htmlFragmentTextSql("a") + """))), 0) AS lc
+           FROM blk
+         ), ne AS (
+           SELECT doc_id, j, t, lc,
+                  (length(t) >= 30 AND
+                   CAST(lc AS DOUBLE) <= 0.33 * CAST(length(t) AS DOUBLE)) AS kept
+           FROM scored WHERE t <> ''
+         )"""
+
   /** Chain [[bpeDemoMerges]] as literal replaces over a SQL expression —
     * the oracle-side mirror of Bpe.applyMerges.
     */
@@ -4575,6 +4612,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_main_content_funnel" -> ((s, d) => {
+      // the extractor FEEDING the quality stack — the composition the
+      // main-content work exists for: htmlMainText removes the
+      // nav/cookie/footer boilerplate, then the C4 line gate scores only
+      // the extracted prose. Planted page: paragraph 1 survives both
+      // gates, "short." dies at the extractor's length gate, paragraph 3
+      // (no terminal punctuation) survives extraction but dies at C4 —
+      // one row shows each funnel stage doing its own job. Both stages
+      // bind once (the extractor and its kept-lines array each evaluate
+      // at ONE site under the explode trick).
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav>"),
+        lit("<div class=\"cookie\">We use cookies. " +
+          "<a href=\"/privacy\">Learn more</a></div>"),
+        lit("<article><p>"), substring(col("text"), 1, 200),
+        lit(" properly ends the paragraph here.</p>"),
+        lit("<p>short.</p>"),
+        lit("<p>"), substring(col("text"), 201, 150),
+        lit(" this paragraph never terminates properly</p></article>"),
+        lit("<footer>(c) 2026 <a href=\"/tos\">Terms</a> " +
+          "<a href=\"/priv\">Privacy</a></footer>"),
+        lit("</body></html>"))
+      val stats = TF.bindOnce(TF.htmlMainText(page)) { m =>
+        TF.bindOnce(TF.c4KeptLines(m)) { kept =>
+          struct(
+            when(m === "", lit(0)).otherwise(size(split(m, "\n")))
+              .as("n_main_blocks"),
+            size(kept).as("n_c4_kept"),
+            // c4Passes restated over the bound kept array (same rule —
+            // calling c4Passes(m) would re-split and re-filter m)
+            (!lower(m).contains("lorem ipsum") && size(kept) >= 3)
+              .as("c4_passes"),
+            md5(array_join(kept, "\n").cast("binary")).as("kept_md5"))
+        }
+      }
+      t(s, d, "documents").filter(col("text") =!= "")
+        .select(col("doc_id"), explode(array(stats)).as("__s"))
+        .select(col("doc_id"), col("__s.n_main_blocks"), col("__s.n_c4_kept"),
+          col("__s.c4_passes"), col("__s.kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_bpe" -> ((s, d) =>
       // the tokenizer feeding the packer: per-doc BPE symbol counts
       // (map-only) become the packing budget unit — "tokenize, then pack
@@ -7841,9 +7923,8 @@ object SparkEntry {
       // truth), per-block strip/decode/collapse via htmlFragmentTextSql,
       // link chars as the summed anchor-text lengths, then the two-signal
       // keep gate and an ordered string_agg rebuild of the main text
-      """WITH pages AS (
-           SELECT doc_id,
-                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      htmlMainChainSql(
+        """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
                   '</title><style>nav{color:#eee}</style></head><body>' ||
                   '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
                   '<a href="/contact">Contact</a></nav>' ||
@@ -7857,33 +7938,7 @@ object SparkEntry {
                   '<a href="/rel2">Related two</a></aside>' ||
                   '<footer>(c) 2026 Example <a href="/tos">Terms</a> ' ||
                   '<a href="/priv">Privacy</a></footer>' ||
-                  '</body></html>' AS page
-           FROM documents WHERE text <> ''
-         ), blk AS (
-           SELECT doc_id, j, list_extract(bl, j) AS b
-           FROM (
-             SELECT doc_id, bl, unnest(generate_series(1, len(bl))) AS j
-             FROM (
-               SELECT doc_id,
-                      string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
-                        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-                        '(?s)<!--.*?-->', ' ', 'g'),
-                        '""" + graft.functions.TextFunctions.htmlBlockTagPattern +
-        """', chr(1), 'g'), chr(1)) AS bl
-               FROM pages))
-         ), scored AS (
-           SELECT doc_id, j, """ + htmlFragmentTextSql("b") + """ AS t,
-                  coalesce(list_sum(list_transform(
-                    regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
-                    a -> length(""" + htmlFragmentTextSql("a") + """))), 0) AS lc
-           FROM blk
-         ), ne AS (
-           SELECT doc_id, j, t, lc,
-                  (length(t) >= 30 AND
-                   CAST(lc AS DOUBLE) <= 0.33 * CAST(length(t) AS DOUBLE)) AS kept
-           FROM scored WHERE t <> ''
-         )
+                  '</body></html>'""") + """
          SELECT doc_id,
                 md5(coalesce(string_agg(CASE WHEN kept THEN t END, chr(10)
                                         ORDER BY j), '')) AS main_md5,
@@ -7893,6 +7948,49 @@ object SparkEntry {
                 CAST(count(*) AS INTEGER) AS n_blocks,
                 CAST(count(*) FILTER (WHERE kept) AS INTEGER) AS n_kept
          FROM ne GROUP BY doc_id ORDER BY doc_id"""),
+    "q_main_content_funnel" -> (
+      // the extractor FEEDING the quality stack: the main-content chain
+      // over the funnel page, the kept blocks reassembled in order, then
+      // the C4 line lambda over the reassembled text — paragraph 1
+      // survives both gates, "short." dies at the extractor, paragraph 3
+      // (no terminal punctuation) survives extraction but dies at C4
+      htmlMainChainSql(
+        """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  '</title></head><body>' ||
+                  '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+                  '<a href="/contact">Contact</a></nav>' ||
+                  '<div class="cookie">We use cookies. ' ||
+                  '<a href="/privacy">Learn more</a></div>' ||
+                  '<article><p>' || substr(text, 1, 200) ||
+                  ' properly ends the paragraph here.</p>' ||
+                  '<p>short.</p>' ||
+                  '<p>' || substr(text, 201, 150) ||
+                  ' this paragraph never terminates properly</p></article>' ||
+                  '<footer>(c) 2026 <a href="/tos">Terms</a> ' ||
+                  '<a href="/priv">Privacy</a></footer>' ||
+                  '</body></html>'""") + """
+         , mt AS (
+           SELECT doc_id,
+                  coalesce(string_agg(CASE WHEN kept THEN t END, chr(10)
+                                      ORDER BY j), '') AS main
+           FROM ne GROUP BY doc_id
+         ), c4 AS (
+           SELECT doc_id, main,
+                  list_filter(string_split(main, chr(10)), x ->
+                    regexp_matches(x, '[.!?"]$')
+                    AND len(string_split_regex(trim(x), '\s+')) >= 5
+                    AND NOT contains(lower(x), 'javascript')
+                    AND NOT contains(x, '{')) AS kept
+           FROM mt)
+         SELECT doc_id,
+                CAST(CASE WHEN main = '' THEN 0
+                          ELSE len(string_split(main, chr(10))) END AS INTEGER)
+                  AS n_main_blocks,
+                CAST(len(kept) AS INTEGER) AS n_c4_kept,
+                ((NOT contains(lower(main), 'lorem ipsum')) AND len(kept) >= 3)
+                  AS c4_passes,
+                md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5
+         FROM c4 ORDER BY doc_id"""),
     "q_c4_filters" ->
       // identical planted page, identical lambda filter: terminal punct,
       // >=5 words, no javascript/brace at line level; lorem-ipsum + >=3
