@@ -558,7 +558,10 @@ object SparkEntry {
       leBytes(lit(8000), 4), leBytes(lit(16000), 4), leBytes(lit(2), 2),
       leBytes(lit(16), 2), lit("data".getBytes), leBytes(dataLen, 4), data)
 
-  private def bmpHeader(w: Int, h: Int): Array[Byte] = {
+  // package-visible: the canonical BMP-header builder for every
+  // perceptual fixture (queries, ProfTrainScale/ProfVideoCost probes,
+  // PerceptualDaemonSpec) — a padding/size change lands everywhere
+  private[graft] def bmpHeader(w: Int, h: Int): Array[Byte] = {
     def le32(v: Int) =
       Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)

@@ -668,11 +668,14 @@ object TextFunctions {
     */
   def htmlBlockScores(page: Column): Column =
     filter(
-      transform(htmlBlocks(page), b => {
-        val t = htmlFragmentText(b)
-        struct(t.as("text"), length(t).as("len"),
-          htmlFragmentLinkChars(b).as("link_chars"))
-      }),
+      transform(htmlBlocks(page), b =>
+        // bind the fragment text ONCE: HOF lambdas evaluate interpreted
+        // (no codegen CSE), so `text` and `len` would otherwise each run
+        // the full strip+decode+collapse chain per block
+        bindOnce(htmlFragmentText(b)) { t =>
+          struct(t.as("text"), length(t).as("len"),
+            htmlFragmentLinkChars(b).as("link_chars"))
+        }),
       s => s.getField("len") > 0)
 
   /** Main content of an HTML page: the non-boilerplate blocks joined by

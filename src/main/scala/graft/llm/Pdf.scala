@@ -83,10 +83,14 @@ object Pdf {
     -1
   }
 
-  /** zlib-inflate (FlateDecode); corrupt data → None, never a throw. */
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  /** zlib-inflate (FlateDecode); corrupt data → None, never a throw.
+    * `end()` runs in a finally — the stalled/corrupt paths this
+    * never-throw extractor exists for would otherwise leak each
+    * Inflater's native zlib buffers until finalization.
+    */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](4096)
@@ -95,9 +99,10 @@ object Pdf {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return None // stalled
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+    finally inf.end()
+  }
 
   /** Show-text pieces of one decoded content stream, grouped into text
     * objects: BT…ET blocks, literal/hex strings, TJ arrays as one piece.

@@ -413,16 +413,29 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
   private def listing(): Seq[(String, Long)] =
     if (lastListing.nonEmpty) lastListing else discover()
 
+  // the late check arms from the SECOND discovery of this instance's
+  // lifetime: everything present at the first one is preexisting — a
+  // fresh start (highWater empty, so the old check was vacuous anyway)
+  // or committed history after a restart. Restarts previously failed
+  // loudly on their own history whenever highWater was set before the
+  // first discovery (a ProcessingTime trigger resuming from a checkpoint,
+  // or a replayed pending batch whose planInputPartitions runs first);
+  // AvailableNow restarts were shielded only by accident via the prepare
+  // hook's early discovery. A genuinely-late file landing exactly across
+  // a restart stays undetectable — the documented best-effort window.
+  @volatile private var seeded = false
+
   private def discoverChecked(): Seq[(String, Long)] = {
     val all = discover()
     lastListing = all
-    if (highWater.nonEmpty) {
+    if (seeded && highWater.nonEmpty) {
       val late = all.filter { case (f, _) => f <= highWater && !seen.contains(f) }
       require(late.isEmpty,
         s"tar stream: shard(s) ${late.take(3).map(_._1).mkString(", ")} appeared at or under " +
           s"the admitted high-water name '$highWater' — shard names must arrive in " +
           "increasing order (they would be silently skipped otherwise)")
     }
+    seeded = true
     seen ++= all.map(_._1)
     all
   }
@@ -474,20 +487,6 @@ class TarMicroBatchStream(paths: Seq[String], required: StructType, grouped: Boo
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startName = start.asInstanceOf[TarNameOffset].maxName
-    // restart bootstrap: a fresh instance resuming from a checkpointed
-    // offset has empty `seen` memory, so every ALREADY-COMMITTED shard
-    // would read as a late arrival on the first discovery. Seed the
-    // memory from the current listing before the late check arms — the
-    // documented best-effort window (a genuinely-late file landing
-    // exactly across a restart is undetectable either way). Without this,
-    // ProcessingTime restarts fail loudly on their own history
-    // (AvailableNow restarts were shielded only by accident: its prepare
-    // hook ran a discovery while highWater was still empty).
-    if (highWater.isEmpty && startName.nonEmpty) {
-      val preexisting = discover()
-      lastListing = preexisting
-      seen ++= preexisting.map(_._1)
-    }
     if (startName > highWater) highWater = startName
     val fresh = discoverChecked().filter { case (f, _) =>
       f > startName && availableNowCap.forall(f <= _) }

@@ -1519,9 +1519,6 @@ object BuiltinComponents {
       OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
     })
 
-  /** Stats — dataset distribution report to CSV.
-    * reference: output/stats.go:18-39 (spec), :41-230 (metrics).
-    */
   /** PerceptualDedupStore — the perceptual incremental dedup stores
     * ([[graft.streaming.PerceptualDedupStream]]) as a TOML OUTPUT, so the
     * multimodal tier is config-reachable like the text one: each batch
@@ -1591,6 +1588,9 @@ object BuiltinComponents {
       OutputResult(Seq(part), kept)
     })
 
+  /** Stats — dataset distribution report to CSV.
+    * reference: output/stats.go:18-39 (spec), :41-230 (metrics).
+    */
   val statsOutput: OutputDesc = OutputDesc(
     "Stats",
     "Computes record-size/field/timestamp distribution statistics over all " +

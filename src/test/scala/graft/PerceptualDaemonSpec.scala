@@ -14,18 +14,9 @@ import graft.streaming.Streaming
   */
 class PerceptualDaemonSpec extends SparkSpec {
 
-  private def bmpHeader(w: Int, h: Int): Array[Byte] = {
-    def le32(v: Int) =
-      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    val size = w * 3 * h
-    Array[Byte]('B', 'M') ++ le32(54 + size) ++ le32(0) ++ le32(54) ++
-      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
-      le32(0) ++ le32(size) ++ new Array[Byte](16)
-  }
-
   /** 8x8 BMP whose 64 pixels are the first 64 chars of `seed` in all
-    * three channels (the q_dedup_incremental_image fixture recipe).
+    * three channels (the q_dedup_incremental_image fixture recipe; the
+    * header comes from the canonical SparkEntry builder).
     */
   private def bmp(seed: String, tweakLast: Boolean = false): Array[Byte] = {
     val s = (seed * 8).take(64).getBytes("ISO-8859-1")
@@ -36,7 +27,7 @@ class PerceptualDaemonSpec extends SparkSpec {
       px(i * 3) = b; px(i * 3 + 1) = b; px(i * 3 + 2) = b
       i += 1
     }
-    bmpHeader(8, 8) ++ px
+    graft.SparkEntry.bmpHeader(8, 8) ++ px
   }
 
   private def shard(dir: java.io.File, name: String,

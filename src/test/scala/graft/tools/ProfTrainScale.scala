@@ -73,13 +73,6 @@ object ProfTrainScale {
 }
 
 object ProfTrainScaleFixtures {
-  // 8×8 24bpp BMP header (see SparkEntry.bmpHeader)
-  val hdr: Array[Byte] = {
-    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
-      (v >> 16).toByte, (v >> 24).toByte)
-    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    Array[Byte]('B', 'M') ++ le32(54 + 192) ++ le32(0) ++ le32(54) ++
-      le32(40) ++ le32(8) ++ le32(8) ++ le16(1) ++ le16(24) ++
-      le32(0) ++ le32(192) ++ new Array[Byte](16)
-  }
+  // the canonical 8×8 24bpp BMP header — one builder for every fixture
+  val hdr: Array[Byte] = graft.SparkEntry.bmpHeader(8, 8)
 }

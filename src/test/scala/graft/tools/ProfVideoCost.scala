@@ -76,15 +76,8 @@ object ProfVideoCost {
 }
 
 object ProfVideoFixtures {
-  val hdr: Array[Byte] = {
-    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
-      (v >> 16).toByte, (v >> 24).toByte)
-    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    val size = 8 * 3 * 8
-    Array[Byte]('B', 'M') ++ le32(54 + size) ++ le32(0) ++ le32(54) ++
-      le32(40) ++ le32(8) ++ le32(8) ++ le16(1) ++ le16(24) ++
-      le32(0) ++ le32(size) ++ new Array[Byte](16)
-  }
+  // the canonical 8×8 24bpp BMP header — one builder for every fixture
+  val hdr: Array[Byte] = graft.SparkEntry.bmpHeader(8, 8)
   // the q_dedup_incremental_video MP4 skeleton: two keyframe samples of
   // 246 bytes each (the BMP header + 192 pixel bytes)
   val (pre, post): (Array[Byte], Array[Byte]) = graft.SparkEntry.mp4VideoFixture
