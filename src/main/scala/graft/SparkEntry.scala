@@ -2114,6 +2114,35 @@ object SparkEntry {
           "doc_id", "text", k = 8, hash = md5(_))
         .orderBy("doc_id")),
 
+    "q_dedup_incremental_substr" -> ((s, d) => {
+      // exact-substring dedup's INCREMENTAL store lifecycle (the text
+      // window-hash sibling of q_dedup_incremental_image): batch 0 (even
+      // docs) cleans within itself and seeds the at-rest window store
+      // with its CLEANED text's hashes; batch 1 (odd docs + planted
+      // 16-token excerpts of even docs < 40) loses every window the store
+      // already holds — even a batch-first occurrence, the store is
+      // canonical — plus its own within-batch repeats. The oracle replays
+      // both stages from tokens; md5 window keys so it regroups.
+      val docs = t(s, d, "documents")
+      val batch0 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+        .select((col("doc_id") + 10000000).as("doc_id"),
+          concat(array_join(slice(TF.tokens(col("text")), 6, 16), " "),
+            lit(" uq"), col("doc_id").cast("string"),
+            lit(" tail marker words")).as("text"))
+      val batch1 = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val dir = qTmpDir("substrstream-q")
+      val fn = graft.streaming.ExactSubstrStream.batchFunction("doc_id",
+        "text", s"$dir/store", s"$dir/corpus", k = 8, hash = md5(_))
+      fn(batch0, 0L)
+      fn(batch1, 1L)
+      s.read.parquet(s"$dir/corpus")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_substr_exact" -> ((s, d) => {
       // suffix-grouping exact-substring dedup (the Lee et al. suffix-array
       // fidelity pass): k-gram anchor groups sort by suffix EXTENSION and
@@ -5100,6 +5129,81 @@ object SparkEntry {
                   i -> b.t[CAST(i + 1 AS INTEGER)]), ' '), '') AS text
          FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
          ORDER BY b.doc_id""",
+    "q_dedup_incremental_substr" ->
+      // both lifecycle stages replayed from tokens: stage 0's
+      // within-batch flags and cleaned rebuild, the store as the DISTINCT
+      // window hashes of the CLEANED stage-0 text, then stage 1's flags
+      // (store membership OR within-batch non-first) and rebuild
+      """WITH docs0 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+         ), docs1 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 10000000,
+                  array_to_string(t[6:21], ' ') || ' uq' ||
+                  CAST(doc_id AS VARCHAR) || ' tail marker words'
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id % 2 = 0 AND doc_id < 40)
+         ), tok0 AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM docs0
+         ), win0 AS (
+           SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS h,
+                  doc_id * 1048576 + pos AS rnk
+           FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+                 FROM tok0)
+         ), first0 AS (
+           SELECT h, min(rnk) AS mr, count(*) AS c FROM win0 GROUP BY h
+         ), flag0 AS (
+           SELECT w.doc_id, w.pos FROM win0 w JOIN first0 f ON w.h = f.h
+           WHERE f.c >= 2 AND w.rnk > f.mr
+         ), pd0 AS (
+           SELECT doc_id, list_sort(list(pos)) AS ps FROM flag0 GROUP BY doc_id
+         ), clean0 AS (
+           SELECT b.doc_id,
+                  COALESCE(array_to_string(list_transform(
+                    list_filter(range(0, len(b.t)),
+                      i -> len(list_filter(COALESCE(p.ps, []),
+                             pp -> pp <= i AND i < pp + 8)) = 0),
+                    i -> b.t[CAST(i + 1 AS INTEGER)]), ' '), '') AS text
+           FROM tok0 b LEFT JOIN pd0 p ON b.doc_id = p.doc_id
+         ), store0 AS (
+           SELECT DISTINCT
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS h
+           FROM (SELECT t, unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+                 FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                       FROM clean0))
+         ), tok1 AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM docs1
+         ), win1 AS (
+           SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS h,
+                  doc_id * 1048576 + pos AS rnk
+           FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+                 FROM tok1)
+         ), first1 AS (
+           SELECT h, min(rnk) AS mr, count(*) AS c FROM win1 GROUP BY h
+         ), flag1 AS (
+           SELECT w.doc_id, w.pos
+           FROM win1 w JOIN first1 f ON w.h = f.h
+           LEFT JOIN store0 s ON s.h = w.h
+           WHERE s.h IS NOT NULL OR (f.c >= 2 AND w.rnk > f.mr)
+         ), pd1 AS (
+           SELECT doc_id, list_sort(list(pos)) AS ps FROM flag1 GROUP BY doc_id
+         ), clean1 AS (
+           SELECT b.doc_id,
+                  COALESCE(array_to_string(list_transform(
+                    list_filter(range(0, len(b.t)),
+                      i -> len(list_filter(COALESCE(p.ps, []),
+                             pp -> pp <= i AND i < pp + 8)) = 0),
+                    i -> b.t[CAST(i + 1 AS INTEGER)]), ' '), '') AS text
+           FROM tok1 b LEFT JOIN pd1 p ON b.doc_id = p.doc_id
+         )
+         SELECT doc_id, md5(text) AS text_md5
+         FROM (SELECT * FROM clean0 UNION ALL SELECT * FROM clean1)
+         ORDER BY doc_id""",
     "q_dedup_substr_exact" ->
       // the suffix-grouping pass replayed: identical planted corpus,
       // anchors regrouped on the same md5 key, the group sorted by

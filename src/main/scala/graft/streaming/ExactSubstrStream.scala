@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.llm.ExactSubstr
+
+/** Streaming exact-substring dedup (Lee et al.) — [[ExactSubstr]] lifted
+  * to the incremental-store lifecycle: every micro-batch's duplicated
+  * k-token windows are cut against the accumulated at-rest WINDOW-HASH
+  * store AND within the batch itself (first occurrence keeps), and the
+  * survivors' cleaned text lands in `corpusDir` with the cleaned text's
+  * window hashes appended to `storeDir` — so later batches (and later
+  * runs) never re-admit a k-run the corpus already contains.
+  *
+  * The store holds the CLEANED text's window set, not the raw batch's:
+  * removal creates new token adjacencies, and future batches must dedupe
+  * against what is actually in the corpus. A window already at rest kills
+  * EVERY batch occurrence (the store is canonical — its copy is the
+  * keeper); within the batch the (id, pos)-first occurrence keeps,
+  * [[ExactSubstr.flaggedWindows]]'s rule.
+  *
+  * Store discipline is [[IncrementalDedupStream]]'s verbatim: idempotent
+  * `batch=<runTag>-<batchId>` partitions (a replayed batch overwrites its
+  * own output and never dedupes against its own previous attempt),
+  * committed-parts reads, the maintenance lease, crash-safe compaction.
+  *
+  * 100 TB posture: the ONE corpus-keyed shuffle is on the fixed-width
+  * window hash (the banded frame feeds the first-occurrence agg, the
+  * store anti-membership and the flag join off one exchange); the store
+  * holds 8 B per DISTINCT kept window — O(corpus tokens), the honest
+  * price of exact-substring memory (the paper's suffix array is larger).
+  * RTBF note: store rows are CONTENT-keyed (a hash can be shared by many
+  * documents), so forgetting a document = delete its corpus rows, then
+  * [[rebuildStore]] a fresh generation from the surviving corpus.
+  */
+object ExactSubstrStream {
+
+  /** The idempotent `foreachBatch` function — a plain
+    * `(DataFrame, Long) => Unit`, directly callable from batch jobs.
+    */
+  def batchFunction(idCol: String, textCol: String, storeDir: String,
+      corpusDir: String, k: Int = 8,
+      hash: Column => Column = xxhash64(_), runTag: String = "run")
+      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    val self = s"batch=$runTag-$batchId"
+    val spark = batchDf.sparkSession
+    val batch = batchDf.select(col(idCol), col(textCol))
+    val hParts = StoreLayout.committed(spark, storeDir, Some(self))
+    val atRest =
+      if (hParts.nonEmpty) spark.read.parquet(hParts: _*).select("__h")
+      else ExactSubstr.windows(batch.limit(0), idCol, textCol, k, hash)
+        .select("__h")
+    // one exchange of the window stream: the first-occurrence agg, the
+    // store membership and the flag join all consume it (the
+    // flaggedWindows ReusedExchange discipline, plus the store side)
+    val w = ExactSubstr.windows(batch, idCol, textCol, k, hash)
+      .filter(col(idCol).isNotNull)
+      .repartition(col("__h"))
+    val firsts = w.groupBy("__h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+    val flagged = w.join(firsts, "__h")
+      .join(atRest.distinct().select(col("__h"), lit(true).as("__inStore")),
+        Seq("__h"), "left")
+      .filter(coalesce(col("__inStore"), lit(false)) ||
+        (col("__cnt") >= 2 && struct(col(idCol), col("pos")) =!= col("__first")))
+      .select(col(idCol), col("pos"))
+    val perDoc = flagged.groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+    // removeDuplicateWindows' reassembly: token i survives iff no flagged
+    // window [p, p+k) covers it; untouched docs pass token-normalized
+    val cleaned = batch.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), array_join(
+        filter(TextFunctions.tokens(col(textCol)),
+          (tok, i) => !exists(coalesce(col("__ps"), array().cast("array<int>")),
+            p => p <= i && i < p + k)),
+        " ").as(textCol))
+      .persist()
+    try {
+      StoreLayout.writing(spark, storeDir, runTag) {
+        // the CLEANED text's distinct window hashes, minus those at rest
+        // (append-only store volume: each distinct window stored once)
+        ExactSubstr.windows(cleaned, idCol, textCol, k, hash)
+          .select("__h").distinct()
+          .join(atRest, Seq("__h"), "left_anti")
+          .write.mode("overwrite").parquet(s"$storeDir/$self")
+      }
+      StoreLayout.writing(spark, corpusDir, runTag) {
+        cleaned.write.mode("overwrite").parquet(s"$corpusDir/$self")
+      }
+    } finally cleaned.unpersist()
+  }
+
+  /** Offline compaction — the shared crash-safe [[StoreLayout.compact]]. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int = 1): Unit =
+    StoreLayout.compact(spark, dir, targetFiles)
+
+  /** Rebuild the window-hash store from the kept corpus into
+    * `newStoreDir` (one `batch=rebuild-0` partition) — the
+    * right-to-be-forgotten path: store rows are content-keyed, so after
+    * deleting a document's corpus rows ([[StoreLayout.deleteIds]]) the
+    * store must be REBUILT from what survives, not point-deleted (a hash
+    * the forgotten document shared with a kept one must stay).
+    */
+  def rebuildStore(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      newStoreDir: String, idCol: String, textCol: String, k: Int = 8,
+      hash: Column => Column = xxhash64(_)): Unit = {
+    val parts = StoreLayout.committed(spark, corpusDir, None)
+    require(parts.nonEmpty, s"ExactSubstrStream.rebuildStore: no committed " +
+      s"corpus partitions under $corpusDir")
+    val corpus = spark.read.parquet(parts: _*).select(col(idCol), col(textCol))
+    StoreLayout.writing(spark, newStoreDir, "rebuild") {
+      ExactSubstr.windows(corpus, idCol, textCol, k, hash)
+        .select("__h").distinct()
+        .write.mode("overwrite").parquet(s"$newStoreDir/batch=rebuild-0")
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ExactSubstrStream, StoreLayout}
+
+/** The exact-substring incremental store lifecycle: within-batch
+  * first-occurrence keeps, cross-batch kills against the at-rest window
+  * set (store is canonical — even a batch's first occurrence dies),
+  * cleaned-text windows accumulate, replay idempotence, and the
+  * rebuild-from-corpus RTBF path.
+  */
+class ExactSubstrStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirs(): (String, String) = {
+    val d = Files.createTempDirectory("graft-substr-stream").toFile
+    d.deleteOnExit()
+    (s"$d/store", s"$d/corpus")
+  }
+
+  private def corpusMap(corpusDir: String): Map[Long, String] =
+    spark.read.parquet(corpusDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("within-batch first keeps; cross-batch repeats die against the store") {
+    val (store, corpus) = dirs()
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
+      k = 3)
+    // batch 0: doc 1 is the source; doc 2 embeds doc 1's "b c d e" run
+    fn(Seq((1L, "a b c d e f"), (2L, "x b c d e y")).toDF("doc_id", "text"), 0L)
+    assert(corpusMap(corpus) == Map(1L -> "a b c d e f", 2L -> "x y"))
+    // batch 1: doc 10 repeats doc 1's run — even though it is batch 1's
+    // FIRST occurrence, the store's copy is the keeper; doc 11 is novel
+    fn(Seq((10L, "p q a b c d r"), (11L, "totally novel words here now"))
+      .toDF("doc_id", "text"), 1L)
+    val got = corpusMap(corpus)
+    assert(got(10L) == "p q r")
+    assert(got(11L) == "totally novel words here now")
+    // and doc 11's windows are now at rest: batch 2 repeating them dies
+    fn(Seq((20L, "prefix totally novel words here now suffix"))
+      .toDF("doc_id", "text"), 2L)
+    assert(corpusMap(corpus)(20L) == "prefix suffix")
+  }
+
+  test("the store holds the CLEANED text's windows (new adjacencies count)") {
+    val (store, corpus) = dirs()
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
+      k = 3)
+    // doc 2's removal of "b c d" creates the NEW adjacency "x e y" in the
+    // cleaned text — a later doc repeating "x e y" must die against it
+    fn(Seq((1L, "a b c d e"), (2L, "x b c d x e y")).toDF("doc_id", "text"), 0L)
+    assert(corpusMap(corpus)(2L) == "x x e y")
+    fn(Seq((10L, "q x e y q2")).toDF("doc_id", "text"), 1L)
+    assert(corpusMap(corpus)(10L) == "q q2")
+  }
+
+  test("replayed batch overwrites its own partition and never dedupes " +
+      "against its previous attempt") {
+    val (store, corpus) = dirs()
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
+      k = 3)
+    fn(Seq((1L, "a b c d e")).toDF("doc_id", "text"), 0L)
+    val b1 = Seq((10L, "m n o p q")).toDF("doc_id", "text")
+    fn(b1, 1L)
+    val before = corpusMap(corpus)
+    fn(b1, 1L) // replay: must not kill doc 10 against its own attempt
+    assert(corpusMap(corpus) == before)
+    assert(before(10L) == "m n o p q")
+  }
+
+  test("rebuildStore: after RTBF corpus deletion, a rebuilt store " +
+      "re-admits the forgotten content but still blocks kept content") {
+    val (store, corpus) = dirs()
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
+      k = 3)
+    fn(Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text"), 0L)
+    // forget doc 1 (corpus rows first — the content-keyed store cannot be
+    // point-deleted), then rebuild the window store from what survives
+    StoreLayout.deleteIds(spark, corpus, "doc_id",
+      Seq(1L).toDF("doc_id"))
+    val d = Files.createTempDirectory("graft-substr-rebuild").toFile
+    ExactSubstrStream.rebuildStore(spark, corpus, s"$d/store2",
+      "doc_id", "text", k = 3)
+    val fn2 = ExactSubstrStream.batchFunction("doc_id", "text",
+      s"$d/store2", corpus, k = 3)
+    fn2(Seq((30L, "alpha beta gamma delta"), (31L, "one two three four"))
+      .toDF("doc_id", "text"), 1L)
+    val got = corpusMap(corpus)
+    assert(got(30L) == "alpha beta gamma delta") // forgotten -> re-admitted
+    assert(got(31L) == "")                       // kept -> still blocked
+  }
+}
