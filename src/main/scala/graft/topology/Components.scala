@@ -39,8 +39,8 @@ object BuiltinComponents {
       Tokenize.tokenizeIds, Tokenize.packRows),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, perceptualStoreOutput,
-      DynamoOutput.desc, SqliteOutput.desc, SqliteOutput.rawDesc,
-      WebSocketOutput.desc),
+      substrStoreOutput, DynamoOutput.desc, SqliteOutput.desc,
+      SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
     metrics = Seq(datadogMetrics),
   )
@@ -1581,6 +1581,43 @@ object BuiltinComponents {
       val fn = graft.streaming.PerceptualDedupStream.batchFunction(id, sigOf,
         storeDir, corpusDir, maxHamming = cfg.int("MaxHamming", 3L).toInt,
         maxBucketSize = cfg.int("MaxBucketSize", 0L).toInt, runTag = runTag)
+      fn(df, rotation)
+      val part = s"$corpusDir/batch=$runTag-$rotation"
+      val kept = try ctx.spark.read.parquet(part).count()
+      catch { case _: Exception => 0L }
+      OutputResult(Seq(part), kept)
+    })
+
+  /** SubstrDedupStore — [[graft.streaming.ExactSubstrStream]] as a TOML
+    * OUTPUT, the exact-substring sibling of [[perceptualStoreOutput]]:
+    * each batch (or daemon micro-batch) has its duplicated k-token runs
+    * cut against the at-rest window-hash store and within itself, the
+    * cleaned text lands in CorpusDir and its window hashes append to
+    * StoreDir under idempotent `batch=<RunTag>-<Rotation>` partitions.
+    */
+  val substrStoreOutput: OutputDesc = OutputDesc(
+    "SubstrDedupStore",
+    "Cuts every k-token run the accumulated corpus already contains " +
+      "(and within-batch repeats) out of the text field; cleaned records " +
+      "land in CorpusDir, their window hashes in StoreDir (idempotent " +
+      "batch partitions).",
+    Seq(
+      ConfigKey("IdField", "unique id field", required = true),
+      ConfigKey("Field", "text field to dedup", required = true),
+      ConfigKey("K", "window width in tokens", default = Some(8L)),
+      ConfigKey("StoreDir", "at-rest window-hash store directory", required = true),
+      ConfigKey("CorpusDir", "cleaned-corpus directory", required = true),
+      ConfigKey("RunTag", "store partition namespace", default = Some("run")),
+      ConfigKey("Rotation", "batch id for idempotent partitions; daemons " +
+        "pass \"{{.Rotation}}\"", default = Some("0"))),
+    raw = false,
+    (ctx, cfg, df) => {
+      val corpusDir = cfg.str("CorpusDir")
+      val runTag = cfg.str("RunTag", "run")
+      val rotation = cfg.str("Rotation", "0").toLong
+      val fn = graft.streaming.ExactSubstrStream.batchFunction(
+        cfg.str("IdField"), cfg.str("Field"), cfg.str("StoreDir"), corpusDir,
+        k = cfg.int("K", 8L).toInt, runTag = runTag)
       fn(df, rotation)
       val part = s"$corpusDir/batch=$runTag-$rotation"
       val kept = try ctx.spark.read.parquet(part).count()

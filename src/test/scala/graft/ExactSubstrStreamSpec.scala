@@ -71,6 +71,51 @@ class ExactSubstrStreamSpec extends SparkSpec {
     assert(before(10L) == "m n o p q")
   }
 
+  test("SubstrDedupStore TOML daemon: file-watch stream, store kills " +
+      "across micro-batches, checkpointed restart") {
+    val d = Files.createTempDirectory("graft-substr-daemon").toFile
+    val in = new java.io.File(d, "in"); in.mkdirs()
+    def drop(name: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(in, name))
+      lines.foreach(w.println); w.close()
+    }
+    drop("f0.csv", "1,a b c d e", "2,x b c d y")
+    val toml =
+      s"""[fields]
+         |names = ["doc_id", "text"]
+         |[input]
+         |name = "SQS"
+         |  [input.config]
+         |  QueuePath = "${in.getAbsolutePath}"
+         |[output]
+         |name = "SubstrDedupStore"
+         |  [output.config]
+         |  IdField = "doc_id"
+         |  Field = "text"
+         |  K = 3
+         |  StoreDir = "$d/store"
+         |  CorpusDir = "$d/corpus"
+         |  Rotation = "{{.Rotation}}"
+         |""".stripMargin
+    val d1 = graft.streaming.Streaming.runDaemon(spark, toml, s"$d/ckpt",
+      triggerMs = 100, env = Map.empty)
+    d1.processAllAvailable()
+    d1.stop()
+    def got(): Map[String, String] =
+      spark.read.parquet(s"$d/corpus").select("doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got() == Map("1" -> "a b c d e", "2" -> "x y"))
+    // a later file repeats doc 1's run; the restarted daemon kills it
+    // against the store and does not reprocess f0
+    drop("f1.csv", "10,z b c d w", "11,totally fresh words here")
+    val d2 = graft.streaming.Streaming.runDaemon(spark, toml, s"$d/ckpt",
+      triggerMs = 100, env = Map.empty)
+    d2.processAllAvailable()
+    d2.stop()
+    assert(got() == Map("1" -> "a b c d e", "2" -> "x y",
+      "10" -> "z w", "11" -> "totally fresh words here"))
+  }
+
   test("rebuildStore: after RTBF corpus deletion, a rebuilt store " +
       "re-admits the forgotten content but still blocks kept content") {
     val (store, corpus) = dirs()
