@@ -60,7 +60,18 @@ object ExactSubstr {
     * deterministic and restatable by a SQL oracle.
     */
   def flaggedWindows(df: DataFrame, idCol: String, textCol: String, k: Int,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
+      hash: Column => Column = xxhash64(_)): DataFrame =
+    flaggedWindowsVs(df, idCol, textCol, k, hash, atRest = None)
+
+  /** [[flaggedWindows]] generalized with an optional AT-REST window-hash
+    * set (the incremental-store path): a window also dies when its hash
+    * is at rest — EVERY occurrence, including the batch-first one, since
+    * the store's copy is the keeper. `atRest`: one `__h` column, rows
+    * distinct by the store's construction.
+    */
+  private[graft] def flaggedWindowsVs(df: DataFrame, idCol: String,
+      textCol: String, k: Int, hash: Column => Column,
+      atRest: Option[DataFrame]): DataFrame = {
     // explicit hash repartition BEFORE the aggregate: the first-occurrence
     // agg and the flag join both consume this one exchange (ReusedExchange)
     // — without it each side builds its own shuffle of the full window
@@ -72,14 +83,40 @@ object ExactSubstr {
     val w = windows(df, idCol, textCol, k, hash)
       .filter(col(idCol).isNotNull)
       .repartition(col("__h"))
-    val firsts = w.groupBy("__h")
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
-        count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2)
-    w.join(firsts, "__h")
-      .filter(struct(col(idCol), col("pos")) =!= col("__first"))
-      .select(col(idCol), col("pos"))
+    atRest match {
+      case None =>
+        val firsts = w.groupBy("__h")
+          .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+            count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") >= 2)
+        w.join(firsts, "__h")
+          .filter(struct(col(idCol), col("pos")) =!= col("__first"))
+          .select(col(idCol), col("pos"))
+      case Some(store) =>
+        val firsts = w.groupBy("__h")
+          .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+            count(lit(1)).as("__cnt"))
+        w.join(firsts, "__h")
+          .join(store.select(col("__h"), lit(true).as("__inStore")),
+            Seq("__h"), "left")
+          .filter(coalesce(col("__inStore"), lit(false)) ||
+            (col("__cnt") >= 2 &&
+              struct(col(idCol), col("pos")) =!= col("__first")))
+          .select(col(idCol), col("pos"))
+    }
   }
+
+  /** The cleaned text of one document given its sorted-or-not flagged
+    * positions: token i survives iff no flagged window [p, p+k) covers it
+    * — the reassembly shared by [[removeDuplicateWindows]] and the
+    * incremental store. Null `ps` (no flags) passes token-normalized.
+    */
+  private[graft] def cutWindows(text: Column, ps: Column, k: Int): Column =
+    array_join(
+      filter(TextFunctions.tokens(text),
+        (tok, i) => !exists(coalesce(ps, array().cast("array<int>")),
+          p => p <= i && i < p + k)),
+      " ")
 
   /** Token-count of the interval union `∪ [p, p+k)` over a SORTED position
     * array: consecutive gaps clipped at k, plus k for the last interval.
@@ -274,10 +311,7 @@ object ExactSubstr {
     val perDoc = flaggedWindows(df, idCol, textCol, k, hash)
       .groupBy(idCol).agg(sort_array(collect_list(col("pos"))).as("__ps"))
     df.join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), array_join(
-        filter(TextFunctions.tokens(col(textCol)),
-          (tok, i) => !exists(coalesce(col("__ps"), array().cast("array<int>")),
-            p => p <= i && i < p + k)),
-        " ").as("text"))
+      .select(col(idCol),
+        cutWindows(col(textCol), col("__ps"), k).as("text"))
   }
 }

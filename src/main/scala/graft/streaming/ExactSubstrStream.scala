@@ -39,50 +39,47 @@ object ExactSubstrStream {
 
   /** The idempotent `foreachBatch` function — a plain
     * `(DataFrame, Long) => Unit`, directly callable from batch jobs.
+    * ALL record fields pass through (only `textCol` is rewritten), the
+    * [[PerceptualDedupStream]] contract. Rows with a NULL id cannot
+    * participate in dedup (no identity to key the keeper rule or RTBF
+    * on): they pass to the corpus token-normalized but UNCLEANED and
+    * contribute NOTHING to the store — the mirror of the perceptual
+    * tier's missing-fingerprint-keeps-the-row rule.
     */
   def batchFunction(idCol: String, textCol: String, storeDir: String,
       corpusDir: String, k: Int = 8,
       hash: Column => Column = xxhash64(_), runTag: String = "run")
       : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    require(!batchDf.columns.contains("__ps"),
+      "ExactSubstrStream reserves helper column '__ps'")
     val self = s"batch=$runTag-$batchId"
     val spark = batchDf.sparkSession
-    val batch = batchDf.select(col(idCol), col(textCol))
     val hParts = StoreLayout.committed(spark, storeDir, Some(self))
+    // store rows are distinct by construction (each partition is written
+    // anti-joined against everything at rest before it) — no re-distinct.
+    // The store is scanned twice per turn (flag join + append anti-join):
+    // two projections of an 8-byte column, the honest per-batch cost —
+    // persisting the whole store would pin O(store) memory instead.
     val atRest =
       if (hParts.nonEmpty) spark.read.parquet(hParts: _*).select("__h")
-      else ExactSubstr.windows(batch.limit(0), idCol, textCol, k, hash)
+      else ExactSubstr.windows(batchDf.limit(0), idCol, textCol, k, hash)
         .select("__h")
-    // one exchange of the window stream: the first-occurrence agg, the
-    // store membership and the flag join all consume it (the
-    // flaggedWindows ReusedExchange discipline, plus the store side)
-    val w = ExactSubstr.windows(batch, idCol, textCol, k, hash)
-      .filter(col(idCol).isNotNull)
-      .repartition(col("__h"))
-    val firsts = w.groupBy("__h")
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
-        count(lit(1)).as("__cnt"))
-    val flagged = w.join(firsts, "__h")
-      .join(atRest.distinct().select(col("__h"), lit(true).as("__inStore")),
-        Seq("__h"), "left")
-      .filter(coalesce(col("__inStore"), lit(false)) ||
-        (col("__cnt") >= 2 && struct(col(idCol), col("pos")) =!= col("__first")))
-      .select(col(idCol), col("pos"))
-    val perDoc = flagged.groupBy(idCol)
+    val perDoc = ExactSubstr
+      .flaggedWindowsVs(batchDf, idCol, textCol, k, hash, Some(atRest))
+      .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("__ps"))
-    // removeDuplicateWindows' reassembly: token i survives iff no flagged
-    // window [p, p+k) covers it; untouched docs pass token-normalized
-    val cleaned = batch.join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), array_join(
-        filter(TextFunctions.tokens(col(textCol)),
-          (tok, i) => !exists(coalesce(col("__ps"), array().cast("array<int>")),
-            p => p <= i && i < p + k)),
-        " ").as(textCol))
+    val cleaned = batchDf.join(perDoc, Seq(idCol), "left")
+      .withColumn(textCol, ExactSubstr.cutWindows(col(textCol), col("__ps"), k))
+      .drop("__ps")
       .persist()
     try {
       StoreLayout.writing(spark, storeDir, runTag) {
         // the CLEANED text's distinct window hashes, minus those at rest
-        // (append-only store volume: each distinct window stored once)
-        ExactSubstr.windows(cleaned, idCol, textCol, k, hash)
+        // (append-only store volume: each distinct window stored once);
+        // null-id rows excluded — an un-addressable row must never become
+        // the canonical keeper
+        ExactSubstr.windows(cleaned.filter(col(idCol).isNotNull),
+            idCol, textCol, k, hash)
           .select("__h").distinct()
           .join(atRest, Seq("__h"), "left_anti")
           .write.mode("overwrite").parquet(s"$storeDir/$self")

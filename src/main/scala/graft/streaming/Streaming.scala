@@ -275,6 +275,20 @@ object Streaming {
     val outDesc = components.output(cfg.outputName)
     cfg.outputConfig.validate(outDesc.keys)
     val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    // {{.RunTag}} expands to the per-checkpoint-INSTANCE tag
+    // (StoreLayout.runTagFor): store outputs (PerceptualDedupStore,
+    // SubstrDedupStore) need it for their partition names — a static tag
+    // would recreate the absorbed-name collision runTagFor exists to
+    // prevent (wiped checkpoint restarts batchIds at 0 and re-mints a
+    // name an earlier compaction's _ABSORBED manifest already lists,
+    // making the new rows reader-invisible and sweepable)
+    val needsTag = cfg.outputConfig.raw.values.exists {
+      case v: String => v.contains("{{.RunTag}}")
+      case _ => false
+    }
+    val runTag =
+      if (needsTag) StoreLayout.runTagFor(compiled.ctx.spark, checkpointDir)
+      else ""
     val query = compiled.projected.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -288,6 +302,7 @@ object Streaming {
           cfg.outputConfig.raw.map {
             case (k, v: String) =>
               k -> v.replace("{{.Rotation}}", batchId.toString)
+                .replace("{{.RunTag}}", runTag)
             case kv => kv
           },
           cfg.outputConfig.componentName)

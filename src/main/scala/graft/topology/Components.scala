@@ -1545,7 +1545,10 @@ object BuiltinComponents {
       ConfigKey("MaxHamming", "near-dup radius in signature bits", default = Some(3L)),
       ConfigKey("MaxBucketSize", "skew fuse: drop hotter band buckets (0 = off)",
         default = Some(0L)),
-      ConfigKey("RunTag", "store partition namespace", default = Some("run")),
+      ConfigKey("RunTag", "store partition namespace; daemons MUST pass " +
+        "\"{{.RunTag}}\" (the per-checkpoint-instance tag — a static tag " +
+        "collides with absorbed partition names after a checkpoint wipe)",
+        default = Some("run")),
       ConfigKey("Rotation", "batch id for idempotent partitions; daemons " +
         "pass \"{{.Rotation}}\"", default = Some("0"))),
     raw = false,
@@ -1583,9 +1586,10 @@ object BuiltinComponents {
         maxBucketSize = cfg.int("MaxBucketSize", 0L).toInt, runTag = runTag)
       fn(df, rotation)
       val part = s"$corpusDir/batch=$runTag-$rotation"
-      val kept = try ctx.spark.read.parquet(part).count()
-      catch { case _: Exception => 0L }
-      OutputResult(Seq(part), kept)
+      // the write above committed (StoreLayout.writing), so the partition
+      // exists with _SUCCESS — a read-back failure here is a REAL error
+      // (permissions, corruption), not an empty batch; let it surface
+      OutputResult(Seq(part), ctx.spark.read.parquet(part).count())
     })
 
   /** SubstrDedupStore — [[graft.streaming.ExactSubstrStream]] as a TOML
@@ -1607,7 +1611,10 @@ object BuiltinComponents {
       ConfigKey("K", "window width in tokens", default = Some(8L)),
       ConfigKey("StoreDir", "at-rest window-hash store directory", required = true),
       ConfigKey("CorpusDir", "cleaned-corpus directory", required = true),
-      ConfigKey("RunTag", "store partition namespace", default = Some("run")),
+      ConfigKey("RunTag", "store partition namespace; daemons MUST pass " +
+        "\"{{.RunTag}}\" (the per-checkpoint-instance tag — a static tag " +
+        "collides with absorbed partition names after a checkpoint wipe)",
+        default = Some("run")),
       ConfigKey("Rotation", "batch id for idempotent partitions; daemons " +
         "pass \"{{.Rotation}}\"", default = Some("0"))),
     raw = false,
@@ -1620,9 +1627,10 @@ object BuiltinComponents {
         k = cfg.int("K", 8L).toInt, runTag = runTag)
       fn(df, rotation)
       val part = s"$corpusDir/batch=$runTag-$rotation"
-      val kept = try ctx.spark.read.parquet(part).count()
-      catch { case _: Exception => 0L }
-      OutputResult(Seq(part), kept)
+      // the write above committed (StoreLayout.writing), so the partition
+      // exists with _SUCCESS — a read-back failure here is a REAL error
+      // (permissions, corruption), not an empty batch; let it surface
+      OutputResult(Seq(part), ctx.spark.read.parquet(part).count())
     })
 
   /** Stats — dataset distribution report to CSV.

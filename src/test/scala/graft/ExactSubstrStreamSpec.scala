@@ -95,6 +95,7 @@ class ExactSubstrStreamSpec extends SparkSpec {
          |  K = 3
          |  StoreDir = "$d/store"
          |  CorpusDir = "$d/corpus"
+         |  RunTag = "{{.RunTag}}"
          |  Rotation = "{{.Rotation}}"
          |""".stripMargin
     val d1 = graft.streaming.Streaming.runDaemon(spark, toml, s"$d/ckpt",

@@ -69,6 +69,7 @@ class PerceptualDaemonSpec extends SparkSpec {
          |  StoreDir = "$dir/store"
          |  CorpusDir = "$dir/corpus"
          |  MaxHamming = 8
+         |  RunTag = "{{.RunTag}}"
          |  Rotation = "{{.Rotation}}"
          |""".stripMargin
     val d1 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
