@@ -715,6 +715,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("incremental substring dedup: the batch window stream shuffles " +
+      "once (ReusedExchange across agg + flag join), no cartesian") {
+    import spark.implicits._
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val store = Seq(1L, 2L).toDF("__h")
+    val p = finalPlan(graft.llm.ExactSubstr.flaggedWindowsVs(
+      docs, "doc_id", "text", k = 8, hash = xxhash64(_), Some(store)))
+    assert(p.contains("ReusedExchange"), s"expected shared window exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("suffixDedupStats: anchor exchange + doc-keyed window/agg, " +
       "corpus never joins itself") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
