@@ -117,6 +117,30 @@ class ExactSubstrStreamSpec extends SparkSpec {
       "10" -> "z w", "11" -> "totally fresh words here"))
   }
 
+  test("streaming DECONTAMINATION: a store prebuilt from a benchmark " +
+      "corpus cuts benchmark excerpts out of every training batch") {
+    val d = Files.createTempDirectory("graft-decontam").toFile
+    // the "benchmark" corpus (eval questions that must never leak into
+    // training data) becomes the at-rest window set via rebuildStore
+    Seq((1L, "what is the capital of france"),
+        (2L, "name the largest planet in our solar system"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/bench/batch=seed-0")
+    ExactSubstrStream.rebuildStore(spark, s"$d/bench", s"$d/store",
+      "doc_id", "text", k = 4)
+    // training batches then clean against it — contaminated spans cut at
+    // exact boundaries, fresh text untouched
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", s"$d/store",
+      s"$d/corpus", k = 4)
+    fn(Seq(
+      (100L, "quiz leak what is the capital of france end of doc"),
+      (101L, "clean document with no benchmark overlap at all"))
+      .toDF("doc_id", "text"), 0L)
+    val got = corpusMap(s"$d/corpus")
+    assert(got(100L) == "quiz leak end of doc")
+    assert(got(101L) == "clean document with no benchmark overlap at all")
+  }
+
   test("rebuildStore: after RTBF corpus deletion, a rebuilt store " +
       "re-admits the forgotten content but still blocks kept content") {
     val (store, corpus) = dirs()
