@@ -84,7 +84,9 @@ object Tokenize {
     ConfigKey("DstField", "field for the comma-joined token ids", required = true),
     ConfigKey("VocabPath", "vocabulary sidecar written by a [tokenizer] train job",
       required = true),
-    ConfigKey("Method", "unigram | bpe — must match the sidecar's trainer",
+    ConfigKey("Method", "unigram | bpe — unigram for a unigram-trained " +
+      "sidecar; bpe applies ANY merge-rule sidecar (bpe- or " +
+      "wordpiece-trained: both persist \"left right\" rules in learned order)",
       default = Some("unigram")),
     ConfigKey("CountField", "optional field for the token count"),
     ConfigKey("MaxWordLen", "unigram Viterbi word-length bound (match training)",
