@@ -62,6 +62,28 @@ object SparkEntry {
     java.util.Arrays.copyOf(buf, n)
   }
 
+  /** q_pdf_objstm's constant Flate-compressed /ObjStm container (header
+    * "9 0 " → /N 1 /First 4), deflated once on the driver; the oracle
+    * checks the extracted TEXT, never the compressed bytes.
+    */
+  private lazy val pdfObjStmFlateFixture: Array[Byte] = {
+    val src = "9 0 BT (objstm flate text) Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(src); defl.finish()
+    val buf = new Array[Byte](4096)
+    val n = defl.deflate(buf)
+    defl.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** q_pdf_objstm's constant /LZWDecode content stream, encoded once on
+    * the driver with the literal-code fixture encoder.
+    */
+  private lazy val pdfLzwFixture: Array[Byte] =
+    graft.llm.Pdf.lzwEncodeLiteral("BT (lzw stream text works) Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
   /** Shared histogram boundaries for q_hist_quantiles: lineitem prices span
     * ~[900, 105k]; 20 log bins/decade ≈ 12% relative quantile error.
     */
@@ -3297,6 +3319,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pdf_objstm" -> ((s, d) => {
+      // PDF 1.5 object-stream + LZW extraction: each doc's payload packs
+      // THREE tiers — an UNCOMPRESSED /ObjStm whose single embedded object
+      // carries the doc's prose (header "2 0 " → /N 1 /First 4, pure
+      // column algebra), a constant Flate-compressed /ObjStm, and a
+      // constant /LZWDecode content stream (both encoded once on the
+      // driver; the oracle checks extracted TEXT, independent of the
+      // encoders' byte choices). Pins the decodeStream filter routing +
+      // objStmBodies split + lzwDecode end-to-end on the distributed path.
+      val body = concat(lit("2 0 BT ("), substring(col("text"), 1, 60),
+        lit(") Tj ET"))
+      val payload = concat(
+        concat(lit("%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length "),
+          length(body).cast("string"), lit(" >>\nstream\n"),
+          body).cast("binary"),
+        lit("\nendstream\nendobj\n3 0 obj\n<< /Type /ObjStm /N 1 /First 4 " +
+          "/Length " + pdfObjStmFlateFixture.length +
+          " /Filter /FlateDecode >>\nstream\n").cast("binary"),
+        lit(pdfObjStmFlateFixture),
+        lit("\nendstream\nendobj\n4 0 obj\n<< /Length " +
+          pdfLzwFixture.length + " /Filter /LZWDecode >>\nstream\n")
+          .cast("binary"),
+        lit(pdfLzwFixture),
+        lit("\nendstream\nendobj\n%%EOF\n").cast("binary"))
+      graft.llm.Pdf.pdfTexts(
+          t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_decode" -> ((s, d) =>
       // batched partition decode (stub codec, deterministic dims from size)
       graft.llm.Multimodal.decodeImages(
@@ -6191,6 +6243,17 @@ object SparkEntry {
                 substr(text, 1, 60) || ' esc (a) \ A kerned HI!!' ||
                 chr(10) || 'page footer' || chr(10) ||
                 'flate stream text works' AS text
+         FROM documents ORDER BY doc_id""",
+    "q_pdf_objstm" ->
+      // the three planted tiers restated in document byte order: the
+      // uncompressed ObjStm's embedded text object (doc prose), the
+      // constant Flate ObjStm, the constant LZW content stream —
+      // extraction output is independent of either encoder's byte
+      // choices, so the oracle needs neither zlib nor LZW
+      """SELECT doc_id,
+                substr(text, 1, 60) || chr(10) ||
+                'objstm flate text' || chr(10) ||
+                'lzw stream text works' AS text
          FROM documents ORDER BY doc_id""",
     "q_multimodal_decode" ->
       """SELECT doc_id,

@@ -11,8 +11,18 @@ import org.apache.spark.sql.functions._
   *
   *  - content streams located by `stream`…`endstream` framing, the
   *    object dictionary read back to the enclosing `obj` for the
-  *    `/FlateDecode` filter (inflated with the JDK's zlib; other filters
-  *    and encrypted documents are skipped, not errors);
+  *    `/Filter` entry: unfiltered streams walk raw, `/FlateDecode`
+  *    inflates with the JDK's zlib, `/LZWDecode` decodes with the PDF
+  *    LZW variant below; any OTHER filter (DCTDecode/JPXDecode/
+  *    ASCII85…), filter CHAINS, predictor'd streams and encrypted
+  *    documents are SKIPPED, not errors — a compressed binary payload
+  *    routinely contains accidental `BT`…`ET` byte pairs, so walking it
+  *    raw would inject garbage blocks into extracted training text;
+  *  - object streams (`/Type /ObjStm`, PDF 1.5+): the decoded container
+  *    is split by its `/N` (objnum, offset) header pairs at `/First`,
+  *    and each embedded object body is walked for text blocks like a
+  *    content stream — text an ObjStm-packed document carries is no
+  *    longer silently extracted as empty;
   *  - show-text collected between `BT`…`ET`: literal strings `(…)` with
   *    balanced nested parens and the full escape table (`\n \r \t \b \f
   *    \( \) \\`, 1-3 digit octal, line continuations), hex strings
@@ -53,8 +63,10 @@ object Pdf {
         val dict = new String(b, math.max(objAt, 0), i - math.max(objAt, 0),
           java.nio.charset.StandardCharsets.ISO_8859_1)
         val raw = java.util.Arrays.copyOfRange(b, ds, math.max(ds, dataEnd))
-        if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
-        else out += raw
+        decodeStream(dict, raw).foreach { data =>
+          if (dict.contains("/ObjStm")) objStmBodies(dict, data).foreach(out += _)
+          else out += data
+        }
         i = de + 9
       } else i += 1
     }
@@ -102,6 +114,146 @@ object Pdf {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
     finally inf.end()
+  }
+
+  private val FilterEntry = """(?s)/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val NameToken = """/([A-Za-z0-9]+)""".r
+
+  /** Decoded bytes of one stream given its object-dictionary text: raw
+    * when the dict names NO filter, inflated/LZW-decoded for a single
+    * `/FlateDecode`/`/LZWDecode`, None for everything else (unknown
+    * filters, chains, `/Predictor` > 1 — data this walker cannot turn
+    * back into text, which must not be scanned as if it were).
+    */
+  private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] = {
+    val names = FilterEntry.findFirstMatchIn(dict) match {
+      case None => return Some(raw) // no /Filter: stream data IS the bytes
+      case Some(m) => NameToken.findAllMatchIn(m.group(1)).map(_.group(1)).toList
+    }
+    val predictor = intKey(dict, "/Predictor").getOrElse(1L)
+    if (predictor > 1) None
+    else names match {
+      case List("FlateDecode") => inflate(raw)
+      case List("LZWDecode") => lzwDecode(raw)
+      case _ => None
+    }
+  }
+
+  /** Integer value of a `/Key N` dictionary entry (no reference-chasing —
+    * a `/Key 3 0 R` indirect value returns None, skipping the stream).
+    */
+  private def intKey(dict: String, key: String): Option[Long] =
+    (key + """\s+(\d+)(\s+\d+\s+R)?""").r.findFirstMatchIn(dict)
+      .filter(_.group(2) == null).map(_.group(1).toLong)
+
+  /** Embedded object bodies of a DECODED `/ObjStm` container: the first
+    * `/First` bytes hold `/N` whitespace-separated (objnum, offset)
+    * pairs, offsets relative to `/First`; bodies run between consecutive
+    * offsets (PDF 32000-1 §7.5.7). A malformed header degrades to
+    * walking the whole container — never a throw.
+    */
+  private def objStmBodies(dict: String, data: Array[Byte]): Seq[Array[Byte]] = {
+    val parsed = for {
+      n <- intKey(dict, "/N").map(_.toInt) if n > 0
+      first <- intKey(dict, "/First").map(_.toInt)
+      if first > 0 && first <= data.length
+    } yield {
+      val header = new String(data, 0, first,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val nums = header.trim.split("\\s+")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      val offsets = nums.grouped(2).collect { case Array(_, off) => off.toInt }
+        .take(n).toArray
+      if (offsets.isEmpty || offsets.exists(o => o < 0 || first + o > data.length))
+        Seq(data)
+      else offsets.zip(offsets.drop(1) :+ (data.length - first)).toSeq.map {
+        case (from, until) =>
+          java.util.Arrays.copyOfRange(data, first + from,
+            math.max(first + from, math.min(first + until, data.length)))
+      }
+    }
+    parsed.getOrElse(Seq(data))
+  }
+
+  /** PDF LZWDecode (PDF 32000-1 §7.4.4 with EarlyChange = 1, the
+    * default): MSB-first variable-width codes 9→12 bits, 256 = clear
+    * table, 257 = EOD, the code width growing one entry EARLY. Corrupt
+    * data → None, never a throw — the [[inflate]] contract.
+    */
+  private def lzwDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+      def reset(): Unit = {
+        table.clear()
+        var i = 0
+        while (i < 256) { table += Array(i.toByte); i += 1 }
+        table += null; table += null // 256 clear, 257 EOD
+      }
+      reset()
+      var codeLen = 9
+      var prev: Array[Byte] = null
+      var acc = 0L
+      var accBits = 0
+      var i = 0
+      var done = false
+      while (!done && (accBits >= codeLen || i < data.length)) {
+        while (accBits < codeLen && i < data.length) {
+          acc = (acc << 8) | (data(i) & 0xFF); accBits += 8; i += 1
+        }
+        if (accBits < codeLen) done = true // trailing partial code: padding
+        else {
+          val code = ((acc >> (accBits - codeLen)) & ((1L << codeLen) - 1)).toInt
+          accBits -= codeLen
+          if (code == 256) { reset(); codeLen = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry =
+              if (code < table.length && table(code) != null) table(code)
+              else if (code == table.length && prev != null) prev :+ prev(0)
+              else return None // code ahead of the table: corrupt
+            out.write(entry, 0, entry.length)
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            prev = entry
+            // EarlyChange = 1: widen when the NEXT add would hit the limit
+            if (codeLen < 12 && table.length + 1 >= (1 << codeLen)) codeLen += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** A VALID LZWDecode stream of `data` that never emits a match — the
+    * clear code, each byte as a literal code, EOD — with the code width
+    * widening exactly as [[lzwDecode]]'s table grows. A fixture encoder
+    * (PdfSpec, the q_pdf_objstm oracle fixture), not a compressor.
+    */
+  private[graft] def lzwEncodeLiteral(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var acc = 0L
+    var accBits = 0
+    var codeLen = 9
+    var tableLen = 258
+    def put(code: Int): Unit = {
+      acc = (acc << codeLen) | code; accBits += codeLen
+      while (accBits >= 8) {
+        out.write(((acc >> (accBits - 8)) & 0xFF).toInt); accBits -= 8
+      }
+    }
+    put(256)
+    var i = 0
+    while (i < data.length) {
+      put(data(i) & 0xFF)
+      // mirror the decoder: after the first literal every code adds one
+      // table entry; widen one early (EarlyChange = 1)
+      if (i > 0 && tableLen < 4096) tableLen += 1
+      if (codeLen < 12 && tableLen + 1 >= (1 << codeLen)) codeLen += 1
+      i += 1
+    }
+    put(257)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xFF).toInt)
+    out.toByteArray
   }
 
   /** Show-text pieces of one decoded content stream, grouped into text

@@ -56,6 +56,102 @@ class PdfSpec extends SparkSpec {
     assert(got.contains("plain first\nflate text works"))
   }
 
+  /** A raw object with an arbitrary dictionary string — for filter/ObjStm
+    * cases the flate-or-raw [[pdf]] helper can't express.
+    */
+  private def pdfObj(dict: String, bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes(ISO_8859_1))
+    out.write(s"1 0 obj\n$dict\nstream\n".getBytes(ISO_8859_1))
+    out.write(bytes)
+    out.write("\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  test("non-Flate/LZW filtered streams are SKIPPED, not walked raw: binary " +
+      "data with accidental BT/ET bytes injects nothing") {
+    // a fake JPEG body whose bytes happen to contain a BT…ET pair with a
+    // paren string between — walked raw this would pollute the extraction
+    val binary = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      "BT (binary garbage) Tj ET".getBytes(ISO_8859_1) ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+    val doc = Pdf.extractText(pdfObj(
+      s"<< /Length ${binary.length} /Filter /DCTDecode >>", binary))
+    assert(doc.isEmpty)
+    // filter CHAINS skip too, even when Flate is in the chain
+    val chained = deflate("BT (chained) Tj ET")
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${chained.length} /Filter [/ASCII85Decode /FlateDecode] >>",
+      chained)).isEmpty)
+    // predictor'd Flate skips (the walker has no predictor un-filter)
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${chained.length} /Filter /FlateDecode " +
+        "/DecodeParms << /Predictor 12 /Columns 4 >> >>", chained)).isEmpty)
+    // and a skipped stream doesn't take the rest of the document with it
+    val mixed = new java.io.ByteArrayOutputStream()
+    mixed.write(pdfObj(s"<< /Length ${binary.length} /Filter /DCTDecode >>",
+      binary).dropRight(6).toArray) // keep %%EOF off, append a text object
+    mixed.write(("2 0 obj\n<< /Length 20 >>\nstream\n" +
+      "BT (kept) Tj ET\nendstream\nendobj\n%%EOF\n").getBytes(ISO_8859_1))
+    assert(Pdf.extractText(mixed.toByteArray).contains("kept"))
+  }
+
+  test("LZWDecode streams decode; corrupt LZW drops") {
+    val text = "BT (lzw stream text works) Tj ET"
+    val enc = Pdf.lzwEncodeLiteral(text.getBytes(ISO_8859_1))
+    val got = Pdf.extractText(pdfObj(
+      s"<< /Length ${enc.length} /Filter /LZWDecode >>", enc))
+    assert(got.contains("lzw stream text works"))
+    // width sync across the 9→10-bit boundary: payload longer than 253
+    // literals (the first widen point)
+    val long = "BT (" + ("x" * 400) + ") Tj ET"
+    val encLong = Pdf.lzwEncodeLiteral(long.getBytes(ISO_8859_1))
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${encLong.length} /Filter /LZWDecode >>", encLong))
+      .contains("x" * 400))
+    // corrupt: a code far ahead of the table → stream drops, no throw
+    assert(Pdf.extractText(pdfObj(
+      "<< /Length 4 /Filter /LZWDecode >>",
+      Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))).isEmpty)
+  }
+
+  /** An /ObjStm container holding `objs` (objnum → body), header pairs at
+    * /First per PDF 32000-1 §7.5.7.
+    */
+  private def objStm(objs: Seq[(Int, String)]): (String, Array[Byte]) = {
+    val offsets = objs.map(_._2.getBytes(ISO_8859_1).length)
+      .scanLeft(0)(_ + _).init
+    val header = objs.zip(offsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + " "
+    (header, (header + objs.map(_._2).mkString).getBytes(ISO_8859_1))
+  }
+
+  test("object streams: embedded text objects extract (Flate and raw)") {
+    val (header, payload) = objStm(Seq(
+      2 -> "<< /Type /Font >>",
+      3 -> "BT (hidden in objstm) Tj ET",
+      4 -> "(outside bt ignored)"))
+    // uncompressed ObjStm (no /Filter): split by /N //First, bodies walked
+    val rawDoc = pdfObj(s"<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${payload.length} >>", payload)
+    assert(Pdf.extractText(rawDoc).contains("hidden in objstm"))
+    // the mainstream shape: Flate-compressed ObjStm
+    val flated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](8192)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val flateDoc = pdfObj(s"<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${flated.length} /Filter /FlateDecode >>", flated)
+    assert(Pdf.extractText(flateDoc).contains("hidden in objstm"))
+    // malformed header (offset past the payload) degrades to whole-walk
+    val badDoc = pdfObj(s"<< /Type /ObjStm /N 2 /First 99999 " +
+      s"/Length ${payload.length} >>", payload)
+    assert(Pdf.extractText(badDoc).contains("hidden in objstm"))
+  }
+
   test("strings outside BT/ET are ignored; dict << >> inside streams skipped") {
     val got = Pdf.extractText(pdf(
       "(not shown) BT (shown) Tj << /X (nope) >> ET (also not)" -> None))
