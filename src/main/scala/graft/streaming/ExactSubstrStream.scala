@@ -38,7 +38,8 @@ import graft.llm.ExactSubstr
 object ExactSubstrStream {
 
   /** The idempotent `foreachBatch` function — a plain
-    * `(DataFrame, Long) => Unit`, directly callable from batch jobs.
+    * `(DataFrame, Long) => Long` returning the landed-row count,
+    * directly callable from batch jobs.
     * ALL record fields pass through (only `textCol` is rewritten), the
     * [[PerceptualDedupStream]] contract. Rows with a NULL id cannot
     * participate in dedup (no identity to key the keeper rule or RTBF
@@ -49,7 +50,7 @@ object ExactSubstrStream {
   def batchFunction(idCol: String, textCol: String, storeDir: String,
       corpusDir: String, k: Int = 8,
       hash: Column => Column = xxhash64(_), runTag: String = "run")
-      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+      : (DataFrame, Long) => Long = (batchDf, batchId) => {
     require(!batchDf.columns.contains("__ps"),
       "ExactSubstrStream reserves helper column '__ps'")
     val self = s"batch=$runTag-$batchId"
@@ -87,6 +88,9 @@ object ExactSubstrStream {
       StoreLayout.writing(spark, corpusDir, runTag) {
         cleaned.write.mode("overwrite").parquet(s"$corpusDir/$self")
       }
+      // landed-row count off the persisted frame (every input row lands,
+      // cleaned or not) — callers must not re-read the partition for it
+      cleaned.count()
     } finally cleaned.unpersist()
   }
 

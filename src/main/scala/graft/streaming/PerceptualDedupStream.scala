@@ -40,7 +40,7 @@ object PerceptualDedupStream {
   def batchFunction(idCol: String, sigOf: DataFrame => DataFrame,
       storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
-      : (DataFrame, Long) => Unit =
+      : (DataFrame, Long) => Long =
     lifecycle(idCol, storeDir, corpusDir, runTag,
       sigCol = "__hsig",
       sigField = StructField("__hsig", LongType, nullable = false),
@@ -60,7 +60,7 @@ object PerceptualDedupStream {
       runTag: String, sigCol: String, sigField: StructField,
       normalize: DataFrame => DataFrame, sigOf: DataFrame => DataFrame,
       dedup: (DataFrame, DataFrame, DataFrame) => DataFrame)
-      : (DataFrame, Long) => Unit = (batchDf, batchId) => {
+      : (DataFrame, Long) => Long = (batchDf, batchId) => {
     val self = s"batch=$runTag-$batchId"
     val spark = batchDf.sparkSession
     val sigParts = StoreLayout.committed(spark, storeDir, Some(self))
@@ -83,6 +83,11 @@ object PerceptualDedupStream {
         StoreLayout.writing(spark, corpusDir, runTag) {
           kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
         }
+        // survivor count off the persisted frame the write just
+        // materialized — callers (the TOML store outputs) must not
+        // re-read the landed partition to learn it, and an empty batch
+        // (zero part files) must not kill the daemon
+        kept.count()
       } finally kept.unpersist()
     } finally sigs.unpersist()
   }
@@ -100,7 +105,7 @@ object PerceptualDedupStream {
   def batchFunctionMulti(idCol: String, sigsOf: DataFrame => DataFrame,
       storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
-      : (DataFrame, Long) => Unit =
+      : (DataFrame, Long) => Long =
     lifecycle(idCol, storeDir, corpusDir, runTag,
       sigCol = "__hsigs",
       sigField = StructField("__hsigs",
@@ -140,8 +145,11 @@ object PerceptualDedupStream {
     val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(batchFunction(idCol, sigOf, storeDir, corpusDir,
-        nBits, maxHamming, maxBucketSize, pieces, runTag))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batchFunction(idCol, sigOf, storeDir, corpusDir,
+          nBits, maxHamming, maxBucketSize, pieces, runTag)(df, id)
+        ()
+      }
       .start()
   }
 
@@ -153,8 +161,11 @@ object PerceptualDedupStream {
     val runTag = StoreLayout.runTagFor(docs.sparkSession, checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(batchFunctionMulti(idCol, sigsOf, storeDir, corpusDir,
-        nBits, maxHamming, maxBucketSize, pieces, runTag))
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batchFunctionMulti(idCol, sigsOf, storeDir, corpusDir,
+          nBits, maxHamming, maxBucketSize, pieces, runTag)(df, id)
+        ()
+      }
       .start()
   }
 }
@@ -169,7 +180,7 @@ object ImageDedupStream {
   def batchFunction(idCol: String, sigOf: DataFrame => DataFrame,
       storeDir: String, corpusDir: String, nBits: Int = 64, maxHamming: Int = 3,
       maxBucketSize: Int = 0, pieces: Int = 1, runTag: String = "run")
-      : (DataFrame, Long) => Unit =
+      : (DataFrame, Long) => Long =
     PerceptualDedupStream.batchFunction(idCol, sigOf, storeDir, corpusDir,
       nBits, maxHamming, maxBucketSize, pieces, runTag)
 

@@ -286,6 +286,27 @@ object Streaming {
       case v: String => v.contains("{{.RunTag}}")
       case _ => false
     }
+    // store outputs (the descriptors with RunTag+Rotation keys) are only
+    // correct under a daemon when BOTH placeholders are wired: a static
+    // Rotation makes every micro-batch overwrite the single
+    // batch=<tag>-<rotation> partition (mode overwrite), silently
+    // discarding all previously landed corpus/store rows, and a static
+    // RunTag re-mints absorbed partition names after a checkpoint wipe.
+    // Fail at START, not after the data is gone.
+    if (outDesc.keys.exists(_.name == "Rotation") &&
+        outDesc.keys.exists(_.name == "RunTag")) {
+      def wired(key: String, ph: String): Boolean =
+        cfg.outputConfig.raw.get(key) match {
+          case Some(v: String) => v.contains(ph)
+          case _ => false
+        }
+      require(wired("RunTag", "{{.RunTag}}") && wired("Rotation", "{{.Rotation}}"),
+        s"daemon output '${cfg.outputName}' is a store output and must set " +
+          "RunTag = \"{{.RunTag}}\" and Rotation = \"{{.Rotation}}\" under a " +
+          "streaming query: a static tag/rotation makes every micro-batch " +
+          "overwrite one batch partition, silently discarding previously " +
+          "landed rows")
+    }
     val runTag =
       if (needsTag) StoreLayout.runTagFor(compiled.ctx.spark, checkpointDir)
       else ""

@@ -1584,12 +1584,11 @@ object BuiltinComponents {
       val fn = graft.streaming.PerceptualDedupStream.batchFunction(id, sigOf,
         storeDir, corpusDir, maxHamming = cfg.int("MaxHamming", 3L).toInt,
         maxBucketSize = cfg.int("MaxBucketSize", 0L).toInt, runTag = runTag)
-      fn(df, rotation)
-      val part = s"$corpusDir/batch=$runTag-$rotation"
-      // the write above committed (StoreLayout.writing), so the partition
-      // exists with _SUCCESS — a read-back failure here is a REAL error
-      // (permissions, corruption), not an empty batch; let it surface
-      OutputResult(Seq(part), ctx.spark.read.parquet(part).count())
+      // survivor count comes back from the batch function's persisted
+      // frame — re-reading the landed partition would scan it a second
+      // time per batch and throw on a part-file-less empty partition
+      val rows = fn(df, rotation)
+      OutputResult(Seq(s"$corpusDir/batch=$runTag-$rotation"), rows)
     })
 
   /** SubstrDedupStore — [[graft.streaming.ExactSubstrStream]] as a TOML
@@ -1625,12 +1624,10 @@ object BuiltinComponents {
       val fn = graft.streaming.ExactSubstrStream.batchFunction(
         cfg.str("IdField"), cfg.str("Field"), cfg.str("StoreDir"), corpusDir,
         k = cfg.int("K", 8L).toInt, runTag = runTag)
-      fn(df, rotation)
-      val part = s"$corpusDir/batch=$runTag-$rotation"
-      // the write above committed (StoreLayout.writing), so the partition
-      // exists with _SUCCESS — a read-back failure here is a REAL error
-      // (permissions, corruption), not an empty batch; let it surface
-      OutputResult(Seq(part), ctx.spark.read.parquet(part).count())
+      // landed count from the batch function's persisted frame, not a
+      // partition read-back (second scan + throws on an empty partition)
+      val rows = fn(df, rotation)
+      OutputResult(Seq(s"$corpusDir/batch=$runTag-$rotation"), rows)
     })
 
   /** Stats — dataset distribution report to CSV.

@@ -117,6 +117,50 @@ class ExactSubstrStreamSpec extends SparkSpec {
       "10" -> "z w", "11" -> "totally fresh words here"))
   }
 
+  test("store outputs under a daemon fail LOUDLY at start unless both " +
+      "{{.RunTag}} and {{.Rotation}} are wired") {
+    val d = Files.createTempDirectory("graft-substr-guard").toFile
+    val in = new java.io.File(d, "in"); in.mkdirs()
+    // Rotation omitted → static default "0": every micro-batch would
+    // overwrite the single batch=<tag>-0 partition, silently discarding
+    // previously landed rows — the guard must refuse to start
+    val toml =
+      s"""[fields]
+         |names = ["doc_id", "text"]
+         |[input]
+         |name = "SQS"
+         |  [input.config]
+         |  QueuePath = "${in.getAbsolutePath}"
+         |[output]
+         |name = "SubstrDedupStore"
+         |  [output.config]
+         |  IdField = "doc_id"
+         |  Field = "text"
+         |  StoreDir = "$d/store"
+         |  CorpusDir = "$d/corpus"
+         |  RunTag = "{{.RunTag}}"
+         |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.runDaemon(spark, toml, s"$d/ckpt",
+        triggerMs = 100, env = Map.empty)
+    }
+    assert(e.getMessage.contains("store output"))
+    // BATCH topologies stay free to pin a static rotation (no daemon, no
+    // overwrite hazard): the same config compiles and runs via Topology
+    assert(!new java.io.File(s"$d/corpus").exists())
+  }
+
+  test("batchFunction returns the landed-row count (empty batch included)") {
+    val (store, corpus) = dirs()
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
+      k = 3)
+    assert(fn(Seq((1L, "a b c d e"), (2L, "x b c d y")).toDF("doc_id", "text"),
+      0L) == 2L)
+    // an EMPTY micro-batch (benign idle trigger) lands zero rows and must
+    // return 0, not throw on a part-file-less partition read-back
+    assert(fn(Seq.empty[(Long, String)].toDF("doc_id", "text"), 1L) == 0L)
+  }
+
   test("streaming DECONTAMINATION: a store prebuilt from a benchmark " +
       "corpus cuts benchmark excerpts out of every training batch") {
     val d = Files.createTempDirectory("graft-decontam").toFile
