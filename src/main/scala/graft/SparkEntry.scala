@@ -2188,6 +2188,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_substr_capped" -> ((s, d) => {
+      // the hot-anchor fuse FIRING under the oracle: every document gets
+      // the same 12-token boilerplate tail, so the 5 anchors fully inside
+      // it go corpus-hot (hundreds of occurrences >> cap 4) — still
+      // flagged with the exact global keeper, but the extension sort is
+      // skipped and their extent quantizes to k, surfaced per doc in
+      // n_capped_occurrences; organic repeats (group size ≤ 4) keep exact
+      // boundaries. The oracle restates the cap as a CASE on group count.
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val bp = (1 to 12).map(i => s"bp$i").mkString(" ")
+      val planted = concat_ws(" ",
+        array_join(slice(toks, 1, 30), " "), lit(bp))
+      graft.llm.ExactSubstr.suffixDedupStats(
+          t(s, d, "documents").select(col("doc_id"), planted.as("text")),
+          "doc_id", "text", k = 8, extBudget = 16, anchorHash = md5(_),
+          maxAnchorOccurrences = 4)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_cc_verified" -> ((s, d) =>
       // transitive dedup over exact-verified minhash candidates: the edge
       // graph is exact, so the oracle restates it as a recursive-SQL
@@ -5297,7 +5316,11 @@ object SparkEntry {
            FROM occ
            WINDOW w AS (PARTITION BY a ORDER BY ext, rnk)
          ), scored AS (
-           SELECT doc_id, pos,
+           -- the hot-anchor fuse restated: occurrences of an anchor with
+           -- more than 4096 group members skip the extension LCP and
+           -- quantize to rep_len = 8 (capped = true)
+           SELECT doc_id, pos, cnt > 4096 AS capped,
+                  CASE WHEN cnt > 4096 THEN 8 ELSE
                   8 + greatest(
                     CASE WHEN pext IS NULL OR least(len(ext), len(pext)) = 0 THEN 0
                          ELSE coalesce(list_filter(range(1, least(len(ext), len(pext)) + 1),
@@ -5306,10 +5329,10 @@ object SparkEntry {
                     CASE WHEN next IS NULL OR least(len(ext), len(next)) = 0 THEN 0
                          ELSE coalesce(list_filter(range(1, least(len(ext), len(next)) + 1),
                                 i -> ext[i] <> next[i])[1] - 1,
-                              least(len(ext), len(next))) END) AS rep_len
+                              least(len(ext), len(next))) END) END AS rep_len
            FROM nbr WHERE cnt >= 2 AND rnk > mr
          ), mx AS (
-           SELECT doc_id, pos, rep_len,
+           SELECT doc_id, pos, rep_len, capped,
                   max(pos + rep_len) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
            FROM scored
@@ -5318,6 +5341,7 @@ object SparkEntry {
                   sum(CASE WHEN pe IS NULL OR pos + rep_len > pe
                            THEN 1 ELSE 0 END) AS nm,
                   max(rep_len) AS ml,
+                  sum(CASE WHEN capped THEN 1 ELSE 0 END) AS nc,
                   list_sort(list(pos)) AS ps
            FROM mx GROUP BY doc_id
          )
@@ -5325,6 +5349,83 @@ object SparkEntry {
                 CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_occurrences,
                 CAST(coalesce(p.nm, 0) AS BIGINT) AS n_max_repeats,
                 CAST(coalesce(p.ml, 0) AS BIGINT) AS max_rep_len,
+                CAST(coalesce(p.nc, 0) AS BIGINT) AS n_capped_occurrences,
+                CAST(CASE WHEN p.ps IS NULL THEN 0
+                          ELSE 1 + len(list_filter(range(1, len(p.ps)),
+                                 i -> p.ps[i + 1] - p.ps[i] > 8))
+                     END AS BIGINT) AS n_union_intervals,
+                CAST(CASE WHEN p.ps IS NULL THEN 0
+                          WHEN len(p.ps) = 1 THEN 8
+                          ELSE list_sum(list_transform(range(1, len(p.ps)),
+                                 i -> least(p.ps[i + 1] - p.ps[i], 8))) + 8
+                     END AS BIGINT) AS n_tokens_removed
+         FROM tok b LEFT JOIN pd p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
+    "q_dedup_substr_capped" ->
+      // substr_exact's oracle with the boilerplate-tail corpus and cap 4:
+      // group count > 4 quantizes rep_len to 8 and counts in
+      // n_capped_occurrences; smaller groups keep the exact neighbor-LCP
+      // extent. The boilerplate tail is identical across documents, so
+      // its 5 interior anchors are corpus-hot by construction.
+      """WITH tok0 AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t0
+           FROM documents
+         ), txt AS (
+           SELECT doc_id, array_to_string(t0[1:30], ' ') ||
+                  ' bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 bp9 bp10 bp11 bp12'
+                  AS text2
+           FROM tok0
+         ), tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text2), '\s+') AS t
+           FROM txt
+         ), occ AS (
+           SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  md5(array_to_string(t[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ')) AS a,
+                  t[CAST(pos + 9 AS INTEGER):CAST(pos + 24 AS INTEGER)] AS ext,
+                  doc_id * 1048576 + pos AS rnk
+           FROM (SELECT doc_id, t,
+                        unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+                 FROM tok)
+         ), nbr AS (
+           SELECT doc_id, pos, ext, rnk,
+                  lag(ext) OVER w AS pext,
+                  lead(ext) OVER w AS next,
+                  count(*) OVER (PARTITION BY a) AS cnt,
+                  min(rnk) OVER (PARTITION BY a) AS mr
+           FROM occ
+           WINDOW w AS (PARTITION BY a ORDER BY ext, rnk)
+         ), scored AS (
+           SELECT doc_id, pos, cnt > 4 AS capped,
+                  CASE WHEN cnt > 4 THEN 8 ELSE
+                  8 + greatest(
+                    CASE WHEN pext IS NULL OR least(len(ext), len(pext)) = 0 THEN 0
+                         ELSE coalesce(list_filter(range(1, least(len(ext), len(pext)) + 1),
+                                i -> ext[i] <> pext[i])[1] - 1,
+                              least(len(ext), len(pext))) END,
+                    CASE WHEN next IS NULL OR least(len(ext), len(next)) = 0 THEN 0
+                         ELSE coalesce(list_filter(range(1, least(len(ext), len(next)) + 1),
+                                i -> ext[i] <> next[i])[1] - 1,
+                              least(len(ext), len(next))) END) END AS rep_len
+           FROM nbr WHERE cnt >= 2 AND rnk > mr
+         ), mx AS (
+           SELECT doc_id, pos, rep_len, capped,
+                  max(pos + rep_len) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           FROM scored
+         ), pd AS (
+           SELECT doc_id, count(*) AS nd,
+                  sum(CASE WHEN pe IS NULL OR pos + rep_len > pe
+                           THEN 1 ELSE 0 END) AS nm,
+                  max(rep_len) AS ml,
+                  sum(CASE WHEN capped THEN 1 ELSE 0 END) AS nc,
+                  list_sort(list(pos)) AS ps
+           FROM mx GROUP BY doc_id
+         )
+         SELECT b.doc_id,
+                CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_occurrences,
+                CAST(coalesce(p.nm, 0) AS BIGINT) AS n_max_repeats,
+                CAST(coalesce(p.ml, 0) AS BIGINT) AS max_rep_len,
+                CAST(coalesce(p.nc, 0) AS BIGINT) AS n_capped_occurrences,
                 CAST(CASE WHEN p.ps IS NULL THEN 0
                           ELSE 1 + len(list_filter(range(1, len(p.ps)),
                                  i -> p.ps[i + 1] - p.ps[i] > 8))

@@ -177,6 +177,17 @@ object ExactSubstr {
   // k + extBudget (a longer repeat is still FOUND and flagged — only its
   // REPORTED extent truncates; full extents would take prefix-doubling
   // rounds). Driver state: none.
+  //
+  // Hot-anchor fuse: at web scale a boilerplate k-gram ("all rights
+  // reserved …") can put millions of occurrences into ONE anchor group,
+  // and the extension sort would make that group a single straggler task
+  // — the same skew the banded dedup families fuse with
+  // [[Dedup.pruneHotBuckets]]. Here the fuse caps the SORT, never the
+  // FLAGGING: per-anchor count/first are map-side-combined aggregates
+  // immune to skew, so every occurrence of a hot anchor is still flagged
+  // with the exact keeper rule — only its extension LCP is skipped and
+  // its reported extent quantizes to k (`capped` = true). ON by default;
+  // 0 disables.
 
   /** Token-level longest common prefix of two token arrays; null `b`
     * (partition edge) → 0.
@@ -192,16 +203,25 @@ object ExactSubstr {
     }
 
   /** Every duplicated k-gram occurrence with its maximal repeat extent:
-    * (idCol, pos, rep_len, is_keeper) where `rep_len` = k + the longest
-    * common extension with ANY other occurrence of the same anchor
-    * (capped at k + extBudget) and the keeper is the (id, pos)-first
-    * occurrence of the anchor — [[flaggedWindows]]'s rule. `anchorHash`
-    * defaults to the fixed-width production key; pass `md5` for an
-    * external-SQL-recomputable key (the extension LCP always compares
-    * exact token content, never hashes).
+    * (idCol, pos, rep_len, is_keeper, capped) where `rep_len` = k + the
+    * longest common extension with ANY other occurrence of the same
+    * anchor (capped at k + extBudget) and the keeper is the (id, pos)-
+    * first occurrence of the anchor — [[flaggedWindows]]'s rule.
+    * `anchorHash` defaults to the fixed-width production key; pass `md5`
+    * for an external-SQL-recomputable key (the extension LCP always
+    * compares exact token content, never hashes).
+    *
+    * `maxAnchorOccurrences` is the hot-anchor fuse (see the section
+    * comment): an anchor with more occurrences than the cap still flags
+    * ALL of them under the exact keeper rule, but skips the extension
+    * sort — those rows report `rep_len` = k with `capped` = true. The
+    * flagging aggregate is map-side combined, so a million-occurrence
+    * boilerplate anchor costs partial-aggregation, never one straggler
+    * sort task. 0 disables the fuse.
     */
   def suffixOccurrences(df: DataFrame, idCol: String, textCol: String, k: Int,
-      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_)): DataFrame = {
+      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_),
+      maxAnchorOccurrences: Int = 4096): DataFrame = {
     require(k >= 1, s"ExactSubstr.suffixOccurrences: k must be positive: $k")
     require(extBudget >= 1,
       s"ExactSubstr.suffixOccurrences: extBudget must be positive: $extBudget")
@@ -218,19 +238,49 @@ object ExactSubstr {
       .select(col(idCol), posexplode(col("__occ")).as(Seq("pos", "__o")))
       .select(col(idCol), col("pos"),
         anchorHash(col("__o.anchor")).as("__a"), col("__o.ext").as("__ext"))
-    val ordered = Window.partitionBy("__a")
-      .orderBy(col("__ext"), col(idCol), col("pos"))
-    val grp = Window.partitionBy("__a")
-    occ
-      .withColumn("__lcp", greatest(
-        tokLcp(col("__ext"), lag("__ext", 1).over(ordered)),
-        tokLcp(col("__ext"), lead("__ext", 1).over(ordered))))
-      .withColumn("__cnt", count(lit(1)).over(grp))
-      .withColumn("__first", min(struct(col(idCol), col("pos"))).over(grp))
-      .filter(col("__cnt") >= 2)
-      .select(col(idCol), col("pos"),
-        (lit(k) + col("__lcp")).as("rep_len"),
-        (struct(col(idCol), col("pos")) === col("__first")).as("is_keeper"))
+    // the original boundary-exact shape: ONE anchor-keyed exchange
+    // (pinned in PlanShapeSpec), the in-group extension sort + lag/lead
+    // LCP + count/first all riding it
+    def lcpShape(rows: DataFrame): DataFrame = {
+      val ordered = Window.partitionBy("__a")
+        .orderBy(col("__ext"), col(idCol), col("pos"))
+      val grp = Window.partitionBy("__a")
+      rows.repartition(col("__a"))
+        .withColumn("__lcp", greatest(
+          tokLcp(col("__ext"), lag("__ext", 1).over(ordered)),
+          tokLcp(col("__ext"), lead("__ext", 1).over(ordered))))
+        .withColumn("__cnt", count(lit(1)).over(grp))
+        .withColumn("__first", min(struct(col(idCol), col("pos"))).over(grp))
+        .filter(col("__cnt") >= 2)
+        .select(col(idCol), col("pos"),
+          (lit(k) + col("__lcp")).as("rep_len"),
+          (struct(col(idCol), col("pos")) === col("__first")).as("is_keeper"),
+          lit(false).as("capped"))
+    }
+    if (maxAnchorOccurrences <= 0) lcpShape(occ)
+    else {
+      // the pruneHotBuckets cost statement, verbatim: one extra count
+      // aggregate on the anchor key (MAP-SIDE COMBINED off the raw
+      // occurrence stream — never the repartitioned one, which would
+      // barrier the partials above the exchange and put the hot group's
+      // rows through one task unreduced) and broadcast joins against the
+      // hot set. The hot set is ≤ total windows / cap rows — tiny for
+      // any real cap — and carries the keeper, so hot occurrences flag
+      // MAP-ONLY: no exchange, no sort, no straggler. Column pruning
+      // keeps both extra passes anchor-only (no extension slices).
+      val hot = occ.groupBy("__a").agg(
+          count(lit(1)).as("__cnt"),
+          min(struct(col(idCol), col("pos"))).as("__first"))
+        .filter(col("__cnt") > maxAnchorOccurrences)
+      // removing WHOLE anchors keeps cold group membership identical, so
+      // the window's count/first equal the global ones
+      val cold = occ.join(hot.select("__a"), Seq("__a"), "left_anti")
+      val hotRows = occ.join(hot, Seq("__a"))
+        .select(col(idCol), col("pos"), lit(k).as("rep_len"),
+          (struct(col(idCol), col("pos")) === col("__first")).as("is_keeper"),
+          lit(true).as("capped"))
+      lcpShape(cold).unionByName(hotRows)
+    }
   }
 
   /** The NON-KEEPER maximal repeats of each document — one row per repeat
@@ -238,16 +288,26 @@ object ExactSubstr {
     * is maximal iff its right end exceeds every earlier flagged
     * occurrence's right end in the same document (inner positions of a
     * long repeat shrink by one per step, so the running-max test keeps
-    * exactly the repeat starts). This is the per-repeat answer the window
-    * pass cannot give: adjacent distinct repeats stay TWO rows here where
-    * the window union merges them into one interval.
+    * exactly the repeat starts — for repeats of length ≤ k + extBudget).
+    *
+    * Quantization for LONGER repeats: `rep_len` caps at k + extBudget
+    * ([[suffixOccurrences]]), so along a repeat of length
+    * L > k + extBudget the capped extent stops shrinking — the running-
+    * max test then keeps one row roughly every L − (k + extBudget)
+    * positions instead of exactly one, OVER-COUNTING that repeat (and
+    * [[suffixDedupStats]]'s `n_max_repeats` with it). Boundaries and
+    * removal stats stay exact; raise `extBudget` past the longest repeat
+    * you need counted exactly. The same applies to occurrences of a
+    * hot-capped anchor (`capped` = true, extent quantized to k).
     */
   def maximalRepeats(df: DataFrame, idCol: String, textCol: String, k: Int,
-      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_)): DataFrame = {
+      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_),
+      maxAnchorOccurrences: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prevEnd = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    suffixOccurrences(df, idCol, textCol, k, extBudget, anchorHash)
+    suffixOccurrences(df, idCol, textCol, k, extBudget, anchorHash,
+        maxAnchorOccurrences)
       .filter(!col("is_keeper"))
       .withColumn("__prevEnd", max(col("pos") + col("rep_len")).over(prevEnd))
       .filter(col("__prevEnd").isNull ||
@@ -266,14 +326,22 @@ object ExactSubstr {
     *    disagree when distinct repeats touch (the boundary quantization
     *    the window pass can't see),
     *  - `n_tokens_removed`: the interval-union token count (identical to
-    *    [[dedupStats]]'s — removal semantics don't change, boundaries do).
+    *    [[dedupStats]]'s — removal semantics don't change, boundaries do),
+    *  - `n_capped_occurrences`: flagged occurrences whose anchor tripped
+    *    the hot-anchor fuse (extent quantized to k) — the cap made LOUD
+    *    per document, the [[Dedup.pruneHotBuckets]] reporting stance.
+    *
+    * `n_max_repeats` over-counts repeats longer than k + extBudget — see
+    * [[maximalRepeats]] for the quantization contract.
     */
   def suffixDedupStats(df: DataFrame, idCol: String, textCol: String, k: Int,
-      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_)): DataFrame = {
+      extBudget: Int = 16, anchorHash: Column => Column = xxhash64(_),
+      maxAnchorOccurrences: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prevEnd = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = suffixOccurrences(df, idCol, textCol, k, extBudget, anchorHash)
+    val flagged = suffixOccurrences(df, idCol, textCol, k, extBudget,
+        anchorHash, maxAnchorOccurrences)
       .filter(!col("is_keeper"))
       .withColumn("__end", col("pos") + col("rep_len"))
       .withColumn("__prevEnd", max(col("__end")).over(prevEnd))
@@ -282,12 +350,14 @@ object ExactSubstr {
       sum(when(col("__prevEnd").isNull || col("__end") > col("__prevEnd"), 1L)
         .otherwise(0L)).as("__n_max"),
       max(col("rep_len")).cast("long").as("__max_len"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("__n_capped"),
       sort_array(collect_list(col("pos"))).as("__ps"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__n_dup"), lit(0L)).as("n_dup_occurrences"),
         coalesce(col("__n_max"), lit(0L)).as("n_max_repeats"),
         coalesce(col("__max_len"), lit(0L)).as("max_rep_len"),
+        coalesce(col("__n_capped"), lit(0L)).as("n_capped_occurrences"),
         when(col("__ps").isNull, lit(0L))
           .otherwise(lit(1L) + size(filter(
             when(size(col("__ps")) <= 1, array().cast("array<int>"))

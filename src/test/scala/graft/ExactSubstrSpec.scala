@@ -121,12 +121,14 @@ class ExactSubstrSpec extends SparkSpec {
     assert(reps == Set((2L, 2, 3), (2L, 5, 3)))
     val stats = ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    // doc 2: 2 dup occurrences, 2 maximal repeats, max extent 3, but the
-    // window-style cover merges them into ONE interval of 6 tokens
-    assert(stats(2L) == ((2L, 2L, 3L, 1L, 6L)))
-    assert(stats(0L) == ((0L, 0L, 0L, 0L, 0L)))
-    assert(stats(1L) == ((0L, 0L, 0L, 0L, 0L)))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // doc 2: 2 dup occurrences, 2 maximal repeats, max extent 3, nothing
+    // capped, but the window-style cover merges them into ONE interval
+    // of 6 tokens
+    assert(stats(2L) == ((2L, 2L, 3L, 0L, 1L, 6L)))
+    assert(stats(0L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(stats(1L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
   test("keeper rule matches flaggedWindows; removed-token counts agree " +
@@ -154,7 +156,66 @@ class ExactSubstrSpec extends SparkSpec {
     assert(occ == Set((0, 5), (1, 5), (2, 5), (3, 4), (4, 3)))
     val stats = ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3,
         extBudget = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
     assert(stats(1L) == 7L) // the full copy still removes completely
+  }
+
+  test("hot-anchor fuse: a planted corpus-wide boilerplate anchor skips " +
+      "the extension sort (extent quantizes to k) but still flags every " +
+      "occurrence under the exact keeper rule; the cap surfaces in stats") {
+    import spark.implicits._
+    // 50 docs share an identical 6-token boilerplate tail → its 4
+    // interior k=3 anchors have 50 occurrences each, over the cap of 8;
+    // docs 1 and 2 additionally share an organic 5-token run whose
+    // anchors (group size 2) must stay boundary-exact
+    val bp = "bp1 bp2 bp3 bp4 bp5 bp6"
+    val df = (0L until 50L).map { i =>
+      val organic = if (i == 1L || i == 2L) " o1 o2 o3 o4 o5" else ""
+      (i, s"u${i}a u${i}b$organic $bp")
+    }.toDF("doc_id", "text")
+    val occ = ExactSubstr.suffixOccurrences(df, "doc_id", "text", k = 3,
+      extBudget = 4, maxAnchorOccurrences = 8).persist()
+    try {
+      val capped = occ.filter(col("capped"))
+      // every occurrence of the 4 hot anchors is present (50 docs × 4),
+      // extent quantized to k, and the keeper is still the GLOBAL
+      // (id, pos)-first — doc 0's four interior positions
+      assert(capped.count() == 200L)
+      assert(capped.filter(col("rep_len") =!= 3).count() == 0L)
+      val keepers = capped.filter(col("is_keeper"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(keepers == Set((0L, 2), (0L, 3), (0L, 4), (0L, 5)))
+      // the organic group stayed under the cap: doc 2's copy of doc 1's
+      // run reports its exact extent (3 + 4-token extension LCP)
+      val organic = occ.filter(col("doc_id") === 2 && col("pos") === 2)
+        .collect().map(r => (r.getInt(2), r.getBoolean(3), r.getBoolean(4)))
+      assert(organic.toSeq == Seq((7, false, false)))
+    } finally occ.unpersist()
+    val stats = ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3,
+        extBudget = 4, maxAnchorOccurrences = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(6)))).toMap
+    // a plain doc: 4 flagged occurrences, all capped, the whole 6-token
+    // boilerplate removed; doc 0 is the keeper everywhere → zeros
+    assert(stats(5L) == ((4L, 4L, 6L)))
+    assert(stats(0L) == ((0L, 0L, 0L)))
+    // doc 2 carries the 4 capped boilerplate flags on top of its exact
+    // organic ones
+    assert(stats(2L)._2 == 4L)
+  }
+
+  test("hot-anchor fuse OFF (0): extents stay exact regardless of group " +
+      "size, matching the capped pass everywhere the cap did not fire") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, s"u$i hot1 hot2 hot3 hot4 tail$i"))
+      .toDF("doc_id", "text")
+    val off = ExactSubstr.suffixOccurrences(df, "doc_id", "text", k = 3,
+      extBudget = 4, maxAnchorOccurrences = 0)
+    // "hot1 hot2 hot3" / "hot2 hot3 hot4" have 20 occurrences; uncapped,
+    // their extension LCP is exact (extensions diverge at tail$i / at u$i)
+    assert(off.filter(col("capped")).count() == 0L)
+    val big = ExactSubstr.suffixOccurrences(df, "doc_id", "text", k = 3,
+      extBudget = 4, maxAnchorOccurrences = 1000)
+    assert(off.collect().toSet == big.collect().toSet)
   }
 }

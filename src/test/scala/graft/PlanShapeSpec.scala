@@ -708,10 +708,42 @@ class PlanShapeSpec extends SparkSpec {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = finalPlan(graft.llm.ExactSubstr.suffixOccurrences(
       docs, "doc_id", "text", k = 8, extBudget = 4))
-    // lag/lead + count/min share the anchor partition: one hash exchange
-    // of the occurrence stream, the in-group sort rides it
-    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
-      s"expected exactly one anchor exchange:\n$p")
+    // lag/lead + count/min share the anchor partition: the occurrence
+    // stream rides exactly one hash exchange (REPARTITION_BY_COL) into
+    // the in-group sort. The hot-anchor fuse adds only exchanges of
+    // PARTIAL-aggregated (anchor, count, min) rows (ENSURE_REQUIREMENTS
+    // under its agg), never a second occurrence exchange.
+    assert(p.split("REPARTITION_BY_COL").length - 1 == 1,
+      s"expected exactly one occurrence exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("suffix grouping hot-anchor fuse: hot occurrences flag MAP-ONLY " +
+      "(broadcast probe, no exchange, no ext sort); the hot aggregate is " +
+      "map-side combined") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"u${i}a u${i}b bp1 bp2 bp3 bp4 bp5 bp6"))
+      .toDF("doc_id", "text")
+    val df = graft.llm.ExactSubstr.suffixOccurrences(
+      docs, "doc_id", "text", k = 3, extBudget = 4, maxAnchorOccurrences = 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the occurrence stream rides exactly ONE exchange (the cold
+    // window's REPARTITION_BY_COL); the fuse's own exchanges carry only
+    // partial-aggregated (anchor, count, min) rows. Hot occurrence rows
+    // reach their flags through broadcast joins only — a boilerplate
+    // anchor never rides a hash exchange into one straggler task, and
+    // never enters the extension sort (the only __ext-keyed sort is the
+    // cold window's; the SortAggregate key-sorts order by the 8-byte
+    // anchor hash alone)
+    assert(p.split("REPARTITION_BY_COL").length - 1 == 1,
+      s"hot fuse must not add occurrence exchanges:\n$p")
+    assert("Sort \\[[^\\n]*__ext".r.findAllIn(p).length <= 1,
+      s"only the cold window sorts by the extension:\n$p")
+    val partialBelow = p.split("\n").exists(l => l.contains("partial_count"))
+    assert(partialBelow, s"hot aggregate must be map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
