@@ -4100,6 +4100,31 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_pack_tokens_eos" -> ((s, d) => {
+      // q_pack_tokens with DOCUMENT BOUNDARY tokens — the bit a packed
+      // corpus needs before a model can learn where documents end: BOS
+      // (-3, loss-masked out) prepends and EOS (0, trained on) appends to
+      // every document before concat-chunk, flowing through the cut
+      // arithmetic like content. The oracle replays the extension on the
+      // token arrays, so every terminator POSITION is layout-checked.
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk, 512, shard,
+          padId = -1, eosId = Some(0), bosId = Some(-3))
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "q_pack_greedy_rows" -> ((s, d) => {
       // MATERIALIZED SFT packing: the no-split greedy layout
       // (q_pack_greedy's assignment) as padded input_ids / segment_ids /
@@ -7651,6 +7676,69 @@ object SparkEntry {
                   list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
                   list_transform(ws, w -> length(w) > 3) AS msk,
                   CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         st AS (
+           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n AS strt
+           FROM tk),
+         pc AS (
+           SELECT *, unnest(generate_series(
+                       CAST(FLOOR(strt / 512.0) AS BIGINT),
+                       CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
+           FROM st),
+         pieces AS (
+           SELECT shard, seq_id,
+                  GREATEST(strt - seq_id * 512, 0) AS off,
+                  list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
+                  list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
+           FROM pc),
+         p2 AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY shard, seq_id
+                       ORDER BY off) - 1 AS INT) AS pidx
+           FROM pieces),
+         asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(ptok ORDER BY off)) AS ids0,
+                  flatten(list(pmsk ORDER BY off)) AS mk0,
+                  flatten(list(list_transform(ptok, x -> pidx)
+                    ORDER BY off)) AS sg0
+           FROM p2 GROUP BY shard, seq_id),
+         fin AS (
+           SELECT shard, seq_id, len(ids0) AS n_real,
+                  ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
+                  sg0 || list_transform(range(512 - len(ids0)), x -> -1) AS sg,
+                  mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk
+           FROM asm)
+         SELECT shard, seq_id,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(sg,
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                CAST(n_real AS INT) AS n_real
+         FROM fin ORDER BY shard, seq_id""",
+    "q_pack_tokens_eos" ->
+      // q_pack_tokens' first-principles rebuild with the boundary tokens
+      // replayed on the token arrays: BOS -3 (mask false) prepends, EOS 0
+      // (mask true) appends, n grows by 2 — the rest of the pipeline is
+      // identical, so every terminator position is layout-checked
+      """WITH tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  [CAST(-3 AS INT)] ||
+                    list_transform(ws, w -> CAST(length(w) AS INT)) ||
+                    [CAST(0 AS INT)] AS toks,
+                  [false] || list_transform(ws, w -> length(w) > 3) ||
+                    [true] AS msk,
+                  CAST(len(ws) + 2 AS BIGINT) AS n
            FROM (SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = ''
                         THEN CAST([] AS VARCHAR[])

@@ -133,9 +133,23 @@ object Pack {
     * as [[concatChunk]]). Empty/null token arrays contribute nothing.
     * `maskCol` must be the same length as `tokensCol` per row (a
     * mismatched tagger output fails loudly at assembly).
+    *
+    * Special tokens — without them a packed corpus cannot teach a model
+    * where documents END, so every GPT-style pipeline inserts them before
+    * concat-chunk:
+    *  - `eosId`: appended to each non-empty document's tokens, TRAINED ON
+    *    (`loss_mask` = true — predicting end-of-document is the point);
+    *  - `bosId`: prepended, input-only (`loss_mask` = false — a sequence-
+    *    start marker is never a useful target).
+    * Both carry the document's `segment_ids` ordinal and flow through the
+    * cut arithmetic like content (an EOS can land first in the next
+    * sequence — correct: the layout is a pure function of the extended
+    * arrays). Empty/null documents get NO special tokens (they contribute
+    * nothing, same as before).
     */
   def packTokens(df: DataFrame, orderCol: Column, tokensCol: Column,
-      maskCol: Column, budget: Int, shard: Column, padId: Int = 0): DataFrame = {
+      maskCol: Column, budget: Int, shard: Column, padId: Int = 0,
+      eosId: Option[Int] = None, bosId: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy("__shard").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -151,11 +165,23 @@ object Pack {
     // DATA above it; the empty-doc drop becomes an explode-empty guard
     // (nothing for a predicate to push); and the window reuses this very
     // partitioning, so the plan still holds exactly ONE exchange.
+    // special-token extension: applied to the RAW (guarded) arrays below
+    // the exchange, so EOS/BOS flow through the cut arithmetic as content
+    def extendToks(t: Column): Column = {
+      val withEos = eosId.map(e =>
+        concat(t, array(lit(e)))).getOrElse(t)
+      bosId.map(b => concat(array(lit(b)), withEos)).getOrElse(withEos)
+    }
+    def extendMask(m: Column): Column = {
+      val withEos = eosId.map(_ =>
+        concat(m, array(lit(true)))).getOrElse(m)
+      bosId.map(_ => concat(array(lit(false)), withEos)).getOrElse(withEos)
+    }
     val base = df
       .withColumn("__shard", shard)
-      .withColumn("__tok", tokensCol)
+      .withColumn("__rawtok", tokensCol)
       .repartition(col("__shard"))
-      .withColumn("__len", size(col("__tok")).cast("long"))
+      .withColumn("__rawlen", size(col("__rawtok")).cast("long"))
       // loud PER-ROW alignment guard, below the exchange (so the
       // tokenizer chain still evaluates at exactly one site): the
       // assembly-time check further down only catches masks SHORTER than
@@ -163,12 +189,19 @@ object Pack {
       // slices into pieces of exactly the token piece lengths and the
       // surplus entries would silently drop. Null tokens (empty docs)
       // pass; a null mask against real tokens is a violation too.
-      .withColumn("__msk", when(col("__len").isNull || size(maskCol) === col("__len"),
-          maskCol)
+      .withColumn("__rawmsk", when(col("__rawlen").isNull ||
+          size(maskCol) === col("__rawlen"), maskCol)
         .otherwise(raise_error(concat(
           lit("packTokens: mask/tokens length mismatch ("),
           size(maskCol).cast("string"), lit(" vs "),
-          col("__len").cast("string"), lit(")")))))
+          col("__rawlen").cast("string"), lit(")")))))
+      // EOS/BOS attach only to non-empty documents (empty rows contribute
+      // nothing, special tokens included)
+      .withColumn("__tok", when(col("__rawlen") > 0,
+        extendToks(col("__rawtok"))).otherwise(col("__rawtok")))
+      .withColumn("__msk", when(col("__rawlen") > 0,
+        extendMask(col("__rawmsk"))).otherwise(col("__rawmsk")))
+      .withColumn("__len", size(col("__tok")).cast("long"))
       .withColumn("__start", sum(col("__len")).over(w) - col("__len"))
     // each doc → one piece per sequence it touches; all slicing is local
     // arithmetic on the row, nothing global
@@ -242,9 +275,18 @@ object Pack {
     * `mapPartitions` next to [[packGreedy]]'s. Tokens and masks are
     * materialized by the exchange, so the tokenizer chain evaluates at
     * exactly one site (the q_pack_ids evaluation-sites lesson).
+    *
+    * `sepId` (SFT turn separator): written BETWEEN consecutive documents
+    * of a sequence — never before the first or after the last — costing
+    * one budget slot per boundary, which the fits-test accounts for. The
+    * separator terminates the turn it follows: it carries the PRECEDING
+    * document's `segment_ids` ordinal and `loss_mask` = false (template
+    * glue, not a training target — callers whose recipe trains on the
+    * separator flip the mask downstream with `input_ids`'s positions).
     */
   def packTokensGreedy(df: DataFrame, orderCol: Column, tokensCol: Column,
-      maskCol: Column, budget: Int, shard: Column, padId: Int = 0): DataFrame = {
+      maskCol: Column, budget: Int, shard: Column, padId: Int = 0,
+      sepId: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.types._
     val tagged = df.select(shard.as("__shard"), orderCol.as("__ord"),
@@ -289,12 +331,21 @@ object Pack {
               s"packTokensGreedy: document of ${toks.length} tokens exceeds " +
                 s"the $budget budget and can never be packed whole - filter " +
                 "or truncate first (or use packGreedy for assignment only)")
-            if (fill + toks.length > budget) open = false
+            // a follow-up document also pays for its turn separator
+            val sepCost = if (sepId.isDefined && docIx > 0) 1 else 0
+            if (fill + sepCost + toks.length > budget) open = false
             else {
               val msk = if (r.isNullAt(3)) null else r.getSeq[Boolean](3)
               require(msk != null && msk.length == toks.length,
                 s"packTokensGreedy: mask/tokens length mismatch (" +
                   s"${if (msk == null) "null" else msk.length} vs ${toks.length})")
+              if (sepCost == 1) {
+                // terminates the PRECEDING turn: its segment, no loss
+                ids(fill) = sepId.get
+                segs(fill) = docIx - 1
+                mask(fill) = false
+                fill += 1
+              }
               var i = 0
               while (i < toks.length) {
                 ids(fill + i) = toks(i)

@@ -44,6 +44,36 @@ class PackTokensSpec extends SparkSpec {
     assert(out(1).getInt(5) == 4)
   }
 
+  test("eosId/bosId: per-document terminators flow through the cut " +
+      "arithmetic; EOS is trained on, BOS is not; empty docs get neither") {
+    // doc1: 3 toks + BOS/EOS = 5 units exactly; doc2: 2 toks + BOS/EOS
+    // spans the cut (its EOS lands first in seq 1); doc3 empty
+    val df = docs(
+      (1L, Seq(10, 11, 12), Seq(true, false, true)),
+      (2L, Seq(20, 21), Seq(true, true)),
+      (3L, Seq.empty, Seq.empty))
+    val out = Pack.packTokens(df, col("doc_id"), col("toks"), col("msk"),
+        5, lit(0), padId = -9, eosId = Some(0), bosId = Some(-3))
+      .orderBy("seq_id").collect()
+    assert(out.length == 2)
+    // seq 0: [-3 10 11 12 0], segments all doc-0, BOS masked out, EOS in
+    assert(out(0).getSeq[Int](2) == Seq(-3, 10, 11, 12, 0))
+    assert(out(0).getSeq[Int](3) == Seq(0, 0, 0, 0, 0))
+    assert(out(0).getSeq[Boolean](4) == Seq(false, true, false, true, true))
+    assert(out(0).getInt(5) == 5)
+    // seq 1: [-3 20 21 0] + pad — doc2 whole with its specials
+    assert(out(1).getSeq[Int](2) == Seq(-3, 20, 21, 0, -9))
+    assert(out(1).getSeq[Int](3) == Seq(0, 0, 0, 0, -1))
+    assert(out(1).getSeq[Boolean](4) == Seq(false, true, true, true, false))
+    assert(out(1).getInt(5) == 4)
+    // EOS alone: terminator appended, nothing prepended
+    val eosOnly = Pack.packTokens(df, col("doc_id"), col("toks"), col("msk"),
+        4, lit(0), padId = -9, eosId = Some(0))
+      .orderBy("seq_id").collect()
+    assert(eosOnly(0).getSeq[Int](2) == Seq(10, 11, 12, 0))
+    assert(eosOnly(1).getSeq[Int](2) == Seq(20, 21, 0, -9))
+  }
+
   test("a document longer than the budget tiles whole sequences") {
     val df = docs((1L, (0 until 12).toList, Seq.fill(12)(true)))
     val out = pack(df, 5).orderBy("seq_id").collect()
@@ -194,6 +224,32 @@ class PackTokensSpec extends SparkSpec {
     assert(out(1).getLong(1) == 1L)
     assert(out(2).getSeq[Int](2) == Seq(7, 8, 0, 0)) // shard 1 restarts at 0
     assert(out(2).getLong(1) == 0L)
+  }
+
+  test("greedy rows: sepId writes BETWEEN turns (preceding segment, no " +
+      "loss), costs a budget slot in the fits-test, never trails") {
+    val df = docs(
+      (1L, Seq(10, 11), Seq(true, true)),
+      (2L, Seq(20, 21), Seq(true, false)),
+      (3L, Seq(30, 31), Seq(false, true)))
+    // budget 5 with sep: doc1(2) + sep(1) + doc2(2) = 5 full; doc3 opens
+    // seq 1 with NO leading sep
+    val out = Pack.packTokensGreedy(df, col("doc_id"), col("toks"),
+        col("msk"), 5, lit(0), padId = -9, sepId = Some(99))
+      .orderBy("seq_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Int](2) == Seq(10, 11, 99, 20, 21))
+    assert(out(0).getSeq[Int](3) == Seq(0, 0, 0, 1, 1)) // sep = turn 0's
+    assert(out(0).getSeq[Boolean](4) == Seq(true, true, false, true, false))
+    assert(out(0).getInt(5) == 5)
+    assert(out(1).getSeq[Int](2) == Seq(30, 31, -9, -9, -9))
+    assert(out(1).getInt(5) == 2)
+    // WITHOUT sep the same corpus packs doc1+doc2 into 4 of 5 slots (one
+    // spare, but doc3 needs two) — sepId = None stays byte-identical to
+    // the pre-separator layout
+    val plain = packG(df, 5).orderBy("seq_id").collect()
+    assert(plain(0).getSeq[Int](2) == Seq(10, 11, 20, 21, -9))
+    assert(plain(1).getSeq[Int](2) == Seq(30, 31, -9, -9, -9))
   }
 
   test("greedy rows: a document larger than the budget fails loudly " +
