@@ -58,13 +58,16 @@ object ExactSubstrStream {
     val hParts = StoreLayout.committed(spark, storeDir, Some(self))
     // store rows are distinct by construction (each partition is written
     // anti-joined against everything at rest before it) — no re-distinct.
-    // The store is scanned twice per turn (flag join + append anti-join):
-    // two projections of an 8-byte column, the honest per-batch cost —
-    // persisting the whole store would pin O(store) memory instead.
+    // The store has TWO consumers per turn (flag join + append anti-join);
+    // the committed snapshot is materialized ONCE (spill-backed persist of
+    // the single 8-byte __h column) so the parquet store is scanned once
+    // per turn instead of twice — cached blocks spill to local disk, never
+    // pinning O(store) executor memory.
     val atRest =
-      if (hParts.nonEmpty) spark.read.parquet(hParts: _*).select("__h")
-      else ExactSubstr.windows(batchDf.limit(0), idCol, textCol, k, hash)
-        .select("__h")
+      (if (hParts.nonEmpty) spark.read.parquet(hParts: _*).select("__h")
+       else ExactSubstr.windows(batchDf.limit(0), idCol, textCol, k, hash)
+         .select("__h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perDoc = ExactSubstr
       .flaggedWindowsVs(batchDf, idCol, textCol, k, hash, Some(atRest))
       .groupBy(idCol)
@@ -91,7 +94,10 @@ object ExactSubstrStream {
       // landed-row count off the persisted frame (every input row lands,
       // cleaned or not) — callers must not re-read the partition for it
       cleaned.count()
-    } finally cleaned.unpersist()
+    } finally {
+      cleaned.unpersist()
+      atRest.unpersist()
+    }
   }
 
   /** Offline compaction — the shared crash-safe [[StoreLayout.compact]]. */

@@ -117,6 +117,45 @@ class ExactSubstrStreamSpec extends SparkSpec {
       "10" -> "z w", "11" -> "totally fresh words here"))
   }
 
+  test("the committed store snapshot materializes ONCE per turn (spill-" +
+      "backed persist consumed by both the flag join and the append " +
+      "anti-join) and is released when the turn ends") {
+    val (store, corpus) = dirs()
+    val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
+      k = 3)
+    fn(Seq((1L, "a b c d e")).toDF("doc_id", "text"), 0L)
+    // capture every query executed during batch 1's turn
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      fn(Seq((10L, "a b c d z")).toDF("doc_id", "text"), 1L)
+      // QueryExecutionListener events post asynchronously
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val turn = plans.asScala.toSeq
+    // the store's consumers read the CACHED snapshot (InMemoryTableScan),
+    // not a second parquet scan of the store directory
+    assert(turn.exists(_.contains("InMemoryTableScan")),
+      s"expected the store snapshot to be consumed from cache:\n" +
+        turn.mkString("\n----\n").take(4000))
+    // the snapshot does not outlive its turn (unpersist in the finally):
+    // a leaked cache would pin O(store) blocks across every later batch
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "store snapshot cache leaked past the turn")
+    // and the dedup semantics are unchanged: batch 1's repeat died
+    assert(corpusMap(corpus)(10L) == "z")
+  }
+
   test("store outputs under a daemon fail LOUDLY at start unless both " +
       "{{.RunTag}} and {{.Rotation}} are wired") {
     val d = Files.createTempDirectory("graft-substr-guard").toFile
