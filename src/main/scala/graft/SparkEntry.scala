@@ -100,6 +100,17 @@ object SparkEntry {
     "tab" -> "le", "s" -> "c", "o" -> "r", "e" -> "r", "a" -> "n",
     "s" -> "t", "r" -> "o")
 
+  /** q_topology_wordpiece's constant merge table — query parameters
+    * inlined identically on both engines (the bpeDemoMerges pattern).
+    * Surfaces: th, the, an, and, or, for — so "the"/"an"/"and"/"or"/
+    * "for" cover whole and "than" splits th + ##an; most other corpus
+    * words collapse to UnkId (BERT whole-word semantics under a tiny
+    * vocabulary without base characters).
+    */
+  private val wpTomlDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "o" -> "r",
+    "f" -> "or")
+
   /** The [[graft.llm.Multimodal.PhashCos]] fixed-point cosine table as
     * 256 `(k, n, qv)` VALUES literals — the q_multimodal_phash oracle
     * multiplies by EXACTLY the integers the executor does.
@@ -800,6 +811,74 @@ object SparkEntry {
     * merge table. Each step consumes ≥ 1 char, so `steps` ≥ the longest
     * corpus word (8 at every SF here) replays the loop exactly.
     */
+  /** DuckDB restatement of TokenizeIds Method=wordpiece under the
+    * wpTomlDemoMerges sidecar: the greedy cursor loop unrolled like
+    * [[wordpieceOracle]], but accumulating RULE IDS — the inlined vocab
+    * carries (surface, continuation?, rule id), the longest match at each
+    * cursor is unique (matching pieces are prefix-equal, so lengths
+    * differ), an unmatched cursor collapses the word to -1 (UnkId), and
+    * word id-lists join with ',' into the flat per-doc ids string. Empty
+    * documents keep an empty ids. Guard: the unroll (and TokenizeIds'
+    * MaxWordLen=10 whole-word gate) is exact only while every corpus word
+    * fits 10 chars — error out loudly the moment a fixture outgrows it.
+    */
+  private def wpTomlOracle: String = {
+    val vocabVals = wpTomlDemoMerges.zipWithIndex.flatMap { case ((a, b), i) =>
+      val surf = a + b
+      Seq(s"('$surf',false,$i)", s"('$surf',true,$i)")
+    }.mkString(",")
+    val steps = 10
+    val chain = (1 to steps).map { i =>
+      s"""m$i AS (
+           SELECT doc_id, w_ix, rest, acc,
+                  CASE WHEN rest = '' THEN NULL ELSE (
+                    SELECT max_by(v.id, length(v.surf)) FROM vocab v
+                    WHERE v.cont = (acc <> '')
+                      AND substr(rest, 1, length(v.surf)) = v.surf
+                  ) END AS bid,
+                  CASE WHEN rest = '' THEN NULL ELSE (
+                    SELECT max(length(v.surf)) FROM vocab v
+                    WHERE v.cont = (acc <> '')
+                      AND substr(rest, 1, length(v.surf)) = v.surf
+                  ) END AS blen
+           FROM s${i - 1}
+         ), s$i AS (
+           SELECT doc_id, w_ix,
+                  CASE WHEN rest = '' THEN ''
+                       WHEN bid IS NULL THEN ''
+                       ELSE substr(rest, blen + 1) END AS rest,
+                  CASE WHEN rest = '' THEN acc
+                       WHEN bid IS NULL THEN '-1'
+                       WHEN acc = '' THEN CAST(bid AS VARCHAR)
+                       ELSE acc || ',' || CAST(bid AS VARCHAR) END AS acc
+           FROM m$i
+         )"""
+    }.mkString(", ")
+    s"""WITH vocab(surf, cont, id) AS (VALUES $vocabVals),
+        tok AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+          FROM documents
+        ), w AS (
+          SELECT doc_id, i + 1 AS w_ix, t[i + 1] AS word
+          FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), chk AS (
+          SELECT CASE WHEN max(length(word)) > $steps THEN error(
+                   'wordpiece toml oracle: corpus word longer than $steps - re-unroll and revisit the MaxWordLen=10 gate')
+                 ELSE 0 END AS ok FROM w
+        ), s0 AS (
+          SELECT doc_id, w_ix, word AS rest, '' AS acc FROM w
+        ), $chain, agg AS (
+          SELECT doc_id, string_agg(acc, ',' ORDER BY w_ix) AS ids
+          FROM s$steps, chk WHERE chk.ok = 0 GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.ids, '') AS ids
+        FROM tok d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id"""
+  }
+
   private def wordpieceOracle: String = {
     val vocabVals = wpDemoVocab.map { p =>
       if (p.startsWith("##")) s"('${p.drop(2)}',true)" else s"('$p',false)"
@@ -4598,6 +4677,42 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_topology_wordpiece" -> ((s, d) => {
+      // Method=wordpiece on the TOML surface: a constant merge-rule
+      // sidecar (wpTomlDemoMerges, persisted exactly as a [tokenizer]
+      // train job would) decodes the BERT way — greedy longest-match over
+      // the rules' surfaces with ## continuations, ids = rule index,
+      // unsplittable words → UnkId (-1), whole-word gate at MaxWordLen.
+      // The oracle replays the greedy cursor loop over the same surfaces.
+      val dir = qTmpDir("wptoml-q")
+      import s.implicits._
+      wpTomlDemoMerges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, s"$a $b", 1L) }
+        .toDF("id", "piece", "cost")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  VocabPath = "$dir/vocab"
+           |  Method = "wordpiece"
+           |[output]
+           |name = "Nop"
+           |fields = ["doc_id", "ids"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected
+        .select(col("doc_id").cast("long").as("doc_id"), col("ids"))
+        .orderBy("doc_id")
+    }),
+
     "q_unigram_fertility" -> ((s, d) => {
       // the tokenizer-evaluation report for the TRAINED unigram
       // vocabulary: per language, docs / words / pieces / unks under the
@@ -8197,6 +8312,7 @@ object SparkEntry {
     // the config-surface replay of the same path: train → sidecar →
     // TokenizeIds → PackRows must reproduce the API capstone exactly
     "q_topology_tokenize" -> unigramPackOracle,
+    "q_topology_wordpiece" -> wpTomlOracle,
     "q_bpe_encode_native" ->
       // no digit pair exists in the corpus, so the 64-rule table leaves
       // the delimiter-wrapped char split untouched (rule non-firing is

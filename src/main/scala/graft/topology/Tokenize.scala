@@ -70,6 +70,15 @@ object Tokenize {
       .write.mode("overwrite").parquet(cfg.str("VocabPath"))
   }
 
+  /** Merge-rule sidecar rows as (left, right) symbol pairs. */
+  private def parseMerges(vocab: Seq[(String, Long)]): Seq[(String, String)] =
+    vocab.map(_._1).map { m =>
+      val p = m.split(" ", 2)
+      require(p.length == 2 && p.forall(_.nonEmpty),
+        s"TokenizeIds: bad merge rule '$m' in sidecar (want \"left right\")")
+      (p(0), p(1))
+    }
+
   /** Sidecar rows in id order — vocabulary-bounded driver read. */
   private def loadVocab(ctx: TopologyCtx, path: String): Seq[(String, Long)] = {
     val rows = ctx.spark.read.parquet(path).orderBy("id")
@@ -84,12 +93,16 @@ object Tokenize {
     ConfigKey("DstField", "field for the comma-joined token ids", required = true),
     ConfigKey("VocabPath", "vocabulary sidecar written by a [tokenizer] train job",
       required = true),
-    ConfigKey("Method", "unigram | bpe — unigram for a unigram-trained " +
-      "sidecar; bpe applies ANY merge-rule sidecar (bpe- or " +
-      "wordpiece-trained: both persist \"left right\" rules in learned order)",
-      default = Some("unigram")),
+    ConfigKey("Method", "unigram | bpe | wordpiece — unigram for a " +
+      "unigram-trained sidecar; bpe applies ANY merge-rule sidecar (bpe- " +
+      "or wordpiece-trained: both persist \"left right\" rules in learned " +
+      "order) by replaying merges; wordpiece decodes a merge-rule sidecar " +
+      "the BERT way — greedy longest-match over the merged symbols' " +
+      "surfaces (word-start and ## continuation forms), whole word → " +
+      "UnkId when no piece matches", default = Some("unigram")),
     ConfigKey("CountField", "optional field for the token count"),
-    ConfigKey("MaxWordLen", "unigram Viterbi word-length bound (match training)",
+    ConfigKey("MaxWordLen", "word-length bound: the unigram Viterbi bound " +
+      "(match training) and the wordpiece whole-word UNK gate",
       default = Some("10")),
     ConfigKey("UnkId", "id for out-of-vocabulary pieces", default = Some("-1")))
 
@@ -119,16 +132,36 @@ object Tokenize {
             GraftShims.toColumn(graft.functions.VocabIds(
               GraftShims.toExpression(pcs), trained.map(_._1), unk))
           case "bpe" =>
-            val merges = vocab.map(_._1).map { m =>
-              val p = m.split(" ", 2)
-              require(p.length == 2 && p.forall(_.nonEmpty),
-                s"TokenizeIds: bad merge rule '$m' in sidecar (want \"left right\")")
-              (p(0), p(1))
-            }
+            val merges = parseMerges(vocab)
             graft.llm.Bpe.tokenIds(graft.llm.Bpe.encodeText(src, merges),
               merges.map { case (a, b) => a + b }, unk)
+          case "wordpiece" =>
+            // the BERT-style decode of a merge-rule sidecar: each rule's
+            // merged symbol yields its SURFACE (delimiters stripped) as a
+            // word-start piece and "##"+surface as a continuation, both
+            // carrying the rule's id; the greedy longest-match walk runs
+            // in the native WordpieceEncodeWords expression, VocabIds maps
+            // pieces back (first rule wins on duplicate surfaces, the
+            // walk's own determinism), and piece-list position / 2
+            // recovers the rule id. Unsplittable words (or words over
+            // MaxWordLen) collapse whole to UnkId — BERT semantics; base
+            // characters no rule produced are NOT in the vocabulary, the
+            // same contract as Method=bpe's UnkId mapping.
+            val surfaces = parseMerges(vocab).map { case (a, b) =>
+              (a + b).replace(graft.llm.Bpe.Open, "")
+                .replace(graft.llm.Bpe.Close, "")
+            }
+            val pieceList = surfaces.flatMap(s => Seq(s, "##" + s))
+            val words = graft.llm.Wordpiece.encodeWordsCol(
+              TextFunctions.tokens(src), pieceList,
+              maxWordLen = cfg.int("MaxWordLen", 10L).toInt)
+            val pieces = flatten(transform(words, w => split(w, " ")))
+            val pos = GraftShims.toColumn(graft.functions.VocabIds(
+              GraftShims.toExpression(pieces), pieceList, -1))
+            transform(pos, i => when(i >= 0, shiftright(i, 1))
+              .otherwise(lit(unk)))
           case other => throw new IllegalArgumentException(
-            s"TokenizeIds: Method must be unigram or bpe: '$other'")
+            s"TokenizeIds: Method must be unigram, bpe or wordpiece: '$other'")
         }
         cfg.strOpt("CountField") match {
           case Some(cf) =>

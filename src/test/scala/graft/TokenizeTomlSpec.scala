@@ -179,6 +179,88 @@ class TokenizeTomlSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown SrcField"))
   }
 
+  test("Method=wordpiece: a merge-rule sidecar decodes the BERT way — " +
+      "greedy longest-match over rule surfaces with ## continuations, " +
+      "ids = rule index, unsplittable words -> UnkId") {
+    import spark.implicits._
+    val dir = tmp("toktoml-wp")
+    Seq((0L, "ababab ababx the"), (1L, "ab zz"), (2L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    // a HAND-WRITTEN sidecar in the trainer's wrapped-symbol format:
+    // rule 0 merges a+b (surface "ab"), rule 1 merges ab+ab ("abab")
+    def wrap(cs: String): String =
+      cs.map(c => s"\u0001$c\u0002").mkString
+    Seq((0L, s"${wrap("a")} ${wrap("b")}", 5L),
+        (1L, s"${wrap("ab")} ${wrap("ab")}", 3L))
+      .toDF("id", "piece", "cost")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+    val toml =
+      s"""[fields]
+         |names = ["doc_id", "text"]
+         |[input]
+         |name = "Parquet"
+         |  [input.config]
+         |  Path = "$dir/docs"
+         |[[filter]]
+         |name = "TokenizeIds"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "ids"
+         |  VocabPath = "$dir/vocab"
+         |  Method = "wordpiece"
+         |[output]
+         |name = "Nop"
+         |fields = ["doc_id", "ids"]
+         |""".stripMargin
+    val got = Topology.compileToml(spark, toml).projected
+      .select("doc_id", "ids").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // "ababab": greedy takes "abab" (rule 1) then continuation "##ab"
+    // (rule 0); "ababx": the x cursor matches nothing -> WHOLE word UnkId
+    // (BERT semantics); "the"/"zz": no piece matches -> UnkId; "ab" alone
+    // is rule 0; empty text -> empty ids
+    assert(got == Map("0" -> "1,0,-1,-1", "1" -> "0,-1", "2" -> ""))
+  }
+
+  test("a [tokenizer] wordpiece TRAIN job's sidecar is consumable by " +
+      "Method=wordpiece (config-only path runs end to end, in-range ids)") {
+    val dir = corpusDir()
+    // enough steps for a frequent word ("banana", count 5) to merge to a
+    // FULL-WORD symbol: greedy longest-match can then cover it whole (a
+    // tiny merge table without base characters UNKs partially-covered
+    // words - BERT semantics, exercised by the hand-written-sidecar test)
+    Topology.compileToml(spark,
+      trainToml(dir).replace("Method = \"unigram\"",
+        "Method = \"wordpiece\"\nSteps = 24")).run()
+    val nRules = spark.read.parquet(s"$dir/vocab").count()
+    val toml =
+      s"""[fields]
+         |names = ["doc_id", "text"]
+         |[input]
+         |name = "Parquet"
+         |  [input.config]
+         |  Path = "$dir/docs"
+         |[[filter]]
+         |name = "TokenizeIds"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "ids"
+         |  VocabPath = "$dir/vocab"
+         |  Method = "wordpiece"
+         |[output]
+         |name = "Nop"
+         |fields = ["doc_id", "ids"]
+         |""".stripMargin
+    val rows = Topology.compileToml(spark, toml).projected
+      .select("doc_id", "ids").collect().map(r => r.getString(1))
+    assert(rows.length == 4)
+    val ids = rows.filter(_.nonEmpty).flatMap(_.split(",")).map(_.toInt)
+    assert(ids.nonEmpty)
+    assert(ids.forall(i => i == -1 || (i >= 0 && i < nRules)))
+    assert(ids.exists(_ >= 0), "no rule surface ever matched the corpus")
+  }
+
   test("TokenizeIds on an empty sidecar fails loudly") {
     import spark.implicits._
     val dir = tmp("toktoml-empty")
