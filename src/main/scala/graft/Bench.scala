@@ -66,14 +66,11 @@ object Bench {
     // CORPUS rows are single-plan operator queries whose time tracks data
     // volume. The blended mean understates corpus-operator speed as the
     // fixture inventory grows; per-tier totals keep the two stories
-    // separate. Membership = the queries that build temp stores/files
-    // (the qTmpDir users in SparkEntry), pinned here explicitly.
-    val lifecycleQueries = Set(
-      "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
-      "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
-      "q_dedup_incremental_substr", "q_dedup_incremental_video",
-      "q_sidecar_recipe", "q_simhash_recall", "q_topology_jsonl",
-      "q_topology_tokenize", "q_topology_webdataset", "q_video_neardup")
+    // separate. Membership lives in SparkEntry.lifecycleQueries, next to
+    // the query definitions, so a new store-lifecycle query lands in the
+    // right tier without touching this file (SparkEntrySpec pins that
+    // every member names a real query).
+    val lifecycleQueries = SparkEntry.lifecycleQueries
     def sweep(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>

@@ -84,6 +84,47 @@ object SparkEntry {
     graft.llm.Pdf.lzwEncodeLiteral("BT (lzw stream text works) Tj ET"
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
 
+  private def deflateBytes(src: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(src); defl.finish()
+    val buf = new Array[Byte](4096)
+    val n = defl.deflate(buf)
+    defl.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** q_pdf_chain's constant `[/ASCII85Decode /FlateDecode]` stream:
+    * deflate then 85-encode once on the driver; the oracle checks the
+    * extracted TEXT, independent of either encoder's byte choices.
+    */
+  private lazy val pdfChainA85Fixture: Array[Byte] =
+    graft.llm.Pdf.ascii85Encode(deflateBytes(
+      "BT (a85 flate chain text) Tj ET"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+
+  /** q_pdf_chain's constant PNG-predictor'd Flate stream: the 35-byte
+    * content Up-filtered at /Columns 7 (5 whole rows), then deflated.
+    */
+  private lazy val pdfPredictorFixture: Array[Byte] =
+    deflateBytes(graft.llm.Pdf.pngPredictUp(
+      "BT (png predictor text works) Tj ET"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 7))
+
+  /** q_pdf_chain's constant /RunLengthDecode stream: a literal run, a
+    * repeat run ("eee"), a literal tail, EOD.
+    */
+  private lazy val pdfRleFixture: Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    val head = "BT (rle ".getBytes(ISO_8859_1)
+    out.write(head.length - 1); out.write(head)
+    out.write(257 - 4); out.write('x') // "xxxx"
+    val tail = " text works) Tj ET".getBytes(ISO_8859_1)
+    out.write(tail.length - 1); out.write(tail)
+    out.write(128)
+    out.toByteArray
+  }
+
   /** Shared histogram boundaries for q_hist_quantiles: lineitem prices span
     * ~[900, 105k]; 20 log bins/decade ≈ 12% relative quantile error.
     */
@@ -1855,6 +1896,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Bench's store-LIFECYCLE tier: queries whose runtime is dominated by a
+    * FIXED job count — at-rest store writes/restarts, RTBF delete+rebuild,
+    * serving-layout promotion, full TOML topology compiles with trainer
+    * rounds — rather than by corpus volume (measured: 82% of
+    * q_dedup_incremental_video is store-lifecycle jobs, 18% decode). That
+    * cost amortizes at scale, so Bench reports the two tiers separately.
+    *
+    * Maintained HERE, next to the query definitions, so adding a
+    * store-building query and classifying it is one edit in one file
+    * (Bench imports this set; SparkEntrySpec pins that every name exists).
+    * Membership rule: a [[qTmpDir]] user belongs here when its fixture /
+    * store work dominates its runtime. The one deliberate exception is
+    * q_simhash_recall — its qTmpDir holds a one-shot projection cache and
+    * the all-radius probe joins dominate — kept in the lifecycle tier
+    * anyway because its fixture materialization is still a fixed job
+    * count, the tier's actual criterion.
+    */
+  val lifecycleQueries: Set[String] = Set(
+    "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
+    "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
+    "q_dedup_incremental_substr", "q_dedup_incremental_video",
+    "q_sidecar_recipe", "q_simhash_recall", "q_topology_jsonl",
+    "q_topology_tokenize", "q_topology_wordpiece", "q_topology_webdataset",
+    "q_video_neardup")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- engine-level ops (SURVEY §2.1) ----
     "q_projection" -> ((s, d) =>
@@ -3441,6 +3507,45 @@ object SparkEntry {
           .cast("binary"),
         lit(pdfLzwFixture),
         lit("\nendstream\nendobj\n%%EOF\n").cast("binary"))
+      graft.llm.Pdf.pdfTexts(
+          t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+          "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
+    "q_pdf_chain" -> ((s, d) => {
+      // filter CHAINS, ASCII byte decoders and PNG predictors end to end
+      // (PDF 32000-1 §7.4.2/.3/.4.4/.5): each doc's payload carries FIVE
+      // streams — a per-doc /ASCIIHexDecode stream (hex() is pure column
+      // algebra, so this one varies per document), a constant
+      // [/ASCII85Decode /FlateDecode] chain, a constant /Predictor 12
+      // Flate stream (Up-filtered rows un-applied after inflate), a
+      // constant /RunLengthDecode stream, and a stream whose /Filter is
+      // an INDIRECT reference carrying decoy BT…ET bytes — the advice-r15
+      // injection case, which must extract NOTHING. The oracle restates
+      // the four decoded texts and, by omission, the decoy's absence.
+      val content1 = concat(lit("BT ("), substring(col("text"), 1, 60),
+        lit(") Tj ET"))
+      val decoy = "BT (indirect filter decoy must not leak) Tj ET"
+      val payload = concat(
+        concat(lit("%PDF-1.4\n1 0 obj\n<< /Length 0 /Filter /ASCIIHexDecode " +
+          ">>\nstream\n"),
+          hex(content1.cast("binary")), lit(">")).cast("binary"),
+        lit("\nendstream\nendobj\n2 0 obj\n<< /Length " +
+          pdfChainA85Fixture.length +
+          " /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n").cast("binary"),
+        lit(pdfChainA85Fixture),
+        lit("\nendstream\nendobj\n3 0 obj\n<< /Length " +
+          pdfPredictorFixture.length + " /Filter /FlateDecode /DecodeParms " +
+          "<< /Predictor 12 /Columns 7 >> >>\nstream\n").cast("binary"),
+        lit(pdfPredictorFixture),
+        lit("\nendstream\nendobj\n4 0 obj\n<< /Length " +
+          pdfRleFixture.length + " /Filter /RunLengthDecode >>\nstream\n")
+          .cast("binary"),
+        lit(pdfRleFixture),
+        lit(("\nendstream\nendobj\n5 0 obj\n<< /Length " + decoy.length +
+          " /Filter 6 0 R >>\nstream\n" + decoy +
+          "\nendstream\nendobj\n%%EOF\n")).cast("binary"))
       graft.llm.Pdf.pdfTexts(
           t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
           "doc_id", "payload")
@@ -5507,8 +5612,13 @@ object SparkEntry {
       // n_capped_occurrences; smaller groups keep the exact neighbor-LCP
       // extent. The boilerplate tail is identical across documents, so
       // its 5 interior anchors are corpus-hot by construction.
+      // coalesce(text, ''): the engine's tokens() maps NULL to [] so a
+      // NULL-text doc still gets the planted boilerplate — without the
+      // coalesce, DuckDB's || would propagate NULL and drop the doc's
+      // planted occurrences (a latent gate failure at any SF whose
+      // documents table carries a NULL text).
       """WITH tok0 AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t0
+           SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t0
            FROM documents
          ), txt AS (
            SELECT doc_id, array_to_string(t0[1:30], ' ') ||
@@ -6495,6 +6605,20 @@ object SparkEntry {
                 substr(text, 1, 60) || chr(10) ||
                 'objstm flate text' || chr(10) ||
                 'lzw stream text works' AS text
+         FROM documents ORDER BY doc_id""",
+    "q_pdf_chain" ->
+      // the five planted streams restated in document byte order: the
+      // per-doc ASCIIHex stream's prose, the constant 85→Flate chain,
+      // the constant predictor'd Flate, the constant RunLength — and NO
+      // line for the indirect-/Filter decoy (its absence IS the
+      // assertion: an unresolvable filter must extract nothing, never
+      // walk raw). Extraction output is independent of the encoders'
+      // byte choices, so the oracle needs no codec.
+      """SELECT doc_id,
+                substr(coalesce(text, ''), 1, 60) || chr(10) ||
+                'a85 flate chain text' || chr(10) ||
+                'png predictor text works' || chr(10) ||
+                'rle xxxx text works' AS text
          FROM documents ORDER BY doc_id""",
     "q_multimodal_decode" ->
       """SELECT doc_id,

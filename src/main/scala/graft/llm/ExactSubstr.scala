@@ -266,16 +266,30 @@ object ExactSubstr {
       // rows through one task unreduced) and broadcast joins against the
       // hot set. The hot set is ≤ total windows / cap rows — tiny for
       // any real cap — and carries the keeper, so hot occurrences flag
-      // MAP-ONLY: no exchange, no sort, no straggler. Column pruning
-      // keeps both extra passes anchor-only (no extension slices).
-      val hot = occ.groupBy("__a").agg(
+      // MAP-ONLY: no exchange, no sort, no straggler.
+      //
+      // The occurrence frame has THREE consumers (hot-count aggregate,
+      // cold probe, hot-rows join) and Catalyst has no DAG sharing, so
+      // unpersisted each would re-run the tokenize + posexplode + hash
+      // scan — at 100 TB that is two extra tokenize passes over the
+      // corpus. Spill-backed persist (the ExactSubstrStream snapshot
+      // idiom) materializes it ONCE; cached blocks spill to local disk,
+      // never pinning O(corpus) executor memory.
+      val occC = occ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = occC.groupBy("__a").agg(
           count(lit(1)).as("__cnt"),
           min(struct(col(idCol), col("pos"))).as("__first"))
         .filter(col("__cnt") > maxAnchorOccurrences)
+      // functions.broadcast PINS the documented map-only shape on both
+      // hot joins: the hot set is bounded only by totalWindows/cap, so
+      // past autoBroadcastJoinThreshold the planner would silently fall
+      // back to a shuffle join keyed on __a — sending a hot anchor's
+      // millions of occurrences through one task, the exact straggler
+      // this fuse exists to avoid.
       // removing WHOLE anchors keeps cold group membership identical, so
       // the window's count/first equal the global ones
-      val cold = occ.join(hot.select("__a"), Seq("__a"), "left_anti")
-      val hotRows = occ.join(hot, Seq("__a"))
+      val cold = occC.join(broadcast(hot.select("__a")), Seq("__a"), "left_anti")
+      val hotRows = occC.join(broadcast(hot), Seq("__a"))
         .select(col(idCol), col("pos"), lit(k).as("rep_len"),
           (struct(col(idCol), col("pos")) === col("__first")).as("is_keeper"),
           lit(true).as("capped"))

@@ -120,23 +120,239 @@ object Pdf {
   private val NameToken = """/([A-Za-z0-9]+)""".r
 
   /** Decoded bytes of one stream given its object-dictionary text: raw
-    * when the dict names NO filter, inflated/LZW-decoded for a single
-    * `/FlateDecode`/`/LZWDecode`, None for everything else (unknown
-    * filters, chains, `/Predictor` > 1 — data this walker cannot turn
-    * back into text, which must not be scanned as if it were).
+    * when the dict names NO filter; filter CHAINS (e.g.
+    * `[/ASCII85Decode /FlateDecode]`) decode in array order (PDF 32000-1
+    * §7.3.8.2 — the first named filter decodes the stream bytes first);
+    * `/Predictor` ≥ 2 un-applies after the Flate/LZW stage it
+    * parameterizes. Any filter this walker cannot turn back into text
+    * (DCT/JPX/JBIG2/Crypt…) → None — compressed binary routinely contains
+    * accidental `BT`…`ET` byte pairs, so it must not be scanned as text.
+    * A `/Filter` entry that is PRESENT but unparseable (an indirect
+    * `/Filter 2 0 R` value, legal per §7.3.8.2) also returns None: the
+    * stream IS filtered, we just cannot tell how — walking it raw would
+    * be exactly the garbage injection the skip stance exists to prevent.
     */
   private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] = {
     val names = FilterEntry.findFirstMatchIn(dict) match {
-      case None => return Some(raw) // no /Filter: stream data IS the bytes
+      case None =>
+        return if (dict.contains("/Filter")) None // indirect/unparseable
+               else Some(raw) // no /Filter: stream data IS the bytes
       case Some(m) => NameToken.findAllMatchIn(m.group(1)).map(_.group(1)).toList
     }
-    val predictor = intKey(dict, "/Predictor").getOrElse(1L)
-    if (predictor > 1) None
-    else names match {
-      case List("FlateDecode") => inflate(raw)
-      case List("LZWDecode") => lzwDecode(raw)
-      case _ => None
+    names.foldLeft(Option(raw)) { (acc, name) =>
+      acc.flatMap { data =>
+        name match {
+          // abbreviated names are the inline-image aliases (§8.9.7 table
+          // 94); honoring them costs nothing and some writers leak them
+          // into stream dicts
+          case "FlateDecode" | "Fl"     => inflate(data).flatMap(unpredict(dict, _))
+          case "LZWDecode" | "LZW"      => lzwDecode(data).flatMap(unpredict(dict, _))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+          case "ASCII85Decode" | "A85"  => ascii85Decode(data)
+          case "RunLengthDecode" | "RL" => runLengthDecode(data)
+          case _ => None // DCT/JPX/JBIG2/CCITT/Crypt…: not text, skip
+        }
+      }
     }
+  }
+
+  /** Un-apply the stream's `/Predictor` to decompressed Flate/LZW bytes
+    * (PDF 32000-1 §7.4.4.4): 1 (or absent) = none; 2 = TIFF horizontal
+    * differencing (8-bit components only — other depths skip); ≥ 10 =
+    * the PNG per-row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6),
+    * one filter-type byte per row. Geometry comes from /Columns /Colors
+    * /BitsPerComponent (defaults 1, 1, 8); data that does not tile into
+    * whole rows → None, the never-throw skip contract.
+    */
+  private def unpredict(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val predictor = intKey(dict, "/Predictor").getOrElse(1L)
+    if (predictor <= 1) return Some(data)
+    val columns = intKey(dict, "/Columns").getOrElse(1L).toInt
+    val colors = intKey(dict, "/Colors").getOrElse(1L).toInt
+    val bpc = intKey(dict, "/BitsPerComponent").getOrElse(8L).toInt
+    if (columns <= 0 || colors <= 0 || bpc <= 0) return None
+    if (predictor == 2L) {
+      if (bpc != 8) return None // sub-byte TIFF differencing: skip
+      val rowLen = columns * colors
+      if (rowLen <= 0 || data.length % rowLen != 0) return None
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = colors
+        while (i < rowLen) {
+          out(r + i) = (out(r + i) + out(r + i - colors)).toByte
+          i += 1
+        }
+        r += rowLen
+      }
+      Some(out)
+    } else if (predictor >= 10L) {
+      val bpp = math.max(1, colors * bpc / 8) // bytes per pixel, floor 1
+      val rowLen = (columns * colors * bpc + 7) / 8
+      if (rowLen <= 0 || data.length % (rowLen + 1) != 0) return None
+      val rows = data.length / (rowLen + 1)
+      val out = new Array[Byte](rows * rowLen)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * (rowLen + 1)) & 0xFF
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        val prior = dst - rowLen // valid only when r > 0
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + i) & 0xFF
+          val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+          val b = if (r > 0) out(prior + i) & 0xFF else 0
+          val c = if (r > 0 && i >= bpp) out(prior + i - bpp) & 0xFF else 0
+          val v = ft match {
+            case 0 => x // None
+            case 1 => x + a // Sub
+            case 2 => x + b // Up
+            case 3 => x + (a + b) / 2 // Average
+            case 4 => // Paeth
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None // unknown row filter: corrupt
+          }
+          out(dst + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      Some(out)
+    } else None // predictors 3..9 are not defined
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace skipped, `>` ends the
+    * data (odd digit count pads a trailing 0). Non-hex byte → None.
+    */
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4) // odd count: pad 0
+        return Some(out.toByteArray)
+      } else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray) // missing '>' tolerated: data simply ends
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base-85; `z` = 4
+    * zero bytes (whole-group shorthand only); whitespace skipped; `~>`
+    * ends the data; a trailing partial group of n chars yields n−1 bytes
+    * (padded with `u` per spec). Out-of-range byte or lone-`z`-in-group →
+    * None.
+    */
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Boolean = { // count = chars in group (2..5)
+      if (count < 2) return count == 0
+      var acc = 0L
+      var i = 0
+      while (i < 5) { acc = acc * 85 + (if (i < count) grp(i) else 84); i += 1 }
+      var j = 0
+      while (j < count - 1) { out.write(((acc >> (24 - 8 * j)) & 0xFF).toInt); j += 1 }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '~') return if (flush(n)) Some(out.toByteArray) else None
+      else if (c == 'z') {
+        if (n != 0) return None // z inside a group: corrupt
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') return None
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      }
+      i += 1
+    }
+    if (flush(n)) Some(out.toByteArray) else None // missing '~>' tolerated
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next
+    * L+1 bytes literally, 129..255 repeats the next byte 257−L times,
+    * 128 = EOD. A literal run past the buffer → None.
+    */
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var k = 257 - l
+        while (k > 0) { out.write(data(i + 1)); k -= 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray) // missing EOD tolerated
+  }
+
+  /** ASCII85-ENCODE `data` (with the `~>` terminator, no `z`
+    * shorthand) — a fixture encoder for PdfSpec and the q_pdf_chain
+    * oracle fixture, the [[lzwEncodeLiteral]] discipline.
+    */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val count = math.min(4, data.length - i)
+      var acc = 0L
+      var j = 0
+      while (j < 4) {
+        acc = (acc << 8) | (if (j < count) data(i + j) & 0xFF else 0); j += 1
+      }
+      val cs = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { cs(k) = ('!' + (acc % 85)).toChar; acc /= 85; k -= 1 }
+      out.appendAll(cs, 0, count + 1)
+      i += 4
+    }
+    out.append("~>")
+    out.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** PNG-predict `data` with the Up filter (type 2) at `columns` bytes
+    * per row — the inverse of [[unpredict]]'s PNG path, for fixtures
+    * (`data.length` must tile into whole rows).
+    */
+  private[graft] def pngPredictUp(data: Array[Byte], columns: Int): Array[Byte] = {
+    require(columns > 0 && data.length % columns == 0,
+      s"pngPredictUp: ${data.length} bytes do not tile into $columns-byte rows")
+    val rows = data.length / columns
+    val out = new Array[Byte](rows * (columns + 1))
+    var r = 0
+    while (r < rows) {
+      out(r * (columns + 1)) = 2 // Up
+      var i = 0
+      while (i < columns) {
+        val cur = data(r * columns + i) & 0xFF
+        val above = if (r > 0) data((r - 1) * columns + i) & 0xFF else 0
+        out(r * (columns + 1) + 1 + i) = ((cur - above) & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** Integer value of a `/Key N` dictionary entry (no reference-chasing —

@@ -78,15 +78,22 @@ class PdfSpec extends SparkSpec {
     val doc = Pdf.extractText(pdfObj(
       s"<< /Length ${binary.length} /Filter /DCTDecode >>", binary))
     assert(doc.isEmpty)
-    // filter CHAINS skip too, even when Flate is in the chain
+    // a chain whose bytes are INVALID for its first filter skips (raw
+    // deflate is not ASCII85 text) — corrupt chains drop, never garble
     val chained = deflate("BT (chained) Tj ET")
     assert(Pdf.extractText(pdfObj(
       s"<< /Length ${chained.length} /Filter [/ASCII85Decode /FlateDecode] >>",
       chained)).isEmpty)
-    // predictor'd Flate skips (the walker has no predictor un-filter)
+    // predictor'd Flate whose decompressed bytes don't tile into whole
+    // (rowLen+1)-byte rows skips (18 bytes against /Columns 4)
     assert(Pdf.extractText(pdfObj(
       s"<< /Length ${chained.length} /Filter /FlateDecode " +
         "/DecodeParms << /Predictor 12 /Columns 4 >> >>", chained)).isEmpty)
+    // an INDIRECT /Filter value (legal per §7.3.8.2) means the stream is
+    // filtered in a way we cannot resolve — skip, never walk raw (the
+    // still-compressed bytes could carry accidental BT…ET pairs)
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${binary.length} /Filter 2 0 R >>", binary)).isEmpty)
     // and a skipped stream doesn't take the rest of the document with it
     val mixed = new java.io.ByteArrayOutputStream()
     mixed.write(pdfObj(s"<< /Length ${binary.length} /Filter /DCTDecode >>",
@@ -94,6 +101,85 @@ class PdfSpec extends SparkSpec {
     mixed.write(("2 0 obj\n<< /Length 20 >>\nstream\n" +
       "BT (kept) Tj ET\nendstream\nendobj\n%%EOF\n").getBytes(ISO_8859_1))
     assert(Pdf.extractText(mixed.toByteArray).contains("kept"))
+  }
+
+  test("filter chains decode in array order: ASCII85→Flate, Hex→Flate; " +
+      "ASCIIHex/ASCII85/RunLength stand alone; unknown link skips the chain") {
+    val text = "BT (chain decoded text) Tj ET"
+    val fl = deflate(text)
+    // [/ASCII85Decode /FlateDecode]: 85-decode first, then inflate
+    val a85 = Pdf.ascii85Encode(fl)
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${a85.length} /Filter [/ASCII85Decode /FlateDecode] >>",
+      a85)).contains("chain decoded text"))
+    // hex → flate, with whitespace and the '>' terminator
+    val hex = fl.map(b => f"${b & 0xFF}%02X").mkString("", " ", ">")
+      .getBytes(ISO_8859_1)
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${hex.length} /Filter [/ASCIIHexDecode /FlateDecode] >>",
+      hex)).contains("chain decoded text"))
+    // standalone ASCIIHexDecode, lowercase digits
+    val hexOnly = (text.getBytes(ISO_8859_1).map(b => f"${b & 0xFF}%02x")
+      .mkString + ">").getBytes(ISO_8859_1)
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${hexOnly.length} /Filter /ASCIIHexDecode >>", hexOnly))
+      .contains("chain decoded text"))
+    // standalone ASCII85 with 'z' shorthand absent, partial final group
+    val a85only = Pdf.ascii85Encode(text.getBytes(ISO_8859_1))
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${a85only.length} /Filter /ASCII85Decode >>", a85only))
+      .contains("chain decoded text"))
+    // RunLengthDecode: literal run + repeat run + EOD
+    val rl = new java.io.ByteArrayOutputStream()
+    val lit = "BT (rle ".getBytes(ISO_8859_1)
+    rl.write(lit.length - 1); rl.write(lit)
+    rl.write(257 - 4); rl.write('x') // "xxxx"
+    val tail = " text) Tj ET".getBytes(ISO_8859_1)
+    rl.write(tail.length - 1); rl.write(tail)
+    rl.write(128)
+    val rlb = rl.toByteArray
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${rlb.length} /Filter /RunLengthDecode >>", rlb))
+      .contains("rle xxxx text"))
+    // an unknown link anywhere in the chain skips the whole stream
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${a85.length} /Filter [/ASCII85Decode /DCTDecode] >>",
+      a85)).isEmpty)
+  }
+
+  test("PNG predictors un-apply after Flate (Up/Sub/Paeth rows); TIFF " +
+      "predictor 2; geometry mismatch skips") {
+    val text = "BT (predictor text works) Tj ETpad" // 34 bytes
+    val raw = text.getBytes(ISO_8859_1)
+    assert(raw.length % 17 == 0) // tiles into 2 rows of /Columns 17
+    val up = deflate(new String(Pdf.pngPredictUp(raw, 17), ISO_8859_1))
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${up.length} /Filter /FlateDecode /DecodeParms " +
+        "<< /Predictor 12 /Columns 17 >> >>", up))
+      .contains("predictor text works"))
+    // Sub/None/Average/Paeth rows: encode by directly building filtered
+    // rows (None rows = type-0 prefix, trivially correct to un-apply)
+    val none = deflate(new String(
+      raw.grouped(17).flatMap(r => Array[Byte](0) ++ r).toArray, ISO_8859_1))
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${none.length} /Filter /FlateDecode /DecodeParms " +
+        "<< /Predictor 15 /Columns 17 >> >>", none))
+      .contains("predictor text works"))
+    // TIFF predictor 2: horizontal differencing at 8-bit
+    val tiff = raw.grouped(17).flatMap { row =>
+      row.zipWithIndex.map { case (b, i) =>
+        if (i == 0) b else ((b - row(i - 1)) & 0xFF).toByte }
+    }.toArray
+    val tfl = deflate(new String(tiff, ISO_8859_1))
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${tfl.length} /Filter /FlateDecode /DecodeParms " +
+        "<< /Predictor 2 /Columns 17 >> >>", tfl))
+      .contains("predictor text works"))
+    // geometry that doesn't tile → skip, never garble
+    val bad = deflate(text.take(20))
+    assert(Pdf.extractText(pdfObj(
+      s"<< /Length ${bad.length} /Filter /FlateDecode /DecodeParms " +
+        "<< /Predictor 12 /Columns 17 >> >>", bad)).isEmpty)
   }
 
   test("LZWDecode streams decode; corrupt LZW drops") {

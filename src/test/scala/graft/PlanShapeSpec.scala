@@ -745,6 +745,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(partialBelow, s"hot aggregate must be map-side combined:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"hot set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // single-scan fuse: the occurrence frame (tokenize + posexplode +
+    // anchor hash) has three consumers (hot aggregate, cold probe, hot
+    // join) — all must read the ONE spill-backed materialization, never
+    // re-run the tokenize scan (r15 ran it three times)
+    assert(p.contains("InMemoryTableScan"),
+      s"occurrence frame must be materialized once and shared:\n$p")
+    // with the cache in place the three consumers print as
+    // InMemoryTableScan, so the tokenize/posexplode subtree appears only
+    // inside InMemoryRelation's cached-plan dump — any Generate BEFORE the
+    // first InMemoryRelation marker is a consumer re-running the scan
+    assert(!p.split("InMemoryRelation")(0).contains("Generate posexplode"),
+      s"a consumer re-evaluates the occurrence scan above the cache:\n$p")
   }
 
   test("incremental substring dedup: the batch window stream shuffles " +

@@ -17,6 +17,13 @@ class SparkEntrySpec extends AnyFunSuite {
         s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
   }
 
+  test("every lifecycle-tier member names a real query") {
+    val missing = SparkEntry.lifecycleQueries -- SparkEntry.queries.keySet
+    assert(missing.isEmpty,
+      s"lifecycleQueries naming no query (renamed or removed?): " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("query names are unique, non-empty, and JSON-safe") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.queries.keys.foreach { k =>
