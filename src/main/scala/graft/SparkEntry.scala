@@ -1227,17 +1227,112 @@ object SparkEntry {
         FROM fin GROUP BY doc_id ORDER BY doc_id""")
   }
 
+  /** Break-chain restatement of the greedy no-split packing recurrence —
+    * the oracle tail shared by every packTokensGreedy row. Consumes a CTE
+    * `tk(shard, toks, msk, n, rn)` (rn = row_number per shard in pack
+    * order, n = len(toks) AFTER any special-token extension, n > 0 rows
+    * only) and emits the final packed-row md5 projection.
+    *
+    * Why not the r15 per-doc recursion: carrying (seq_id, fill) rank to
+    * rank recursed to depth = docs-per-shard WITH list columns in
+    * flight — wall-infeasible at sf0.1 for q_pack_ids_greedy (SCALE.md
+    * round-15 gate, >6 h DuckDB CPU at depth 1,250). Here the greedy
+    * recurrence is restated on PREFIX SUMS: with S' = per-shard cumsum of
+    * (n + sepCost), a sequence starting at rank i extends exactly to the
+    * last rank j with S'(j) ≤ S'(i−1) + budget + sepCost (every doc fits
+    * alone — the engine errors otherwise — so j ≥ i always exists), and
+    * the per-sequence discount for the missing leading separator cancels
+    * into the probe bound `cum − n + budget`. `nxt` is then ONE asof
+    * join, and the recursion walks sequence STARTS only — scalar rows,
+    * depth = max sequences per shard, no lists in flight. Assembly
+    * orders by rank, so no offset arithmetic is needed; with `sepId` each
+    * non-first piece prepends the separator carrying the PRECEDING
+    * document's segment ordinal and loss_mask false, exactly
+    * [[graft.llm.Pack.packTokensGreedy]]'s layout.
+    */
+  private def greedyPackTailSql(budget: Int, padId: Int,
+      sepId: Option[Int] = None): String = {
+    val sepc = if (sepId.isDefined) 1 else 0
+    val sepPiece = sepId.map(s =>
+      s"CASE WHEN pidx > 0 THEN [CAST($s AS INT)] ELSE CAST([] AS INT[]) END || ")
+      .getOrElse("")
+    val sepSeg = sepId.map(_ =>
+      "CASE WHEN pidx > 0 THEN [pidx - 1] ELSE CAST([] AS INT[]) END || ")
+      .getOrElse("")
+    val sepMsk = sepId.map(_ =>
+      "CASE WHEN pidx > 0 THEN [false] ELSE CAST([] AS BOOLEAN[]) END || ")
+      .getOrElse("")
+    s""", st AS (
+         SELECT shard, rn, toks, msk, n,
+                SUM(n + $sepc) OVER (PARTITION BY shard ORDER BY rn
+                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM tk),
+       mx AS (SELECT shard, max(rn) AS mrn FROM st GROUP BY shard),
+       stx AS (SELECT shard, rn, cum - n + $budget AS xcap FROM st),
+       brk AS (
+         SELECT a.shard, a.rn, b.rn + 1 AS nxt
+         FROM stx a ASOF JOIN st b
+           ON a.shard = b.shard AND a.xcap >= b.cum),
+       starts AS (
+         SELECT shard, CAST(1 AS BIGINT) AS srn, CAST(0 AS BIGINT) AS seq_id
+         FROM mx
+         UNION ALL
+         SELECT s.shard, b.nxt, s.seq_id + 1
+         FROM starts s
+         JOIN brk b ON b.shard = s.shard AND b.rn = s.srn
+         JOIN mx m ON m.shard = s.shard
+         WHERE b.nxt <= m.mrn),
+       asg AS (
+         SELECT a.shard, a.rn, a.toks, a.msk, s.seq_id
+         FROM st a ASOF JOIN starts s
+           ON a.shard = s.shard AND a.rn >= s.srn),
+       p2 AS (
+         SELECT shard, seq_id, rn, toks, msk,
+                CAST(row_number() OVER (PARTITION BY shard, seq_id
+                  ORDER BY rn) - 1 AS INT) AS pidx
+         FROM asg),
+       asm AS (
+         SELECT shard, seq_id,
+                flatten(list($sepPiece toks ORDER BY rn)) AS ids0,
+                flatten(list($sepMsk msk ORDER BY rn)) AS mk0,
+                flatten(list($sepSeg list_transform(toks, x -> pidx)
+                  ORDER BY rn)) AS sg0
+         FROM p2 GROUP BY shard, seq_id),
+       fin AS (
+         SELECT shard, seq_id, len(ids0) AS n_real,
+                ids0 || list_transform(range($budget - len(ids0)),
+                  x -> $padId) AS ids,
+                sg0 || list_transform(range($budget - len(ids0)),
+                  x -> -1) AS sg,
+                mk0 || list_transform(range($budget - len(ids0)),
+                  x -> false) AS mk
+         FROM asm)
+       SELECT shard, seq_id,
+              md5(array_to_string(list_transform(ids,
+                x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+              md5(array_to_string(list_transform(sg,
+                x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
+              md5(array_to_string(list_transform(mk,
+                x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+              CAST(n_real AS INT) AS n_real
+       FROM fin ORDER BY shard, seq_id"""
+  }
+
   /** Oracle for q_pack_ids_unigram — the SentencePiece SFT path replayed
     * end to end: the training chain's trained cost table `v2`, a
     * POSITIONS-TRACKING backtrace (each step also emits the piece's start
     * offset, so pieces order by (word index, start) into the exact
     * sequence the native expression produces), vocabulary ids by sorted
-    * rank over `v2`, then q_pack_ids_greedy's greedy recursive CTE and
-    * array rebuild verbatim (budget 1024, pad −2). Words longer than the
+    * rank over `v2`, then the break-chain greedy tail
+    * ([[greedyPackTailSql]], budget 1024, pad −2). Words longer than the
     * unroll are SKIPPED on both sides (the trainer's contract), not an
-    * error.
+    * error. `eos`/`bos`/`sep` replay PackRows' special tokens on the
+    * token arrays before packing (EOS mask true, BOS mask false).
     */
-  private def unigramPackOracle: String = {
+  private def unigramPackOracle: String = unigramPackOracleWith()
+
+  private def unigramPackOracleWith(eos: Option[Int] = None,
+      bos: Option[Int] = None, sep: Option[Int] = None): String = {
     val steps = 10
     val bcols = (0 to steps).map(x => s"hb$x").mkString(", ")
     val bcase = (0 to steps).map(x => s"WHEN $x THEN hb$x").mkString(" ")
@@ -1283,55 +1378,15 @@ object SparkEntry {
       ), tk AS MATERIALIZED (
         SELECT doc_id,
                ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
-               list(wiv.vid ORDER BY wd2.w_ix, wiv.pstart) AS toks,
-               list(true ORDER BY wd2.w_ix, wiv.pstart) AS msk,
-               CAST(count(*) AS BIGINT) AS n,
+               ${bos.map(b => s"[CAST($b AS INT)] || ").getOrElse("")}list(wiv.vid ORDER BY wd2.w_ix, wiv.pstart)${eos.map(e => s" || [CAST($e AS INT)]").getOrElse("")} AS toks,
+               ${bos.map(_ => "[false] || ").getOrElse("")}list(true ORDER BY wd2.w_ix, wiv.pstart)${eos.map(_ => " || [true]").getOrElse("")} AS msk,
+               CAST(count(*) + ${bos.size + eos.size} AS BIGINT) AS n,
                row_number() OVER (
                  PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
                  ORDER BY doc_id) AS rn
         FROM wd2 JOIN wiv ON wiv.word = wd2.word
         GROUP BY doc_id
-      ), r AS (
-        SELECT shard, rn, toks, msk, n,
-               CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
-               n AS fill
-        FROM tk WHERE rn = 1
-        UNION ALL
-        SELECT tk.shard, tk.rn, tk.toks, tk.msk, tk.n,
-               CASE WHEN r.fill + tk.n > 1024 THEN r.seq_id + 1
-                    ELSE r.seq_id END,
-               CASE WHEN r.fill + tk.n > 1024 THEN CAST(0 AS BIGINT)
-                    ELSE r.fill END,
-               CASE WHEN r.fill + tk.n > 1024 THEN tk.n
-                    ELSE r.fill + tk.n END
-        FROM r JOIN tk ON tk.shard = r.shard AND tk.rn = r.rn + 1
-      ), p2 AS (
-        SELECT shard, seq_id, off, toks, msk,
-               CAST(row_number() OVER (PARTITION BY shard, seq_id
-                 ORDER BY off) - 1 AS INT) AS pidx
-        FROM r
-      ), asm AS (
-        SELECT shard, seq_id,
-               flatten(list(toks ORDER BY off)) AS ids0,
-               flatten(list(msk ORDER BY off)) AS mk0,
-               flatten(list(list_transform(toks, x -> pidx)
-                 ORDER BY off)) AS sg0
-        FROM p2 GROUP BY shard, seq_id
-      ), fin AS (
-        SELECT shard, seq_id, len(ids0) AS n_real,
-               ids0 || list_transform(range(1024 - len(ids0)), x -> -2) AS ids,
-               sg0 || list_transform(range(1024 - len(ids0)), x -> -1) AS sg,
-               mk0 || list_transform(range(1024 - len(ids0)), x -> false) AS mk
-        FROM asm)
-      SELECT shard, seq_id,
-             md5(array_to_string(list_transform(ids,
-               x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
-             md5(array_to_string(list_transform(sg,
-               x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
-             md5(array_to_string(list_transform(mk,
-               x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
-             CAST(n_real AS INT) AS n_real
-      FROM fin ORDER BY shard, seq_id""")
+      )${greedyPackTailSql(1024, -2, sep)}""")
       .replaceFirst("WITH tok", "WITH RECURSIVE tok")
   }
 
@@ -1918,8 +1973,8 @@ object SparkEntry {
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
     "q_sidecar_recipe", "q_simhash_recall", "q_topology_jsonl",
-    "q_topology_tokenize", "q_topology_wordpiece", "q_topology_webdataset",
-    "q_video_neardup")
+    "q_topology_sft", "q_topology_tokenize", "q_topology_wordpiece",
+    "q_topology_webdataset", "q_video_neardup")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- engine-level ops (SURVEY §2.1) ----
@@ -4336,6 +4391,35 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_pack_greedy_sft" -> ((s, d) => {
+      // q_pack_greedy_rows WITH the full special-token recipe: BOS (-3,
+      // input-only) prepends and EOS (0, trained on) appends to every
+      // document, and the SFT turn separator (-9, loss-masked, carrying
+      // the PRECEDING document's segment) lands between consecutive
+      // documents of a sequence — each separator costs one budget slot,
+      // which the greedy fits-test accounts for. The oracle replays the
+      // extension on the token arrays and the separator positions in the
+      // break-chain rebuild, so every terminator/separator POSITION is
+      // layout-checked, not just counts.
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      graft.llm.Pack.packTokensGreedy(docs, col("doc_id"), toks, msk, 512,
+          shard, padId = -1, sepId = Some(-9), eosId = Some(0),
+          bosId = Some(-3))
+        .select(col("shard"), col("seq_id"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
     "q_pack_ids" -> ((s, d) => {
       // the COMPLETE pretraining data path in one declarative plan: raw
       // text → byte-level BPE → vocabulary ids (unk = -1) → materialized
@@ -4769,6 +4853,67 @@ object SparkEntry {
            |  [filter.config]
            |  IdsField = "ids"
            |  OrderField = "doc_id"
+           |[output]
+           |name = "Nop"
+           |fields = ["shard", "seq_id", "input_ids", "segment_ids", "loss_mask", "n_real"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, packToml).projected
+        .select(col("shard"), col("seq_id"),
+          md5(col("input_ids").cast("binary")).as("ids_md5"),
+          md5(col("segment_ids").cast("binary")).as("seg_md5"),
+          md5(col("loss_mask").cast("binary")).as("msk_md5"),
+          col("n_real"))
+        .orderBy("shard", "seq_id")
+    }),
+
+    "q_topology_sft" -> ((s, d) => {
+      // q_topology_tokenize WITH the special tokens on the CONFIG
+      // surface: the same two TOML jobs (unigram train → TokenizeIds →
+      // PackRows), but PackRows sets EosId/BosId/SepId — the last gap
+      // between "packed rows" and TRAINABLE rows reachable without
+      // Scala. BOS -5 prepends input-only, EOS -4 appends trained-on,
+      // SEP -6 lands between documents of a sequence with the preceding
+      // document's segment and mask 0. The oracle is the unigram replay
+      // with the terminator extension + separator-aware break-chain tail,
+      // so every special-token POSITION hash-checks from raw text through
+      // config alone.
+      val dir = qTmpDir("sfttoml-q")
+      val trainToml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[tokenizer]
+           |Method = "unigram"
+           |SrcField = "text"
+           |VocabPath = "$dir/vocab"
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, trainToml).run()
+      val packToml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  VocabPath = "$dir/vocab"
+           |[[filter]]
+           |name = "PackRows"
+           |  [filter.config]
+           |  IdsField = "ids"
+           |  OrderField = "doc_id"
+           |  EosId = -4
+           |  BosId = -5
+           |  SepId = -6
            |[output]
            |name = "Nop"
            |fields = ["shard", "seq_id", "input_ids", "segment_ids", "loss_mask", "n_real"]
@@ -7823,10 +7968,39 @@ object SparkEntry {
                   x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
                 CAST(n_real AS INT) AS n_real
          FROM fin ORDER BY shard, seq_id""",
+    "q_pack_greedy_sft" ->
+      // q_pack_greedy_rows' numeric tokenization with BOS -3 (mask false)
+      // / EOS 0 (mask true) replayed on the arrays, then the break-chain
+      // greedy tail with sepId -9: the separator's budget cost rides the
+      // prefix sums (cum of n+1, discount cancelled into the probe
+      // bound), and each non-first piece prepends the separator with the
+      // preceding doc's segment ordinal and mask false
+      s"""WITH RECURSIVE tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  [CAST(-3 AS INT)] ||
+                    list_transform(ws, w -> CAST(length(w) AS INT)) ||
+                    [CAST(0 AS INT)] AS toks,
+                  [false] || list_transform(ws, w -> length(w) > 3) ||
+                    [true] AS msk,
+                  CAST(len(ws) + 2 AS BIGINT) AS n,
+                  row_number() OVER (
+                    PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
+                    ORDER BY doc_id) AS rn
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0
+         )${greedyPackTailSql(512, -1, sepId = Some(-9))}""",
     "q_pack_ids_greedy" ->
-      // q_pack_ids' tokenizer replay feeding q_pack_greedy_rows' greedy
-      // recurrence + array rebuild (budget 1024, pad -2): the SFT
-      // training-row layout checked from raw text end to end
+      // q_pack_ids' tokenizer replay feeding the break-chain greedy tail
+      // (greedyPackTailSql, budget 1024, pad -2): the SFT training-row
+      // layout checked from raw text end to end. The r15 per-doc
+      // recursive CTE here was wall-infeasible at sf0.1 (depth 1,250
+      // carrying list columns); the prefix-sum restatement recurses over
+      // sequence starts only and completes the two-SF gate.
       s"""WITH RECURSIVE chk AS (
            SELECT CASE WHEN count(*) > 0 THEN error(
                     'pack-ids-greedy oracle: non-printable-ASCII text - byte map and char split diverge')
@@ -7862,47 +8036,7 @@ object SparkEntry {
                     PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
                     ORDER BY doc_id) AS rn
            FROM sym WHERE len(syms) > 0
-         ), r AS (
-           SELECT shard, rn, toks, msk, n,
-                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
-                  n AS fill
-           FROM tk WHERE rn = 1
-           UNION ALL
-           SELECT tk.shard, tk.rn, tk.toks, tk.msk, tk.n,
-                  CASE WHEN r.fill + tk.n > 1024 THEN r.seq_id + 1
-                       ELSE r.seq_id END,
-                  CASE WHEN r.fill + tk.n > 1024 THEN CAST(0 AS BIGINT)
-                       ELSE r.fill END,
-                  CASE WHEN r.fill + tk.n > 1024 THEN tk.n
-                       ELSE r.fill + tk.n END
-           FROM r JOIN tk ON tk.shard = r.shard AND tk.rn = r.rn + 1
-         ), p2 AS (
-           SELECT shard, seq_id, off, toks, msk,
-                  CAST(row_number() OVER (PARTITION BY shard, seq_id
-                    ORDER BY off) - 1 AS INT) AS pidx
-           FROM r
-         ), asm AS (
-           SELECT shard, seq_id,
-                  flatten(list(toks ORDER BY off)) AS ids0,
-                  flatten(list(msk ORDER BY off)) AS mk0,
-                  flatten(list(list_transform(toks, x -> pidx)
-                    ORDER BY off)) AS sg0
-           FROM p2 GROUP BY shard, seq_id
-         ), fin AS (
-           SELECT shard, seq_id, len(ids0) AS n_real,
-                  ids0 || list_transform(range(1024 - len(ids0)), x -> -2) AS ids,
-                  sg0 || list_transform(range(1024 - len(ids0)), x -> -1) AS sg,
-                  mk0 || list_transform(range(1024 - len(ids0)), x -> false) AS mk
-           FROM asm)
-         SELECT shard, seq_id,
-                md5(array_to_string(list_transform(ids,
-                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
-                md5(array_to_string(list_transform(sg,
-                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
-                md5(array_to_string(list_transform(mk,
-                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
-                CAST(n_real AS INT) AS n_real
-         FROM fin ORDER BY shard, seq_id""",
+         )${greedyPackTailSql(1024, -2)}""",
     "q_pack_tokens" ->
       // every sequence rebuilt from first principles: per-shard start
       // positions by window cumsum, per-sequence pieces by list_slice at
@@ -8433,6 +8567,11 @@ object SparkEntry {
     "q_unigram_train_segment" -> unigramTrainSegmentOracle,
     "q_unigram_fertility" -> unigramFertilityOracle,
     "q_pack_ids_unigram" -> unigramPackOracle,
+    // the unigram replay with EOS -4 / BOS -5 on the arrays and the
+    // separator-aware break-chain tail (SEP -6) — the TOML SFT chain must
+    // reproduce it bit-for-bit
+    "q_topology_sft" -> unigramPackOracleWith(
+      eos = Some(-4), bos = Some(-5), sep = Some(-6)),
     // the config-surface replay of the same path: train → sidecar →
     // TokenizeIds → PackRows must reproduce the API capstone exactly
     "q_topology_tokenize" -> unigramPackOracle,

@@ -283,15 +283,37 @@ object Pack {
     * document's `segment_ids` ordinal and `loss_mask` = false (template
     * glue, not a training target — callers whose recipe trains on the
     * separator flip the mask downstream with `input_ids`'s positions).
+    *
+    * `eosId`/`bosId` carry [[packTokens]]'s exact semantics onto the
+    * no-split path: EOS appends to each non-empty document and is
+    * TRAINED ON (`loss_mask` = true), BOS prepends input-only
+    * (`loss_mask` = false); both take the document's `segment_ids`
+    * ordinal and count against the budget in the fits-test (they extend
+    * the token arrays BEFORE packing). Empty/null documents get no
+    * special tokens — they contribute nothing, as before.
     */
   def packTokensGreedy(df: DataFrame, orderCol: Column, tokensCol: Column,
       maskCol: Column, budget: Int, shard: Column, padId: Int = 0,
-      sepId: Option[Int] = None): DataFrame = {
+      sepId: Option[Int] = None, eosId: Option[Int] = None,
+      bosId: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.types._
+    val rawTok = tokensCol.cast("array<int>")
+    val rawMsk = maskCol.cast("array<boolean>")
+    def extT(t: Column): Column = {
+      val withEos = eosId.map(e => concat(t, array(lit(e)))).getOrElse(t)
+      bosId.map(b => concat(array(lit(b)), withEos)).getOrElse(withEos)
+    }
+    def extM(m: Column): Column = {
+      val withEos = eosId.map(_ => concat(m, array(lit(true)))).getOrElse(m)
+      bosId.map(_ => concat(array(lit(false)), withEos)).getOrElse(withEos)
+    }
+    // extension only on non-empty docs; a null/misaligned mask stays
+    // null/misaligned (concat propagates null), so the per-row guard in
+    // the packing walk still fires exactly as without special tokens
     val tagged = df.select(shard.as("__shard"), orderCol.as("__ord"),
-      tokensCol.cast("array<int>").as("__tok"),
-      maskCol.cast("array<boolean>").as("__msk"))
+      when(size(rawTok) > 0, extT(rawTok)).otherwise(rawTok).as("__tok"),
+      when(size(rawTok) > 0, extM(rawMsk)).otherwise(rawMsk).as("__msk"))
     val parted = tagged.repartition(col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__ord"))
     val outSchema = StructType(Seq(

@@ -189,7 +189,15 @@ object Tokenize {
       required = true),
     ConfigKey("Budget", "tokens per packed row", default = Some("1024")),
     ConfigKey("Shards", "number of independent pack shards", default = Some("4")),
-    ConfigKey("PadId", "padding token id", default = Some("-2")))
+    ConfigKey("PadId", "padding token id", default = Some("-2")),
+    ConfigKey("EosId", "optional end-of-document token id: appended to " +
+      "every non-empty document and TRAINED ON (loss_mask 1) — without " +
+      "it a packed corpus cannot teach a model where documents end"),
+    ConfigKey("BosId", "optional begin-of-document token id: prepended " +
+      "input-only (loss_mask 0)"),
+    ConfigKey("SepId", "optional SFT turn-separator id written between " +
+      "consecutive documents of a sequence (costs one budget slot per " +
+      "boundary; carries the preceding document's segment, loss_mask 0)"))
 
   /** PackRows — greedy no-split packing into fixed-budget training rows.
     * REPLACES the record stream: downstream stages (and [output] fields)
@@ -214,10 +222,14 @@ object Tokenize {
         val ord = col(cfg.str("OrderField")).cast("long")
         val shard = pmod(pmod(ord, lit(2147483647L)) * lit(2654435761L),
           lit(cfg.int("Shards", 4L)))
+        def idOpt(key: String): Option[Int] =
+          if (cfg.has(key)) Some(cfg.int(key).toInt) else None
         graft.llm.Pack.packTokensGreedy(df, ord, toks,
             transform(toks, _ => lit(true)),
             cfg.int("Budget", 1024L).toInt, shard,
-            cfg.int("PadId", -2L).toInt)
+            cfg.int("PadId", -2L).toInt,
+            sepId = idOpt("SepId"), eosId = idOpt("EosId"),
+            bosId = idOpt("BosId"))
           .select(col("shard"), col("seq_id"),
             array_join(transform(col("input_ids"), _.cast("string")), ",")
               .as("input_ids"),

@@ -252,6 +252,50 @@ class PackTokensSpec extends SparkSpec {
     assert(plain(1).getSeq[Int](2) == Seq(30, 31, -9, -9, -9))
   }
 
+  test("greedy rows: eosId/bosId extend every non-empty document " +
+      "(EOS trained on, BOS masked out), count against the fits-test, " +
+      "and compose with sepId") {
+    val df = docs(
+      (1L, Seq(10, 11), Seq(true, true)),
+      (2L, Seq(20), Seq(false)),
+      (3L, Seq(30), Seq(true)))
+    // budget 6 with bos/eos: doc1 becomes B,10,11,E (4) — doc2's B,20,E
+    // (3) would overflow, so seq 1 opens; doc3's (3) fits after doc2
+    val out = Pack.packTokensGreedy(df, col("doc_id"), col("toks"),
+        col("msk"), 6, lit(0), padId = -9, eosId = Some(0), bosId = Some(-3))
+      .orderBy("seq_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getSeq[Int](2) == Seq(-3, 10, 11, 0, -9, -9))
+    assert(out(0).getSeq[Int](3) == Seq(0, 0, 0, 0, -1, -1))
+    assert(out(0).getSeq[Boolean](4) ==
+      Seq(false, true, true, true, false, false))
+    assert(out(0).getInt(5) == 4)
+    assert(out(1).getSeq[Int](2) == Seq(-3, 20, 0, -3, 30, 0))
+    assert(out(1).getSeq[Int](3) == Seq(0, 0, 0, 1, 1, 1))
+    assert(out(1).getSeq[Boolean](4) ==
+      Seq(false, false, true, false, true, true))
+    assert(out(1).getInt(5) == 6)
+    // with sepId too: doc2 then needs B,20,E + leading sep = 4 after
+    // doc1's 4 → overflows 7? budget 8: 4 + 1 + 3 = 8 exactly, sep takes
+    // turn 0's segment and mask false
+    val sft = Pack.packTokensGreedy(df.filter(col("doc_id") < 3),
+        col("doc_id"), col("toks"), col("msk"), 8, lit(0), padId = -9,
+        sepId = Some(99), eosId = Some(0), bosId = Some(-3))
+      .orderBy("seq_id").collect()
+    assert(sft.length == 1)
+    assert(sft(0).getSeq[Int](2) == Seq(-3, 10, 11, 0, 99, -3, 20, 0))
+    assert(sft(0).getSeq[Int](3) == Seq(0, 0, 0, 0, 0, 1, 1, 1))
+    assert(sft(0).getSeq[Boolean](4) ==
+      Seq(false, true, true, true, false, false, false, true))
+    // empty docs still contribute nothing — no lone BOS/EOS rows
+    import spark.implicits._
+    val withEmpty = Seq((1L, Seq.empty[Int], Seq.empty[Boolean]))
+      .toDF("doc_id", "toks", "msk")
+    assert(Pack.packTokensGreedy(withEmpty, col("doc_id"), col("toks"),
+      col("msk"), 6, lit(0), eosId = Some(0), bosId = Some(-3))
+      .count() == 0)
+  }
+
   test("greedy rows: a document larger than the budget fails loudly " +
       "(it can never be materialized whole)") {
     val df = docs((1L, (0 until 12).toList, Seq.fill(12)(true)))

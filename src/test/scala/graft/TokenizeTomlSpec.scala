@@ -107,6 +107,78 @@ class TokenizeTomlSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("PackRows EosId/BosId/SepId reach packTokensGreedy: the TOML chain " +
+      "emits terminator'd trainable rows equal to the API path") {
+    val dir = corpusDir()
+    Topology.compileToml(spark, trainToml(dir)).run()
+    val vocab = spark.read.parquet(s"$dir/vocab").orderBy("id").collect()
+      .map(r => (r.getString(1), r.getLong(2).toInt)).toSeq
+    val packToml =
+      s"""[fields]
+         |names = ["doc_id", "text"]
+         |[input]
+         |name = "Parquet"
+         |  [input.config]
+         |  Path = "$dir/docs"
+         |[[filter]]
+         |name = "TokenizeIds"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "ids"
+         |  VocabPath = "$dir/vocab"
+         |[[filter]]
+         |name = "PackRows"
+         |  [filter.config]
+         |  IdsField = "ids"
+         |  OrderField = "doc_id"
+         |  Budget = 16
+         |  Shards = 2
+         |  PadId = -2
+         |  EosId = -4
+         |  BosId = -5
+         |  SepId = -6
+         |[output]
+         |name = "Nop"
+         |fields = ["shard", "seq_id", "input_ids", "segment_ids", "loss_mask", "n_real"]
+         |""".stripMargin
+    val got = Topology.compileToml(spark, packToml).projected
+      .orderBy("shard", "seq_id")
+      .collect().map(r => (0 to 5).map(r.getString)).toSeq
+    assert(got.nonEmpty)
+    // every non-pad row segment starts with BOS (masked out) and each
+    // document ends with a trained-on EOS; separators sit between turns
+    val firstIds = got.head(2).split(",")
+    assert(firstIds.head == "-5", s"BOS must lead the first sequence: $got")
+    assert(firstIds.contains("-4"), s"EOS must terminate documents: $got")
+    val firstMask = got.head(4).split(",")
+    assert(firstMask.head == "0", "BOS is input-only")
+    // equality with the API path under the same special tokens
+    val docs = spark.read.parquet(s"$dir/docs")
+    val pcs = org.apache.spark.sql.GraftShims.toColumn(
+      graft.functions.UnigramViterbiPieces(
+        org.apache.spark.sql.GraftShims.toExpression(
+          graft.functions.TextFunctions.tokens(col("text"))), vocab, 10))
+    val ids = org.apache.spark.sql.GraftShims.toColumn(
+      graft.functions.VocabIds(
+        org.apache.spark.sql.GraftShims.toExpression(pcs),
+        vocab.map(_._1), -1))
+    val ord = col("doc_id").cast("long")
+    val shard = pmod(pmod(ord, lit(2147483647L)) * lit(2654435761L), lit(2L))
+    val api = graft.llm.Pack.packTokensGreedy(
+        docs.withColumn("__ids", ids), ord, col("__ids"),
+        transform(col("__ids"), _ => lit(true)), 16, shard, padId = -2,
+        sepId = Some(-6), eosId = Some(-4), bosId = Some(-5))
+      .select(col("shard").cast("string"), col("seq_id").cast("string"),
+        array_join(transform(col("input_ids"), _.cast("string")), ","),
+        array_join(transform(col("segment_ids"), _.cast("string")), ","),
+        array_join(transform(col("loss_mask"),
+          m => m.cast("int").cast("string")), ","),
+        col("n_real").cast("string"))
+      .orderBy("shard", "seq_id")
+      .collect().map(r => (0 to 5).map(r.getString)).toSeq
+    assert(got == api)
+  }
+
   test("bpe method roundtrips merges through the sidecar; ids are rule ranks") {
     import spark.implicits._
     val dir = tmp("toktoml-bpe")
