@@ -1972,9 +1972,9 @@ object SparkEntry {
     "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
-    "q_sidecar_recipe", "q_simhash_recall", "q_topology_jsonl",
-    "q_topology_sft", "q_topology_tokenize", "q_topology_wordpiece",
-    "q_topology_webdataset", "q_video_neardup")
+    "q_packed_shards", "q_sidecar_recipe", "q_simhash_recall",
+    "q_topology_jsonl", "q_topology_sft", "q_topology_tokenize",
+    "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- engine-level ops (SURVEY §2.1) ----
@@ -4475,6 +4475,31 @@ object SparkEntry {
             .cast("binary")).as("msk_md5"),
           col("n_real"))
         .orderBy("shard", "seq_id")
+    }),
+
+    "q_packed_shards" -> ((s, d) => {
+      // trainer-shard export under the oracle: per-document token ids
+      // (word lengths — restatable) written as ONE Megatron-style
+      // .bin/.idx pair in doc_id order, then read BACK and restated as
+      // (seq_ix, ptr, n_tokens, ids_md5) — `ptr` is the idx sidecar's
+      // byte pointer, i.e. 4·prefix-sum of the sequence lengths, so the
+      // oracle checks the FLAT STREAM's layout (every sequence's byte
+      // offset and content), not just counts. Write + re-read in one
+      // query pins the full roundtrip on the distributed path.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          transform(TF.tokens(col("text")), w => length(w).cast("int"))
+            .as("ids"))
+        .filter(size(col("ids")) > 0)
+      val dir = qTmpDir("packed-q")
+      graft.sources.PackedCorpus.write(docs, s"$dir/shards", idsCol = "ids",
+        orderCols = Seq("doc_id"), numTasks = 1)
+      graft.sources.PackedCorpus.read(s, s"$dir/shards")
+        .select(col("seq_ix"), col("ptr"),
+          size(col("input_ids")).as("n_tokens"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
+        .orderBy("seq_ix")
     }),
 
     "q_unigram_score" -> ((s, d) =>
@@ -7968,6 +7993,33 @@ object SparkEntry {
                   x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
                 CAST(n_real AS INT) AS n_real
          FROM fin ORDER BY shard, seq_id""",
+    "q_packed_shards" ->
+      // the .bin/.idx layout restated from first principles: sequences in
+      // doc_id order, each pointer = 4 bytes × the running token count of
+      // everything before it (the idx sidecar's exact prefix-sum
+      // arithmetic), content by md5 of the comma-joined ids
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         ord AS (
+           SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix,
+                  4 * (SUM(n) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n) AS ptr,
+                  n, toks
+           FROM tk)
+         SELECT CAST(seq_ix AS BIGINT) AS seq_ix,
+                CAST(ptr AS BIGINT) AS ptr,
+                CAST(n AS INT) AS n_tokens,
+                md5(array_to_string(list_transform(toks,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+         FROM ord ORDER BY seq_ix""",
     "q_pack_greedy_sft" ->
       // q_pack_greedy_rows' numeric tokenization with BOS -3 (mask false)
       // / EOS 0 (mask true) replayed on the arrays, then the break-chain

@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.io.{DataOutputStream, EOFException, InputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainer-consumable packed-corpus shards: the public Megatron-LM
+  * indexed-dataset layout (`.bin` + `.idx`), the format a GPT training
+  * loader memory-maps directly — the last meter between this engine's
+  * materialized token rows and an actual training job.
+  *
+  * Layout (Megatron-LM `indexed_dataset.py`, MMapIndexedDataset — public
+  * knowledge, restated here from the published format):
+  *
+  *  - `part-NNNNN.bin`: every sequence's tokens back to back, each token
+  *    one little-endian int32 (dtype code 4);
+  *  - `part-NNNNN.idx`: magic `MMIDIDX\0\0` (9 bytes), version int64le=1,
+  *    dtype uint8=4, sequence count int64le, document count int64le
+  *    (= sequences + 1 — each sequence is one document here), then
+  *    sizes int32le × n, pointers int64le × n (BYTE offset of each
+  *    sequence in the `.bin` — the prefix sum of 4·sizes), and the
+  *    document index int64le × (n + 1) = 0..n.
+  *
+  * Spark-first sharding, the [[TarShards.write]] discipline verbatim:
+  * rows hash-repartition on the first order column and sort by
+  * `orderCols` within the task, so shard bytes are DETERMINISTIC under a
+  * fixed partitioning; each task streams one `.bin`/`.idx` pair into
+  * dot-prefixed attempt-unique staging names and RENAMES on close
+  * (speculative/zombie attempts never interleave; identical inputs write
+  * identical bytes, so a lost rename race just drops the duplicate);
+  * `_SUCCESS` marks job completion and stale `.inprogress-*` orphans are
+  * swept at commit.
+  */
+object PackedCorpus {
+
+  /** Megatron MMIDIDX magic + version + int32 dtype. */
+  private val Magic: Array[Byte] =
+    "MMIDIDX".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0)
+  private val Version = 1L
+  private val DtypeInt32: Byte = 4
+
+  private def writeLongLE(out: DataOutputStream, v: Long): Unit =
+    out.writeLong(java.lang.Long.reverseBytes(v))
+  private def writeIntLE(out: DataOutputStream, v: Int): Unit =
+    out.writeInt(Integer.reverseBytes(v))
+
+  /** Write `idsCol` (array&lt;int&gt;) as packed shards under `dir`. One
+    * `.bin`/`.idx` pair per task; `numTasks` 0 keeps the session's
+    * shuffle width. Null/empty arrays are rejected loudly — a trainer
+    * shard with zero-length documents breaks samplers downstream, so an
+    * upstream bug must not serialize.
+    */
+  def write(df: DataFrame, dir: String, idsCol: String = "input_ids",
+      orderCols: Seq[String] = Seq("shard", "seq_id"),
+      numTasks: Int = 0): Unit = {
+    require(orderCols.nonEmpty, "PackedCorpus.write: orderCols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val confGetter =
+      GraftShims.serializableHadoopConf(spark.sessionState.newHadoopConf())
+    val slim = df.select(
+      struct(orderCols.map(col): _*).as("__ord"),
+      col(idsCol).cast("array<int>").as("__ids"))
+    val parted = (if (numTasks > 0) slim.repartition(numTasks, col("__ord." + orderCols.head))
+                  else slim.repartition(col("__ord." + orderCols.head)))
+      .sortWithinPartitions(col("__ord"))
+      .select(col("__ids")).as[Seq[Int]]
+    parted.foreachPartition { rows: Iterator[Seq[Int]] =>
+      if (rows.hasNext) {
+        val task = TaskContext.getPartitionId()
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val fs = new Path(dir).getFileSystem(confGetter())
+        fs.mkdirs(new Path(dir))
+        val base = f"part-$task%05d"
+        val binFinal = new Path(dir, s"$base.bin")
+        val idxFinal = new Path(dir, s"$base.idx")
+        val binStaging = new Path(dir, s".inprogress-$attempt-$base.bin")
+        val idxStaging = new Path(dir, s".inprogress-$attempt-$base.idx")
+        val bin = new DataOutputStream(new java.io.BufferedOutputStream(
+          fs.create(binStaging, true), 1 << 16))
+        val sizes = new scala.collection.mutable.ArrayBuffer[Int]()
+        try {
+          for (ids <- rows) {
+            require(ids != null && ids.nonEmpty,
+              "PackedCorpus.write: null/empty token sequence - filter " +
+                "upstream (a zero-length document breaks trainer samplers)")
+            sizes += ids.length
+            ids.foreach(t => writeIntLE(bin, t))
+          }
+        } finally bin.close()
+        val idx = new DataOutputStream(new java.io.BufferedOutputStream(
+          fs.create(idxStaging, true), 1 << 16))
+        try {
+          idx.write(Magic)
+          writeLongLE(idx, Version)
+          idx.writeByte(DtypeInt32)
+          writeLongLE(idx, sizes.length.toLong)
+          writeLongLE(idx, sizes.length.toLong + 1)
+          sizes.foreach(writeIntLE(idx, _))
+          var ptr = 0L
+          sizes.foreach { s => writeLongLE(idx, ptr); ptr += 4L * s }
+          (0L to sizes.length.toLong).foreach(writeLongLE(idx, _))
+        } finally idx.close()
+        def commit(staging: Path, fin: Path): Unit =
+          if (!fs.rename(staging, fin)) {
+            if (fs.exists(fin)) fs.delete(staging, false)
+            else throw new java.io.IOException(
+              s"PackedCorpus: rename $staging -> $fin failed")
+          }
+        commit(binStaging, binFinal)
+        commit(idxStaging, idxFinal)
+      }
+    }
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(dir))
+    fs.listStatus(new Path(dir)).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(".inprogress-"))
+      .foreach(p => fs.delete(p, false))
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  private def readLongLE(in: InputStream): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val b = in.read()
+      if (b < 0) throw new EOFException("PackedCorpus: truncated idx")
+      v |= (b.toLong & 0xFF) << (8 * i)
+      i += 1
+    }
+    v
+  }
+  private def readIntLE(in: InputStream): Int = {
+    var v = 0
+    var i = 0
+    while (i < 4) {
+      val b = in.read()
+      if (b < 0) throw new EOFException("PackedCorpus: truncated file")
+      v |= (b & 0xFF) << (8 * i)
+      i += 1
+    }
+    v
+  }
+
+  /** Parsed `.idx` sidecar: (sizes, pointers). Loud on a foreign magic,
+    * version or dtype — a corrupt sidecar must never read as data.
+    */
+  private[graft] def parseIdx(in: InputStream): (Array[Int], Array[Long]) = {
+    val magic = new Array[Byte](9)
+    var got = 0
+    while (got < 9) {
+      val n = in.read(magic, got, 9 - got)
+      if (n < 0) throw new EOFException("PackedCorpus: truncated idx header")
+      got += n
+    }
+    require(java.util.Arrays.equals(magic, Magic),
+      s"PackedCorpus: bad idx magic ${magic.toSeq}")
+    val version = readLongLE(in)
+    require(version == Version, s"PackedCorpus: unsupported idx version $version")
+    val dtype = in.read()
+    require(dtype == DtypeInt32,
+      s"PackedCorpus: unsupported dtype code $dtype (only 4 = int32)")
+    val nSeq = readLongLE(in).toInt
+    val nDoc = readLongLE(in) // read + discard: each sequence is one doc
+    require(nDoc == nSeq + 1L,
+      s"PackedCorpus: unexpected document count $nDoc for $nSeq sequences")
+    val sizes = Array.fill(nSeq)(readIntLE(in))
+    val pointers = Array.fill(nSeq)(readLongLE(in))
+    (sizes, pointers)
+  }
+
+  /** Read shards back as (file, seq_ix, ptr, input_ids) — one row per
+    * sequence, `seq_ix` the sequence's ordinal within its file, `ptr`
+    * its byte offset in the `.bin`. Distributed: one task per shard
+    * file, each streaming its own pair — the roundtrip consumer and the
+    * oracle surface (the pointer column restates the idx prefix sums).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confGetter =
+      GraftShims.serializableHadoopConf(spark.sessionState.newHadoopConf())
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val idxFiles = fs.listStatus(new Path(dir)).iterator.map(_.getPath)
+      .filter(p => p.getName.endsWith(".idx") && !p.getName.startsWith("."))
+      .map(_.toString).toSeq.sorted
+    spark.createDataset(idxFiles)
+      .repartition(math.max(idxFiles.size, 1))
+      .flatMap { idxPath =>
+        val fs = new Path(idxPath).getFileSystem(confGetter())
+        val in = new java.io.BufferedInputStream(fs.open(new Path(idxPath)), 1 << 16)
+        val (sizes, pointers) =
+          try parseIdx(in) finally in.close()
+        val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
+        val bin = new java.io.BufferedInputStream(fs.open(binPath), 1 << 16)
+        try {
+          val name = binPath.getName
+          // sequences are contiguous (pointers are the exact prefix sums,
+          // enforced below), so one forward stream reads the whole bin
+          var pos = 0L
+          sizes.zip(pointers).zipWithIndex.map { case ((n, ptr), ix) =>
+            require(ptr == pos,
+              s"PackedCorpus: non-contiguous pointer $ptr (expected $pos) in $binPath")
+            val ids = Array.fill(n)(readIntLE(bin))
+            pos += 4L * n
+            (name, ix.toLong, ptr, ids.toSeq)
+          }.toSeq
+        } finally bin.close()
+      }
+      .toDF("file", "seq_ix", "ptr", "input_ids")
+  }
+}

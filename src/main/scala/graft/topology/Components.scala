@@ -39,8 +39,8 @@ object BuiltinComponents {
       Tokenize.tokenizeIds, Tokenize.packRows),
     outputs = Seq(fileWriter, parquetOutput, jsonLinesOutput, statsOutput,
       nopOutput, opLogOutput, recorderOutput, perceptualStoreOutput,
-      substrStoreOutput, DynamoOutput.desc, SqliteOutput.desc,
-      SqliteOutput.rawDesc, WebSocketOutput.desc),
+      substrStoreOutput, packedShardsOutput, DynamoOutput.desc,
+      SqliteOutput.desc, SqliteOutput.rawDesc, WebSocketOutput.desc),
     uploads = Seq(s3Upload),
     metrics = Seq(datadogMetrics),
   )
@@ -1480,6 +1480,50 @@ object BuiltinComponents {
         w = w.partitionBy(f)
       }
       w.parquet(path)
+      OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
+    })
+
+  /** PackedShards — trainer-consumable packed-corpus shards: writes a
+    * token-ids field in the public Megatron-LM indexed-dataset layout
+    * (`.bin` flat little-endian int32 token stream + `.idx` sizes/
+    * pointers/doc-index sidecar, [[graft.sources.PackedCorpus]]), the
+    * format a GPT training loader memory-maps directly. Completes the
+    * config-only story: `[tokenizer]` train → TokenizeIds → PackRows →
+    * PackedShards is raw text to training shards without Scala.
+    */
+  val packedShardsOutput: OutputDesc = OutputDesc(
+    "PackedShards",
+    "Writes a comma-joined token-ids field as Megatron-style .bin/.idx " +
+      "packed-corpus shards (flat little-endian int32 token stream + " +
+      "index sidecar).",
+    Seq(
+      ConfigKey("Path", "output directory", required = true),
+      ConfigKey("IdsField", "field holding comma-joined token ids",
+        default = Some("input_ids")),
+      ConfigKey("OrderFields", "numeric fields giving the deterministic " +
+        "sequence order across shard files",
+        default = Some("""["shard", "seq_id"]""")),
+      ConfigKey("NumTasks", "shard-file count (0 = session shuffle width)",
+        default = Some(0L))),
+    raw = false,
+    (ctx, cfg, df) => {
+      val idsF = cfg.str("IdsField", "input_ids")
+      require(df.columns.contains(idsF),
+        s"PackedShards: unknown IdsField '$idsF'")
+      val ordFields = cfg.strList("OrderFields", Seq("shard", "seq_id"))
+      ordFields.foreach(f => require(df.columns.contains(f),
+        s"PackedShards: unknown OrderFields entry '$f'"))
+      val obs = new org.apache.spark.sql.Observation()
+      // the record model carries strings: ids split to int arrays, order
+      // fields cast numeric so "10" sorts after "2"
+      val typed = df.observe(obs, count(lit(1)).as("rows"))
+        .withColumn(idsF, transform(
+          filter(split(col(idsF), ","), x => x =!= ""), _.cast("int")))
+        .select((col(idsF) +: ordFields.map(f =>
+          col(f).cast("long").as(f))): _*)
+      val path = cfg.str("Path")
+      graft.sources.PackedCorpus.write(typed, path, idsCol = idsF,
+        orderCols = ordFields, numTasks = cfg.int("NumTasks", 0L).toInt)
       OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
     })
 
