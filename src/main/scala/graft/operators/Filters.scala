@@ -165,6 +165,10 @@ object Filters {
       p.exists(c => c == '|' || c == ':' || c == '(' || c == '*' || c == '?') ||
         p.contains("[]") || p.contains("[-")
 
+    /** [[isAdvancedPath]] for the differential spec's battery guard. */
+    private[graft] def isAdvancedPathForTest(p: String): Boolean =
+      isAdvancedPath(p)
+
     /** Evaluate a JMESPath expression: `a.b[2].c` walks (leading `$.`
       * optional; root-array paths like `[0].name` — expand_json_test.go
       * "more complex JMESPath expression" — start with a bare index),
@@ -612,6 +616,16 @@ object Filters {
         case d                       => d.toString
       }
       else n.toString // bool / object / array → JSON text
+
+    /** One (json, path) evaluation through the exact verbatimUdf kernel
+      * (parse → eval → render) — the surface ExpandJsonPropertySpec
+      * fuzzes against the documented subset grammar without a Spark job
+      * per case.
+      */
+    private[graft] def evalPath(json: String, path: String): String = {
+      val root = try mapper.readTree(json) catch { case _: Exception => null }
+      if (root == null) null else render(eval(root, path))
+    }
 
     private[operators] def verbatimUdf(paths: Seq[String])
         : Column => Column = {

@@ -26,6 +26,59 @@ def canon(rows, cols):
     out = sorted(tuple(fmt(r[i]) for i in order) for r in rows)
     return out
 
+def connect(sf_dir):
+    """A DuckDB connection with the testdata tables registered as views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare_query(con, out_dir, name, oracle_sql):
+    """Compare one query's Spark dump against its oracle SQL.
+
+    Returns a dict: {query, status, spark_rows, oracle_rows, note} where
+    status is ok | mismatch | no_spark_output | oracle_error | hugeint.
+    The comparison shape (row count, sorted column names, order-insensitive
+    stringified value hash) mirrors the driver's harness, HUGEINT guard
+    included.
+    """
+    d = os.path.join(out_dir, name)
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    if not files:
+        return dict(query=name, status="no_spark_output",
+                    spark_rows=0, oracle_rows=0, note="")
+    sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+    scols = [c[0] for c in con.description]
+    try:
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM ({oracle_sql}) LIMIT 0").fetchall()
+        huge = [(c, t) for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            return dict(query=name, status="hugeint", spark_rows=len(sdf),
+                        oracle_rows=0, note=f"cast to BIGINT: {huge}")
+        odf = con.execute(oracle_sql).fetchall()
+        ocols = [c[0] for c in con.description]
+    except Exception as e:
+        return dict(query=name, status="oracle_error", spark_rows=len(sdf),
+                    oracle_rows=0, note=str(e)[:300])
+    rows_ok = len(sdf) == len(odf)
+    schema_ok = sorted(scols) == sorted(ocols)
+    hash_ok = schema_ok and canon(sdf, scols) == canon(odf, ocols)
+    if rows_ok and schema_ok and hash_ok:
+        return dict(query=name, status="ok", spark_rows=len(sdf),
+                    oracle_rows=len(odf), note="")
+    note = "" if schema_ok else f"schema {scols} / {ocols}"
+    if schema_ok and rows_ok and not hash_ok:
+        a, b = canon(sdf, scols), canon(odf, ocols)
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        note = "; ".join(f"spark={x} oracle={y}" for x, y in diffs)[:300]
+    return dict(query=name, status="mismatch", spark_rows=len(sdf),
+                oracle_rows=len(odf), note=note)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -93,4 +146,5 @@ def main():
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noop} no-oracle")
     sys.exit(1 if n_fail else 0)
 
-main()
+if __name__ == "__main__":
+    main()
