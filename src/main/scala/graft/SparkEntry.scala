@@ -7932,12 +7932,11 @@ object SparkEntry {
                 CAST(n_real AS INT) AS n_real
          FROM fin ORDER BY shard, seq_id""",
     "q_pack_greedy_rows" ->
-      // q_pack_greedy's recursive-CTE recurrence (rank docs per shard,
-      // carry (seq_id, fill) rank to rank — a sequence opens exactly on
-      // would-overflow) feeding q_pack_tokens' array rebuild: per
-      // sequence, offset-ordered flatten of whole documents, doc-ordinal
-      // segment ids, padding to the budget, md5 of the joined arrays
-      """WITH RECURSIVE tk AS (
+      // rank docs per shard, then the break-chain greedy tail
+      // (greedyPackTailSql): a sequence opens exactly on would-overflow,
+      // whole documents flatten rank-ordered with doc-ordinal segment
+      // ids, padding to the budget, md5 of the joined arrays
+      s"""WITH RECURSIVE tk AS (
            SELECT doc_id,
                   ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
                   list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
@@ -7949,50 +7948,10 @@ object SparkEntry {
            FROM (SELECT doc_id,
                    CASE WHEN text IS NULL OR trim(text) = ''
                         THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
                  FROM documents)
-           WHERE len(ws) > 0),
-         r AS (
-           SELECT shard, rn, toks, msk, n,
-                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off,
-                  n AS fill
-           FROM tk WHERE rn = 1
-           UNION ALL
-           SELECT tk.shard, tk.rn, tk.toks, tk.msk, tk.n,
-                  CASE WHEN r.fill + tk.n > 512 THEN r.seq_id + 1
-                       ELSE r.seq_id END,
-                  CASE WHEN r.fill + tk.n > 512 THEN CAST(0 AS BIGINT)
-                       ELSE r.fill END,
-                  CASE WHEN r.fill + tk.n > 512 THEN tk.n
-                       ELSE r.fill + tk.n END
-           FROM r JOIN tk ON tk.shard = r.shard AND tk.rn = r.rn + 1),
-         p2 AS (
-           SELECT shard, seq_id, off, toks, msk,
-                  CAST(row_number() OVER (PARTITION BY shard, seq_id
-                    ORDER BY off) - 1 AS INT) AS pidx
-           FROM r),
-         asm AS (
-           SELECT shard, seq_id,
-                  flatten(list(toks ORDER BY off)) AS ids0,
-                  flatten(list(msk ORDER BY off)) AS mk0,
-                  flatten(list(list_transform(toks, x -> pidx)
-                    ORDER BY off)) AS sg0
-           FROM p2 GROUP BY shard, seq_id),
-         fin AS (
-           SELECT shard, seq_id, len(ids0) AS n_real,
-                  ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
-                  sg0 || list_transform(range(512 - len(ids0)), x -> -1) AS sg,
-                  mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk
-           FROM asm)
-         SELECT shard, seq_id,
-                md5(array_to_string(list_transform(ids,
-                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
-                md5(array_to_string(list_transform(sg,
-                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5,
-                md5(array_to_string(list_transform(mk,
-                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
-                CAST(n_real AS INT) AS n_real
-         FROM fin ORDER BY shard, seq_id""",
+           WHERE len(ws) > 0
+         )${greedyPackTailSql(512, -1)}""",
     "q_packed_shards" ->
       // the .bin/.idx layout restated from first principles: sequences in
       // doc_id order, each pointer = 4 bytes × the running token count of
