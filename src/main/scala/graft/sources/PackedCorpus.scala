@@ -192,23 +192,30 @@ object PackedCorpus {
       .flatMap { idxPath =>
         val fs = new Path(idxPath).getFileSystem(confGetter())
         val in = new java.io.BufferedInputStream(fs.open(new Path(idxPath)), 1 << 16)
+        // the sidecar is small (12 B/sequence) and read eagerly; the .bin
+        // STREAMS — a shard can be gigabytes, so the task must never hold
+        // more than one sequence's tokens (the iterator below is lazy and
+        // the task-completion listener closes the stream even when a
+        // downstream limit() stops consuming early)
         val (sizes, pointers) =
           try parseIdx(in) finally in.close()
         val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
         val bin = new java.io.BufferedInputStream(fs.open(binPath), 1 << 16)
-        try {
-          val name = binPath.getName
-          // sequences are contiguous (pointers are the exact prefix sums,
-          // enforced below), so one forward stream reads the whole bin
-          var pos = 0L
-          sizes.zip(pointers).zipWithIndex.map { case ((n, ptr), ix) =>
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => bin.close()))
+        val name = binPath.getName
+        // sequences are contiguous (pointers are the exact prefix sums,
+        // enforced below), so one forward stream reads the whole bin
+        var pos = 0L
+        sizes.iterator.zip(pointers.iterator).zipWithIndex.map {
+          case ((n, ptr), ix) =>
             require(ptr == pos,
               s"PackedCorpus: non-contiguous pointer $ptr (expected $pos) in $binPath")
             val ids = Array.fill(n)(readIntLE(bin))
             pos += 4L * n
+            if (ix == sizes.length - 1) bin.close()
             (name, ix.toLong, ptr, ids.toSeq)
-          }.toSeq
-        } finally bin.close()
+        }
       }
       .toDF("file", "seq_ix", "ptr", "input_ids")
   }
