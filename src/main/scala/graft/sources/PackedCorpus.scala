@@ -36,28 +36,45 @@ import org.apache.spark.sql.functions._
   */
 object PackedCorpus {
 
-  /** Megatron MMIDIDX magic + version + int32 dtype. */
+  /** Megatron MMIDIDX magic + version; dtype codes per the published
+    * table (4 = int32, 8 = uint16 — the halved-bytes layout trainers use
+    * when the vocabulary fits 16 bits).
+    */
   private val Magic: Array[Byte] =
     "MMIDIDX".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
       Array[Byte](0, 0)
   private val Version = 1L
   private val DtypeInt32: Byte = 4
+  private val DtypeUint16: Byte = 8
+
+  private def dtypeCode(dtype: String): Byte = dtype.toLowerCase match {
+    case "int32"  => DtypeInt32
+    case "uint16" => DtypeUint16
+    case other => throw new IllegalArgumentException(
+      s"PackedCorpus: unknown dtype '$other' (int32 | uint16)")
+  }
+  private def tokenBytes(code: Int): Int = if (code == DtypeUint16) 2 else 4
 
   private def writeLongLE(out: DataOutputStream, v: Long): Unit =
     out.writeLong(java.lang.Long.reverseBytes(v))
   private def writeIntLE(out: DataOutputStream, v: Int): Unit =
     out.writeInt(Integer.reverseBytes(v))
+  private def writeShortLE(out: DataOutputStream, v: Int): Unit =
+    out.writeShort(java.lang.Short.reverseBytes(v.toShort))
 
   /** Write `idsCol` (array&lt;int&gt;) as packed shards under `dir`. One
     * `.bin`/`.idx` pair per task; `numTasks` 0 keeps the session's
     * shuffle width. Null/empty arrays are rejected loudly — a trainer
     * shard with zero-length documents breaks samplers downstream, so an
-    * upstream bug must not serialize.
+    * upstream bug must not serialize. `dtype` "uint16" halves shard
+    * bytes and rejects any token outside [0, 65535] loudly (a silent
+    * wrap would corrupt every downstream batch).
     */
   def write(df: DataFrame, dir: String, idsCol: String = "input_ids",
       orderCols: Seq[String] = Seq("shard", "seq_id"),
-      numTasks: Int = 0): Unit = {
+      numTasks: Int = 0, dtype: String = "int32"): Unit = {
     require(orderCols.nonEmpty, "PackedCorpus.write: orderCols must be non-empty")
+    val code = dtypeCode(dtype)
     val spark = df.sparkSession
     import spark.implicits._
     val confGetter =
@@ -89,7 +106,13 @@ object PackedCorpus {
               "PackedCorpus.write: null/empty token sequence - filter " +
                 "upstream (a zero-length document breaks trainer samplers)")
             sizes += ids.length
-            ids.foreach(t => writeIntLE(bin, t))
+            if (code == DtypeUint16) ids.foreach { t =>
+              require(t >= 0 && t <= 0xFFFF,
+                s"PackedCorpus.write: token id $t outside uint16 - use " +
+                  "dtype int32 (a silent wrap would corrupt every batch)")
+              writeShortLE(bin, t)
+            }
+            else ids.foreach(t => writeIntLE(bin, t))
           }
         } finally bin.close()
         val idx = new DataOutputStream(new java.io.BufferedOutputStream(
@@ -97,12 +120,14 @@ object PackedCorpus {
         try {
           idx.write(Magic)
           writeLongLE(idx, Version)
-          idx.writeByte(DtypeInt32)
+          idx.writeByte(code)
           writeLongLE(idx, sizes.length.toLong)
           writeLongLE(idx, sizes.length.toLong + 1)
           sizes.foreach(writeIntLE(idx, _))
           var ptr = 0L
-          sizes.foreach { s => writeLongLE(idx, ptr); ptr += 4L * s }
+          sizes.foreach { s =>
+            writeLongLE(idx, ptr); ptr += tokenBytes(code).toLong * s
+          }
           (0L to sizes.length.toLong).foreach(writeLongLE(idx, _))
         } finally idx.close()
         def commit(staging: Path, fin: Path): Unit =
@@ -146,10 +171,11 @@ object PackedCorpus {
     v
   }
 
-  /** Parsed `.idx` sidecar: (sizes, pointers). Loud on a foreign magic,
-    * version or dtype — a corrupt sidecar must never read as data.
+  /** Parsed `.idx` sidecar: (sizes, pointers, dtype code). Loud on a
+    * foreign magic, version or dtype — a corrupt sidecar must never read
+    * as data.
     */
-  private[graft] def parseIdx(in: InputStream): (Array[Int], Array[Long]) = {
+  private[graft] def parseIdx(in: InputStream): (Array[Int], Array[Long], Int) = {
     val magic = new Array[Byte](9)
     var got = 0
     while (got < 9) {
@@ -162,15 +188,21 @@ object PackedCorpus {
     val version = readLongLE(in)
     require(version == Version, s"PackedCorpus: unsupported idx version $version")
     val dtype = in.read()
-    require(dtype == DtypeInt32,
-      s"PackedCorpus: unsupported dtype code $dtype (only 4 = int32)")
+    require(dtype == DtypeInt32 || dtype == DtypeUint16,
+      s"PackedCorpus: unsupported dtype code $dtype (4 = int32, 8 = uint16)")
     val nSeq = readLongLE(in).toInt
     val nDoc = readLongLE(in) // read + discard: each sequence is one doc
     require(nDoc == nSeq + 1L,
       s"PackedCorpus: unexpected document count $nDoc for $nSeq sequences")
     val sizes = Array.fill(nSeq)(readIntLE(in))
     val pointers = Array.fill(nSeq)(readLongLE(in))
-    (sizes, pointers)
+    (sizes, pointers, dtype)
+  }
+
+  private def readShortLE(in: InputStream): Int = {
+    val lo = in.read(); val hi = in.read()
+    if (lo < 0 || hi < 0) throw new EOFException("PackedCorpus: truncated file")
+    (hi << 8) | lo
   }
 
   /** Read shards back as (file, seq_ix, ptr, input_ids) — one row per
@@ -197,8 +229,9 @@ object PackedCorpus {
         // more than one sequence's tokens (the iterator below is lazy and
         // the task-completion listener closes the stream even when a
         // downstream limit() stops consuming early)
-        val (sizes, pointers) =
+        val (sizes, pointers, dtype) =
           try parseIdx(in) finally in.close()
+        val step = tokenBytes(dtype).toLong
         val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
         val bin = new java.io.BufferedInputStream(fs.open(binPath), 1 << 16)
         Option(TaskContext.get()).foreach(
@@ -211,8 +244,10 @@ object PackedCorpus {
           case ((n, ptr), ix) =>
             require(ptr == pos,
               s"PackedCorpus: non-contiguous pointer $ptr (expected $pos) in $binPath")
-            val ids = Array.fill(n)(readIntLE(bin))
-            pos += 4L * n
+            val ids =
+              if (dtype == DtypeUint16) Array.fill(n)(readShortLE(bin))
+              else Array.fill(n)(readIntLE(bin))
+            pos += step * n
             if (ix == sizes.length - 1) bin.close()
             (name, ix.toLong, ptr, ids.toSeq)
         }

@@ -1504,7 +1504,10 @@ object BuiltinComponents {
         "sequence order across shard files",
         default = Some("""["shard", "seq_id"]""")),
       ConfigKey("NumTasks", "shard-file count (0 = session shuffle width)",
-        default = Some(0L))),
+        default = Some(0L)),
+      ConfigKey("Dtype", "token width: int32 | uint16 (uint16 halves " +
+        "shard bytes; any id outside [0, 65535] fails loudly)",
+        default = Some("int32"))),
     raw = false,
     (ctx, cfg, df) => {
       val idsF = cfg.str("IdsField", "input_ids")
@@ -1523,7 +1526,8 @@ object BuiltinComponents {
           col(f).cast("long").as(f))): _*)
       val path = cfg.str("Path")
       graft.sources.PackedCorpus.write(typed, path, idsCol = idsF,
-        orderCols = ordFields, numTasks = cfg.int("NumTasks", 0L).toInt)
+        orderCols = ordFields, numTasks = cfg.int("NumTasks", 0L).toInt,
+        dtype = cfg.str("Dtype", "int32"))
       OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
     })
 

@@ -92,6 +92,29 @@ class PackedCorpusSpec extends SparkSpec {
     assert(PackedCorpus.read(spark, dir).count() == 4)
   }
 
+  test("uint16 dtype: half-width stream roundtrips, idx pointers step by " +
+      "2 bytes, out-of-range ids fail loudly") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, Seq(0, 1, 65535)), (0L, 1L, Seq(7, 8)))
+      .toDF("shard", "seq_id", "input_ids")
+    val dir = tmp("packedu16") + "/shards"
+    PackedCorpus.write(df, dir, numTasks = 1, dtype = "uint16")
+    val back = PackedCorpus.read(spark, dir).orderBy("seq_ix").collect()
+    assert(back.map(_.getSeq[Int](3)).toSeq == Seq(Seq(0, 1, 65535), Seq(7, 8)))
+    assert(back.map(_.getLong(2)).toSeq == Seq(0L, 6L)) // 3 tokens × 2 B
+    val bin = Files.readAllBytes(Paths.get(dir, "part-00000.bin"))
+    assert(bin.length == 10) // 5 tokens × 2 B
+    // dtype code 8 at idx offset 17 (magic 9 + version 8)
+    assert(Files.readAllBytes(Paths.get(dir, "part-00000.idx"))(17) == 8)
+    val neg = Seq((0L, 0L, Seq(-1))).toDF("shard", "seq_id", "input_ids")
+    val e = intercept[Exception](
+      PackedCorpus.write(neg, tmp("packedneg") + "/s", dtype = "uint16"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("uint16")), chain(e).mkString(" | "))
+  }
+
   test("empty sequences fail loudly; a corrupt idx fails loudly") {
     import spark.implicits._
     val bad = Seq((0L, 0L, Seq.empty[Int])).toDF("shard", "seq_id", "input_ids")
