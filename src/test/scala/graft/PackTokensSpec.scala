@@ -350,4 +350,16 @@ class PackTokensSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("greedy rows plan shape holds under the full special-token recipe " +
+      "(bos/eos/sep): still exactly ONE exchange, extension is column " +
+      "algebra below it") {
+    val df = docs((1L, Seq(1, 2), Seq(true, true)))
+    val plan = Pack.packTokensGreedy(df, col("doc_id"), col("toks"),
+        col("msk"), 8, lit(0), padId = -9, sepId = Some(99),
+        eosId = Some(0), bosId = Some(-3))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
 }
