@@ -1972,7 +1972,8 @@ object SparkEntry {
     "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
-    "q_packed_shards", "q_sidecar_recipe", "q_simhash_recall",
+    "q_packed_shards", "q_packed_shards_u16", "q_sidecar_recipe",
+    "q_simhash_recall",
     "q_topology_jsonl", "q_topology_sft", "q_topology_tokenize",
     "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
 
@@ -4494,6 +4495,30 @@ object SparkEntry {
       val dir = qTmpDir("packed-q")
       graft.sources.PackedCorpus.write(docs, s"$dir/shards", idsCol = "ids",
         orderCols = Seq("doc_id"), numTasks = 1)
+      graft.sources.PackedCorpus.read(s, s"$dir/shards")
+        .select(col("seq_ix"), col("ptr"),
+          size(col("input_ids")).as("n_tokens"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
+        .orderBy("seq_ix")
+    }),
+
+    "q_packed_shards_u16" -> ((s, d) => {
+      // the uint16 shard tier under the oracle: same write + re-read
+      // roundtrip as q_packed_shards, but tokens serialize as 2-byte LE
+      // (dtype code 8 — the halved-bytes layout trainers pick when the
+      // vocabulary fits 16 bits), so every byte pointer is 2·prefix-sum
+      // instead of 4· — the oracle restates exactly that arithmetic.
+      // Word lengths are always far inside uint16 range; a pathological
+      // corpus would fail LOUDLY at write, never wrap.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          transform(TF.tokens(col("text")), w => length(w).cast("int"))
+            .as("ids"))
+        .filter(size(col("ids")) > 0)
+      val dir = qTmpDir("packedu16-q")
+      graft.sources.PackedCorpus.write(docs, s"$dir/shards", idsCol = "ids",
+        orderCols = Seq("doc_id"), numTasks = 1, dtype = "uint16")
       graft.sources.PackedCorpus.read(s, s"$dir/shards")
         .select(col("seq_ix"), col("ptr"),
           size(col("input_ids")).as("n_tokens"),
@@ -7970,6 +7995,31 @@ object SparkEntry {
          ord AS (
            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix,
                   4 * (SUM(n) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n) AS ptr,
+                  n, toks
+           FROM tk)
+         SELECT CAST(seq_ix AS BIGINT) AS seq_ix,
+                CAST(ptr AS BIGINT) AS ptr,
+                CAST(n AS INT) AS n_tokens,
+                md5(array_to_string(list_transform(toks,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+         FROM ord ORDER BY seq_ix""",
+    "q_packed_shards_u16" ->
+      // q_packed_shards' restatement at token width 2: pointers are
+      // 2·prefix-sum — the only thing dtype changes in the layout
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         ord AS (
+           SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix,
+                  2 * (SUM(n) OVER (ORDER BY doc_id
                     ROWS UNBOUNDED PRECEDING) - n) AS ptr,
                   n, toks
            FROM tk)
