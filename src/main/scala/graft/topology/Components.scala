@@ -1490,44 +1490,93 @@ object BuiltinComponents {
     * format a GPT training loader memory-maps directly. Completes the
     * config-only story: `[tokenizer]` train → TokenizeIds → PackRows →
     * PackedShards is raw text to training shards without Scala.
+    *
+    * DAEMON mode (incremental export): `PackRows` cannot run in a
+    * streaming filter chain (its per-shard sort is a batch operation),
+    * so the sink itself packs when `PackBudget > 0` — the exact
+    * `PackRows` semantics applied PER MICRO-BATCH (each batch packs and
+    * numbers its own sequences) — and `Path = ".../batch={{.Rotation}}"`
+    * gives every micro-batch its own complete, idempotent, _SUCCESS-
+    * marked shard directory: the month-over-month crawl shape, where
+    * each increment lands as ready-to-mount trainer shards.
     */
   val packedShardsOutput: OutputDesc = OutputDesc(
     "PackedShards",
     "Writes a comma-joined token-ids field as Megatron-style .bin/.idx " +
       "packed-corpus shards (flat little-endian int32 token stream + " +
-      "index sidecar).",
+      "index sidecar); PackBudget > 0 greedy-packs records into " +
+      "fixed-budget rows first (the PackRows semantics, per batch).",
     Seq(
       ConfigKey("Path", "output directory", required = true),
       ConfigKey("IdsField", "field holding comma-joined token ids",
         default = Some("input_ids")),
       ConfigKey("OrderFields", "numeric fields giving the deterministic " +
-        "sequence order across shard files",
+        "sequence order across shard files (ignored when PackBudget > 0: " +
+        "packed rows order by their shard, seq_id)",
         default = Some("""["shard", "seq_id"]""")),
       ConfigKey("NumTasks", "shard-file count (0 = session shuffle width)",
         default = Some(0L)),
       ConfigKey("Dtype", "token width: int32 | uint16 (uint16 halves " +
         "shard bytes; any id outside [0, 65535] fails loudly)",
-        default = Some("int32"))),
+        default = Some("int32")),
+      ConfigKey("PackBudget", "when > 0, greedy no-split pack the ids " +
+        "into fixed-budget training rows before writing (PackRows " +
+        "semantics, applied per batch — the streaming-safe form)",
+        default = Some(0L)),
+      ConfigKey("PackOrderField", "numeric field giving the pack order " +
+        "(required when PackBudget > 0)"),
+      ConfigKey("PackShards", "independent pack shards (PackBudget > 0)",
+        default = Some(4L)),
+      ConfigKey("PadId", "padding token id (PackBudget > 0)",
+        default = Some(-2L)),
+      ConfigKey("EosId", "optional end-of-document id, trained on " +
+        "(PackBudget > 0)"),
+      ConfigKey("BosId", "optional begin-of-document id, loss-masked " +
+        "(PackBudget > 0)"),
+      ConfigKey("SepId", "optional SFT turn-separator id (PackBudget > 0)")),
     raw = false,
     (ctx, cfg, df) => {
       val idsF = cfg.str("IdsField", "input_ids")
       require(df.columns.contains(idsF),
         s"PackedShards: unknown IdsField '$idsF'")
-      val ordFields = cfg.strList("OrderFields", Seq("shard", "seq_id"))
-      ordFields.foreach(f => require(df.columns.contains(f),
-        s"PackedShards: unknown OrderFields entry '$f'"))
       val obs = new org.apache.spark.sql.Observation()
-      // the record model carries strings: ids split to int arrays, order
-      // fields cast numeric so "10" sorts after "2"
-      val typed = df.observe(obs, count(lit(1)).as("rows"))
-        .withColumn(idsF, transform(
-          filter(split(col(idsF), ","), x => x =!= ""), _.cast("int")))
-        .select((col(idsF) +: ordFields.map(f =>
-          col(f).cast("long").as(f))): _*)
+      val observed = df.observe(obs, count(lit(1)).as("rows"))
+      val budget = cfg.int("PackBudget", 0L).toInt
       val path = cfg.str("Path")
-      graft.sources.PackedCorpus.write(typed, path, idsCol = idsF,
-        orderCols = ordFields, numTasks = cfg.int("NumTasks", 0L).toInt,
-        dtype = cfg.str("Dtype", "int32"))
+      if (budget > 0) {
+        val ordF = cfg.str("PackOrderField")
+        require(df.columns.contains(ordF),
+          s"PackedShards: unknown PackOrderField '$ordF'")
+        def idOpt(key: String): Option[Int] =
+          if (cfg.has(key)) Some(cfg.int(key).toInt) else None
+        val toks = transform(
+          filter(split(col(idsF), ","), x => x =!= ""), _.cast("int"))
+        val ord = col(ordF).cast("long")
+        val shard = pmod(pmod(ord, lit(2147483647L)) * lit(2654435761L),
+          lit(cfg.int("PackShards", 4L)))
+        val packed = graft.llm.Pack.packTokensGreedy(observed, ord, toks,
+          transform(toks, _ => lit(true)), budget, shard,
+          cfg.int("PadId", -2L).toInt, sepId = idOpt("SepId"),
+          eosId = idOpt("EosId"), bosId = idOpt("BosId"))
+        graft.sources.PackedCorpus.write(packed, path,
+          idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
+          numTasks = cfg.int("NumTasks", 0L).toInt,
+          dtype = cfg.str("Dtype", "int32"))
+      } else {
+        val ordFields = cfg.strList("OrderFields", Seq("shard", "seq_id"))
+        ordFields.foreach(f => require(df.columns.contains(f),
+          s"PackedShards: unknown OrderFields entry '$f'"))
+        // the record model carries strings: ids split to int arrays,
+        // order fields cast numeric so "10" sorts after "2"
+        val typed = observed
+          .withColumn(idsF, transform(
+            filter(split(col(idsF), ","), x => x =!= ""), _.cast("int")))
+          .select((col(idsF) +: ordFields.map(f =>
+            col(f).cast("long").as(f))): _*)
+        graft.sources.PackedCorpus.write(typed, path, idsCol = idsF,
+          orderCols = ordFields, numTasks = cfg.int("NumTasks", 0L).toInt,
+          dtype = cfg.str("Dtype", "int32"))
+      }
       OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
     })
 

@@ -133,6 +133,75 @@ class PackedCorpusSpec extends SparkSpec {
     assert(chain(e2).exists(_.contains("magic")), chain(e2).mkString(" | "))
   }
 
+  test("PackedShards as a DAEMON sink: per-micro-batch greedy packing " +
+      "(PackBudget), each batch lands its own batch={{.Rotation}} shard " +
+      "dir; checkpointed restart loses and duplicates nothing") {
+    import graft.streaming.Streaming
+    val dir = java.nio.file.Files.createTempDirectory("graft-pshards").toFile
+    val shards = new java.io.File(dir, "in"); shards.mkdirs()
+    def shard(name: String, entries: (String, String)*): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (n, txt) =>
+        graft.sources.TarShards.writeEntry(bos, n, txt.getBytes("UTF-8"))
+      }
+      bos.write(new Array[Byte](1024))
+      val out = new java.io.FileOutputStream(new java.io.File(shards, name))
+      out.write(bos.toByteArray); out.close()
+    }
+    shard("s0.tar", "10.txt" -> "alpha beta gamma", "11.txt" -> "delta ep")
+    val toml =
+      s"""[fields]
+         |names = ["key", "txt", "ids"]
+         |[input]
+         |name = "WebDataset"
+         |  [input.config]
+         |  Path = "${shards.getAbsolutePath}"
+         |  MaxFilesPerTrigger = 1
+         |[[filter]]
+         |name = "SqlExpr"
+         |  [filter.config]
+         |  DstField = "ids"
+         |  Expr = "array_join(transform(split(trim(txt), ' '), w -> cast(length(w) as string)), ',')"
+         |[output]
+         |name = "PackedShards"
+         |fields = ["key", "ids"]
+         |  [output.config]
+         |  Path = "$dir/out/batch={{.Rotation}}"
+         |  IdsField = "ids"
+         |  PackBudget = 8
+         |  PackShards = 1
+         |  PackOrderField = "key"
+         |  EosId = -4
+         |  NumTasks = 1
+         |""".stripMargin
+    val d1 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    d1.processAllAvailable(); d1.stop()
+    def batches(): Seq[String] = Option(new java.io.File(s"$dir/out")
+      .listFiles()).toSeq.flatten.map(_.getName).sorted
+    assert(batches() == Seq("batch=0"))
+    // doc 10 → [5,4,5,-4] (9 > 8 with doc 11's [5,2,-4]? 4+3=7 ≤ 8: one
+    // sequence [5,4,5,-4,5,2,-4,pad])
+    val b0 = PackedCorpus.read(spark, s"$dir/out/batch=0")
+      .orderBy("seq_ix").collect()
+    assert(b0.map(_.getSeq[Int](3)).toSeq ==
+      Seq(Seq(5, 4, 5, -4, 5, 2, -4, -2)))
+    // a new shard arrives; the RESTARTED daemon resumes from the
+    // checkpoint — shard 0 is not reprocessed, batch=1 appears alone
+    shard("s1.tar", "20.txt" -> "zz yy xx ww")
+    val d2 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    d2.processAllAvailable(); d2.stop()
+    assert(batches() == Seq("batch=0", "batch=1"))
+    val b1 = PackedCorpus.read(spark, s"$dir/out/batch=1")
+      .orderBy("seq_ix").collect()
+    assert(b1.map(_.getSeq[Int](3)).toSeq ==
+      Seq(Seq(2, 2, 2, 2, -4, -2, -2, -2)))
+    // batch 0's bytes are untouched by the restart
+    val again = PackedCorpus.read(spark, s"$dir/out/batch=0").collect()
+    assert(again.length == 1)
+  }
+
   test("PackedShards TOML output: PackRows rows land as readable shards") {
     import spark.implicits._
     val dir = tmp("packedtoml")
