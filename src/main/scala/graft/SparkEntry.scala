@@ -4421,6 +4421,24 @@ object SparkEntry {
         .orderBy("shard", "seq_id")
     }),
 
+    "q_pack_stats" -> ((s, d) => {
+      // the packing-efficiency report a pipeline checks before a training
+      // run: per shard — sequences, real tokens, pad tokens, pad fraction
+      // in integer basis points — over q_pack_tokens' materialized rows.
+      // One map-side agg on n_real; the oracle needs NO array rebuild:
+      // concat-chunk stats are pure arithmetic on per-shard token counts
+      // (n_seqs = ceil(T/budget), pad = n_seqs·budget − T).
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      graft.llm.Pack.packingStats(
+          graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk, 512, shard,
+            padId = -1), budget = 512)
+        .orderBy("shard")
+    }),
+
     "q_pack_ids" -> ((s, d) => {
       // the COMPLETE pretraining data path in one declarative plan: raw
       // text → byte-level BPE → vocabulary ids (unk = -1) → materialized
@@ -8004,6 +8022,28 @@ object SparkEntry {
                 md5(array_to_string(list_transform(toks,
                   x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
          FROM ord ORDER BY seq_ix""",
+    "q_pack_stats" ->
+      // concat-chunk packing stats from first principles: per-shard token
+      // totals T drive everything (n_seqs = ceil(T/512), pad arithmetic,
+      // floor basis points) — no sequence rebuild needed
+      """WITH tk AS (
+           SELECT ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         agg AS (
+           SELECT shard, CAST((sum(n) + 511) // 512 AS BIGINT) AS n_seqs,
+                  CAST(sum(n) AS BIGINT) AS n_tokens
+           FROM tk GROUP BY shard)
+         SELECT shard, n_seqs, n_tokens,
+                CAST(n_seqs * 512 - n_tokens AS BIGINT) AS n_pad,
+                CAST((n_seqs * 512 - n_tokens) * 10000 // (n_seqs * 512)
+                  AS BIGINT) AS pad_frac_bp
+         FROM agg ORDER BY shard""",
     "q_packed_shards_u16" ->
       // q_packed_shards' restatement at token width 2: pointers are
       // 2·prefix-sum — the only thing dtype changes in the layout

@@ -45,6 +45,31 @@ object Pack {
       .drop("__shard", "__start")
   }
 
+  /** Packing-efficiency report over MATERIALIZED training rows (the
+    * [[packTokens]] / [[packTokensGreedy]] output contract): per shard —
+    * sequences, real tokens, pad tokens, and the pad fraction in integer
+    * BASIS POINTS (floor; integer sufficient statistics stay exact
+    * cross-engine — the q_simhash_recall lesson). This is the number a
+    * pipeline checks BEFORE a training run: pad waste is paid in
+    * accelerator hours, and a bad shard hash or a budget mismatched to
+    * the document length distribution shows up here first.
+    *
+    * One map-side-combined aggregate on the packed rows — never touches
+    * the token arrays (`n_real` already carries the fill).
+    */
+  def packingStats(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_real").cast("long")).as("n_tokens"))
+      .select(col("shard"), col("n_seqs"),
+        col("n_tokens"),
+        (col("n_seqs") * budget - col("n_tokens")).as("n_pad"),
+        // floor over a double quotient is exact here: pad·10⁴ < 2⁵³
+        floor((col("n_seqs") * budget - col("n_tokens")) * 10000L /
+          (col("n_seqs") * budget)).as("pad_frac_bp"))
+  }
+
   /** NO-SPLIT packing (SFT-style): documents are never cut. In `orderCol`
     * order within each shard, a document joins the current sequence when
     * it fits (`fill + size <= budget`) and otherwise OPENS a new one; a

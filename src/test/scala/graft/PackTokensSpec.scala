@@ -344,6 +344,24 @@ class PackTokensSpec extends SparkSpec {
     assert(rows.values.map(_._4).sum == totalTokens)
   }
 
+  test("packingStats: per-shard sequences/tokens/pads and floor basis " +
+      "points over materialized rows (greedy and chunked alike)") {
+    val df = docs(
+      (1L, Seq(10, 11, 12), Seq(true, true, true)), // seq 0: 3 of 5
+      (2L, Seq(20, 21, 22, 23), Seq.fill(4)(true)), // seq 1: 4 of 5
+      (3L, Seq(30), Seq(true)))                     // joins seq 1: 5 of 5
+    val stats = Pack.packingStats(packG(df, 5), budget = 5).collect()
+    assert(stats.length == 1)
+    val r = stats(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 8L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 2000L) // 2 pads / 10 slots = 20.00%
+    // chunked rows report zero pad everywhere but the tail
+    val chunked = Pack.packTokens(df, col("doc_id"), col("toks"), col("msk"),
+      5, lit(0), padId = -9)
+    val cs = Pack.packingStats(chunked, budget = 5).collect()(0)
+    assert(cs.getLong(1) == 2L && cs.getLong(2) == 8L && cs.getLong(3) == 2L)
+  }
+
   test("greedy rows plan shape: ONE exchange, then sort + streaming walk") {
     val df = docs((1L, Seq(1, 2), Seq(true, true)))
     val plan = packG(df, 4).queryExecution.executedPlan.toString
