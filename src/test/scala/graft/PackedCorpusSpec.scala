@@ -115,6 +115,33 @@ class PackedCorpusSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("uint16")), chain(e).mkString(" | "))
   }
 
+  test("property roundtrip: 60 random corpora (lengths 1-40, full int32 " +
+      "range / uint16 boundary values, 1-3 tasks) read back exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 60) {
+      val u16 = trial % 2 == 1
+      val nDocs = 1 + rnd.nextInt(12)
+      val docs = (0 until nDocs).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        val ids = Seq.fill(n)(
+          if (u16) (if (rnd.nextInt(8) == 0) 65535 else rnd.nextInt(65536))
+          else rnd.nextInt()) // full int32 incl. negatives
+        (i.toLong % 3, i.toLong, ids)
+      }
+      val df = docs.toDF("shard", "seq_id", "input_ids")
+      val dir = tmp(s"packedprop$trial") + "/shards"
+      PackedCorpus.write(df, dir, numTasks = 1 + rnd.nextInt(3),
+        dtype = if (u16) "uint16" else "int32")
+      // multiset compare (duplicate singleton arrays are possible)
+      val back = PackedCorpus.read(spark, dir)
+        .select("input_ids").collect().map(_.getSeq[Int](0).toList)
+        .sortBy(_.mkString(",")).toList
+      assert(back == docs.map(_._3.toList).sortBy(_.mkString(",")).toList,
+        s"trial $trial (u16=$u16)")
+    }
+  }
+
   test("empty sequences fail loudly; a corrupt idx fails loudly") {
     import spark.implicits._
     val bad = Seq((0L, 0L, Seq.empty[Int])).toDF("shard", "seq_id", "input_ids")
