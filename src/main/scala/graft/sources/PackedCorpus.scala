@@ -2,10 +2,22 @@ package graft.sources
 
 import java.io.{DataOutputStream, EOFException, InputStream}
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Trainer-consumable packed-corpus shards: the public Megatron-LM
   * indexed-dataset layout (`.bin` + `.idx`), the format a GPT training
@@ -53,7 +65,7 @@ object PackedCorpus {
     case other => throw new IllegalArgumentException(
       s"PackedCorpus: unknown dtype '$other' (int32 | uint16)")
   }
-  private def tokenBytes(code: Int): Int = if (code == DtypeUint16) 2 else 4
+  private[sources] def tokenBytes(code: Int): Int = if (code == DtypeUint16) 2 else 4
 
   private def writeLongLE(out: DataOutputStream, v: Long): Unit =
     out.writeLong(java.lang.Long.reverseBytes(v))
@@ -148,7 +160,7 @@ object PackedCorpus {
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
-  private def readLongLE(in: InputStream): Long = {
+  private[sources] def readLongLE(in: InputStream): Long = {
     var v = 0L
     var i = 0
     while (i < 8) {
@@ -159,7 +171,7 @@ object PackedCorpus {
     }
     v
   }
-  private def readIntLE(in: InputStream): Int = {
+  private[sources] def readIntLE(in: InputStream): Int = {
     var v = 0
     var i = 0
     while (i < 4) {
@@ -199,7 +211,7 @@ object PackedCorpus {
     (sizes, pointers, dtype)
   }
 
-  private def readShortLE(in: InputStream): Int = {
+  private[sources] def readShortLE(in: InputStream): Int = {
     val lo = in.read(); val hi = in.read()
     if (lo < 0 || hi < 0) throw new EOFException("PackedCorpus: truncated file")
     (hi << 8) | lo
@@ -254,4 +266,135 @@ object PackedCorpus {
       }
       .toDF("file", "seq_ix", "ptr", "input_ids")
   }
+}
+
+/** `spark.read.format("packedcorpus")` — the DataSource V2 face of the
+  * shard layout, for auditing/accounting/decontaminating packed corpora
+  * at scale: one InputPartition per `.bin`/`.idx` pair (trainer corpora
+  * ship thousands of shard files), schema
+  * `(file, seq_ix, ptr, n_tokens, input_ids)`, and COLUMN PRUNING that
+  * never opens the `.bin` at all when `input_ids` is pruned away — a
+  * token-accounting pass over a 100 TB shard corpus reads only the
+  * 12-bytes-per-sequence sidecars. Both dtypes (int32/uint16) read
+  * transparently; `_SUCCESS`/dot files are skipped like every source
+  * here.
+  */
+class PackedCorpusDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "packedcorpus"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PackedCorpusSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new PackedCorpusTable(
+      WarcSource.resolvePaths(properties.asScala.toMap, "packedcorpus"))
+}
+
+object PackedCorpusSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType),      // shard .bin name (provenance)
+    StructField("seq_ix", LongType),      // ordinal within its shard
+    StructField("ptr", LongType),         // byte offset in the .bin
+    StructField("n_tokens", IntegerType), // sidecar size entry
+    StructField("input_ids", ArrayType(IntegerType, containsNull = false)),
+  ))
+}
+
+class PackedCorpusTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"packedcorpus(${paths.mkString(",")})"
+  override def schema(): StructType = PackedCorpusSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PackedCorpusScanBuilder(paths)
+}
+
+class PackedCorpusScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PackedCorpusSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PackedCorpusScan(paths, required)
+}
+
+class PackedCorpusScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    WarcSource.expand(paths, conf, "packedcorpus")
+      .filter(_.endsWith(".idx"))
+      .map(f => PackedCorpusInputPartition(f)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confGetter = GraftShims.serializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    PackedCorpusReaderFactory(required.fieldNames, confGetter)
+  }
+}
+
+case class PackedCorpusInputPartition(idxFile: String) extends InputPartition
+
+case class PackedCorpusReaderFactory(fields: Array[String],
+    confGetter: () => Configuration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PackedCorpusReader(
+      partition.asInstanceOf[PackedCorpusInputPartition].idxFile,
+      fields, confGetter())
+}
+
+/** One row per sequence of one shard pair. The `.bin` opens ONLY when
+  * `input_ids` is required — sidecar-only scans (counts, token totals,
+  * pointer audits) touch 12 B/sequence of metadata and zero token bytes.
+  */
+class PackedCorpusReader(idxFile: String, fields: Array[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  private val fs = new Path(idxFile).getFileSystem(conf)
+  private val (sizes, pointers, dtype) = {
+    val in = new java.io.BufferedInputStream(fs.open(new Path(idxFile)), 1 << 16)
+    try PackedCorpus.parseIdx(in) finally in.close()
+  }
+  private val needIds = fields.contains("input_ids")
+  private val binPath = new Path(idxFile.stripSuffix(".idx") + ".bin")
+  private val bin =
+    if (needIds) new java.io.BufferedInputStream(fs.open(binPath), 1 << 16)
+    else null
+  private val fileStr = UTF8String.fromString(binPath.getName)
+  private var ix = -1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    ix += 1
+    if (ix >= sizes.length) return false
+    val n = sizes(ix)
+    val ids: GenericArrayData =
+      if (!needIds) null
+      else {
+        val arr = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          arr(i) = if (dtype == 8) PackedCorpus.readShortLE(bin)
+            else PackedCorpus.readIntLE(bin)
+          i += 1
+        }
+        new GenericArrayData(arr)
+      }
+    val values: Array[Any] = fields.map {
+      case "file"      => fileStr
+      case "seq_ix"    => ix.toLong
+      case "ptr"       => pointers(ix)
+      case "n_tokens"  => n
+      case "input_ids" => ids
+      case other => throw new IllegalArgumentException(
+        s"packedcorpus: unknown field $other")
+    }
+    row = InternalRow.fromSeq(values.toIndexedSeq)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (bin != null) bin.close()
 }

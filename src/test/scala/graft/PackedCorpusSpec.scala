@@ -115,6 +115,42 @@ class PackedCorpusSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("uint16")), chain(e).mkString(" | "))
   }
 
+  test("spark.read.format(\"packedcorpus\"): DSv2 scan equals the reader, " +
+      "both dtypes; pruning input_ids never opens the .bin") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("packedsv2") + "/shards"
+    PackedCorpus.write(fixture(), dir, numTasks = 2)
+    val sdf = spark.read.format("packedcorpus").load(dir)
+    assert(sdf.schema.fieldNames.toSeq ==
+      Seq("file", "seq_ix", "ptr", "n_tokens", "input_ids"))
+    val viaSource = sdf.select("file", "seq_ix", "ptr", "input_ids")
+      .orderBy("file", "seq_ix").collect().map(_.toSeq).toSeq
+    val viaReader = PackedCorpus.read(spark, dir)
+      .orderBy("file", "seq_ix").collect().map(_.toSeq).toSeq
+    assert(viaSource == viaReader)
+    // sidecar-only scan: token totals with input_ids pruned — the plan's
+    // ReadSchema must not carry input_ids (the reader then never opens
+    // the .bin; enforced physically below by deleting it)
+    val slim = sdf.groupBy("file").agg(sum("n_tokens").as("t"))
+    val scanLine = slim.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("input_ids"), s"pruning failed: $scanLine")
+    val binless = tmp("packedsv2nb") + "/shards"
+    PackedCorpus.write(fixture(), binless, numTasks = 1)
+    Files.delete(Paths.get(binless, "part-00000.bin"))
+    val got = spark.read.format("packedcorpus").load(binless)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(got == 9L) // metadata flows with the token bytes GONE
+    // uint16 pair reads transparently through the source
+    val u16 = tmp("packedsv2u") + "/shards"
+    import spark.implicits._
+    PackedCorpus.write(Seq((0L, 0L, Seq(1, 65535)))
+      .toDF("shard", "seq_id", "input_ids"), u16, numTasks = 1,
+      dtype = "uint16")
+    assert(spark.read.format("packedcorpus").load(u16)
+      .select("input_ids").collect()(0).getSeq[Int](0) == Seq(1, 65535))
+  }
+
   test("property roundtrip: 60 random corpora (lengths 1-40, full int32 " +
       "range / uint16 boundary values, 1-3 tasks) read back exactly") {
     import spark.implicits._
