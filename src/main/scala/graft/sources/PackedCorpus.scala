@@ -219,53 +219,14 @@ object PackedCorpus {
 
   /** Read shards back as (file, seq_ix, ptr, input_ids) — one row per
     * sequence, `seq_ix` the sequence's ordinal within its file, `ptr`
-    * its byte offset in the `.bin`. Distributed: one task per shard
-    * file, each streaming its own pair — the roundtrip consumer and the
-    * oracle surface (the pointer column restates the idx prefix sums).
+    * its byte offset in the `.bin`. A thin wrapper over the
+    * `packedcorpus` DataSource V2 (ONE reading path — the roundtrip
+    * specs, the oracle rows and any user scan all exercise the same
+    * partition reader), minus the `n_tokens` convenience column.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val confGetter =
-      GraftShims.serializableHadoopConf(spark.sessionState.newHadoopConf())
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val idxFiles = fs.listStatus(new Path(dir)).iterator.map(_.getPath)
-      .filter(p => p.getName.endsWith(".idx") && !p.getName.startsWith("."))
-      .map(_.toString).toSeq.sorted
-    spark.createDataset(idxFiles)
-      .repartition(math.max(idxFiles.size, 1))
-      .flatMap { idxPath =>
-        val fs = new Path(idxPath).getFileSystem(confGetter())
-        val in = new java.io.BufferedInputStream(fs.open(new Path(idxPath)), 1 << 16)
-        // the sidecar is small (12 B/sequence) and read eagerly; the .bin
-        // STREAMS — a shard can be gigabytes, so the task must never hold
-        // more than one sequence's tokens (the iterator below is lazy and
-        // the task-completion listener closes the stream even when a
-        // downstream limit() stops consuming early)
-        val (sizes, pointers, dtype) =
-          try parseIdx(in) finally in.close()
-        val step = tokenBytes(dtype).toLong
-        val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
-        val bin = new java.io.BufferedInputStream(fs.open(binPath), 1 << 16)
-        Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => bin.close()))
-        val name = binPath.getName
-        // sequences are contiguous (pointers are the exact prefix sums,
-        // enforced below), so one forward stream reads the whole bin
-        var pos = 0L
-        sizes.iterator.zip(pointers.iterator).zipWithIndex.map {
-          case ((n, ptr), ix) =>
-            require(ptr == pos,
-              s"PackedCorpus: non-contiguous pointer $ptr (expected $pos) in $binPath")
-            val ids =
-              if (dtype == DtypeUint16) Array.fill(n)(readShortLE(bin))
-              else Array.fill(n)(readIntLE(bin))
-            pos += step * n
-            if (ix == sizes.length - 1) bin.close()
-            (name, ix.toLong, ptr, ids.toSeq)
-        }
-      }
-      .toDF("file", "seq_ix", "ptr", "input_ids")
-  }
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("packedcorpus").load(dir)
+      .select("file", "seq_ix", "ptr", "input_ids")
 }
 
 /** `spark.read.format("packedcorpus")` — the DataSource V2 face of the
@@ -364,12 +325,20 @@ class PackedCorpusReader(idxFile: String, fields: Array[String],
     else null
   private val fileStr = UTF8String.fromString(binPath.getName)
   private var ix = -1
+  private var pos = 0L
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     ix += 1
     if (ix >= sizes.length) return false
     val n = sizes(ix)
+    // the forward stream only reads the right bytes if pointers are the
+    // exact prefix sums — a corrupt sidecar must fail, never shift every
+    // downstream sequence silently
+    require(pointers(ix) == pos,
+      s"PackedCorpus: non-contiguous pointer ${pointers(ix)} " +
+        s"(expected $pos) in $binPath")
+    pos += PackedCorpus.tokenBytes(dtype).toLong * n
     val ids: GenericArrayData =
       if (!needIds) null
       else {
