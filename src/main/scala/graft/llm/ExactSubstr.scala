@@ -38,6 +38,29 @@ import graft.functions.TextFunctions
   */
 object ExactSubstr {
 
+  /** One-slot per-session registry of the persisted occurrence frame
+    * ([[suffixOccurrences]]'s hot-anchor path): each new suffix call
+    * reclaims the previous call's cache, bounding a long-lived session to
+    * at most ONE disk-backed occurrence frame instead of one per call.
+    */
+  private val occCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def registerCache(spark: org.apache.spark.sql.SparkSession,
+      cached: DataFrame): Unit = {
+    val prev = occCaches.put(String.valueOf(System.identityHashCode(spark)), cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+  }
+
+  /** Free the session's last suffix-occurrence cache (safe any time:
+    * unpersist of an in-use frame recomputes from lineage). Long-lived
+    * pipelines call this after their suffix-dedup actions complete.
+    */
+  def releaseCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prev = occCaches.remove(String.valueOf(System.identityHashCode(spark)))
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** Every k-token window of every document: (idCol, pos, __h) with `pos`
     * 0-based and `__h` the window hash. Map-only; documents shorter than k
     * tokens emit nothing (nothing can repeat). `hash` defaults to the
@@ -275,7 +298,18 @@ object ExactSubstr {
       // corpus. Spill-backed persist (the ExactSubstrStream snapshot
       // idiom) materializes it ONCE; cached blocks spill to local disk,
       // never pinning O(corpus) executor memory.
+      //
+      // Lifetime: the returned frame is LAZY over this cache, so the
+      // function cannot unpersist before returning (the three consumers
+      // would each re-run the tokenize + posexplode scan). Instead the
+      // cache registers in a one-slot per-session registry: the NEXT
+      // suffix call reclaims it (unpersist mid-use is safe in Spark —
+      // lineage recomputes), so a long-lived session or a repeated
+      // pipeline holds at most ONE occurrence frame of disk-backed
+      // blocks instead of leaking one per call; [[releaseCache]] frees
+      // that last one explicitly.
       val occC = occ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerCache(df.sparkSession, occC)
       val hot = occC.groupBy("__a").agg(
           count(lit(1)).as("__cnt"),
           min(struct(col(idCol), col("pos"))).as("__first"))

@@ -65,9 +65,14 @@ object Pack {
       .select(col("shard"), col("n_seqs"),
         col("n_tokens"),
         (col("n_seqs") * budget - col("n_tokens")).as("n_pad"),
-        // floor over a double quotient is exact here: pad·10⁴ < 2⁵³
-        floor((col("n_seqs") * budget - col("n_tokens")) * 10000L /
-          (col("n_seqs") * budget)).as("pad_frac_bp"))
+        // INTEGER division (Spark's `div` = IntegralDivide), not
+        // floor(double/double): past ~2⁴⁰ slots a non-integer double
+        // quotient can round UP across the floor boundary and diverge by
+        // 1 bp from an integer-arithmetic restatement — integer
+        // sufficient statistics stay exact at any scale
+        call_function("div",
+          (col("n_seqs") * budget - col("n_tokens")) * 10000L,
+          col("n_seqs") * budget).as("pad_frac_bp"))
   }
 
   /** NO-SPLIT packing (SFT-style): documents are never cut. In `orderCol`

@@ -42,7 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixed partitioning; each task streams one `.bin`/`.idx` pair into
   * dot-prefixed attempt-unique staging names and RENAMES on close
   * (speculative/zombie attempts never interleave; identical inputs write
-  * identical bytes, so a lost rename race just drops the duplicate);
+  * identical bytes, so a lost rename race drops the duplicate ONLY after
+  * a length check against the winner — a non-identical final file fails
+  * loudly); a re-export first sweeps every prior final artifact so a
+  * non-empty dir can never keep stale shards under a fresh `_SUCCESS`;
   * `_SUCCESS` marks job completion and stale `.inprogress-*` orphans are
   * swept at commit.
   */
@@ -66,6 +69,24 @@ object PackedCorpus {
       s"PackedCorpus: unknown dtype '$other' (int32 | uint16)")
   }
   private[sources] def tokenBytes(code: Int): Int = if (code == DtypeUint16) 2 else 4
+
+  /** Remove a previous export's final artifacts (part files, _SUCCESS)
+    * and any stale staging orphans from `dir` so a re-export can never
+    * publish a stale shard under a fresh _SUCCESS. Driver-side, BEFORE
+    * the write job.
+    */
+  private def preClean(dir: String, conf: Configuration): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (fs.exists(path)) {
+      fs.listStatus(path).iterator.map(_.getPath).filter { p =>
+        val n = p.getName
+        n == "_SUCCESS" || n.startsWith(".inprogress-") ||
+          (n.startsWith("part-") &&
+            (n.endsWith(".bin") || n.endsWith(".idx")))
+      }.foreach(p => fs.delete(p, false))
+    }
+  }
 
   private def writeLongLE(out: DataOutputStream, v: Long): Unit =
     out.writeLong(java.lang.Long.reverseBytes(v))
@@ -98,6 +119,14 @@ object PackedCorpus {
                   else slim.repartition(col("__ord." + orderCols.head)))
       .sortWithinPartitions(col("__ord"))
       .select(col("__ids")).as[Seq[Int]]
+    // Re-export into a non-empty dir must never publish STALE shards
+    // under a fresh _SUCCESS: a previous job's part files that this job's
+    // task layout doesn't overwrite (fewer tasks, different names) would
+    // otherwise survive and read back as data. Clean every prior final
+    // artifact BEFORE the job — overwrite semantics, stated loudly here
+    // rather than diverging by filesystem (raw-local rename overwrites,
+    // HDFS refuses).
+    preClean(dir, spark.sessionState.newHadoopConf())
     parted.foreachPartition { rows: Iterator[Seq[Int]] =>
       if (rows.hasNext) {
         val task = TaskContext.getPartitionId()
@@ -144,7 +173,22 @@ object PackedCorpus {
         } finally idx.close()
         def commit(staging: Path, fin: Path): Unit =
           if (!fs.rename(staging, fin)) {
-            if (fs.exists(fin)) fs.delete(staging, false)
+            if (fs.exists(fin)) {
+              // a lost rename race is benign ONLY for byte-identical
+              // speculative attempts of this very job (the layout is
+              // deterministic under a fixed partitioning); anything else
+              // — a concurrent foreign writer, a stale survivor the
+              // pre-clean missed — must fail loudly, never silently drop
+              // this task's bytes. Length equality is the cheap witness:
+              // identical attempts write identical byte counts.
+              val stagedLen = fs.getFileStatus(staging).getLen
+              val finalLen = fs.getFileStatus(fin).getLen
+              require(stagedLen == finalLen,
+                s"PackedCorpus: $fin exists with $finalLen bytes but this " +
+                  s"attempt staged $stagedLen - refusing to drop a " +
+                  "non-identical shard (foreign or stale writer?)")
+              fs.delete(staging, false)
+            }
             else throw new java.io.IOException(
               s"PackedCorpus: rename $staging -> $fin failed")
           }
@@ -202,8 +246,16 @@ object PackedCorpus {
     val dtype = in.read()
     require(dtype == DtypeInt32 || dtype == DtypeUint16,
       s"PackedCorpus: unsupported dtype code $dtype (4 = int32, 8 = uint16)")
-    val nSeq = readLongLE(in).toInt
+    val nSeqLong = readLongLE(in)
+    // bounds BEFORE the narrowing cast: a wrapped count would read the
+    // wrong sizes/pointers region as data — the exact silent-misparse the
+    // "corrupt sidecar must never read as data" contract forbids
+    require(nSeqLong >= 0L && nSeqLong <= Int.MaxValue.toLong,
+      s"PackedCorpus: sequence count $nSeqLong outside [0, 2^31)")
+    val nSeq = nSeqLong.toInt
     val nDoc = readLongLE(in) // read + discard: each sequence is one doc
+    require(nDoc >= 0L && nDoc <= Int.MaxValue.toLong,
+      s"PackedCorpus: document count $nDoc outside [0, 2^31)")
     require(nDoc == nSeq + 1L,
       s"PackedCorpus: unexpected document count $nDoc for $nSeq sequences")
     val sizes = Array.fill(nSeq)(readIntLE(in))

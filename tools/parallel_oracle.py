@@ -111,7 +111,7 @@ def main():
                   f" {r['secs']}s", flush=True)
 
     # fold the pinned exceptions into final statuses
-    n_ok = n_exc = 0
+    n_ok = n_exc = n_skip = 0
     fails = []
     for name in names:
         r = results[name]
@@ -124,39 +124,50 @@ def main():
                 r["note"] = f"pinned rows {want[0]}/{want[1]}: {pin.get('why', '')}"
                 n_exc += 1
             else:
+                # capture the OBSERVED status before overwriting it — "the
+                # pin started passing" vs "regressed differently" is the
+                # one fact the triage needs
+                prev = r["status"]
                 r["status"] = "exception_drift"
                 r["note"] = (f"pinned rows {want[0]}/{want[1]} but got "
-                             f"{r['status']}={got} - a different shape on a "
+                             f"{prev}={got} - a different shape on a "
                              "pinned row is a regression")
                 fails.append(name)
         elif r["status"] == "ok":
             n_ok += 1
+        elif r["status"] == "no_oracle":
+            # dumped but oracle-less (rows-only check upstream) — a no-op
+            # here, same as the serial check_oracle sweep
+            n_skip += 1
         else:
             fails.append(name)
 
     # the SCALE.md gate table: failures and exceptions in full, passes as
     # one summary row (201 OK lines say less than one count)
-    print(f"\n| sf | queries | ok | expected_exception | failed |")
-    print(f"|---|---|---|---|---|")
-    print(f"| {sf_key} | {len(names)} | {n_ok} | {n_exc} | {len(fails)} |")
+    print(f"\n| sf | queries | ok | expected_exception | no_oracle | failed |")
+    print(f"|---|---|---|---|---|---|")
+    print(f"| {sf_key} | {len(names)} | {n_ok} | {n_exc} | {n_skip} "
+          f"| {len(fails)} |")
     if n_exc or fails:
         print(f"\n| query | status | rows spark/oracle | note |")
         print(f"|---|---|---|---|")
         for name in names:
             r = results[name]
-            if r["status"] in ("ok",):
+            if r["status"] in ("ok", "no_oracle"):
                 continue
             print(f"| {name} | {r['status']} | "
                   f"{r['spark_rows']}/{r['oracle_rows']} | {r['note']} |")
 
     out_path = args.out or os.path.join(args.out_dir, "parallel_oracle.json")
     json.dump(dict(sf=sf_key, n_queries=len(names), n_ok=n_ok,
-                   n_expected_exception=n_exc, n_failed=len(fails),
+                   n_expected_exception=n_exc, n_no_oracle=n_skip,
+                   n_failed=len(fails),
                    wall_secs=round(time.time() - t0, 1),
                    results=[results[n] for n in names]),
               open(out_path, "w"), indent=1)
     print(f"\nwrote {out_path}  ({n_ok} ok, {n_exc} expected-exception, "
-          f"{len(fails)} failed, {round(time.time() - t0, 1)}s wall)")
+          f"{n_skip} no-oracle, {len(fails)} failed, "
+          f"{round(time.time() - t0, 1)}s wall)")
     sys.exit(1 if fails else 0)
 
 
