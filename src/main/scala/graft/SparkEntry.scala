@@ -1972,7 +1972,8 @@ object SparkEntry {
     "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
-    "q_packed_shards", "q_packed_shards_u16", "q_sidecar_recipe",
+    "q_packed_shards", "q_packed_shards_masked", "q_packed_shards_u16",
+    "q_sidecar_recipe",
     "q_simhash_recall",
     "q_topology_jsonl", "q_topology_sft", "q_topology_tokenize",
     "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
@@ -4542,6 +4543,39 @@ object SparkEntry {
           size(col("input_ids")).as("n_tokens"),
           md5(array_join(transform(col("input_ids"), _.cast("string")), ",")
             .cast("binary")).as("ids_md5"))
+        .orderBy("seq_ix")
+    }),
+
+    "q_packed_shards_masked" -> ((s, d) => {
+      // the SFT-export boundary under the oracle: the concat-chunk
+      // packer's REAL loss_mask / segment_ids / doc_start survive export
+      // as parallel .mask/.seg channel pairs and a true (non-identity)
+      // Megatron document index, then read BACK through the DSv2 and
+      // restated array by array — mask bytes, segment ordinals, and the
+      // doc-start bits are layout-checked, not just counted. Without
+      // this row the engine's own masked layouts (q_pack_greedy_sft)
+      // would be destroyed at the trainer-export boundary.
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk,
+        512, shard, padId = -1)
+      val dir = qTmpDir("packedmask-q")
+      graft.sources.PackedCorpus.write(packed, s"$dir/shards",
+        idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
+        numTasks = 1, maskCol = Some("loss_mask"),
+        segCol = Some("segment_ids"), docStartCol = Some("doc_start"))
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      s.read.format("packedcorpus").load(s"$dir/shards")
+        .select(col("seq_ix"), col("ptr"),
+          col("doc_start").cast("int").as("doc_start"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"))
         .orderBy("seq_ix")
     }),
 
@@ -8068,6 +8102,73 @@ object SparkEntry {
                 CAST(n AS INT) AS n_tokens,
                 md5(array_to_string(list_transform(toks,
                   x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+         FROM ord ORDER BY seq_ix""",
+    "q_packed_shards_masked" ->
+      // the masked SFT export restated end to end: q_pack_tokens' rebuild
+      // (cumsum starts, cut slices, offset-ordered flatten) extended with
+      // the mask slices, per-piece document ordinals (the indexed-lambda
+      // flatten), the doc-start bit (the off=0 piece carries its doc's
+      // first token iff strt lands exactly on the cut), then the
+      // single-file Megatron serialization: seq_ix by (shard, seq_id),
+      // ptr = 4·512·seq_ix (every concat-chunk row is budget-length)
+      """WITH tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  list_transform(ws, w -> length(w) > 3) AS msk,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         st AS (
+           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n AS strt
+           FROM tk),
+         pc AS (
+           SELECT *, unnest(generate_series(
+                       CAST(FLOOR(strt / 512.0) AS BIGINT),
+                       CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
+           FROM st),
+         pieces AS (
+           SELECT shard, seq_id,
+                  GREATEST(strt - seq_id * 512, 0) AS off,
+                  (GREATEST(seq_id * 512 - strt, 0) = 0) AS pstart,
+                  list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
+                  list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
+           FROM pc),
+         asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(ptok ORDER BY off)) AS ids0,
+                  flatten(list(pmsk ORDER BY off)) AS mk0,
+                  flatten(list_transform(list(ptok ORDER BY off),
+                    (p, i) -> list_transform(p, x -> CAST(i - 1 AS INT)))) AS sg0,
+                  bool_or(off = 0 AND pstart) AS ds
+           FROM pieces GROUP BY shard, seq_id),
+         fin AS (
+           SELECT shard, seq_id, ds,
+                  ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
+                  mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk,
+                  sg0 || list_transform(range(512 - len(ids0)),
+                    x -> CAST(-1 AS INT)) AS sg
+           FROM asm),
+         ord AS (
+           SELECT row_number() OVER (ORDER BY shard, seq_id) - 1 AS seq_ix,
+                  ds, ids, mk, sg
+           FROM fin)
+         SELECT CAST(seq_ix AS BIGINT) AS seq_ix,
+                CAST(seq_ix * 2048 AS BIGINT) AS ptr,
+                CAST(CASE WHEN ds THEN 1 ELSE 0 END AS INT) AS doc_start,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                md5(array_to_string(list_transform(sg,
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5
          FROM ord ORDER BY seq_ix""",
     "q_pack_greedy_sft" ->
       // q_pack_greedy_rows' numeric tokenization with BOS -3 (mask false)

@@ -148,6 +148,11 @@ object Pack {
     *     get false
     *   - `n_real`     — how many positions are content, = `budget`
     *     everywhere but each shard's final sequence
+    *   - `doc_start`  — whether the sequence's FIRST token begins a
+    *     document (false when the sequence continues a document the cut
+    *     split): the bit [[graft.sources.PackedCorpus.write]] needs to
+    *     emit a REAL Megatron document index, so trainer-side
+    *     document-level shuffling groups sequences without splitting one
     *
     * Scale contract: ONE exchange. The start-position window partitions
     * by `shard`, and the per-sequence assembly groups by
@@ -251,11 +256,14 @@ object Pack {
         slice(col("__tok"), (col("__from") + 1).cast("int"),
           (col("__to") - col("__from")).cast("int")).as("ptok"),
         slice(col("__msk"), (col("__from") + 1).cast("int"),
-          (col("__to") - col("__from")).cast("int")).as("pmsk"))
+          (col("__to") - col("__from")).cast("int")).as("pmsk"),
+        // the piece that includes its document's FIRST token — on the
+        // off=0 piece this is the sequence-level doc_start flag
+        (col("__from") === 0).as("pstart"))
     // assemble: pieces of a sequence sorted by offset tile it exactly
     val assembled = pieces.groupBy("shard", "seq_id")
       .agg(sort_array(collect_list(struct(col("__off"), col("ptok"),
-        col("pmsk")))).as("ps"))
+        col("pmsk"), col("pstart")))).as("ps"))
     val ids = flatten(transform(col("ps"), p => p.getField("ptok")))
     val msk = flatten(transform(col("ps"), p => {
       val t = p.getField("ptok")
@@ -274,7 +282,12 @@ object Pack {
       concat(ids, array_repeat(lit(padId), nPad)).as("input_ids"),
       concat(seg, array_repeat(lit(-1), nPad)).as("segment_ids"),
       concat(msk, array_repeat(lit(false), nPad)).as("loss_mask"),
-      nReal.cast("int").as("n_real"))
+      nReal.cast("int").as("n_real"),
+      // does the sequence's FIRST token begin a document? (the off=0
+      // piece carries its doc's first token) — the bit the trainer-shard
+      // document index needs: sequences between doc_start marks tile
+      // whole documents, so document-level shuffling never splits one
+      element_at(col("ps"), 1).getField("pstart").as("doc_start"))
   }
 
   /** MATERIALIZE the no-split greedy layout ([[packGreedy]]'s assignment,
@@ -355,7 +368,9 @@ object Pack {
         nullable = false),
       StructField("loss_mask", ArrayType(BooleanType, containsNull = false),
         nullable = false),
-      StructField("n_real", IntegerType, nullable = false)))
+      StructField("n_real", IntegerType, nullable = false),
+      // no-split packing never cuts a document: every sequence starts one
+      StructField("doc_start", BooleanType, nullable = false)))
     parted.mapPartitions { raw =>
       // skip empty docs IN-FLIGHT (a plan-level filter would hand the
       // optimizer a predicate to push below the exchange and duplicate
@@ -411,7 +426,7 @@ object Pack {
             }
           }
           org.apache.spark.sql.Row(curShard, seqId, ids.toSeq, segs.toSeq,
-            mask.toSeq, fill)
+            mask.toSeq, fill, true)
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -5,16 +5,16 @@ import java.io.{DataOutputStream, EOFException, InputStream}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,16 +30,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `part-NNNNN.bin`: every sequence's tokens back to back, each token
   *    one little-endian int32 (dtype code 4);
   *  - `part-NNNNN.idx`: magic `MMIDIDX\0\0` (9 bytes), version int64le=1,
-  *    dtype uint8=4, sequence count int64le, document count int64le
-  *    (= sequences + 1 — each sequence is one document here), then
+  *    dtype uint8, sequence count int64le, document count int64le, then
   *    sizes int32le × n, pointers int64le × n (BYTE offset of each
-  *    sequence in the `.bin` — the prefix sum of 4·sizes), and the
-  *    document index int64le × (n + 1) = 0..n.
+  *    sequence in the `.bin` — the prefix sum of width·sizes), and the
+  *    document index int64le × docCount: the sequence indices where a new
+  *    DOCUMENT begins, terminated by n. Rows that carry no document
+  *    structure get the identity index 0..n (each sequence is one
+  *    document); rows from the concat-then-chunk packer carry the REAL
+  *    boundaries (`doc_start` — where the first token of the sequence
+  *    begins a document), so document-level sampling/shuffling groups
+  *    sequences without ever splitting a document.
+  *
+  * SIDE CHANNELS (the SFT-export surface): the loss mask and segment ids
+  * the packers materialize survive export as parallel pairs next to the
+  * token pair — `part-NNNNN.mask.bin`/`.mask.idx` (uint8, dtype code 1:
+  * 1 = train on this position) and `part-NNNNN.seg.bin`/`.seg.idx`
+  * (int32: the packer's 0-based document ordinal, −1 on padding) — the
+  * same MMIDIDX sidecar form, sizes identical to the token channel's, the
+  * public parallel-channel convention for mask/label streams (the token
+  * `.bin`/`.idx` format itself has no mask channel). A trainer that
+  * mounts only the token pair sees a standard corpus; an SFT trainer maps
+  * the mask pair beside it and computes loss on real targets only.
   *
   * Spark-first sharding, the [[TarShards.write]] discipline verbatim:
   * rows hash-repartition on the first order column and sort by
   * `orderCols` within the task, so shard bytes are DETERMINISTIC under a
-  * fixed partitioning; each task streams one `.bin`/`.idx` pair into
+  * fixed partitioning; each task streams its `.bin`/`.idx` pairs into
   * dot-prefixed attempt-unique staging names and RENAMES on close
   * (speculative/zombie attempts never interleave; identical inputs write
   * identical bytes, so a lost rename race drops the duplicate ONLY after
@@ -52,15 +68,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object PackedCorpus {
 
   /** Megatron MMIDIDX magic + version; dtype codes per the published
-    * table (4 = int32, 8 = uint16 — the halved-bytes layout trainers use
-    * when the vocabulary fits 16 bits).
+    * table (1 = uint8 — the mask channel; 4 = int32; 8 = uint16 — the
+    * halved-bytes layout trainers use when the vocabulary fits 16 bits).
     */
   private val Magic: Array[Byte] =
     "MMIDIDX".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
       Array[Byte](0, 0)
   private val Version = 1L
-  private val DtypeInt32: Byte = 4
-  private val DtypeUint16: Byte = 8
+  private[sources] val DtypeUint8: Byte = 1
+  private[sources] val DtypeInt32: Byte = 4
+  private[sources] val DtypeUint16: Byte = 8
 
   private def dtypeCode(dtype: String): Byte = dtype.toLowerCase match {
     case "int32"  => DtypeInt32
@@ -68,12 +85,16 @@ object PackedCorpus {
     case other => throw new IllegalArgumentException(
       s"PackedCorpus: unknown dtype '$other' (int32 | uint16)")
   }
-  private[sources] def tokenBytes(code: Int): Int = if (code == DtypeUint16) 2 else 4
+  private[sources] def tokenBytes(code: Int): Int = code match {
+    case DtypeUint8  => 1
+    case DtypeUint16 => 2
+    case _           => 4
+  }
 
-  /** Remove a previous export's final artifacts (part files, _SUCCESS)
-    * and any stale staging orphans from `dir` so a re-export can never
-    * publish a stale shard under a fresh _SUCCESS. Driver-side, BEFORE
-    * the write job.
+  /** Remove a previous export's final artifacts (part files of every
+    * channel, _SUCCESS) and any stale staging orphans from `dir` so a
+    * re-export can never publish a stale shard under a fresh _SUCCESS.
+    * Driver-side, BEFORE the write job.
     */
   private def preClean(dir: String, conf: Configuration): Unit = {
     val path = new Path(dir)
@@ -95,6 +116,26 @@ object PackedCorpus {
   private def writeShortLE(out: DataOutputStream, v: Int): Unit =
     out.writeShort(java.lang.Short.reverseBytes(v.toShort))
 
+  /** One MMIDIDX sidecar: header + sizes + width-scaled pointers + the
+    * document index (`docStarts` = ascending sequence indices where a
+    * document begins; the terminating n entry is appended here).
+    */
+  private def writeIdx(out: DataOutputStream, code: Byte, sizes: Seq[Int],
+      docStarts: Seq[Long]): Unit = {
+    out.write(Magic)
+    writeLongLE(out, Version)
+    out.writeByte(code)
+    writeLongLE(out, sizes.length.toLong)
+    writeLongLE(out, docStarts.length.toLong + 1)
+    sizes.foreach(writeIntLE(out, _))
+    var ptr = 0L
+    sizes.foreach { s =>
+      writeLongLE(out, ptr); ptr += tokenBytes(code).toLong * s
+    }
+    docStarts.foreach(writeLongLE(out, _))
+    writeLongLE(out, sizes.length.toLong)
+  }
+
   /** Write `idsCol` (array&lt;int&gt;) as packed shards under `dir`. One
     * `.bin`/`.idx` pair per task; `numTasks` 0 keeps the session's
     * shuffle width. Null/empty arrays are rejected loudly — a trainer
@@ -102,23 +143,43 @@ object PackedCorpus {
     * upstream bug must not serialize. `dtype` "uint16" halves shard
     * bytes and rejects any token outside [0, 65535] loudly (a silent
     * wrap would corrupt every downstream batch).
+    *
+    * `maskCol`/`segCol` (array&lt;boolean&gt; / array&lt;int&gt;, same
+    * length as the ids — loud on misalignment) export as parallel
+    * `.mask`/`.seg` channel pairs; `docStartCol` (boolean: this
+    * sequence's FIRST token begins a document — [[graft.llm.Pack
+    * .packTokens]] emits it) turns the identity document index into the
+    * real one. The first sequence of every shard file must start a
+    * document (packing streams never open a file mid-document); loud
+    * otherwise.
     */
   def write(df: DataFrame, dir: String, idsCol: String = "input_ids",
       orderCols: Seq[String] = Seq("shard", "seq_id"),
-      numTasks: Int = 0, dtype: String = "int32"): Unit = {
+      numTasks: Int = 0, dtype: String = "int32",
+      maskCol: Option[String] = None, segCol: Option[String] = None,
+      docStartCol: Option[String] = None): Unit = {
     require(orderCols.nonEmpty, "PackedCorpus.write: orderCols must be non-empty")
     val code = dtypeCode(dtype)
     val spark = df.sparkSession
-    import spark.implicits._
     val confGetter =
       GraftShims.serializableHadoopConf(spark.sessionState.newHadoopConf())
+    val nullArr = (t: String) => lit(null).cast(s"array<$t>")
     val slim = df.select(
       struct(orderCols.map(col): _*).as("__ord"),
-      col(idsCol).cast("array<int>").as("__ids"))
+      col(idsCol).cast("array<int>").as("__ids"),
+      maskCol.map(c => col(c).cast("array<boolean>"))
+        .getOrElse(nullArr("boolean")).as("__msk"),
+      segCol.map(c => col(c).cast("array<int>"))
+        .getOrElse(nullArr("int")).as("__seg"),
+      docStartCol.map(c => col(c).cast("boolean"))
+        .getOrElse(lit(true)).as("__ds"))
     val parted = (if (numTasks > 0) slim.repartition(numTasks, col("__ord." + orderCols.head))
                   else slim.repartition(col("__ord." + orderCols.head)))
       .sortWithinPartitions(col("__ord"))
-      .select(col("__ids")).as[Seq[Int]]
+      .select("__ids", "__msk", "__seg", "__ds")
+    val writeMask = maskCol.isDefined
+    val writeSeg = segCol.isDefined
+    val realDocIdx = docStartCol.isDefined
     // Re-export into a non-empty dir must never publish STALE shards
     // under a fresh _SUCCESS: a previous job's part files that this job's
     // task layout doesn't overwrite (fewer tasks, different names) would
@@ -127,25 +188,39 @@ object PackedCorpus {
     // rather than diverging by filesystem (raw-local rename overwrites,
     // HDFS refuses).
     preClean(dir, spark.sessionState.newHadoopConf())
-    parted.foreachPartition { rows: Iterator[Seq[Int]] =>
+    parted.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val task = TaskContext.getPartitionId()
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
         val fs = new Path(dir).getFileSystem(confGetter())
         fs.mkdirs(new Path(dir))
         val base = f"part-$task%05d"
-        val binFinal = new Path(dir, s"$base.bin")
-        val idxFinal = new Path(dir, s"$base.idx")
-        val binStaging = new Path(dir, s".inprogress-$attempt-$base.bin")
-        val idxStaging = new Path(dir, s".inprogress-$attempt-$base.idx")
-        val bin = new DataOutputStream(new java.io.BufferedOutputStream(
-          fs.create(binStaging, true), 1 << 16))
+        def staging(suffix: String) =
+          new Path(dir, s".inprogress-$attempt-$base$suffix")
+        def fin(suffix: String) = new Path(dir, s"$base$suffix")
+        def open(suffix: String) = new DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(staging(suffix), true), 1 << 16))
+        val bin = open(".bin")
+        val maskBin = if (writeMask) open(".mask.bin") else null
+        val segBin = if (writeSeg) open(".seg.bin") else null
         val sizes = new scala.collection.mutable.ArrayBuffer[Int]()
+        val docStarts = new scala.collection.mutable.ArrayBuffer[Long]()
         try {
-          for (ids <- rows) {
+          for (r <- rows) {
+            val ids = if (r.isNullAt(0)) null else r.getSeq[Int](0)
             require(ids != null && ids.nonEmpty,
               "PackedCorpus.write: null/empty token sequence - filter " +
                 "upstream (a zero-length document breaks trainer samplers)")
+            if (realDocIdx) {
+              require(!r.isNullAt(3),
+                "PackedCorpus.write: null doc_start - the doc-start flag " +
+                  "must be present on every row when docStartCol is given")
+              if (r.getBoolean(3)) docStarts += sizes.length.toLong
+              else require(sizes.nonEmpty,
+                "PackedCorpus.write: a shard file's FIRST sequence must " +
+                  "start a document (doc_start=false at sequence 0 means " +
+                  "the packing stream was split mid-document)")
+            } else docStarts += sizes.length.toLong
             sizes += ids.length
             if (code == DtypeUint16) ids.foreach { t =>
               require(t >= 0 && t <= 0xFFFF,
@@ -154,26 +229,39 @@ object PackedCorpus {
               writeShortLE(bin, t)
             }
             else ids.foreach(t => writeIntLE(bin, t))
+            if (writeMask) {
+              val m = if (r.isNullAt(1)) null else r.getSeq[Boolean](1)
+              require(m != null && m.length == ids.length,
+                s"PackedCorpus.write: mask/ids length mismatch (" +
+                  s"${if (m == null) "null" else m.length} vs ${ids.length})")
+              m.foreach(b => maskBin.writeByte(if (b) 1 else 0))
+            }
+            if (writeSeg) {
+              val g = if (r.isNullAt(2)) null else r.getSeq[Int](2)
+              require(g != null && g.length == ids.length,
+                s"PackedCorpus.write: segment/ids length mismatch (" +
+                  s"${if (g == null) "null" else g.length} vs ${ids.length})")
+              g.foreach(writeIntLE(segBin, _))
+            }
           }
-        } finally bin.close()
-        val idx = new DataOutputStream(new java.io.BufferedOutputStream(
-          fs.create(idxStaging, true), 1 << 16))
-        try {
-          idx.write(Magic)
-          writeLongLE(idx, Version)
-          idx.writeByte(code)
-          writeLongLE(idx, sizes.length.toLong)
-          writeLongLE(idx, sizes.length.toLong + 1)
-          sizes.foreach(writeIntLE(idx, _))
-          var ptr = 0L
-          sizes.foreach { s =>
-            writeLongLE(idx, ptr); ptr += tokenBytes(code).toLong * s
-          }
-          (0L to sizes.length.toLong).foreach(writeLongLE(idx, _))
-        } finally idx.close()
-        def commit(staging: Path, fin: Path): Unit =
-          if (!fs.rename(staging, fin)) {
-            if (fs.exists(fin)) {
+        } finally {
+          bin.close()
+          if (maskBin != null) maskBin.close()
+          if (segBin != null) segBin.close()
+        }
+        def sidecar(suffix: String, dcode: Byte): Unit = {
+          val idx = open(suffix)
+          try writeIdx(idx, dcode, sizes.toSeq, docStarts.toSeq)
+          finally idx.close()
+        }
+        sidecar(".idx", code)
+        if (writeMask) sidecar(".mask.idx", DtypeUint8)
+        if (writeSeg) sidecar(".seg.idx", DtypeInt32)
+        def commit(suffix: String): Unit = {
+          val st = staging(suffix)
+          val f = fin(suffix)
+          if (!fs.rename(st, f)) {
+            if (fs.exists(f)) {
               // a lost rename race is benign ONLY for byte-identical
               // speculative attempts of this very job (the layout is
               // deterministic under a fixed partitioning); anything else
@@ -181,19 +269,22 @@ object PackedCorpus {
               // pre-clean missed — must fail loudly, never silently drop
               // this task's bytes. Length equality is the cheap witness:
               // identical attempts write identical byte counts.
-              val stagedLen = fs.getFileStatus(staging).getLen
-              val finalLen = fs.getFileStatus(fin).getLen
+              val stagedLen = fs.getFileStatus(st).getLen
+              val finalLen = fs.getFileStatus(f).getLen
               require(stagedLen == finalLen,
-                s"PackedCorpus: $fin exists with $finalLen bytes but this " +
+                s"PackedCorpus: $f exists with $finalLen bytes but this " +
                   s"attempt staged $stagedLen - refusing to drop a " +
                   "non-identical shard (foreign or stale writer?)")
-              fs.delete(staging, false)
+              fs.delete(st, false)
             }
             else throw new java.io.IOException(
-              s"PackedCorpus: rename $staging -> $fin failed")
+              s"PackedCorpus: rename $st -> $f failed")
           }
-        commit(binStaging, binFinal)
-        commit(idxStaging, idxFinal)
+        }
+        commit(".bin")
+        commit(".idx")
+        if (writeMask) { commit(".mask.bin"); commit(".mask.idx") }
+        if (writeSeg) { commit(".seg.bin"); commit(".seg.idx") }
       }
     }
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -227,11 +318,13 @@ object PackedCorpus {
     v
   }
 
-  /** Parsed `.idx` sidecar: (sizes, pointers, dtype code). Loud on a
-    * foreign magic, version or dtype — a corrupt sidecar must never read
-    * as data.
+  /** Parsed `.idx` sidecar: (sizes, pointers, docStarts, dtype code) —
+    * `docStarts` the document index WITHOUT its terminating n entry, so
+    * `docStarts.contains(i)` ⟺ sequence i begins a document. Loud on a
+    * foreign magic, version, dtype, count, or a non-monotone document
+    * index — a corrupt sidecar must never read as data.
     */
-  private[graft] def parseIdx(in: InputStream): (Array[Int], Array[Long], Int) = {
+  private[graft] def parseIdx(in: InputStream): (Array[Int], Array[Long], Array[Long], Int) = {
     val magic = new Array[Byte](9)
     var got = 0
     while (got < 9) {
@@ -244,8 +337,8 @@ object PackedCorpus {
     val version = readLongLE(in)
     require(version == Version, s"PackedCorpus: unsupported idx version $version")
     val dtype = in.read()
-    require(dtype == DtypeInt32 || dtype == DtypeUint16,
-      s"PackedCorpus: unsupported dtype code $dtype (4 = int32, 8 = uint16)")
+    require(dtype == DtypeUint8 || dtype == DtypeInt32 || dtype == DtypeUint16,
+      s"PackedCorpus: unsupported dtype code $dtype (1 = uint8, 4 = int32, 8 = uint16)")
     val nSeqLong = readLongLE(in)
     // bounds BEFORE the narrowing cast: a wrapped count would read the
     // wrong sizes/pointers region as data — the exact silent-misparse the
@@ -253,14 +346,16 @@ object PackedCorpus {
     require(nSeqLong >= 0L && nSeqLong <= Int.MaxValue.toLong,
       s"PackedCorpus: sequence count $nSeqLong outside [0, 2^31)")
     val nSeq = nSeqLong.toInt
-    val nDoc = readLongLE(in) // read + discard: each sequence is one doc
-    require(nDoc >= 0L && nDoc <= Int.MaxValue.toLong,
-      s"PackedCorpus: document count $nDoc outside [0, 2^31)")
-    require(nDoc == nSeq + 1L,
-      s"PackedCorpus: unexpected document count $nDoc for $nSeq sequences")
+    val nDoc = readLongLE(in)
+    require(nDoc >= 1L && nDoc <= nSeq + 1L,
+      s"PackedCorpus: document count $nDoc outside [1, $nSeq + 1]")
     val sizes = Array.fill(nSeq)(readIntLE(in))
     val pointers = Array.fill(nSeq)(readLongLE(in))
-    (sizes, pointers, dtype)
+    val docIdx = Array.fill(nDoc.toInt)(readLongLE(in))
+    require(docIdx.headOption.contains(0L) && docIdx.last == nSeq.toLong &&
+        docIdx.iterator.sliding(2).withPartial(false).forall(w => w(0) < w(1)),
+      s"PackedCorpus: document index must ascend 0..$nSeq")
+    (sizes, pointers, docIdx.dropRight(1), dtype)
   }
 
   private[sources] def readShortLE(in: InputStream): Int = {
@@ -274,7 +369,7 @@ object PackedCorpus {
     * its byte offset in the `.bin`. A thin wrapper over the
     * `packedcorpus` DataSource V2 (ONE reading path — the roundtrip
     * specs, the oracle rows and any user scan all exercise the same
-    * partition reader), minus the `n_tokens` convenience column.
+    * partition reader), minus the convenience columns.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("packedcorpus").load(dir)
@@ -284,11 +379,18 @@ object PackedCorpus {
 /** `spark.read.format("packedcorpus")` — the DataSource V2 face of the
   * shard layout, for auditing/accounting/decontaminating packed corpora
   * at scale: one InputPartition per `.bin`/`.idx` pair (trainer corpora
-  * ship thousands of shard files), schema
-  * `(file, seq_ix, ptr, n_tokens, input_ids)`, and COLUMN PRUNING that
-  * never opens the `.bin` at all when `input_ids` is pruned away — a
-  * token-accounting pass over a 100 TB shard corpus reads only the
-  * 12-bytes-per-sequence sidecars. Both dtypes (int32/uint16) read
+  * ship thousands of shard files), schema `(file, seq_ix, ptr, n_tokens,
+  * doc_start, input_ids, loss_mask, segment_ids)`, and COLUMN PRUNING
+  * that never opens a data file it doesn't need — a token-accounting
+  * pass over a 100 TB shard corpus reads only the sidecars; the `.bin`
+  * opens only when `input_ids` is required, the `.mask.bin`/`.seg.bin`
+  * channels only when `loss_mask`/`segment_ids` are (null columns when a
+  * corpus was exported without the channel). FILTER PUSHDOWN: `file`
+  * equality/IN prunes whole shard pairs at planning (untargeted shards
+  * never open — the "read one shard of thousands" audit is one pair of
+  * file opens), and `n_tokens` range/equality filters evaluate on the
+  * sidecar entry BEFORE any data bytes are read (positioned reads skip
+  * filtered-out sequences entirely). Both dtypes (int32/uint16) read
   * transparently; `_SUCCESS`/dot files are skipped like every source
   * here.
   */
@@ -309,8 +411,19 @@ object PackedCorpusSource {
     StructField("seq_ix", LongType),      // ordinal within its shard
     StructField("ptr", LongType),         // byte offset in the .bin
     StructField("n_tokens", IntegerType), // sidecar size entry
+    StructField("doc_start", BooleanType), // document index: begins a doc
     StructField("input_ids", ArrayType(IntegerType, containsNull = false)),
+    // side channels — null when the corpus was exported without them
+    StructField("loss_mask", ArrayType(BooleanType, containsNull = false)),
+    StructField("segment_ids", ArrayType(IntegerType, containsNull = false)),
   ))
+
+  /** The channel sidecars ride the same `.idx` suffix; only the TOKEN
+    * sidecar defines a shard pair.
+    */
+  private[sources] def isTokenIdx(name: String): Boolean =
+    name.endsWith(".idx") && !name.endsWith(".mask.idx") &&
+      !name.endsWith(".seg.idx")
 }
 
 class PackedCorpusTable(paths: Seq[String]) extends Table with SupportsRead {
@@ -322,15 +435,65 @@ class PackedCorpusTable(paths: Seq[String]) extends Table with SupportsRead {
     new PackedCorpusScanBuilder(paths)
 }
 
+/** Pushdown surface: `file` equality/IN (shard-pair pruning at planning)
+  * and `n_tokens` =/&lt;/&le;/&gt;/&ge; (sidecar-entry evaluation before
+  * any data read). Both are evaluated EXACTLY by the source, so accepted
+  * filters do not re-evaluate above the scan; everything else stays
+  * residual.
+  */
 class PackedCorpusScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PackedCorpusSource.schema
+  private var accepted: Array[Filter] = Array.empty
+  private var fileSet: Option[Set[String]] = None
+  private var minTok: Int = Int.MinValue
+  private var maxTok: Int = Int.MaxValue
+
+  private def intersect(vs: Set[String]): Unit =
+    fileSet = Some(fileSet.map(_.intersect(vs)).getOrElse(vs))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case EqualTo("file", _: String) => true
+      case In("file", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case IsNotNull("file") | IsNotNull("n_tokens") => true // never null
+      case EqualTo("n_tokens", _: Number) => true
+      case GreaterThan("n_tokens", _: Number) => true
+      case GreaterThanOrEqual("n_tokens", _: Number) => true
+      case LessThan("n_tokens", _: Number) => true
+      case LessThanOrEqual("n_tokens", _: Number) => true
+      case _ => false
+    }
+    sup.foreach {
+      case EqualTo("file", v: String) => intersect(Set(v))
+      case In("file", vs) => intersect(vs.map(_.asInstanceOf[String]).toSet)
+      case EqualTo("n_tokens", v: Number) =>
+        minTok = math.max(minTok, v.intValue)
+        maxTok = math.min(maxTok, v.intValue)
+      case GreaterThan("n_tokens", v: Number) =>
+        minTok = math.max(minTok, v.intValue + 1)
+      case GreaterThanOrEqual("n_tokens", v: Number) =>
+        minTok = math.max(minTok, v.intValue)
+      case LessThan("n_tokens", v: Number) =>
+        maxTok = math.min(maxTok, v.intValue - 1)
+      case LessThanOrEqual("n_tokens", v: Number) =>
+        maxTok = math.min(maxTok, v.intValue)
+      case _ => ()
+    }
+    accepted = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PackedCorpusScan(paths, required)
+  override def build(): Scan =
+    new PackedCorpusScan(paths, required, fileSet, minTok, maxTok)
 }
 
-class PackedCorpusScan(paths: Seq[String], required: StructType)
+class PackedCorpusScan(paths: Seq[String], required: StructType,
+    fileSet: Option[Set[String]], minTok: Int, maxTok: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -338,84 +501,176 @@ class PackedCorpusScan(paths: Seq[String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     WarcSource.expand(paths, conf, "packedcorpus")
-      .filter(_.endsWith(".idx"))
+      .filter(f => PackedCorpusSource.isTokenIdx(new Path(f).getName))
+      .filter(f => fileSet.forall(_.contains(
+        new Path(f).getName.stripSuffix(".idx") + ".bin")))
       .map(f => PackedCorpusInputPartition(f)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val confGetter = GraftShims.serializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    PackedCorpusReaderFactory(required.fieldNames, confGetter)
+    PackedCorpusReaderFactory(required.fieldNames, minTok, maxTok, confGetter)
   }
+
+  override def description(): String =
+    s"packedcorpus files=${fileSet.map(_.mkString(",")).getOrElse("*")} " +
+      s"n_tokens=[${if (minTok == Int.MinValue) "" else minTok}, " +
+      s"${if (maxTok == Int.MaxValue) "" else maxTok}]"
 }
 
 case class PackedCorpusInputPartition(idxFile: String) extends InputPartition
 
 case class PackedCorpusReaderFactory(fields: Array[String],
+    minTok: Int, maxTok: Int,
     confGetter: () => Configuration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PackedCorpusReader(
       partition.asInstanceOf[PackedCorpusInputPartition].idxFile,
-      fields, confGetter())
+      fields, minTok, maxTok, confGetter())
 }
 
-/** One row per sequence of one shard pair. The `.bin` opens ONLY when
-  * `input_ids` is required — sidecar-only scans (counts, token totals,
-  * pointer audits) touch 12 B/sequence of metadata and zero token bytes.
+/** One row per sequence of one shard pair. Data files open LAZILY and
+  * only when their column is required — sidecar-only scans (counts,
+  * token totals, pointer audits) touch ~12 B/sequence of metadata and
+  * zero data bytes; a pushed `n_tokens` filter that matches nothing
+  * never opens a data file at all. Decoding is BULK: one positioned
+  * `readFully` of the sequence's byte extent into a reused buffer, then
+  * a `ByteBuffer` little-endian bulk get — no per-token virtual calls,
+  * so a full-corpus back-scan runs at IO speed, not decode speed.
   */
 class PackedCorpusReader(idxFile: String, fields: Array[String],
+    minTok: Int, maxTok: Int,
     conf: Configuration) extends PartitionReader[InternalRow] {
   private val fs = new Path(idxFile).getFileSystem(conf)
-  private val (sizes, pointers, dtype) = {
-    val in = new java.io.BufferedInputStream(fs.open(new Path(idxFile)), 1 << 16)
+  private def parse(p: Path): (Array[Int], Array[Long], Array[Long], Int) = {
+    val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
     try PackedCorpus.parseIdx(in) finally in.close()
   }
-  private val needIds = fields.contains("input_ids")
-  private val binPath = new Path(idxFile.stripSuffix(".idx") + ".bin")
-  private val bin =
-    if (needIds) new java.io.BufferedInputStream(fs.open(binPath), 1 << 16)
-    else null
+  private val (sizes, pointers, docStarts, dtype) = parse(new Path(idxFile))
+  private val docStartSet: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long](docStarts.length * 2)
+    docStarts.foreach(s.add)
+    s
+  }
+  private val stem = idxFile.stripSuffix(".idx")
+  private val binPath = new Path(stem + ".bin")
   private val fileStr = UTF8String.fromString(binPath.getName)
+
+  /** One side channel: its own sidecar (sizes must equal the token
+    * channel's — a torn export must fail, never misalign every mask) and
+    * a lazily-opened data stream read by POSITION, so sequences skipped
+    * by a pushed filter cost nothing.
+    */
+  private class Channel(suffix: String, expectCode: Int) {
+    private val idxPath = new Path(stem + suffix + ".idx")
+    val present: Boolean = fs.exists(idxPath)
+    private lazy val (chSizes, chPointers, _, chCode) = parse(idxPath)
+    private var in: FSDataInputStream = _
+    private var buf: Array[Byte] = Array.emptyByteArray
+    def readBytes(ix: Int): (Array[Byte], Int) = {
+      if (in == null) {
+        require(chCode == expectCode,
+          s"PackedCorpus: channel $suffix dtype $chCode (expected $expectCode)")
+        require(chSizes.length == sizes.length,
+          s"PackedCorpus: channel $suffix has ${chSizes.length} sequences " +
+            s"vs ${sizes.length} token sequences in $binPath")
+        in = fs.open(new Path(stem + suffix + ".bin"))
+      }
+      require(chSizes(ix) == sizes(ix),
+        s"PackedCorpus: channel $suffix sequence $ix has ${chSizes(ix)} " +
+          s"entries vs ${sizes(ix)} tokens in $binPath")
+      val len = chSizes(ix) * PackedCorpus.tokenBytes(expectCode)
+      if (buf.length < len) buf = new Array[Byte](len)
+      in.readFully(chPointers(ix), buf, 0, len)
+      (buf, len)
+    }
+    def close(): Unit = if (in != null) in.close()
+  }
+
+  private val needIds = fields.contains("input_ids")
+  private val needMask = fields.contains("loss_mask")
+  private val needSeg = fields.contains("segment_ids")
+  private var bin: FSDataInputStream = _
+  private var binBuf: Array[Byte] = Array.emptyByteArray
+  private val mask = new Channel(".mask", PackedCorpus.DtypeUint8)
+  private val seg = new Channel(".seg", PackedCorpus.DtypeInt32)
   private var ix = -1
   private var pos = 0L
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
-    ix += 1
-    if (ix >= sizes.length) return false
+  private def readIds(ix: Int): GenericArrayData = {
+    if (bin == null) bin = fs.open(binPath)
     val n = sizes(ix)
-    // the forward stream only reads the right bytes if pointers are the
-    // exact prefix sums — a corrupt sidecar must fail, never shift every
-    // downstream sequence silently
-    require(pointers(ix) == pos,
-      s"PackedCorpus: non-contiguous pointer ${pointers(ix)} " +
-        s"(expected $pos) in $binPath")
-    pos += PackedCorpus.tokenBytes(dtype).toLong * n
-    val ids: GenericArrayData =
-      if (!needIds) null
-      else {
-        val arr = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          arr(i) = if (dtype == 8) PackedCorpus.readShortLE(bin)
-            else PackedCorpus.readIntLE(bin)
-          i += 1
-        }
-        new GenericArrayData(arr)
-      }
-    val values: Array[Any] = fields.map {
-      case "file"      => fileStr
-      case "seq_ix"    => ix.toLong
-      case "ptr"       => pointers(ix)
-      case "n_tokens"  => n
-      case "input_ids" => ids
-      case other => throw new IllegalArgumentException(
-        s"packedcorpus: unknown field $other")
+    val width = PackedCorpus.tokenBytes(dtype)
+    val len = n * width
+    if (binBuf.length < len) binBuf = new Array[Byte](len)
+    bin.readFully(pointers(ix), binBuf, 0, len)
+    val bb = java.nio.ByteBuffer.wrap(binBuf, 0, len)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val arr = new Array[Int](n)
+    if (dtype == PackedCorpus.DtypeUint16) {
+      val sb = bb.asShortBuffer()
+      var i = 0
+      while (i < n) { arr(i) = sb.get(i) & 0xFFFF; i += 1 }
+    } else {
+      bb.asIntBuffer().get(arr)
     }
-    row = InternalRow.fromSeq(values.toIndexedSeq)
-    true
+    new GenericArrayData(arr)
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      ix += 1
+      if (ix >= sizes.length) return false
+      val n = sizes(ix)
+      // pointers must be the exact prefix sums — a corrupt sidecar must
+      // fail, never shift every downstream sequence silently
+      require(pointers(ix) == pos,
+        s"PackedCorpus: non-contiguous pointer ${pointers(ix)} " +
+          s"(expected $pos) in $binPath")
+      pos += PackedCorpus.tokenBytes(dtype).toLong * n
+      if (n >= minTok && n <= maxTok) {
+        val values: Array[Any] = fields.map {
+          case "file"      => fileStr
+          case "seq_ix"    => ix.toLong
+          case "ptr"       => pointers(ix)
+          case "n_tokens"  => n
+          case "doc_start" => docStartSet.contains(ix.toLong)
+          case "input_ids" => if (needIds) readIds(ix) else null
+          case "loss_mask" =>
+            if (!needMask || !mask.present) null
+            else {
+              val (b, len) = mask.readBytes(ix)
+              val arr = new Array[Boolean](len)
+              var i = 0
+              while (i < len) { arr(i) = b(i) != 0; i += 1 }
+              new GenericArrayData(arr)
+            }
+          case "segment_ids" =>
+            if (!needSeg || !seg.present) null
+            else {
+              val (b, len) = seg.readBytes(ix)
+              val arr = new Array[Int](len / 4)
+              java.nio.ByteBuffer.wrap(b, 0, len)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                .asIntBuffer().get(arr)
+              new GenericArrayData(arr)
+            }
+          case other => throw new IllegalArgumentException(
+            s"packedcorpus: unknown field $other")
+        }
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = if (bin != null) bin.close()
+  override def close(): Unit = {
+    if (bin != null) bin.close()
+    mask.close()
+    seg.close()
+  }
 }

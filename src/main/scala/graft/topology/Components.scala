@@ -1499,6 +1499,13 @@ object BuiltinComponents {
     * gives every micro-batch its own complete, idempotent, _SUCCESS-
     * marked shard directory: the month-over-month crawl shape, where
     * each increment lands as ready-to-mount trainer shards.
+    *
+    * The per-batch trade, quantified (PackedCorpusSpec pins it): each
+    * batch's LAST sequence per pack shard is underfilled, so pad waste
+    * scales like PackShards · PackBudget / batch-tokens — size the input
+    * trigger so each micro-batch carries many times PackShards ×
+    * PackBudget tokens and the waste vanishes; shrink batches toward one
+    * sequence per shard and the waste approaches the whole budget.
     */
   val packedShardsOutput: OutputDesc = OutputDesc(
     "PackedShards",
@@ -1521,7 +1528,13 @@ object BuiltinComponents {
         default = Some("int32")),
       ConfigKey("PackBudget", "when > 0, greedy no-split pack the ids " +
         "into fixed-budget training rows before writing (PackRows " +
-        "semantics, applied per batch — the streaming-safe form)",
+        "semantics, applied per batch — the streaming-safe form). " +
+        "SIZING RULE for daemons: each micro-batch packs independently, " +
+        "so every batch leaves up to PackShards underfilled final " +
+        "sequences — size the input trigger (e.g. MaxFilesPerTrigger) so " +
+        "each batch carries many times PackShards x PackBudget tokens, " +
+        "or the pad fraction (Pack.packingStats) is paid in accelerator " +
+        "hours",
         default = Some(0L)),
       ConfigKey("PackOrderField", "numeric field giving the pack order " +
         "(required when PackBudget > 0)"),
@@ -1533,7 +1546,15 @@ object BuiltinComponents {
         "(PackBudget > 0)"),
       ConfigKey("BosId", "optional begin-of-document id, loss-masked " +
         "(PackBudget > 0)"),
-      ConfigKey("SepId", "optional SFT turn-separator id (PackBudget > 0)")),
+      ConfigKey("SepId", "optional SFT turn-separator id (PackBudget > 0)"),
+      ConfigKey("MaskField", "optional field holding the comma-joined " +
+        "per-token loss mask (0/1 or true/false, aligned with IdsField). " +
+        "PackBudget > 0: feeds the packer instead of the all-true " +
+        "default. PackBudget = 0: exported verbatim as the .mask channel " +
+        "(pre-packed rows — PackRows emits 'loss_mask')."),
+      ConfigKey("SegField", "optional field holding comma-joined " +
+        "segment ids, exported as the .seg channel when PackBudget = 0 " +
+        "(PackRows emits 'segment_ids')")),
     raw = false,
     (ctx, cfg, df) => {
       val idsF = cfg.str("IdsField", "input_ids")
@@ -1543,6 +1564,17 @@ object BuiltinComponents {
       val observed = df.observe(obs, count(lit(1)).as("rows"))
       val budget = cfg.int("PackBudget", 0L).toInt
       val path = cfg.str("Path")
+      // channel fields default to the PackRows emission names when the
+      // projected record carries them — the SFT layout the packer built
+      // must survive export, never be re-synthesized as all-true
+      def fieldOpt(key: String, default: String): Option[String] = {
+        val f = cfg.strOpt(key).getOrElse(default)
+        if (cfg.has(key)) {
+          require(df.columns.contains(f), s"PackedShards: unknown $key '$f'")
+          Some(f)
+        } else if (df.columns.contains(f)) Some(f)
+        else None
+      }
       if (budget > 0) {
         val ordF = cfg.str("PackOrderField")
         require(df.columns.contains(ordF),
@@ -1551,31 +1583,53 @@ object BuiltinComponents {
           if (cfg.has(key)) Some(cfg.int(key).toInt) else None
         val toks = transform(
           filter(split(col(idsF), ","), x => x =!= ""), _.cast("int"))
+        // a real per-token mask rides MaskField; without one every token
+        // trains (the pretraining default) — the PACKER still produces
+        // the true row-level mask (pad/BOS/separator positions false)
+        val inMask = fieldOpt("MaskField", "__none__")
+          .map(f => transform(
+            filter(split(col(f), ","), x => x =!= ""), _.cast("boolean")))
+          .getOrElse(transform(toks, _ => lit(true)))
         val ord = col(ordF).cast("long")
         val shard = pmod(pmod(ord, lit(2147483647L)) * lit(2654435761L),
           lit(cfg.int("PackShards", 4L)))
         val packed = graft.llm.Pack.packTokensGreedy(observed, ord, toks,
-          transform(toks, _ => lit(true)), budget, shard,
+          inMask, budget, shard,
           cfg.int("PadId", -2L).toInt, sepId = idOpt("SepId"),
           eosId = idOpt("EosId"), bosId = idOpt("BosId"))
         graft.sources.PackedCorpus.write(packed, path,
           idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
           numTasks = cfg.int("NumTasks", 0L).toInt,
-          dtype = cfg.str("Dtype", "int32"))
+          dtype = cfg.str("Dtype", "int32"),
+          maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+          docStartCol = Some("doc_start"))
       } else {
         val ordFields = cfg.strList("OrderFields", Seq("shard", "seq_id"))
         ordFields.foreach(f => require(df.columns.contains(f),
           s"PackedShards: unknown OrderFields entry '$f'"))
-        // the record model carries strings: ids split to int arrays,
-        // order fields cast numeric so "10" sorts after "2"
+        val maskF = fieldOpt("MaskField", "loss_mask")
+        val segF = fieldOpt("SegField", "segment_ids")
+        // the record model carries strings: ids/channels split to typed
+        // arrays, order fields cast numeric so "10" sorts after "2"
+        def splitArr(f: String, t: String) = transform(
+          filter(split(col(f), ","), x => x =!= ""), _.cast(t)).as(f)
+        val cols = col(idsF) +:
+          (maskF.map(splitArr(_, "boolean")).toSeq ++
+            segF.map(splitArr(_, "int")).toSeq ++
+            (if (df.columns.contains("doc_start"))
+               Seq(col("doc_start").cast("boolean").as("doc_start"))
+             else Seq.empty) ++
+            ordFields.map(f => col(f).cast("long").as(f)))
         val typed = observed
           .withColumn(idsF, transform(
             filter(split(col(idsF), ","), x => x =!= ""), _.cast("int")))
-          .select((col(idsF) +: ordFields.map(f =>
-            col(f).cast("long").as(f))): _*)
+          .select(cols: _*)
         graft.sources.PackedCorpus.write(typed, path, idsCol = idsF,
           orderCols = ordFields, numTasks = cfg.int("NumTasks", 0L).toInt,
-          dtype = cfg.str("Dtype", "int32"))
+          dtype = cfg.str("Dtype", "int32"),
+          maskCol = maskF, segCol = segF,
+          docStartCol =
+            if (df.columns.contains("doc_start")) Some("doc_start") else None)
       }
       OutputResult(Seq(path), obs.get("rows").asInstanceOf[Long])
     })

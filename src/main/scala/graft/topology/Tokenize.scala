@@ -211,7 +211,7 @@ object Tokenize {
   val packRows: FilterDesc = FilterDesc("PackRows",
     "Packs tokenized records into fixed-budget training rows (greedy " +
       "no-split); emits shard, seq_id, input_ids, segment_ids, loss_mask, " +
-      "n_real.",
+      "n_real, doc_start.",
     packKeys,
     (ctx, cfg) => {
       cfg.validate(packKeys)
@@ -237,7 +237,10 @@ object Tokenize {
               .as("segment_ids"),
             array_join(transform(col("loss_mask"),
               m => m.cast("int").cast("string")), ",").as("loss_mask"),
-            col("n_real"))
+            col("n_real"),
+            // no-split packing: every sequence starts a document — the
+            // doc-index bit PackedShards forwards to the .idx sidecar
+            lit("1").as("doc_start"))
       }
     })
 }

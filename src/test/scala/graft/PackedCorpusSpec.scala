@@ -122,7 +122,12 @@ class PackedCorpusSpec extends SparkSpec {
     PackedCorpus.write(fixture(), dir, numTasks = 2)
     val sdf = spark.read.format("packedcorpus").load(dir)
     assert(sdf.schema.fieldNames.toSeq ==
-      Seq("file", "seq_ix", "ptr", "n_tokens", "input_ids"))
+      Seq("file", "seq_ix", "ptr", "n_tokens", "doc_start", "input_ids",
+        "loss_mask", "segment_ids"))
+    // a mask-less corpus reads null channels and identity doc starts
+    assert(sdf.select("loss_mask", "segment_ids").collect()
+      .forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(sdf.select("doc_start").collect().forall(_.getBoolean(0)))
     val viaSource = sdf.select("file", "seq_ix", "ptr", "input_ids")
       .orderBy("file", "seq_ix").collect().map(_.toSeq).toSeq
     val viaReader = PackedCorpus.read(spark, dir)
@@ -263,6 +268,202 @@ class PackedCorpusSpec extends SparkSpec {
     // batch 0's bytes are untouched by the restart
     val again = PackedCorpus.read(spark, s"$dir/out/batch=0").collect()
     assert(again.length == 1)
+  }
+
+  test("mask + segment channels: parallel .mask/.seg MMIDIDX pairs " +
+      "roundtrip through the DSv2, each prunable independently of the " +
+      "tokens (proven physically by deleting the other channels' bins)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0L, Seq(1, 2, 3), Seq(true, false, true), Seq(0, 0, 1), true),
+      (0L, 1L, Seq(4, 5), Seq(false, true), Seq(0, 0), false),
+      (1L, 0L, Seq(6), Seq(true), Seq(0), true))
+      .toDF("shard", "seq_id", "input_ids", "loss_mask", "segment_ids",
+        "doc_start")
+    val dir = tmp("packedch") + "/shards"
+    PackedCorpus.write(df, dir, numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+      docStartCol = Some("doc_start"))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // drop local-FS .crc shadows
+    assert(names == Set("part-00000.bin", "part-00000.idx",
+      "part-00000.mask.bin", "part-00000.mask.idx",
+      "part-00000.seg.bin", "part-00000.seg.idx", "_SUCCESS"))
+    // the mask .bin is the raw uint8 stream; its sidecar dtype code is 1
+    assert(Files.readAllBytes(Paths.get(dir, "part-00000.mask.bin")).toSeq ==
+      Seq[Byte](1, 0, 1, 0, 1, 1))
+    assert(Files.readAllBytes(Paths.get(dir, "part-00000.mask.idx"))(17) == 1)
+    val back = spark.read.format("packedcorpus").load(dir)
+      .orderBy("seq_ix")
+      .select("input_ids", "loss_mask", "segment_ids", "doc_start").collect()
+    assert(back.map(_.getSeq[Int](0)).toSeq ==
+      Seq(Seq(1, 2, 3), Seq(4, 5), Seq(6)))
+    assert(back.map(_.getSeq[Boolean](1)).toSeq ==
+      Seq(Seq(true, false, true), Seq(false, true), Seq(true)))
+    assert(back.map(_.getSeq[Int](2)).toSeq == Seq(Seq(0, 0, 1), Seq(0, 0), Seq(0)))
+    assert(back.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
+    // channel independence, physically: token + seg bins GONE, the mask
+    // still reads; then mask + seg gone, tokens still read
+    val d2 = tmp("packedch2") + "/shards"
+    PackedCorpus.write(df, d2, numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"))
+    Files.delete(Paths.get(d2, "part-00000.bin"))
+    Files.delete(Paths.get(d2, "part-00000.seg.bin"))
+    assert(spark.read.format("packedcorpus").load(d2)
+      .select("loss_mask").collect().map(_.getSeq[Boolean](0)).toSeq
+      .map(_.count(identity)).sum == 4)
+    val d3 = tmp("packedch3") + "/shards"
+    PackedCorpus.write(df, d3, numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"))
+    Files.delete(Paths.get(d3, "part-00000.mask.bin"))
+    Files.delete(Paths.get(d3, "part-00000.seg.bin"))
+    assert(spark.read.format("packedcorpus").load(d3)
+      .agg(sum(size(col("input_ids")))).collect()(0).getLong(0) == 6L)
+    // a misaligned mask fails loudly at write
+    val bad = Seq((0L, 0L, Seq(1, 2), Seq(true)))
+      .toDF("shard", "seq_id", "input_ids", "loss_mask")
+    val e = intercept[Exception](PackedCorpus.write(bad,
+      tmp("packedchbad") + "/s", maskCol = Some("loss_mask")))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("mask/ids length mismatch")))
+  }
+
+  test("document index: packTokens doc_start flags write the REAL " +
+      "Megatron doc boundaries (identity only when every sequence starts " +
+      "a doc); a doc_start=false first sequence fails loudly") {
+    import spark.implicits._
+    // one shard, docs of 3+5+2 tokens, budget 4: sequences are
+    // [d0 d0 d0 d1], [d1 d1 d1 d1], [d2 d2 pad pad] — doc starts at
+    // sequences 0 and 2 only (sequence 1 continues d1)
+    val docs = Seq((0L, Seq(1, 1, 1)), (1L, Seq(2, 2, 2, 2, 2)),
+      (2L, Seq(3, 3))).toDF("doc_id", "toks")
+    val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), col("toks"),
+      transform(col("toks"), _ => lit(true)), 4, lit(0L), padId = -1)
+    assert(packed.orderBy("seq_id").select("doc_start").collect()
+      .map(_.getBoolean(0)).toSeq == Seq(true, false, true))
+    val dir = tmp("packeddoc") + "/shards"
+    PackedCorpus.write(packed, dir, numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+      docStartCol = Some("doc_start"))
+    val idx = java.nio.ByteBuffer.wrap(
+        Files.readAllBytes(Paths.get(dir, "part-00000.idx")))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idx.position(9 + 8 + 1) // magic, version, dtype
+    assert(idx.getLong == 3L) // sequences
+    assert(idx.getLong == 3L) // documents: starts {0, 2} + terminator
+    idx.position(idx.position() + 3 * 4 + 3 * 8) // skip sizes + pointers
+    assert(Seq.fill(3)(idx.getLong) == Seq(0L, 2L, 3L))
+    assert(!idx.hasRemaining)
+    // the DSv2 surfaces the same bits back
+    assert(spark.read.format("packedcorpus").load(dir)
+      .orderBy("seq_ix").select("doc_start").collect()
+      .map(_.getBoolean(0)).toSeq == Seq(true, false, true))
+    // a shard file whose first sequence continues a document is a split
+    // packing stream — loud, never a silently wrong doc index
+    val torn = Seq((0L, 0L, Seq(9), false))
+      .toDF("shard", "seq_id", "input_ids", "doc_start")
+    val e = intercept[Exception](PackedCorpus.write(torn,
+      tmp("packedtorn") + "/s", docStartCol = Some("doc_start")))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("FIRST sequence must start a document")))
+  }
+
+  test("filter pushdown: file equality prunes untargeted shard pairs at " +
+      "planning (their files never open — proven by deleting them); an " +
+      "n_tokens filter evaluates on the sidecar before any data read") {
+    import spark.implicits._
+    val dir = tmp("packedpush") + "/shards"
+    // numTasks=3 with shard values 0/1/2 → three part files
+    val df = (0 until 3).map(i => (i.toLong, 0L, Seq.fill(i + 1)(i)))
+      .toDF("shard", "seq_id", "input_ids")
+    PackedCorpus.write(df, dir, numTasks = 3)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".bin")).sorted
+    // hash partitioning may co-locate shard keys; ≥2 files is what the
+    // pruning proof needs
+    assert(files.length >= 2, files.toSeq.toString)
+    // n_tokens range on the intact corpus first: exactly the 1-token row
+    assert(spark.read.format("packedcorpus").load(dir)
+      .filter(col("n_tokens") >= 1 && col("n_tokens") <= 1)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq ==
+      Seq(Seq(0)))
+    val keep = spark.read.format("packedcorpus").load(dir)
+      .filter(col("file") === files.head).select("file", "input_ids")
+      .collect()
+    assert(keep.nonEmpty && keep.forall(_.getString(0) == files.head))
+    // physical proof: delete every OTHER pair — the pushed filter plans
+    // only the targeted shard, so the scan still succeeds
+    files.tail.foreach { f =>
+      Files.delete(Paths.get(dir, f))
+      Files.delete(Paths.get(dir, f.stripSuffix(".bin") + ".idx"))
+    }
+    val again = spark.read.format("packedcorpus").load(dir)
+      .filter(col("file") === files.head).select("input_ids").collect()
+    assert(again.map(_.getSeq[Int](0)).toSeq == keep.map(_.getSeq[Int](1)).toSeq)
+    // n_tokens range: sidecar-only evaluation — with the .bin GONE, a
+    // filter matching nothing completes even though input_ids is required
+    val d2 = tmp("packedpush2") + "/shards"
+    PackedCorpus.write(Seq((0L, 0L, Seq(1, 2, 3)))
+      .toDF("shard", "seq_id", "input_ids"), d2, numTasks = 1)
+    Files.delete(Paths.get(d2, "part-00000.bin"))
+    assert(spark.read.format("packedcorpus").load(d2)
+      .filter(col("n_tokens") > 100).select("input_ids").count() == 0L)
+  }
+
+  test("re-export into a non-empty dir sweeps every stale artifact: a " +
+      "narrower task layout leaves no orphan shard pair behind") {
+    import spark.implicits._
+    val dir = tmp("packedresweep") + "/shards"
+    val wide = (0 until 8).map(i => (i.toLong, 0L, Seq(i)))
+      .toDF("shard", "seq_id", "input_ids")
+    PackedCorpus.write(wide, dir, numTasks = 8)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".bin")) >= 2)
+    // re-export DIFFERENT data at width 1: every stale pair must go
+    PackedCorpus.write(Seq((0L, 0L, Seq(42))).toDF("shard", "seq_id", "input_ids"),
+      dir, numTasks = 1)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // drop local-FS .crc shadows
+    assert(names == Set("part-00000.bin", "part-00000.idx", "_SUCCESS"))
+    assert(PackedCorpus.read(spark, dir).select("input_ids")
+      .collect().map(_.getSeq[Int](0)).toSeq == Seq(Seq(42)))
+  }
+
+  test("daemon pad-waste bound: per-batch packing wastes at most ~shards x " +
+      "budget tokens per micro-batch, so batches sized >> shards*budget " +
+      "keep the pad fraction small and tiny batches pay the whole budget") {
+    import spark.implicits._
+    val budget = 64
+    val shards = 2
+    def padBp(nDocs: Int): Long = {
+      // the daemon path packs each micro-batch independently: simulate
+      // one batch of docs (sizes 3..7 words) through the same
+      // packTokensGreedy the sink runs, then read the report
+      val docs = (0 until nDocs).map(i => (i.toLong, Seq.fill(3 + i % 5)(1)))
+        .toDF("doc_id", "toks")
+      val shard = pmod(col("doc_id"), lit(shards))
+      val packed = graft.llm.Pack.packTokensGreedy(docs, col("doc_id"),
+        col("toks"), transform(col("toks"), _ => lit(true)), budget, shard,
+        padId = -2)
+      val st = graft.llm.Pack.packingStats(packed, budget)
+        .agg(sum("n_pad").as("p"), sum(col("n_seqs") * budget).as("t"))
+        .collect()(0)
+      st.getLong(0) * 10000L / st.getLong(1)
+    }
+    // analytic bound for docs of ≤ 7 tokens: every non-final sequence
+    // has fill > budget − 7 (else the next doc would fit), and each
+    // shard's final sequence wastes < budget — so waste_bp ≤
+    // 10000·(6/budget + shards·budget/total). A large batch sits well
+    // under 15%; a batch of ~one doc per shard pays most of the budget.
+    val large = padBp(600) // ≫ shards·budget tokens
+    assert(large < 1500L, s"large-batch pad $large bp")
+    val tiny = padBp(2) // one ~5-token doc per shard
+    assert(tiny > 8000L, s"tiny-batch pad $tiny bp")
+    assert(large < tiny / 5, s"sizing rule inverted: $large vs $tiny")
   }
 
   test("PackedShards TOML output: PackRows rows land as readable shards") {
