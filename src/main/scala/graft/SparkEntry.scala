@@ -1875,9 +1875,30 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Shared CTE prefix for the exact-verified near-dup oracles: distinct
-    * word-3-shingle sets per doc, exact Jaccard over every idA < idB pair —
-    * the ground truth the LSH-candidates-then-verify queries must equal
-    * when candidate recall at the threshold is total.
+    * word-3-shingle sets per doc, exact Jaccard over candidate idA < idB
+    * pairs — COMPLETE for every pair at jac ≥ 0.7, which is the only
+    * region any consumer reads (they all filter `jac >= 0.7`).
+    *
+    * Break-chain (the r16 gate's long pole): the naive all-pairs form
+    * (`sh a JOIN sh b ON a.doc_id < b.doc_id`) burned ~47 min PER ROW at
+    * sf0.1 on the three closure oracles. This form generates candidates
+    * by PREFIX FILTERING (Chaudhuri/Ganti/Kaushik SSJoin 2006, Bayardo
+    * et al. "Scaling Up All Pairs Similarity Search" WWW 2007 — public
+    * knowledge): order each doc's shingles by a GLOBAL total order
+    * (ascending document frequency, ties by value), keep the first
+    * |g| − ⌈0.7·|g|⌉ + 1 as its prefix, and join docs sharing a prefix
+    * shingle. PROOF of completeness at threshold t = 7/10: jac ≥ t ⟹
+    * |a∩b| ≥ t·|a∪b| ≥ t·|a| ⟹ |a∩b| ≥ ⌈t·|a|⌉ (integer). If no common
+    * shingle sat in a's prefix, all of them would sit in a's last
+    * ⌈t·|a|⌉ − 1 positions — fewer than |a∩b|, contradiction; so each
+    * prefix holds a common shingle, and the GLOBALLY-MINIMAL common
+    * shingle c must be in BOTH prefixes (each doc is sorted by the same
+    * global order, so any common element at a position ≤ some common
+    * element's position includes c's). The join therefore finds every
+    * qualifying pair on c — candidates ⊇ {jac ≥ 0.7}, and the exact
+    * Jaccard verify keeps the result identical to all-pairs. The prefix
+    * length uses pure integer arithmetic (⌈7n/10⌉ = (7n+9)//10) so the
+    * cut never drifts on float rounding.
     */
   private val exactJaccardPairsCte: String = exactJaccardPairsCteFor()
 
@@ -1903,11 +1924,30 @@ object SparkEntry {
                      ELSE list_distinct(list_transform(range(1, len(t) - 1),
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
          FROM tok
+       ), shx AS (
+         SELECT doc_id, unnest(g) AS s FROM sh
+       ), shdf AS (
+         SELECT s, count(*) AS df FROM shx GROUP BY s
+       ), shord AS (
+         SELECT x.doc_id, x.s,
+                row_number() OVER (PARTITION BY x.doc_id
+                                   ORDER BY d.df, x.s) AS rn,
+                count(*) OVER (PARTITION BY x.doc_id) AS n
+         FROM shx x JOIN shdf d USING (s)
+       ), shpref AS (
+         SELECT doc_id, s FROM shord
+         WHERE rn <= n - (7 * n + 9) // 10 + 1
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+         FROM shpref a JOIN shpref b
+           ON a.s = b.s AND a.doc_id < b.doc_id
        ), p AS (
-         SELECT a.doc_id AS idA, b.doc_id AS idB,
-                len(list_intersect(a.g, b.g)) AS inter,
-                len(a.g) AS na, len(b.g) AS nb
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         SELECT c.idA, c.idB,
+                len(list_intersect(sa.g, sb.g)) AS inter,
+                len(sa.g) AS na, len(sb.g) AS nb
+         FROM cand c
+         JOIN sh sa ON sa.doc_id = c.idA
+         JOIN sh sb ON sb.doc_id = c.idB
        ), j AS (
          SELECT idA, idB,
                 CASE WHEN na + nb - inter = 0 THEN 0.0
