@@ -4,9 +4,14 @@ ritual (13 hand-chunked check_oracle.py processes).
 
 Usage:
     python3 tools/parallel_oracle.py <sfDir> <verifyOutDir> [-j N]
-        [--out FILE.json] [query ...]
+        [--out FILE.json] [--run-verify] [query ...]
 
-Assumes `sbt "runMain graft.Verify <sfDir> <verifyOutDir>"` already ran.
+With --run-verify the tool runs the ENGINE side first
+(`sbt -batch "runMain graft.Verify <sfDir> <verifyOutDir>"`), asserts no
+per-query `[verify] ... failed:` lines (Verify swallows them and still
+exits 0), and reports the engine wall next to the compare wall — the
+two-SF gate is then literally one command per SF. Without the flag it
+assumes the dump already ran.
 Runs every oracle compare (the check_oracle.py comparison shape: row count,
 sorted column names, order-insensitive value hash, HUGEINT guard) across N
 worker processes — per-query compares are independent reads of the same
@@ -90,7 +95,33 @@ def main():
                     default=os.path.join(os.path.dirname(
                         os.path.dirname(os.path.abspath(__file__))),
                         "ORACLES.md"))
+    ap.add_argument("--run-verify", action="store_true",
+                    help="run the engine dump (sbt runMain graft.Verify) "
+                         "first, failing the gate on any swallowed "
+                         "per-query failure")
     args = ap.parse_args()
+
+    engine_wall = None
+    engine_failed = []
+    if args.run_verify:
+        import subprocess
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        t_eng = time.time()
+        proc = subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.Verify {args.sf_dir} {args.out_dir}"],
+            cwd=repo, capture_output=True, text=True)
+        engine_wall = round(time.time() - t_eng, 1)
+        # Verify swallows per-query failures (prints "[verify] <q> failed:"
+        # and still writes the rest) — they MUST fail the gate here
+        engine_failed = sorted(set(
+            re.findall(r"\[verify\] (\S+) failed:",
+                       proc.stdout + proc.stderr)))
+        print(f"engine dump: {engine_wall}s, rc={proc.returncode}, "
+              f"{len(engine_failed)} swallowed failures", flush=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-3000:] + proc.stderr[-3000:])
+            sys.exit(2)
 
     oracle = json.load(open(os.path.join(args.out_dir, "oracle_sql.json")))
     dumped = sorted(n for n in os.listdir(args.out_dir)
@@ -144,7 +175,18 @@ def main():
 
     # the SCALE.md gate table: failures and exceptions in full, passes as
     # one summary row (201 OK lines say less than one count)
-    print(f"\n| sf | queries | ok | expected_exception | no_oracle | failed |")
+    for q in engine_failed:
+        if q in results and results[q]["status"] not in ("ok",):
+            continue  # already counted as a compare failure
+        fails.append(q)
+        results.setdefault(q, dict(query=q, status="engine_failed",
+                                   spark_rows=0, oracle_rows=0, secs=0.0,
+                                   note="swallowed [verify] failure"))
+        if q not in names:
+            names.append(q)
+
+    eng = f" engine {engine_wall}s |" if engine_wall is not None else ""
+    print(f"\n| sf | queries | ok | expected_exception | no_oracle | failed |{eng}")
     print(f"|---|---|---|---|---|---|")
     print(f"| {sf_key} | {len(names)} | {n_ok} | {n_exc} | {n_skip} "
           f"| {len(fails)} |")
@@ -163,6 +205,7 @@ def main():
                    n_expected_exception=n_exc, n_no_oracle=n_skip,
                    n_failed=len(fails),
                    wall_secs=round(time.time() - t0, 1),
+                   engine_wall_secs=engine_wall,
                    results=[results[n] for n in names]),
               open(out_path, "w"), indent=1)
     print(f"\nwrote {out_path}  ({n_ok} ok, {n_exc} expected-exception, "
