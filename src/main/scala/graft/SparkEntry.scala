@@ -2012,8 +2012,8 @@ object SparkEntry {
     "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
-    "q_packed_shards", "q_packed_shards_masked", "q_packed_shards_u16",
-    "q_sidecar_recipe",
+    "q_packed_reshuffle", "q_packed_shards", "q_packed_shards_masked",
+    "q_packed_shards_u16", "q_sidecar_recipe",
     "q_simhash_recall",
     "q_topology_jsonl", "q_topology_sft", "q_topology_tokenize",
     "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
@@ -4617,6 +4617,52 @@ object SparkEntry {
             .cast("binary")).as("msk_md5"),
           md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"))
         .orderBy("seq_ix")
+    }),
+
+    "q_packed_reshuffle" -> ((s, d) => {
+      // the at-rest EPOCH SHUFFLE under the oracle: write the masked
+      // corpus, permute its document groups with a seeded restatable md5
+      // key (PackedCorpus.reshuffle), read the epoch back, and emit one
+      // row per reconstructed group — each row chains its sequences'
+      // content hashes IN ORDER, so a group that was split, reordered
+      // inside, or lost a channel value produces a different chain. The
+      // driver's order-insensitive compare then checks exactly what a
+      // permutation must preserve: the multiset of intact groups.
+      val docs = t(s, d, "documents")
+      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+        lit(4))
+      val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk,
+        512, shard, padId = -1)
+      val dir = qTmpDir("packedepoch-q")
+      graft.sources.PackedCorpus.write(packed, s"$dir/in",
+        idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
+        numTasks = 1, maskCol = Some("loss_mask"),
+        segCol = Some("segment_ids"), docStartCol = Some("doc_start"))
+      graft.sources.PackedCorpus.reshuffle(s, s"$dir/in", s"$dir/epoch",
+        numShards = 2, seed = "r17-epoch")
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("file").orderBy("seq_ix")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      s.read.format("packedcorpus").load(s"$dir/epoch")
+        .select(col("file"), col("seq_ix"), col("doc_start"),
+          concat_ws("|",
+            md5(joined(col("input_ids")).cast("binary")),
+            md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+              .cast("binary")),
+            md5(joined(col("segment_ids")).cast("binary"))).as("sq"))
+        .withColumn("grp", sum(col("doc_start").cast("long")).over(w))
+        .groupBy("file", "grp")
+        .agg(md5(array_join(transform(
+            sort_array(collect_list(struct(col("seq_ix"), col("sq")))),
+            p => p.getField("sq")), ",").cast("binary")).as("grp_md5"),
+          count(lit(1)).as("n_seqs"))
+        .select(col("grp_md5"), col("n_seqs"))
+        .orderBy("grp_md5")
     }),
 
     "q_unigram_score" -> ((s, d) =>
@@ -8210,6 +8256,75 @@ object SparkEntry {
                 md5(array_to_string(list_transform(sg,
                   x -> CAST(x AS VARCHAR)), ',')) AS seg_md5
          FROM ord ORDER BY seq_ix""",
+    "q_packed_reshuffle" ->
+      // the epoch shuffle's invariant restated: a permutation of intact
+      // document groups preserves the MULTISET of group-content chains —
+      // rebuild the packed rows (the q_packed_shards_masked arithmetic),
+      // number groups by the cumulative doc-start count in ORIGINAL
+      // order, and chain each group's per-sequence content hashes in
+      // order; the shuffle itself needs no restating (the compare is
+      // order-insensitive, exactly the permutation's degree of freedom)
+      """WITH tk AS (
+           SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  list_transform(ws, w -> length(w) > 3) AS msk,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         st AS (
+           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n AS strt
+           FROM tk),
+         pc AS (
+           SELECT *, unnest(generate_series(
+                       CAST(FLOOR(strt / 512.0) AS BIGINT),
+                       CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
+           FROM st),
+         pieces AS (
+           SELECT shard, seq_id,
+                  GREATEST(strt - seq_id * 512, 0) AS off,
+                  (GREATEST(seq_id * 512 - strt, 0) = 0) AS pstart,
+                  list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
+                  list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
+                    LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
+           FROM pc),
+         asm AS (
+           SELECT shard, seq_id,
+                  flatten(list(ptok ORDER BY off)) AS ids0,
+                  flatten(list(pmsk ORDER BY off)) AS mk0,
+                  flatten(list_transform(list(ptok ORDER BY off),
+                    (p, i) -> list_transform(p, x -> CAST(i - 1 AS INT)))) AS sg0,
+                  bool_or(off = 0 AND pstart) AS ds
+           FROM pieces GROUP BY shard, seq_id),
+         fin AS (
+           SELECT shard, seq_id, ds,
+                  md5(array_to_string(list_transform(
+                    ids0 || list_transform(range(512 - len(ids0)), x -> -1),
+                    x -> CAST(x AS VARCHAR)), ',')) || '|' ||
+                  md5(array_to_string(list_transform(
+                    mk0 || list_transform(range(512 - len(ids0)), x -> false),
+                    x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) || '|' ||
+                  md5(array_to_string(list_transform(
+                    sg0 || list_transform(range(512 - len(ids0)),
+                      x -> CAST(-1 AS INT)),
+                    x -> CAST(x AS VARCHAR)), ',')) AS sq
+           FROM asm),
+         ord AS (
+           SELECT row_number() OVER (ORDER BY shard, seq_id) AS seq_ix,
+                  SUM(CASE WHEN ds THEN 1 ELSE 0 END)
+                    OVER (ORDER BY shard, seq_id
+                          ROWS UNBOUNDED PRECEDING) AS grp,
+                  sq
+           FROM fin)
+         SELECT md5(string_agg(sq, ',' ORDER BY seq_ix)) AS grp_md5,
+                count(*) AS n_seqs
+         FROM ord GROUP BY grp ORDER BY grp_md5""",
     "q_pack_greedy_sft" ->
       // q_pack_greedy_rows' numeric tokenization with BOS -3 (mask false)
       // / EOS 0 (mask true) replayed on the arrays, then the break-chain

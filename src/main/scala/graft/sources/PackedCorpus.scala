@@ -364,6 +364,53 @@ object PackedCorpus {
     (hi << 8) | lo
   }
 
+  /** Deterministic at-rest EPOCH SHUFFLE of a packed corpus, the
+    * document-group-preserving kind the doc index exists for: sequences
+    * between consecutive `doc_start` marks tile whole documents, so the
+    * shuffle permutes those GROUPS (a seeded md5 key per group — the
+    * engine's restatable-randomness idiom) and keeps intra-group order;
+    * no document is ever split across the permutation, mask/segment
+    * channels ride along when the input corpus carries them, and the
+    * rewritten doc index stays REAL (each group lands contiguously with
+    * its `doc_start` marks intact). A trainer mounts a freshly shuffled
+    * epoch without any loader-side shuffling state.
+    *
+    * Scale shape: one DSv2 scan (per-shard partitions), one window over
+    * `file` (the per-file group numbering — partition-local arithmetic),
+    * then the writer's single hash exchange on the new shard. Shuffle
+    * keys are uniform md5 bits, so output shards balance regardless of
+    * input skew.
+    */
+  def reshuffle(spark: SparkSession, inDir: String, outDir: String,
+      numShards: Int, seed: String, dtype: String = "int32"): Unit = {
+    require(numShards > 0, s"PackedCorpus.reshuffle: numShards $numShards")
+    val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val present = fs.listStatus(new Path(inDir)).map(_.getPath.getName)
+    val hasMask = present.exists(_.endsWith(".mask.idx"))
+    val hasSeg = present.exists(_.endsWith(".seg.idx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("seq_ix")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val keyed = spark.read.format("packedcorpus").load(inDir)
+      // group ordinal within its file: cumulative count of doc starts
+      .withColumn("__grp", sum(col("doc_start").cast("long")).over(w))
+      // md5 over (seed | file | group): deterministic, uniform, and an
+      // external SQL engine recomputes it verbatim (the q_mix_sample
+      // restatable-shuffle idiom — never a JVM-private RNG)
+      .withColumn("__key",
+        md5(concat_ws("|", lit(seed), col("file"), col("__grp").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)))
+    write(keyed, outDir, idsCol = "input_ids",
+      orderCols = Seq("shard", "__key", "seq_ix"), numTasks = numShards,
+      dtype = dtype,
+      maskCol = if (hasMask) Some("loss_mask") else None,
+      segCol = if (hasSeg) Some("segment_ids") else None,
+      docStartCol = Some("doc_start"))
+  }
+
   /** Read shards back as (file, seq_ix, ptr, input_ids) — one row per
     * sequence, `seq_ix` the sequence's ordinal within its file, `ptr`
     * its byte offset in the `.bin`. A thin wrapper over the
