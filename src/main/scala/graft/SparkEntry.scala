@@ -2012,8 +2012,8 @@ object SparkEntry {
     "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
-    "q_packed_reshuffle", "q_packed_shards", "q_packed_shards_masked",
-    "q_packed_shards_u16", "q_sidecar_recipe",
+    "q_packed_decontaminate", "q_packed_reshuffle", "q_packed_shards",
+    "q_packed_shards_masked", "q_packed_shards_u16", "q_sidecar_recipe",
     "q_simhash_recall",
     "q_topology_jsonl", "q_topology_sft", "q_topology_tokenize",
     "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
@@ -4663,6 +4663,35 @@ object SparkEntry {
           count(lit(1)).as("n_seqs"))
         .select(col("grp_md5"), col("n_seqs"))
         .orderBy("grp_md5")
+    }),
+
+    "q_packed_decontaminate" -> ((s, d) => {
+      // decontaminate the EXPORTED corpus: flag shard sequences sharing
+      // an 8-gram of TOKEN IDS with a held-out eval set, reading ids
+      // straight off the .bin (no re-tokenization — the audit an
+      // operator runs against the exact bytes a trainer will mount).
+      // Plan shape: the eval gram set is distinct + BROADCAST (eval sets
+      // are small by construction), so the corpus side is one map-only
+      // explode + broadcast-hash probe — no corpus shuffle at any scale.
+      val docs = t(s, d, "documents")
+      val ids = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      def grams(c: org.apache.spark.sql.Column) =
+        when(size(c) >= 8, transform(sequence(lit(0), size(c) - 8),
+          i => array_join(transform(slice(c, i + lit(1), lit(8)),
+            x => x.cast("string")), ",")))
+          .otherwise(array().cast("array<string>"))
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), ids.as("ids")).filter(size(col("ids")) > 0)
+      val dir = qTmpDir("packeddecon-q")
+      graft.sources.PackedCorpus.write(train, s"$dir/shards", idsCol = "ids",
+        orderCols = Seq("doc_id"), numTasks = 1)
+      val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(grams(ids)).as("g")).distinct()
+      graft.sources.PackedCorpus.read(s, s"$dir/shards")
+        .select(col("seq_ix"), explode(grams(col("input_ids"))).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .groupBy("seq_ix").agg(count(lit(1)).as("n_hits"))
+        .orderBy("seq_ix")
     }),
 
     "q_unigram_score" -> ((s, d) =>
@@ -8325,6 +8354,41 @@ object SparkEntry {
          SELECT md5(string_agg(sq, ',' ORDER BY seq_ix)) AS grp_md5,
                 count(*) AS n_seqs
          FROM ord GROUP BY grp ORDER BY grp_md5""",
+    "q_packed_decontaminate" ->
+      // shard-level decontamination restated: per-document token arrays
+      // (word lengths), train = doc_id % 97 ≠ 0 exported one sequence per
+      // doc in doc_id order (seq_ix = rank − 1), eval = the held-out
+      // remainder; n_hits = the sequence's 8-gram POSITIONS whose
+      // id-gram appears anywhere in the (distinct) eval gram set
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         tr AS (
+           SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix, toks, n
+           FROM tk WHERE doc_id % 97 <> 0),
+         ev AS (
+           SELECT DISTINCT array_to_string(list_transform(
+                    list_slice(toks, i, i + 7),
+                    x -> CAST(x AS VARCHAR)), ',') AS g
+           FROM (SELECT toks, unnest(range(1, n - 6)) AS i
+                 FROM tk WHERE doc_id % 97 = 0 AND n >= 8)),
+         tg AS (
+           SELECT seq_ix, array_to_string(list_transform(
+                    list_slice(toks, i, i + 7),
+                    x -> CAST(x AS VARCHAR)), ',') AS g
+           FROM (SELECT seq_ix, toks, unnest(range(1, n - 6)) AS i
+                 FROM tr WHERE n >= 8))
+         SELECT CAST(seq_ix AS BIGINT) AS seq_ix,
+                count(*) AS n_hits
+         FROM tg JOIN ev USING (g)
+         GROUP BY seq_ix ORDER BY seq_ix""",
     "q_pack_greedy_sft" ->
       // q_pack_greedy_rows' numeric tokenization with BOS -3 (mask false)
       // / EOS 0 (mask true) replayed on the arrays, then the break-chain
