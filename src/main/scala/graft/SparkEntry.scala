@@ -2015,7 +2015,8 @@ object SparkEntry {
     "q_packed_decontaminate", "q_packed_reshuffle", "q_packed_shards",
     "q_packed_shards_masked", "q_packed_shards_u16", "q_sidecar_recipe",
     "q_simhash_recall",
-    "q_topology_jsonl", "q_topology_sft", "q_topology_tokenize",
+    "q_topology_jsonl", "q_topology_packed", "q_topology_sft",
+    "q_topology_tokenize",
     "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4692,6 +4693,39 @@ object SparkEntry {
         .join(broadcast(evalGrams), "g")
         .groupBy("seq_ix").agg(count(lit(1)).as("n_hits"))
         .orderBy("seq_ix")
+    }),
+
+    "q_topology_packed" -> ((s, d) => {
+      // the config-only shard lifecycle CLOSES: shards the engine
+      // exported (mask channel included) read BACK through the
+      // PackedCorpus TOML input — arrays and mask land in the string
+      // record model, a SQL filter prunes on the sidecar field, and the
+      // projection is the oracle surface. A user audits an exported
+      // corpus from config alone, no Scala.
+      val docs = t(s, d, "documents")
+      val ids = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+      val train = docs.select(col("doc_id"), ids.as("ids"), msk.as("msk"))
+        .filter(size(col("ids")) > 0)
+      val dir = qTmpDir("packedtoml-q")
+      graft.sources.PackedCorpus.write(train, s"$dir/shards", idsCol = "ids",
+        orderCols = Seq("doc_id"), numTasks = 1, maskCol = Some("msk"))
+      val toml =
+        s"""[fields]
+           |names = ["seq_ix", "n_tokens", "input_ids", "loss_mask"]
+           |[input]
+           |name = "PackedCorpus"
+           |  [input.config]
+           |  Path = "$dir/shards"
+           |[[filter]]
+           |name = "SqlWhere"
+           |  [filter.config]
+           |  Where = "cast(n_tokens as int) >= 8"
+           |[output]
+           |name = "Nop"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected
+        .orderBy(col("seq_ix").cast("long"))
     }),
 
     "q_unigram_score" -> ((s, d) =>
@@ -8389,6 +8423,33 @@ object SparkEntry {
                 count(*) AS n_hits
          FROM tg JOIN ev USING (g)
          GROUP BY seq_ix ORDER BY seq_ix""",
+    "q_topology_packed" ->
+      // the TOML shard audit restated: per-document word-length tokens
+      // and their len>3 mask in doc_id order (seq_ix = rank − 1 over ALL
+      // written sequences; the SQL filter prunes AFTER numbering), every
+      // projected field a VARCHAR — the topology's string record model
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                  list_transform(ws, w -> length(w) > 3) AS msk,
+                  CAST(len(ws) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+                 FROM documents)
+           WHERE len(ws) > 0),
+         ord AS (
+           SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix,
+                  toks, msk, n
+           FROM tk)
+         SELECT CAST(seq_ix AS VARCHAR) AS seq_ix,
+                CAST(n AS VARCHAR) AS n_tokens,
+                array_to_string(list_transform(toks,
+                  x -> CAST(x AS VARCHAR)), ',') AS input_ids,
+                array_to_string(list_transform(msk,
+                  b -> CAST(CAST(b AS INT) AS VARCHAR)), ',') AS loss_mask
+         FROM ord WHERE n >= 8 ORDER BY seq_ix""",
     "q_pack_greedy_sft" ->
       // q_pack_greedy_rows' numeric tokenization with BOS -3 (mask false)
       // / EOS 0 (mask true) replayed on the arrays, then the break-chain

@@ -22,7 +22,8 @@ import graft.sources.ZstdCodec
 object BuiltinComponents {
 
   def all: Components = Components(
-    inputs = Seq(listInput, parquetInput, jsonLinesInput, webDatasetInput, logLinesInput,
+    inputs = Seq(listInput, parquetInput, jsonLinesInput, webDatasetInput,
+      packedCorpusInput, logLinesInput,
       randomInput, NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
       NetworkInputs.kclInput, NetworkInputs.sqsInput),
     filters = Seq(
@@ -198,6 +199,42 @@ object BuiltinComponents {
       require(missing.isEmpty, s"Parquet input: fields [${missing.mkString(", ")}] " +
         s"absent from parquet schema [${df.columns.mkString(", ")}]")
       df.select(ctx.fields.map(f => col(f).cast("string").as(f)): _*)
+    })
+
+  /** PackedCorpus — reads Megatron-style `.bin`/`.idx` packed shards
+    * ([[packedShardsOutput]]'s symmetric, completing the config-only
+    * lifecycle: export shards, then audit/filter/re-export them from TOML
+    * alone). Fields map from the `packedcorpus` DSv2 schema to the string
+    * record model: arrays (`input_ids`, `segment_ids`) comma-join,
+    * booleans (`loss_mask` entries, `doc_start`) become 1/0, scalars
+    * (`file`, `seq_ix`, `ptr`, `n_tokens`) cast to string. Requesting
+    * only sidecar fields never opens a data file (the DSv2's pruning
+    * flows through the projection), so a config-only token accounting
+    * pass reads 12 B/sequence.
+    */
+  val packedCorpusInput: InputDesc = InputDesc(
+    "PackedCorpus",
+    "Reads Megatron-style .bin/.idx packed-corpus shards; fields " +
+      "file/seq_ix/ptr/n_tokens/doc_start/input_ids/loss_mask/" +
+      "segment_ids map to the string record model (arrays comma-joined, " +
+      "booleans as 1/0).",
+    Seq(ConfigKey("Path", "shard directory or glob", required = true)),
+    (ctx, cfg) => {
+      val df = ctx.spark.read.format("packedcorpus").load(cfg.str("Path"))
+      val missing = ctx.fields.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"PackedCorpus input: fields [${missing.mkString(", ")}] absent " +
+          s"from the shard schema [${df.columns.mkString(", ")}]")
+      def toStr(f: String) = f match {
+        case "input_ids" | "segment_ids" =>
+          array_join(transform(col(f), x => x.cast("string")), ",").as(f)
+        case "loss_mask" =>
+          array_join(transform(col(f), m => m.cast("int").cast("string")), ",")
+            .as(f)
+        case "doc_start" => col(f).cast("int").cast("string").as(f)
+        case other => col(other).cast("string").as(other)
+      }
+      df.select(ctx.fields.map(toStr): _*)
     })
 
   /** stdin source for the List input's "-" entry; injectable for tests. */

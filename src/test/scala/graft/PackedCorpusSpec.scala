@@ -526,6 +526,56 @@ class PackedCorpusSpec extends SparkSpec {
     assert(large < tiny / 5, s"sizing rule inverted: $large vs $tiny")
   }
 
+  test("PackedCorpus TOML input: exported shards read back into the " +
+      "record model (arrays comma-joined, mask as 1/0); a sidecar-only " +
+      "field list never opens the data files (proven by deleting them)") {
+    import spark.implicits._
+    val dir = tmp("packedtomlin")
+    val df = Seq(
+      (0L, 0L, Seq(1, 2, 3), Seq(true, false, true)),
+      (0L, 1L, Seq(9, 9), Seq(false, false)))
+      .toDF("shard", "seq_id", "input_ids", "loss_mask")
+    PackedCorpus.write(df, s"$dir/shards", numTasks = 1,
+      maskCol = Some("loss_mask"))
+    val toml =
+      s"""[fields]
+         |names = ["seq_ix", "n_tokens", "input_ids", "loss_mask"]
+         |[input]
+         |name = "PackedCorpus"
+         |  [input.config]
+         |  Path = "$dir/shards"
+         |[output]
+         |name = "Nop"
+         |""".stripMargin
+    val rows = Topology.compileToml(spark, toml).projected
+      .orderBy(col("seq_ix").cast("long")).collect()
+    assert(rows.map(_.toSeq).toSeq == Seq(
+      Seq("0", "3", "1,2,3", "1,0,1"),
+      Seq("1", "2", "9,9", "0,0")))
+    // sidecar-only TOML accounting: with every data file GONE, a field
+    // list of (seq_ix, n_tokens) still reads — the DSv2 pruning flows
+    // through the record-model projection
+    Files.delete(Paths.get(s"$dir/shards", "part-00000.bin"))
+    Files.delete(Paths.get(s"$dir/shards", "part-00000.mask.bin"))
+    val slim =
+      s"""[fields]
+         |names = ["seq_ix", "n_tokens"]
+         |[input]
+         |name = "PackedCorpus"
+         |  [input.config]
+         |  Path = "$dir/shards"
+         |[output]
+         |name = "Nop"
+         |""".stripMargin
+    assert(Topology.compileToml(spark, slim).projected
+      .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0) == 5L)
+    // an unknown field fails loudly at compile
+    val bad = toml.replace("\"loss_mask\"", "\"no_such_field\"")
+    val e = intercept[Exception](
+      Topology.compileToml(spark, bad).projected.collect())
+    assert(e.getMessage != null)
+  }
+
   test("PackedShards TOML output: PackRows rows land as readable shards") {
     import spark.implicits._
     val dir = tmp("packedtoml")
