@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -541,17 +541,41 @@ class PackedCorpusScanBuilder(paths: Seq[String])
 
 class PackedCorpusScan(paths: Seq[String], required: StructType,
     fileSet: Option[Set[String]], minTok: Int, maxTok: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def tokenIdxFiles(): Seq[String] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     WarcSource.expand(paths, conf, "packedcorpus")
       .filter(f => PackedCorpusSource.isTokenIdx(new Path(f).getName))
       .filter(f => fileSet.forall(_.contains(
         new Path(f).getName.stripSuffix(".idx") + ".bin")))
-      .map(f => PackedCorpusInputPartition(f)).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    tokenIdxFiles().map(f => PackedCorpusInputPartition(f)).toArray
+
+  /** Size estimate for the optimizer (broadcast decisions over shard
+    * corpora): the pruned shards' `.bin` byte lengths from the LISTING —
+    * one metadata call per shard, never an `.idx` parse at planning.
+    * Pushed `file` filters shrink the estimate, so a one-shard audit
+    * joined against a big table broadcasts. Row count stays unknown
+    * (knowing it would cost a sidecar read per shard).
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val bytes = tokenIdxFiles().map { f =>
+      val bin = new Path(f.stripSuffix(".idx") + ".bin")
+      val fs = bin.getFileSystem(conf)
+      try fs.getFileStatus(bin).getLen catch { case _: java.io.IOException => 0L }
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

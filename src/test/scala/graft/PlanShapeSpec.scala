@@ -213,6 +213,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("packed-shard decontamination probes a BROADCAST eval gram set " +
+      "(the corpus side never shuffles); the DSv2 reports byte statistics " +
+      "so the optimizer can size shard corpora") {
+    val p = finalPlan(SparkEntry.queries("q_packed_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams should broadcast: $p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to join: $p")
+    // statistics: a tiny shard corpus sizes itself under the broadcast
+    // threshold from the .bin listing alone
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    graft.sources.PackedCorpus.write(
+      Seq((0L, 0L, Seq(1, 2, 3))).toDF("shard", "seq_id", "input_ids"),
+      s"$dir/shards", numTasks = 1)
+    val rel = spark.read.format("packedcorpus").load(s"$dir/shards")
+    val stats = rel.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1024L,
+      s"listing-based size estimate expected (12 bytes), got ${stats.sizeInBytes}")
+  }
+
   test("decontamination matches n-grams via broadcast semi-join") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
     val p = plan(graft.llm.Decontaminate.flagged(docs, "doc_id", "text",
