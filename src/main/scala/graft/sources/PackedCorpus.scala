@@ -379,15 +379,28 @@ object PackedCorpus {
     * `file` (the per-file group numbering — partition-local arithmetic),
     * then the writer's single hash exchange on the new shard. Shuffle
     * keys are uniform md5 bits, so output shards balance regardless of
-    * input skew.
+    * input skew. `dtype` defaults to the INPUT corpus's token width
+    * (sniffed off the first sidecar); pass it explicitly to re-width.
     */
   def reshuffle(spark: SparkSession, inDir: String, outDir: String,
-      numShards: Int, seed: String, dtype: String = "int32"): Unit = {
+      numShards: Int, seed: String, dtype: String = ""): Unit = {
     require(numShards > 0, s"PackedCorpus.reshuffle: numShards $numShards")
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
     val present = fs.listStatus(new Path(inDir)).map(_.getPath.getName)
     val hasMask = present.exists(_.endsWith(".mask.idx"))
     val hasSeg = present.exists(_.endsWith(".seg.idx"))
+    // default the output width to the INPUT's (sniffed off the first
+    // token sidecar): an epoch shuffle that silently doubled a uint16
+    // corpus to int32 bytes would surprise the storage bill
+    val outDtype = if (dtype.nonEmpty) dtype else {
+      val first = present.filter(PackedCorpusSource.isTokenIdx).sorted.headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"PackedCorpus.reshuffle: no .idx sidecars under $inDir"))
+      val in = new java.io.BufferedInputStream(
+        fs.open(new Path(inDir, first)), 1 << 16)
+      val code = try parseIdx(in)._4 finally in.close()
+      if (code == DtypeUint16) "uint16" else "int32"
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("file").orderBy("seq_ix")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -405,7 +418,7 @@ object PackedCorpus {
           lit(numShards.toLong)))
     write(keyed, outDir, idsCol = "input_ids",
       orderCols = Seq("shard", "__key", "seq_ix"), numTasks = numShards,
-      dtype = dtype,
+      dtype = outDtype,
       maskCol = if (hasMask) Some("loss_mask") else None,
       segCol = if (hasSeg) Some("segment_ids") else None,
       docStartCol = Some("doc_start"))

@@ -491,6 +491,20 @@ class PackedCorpusSpec extends SparkSpec {
     assert(spark.read.format("packedcorpus").load(s"$base/e1")
       .agg(sum(col("doc_start").cast("long"))).collect()(0).getLong(0) ==
       orig.length.toLong)
+    // a uint16 corpus reshuffles at its own width (dtype sniffed, code 8)
+    val u16 = tmp("packedshufu16")
+    PackedCorpus.write(Seq((0L, 0L, Seq(1, 65535)), (0L, 1L, Seq(7)))
+      .toDF("shard", "seq_id", "input_ids"), s"$u16/in", numTasks = 1,
+      dtype = "uint16")
+    PackedCorpus.reshuffle(spark, s"$u16/in", s"$u16/e1", 1, "s")
+    val outIdx = new java.io.File(s"$u16/e1").listFiles()
+      .filter(f => f.getName.endsWith(".idx") && !f.getName.startsWith("."))
+      .head
+    assert(Files.readAllBytes(outIdx.toPath)(17) == 8, "dtype code must stay uint16")
+    assert(spark.read.format("packedcorpus").load(s"$u16/e1")
+      .select("input_ids").collect().map(_.getSeq[Int](0).toList)
+      .sortBy(_.toString).toSeq ==
+      Seq(List(1, 65535), List(7)).sortBy(_.toString))
   }
 
   test("daemon pad-waste bound: per-batch packing wastes at most ~shards x " +
