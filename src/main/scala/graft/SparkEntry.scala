@@ -44,6 +44,91 @@ object SparkEntry {
   private def qTmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(qTmpRoot, tag).toString
 
+  /** ONE masked-shard fixture for the shard-lifecycle oracle rows
+    * (q_packed_shards_masked, q_packed_reshuffle): documents → word-length
+    * tokens + len>3 mask through the concat-chunk packer (budget 512, pad
+    * −1, 4 shards) exported with BOTH channels and the real doc index into
+    * a single file. One builder, one SQL restatement
+    * ([[packedMaskedRebuildCtes]]) — the exact-Jaccard-kernel convention:
+    * the variants must agree by construction, not lockstep editing.
+    */
+  private def writeMaskedPackedShards(s: SparkSession, d: String,
+      tag: String): String = {
+    val docs = t(s, d, "documents")
+    val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+    val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
+    val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+      lit(4))
+    val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk,
+      512, shard, padId = -1)
+    val dir = qTmpDir(tag)
+    graft.sources.PackedCorpus.write(packed, s"$dir/shards",
+      idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
+      numTasks = 1, maskCol = Some("loss_mask"),
+      segCol = Some("segment_ids"), docStartCol = Some("doc_start"))
+    s"$dir/shards"
+  }
+
+  /** DuckDB restatement of [[writeMaskedPackedShards]]'s corpus, shared
+    * verbatim by its consumer oracles: concat-chunk rebuild (cumsum
+    * starts, cut slices, offset-ordered flatten, indexed-lambda segment
+    * ordinals, the doc-start bit = strt landing exactly on the cut), one
+    * `fin` row per sequence with the three per-channel content md5s and
+    * the doc-start flag, keyed by the original (shard, seq_id) order.
+    */
+  private val packedMaskedRebuildCtes: String =
+    """WITH tk AS (
+         SELECT doc_id,
+                ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
+                list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                list_transform(ws, w -> length(w) > 3) AS msk,
+                CAST(len(ws) AS BIGINT) AS n
+         FROM (SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+               FROM documents)
+         WHERE len(ws) > 0),
+       st AS (
+         SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n AS strt
+         FROM tk),
+       pc AS (
+         SELECT *, unnest(generate_series(
+                     CAST(FLOOR(strt / 512.0) AS BIGINT),
+                     CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
+         FROM st),
+       pieces AS (
+         SELECT shard, seq_id,
+                GREATEST(strt - seq_id * 512, 0) AS off,
+                (GREATEST(seq_id * 512 - strt, 0) = 0) AS pstart,
+                list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
+                  LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
+                list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
+                  LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
+         FROM pc),
+       asm AS (
+         SELECT shard, seq_id,
+                flatten(list(ptok ORDER BY off)) AS ids0,
+                flatten(list(pmsk ORDER BY off)) AS mk0,
+                flatten(list_transform(list(ptok ORDER BY off),
+                  (p, i) -> list_transform(p, x -> CAST(i - 1 AS INT)))) AS sg0,
+                bool_or(off = 0 AND pstart) AS ds
+         FROM pieces GROUP BY shard, seq_id),
+       fin AS (
+         SELECT shard, seq_id, ds,
+                md5(array_to_string(list_transform(
+                  ids0 || list_transform(range(512 - len(ids0)), x -> -1),
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(
+                  mk0 || list_transform(range(512 - len(ids0)), x -> false),
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                md5(array_to_string(list_transform(
+                  sg0 || list_transform(range(512 - len(ids0)),
+                    x -> CAST(-1 AS INT)),
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5
+         FROM asm)"""
+
   /** Deterministic fernet key for the Crypt roundtrip query/tests. */
   val testKey: String = Fernet.keyFromPassphrase("graft-test-key")
 
@@ -4596,21 +4681,10 @@ object SparkEntry {
       // doc-start bits are layout-checked, not just counted. Without
       // this row the engine's own masked layouts (q_pack_greedy_sft)
       // would be destroyed at the trainer-export boundary.
-      val docs = t(s, d, "documents")
-      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
-      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
-      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
-        lit(4))
-      val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk,
-        512, shard, padId = -1)
-      val dir = qTmpDir("packedmask-q")
-      graft.sources.PackedCorpus.write(packed, s"$dir/shards",
-        idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
-        numTasks = 1, maskCol = Some("loss_mask"),
-        segCol = Some("segment_ids"), docStartCol = Some("doc_start"))
+      val shards = writeMaskedPackedShards(s, d, "packedmask-q")
       def joined(c: org.apache.spark.sql.Column) =
         array_join(transform(c, x => x.cast("string")), ",")
-      s.read.format("packedcorpus").load(s"$dir/shards")
+      s.read.format("packedcorpus").load(shards)
         .select(col("seq_ix"), col("ptr"),
           col("doc_start").cast("int").as("doc_start"),
           md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
@@ -4629,19 +4703,9 @@ object SparkEntry {
       // inside, or lost a channel value produces a different chain. The
       // driver's order-insensitive compare then checks exactly what a
       // permutation must preserve: the multiset of intact groups.
-      val docs = t(s, d, "documents")
-      val toks = transform(TF.tokens(col("text")), w => length(w).cast("int"))
-      val msk = transform(TF.tokens(col("text")), w => length(w) > 3)
-      val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
-        lit(4))
-      val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), toks, msk,
-        512, shard, padId = -1)
-      val dir = qTmpDir("packedepoch-q")
-      graft.sources.PackedCorpus.write(packed, s"$dir/in",
-        idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
-        numTasks = 1, maskCol = Some("loss_mask"),
-        segCol = Some("segment_ids"), docStartCol = Some("doc_start"))
-      graft.sources.PackedCorpus.reshuffle(s, s"$dir/in", s"$dir/epoch",
+      val shards = writeMaskedPackedShards(s, d, "packedepoch-q")
+      val epoch = shards.stripSuffix("/shards") + "/epoch"
+      graft.sources.PackedCorpus.reshuffle(s, shards, epoch,
         numShards = 2, seed = "r17-epoch")
       def joined(c: org.apache.spark.sql.Column) =
         array_join(transform(c, x => x.cast("string")), ",")
@@ -4649,7 +4713,7 @@ object SparkEntry {
         .partitionBy("file").orderBy("seq_ix")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      s.read.format("packedcorpus").load(s"$dir/epoch")
+      s.read.format("packedcorpus").load(epoch)
         .select(col("file"), col("seq_ix"), col("doc_start"),
           concat_ws("|",
             md5(joined(col("input_ids")).cast("binary")),
@@ -8253,137 +8317,36 @@ object SparkEntry {
                   x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
          FROM ord ORDER BY seq_ix""",
     "q_packed_shards_masked" ->
-      // the masked SFT export restated end to end: q_pack_tokens' rebuild
-      // (cumsum starts, cut slices, offset-ordered flatten) extended with
-      // the mask slices, per-piece document ordinals (the indexed-lambda
-      // flatten), the doc-start bit (the off=0 piece carries its doc's
-      // first token iff strt lands exactly on the cut), then the
-      // single-file Megatron serialization: seq_ix by (shard, seq_id),
-      // ptr = 4·512·seq_ix (every concat-chunk row is budget-length)
-      """WITH tk AS (
-           SELECT doc_id,
-                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
-                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
-                  list_transform(ws, w -> length(w) > 3) AS msk,
-                  CAST(len(ws) AS BIGINT) AS n
-           FROM (SELECT doc_id,
-                   CASE WHEN text IS NULL OR trim(text) = ''
-                        THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
-                 FROM documents)
-           WHERE len(ws) > 0),
-         st AS (
-           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) - n AS strt
-           FROM tk),
-         pc AS (
-           SELECT *, unnest(generate_series(
-                       CAST(FLOOR(strt / 512.0) AS BIGINT),
-                       CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
-           FROM st),
-         pieces AS (
-           SELECT shard, seq_id,
-                  GREATEST(strt - seq_id * 512, 0) AS off,
-                  (GREATEST(seq_id * 512 - strt, 0) = 0) AS pstart,
-                  list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
-                    LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
-                  list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
-                    LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
-           FROM pc),
-         asm AS (
-           SELECT shard, seq_id,
-                  flatten(list(ptok ORDER BY off)) AS ids0,
-                  flatten(list(pmsk ORDER BY off)) AS mk0,
-                  flatten(list_transform(list(ptok ORDER BY off),
-                    (p, i) -> list_transform(p, x -> CAST(i - 1 AS INT)))) AS sg0,
-                  bool_or(off = 0 AND pstart) AS ds
-           FROM pieces GROUP BY shard, seq_id),
-         fin AS (
-           SELECT shard, seq_id, ds,
-                  ids0 || list_transform(range(512 - len(ids0)), x -> -1) AS ids,
-                  mk0 || list_transform(range(512 - len(ids0)), x -> false) AS mk,
-                  sg0 || list_transform(range(512 - len(ids0)),
-                    x -> CAST(-1 AS INT)) AS sg
-           FROM asm),
+      // the masked SFT export restated end to end over the SHARED
+      // rebuild ([[packedMaskedRebuildCtes]]): per-sequence channel md5s
+      // + doc-start bit, then the single-file Megatron serialization —
+      // seq_ix by (shard, seq_id), ptr = 4·512·seq_ix (every
+      // concat-chunk row is budget-length)
+      s"""$packedMaskedRebuildCtes,
          ord AS (
            SELECT row_number() OVER (ORDER BY shard, seq_id) - 1 AS seq_ix,
-                  ds, ids, mk, sg
+                  ds, ids_md5, msk_md5, seg_md5
            FROM fin)
          SELECT CAST(seq_ix AS BIGINT) AS seq_ix,
                 CAST(seq_ix * 2048 AS BIGINT) AS ptr,
                 CAST(CASE WHEN ds THEN 1 ELSE 0 END AS INT) AS doc_start,
-                md5(array_to_string(list_transform(ids,
-                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
-                md5(array_to_string(list_transform(mk,
-                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
-                md5(array_to_string(list_transform(sg,
-                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5
+                ids_md5, msk_md5, seg_md5
          FROM ord ORDER BY seq_ix""",
     "q_packed_reshuffle" ->
-      // the epoch shuffle's invariant restated: a permutation of intact
-      // document groups preserves the MULTISET of group-content chains —
-      // rebuild the packed rows (the q_packed_shards_masked arithmetic),
-      // number groups by the cumulative doc-start count in ORIGINAL
-      // order, and chain each group's per-sequence content hashes in
-      // order; the shuffle itself needs no restating (the compare is
+      // the epoch shuffle's invariant restated over the SHARED rebuild
+      // ([[packedMaskedRebuildCtes]]): a permutation of intact document
+      // groups preserves the MULTISET of group-content chains — number
+      // groups by the cumulative doc-start count in ORIGINAL order and
+      // chain each group's per-sequence content hashes in order; the
+      // shuffle itself needs no restating (the compare is
       // order-insensitive, exactly the permutation's degree of freedom)
-      """WITH tk AS (
-           SELECT doc_id,
-                  ((doc_id % 2147483647) * 2654435761) % 4 AS shard,
-                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
-                  list_transform(ws, w -> length(w) > 3) AS msk,
-                  CAST(len(ws) AS BIGINT) AS n
-           FROM (SELECT doc_id,
-                   CASE WHEN text IS NULL OR trim(text) = ''
-                        THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
-                 FROM documents)
-           WHERE len(ws) > 0),
-         st AS (
-           SELECT *, SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) - n AS strt
-           FROM tk),
-         pc AS (
-           SELECT *, unnest(generate_series(
-                       CAST(FLOOR(strt / 512.0) AS BIGINT),
-                       CAST(FLOOR((strt + n - 1) / 512.0) AS BIGINT))) AS seq_id
-           FROM st),
-         pieces AS (
-           SELECT shard, seq_id,
-                  GREATEST(strt - seq_id * 512, 0) AS off,
-                  (GREATEST(seq_id * 512 - strt, 0) = 0) AS pstart,
-                  list_slice(toks, GREATEST(seq_id * 512 - strt, 0) + 1,
-                    LEAST((seq_id + 1) * 512 - strt, n)) AS ptok,
-                  list_slice(msk, GREATEST(seq_id * 512 - strt, 0) + 1,
-                    LEAST((seq_id + 1) * 512 - strt, n)) AS pmsk
-           FROM pc),
-         asm AS (
-           SELECT shard, seq_id,
-                  flatten(list(ptok ORDER BY off)) AS ids0,
-                  flatten(list(pmsk ORDER BY off)) AS mk0,
-                  flatten(list_transform(list(ptok ORDER BY off),
-                    (p, i) -> list_transform(p, x -> CAST(i - 1 AS INT)))) AS sg0,
-                  bool_or(off = 0 AND pstart) AS ds
-           FROM pieces GROUP BY shard, seq_id),
-         fin AS (
-           SELECT shard, seq_id, ds,
-                  md5(array_to_string(list_transform(
-                    ids0 || list_transform(range(512 - len(ids0)), x -> -1),
-                    x -> CAST(x AS VARCHAR)), ',')) || '|' ||
-                  md5(array_to_string(list_transform(
-                    mk0 || list_transform(range(512 - len(ids0)), x -> false),
-                    x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) || '|' ||
-                  md5(array_to_string(list_transform(
-                    sg0 || list_transform(range(512 - len(ids0)),
-                      x -> CAST(-1 AS INT)),
-                    x -> CAST(x AS VARCHAR)), ',')) AS sq
-           FROM asm),
+      s"""$packedMaskedRebuildCtes,
          ord AS (
            SELECT row_number() OVER (ORDER BY shard, seq_id) AS seq_ix,
                   SUM(CASE WHEN ds THEN 1 ELSE 0 END)
                     OVER (ORDER BY shard, seq_id
                           ROWS UNBOUNDED PRECEDING) AS grp,
-                  sq
+                  ids_md5 || '|' || msk_md5 || '|' || seg_md5 AS sq
            FROM fin)
          SELECT md5(string_agg(sq, ',' ORDER BY seq_ix)) AS grp_md5,
                 count(*) AS n_seqs

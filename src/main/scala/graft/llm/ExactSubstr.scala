@@ -38,26 +38,29 @@ import graft.functions.TextFunctions
   */
 object ExactSubstr {
 
-  /** One-slot per-session registry of the persisted occurrence frame
+  /** ONE-SLOT registry of the persisted occurrence frame
     * ([[suffixOccurrences]]'s hot-anchor path): each new suffix call
-    * reclaims the previous call's cache, bounding a long-lived session to
-    * at most ONE disk-backed occurrence frame instead of one per call.
+    * reclaims the previous call's cache, bounding the whole JVM to at
+    * most ONE disk-backed occurrence frame instead of one per call. A
+    * deliberate global (not per-session): a per-session map would pin
+    * every dead session's frame-plus-session object graph for the JVM
+    * lifetime, and unpersisting a frame another live session still uses
+    * is SAFE in Spark (lineage recomputes — slower, never wrong), so
+    * cross-session eviction is the designed trade, not a hazard.
     */
-  private val occCaches =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val occCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
-  private def registerCache(spark: org.apache.spark.sql.SparkSession,
-      cached: DataFrame): Unit = {
-    val prev = occCaches.put(String.valueOf(System.identityHashCode(spark)), cached)
+  private def registerCache(cached: DataFrame): Unit = {
+    val prev = occCache.getAndSet(cached)
     if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
   }
 
-  /** Free the session's last suffix-occurrence cache (safe any time:
-    * unpersist of an in-use frame recomputes from lineage). Long-lived
-    * pipelines call this after their suffix-dedup actions complete.
+  /** Free the last suffix-occurrence cache (safe any time: unpersist of
+    * an in-use frame recomputes from lineage). Long-lived pipelines call
+    * this after their suffix-dedup actions complete.
     */
-  def releaseCache(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val prev = occCaches.remove(String.valueOf(System.identityHashCode(spark)))
+  def releaseCache(): Unit = {
+    val prev = occCache.getAndSet(null)
     if (prev != null) prev.unpersist(blocking = false)
   }
 
@@ -302,14 +305,14 @@ object ExactSubstr {
       // Lifetime: the returned frame is LAZY over this cache, so the
       // function cannot unpersist before returning (the three consumers
       // would each re-run the tokenize + posexplode scan). Instead the
-      // cache registers in a one-slot per-session registry: the NEXT
+      // cache registers in the JVM-wide ONE-SLOT registry: the NEXT
       // suffix call reclaims it (unpersist mid-use is safe in Spark —
-      // lineage recomputes), so a long-lived session or a repeated
+      // lineage recomputes), so a long-lived process or a repeated
       // pipeline holds at most ONE occurrence frame of disk-backed
       // blocks instead of leaking one per call; [[releaseCache]] frees
       // that last one explicitly.
       val occC = occ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      registerCache(df.sparkSession, occC)
+      registerCache(occC)
       val hot = occC.groupBy("__a").agg(
           count(lit(1)).as("__cnt"),
           min(struct(col(idCol), col("pos"))).as("__first"))

@@ -386,6 +386,12 @@ object PackedCorpus {
       numShards: Int, seed: String, dtype: String = ""): Unit = {
     require(numShards > 0, s"PackedCorpus.reshuffle: numShards $numShards")
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
+    // write() pre-cleans the TARGET before the (lazy) read job plans, so
+    // shuffling a corpus onto itself would DELETE the input — refuse
+    require(fs.makeQualified(new Path(inDir)) !=
+        fs.makeQualified(new Path(outDir)),
+      s"PackedCorpus.reshuffle: outDir must differ from inDir ($inDir) - " +
+        "the writer sweeps the target before the read job runs")
     val present = fs.listStatus(new Path(inDir)).map(_.getPath.getName)
     val hasMask = present.exists(_.endsWith(".mask.idx"))
     val hasSeg = present.exists(_.endsWith(".seg.idx"))
@@ -413,11 +419,13 @@ object PackedCorpus {
       // restatable-shuffle idiom — never a JVM-private RNG)
       .withColumn("__key",
         md5(concat_ws("|", lit(seed), col("file"), col("__grp").cast("string"))))
-      .withColumn("shard",
-        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
-          lit(numShards.toLong)))
+    // partition DIRECTLY on the md5 key (distinct per group, uniform):
+    // deriving a small shard ordinal first and re-hashing it would
+    // co-locate shard ids at small numShards (murmur3 over {0..k−1} is
+    // not a bijection mod k) — one output file holding everything is
+    // exactly the imbalance an epoch shuffle must not produce
     write(keyed, outDir, idsCol = "input_ids",
-      orderCols = Seq("shard", "__key", "seq_ix"), numTasks = numShards,
+      orderCols = Seq("__key", "seq_ix"), numTasks = numShards,
       dtype = outDtype,
       maskCol = if (hasMask) Some("loss_mask") else None,
       segCol = if (hasSeg) Some("segment_ids") else None,
@@ -507,8 +515,12 @@ class PackedCorpusScanBuilder(paths: Seq[String])
   private var required: StructType = PackedCorpusSource.schema
   private var accepted: Array[Filter] = Array.empty
   private var fileSet: Option[Set[String]] = None
-  private var minTok: Int = Int.MinValue
-  private var maxTok: Int = Int.MaxValue
+  // LONG bounds: strict comparisons adjust by ±1, and an Int.MaxValue
+  // literal must push an IMPOSSIBLE bound, not overflow back to
+  // everything-matches (the accepted filter is dropped from the plan,
+  // so an unenforced bound would return wrong rows)
+  private var minTok: Long = Int.MinValue.toLong
+  private var maxTok: Long = Int.MaxValue.toLong
 
   private def intersect(vs: Set[String]): Unit =
     fileSet = Some(fileSet.map(_.intersect(vs)).getOrElse(vs))
@@ -529,16 +541,16 @@ class PackedCorpusScanBuilder(paths: Seq[String])
       case EqualTo("file", v: String) => intersect(Set(v))
       case In("file", vs) => intersect(vs.map(_.asInstanceOf[String]).toSet)
       case EqualTo("n_tokens", v: Number) =>
-        minTok = math.max(minTok, v.intValue)
-        maxTok = math.min(maxTok, v.intValue)
+        minTok = math.max(minTok, v.longValue)
+        maxTok = math.min(maxTok, v.longValue)
       case GreaterThan("n_tokens", v: Number) =>
-        minTok = math.max(minTok, v.intValue + 1)
+        minTok = math.max(minTok, v.longValue + 1L)
       case GreaterThanOrEqual("n_tokens", v: Number) =>
-        minTok = math.max(minTok, v.intValue)
+        minTok = math.max(minTok, v.longValue)
       case LessThan("n_tokens", v: Number) =>
-        maxTok = math.min(maxTok, v.intValue - 1)
+        maxTok = math.min(maxTok, v.longValue - 1L)
       case LessThanOrEqual("n_tokens", v: Number) =>
-        maxTok = math.min(maxTok, v.intValue)
+        maxTok = math.min(maxTok, v.longValue)
       case _ => ()
     }
     accepted = sup
@@ -553,7 +565,7 @@ class PackedCorpusScanBuilder(paths: Seq[String])
 }
 
 class PackedCorpusScan(paths: Seq[String], required: StructType,
-    fileSet: Option[Set[String]], minTok: Int, maxTok: Int)
+    fileSet: Option[Set[String]], minTok: Long, maxTok: Long)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -599,14 +611,14 @@ class PackedCorpusScan(paths: Seq[String], required: StructType,
 
   override def description(): String =
     s"packedcorpus files=${fileSet.map(_.mkString(",")).getOrElse("*")} " +
-      s"n_tokens=[${if (minTok == Int.MinValue) "" else minTok}, " +
-      s"${if (maxTok == Int.MaxValue) "" else maxTok}]"
+      s"n_tokens=[${if (minTok == Int.MinValue.toLong) "" else minTok}, " +
+      s"${if (maxTok == Int.MaxValue.toLong) "" else maxTok}]"
 }
 
 case class PackedCorpusInputPartition(idxFile: String) extends InputPartition
 
 case class PackedCorpusReaderFactory(fields: Array[String],
-    minTok: Int, maxTok: Int,
+    minTok: Long, maxTok: Long,
     confGetter: () => Configuration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PackedCorpusReader(
@@ -626,7 +638,7 @@ case class PackedCorpusReaderFactory(fields: Array[String],
   * (SCALE.md r17 pins the measurement).
   */
 class PackedCorpusReader(idxFile: String, fields: Array[String],
-    minTok: Int, maxTok: Int,
+    minTok: Long, maxTok: Long,
     conf: Configuration) extends PartitionReader[InternalRow] {
   private val fs = new Path(idxFile).getFileSystem(conf)
   private def parse(p: Path): (Array[Int], Array[Long], Array[Long], Int) = {
@@ -702,6 +714,15 @@ class PackedCorpusReader(idxFile: String, fields: Array[String],
       require(chSizes(ix) == sizes(ix),
         s"PackedCorpus: channel $suffix sequence $ix has ${chSizes(ix)} " +
           s"entries vs ${sizes(ix)} tokens in $binPath")
+      // same contiguity contract as the token channel: the channel
+      // pointer must be the width-scaled image of the (already-verified)
+      // token pointer — a forward-jumping corrupt channel sidecar must
+      // fail, never read shifted bytes as mask/segment data
+      require(chPointers(ix) * PackedCorpus.tokenBytes(dtype).toLong ==
+          pointers(ix) * PackedCorpus.tokenBytes(expectCode).toLong,
+        s"PackedCorpus: channel $suffix pointer ${chPointers(ix)} at " +
+          s"sequence $ix disagrees with token pointer ${pointers(ix)} " +
+          s"in $binPath")
       val len = chSizes(ix) * PackedCorpus.tokenBytes(expectCode)
       if (buf.length < len) buf = new Array[Byte](len)
       in.readFullyAt(chPointers(ix), buf, len)

@@ -1585,7 +1585,8 @@ object BuiltinComponents {
         "(PackBudget > 0)"),
       ConfigKey("SepId", "optional SFT turn-separator id (PackBudget > 0)"),
       ConfigKey("MaskField", "optional field holding the comma-joined " +
-        "per-token loss mask (0/1 or true/false, aligned with IdsField). " +
+        "per-token loss mask (0/1 or true/false, aligned with IdsField); " +
+        "defaults to a 'loss_mask' field when the record carries one. " +
         "PackBudget > 0: feeds the packer instead of the all-true " +
         "default. PackBudget = 0: exported verbatim as the .mask channel " +
         "(pre-packed rows — PackRows emits 'loss_mask')."),
@@ -1620,10 +1621,13 @@ object BuiltinComponents {
           if (cfg.has(key)) Some(cfg.int(key).toInt) else None
         val toks = transform(
           filter(split(col(idsF), ","), x => x =!= ""), _.cast("int"))
-        // a real per-token mask rides MaskField; without one every token
+        // a real per-token mask rides MaskField (defaulting to a
+        // 'loss_mask' field when the record carries one — a mask the
+        // chain computed must never be silently re-synthesized as
+        // all-true at the export boundary); without either, every token
         // trains (the pretraining default) — the PACKER still produces
         // the true row-level mask (pad/BOS/separator positions false)
-        val inMask = fieldOpt("MaskField", "__none__")
+        val inMask = fieldOpt("MaskField", "loss_mask")
           .map(f => transform(
             filter(split(col(f), ","), x => x =!= ""), _.cast("boolean")))
           .getOrElse(transform(toks, _ => lit(true)))

@@ -491,6 +491,12 @@ class PackedCorpusSpec extends SparkSpec {
     assert(spark.read.format("packedcorpus").load(s"$base/e1")
       .agg(sum(col("doc_start").cast("long"))).collect()(0).getLong(0) ==
       orig.length.toLong)
+    // shuffling a corpus ONTO ITSELF would pre-clean (delete) the input
+    // before the lazy read plans — refused loudly, corpus untouched
+    val eSelf = intercept[Exception](
+      PackedCorpus.reshuffle(spark, s"$base/in", s"$base/in", 2, "x"))
+    assert(eSelf.getMessage.contains("outDir must differ"))
+    assert(spark.read.format("packedcorpus").load(s"$base/in").count() > 0)
     // a uint16 corpus reshuffles at its own width (dtype sniffed, code 8)
     val u16 = tmp("packedshufu16")
     PackedCorpus.write(Seq((0L, 0L, Seq(1, 65535)), (0L, 1L, Seq(7)))

@@ -141,6 +141,18 @@ def main():
             print(f"[{done}/{len(names)}] {r['query']:32s} {r['status']:18s}"
                   f" {r['secs']}s", flush=True)
 
+    # engine-side failures OVERRIDE whatever the compare saw: a query
+    # Verify failed on has no trustworthy output — any compare result is
+    # a stale dump from a previous run (an 'ok' or even a pinned
+    # 'expected_exception' shape on stale bytes must still fail the gate)
+    for q in engine_failed:
+        if q not in names:
+            names.append(q)
+        results[q] = dict(query=q, status="engine_failed",
+                          spark_rows=0, oracle_rows=0, secs=0.0,
+                          note="swallowed [verify] failure - any compare "
+                               "result was a stale dump")
+
     # fold the pinned exceptions into final statuses
     n_ok = n_exc = n_skip = 0
     fails = []
@@ -175,16 +187,6 @@ def main():
 
     # the SCALE.md gate table: failures and exceptions in full, passes as
     # one summary row (201 OK lines say less than one count)
-    for q in engine_failed:
-        if q in results and results[q]["status"] not in ("ok",):
-            continue  # already counted as a compare failure
-        fails.append(q)
-        results.setdefault(q, dict(query=q, status="engine_failed",
-                                   spark_rows=0, oracle_rows=0, secs=0.0,
-                                   note="swallowed [verify] failure"))
-        if q not in names:
-            names.append(q)
-
     eng = f" engine {engine_wall}s |" if engine_wall is not None else ""
     print(f"\n| sf | queries | ok | expected_exception | no_oracle | failed |{eng}")
     print(f"|---|---|---|---|---|---|")
