@@ -69,6 +69,74 @@ object SparkEntry {
     s"$dir/shards"
   }
 
+  /** Every overlapping 8-gram of a token-id array as a comma-joined
+    * string — the decontamination gram basis shared by the audit
+    * (q_packed_decontaminate) and the surgery (q_packed_rtbf).
+    */
+  private def idGrams8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(c) >= 8, transform(sequence(lit(0), size(c) - 8),
+      i => array_join(transform(slice(c, i + lit(1), lit(8)),
+        x => x.cast("string")), ",")))
+      .otherwise(array().cast("array<string>"))
+
+  /** The held-out eval set's distinct id-8-grams (docs with
+    * doc_id % 97 = 0, word-length tokens) — small by construction, built
+    * for broadcast.
+    */
+  private def evalIdGrams(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(idGrams8(
+        transform(TF.tokens(col("text")), w => length(w).cast("int"))))
+        .as("g")).distinct()
+
+  /** ONE train-split shard fixture for the decontamination rows: docs
+    * with doc_id % 97 ≠ 0, word-length ids, one sequence per document in
+    * doc_id order, single file. Restated by [[packedDeconCtes]].
+    */
+  private def writeTrainPackedShards(s: SparkSession, d: String,
+      tag: String): String = {
+    val ids = transform(TF.tokens(col("text")), w => length(w).cast("int"))
+    val train = t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), ids.as("ids")).filter(size(col("ids")) > 0)
+    val dir = qTmpDir(tag)
+    graft.sources.PackedCorpus.write(train, s"$dir/shards", idsCol = "ids",
+      orderCols = Seq("doc_id"), numTasks = 1)
+    s"$dir/shards"
+  }
+
+  /** DuckDB restatement of [[writeTrainPackedShards]] + [[evalIdGrams]]:
+    * `tr` = the train sequences with their file ordinals, `ev` = the
+    * distinct eval 8-grams, `tg` = every train gram position — shared by
+    * the audit and surgery oracles.
+    */
+  private val packedDeconCtes: String =
+    """WITH tk AS (
+         SELECT doc_id,
+                list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
+                CAST(len(ws) AS BIGINT) AS n
+         FROM (SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+               FROM documents)
+         WHERE len(ws) > 0),
+       tr AS (
+         SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix, toks, n
+         FROM tk WHERE doc_id % 97 <> 0),
+       ev AS (
+         SELECT DISTINCT array_to_string(list_transform(
+                  list_slice(toks, i, i + 7),
+                  x -> CAST(x AS VARCHAR)), ',') AS g
+         FROM (SELECT toks, unnest(range(1, n - 6)) AS i
+               FROM tk WHERE doc_id % 97 = 0 AND n >= 8)),
+       tg AS (
+         SELECT seq_ix, array_to_string(list_transform(
+                  list_slice(toks, i, i + 7),
+                  x -> CAST(x AS VARCHAR)), ',') AS g
+         FROM (SELECT seq_ix, toks, unnest(range(1, n - 6)) AS i
+               FROM tr WHERE n >= 8))"""
+
   /** DuckDB restatement of [[writeMaskedPackedShards]]'s corpus, shared
     * verbatim by its consumer oracles: concat-chunk rebuild (cumsum
     * starts, cut slices, offset-ordered flatten, indexed-lambda segment
@@ -2097,7 +2165,8 @@ object SparkEntry {
     "q_ann_ivf_serving", "q_ann_ivfpq_serving", "q_ann_pq_stream",
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
-    "q_packed_decontaminate", "q_packed_reshuffle", "q_packed_shards",
+    "q_packed_decontaminate", "q_packed_reshuffle", "q_packed_rtbf",
+    "q_packed_shards",
     "q_packed_shards_masked", "q_packed_shards_u16", "q_sidecar_recipe",
     "q_simhash_recall",
     "q_topology_jsonl", "q_topology_packed", "q_topology_sft",
@@ -4738,24 +4807,37 @@ object SparkEntry {
       // Plan shape: the eval gram set is distinct + BROADCAST (eval sets
       // are small by construction), so the corpus side is one map-only
       // explode + broadcast-hash probe — no corpus shuffle at any scale.
-      val docs = t(s, d, "documents")
-      val ids = transform(TF.tokens(col("text")), w => length(w).cast("int"))
-      def grams(c: org.apache.spark.sql.Column) =
-        when(size(c) >= 8, transform(sequence(lit(0), size(c) - 8),
-          i => array_join(transform(slice(c, i + lit(1), lit(8)),
-            x => x.cast("string")), ",")))
-          .otherwise(array().cast("array<string>"))
-      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), ids.as("ids")).filter(size(col("ids")) > 0)
-      val dir = qTmpDir("packeddecon-q")
-      graft.sources.PackedCorpus.write(train, s"$dir/shards", idsCol = "ids",
-        orderCols = Seq("doc_id"), numTasks = 1)
-      val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(grams(ids)).as("g")).distinct()
-      graft.sources.PackedCorpus.read(s, s"$dir/shards")
-        .select(col("seq_ix"), explode(grams(col("input_ids"))).as("g"))
-        .join(broadcast(evalGrams), "g")
+      val shards = writeTrainPackedShards(s, d, "packeddecon-q")
+      graft.sources.PackedCorpus.read(s, shards)
+        .select(col("seq_ix"), explode(idGrams8(col("input_ids"))).as("g"))
+        .join(broadcast(evalIdGrams(s, d)), "g")
         .groupBy("seq_ix").agg(count(lit(1)).as("n_hits"))
+        .orderBy("seq_ix")
+    }),
+
+    "q_packed_rtbf" -> ((s, d) => {
+      // the takedown/decontamination SURGERY on immutable shards: the
+      // flagged set from the same id-8-gram audit becomes a (file,
+      // seq_ix) drop list, rewriteExcluding re-exports the survivors
+      // into a versioned corpus (whole document GROUPS drop — never a
+      // truncated document), and the output restates every surviving
+      // sequence's renumbered position and content. The engine-side
+      // compose a compliance officer actually runs: audit → drop →
+      // remount.
+      val shards = writeTrainPackedShards(s, d, "packedrtbf-q")
+      val corpus = s.read.format("packedcorpus").load(shards)
+      val drop = corpus
+        .select(col("file"), col("seq_ix"),
+          explode(idGrams8(col("input_ids"))).as("g"))
+        .join(broadcast(evalIdGrams(s, d)), "g")
+        .select("file", "seq_ix").distinct()
+      val out = shards.stripSuffix("/shards") + "/clean"
+      graft.sources.PackedCorpus.rewriteExcluding(s, shards, out, drop,
+        numShards = 1)
+      s.read.format("packedcorpus").load(out)
+        .select(col("seq_ix"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")), ",")
+            .cast("binary")).as("ids_md5"))
         .orderBy("seq_ix")
     }),
 
@@ -8352,40 +8434,30 @@ object SparkEntry {
                 count(*) AS n_seqs
          FROM ord GROUP BY grp ORDER BY grp_md5""",
     "q_packed_decontaminate" ->
-      // shard-level decontamination restated: per-document token arrays
-      // (word lengths), train = doc_id % 97 ≠ 0 exported one sequence per
-      // doc in doc_id order (seq_ix = rank − 1), eval = the held-out
-      // remainder; n_hits = the sequence's 8-gram POSITIONS whose
-      // id-gram appears anywhere in the (distinct) eval gram set
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_transform(ws, w -> CAST(length(w) AS INT)) AS toks,
-                  CAST(len(ws) AS BIGINT) AS n
-           FROM (SELECT doc_id,
-                   CASE WHEN text IS NULL OR trim(text) = ''
-                        THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
-                 FROM documents)
-           WHERE len(ws) > 0),
-         tr AS (
-           SELECT row_number() OVER (ORDER BY doc_id) - 1 AS seq_ix, toks, n
-           FROM tk WHERE doc_id % 97 <> 0),
-         ev AS (
-           SELECT DISTINCT array_to_string(list_transform(
-                    list_slice(toks, i, i + 7),
-                    x -> CAST(x AS VARCHAR)), ',') AS g
-           FROM (SELECT toks, unnest(range(1, n - 6)) AS i
-                 FROM tk WHERE doc_id % 97 = 0 AND n >= 8)),
-         tg AS (
-           SELECT seq_ix, array_to_string(list_transform(
-                    list_slice(toks, i, i + 7),
-                    x -> CAST(x AS VARCHAR)), ',') AS g
-           FROM (SELECT seq_ix, toks, unnest(range(1, n - 6)) AS i
-                 FROM tr WHERE n >= 8))
+      // shard-level decontamination restated over the SHARED decon CTEs
+      // ([[packedDeconCtes]]): n_hits = the sequence's 8-gram POSITIONS
+      // whose id-gram appears anywhere in the (distinct) eval gram set
+      s"""$packedDeconCtes
          SELECT CAST(seq_ix AS BIGINT) AS seq_ix,
                 count(*) AS n_hits
          FROM tg JOIN ev USING (g)
          GROUP BY seq_ix ORDER BY seq_ix""",
+    "q_packed_rtbf" ->
+      // the surgery restated over the same CTEs: survivors = train
+      // sequences with NO flagged gram position, renumbered in original
+      // order (the rewrite keeps (file, seq_ix) order, so the new
+      // ordinal is the survivor rank − 1), content md5 per survivor
+      s"""$packedDeconCtes,
+         flagged AS (SELECT DISTINCT seq_ix FROM tg JOIN ev USING (g)),
+         sv AS (
+           SELECT row_number() OVER (ORDER BY seq_ix) - 1 AS new_ix,
+                  toks, n
+           FROM tr WHERE seq_ix NOT IN (SELECT seq_ix FROM flagged))
+         SELECT CAST(new_ix AS BIGINT) AS seq_ix,
+                CAST(n AS INT) AS n_tokens,
+                md5(array_to_string(list_transform(toks,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+         FROM sv ORDER BY seq_ix""",
     "q_topology_packed" ->
       // the TOML shard audit restated: per-document word-length tokens
       // and their len>3 mask in doc_id order (seq_ix = rank − 1 over ALL

@@ -364,6 +364,28 @@ object PackedCorpus {
     (hi << 8) | lo
   }
 
+  /** Input-corpus layout probe shared by the corpus-to-corpus rewrites
+    * ([[reshuffle]], [[rewriteExcluding]]): which channels exist, and the
+    * token width sniffed off the first sidecar (so a uint16 corpus never
+    * silently doubles to int32 on rewrite).
+    */
+  private def corpusLayout(fs: org.apache.hadoop.fs.FileSystem,
+      inDir: String, dtype: String): (Boolean, Boolean, String) = {
+    val present = fs.listStatus(new Path(inDir)).map(_.getPath.getName)
+    val hasMask = present.exists(_.endsWith(".mask.idx"))
+    val hasSeg = present.exists(_.endsWith(".seg.idx"))
+    val outDtype = if (dtype.nonEmpty) dtype else {
+      val first = present.filter(PackedCorpusSource.isTokenIdx).sorted.headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"PackedCorpus: no .idx sidecars under $inDir"))
+      val in = new java.io.BufferedInputStream(
+        fs.open(new Path(inDir, first)), 1 << 16)
+      val code = try parseIdx(in)._4 finally in.close()
+      if (code == DtypeUint16) "uint16" else "int32"
+    }
+    (hasMask, hasSeg, outDtype)
+  }
+
   /** Deterministic at-rest EPOCH SHUFFLE of a packed corpus, the
     * document-group-preserving kind the doc index exists for: sequences
     * between consecutive `doc_start` marks tile whole documents, so the
@@ -392,21 +414,7 @@ object PackedCorpus {
         fs.makeQualified(new Path(outDir)),
       s"PackedCorpus.reshuffle: outDir must differ from inDir ($inDir) - " +
         "the writer sweeps the target before the read job runs")
-    val present = fs.listStatus(new Path(inDir)).map(_.getPath.getName)
-    val hasMask = present.exists(_.endsWith(".mask.idx"))
-    val hasSeg = present.exists(_.endsWith(".seg.idx"))
-    // default the output width to the INPUT's (sniffed off the first
-    // token sidecar): an epoch shuffle that silently doubled a uint16
-    // corpus to int32 bytes would surprise the storage bill
-    val outDtype = if (dtype.nonEmpty) dtype else {
-      val first = present.filter(PackedCorpusSource.isTokenIdx).sorted.headOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"PackedCorpus.reshuffle: no .idx sidecars under $inDir"))
-      val in = new java.io.BufferedInputStream(
-        fs.open(new Path(inDir, first)), 1 << 16)
-      val code = try parseIdx(in)._4 finally in.close()
-      if (code == DtypeUint16) "uint16" else "int32"
-    }
+    val (hasMask, hasSeg, outDtype) = corpusLayout(fs, inDir, dtype)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("file").orderBy("seq_ix")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -426,6 +434,54 @@ object PackedCorpus {
     // exactly the imbalance an epoch shuffle must not produce
     write(keyed, outDir, idsCol = "input_ids",
       orderCols = Seq("__key", "seq_ix"), numTasks = numShards,
+      dtype = outDtype,
+      maskCol = if (hasMask) Some("loss_mask") else None,
+      segCol = if (hasSeg) Some("segment_ids") else None,
+      docStartCol = Some("doc_start"))
+  }
+
+  /** Rewrite a packed corpus EXCLUDING the given sequences — the
+    * right-to-be-forgotten / decontamination surgery for immutable
+    * trainer shards (the [[graft.streaming.StoreLayout]] RTBF stance
+    * carried to the export format): `drop` is a (file, seq_ix) frame
+    * (e.g. the flagged set from an id-n-gram decontamination pass or a
+    * takedown list), survivors re-export into `outDir` (immutable
+    * corpora are versioned, never patched in place) with channels and
+    * the document index carried. Sequences keep their original
+    * (file, seq_ix) order, so the rewrite is reproducible byte for byte.
+    *
+    * Document-group integrity: dropping a MID-document sequence would
+    * leave a truncated document whose next sequence claims continuation
+    * — so the drop set is widened to WHOLE groups (any group with one
+    * dropped sequence drops entirely), the same never-split-a-document
+    * contract as [[reshuffle]]. Plan: one DSv2 scan, a broadcast
+    * semi-join group widening (drop lists are small), the writer's one
+    * exchange.
+    */
+  def rewriteExcluding(spark: SparkSession, inDir: String, outDir: String,
+      drop: DataFrame, numShards: Int = 0, dtype: String = ""): Unit = {
+    val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.makeQualified(new Path(inDir)) !=
+        fs.makeQualified(new Path(outDir)),
+      s"PackedCorpus.rewriteExcluding: outDir must differ from inDir " +
+        s"($inDir) - the writer sweeps the target before the read job runs")
+    val (hasMask, hasSeg, outDtype) = corpusLayout(fs, inDir, dtype)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("seq_ix")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val grouped = spark.read.format("packedcorpus").load(inDir)
+      .withColumn("__grp", sum(col("doc_start").cast("long")).over(w))
+    val dropGroups = grouped
+      .join(broadcast(drop.select(col("file").as("__df"),
+        col("seq_ix").as("__ds"))),
+        col("file") === col("__df") && col("seq_ix") === col("__ds"))
+      .select(col("file").as("__gf"), col("__grp").as("__gg")).distinct()
+    val survivors = grouped.join(broadcast(dropGroups),
+      col("file") === col("__gf") && col("__grp") === col("__gg"),
+      "left_anti")
+    write(survivors, outDir, idsCol = "input_ids",
+      orderCols = Seq("file", "seq_ix"), numTasks = numShards,
       dtype = outDtype,
       maskCol = if (hasMask) Some("loss_mask") else None,
       segCol = if (hasSeg) Some("segment_ids") else None,

@@ -513,6 +513,39 @@ class PackedCorpusSpec extends SparkSpec {
       Seq(List(1, 65535), List(7)).sortBy(_.toString))
   }
 
+  test("rewriteExcluding: drops widen to WHOLE document groups (never a " +
+      "truncated document), survivors keep order and channels, and " +
+      "in-place rewrite is refused") {
+    import spark.implicits._
+    // doc sizes 3/5/2 at budget 4 (the doc-index fixture): groups are
+    // {seq0, seq1} (d0+d1) and {seq2} (d2)
+    val docs = Seq((0L, Seq(1, 1, 1)), (1L, Seq(2, 2, 2, 2, 2)),
+      (2L, Seq(3, 3))).toDF("doc_id", "toks")
+    val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), col("toks"),
+      transform(col("toks"), _ => lit(true)), 4, lit(0L), padId = -1)
+    val base = tmp("packedrtbf")
+    PackedCorpus.write(packed, s"$base/in", numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+      docStartCol = Some("doc_start"))
+    // dropping seq 1 (MID-document: d1 spans seqs 0-1) must take seq 0
+    // with it — the whole first group — leaving only d2's group
+    val drop = Seq(("part-00000.bin", 1L)).toDF("file", "seq_ix")
+    PackedCorpus.rewriteExcluding(spark, s"$base/in", s"$base/out", drop,
+      numShards = 1)
+    val out = spark.read.format("packedcorpus").load(s"$base/out")
+      .orderBy("seq_ix")
+      .select("seq_ix", "input_ids", "loss_mask", "doc_start").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 0L)
+    assert(out(0).getSeq[Int](1) == Seq(3, 3, -1, -1))
+    assert(out(0).getSeq[Boolean](2) == Seq(true, true, false, false))
+    assert(out(0).getBoolean(3))
+    // in-place surgery refused (the writer sweeps the target first)
+    val e = intercept[Exception](PackedCorpus.rewriteExcluding(
+      spark, s"$base/in", s"$base/in", drop))
+    assert(e.getMessage.contains("outDir must differ"))
+  }
+
   test("daemon pad-waste bound: per-batch packing wastes at most ~shards x " +
       "budget tokens per micro-batch, so batches sized >> shards*budget " +
       "keep the pad fraction small and tiny batches pay the whole budget") {
