@@ -50,19 +50,29 @@ object ExactSubstr {
     */
   private val occCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** Unpersist a reclaimed frame, tolerating a DEAD owner: a frame whose
+    * SparkSession has stopped has nothing left to unpersist (its blocks
+    * died with the executors) and its RpcEnv throws — the reclaim must
+    * not fail the NEXT session's first suffix call.
+    */
+  private def dropCache(prev: DataFrame): Unit =
+    if (prev != null) {
+      try {
+        if (!prev.sparkSession.sparkContext.isStopped)
+          prev.unpersist(blocking = false)
+      } catch { case _: Exception => () } // stopped mid-check: same outcome
+    }
+
   private def registerCache(cached: DataFrame): Unit = {
     val prev = occCache.getAndSet(cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    if (prev ne cached) dropCache(prev)
   }
 
   /** Free the last suffix-occurrence cache (safe any time: unpersist of
     * an in-use frame recomputes from lineage). Long-lived pipelines call
     * this after their suffix-dedup actions complete.
     */
-  def releaseCache(): Unit = {
-    val prev = occCache.getAndSet(null)
-    if (prev != null) prev.unpersist(blocking = false)
-  }
+  def releaseCache(): Unit = dropCache(occCache.getAndSet(null))
 
   /** Every k-token window of every document: (idCol, pos, __h) with `pos`
     * 0-based and `__h` the window hash. Map-only; documents shorter than k

@@ -386,6 +386,41 @@ object PackedCorpus {
     (hasMask, hasSeg, outDtype)
   }
 
+  /** Refuse corpus-to-corpus rewrites whose target aliases the source:
+    * [[write]] pre-cleans the TARGET before the lazy read job plans, so
+    * an aliased pair would DELETE the input. Paths canonicalize through
+    * the filesystem when they exist (symlinks) and through URI
+    * normalization otherwise (`..` segments) — `makeQualified` alone
+    * resolves neither.
+    */
+  private def requireDistinctDirs(fs: org.apache.hadoop.fs.FileSystem,
+      inDir: String, outDir: String, op: String): Unit = {
+    def canon(d: String): java.net.URI = {
+      val q = fs.makeQualified(new Path(d))
+      val resolved = try fs.resolvePath(q)
+        catch { case _: java.io.IOException => q } // target may not exist yet
+      resolved.toUri.normalize()
+    }
+    require(canon(inDir) != canon(outDir),
+      s"PackedCorpus.$op: outDir must differ from inDir ($inDir) - " +
+        "the writer sweeps the target before the read job runs")
+  }
+
+  /** Per-file document-group numbering over a corpus frame: `__grp` =
+    * the cumulative `doc_start` count in `seq_ix` order — the
+    * document-integrity invariant both corpus rewrites depend on, stated
+    * once. The window partitions by `file`, so the exchange it induces
+    * carries exactly the columns of the frame it is applied to (apply it
+    * to a sidecar-only projection when the payload isn't needed).
+    */
+  private def withDocGroups(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("seq_ix")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__grp", sum(col("doc_start").cast("long")).over(w))
+  }
+
   /** Deterministic at-rest EPOCH SHUFFLE of a packed corpus, the
     * document-group-preserving kind the doc index exists for: sequences
     * between consecutive `doc_start` marks tile whole documents, so the
@@ -397,31 +432,22 @@ object PackedCorpus {
     * its `doc_start` marks intact). A trainer mounts a freshly shuffled
     * epoch without any loader-side shuffling state.
     *
-    * Scale shape: one DSv2 scan (per-shard partitions), one window over
-    * `file` (the per-file group numbering — partition-local arithmetic),
-    * then the writer's single hash exchange on the new shard. Shuffle
-    * keys are uniform md5 bits, so output shards balance regardless of
-    * input skew. `dtype` defaults to the INPUT corpus's token width
-    * (sniffed off the first sidecar); pass it explicitly to re-width.
+    * Scale shape: one DSv2 scan, then exactly TWO corpus exchanges — the
+    * per-file group-numbering window and the writer's key partition (the
+    * group key is a per-row window product, so it cannot be derived
+    * without the first exchange; an epoch shuffle inherently pays the
+    * second). Shuffle keys are uniform md5 bits partitioned DIRECTLY, so
+    * output shards balance regardless of input skew. `dtype` defaults to
+    * the INPUT corpus's token width (sniffed off the first sidecar);
+    * pass it explicitly to re-width.
     */
   def reshuffle(spark: SparkSession, inDir: String, outDir: String,
       numShards: Int, seed: String, dtype: String = ""): Unit = {
     require(numShards > 0, s"PackedCorpus.reshuffle: numShards $numShards")
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
-    // write() pre-cleans the TARGET before the (lazy) read job plans, so
-    // shuffling a corpus onto itself would DELETE the input — refuse
-    require(fs.makeQualified(new Path(inDir)) !=
-        fs.makeQualified(new Path(outDir)),
-      s"PackedCorpus.reshuffle: outDir must differ from inDir ($inDir) - " +
-        "the writer sweeps the target before the read job runs")
+    requireDistinctDirs(fs, inDir, outDir, "reshuffle")
     val (hasMask, hasSeg, outDtype) = corpusLayout(fs, inDir, dtype)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("file").orderBy("seq_ix")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val keyed = spark.read.format("packedcorpus").load(inDir)
-      // group ordinal within its file: cumulative count of doc starts
-      .withColumn("__grp", sum(col("doc_start").cast("long")).over(w))
+    val keyed = withDocGroups(spark.read.format("packedcorpus").load(inDir))
       // md5 over (seed | file | group): deterministic, uniform, and an
       // external SQL engine recomputes it verbatim (the q_mix_sample
       // restatable-shuffle idiom — never a JVM-private RNG)
@@ -450,36 +476,54 @@ object PackedCorpus {
     * the document index carried. Sequences keep their original
     * (file, seq_ix) order, so the rewrite is reproducible byte for byte.
     *
+    * Every drop row MUST match a corpus sequence — a stale or mistyped
+    * takedown list (renamed files, renumbered seq_ix from an earlier
+    * rewrite) silently shipping the flagged content under a fresh
+    * _SUCCESS is the one failure a compliance rewrite may never have, so
+    * unmatched rows fail loudly BEFORE anything writes.
+    *
     * Document-group integrity: dropping a MID-document sequence would
     * leave a truncated document whose next sequence claims continuation
     * — so the drop set is widened to WHOLE groups (any group with one
     * dropped sequence drops entirely), the same never-split-a-document
-    * contract as [[reshuffle]]. Plan: one DSv2 scan, a broadcast
-    * semi-join group widening (drop lists are small), the writer's one
-    * exchange.
+    * contract as [[reshuffle]].
+    *
+    * Plan: group widening runs on a SIDECAR-ONLY projection (file,
+    * seq_ix, doc_start — the DSv2 never opens a data file for it), the
+    * widened (file, seq_ix) drop set collects and broadcasts (bounded by
+    * dropped GROUPS × their sequences — takedown-scale), and the full
+    * payload then flows through ONE scan, a broadcast anti-join, and the
+    * writer's single exchange — token bytes shuffle exactly once.
     */
   def rewriteExcluding(spark: SparkSession, inDir: String, outDir: String,
       drop: DataFrame, numShards: Int = 0, dtype: String = ""): Unit = {
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.makeQualified(new Path(inDir)) !=
-        fs.makeQualified(new Path(outDir)),
-      s"PackedCorpus.rewriteExcluding: outDir must differ from inDir " +
-        s"($inDir) - the writer sweeps the target before the read job runs")
+    requireDistinctDirs(fs, inDir, outDir, "rewriteExcluding")
     val (hasMask, hasSeg, outDtype) = corpusLayout(fs, inDir, dtype)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("file").orderBy("seq_ix")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val grouped = spark.read.format("packedcorpus").load(inDir)
-      .withColumn("__grp", sum(col("doc_start").cast("long")).over(w))
-    val dropGroups = grouped
-      .join(broadcast(drop.select(col("file").as("__df"),
-        col("seq_ix").as("__ds"))),
-        col("file") === col("__df") && col("seq_ix") === col("__ds"))
-      .select(col("file").as("__gf"), col("__grp").as("__gg")).distinct()
-    val survivors = grouped.join(broadcast(dropGroups),
-      col("file") === col("__gf") && col("__grp") === col("__gg"),
-      "left_anti")
+    val dropKeys = drop.select(col("file").cast("string").as("__df"),
+      col("seq_ix").cast("long").as("__ds")).distinct()
+    // sidecar-only widening pass: zero data bytes read
+    val grouped = withDocGroups(spark.read.format("packedcorpus").load(inDir)
+      .select("file", "seq_ix", "doc_start"))
+    val matched = grouped.join(broadcast(dropKeys),
+      col("file") === col("__df") && col("seq_ix") === col("__ds"))
+    val dropGroups = matched.select(col("file").as("__gf"),
+      col("__grp").as("__gg")).distinct()
+    val dropSeqs = grouped.join(broadcast(dropGroups),
+        col("file") === col("__gf") && col("__grp") === col("__gg"))
+      .select(col("file").as("__xf"), col("seq_ix").as("__xs"))
+    // loud completeness check on the drop list itself (cheap: sidecar
+    // cardinalities), before any write touches the target
+    val nDrop = dropKeys.count()
+    val nMatched = matched.count()
+    require(nMatched == nDrop,
+      s"PackedCorpus.rewriteExcluding: ${nDrop - nMatched} of $nDrop drop " +
+        "rows match no (file, seq_ix) in the corpus - a stale or mistyped " +
+        "takedown list must never no-op into a fresh _SUCCESS")
+    val survivors = spark.read.format("packedcorpus").load(inDir)
+      .join(broadcast(dropSeqs),
+        col("file") === col("__xf") && col("seq_ix") === col("__xs"),
+        "left_anti")
     write(survivors, outDir, idsCol = "input_ids",
       orderCols = Seq("file", "seq_ix"), numTasks = numShards,
       dtype = outDtype,

@@ -540,10 +540,22 @@ class PackedCorpusSpec extends SparkSpec {
     assert(out(0).getSeq[Int](1) == Seq(3, 3, -1, -1))
     assert(out(0).getSeq[Boolean](2) == Seq(true, true, false, false))
     assert(out(0).getBoolean(3))
-    // in-place surgery refused (the writer sweeps the target first)
+    // in-place surgery refused (the writer sweeps the target first),
+    // including an outDir that merely ALIASES inDir through ".." — the
+    // qualified-Path compare alone would miss it
     val e = intercept[Exception](PackedCorpus.rewriteExcluding(
       spark, s"$base/in", s"$base/in", drop))
     assert(e.getMessage.contains("outDir must differ"))
+    val e2 = intercept[Exception](PackedCorpus.rewriteExcluding(
+      spark, s"$base/in", s"$base/other/../in", drop))
+    assert(e2.getMessage.contains("outDir must differ"))
+    // a drop row matching NO corpus sequence is a stale/mistyped
+    // takedown list — loud, and nothing is written
+    val stale = Seq(("part-99999.bin", 0L)).toDF("file", "seq_ix")
+    val e3 = intercept[Exception](PackedCorpus.rewriteExcluding(
+      spark, s"$base/in", s"$base/out2", stale))
+    assert(e3.getMessage.contains("match no (file, seq_ix)"))
+    assert(!new java.io.File(s"$base/out2", "_SUCCESS").exists())
   }
 
   test("daemon pad-waste bound: per-batch packing wastes at most ~shards x " +
