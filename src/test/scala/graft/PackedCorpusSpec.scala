@@ -641,6 +641,54 @@ class PackedCorpusSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("config-only shard surgery end to end: PackedCorpus input → " +
+      "SqlWhere → PackedShards output rewrites a corpus with channels " +
+      "and doc starts intact, zero Scala") {
+    import spark.implicits._
+    val dir = tmp("packedcfg")
+    val df = Seq(
+      (0L, 0L, Seq(1, 2, 3), Seq(true, false, true), Seq(0, 0, 0), true),
+      (0L, 1L, Seq(9), Seq(false), Seq(0), true),
+      (0L, 2L, Seq(4, 5, 6, 7), Seq(true, true, false, false), Seq(0, 0, 1, 1),
+        true))
+      .toDF("shard", "seq_id", "input_ids", "loss_mask", "segment_ids",
+        "doc_start")
+    PackedCorpus.write(df, s"$dir/in", numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+      docStartCol = Some("doc_start"))
+    val toml =
+      s"""[fields]
+         |names = ["seq_ix", "n_tokens", "input_ids", "loss_mask", "segment_ids", "doc_start"]
+         |[input]
+         |name = "PackedCorpus"
+         |  [input.config]
+         |  Path = "$dir/in"
+         |[[filter]]
+         |name = "SqlWhere"
+         |  [filter.config]
+         |  Where = "cast(n_tokens as int) >= 3"
+         |[output]
+         |name = "PackedShards"
+         |fields = ["seq_ix", "input_ids", "loss_mask", "segment_ids", "doc_start"]
+         |  [output.config]
+         |  Path = "$dir/out"
+         |  OrderFields = ["seq_ix"]
+         |  NumTasks = 1
+         |""".stripMargin
+    val (result, _) = Topology.compileToml(spark, toml).run()
+    assert(result.paths == Seq(s"$dir/out"))
+    val back = spark.read.format("packedcorpus").load(s"$dir/out")
+      .orderBy("seq_ix")
+      .select("input_ids", "loss_mask", "segment_ids", "doc_start").collect()
+    assert(back.map(_.getSeq[Int](0)).toSeq ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6, 7)))
+    assert(back.map(_.getSeq[Boolean](1)).toSeq ==
+      Seq(Seq(true, false, true), Seq(true, true, false, false)))
+    assert(back.map(_.getSeq[Int](2)).toSeq ==
+      Seq(Seq(0, 0, 0), Seq(0, 0, 1, 1)))
+    assert(back.forall(_.getBoolean(3)))
+  }
+
   test("PackedShards TOML output: PackRows rows land as readable shards") {
     import spark.implicits._
     val dir = tmp("packedtoml")
