@@ -558,6 +558,67 @@ class PackedCorpusSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/out2", "_SUCCESS").exists())
   }
 
+  test("property: 12 random corpora (docs split by the packer, both " +
+      "dtypes, channels on/off) survive reshuffle + rewriteExcluding — " +
+      "group multisets preserved, dropped groups gone, channels intact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 12) {
+      val u16 = trial % 3 == 0
+      val channels = trial % 2 == 0
+      val budget = 4 + rnd.nextInt(6)
+      val nDocs = 4 + rnd.nextInt(10)
+      val docs = (0 until nDocs).map { i =>
+        val n = 1 + rnd.nextInt(2 * budget)
+        (i.toLong, Seq.fill(n)(if (u16) rnd.nextInt(65536) else rnd.nextInt()))
+      }.toDF("doc_id", "toks")
+      val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), col("toks"),
+        transform(col("toks"), x => pmod(x, lit(3)) === 0), budget,
+        pmod(col("doc_id"), lit(2)), padId = 0)
+      val base = tmp(s"packedprop2-$trial")
+      PackedCorpus.write(packed, s"$base/in", numTasks = 1,
+        dtype = if (u16) "uint16" else "int32",
+        maskCol = if (channels) Some("loss_mask") else None,
+        segCol = if (channels) Some("segment_ids") else None,
+        docStartCol = Some("doc_start"))
+      def groups(dir: String): Seq[Seq[Seq[Int]]] = {
+        val rows = spark.read.format("packedcorpus").load(dir)
+          .orderBy("file", "seq_ix")
+          .select("file", "doc_start", "input_ids").collect()
+        val out = scala.collection.mutable.ArrayBuffer[
+          scala.collection.mutable.ArrayBuffer[Seq[Int]]]()
+        var lastFile: String = null
+        for (r <- rows) {
+          if (r.getString(0) != lastFile || r.getBoolean(1)) {
+            out += scala.collection.mutable.ArrayBuffer()
+            lastFile = r.getString(0)
+          }
+          out.last += r.getSeq[Int](2)
+        }
+        out.map(_.toSeq).toSeq
+      }
+      val orig = groups(s"$base/in")
+      // reshuffle: same group multiset, shuffled
+      PackedCorpus.reshuffle(spark, s"$base/in", s"$base/e", 2, s"t$trial")
+      assert(groups(s"$base/e").sortBy(_.hashCode) ==
+        orig.sortBy(_.hashCode), s"trial $trial reshuffle")
+      // rewriteExcluding: drop one random existing sequence — its whole
+      // group disappears, every other group survives verbatim
+      val all = spark.read.format("packedcorpus").load(s"$base/in")
+        .select("file", "seq_ix").collect()
+      val victim = all(rnd.nextInt(all.length))
+      PackedCorpus.rewriteExcluding(spark, s"$base/in", s"$base/c",
+        Seq((victim.getString(0), victim.getLong(1))).toDF("file", "seq_ix"),
+        numShards = 1)
+      val after = groups(s"$base/c")
+      assert(after.length == orig.length - 1, s"trial $trial drop count")
+      val origSet = orig.map(_.toList).groupBy(identity).view.mapValues(_.size).toMap
+      val afterSet = after.map(_.toList).groupBy(identity).view.mapValues(_.size).toMap
+      assert(afterSet.forall { case (g, c) => origSet.getOrElse(g, 0) >= c },
+        s"trial $trial survivors subset")
+    }
+  }
+
   test("daemon pad-waste bound: per-batch packing wastes at most ~shards x " +
       "budget tokens per micro-batch, so batches sized >> shards*budget " +
       "keep the pad fraction small and tiny batches pay the whole budget") {
