@@ -80,11 +80,14 @@ object SparkEntry {
       .otherwise(array().cast("array<string>"))
 
   /** The held-out eval set's distinct id-8-grams (docs with
-    * doc_id % 97 = 0, word-length tokens) — small by construction, built
-    * for broadcast.
+    * doc_id % 97 = 0 AND doc_id < 2000 — a FIXED benchmark suite that
+    * does not grow with the corpus, the production decontamination
+    * shape), word-length tokens; small by construction, built for
+    * broadcast.
     */
   private def evalIdGrams(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").filter(pmod(col("doc_id"), lit(97)) === 0)
+    t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 2000)
       .select(explode(idGrams8(
         transform(TF.tokens(col("text")), w => length(w).cast("int"))))
         .as("g")).distinct()
@@ -129,7 +132,8 @@ object SparkEntry {
                   list_slice(toks, i, i + 7),
                   x -> CAST(x AS VARCHAR)), ',') AS g
          FROM (SELECT toks, unnest(range(1, n - 6)) AS i
-               FROM tk WHERE doc_id % 97 = 0 AND n >= 8)),
+               FROM tk
+               WHERE doc_id % 97 = 0 AND doc_id < 2000 AND n >= 8)),
        tg AS (
          SELECT seq_ix, array_to_string(list_transform(
                   list_slice(toks, i, i + 7),
