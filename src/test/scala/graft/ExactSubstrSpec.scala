@@ -218,4 +218,31 @@ class ExactSubstrSpec extends SparkSpec {
       extBudget = 4, maxAnchorOccurrences = 1000)
     assert(off.collect().toSet == big.collect().toSet)
   }
+
+  test("one-slot occurrence cache: repeated suffix calls reclaim the " +
+      "previous frame (at most one cached RDD), releaseCache frees the " +
+      "last one, and results stay correct throughout") {
+    import spark.implicits._
+    val df = (0L until 8L).map(i => (i, s"a b c d$i common tail e f g"))
+      .toDF("doc_id", "text")
+    def cachedCount: Int =
+      spark.sparkContext.getPersistentRDDs.size
+    ExactSubstr.releaseCache() // clean slate (other suites may have cached)
+    val base = cachedCount
+    val r1 = ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3,
+      maxAnchorOccurrences = 2).collect().toSet
+    val after1 = cachedCount
+    // three more calls: the registry reclaims each predecessor, so the
+    // cached-RDD count never grows past the first call's
+    for (_ <- 0 until 3)
+      ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3,
+        maxAnchorOccurrences = 2).collect()
+    assert(cachedCount <= after1, s"cache grew: $base -> $after1 -> $cachedCount")
+    ExactSubstr.releaseCache()
+    assert(cachedCount <= base + (after1 - base - 1).max(0))
+    // correctness survives the reclaim churn
+    assert(ExactSubstr.suffixDedupStats(df, "doc_id", "text", k = 3,
+      maxAnchorOccurrences = 2).collect().toSet == r1)
+    ExactSubstr.releaseCache() // leave no blocks for later suites
+  }
 }
