@@ -69,6 +69,39 @@ object SparkEntry {
     s"$dir/shards"
   }
 
+  /** Shared readback of a shuffled epoch for the reshuffle oracle rows
+    * (q_packed_reshuffle and its TOML twin q_topology_reshuffle): one row
+    * per reconstructed document group — each row chains its sequences'
+    * content hashes IN ORDER, so a group that was split, reordered
+    * inside, or lost a channel value produces a different chain; the
+    * driver's order-insensitive compare then checks exactly what a
+    * permutation must preserve (the multiset of intact groups).
+    */
+  private def packedEpochGroups(s: SparkSession, epoch: String)
+      : org.apache.spark.sql.DataFrame = {
+    def joined(c: org.apache.spark.sql.Column) =
+      array_join(transform(c, x => x.cast("string")), ",")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("seq_ix")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    s.read.format("packedcorpus").load(epoch)
+      .select(col("file"), col("seq_ix"), col("doc_start"),
+        concat_ws("|",
+          md5(joined(col("input_ids")).cast("binary")),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")),
+          md5(joined(col("segment_ids")).cast("binary"))).as("sq"))
+      .withColumn("grp", sum(col("doc_start").cast("long")).over(w))
+      .groupBy("file", "grp")
+      .agg(md5(array_join(transform(
+          sort_array(collect_list(struct(col("seq_ix"), col("sq")))),
+          p => p.getField("sq")), ",").cast("binary")).as("grp_md5"),
+        count(lit(1)).as("n_seqs"))
+      .select(col("grp_md5"), col("n_seqs"))
+      .orderBy("grp_md5")
+  }
+
   /** Every overlapping 8-gram of a token-id array as a comma-joined
     * string — the decontamination gram basis shared by the audit
     * (q_packed_decontaminate) and the surgery (q_packed_rtbf).
@@ -200,6 +233,29 @@ object SparkEntry {
                     x -> CAST(-1 AS INT)),
                   x -> CAST(x AS VARCHAR)), ',')) AS seg_md5
          FROM asm)"""
+
+  /** The epoch shuffle's invariant restated over the shared rebuild
+    * ([[packedMaskedRebuildCtes]]): a permutation of intact document
+    * groups preserves the MULTISET of group-content chains — number
+    * groups by the cumulative doc-start count in ORIGINAL order and
+    * chain each group's per-sequence content hashes in order; the
+    * shuffle itself needs no restating (the compare is
+    * order-insensitive, exactly the permutation's degree of freedom).
+    * Shared VERBATIM by q_packed_reshuffle (API path) and
+    * q_topology_reshuffle (the [reshuffle] TOML section).
+    */
+  private lazy val packedReshuffleOracle: String =
+    s"""$packedMaskedRebuildCtes,
+       ord AS (
+         SELECT row_number() OVER (ORDER BY shard, seq_id) AS seq_ix,
+                SUM(CASE WHEN ds THEN 1 ELSE 0 END)
+                  OVER (ORDER BY shard, seq_id
+                        ROWS UNBOUNDED PRECEDING) AS grp,
+                ids_md5 || '|' || msk_md5 || '|' || seg_md5 AS sq
+         FROM fin)
+       SELECT md5(string_agg(sq, ',' ORDER BY seq_ix)) AS grp_md5,
+              count(*) AS n_seqs
+       FROM ord GROUP BY grp ORDER BY grp_md5"""
 
   /** Deterministic fernet key for the Crypt roundtrip query/tests. */
   val testKey: String = Fernet.keyFromPassphrase("graft-test-key")
@@ -2170,7 +2226,7 @@ object SparkEntry {
     "q_bm25_rtbf", "q_dedup_incremental_audio", "q_dedup_incremental_image",
     "q_dedup_incremental_substr", "q_dedup_incremental_video",
     "q_packed_decontaminate", "q_packed_reshuffle", "q_packed_rtbf",
-    "q_packed_shards",
+    "q_packed_shards", "q_topology_reshuffle",
     "q_packed_shards_masked", "q_packed_shards_u16", "q_sidecar_recipe",
     "q_simhash_recall",
     "q_topology_jsonl", "q_topology_packed", "q_topology_sft",
@@ -4780,27 +4836,29 @@ object SparkEntry {
       val epoch = shards.stripSuffix("/shards") + "/epoch"
       graft.sources.PackedCorpus.reshuffle(s, shards, epoch,
         numShards = 2, seed = "r17-epoch")
-      def joined(c: org.apache.spark.sql.Column) =
-        array_join(transform(c, x => x.cast("string")), ",")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("file").orderBy("seq_ix")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      s.read.format("packedcorpus").load(epoch)
-        .select(col("file"), col("seq_ix"), col("doc_start"),
-          concat_ws("|",
-            md5(joined(col("input_ids")).cast("binary")),
-            md5(joined(transform(col("loss_mask"), m => m.cast("int")))
-              .cast("binary")),
-            md5(joined(col("segment_ids")).cast("binary"))).as("sq"))
-        .withColumn("grp", sum(col("doc_start").cast("long")).over(w))
-        .groupBy("file", "grp")
-        .agg(md5(array_join(transform(
-            sort_array(collect_list(struct(col("seq_ix"), col("sq")))),
-            p => p.getField("sq")), ",").cast("binary")).as("grp_md5"),
-          count(lit(1)).as("n_seqs"))
-        .select(col("grp_md5"), col("n_seqs"))
-        .orderBy("grp_md5")
+      packedEpochGroups(s, epoch)
+    }),
+
+    "q_topology_reshuffle" -> ((s, d) => {
+      // the SAME epoch shuffle driven ENTIRELY from config — the
+      // [reshuffle] job section ([[graft.topology.Reshuffle]]), a
+      // reshuffle-only TOML with no [input]/[output] at all: the
+      // per-epoch operation a trainer runs most often, now reachable
+      // with zero Scala like its lifecycle siblings (export, audit,
+      // filter-and-re-export, RTBF). Same fixture, same seed, same
+      // readback; the oracle is q_packed_reshuffle's VERBATIM — the
+      // config path must reproduce the API path bit for bit.
+      val shards = writeMaskedPackedShards(s, d, "packedepochtoml-q")
+      val epoch = shards.stripSuffix("/shards") + "/epoch"
+      val toml =
+        s"""[reshuffle]
+           |InDir = "$shards"
+           |OutDir = "$epoch"
+           |Shards = 2
+           |Seed = "r17-epoch"
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml)
+      packedEpochGroups(s, epoch)
     }),
 
     "q_packed_decontaminate" -> ((s, d) => {
@@ -8418,25 +8476,10 @@ object SparkEntry {
                 CAST(CASE WHEN ds THEN 1 ELSE 0 END AS INT) AS doc_start,
                 ids_md5, msk_md5, seg_md5
          FROM ord ORDER BY seq_ix""",
-    "q_packed_reshuffle" ->
-      // the epoch shuffle's invariant restated over the SHARED rebuild
-      // ([[packedMaskedRebuildCtes]]): a permutation of intact document
-      // groups preserves the MULTISET of group-content chains — number
-      // groups by the cumulative doc-start count in ORIGINAL order and
-      // chain each group's per-sequence content hashes in order; the
-      // shuffle itself needs no restating (the compare is
-      // order-insensitive, exactly the permutation's degree of freedom)
-      s"""$packedMaskedRebuildCtes,
-         ord AS (
-           SELECT row_number() OVER (ORDER BY shard, seq_id) AS seq_ix,
-                  SUM(CASE WHEN ds THEN 1 ELSE 0 END)
-                    OVER (ORDER BY shard, seq_id
-                          ROWS UNBOUNDED PRECEDING) AS grp,
-                  ids_md5 || '|' || msk_md5 || '|' || seg_md5 AS sq
-           FROM fin)
-         SELECT md5(string_agg(sq, ',' ORDER BY seq_ix)) AS grp_md5,
-                count(*) AS n_seqs
-         FROM ord GROUP BY grp ORDER BY grp_md5""",
+    "q_packed_reshuffle" -> packedReshuffleOracle,
+    // the config path must reproduce the API path bit for bit: the TOML
+    // twin shares the oracle VERBATIM
+    "q_topology_reshuffle" -> packedReshuffleOracle,
     "q_packed_decontaminate" ->
       // shard-level decontamination restated over the SHARED decon CTEs
       // ([[packedDeconCtes]]): n_hits = the sequence's 8-gram POSITIONS

@@ -65,7 +65,24 @@ object ExactSubstr {
 
   private def registerCache(cached: DataFrame): Unit = {
     val prev = occCache.getAndSet(cached)
-    if (prev ne cached) dropCache(prev)
+    if (prev ne cached) {
+      // make slot thrash VISIBLE: reclaiming a still-persisted frame of a
+      // live session is safe (lineage recomputes) but silently turns each
+      // downstream consumer of the evicted frame into a full O(corpus)
+      // re-scan — two concurrent suffix-dedup pipelines in one JVM would
+      // otherwise be a hard-to-diagnose performance cliff, not an error
+      try {
+        if (prev != null && !prev.sparkSession.sparkContext.isStopped &&
+            prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          System.err.println(
+            "[graft] ExactSubstr: reclaiming the previous suffix-occurrence " +
+              "cache while it is still persisted - its remaining consumers " +
+              "will recompute the O(corpus) occurrence scan from lineage " +
+              "(one-slot cache; concurrent suffix-dedup pipelines in one " +
+              "JVM thrash this slot)")
+      } catch { case _: Exception => () } // stopped mid-check: nothing to warn
+      dropCache(prev)
+    }
   }
 
   /** Free the last suffix-occurrence cache (safe any time: unpersist of

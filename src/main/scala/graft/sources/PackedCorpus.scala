@@ -267,14 +267,22 @@ object PackedCorpus {
               // deterministic under a fixed partitioning); anything else
               // — a concurrent foreign writer, a stale survivor the
               // pre-clean missed — must fail loudly, never silently drop
-              // this task's bytes. Length equality is the cheap witness:
-              // identical attempts write identical byte counts.
+              // this task's bytes. Length is the fast pre-filter; the
+              // identity witness is a FULL streaming byte compare (a
+              // same-length foreign shard must not be accepted as the
+              // winner) — the race path is exceptional, so the extra
+              // read costs nothing in the steady state.
               val stagedLen = fs.getFileStatus(st).getLen
               val finalLen = fs.getFileStatus(f).getLen
               require(stagedLen == finalLen,
                 s"PackedCorpus: $f exists with $finalLen bytes but this " +
                   s"attempt staged $stagedLen - refusing to drop a " +
                   "non-identical shard (foreign or stale writer?)")
+              require(sameBytes(fs, st, f),
+                s"PackedCorpus: $f exists with the same length but " +
+                  s"DIFFERENT bytes than this attempt's staged $st - " +
+                  "refusing to drop a non-identical shard (foreign or " +
+                  "stale writer?)")
               fs.delete(st, false)
             }
             else throw new java.io.IOException(
@@ -293,6 +301,39 @@ object PackedCorpus {
       .filter(_.getName.startsWith(".inprogress-"))
       .foreach(p => fs.delete(p, false))
     fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  /** Streaming byte-equality of two files, short-circuiting on the first
+    * differing chunk — the rename-race identity witness ([[write]]'s
+    * commit step). Only ever runs on the exceptional lost-race path.
+    */
+  private def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
+      a: Path, b: Path): Boolean = {
+    val ia = new java.io.BufferedInputStream(fs.open(a), 1 << 16)
+    val ib = new java.io.BufferedInputStream(fs.open(b), 1 << 16)
+    try {
+      val ba = new Array[Byte](1 << 16)
+      val bb = new Array[Byte](1 << 16)
+      var same = true
+      var eof = false
+      while (same && !eof) {
+        def fill(in: InputStream, buf: Array[Byte]): Int = {
+          var off = 0
+          var n = 0
+          while (off < buf.length && n >= 0) {
+            n = in.read(buf, off, buf.length - off)
+            if (n > 0) off += n
+          }
+          off
+        }
+        val na = fill(ia, ba)
+        val nb = fill(ib, bb)
+        if (na != nb ||
+            !java.util.Arrays.equals(ba, 0, na, bb, 0, nb)) same = false
+        else if (na < ba.length) eof = true
+      }
+      same
+    } finally { ia.close(); ib.close() }
   }
 
   private[sources] def readLongLE(in: InputStream): Long = {
@@ -371,7 +412,24 @@ object PackedCorpus {
     */
   private def corpusLayout(fs: org.apache.hadoop.fs.FileSystem,
       inDir: String, dtype: String): (Boolean, Boolean, String) = {
-    val present = fs.listStatus(new Path(inDir)).map(_.getPath.getName)
+    // glob-aware expansion (the DSv2 Path contract is "directory or
+    // glob", so the rewrite utilities must not FileNotFound on a glob) —
+    // but the rewrites key sequences by BASENAME `file`, so inputs
+    // spanning MULTIPLE directories would collide duplicate
+    // (file, seq_ix) keys (e.g. daemon batch=N dirs all holding
+    // part-00000.bin). Reject those loudly with the single-flat-dir
+    // requirement instead of corrupting the rewrite.
+    val conf = fs.getConf
+    val files = WarcSource.expand(Seq(inDir), conf, "packedcorpus")
+    val parents = files.map(f => new Path(f).getParent.toUri.getPath).distinct
+    require(parents.length == 1,
+      s"PackedCorpus: corpus rewrites (reshuffle/rewriteExcluding) require " +
+        s"a SINGLE flat shard directory - '$inDir' resolves to files under " +
+        s"${parents.length} directories [${parents.take(5).mkString(", ")}" +
+        s"${if (parents.length > 5) ", ..." else ""}]; sequence identity is " +
+        "the shard BASENAME, so multi-directory inputs would collide " +
+        "duplicate (file, seq_ix) keys")
+    val present = files.map(f => new Path(f).getName)
     val hasMask = present.exists(_.endsWith(".mask.idx"))
     val hasSeg = present.exists(_.endsWith(".seg.idx"))
     val outDtype = if (dtype.nonEmpty) dtype else {
@@ -379,7 +437,7 @@ object PackedCorpus {
         .getOrElse(throw new IllegalArgumentException(
           s"PackedCorpus: no .idx sidecars under $inDir"))
       val in = new java.io.BufferedInputStream(
-        fs.open(new Path(inDir, first)), 1 << 16)
+        fs.open(new Path(parents.head, first)), 1 << 16)
       val code = try parseIdx(in)._4 finally in.close()
       if (code == DtypeUint16) "uint16" else "int32"
     }
@@ -496,32 +554,57 @@ object PackedCorpus {
     * writer's single exchange — token bytes shuffle exactly once.
     */
   def rewriteExcluding(spark: SparkSession, inDir: String, outDir: String,
-      drop: DataFrame, numShards: Int = 0, dtype: String = ""): Unit = {
+      drop: DataFrame, numShards: Int = 0, dtype: String = "",
+      maxDrop: Int = 1000000): Unit = {
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
     requireDistinctDirs(fs, inDir, outDir, "rewriteExcluding")
     val (hasMask, hasSeg, outDtype) = corpusLayout(fs, inDir, dtype)
+    // the caller's drop frame evaluates EXACTLY ONCE (this collect) — the
+    // [[graft.streaming.StoreLayout.deleteIds]] bounded-collect
+    // discipline: a takedown list is often DERIVED (an id-n-gram audit
+    // over the corpus), and the count-then-broadcast shape would re-run
+    // that audit once per consumer. Takedown-scale bound, loud beyond.
     val dropKeys = drop.select(col("file").cast("string").as("__df"),
       col("seq_ix").cast("long").as("__ds")).distinct()
+    val collected = dropKeys.limit(maxDrop + 1).collect()
+    require(collected.length <= maxDrop,
+      s"PackedCorpus.rewriteExcluding: more than $maxDrop distinct drop " +
+        "rows - a drop set of corpus scale should re-export the KEEP side " +
+        "from its own frame instead of a takedown anti-join")
+    val doomed = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), dropKeys.schema))
     // sidecar-only widening pass: zero data bytes read
     val grouped = withDocGroups(spark.read.format("packedcorpus").load(inDir)
       .select("file", "seq_ix", "doc_start"))
-    val matched = grouped.join(broadcast(dropKeys),
+    val matched = grouped.join(doomed,
       col("file") === col("__df") && col("seq_ix") === col("__ds"))
     val dropGroups = matched.select(col("file").as("__gf"),
       col("__grp").as("__gg")).distinct()
-    val dropSeqs = grouped.join(broadcast(dropGroups),
+    // widened drop set: bounded by dropped GROUPS × their sequences
+    // (takedown-scale) — collected once, so the final anti-join's build
+    // side is a local relation, not a window re-computation
+    val dropSeqRows = grouped.join(broadcast(dropGroups),
         col("file") === col("__gf") && col("__grp") === col("__gg"))
       .select(col("file").as("__xf"), col("seq_ix").as("__xs"))
+      .limit(maxDrop + 1).collect()
+    require(dropSeqRows.length <= maxDrop,
+      s"PackedCorpus.rewriteExcluding: widened drop set exceeds $maxDrop " +
+        "sequences - the flagged document groups cover too much of the " +
+        "corpus for a takedown anti-join; re-export the keep side instead")
+    val dropSeqs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(dropSeqRows: _*),
+      StructType(Seq(StructField("__xf", StringType),
+        StructField("__xs", LongType)))))
     // loud completeness check on the drop list itself (cheap: sidecar
     // cardinalities), before any write touches the target
-    val nDrop = dropKeys.count()
+    val nDrop = collected.length.toLong
     val nMatched = matched.count()
     require(nMatched == nDrop,
       s"PackedCorpus.rewriteExcluding: ${nDrop - nMatched} of $nDrop drop " +
         "rows match no (file, seq_ix) in the corpus - a stale or mistyped " +
         "takedown list must never no-op into a fresh _SUCCESS")
     val survivors = spark.read.format("packedcorpus").load(inDir)
-      .join(broadcast(dropSeqs),
+      .join(dropSeqs,
         col("file") === col("__xf") && col("seq_ix") === col("__xs"),
         "left_anti")
     write(survivors, outDir, idsCol = "input_ids",

@@ -87,7 +87,7 @@ object WarcSource {
     raw
   }
 
-  private[sources] def expand(paths: Seq[String], conf: Configuration,
+  private[graft] def expand(paths: Seq[String], conf: Configuration,
       format: String = "warc"): Seq[String] = {
     val files = paths.flatMap { p =>
       val hp = new Path(p)

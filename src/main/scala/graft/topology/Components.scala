@@ -225,6 +225,26 @@ object BuiltinComponents {
       require(missing.isEmpty,
         s"PackedCorpus input: fields [${missing.mkString(", ")}] absent " +
           s"from the shard schema [${df.columns.mkString(", ")}]")
+      // fail-loud channel presence: the DSv2 yields NULL arrays for a
+      // channel the corpus was exported without, and array_join(null)
+      // propagates null — a config-only audit would silently misread
+      // channel ABSENCE as empty masks. Check the channel sidecars exist
+      // under Path before the record model can launder the nulls.
+      val wantChannels = Seq(
+        "loss_mask" -> ".mask.idx", "segment_ids" -> ".seg.idx")
+        .filter { case (f, _) => ctx.fields.contains(f) }
+      if (wantChannels.nonEmpty) {
+        val conf = ctx.spark.sessionState.newHadoopConf()
+        val names = graft.sources.WarcSource
+          .expand(Seq(cfg.str("Path")), conf, "packedcorpus")
+          .map(f => new Path(f).getName)
+        for ((field, suffix) <- wantChannels)
+          require(names.exists(_.endsWith(suffix)),
+            s"PackedCorpus input: field '$field' requested but the corpus " +
+              s"at ${cfg.str("Path")} has no '$suffix' channel sidecars - " +
+              "it was exported without that channel (re-export with " +
+              "MaskField/SegField, or drop the field)")
+      }
       def toStr(f: String) = f match {
         case "input_ids" | "segment_ids" =>
           array_join(transform(col(f), x => x.cast("string")), ",").as(f)

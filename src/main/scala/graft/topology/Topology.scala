@@ -46,6 +46,12 @@ object Topology {
         * [[Tokenize.train]].
         */
       tokenizer: Option[ComponentConfig] = None,
+      /** Optional job-level `[reshuffle]` section (extension surface):
+        * runs the packed-corpus epoch shuffle eagerly at compile — see
+        * [[Reshuffle.run]]. A reshuffle-only TOML (no `[input]`/
+        * `[output]`) compiles against a synthesized inert topology.
+        */
+      reshuffle: Option[ComponentConfig] = None,
   )
 
   /** Decode the parsed TOML tree (reference: NewConfigFromToml stages 2-6). */
@@ -61,8 +67,23 @@ object Topology {
       case _ => ComponentConfig(Map.empty, name)
     }
 
+    val reshuffleCfg = tree.get("reshuffle") match {
+      // job-level section like [tokenizer]: keys live directly under it
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        Some(ComponentConfig(m, "reshuffle"))
+      case None => None
+      case Some(other) =>
+        throw new IllegalArgumentException(s"topology: [reshuffle]: $other")
+    }
+    // a reshuffle-only TOML is a complete job: synthesize an inert
+    // topology (one literal record into Nop) around the section so the
+    // user writes ONLY [reshuffle]
+    val standaloneReshuffle = reshuffleCfg.isDefined &&
+      !tree.contains("input") && !tree.contains("output")
+
     val fields = table("fields").get("names") match {
       case Some(l: List[Any @unchecked]) => l.map(_.toString)
+      case _ if standaloneReshuffle => Seq("_")
       case _ => Nil
     }
     val sep = table("csv").get("field_separator") match {
@@ -74,9 +95,15 @@ object Topology {
     }
     require(sep.length == 1, s"csv.field_separator must be one char, got '$sep'")
 
-    val inputT = table("input")
+    val inputT =
+      if (standaloneReshuffle)
+        Map[String, Any]("name" -> "LogLines",
+          "config" -> Map[String, Any]("Lines" -> List("reshuffle")))
+      else table("input")
     require(inputT.contains("name"), "topology: [input] name is required")
-    val outputT = table("output")
+    val outputT =
+      if (standaloneReshuffle) Map[String, Any]("name" -> "Nop")
+      else table("output")
     require(outputT.contains("name"), "topology: [output] name is required")
 
     val filters = tree.get("filter") match {
@@ -145,6 +172,7 @@ object Topology {
         case Some(other) =>
           throw new IllegalArgumentException(s"topology: [tokenizer]: $other")
       },
+      reshuffle = reshuffleCfg,
     )
   }
 
@@ -346,6 +374,14 @@ object Topology {
     for (tCfg <- cfg.tokenizer) {
       require(!df.isStreaming, "[tokenizer]: training requires a batch input")
       Tokenize.train(ctx, tCfg, df)
+    }
+
+    // --- [reshuffle] epoch-shuffle step (extension surface): runs the
+    // packed-corpus epoch shuffle eagerly, like [tokenizer] — the
+    // section IS the job; the surrounding topology is usually inert
+    for (rCfg <- cfg.reshuffle) {
+      require(!df.isStreaming, "[reshuffle]: requires a batch topology")
+      Reshuffle.run(ctx, rCfg)
     }
 
     // --- sharding (topology.go:157-184): the one intentional shuffle ---

@@ -793,4 +793,110 @@ class PackedCorpusSpec extends SparkSpec {
     assert(back.forall(_.getSeq[Int](3).length == 8))
     assert(back.exists(_.getSeq[Int](3).contains(-4)))
   }
+
+  test("[reshuffle] TOML job section ≡ the reshuffle API, byte for byte — " +
+      "and a reshuffle-only TOML (no [input]/[output]) is a complete job") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, Seq.fill(2 + (i * 5) % 7)(i)))
+      .toDF("doc_id", "toks")
+    val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), col("toks"),
+      transform(col("toks"), _ => lit(true)), 8, pmod(col("doc_id"), lit(2)),
+      padId = -1)
+    val base = tmp("packedshuftoml")
+    PackedCorpus.write(packed, s"$base/in", numTasks = 1,
+      maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+      docStartCol = Some("doc_start"))
+    PackedCorpus.reshuffle(spark, s"$base/in", s"$base/api", 2, "epoch-7")
+    val toml =
+      s"""[reshuffle]
+         |InDir = "$base/in"
+         |OutDir = "$base/toml"
+         |Shards = 2
+         |Seed = "epoch-7"
+         |""".stripMargin
+    Topology.compileToml(spark, toml)
+    def bytes(dir: String): Map[String, Seq[Byte]] =
+      new java.io.File(dir).listFiles()
+        .filter(f => !f.getName.startsWith(".") && f.getName != "_SUCCESS")
+        .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(bytes(s"$base/toml") == bytes(s"$base/api"))
+    // a bad key is loud at compile, before anything touches the target
+    val e = intercept[Exception](Topology.compileToml(spark,
+      s"""[reshuffle]
+         |InDir = "$base/in"
+         |OutDir = "$base/x"
+         |Shards = 2
+         |Sead = "typo"
+         |""".stripMargin))
+    assert(e.getMessage.toLowerCase.contains("sead"))
+    assert(!new java.io.File(s"$base/x", "_SUCCESS").exists())
+  }
+
+  test("rewriteExcluding evaluates the caller's drop frame EXACTLY ONCE " +
+      "(an audit-derived takedown list never re-runs its audit)") {
+    import spark.implicits._
+    val docs = Seq((0L, Seq(1, 1)), (1L, Seq(2, 2)), (2L, Seq(3, 3)))
+      .toDF("doc_id", "toks")
+    val packed = graft.llm.Pack.packTokens(docs, col("doc_id"), col("toks"),
+      transform(col("toks"), _ => lit(true)), 2, lit(0L), padId = -1)
+    val base = tmp("packedonceeval")
+    PackedCorpus.write(packed, s"$base/in", numTasks = 1,
+      docStartCol = Some("doc_start"))
+    val acc = spark.sparkContext.longAccumulator("dropEvaluations")
+    val drop = Seq(("part-00000.bin", 1L)).toDF("file", "seq_ix")
+      .coalesce(1).as[(String, Long)]
+      .mapPartitions { it => acc.add(1); it }.toDF("file", "seq_ix")
+    PackedCorpus.rewriteExcluding(spark, s"$base/in", s"$base/out", drop,
+      numShards = 1)
+    assert(acc.value == 1L,
+      s"drop frame evaluated ${acc.value} times (must be exactly 1)")
+    assert(spark.read.format("packedcorpus").load(s"$base/out").count() == 2L)
+  }
+
+  test("corpus rewrites accept a GLOB resolving to one flat directory and " +
+      "reject multi-directory inputs loudly (basename identity)") {
+    import spark.implicits._
+    val base = tmp("packedglob")
+    PackedCorpus.write(Seq((0L, 0L, Seq(1, 2))).toDF("shard", "seq_id", "input_ids"),
+      s"$base/in", numTasks = 1)
+    // a glob that resolves to the single flat dir works (the DSv2 Path
+    // contract is 'directory or glob' — the rewrites must not
+    // FileNotFound on it)
+    PackedCorpus.reshuffle(spark, s"$base/i*", s"$base/e1", 1, "s")
+    assert(spark.read.format("packedcorpus").load(s"$base/e1").count() == 1L)
+    // two shard dirs under one glob: duplicate (file, seq_ix) basenames
+    // would collide — refused with the single-flat-dir requirement
+    PackedCorpus.write(Seq((0L, 0L, Seq(9))).toDF("shard", "seq_id", "input_ids"),
+      s"$base/in2", numTasks = 1)
+    val e = intercept[Exception](
+      PackedCorpus.reshuffle(spark, s"$base/i*", s"$base/e2", 1, "s"))
+    assert(e.getMessage.contains("SINGLE flat shard directory"))
+  }
+
+  test("PackedCorpus TOML input fails LOUDLY when a requested channel " +
+      "field has no sidecars in the corpus (never null-as-empty masks)") {
+    import spark.implicits._
+    val base = tmp("packedchantoml")
+    PackedCorpus.write(Seq((0L, 0L, Seq(1, 2))).toDF("shard", "seq_id", "input_ids"),
+      s"$base/in", numTasks = 1) // no mask/seg channels
+    def toml(fields: String) =
+      s"""[fields]
+         |names = [$fields]
+         |[input]
+         |name = "PackedCorpus"
+         |  [input.config]
+         |  Path = "$base/in"
+         |[output]
+         |name = "Nop"
+         |""".stripMargin
+    val e = intercept[Exception](
+      Topology.compileToml(spark, toml("\"seq_ix\", \"loss_mask\"")))
+    assert(e.getMessage.contains(".mask.idx"))
+    val e2 = intercept[Exception](
+      Topology.compileToml(spark, toml("\"seq_ix\", \"segment_ids\"")))
+    assert(e2.getMessage.contains(".seg.idx"))
+    // channel-free fields still compile and read
+    assert(Topology.compileToml(spark, toml("\"seq_ix\", \"n_tokens\""))
+      .projected.count() == 1L)
+  }
 }
