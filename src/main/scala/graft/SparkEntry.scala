@@ -102,6 +102,75 @@ object SparkEntry {
       .orderBy("grp_md5")
   }
 
+  /** ONE planted main-content page, shared by q_html_main_text and the
+    * WARC pretraining capstone (q_topology_pretrain): each document's
+    * prose wrapped in article paragraphs between nav, cookie banner,
+    * aside and footer boilerplate. One Column builder, one SQL
+    * restatement — the exact-Jaccard-kernel convention.
+    */
+  private def mainDemoPage(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>nav{color:#eee}</style></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+      "<a href=\"/contact\">Contact</a></nav>"),
+    lit("<header><h1>Site &amp; Co</h1></header>"),
+    lit("<div class=\"cookie\">We use cookies. " +
+      "<a href=\"/privacy\">Learn more</a></div>"),
+    lit("<article><p>"), substring(text, 1, 200),
+    lit("</p><!-- ad slot --><p>"), substring(text, 201, 200),
+    lit(" closing words keep this paragraph long enough.</p></article>"),
+    lit("<aside><a href=\"/rel1\">Related one</a> " +
+      "<a href=\"/rel2\">Related two</a></aside>"),
+    lit("<footer>(c) 2026 Example <a href=\"/tos\">Terms</a> " +
+      "<a href=\"/priv\">Privacy</a></footer>"),
+    lit("</body></html>"))
+
+  /** [[mainDemoPage]]'s DuckDB restatement (feeds [[htmlMainChainSql]]). */
+  private val mainDemoPageSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  '</title><style>nav{color:#eee}</style></head><body>' ||
+                  '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+                  '<a href="/contact">Contact</a></nav>' ||
+                  '<header><h1>Site &amp; Co</h1></header>' ||
+                  '<div class="cookie">We use cookies. ' ||
+                  '<a href="/privacy">Learn more</a></div>' ||
+                  '<article><p>' || substr(text, 1, 200) ||
+                  '</p><!-- ad slot --><p>' || substr(text, 201, 200) ||
+                  ' closing words keep this paragraph long enough.</p></article>' ||
+                  '<aside><a href="/rel1">Related one</a> ' ||
+                  '<a href="/rel2">Related two</a></aside>' ||
+                  '<footer>(c) 2026 Example <a href="/tos">Terms</a> ' ||
+                  '<a href="/priv">Privacy</a></footer>' ||
+                  '</body></html>'"""
+
+  /** WARC fixture for the pretraining capstone: each non-empty document
+    * becomes one ISO 28500 response record whose HTTP body is the
+    * [[mainDemoPage]] HTML, written as plain concatenated-record WARC
+    * files (the text writer's extra newline between records is legal
+    * inter-record padding the reader skips). Content-Length is the
+    * BODY'S UTF-8 byte count (octet_length — a char count would corrupt
+    * the framing on any multi-byte text).
+    */
+  private def writeWarcFixture(s: SparkSession, d: String, dir: String): Unit = {
+    val docs = t(s, d, "documents").filter(col("text") =!= "")
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+      mainDemoPage(col("text")))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+      col("doc_id").cast("string"),
+      lit(">\r\nWARC-Date: 2026-08-16T00:00:00Z\r\n" +
+        "WARC-Target-URI: https://x.test/doc/"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
+        "Content-Length: "),
+      octet_length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    docs.select(rec.as("value")).coalesce(2)
+      .write.mode("overwrite").text(dir)
+  }
+
   /** Every overlapping 8-gram of a token-id array as a comma-joined
     * string — the decontamination gram basis shared by the audit
     * (q_packed_decontaminate) and the surgery (q_packed_rtbf).
@@ -1464,7 +1533,7 @@ object SparkEntry {
     * [[graft.llm.Pack.packTokensGreedy]]'s layout.
     */
   private def greedyPackTailSql(budget: Int, padId: Int,
-      sepId: Option[Int] = None): String = {
+      sepId: Option[Int] = None, finalSelect: Option[String] = None): String = {
     val sepc = if (sepId.isDefined) 1 else 0
     val sepPiece = sepId.map(s =>
       s"CASE WHEN pidx > 0 THEN [CAST($s AS INT)] ELSE CAST([] AS INT[]) END || ")
@@ -1520,7 +1589,7 @@ object SparkEntry {
                 mk0 || list_transform(range($budget - len(ids0)),
                   x -> false) AS mk
          FROM asm)
-       SELECT shard, seq_id,
+       ${finalSelect.getOrElse("""SELECT shard, seq_id,
               md5(array_to_string(list_transform(ids,
                 x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
               md5(array_to_string(list_transform(sg,
@@ -1528,7 +1597,7 @@ object SparkEntry {
               md5(array_to_string(list_transform(mk,
                 x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
               CAST(n_real AS INT) AS n_real
-       FROM fin ORDER BY shard, seq_id"""
+       FROM fin ORDER BY shard, seq_id""")}"""
   }
 
   /** Oracle for q_pack_ids_unigram — the SentencePiece SFT path replayed
@@ -2229,8 +2298,8 @@ object SparkEntry {
     "q_packed_shards", "q_topology_reshuffle",
     "q_packed_shards_masked", "q_packed_shards_u16", "q_sidecar_recipe",
     "q_simhash_recall",
-    "q_topology_jsonl", "q_topology_packed", "q_topology_sft",
-    "q_topology_tokenize",
+    "q_topology_jsonl", "q_topology_packed", "q_topology_pretrain",
+    "q_topology_sft", "q_topology_tokenize",
     "q_topology_wordpiece", "q_topology_webdataset", "q_video_neardup")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3653,6 +3722,91 @@ object SparkEntry {
            |fields = ["doc_id"]
            |""".stripMargin
       graft.topology.Topology.compileToml(s, toml).projected.orderBy("doc_id")
+    }),
+
+    "q_topology_pretrain" -> ((s, d) => {
+      // the PRETRAINING FUNNEL capstone, ONE config end to end: WARC
+      // (Common Crawl's container, via the new TOML input) → MainContent
+      // boilerplate removal → C4 line gate → Gopher quality gate →
+      // verified near-dup dedup → TokenizeIds under an IMPORTED
+      // HuggingFace tokenizer.json → PackRows → PackedShards — raw crawl
+      // bytes to mountable trainer shards with zero Scala. Every stage
+      // has its own oracle row; this row pins their COMPOSITION: the
+      // oracle rebuilds the planted pages, replays the whole funnel in
+      // SQL and restates the exported shard layout (seq_ix, ptr, and all
+      // three channels' content) — a drift in ANY stage, in the funnel's
+      // order, or at the export boundary breaks the hash.
+      val dir = qTmpDir("pretrain-q")
+      writeWarcFixture(s, d, s"$dir/warc")
+      graft.llm.HfTokenizer.exportBpe(s"$dir/tok.json",
+        vocab = bpeDemoMerges.map { case (a, b) => a + b }.zipWithIndex,
+        merges = bpeDemoMerges, byteLevel = false)
+      val toml =
+        s"""[fields]
+           |names = ["target_uri", "payload"]
+           |[input]
+           |name = "WARC"
+           |  [input.config]
+           |  Path = "$dir/warc"
+           |  Types = "response"
+           |[[filter]]
+           |name = "SqlExpr"
+           |  [filter.config]
+           |  DstField = "doc_id"
+           |  Expr = "regexp_extract(target_uri, '([0-9]+)$$', 1)"
+           |[[filter]]
+           |name = "MainContent"
+           |  [filter.config]
+           |  SrcField = "payload"
+           |  DstField = "text"
+           |[[filter]]
+           |name = "C4Clean"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "text"
+           |  MinWords = 5
+           |  MinKept = 1
+           |  Gate = true
+           |[[filter]]
+           |name = "GopherQuality"
+           |  [filter.config]
+           |  Field = "text"
+           |[[filter]]
+           |name = "NearDupDedup"
+           |  [filter.config]
+           |  IdField = "doc_id"
+           |  Field = "text"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  VocabPath = "$dir/tok.json"
+           |[[filter]]
+           |name = "PackRows"
+           |  [filter.config]
+           |  IdsField = "ids"
+           |  OrderField = "doc_id"
+           |  Budget = 512
+           |  Shards = 2
+           |  EosId = -4
+           |[output]
+           |name = "PackedShards"
+           |fields = ["shard", "seq_id", "input_ids", "segment_ids", "loss_mask", "n_real", "doc_start"]
+           |  [output.config]
+           |  Path = "$dir/shards"
+           |  NumTasks = 1
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).run()
+      def joined(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("string")), ",")
+      s.read.format("packedcorpus").load(s"$dir/shards")
+        .select(col("seq_ix"), col("ptr"), col("n_tokens"),
+          md5(joined(col("input_ids")).cast("binary")).as("ids_md5"),
+          md5(joined(transform(col("loss_mask"), m => m.cast("int")))
+            .cast("binary")).as("msk_md5"),
+          md5(joined(col("segment_ids")).cast("binary")).as("seg_md5"))
+        .orderBy("seq_ix")
     }),
 
     "q_corpus_report" -> ((s, d) =>
@@ -5147,6 +5301,54 @@ object SparkEntry {
             .cast("binary")).as("ids_md5"))
         .orderBy("doc_id")),
 
+    "q_tokenize_hf_import" -> ((s, d) => {
+      // id-for-id encoding under an IMPORTED HuggingFace tokenizer.json —
+      // the portability seam: the file (GPT-2 format: byte-level
+      // pretokenization, explicit NON-CONTIGUOUS ids 3·pos+7 so the id
+      // MAP is exercised, not list positions) is a query parameter
+      // written first; the TOML TokenizeIds filter then encodes the
+      // corpus under it. The oracle replays the same byte-level merge
+      // chain and maps each symbol through the same 3·pos+7 arithmetic —
+      // any drift in import parsing, merge order, or the explicit-id
+      // map breaks the hash. Same normalization/ASCII preconditions as
+      // q_bpe_ids.
+      val dir = qTmpDir("hfimport-q")
+      graft.llm.HfTokenizer.exportBpe(s"$dir/tok.json",
+        vocab = byteBpeDemoVocab.zipWithIndex
+          .map { case (p, i) => (p, 3 * i + 7) },
+        merges = byteLevelDemoMerges, byteLevel = true)
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "SqlExpr"
+           |  [filter.config]
+           |  DstField = "text"
+           |  # four escape layers deep (Scala, TOML, Spark SQL literal):
+           |  # the regex that reaches regexp_replace is whitespace-runs
+           |  Expr = "regexp_replace(trim(coalesce(text, '')), '\\\\\\\\s+', ' ')"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  CountField = "n_ids"
+           |  VocabPath = "$dir/tok.json"
+           |[output]
+           |name = "Nop"
+           |fields = ["doc_id", "ids", "n_ids"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_ids").cast("int").as("n_ids"),
+          md5(col("ids").cast("binary")).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_bpe_roundtrip" -> ((s, d) => {
       // the losslessness LAW: text → byte-level BPE → vocabulary ids →
       // decode must reproduce the input byte-for-byte (the byte map is a
@@ -5529,22 +5731,7 @@ object SparkEntry {
       // link-dense — all must drop). The block scores bind once and feed
       // md5/len/counts through one explode (single evaluation site;
       // HtmlMainTextSpec pins this rebuild equal to TF.htmlMainText).
-      val page = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><style>nav{color:#eee}</style></head><body>"),
-        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
-          "<a href=\"/contact\">Contact</a></nav>"),
-        lit("<header><h1>Site &amp; Co</h1></header>"),
-        lit("<div class=\"cookie\">We use cookies. " +
-          "<a href=\"/privacy\">Learn more</a></div>"),
-        lit("<article><p>"), substring(col("text"), 1, 200),
-        lit("</p><!-- ad slot --><p>"), substring(col("text"), 201, 200),
-        lit(" closing words keep this paragraph long enough.</p></article>"),
-        lit("<aside><a href=\"/rel1\">Related one</a> " +
-          "<a href=\"/rel2\">Related two</a></aside>"),
-        lit("<footer>(c) 2026 Example <a href=\"/tos\">Terms</a> " +
-          "<a href=\"/priv\">Privacy</a></footer>"),
-        lit("</body></html>"))
+      val page = mainDemoPage(col("text"))
       val scored = TF.bindOnce(TF.htmlBlockScores(page)) { b =>
         val kept = filter(b, x =>
           x.getField("len") >= 30 &&
@@ -7086,6 +7273,104 @@ object SparkEntry {
          SELECT doc_id FROM tok
          WHERE doc_id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
          ORDER BY doc_id""",
+    "q_topology_pretrain" -> {
+      // the whole funnel replayed: mainDemoPageSql pages → the
+      // htmlMainChainSql extractor → C4 line+page gates → the Gopher
+      // shape gate → the shared exact-Jaccard kill rule (VARCHAR id
+      // order — the record model compares strings) → the bpeDemoMerges
+      // replace-chain tokenizer with ids by rule index → the break-chain
+      // greedy tail (budget 512, pad −2, EOS −4 trained-on) → the
+      // single-file export's (seq_ix, ptr) arithmetic: every row is
+      // padded to the 512 budget, so ptr = 4·512·seq_ix
+      val surfaces = bpeDemoMerges.map { case (a, b) => s"'${a + b}'" }
+        .mkString(", ")
+      val finalSel =
+        """SELECT CAST(row_number() OVER (ORDER BY shard, seq_id) - 1
+                  AS BIGINT) AS seq_ix,
+                CAST(2048 * (row_number() OVER (ORDER BY shard, seq_id) - 1)
+                  AS BIGINT) AS ptr,
+                CAST(len(ids) AS INT) AS n_tokens,
+                md5(array_to_string(list_transform(ids,
+                  x -> CAST(x AS VARCHAR)), ',')) AS ids_md5,
+                md5(array_to_string(list_transform(mk,
+                  x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')) AS msk_md5,
+                md5(array_to_string(list_transform(sg,
+                  x -> CAST(x AS VARCHAR)), ',')) AS seg_md5
+         FROM fin ORDER BY seq_ix"""
+      htmlMainChainSql(mainDemoPageSql)
+        .replaceFirst("WITH pages", "WITH RECURSIVE pages") +
+      s""", mt AS MATERIALIZED (
+           SELECT doc_id,
+                  coalesce(string_agg(CASE WHEN kept THEN t END, chr(10)
+                                      ORDER BY j), '') AS main
+           FROM ne GROUP BY doc_id
+         ), c4k AS MATERIALIZED (
+           SELECT doc_id, main,
+                  list_filter(string_split(main, chr(10)), x ->
+                    regexp_matches(x, '[.!?"]$$')
+                    AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                    AND NOT contains(lower(x), 'javascript')
+                    AND NOT contains(x, '{')) AS kept
+           FROM mt
+         ), gsrc AS MATERIALIZED (
+           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  array_to_string(kept, chr(10)) AS text
+           FROM c4k
+           WHERE (NOT contains(lower(main), 'lorem ipsum')) AND len(kept) >= 1
+         ), gw AS MATERIALIZED (
+           SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM gsrc
+         ), gf AS MATERIALIZED (
+           SELECT doc_id, text, len(w) AS nw,
+                  list_aggregate(list_transform(w,
+                    x -> CAST(length(x) AS DOUBLE)), 'avg') AS mwl,
+                  CASE WHEN len(w) - 1 > 0
+                       THEN 1 - CAST(len(list_distinct(list_transform(
+                              range(greatest(len(w) - 1, 0)),
+                              i -> w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+                            / (len(w) - 1)
+                       ELSE 0 END AS d2
+           FROM gw
+         ), cur AS MATERIALIZED (
+           SELECT doc_id, text FROM gf
+           WHERE nw BETWEEN 10 AND 100000 AND mwl BETWEEN 2 AND 12
+             AND d2 <= 0.9
+         ), ${exactJaccardPairsCteFor("cur", "doc_id").stripPrefix("WITH ")},
+         tw AS MATERIALIZED (
+           SELECT doc_id, generate_subscripts(t, 1) AS wi, unnest(t) AS w
+           FROM tok
+           WHERE doc_id NOT IN (SELECT idB FROM j WHERE jac >= 0.7)
+         ), te AS MATERIALIZED (
+           SELECT doc_id, wi, ${bpeReplaceChainSql(bpeWrapSql)} AS enc
+           FROM tw
+         ), tp AS MATERIALIZED (
+           SELECT doc_id, wi, generate_subscripts(ps, 1) AS pi,
+                  unnest(ps) AS piece
+           FROM (SELECT doc_id, wi,
+                   CASE WHEN length(enc) <= 2 THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(substr(enc, 2, length(enc) - 2),
+                                          '$bpeC$bpeO') END AS ps
+                 FROM te)
+         ), tids AS MATERIALIZED (
+           SELECT doc_id,
+                  list(CAST(coalesce(list_position([$surfaces], piece) - 1,
+                    -1) AS INT) ORDER BY wi, pi) AS ids
+           FROM tp GROUP BY doc_id
+         ), tk AS MATERIALIZED (
+           SELECT doc_id,
+                  ((CAST(doc_id AS BIGINT) % 2147483647) * 2654435761) % 2
+                    AS shard,
+                  ids || [CAST(-4 AS INT)] AS toks,
+                  list_transform(ids, x -> true) || [true] AS msk,
+                  CAST(len(ids) + 1 AS BIGINT) AS n,
+                  row_number() OVER (
+                    PARTITION BY ((CAST(doc_id AS BIGINT) % 2147483647)
+                      * 2654435761) % 2
+                    ORDER BY CAST(doc_id AS BIGINT)) AS rn
+           FROM tids
+         )${greedyPackTailSql(512, -2, None, Some(finalSel))}"""
+    },
     "q_topology_parquet" ->
       // the topology's string record model: every projected field is a
       // string, empty-for-null
@@ -9066,6 +9351,39 @@ object SparkEntry {
                     byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) - 1,
                     -1) AS VARCHAR)), ','), '')) AS ids_md5
          FROM sym ORDER BY doc_id""",
+    "q_tokenize_hf_import" ->
+      // the q_bpe_ids replay under the imported file's EXPLICIT id map:
+      // symbol → 3·(position−1)+7 when present, −1 otherwise — the
+      // oracle derives the ids from the same arithmetic the fixture
+      // export used, so a positional (non-explicit) import would mismatch
+      // every present symbol
+      s"""WITH chk AS (
+           SELECT CASE WHEN count(*) > 0 THEN error(
+                    'hf-import oracle: non-printable-ASCII text - byte map and char split diverge')
+                  ELSE 0 END AS ok
+           FROM documents WHERE regexp_matches(text, '[^ -~]')
+         ), n AS (
+           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           FROM documents, chk WHERE chk.ok = 0
+         ), p AS (
+           SELECT doc_id, list_transform(
+                    regexp_extract_all(t,
+                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| '),
+                    p -> ${byteLevelReplaceChainSql(
+                      bpeWrapSqlOf("replace(p, ' ', 'Ġ')"))}) AS encs
+           FROM n
+         ), sym AS (
+           SELECT doc_id, flatten(list_transform(encs, e ->
+                    CASE WHEN length(e) <= 2 THEN CAST([] AS VARCHAR[])
+                         ELSE string_split(substr(e, 2, length(e) - 2),
+                                           '$bpeC$bpeO') END)) AS syms
+           FROM p)
+         SELECT doc_id, CAST(len(syms) AS INTEGER) AS n_ids,
+                md5(coalesce(array_to_string(list_transform(syms, s ->
+                  CAST(coalesce(3 * (list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) - 1)
+                    + 7, -1) AS VARCHAR)), ','), '')) AS ids_md5
+         FROM sym ORDER BY doc_id""",
     "q_bpe_roundtrip" ->
       // decode∘encode = identity: dec_md5 IS md5(text) when the round
       // trip holds; the printable-ASCII guard keeps the demo vocabulary's
@@ -9220,27 +9538,13 @@ object SparkEntry {
                      AS INTEGER) AS n_links
          FROM decoded ORDER BY doc_id""",
     "q_html_main_text" -> (
-      // identical planted page; block split at the SAME tag pattern
-      // (injected from TextFunctions.htmlBlockTagPattern — one source of
-      // truth), per-block strip/decode/collapse via htmlFragmentTextSql,
-      // link chars as the summed anchor-text lengths, then the two-signal
-      // keep gate and an ordered string_agg rebuild of the main text
-      htmlMainChainSql(
-        """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-                  '</title><style>nav{color:#eee}</style></head><body>' ||
-                  '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
-                  '<a href="/contact">Contact</a></nav>' ||
-                  '<header><h1>Site &amp; Co</h1></header>' ||
-                  '<div class="cookie">We use cookies. ' ||
-                  '<a href="/privacy">Learn more</a></div>' ||
-                  '<article><p>' || substr(text, 1, 200) ||
-                  '</p><!-- ad slot --><p>' || substr(text, 201, 200) ||
-                  ' closing words keep this paragraph long enough.</p></article>' ||
-                  '<aside><a href="/rel1">Related one</a> ' ||
-                  '<a href="/rel2">Related two</a></aside>' ||
-                  '<footer>(c) 2026 Example <a href="/tos">Terms</a> ' ||
-                  '<a href="/priv">Privacy</a></footer>' ||
-                  '</body></html>'""") + """
+      // identical planted page (mainDemoPageSql — one source of truth);
+      // block split at the SAME tag pattern (injected from
+      // TextFunctions.htmlBlockTagPattern), per-block
+      // strip/decode/collapse via htmlFragmentTextSql, link chars as the
+      // summed anchor-text lengths, then the two-signal keep gate and an
+      // ordered string_agg rebuild of the main text
+      htmlMainChainSql(mainDemoPageSql) + """
          SELECT doc_id,
                 md5(coalesce(string_agg(CASE WHEN kept THEN t END, chr(10)
                                         ORDER BY j), '')) AS main_md5,

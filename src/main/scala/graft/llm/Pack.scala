@@ -19,6 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** At-rest carry state for cross-batch packing
+    * ([[packTokensGreedyCarry]]): each batch writes its tail documents
+    * to `dir/batch=<rotation>` (idempotent — a replayed micro-batch
+    * overwrites its own partition), and batch N reads the NEWEST
+    * partition with rotation < N, so a replay of batch N still sees
+    * batch N−1's tail, never its own torn write. Schema:
+    * `(__ord long, __tok array<int>, __msk array<boolean>)`.
+    */
+  object Carry {
+    private def partitions(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          n.stripPrefix("batch=").toLongOption.map(_ -> st.getPath)
+        else None
+      }
+
+    /** The newest carry partition strictly BEFORE `rotation`, if any. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+        rotation: Long): Option[DataFrame] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      partitions(fs, root).filter(_._1 < rotation).sortBy(_._1).lastOption
+        .map { case (_, p) => spark.read.parquet(p.toString) }
+    }
+
+    /** Write batch `rotation`'s tail documents (overwrite = idempotent). */
+    def write(carry: DataFrame, dir: String, rotation: Long): Unit =
+      carry.write.mode("overwrite").parquet(s"$dir/batch=$rotation")
+  }
+
   /** Assign each row a (shard, seq_id, seq_offset): `seq_id` is the
     * `budget`-sized chunk where the row's content starts when rows are
     * concatenated within `shard` in `orderCol` order; `seq_offset` its
@@ -335,6 +368,150 @@ object Pack {
     * the token arrays BEFORE packing). Empty/null documents get no
     * special tokens — they contribute nothing, as before.
     */
+  /** [[packTokensGreedy]] with an EXPLICIT tail: instead of emitting each
+    * shard's final (underfilled, still-open) sequence, the documents that
+    * would have formed it come back as CARRY rows — the cross-batch
+    * packing state a daemon checkpoints, so per-micro-batch pad waste
+    * stops depending on trigger sizing entirely (only CLOSED sequences
+    * ship; the open tail rides to the next batch).
+    *
+    * Output is a UNION frame discriminated by `kind`:
+    *  - `"seq"` rows: exactly [[packTokensGreedy]]'s closed sequences
+    *    (`shard, seq_id, input_ids, segment_ids, loss_mask, n_real,
+    *    doc_start`); `ord` is null;
+    *  - `"carry"` rows: one per tail document, carrying its RAW
+    *    (pre-BOS/EOS) tokens in `input_ids`, its raw mask in
+    *    `loss_mask`, and its order value in `ord` (LONG — the carry
+    *    surface requires a numeric order); `seq_id` −1, `segment_ids`
+    *    null. Re-packing `carry ∪ next-batch` continues the greedy walk:
+    *    when order values ascend across batches, the closed sequences
+    *    across all batches plus one final tail EQUAL the one-shot
+    *    [[packTokensGreedy]] layout (PackCarrySpec pins the law).
+    *
+    * Same contracts as [[packTokensGreedy]] (orderCol unique per shard;
+    * oversized documents loud; empty documents contribute nothing; one
+    * exchange + in-partition sort + streaming walk). BOS/EOS extension
+    * happens INSIDE the walk so carried documents stash raw tokens and
+    * are never double-extended on re-entry.
+    */
+  def packTokensGreedyCarry(df: DataFrame, orderCol: Column,
+      tokensCol: Column, maskCol: Column, budget: Int, shard: Column,
+      padId: Int = 0, sepId: Option[Int] = None, eosId: Option[Int] = None,
+      bosId: Option[Int] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.types._
+    val tagged = df.select(shard.as("__shard"),
+      orderCol.cast("long").as("__ord"),
+      tokensCol.cast("array<int>").as("__tok"),
+      maskCol.cast("array<boolean>").as("__msk"))
+    val parted = tagged.repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__ord"))
+    val outSchema = StructType(Seq(
+      parted.schema("__shard").copy(name = "shard"),
+      StructField("kind", StringType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("input_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("segment_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = true),
+      StructField("loss_mask", ArrayType(BooleanType, containsNull = false),
+        nullable = false),
+      StructField("n_real", IntegerType, nullable = false),
+      StructField("doc_start", BooleanType, nullable = false),
+      StructField("ord", LongType, nullable = true)))
+    val extCost = bosId.size + eosId.size
+    parted.mapPartitions { raw =>
+      val it = raw.filter(r => !r.isNullAt(2) && r.getSeq[Int](2).nonEmpty)
+        .buffered
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private val out = scala.collection.mutable.Queue
+          .empty[org.apache.spark.sql.Row]
+        private var curShard: Any = null
+        private var started = false
+        private var seqId = -1L
+        // the OPEN sequence's documents: (ord, raw tokens, raw mask)
+        private val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Int], Seq[Boolean])]
+        private var fill = 0
+
+        private def flushSeq(): Unit = {
+          seqId += 1
+          val ids = Array.fill(budget)(padId)
+          val segs = Array.fill(budget)(-1)
+          val mask = new Array[Boolean](budget)
+          var f = 0
+          var docIx = 0
+          for ((_, toks, msk) <- buf) {
+            if (sepId.isDefined && docIx > 0) {
+              ids(f) = sepId.get; segs(f) = docIx - 1; mask(f) = false
+              f += 1
+            }
+            for (b <- bosId) {
+              ids(f) = b; segs(f) = docIx; mask(f) = false; f += 1
+            }
+            var i = 0
+            while (i < toks.length) {
+              ids(f + i) = toks(i); segs(f + i) = docIx; mask(f + i) = msk(i)
+              i += 1
+            }
+            f += toks.length
+            for (e <- eosId) {
+              ids(f) = e; segs(f) = docIx; mask(f) = true; f += 1
+            }
+            docIx += 1
+          }
+          out += org.apache.spark.sql.Row(curShard, "seq", seqId,
+            ids.toSeq, segs.toSeq, mask.toSeq, f, true, null)
+          buf.clear(); fill = 0
+        }
+
+        private def flushCarry(): Unit = {
+          for ((ord, toks, msk) <- buf)
+            out += org.apache.spark.sql.Row(curShard, "carry", -1L,
+              toks, null, msk, toks.length, true, ord)
+          buf.clear(); fill = 0
+        }
+
+        private def advance(): Unit = {
+          while (out.isEmpty && it.hasNext) {
+            val r = it.head
+            val sh = r.get(0)
+            if (!started) { started = true; curShard = sh }
+            if (sh != curShard) {
+              // shard boundary: its open tail carries, never pads
+              flushCarry(); curShard = sh; seqId = -1L
+            } else {
+              val toks = r.getSeq[Int](2)
+              if (toks.length + extCost > budget)
+                throw new IllegalArgumentException(
+                  s"packTokensGreedyCarry: document of ${toks.length} tokens " +
+                    s"(+$extCost special) exceeds the $budget budget and can " +
+                    "never be packed whole - filter or truncate first")
+              val sepCost = if (sepId.isDefined && buf.nonEmpty) 1 else 0
+              if (fill + sepCost + toks.length + extCost > budget) flushSeq()
+              else {
+                val msk = if (r.isNullAt(3)) null else r.getSeq[Boolean](3)
+                require(msk != null && msk.length == toks.length,
+                  s"packTokensGreedyCarry: mask/tokens length mismatch (" +
+                    s"${if (msk == null) "null" else msk.length} vs " +
+                    s"${toks.length})")
+                buf += ((r.getLong(1), toks, msk))
+                fill += sepCost + toks.length + extCost
+                it.next()
+              }
+            }
+          }
+          if (out.isEmpty && !it.hasNext && buf.nonEmpty) flushCarry()
+        }
+
+        override def hasNext: Boolean = { advance(); out.nonEmpty }
+        override def next(): org.apache.spark.sql.Row = {
+          advance(); out.dequeue()
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   def packTokensGreedy(df: DataFrame, orderCol: Column, tokensCol: Column,
       maskCol: Column, budget: Int, shard: Column, padId: Int = 0,
       sepId: Option[Int] = None, eosId: Option[Int] = None,

@@ -23,7 +23,7 @@ object BuiltinComponents {
 
   def all: Components = Components(
     inputs = Seq(listInput, parquetInput, jsonLinesInput, webDatasetInput,
-      packedCorpusInput, logLinesInput,
+      warcInput, packedCorpusInput, logLinesInput,
       randomInput, NetworkInputs.tcpInput, NetworkInputs.kinesisInput,
       NetworkInputs.kclInput, NetworkInputs.sqsInput),
     filters = Seq(
@@ -255,6 +255,44 @@ object BuiltinComponents {
         case other => col(other).cast("string").as(other)
       }
       df.select(ctx.fields.map(toStr): _*)
+    })
+
+  /** WARC — web-archive input (ISO 28500, the Common Crawl container):
+    * the `warc` DataSource V2 ([[graft.sources.WarcSource]]) on the TOML
+    * surface, so the single most common pretraining ingest runs as a
+    * config topology — WARC → MainContent → quality gates → dedup →
+    * TokenizeIds → PackRows → PackedShards is Common Crawl to trainer
+    * shards with zero Scala. Declared `[fields]` select from the warc
+    * schema by name (record_id, warc_type, target_uri, warc_date,
+    * content_type, content_length, http_status, http_content_type,
+    * payload, warc_file, warc_offset), cast into the string record model
+    * (`payload` = the HTTP body decoded as UTF-8 — the raw HTML
+    * [[mainContent]]/[[htmlExtract]] consume). Column pruning reaches
+    * the byte level: a topology that never declares `payload`/`http_*`
+    * skips every record body unread (a URL census over a crawl reads
+    * headers only), and the `Types` filter drops non-matching records at
+    * parse time before any row materializes.
+    */
+  val warcInput: InputDesc = InputDesc(
+    "WARC",
+    "Reads WARC (ISO 28500) web-archive files - the Common Crawl " +
+      "container; declared [fields] select from the warc schema " +
+      "(target_uri, payload, http_status, ...), payload decoded as " +
+      "UTF-8 text; gzip/zstd member framing decompressed transparently.",
+    Seq(
+      ConfigKey("Path", "WARC file, directory, or glob", required = true),
+      ConfigKey("Types", "comma-separated WARC-Type filter; empty keeps " +
+        "every record type", default = Some("response"))),
+    (ctx, cfg) => {
+      val reader = ctx.spark.read.format("warc")
+      val types = cfg.str("Types", "response").trim
+      val df = (if (types.nonEmpty) reader.option("types", types) else reader)
+        .load(cfg.str("Path"))
+      val missing = ctx.fields.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"WARC input: fields [${missing.mkString(", ")}] absent from the " +
+          s"warc schema [${df.columns.mkString(", ")}]")
+      df.select(ctx.fields.map(f => col(f).cast("string").as(f)): _*)
     })
 
   /** stdin source for the List input's "-" entry; injectable for tests. */
@@ -1612,7 +1650,18 @@ object BuiltinComponents {
         "(pre-packed rows — PackRows emits 'loss_mask')."),
       ConfigKey("SegField", "optional field holding comma-joined " +
         "segment ids, exported as the .seg channel when PackBudget = 0 " +
-        "(PackRows emits 'segment_ids')")),
+        "(PackRows emits 'segment_ids')"),
+      ConfigKey("CarryDir", "optional cross-batch packing-state dir " +
+        "(PackBudget > 0): each batch ships only CLOSED sequences and " +
+        "stashes its underfilled tail documents at CarryDir/batch=N; " +
+        "the next batch re-packs them first — pad waste stops depending " +
+        "on trigger sizing entirely. Daemons set CarryRotation = " +
+        "\"{{.Rotation}}\"; the final tail stays in CarryDir for a " +
+        "closing batch-mode export."),
+      ConfigKey("CarryRotation", "batch ordinal for the carry state: " +
+        "reads the newest CarryDir/batch=<k> with k < this, writes " +
+        "batch=<this> (idempotent under replay); daemons pass " +
+        "\"{{.Rotation}}\"", default = Some("0"))),
     raw = false,
     (ctx, cfg, df) => {
       val idsF = cfg.str("IdsField", "input_ids")
@@ -1652,18 +1701,51 @@ object BuiltinComponents {
             filter(split(col(f), ","), x => x =!= ""), _.cast("boolean")))
           .getOrElse(transform(toks, _ => lit(true)))
         val ord = col(ordF).cast("long")
-        val shard = pmod(pmod(ord, lit(2147483647L)) * lit(2654435761L),
-          lit(cfg.int("PackShards", 4L)))
-        val packed = graft.llm.Pack.packTokensGreedy(observed, ord, toks,
-          inMask, budget, shard,
-          cfg.int("PadId", -2L).toInt, sepId = idOpt("SepId"),
-          eosId = idOpt("EosId"), bosId = idOpt("BosId"))
-        graft.sources.PackedCorpus.write(packed, path,
-          idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
-          numTasks = cfg.int("NumTasks", 0L).toInt,
-          dtype = cfg.str("Dtype", "int32"),
-          maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
-          docStartCol = Some("doc_start"))
+        def shardOf(o: Column) =
+          pmod(pmod(o, lit(2147483647L)) * lit(2654435761L),
+            lit(cfg.int("PackShards", 4L)))
+        def export(packed: DataFrame): Unit =
+          graft.sources.PackedCorpus.write(packed, path,
+            idsCol = "input_ids", orderCols = Seq("shard", "seq_id"),
+            numTasks = cfg.int("NumTasks", 0L).toInt,
+            dtype = cfg.str("Dtype", "int32"),
+            maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
+            docStartCol = Some("doc_start"))
+        cfg.strOpt("CarryDir") match {
+          case None =>
+            export(graft.llm.Pack.packTokensGreedy(observed, ord, toks,
+              inMask, budget, shardOf(ord),
+              cfg.int("PadId", -2L).toInt, sepId = idOpt("SepId"),
+              eosId = idOpt("EosId"), bosId = idOpt("BosId")))
+          case Some(carryDir) =>
+            // cross-batch tail carry: union the previous batch's stashed
+            // tail documents (raw tokens — never double-extended), pack
+            // with an explicit tail, ship ONLY closed sequences, stash
+            // the new tail idempotently under this batch's rotation
+            val rotation = cfg.str("CarryRotation", "0").toLong
+            val rec = observed.select(ord.as("__ord"),
+              toks.as("__tok"), inMask.as("__msk"))
+            val withCarry = graft.llm.Pack.Carry
+              .read(ctx.spark, carryDir, rotation)
+              .map(prev => rec.unionByName(prev)).getOrElse(rec)
+            val packedAll = graft.llm.Pack.packTokensGreedyCarry(withCarry,
+              col("__ord"), col("__tok"), col("__msk"), budget,
+              shardOf(col("__ord")), cfg.int("PadId", -2L).toInt,
+              sepId = idOpt("SepId"), eosId = idOpt("EosId"),
+              bosId = idOpt("BosId"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              export(packedAll.filter(col("kind") === "seq")
+                .select("shard", "seq_id", "input_ids", "segment_ids",
+                  "loss_mask", "n_real", "doc_start"))
+              graft.llm.Pack.Carry.write(
+                packedAll.filter(col("kind") === "carry")
+                  .select(col("ord").as("__ord"),
+                    col("input_ids").as("__tok"),
+                    col("loss_mask").as("__msk")),
+                carryDir, rotation)
+            } finally packedAll.unpersist(false)
+        }
       } else {
         val ordFields = cfg.strList("OrderFields", Seq("shard", "seq_id"))
         ordFields.foreach(f => require(df.columns.contains(f),

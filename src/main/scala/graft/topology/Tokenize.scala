@@ -35,7 +35,11 @@ object Tokenize {
     ConfigKey("Steps", "merge steps (bpe/wordpiece)", default = Some("8")),
     ConfigKey("Rounds", "EM rounds (unigram)", default = Some("2")),
     ConfigKey("MaxWordLen", "unigram trainer word-length bound",
-      default = Some("10")))
+      default = Some("10")),
+    ConfigKey("ExportPath", "optional path to ALSO write the trained " +
+      "vocabulary as a HuggingFace tokenizer.json (portable to a " +
+      "tokenizers-based training stack; TokenizeIds re-imports it " +
+      "id-for-id via a .json VocabPath)"))
 
   /** The job-level `[tokenizer]` TRAIN step: runs on the topology's
     * post-filter frame when the topology COMPILES (the train aggregations
@@ -68,6 +72,46 @@ object Tokenize {
     }
     rows.toDF("id", "piece", "cost").coalesce(1)
       .write.mode("overwrite").parquet(cfg.str("VocabPath"))
+    // portable export (the interop seam): the SAME trained vocabulary as
+    // a HuggingFace tokenizer.json, so the ids this engine packs into
+    // trainer shards are loadable by a tokenizers-based stack
+    for (ep <- cfg.strOpt("ExportPath")) {
+      val conf = ctx.spark.sessionState.newHadoopConf()
+      cfg.str("Method").toLowerCase match {
+        case "unigram" =>
+          graft.llm.HfTokenizer.exportUnigram(ep,
+            rows.map { case (_, p, c) => (p, c.toInt) }, unkId = None,
+            conf = conf)
+        case "bpe" =>
+          // native ids = rule index of the merged symbol; base chars are
+          // out-of-vocabulary (UnkId) — the export states exactly that.
+          // Two rules CAN produce one surface (("a","bc") and ("ab","c"));
+          // the native map resolves to the FIRST, so the vocab dedupes
+          // keeping the first rule's id (JSON object keys must be unique)
+          val merges = parseMerges(rows.map { case (_, p, c) => (p, c) })
+          val seenSurface = scala.collection.mutable.Set.empty[String]
+          graft.llm.HfTokenizer.exportBpe(ep,
+            vocab = merges.zipWithIndex.flatMap { case ((a, b), i) =>
+              if (seenSurface.add(a + b)) Seq((a + b, i)) else Nil
+            },
+            merges = merges, byteLevel = false, conf = conf)
+        case "wordpiece" =>
+          // the BERT decode: each rule's surface is a word-start piece
+          // and "##"+surface a continuation, BOTH at the rule's id
+          // (first rule wins on duplicate surfaces — the decode's own
+          // determinism)
+          val surfaces = parseMerges(rows.map { case (_, p, c) => (p, c) })
+            .map { case (a, b) =>
+              (a + b).replace(graft.llm.Bpe.Open, "")
+                .replace(graft.llm.Bpe.Close, "")
+            }
+          val seen = scala.collection.mutable.Set.empty[String]
+          val vocab = surfaces.zipWithIndex.flatMap { case (s, i) =>
+            if (seen.add(s)) Seq((s, i), ("##" + s, i)) else Nil
+          }
+          graft.llm.HfTokenizer.exportWordPiece(ep, vocab, conf = conf)
+      }
+    }
   }
 
   /** Merge-rule sidecar rows as (left, right) symbol pairs. */
@@ -91,7 +135,11 @@ object Tokenize {
   private val tokenizeKeys = Seq(
     ConfigKey("SrcField", "field holding the text", required = true),
     ConfigKey("DstField", "field for the comma-joined token ids", required = true),
-    ConfigKey("VocabPath", "vocabulary sidecar written by a [tokenizer] train job",
+    ConfigKey("VocabPath", "vocabulary sidecar written by a [tokenizer] " +
+      "train job, OR a HuggingFace tokenizer.json (path ending .json: " +
+      "BPE/Unigram/WordPiece import id-for-id — the algorithm and ids " +
+      "come from the file, so packed corpora stay id-compatible with " +
+      "the model that published the tokenizer)",
       required = true),
     ConfigKey("Method", "unigram | bpe | wordpiece — unigram for a " +
       "unigram-trained sidecar; bpe applies ANY merge-rule sidecar (bpe- " +
@@ -120,10 +168,104 @@ object Tokenize {
     (ctx, cfg) => {
       cfg.validate(tokenizeKeys)
       df => {
-        val vocab = loadVocab(ctx, cfg.str("VocabPath"))
         val unk = cfg.int("UnkId", -1L).toInt
         val src = col(cfg.str("SrcField"))
-        val ids: Column = cfg.str("Method", "unigram").toLowerCase match {
+        val ids: Column =
+          if (cfg.str("VocabPath").toLowerCase.endsWith(".json"))
+            hfIds(ctx, cfg, src)
+          else sidecarIds(ctx, cfg, src, unk)
+        cfg.strOpt("CountField") match {
+          case Some(cf) =>
+            // one evaluation site for the (expensive) tokenizer: bind the
+            // id array once, explode the 1-element struct, extract both
+            val packed = TextFunctions.bindOnce(ids) { v =>
+              struct(
+                array_join(transform(v, _.cast("string")), ",").as("ids"),
+                size(v).cast("string").as("n"))
+            }
+            df.withColumn("__tk", explode(array(packed)))
+              .withColumn(cfg.str("DstField"), col("__tk.ids"))
+              .withColumn(cf, col("__tk.n"))
+              .drop("__tk")
+          case None =>
+            df.withColumn(cfg.str("DstField"),
+              array_join(transform(ids, _.cast("string")), ","))
+        }
+      }
+    })
+
+  /** HF vocab ids may be EXPLICIT (not list positions): map the native
+    * position column through the id list, keeping the identity fast path
+    * when ids are exactly 0..n−1 (all engine-exported files).
+    */
+  private def explicitIds(pos: Column, hfIds: Seq[Int], unk: Int): Column = {
+    val body: Column => Column =
+      if (hfIds == hfIds.indices) p => p
+      else p => element_at(typedLit(hfIds), (p + 1).cast("int"))
+    transform(pos, p => when(p >= 0, body(p)).otherwise(lit(unk)))
+  }
+
+  /** text → ids under a HuggingFace tokenizer.json VocabPath
+    * ([[graft.llm.HfTokenizer]]): the algorithm comes from the FILE's
+    * `model.type` (an explicit Method key must agree — a file/config
+    * mismatch is a misconfiguration, not a tie-break); ids are the
+    * file's explicit ids, so a corpus packed here is id-compatible with
+    * the model that published the tokenizer. UnkId: an explicit config
+    * key wins; otherwise the file's own unk (unk_token/unk_id);
+    * otherwise −1.
+    */
+  private def hfIds(ctx: TopologyCtx, cfg: ComponentConfig,
+      src: Column): Column = {
+    val path = cfg.str("VocabPath")
+    val conf = ctx.spark.sessionState.newHadoopConf()
+    val model = graft.llm.HfTokenizer.load(path, conf)
+    def checkMethod(want: String): Unit =
+      if (cfg.has("Method"))
+        require(cfg.str("Method").equalsIgnoreCase(want),
+          s"TokenizeIds: Method '${cfg.str("Method")}' does not match " +
+            s"the tokenizer.json model.type ($want) at $path")
+    def unkOr(fileUnk: Option[Int]): Int =
+      if (cfg.has("UnkId")) cfg.int("UnkId").toInt
+      else fileUnk.getOrElse(-1)
+    model match {
+      case graft.llm.HfBpeModel(vocab, merges, byteLevel, fileUnk) =>
+        checkMethod("bpe")
+        val enc =
+          if (byteLevel) graft.llm.Bpe.byteLevelEncode(src, merges)
+          else graft.llm.Bpe.encodeText(src, merges)
+        // Bpe.tokenIds with unk −1 yields the POSITION in the surfaces
+        // list; explicitIds maps positions to the file's ids
+        val pos = graft.llm.Bpe.tokenIds(enc, vocab.map(_._1), unkId = -1)
+        explicitIds(pos, vocab.map(_._2), unkOr(fileUnk))
+      case graft.llm.HfUnigramModel(pieces, fileUnk) =>
+        checkMethod("unigram")
+        val pcs = GraftShims.toColumn(graft.functions.UnigramViterbiPieces(
+          GraftShims.toExpression(TextFunctions.tokens(src)), pieces,
+          cfg.int("MaxWordLen", 10L).toInt))
+        // HF unigram ids ARE list positions by definition
+        GraftShims.toColumn(graft.functions.VocabIds(
+          GraftShims.toExpression(pcs), pieces.map(_._1), unkOr(fileUnk)))
+      case graft.llm.HfWordPieceModel(vocab, unkTok, fileUnk) =>
+        checkMethod("wordpiece")
+        val pieceList = vocab.map(_._1)
+        val words = graft.llm.Wordpiece.encodeWordsCol(
+          TextFunctions.tokens(src), pieceList,
+          unk = unkTok.getOrElse("[UNK]"),
+          maxWordLen = cfg.int("MaxWordLen", 10L).toInt)
+        val pieces = flatten(transform(words, w => split(w, " ")))
+        val pos = GraftShims.toColumn(graft.functions.VocabIds(
+          GraftShims.toExpression(pieces), pieceList, -1))
+        explicitIds(pos, vocab.map(_._2), unkOr(fileUnk))
+    }
+  }
+
+  /** text → ids under an engine-private parquet sidecar (the original
+    * path; see [[tokenizeIds]] for the Method semantics).
+    */
+  private def sidecarIds(ctx: TopologyCtx, cfg: ComponentConfig,
+      src: Column, unk: Int): Column = {
+    val vocab = loadVocab(ctx, cfg.str("VocabPath"))
+    cfg.str("Method", "unigram").toLowerCase match {
           case "unigram" =>
             val trained = vocab.map { case (p, c) => (p, c.toInt) }
             val pcs = GraftShims.toColumn(graft.functions.UnigramViterbiPieces(
@@ -162,26 +304,8 @@ object Tokenize {
               .otherwise(lit(unk)))
           case other => throw new IllegalArgumentException(
             s"TokenizeIds: Method must be unigram, bpe or wordpiece: '$other'")
-        }
-        cfg.strOpt("CountField") match {
-          case Some(cf) =>
-            // one evaluation site for the (expensive) tokenizer: bind the
-            // id array once, explode the 1-element struct, extract both
-            val packed = TextFunctions.bindOnce(ids) { v =>
-              struct(
-                array_join(transform(v, _.cast("string")), ",").as("ids"),
-                size(v).cast("string").as("n"))
-            }
-            df.withColumn("__tk", explode(array(packed)))
-              .withColumn(cfg.str("DstField"), col("__tk.ids"))
-              .withColumn(cf, col("__tk.n"))
-              .drop("__tk")
-          case None =>
-            df.withColumn(cfg.str("DstField"),
-              array_join(transform(ids, _.cast("string")), ","))
-        }
-      }
-    })
+    }
+  }
 
   private val packKeys = Seq(
     ConfigKey("IdsField", "field holding comma-joined token ids", required = true),

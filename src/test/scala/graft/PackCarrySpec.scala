@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.Pack
+import graft.sources.TarShards
+import graft.streaming.Streaming
+
+/** Cross-batch packing tail-carry ([[graft.llm.Pack.packTokensGreedyCarry]]
+  * + the PackedShards CarryDir surface): the carry LAW (closed sequences
+  * across ascending-order batches + one final tail ≡ the one-shot greedy
+  * layout), batch-size-independent pad fraction via Pack.packingStats,
+  * and the daemon path — checkpointed restart carries the tail across
+  * micro-batches AND process restarts.
+  */
+class PackCarrySpec extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** Deterministic corpus: doc i has 1 + (i·7 % 9) tokens of value i,
+    * mask alternating — enough length variety that tails are non-trivial.
+    */
+  private def corpus(n: Int): Seq[(Long, Seq[Int], Seq[Boolean])] =
+    (0 until n).map { i =>
+      val len = 1 + (i * 7) % 9
+      (i.toLong, Seq.fill(len)(i), (0 until len).map(_ % 2 == 0))
+    }
+
+  private def toDf(rows: Seq[(Long, Seq[Int], Seq[Boolean])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("__ord", "__tok", "__msk")
+  }
+
+  private val budget = 16
+  private def shardOf = pmod(col("__ord"), lit(2))
+
+  /** Content signature of a packed row — seq_id is per-batch, so the
+    * law compares the multiset of (shard, ids, segs, mask, n_real).
+    */
+  private def sig(df: DataFrame): Seq[String] =
+    df.select(concat_ws("|", col("shard").cast("string"),
+        array_join(transform(col("input_ids"), _.cast("string")), ","),
+        array_join(transform(col("segment_ids"), _.cast("string")), ","),
+        array_join(transform(col("loss_mask"),
+          m => m.cast("int").cast("string")), ","),
+        col("n_real").cast("string")).as("s"))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  private def oneShot(rows: Seq[(Long, Seq[Int], Seq[Boolean])],
+      sep: Option[Int], eos: Option[Int], bos: Option[Int]): DataFrame =
+    Pack.packTokensGreedy(toDf(rows), col("__ord"), col("__tok"),
+      col("__msk"), budget, shardOf, padId = -7,
+      sepId = sep, eosId = eos, bosId = bos)
+
+  private def carryRound(batch: DataFrame, sep: Option[Int],
+      eos: Option[Int], bos: Option[Int]): (DataFrame, DataFrame) = {
+    val all = Pack.packTokensGreedyCarry(batch, col("__ord"), col("__tok"),
+      col("__msk"), budget, shardOf, padId = -7,
+      sepId = sep, eosId = eos, bosId = bos).cache()
+    val seqs = all.filter(col("kind") === "seq")
+      .select("shard", "seq_id", "input_ids", "segment_ids", "loss_mask",
+        "n_real", "doc_start")
+    val carry = all.filter(col("kind") === "carry")
+      .select(col("ord").as("__ord"), col("input_ids").as("__tok"),
+        col("loss_mask").as("__msk"))
+    (seqs, carry)
+  }
+
+  for ((sep, eos, bos) <- Seq(
+      (None, None, None),
+      (Some(-6), Some(-4), Some(-5)): (Option[Int], Option[Int], Option[Int])))
+    test(s"carry law (sep=$sep eos=$eos bos=$bos): closed sequences across " +
+        "ascending batches + final tail ≡ the one-shot greedy layout") {
+      val docs = corpus(40)
+      val batches = docs.grouped(13).toSeq // uneven ascending batches
+      var carried: DataFrame = toDf(Nil)
+      var closed = Seq.empty[String]
+      for (b <- batches) {
+        val (seqs, carry) = carryRound(carried.unionByName(toDf(b)),
+          sep, eos, bos)
+        closed ++= sig(seqs)
+        carried = toDf(carry.collect().map(r =>
+          (r.getLong(0), r.getSeq[Int](1), r.getSeq[Boolean](2))).toSeq)
+      }
+      // final flush: the remaining tail packs exactly like a last batch
+      val flushed = sig(oneShot(carried.collect().map(r =>
+        (r.getLong(0), r.getSeq[Int](1), r.getSeq[Boolean](2))).toSeq,
+        sep, eos, bos))
+      assert((closed ++ flushed).sorted == sig(oneShot(docs, sep, eos, bos)))
+      assert(closed.nonEmpty && flushed.nonEmpty,
+        "fixture must exercise both closed and tail sequences")
+    }
+
+  test("pad fraction of SHIPPED sequences is batch-size-independent: " +
+      "packingStats over closed rows is identical for a 2-batch and a " +
+      "7-batch split of the same stream") {
+    val docs = corpus(60)
+    def closedStats(batchSize: Int): Seq[(Long, Long, Long, Long)] = {
+      var carried = Seq.empty[(Long, Seq[Int], Seq[Boolean])]
+      var closed: Option[DataFrame] = None
+      for (b <- docs.grouped(batchSize)) {
+        val (seqs, carry) = carryRound(toDf(carried ++ b), None, None, None)
+        closed = Some(closed.map(_.unionByName(seqs)).getOrElse(seqs))
+        carried = carry.collect().map(r =>
+          (r.getLong(0), r.getSeq[Int](1), r.getSeq[Boolean](2))).toSeq
+      }
+      Pack.packingStats(closed.get, budget)
+        .orderBy("shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(4))).toSeq // shard, n_seqs, n_tokens, pad_frac_bp
+    }
+    val two = closedStats(30)
+    val seven = closedStats(9)
+    assert(two == seven,
+      s"closed-sequence pad stats must not depend on batch sizing: $two vs $seven")
+  }
+
+  test("daemon PackedShards with CarryDir: tails carry across micro-batches " +
+      "AND a checkpointed restart; batch dirs + final carry reproduce the " +
+      "one-shot layout") {
+    val dir = tmp("packcarry-daemon")
+    val shards = new java.io.File(dir, "wds"); shards.mkdirs()
+    val docs = corpus(24)
+    def shard(name: String, rows: Seq[(Long, Seq[Int], Seq[Boolean])],
+        mtimeAgoMs: Long): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      rows.foreach { case (ord, toks, _) =>
+        TarShards.writeEntry(bos, f"$ord%08d.txt",
+          toks.mkString(",").getBytes("UTF-8"))
+      }
+      bos.write(new Array[Byte](1024))
+      val f = new java.io.File(shards, name)
+      val out = new java.io.FileOutputStream(f)
+      out.write(bos.toByteArray); out.close()
+      // FileStreamSource batches in timestamp order — pin it so ords
+      // ascend across micro-batches (the carry-law precondition)
+      f.setLastModified(System.currentTimeMillis() - mtimeAgoMs)
+    }
+    // ascending ords across shard files (the carry-law precondition)
+    shard("s0.tar", docs.slice(0, 9), 30000)
+    shard("s1.tar", docs.slice(9, 17), 20000)
+    val toml =
+      s"""[fields]
+         |names = ["key", "txt"]
+         |[input]
+         |name = "WebDataset"
+         |  [input.config]
+         |  Path = "${shards.getAbsolutePath}"
+         |  MaxFilesPerTrigger = 1
+         |[output]
+         |name = "PackedShards"
+         |fields = ["key", "txt"]
+         |  [output.config]
+         |  Path = "$dir/out/batch={{.Rotation}}"
+         |  IdsField = "txt"
+         |  PackBudget = $budget
+         |  PackOrderField = "key"
+         |  PackShards = 2
+         |  PadId = -7
+         |  NumTasks = 1
+         |  CarryDir = "$dir/carry"
+         |  CarryRotation = "{{.Rotation}}"
+         |""".stripMargin
+    val d1 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    d1.processAllAvailable()
+    d1.stop()
+    // restart with a NEW shard: the checkpoint resumes rotation numbering
+    // and the carry reader picks the newest tail < the next rotation
+    shard("s2.tar", docs.slice(17, 24), 0)
+    val d2 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    d2.processAllAvailable()
+    d2.stop()
+    // every batch dir is a complete _SUCCESS-marked corpus of CLOSED rows
+    val batchDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getAbsolutePath).sorted
+    assert(batchDirs.length == 3)
+    batchDirs.foreach(b =>
+      assert(new java.io.File(b, "_SUCCESS").exists(), s"no _SUCCESS in $b"))
+    val closed = batchDirs.map(b =>
+        spark.read.format("packedcorpus").load(b)
+          .select(col("input_ids"), col("loss_mask"), col("segment_ids"),
+            col("n_tokens")))
+      .reduce(_ unionByName _)
+    // shipped sequences are all FULL-budget rows with real masks/segments
+    assert(closed.count() > 0)
+    // final carry + closed rows reproduce the one-shot pack (mask in the
+    // daemon path defaults to all-true; compare ids only)
+    val carryRows = graft.llm.Pack.Carry.read(spark, s"$dir/carry",
+      Long.MaxValue).get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Boolean](2))).toSeq
+    val flushedIds = oneShot(carryRows, None, None, None)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq
+    val closedIds = closed.select("input_ids").collect()
+      .map(_.getSeq[Int](0)).toSeq
+    val wholeIds = oneShot(docs.map { case (o, t, m) =>
+        (o, t, t.map(_ => true)) }, None, None, None)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq
+    assert((closedIds ++ flushedIds).map(_.toString).sorted ==
+      wholeIds.map(_.toString).sorted)
+  }
+}

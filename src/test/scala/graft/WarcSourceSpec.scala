@@ -141,6 +141,37 @@ class WarcSourceSpec extends SparkSpec {
     assert(text.toSeq == Seq("hello & bye", "hello & bye"))
   }
 
+  test("WARC on the TOML surface: declared [fields] select from the warc " +
+      "schema into the string record model, Types filters at parse time, " +
+      "unknown fields are loud") {
+    val toml =
+      s"""[fields]
+         |names = ["target_uri", "http_status", "payload"]
+         |[input]
+         |name = "WARC"
+         |  [input.config]
+         |  Path = "$dir/part-0.warc"
+         |  Types = "response"
+         |[[filter]]
+         |name = "SqlWhere"
+         |  [filter.config]
+         |  Where = "cast(http_status as int) = 200"
+         |[output]
+         |name = "Nop"
+         |fields = ["target_uri", "payload"]
+         |""".stripMargin
+    val rows = graft.topology.Topology.compileToml(spark, toml)
+      .projected.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "https://x.test/a")
+    // payload lands as decoded text — the record model is strings
+    assert(rows(0).getString(1) == "<html><p>hello &amp; bye</p></html>")
+    // a field outside the warc schema fails at compile, not as an empty column
+    val bad = toml.replace("\"http_status\"", "\"no_such_field\"")
+    val e = intercept[Exception](graft.topology.Topology.compileToml(spark, bad))
+    assert(e.getMessage.contains("no_such_field"))
+  }
+
   test("truncated record fails loud with file and offset") {
     val d = java.nio.file.Files.createTempDirectory("warc-bad").toFile
     d.deleteOnExit()
