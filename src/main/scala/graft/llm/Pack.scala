@@ -38,13 +38,31 @@ object Pack {
         else None
       }
 
+    /** The carry frame's schema, stated explicitly: a batch whose every
+      * shard closed exactly at budget writes an EMPTY partition (zero
+      * tail documents, possibly zero part files), and the next batch
+      * must read that as "no carry" — schema INFERENCE would throw on
+      * the file-less dir, and skipping to an older partition would
+      * replay tails an intermediate batch already consumed.
+      */
+    val schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ord",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__tok",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.types.StructField("__msk",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.BooleanType))))
+
     /** The newest carry partition strictly BEFORE `rotation`, if any. */
     def read(spark: org.apache.spark.sql.SparkSession, dir: String,
         rotation: Long): Option[DataFrame] = {
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       partitions(fs, root).filter(_._1 < rotation).sortBy(_._1).lastOption
-        .map { case (_, p) => spark.read.parquet(p.toString) }
+        .map { case (_, p) => spark.read.schema(schema).parquet(p.toString) }
     }
 
     /** Write batch `rotation`'s tail documents (overwrite = idempotent). */

@@ -120,6 +120,20 @@ class PackCarrySpec extends SparkSpec {
       s"closed-sequence pad stats must not depend on batch sizing: $two vs $seven")
   }
 
+  test("an EMPTY carry partition (every shard closed exactly at budget) " +
+      "reads back as zero rows — never a schema error, never a fall-through " +
+      "to an older, already-consumed tail") {
+    val dir = tmp("packcarry-empty")
+    Pack.Carry.write(toDf(Seq((5L, Seq(1, 2), Seq(true, true)))), dir, 0)
+    Pack.Carry.write(toDf(Nil), dir, 1) // zero tails: possibly zero part files
+    val r = Pack.Carry.read(spark, dir, 2)
+    assert(r.isDefined, "batch 1's empty tail must be FOUND, not skipped")
+    assert(r.get.count() == 0,
+      "batch 2 must see batch 1's EMPTY tail, not batch 0's consumed one")
+    // and the newest-strictly-before rule still picks batch 0 for batch 1
+    assert(Pack.Carry.read(spark, dir, 1).get.count() == 1)
+  }
+
   test("daemon PackedShards with CarryDir: tails carry across micro-batches " +
       "AND a checkpointed restart; batch dirs + final carry reproduce the " +
       "one-shot layout") {

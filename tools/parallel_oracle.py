@@ -107,9 +107,13 @@ def main():
         import subprocess
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         t_eng = time.time()
+        # forward an explicit query selection to the engine dump too
+        # (Verify accepts trailing query names) — a selective gate run
+        # must not pay a full-inventory engine sweep at large SFs
+        sel = " " + " ".join(args.queries) if args.queries else ""
         proc = subprocess.run(
             ["sbt", "-batch",
-             f"runMain graft.Verify {args.sf_dir} {args.out_dir}"],
+             f"runMain graft.Verify {args.sf_dir} {args.out_dir}{sel}"],
             cwd=repo, capture_output=True, text=True)
         engine_wall = round(time.time() - t_eng, 1)
         # Verify swallows per-query failures (prints "[verify] <q> failed:"
