@@ -5329,8 +5329,14 @@ object SparkEntry {
            |  [filter.config]
            |  DstField = "text"
            |  # four escape layers deep (Scala, TOML, Spark SQL literal):
-           |  # the regex that reaches regexp_replace is whitespace-runs
-           |  Expr = "regexp_replace(trim(coalesce(text, '')), '\\\\\\\\s+', ' ')"
+           |  # the regex that reaches regexp_replace is whitespace-runs.
+           |  # the planted 'q9 ' prefix forces an OUT-OF-VOCAB symbol
+           |  # ('9') into every document, so the unk path of the id map
+           |  # is exercised at every SF — the corpus itself is digit-free
+           |  # and a latent unk-handling bug would otherwise hide until a
+           |  # larger corpus introduced one (the r18 sf1 list_position
+           |  # lesson: DuckDB 1.0 returns 0, not NULL, for absent)
+           |  Expr = "concat('q9 ', regexp_replace(trim(coalesce(text, '')), '\\\\\\\\s+', ' '))"
            |[[filter]]
            |name = "TokenizeIds"
            |  [filter.config]
@@ -8611,9 +8617,9 @@ object SparkEntry {
                   list_transform(syms, s -> CAST(coalesce(
                     list_position([${byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}],
                       s) - 1, -1) AS INT)) AS toks,
-                  list_transform(syms, s -> list_position([${
-                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) IS NOT NULL)
-                    AS msk,
+                  list_transform(syms, s -> nullif(list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s), 0)
+                    IS NOT NULL) AS msk,
                   CAST(len(syms) AS BIGINT) AS n
            FROM sym WHERE len(syms) > 0),
          st AS (
@@ -8877,9 +8883,9 @@ object SparkEntry {
                   list_transform(syms, s -> CAST(coalesce(
                     list_position([${byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}],
                       s) - 1, -1) AS INT)) AS toks,
-                  list_transform(syms, s -> list_position([${
-                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) IS NOT NULL)
-                    AS msk,
+                  list_transform(syms, s -> nullif(list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s), 0)
+                    IS NOT NULL) AS msk,
                   CAST(len(syms) AS BIGINT) AS n,
                   row_number() OVER (
                     PARTITION BY ((doc_id % 2147483647) * 2654435761) % 4
@@ -9363,7 +9369,8 @@ object SparkEntry {
                   ELSE 0 END AS ok
            FROM documents WHERE regexp_matches(text, '[^ -~]')
          ), n AS (
-           SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+           SELECT doc_id,
+                  'q9 ' || regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
            FROM documents, chk WHERE chk.ok = 0
          ), p AS (
            SELECT doc_id, list_transform(
@@ -9380,8 +9387,8 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, CAST(len(syms) AS INTEGER) AS n_ids,
                 md5(coalesce(array_to_string(list_transform(syms, s ->
-                  CAST(coalesce(3 * (list_position([${
-                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) - 1)
+                  CAST(coalesce(3 * (nullif(list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s), 0) - 1)
                     + 7, -1) AS VARCHAR)), ','), '')) AS ids_md5
          FROM sym ORDER BY doc_id""",
     "q_bpe_roundtrip" ->
