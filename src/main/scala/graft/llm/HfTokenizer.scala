@@ -99,6 +99,7 @@ object HfTokenizer {
     val model = root.get("model")
     require(model != null && model.isObject,
       s"HfTokenizer: $path has no 'model' object")
+    requireReplicable(path, root)
     val mtype = Option(model.get("type")).map(_.asText()).getOrElse("")
     mtype match {
       case "BPE"       => loadBpe(path, root, model)
@@ -108,6 +109,56 @@ object HfTokenizer {
         s"HfTokenizer: unsupported model.type '$other' in $path " +
           "(BPE | Unigram | WordPiece)")
     }
+  }
+
+  /** Every `"type"` marker in a pre_tokenizer/normalizer subtree (the
+    * nodes nest under `Sequence`, so walk the whole tree).
+    */
+  private def typeMarkers(n: JsonNode): Seq[String] =
+    if (n == null || n.isNull) Seq.empty
+    else if (n.isObject) {
+      val own = Option(n.get("type")).filter(_.isTextual).map(_.asText()).toSeq
+      val kids = Seq.newBuilder[String]
+      val it = n.properties().iterator()
+      while (it.hasNext) kids ++= typeMarkers(it.next().getValue)
+      own ++ kids.result()
+    } else if (n.isArray) {
+      val out = Seq.newBuilder[String]
+      val it = n.elements()
+      while (it.hasNext) out ++= typeMarkers(it.next())
+      out.result()
+    } else Seq.empty
+
+  /** The pretokenization schemes the engine replicates: GPT-2 byte-level
+    * and whitespace splitting — and NO text normalizer. A file whose
+    * pre_tokenizer carries anything else (Metaspace, BertPreTokenizer,
+    * Split regexes, Digits…) or whose normalizer rewrites text
+    * (Lowercase, BertNormalizer, NFKC…) would LOAD cleanly here but
+    * encode DIFFERENT ids than the stack that published it — exactly the
+    * silent-corruption case this module exists to refuse, so refuse it
+    * loudly at load time instead of mapping most tokens to unk at
+    * encode time.
+    */
+  private val replicablePre =
+    Set("Sequence", "ByteLevel", "Whitespace", "WhitespaceSplit")
+
+  private def requireReplicable(path: String, root: JsonNode): Unit = {
+    val badPre = typeMarkers(root.get("pre_tokenizer"))
+      .filterNot(replicablePre).distinct
+    require(badPre.isEmpty,
+      s"HfTokenizer: $path pre_tokenizer scheme(s) " +
+        s"${badPre.mkString("'", "', '", "'")} cannot be replicated by " +
+        "this engine (supported: ByteLevel, Whitespace, WhitespaceSplit, " +
+        "Sequence of those) - importing would silently encode different " +
+        "ids than the stack that published the file")
+    val norm = root.get("normalizer")
+    require(norm == null || norm.isNull, {
+      val t = typeMarkers(norm).distinct
+      s"HfTokenizer: $path carries a normalizer" +
+        (if (t.nonEmpty) t.mkString(" ('", "', '", "')") else "") +
+        " this engine does not apply - importing would silently encode " +
+        "different ids than the stack that published the file"
+    })
   }
 
   /** Vocab object (piece → id) in FILE order — HF ids are explicit, so

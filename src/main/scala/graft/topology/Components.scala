@@ -1735,9 +1735,16 @@ object BuiltinComponents {
               bosId = idOpt("BosId"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              export(packedAll.filter(col("kind") === "seq")
+              val seqs = packedAll.filter(col("kind") === "seq")
                 .select("shard", "seq_id", "input_ids", "segment_ids",
-                  "loss_mask", "n_real", "doc_start"))
+                  "loss_mask", "n_real", "doc_start")
+              // a micro-batch where EVERYTHING rides the tail must ship
+              // nothing: an export of zero sequences leaves a
+              // _SUCCESS-marked dir with no shard files, which every
+              // packedcorpus consumer then refuses ("no files matched") —
+              // the tokens are not lost, they are in the stashed tail and
+              // close in a later batch (cheap check: packedAll is persisted)
+              if (!seqs.isEmpty) export(seqs)
               graft.llm.Pack.Carry.write(
                 packedAll.filter(col("kind") === "carry")
                   .select(col("ord").as("__ord"),

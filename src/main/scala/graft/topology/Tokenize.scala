@@ -255,7 +255,18 @@ object Tokenize {
         val pieces = flatten(transform(words, w => split(w, " ")))
         val pos = GraftShims.toColumn(graft.functions.VocabIds(
           GraftShims.toExpression(pieces), pieceList, -1))
-        explicitIds(pos, vocab.map(_._2), unkOr(fileUnk))
+        // BERT semantics collapse an unsplittable word to the unk
+        // SURFACE, which is itself in the vocab — so its position maps
+        // to the FILE's id and an explicit UnkId config key would
+        // silently never apply. The documented rule is "an explicit
+        // config key wins": remap the unk surface's position to the unk
+        // sentinel so explicitIds applies the configured id.
+        val unkPos = pieceList.indexOf(unkTok.getOrElse("[UNK]"))
+        val posEff =
+          if (cfg.has("UnkId") && unkPos >= 0)
+            transform(pos, p => when(p === unkPos, lit(-1)).otherwise(p))
+          else pos
+        explicitIds(posEff, vocab.map(_._2), unkOr(fileUnk))
     }
   }
 

@@ -217,4 +217,85 @@ class HfTokenizerSpec extends SparkSpec {
           |  "merges": ["a b c"]}}""".stripMargin)))
     assert(e3.getMessage.contains("not 'left right'"))
   }
+
+  test("un-replicable pretokenization/normalization is LOUD at load: a " +
+      "Metaspace (Llama/SentencePiece-style) BPE file and a normalizer-" +
+      "bearing file are refused instead of silently encoding unk soup") {
+    val dir = tmp("hf-norepl")
+    def write(name: String, s: String): String = {
+      Files.write(java.nio.file.Paths.get(dir, name), s.getBytes("UTF-8"))
+      s"$dir/$name"
+    }
+    // Metaspace pretokenizer (the ▁ word-prefix convention): the engine
+    // encodes via whitespace/byte-level only, so word-initial pieces
+    // would never match — must refuse, not import
+    val e1 = intercept[Exception](HfTokenizer.load(write("meta.json",
+      """{"pre_tokenizer": {"type": "Metaspace", "replacement": "▁"},
+        |  "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}}"""
+        .stripMargin)))
+    assert(e1.getMessage.contains("Metaspace") &&
+      e1.getMessage.contains("cannot be replicated"))
+    // nested inside a Sequence it is still found
+    val e2 = intercept[Exception](HfTokenizer.load(write("seq.json",
+      """{"pre_tokenizer": {"type": "Sequence", "pretokenizers":
+        |    [{"type": "ByteLevel"}, {"type": "Digits"}]},
+        |  "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}}"""
+        .stripMargin)))
+    assert(e2.getMessage.contains("Digits"))
+    // a text normalizer (BERT-style lowercasing) rewrites the input
+    // before tokenization — the engine applies none, so refuse
+    val e3 = intercept[Exception](HfTokenizer.load(write("norm.json",
+      """{"normalizer": {"type": "Lowercase"},
+        |  "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |    "vocab": {"[UNK]": 0, "a": 1}}}""".stripMargin)))
+    assert(e3.getMessage.contains("normalizer") &&
+      e3.getMessage.contains("Lowercase"))
+    // an explicit null normalizer (what GPT-2 files and the engine's own
+    // exports carry) stays accepted
+    HfTokenizer.load(write("ok.json",
+      """{"normalizer": null,
+        |  "pre_tokenizer": {"type": "Whitespace"},
+        |  "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []}}"""
+        .stripMargin))
+  }
+
+  test("WordPiece import: an explicit UnkId config key wins over the " +
+      "file's unk_token id for whole-word unks (the documented rule)") {
+    val dir = tmp("hf-wp-unk")
+    val json =
+      """{
+        |  "model": {
+        |    "type": "WordPiece",
+        |    "unk_token": "[UNK]",
+        |    "continuing_subword_prefix": "##",
+        |    "vocab": {"[UNK]": 0, "th": 5, "##an": 7, "the": 9}
+        |  }
+        |}""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "wp.json"), json.getBytes("UTF-8"))
+    val toml =
+      s"""[fields]
+         |names = ["id", "text"]
+         |[input]
+         |name = "LogLines"
+         |  [input.config]
+         |  Lines = ["1,the than xyz"]
+         |[[filter]]
+         |name = "TokenizeIds"
+         |  [filter.config]
+         |  SrcField = "text"
+         |  DstField = "ids"
+         |  VocabPath = "$dir/wp.json"
+         |  UnkId = -1
+         |[output]
+         |name = "Nop"
+         |fields = ["id", "ids"]
+         |""".stripMargin
+    val out = Topology.compileToml(spark, toml).projected.collect()
+      .map(_.getString(1)).toSeq
+    // xyz is unsplittable: BERT semantics collapse it to the unk SURFACE,
+    // but the configured UnkId (-1) must be the emitted id, not the
+    // file's id for "[UNK]" (0) — a downstream 'drop docs with id -1'
+    // OOV gate must see it
+    assert(out == Seq("9,5,7,-1"))
+  }
 }

@@ -219,4 +219,85 @@ class PackCarrySpec extends SparkSpec {
     assert((closedIds ++ flushedIds).map(_.toString).sorted ==
       wholeIds.map(_.toString).sorted)
   }
+
+  test("a micro-batch that closes ZERO sequences exports NOTHING: no " +
+      "_SUCCESS-marked empty corpus dir appears; the tokens ride the " +
+      "stashed tail and ship in a later batch") {
+    val dir = tmp("packcarry-empty")
+    val shards = new java.io.File(dir, "wds"); shards.mkdirs()
+    val docs = corpus(9)
+    def shard(name: String, rows: Seq[(Long, Seq[Int], Seq[Boolean])],
+        mtimeAgoMs: Long): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      rows.foreach { case (ord, toks, _) =>
+        TarShards.writeEntry(bos, f"$ord%08d.txt",
+          toks.mkString(",").getBytes("UTF-8"))
+      }
+      bos.write(new Array[Byte](1024))
+      val f = new java.io.File(shards, name)
+      val out = new java.io.FileOutputStream(f)
+      out.write(bos.toByteArray); out.close()
+      f.setLastModified(System.currentTimeMillis() - mtimeAgoMs)
+    }
+    val toml =
+      s"""[fields]
+         |names = ["key", "txt"]
+         |[input]
+         |name = "WebDataset"
+         |  [input.config]
+         |  Path = "${shards.getAbsolutePath}"
+         |  MaxFilesPerTrigger = 1
+         |[output]
+         |name = "PackedShards"
+         |fields = ["key", "txt"]
+         |  [output.config]
+         |  Path = "$dir/out/batch={{.Rotation}}"
+         |  IdsField = "txt"
+         |  PackBudget = $budget
+         |  PackOrderField = "key"
+         |  PackShards = 2
+         |  PadId = -7
+         |  NumTasks = 1
+         |  CarryDir = "$dir/carry"
+         |  CarryRotation = "{{.Rotation}}"
+         |""".stripMargin
+    // batch 0: ONE one-token document — far under budget, everything
+    // rides the tail, and the export must not run at all
+    shard("s0.tar", docs.slice(0, 1), 30000)
+    val d1 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    d1.processAllAvailable()
+    d1.stop()
+    def batchDirs(): Seq[String] =
+      Option(new java.io.File(s"$dir/out").listFiles())
+        .map(_.filter(_.getName.startsWith("batch=")).toSeq)
+        .getOrElse(Seq.empty).map(_.getName).sorted
+    assert(batchDirs().isEmpty,
+      s"zero-closed batch must export nothing, found ${batchDirs()}")
+    val stashed = Pack.Carry.read(spark, s"$dir/carry", Long.MaxValue)
+      .get.count()
+    assert(stashed == 1, "the un-shipped document must be in the tail")
+    // batch 1: enough tokens that sequences close — the earlier tokens
+    // ship now, and closed + final tail ≡ the one-shot layout
+    shard("s1.tar", docs.slice(1, 9), 0)
+    val d2 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
+      env = Map.empty)
+    d2.processAllAvailable()
+    d2.stop()
+    assert(batchDirs() == Seq("batch=1"))
+    val closedIds = spark.read.format("packedcorpus")
+      .load(s"$dir/out/batch=1").select("input_ids").collect()
+      .map(_.getSeq[Int](0)).toSeq
+    assert(closedIds.nonEmpty)
+    val carryRows = Pack.Carry.read(spark, s"$dir/carry", Long.MaxValue)
+      .get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Boolean](2))).toSeq
+    val flushedIds = oneShot(carryRows, None, None, None)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq
+    val wholeIds = oneShot(docs.map { case (o, t, _) =>
+        (o, t, t.map(_ => true)) }, None, None, None)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq
+    assert((closedIds ++ flushedIds).map(_.toString).sorted ==
+      wholeIds.map(_.toString).sorted)
+  }
 }
