@@ -423,6 +423,14 @@ object SparkEntry {
     "tab" -> "le", "s" -> "c", "o" -> "r", "e" -> "r", "a" -> "n",
     "s" -> "t", "r" -> "o")
 
+  /** [[bpeDemoMerges]]' operand closure — the q_topology_pretrain export
+    * vocabulary (surfaces at their rule-index ids, then the base symbols
+    * no rule produces): the smallest vocab the real tokenizers library
+    * will load, shared VERBATIM by the oracle's id map.
+    */
+  private lazy val bpeDemoClosure: Seq[String] =
+    graft.llm.HfTokenizer.operandClosure(bpeDemoMerges)
+
   /** q_topology_wordpiece's constant merge table — query parameters
     * inlined identically on both engines (the bpeDemoMerges pattern).
     * Surfaces: th, the, an, and, or, for — so "the"/"an"/"and"/"or"/
@@ -3739,7 +3747,7 @@ object SparkEntry {
       val dir = qTmpDir("pretrain-q")
       writeWarcFixture(s, d, s"$dir/warc")
       graft.llm.HfTokenizer.exportBpe(s"$dir/tok.json",
-        vocab = bpeDemoMerges.map { case (a, b) => a + b }.zipWithIndex,
+        vocab = bpeDemoClosure.zipWithIndex,
         merges = bpeDemoMerges, byteLevel = false)
       val toml =
         s"""[fields]
@@ -7288,8 +7296,11 @@ object SparkEntry {
       // greedy tail (budget 512, pad −2, EOS −4 trained-on) → the
       // single-file export's (seq_ix, ptr) arithmetic: every row is
       // padded to the 512 budget, so ptr = 4·512·seq_ix
-      val surfaces = bpeDemoMerges.map { case (a, b) => s"'${a + b}'" }
-        .mkString(", ")
+      // the export's operand-closure vocab, id = list position: surfaces
+      // at their rule index, base symbols after them — base chars that
+      // survive the merge chain now map to REAL ids; chars outside the
+      // closure (never a merge operand) still exercise the -1 unk path
+      val surfaces = bpeDemoClosure.map(s => s"'$s'").mkString(", ")
       val finalSel =
         """SELECT CAST(row_number() OVER (ORDER BY shard, seq_id) - 1
                   AS BIGINT) AS seq_ix,

@@ -83,17 +83,19 @@ object Tokenize {
             rows.map { case (_, p, c) => (p, c.toInt) }, unkId = None,
             conf = conf)
         case "bpe" =>
-          // native ids = rule index of the merged symbol; base chars are
-          // out-of-vocabulary (UnkId) — the export states exactly that.
-          // Two rules CAN produce one surface (("a","bc") and ("ab","c"));
-          // the native map resolves to the FIRST, so the vocab dedupes
-          // keeping the first rule's id (JSON object keys must be unique)
+          // the OPERAND CLOSURE (surfaces in rule order — first rule wins
+          // on duplicate products, the native map's own resolution — then
+          // every base symbol no rule produces): the real tokenizers
+          // library refuses a BPE file whose merges reference symbols
+          // absent from the vocab, so the export must ship the alphabet
+          // too. Surfaces keep their rule-index positions (id-compatible
+          // with the native sidecar's rule-index ids); base symbols take
+          // the ids after them — a re-import therefore maps base chars to
+          // those ids where the SIDECAR path maps them to UnkId (the file
+          // states strictly more than the sidecar does).
           val merges = parseMerges(rows.map { case (_, p, c) => (p, c) })
-          val seenSurface = scala.collection.mutable.Set.empty[String]
           graft.llm.HfTokenizer.exportBpe(ep,
-            vocab = merges.zipWithIndex.flatMap { case ((a, b), i) =>
-              if (seenSurface.add(a + b)) Seq((a + b, i)) else Nil
-            },
+            vocab = graft.llm.HfTokenizer.operandClosure(merges).zipWithIndex,
             merges = merges, byteLevel = false, conf = conf)
         case "wordpiece" =>
           // the BERT decode: each rule's surface is a word-start piece
@@ -109,7 +111,11 @@ object Tokenize {
           val vocab = surfaces.zipWithIndex.flatMap { case (s, i) =>
             if (seen.add(s)) Seq((s, i), ("##" + s, i)) else Nil
           }
-          graft.llm.HfTokenizer.exportWordPiece(ep, vocab, conf = conf)
+          // export the bound the SIDECAR encode applies by default, so a
+          // re-import of this file encodes bit-equal to the native path
+          // at every word length (the file's bound is the import's bound)
+          graft.llm.HfTokenizer.exportWordPiece(ep, vocab,
+            maxWordLen = 10, conf = conf)
       }
     }
   }
@@ -150,9 +156,16 @@ object Tokenize {
       "UnkId when no piece matches", default = Some("unigram")),
     ConfigKey("CountField", "optional field for the token count"),
     ConfigKey("MaxWordLen", "word-length bound: the unigram Viterbi bound " +
-      "(match training) and the wordpiece whole-word UNK gate",
+      "(match training) and the wordpiece whole-word UNK gate. The " +
+      "default 10 applies to SIDECAR vocabularies only; a .json " +
+      "VocabPath defaults to the FILE's own bound " +
+      "(max_input_chars_per_word for WordPiece, HF default 100; unigram " +
+      "files carry none, so 63 - the engine's Viterbi packing ceiling). " +
+      "An explicit key always wins.",
       default = Some("10")),
-    ConfigKey("UnkId", "id for out-of-vocabulary pieces", default = Some("-1")))
+    ConfigKey("UnkId", "id for out-of-vocabulary pieces; for a .json " +
+      "VocabPath an explicit key wins over the file's own unk " +
+      "(unk_token / unk_id), which wins over -1", default = Some("-1")))
 
   /** TokenizeIds — text → token ids under a PERSISTED vocabulary.
     * unigram: Viterbi pieces under the sidecar costs, ids by sidecar
@@ -168,12 +181,11 @@ object Tokenize {
     (ctx, cfg) => {
       cfg.validate(tokenizeKeys)
       df => {
-        val unk = cfg.int("UnkId", -1L).toInt
         val src = col(cfg.str("SrcField"))
         val ids: Column =
           if (cfg.str("VocabPath").toLowerCase.endsWith(".json"))
             hfIds(ctx, cfg, src)
-          else sidecarIds(ctx, cfg, src, unk)
+          else sidecarIds(ctx, cfg, src, resolveUnkId(cfg, None))
         cfg.strOpt("CountField") match {
           case Some(cf) =>
             // one evaluation site for the (expensive) tokenizer: bind the
@@ -194,80 +206,93 @@ object Tokenize {
       }
     })
 
-  /** HF vocab ids may be EXPLICIT (not list positions): map the native
-    * position column through the id list, keeping the identity fast path
-    * when ids are exactly 0..n−1 (all engine-exported files).
+  /** The unk-id precedence EVERY import/encode path shares (one helper,
+    * one rule): an explicit config `UnkId` wins; otherwise the FILE's own
+    * unk (unk_token / unk_id); otherwise −1. Sidecar paths have no file
+    * unk and pass None.
     */
-  private def explicitIds(pos: Column, hfIds: Seq[Int], unk: Int): Column = {
-    val body: Column => Column =
-      if (hfIds == hfIds.indices) p => p
-      else p => element_at(typedLit(hfIds), (p + 1).cast("int"))
-    transform(pos, p => when(p >= 0, body(p)).otherwise(lit(unk)))
-  }
+  private[topology] def resolveUnkId(cfg: ComponentConfig,
+      fileUnk: Option[Int]): Int =
+    if (cfg.has("UnkId")) cfg.int("UnkId").toInt
+    else fileUnk.getOrElse(-1)
+
+  /** Companion to [[resolveUnkId]] for surface-collapsing encoders
+    * (WordPiece): BERT semantics collapse an unsplittable word to the unk
+    * SURFACE, which is itself in the vocab — its position would map to
+    * the FILE's id and an explicit UnkId config key would silently never
+    * apply. When a config key overrides, remap the unk surface's position
+    * to the −1 sentinel so the explicit-id map applies the configured id.
+    */
+  private def remapUnkSurface(cfg: ComponentConfig, pos: Column,
+      unkPos: Int): Column =
+    if (cfg.has("UnkId") && unkPos >= 0)
+      transform(pos, p => when(p === unkPos, lit(-1)).otherwise(p))
+    else pos
+
+  /** Word-length bound for a .json import: an explicit MaxWordLen key
+    * wins; otherwise the FILE's own bound — the publishing stack's
+    * semantics, never the engine's sidecar default of 10 (a real BERT
+    * file bounds at max_input_chars_per_word = 100; unigram files carry
+    * no bound at all, so the default is 63, the Viterbi packed
+    * (cost, piece-count) ceiling — see
+    * [[graft.functions.UnigramViterbiPieces]]).
+    */
+  private def importWordLen(cfg: ComponentConfig, fileBound: Int): Int =
+    if (cfg.has("MaxWordLen")) cfg.int("MaxWordLen").toInt else fileBound
 
   /** text → ids under a HuggingFace tokenizer.json VocabPath
     * ([[graft.llm.HfTokenizer]]): the algorithm comes from the FILE's
     * `model.type` (an explicit Method key must agree — a file/config
-    * mismatch is a misconfiguration, not a tie-break); ids are the
-    * file's explicit ids, so a corpus packed here is id-compatible with
-    * the model that published the tokenizer. UnkId: an explicit config
-    * key wins; otherwise the file's own unk (unk_token/unk_id);
-    * otherwise −1.
+    * mismatch is a misconfiguration, not a tie-break), the text-transform
+    * chain from its normalizer/pre_tokenizer/post_processor nodes
+    * ([[graft.llm.HfEncode]] — BERT chain, Metaspace in both published
+    * spellings, byte-level, whitespace; anything else refused loudly at
+    * load), and ids are the file's explicit ids — so a corpus packed here
+    * is id-compatible with the model that published the tokenizer.
     */
   private def hfIds(ctx: TopologyCtx, cfg: ComponentConfig,
       src: Column): Column = {
     val path = cfg.str("VocabPath")
     val conf = ctx.spark.sessionState.newHadoopConf()
-    val model = graft.llm.HfTokenizer.load(path, conf)
+    val loaded = graft.llm.HfTokenizer.load(path, conf)
+    val scheme = loaded.scheme
+    val words = graft.llm.HfEncode.words(src, scheme)
     def checkMethod(want: String): Unit =
       if (cfg.has("Method"))
         require(cfg.str("Method").equalsIgnoreCase(want),
           s"TokenizeIds: Method '${cfg.str("Method")}' does not match " +
             s"the tokenizer.json model.type ($want) at $path")
-    def unkOr(fileUnk: Option[Int]): Int =
-      if (cfg.has("UnkId")) cfg.int("UnkId").toInt
-      else fileUnk.getOrElse(-1)
-    model match {
-      case graft.llm.HfBpeModel(vocab, merges, byteLevel, fileUnk) =>
+    val ids: Column = loaded.model match {
+      case graft.llm.HfBpeModel(vocab, merges, fileUnk, byteFb, fuseUnk) =>
         checkMethod("bpe")
-        val enc =
-          if (byteLevel) graft.llm.Bpe.byteLevelEncode(src, merges)
-          else graft.llm.Bpe.encodeText(src, merges)
-        // Bpe.tokenIds with unk −1 yields the POSITION in the surfaces
-        // list; explicitIds maps positions to the file's ids
-        val pos = graft.llm.Bpe.tokenIds(enc, vocab.map(_._1), unkId = -1)
-        explicitIds(pos, vocab.map(_._2), unkOr(fileUnk))
+        val enc = graft.llm.Bpe.encodeWordsNative(words, merges)
+        val syms = graft.llm.Bpe.docSymbols(array_join(enc, "|"))
+        graft.llm.HfEncode.bpeIds(syms, vocab,
+          resolveUnkId(cfg, fileUnk), byteFb, fuseUnk)
       case graft.llm.HfUnigramModel(pieces, fileUnk) =>
         checkMethod("unigram")
         val pcs = GraftShims.toColumn(graft.functions.UnigramViterbiPieces(
-          GraftShims.toExpression(TextFunctions.tokens(src)), pieces,
-          cfg.int("MaxWordLen", 10L).toInt))
+          GraftShims.toExpression(words), pieces,
+          importWordLen(cfg, fileBound = 63)))
         // HF unigram ids ARE list positions by definition
         GraftShims.toColumn(graft.functions.VocabIds(
-          GraftShims.toExpression(pcs), pieces.map(_._1), unkOr(fileUnk)))
-      case graft.llm.HfWordPieceModel(vocab, unkTok, fileUnk) =>
+          GraftShims.toExpression(pcs), pieces.map(_._1),
+          resolveUnkId(cfg, fileUnk)))
+      case graft.llm.HfWordPieceModel(vocab, unkTok, fileUnk, fileMwl) =>
         checkMethod("wordpiece")
         val pieceList = vocab.map(_._1)
-        val words = graft.llm.Wordpiece.encodeWordsCol(
-          TextFunctions.tokens(src), pieceList,
+        val wp = graft.llm.Wordpiece.encodeWordsCol(words, pieceList,
           unk = unkTok.getOrElse("[UNK]"),
-          maxWordLen = cfg.int("MaxWordLen", 10L).toInt)
-        val pieces = flatten(transform(words, w => split(w, " ")))
+          maxWordLen = importWordLen(cfg, fileBound = fileMwl.getOrElse(100)))
+        val pieces = flatten(transform(wp, w => split(w, " ")))
         val pos = GraftShims.toColumn(graft.functions.VocabIds(
           GraftShims.toExpression(pieces), pieceList, -1))
-        // BERT semantics collapse an unsplittable word to the unk
-        // SURFACE, which is itself in the vocab — so its position maps
-        // to the FILE's id and an explicit UnkId config key would
-        // silently never apply. The documented rule is "an explicit
-        // config key wins": remap the unk surface's position to the unk
-        // sentinel so explicitIds applies the configured id.
-        val unkPos = pieceList.indexOf(unkTok.getOrElse("[UNK]"))
-        val posEff =
-          if (cfg.has("UnkId") && unkPos >= 0)
-            transform(pos, p => when(p === unkPos, lit(-1)).otherwise(p))
-          else pos
-        explicitIds(posEff, vocab.map(_._2), unkOr(fileUnk))
+        val posEff = remapUnkSurface(cfg, pos,
+          pieceList.indexOf(unkTok.getOrElse("[UNK]")))
+        graft.llm.HfEncode.explicitIds(posEff, vocab.map(_._2),
+          resolveUnkId(cfg, fileUnk))
     }
+    graft.llm.HfEncode.withTemplate(ids, scheme)
   }
 
   /** text → ids under an engine-private parquet sidecar (the original
