@@ -431,6 +431,37 @@ object SparkEntry {
   private lazy val bpeDemoClosure: Seq[String] =
     graft.llm.HfTokenizer.operandClosure(bpeDemoMerges)
 
+  /** q_tokenize_hf_metaspace's whole-word surfaces — ▁-prefixed pieces at
+    * cost 50 in the demo unigram vocab (chars cost 90), so the Viterbi
+    * argmin is the LONGEST-▁-whole-prefix rule the oracle replays in
+    * closed form.
+    */
+  private val hfMetaWhole: Seq[String] = Seq("spark", "data", "the", "key",
+    "agg", "row", "scan", "slow", "fast", "value", "part", "hash", "merge",
+    "batch", "line", "sort", "order", "column", "join", "small", "big",
+    "group", "dup")
+
+  /** The full q_tokenize_hf_metaspace piece list IN ID ORDER (HF unigram
+    * ids are list positions): unk 0, ▁ 1, the ▁-whole pieces 2…, then
+    * a-z and 0-9 — the complete alphabet of the normalized corpus, so no
+    * word is ever unsegmentable (the silent-drop path cannot fire).
+    */
+  private lazy val hfMetaPieces: Seq[(String, Int)] =
+    (("<unk>", 0) +: ("▁", 90) +: hfMetaWhole.map(w => ("▁" + w, 50))) ++
+      (('a' to 'z') ++ ('0' to '9')).map(c => (c.toString, 90))
+
+  /** q_tokenize_hf_bert's WordPiece vocabulary — EXPLICIT non-contiguous
+    * ids (the id map is exercised, not list positions); `##` marks
+    * continuations. Deliberately tiny: most corpus words collapse to the
+    * whole-word [UNK] id (BERT semantics), while the planted prefix and
+    * the common surfaces split.
+    */
+  private val hfBertVocab: Seq[(String, Int)] = Seq(
+    "[UNK]" -> 100, "[CLS]" -> 101, "[SEP]" -> 102,
+    "th" -> 3, "##an" -> 7, "the" -> 9, "an" -> 11, "and" -> 13,
+    "or" -> 15, "for" -> 17, "caf" -> 31, "##e" -> 19, "##9" -> 37,
+    "," -> 23, "." -> 25, "e" -> 27)
+
   /** q_topology_wordpiece's constant merge table — query parameters
     * inlined identically on both engines (the bpeDemoMerges pattern).
     * Surfaces: th, the, an, and, or, for — so "the"/"an"/"and"/"or"/
@@ -1153,6 +1184,146 @@ object SparkEntry {
     * MaxWordLen=10 whole-word gate) is exact only while every corpus word
     * fits 10 chars — error out loudly the moment a fixture outgrows it.
     */
+  /** DuckDB restatement of the Metaspace-unigram import: the same
+    * canonical normalization as the query's SqlExpr, words as the
+    * ▁-stripped token list, and the Viterbi argmin in CLOSED FORM — the
+    * fixture vocab prices ▁-whole pieces at 50 and every char (and ▁) at
+    * 90, so covering one more char with the whole piece strictly lowers
+    * cost: the LONGEST ▁-whole prefix wins and per-char ids cover the
+    * rest (unique argmin — one whole piece max per word, costs never
+    * tie). Ids are the piece LIST POSITIONS of [[hfMetaPieces]].
+    */
+  private def hfMetaspaceOracle: String = {
+    val wholeVals = hfMetaWhole.zipWithIndex
+      .map { case (w, i) => s"('$w', ${i + 2}, ${w.length})" }.mkString(", ")
+    val charCase = "CASE ch " + (('a' to 'z').zipWithIndex.map { case (c, i) =>
+        s"WHEN '$c' THEN '${25 + i}'" } ++
+      ('0' to '9').zipWithIndex.map { case (c, i) =>
+        s"WHEN '$c' THEN '${51 + i}'" }).mkString(" ") + " END"
+    def rest(off: String) =
+      s"array_to_string(list_transform(string_split(substr(word, $off + 1)," +
+        s" ''), ch -> $charCase), ',')"
+    s"""WITH whole(wsurf, wid, wlen) AS (VALUES $wholeVals),
+        tok AS (
+          SELECT doc_id,
+                 CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(nrm, ' ') END AS t
+          FROM (SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                         '[^a-z0-9]+', ' ', 'g')) AS nrm
+                FROM documents)
+        ), w AS (
+          SELECT doc_id, i + 1 AS wix, t[i + 1] AS word
+          FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), chk AS (
+          -- loud-failure guard: the import applies the file's (absent)
+          -- bound up to the 63-code-point Viterbi ceiling; error long
+          -- before a fixture word could reach it
+          SELECT CASE WHEN max(length(word)) > 40 THEN error(
+                   'metaspace oracle: word longer than 40 chars - approaching the 63-code-point Viterbi ceiling, revisit')
+                 ELSE 0 END AS ok FROM w
+        ), m AS (
+          SELECT doc_id, wix, word,
+                 (SELECT max(wlen) FROM whole
+                  WHERE substr(word, 1, wlen) = wsurf) AS blen,
+                 (SELECT max_by(wid, wlen) FROM whole
+                  WHERE substr(word, 1, wlen) = wsurf) AS bid
+          FROM w, chk WHERE chk.ok = 0
+        ), ids AS (
+          SELECT doc_id, wix,
+                 CASE WHEN blen IS NULL THEN '1,' || ${rest("0")}
+                      WHEN blen = length(word) THEN CAST(bid AS VARCHAR)
+                      ELSE CAST(bid AS VARCHAR) || ',' || ${rest("blen")}
+                 END AS s
+          FROM m
+        ), agg AS (
+          SELECT doc_id, string_agg(s, ',' ORDER BY wix) AS ids
+          FROM ids GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN coalesce(a.ids, '') = '' THEN 0
+                    ELSE len(string_split(a.ids, ',')) END AS INT) AS n_ids,
+               md5(coalesce(a.ids, '')) AS ids_md5
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id"""
+  }
+
+  /** DuckDB restatement of the BERT-format import: the planted prefix
+    * normalized by hand ('Éxtra, café9 ' → 'extra, cafe9 ' — the engine
+    * must reproduce it through clean/NFD-strip/lowercase for the hash to
+    * match), the corpus remainder lowercased (clean/NFD identity on
+    * printable ASCII), BERT punctuation isolation as one regex, the
+    * greedy longest-match walk unrolled (the wpTomlOracle pattern, ids
+    * from the file's explicit map), the FILE's max_input_chars_per_word
+    * = 8 restated directly (longer words → the [UNK] id 100), and the
+    * [CLS]/[SEP] template wrap.
+    */
+  private def hfBertOracle: String = {
+    val vocabVals = hfBertVocab.map { case (p, id) =>
+      if (p.startsWith("##")) s"('${p.drop(2)}', true, $id)"
+      else s"('$p', false, $id)"
+    }.mkString(", ")
+    val steps = 8
+    val chain = (1 to steps).map { i =>
+      s"""m$i AS (
+           SELECT doc_id, wix, rest, acc,
+                  CASE WHEN rest = '' THEN NULL ELSE (
+                    SELECT max_by(v.id, length(v.surf)) FROM vocab v
+                    WHERE v.cont = (acc <> '')
+                      AND substr(rest, 1, length(v.surf)) = v.surf
+                  ) END AS bid,
+                  CASE WHEN rest = '' THEN NULL ELSE (
+                    SELECT max(length(v.surf)) FROM vocab v
+                    WHERE v.cont = (acc <> '')
+                      AND substr(rest, 1, length(v.surf)) = v.surf
+                  ) END AS blen
+           FROM s${i - 1}
+         ), s$i AS (
+           SELECT doc_id, wix,
+                  CASE WHEN rest = '' THEN ''
+                       WHEN bid IS NULL THEN ''
+                       ELSE substr(rest, blen + 1) END AS rest,
+                  CASE WHEN rest = '' THEN acc
+                       WHEN bid IS NULL THEN '100'
+                       WHEN acc = '' THEN CAST(bid AS VARCHAR)
+                       ELSE acc || ',' || CAST(bid AS VARCHAR) END AS acc
+           FROM m$i
+         )"""
+    }.mkString(", ")
+    s"""WITH vocab(surf, cont, id) AS (VALUES $vocabVals),
+        nrm AS (
+          SELECT doc_id, 'extra, cafe9 ' ||
+                 lower(regexp_replace(coalesce(text, ''), '[^ -~]+', ' ',
+                   'g')) AS t
+          FROM documents
+        ), pt AS (
+          SELECT doc_id,
+                 regexp_replace(t, '([!-/:-@\\[-`{-~])', ' \\1 ', 'g') AS t
+          FROM nrm
+        ), tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS t FROM pt
+        ), w AS (
+          SELECT doc_id, i + 1 AS wix, t[i + 1] AS word
+          FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tok)
+        ), s0 AS (
+          -- the FILE's own bound: words longer than 8 chars collapse
+          -- whole to the unk id before any matching
+          SELECT doc_id, wix,
+                 CASE WHEN length(word) > $steps THEN '' ELSE word END AS rest,
+                 CASE WHEN length(word) > $steps THEN '100' ELSE '' END AS acc
+          FROM w
+        ), $chain, agg AS (
+          SELECT doc_id, string_agg(acc, ',' ORDER BY wix) AS ids
+          FROM s$steps GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(2 + CASE WHEN coalesce(a.ids, '') = '' THEN 0
+                    ELSE len(string_split(a.ids, ',')) END AS INT) AS n_ids,
+               md5(CASE WHEN coalesce(a.ids, '') = '' THEN '101,102'
+                   ELSE '101,' || a.ids || ',102' END) AS ids_md5
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id"""
+  }
+
   private def wpTomlOracle: String = {
     val vocabVals = wpTomlDemoMerges.zipWithIndex.flatMap { case ((a, b), i) =>
       val surf = a + b
@@ -5363,6 +5534,127 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_tokenize_hf_metaspace" -> ((s, d) => {
+      // the SentencePiece-converted (Metaspace unigram) import path: the
+      // file — written first, a query parameter — declares `Metaspace
+      // prepend_scheme=always` and a Unigram vocab whose ids are LIST
+      // POSITIONS; TokenizeIds imports it and applies the FILE's word
+      // bound (none — up to the 63-code-point Viterbi ceiling), not the
+      // engine's sidecar default of 10. Text is canonically normalized
+      // (lower, non-alnum → one space) so every ▁-word is lowercase
+      // alnum and the whole char alphabet is in the vocab — no
+      // silent-drop path. The vocab makes the Viterbi argmin CLOSED
+      // FORM: ▁-whole-word pieces cost 50, ▁ and every char 90, so
+      // covering one more char with the whole piece strictly lowers
+      // cost — the longest ▁-whole PREFIX wins and chars cover the
+      // rest, uniquely (one whole piece max per word: all start with ▁
+      // and words carry no interior ▁). The oracle replays exactly that
+      // rule over the same inlined tables.
+      val dir = qTmpDir("hfmeta-q")
+      val vocabJson = hfMetaPieces.map { case (p, c) =>
+        s"""["$p", ${if (c == 0) "0.0" else s"-${c.toDouble / 64}"}]"""
+      }.mkString(", ")
+      val json =
+        s"""{"pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+           |                   "prepend_scheme": "always"},
+           | "model": {"type": "Unigram", "unk_id": 0,
+           |           "vocab": [$vocabJson]}}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "meta.json"), json.getBytes("UTF-8"))
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "SqlExpr"
+           |  [filter.config]
+           |  DstField = "text"
+           |  Expr = "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' '))"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  CountField = "n_ids"
+           |  VocabPath = "$dir/meta.json"
+           |[output]
+           |name = "Nop"
+           |fields = ["doc_id", "ids", "n_ids"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_ids").cast("int").as("n_ids"),
+          md5(col("ids").cast("binary")).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q_tokenize_hf_bert" -> ((s, d) => {
+      // the BERT-format import path end to end: BertNormalizer (clean +
+      // NFD accent-strip + lowercase), BertPreTokenizer (punctuation
+      // isolation), WordPiece under the FILE's explicit non-contiguous
+      // ids and its OWN max_input_chars_per_word = 8 (words longer
+      // collapse whole to the file's [UNK] id — the bound the oracle
+      // restates directly), [CLS]/[SEP] wrapped from the
+      // TemplateProcessing template. The planted accented prefix
+      // ('Éxtra, café9 ') makes the accent-strip, punctuation-split,
+      // digit-continuation and whole-word-unk paths fire in EVERY
+      // document at every SF; the corpus remainder is stripped to
+      // printable ASCII so clean/NFD are identity there and the oracle
+      // restates lowercase + punct isolation verbatim.
+      val dir = qTmpDir("hfbert-q")
+      val vocabJson = hfBertVocab
+        .map { case (p, id) => s""""$p": $id""" }.mkString(", ")
+      val json =
+        s"""{"normalizer": {"type": "BertNormalizer", "clean_text": true,
+           |   "handle_chinese_chars": true, "strip_accents": null,
+           |   "lowercase": true},
+           | "pre_tokenizer": {"type": "BertPreTokenizer"},
+           | "post_processor": {"type": "TemplateProcessing",
+           |   "single": [{"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+           |              {"Sequence": {"id": "A", "type_id": 0}},
+           |              {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+           |   "special_tokens": {
+           |     "[CLS]": {"id": "[CLS]", "ids": [101], "tokens": ["[CLS]"]},
+           |     "[SEP]": {"id": "[SEP]", "ids": [102], "tokens": ["[SEP]"]}}},
+           | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+           |   "continuing_subword_prefix": "##",
+           |   "max_input_chars_per_word": 8,
+           |   "vocab": {$vocabJson}}}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "bert.json"), json.getBytes("UTF-8"))
+      val toml =
+        s"""[fields]
+           |names = ["doc_id", "text"]
+           |[input]
+           |name = "Parquet"
+           |  [input.config]
+           |  Path = "$d/documents.parquet"
+           |[[filter]]
+           |name = "SqlExpr"
+           |  [filter.config]
+           |  DstField = "text"
+           |  Expr = "concat('Éxtra, café9 ', regexp_replace(coalesce(text, ''), '[^ -~]+', ' '))"
+           |[[filter]]
+           |name = "TokenizeIds"
+           |  [filter.config]
+           |  SrcField = "text"
+           |  DstField = "ids"
+           |  CountField = "n_ids"
+           |  VocabPath = "$dir/bert.json"
+           |[output]
+           |name = "Nop"
+           |fields = ["doc_id", "ids", "n_ids"]
+           |""".stripMargin
+      graft.topology.Topology.compileToml(s, toml).projected
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_ids").cast("int").as("n_ids"),
+          md5(col("ids").cast("binary")).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_bpe_roundtrip" -> ((s, d) => {
       // the losslessness LAW: text → byte-level BPE → vocabulary ids →
       // decode must reproduce the input byte-for-byte (the byte map is a
@@ -9402,6 +9694,8 @@ object SparkEntry {
                     byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s), 0) - 1)
                     + 7, -1) AS VARCHAR)), ','), '')) AS ids_md5
          FROM sym ORDER BY doc_id""",
+    "q_tokenize_hf_metaspace" -> hfMetaspaceOracle,
+    "q_tokenize_hf_bert" -> hfBertOracle,
     "q_bpe_roundtrip" ->
       // decode∘encode = identity: dec_md5 IS md5(text) when the round
       // trip holds; the printable-ASCII guard keeps the demo vocabulary's
