@@ -310,6 +310,47 @@ object Streaming {
     val runTag =
       if (needsTag) StoreLayout.runTagFor(compiled.ctx.spark, checkpointDir)
       else ""
+    // Cross-batch tail-carry is the DEFAULT daemon posture for the packing
+    // export: without CarryDir every micro-batch packs independently and
+    // leaves up to PackShards underfilled final sequences — pad waste
+    // proportional to 1/batch-size, paid in accelerator hours forever.
+    // When the output supports carry (a CarryDir key) and is packing
+    // (PackBudget > 0) under a daemon, default CarryDir to a
+    // rotation-independent _carry dir beside the output (placeholder
+    // segments stripped — the carry state is SHARED across batches) and
+    // CarryRotation to the batch rotation. An explicit STATIC
+    // CarryRotation is refused for the same reason as a static store
+    // Rotation above: each batch would re-read and overwrite ONE carry
+    // partition, corrupting the tail chain. Opting OUT of carry entirely
+    // remains possible by pointing CarryDir at an explicit path and
+    // managing it, but per-batch padded packing is no longer the silent
+    // default.
+    val carryDefaults: Map[String, Any] =
+      if (outDesc.keys.exists(_.name == "CarryDir") &&
+          cfg.outputConfig.int("PackBudget", 0L) > 0) {
+        cfg.outputConfig.strOpt("CarryRotation").foreach { v =>
+          require(v.contains("{{.Rotation}}"),
+            s"daemon output '${cfg.outputName}': CarryRotation must carry " +
+              "the {{.Rotation}} placeholder under a streaming query - a " +
+              "static rotation re-reads and overwrites ONE carry partition " +
+              "every micro-batch, corrupting the tail chain")
+        }
+        val dirDefault: Map[String, Any] =
+          if (cfg.outputConfig.has("CarryDir")) Map.empty
+          else {
+            val base = cfg.outputConfig.str("Path").split('/')
+              .filterNot(_.contains("{{.")).mkString("/")
+            val d = s"${base.stripSuffix("/")}/_carry"
+            println(s"Stats: daemon '${cfg.outputName}' defaulting " +
+              s"CarryDir=$d (cross-batch tail carry - pad waste no longer " +
+              "depends on trigger sizing; set CarryDir to relocate)")
+            Map("CarryDir" -> d)
+          }
+        val rotDefault: Map[String, Any] =
+          if (cfg.outputConfig.has("CarryRotation")) Map.empty
+          else Map("CarryRotation" -> "{{.Rotation}}")
+        dirDefault ++ rotDefault
+      } else Map.empty
     val query = compiled.projected.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -320,7 +361,7 @@ object Streaming {
         // config value — FileWriter's PathString and any output that needs
         // the batch id for idempotent partitions (PerceptualDedupStore)
         val batchCfg = ComponentConfig(
-          cfg.outputConfig.raw.map {
+          (cfg.outputConfig.raw ++ carryDefaults).map {
             case (k, v: String) =>
               k -> v.replace("{{.Rotation}}", batchId.toString)
                 .replace("{{.RunTag}}", runTag)

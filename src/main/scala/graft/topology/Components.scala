@@ -1651,13 +1651,16 @@ object BuiltinComponents {
       ConfigKey("SegField", "optional field holding comma-joined " +
         "segment ids, exported as the .seg channel when PackBudget = 0 " +
         "(PackRows emits 'segment_ids')"),
-      ConfigKey("CarryDir", "optional cross-batch packing-state dir " +
+      ConfigKey("CarryDir", "cross-batch packing-state dir " +
         "(PackBudget > 0): each batch ships only CLOSED sequences and " +
         "stashes its underfilled tail documents at CarryDir/batch=N; " +
         "the next batch re-packs them first — pad waste stops depending " +
-        "on trigger sizing entirely. Daemons set CarryRotation = " +
-        "\"{{.Rotation}}\"; the final tail stays in CarryDir for a " +
-        "closing batch-mode export."),
+        "on trigger sizing entirely. DAEMONS DEFAULT this to a " +
+        "rotation-independent <Path>/_carry (and CarryRotation to " +
+        "\"{{.Rotation}}\") whenever PackBudget > 0 — per-batch padded " +
+        "packing is an explicit batch-mode choice, not the streaming " +
+        "default. The final tail stays in CarryDir for a closing " +
+        "batch-mode export."),
       ConfigKey("CarryRotation", "batch ordinal for the carry state: " +
         "reads the newest CarryDir/batch=<k> with k < this, writes " +
         "batch=<this> (idempotent under replay); daemons pass " +

@@ -220,6 +220,83 @@ class PackCarrySpec extends SparkSpec {
       wholeIds.map(_.toString).sorted)
   }
 
+  test("daemon PackedShards WITHOUT CarryDir: carry is the DEFAULT " +
+      "posture — a rotation-independent <Path>/_carry appears, tails " +
+      "carry, and a static explicit CarryRotation is refused") {
+    val dir = tmp("packcarry-default")
+    val shards = new java.io.File(dir, "wds"); shards.mkdirs()
+    val docs = corpus(17)
+    def shard(name: String, rows: Seq[(Long, Seq[Int], Seq[Boolean])],
+        mtimeAgoMs: Long): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      rows.foreach { case (ord, toks, _) =>
+        TarShards.writeEntry(bos, f"$ord%08d.txt",
+          toks.mkString(",").getBytes("UTF-8"))
+      }
+      bos.write(new Array[Byte](1024))
+      val f = new java.io.File(shards, name)
+      val out = new java.io.FileOutputStream(f)
+      out.write(bos.toByteArray); out.close()
+      f.setLastModified(System.currentTimeMillis() - mtimeAgoMs)
+    }
+    shard("s0.tar", docs.slice(0, 9), 30000)
+    shard("s1.tar", docs.slice(9, 17), 20000)
+    def toml(extra: String): String =
+      s"""[fields]
+         |names = ["key", "txt"]
+         |[input]
+         |name = "WebDataset"
+         |  [input.config]
+         |  Path = "${shards.getAbsolutePath}"
+         |  MaxFilesPerTrigger = 1
+         |[output]
+         |name = "PackedShards"
+         |fields = ["key", "txt"]
+         |  [output.config]
+         |  Path = "$dir/out/batch={{.Rotation}}"
+         |  IdsField = "txt"
+         |  PackBudget = $budget
+         |  PackOrderField = "key"
+         |  PackShards = 2
+         |  PadId = -7
+         |  NumTasks = 1
+         |$extra
+         |""".stripMargin
+    val d1 = Streaming.runDaemon(spark, toml(""), s"$dir/ckpt",
+      triggerMs = 100, env = Map.empty)
+    d1.processAllAvailable()
+    d1.stop()
+    // the default carry dir sits BESIDE the per-batch output dirs (the
+    // {{.Rotation}} segment stripped — carry state is shared), and the
+    // closed rows + final tail reproduce the one-shot layout
+    assert(new java.io.File(s"$dir/out/_carry").exists(),
+      "default CarryDir <Path-sans-rotation>/_carry must exist")
+    val batchDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getAbsolutePath).sorted
+    val closedIds = batchDirs.toSeq.map(b =>
+        spark.read.format("packedcorpus").load(b).select("input_ids"))
+      .reduce(_ unionByName _).collect().map(_.getSeq[Int](0)).toSeq
+    val carryRows = Pack.Carry.read(spark, s"$dir/out/_carry", Long.MaxValue)
+      .get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Boolean](2))).toSeq
+    val flushedIds = oneShot(carryRows, None, None, None)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq
+    val wholeIds = oneShot(docs.map { case (o, t, _) =>
+        (o, t, t.map(_ => true)) }, None, None, None)
+      .select("input_ids").collect().map(_.getSeq[Int](0)).toSeq
+    assert((closedIds ++ flushedIds).map(_.toString).sorted ==
+      wholeIds.map(_.toString).sorted)
+    // a static CarryRotation under a daemon is refused at START — each
+    // batch would re-read and overwrite one carry partition
+    val e = intercept[Exception] {
+      Streaming.runDaemon(spark,
+        toml(s"""  CarryDir = "$dir/carry2"
+                |  CarryRotation = "7"""".stripMargin),
+        s"$dir/ckpt2", triggerMs = 100, env = Map.empty)
+    }
+    assert(e.getMessage.contains("CarryRotation"))
+  }
+
   test("a micro-batch that closes ZERO sequences exports NOTHING: no " +
       "_SUCCESS-marked empty corpus dir appears; the tokens ride the " +
       "stashed tail and ship in a later batch") {
