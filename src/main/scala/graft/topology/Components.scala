@@ -278,7 +278,12 @@ object BuiltinComponents {
     "Reads WARC (ISO 28500) web-archive files - the Common Crawl " +
       "container; declared [fields] select from the warc schema " +
       "(target_uri, payload, http_status, ...), payload decoded as " +
-      "UTF-8 text; gzip/zstd member framing decompressed transparently.",
+      "UTF-8 text; gzip/zstd member framing decompressed transparently. " +
+      "Binary/non-UTF8 payloads are NEVER skipped: invalid byte " +
+      "sequences surface as U+FFFD replacement characters in the " +
+      "string record model, and entity-level Content-Encoding (a " +
+      "gzip'd HTTP body) is NOT decompressed - gate on http_* headers " +
+      "and handle binary payloads explicitly.",
     Seq(
       ConfigKey("Path", "WARC file, directory, or glob", required = true),
       ConfigKey("Types", "comma-separated WARC-Type filter; empty keeps " +
