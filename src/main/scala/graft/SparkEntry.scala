@@ -1208,8 +1208,9 @@ object SparkEntry {
           SELECT doc_id,
                  CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
                       ELSE string_split(nrm, ' ') END AS t
-          FROM (SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
-                         '[^a-z0-9]+', ' ', 'g')) AS nrm
+          FROM (SELECT doc_id, trim('thekeys9 ' ||
+                         trim(regexp_replace(lower(coalesce(text, '')),
+                           '[^a-z0-9]+', ' ', 'g'))) AS nrm
                 FROM documents)
         ), w AS (
           SELECT doc_id, i + 1 AS wix, t[i + 1] AS word
@@ -5572,7 +5573,13 @@ object SparkEntry {
            |name = "SqlExpr"
            |  [filter.config]
            |  DstField = "text"
-           |  Expr = "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' '))"
+           |  # the planted 'thekeys9' word guarantees the PARTIAL-prefix
+           |  # branch fires at every SF: its longest ▁-whole prefix is
+           |  # '▁the' and the k/e/y/s/9 remainder walks the char (and
+           |  # digit) fallback — without it a fixture could leave the
+           |  # oracle's ELSE branch vacuously untested (the r18 unk-mask
+           |  # lesson: untested oracle paths are latent false greens)
+           |  Expr = "trim(concat('thekeys9 ', trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' '))))"
            |[[filter]]
            |name = "TokenizeIds"
            |  [filter.config]
@@ -7663,8 +7670,8 @@ object SparkEntry {
                  FROM te)
          ), tids AS MATERIALIZED (
            SELECT doc_id,
-                  list(CAST(coalesce(list_position([$surfaces], piece) - 1,
-                    -1) AS INT) ORDER BY wi, pi) AS ids
+                  list(CAST(coalesce(nullif(list_position([$surfaces],
+                    piece), 0) - 1, -1) AS INT) ORDER BY wi, pi) AS ids
            FROM tp GROUP BY doc_id
          ), tk AS MATERIALIZED (
            SELECT doc_id,
@@ -9656,9 +9663,9 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, CAST(len(syms) AS INTEGER) AS n_ids,
                 md5(coalesce(array_to_string(list_transform(syms, s ->
-                  CAST(coalesce(list_position([${
-                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s) - 1,
-                    -1) AS VARCHAR)), ','), '')) AS ids_md5
+                  CAST(coalesce(nullif(list_position([${
+                    byteBpeDemoVocab.map(v => s"'$v'").mkString(", ")}], s),
+                    0) - 1, -1) AS VARCHAR)), ','), '')) AS ids_md5
          FROM sym ORDER BY doc_id""",
     "q_tokenize_hf_import" ->
       // the q_bpe_ids replay under the imported file's EXPLICIT id map:
