@@ -482,6 +482,19 @@ object SparkEntry {
       row.zipWithIndex.map { case (qv, n) => s"($k, $n, $qv)" }
     }.mkString(", ")
 
+  /** [[phashCosValuesSql]] regrouped onto the 8×8 TEXT grid: the fixture
+    * image is the 8×8 byte grid upsampled 4×4 (nearest neighbor), so the
+    * 32-term DCT sums collapse EXACTLY onto 4-column block sums
+    * `qs(k, B) = Σ_{n=4B..4B+3} qv(k, n)` — pure integer regrouping,
+    * identical output, and the oracle's join shrinks from
+    * docs×32×32×8 (≈400 M rows at sf1 — the r18
+    * q_dedup_incremental_image DuckDB OOM) to docs×8×8×8.
+    */
+  private lazy val phashCosBlockValuesSql: String =
+    graft.llm.Multimodal.PhashCos.zipWithIndex.flatMap { case (row, k) =>
+      (0 until 8).map(b => s"($k, $b, ${row.slice(4 * b, 4 * b + 4).sum})")
+    }.mkString(", ")
+
   /** q_mix_solver's target mixture (basis points, sum 10000) — a QUERY
     * PARAMETER inlined identically on both engines.
     */
@@ -8020,24 +8033,28 @@ object SparkEntry {
            SELECT doc_id + 10000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), cell AS (
-           SELECT doc_id, bt, y.y AS y, x.x AS x,
+           -- the 8×8 TEXT grid directly: the 32×32 image is this grid
+           -- upsampled 4×4, so the DCT restated below regroups the
+           -- 32-term sums onto 4-wide block sums (phashCosBlockValuesSql)
+           -- — identical integers, 16× smaller joins (the sf1 OOM fix)
+           SELECT doc_id, bt, gy.p AS gy, gx.p AS gx,
                   CASE WHEN tweak = 1
-                        AND (7 - (y.y // 4)) * 8 + (x.x // 4) + 1 = 64 THEN 126
+                        AND (7 - gy.p) * 8 + gx.p + 1 = 64 THEN 126
                        ELSE ascii(substr(text,
-                         (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1)) END AS g
-           FROM alld, (SELECT unnest(range(0, 32)) AS y) y,
-                      (SELECT unnest(range(0, 32)) AS x) x
+                         (7 - gy.p) * 8 + gx.p + 1, 1)) END AS g
+           FROM alld, (SELECT unnest(range(0, 8)) AS p) gy,
+                      (SELECT unnest(range(0, 8)) AS p) gx
          ), q AS (
-           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+           SELECT * FROM (VALUES $phashCosBlockValuesSql) t(k, b, qs)
          ), rp AS (
-           SELECT c.doc_id, any_value(c.bt) AS bt, c.x, q.k AS v,
-                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
-           FROM cell c JOIN q ON q.n = c.y
-           GROUP BY c.doc_id, c.x, q.k
+           SELECT c.doc_id, any_value(c.bt) AS bt, c.gx, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qs) AS s
+           FROM cell c JOIN q ON q.b = c.gy
+           GROUP BY c.doc_id, c.gx, q.k
          ), co AS (
            SELECT rp.doc_id, any_value(rp.bt) AS bt, rp.v, q.k AS u,
-                  CAST(sum(rp.s * q.qv) AS BIGINT) AS s
-           FROM rp JOIN q ON q.n = rp.x
+                  CAST(sum(rp.s * q.qs) AS BIGINT) AS s
+           FROM rp JOIN q ON q.b = rp.gx
            GROUP BY rp.doc_id, rp.v, q.k
          ), med AS (
            SELECT doc_id, s AS m FROM (
@@ -8091,23 +8108,26 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 10000000, text, 1 FROM d WHERE doc_id < 20
          ), cell AS (
-           SELECT doc_id, y.y AS y, x.x AS x,
+           -- 8×8 text grid + block-summed cosines: the same exact
+           -- regrouping as q_dedup_incremental_image's (see
+           -- phashCosBlockValuesSql)
+           SELECT doc_id, gy.p AS gy, gx.p AS gx,
                   CASE WHEN tweak = 1
-                        AND (7 - (y.y // 4)) * 8 + (x.x // 4) + 1 = 64 THEN 126
+                        AND (7 - gy.p) * 8 + gx.p + 1 = 64 THEN 126
                        ELSE ascii(substr(text,
-                         (7 - (y.y // 4)) * 8 + (x.x // 4) + 1, 1)) END AS g
-           FROM alld, (SELECT unnest(range(0, 32)) AS y) y,
-                      (SELECT unnest(range(0, 32)) AS x) x
+                         (7 - gy.p) * 8 + gx.p + 1, 1)) END AS g
+           FROM alld, (SELECT unnest(range(0, 8)) AS p) gy,
+                      (SELECT unnest(range(0, 8)) AS p) gx
          ), q AS (
-           SELECT * FROM (VALUES $phashCosValuesSql) t(k, n, qv)
+           SELECT * FROM (VALUES $phashCosBlockValuesSql) t(k, b, qs)
          ), rp AS (
-           SELECT c.doc_id, c.x, q.k AS v,
-                  sum(CAST(c.g AS BIGINT) * q.qv) AS s
-           FROM cell c JOIN q ON q.n = c.y
-           GROUP BY c.doc_id, c.x, q.k
+           SELECT c.doc_id, c.gx, q.k AS v,
+                  sum(CAST(c.g AS BIGINT) * q.qs) AS s
+           FROM cell c JOIN q ON q.b = c.gy
+           GROUP BY c.doc_id, c.gx, q.k
          ), co AS (
-           SELECT rp.doc_id, rp.v, q.k AS u, CAST(sum(rp.s * q.qv) AS BIGINT) AS s
-           FROM rp JOIN q ON q.n = rp.x
+           SELECT rp.doc_id, rp.v, q.k AS u, CAST(sum(rp.s * q.qs) AS BIGINT) AS s
+           FROM rp JOIN q ON q.b = rp.gx
            GROUP BY rp.doc_id, rp.v, q.k
          ), med AS (
            SELECT doc_id, s AS m FROM (

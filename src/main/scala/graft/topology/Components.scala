@@ -1663,9 +1663,11 @@ object BuiltinComponents {
         "on trigger sizing entirely. DAEMONS DEFAULT this to a " +
         "rotation-independent <Path>/_carry (and CarryRotation to " +
         "\"{{.Rotation}}\") whenever PackBudget > 0 — per-batch padded " +
-        "packing is an explicit batch-mode choice, not the streaming " +
-        "default. The final tail stays in CarryDir for a closing " +
-        "batch-mode export."),
+        "packing is an explicit choice, not the streaming default: opt " +
+        "OUT with CarryDir = \"\" (and size the trigger so each batch " +
+        "carries many times PackShards x PackBudget tokens, or the pad " +
+        "fraction is paid in accelerator hours). The final tail stays " +
+        "in CarryDir for a closing batch-mode export."),
       ConfigKey("CarryRotation", "batch ordinal for the carry state: " +
         "reads the newest CarryDir/batch=<k> with k < this, writes " +
         "batch=<this> (idempotent under replay); daemons pass " +
@@ -1719,7 +1721,9 @@ object BuiltinComponents {
             dtype = cfg.str("Dtype", "int32"),
             maskCol = Some("loss_mask"), segCol = Some("segment_ids"),
             docStartCol = Some("doc_start"))
-        cfg.strOpt("CarryDir") match {
+        // an explicit EMPTY CarryDir is the per-batch opt-out (daemons
+        // default the key to <Path>/_carry otherwise — Streaming.start)
+        cfg.strOpt("CarryDir").filter(_.trim.nonEmpty) match {
           case None =>
             export(graft.llm.Pack.packTokensGreedy(observed, ord, toks,
               inMask, budget, shardOf(ord),

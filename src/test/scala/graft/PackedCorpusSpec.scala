@@ -241,6 +241,10 @@ class PackedCorpusSpec extends SparkSpec {
          |  PackOrderField = "key"
          |  EosId = -4
          |  NumTasks = 1
+         |  # the explicit per-batch opt-out: daemons default to
+         |  # cross-batch tail carry (PackCarrySpec pins that posture);
+         |  # THIS spec pins the legacy independent-batches shape
+         |  CarryDir = ""
          |""".stripMargin
     val d1 = Streaming.runDaemon(spark, toml, s"$dir/ckpt", triggerMs = 100,
       env = Map.empty)
