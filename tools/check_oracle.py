@@ -27,8 +27,16 @@ def canon(rows, cols):
     return out
 
 def connect(sf_dir):
-    """A DuckDB connection with the testdata tables registered as views."""
+    """A DuckDB connection with the testdata tables registered as views.
+
+    GRAFT_ORACLE_MEM (e.g. "14GB") caps per-connection memory: every
+    parallel worker's DuckDB otherwise assumes it owns 80% of RAM, and
+    N workers x 80% is how the r18 sf1 sweep OOM'd instead of spilling.
+    """
     con = duckdb.connect()
+    mem = os.environ.get("GRAFT_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
