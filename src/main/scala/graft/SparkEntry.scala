@@ -2868,7 +2868,7 @@ object SparkEntry {
       val batch0 = docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 10000000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat(array_join(slice(TF.tokens(col("text")), 6, 16), " "),
             lit(" uq"), col("doc_id").cast("string"),
             lit(" tail marker words")).as("text"))
@@ -4440,7 +4440,7 @@ object SparkEntry {
         Seq.fill(3)(lit(Array[Byte](126))): _*)
       val base = docs.select(col("doc_id"), concat(lit(hdr), px).as("__img"))
       val ups = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 10000000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat(lit(hdr), pxT).as("__img"))
       val hashes = graft.llm.Multimodal.pHash(graft.llm.Multimodal.decodeImages(
         base.unionByName(ups), "doc_id", "__img",
@@ -4467,7 +4467,7 @@ object SparkEntry {
         Seq.fill(3)(lit(Array[Byte](126))): _*)
       val base = docs.select(col("doc_id"), concat(lit(hdr), px).as("__img"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 10000000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat(lit(hdr), pxT).as("__img"))
       val batch0 = base.filter(col("doc_id") % 2 === 0)
       val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
@@ -4597,7 +4597,7 @@ object SparkEntry {
       val b = col("text").cast("binary")
       val base = docs.select(col("doc_id"), wav(b.substr(1, 128)).as("payload"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 10000000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           wav(concat(b.substr(1, 124),
             lit(Array[Byte](126, 126, 126, 126)))).as("payload"))
       val batch0 = base.filter(col("doc_id") % 2 === 0)
@@ -4661,7 +4661,7 @@ object SparkEntry {
         concat(lit(pre), lit(hdr), p1, lit(hdr), p2, lit(post))
       val base = docs.select(col("doc_id"), video(px(0), px(64)).as("payload"))
       val ups = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 10000000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           video(pxT(0), pxT(64)).as("payload"))
       val frames = graft.llm.Multimodal.sampleFrames(base.unionByName(ups),
         "doc_id", "payload", n = 2,
@@ -4710,7 +4710,7 @@ object SparkEntry {
         concat(lit(pre), lit(hdr), p1, lit(hdr), p2, lit(post))
       val base = docs.select(col("doc_id"), video(px(0), px(64)).as("payload"))
       val planted = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
-        .select((col("doc_id") + 10000000).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           video(pxT(0), pxT(64)).as("payload"))
       val batch0 = base.filter(col("doc_id") % 2 === 0)
       val batch1 = base.filter(col("doc_id") % 2 =!= 0).unionByName(planted)
@@ -6572,7 +6572,7 @@ object SparkEntry {
          ), docs1 AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
            UNION ALL
-           SELECT doc_id + 10000000,
+           SELECT doc_id + 1000000000000,
                   array_to_string(t[6:21], ' ') || ' uq' ||
                   CAST(doc_id AS VARCHAR) || ' tail marker words'
            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -7884,7 +7884,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text FROM base
            UNION ALL
-           SELECT doc_id + 10000000, text FROM base WHERE doc_id < 20
+           SELECT doc_id + 1000000000000, text FROM base WHERE doc_id < 20
          ), cell AS (
            SELECT doc_id, y.y, x.x,
                   ascii(substr(text, (7 - y.y) * 8 + x.x + 1, 1)) AS g
@@ -8030,7 +8030,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
            FROM d
            UNION ALL
-           SELECT doc_id + 10000000, text, 1, 1 FROM d
+           SELECT doc_id + 1000000000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), cell AS (
            -- the 8×8 TEXT grid directly: the 32×32 image is this grid
@@ -8106,7 +8106,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text, 0 AS tweak FROM d
            UNION ALL
-           SELECT doc_id + 10000000, text, 1 FROM d WHERE doc_id < 20
+           SELECT doc_id + 1000000000000, text, 1 FROM d WHERE doc_id < 20
          ), cell AS (
            -- 8×8 text grid + block-summed cosines: the same exact
            -- regrouping as q_dedup_incremental_image's (see
@@ -8247,7 +8247,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text FROM d
            UNION ALL
-           SELECT doc_id + 10000000, text FROM d WHERE doc_id < 20
+           SELECT doc_id + 1000000000000, text FROM d WHERE doc_id < 20
          ), smp AS (
            SELECT doc_id, j.j AS j,
                   ascii(substr(text, 2 * j.j + 1, 1))
@@ -8337,7 +8337,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
            FROM d
            UNION ALL
-           SELECT doc_id + 10000000, text, 1, 1 FROM d
+           SELECT doc_id + 1000000000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), smp AS (
            SELECT doc_id, bt, j.j AS j,
@@ -8400,7 +8400,7 @@ object SparkEntry {
          ), alld AS (
            SELECT doc_id, text, 0 AS tweak FROM d
            UNION ALL
-           SELECT doc_id + 10000000, text, 1 FROM d WHERE doc_id < 20
+           SELECT doc_id + 1000000000000, text, 1 FROM d WHERE doc_id < 20
          ), cell AS (
            SELECT a.doc_id, a.tweak, fr.fx AS fx, y.y AS y, x.x AS x,
                   CASE WHEN a.tweak = 1
@@ -8467,7 +8467,7 @@ object SparkEntry {
                   CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS bt
            FROM d
            UNION ALL
-           SELECT doc_id + 10000000, text, 1, 1 FROM d
+           SELECT doc_id + 1000000000000, text, 1, 1 FROM d
            WHERE doc_id % 2 = 0 AND doc_id < 40
          ), cell AS (
            SELECT a.doc_id, a.bt, fr.fx AS fx, y.y AS y, x.x AS x,

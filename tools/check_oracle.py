@@ -37,6 +37,14 @@ def connect(sf_dir):
     mem = os.environ.get("GRAFT_ORACLE_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # per-PROCESS spill dir: every in-memory DuckDB defaults its
+    # temp_directory to cwd/.tmp, so two parallel workers share spill
+    # files and one worker's cleanup races another's reads - observed as
+    # a fatal duckdb::IOException ("Could not remove file
+    # .tmp/duckdb_temp_storage-0.tmp") that kills the worker mid-query
+    # and silently loses its task (r19 sf1 sweep). Same gitignored
+    # location, one subdir per pid.
+    con.execute(f"SET temp_directory='.tmp/duckdb-{os.getpid()}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
