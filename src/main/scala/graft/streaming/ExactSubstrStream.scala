@@ -76,6 +76,13 @@ object ExactSubstrStream {
       .withColumn(textCol, ExactSubstr.cutWindows(col(textCol), col("__ps"), k))
       .drop("__ps")
       .persist()
+    // materialize the cache in ONE job before the two write queries plan
+    // against it: lazily-persisted frames are otherwise first evaluated by
+    // concurrent AQE broadcast sub-jobs that race to populate the cache and
+    // re-run the tokenize+shingle+hash lineage once per sub-job (measured
+    // ~2× the window-scan CPU on q_dedup_incremental_substr). This is also
+    // the landed-row count the function returns (every input row lands).
+    val landed = cleaned.count()
     try {
       StoreLayout.writing(spark, storeDir, runTag) {
         // the CLEANED text's distinct window hashes, minus those at rest
@@ -93,7 +100,7 @@ object ExactSubstrStream {
       }
       // landed-row count off the persisted frame (every input row lands,
       // cleaned or not) — callers must not re-read the partition for it
-      cleaned.count()
+      landed
     } finally {
       cleaned.unpersist()
       atRest.unpersist()

@@ -70,8 +70,15 @@ object PerceptualDedupStream {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         batchDf.schema(idCol).copy(name = "__id"), sigField)))
     // signatures computed ONCE per batch: the dedup reuses this frame for
-    // both joins, and the store append below writes the kept subset of it
+    // both joins, and the store append below writes the kept subset of it.
+    // persist() alone is not enough — the first consumers are AQE
+    // broadcast-exchange sub-jobs that run CONCURRENTLY and race to
+    // populate the cache, so the expensive decode lineage (media demux +
+    // perceptual hash) ran up to once per sub-job ("block already exists"
+    // warnings). The count() materializes the cache in ONE job before any
+    // consumer plans against it.
     val sigs = normalize(sigOf(batchDf)).persist()
+    sigs.count()
     try {
       val kept = dedup(batchDf, sigs, atRest).persist()
       try {
