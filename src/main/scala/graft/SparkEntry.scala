@@ -167,7 +167,12 @@ object SparkEntry {
         "Content-Length: "),
       octet_length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
-    docs.select(rec.as("value")).coalesce(2)
+    // repartition, not coalesce: the driver tables are single-file parquet,
+    // so coalesce(2) collapsed to ONE output file and the whole downstream
+    // funnel (the reader plans one partition per WARC file) ran on one
+    // task. Real crawl segments ship as many files; 4 here keeps the
+    // fixture representative without fanning tiny files.
+    docs.select(rec.as("value")).repartition(4)
       .write.mode("overwrite").text(dir)
   }
 

@@ -185,13 +185,26 @@ object Dedup {
     */
   def minhashDedupVerified(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      maxBucketSize: Int = 0): DataFrame = {
-    val cand = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize: Int = 0): DataFrame =
+    df.join(minhashDoomedIds(df, idCol, textCol, threshold, numPerm, bands,
+      shingleK, maxBucketSize), col(idCol) === col("__doomed"), "left_anti")
+
+  /** The doomed-id half of [[minhashDedupVerified]]: the distinct ids that
+    * lose the verified keep/kill decision, as one `__doomed` column. Split
+    * out so a caller whose corpus frame has an EXPENSIVE lineage (the TOML
+    * funnel surface) can compute the decision over a cached narrow
+    * (id, text) projection and anti-join the full frame against the result
+    * — the decision pass otherwise re-evaluates the full lineage once per
+    * consumer (candidates, verify probe, verify build).
+    */
+  private[graft] def minhashDoomedIds(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numPerm: Int, bands: Int,
+      shingleK: Int, maxBucketSize: Int): DataFrame = {
+    val cand = minhashPairs(docs, idCol, textCol, numPerm, bands, shingleK,
       maxBucketSize = maxBucketSize).select("idA", "idB")
-    val doomed = verifyJaccard(cand, df, idCol, textCol, shingleK, minJaccard = threshold)
+    verifyJaccard(cand, docs, idCol, textCol, shingleK, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__doomed")).distinct()
-    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
   /** Incremental near-dup dedup of a NEW batch against an at-rest
@@ -228,7 +241,20 @@ object Dedup {
   def incrementalDedupVerified(batch: DataFrame, idCol: String, textCol: String,
       atRestSigs: DataFrame, atRestDocs: DataFrame, threshold: Double = 0.7,
       numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0): DataFrame =
+    batch.join(incrementalDoomedIds(batch, idCol, textCol, atRestSigs,
+        atRestDocs, threshold, numPerm, bands, shingleK, seed, maxBucketSize),
+      col(idCol) === col("__doomed"), "left_anti")
+
+  /** The doomed-id half of [[incrementalDedupVerified]] — the
+    * [[minhashDoomedIds]] treatment for the store path: callers with an
+    * expensive batch lineage pass a cached narrow (id, text) projection
+    * here and anti-join the full frame themselves.
+    */
+  private[graft] def incrementalDoomedIds(batch: DataFrame, idCol: String,
+      textCol: String, atRestSigs: DataFrame, atRestDocs: DataFrame,
+      threshold: Double, numPerm: Int, bands: Int, shingleK: Int, seed: Long,
+      maxBucketSize: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
     val bs = minhashSignatures(batch, idCol, textCol, numPerm, shingleK, seed)
@@ -254,11 +280,10 @@ object Dedup {
     val docs = atRestDocs.select(col(idCol).as("__uid"), col(textCol).as("__utext"))
       .unionByName(batch.select(col(idCol).as("__uid"), col(textCol).as("__utext")))
       .join(candIds, col("__uid") === col("__cid"), "left_semi")
-    val doomed = verifyJaccard(cand, docs, "__uid", "__utext", shingleK,
+    verifyJaccard(cand, docs, "__uid", "__utext", shingleK,
         minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__doomed")).distinct()
-    batch.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
   /** Per-row hyperplane-LSH signatures — the embedding analogue of
@@ -799,17 +824,26 @@ object Dedup {
     * string fails loudly instead of casting to null).
     */
   def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
-      score: Column): DataFrame = {
+      score: Column): DataFrame =
+    df.join(keepBestDoomedIds(df, pairs, idCol, score),
+      col(idCol) === col("__doomed"), "left_anti")
+
+  /** The doomed-id half of [[keepBestPerCluster]] (see
+    * [[minhashDoomedIds]] for why it is split out): `scoredDocs` only
+    * needs the id and score columns, so an expensive-lineage caller can
+    * pass a cached narrow projection.
+    */
+  private[graft] def keepBestDoomedIds(scoredDocs: DataFrame, pairs: DataFrame,
+      idCol: String, score: Column): DataFrame = {
     val comps = connectedComponents(pairs) // (id, component), roots included
-    val scored = df.select(col(idCol).as("id"),
+    val scored = scoredDocs.select(col(idCol).as("id"),
         coalesce(score.cast("double"), lit(Double.NegativeInfinity)).as("__s"))
       .join(comps, "id")
     val keep = Mix.capPerKey(scored, col("component"),
         struct((-col("__s")).as("negScore"), col("id").as("tieId")), "id", n = 1)
       .select("id")
-    val doomed = comps.join(keep, Seq("id"), "left_anti")
+    comps.join(keep, Seq("id"), "left_anti")
       .select(col("id").as("__doomed"))
-    df.join(doomed, col(idCol) === col("__doomed"), "left_anti")
   }
 
   /** Transitive MinHash dedup over exact-verified pairs, keeping each
@@ -819,12 +853,22 @@ object Dedup {
     */
   def minhashDedupCCBest(df: DataFrame, idCol: String, textCol: String, score: Column,
       threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16, shingleK: Int = 3,
-      maxBucketSize: Int = 0): DataFrame = {
-    val cand = minhashPairs(df, idCol, textCol, numPerm, bands, shingleK,
+      maxBucketSize: Int = 0): DataFrame =
+    df.join(minhashCCBestDoomedIds(df, idCol, textCol, score, threshold,
+        numPerm, bands, shingleK, maxBucketSize),
+      col(idCol) === col("__doomed"), "left_anti")
+
+  /** The doomed-id half of [[minhashDedupCCBest]] (see
+    * [[minhashDoomedIds]]): `docs` only needs (id, text, score columns).
+    */
+  private[graft] def minhashCCBestDoomedIds(docs: DataFrame, idCol: String,
+      textCol: String, score: Column, threshold: Double, numPerm: Int,
+      bands: Int, shingleK: Int, maxBucketSize: Int): DataFrame = {
+    val cand = minhashPairs(docs, idCol, textCol, numPerm, bands, shingleK,
       maxBucketSize = maxBucketSize).select("idA", "idB")
-    val edges = verifyJaccard(cand, df, idCol, textCol, shingleK, minJaccard = threshold)
+    val edges = verifyJaccard(cand, docs, idCol, textCol, shingleK, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
-    keepBestPerCluster(df, edges, idCol, score)
+    keepBestDoomedIds(docs, edges, idCol, score)
   }
 
   /** Leakage-safe train/valid/test assignment: near-duplicate documents

@@ -1103,6 +1103,24 @@ object BuiltinComponents {
       val b = cfg.int("Bands", 16L).toInt
       val k = cfg.int("ShingleK", 3L).toInt
       val cap = cfg.int("MaxBucketSize", 0L).toInt
+      // On this config surface the input frame is mid-funnel (parse +
+      // however many filters came before), and the dedup decision consumes
+      // it several times (candidate pairs, verify build, verify probe, the
+      // final anti-join) — unmaterialized, AQE broadcast sub-jobs re-ran
+      // the whole upstream lineage once per consumer (measured 5× on the
+      // pretrain funnel: WARC decompress + HTML extraction + quality gates
+      // per evaluation). Materialize the frame ONCE (spill-backed, released
+      // after the run); at scale this caches the post-gate corpus — by
+      // construction a fraction of the raw crawl the upstream stages would
+      // otherwise re-read and re-process per consumer.
+      val docs =
+        if (df.isStreaming) df
+        else {
+          val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.count()
+          ctx.onCleanup(() => cached.unpersist(false))
+          cached
+        }
       (cfg.strOpt("KeepBest"), cfg.strOpt("StoreSigs"), cfg.strOpt("StoreCorpus")) match {
         case (Some(scoreField), None, None) =>
           // loud cast: a non-numeric score STRING would cast to null and
@@ -1117,14 +1135,14 @@ object BuiltinComponents {
             raise_error(concat(lit(s"NearDupDedup: KeepBest field '$scoreField' " +
               "holds a non-numeric value: "), col(scoreField).cast("string"))))
             .otherwise(col(scoreField).cast("double"))
-          graft.llm.Dedup.minhashDedupCCBest(df, id, tf, score, thr, p, b, k, cap)
+          graft.llm.Dedup.minhashDedupCCBest(docs, id, tf, score, thr, p, b, k, cap)
         case (Some(_), _, _) => throw new IllegalArgumentException(
           "NearDupDedup: KeepBest applies to batch mode only (an at-rest " +
             "store's keep decisions are already committed)")
         case (None, sigsOpt, corpusOpt) => (sigsOpt, corpusOpt) match {
         case (Some(sigs), Some(corpus)) =>
           val sp = ctx.spark
-          graft.llm.Dedup.incrementalDedupVerified(df, id, tf,
+          graft.llm.Dedup.incrementalDedupVerified(docs, id, tf,
             atRestSigs = sp.read.parquet(sigs)
               .select(col("__id").cast("string").as("__id"), col("__sig")),
             atRestDocs = sp.read.parquet(corpus)
@@ -1132,7 +1150,7 @@ object BuiltinComponents {
             threshold = thr, numPerm = p, bands = b, shingleK = k,
             maxBucketSize = cap)
         case (None, None) =>
-          graft.llm.Dedup.minhashDedupVerified(df, id, tf, thr, p, b, k, cap)
+          graft.llm.Dedup.minhashDedupVerified(docs, id, tf, thr, p, b, k, cap)
         case _ => throw new IllegalArgumentException(
           "NearDupDedup: StoreSigs and StoreCorpus must be set together")
         }

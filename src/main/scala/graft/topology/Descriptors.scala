@@ -189,6 +189,25 @@ final case class TopologyCtx(
     val hooks = synchronized { val h = commitHooks.toList; commitHooks.clear(); h }
     hooks.foreach(_.apply())
   }
+
+  private val cleanupHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Register work to run after the topology's output finishes, SUCCESS OR
+    * FAILURE — the resource-release seam (e.g. a filter unpersisting a
+    * decision cache it materialized for the run). Unlike [[onCommit]],
+    * these always run and must not throw meaningfully (failures are
+    * swallowed: releasing a cache can't be allowed to mask the run's own
+    * outcome).
+    */
+  def onCleanup(hook: () => Unit): Unit = synchronized { cleanupHooks += hook }
+
+  /** Run and clear the registered cleanup hooks (called by Compiled.run
+    * in a finally).
+    */
+  def runCleanupHooks(): Unit = {
+    val hooks = synchronized { val h = cleanupHooks.toList; cleanupHooks.clear(); h }
+    hooks.foreach(h => try h() catch { case _: Exception => () })
+  }
 }
 
 /** What a batch output produced: the concrete files written (fed to the

@@ -196,7 +196,10 @@ object Topology {
     }
 
     /** Execute output + upload; returns (output result, observed metrics). */
-    def run(): (OutputResult, Map[String, Any]) = {
+    def run(): (OutputResult, Map[String, Any]) = try runInner()
+      finally ctx.runCleanupHooks()
+
+    private def runInner(): (OutputResult, Map[String, Any]) = {
       val mc = metricsClient()
       val t0 = System.nanoTime()
       val outDesc = components.output(cfg.outputName)
