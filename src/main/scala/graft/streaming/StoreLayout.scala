@@ -398,11 +398,21 @@ private[graft] object StoreLayout {
     val preDiscovered = onlyParts.isDefined
     for (part <- sweepAndList(fs, root)
         if onlyParts.forall(_.contains(part.getPath.getName))) {
-      val df = spark.read.parquet(part.getPath.toString)
+      val df0 = spark.read.parquet(part.getPath.toString)
       val name = part.getPath.getName
-      val before = df.count()
+      // pre-discovered partitions are rewritten unconditionally, so the
+      // pre-filter row count rides the SAME staged write as a second
+      // observation below the keep() filter — one scan per partition
+      // instead of a count job followed by the write
+      val preObs = new org.apache.spark.sql.Observation()
+      val df =
+        if (preDiscovered)
+          df0.observe(preObs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+        else df0
+      lazy val beforeCounted = df0.count()
       val proceed = preDiscovered || {
-        val doomed = before - keep(df).count()
+        val doomed = beforeCounted - keep(df0).count()
         require(doomed >= 0, s"delete: keep() grew partition $name")
         doomed > 0
       }
@@ -415,6 +425,9 @@ private[graft] object StoreLayout {
           keep(df).observe(obs, org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("rows")),
           Seq(name), targetFiles)
+        val before =
+          if (preDiscovered) preObs.get("rows").asInstanceOf[Long]
+          else beforeCounted
         val doomed = before - obs.get("rows").asInstanceOf[Long]
         if (doomed < 0) {
           // the contract-violation guard must fire BEFORE the commit
