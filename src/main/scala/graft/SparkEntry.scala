@@ -3540,7 +3540,16 @@ object SparkEntry {
       val negs = emb.filter(col("vec_id") < 20)
         .withColumn("vec_id", col("vec_id") + 300000)
         .withColumn("embedding", transform(col("embedding"), x => -x))
-      Dedup.incrementalEmbeddingDedup(copies.unionByName(negs), "vec_id", "embedding",
+      // the batch union is CHECKPOINTED into a 40-row leaf before the op:
+      // the dedup references the batch frame in four subtrees (signatures,
+      // both candidate joins, verify union, final anti-join) and Catalyst's
+      // PushDownLeftSemiAntiJoin additionally clones each join below BOTH
+      // union branches — unchecked, the physical plan exploded to 3,070
+      // operators / ~450 Exchanges (measured: 840 KB formatted plan,
+      // planning wall ≫ task time). A leaf cannot be pushed through, so
+      // the plan collapses to the operator's intended shape.
+      val batch = copies.unionByName(negs).localCheckpoint(true)
+      Dedup.incrementalEmbeddingDedup(batch, "vec_id", "embedding",
           atRestSigs = Dedup.embeddingSignatures(emb, "vec_id", "embedding", 64),
           atRestVecs = emb, dim = 64, threshold = 0.9)
         .select("vec_id")
