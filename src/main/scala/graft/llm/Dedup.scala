@@ -264,16 +264,19 @@ object Dedup {
       bandKeys(atRestSigs.select(col("__id"), col("__sig")), bands, r),
       "bk", maxBucketSize)
     // batch vs store: the batch doc (idB) dies on a match in either id
-    // order; batch vs batch: smaller id wins, as in minhashDedupVerified
-    val candOld = bb.select(col("bk"), col("__id").as("idB"))
-      .join(ob.select(col("bk").as("bk2"), col("__id").as("idA")),
-        col("bk") === col("bk2"))
-      .select("idA", "idB")
-    val candNew = bb.select(col("bk"), col("__id").as("idA"))
-      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB")),
-        col("bk") === col("bk2") && col("idA") < col("idB"))
-      .select("idA", "idB")
-    val cand = candOld.unionByName(candNew).distinct()
+    // order; batch vs batch: smaller id wins, as in minhashDedupVerified.
+    // ONE killer join instead of two (see incrementalHammingDedup): the
+    // union of killer rows — store bands (kill in either order: __st) and
+    // batch bands (kill only a larger batch id) — probes the banded batch
+    // frame once; verification needs the killer's real id either way.
+    val killers = bb.select(col("bk").as("bk2"), col("__id").as("idA"),
+        lit(false).as("__st"))
+      .unionByName(ob.select(col("bk").as("bk2"), col("__id").as("idA"),
+        lit(true).as("__st")))
+    val cand = bb.select(col("bk"), col("__id").as("idB"))
+      .join(killers, col("bk") === col("bk2") &&
+        (col("__st") || col("idA") < col("idB")))
+      .select("idA", "idB").distinct()
     // one exact-shingle pass over ONLY the documents that collided
     val candIds = cand.select(col("idA").as("__cid"))
       .unionByName(cand.select(col("idB").as("__cid"))).distinct()
@@ -337,15 +340,16 @@ object Dedup {
     val bb = pruneHotBuckets(banded(bs), "bk", maxBucketSize)
     val ob = pruneHotBuckets(
       banded(atRestSigs.select(col("__id"), col("__sigs"))), "bk", maxBucketSize)
-    val candOld = bb.select(col("bk"), col("__id").as("idB"))
-      .join(ob.select(col("bk").as("bk2"), col("__id").as("idA")),
-        col("bk") === col("bk2"))
-      .select("idA", "idB")
-    val candNew = bb.select(col("bk"), col("__id").as("idA"))
-      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB")),
-        col("bk") === col("bk2") && col("idA") < col("idB"))
-      .select("idA", "idB")
-    val cand = candOld.unionByName(candNew).distinct()
+    // one fused killer join — see [[incrementalHammingDedup]]; the killer's
+    // real id is kept either way (verification point-reads both vectors)
+    val killers = bb.select(col("bk").as("bk2"), col("__id").as("idA"),
+        lit(false).as("__st"))
+      .unionByName(ob.select(col("bk").as("bk2"), col("__id").as("idA"),
+        lit(true).as("__st")))
+    val cand = bb.select(col("bk"), col("__id").as("idB"))
+      .join(killers, col("bk") === col("bk2") &&
+        (col("__st") || col("idA") < col("idB")))
+      .select("idA", "idB").distinct()
     val candIds = cand.select(col("idA").as("__cid"))
       .unionByName(cand.select(col("idB").as("__cid"))).distinct()
     // exact-cosine verification over ONLY the vectors that collided; the
@@ -549,18 +553,24 @@ object Dedup {
       atRestSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig"))
         .filter(col("__hsig").isNotNull),
       "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
-    val vsStore = bb.select(col("bk"), col("__id").as("idB"), col("__hsig").as("sB"))
-      .join(ob.select(col("bk").as("bk2"), col("__hsig").as("sA")),
-        col("bk") === col("bk2"))
+    // ONE killer join instead of two (store join + batch self-join): the
+    // union of killer rows — store signatures (kill in EITHER id order:
+    // null idA) and batch signatures (kill only a LARGER batch id) —
+    // probes the banded batch frame once; the two-join form paid an extra
+    // join stage and broadcast build per batch turn for the same pairs.
+    // bb's exchange is shared between the probe side and the union branch
+    // (ReusedExchange), exactly as it was between the two joins before.
+    val idType = bb.schema("__id").dataType
+    val killers = bb.select(col("bk").as("bk2"), col("__hsig").as("sA"),
+        col("__id").as("idA"))
+      .unionByName(ob.select(col("bk").as("bk2"), col("__hsig").as("sA"),
+        lit(null).cast(idType).as("idA")))
+    val doomed = bb.select(col("bk"), col("__id").as("idB"), col("__hsig").as("sB"))
+      .join(killers, col("bk") === col("bk2") &&
+        (col("idA").isNull || col("idA") < col("idB")))
       .filter(bit_count(col("sA").bitwiseXOR(col("sB"))) <= maxHamming)
       .select(col("idB").as("__doomed"))
-    val vsBatch = bb.select(col("bk"), col("__id").as("idA"), col("__hsig").as("sA"))
-      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB"),
-          col("__hsig").as("sB")),
-        col("bk") === col("bk2") && col("idA") < col("idB"))
-      .filter(bit_count(col("sA").bitwiseXOR(col("sB"))) <= maxHamming)
-      .select(col("idB").as("__doomed"))
-    batch.join(vsStore.unionByName(vsBatch).distinct(),
+    batch.join(doomed.distinct(),
       col(idCol) === col("__doomed"), "left_anti")
   }
 
@@ -599,20 +609,19 @@ object Dedup {
           lit(0L), (acc, d) => greatest(acc, d)) <= maxHamming
     val bb = prep(batchSigs)
     val ob = prep(atRestSigs)
-    val vsStore = bb.select(col("bk"), col("__id").as("idB"),
+    // one fused killer join — see [[incrementalHammingDedup]]
+    val idType = bb.schema("__id").dataType
+    val killers = bb.select(col("bk").as("bk2"), col("__hsigs").as("sA"),
+        col("__id").as("idA"))
+      .unionByName(ob.select(col("bk").as("bk2"), col("__hsigs").as("sA"),
+        lit(null).cast(idType).as("idA")))
+    val doomed = bb.select(col("bk"), col("__id").as("idB"),
         col("__hsigs").as("sB"))
-      .join(ob.select(col("bk").as("bk2"), col("__hsigs").as("sA")),
-        col("bk") === col("bk2"))
+      .join(killers, col("bk") === col("bk2") &&
+        (col("idA").isNull || col("idA") < col("idB")))
       .filter(allWithin(col("sA"), col("sB")))
       .select(col("idB").as("__doomed"))
-    val vsBatch = bb.select(col("bk"), col("__id").as("idA"),
-        col("__hsigs").as("sA"))
-      .join(bb.select(col("bk").as("bk2"), col("__id").as("idB"),
-          col("__hsigs").as("sB")),
-        col("bk") === col("bk2") && col("idA") < col("idB"))
-      .filter(allWithin(col("sA"), col("sB")))
-      .select(col("idB").as("__doomed"))
-    batch.join(vsStore.unionByName(vsBatch).distinct(),
+    batch.join(doomed.distinct(),
       col(idCol) === col("__doomed"), "left_anti")
   }
 

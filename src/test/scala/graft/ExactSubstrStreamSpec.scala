@@ -120,6 +120,11 @@ class ExactSubstrStreamSpec extends SparkSpec {
   test("the committed store snapshot materializes ONCE per turn (spill-" +
       "backed persist consumed by both the flag join and the append " +
       "anti-join) and is released when the turn ends") {
+    // the cacheManager.isEmpty assertion below is session-global: release
+    // ExactSubstr's documented one-slot suffix-occurrence cache first, or
+    // a suite that legitimately left it persisted (PlanShapeSpec's
+    // suffixDedupStats plan checks) fails this test by ordering alone
+    graft.llm.ExactSubstr.releaseCache()
     val (store, corpus) = dirs()
     val fn = ExactSubstrStream.batchFunction("doc_id", "text", store, corpus,
       k = 3)
