@@ -112,6 +112,32 @@ object Bench {
     // n_queries + means keep totals comparable across rounds as the query
     // inventory grows (the total alone inflates with every added operator)
     println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","mode":"cold_1st_run","n_queries":${results.size},"cold_mean_sec":${coldTotal / results.size},"steady_state_total_sec":${steady.values.sum},"steady_mean_sec":${steady.values.sum / results.size},$tiersCold,$tiersSteady,"calib_cpu_sec":$calib,"calib_cpu_sec_post":$calibPost,"load_avg":$loadAvg,"load_avg_post":$loadAvgPost,"queries":$qs,"queries_steady":$qsSteady,"sf":"$sfDir"}""")
+    // per-query timings in tail-survivable form (round-19 verdict task 1:
+    // the long "total" line above always outgrows the driver's ~2000-char
+    // stdout tail, so PERF's per_query comparison came back empty every
+    // round). Two additions, existing lines unchanged:
+    //  1. bench_perquery.json in the working directory — the full cold +
+    //     steady per-query maps at full precision, machine-readable.
+    //  2. short chunked {"metric":"perquery"} stdout lines (values rounded
+    //     to 0.1 ms) printed just before the final summary, so the last
+    //     chunk(s) land inside whatever tail window the capture keeps.
+    def jmap(m: Seq[(String, Double)], round: Boolean): String = m.map { case (k, v) =>
+      "\"" + k + "\":" + (if (round) BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) else v)
+    }.mkString("{", ",", "}")
+    val names = results.keys.toSeq.sorted
+    val fileJson = s"""{"metric":"perquery","n_queries":${names.size},""" +
+      s""""queries":${jmap(names.map(n => n -> results(n)), round = false)},""" +
+      s""""queries_steady":${jmap(names.map(n => n -> steady(n)), round = false)},""" +
+      s""""calib_cpu_sec":$calib,"calib_cpu_sec_post":$calibPost,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_perquery.json", "UTF-8")
+      try w.println(fileJson) finally w.close()
+    } catch { case _: Throwable => } // best-effort: a read-only cwd must not fail the bench
+    val chunks = names.grouped(12).toSeq
+    for ((chunk, i) <- chunks.zipWithIndex)
+      println(s"""{"metric":"perquery","part":${i + 1},"parts":${chunks.size},""" +
+        s""""queries":${jmap(chunk.map(n => n -> results(n)), round = true)},""" +
+        s""""queries_steady":${jmap(chunk.map(n => n -> steady(n)), round = true)}}""")
     // compact summary printed LAST: the driver's artifact capture keeps the
     // TAIL of stdout, and the full line above is long enough that its head
     // (which holds the totals/calibration fields) can fall outside the
