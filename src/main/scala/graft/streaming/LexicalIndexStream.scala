@@ -38,14 +38,22 @@ object LexicalIndexStream {
       runTag: String = "run"): (DataFrame, Long) => Unit = (batchDf, batchId) => {
     val self = s"batch=$runTag-$batchId"
     val spark = batchDf.sparkSession
-    val idx = Lexical.buildIndex(batchDf, idCol, textCol)
+    val postings = Lexical.postings(batchDf, idCol, textCol)
     // lease protocol: each half's write fails loudly while maintenance
     // holds it, and is invisible to maintenance the moment it finishes
     StoreLayout.writing(spark, s"$indexDir/postings", runTag) {
-      idx.postings.write.mode("overwrite").parquet(s"$indexDir/postings/$self")
+      postings.write.mode("overwrite").parquet(s"$indexDir/postings/$self")
     }
+    // stats aggregate over the postings JUST WRITTEN (explicit schema: an
+    // empty batch's partition holds only _SUCCESS), not over the postings
+    // frame — whose lineage would re-tokenize the whole batch for a
+    // 2-column aggregate (buildIndex's in-plan sharing doesn't span two
+    // separate write jobs). Same statsOf over the same rows, and parquet
+    // round-trips them exactly, so the stored stats are bit-identical.
     StoreLayout.writing(spark, s"$indexDir/stats", runTag) {
-      idx.stats.write.mode("overwrite").parquet(s"$indexDir/stats/$self")
+      Lexical.statsOf(
+          spark.read.schema(postings.schema).parquet(s"$indexDir/postings/$self"))
+        .write.mode("overwrite").parquet(s"$indexDir/stats/$self")
     }
   }
 

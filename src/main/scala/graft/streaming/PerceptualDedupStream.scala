@@ -87,14 +87,19 @@ object PerceptualDedupStream {
               col("__id") === col("__kid"), "left_semi")
             .write.mode("overwrite").parquet(s"$storeDir/$self")
         }
+        // survivor count rides the corpus write as an Observation below
+        // the sink — one job fewer per batch turn than the old
+        // count-after-write (the StoreLayout.deleteCore pattern). The
+        // count still comes from the engine, not a re-read of the landed
+        // partition (an empty batch writes zero part files), and the
+        // staged-commit crash contract is untouched: the observation
+        // changes nothing about what, or when, the write commits.
+        val obs = new org.apache.spark.sql.Observation()
         StoreLayout.writing(spark, corpusDir, runTag) {
-          kept.write.mode("overwrite").parquet(s"$corpusDir/$self")
+          kept.observe(obs, count(lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(s"$corpusDir/$self")
         }
-        // survivor count off the persisted frame the write just
-        // materialized — callers (the TOML store outputs) must not
-        // re-read the landed partition to learn it, and an empty batch
-        // (zero part files) must not kill the daemon
-        kept.count()
+        obs.get("rows").asInstanceOf[Long]
       } finally kept.unpersist()
     } finally sigs.unpersist()
   }
