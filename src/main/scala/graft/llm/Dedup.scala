@@ -544,14 +544,21 @@ object Dedup {
   def incrementalHammingDedup(batch: DataFrame, idCol: String,
       batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,
       maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
-    // null signatures filtered on both sides (see hammingPairs)
+    // null signatures filtered on both sides (see hammingPairs); null
+    // BATCH ids are filtered too — the fused killer join below uses a
+    // null idA as its "store row, kill in either order" sentinel, so an
+    // unfiltered null batch id would act as a store killer, where the
+    // pre-fusion self-join's `idA < idB` made null ids kill nothing. A
+    // null-id row can't be killed either way (the final anti-join never
+    // matches null), so dropping it from the banded frame reproduces the
+    // two-join semantics exactly: kills nothing, dies never.
     val bb = pruneHotBuckets(hammingBanded(
       batchSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig"))
-        .filter(col("__hsig").isNotNull),
+        .filter(col("__hsig").isNotNull && col("__id").isNotNull),
       "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
     val ob = pruneHotBuckets(hammingBanded(
       atRestSigs.select(col("__id"), col("__hsig").cast("long").as("__hsig"))
-        .filter(col("__hsig").isNotNull),
+        .filter(col("__hsig").isNotNull && col("__id").isNotNull),
       "__hsig", nBits, maxHamming, pieces), "bk", maxBucketSize)
     // ONE killer join instead of two (store join + batch self-join): the
     // union of killer rows — store signatures (kill in EITHER id order:
@@ -596,9 +603,13 @@ object Dedup {
   def incrementalHammingDedupMulti(batch: DataFrame, idCol: String,
       batchSigs: DataFrame, atRestSigs: DataFrame, nBits: Int = 64,
       maxHamming: Int = 3, maxBucketSize: Int = 0, pieces: Int = 1): DataFrame = {
+    // null __id filtered for the same reason as incrementalHammingDedup:
+    // the fused killer join's null-idA store sentinel must stay
+    // unambiguous (a null-id row kills nothing and can never be killed)
     def prep(df: DataFrame) = pruneHotBuckets(hammingBanded(
       df.select(col("__id"), col("__hsigs").cast("array<long>").as("__hsigs"))
-        .filter(col("__hsigs").isNotNull && size(col("__hsigs")) >= 1 &&
+        .filter(col("__id").isNotNull &&
+          col("__hsigs").isNotNull && size(col("__hsigs")) >= 1 &&
           !exists(col("__hsigs"), x => x.isNull))
         .withColumn("__hsig0", element_at(col("__hsigs"), 1)),
       "__hsig0", nBits, maxHamming, pieces), "bk", maxBucketSize)

@@ -48,4 +48,32 @@ class MultiSigDedupSpec extends SparkSpec {
     val bs = Seq(2L -> Seq(0x0FL, 0xF0L)) // doc 1 has no signature row
     assert(kept(Seq(1, 2), bs, Nil) == Seq(1L, 2L))
   }
+
+  test("a null-id batch signature kills nothing (it must not act as the " +
+      "fused killer join's store sentinel)") {
+    // the fused killer join marks store rows with a NULL idA ("kill in
+    // either order"); a batch row whose __id is genuinely null must NOT
+    // be promoted to that role — under the pre-fusion self-join's
+    // idA < idB it killed nothing, and that is the pinned semantics.
+    // Identical signatures at both positions: were the null id treated
+    // as a store killer, doc 1 would die.
+    val bs = Seq(
+      (null.asInstanceOf[java.lang.Long], Seq(0x0FL, 0xF0L)),
+      (java.lang.Long.valueOf(1L), Seq(0x0FL, 0xF0L)))
+      .toDF("__id", "__hsigs")
+    val out = Dedup.incrementalHammingDedupMulti(batchOf(1L), "doc_id",
+        bs, sigs(), maxHamming = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+
+    // same pin for the single-signature kernel
+    val bs1 = Seq(
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(0x0FL)),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(0x0FL)))
+      .toDF("__id", "__hsig")
+    val out1 = Dedup.incrementalHammingDedup(batchOf(1L), "doc_id",
+        bs1, Seq.empty[(Long, Long)].toDF("__id", "__hsig"), maxHamming = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out1 == Seq(1L))
+  }
 }
