@@ -1118,7 +1118,7 @@ object BuiltinComponents {
         else {
           val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached.count()
-          ctx.onCleanup(() => cached.unpersist(false))
+          ctx.onCleanup(DedupInputCache.register(ctx.spark, cached))
           cached
         }
       (cfg.strOpt("KeepBest"), cfg.strOpt("StoreSigs"), cfg.strOpt("StoreCorpus")) match {

@@ -285,6 +285,15 @@ object Topology {
       components: Components = BuiltinComponents.all): Compiled = {
     require(cfg.fields.nonEmpty, "topology: [fields] names is required")
     val ctx = TopologyCtx(spark, cfg.fields, cfg.separator, cfg.outputFields)
+    // a compile failure AFTER a component registered a cleanup hook (e.g.
+    // NearDupDedup's persisted input cache) must release it — the caller
+    // never gets a Compiled to run(), so nothing else ever would
+    try compileWith(ctx, cfg, components)
+    catch { case t: Throwable => ctx.runCleanupHooks(); throw t }
+  }
+
+  private def compileWith(ctx: TopologyCtx, cfg: Config,
+      components: Components): Compiled = {
 
     // --- [[user]] sections (config.go:386-400): every block in the TOML
     // must have a registered UserDesc (unknown name is loud); registered
