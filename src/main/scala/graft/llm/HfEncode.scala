@@ -117,6 +117,20 @@ object HfEncode {
     }
   }
 
+  /** The whole encoded-words → explicit-ids tail
+    * (`bpeIds(Bpe.docSymbols(array_join(enc, "|")), …)`) as one native
+    * walk ([[graft.functions.HfBpeIds]]) — semantics identical
+    * (HfTokenizerSpec pins equality); the composed form copies the
+    * document three times (join, replace, split) and maps every token
+    * through an interpreted higher-order transform, which ProfHfKernel
+    * measured as ~70% of the imported-BPE tokenize row.
+    */
+  def bpeIdsOfWords(encodedWords: Column, vocab: Seq[(String, Int)], unk: Int,
+      byteFallback: Boolean, fuseUnk: Boolean): Column =
+    GraftShims.toColumn(graft.functions.HfBpeIds(
+      GraftShims.toExpression(encodedWords), vocab, unk, byteFallback,
+      fuseUnk, Bpe.Open, Bpe.Close))
+
   /** HF vocab ids may be EXPLICIT (not list positions): map a native
     * position column through the id list, keeping the identity fast path
     * when ids are exactly 0..n−1 (all engine-exported files).

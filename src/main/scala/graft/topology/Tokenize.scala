@@ -266,8 +266,10 @@ object Tokenize {
       case graft.llm.HfBpeModel(vocab, merges, fileUnk, byteFb, fuseUnk) =>
         checkMethod("bpe")
         val enc = graft.llm.Bpe.encodeWordsNative(words, merges)
-        val syms = graft.llm.Bpe.docSymbols(array_join(enc, "|"))
-        graft.llm.HfEncode.bpeIds(syms, vocab,
+        // one native walk for the symbols → explicit-ids tail; the
+        // composed docSymbols + bpeIds form re-copied the document three
+        // times and ran an interpreted per-token lambda (ProfHfKernel)
+        graft.llm.HfEncode.bpeIdsOfWords(enc, vocab,
           resolveUnkId(cfg, fileUnk), byteFb, fuseUnk)
       case graft.llm.HfUnigramModel(pieces, fileUnk) =>
         checkMethod("unigram")

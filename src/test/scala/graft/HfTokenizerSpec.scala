@@ -376,6 +376,40 @@ class HfTokenizerSpec extends SparkSpec {
       unkId = Some(0)))
   }
 
+  test("HfBpeIds (native fused tail) equals the composed " +
+      "docSymbols+bpeIds form — byte_fallback, fuse_unk, empty/null words") {
+    import spark.implicits._
+    val O = graft.llm.Bpe.Open
+    val C = graft.llm.Bpe.Close
+    def w(syms: String*): String = syms.map(s => s"$O$s$C").mkString
+    // adversarial encoded-word arrays: OOV symbols (multi-byte UTF-8 for
+    // the byte-fallback expansion), consecutive unks, empty words (⟨⟩ —
+    // one "" symbol in the composed form), null words (skipped by
+    // array_join), the single-empty-word degenerate (total length ≤ 2 →
+    // no symbols), and an empty document
+    val rows: Seq[Seq[String]] = Seq(
+      Seq(w("the"), w("Ġ", "th", "a")),
+      Seq(w("é", "x"), w("zz", "zz", "q")),
+      Seq(w(""), w("a")), // leading empty word → "" symbol
+      Seq(w("a"), null, w("b")),
+      Seq(w("")), // degenerate: exactly ⟨⟩, composed form yields []
+      Seq.empty[String],
+      Seq(w("a", ""), w("", "b")))
+    val vocab = Seq(("the", 20), ("Ġ", 50), ("th", 10), ("a", 30),
+      ("b", 31), ("<0xC3>", 70), ("<0xA9>", 71), ("x", 72))
+    val df = rows.toDF("enc")
+    for (byteFb <- Seq(false, true); fuse <- Seq(false, true)) {
+      val composed = graft.llm.HfEncode.bpeIds(
+        graft.llm.Bpe.docSymbols(array_join(col("enc"), "|")),
+        vocab, unk = -1, byteFallback = byteFb, fuseUnk = fuse)
+      val fused = graft.llm.HfEncode.bpeIdsOfWords(
+        col("enc"), vocab, unk = -1, byteFallback = byteFb, fuseUnk = fuse)
+      val diff = df.select(composed.as("a"), fused.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"byteFallback=$byteFb fuseUnk=$fuse diverged")
+    }
+  }
+
   test("malformed files fail loudly: missing model, unknown type, bad merge") {
     val dir = tmp("hf-bad")
     val e1 = intercept[Exception](
