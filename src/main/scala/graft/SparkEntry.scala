@@ -2981,18 +2981,14 @@ object SparkEntry {
       // truth side is an inverted shingle-index join, exact because a
       // pair at jaccard >= 0.7 always shares a shingle.
       val docs = t(s, d, "documents").filter(trim(col("text")) =!= "")
-      // the token-hash array is BOUND once per row (TF.bindOnce): the 32
-      // per-bit majority aggregates then walk an in-memory long array —
-      // unbound, each aggregate would re-tokenize and re-md5 the text,
-      // a 32× recompute that measured 10.7 s for this query at sf0.1
-      val sigCol = TF.bindOnce(transform(TF.tokens(col("text")),
-        tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long"))) { th =>
-        (0 until 32).map { b =>
-          val bitSum = aggregate(th, lit(0L), (acc, h) =>
-            acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-          when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }
+      // one native codegen'd walk per row (SimHashMd5) — identical values
+      // to the earlier bindOnce + 32-interpreted-`aggregate` formulation
+      // (the md5-top-32-bits majority the SQL oracle restates verbatim),
+      // which still paid ~2 s of single-task interpreted lambdas per
+      // sf0.1 pass even with the token-hash array bound once
+      val sigCol = org.apache.spark.sql.GraftShims.toColumn(
+        graft.functions.SimHashMd5(
+          org.apache.spark.sql.GraftShims.toExpression(TF.tokens(col("text"))), 32))
       // the (sig, shingles) projection is MATERIALIZED once (tiny: one
       // row per doc): the probe references it on both sides of the pair
       // join plus the metadata joins, and Catalyst has no DAG sharing —

@@ -274,3 +274,71 @@ case class SimHash64(child: Expression, nBits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** [[SimHash64]]'s md5-basis sibling: bit j of the signature is the
+  * majority sign of bit j across `conv(substring(md5(token), 1, 8), 16,
+  * 10)` — the top 32 bits of each token's md5, the hash an external SQL
+  * oracle can restate verbatim (XXH64 is not available there). Equals the
+  * bindOnce + 32-interpreted-`aggregate` Column formulation bit-for-bit
+  * (a null token element counts −1 on every bit, the `when(null === 1)`
+  * fall-through of the composed form); that form measured ~2 s single-task
+  * per sf0.1 pass on q_simhash_recall — 32 interpreted lambda walks plus
+  * one interpreted md5 transform per row, all replaced by this one
+  * codegen-fused walk.
+  */
+case class SimHashMd5(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 32, s"nBits must be in [1,32], got $nBits")
+
+  override def prettyName: String = "simhash_md5"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExpressions.checkStringArray(child, prettyName)
+
+  def sigOf(input: Any): Long = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = SimHashMd5.digest.get()
+    val n = arr.numElements()
+    val sums = new Array[Int](nBits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var j = 0
+        while (j < nBits) { sums(j) -= 1; j += 1 }
+      } else {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 8 hex chars = top 4 digest bytes, read as an unsigned int
+        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        var j = 0
+        while (j < nBits) {
+          sums(j) += (if (((h >>> j) & 1L) != 0L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any = sigOf(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashMd5", this, classOf[SimHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sigOf($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
+object SimHashMd5 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}

@@ -65,4 +65,27 @@ class SimhashRecallSpec extends SparkSpec {
         "radius table in q_dedup_simhash and ORACLES.md §1 before " +
         "trusting/blaming q_dedup_simhash")
   }
+
+  test("SimHashMd5 (native) equals the composed md5-majority Column " +
+      "formula bit-for-bit on real corpus text") {
+    assume(new java.io.File(sf).isDirectory, "testdata not available")
+    import org.apache.spark.sql.GraftShims
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val TF = TextFunctions
+    // the pre-r20 q_simhash_recall formulation, verbatim
+    val composed = TF.bindOnce(transform(TF.tokens(col("text")),
+      tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long"))) { th =>
+      (0 until 32).map { b =>
+        val bitSum = aggregate(th, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val native = GraftShims.toColumn(graft.functions.SimHashMd5(
+      GraftShims.toExpression(TF.tokens(col("text"))), 32))
+    // empty text rows included: both forms must yield 0 there
+    val diff = docs.select(composed.as("a"), native.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0, "native SimHashMd5 diverged from the composed formula")
+  }
 }
