@@ -789,6 +789,84 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("suite-wide join-strategy invariants: no CartesianProduct, no " +
+      "ShuffledHashJoin, BroadcastNestedLoopJoin only at the 14 documented " +
+      "scalar-broadcast sites; zero/one-exchange rows stay there") {
+    // The r19 verdict's gap: these inventory-wide claims lived in the
+    // round report, not in a test. Every declared query's INITIAL plan is
+    // scanned here (building a lifecycle row's frame executes its store
+    // side effects at sf0.001 — acceptable; the scanned plan is then its
+    // final readback frame plus whatever joins ride it).
+    // BNLJ allowlist: all are broadcast-SCALAR cross joins (a 1-row
+    // aggregate side — corpus doc-count / BM25 stats / threshold frames
+    // via IdentityBroadcastMode), audited in OPTIMIZATION_r19.md and
+    // re-checked r20; a BNLJ anywhere else is an accidental cartesian.
+    val bnljAllowed = Set(
+      "q_ann_hamming", "q_ann_int8", "q_ann_opq", "q_ann_pq",
+      "q_ann_pq_stream", "q_ann_recall", "q_bm25", "q_bm25_rtbf",
+      "q_decontaminate_bloom", "q_embed_topk", "q_hybrid_rrf", "q_keywords",
+      "q_mmr_rerank", "q_rag_pipeline")
+    // rows whose r20 plans hold zero or exactly one shuffle exchange (the
+    // operator one-exchange contract); a second exchange appearing on any
+    // of them is a structural regression invisible at sf0.001 and
+    // catastrophic at scale
+    val oneExchange = Set(
+      "q_bpe_offsets", "q_topk",
+      "q_attribute_mix", "q_audio_fingerprint", "q_binary_encode",
+      "q_block_domains", "q_bpe_byte_level", "q_bpe_encode",
+      "q_bpe_encode_native", "q_bpe_ids", "q_bpe_pairs", "q_bpe_roundtrip",
+      "q_bpe_train", "q_bpe_train_byte", "q_c4_filters", "q_chunk",
+      "q_classifier", "q_clause_filter", "q_clear_fields", "q_concatenate",
+      "q_crypt", "q_dedup_cc", "q_dedup_cc_verified",
+      "q_dedup_incremental_audio", "q_dedup_incremental_image",
+      "q_dedup_incremental_substr", "q_dedup_incremental_video",
+      "q_embed_cc", "q_embed_covariance", "q_expand_json", "q_expand_list",
+      "q_fim", "q_fingerprint", "q_format_time", "q_hash", "q_html_extract",
+      "q_html_main_text", "q_int8_encode", "q_interval_join", "q_lang_id",
+      "q_main_content_funnel", "q_metadata_lastmod", "q_metadata_url",
+      "q_mix_corpora", "q_mix_epochs", "q_mix_solver", "q_mix_temperature",
+      "q_multimodal", "q_multimodal_adts", "q_multimodal_ahash",
+      "q_multimodal_audio", "q_multimodal_decode", "q_multimodal_dhash",
+      "q_multimodal_dims", "q_multimodal_fmp4", "q_multimodal_mp4",
+      "q_multimodal_phash", "q_multimodal_webm", "q_ngram_jaccard",
+      "q_normalize", "q_notnull", "q_opq_encode", "q_output_nop",
+      "q_output_stats", "q_packed_rtbf", "q_packed_shards",
+      "q_packed_shards_masked", "q_packed_shards_u16", "q_partial_clone",
+      "q_pdf_chain", "q_pdf_objstm", "q_pdf_text", "q_pii_spans",
+      "q_pq_encode", "q_projection", "q_quality", "q_quality_gopher",
+      "q_redact_pii", "q_regex_match", "q_repetition", "q_replace_fields",
+      "q_rolling_hash", "q_sample_stratified", "q_sentences",
+      "q_set_string_from_url", "q_slice", "q_span_redact", "q_span_units",
+      "q_split_assign", "q_split_leakage_safe", "q_sql_text_stats",
+      "q_string_match", "q_timestamp", "q_timestamp_range", "q_token_count",
+      "q_tokenize_hf_bert", "q_tokenize_hf_import", "q_tokenize_hf_metaspace",
+      "q_topology_jsonl", "q_topology_packed", "q_topology_parquet",
+      "q_topology_pretrain", "q_topology_webdataset", "q_topology_wordpiece",
+      "q_unigram_segment", "q_unigram_train", "q_unigram_train_segment",
+      "q_url_canonical", "q_url_escape", "q_url_param", "q_validation",
+      "q_webdataset", "q_wordpiece", "q_wordpiece_train",
+      "q_wordpiece_train_tiny")
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p =
+        try fn(spark, sf).queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        catch { case e: Throwable => problems += s"$q: failed to plan: $e"; "" }
+      if (p.contains("CartesianProduct")) problems += s"$q: CartesianProduct"
+      if (p.contains("ShuffledHashJoin")) problems += s"$q: ShuffledHashJoin"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(q))
+        problems += s"$q: BroadcastNestedLoopJoin outside the allowlist"
+      if (oneExchange(q)) {
+        val shuffles = p.sliding("Exchange ".length).count(_ == "Exchange ") -
+          p.sliding("BroadcastExchange ".length).count(_ == "BroadcastExchange ") -
+          p.sliding("ReusedExchange ".length).count(_ == "ReusedExchange ")
+        if (shuffles > 1)
+          problems += s"$q: $shuffles shuffle exchanges (one-exchange contract)"
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("suffixDedupStats: anchor exchange + doc-keyed window/agg, " +
       "corpus never joins itself") {
     val docs = graft.core.Graft.table(spark, sf, "documents")
