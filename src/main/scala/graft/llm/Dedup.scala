@@ -190,12 +190,12 @@ object Dedup {
       shingleK, maxBucketSize), col(idCol) === col("__doomed"), "left_anti")
 
   /** The doomed-id half of [[minhashDedupVerified]]: the distinct ids that
-    * lose the verified keep/kill decision, as one `__doomed` column. Split
-    * out so a caller whose corpus frame has an EXPENSIVE lineage (the TOML
-    * funnel surface) can compute the decision over a cached narrow
-    * (id, text) projection and anti-join the full frame against the result
-    * — the decision pass otherwise re-evaluates the full lineage once per
-    * consumer (candidates, verify probe, verify build).
+    * lose the verified keep/kill decision, as one `__doomed` column. A
+    * pure extraction seam — today every caller is the public wrapper
+    * passing its own frame (expensive-lineage callers like the TOML
+    * NearDupDedup surface protect themselves by persisting the input
+    * instead), but the split keeps a cached-narrow-projection caller
+    * possible without touching the decision logic.
     */
   private[graft] def minhashDoomedIds(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double, numPerm: Int, bands: Int,
@@ -247,9 +247,9 @@ object Dedup {
       col(idCol) === col("__doomed"), "left_anti")
 
   /** The doomed-id half of [[incrementalDedupVerified]] — the
-    * [[minhashDoomedIds]] treatment for the store path: callers with an
-    * expensive batch lineage pass a cached narrow (id, text) projection
-    * here and anti-join the full frame themselves.
+    * [[minhashDoomedIds]] extraction seam for the store path (same
+    * status: no narrow-projection caller exists today; expensive-lineage
+    * callers persist their input instead).
     */
   private[graft] def incrementalDoomedIds(batch: DataFrame, idCol: String,
       textCol: String, atRestSigs: DataFrame, atRestDocs: DataFrame,
